@@ -1,0 +1,174 @@
+"""Command-line develop tool — the framework's equivalent of the reference's
+native smoke binary (rust/photo-editor-test/src/main.rs:8-72) grown into a
+usable batch developer.
+
+Usage:
+  python -m rawphotoforge_tpu.app.cli info IMAGE
+  python -m rawphotoforge_tpu.app.cli develop IN OUT [edit flags]
+  python -m rawphotoforge_tpu.app.cli batch IN_DIR OUT_DIR [edit flags]
+
+Edit flags mirror the UI sliders (web/index.html tone tab ranges):
+exposure EV in [-6, 6]; all other sliders integer [-100, 100]; curves as
+comma-separated control points "x:y,x:y,...".
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..core.params import BRIGHTNESS, HUE, SATURATION, LIGHTNESS
+from ..engine.editor import PhotoEditor, FULL
+from ..io import image_io
+
+
+def _parse_curve(spec: str):
+    xs, ys = [], []
+    for pair in spec.split(","):
+        x, y = pair.split(":")
+        xs.append(int(x))
+        ys.append(int(y))
+    return np.asarray(xs, dtype=np.int32), np.asarray(ys, dtype=np.int32)
+
+
+def _add_edit_flags(p: argparse.ArgumentParser):
+    p.add_argument("--exposure", type=float, default=0.0)
+    p.add_argument("--contrast", type=int, default=0)
+    p.add_argument("--shadow", type=int, default=0)
+    p.add_argument("--highlight", type=int, default=0)
+    p.add_argument("--black", type=int, default=0)
+    p.add_argument("--white", type=int, default=0)
+    p.add_argument("--wb-temperature", type=int, default=0)
+    p.add_argument("--wb-tint", type=int, default=0)
+    p.add_argument("--vignette", type=int, default=0)
+    p.add_argument("--lens-distortion", type=int, default=0)
+    p.add_argument("--brightness-curve", type=str, default=None,
+                   help='control points "x:y,x:y,..." in [0,65535]')
+    p.add_argument("--hue-curve", type=str, default=None)
+    p.add_argument("--saturation-curve", type=str, default=None)
+    p.add_argument("--lightness-curve", type=str, default=None)
+    p.add_argument("--preset", type=str, default=None,
+                   help="JSON preset file (overrides other edit flags)")
+    p.add_argument("--save-preset", type=str, default=None)
+    p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--jnp-path", action="store_true",
+                   help="use the exact-LUT jnp path instead of the fused kernel")
+    p.add_argument("--histogram", action="store_true",
+                   help="print the 4x256 histogram summary")
+
+
+def _apply_edit_flags(ed: PhotoEditor, args):
+    if args.preset:
+        ed.load_preset(args.preset)
+        return
+    ed.set_tone(args.exposure, args.contrast, args.shadow, args.highlight,
+                args.black, args.white)
+    ed.set_whitebalance(args.wb_temperature, args.wb_tint)
+    ed.set_vignette(args.vignette)
+    ed.set_lens_distortion(args.lens_distortion)
+    for slot, spec in (
+        (BRIGHTNESS, args.brightness_curve),
+        (HUE, args.hue_curve),
+        (SATURATION, args.saturation_curve),
+        (LIGHTNESS, args.lightness_curve),
+    ):
+        if spec:
+            xs, ys = _parse_curve(spec)
+            ed.set_curve(slot, xs, ys)
+
+
+def cmd_info(args) -> int:
+    planes, exif = image_io.read_image(args.image)
+    _, h, w = planes.shape
+    print(f"{args.image}: {w}x{h} ({w * h / 1e6:.1f} MPix)")
+    for k, v in sorted(exif.items()):
+        print(f"  {k}: {v}")
+    return 0
+
+
+def cmd_develop(args) -> int:
+    t0 = time.perf_counter()
+    ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path)
+    t_load = time.perf_counter() - t0
+    _apply_edit_flags(ed, args)
+    t1 = time.perf_counter()
+    ed.apply(FULL).block_until_ready()
+    t_dev = time.perf_counter() - t1
+    ed.save(args.output, quality=args.quality)
+    t_total = time.perf_counter() - t0
+    h, w = ed.shape
+    mpix = h * w / 1e6
+    print(
+        f"developed {w}x{h} ({mpix:.1f} MPix): load {t_load * 1e3:.0f} ms, "
+        f"develop {t_dev * 1e3:.1f} ms ({mpix / t_dev:.0f} MPix/s), "
+        f"total {t_total * 1e3:.0f} ms -> {args.output}"
+    )
+    if args.save_preset:
+        ed.save_preset(args.save_preset)
+    if args.histogram:
+        hist = ed.histogram()
+        for name, row in zip(("R", "G", "B", "Y"), hist):
+            peak = int(np.argmax(row))
+            print(f"  hist {name}: peak bin {peak}, mass {int(row.sum())}")
+    return 0
+
+
+def cmd_batch(args) -> int:
+    paths = sorted(
+        p for p in glob.glob(os.path.join(args.input_dir, "*"))
+        if os.path.splitext(p)[1].lower() in image_io.SUPPORTED_EXTENSIONS
+    )
+    if not paths:
+        print(f"no images found in {args.input_dir}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    total_pix = 0
+    for p in paths:
+        ed = PhotoEditor.open(p, use_pallas=not args.jnp_path)
+        _apply_edit_flags(ed, args)
+        out = os.path.join(
+            args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"
+        )
+        ed.save(out, quality=args.quality)
+        h, w = ed.shape
+        total_pix += h * w
+        print(f"  {p} -> {out}")
+    dt = time.perf_counter() - t0
+    print(f"batch: {len(paths)} images, {total_pix / 1e6:.1f} MPix in {dt:.1f} s "
+          f"({total_pix / 1e6 / dt:.0f} MPix/s end-to-end)")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rawphotoforge-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_info = sub.add_parser("info", help="print image dims + EXIF")
+    p_info.add_argument("image")
+    p_info.set_defaults(fn=cmd_info)
+
+    p_dev = sub.add_parser("develop", help="develop one image")
+    p_dev.add_argument("input")
+    p_dev.add_argument("output")
+    _add_edit_flags(p_dev)
+    p_dev.set_defaults(fn=cmd_develop)
+
+    p_batch = sub.add_parser("batch", help="develop a directory of images")
+    p_batch.add_argument("input_dir")
+    p_batch.add_argument("output_dir")
+    _add_edit_flags(p_batch)
+    p_batch.set_defaults(fn=cmd_batch)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

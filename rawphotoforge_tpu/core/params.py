@@ -1,0 +1,313 @@
+"""Edit parameters: the non-destructive edit state and its packed device form.
+
+Two representations:
+
+* ``EditParameters`` — the user-facing, per-mask parameter set mirroring the
+  reference's struct (rust/photo-editor/src/lib.rs:19-64): tone scalars,
+  white balance, vignette, lens distortion, mask threshold and four curves.
+  Setters clamp exactly like the reference setters (lib.rs:255-298).
+  JSON-serializable: the curve *control points* are stored, which makes a
+  serialized edit stack a complete checkpoint of a session (the reference's
+  preset mechanism, python-legacy raw_photo_forge.py:2259-2341).
+
+* ``DevelopParams`` — a jit-stable pytree of stacked arrays, one row per
+  mask, consumed by the jitted develop functions. Fixed shapes: [M] scalar
+  vectors, [M, 4, 65536] i32 LUTs (anchor path) and [M, 4, S] / [M, 4, S, 4]
+  packed curve coefficients (kernel path). Changing slider values never
+  changes shapes, so interactive edits never recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import curve as curve_mod
+from .curve import CURVE_RESOLUTION, MAX_CTRL
+
+# Curve slot order, fixed: matches binding order wgpu_shader.wgsl:12-15.
+BRIGHTNESS, HUE, SATURATION, LIGHTNESS = 0, 1, 2, 3
+CURVE_NAMES = ("brightness", "hue", "saturation", "lightness")
+
+
+def _default_points(slot: int) -> tuple[np.ndarray, np.ndarray]:
+    if slot in (BRIGHTNESS, HUE):
+        return (
+            np.array([0, CURVE_RESOLUTION - 1], dtype=np.int32),
+            np.array([0, CURVE_RESOLUTION - 1], dtype=np.int32),
+        )
+    return (
+        np.array([0, CURVE_RESOLUTION - 1], dtype=np.int32),
+        np.array([32767, 32767], dtype=np.int32),
+    )
+
+
+@dataclasses.dataclass
+class CurveState:
+    """One curve: control points (preferred) or a raw 65536-entry LUT."""
+
+    control_x: Optional[np.ndarray] = None
+    control_y: Optional[np.ndarray] = None
+    raw_lut: Optional[np.ndarray] = None  # set only when user supplies a LUT
+
+    def lut(self, slot: int) -> np.ndarray:
+        if self.raw_lut is not None:
+            return np.clip(self.raw_lut, 0, CURVE_RESOLUTION - 1).astype(np.int32)
+        if self.control_x is None:
+            return (
+                curve_mod.identity_lut()
+                if slot in (BRIGHTNESS, HUE)
+                else curve_mod.constant_lut()
+            )
+        return curve_mod.build_lut(self.control_x, self.control_y)
+
+    def packed(self, slot: int, max_ctrl: int = MAX_CTRL) -> tuple[np.ndarray, np.ndarray]:
+        if self.raw_lut is not None:
+            return curve_mod.lut_to_coeffs(self.raw_lut, max_ctrl=max_ctrl)
+        cx, cy = (
+            (self.control_x, self.control_y)
+            if self.control_x is not None
+            else _default_points(slot)
+        )
+        return curve_mod.pchip_coeffs(cx, cy, max_ctrl=max_ctrl)
+
+    def num_points(self, slot: int) -> int:
+        if self.raw_lut is not None:
+            return MAX_CTRL
+        if self.control_x is None:
+            return 2
+        return max(2, len(self.control_x))
+
+    def is_default(self, slot: int) -> bool:
+        if self.raw_lut is not None:
+            return False
+        if self.control_x is None:
+            return True
+        dx, dy = _default_points(slot)
+        return (
+            len(self.control_x) == len(dx)
+            and np.array_equal(self.control_x, dx)
+            and np.array_equal(self.control_y, dy)
+        )
+
+    def to_json(self):
+        if self.raw_lut is not None:
+            return {"raw_lut": np.asarray(self.raw_lut).tolist()}
+        if self.control_x is None:
+            return None
+        return {
+            "x": np.asarray(self.control_x).tolist(),
+            "y": np.asarray(self.control_y).tolist(),
+        }
+
+    @classmethod
+    def from_json(cls, obj):
+        if obj is None:
+            return cls()
+        if "raw_lut" in obj:
+            return cls(raw_lut=np.asarray(obj["raw_lut"], dtype=np.int32))
+        return cls(
+            control_x=np.asarray(obj["x"], dtype=np.int32),
+            control_y=np.asarray(obj["y"], dtype=np.int32),
+        )
+
+
+@dataclasses.dataclass
+class EditParameters:
+    """Per-mask edit parameters; ranges/clamps per lib.rs:255-298.
+
+    Integer sliders are in [-100, 100]; exposure is EV in [-10, 10]
+    (the UI exposes [-6, 6], core clamps at +/-10, lib.rs:290).
+    """
+
+    exposure: float = 0.0
+    contrast: int = 0
+    shadow: int = 0
+    highlight: int = 0
+    black: int = 0
+    white: int = 0
+    wb_temperature: int = 0
+    wb_tint: int = 0
+    vignette: int = 0
+    lens_distortion: int = 0
+    mask_range: float = 0.0
+    curves: list = dataclasses.field(
+        default_factory=lambda: [CurveState() for _ in range(4)]
+    )
+
+    # -- setters (clamping mirrors the reference) ---------------------------
+    def set_tone(self, exposure=0.0, contrast=0, shadow=0, highlight=0, black=0, white=0):
+        self.exposure = float(np.clip(exposure, -10.0, 10.0))
+        self.contrast = int(np.clip(contrast, -100, 100))
+        self.shadow = int(np.clip(shadow, -100, 100))
+        self.highlight = int(np.clip(highlight, -100, 100))
+        self.black = int(np.clip(black, -100, 100))
+        self.white = int(np.clip(white, -100, 100))
+
+    def set_whitebalance(self, temperature=0, tint=0):
+        self.wb_temperature = int(np.clip(temperature, -100, 100))
+        self.wb_tint = int(np.clip(tint, -100, 100))
+
+    def set_vignette(self, value=0):
+        self.vignette = int(np.clip(value, -100, 100))
+
+    def set_lens_distortion(self, value=0):
+        self.lens_distortion = int(np.clip(value, -100, 100))
+
+    def set_curve(self, slot: int, control_x=None, control_y=None, raw_lut=None):
+        """Set one of the four curves; mirrors set_*_curve (lib.rs:300-479)."""
+        if raw_lut is not None:
+            raw_lut = np.asarray(raw_lut, dtype=np.int32)
+            if raw_lut.shape != (CURVE_RESOLUTION,):
+                raise curve_mod.CurveError(
+                    f"raw curve must have {CURVE_RESOLUTION} entries, got {raw_lut.shape}"
+                )
+            self.curves[slot] = CurveState(raw_lut=raw_lut)
+            return
+        if control_x is None or control_y is None:
+            raise curve_mod.CurveError("need either raw_lut or control points")
+        cx = np.asarray(control_x, dtype=np.int32)
+        cy = np.asarray(control_y, dtype=np.int32)
+        if cx.shape != cy.shape:
+            raise curve_mod.CurveError("mismatched control point lengths")
+        if cx.size == 0:
+            raise curve_mod.CurveError("empty control points")
+        # Validate monotonicity eagerly (matches setter-time PCHIP failure).
+        curve_mod.pchip_slopes_f32(cx, cy) if cx.size >= 2 else None
+        self.curves[slot] = CurveState(control_x=cx, control_y=cy)
+
+    # -- derived GPU-side scalars ------------------------------------------
+    def gains(self) -> tuple[float, float, float]:
+        """WB slider -> RGB gains (gpu_image_processing.rs:236-238)."""
+        t = self.wb_temperature / 100.0
+        g = self.wb_tint / 100.0
+        return (1.0 + 0.5 * t, 1.0 - 0.25 * g, 1.0 - 0.5 * t)
+
+    # -- serialization ------------------------------------------------------
+    def to_json(self) -> dict:
+        d = {
+            "exposure": self.exposure,
+            "contrast": self.contrast,
+            "shadow": self.shadow,
+            "highlight": self.highlight,
+            "black": self.black,
+            "white": self.white,
+            "wb_temperature": self.wb_temperature,
+            "wb_tint": self.wb_tint,
+            "vignette": self.vignette,
+            "lens_distortion": self.lens_distortion,
+            "mask_range": self.mask_range,
+            "curves": {
+                CURVE_NAMES[i]: self.curves[i].to_json() for i in range(4)
+            },
+        }
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "EditParameters":
+        p = cls()
+        p.set_tone(
+            d.get("exposure", 0.0), d.get("contrast", 0), d.get("shadow", 0),
+            d.get("highlight", 0), d.get("black", 0), d.get("white", 0),
+        )
+        p.set_whitebalance(d.get("wb_temperature", 0), d.get("wb_tint", 0))
+        p.set_vignette(d.get("vignette", 0))
+        p.set_lens_distortion(d.get("lens_distortion", 0))
+        p.mask_range = float(d.get("mask_range", 0.0))
+        cd = d.get("curves", {})
+        p.curves = [CurveState.from_json(cd.get(CURVE_NAMES[i])) for i in range(4)]
+        return p
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json())
+
+    @classmethod
+    def loads(cls, s: str) -> "EditParameters":
+        return cls.from_json(json.loads(s))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DevelopParams:
+    """Packed per-mask parameters as a pytree of stacked arrays.
+
+    Field layout (M = number of masks incl. the always-present main mask;
+    main is row 0 and its vignette/lens_distortion are the only ones used,
+    wgpu_shader.wgsl:270-276):
+
+      gains:    f32 [M, 3]   WB (r, g, b) gains
+      tone:     f32 [M, 6]   exposure(EV), contrast, shadow, highlight,
+                             black, white — already /100-scaled like
+                             GpuEditParameters (gpu_image_processing.rs:242-246)
+      vignette: f32 []       main-mask vignette slider value
+      distortion: f32 []     main-mask lens-distortion slider value
+      luts:     i32 [M, 4, 65536]   exact LUTs (anchor path)
+      breaks:   f32 [M, 4, S]       packed curve knots (kernel path)
+      coeffs:   f32 [M, 4, S, 4]    packed curve monomial coefficients
+    """
+
+    gains: jax.Array
+    tone: jax.Array
+    vignette: jax.Array
+    distortion: jax.Array
+    luts: jax.Array
+    breaks: jax.Array
+    coeffs: jax.Array
+
+    @property
+    def num_masks(self) -> int:
+        return self.gains.shape[0]
+
+
+def pack_params(param_list: list[EditParameters]) -> DevelopParams:
+    """Stack per-mask EditParameters into a DevelopParams pytree.
+
+    Mask 0 must be the main mask. Mirrors the per-mask buffer packing of
+    GpuProcessor::apply_adjustments (gpu_image_processing.rs:232-254).
+    """
+    if not param_list:
+        raise ValueError("need at least the main mask parameters")
+    m = len(param_list)
+    # Pad packed curves only to the next power of two above the largest
+    # actual control-point count: the in-kernel curve evaluation costs ~6
+    # VPU ops per segment per pixel, so padding to the static MAX_CTRL
+    # would burn an order of magnitude more compute than typical <=8-point
+    # UI curves need. Power-of-two rounding keeps jit cache churn low when
+    # the user adds points.
+    s = max(p.curves[slot].num_points(slot) for p in param_list for slot in range(4))
+    s = min(1 << (s - 1).bit_length(), MAX_CTRL)
+    gains = np.zeros((m, 3), dtype=np.float32)
+    tone = np.zeros((m, 6), dtype=np.float32)
+    luts = np.zeros((m, 4, CURVE_RESOLUTION), dtype=np.int32)
+    breaks = np.zeros((m, 4, s), dtype=np.float32)
+    coeffs = np.zeros((m, 4, s, 4), dtype=np.float32)
+    for i, p in enumerate(param_list):
+        gains[i] = p.gains()
+        tone[i] = (
+            p.exposure,
+            p.contrast / 100.0,
+            p.shadow / 100.0,
+            p.highlight / 100.0,
+            p.black / 100.0,
+            p.white / 100.0,
+        )
+        for slot in range(4):
+            luts[i, slot] = p.curves[slot].lut(slot)
+            b, c = p.curves[slot].packed(slot, max_ctrl=s)
+            breaks[i, slot] = b
+            coeffs[i, slot] = c
+    main = param_list[0]
+    return DevelopParams(
+        gains=jnp.asarray(gains),
+        tone=jnp.asarray(tone),
+        vignette=jnp.asarray(np.float32(main.vignette)),
+        distortion=jnp.asarray(np.float32(main.lens_distortion)),
+        luts=jnp.asarray(luts),
+        breaks=jnp.asarray(breaks),
+        coeffs=jnp.asarray(coeffs),
+    )

@@ -1,0 +1,312 @@
+"""PhotoEditor: the non-destructive editing session.
+
+TPU re-design of the reference's L4 editor core
+(rust/photo-editor/src/lib.rs:77-516) merged with the app-level policies of
+the UIs (preview pyramid web/main.ts:82-91, drag->LOW main.ts:900-907,
+presets raw_photo_forge.py:2259-2341, mask invert raw_photo_forge.py:2552):
+
+* holds the immutable linear-light original as device-resident planar f32,
+  plus MID/LOW preview-resolution copies (3-level pyramid);
+* per-mask EditParameters; mask "main" (index 0, all ones) always exists;
+* apply() is a pure function of (original, params, masks) — re-rendering
+  always starts from the original (lib.rs:507-515);
+* unlike the reference — which re-uploads 4x65536x4B LUTs per mask per
+  frame and re-creates every GPU buffer each call
+  (gpu_image_processing.rs:250-307) — packed params are rebuilt only when
+  an edit changes them, device buffers persist across frames, and the
+  lens-distortion gather stage is cached per (level, distortion).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.params import EditParameters, pack_params
+from ..ops import develop as dev
+from ..ops.geometry import resize_bilinear, resize_long_edge_shape
+from ..ops.stats import histogram_rgbl, clipping_stats
+from ..io import image_io
+
+FULL, MID, LOW = "full", "mid", "low"
+DEFAULT_MID_LONG_EDGE = 1280  # uiPreviewSize default (web/main.ts:31-35)
+DEFAULT_LOW_LONG_EDGE = 400   # dragPreviewSize default
+
+
+class MaskNotFound(KeyError):
+    """Mirrors PhotoEditorError::MaskNotFound (errors.rs)."""
+
+
+class _Mask:
+    __slots__ = ("name", "data_full", "params", "_levels")
+
+    def __init__(self, name: str, data_full: jax.Array, params: EditParameters):
+        self.name = name
+        self.data_full = data_full  # f32 [H, W], binarized 0/1
+        self.params = params
+        self._levels: dict[str, jax.Array] = {}
+
+
+class PhotoEditor:
+    """A single-image editing session with a 3-level preview pyramid."""
+
+    def __init__(
+        self,
+        planes: jax.Array,
+        exif: Optional[dict] = None,
+        mid_long_edge: int = DEFAULT_MID_LONG_EDGE,
+        low_long_edge: int = DEFAULT_LOW_LONG_EDGE,
+        use_pallas: bool = True,
+    ):
+        planes = jnp.asarray(planes, dtype=jnp.float32)
+        if planes.ndim != 3 or planes.shape[0] != 3:
+            raise ValueError(f"expected planar [3, H, W] image, got {planes.shape}")
+        self.exif = dict(exif or {})
+        self.use_pallas = use_pallas
+
+        _, h, w = planes.shape
+        self._originals: dict[str, jax.Array] = {FULL: jax.device_put(planes)}
+        for level, edge in ((MID, mid_long_edge), (LOW, low_long_edge)):
+            if max(h, w) > edge:
+                dh, dw = resize_long_edge_shape(h, w, edge)
+                self._originals[level] = resize_bilinear(self._originals[FULL], dh, dw)
+            else:
+                self._originals[level] = self._originals[FULL]
+
+        self.masks: list[_Mask] = []
+        self._add_main_mask()
+
+        # Dirty-stage caches.
+        self._packed = None            # DevelopParams, rebuilt on edit
+        self._mask_stack: dict[str, jax.Array] = {}
+        self._geo_cache: dict[str, tuple[float, jax.Array]] = {}
+        self._rendered: dict[str, tuple[int, jax.Array]] = {}
+        self._version = 0              # bumped on every edit
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def open(cls, path: str, **kwargs) -> "PhotoEditor":
+        planes, exif = image_io.read_image(path)
+        return cls(planes, exif=exif, **kwargs)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, fmt: str, **kwargs) -> "PhotoEditor":
+        planes, exif = image_io.decode_image(data, fmt)
+        return cls(planes, exif=exif, **kwargs)
+
+    @classmethod
+    def from_rgb_f32(cls, hwc: np.ndarray, **kwargs) -> "PhotoEditor":
+        """From an HWC float32 linear RGB array (lib.rs:125-166)."""
+        arr = np.asarray(hwc, dtype=np.float32)
+        return cls(jnp.asarray(arr.transpose(2, 0, 1)), **kwargs)
+
+    # -- geometry -----------------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, int]:
+        _, h, w = self._originals[FULL].shape
+        return h, w
+
+    def level_shape(self, level: str) -> tuple[int, int]:
+        _, h, w = self._originals[level].shape
+        return h, w
+
+    # -- mask management ----------------------------------------------------
+    def _add_main_mask(self):
+        h, w = self.shape
+        ones = jnp.ones((h, w), dtype=jnp.float32)
+        self.masks.append(_Mask("main", ones, EditParameters()))
+
+    def _find(self, name: Optional[str]) -> _Mask:
+        name = name or "main"
+        for m in self.masks:
+            if m.name == name:
+                return m
+        raise MaskNotFound(f"the specified mask '{name}' does not exist")
+
+    def add_mask(self, name: str, data: np.ndarray) -> None:
+        """Add a regional mask; binarized at the main mask_range threshold
+        (v >= mask_range -> 1.0, lib.rs:481-499). ``data`` is [H, W] float
+        (e.g. SAM-style logits) at full resolution."""
+        thr = self._find("main").params.mask_range
+        arr = jnp.asarray(np.asarray(data, dtype=np.float32))
+        if arr.shape != self.shape:
+            raise ValueError(f"mask shape {arr.shape} != image shape {self.shape}")
+        binar = (arr >= thr).astype(jnp.float32)
+        self.masks.append(_Mask(name, binar, EditParameters()))
+        self._invalidate(masks_changed=True)
+
+    def remove_mask(self, name: str) -> None:
+        """Remove a regional mask; 'main' is not removable (lib.rs:501-505)."""
+        if name == "main":
+            return
+        self.masks = [m for m in self.masks if m.name != name]
+        self._invalidate(masks_changed=True)
+
+    def invert_mask(self, name: str) -> None:
+        """Invert a regional mask in place (python-legacy
+        raw_photo_forge.py:2552-2607 negates the mask array)."""
+        if name == "main":
+            return
+        m = self._find(name)
+        m.data_full = 1.0 - m.data_full
+        m._levels.clear()
+        self._invalidate(masks_changed=True)
+
+    def mask_names(self) -> list[str]:
+        return [m.name for m in self.masks]
+
+    # -- edits --------------------------------------------------------------
+    def params(self, mask_name: Optional[str] = None) -> EditParameters:
+        return self._find(mask_name).params
+
+    def _edited(self):
+        self._invalidate(masks_changed=False)
+
+    def set_tone(self, exposure=0.0, contrast=0, shadow=0, highlight=0,
+                 black=0, white=0, mask_name=None):
+        self._find(mask_name).params.set_tone(
+            exposure, contrast, shadow, highlight, black, white)
+        self._edited()
+
+    def set_whitebalance(self, temperature=0, tint=0, mask_name=None):
+        self._find(mask_name).params.set_whitebalance(temperature, tint)
+        self._edited()
+
+    def set_vignette(self, value=0):
+        self._find(None).params.set_vignette(value)
+        self._edited()
+
+    def set_lens_distortion(self, value=0):
+        self._find(None).params.set_lens_distortion(value)
+        self._edited()
+
+    def set_mask_range(self, value: float):
+        self._find(None).params.mask_range = float(value)
+        self._edited()
+
+    def set_curve(self, slot, control_x=None, control_y=None, raw_lut=None,
+                  mask_name=None):
+        self._find(mask_name).params.set_curve(slot, control_x, control_y, raw_lut)
+        self._edited()
+
+    def reset(self):
+        """Drop all regional masks and reset main params (lib.rs:227-235)."""
+        self.masks = [m for m in self.masks if m.name == "main"]
+        self.masks[0].params = EditParameters()
+        self._invalidate(masks_changed=True)
+
+    # -- cache plumbing -----------------------------------------------------
+    def _invalidate(self, masks_changed: bool):
+        self._version += 1
+        self._packed = None
+        self._rendered.clear()
+        if masks_changed:
+            self._mask_stack.clear()
+
+    def _packed_params(self):
+        if self._packed is None:
+            self._packed = pack_params([m.params for m in self.masks])
+        return self._packed
+
+    def _masks_at(self, level: str) -> jax.Array:
+        if level not in self._mask_stack:
+            h, w = self.level_shape(level)
+            rows = []
+            for m in self.masks:
+                if level not in m._levels:
+                    if m.data_full.shape == (h, w):
+                        m._levels[level] = m.data_full
+                    else:
+                        resized = resize_bilinear(m.data_full[None], h, w)[0]
+                        # Preserve binarization after interpolation.
+                        m._levels[level] = (resized >= 0.5).astype(jnp.float32)
+                rows.append(m._levels[level])
+            self._mask_stack[level] = jnp.stack(rows)
+        return self._mask_stack[level]
+
+    def _geo_at(self, level: str) -> jax.Array:
+        """Lens-distortion stage output, cached per (level, distortion)."""
+        d = float(self._find("main").params.lens_distortion)
+        cached = self._geo_cache.get(level)
+        if cached is not None and cached[0] == d:
+            return cached[1]
+        out = dev.geometry_stage_jit(
+            self._originals[level], jnp.float32(d)
+        )
+        self._geo_cache[level] = (d, out)
+        return out
+
+    # -- rendering ----------------------------------------------------------
+    def apply(self, level: str = FULL) -> jax.Array:
+        """Render the edit stack at a pyramid level -> sRGB f32 [3, h, w].
+
+        Cached per (edit version, level): repeated calls without edits are
+        free; after an edit only the pointwise pass re-runs (the geometry
+        stage re-runs only if lens_distortion changed).
+        """
+        cached = self._rendered.get(level)
+        if cached is not None and cached[0] == self._version:
+            return cached[1]
+        params = self._packed_params()
+        masks = self._masks_at(level)
+        geo = self._geo_at(level)
+        if self.use_pallas:
+            from ..kernels import fused
+
+            out = fused.develop_post_geo_fused(geo, params, masks)
+        else:
+            out = dev.develop_post_geo_jit(geo, params, masks)
+        self._rendered[level] = (self._version, out)
+        return out
+
+    def histogram(self, level: str = MID) -> np.ndarray:
+        """[4, 256] R/G/B/gray histogram of the current render at ``level``."""
+        return np.asarray(histogram_rgbl(self.apply(level)))
+
+    def clipping(self, level: str = MID) -> dict:
+        return {k: float(v) for k, v in clipping_stats(self.apply(level)).items()}
+
+    def get_srgb_f32(self, level: str = FULL) -> np.ndarray:
+        """HWC float32 sRGB render (the wasm get_rgb_f32 surface,
+        photo-editor-web/src/lib.rs)."""
+        return np.asarray(self.apply(level)).transpose(1, 2, 0)
+
+    def save(self, path: str, quality: int = 95) -> None:
+        """Full-resolution render + encode (web/main.ts:910-954 policy:
+        always re-render FULL before export)."""
+        image_io.write_image(path, self.apply(FULL), quality=quality)
+
+    def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
+        return image_io.encode_image(self.apply(FULL), fmt, quality=quality)
+
+    # -- presets / session checkpointing ------------------------------------
+    def preset_json(self) -> str:
+        """Serialize the complete edit state (all masks' parameters) —
+        the session checkpoint (raw_photo_forge.py:2259-2341)."""
+        return json.dumps(
+            {"version": 1, "masks": [
+                {"name": m.name, "params": m.params.to_json()} for m in self.masks
+            ]}
+        )
+
+    def load_preset_json(self, s: str) -> None:
+        """Restore edit parameters; regional-mask params apply only to masks
+        that still exist by name (pixel data is not part of a preset)."""
+        obj = json.loads(s)
+        by_name = {m["name"]: m["params"] for m in obj["masks"]}
+        for m in self.masks:
+            if m.name in by_name:
+                m.params = EditParameters.from_json(by_name[m.name])
+        self._invalidate(masks_changed=False)
+
+    def save_preset(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.preset_json())
+
+    def load_preset(self, path: str) -> None:
+        with open(path) as f:
+            self.load_preset_json(f.read())

@@ -1,0 +1,155 @@
+"""Image file I/O: decode to linear-light planar float32, encode from sRGB.
+
+Reference contract (rust/photo-editor/src/image.rs):
+* read_image (:386-480) — decode JPEG/PNG/WebP/TIFF, apply EXIF orientation,
+  convert sRGB-encoded formats to *linear* sRGB (TIFF is passed through
+  untouched, image.rs:430-440), produce float32 RGB.
+* write_image (:482-511) — clamp to [0,1], truncate to u8
+  (`(v.clamp(0,1)*255) as u8`, image.rs:375-383), encode with the container
+  codec.
+* 16-bit P6 PPM (max=65535, big-endian) treated as already-linear data
+  (web-ts/core/image.ts:146-195).
+
+Decode runs on CPU (PIL for the containers); the sRGB->linear EOTF and the
+planar transpose run on whatever backend jnp targets, so for big images the
+linearization happens on the TPU, not the host.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from PIL import Image as PILImage, ImageOps
+
+from ..core.color import srgb_to_linear, linear_to_srgb
+
+SUPPORTED_EXTENSIONS = {
+    ".jpg": "JPEG", ".jpeg": "JPEG", ".png": "PNG",
+    ".webp": "WEBP", ".tif": "TIFF", ".tiff": "TIFF",
+    ".ppm": "PPM16",
+}
+
+
+class ImageIOError(ValueError):
+    """Unsupported or undecodable image data (errors.rs taxonomy)."""
+
+
+def format_for_path(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in SUPPORTED_EXTENSIONS:
+        raise ImageIOError(f"unsupported image format: {ext!r}")
+    return SUPPORTED_EXTENSIONS[ext]
+
+
+def decode_ppm16(data: bytes) -> np.ndarray:
+    """16-bit big-endian P6 PPM -> float32 HWC in [0,1] (image.ts:146-195)."""
+    # Header: magic, dims, maxval — whitespace separated, '#' comments allowed.
+    pos = 0
+    fields = []
+    while len(fields) < 4:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        hash_i = line.find(b"#")
+        if hash_i >= 0:
+            line = line[:hash_i]
+        fields.extend(line.split())
+    magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
+    if magic != b"P6":
+        raise ImageIOError("PPM must be binary P6")
+    if maxval != 65535:
+        raise ImageIOError("only 16-bit PPM (max=65535) is supported")
+    raw = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=pos)
+    return (raw.astype(np.float32) / 65535.0).reshape(h, w, 3)
+
+
+def encode_ppm16(hwc: np.ndarray) -> bytes:
+    """float32 HWC [0,1] -> 16-bit big-endian P6 PPM bytes."""
+    h, w = hwc.shape[:2]
+    u16 = (np.clip(hwc, 0.0, 1.0) * 65535.0).astype(">u2")
+    return b"P6\n%d %d\n65535\n" % (w, h) + u16.tobytes()
+
+
+def decode_image(data: bytes, fmt: str):
+    """Decode container bytes -> (planes f32 [3,H,W] linear-light, exif dict).
+
+    Applies EXIF orientation (image.rs:417-426) then linearizes via the sRGB
+    EOTF — except TIFF, which is passed through (image.rs:430-440).
+    """
+    if fmt == "PPM16":
+        hwc = decode_ppm16(data)
+        planes = jnp.asarray(np.ascontiguousarray(hwc.transpose(2, 0, 1)))
+        return planes, {}
+
+    try:
+        img = PILImage.open(_io.BytesIO(data))
+    except Exception as e:  # noqa: BLE001
+        raise ImageIOError(f"failed to decode {fmt}: {e}") from e
+
+    from .exif import parse_exif  # local import to avoid cycle
+
+    exif = parse_exif(img)
+    img = ImageOps.exif_transpose(img)
+
+    if img.mode in ("I;16", "I;16B", "I;16L", "I"):
+        arr = np.asarray(img, dtype=np.float32) / 65535.0
+    elif img.mode == "F":
+        arr = np.asarray(img, dtype=np.float32)
+    else:
+        if img.mode not in ("RGB", "L"):
+            img = img.convert("RGB")
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+
+    chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+    if fmt != "TIFF":
+        chw = srgb_to_linear(chw)
+    return chw, exif
+
+
+def encode_image(planes, fmt: str, quality: int = 95) -> bytes:
+    """sRGB-encoded f32 [3,H,W] in [0,1] -> container bytes.
+
+    Truncating u8 quantization per image.rs:375-383.
+    """
+    hwc = np.asarray(planes).transpose(1, 2, 0)
+    if fmt == "PPM16":
+        return encode_ppm16(hwc)
+    u8 = (np.clip(hwc, 0.0, 1.0) * 255.0).astype(np.uint8)
+    img = PILImage.fromarray(u8, mode="RGB")
+    buf = _io.BytesIO()
+    save_kwargs = {}
+    if fmt == "JPEG":
+        save_kwargs["quality"] = quality
+    if fmt == "WEBP":
+        save_kwargs["quality"] = quality
+    img.save(buf, format=fmt, **save_kwargs)
+    return buf.getvalue()
+
+
+def read_image(path: str):
+    """Load a file -> (planes f32 [3,H,W] linear, exif dict)."""
+    fmt = format_for_path(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    return decode_image(data, fmt)
+
+
+def write_image(path: str, srgb_planes, quality: int = 95) -> None:
+    """Write sRGB-encoded planes [3,H,W] to a file by extension."""
+    fmt = format_for_path(path)
+    with open(path, "wb") as f:
+        f.write(encode_image(srgb_planes, fmt, quality=quality))
+
+
+def linear_planes_to_srgb_u8(planes) -> np.ndarray:
+    """Utility: linear [3,H,W] -> sRGB u8 HWC (for thumbnails/masks UIs)."""
+    srgb = linear_to_srgb(jnp.clip(jnp.asarray(planes), 0.0, 1.0))
+    return (np.asarray(jnp.clip(srgb, 0.0, 1.0)).transpose(1, 2, 0) * 255.0).astype(
+        np.uint8
+    )

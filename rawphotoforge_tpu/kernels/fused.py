@@ -1,0 +1,222 @@
+"""Fused Pallas develop kernel — the TPU equivalent of the WGSL megakernel.
+
+The reference renders each frame with one fused GPU compute pass over 16x16
+workgroups (wgpu_shader.wgsl:265-337). Here the same pointwise stack runs as
+one Pallas kernel over (TILE_H, TILE_W) VMEM tiles: vignette -> per-mask
+(WB -> tone -> brightness curve) -> OKLCH per-mask (hue/sat/light curves) ->
+sRGB encode. The lens-distortion gather stage stays outside (ops/geometry
++ dirty-stage caching) because its data-dependent coordinates do not tile.
+
+The un-TPU-ish part of the reference is its 4 x 65536-entry i32 LUTs per
+mask, gathered per pixel (wgpu_shader.wgsl:184-194). Per-pixel dynamic
+gathers serialize on the VPU, so this kernel replaces each LUT with the
+*curve that generated it*: the PCHIP segments are packed as per-segment
+monomial coefficient deltas (core/curve.pchip_coeffs) and evaluated
+branchlessly — one compare + five scalar-FMA sweeps per segment, telescoped
+over the sorted knots. Indexing still quantizes to floor(v * 65535) and
+results still truncate to integers, so the kernel reproduces the reference's
+LUT staircase semantics, not just the smooth curve (tests gate it against
+ops/develop's exact-LUT path).
+
+Tone, vignette, and color-space math are shared with the jnp path
+(ops/pointwise, core/color) — same code traced into the kernel body.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import color
+from ..core.params import DevelopParams
+from ..ops import pointwise
+from . import ktrig
+
+LUT_MAX = 65535.0
+
+# Default tile: 256 sublanes x 512 lanes, f32. VMEM: (3 in + 3 out) planes
+# = 3 MiB + 0.5 MiB per mask — comfortably inside ~16 MiB with double
+# buffering.
+TILE_H = 256
+TILE_W = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _eval_curve(u, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg):
+    """Telescoped packed-PCHIP evaluation at LUT-domain positions ``u``.
+
+    The refs are per-curve SMEM tables indexed by (row, j):
+    knots_ref[row, j] the sorted knot positions (padded with 2*65536),
+    dknots_ref[row, j] = knots[j] - knots[j-1], and dcoeffs_ref[row, j*4+c]
+    the first-difference of monomial coefficient c across segments. Per
+    segment one broadcast compare and five scalar FMAs — no gathers; the
+    loop unrolls at trace time (num_seg is static).
+    """
+    u = jnp.maximum(u, knots_ref[row, 0])
+    a = jnp.full_like(u, dcoeffs_ref[row, 0])
+    b = jnp.full_like(u, dcoeffs_ref[row, 1])
+    c = jnp.full_like(u, dcoeffs_ref[row, 2])
+    d = jnp.full_like(u, dcoeffs_ref[row, 3])
+    x0 = jnp.full_like(u, knots_ref[row, 0])
+    for j in range(1, num_seg):
+        w = (u >= knots_ref[row, j]).astype(jnp.float32)
+        a = a + dcoeffs_ref[row, j * 4 + 0] * w
+        b = b + dcoeffs_ref[row, j * 4 + 1] * w
+        c = c + dcoeffs_ref[row, j * 4 + 2] * w
+        d = d + dcoeffs_ref[row, j * 4 + 3] * w
+        x0 = x0 + dknots_ref[row, j] * w
+    dt = u - x0
+    return a + dt * (b + dt * (c + dt * d))
+
+
+def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
+    """LUT-semantics curve application: index floor(v*65535), evaluate, then
+    truncate+clamp the result like the i32 table (wgpu_shader.wgsl:184-194,
+    293-305) and rescale by ``denom`` (65535 for value curves, 32767.5 for
+    the sat/light gain decode, wgsl:329-330)."""
+    u = jnp.floor(v * LUT_MAX)
+    y = _eval_curve(u, knots, dknots, dcoeffs, row, num_seg)
+    y = jnp.clip(jnp.floor(y), 0.0, 65535.0)
+    return y / denom
+
+
+def _develop_kernel(
+    vig_ref,      # SMEM (1, 1) f32: main vignette slider
+    gains_ref,    # SMEM (M, 3) f32
+    tone_ref,     # SMEM (M, 6) f32
+    knots_ref,    # SMEM (M*4, S) f32
+    dknots_ref,   # SMEM (M*4, S) f32
+    dcoeffs_ref,  # SMEM (M*4, S*4) f32
+    img_ref,      # VMEM (3, TH, TW) f32
+    masks_ref,    # VMEM (M, TH, TW) f32
+    out_ref,      # VMEM (3, TH, TW) f32
+    *,
+    num_masks: int,
+    num_seg: int,
+    full_h: int,
+    full_w: int,
+    tile_h: int,
+    tile_w: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    r = img_ref[0]
+    g = img_ref[1]
+    b = img_ref[2]
+
+    # Vignette (main-mask only, wgsl:276): global integer pixel coords.
+    ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    r, g, b = pointwise.vignette(r, g, b, vig_ref[0, 0], full_h, full_w, ys, xs)
+
+    knots = knots_ref
+    dknots = dknots_ref
+    dcoeffs = dcoeffs_ref
+
+    # Per-mask linear pass (wgsl:279-308).
+    for k in range(num_masks):
+        sel = masks_ref[k] == 1.0
+        gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
+        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
+        tv = tuple(tone_ref[k, i] for i in range(6))
+        rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
+        row = k * 4 + 0  # brightness slot
+        rk = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+        gk = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+        bk = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+        r = jnp.where(sel, rk, r)
+        g = jnp.where(sel, gk, g)
+        b = jnp.where(sel, bk, b)
+
+    # Per-mask OKLCH pass (wgsl:310-331). Polynomial trig: Mosaic has no
+    # atan2/sin/cos primitives.
+    L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
+    for k in range(num_masks):
+        sel = masks_ref[k] == 1.0
+        new_h = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 1, num_seg, LUT_MAX)
+        sat_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 2, num_seg, 32767.5)
+        light_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 3, num_seg, 32767.5)
+        H = jnp.where(sel, new_h, H)
+        C = jnp.where(sel, C * sat_g, C)
+        L = jnp.where(sel, L * light_g, L)
+    r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
+
+    out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
+    out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
+    out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+def develop_post_geo_fused(
+    planes: jax.Array,
+    params: DevelopParams,
+    masks: jax.Array,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+) -> jax.Array:
+    """Fused-kernel version of ops.develop.develop_post_geo.
+
+    Same signature and semantics (to curve-evaluation tolerance): planes
+    f32 [3, H, W] post-geometry linear image, masks f32 [M, H, W],
+    returns sRGB-encoded f32 [3, H, W] in [0, 1].
+    """
+    _, h, w = planes.shape
+    m = masks.shape[0]
+    s = params.breaks.shape[-1]
+
+    tile_h = min(tile_h, max(8, h))
+    tile_w = min(tile_w, max(128, w))
+
+    # Host-side (traced, tiny) packing of curve data into SMEM-friendly 2D
+    # telescoped-delta form.
+    knots = params.breaks.reshape(m * 4, s)
+    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
+    coeffs = params.coeffs.reshape(m * 4, s, 4)
+    # First "delta" is the base segment-0 coefficient itself (the telescoped
+    # sum starts from it), so prepend zeros, not the first row.
+    dcoeffs = jnp.diff(
+        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
+    ).reshape(m * 4, s * 4)
+    vig = params.vignette.reshape(1, 1)
+
+    kernel = functools.partial(
+        _develop_kernel,
+        num_masks=m,
+        num_seg=s,
+        full_h=h,
+        full_w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+    )
+
+    grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                      memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem((1, 1)),
+            smem((m, 3)),
+            smem((m, 6)),
+            smem((m * 4, s)),
+            smem((m * 4, s)),
+            smem((m * 4, s * 4)),
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        interpret=_interpret(),
+    )(vig, params.gains, params.tone, knots, dknots, dcoeffs, planes, masks)

@@ -1,0 +1,156 @@
+"""Geometric stages: lens-distortion resampling and bilinear resize.
+
+Contracts:
+* lens distortion — wgpu_shader.wgsl:109-164 (barrel/pincushion warp with
+  bilinear sampling, out-of-range pixels become black).
+* bilinear long-edge resize — the preview-pyramid builder,
+  web/main.ts:958-1026 (half-texel-centered sampling, edge clamped).
+
+Both are gather stages: on TPU the warp compiles to an XLA gather. They run
+once per geometry-parameter change, not per slider move, and the editor's
+dirty-stage cache keeps their outputs resident on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(plane, y0, y1, x0, x1, ty, tx):
+    """Sample one plane at the four integer corners and lerp."""
+    c00 = plane[y0, x0]
+    c10 = plane[y0, x1]
+    c01 = plane[y1, x0]
+    c11 = plane[y1, x1]
+    cx0 = c00 * (1.0 - tx) + c10 * tx
+    cx1 = c01 * (1.0 - tx) + c11 * tx
+    return cx0 * (1.0 - ty) + cx1 * ty
+
+
+def lens_distortion(r, g, b, distortion):
+    """Radial lens-distortion resample of full planes.
+
+    Contract: wgpu_shader.wgsl:109-164. ``distortion`` is the raw slider
+    value (-100..100) as a traced f32 scalar; strength = -0.5 * d / 100.
+    When the strength is zero the gather branch is skipped at runtime via
+    lax.cond (matching the shader's early return, wgsl:118-120).
+    """
+    h, w = r.shape
+    strength = -0.5 * (distortion / 100.0)
+
+    def identity(planes):
+        return planes
+
+    def warp(planes):
+        rr, gg, bb = planes
+        wf = jnp.float32(w)
+        hf = jnp.float32(h)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        u = xs.astype(jnp.float32) / wf
+        v = ys.astype(jnp.float32) / hf
+        cu = u - 0.5
+        cv = v - 0.5
+        aspect = wf / hf
+        cu = cu * aspect
+        r2 = cu * cu + cv * cv
+        denom = 1.0 + strength * r2
+        du = cu / denom
+        dv = cv / denom
+        fu = du / aspect + 0.5
+        fv = dv + 0.5
+        oob = (fu < 0.0) | (fu > 1.0) | (fv < 0.0) | (fv > 1.0)
+
+        px = fu * (wf - 1.0)
+        py = fv * (hf - 1.0)
+        x0f = jnp.floor(px)
+        y0f = jnp.floor(py)
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        tx = px - x0f
+        ty = py - y0f
+
+        out = tuple(
+            jnp.where(oob, 0.0, _bilinear_gather(p, y0, y1, x0, x1, ty, tx))
+            for p in (rr, gg, bb)
+        )
+        return out
+
+    return jax.lax.cond(strength == 0.0, identity, warp, (r, g, b))
+
+
+def resize_long_edge_shape(h: int, w: int, target_long_edge: int) -> tuple[int, int]:
+    """Destination shape of the long-edge resize (web/main.ts:968-977).
+
+    Uses round-half-away-from-zero on the short edge like JS Math.round
+    (floor(x + 0.5) for positive x).
+    """
+    if w >= h:
+        dw = target_long_edge
+        dh = int(h * (target_long_edge / w) + 0.5)
+    else:
+        dh = target_long_edge
+        dw = int(w * (target_long_edge / h) + 0.5)
+    return max(dh, 1), max(dw, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear(planes, dh: int, dw: int):
+    """Half-texel-centered bilinear resize of stacked planes [C, H, W].
+
+    Contract: the CPU pyramid resizer web/main.ts:984-1019 — source
+    coordinate s = (d + 0.5) * scale - 0.5, floor clamped at 0, +1 neighbor
+    clamped at the edge.
+    """
+    c, h, w = planes.shape
+    scale_y = h / dh
+    scale_x = w / dw
+    sy = (jnp.arange(dh, dtype=jnp.float32) + 0.5) * scale_y - 0.5
+    sx = (jnp.arange(dw, dtype=jnp.float32) + 0.5) * scale_x - 0.5
+    y0 = jnp.maximum(jnp.floor(sy), 0.0).astype(jnp.int32)
+    x0 = jnp.maximum(jnp.floor(sx), 0.0).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ty = (sy - y0.astype(jnp.float32))[None, :, None]
+    tx = (sx - x0.astype(jnp.float32))[None, None, :]
+
+    rows0 = planes[:, y0, :]
+    rows1 = planes[:, y1, :]
+    c00 = rows0[:, :, x0]
+    c10 = rows0[:, :, x1]
+    c01 = rows1[:, :, x0]
+    c11 = rows1[:, :, x1]
+    cx0 = c00 * (1.0 - tx) + c10 * tx
+    cx1 = c01 * (1.0 - tx) + c11 * tx
+    return cx0 * (1.0 - ty) + cx1 * ty
+
+
+def orient_exif(planes, orientation: int):
+    """Apply an EXIF orientation (1..8) to [C, H, W] planes.
+
+    Semantics per the reference's manual orientation handling
+    (rust-godot-legacy/photo-editor/src/image.rs:559-608): the stored image
+    is transformed so it displays upright.
+    """
+    if orientation in (0, 1):
+        return planes
+    if orientation == 2:  # mirror horizontal
+        return planes[:, :, ::-1]
+    if orientation == 3:  # rotate 180
+        return planes[:, ::-1, ::-1]
+    if orientation == 4:  # mirror vertical
+        return planes[:, ::-1, :]
+    if orientation == 5:  # mirror horizontal + rotate 270 CW
+        return jnp.transpose(planes, (0, 2, 1))
+    if orientation == 6:  # rotate 90 CW
+        return jnp.transpose(planes[:, ::-1, :], (0, 2, 1))
+    if orientation == 7:  # mirror horizontal + rotate 90 CW
+        return jnp.transpose(planes[:, ::-1, ::-1], (0, 2, 1))
+    if orientation == 8:  # rotate 270 CW
+        return jnp.transpose(planes[:, :, ::-1], (0, 2, 1))
+    raise ValueError(f"invalid EXIF orientation {orientation}")

@@ -1,0 +1,124 @@
+"""Device-mesh parallelism: batch-sharded export and spatially-sharded develop.
+
+The reference is strictly single-GPU (SURVEY.md §2.6) — its only parallelism
+is SIMT threads inside one kernel dispatch. The TPU-native equivalents here:
+
+* ``make_mesh`` — a 2-D ('batch', 'sp') mesh over ICI.
+* ``batch_develop_sharded`` — the 256-image export config: images sharded
+  over 'batch', develop vmapped per shard; zero communication.
+* ``develop_spatial_sharded`` — one huge image sharded over rows ('sp');
+  the develop stack is pointwise so XLA partitions it with no collectives
+  (vignette uses positionally-correct global iota under SPMD).
+* ``histogram_sharded`` — per-shard partial 256-bin histograms combined
+  with an explicit psum over the mesh (shard_map), the TPU analog of the
+  reference's CPU cv2.calcHist (raw_photo_forge.py:1849-1862).
+* ``full_step`` — develop + histogram + clip stats in one jitted program
+  over the mesh; the "training step" equivalent used by the multichip
+  dry-run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.params import DevelopParams
+from ..ops import develop as dev
+from ..ops.stats import NUM_BINS
+
+
+def make_mesh(n_batch: int | None = None, n_spatial: int = 1, devices=None) -> Mesh:
+    """Build a ('batch', 'sp') mesh. Defaults to all devices on 'batch'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_batch is None:
+        n_batch = devices.size // n_spatial
+    devices = devices[: n_batch * n_spatial].reshape(n_batch, n_spatial)
+    return Mesh(devices, axis_names=("batch", "sp"))
+
+
+def batch_develop_sharded(
+    imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Data-parallel batch develop: imgs [N, 3, H, W] sharded over 'batch'.
+
+    Parameters and masks are replicated (broadcast once, reused every
+    frame — unlike the reference's per-call re-upload,
+    gpu_image_processing.rs:250-307).
+    """
+    img_sharding = NamedSharding(mesh, P("batch", None, None, None))
+    repl = NamedSharding(mesh, P())
+    imgs = jax.lax.with_sharding_constraint(imgs, img_sharding)
+    params = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, repl), params)
+    masks = jax.lax.with_sharding_constraint(masks, repl)
+    return dev.develop_batch(imgs, params, masks)
+
+
+def develop_spatial_sharded(
+    planes: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """Single-image develop with rows sharded over the 'sp' axis.
+
+    The post-geometry stack is pointwise, so the XLA partitioner runs it
+    with zero collectives; only the (optional) lens-distortion gather would
+    need cross-shard reads, so the geometry stage runs under its own
+    (replicated) sharding first.
+    """
+    row_sharding = NamedSharding(mesh, P(None, "sp", None))
+    geo = dev.geometry_stage(planes, params.distortion)
+    geo = jax.lax.with_sharding_constraint(geo, row_sharding)
+    masks = jax.lax.with_sharding_constraint(
+        masks, NamedSharding(mesh, P(None, "sp", None))
+    )
+    out = dev.develop_post_geo(geo, params, masks)
+    return jax.lax.with_sharding_constraint(out, row_sharding)
+
+
+def histogram_sharded(srgb_planes: jax.Array, mesh: Mesh) -> jax.Array:
+    """[3, H, W] sRGB planes (row-sharded over 'sp') -> replicated [4, 256]
+    histogram via per-shard partials + explicit psum over the mesh."""
+
+    def partial_hist(local: jax.Array) -> jax.Array:
+        r, g, b = local[0], local[1], local[2]
+        gray = 0.299 * r + 0.587 * g + 0.114 * b
+        bins = jnp.arange(NUM_BINS, dtype=jnp.int32)
+
+        def h(v):
+            idx = jnp.clip((v * 255.0).astype(jnp.int32), 0, 255).reshape(-1)
+            return jnp.sum(idx[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
+
+        local_hist = jnp.stack([h(r), h(g), h(b), h(gray)])
+        # Rows are split over 'sp' only; the image is replicated over
+        # 'batch', so the reduction rides the 'sp' ICI ring.
+        return jax.lax.psum(local_hist, axis_name="sp")
+
+    return shard_map(
+        partial_hist,
+        mesh=mesh,
+        in_specs=P(None, "sp", None),
+        out_specs=P(),
+    )(srgb_planes)
+
+
+def full_step(
+    planes: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh
+):
+    """One full interactive-frame step over the mesh: spatially-sharded
+    develop of a single image + cross-shard histogram + clip fractions.
+    This is the program the multichip dry-run jit-compiles."""
+    srgb = develop_spatial_sharded(planes, params, masks, mesh)
+    hist = histogram_sharded(srgb, mesh)
+    hi_clip = jnp.mean((srgb >= 1.0 - 0.5 / 255.0).astype(jnp.float32))
+    return srgb, hist, hi_clip
+
+
+def export_batch_step(
+    imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh
+):
+    """Batch export step: sharded develop + per-image u8 quantization."""
+    srgb = batch_develop_sharded(imgs, params, masks, mesh)
+    return dev.encode_u8(srgb)

@@ -1,0 +1,196 @@
+"""PhotoEditor session tests: pyramid, masks, presets, caching, histogram."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.core.params import BRIGHTNESS, SATURATION
+from rawphotoforge_tpu.engine.editor import PhotoEditor, MaskNotFound, FULL, MID, LOW
+from rawphotoforge_tpu.io import image_io
+
+from conftest import random_linear_image
+
+
+def make_editor(rng, h=40, w=64, **kw):
+    img = random_linear_image(rng, h, w)
+    kw.setdefault("use_pallas", False)  # jnp path: fast for small CPU tests
+    kw.setdefault("mid_long_edge", 32)
+    kw.setdefault("low_long_edge", 16)
+    return PhotoEditor.from_rgb_f32(img, **kw)
+
+
+def test_pyramid_shapes(rng):
+    ed = make_editor(rng, h=40, w=64)
+    assert ed.shape == (40, 64)
+    assert ed.level_shape(MID) == (20, 32)
+    assert ed.level_shape(LOW) == (10, 16)
+
+
+def test_apply_default_near_input(rng):
+    ed = make_editor(rng)
+    out = ed.get_srgb_f32(FULL)
+    assert out.shape == (40, 64, 3)
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_render_cache_and_invalidation(rng):
+    ed = make_editor(rng)
+    a = ed.apply(LOW)
+    b = ed.apply(LOW)
+    assert a is b  # cached object, no recompute
+    ed.set_tone(exposure=1.0)
+    c = ed.apply(LOW)
+    assert c is not b
+    assert not np.allclose(np.asarray(c), np.asarray(b))
+
+
+def test_edit_changes_output_monotonically(rng):
+    ed = make_editor(rng)
+    base = np.asarray(ed.apply(MID))
+    ed.set_tone(exposure=2.0)
+    brighter = np.asarray(ed.apply(MID))
+    assert brighter.mean() > base.mean()
+
+
+def test_mask_lifecycle(rng):
+    ed = make_editor(rng)
+    h, w = ed.shape
+    data = np.zeros((h, w), dtype=np.float32)
+    data[: h // 2] = 1.0
+    # Reference semantics: binarization is v >= mask_range (lib.rs:485), so
+    # with the default mask_range of 0.0 even zero pixels pass — set a real
+    # threshold first, as the UI does.
+    ed.set_mask_range(0.5)
+    ed.add_mask("sky", data)
+    assert ed.mask_names() == ["main", "sky"]
+
+    base = np.asarray(ed.apply(FULL))
+    ed.set_tone(exposure=2.0, mask_name="sky")
+    out = np.asarray(ed.apply(FULL))
+    top = out[:, : h // 2 - 1, :]
+    bottom_diff = np.abs(out[:, h // 2 + 1 :, :] - base[:, h // 2 + 1 :, :])
+    # Bottom (unmasked) unchanged; top brightened.
+    assert bottom_diff.max() < 1e-6
+    assert top.mean() > base[:, : h // 2 - 1, :].mean()
+
+    ed.remove_mask("sky")
+    assert ed.mask_names() == ["main"]
+    ed.remove_mask("main")  # no-op
+    assert ed.mask_names() == ["main"]
+
+
+def test_mask_threshold_binarization(rng):
+    ed = make_editor(rng)
+    h, w = ed.shape
+    ed.set_mask_range(0.5)
+    grad = np.linspace(0, 1, h * w, dtype=np.float32).reshape(h, w)
+    ed.add_mask("m", grad)
+    stack = ed._masks_at(FULL)
+    m = np.asarray(stack[1])
+    np.testing.assert_array_equal(np.unique(m), [0.0, 1.0])
+    np.testing.assert_array_equal(m, (grad >= 0.5).astype(np.float32))
+
+
+def test_mask_invert(rng):
+    ed = make_editor(rng)
+    h, w = ed.shape
+    data = np.zeros((h, w), dtype=np.float32)
+    data[:, : w // 2] = 1.0
+    ed.add_mask("m", data)
+    before = np.asarray(ed._find("m").data_full)
+    ed.invert_mask("m")
+    after = np.asarray(ed._find("m").data_full)
+    np.testing.assert_array_equal(after, 1.0 - before)
+
+
+def test_missing_mask_raises(rng):
+    ed = make_editor(rng)
+    with pytest.raises(MaskNotFound):
+        ed.set_tone(exposure=1.0, mask_name="nope")
+
+
+def test_reset(rng):
+    img = random_linear_image(rng, 40, 64)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    fresh = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed.add_mask("m", np.ones(ed.shape, dtype=np.float32))
+    ed.set_tone(exposure=3.0)
+    ed.reset()
+    assert ed.mask_names() == ["main"]
+    np.testing.assert_allclose(
+        np.asarray(ed.apply(FULL)), np.asarray(fresh.apply(FULL)), atol=1e-6
+    )
+
+
+def test_preset_roundtrip(rng):
+    img = random_linear_image(rng, 40, 64)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed.set_tone(exposure=1.25, contrast=40, shadow=-10)
+    ed.set_whitebalance(temperature=25, tint=-15)
+    ed.set_vignette(30)
+    ed.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 40000, 65535])
+    ed.set_curve(SATURATION, [0, 65535], [40000, 40000])
+    rendered = np.asarray(ed.apply(FULL))
+
+    blob = ed.preset_json()
+    ed2 = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed2.load_preset_json(blob)
+    p = ed2.params()
+    assert p.exposure == 1.25 and p.contrast == 40 and p.shadow == -10
+    assert p.wb_temperature == 25 and p.vignette == 30
+    np.testing.assert_allclose(np.asarray(ed2.apply(FULL)), rendered, atol=1e-6)
+
+
+def test_geo_cache_reused_across_edits(rng):
+    ed = make_editor(rng)
+    ed.set_lens_distortion(50)
+    ed.apply(MID)
+    geo1 = ed._geo_cache[MID][1]
+    ed.set_tone(exposure=0.5)  # non-geometry edit
+    ed.apply(MID)
+    assert ed._geo_cache[MID][1] is geo1
+    ed.set_lens_distortion(60)
+    ed.apply(MID)
+    assert ed._geo_cache[MID][1] is not geo1
+
+
+def test_histogram_shape_and_mass(rng):
+    ed = make_editor(rng)
+    hist = ed.histogram(MID)
+    assert hist.shape == (4, 256)
+    h, w = ed.level_shape(MID)
+    np.testing.assert_array_equal(hist.sum(axis=1), [h * w] * 4)
+
+
+def test_clipping_stats(rng):
+    ed = make_editor(rng)
+    ed.set_tone(exposure=6.0)
+    clip = ed.clipping(MID)
+    assert clip["highlight_clip_fraction"] > 0.5
+
+
+def test_save_and_open(rng, tmp_path):
+    ed = make_editor(rng)
+    ed.set_tone(exposure=0.5)
+    p = tmp_path / "out.png"
+    ed.save(str(p))
+    ed2 = PhotoEditor.open(str(p), mid_long_edge=32, low_long_edge=16, use_pallas=False)
+    assert ed2.shape == ed.shape
+    # Decode(encode(srgb)) -> linear; re-encoding the new original should
+    # give back the same u8s (u8 -> EOTF -> OETF -> u8 is lossless).
+    re_encoded = image_io.linear_planes_to_srgb_u8(ed2._originals[FULL])
+    original_u8 = (np.asarray(ed.apply(FULL)).transpose(1, 2, 0) * 255).astype(np.uint8)
+    assert np.abs(re_encoded.astype(int) - original_u8.astype(int)).max() <= 1
+
+
+def test_pallas_editor_matches_jnp_editor(rng):
+    img = random_linear_image(rng, 32, 48)
+    ed_a = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed_b = PhotoEditor.from_rgb_f32(img, use_pallas=True, mid_long_edge=32, low_long_edge=16)
+    for ed in (ed_a, ed_b):
+        ed.set_tone(exposure=0.8, contrast=20)
+        ed.set_whitebalance(temperature=30)
+    a = np.asarray(ed_a.apply(FULL))
+    b = np.asarray(ed_b.apply(FULL))
+    assert np.abs(a - b).max() < 5e-3
+    assert (np.abs(a - b) > 1e-4).mean() < 2e-3

@@ -1,0 +1,133 @@
+"""Image I/O tests: containers, linearization, PPM16, EXIF, orientation."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image as PILImage
+
+from rawphotoforge_tpu.io import image_io
+from rawphotoforge_tpu.io.exif import parse_exif
+from rawphotoforge_tpu.ops.geometry import orient_exif, resize_bilinear, resize_long_edge_shape
+
+import oracle
+
+
+def _png_bytes(u8_hwc):
+    buf = io.BytesIO()
+    PILImage.fromarray(u8_hwc, mode="RGB").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_png_decode_linearizes(rng):
+    u8 = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    planes, _ = image_io.decode_image(_png_bytes(u8), "PNG")
+    assert planes.shape == (3, 20, 30)
+    expected = oracle.srgb_to_linear(u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(
+        np.asarray(planes).transpose(1, 2, 0), expected, atol=1e-6
+    )
+
+
+def test_png_roundtrip(rng):
+    srgb = rng.random((16, 24, 3)).astype(np.float32)
+    data = image_io.encode_image(jnp.asarray(srgb.transpose(2, 0, 1)), "PNG")
+    img = PILImage.open(io.BytesIO(data))
+    back = np.asarray(img)
+    np.testing.assert_array_equal(back, (np.clip(srgb, 0, 1) * 255).astype(np.uint8))
+
+
+def test_jpeg_roundtrip_close(rng, tmp_path):
+    # Smooth gradient: JPEG chroma subsampling destroys per-pixel noise.
+    yy, xx = np.mgrid[0:16, 0:24].astype(np.float32)
+    srgb = np.stack([yy / 16, xx / 24, (yy + xx) / 40], axis=-1).astype(np.float32)
+    p = tmp_path / "out.jpg"
+    image_io.write_image(str(p), jnp.asarray(srgb.transpose(2, 0, 1)), quality=95)
+    planes, _ = image_io.read_image(str(p))
+    enc = np.asarray(image_io.linear_planes_to_srgb_u8(planes)) / 255.0
+    assert np.abs(enc - np.clip(srgb, 0, 1)).mean() < 0.02
+
+
+def test_ppm16_roundtrip(rng):
+    hwc = rng.random((12, 17, 3)).astype(np.float32)
+    data = image_io.encode_ppm16(hwc)
+    back = image_io.decode_ppm16(data)
+    np.testing.assert_allclose(back, np.round(hwc * 65535) / 65535, atol=1e-4)
+
+
+def test_ppm16_is_linear_passthrough(rng):
+    """PPM16 input is treated as already-linear (web-ts image.ts:146-195
+    divides by 65535 with no EOTF)."""
+    hwc = rng.random((8, 9, 3)).astype(np.float32)
+    planes, exif = image_io.decode_image(image_io.encode_ppm16(hwc), "PPM16")
+    assert exif == {}
+    np.testing.assert_allclose(
+        np.asarray(planes).transpose(1, 2, 0), hwc, atol=1e-4
+    )
+
+
+def test_ppm16_rejects_8bit():
+    with pytest.raises(image_io.ImageIOError):
+        image_io.decode_ppm16(b"P6\n4 4\n255\n" + b"\x00" * 48)
+
+
+def test_unknown_extension():
+    with pytest.raises(image_io.ImageIOError):
+        image_io.format_for_path("foo.xyz")
+
+
+def test_exif_parse():
+    img = PILImage.new("RGB", (4, 4))
+    ex = img.getexif()
+    from PIL.ExifTags import Base
+
+    ex[Base.Make] = "TestMake"
+    ex[Base.Model] = "TestModel"
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", exif=ex)
+    parsed = parse_exif(PILImage.open(io.BytesIO(buf.getvalue())))
+    assert parsed["Make"] == "TestMake"
+    assert parsed["Model"] == "TestModel"
+
+
+def test_orientation_transforms():
+    planes = jnp.asarray(np.arange(24, dtype=np.float32).reshape(1, 4, 6))
+    # Orientation 3 = rotate 180.
+    out = np.asarray(orient_exif(planes, 3))
+    np.testing.assert_array_equal(out[0], np.asarray(planes)[0][::-1, ::-1])
+    # Orientation 6 (rotate 90 CW): top-left ends up at top-right.
+    out6 = np.asarray(orient_exif(planes, 6))
+    assert out6.shape == (1, 6, 4)
+    assert out6[0, 0, -1] == np.asarray(planes)[0, 0, 0]
+
+
+def test_resize_matches_reference_semantics(rng):
+    """Bilinear long-edge resize must reproduce the TS pyramid resizer
+    (web/main.ts:958-1026): half-texel centers, edge clamp, Math.round of
+    the short edge."""
+    src = rng.random((10, 20, 3)).astype(np.float32)
+    dh, dw = resize_long_edge_shape(10, 20, 7)
+    assert (dh, dw) == (4, 7)  # round(10 * 7/20) = round(3.5) = 4
+
+    out = np.asarray(resize_bilinear(jnp.asarray(src.transpose(2, 0, 1)), dh, dw))
+
+    # Reference loop, transcribed independently.
+    expected = np.zeros((dh, dw, 3), dtype=np.float32)
+    sy_scale, sx_scale = 10 / dh, 20 / dw
+    for y in range(dh):
+        sy = (y + 0.5) * sy_scale - 0.5
+        y0 = max(int(np.floor(sy)), 0)
+        y1 = min(y0 + 1, 9)
+        ty = sy - y0
+        for x in range(dw):
+            sx = (x + 0.5) * sx_scale - 0.5
+            x0 = max(int(np.floor(sx)), 0)
+            x1 = min(x0 + 1, 19)
+            tx = sx - x0
+            c00, c10 = src[y0, x0], src[y0, x1]
+            c01, c11 = src[y1, x0], src[y1, x1]
+            expected[y, x] = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
+                c01 * (1 - tx) + c11 * tx
+            ) * ty
+    np.testing.assert_allclose(out.transpose(1, 2, 0), expected, atol=1e-6)

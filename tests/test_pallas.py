@@ -1,0 +1,99 @@
+"""Fused Pallas kernel vs the exact-LUT jnp anchor path.
+
+Runs in Pallas interpret mode on CPU (the 'fake backend' of SURVEY.md §4c);
+the same kernel compiles with Mosaic on real TPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.core.params import (
+    BRIGHTNESS, HUE, SATURATION, LIGHTNESS, EditParameters, pack_params,
+)
+from rawphotoforge_tpu.kernels import fused
+from rawphotoforge_tpu.ops import develop as dev
+
+from conftest import random_linear_image
+from test_develop import assert_close
+
+
+def _run_both(rng, param_list, masks=None, h=48, w=160, tile=(16, 128)):
+    img = random_linear_image(rng, h, w)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    if masks is None:
+        masks = np.ones((len(param_list), h, w), dtype=np.float32)
+    masks = jnp.asarray(masks)
+    packed = pack_params(param_list)
+    anchor = np.asarray(dev.develop_post_geo_jit(planes, packed, masks))
+    kern = np.asarray(
+        fused.develop_post_geo_fused(planes, packed, masks, tile_h=tile[0], tile_w=tile[1])
+    )
+    return kern.transpose(1, 2, 0), anchor.transpose(1, 2, 0)
+
+
+def test_defaults_match(rng):
+    kern, anchor = _run_both(rng, [EditParameters()])
+    assert_close(kern, anchor)
+
+
+def test_full_stack_match(rng):
+    p = EditParameters()
+    p.set_tone(exposure=0.9, contrast=30, shadow=25, highlight=-15, black=8, white=-6)
+    p.set_whitebalance(temperature=40, tint=-20)
+    p.set_vignette(55)
+    p.set_curve(BRIGHTNESS, [0, 20000, 45000, 65535], [2000, 28000, 43000, 65535])
+    p.set_curve(HUE, [0, 30000, 65535], [8000, 35000, 62000])
+    p.set_curve(SATURATION, [0, 40000, 65535], [36000, 28000, 36000])
+    p.set_curve(LIGHTNESS, [0, 65535], [30000, 36000])
+    kern, anchor = _run_both(rng, [p])
+    assert_close(kern, anchor)
+
+
+def test_multi_mask_match(rng):
+    h, w = 48, 160
+    main = EditParameters()
+    main.set_tone(exposure=0.4)
+    reg = EditParameters()
+    reg.set_tone(contrast=50)
+    reg.set_curve(SATURATION, [0, 65535], [45000, 45000])
+    masks = np.zeros((2, h, w), dtype=np.float32)
+    masks[0] = 1.0
+    masks[1, 8:30, 20:100] = 1.0
+    kern, anchor = _run_both(rng, [main, reg], masks=masks, h=h, w=w)
+    assert_close(kern, anchor)
+
+
+def test_non_divisible_tiles(rng):
+    """Image dims not multiples of the tile: edge tiles must still write the
+    correct region."""
+    p = EditParameters()
+    p.set_tone(exposure=1.2, contrast=-20)
+    p.set_vignette(-45)
+    kern, anchor = _run_both(rng, [p], h=37, w=150, tile=(16, 128))
+    assert_close(kern, anchor)
+
+
+def test_vignette_tile_offsets(rng):
+    """Vignette depends on absolute pixel coordinates — verify tiling does
+    not reset them per tile."""
+    p = EditParameters()
+    p.set_vignette(90)
+    kern, anchor = _run_both(rng, [p], h=64, w=256, tile=(16, 128))
+    assert_close(kern, anchor)
+
+
+@pytest.mark.parametrize("steep", [True, False])
+def test_brightness_curve_staircase(rng, steep):
+    p = EditParameters()
+    if steep:
+        p.set_curve(BRIGHTNESS, [0, 8000, 12000, 65535], [0, 2000, 60000, 65535])
+    else:
+        p.set_curve(BRIGHTNESS, [0, 65535], [20000, 40000])
+    kern, anchor = _run_both(rng, [p])
+    # Steep segments amplify the Hermite-vs-monomial f32 reassociation into
+    # more one-index flips; allow larger outlier bounds there.
+    if steep:
+        assert_close(kern, anchor, loose=2e-2, frac=2e-2)
+    else:
+        assert_close(kern, anchor)
