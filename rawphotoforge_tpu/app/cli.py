@@ -48,6 +48,7 @@ def _add_edit_flags(p: argparse.ArgumentParser):
     p.add_argument("--wb-tint", type=int, default=0)
     p.add_argument("--vignette", type=int, default=0)
     p.add_argument("--lens-distortion", type=int, default=0)
+    p.add_argument("--sharpness", type=int, default=0)
     p.add_argument("--brightness-curve", type=str, default=None,
                    help='control points "x:y,x:y,..." in [0,65535]')
     p.add_argument("--hue-curve", type=str, default=None)
@@ -72,6 +73,7 @@ def _apply_edit_flags(ed: PhotoEditor, args):
     ed.set_whitebalance(args.wb_temperature, args.wb_tint)
     ed.set_vignette(args.vignette)
     ed.set_lens_distortion(args.lens_distortion)
+    ed.set_sharpness(args.sharpness)
     for slot, spec in (
         (BRIGHTNESS, args.brightness_curve),
         (HUE, args.hue_curve),

@@ -135,6 +135,7 @@ class EditParameters:
     wb_tint: int = 0
     vignette: int = 0
     lens_distortion: int = 0
+    sharpness: int = 0  # main-only unsharp amount, 0..100 (north-star stack)
     mask_range: float = 0.0
     curves: list = dataclasses.field(
         default_factory=lambda: [CurveState() for _ in range(4)]
@@ -158,6 +159,9 @@ class EditParameters:
 
     def set_lens_distortion(self, value=0):
         self.lens_distortion = int(np.clip(value, -100, 100))
+
+    def set_sharpness(self, value=0):
+        self.sharpness = int(np.clip(value, 0, 100))
 
     def set_curve(self, slot: int, control_x=None, control_y=None, raw_lut=None):
         """Set one of the four curves; mirrors set_*_curve (lib.rs:300-479)."""
@@ -201,6 +205,7 @@ class EditParameters:
             "wb_tint": self.wb_tint,
             "vignette": self.vignette,
             "lens_distortion": self.lens_distortion,
+            "sharpness": self.sharpness,
             "mask_range": self.mask_range,
             "curves": {
                 CURVE_NAMES[i]: self.curves[i].to_json() for i in range(4)
@@ -218,6 +223,7 @@ class EditParameters:
         p.set_whitebalance(d.get("wb_temperature", 0), d.get("wb_tint", 0))
         p.set_vignette(d.get("vignette", 0))
         p.set_lens_distortion(d.get("lens_distortion", 0))
+        p.set_sharpness(d.get("sharpness", 0))
         p.mask_range = float(d.get("mask_range", 0.0))
         cd = d.get("curves", {})
         p.curves = [CurveState.from_json(cd.get(CURVE_NAMES[i])) for i in range(4)]

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..core.params import EditParameters, pack_params
 from ..ops import develop as dev
 from ..ops.geometry import resize_bilinear, resize_long_edge_shape
+from ..ops.sharpen import unsharp_mask
 from ..ops.stats import histogram_rgbl, clipping_stats
 from ..io import image_io
 
@@ -184,6 +185,10 @@ class PhotoEditor:
         self._find(None).params.set_lens_distortion(value)
         self._edited()
 
+    def set_sharpness(self, value=0):
+        self._find(None).params.set_sharpness(value)
+        self._edited()
+
     def set_mask_range(self, value: float):
         self._find(None).params.mask_range = float(value)
         self._edited()
@@ -229,15 +234,18 @@ class PhotoEditor:
         return self._mask_stack[level]
 
     def _geo_at(self, level: str) -> jax.Array:
-        """Lens-distortion stage output, cached per (level, distortion)."""
-        d = float(self._find("main").params.lens_distortion)
+        """Geometry + sharpen stage output, cached per
+        (level, distortion, sharpness). The unsharp amount is traced, so
+        changing the slider re-runs the stage without recompiling."""
+        main = self._find("main").params
+        key = (float(main.lens_distortion), float(main.sharpness))
         cached = self._geo_cache.get(level)
-        if cached is not None and cached[0] == d:
+        if cached is not None and cached[0] == key:
             return cached[1]
-        out = dev.geometry_stage_jit(
-            self._originals[level], jnp.float32(d)
-        )
-        self._geo_cache[level] = (d, out)
+        out = dev.geometry_stage_jit(self._originals[level], jnp.float32(key[0]))
+        if key[1] != 0.0:
+            out = unsharp_mask(out, jnp.float32(key[1] / 100.0 * 2.0))
+        self._geo_cache[level] = (key, out)
         return out
 
     # -- rendering ----------------------------------------------------------

@@ -1,0 +1,352 @@
+"""Minimal DNG (TIFF-EP) RAW container: reader + writer.
+
+Replaces the reference's rawler/rawpy dependency for the RAW ingestion layer
+(rust-godot-legacy/photo-editor/src/image.rs:509-557 decodes 29 formats via
+rawler; python-legacy editor.py:169-181 via rawpy). This implementation
+covers the DNG subset the framework owns natively in round 1:
+
+* classic TIFF structure (II/MM byte order, IFD chains, SubIFDs)
+* uncompressed (Compression=1) CFA strips, 8/12/14/16 bits per sample
+* the color tags needed for develop: CFAPattern, BlackLevel, WhiteLevel,
+  AsShotNeutral, ColorMatrix1, Orientation, plus basic EXIF rationals
+
+plus a writer that emits a valid uncompressed 16-bit CFA DNG — used for
+tests and for re-exporting mosaics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Optional
+
+import numpy as np
+
+# TIFF tag ids.
+T_NEW_SUBFILE_TYPE = 254
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITS_PER_SAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_MAKE = 271
+T_MODEL = 272
+T_STRIP_OFFSETS = 273
+T_ORIENTATION = 274
+T_SAMPLES_PER_PIXEL = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTE_COUNTS = 279
+T_SUB_IFDS = 330
+T_CFA_REPEAT_DIM = 33421
+T_CFA_PATTERN = 33422
+T_EXPOSURE_TIME = 33434
+T_F_NUMBER = 33437
+T_ISO = 34855
+T_DNG_VERSION = 50706
+T_BLACK_LEVEL = 50714
+T_WHITE_LEVEL = 50717
+T_COLOR_MATRIX_1 = 50721
+T_AS_SHOT_NEUTRAL = 50728
+
+PHOTOMETRIC_CFA = 32803
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+class DngError(ValueError):
+    """Unsupported or malformed RAW container."""
+
+
+@dataclasses.dataclass
+class RawImage:
+    """Decoded CFA RAW: everything develop_raw needs (SURVEY.md §7.2 step 4)."""
+
+    mosaic: np.ndarray            # u16 [H, W] raw CFA values
+    pattern: str                  # "RGGB" | "BGGR" | "GRBG" | "GBRG"
+    black_level: float
+    white_level: float
+    wb_gains: tuple               # (r, g, b) camera WB multipliers, g == 1
+    xyz_to_cam: Optional[np.ndarray]  # 3x3 ColorMatrix1, None if absent
+    orientation: int = 1
+    exif: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def shape(self):
+        return self.mosaic.shape
+
+
+def _read_ifd(data: bytes, off: int, bo: str) -> tuple[dict, int]:
+    (count,) = struct.unpack_from(bo + "H", data, off)
+    entries = {}
+    for i in range(count):
+        tag, typ, n = struct.unpack_from(bo + "HHI", data, off + 2 + i * 12)
+        val_off = off + 2 + i * 12 + 8
+        size = _TYPE_SIZES.get(typ, 1) * n
+        if size > 4:
+            (val_off,) = struct.unpack_from(bo + "I", data, val_off)
+        entries[tag] = (typ, n, val_off)
+    (next_off,) = struct.unpack_from(bo + "I", data, off + 2 + count * 12)
+    return entries, next_off
+
+
+def _value(data: bytes, entry, bo: str):
+    typ, n, off = entry
+    if typ == 2:  # ASCII
+        raw = data[off : off + n]
+        return raw.split(b"\x00")[0].decode("ascii", "replace")
+    if typ in (5, 10):  # rational
+        fmt = "II" if typ == 5 else "ii"
+        vals = []
+        for i in range(n):
+            num, den = struct.unpack_from(bo + fmt, data, off + 8 * i)
+            vals.append(num / den if den else 0.0)
+        return vals if n > 1 else vals[0]
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return data[off : off + n]
+    vals = list(struct.unpack_from(bo + str(n) + fmt, data, off))
+    return vals if n > 1 else vals[0]
+
+
+def _unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
+    """Unpack big-endian bit-packed samples (12/14-bit DNG strips)."""
+    u = np.unpackbits(packed)
+    u = u[: count * bits].reshape(count, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+    return (u.astype(np.uint32) * weights).sum(axis=1).astype(np.uint16)
+
+
+def read_dng(data: bytes) -> RawImage:
+    """Parse DNG/TIFF bytes into a RawImage."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise DngError("not a TIFF container")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic != 42:
+        raise DngError("bad TIFF magic")
+    (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
+
+    # Walk IFD0 + SubIFDs; pick the CFA IFD (PhotometricInterpretation 32803),
+    # falling back to the largest strip-bearing IFD.
+    ifds = []
+    entries, next_off = _read_ifd(data, ifd0_off, bo)
+    ifds.append(entries)
+    if T_SUB_IFDS in entries:
+        subs = _value(data, entries[T_SUB_IFDS], bo)
+        subs = subs if isinstance(subs, list) else [subs]
+        for s in subs:
+            sub_entries, _ = _read_ifd(data, s, bo)
+            ifds.append(sub_entries)
+    while next_off:
+        more, next_off = _read_ifd(data, next_off, bo)
+        ifds.append(more)
+
+    cfa_ifd = None
+    for e in ifds:
+        if e.get(T_PHOTOMETRIC) and _value(data, e[T_PHOTOMETRIC], bo) == PHOTOMETRIC_CFA:
+            cfa_ifd = e
+            break
+    if cfa_ifd is None:
+        raise DngError("no CFA IFD found (not a Bayer RAW, or compressed preview only)")
+
+    def tag(e, t, default=None):
+        return _value(data, e[t], bo) if t in e else default
+
+    width = tag(cfa_ifd, T_WIDTH)
+    height = tag(cfa_ifd, T_LENGTH)
+    bits = tag(cfa_ifd, T_BITS_PER_SAMPLE, 16)
+    if isinstance(bits, list):
+        bits = bits[0]
+    compression = tag(cfa_ifd, T_COMPRESSION, 1)
+    if compression != 1:
+        raise DngError(
+            f"unsupported DNG compression {compression} (only uncompressed "
+            f"strips are supported in this round)"
+        )
+
+    offsets = tag(cfa_ifd, T_STRIP_OFFSETS)
+    counts = tag(cfa_ifd, T_STRIP_BYTE_COUNTS)
+    offsets = offsets if isinstance(offsets, list) else [offsets]
+    counts = counts if isinstance(counts, list) else [counts]
+    strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+
+    n_samples = width * height
+    if bits == 16:
+        mosaic = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
+    elif bits == 8:
+        mosaic = np.frombuffer(strip_data, dtype=np.uint8, count=n_samples).astype(
+            np.uint16
+        )
+    elif bits in (10, 12, 14):
+        packed = np.frombuffer(strip_data, dtype=np.uint8)
+        mosaic = _unpack_bits(packed, bits, n_samples)
+    else:
+        raise DngError(f"unsupported bit depth {bits}")
+    mosaic = mosaic.reshape(height, width)
+
+    # CFA pattern.
+    cfa = tag(cfa_ifd, T_CFA_PATTERN) or tag(ifds[0], T_CFA_PATTERN)
+    if cfa is None:
+        pattern = "RGGB"
+    else:
+        if isinstance(cfa, (bytes, bytearray)):
+            vals = list(cfa[:4])
+        elif isinstance(cfa, list):
+            vals = [int(v) for v in cfa[:4]]
+        else:
+            vals = [int(cfa)]
+        names = {0: "R", 1: "G", 2: "B"}
+        pattern = "".join(names.get(v, "G") for v in vals)
+        if pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
+            raise DngError(f"unsupported CFA pattern {pattern}")
+
+    def first_ifd0(t, default=None):
+        for e in ifds:
+            if t in e:
+                return _value(data, e[t], bo)
+        return default
+
+    black = first_ifd0(T_BLACK_LEVEL, 0)
+    if isinstance(black, list):
+        black = float(np.mean(black))
+    white = first_ifd0(T_WHITE_LEVEL, (1 << bits) - 1)
+    if isinstance(white, list):
+        white = float(white[0])
+
+    neutral = first_ifd0(T_AS_SHOT_NEUTRAL)
+    if neutral:
+        n = np.asarray(neutral, dtype=np.float64)
+        wb = tuple((n[1] / np.maximum(n, 1e-8)).tolist())  # gains, g == 1
+    else:
+        wb = (1.0, 1.0, 1.0)
+
+    cm = first_ifd0(T_COLOR_MATRIX_1)
+    xyz_to_cam = (
+        np.asarray(cm, dtype=np.float64).reshape(3, 3) if cm is not None else None
+    )
+
+    orientation = int(first_ifd0(T_ORIENTATION, 1) or 1)
+
+    exif = {}
+    make, model = first_ifd0(T_MAKE), first_ifd0(T_MODEL)
+    if make:
+        exif["Make"] = make.strip()
+    if model:
+        exif["Model"] = model.strip()
+    et = first_ifd0(T_EXPOSURE_TIME)
+    if et:
+        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
+    fn = first_ifd0(T_F_NUMBER)
+    if fn:
+        exif["FNumber"] = str(fn)
+    iso = first_ifd0(T_ISO)
+    if iso:
+        exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
+
+    return RawImage(
+        mosaic=np.ascontiguousarray(mosaic),
+        pattern=pattern,
+        black_level=float(black),
+        white_level=float(white),
+        wb_gains=wb,
+        xyz_to_cam=xyz_to_cam,
+        orientation=orientation,
+        exif=exif,
+    )
+
+
+def write_dng(raw: RawImage) -> bytes:
+    """Emit a minimal valid uncompressed 16-bit CFA DNG (little-endian)."""
+    h, w = raw.mosaic.shape
+    mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
+    strip = mosaic.tobytes()
+
+    cfa_codes = {"R": 0, "G": 1, "B": 2}
+    cfa = bytes(cfa_codes[c] for c in raw.pattern)
+
+    entries = []  # (tag, type, count, packed_value_bytes_or_payload)
+    extra = []    # out-of-line payloads, filled with offsets later
+
+    def add(tag, typ, values):
+        if typ == 2:
+            payload = values.encode("ascii") + b"\x00"
+            n = len(payload)
+        elif typ == 5:  # rational list of (num, den)
+            payload = b"".join(struct.pack("<II", a, b) for a, b in values)
+            n = len(values)
+        else:
+            fmt = _TYPE_FMT[typ]
+            vals = values if isinstance(values, (list, tuple)) else [values]
+            payload = struct.pack("<" + str(len(vals)) + fmt, *vals)
+            n = len(vals)
+        entries.append([tag, typ, n, payload])
+
+    neutral_g = raw.wb_gains
+    as_shot = [
+        (int(1e6 / max(neutral_g[0], 1e-6)), 1000000),
+        (1000000, 1000000),
+        (int(1e6 / max(neutral_g[2], 1e-6)), 1000000),
+    ]
+
+    add(T_NEW_SUBFILE_TYPE, 4, 0)
+    add(T_WIDTH, 4, w)
+    add(T_LENGTH, 4, h)
+    add(T_BITS_PER_SAMPLE, 3, 16)
+    add(T_COMPRESSION, 3, 1)
+    add(T_PHOTOMETRIC, 3, PHOTOMETRIC_CFA)
+    if "Make" in raw.exif:
+        add(T_MAKE, 2, raw.exif["Make"])
+    if "Model" in raw.exif:
+        add(T_MODEL, 2, raw.exif["Model"])
+    add(T_STRIP_OFFSETS, 4, 0)  # patched below
+    add(T_ORIENTATION, 3, raw.orientation)
+    add(T_SAMPLES_PER_PIXEL, 3, 1)
+    add(T_ROWS_PER_STRIP, 4, h)
+    add(T_STRIP_BYTE_COUNTS, 4, len(strip))
+    add(T_CFA_REPEAT_DIM, 3, [2, 2])
+    entries.append([T_CFA_PATTERN, 1, 4, cfa])
+    add(T_DNG_VERSION, 1, [1, 4, 0, 0])
+    add(T_BLACK_LEVEL, 3, int(raw.black_level))
+    add(T_WHITE_LEVEL, 3, int(raw.white_level))
+    if raw.xyz_to_cam is not None:
+        m = raw.xyz_to_cam.reshape(-1)
+        add(T_COLOR_MATRIX_1, 11, [float(v) for v in m])
+    add(T_AS_SHOT_NEUTRAL, 5, as_shot)
+
+    entries.sort(key=lambda e: e[0])
+
+    header_size = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    data_off = header_size + ifd_size
+    out_of_line = b""
+    for e in entries:
+        if len(e[3]) > 4:
+            e.append(data_off + len(out_of_line))
+            pad = b"\x00" if len(e[3]) % 2 else b""
+            out_of_line += e[3] + pad
+        else:
+            e.append(None)
+
+    strip_off = data_off + len(out_of_line)
+    for e in entries:
+        if e[0] == T_STRIP_OFFSETS:
+            e[3] = struct.pack("<I", strip_off)
+
+    buf = bytearray()
+    buf += b"II" + struct.pack("<HI", 42, 8)
+    buf += struct.pack("<H", len(entries))
+    for tag, typ, n, payload, off in entries:
+        buf += struct.pack("<HHI", tag, typ, n)
+        if off is not None:
+            buf += struct.pack("<I", off)
+        else:
+            buf += payload.ljust(4, b"\x00")[:4]
+    buf += struct.pack("<I", 0)  # no next IFD
+    buf += out_of_line
+    buf += strip
+    return bytes(buf)

@@ -30,7 +30,7 @@ from ..core.color import srgb_to_linear, linear_to_srgb
 SUPPORTED_EXTENSIONS = {
     ".jpg": "JPEG", ".jpeg": "JPEG", ".png": "PNG",
     ".webp": "WEBP", ".tif": "TIFF", ".tiff": "TIFF",
-    ".ppm": "PPM16",
+    ".ppm": "PPM16", ".dng": "DNG",
 }
 
 
@@ -85,6 +85,11 @@ def decode_image(data: bytes, fmt: str):
         planes = jnp.asarray(np.ascontiguousarray(hwc.transpose(2, 0, 1)))
         return planes, {}
 
+    if fmt == "DNG":
+        from .raw import read_raw  # local import to avoid cycle
+
+        return read_raw(data)
+
     try:
         img = PILImage.open(_io.BytesIO(data))
     except Exception as e:  # noqa: BLE001
@@ -117,6 +122,11 @@ def encode_image(planes, fmt: str, quality: int = 95) -> bytes:
 
     Truncating u8 quantization per image.rs:375-383.
     """
+    if fmt == "DNG":
+        raise ImageIOError(
+            "cannot encode a developed image as DNG; use io.dng.write_dng "
+            "for CFA mosaics"
+        )
     hwc = np.asarray(planes).transpose(1, 2, 0)
     if fmt == "PPM16":
         return encode_ppm16(hwc)

@@ -1,0 +1,99 @@
+"""RAW ingestion glue: DNG bytes -> linear sRGB planes on device.
+
+The TPU analog of the reference's RAW load paths
+(rust-godot-legacy image.rs:509-557 rawler develop;
+python-legacy editor.py:169-181 rawpy postprocess with camera WB, 16-bit
+linear output, no auto-bright): container parse on CPU, then the whole
+normalize -> WB -> demosaic -> camera-matrix chain runs as one jitted TPU
+program (ops/demosaic.develop_raw).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import demosaic as dm
+from ..ops.geometry import orient_exif
+from .dng import RawImage, read_dng
+
+RAW_EXTENSIONS = {".dng"}
+
+
+def develop_raw_image(raw: RawImage, method: str = "malvar"):
+    """RawImage -> (linear sRGB planes f32 [3, H, W], exif dict)."""
+    mosaic01 = dm.normalize_mosaic(
+        jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
+    )
+    if raw.xyz_to_cam is not None:
+        cam2srgb = jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
+    else:
+        cam2srgb = jnp.eye(3, dtype=jnp.float32)
+    planes = dm.develop_raw(
+        mosaic01,
+        jnp.asarray(raw.wb_gains, dtype=jnp.float32),
+        cam2srgb,
+        pattern=raw.pattern,
+        method=method,
+    )
+    planes = orient_exif(planes, raw.orientation)
+    return planes, dict(raw.exif)
+
+
+def read_raw(path_or_bytes, method: str = "malvar"):
+    """Load a DNG file (path or bytes) -> (linear planes, exif)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    return develop_raw_image(read_dng(data), method=method)
+
+
+def synthetic_raw(
+    planes_linear: np.ndarray,
+    pattern: str = "RGGB",
+    black_level: int = 512,
+    white_level: int = 16383,
+    wb_gains=(2.0, 1.0, 1.5),
+    xyz_to_cam: np.ndarray | None = None,
+) -> RawImage:
+    """Mosaic a linear RGB image into a synthetic RawImage (tests/bench).
+
+    Simulates the camera: divide by WB gains (sensor sees unbalanced
+    light), optionally push through cam = xyz_to_cam-derived inverse of the
+    develop matrix, sample the CFA, quantize into [black, white].
+    """
+    rgb = np.asarray(planes_linear, dtype=np.float32)
+    assert rgb.ndim == 3 and rgb.shape[0] == 3
+    _, h, w = rgb.shape
+    if xyz_to_cam is not None:
+        cam2srgb = dm.cam_matrix_to_srgb(xyz_to_cam)
+        srgb2cam = np.linalg.inv(cam2srgb)
+        rgb = np.einsum("ij,jhw->ihw", srgb2cam.astype(np.float32), rgb)
+    inv_gains = 1.0 / np.asarray(wb_gains, dtype=np.float32)
+    rgb = rgb * inv_gains[:, None, None]
+
+    tile = dm.BAYER_PATTERNS[pattern]
+    chan = np.zeros((h, w), dtype=np.int64)
+    chan[0::2, 0::2] = tile[0][0]
+    chan[0::2, 1::2] = tile[0][1]
+    chan[1::2, 0::2] = tile[1][0]
+    chan[1::2, 1::2] = tile[1][1]
+    mosaic01 = np.take_along_axis(
+        rgb.reshape(3, -1), chan.reshape(1, -1), axis=0
+    ).reshape(h, w)
+
+    span = white_level - black_level
+    mosaic = np.clip(
+        np.round(mosaic01 * span + black_level), 0, white_level
+    ).astype(np.uint16)
+    return RawImage(
+        mosaic=mosaic,
+        pattern=pattern,
+        black_level=float(black_level),
+        white_level=float(white_level),
+        wb_gains=tuple(float(g) for g in wb_gains),
+        xyz_to_cam=xyz_to_cam,
+        exif={"Make": "Synthetic", "Model": "rawphotoforge-tpu"},
+    )

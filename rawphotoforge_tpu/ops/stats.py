@@ -21,12 +21,34 @@ from ..core.color import luma
 NUM_BINS = 256
 
 
+_HIST_CHUNK = 16384
+
+
 def _hist256(values: jax.Array) -> jax.Array:
-    """values f32 [...] in [0,1] -> i32 [256] histogram."""
+    """values f32 [...] in [0,1] -> i32 [256] histogram.
+
+    TPU formulation: neither a full [P, 256] one-hot (XLA materializes a
+    pixels x bins intermediate — memory and compile blow up) nor a
+    scatter-add (serializes, and compiles pathologically on some backends).
+    Instead a lax.scan over fixed-size chunks: each step does a small
+    [chunk, 256] compare-and-sum entirely in registers/VMEM, accumulating
+    into the 256-bin carry. O(P * 256) VPU ops, tiny compile."""
     idx = jnp.clip((values * 255.0).astype(jnp.int32), 0, 255).reshape(-1)
-    bins = jnp.arange(NUM_BINS, dtype=jnp.int32)
-    # [P, 256] one-hot compare, summed over pixels.
-    return jnp.sum(idx[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
+    n = idx.shape[0]
+    pad = (-n) % _HIST_CHUNK
+    # Pad with bin id 256 (an extra scratch bin, dropped at the end).
+    idx = jnp.concatenate([idx, jnp.full((pad,), NUM_BINS, dtype=jnp.int32)])
+    chunks = idx.reshape(-1, _HIST_CHUNK)
+    bins = jnp.arange(NUM_BINS + 1, dtype=jnp.int32)
+
+    def body(carry, chunk):
+        onehot = (chunk[:, None] == bins[None, :]).astype(jnp.int32)
+        return carry + jnp.sum(onehot, axis=0), None
+
+    hist, _ = jax.lax.scan(
+        body, jnp.zeros(NUM_BINS + 1, dtype=jnp.int32), chunks
+    )
+    return hist[:NUM_BINS]
 
 
 @jax.jit

@@ -85,11 +85,10 @@ def histogram_sharded(srgb_planes: jax.Array, mesh: Mesh) -> jax.Array:
     def partial_hist(local: jax.Array) -> jax.Array:
         r, g, b = local[0], local[1], local[2]
         gray = 0.299 * r + 0.587 * g + 0.114 * b
-        bins = jnp.arange(NUM_BINS, dtype=jnp.int32)
 
         def h(v):
             idx = jnp.clip((v * 255.0).astype(jnp.int32), 0, 255).reshape(-1)
-            return jnp.sum(idx[:, None] == bins[None, :], axis=0, dtype=jnp.int32)
+            return jnp.bincount(idx, length=NUM_BINS).astype(jnp.int32)
 
         local_hist = jnp.stack([h(r), h(g), h(b), h(gray)])
         # Rows are split over 'sp' only; the image is replicated over

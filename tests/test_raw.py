@@ -1,0 +1,195 @@
+"""RAW pipeline tests: demosaic, camera matrix, DNG container, sharpen."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.ops import demosaic as dm
+from rawphotoforge_tpu.ops.sharpen import gaussian_blur, unsharp_mask
+from rawphotoforge_tpu.io import dng as dng_mod
+from rawphotoforge_tpu.io.raw import develop_raw_image, read_raw, synthetic_raw
+from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+from conftest import random_linear_image
+
+
+def _mosaic_from_rgb(rgb_chw, pattern):
+    """Sample a CFA mosaic from full RGB planes."""
+    tile = dm.BAYER_PATTERNS[pattern]
+    _, h, w = rgb_chw.shape
+    m = np.zeros((h, w), dtype=np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            m[dy::2, dx::2] = rgb_chw[tile[dy][dx], dy::2, dx::2]
+    return m
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG", "GBRG"])
+@pytest.mark.parametrize("method", ["bilinear", "malvar"])
+def test_demosaic_recovers_smooth_image(pattern, method):
+    """A smooth gradient is reconstructed almost exactly by any linear
+    demosaic (the classic correctness check)."""
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack([
+        0.2 + 0.5 * xx / w,
+        0.3 + 0.4 * yy / h,
+        0.5 - 0.2 * (xx + yy) / (h + w),
+    ]).astype(np.float32)
+    mosaic = _mosaic_from_rgb(rgb, pattern)
+    fn = dm.demosaic_malvar if method == "malvar" else dm.demosaic_bilinear
+    out = np.asarray(fn(jnp.asarray(mosaic), pattern))
+    # Interior (borders use reflected samples).
+    d = np.abs(out - rgb)[:, 4:-4, 4:-4]
+    assert d.max() < 5e-3, f"{pattern}/{method}: max err {d.max()}"
+
+
+def test_demosaic_preserves_sampled_values():
+    """At each CFA site the sampled channel must pass through untouched."""
+    rng = np.random.default_rng(7)
+    rgb = rng.random((3, 32, 48)).astype(np.float32)
+    mosaic = _mosaic_from_rgb(rgb, "RGGB")
+    out = np.asarray(dm.demosaic_bilinear(jnp.asarray(mosaic), "RGGB"))
+    np.testing.assert_allclose(out[0, 0::2, 0::2], rgb[0, 0::2, 0::2], atol=0)
+    np.testing.assert_allclose(out[1, 0::2, 1::2], rgb[1, 0::2, 1::2], atol=0)
+    np.testing.assert_allclose(out[1, 1::2, 0::2], rgb[1, 1::2, 0::2], atol=0)
+    np.testing.assert_allclose(out[2, 1::2, 1::2], rgb[2, 1::2, 1::2], atol=0)
+
+
+def test_malvar_less_false_color_than_bilinear():
+    """On a gray edge (equal channels) any demosaic error shows up as false
+    color (R != G fringing). Malvar's gradient correction must reduce it
+    substantially vs bilinear — the reason it's the quality default."""
+    h, w = 64, 64
+    xx = np.tile(np.arange(w, dtype=np.float32), (h, 1))
+    edge = (xx > w / 2).astype(np.float32) * 0.8 + 0.1
+    rgb = np.stack([edge, edge, edge])
+    mosaic = _mosaic_from_rgb(rgb, "RGGB")
+    out_b = np.asarray(dm.demosaic_bilinear(jnp.asarray(mosaic), "RGGB"))
+    out_m = np.asarray(dm.demosaic_malvar(jnp.asarray(mosaic), "RGGB"))
+    fringe_b = np.abs(out_b[0] - out_b[1])[4:-4, 4:-4].max()
+    fringe_m = np.abs(out_m[0] - out_m[1])[4:-4, 4:-4].max()
+    assert fringe_m < 0.5 * fringe_b, (fringe_b, fringe_m)
+
+
+def test_normalize_mosaic():
+    v = jnp.asarray(np.array([512, 512 + 100, 16383, 20000, 0], dtype=np.uint16))
+    out = np.asarray(dm.normalize_mosaic(v, 512.0, 16383.0))
+    assert out[0] == 0.0
+    np.testing.assert_allclose(out[1], 100 / (16383 - 512), rtol=1e-6)
+    assert out[2] == 1.0
+    assert out[3] == 1.0  # clipped
+    assert out[4] == 0.0  # clipped below black
+
+
+def test_cam_matrix_white_preserving():
+    """Row-normalized dcraw recipe: camera white (1,1,1) maps to sRGB white."""
+    xyz_to_cam = np.array([
+        [0.9, -0.2, -0.1],
+        [-0.4, 1.2, 0.2],
+        [-0.1, 0.2, 0.7],
+    ])
+    m = dm.cam_matrix_to_srgb(xyz_to_cam)
+    white = m @ np.ones(3)
+    np.testing.assert_allclose(white, np.ones(3), atol=1e-5)
+
+
+def test_develop_raw_roundtrip_synthetic(rng):
+    """Mosaic a smooth image with WB + matrix simulation, develop it back:
+    result must match the original to demosaic tolerance."""
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack([
+        0.2 + 0.4 * xx / w, 0.3 + 0.3 * yy / h, 0.45 - 0.15 * xx / w,
+    ]).astype(np.float32)
+    xyz_to_cam = np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]]
+    )
+    raw = synthetic_raw(rgb, pattern="RGGB", wb_gains=(1.9, 1.0, 1.4),
+                        xyz_to_cam=xyz_to_cam)
+    planes, exif = develop_raw_image(raw)
+    assert exif["Make"] == "Synthetic"
+    d = np.abs(np.asarray(planes) - rgb)[:, 4:-4, 4:-4]
+    assert d.max() < 0.02, d.max()
+
+
+def test_dng_write_read_roundtrip(rng):
+    rgb = random_linear_image(rng, 32, 48).transpose(2, 0, 1)
+    xyz_to_cam = np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]]
+    )
+    raw = synthetic_raw(rgb, pattern="GRBG", wb_gains=(2.1, 1.0, 1.3),
+                        xyz_to_cam=xyz_to_cam)
+    data = dng_mod.write_dng(raw)
+    back = dng_mod.read_dng(data)
+    np.testing.assert_array_equal(back.mosaic, raw.mosaic)
+    assert back.pattern == "GRBG"
+    assert back.black_level == raw.black_level
+    assert back.white_level == raw.white_level
+    np.testing.assert_allclose(back.wb_gains, raw.wb_gains, rtol=1e-4)
+    np.testing.assert_allclose(back.xyz_to_cam, xyz_to_cam, atol=1e-6)
+    assert back.exif["Make"] == "Synthetic"
+
+
+def test_dng_rejects_non_tiff():
+    with pytest.raises(dng_mod.DngError):
+        dng_mod.read_dng(b"NOTATIFF")
+
+
+def test_editor_opens_dng(rng, tmp_path):
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack(
+        [0.2 + 0.4 * xx / w, 0.3 + 0.3 * yy / h, 0.4 - 0.1 * xx / w]
+    ).astype(np.float32)
+    raw = synthetic_raw(rgb, wb_gains=(1.8, 1.0, 1.5))
+    p = tmp_path / "test.dng"
+    p.write_bytes(dng_mod.write_dng(raw))
+
+    ed = PhotoEditor.open(str(p), use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    assert ed.shape == (h, w)
+    assert ed.exif.get("Make") == "Synthetic"
+    out = ed.get_srgb_f32(FULL)
+    assert out.shape == (h, w, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_dng_12bit_unpack():
+    vals = np.array([0xABC, 0x123, 0xFFF, 0x000], dtype=np.uint16)
+    # Pack manually: 12-bit big-endian stream.
+    bits = "".join(format(v, "012b") for v in vals)
+    packed = np.packbits([int(b) for b in bits])
+    out = dng_mod._unpack_bits(packed, 12, 4)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    x = jnp.asarray(rng.random((3, 32, 32), dtype=np.float32))
+    b = gaussian_blur(x, sigma=1.2, radius=3)
+    np.testing.assert_allclose(float(b.mean()), float(x.mean()), atol=1e-3)
+    assert float(jnp.var(b)) < float(jnp.var(x))
+
+
+def test_unsharp_mask_zero_amount_identity(rng):
+    x = jnp.asarray(rng.random((3, 16, 16), dtype=np.float32))
+    out = unsharp_mask(x, jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_unsharp_mask_increases_edge_contrast():
+    xx = np.tile(np.arange(32, dtype=np.float32), (16, 1))
+    edge = (xx > 16).astype(np.float32) * 0.5 + 0.25
+    x = jnp.asarray(np.stack([edge] * 3))
+    out = np.asarray(unsharp_mask(x, jnp.float32(1.5)))
+    assert np.ptp(out[:, :, 14:18]) > np.ptp(np.asarray(x)[:, :, 14:18])
+
+
+def test_editor_sharpness_stage(rng):
+    img = random_linear_image(rng, 32, 48)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    base = np.asarray(ed.apply(FULL))
+    ed.set_sharpness(80)
+    sharp = np.asarray(ed.apply(FULL))
+    assert not np.allclose(base, sharp)
+    ed.set_sharpness(0)
+    np.testing.assert_allclose(np.asarray(ed.apply(FULL)), base, atol=1e-6)
