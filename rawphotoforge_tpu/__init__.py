@@ -10,6 +10,34 @@ matrix); preview pyramid; histograms; presets; batch export over a TPU mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (set RPF_JAX_CACHE="" to disable).
+
+    Every distinct image-shape bucket costs seconds-to-minutes of XLA
+    compile on TPU backends; the persistent cache makes that a one-time
+    cost across processes (measured 401 s -> 42 s total for a cold CLI
+    develop on the remote-tunnel backend).
+    """
+    cache = _os.environ.get(
+        "RPF_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+    )
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from .core.params import (  # noqa: F401
     BRIGHTNESS,
     HUE,

@@ -255,6 +255,11 @@ class DevelopParams:
       luts:     i32 [M, 4, 65536]   exact LUTs (anchor path)
       breaks:   f32 [M, 4, S]       packed curve knots (kernel path)
       coeffs:   f32 [M, 4, S, 4]    packed curve monomial coefficients
+      extent:   f32 [2]   true (height, width) when the image arrays are
+                          padded to a compile bucket; (0, 0) means "use the
+                          array shape". Positional effects (vignette,
+                          distortion) normalize by the true extent so one
+                          compiled program serves every image in a bucket.
     """
 
     gains: jax.Array
@@ -264,17 +269,21 @@ class DevelopParams:
     luts: jax.Array
     breaks: jax.Array
     coeffs: jax.Array
+    extent: jax.Array
 
     @property
     def num_masks(self) -> int:
         return self.gains.shape[0]
 
 
-def pack_params(param_list: list[EditParameters]) -> DevelopParams:
+def pack_params(
+    param_list: list[EditParameters], extent: Optional[tuple[int, int]] = None
+) -> DevelopParams:
     """Stack per-mask EditParameters into a DevelopParams pytree.
 
     Mask 0 must be the main mask. Mirrors the per-mask buffer packing of
     GpuProcessor::apply_adjustments (gpu_image_processing.rs:232-254).
+    ``extent``: true (h, w) when image arrays are bucket-padded.
     """
     if not param_list:
         raise ValueError("need at least the main mask parameters")
@@ -316,4 +325,7 @@ def pack_params(param_list: list[EditParameters]) -> DevelopParams:
         luts=jnp.asarray(luts),
         breaks=jnp.asarray(breaks),
         coeffs=jnp.asarray(coeffs),
+        extent=jnp.asarray(
+            extent if extent is not None else (0.0, 0.0), dtype=jnp.float32
+        ),
     )

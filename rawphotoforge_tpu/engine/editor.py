@@ -37,6 +37,29 @@ FULL, MID, LOW = "full", "mid", "low"
 DEFAULT_MID_LONG_EDGE = 1280  # uiPreviewSize default (web/main.ts:31-35)
 DEFAULT_LOW_LONG_EDGE = 400   # dragPreviewSize default
 
+# Compile bucket: device arrays are zero-padded up to multiples of this so
+# different photo dimensions reuse the same compiled programs (each new
+# XLA shape costs seconds of compile; real libraries have arbitrary dims).
+# Positional effects normalize by the true extent (DevelopParams.extent).
+SHAPE_BUCKET = 128
+
+
+def _pad_to_bucket(
+    arr: jax.Array, bucket: int = SHAPE_BUCKET, mode: str = "edge"
+) -> jax.Array:
+    """Pad the trailing two dims up to multiples of ``bucket``.
+
+    Image planes use edge-replication so stencil stages (sharpen) near the
+    true boundary see plausible neighbors instead of zeros; masks use zero
+    padding (padded pixels must never be selected)."""
+    *lead, h, w = arr.shape
+    ph = (-h) % bucket
+    pw = (-w) % bucket
+    if ph == 0 and pw == 0:
+        return arr
+    pad = [(0, 0)] * len(lead) + [(0, ph), (0, pw)]
+    return jnp.pad(arr, pad, mode=mode)
+
 
 class MaskNotFound(KeyError):
     """Mirrors PhotoEditorError::MaskNotFound (errors.rs)."""
@@ -70,13 +93,20 @@ class PhotoEditor:
         self.use_pallas = use_pallas
 
         _, h, w = planes.shape
-        self._originals: dict[str, jax.Array] = {FULL: jax.device_put(planes)}
+        full = jax.device_put(planes)
+        # Per level: bucket-padded device planes + the true extent.
+        self._originals: dict[str, jax.Array] = {FULL: _pad_to_bucket(full)}
+        self._extents: dict[str, tuple[int, int]] = {FULL: (h, w)}
         for level, edge in ((MID, mid_long_edge), (LOW, low_long_edge)):
             if max(h, w) > edge:
                 dh, dw = resize_long_edge_shape(h, w, edge)
-                self._originals[level] = resize_bilinear(self._originals[FULL], dh, dw)
+                self._originals[level] = _pad_to_bucket(
+                    resize_bilinear(full, dh, dw)
+                )
+                self._extents[level] = (dh, dw)
             else:
                 self._originals[level] = self._originals[FULL]
+                self._extents[level] = (h, w)
 
         self.masks: list[_Mask] = []
         self._add_main_mask()
@@ -108,12 +138,12 @@ class PhotoEditor:
     # -- geometry -----------------------------------------------------------
     @property
     def shape(self) -> tuple[int, int]:
-        _, h, w = self._originals[FULL].shape
-        return h, w
+        """True (unpadded) image dimensions."""
+        return self._extents[FULL]
 
     def level_shape(self, level: str) -> tuple[int, int]:
-        _, h, w = self._originals[level].shape
-        return h, w
+        """True (unpadded) dimensions at a pyramid level."""
+        return self._extents[level]
 
     # -- mask management ----------------------------------------------------
     def _add_main_mask(self):
@@ -212,10 +242,16 @@ class PhotoEditor:
         if masks_changed:
             self._mask_stack.clear()
 
-    def _packed_params(self):
+    def _packed_params(self, level: str):
         if self._packed is None:
             self._packed = pack_params([m.params for m in self.masks])
-        return self._packed
+        # Same packed stack for every level; only the true extent differs.
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self._packed,
+            extent=jnp.asarray(self._extents[level], dtype=jnp.float32),
+        )
 
     def _masks_at(self, level: str) -> jax.Array:
         if level not in self._mask_stack:
@@ -230,7 +266,9 @@ class PhotoEditor:
                         # Preserve binarization after interpolation.
                         m._levels[level] = (resized >= 0.5).astype(jnp.float32)
                 rows.append(m._levels[level])
-            self._mask_stack[level] = jnp.stack(rows)
+            self._mask_stack[level] = _pad_to_bucket(
+                jnp.stack(rows), mode="constant"
+            )
         return self._mask_stack[level]
 
     def _geo_at(self, level: str) -> jax.Array:
@@ -242,7 +280,10 @@ class PhotoEditor:
         cached = self._geo_cache.get(level)
         if cached is not None and cached[0] == key:
             return cached[1]
-        out = dev.geometry_stage_jit(self._originals[level], jnp.float32(key[0]))
+        extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
+        out = dev.geometry_stage_jit(
+            self._originals[level], jnp.float32(key[0]), extent
+        )
         if key[1] != 0.0:
             out = unsharp_mask(out, jnp.float32(key[1] / 100.0 * 2.0))
         self._geo_cache[level] = (key, out)
@@ -250,7 +291,8 @@ class PhotoEditor:
 
     # -- rendering ----------------------------------------------------------
     def apply(self, level: str = FULL) -> jax.Array:
-        """Render the edit stack at a pyramid level -> sRGB f32 [3, h, w].
+        """Render the edit stack at a pyramid level -> sRGB f32 [3, h, w]
+        (true, unpadded dimensions).
 
         Cached per (edit version, level): repeated calls without edits are
         free; after an edit only the pointwise pass re-runs (the geometry
@@ -259,7 +301,7 @@ class PhotoEditor:
         cached = self._rendered.get(level)
         if cached is not None and cached[0] == self._version:
             return cached[1]
-        params = self._packed_params()
+        params = self._packed_params(level)
         masks = self._masks_at(level)
         geo = self._geo_at(level)
         if self.use_pallas:
@@ -268,6 +310,8 @@ class PhotoEditor:
             out = fused.develop_post_geo_fused(geo, params, masks)
         else:
             out = dev.develop_post_geo_jit(geo, params, masks)
+        h, w = self._extents[level]
+        out = out[:, :h, :w]
         self._rendered[level] = (self._version, out)
         return out
 

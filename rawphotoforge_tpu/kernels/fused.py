@@ -88,7 +88,7 @@ def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
 
 
 def _develop_kernel(
-    vig_ref,      # SMEM (1, 1) f32: main vignette slider
+    vig_ref,      # SMEM (1, 3) f32: [vignette slider, true_h, true_w]
     gains_ref,    # SMEM (M, 3) f32
     tone_ref,     # SMEM (M, 6) f32
     knots_ref,    # SMEM (M*4, S) f32
@@ -112,10 +112,13 @@ def _develop_kernel(
     g = img_ref[1]
     b = img_ref[2]
 
-    # Vignette (main-mask only, wgsl:276): global integer pixel coords.
+    # Vignette (main-mask only, wgsl:276): global integer pixel coords,
+    # normalized by the *true* extent when the image is bucket-padded.
     ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
     xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    r, g, b = pointwise.vignette(r, g, b, vig_ref[0, 0], full_h, full_w, ys, xs)
+    hf = jnp.where(vig_ref[0, 1] > 0, vig_ref[0, 1], jnp.float32(full_h))
+    wf = jnp.where(vig_ref[0, 2] > 0, vig_ref[0, 2], jnp.float32(full_w))
+    r, g, b = pointwise.vignette(r, g, b, vig_ref[0, 0], hf, wf, ys, xs)
 
     knots = knots_ref
     dknots = dknots_ref
@@ -185,7 +188,9 @@ def develop_post_geo_fused(
     dcoeffs = jnp.diff(
         coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
     ).reshape(m * 4, s * 4)
-    vig = params.vignette.reshape(1, 1)
+    vig = jnp.concatenate(
+        [params.vignette.reshape(1), params.extent.reshape(2)]
+    ).reshape(1, 3)
 
     kernel = functools.partial(
         _develop_kernel,
@@ -204,7 +209,7 @@ def develop_post_geo_fused(
         kernel,
         grid=grid,
         in_specs=[
-            smem((1, 1)),
+            smem((1, 3)),
             smem((m, 3)),
             smem((m, 6)),
             smem((m * 4, s)),

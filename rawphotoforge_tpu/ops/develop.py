@@ -40,15 +40,17 @@ def _fetch(lut_row, idx):
     return jnp.clip(jnp.take(lut_row, idx, axis=0), 0, 65535)
 
 
-def geometry_stage(planes: jax.Array, distortion: jax.Array) -> jax.Array:
+def geometry_stage(
+    planes: jax.Array, distortion: jax.Array, extent: jax.Array | None = None
+) -> jax.Array:
     """Lens-distortion resample as a separable stage.
 
     The one gather stage of the pipeline; the editor's dirty-stage cache
     keys its output on the distortion value so slider moves elsewhere never
     re-run the warp (the reference recomputes it every frame,
-    wgpu_shader.wgsl:273).
+    wgpu_shader.wgsl:273). ``extent``: true (h, w) for bucket-padded arrays.
     """
-    r, g, b = lens_distortion(planes[0], planes[1], planes[2], distortion)
+    r, g, b = lens_distortion(planes[0], planes[1], planes[2], distortion, extent)
     return jnp.stack([r, g, b])
 
 
@@ -62,9 +64,11 @@ def develop_post_geo(
     h_img, w_img = r.shape
     num_masks = masks.shape[0]
 
+    hf = jnp.where(params.extent[0] > 0, params.extent[0], jnp.float32(h_img))
+    wf = jnp.where(params.extent[1] > 0, params.extent[1], jnp.float32(w_img))
     ys = jax.lax.broadcasted_iota(jnp.int32, (h_img, w_img), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h_img, w_img), 1)
-    r, g, b = pointwise.vignette(r, g, b, params.vignette, h_img, w_img, ys, xs)
+    r, g, b = pointwise.vignette(r, g, b, params.vignette, hf, wf, ys, xs)
 
     # Per-mask linear-RGB pass: WB -> tone -> brightness LUT (wgsl:279-308).
     for k in range(num_masks):
@@ -110,7 +114,9 @@ def develop(planes: jax.Array, params: DevelopParams, masks: jax.Array) -> jax.A
       f32 [3, H, W] sRGB-encoded output clamped to [0, 1]
       (wgpu_shader.wgsl:335-336).
     """
-    return develop_post_geo(geometry_stage(planes, params.distortion), params, masks)
+    return develop_post_geo(
+        geometry_stage(planes, params.distortion, params.extent), params, masks
+    )
 
 
 develop_jit = jax.jit(develop)

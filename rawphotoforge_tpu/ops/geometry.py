@@ -30,13 +30,17 @@ def _bilinear_gather(plane, y0, y1, x0, x1, ty, tx):
     return cx0 * (1.0 - ty) + cx1 * ty
 
 
-def lens_distortion(r, g, b, distortion):
+def lens_distortion(r, g, b, distortion, extent=None):
     """Radial lens-distortion resample of full planes.
 
     Contract: wgpu_shader.wgsl:109-164. ``distortion`` is the raw slider
     value (-100..100) as a traced f32 scalar; strength = -0.5 * d / 100.
     When the strength is zero the gather branch is skipped at runtime via
     lax.cond (matching the shader's early return, wgsl:118-120).
+
+    ``extent``: optional traced f32 [2] true (h, w) for bucket-padded
+    arrays — coordinate normalization uses the true extent; pixels beyond
+    it land out of bounds and come out black (they are cropped anyway).
     """
     h, w = r.shape
     strength = -0.5 * (distortion / 100.0)
@@ -46,8 +50,12 @@ def lens_distortion(r, g, b, distortion):
 
     def warp(planes):
         rr, gg, bb = planes
-        wf = jnp.float32(w)
-        hf = jnp.float32(h)
+        if extent is None:
+            hf = jnp.float32(h)
+            wf = jnp.float32(w)
+        else:
+            hf = jnp.where(extent[0] > 0, extent[0], jnp.float32(h))
+            wf = jnp.where(extent[1] > 0, extent[1], jnp.float32(w))
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         u = xs.astype(jnp.float32) / wf
@@ -68,10 +76,12 @@ def lens_distortion(r, g, b, distortion):
         py = fv * (hf - 1.0)
         x0f = jnp.floor(px)
         y0f = jnp.floor(py)
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
+        wi = (wf - 1.0).astype(jnp.int32)
+        hi = (hf - 1.0).astype(jnp.int32)
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, wi)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, hi)
+        x1 = jnp.minimum(x0 + 1, wi)
+        y1 = jnp.minimum(y0 + 1, hi)
         tx = px - x0f
         ty = py - y0f
 

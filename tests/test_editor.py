@@ -86,7 +86,7 @@ def test_mask_threshold_binarization(rng):
     grad = np.linspace(0, 1, h * w, dtype=np.float32).reshape(h, w)
     ed.add_mask("m", grad)
     stack = ed._masks_at(FULL)
-    m = np.asarray(stack[1])
+    m = np.asarray(stack[1])[:h, :w]  # drop compile-bucket padding
     np.testing.assert_array_equal(np.unique(m), [0.0, 1.0])
     np.testing.assert_array_equal(m, (grad >= 0.5).astype(np.float32))
 
@@ -178,7 +178,8 @@ def test_save_and_open(rng, tmp_path):
     assert ed2.shape == ed.shape
     # Decode(encode(srgb)) -> linear; re-encoding the new original should
     # give back the same u8s (u8 -> EOTF -> OETF -> u8 is lossless).
-    re_encoded = image_io.linear_planes_to_srgb_u8(ed2._originals[FULL])
+    h, w = ed2.shape
+    re_encoded = image_io.linear_planes_to_srgb_u8(ed2._originals[FULL][:, :h, :w])
     original_u8 = (np.asarray(ed.apply(FULL)).transpose(1, 2, 0) * 255).astype(np.uint8)
     assert np.abs(re_encoded.astype(int) - original_u8.astype(int)).max() <= 1
 
@@ -194,3 +195,41 @@ def test_pallas_editor_matches_jnp_editor(rng):
     b = np.asarray(ed_b.apply(FULL))
     assert np.abs(a - b).max() < 5e-3
     assert (np.abs(a - b) > 1e-4).mean() < 2e-3
+
+
+def test_bucket_padding_matches_unpadded_compute(rng):
+    """Bucket-padded editor render must equal direct develop on the true
+    (unpadded) image — vignette/distortion normalize by the true extent."""
+    from rawphotoforge_tpu.core.params import pack_params
+    from rawphotoforge_tpu.ops import develop as dev
+    import jax.numpy as jnp
+
+    img = random_linear_image(rng, 40, 64)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed.set_tone(exposure=0.6, contrast=20)
+    ed.set_vignette(70)
+    ed.set_lens_distortion(-40)
+    out = np.asarray(ed.apply(FULL))
+    assert out.shape == (3, 40, 64)
+
+    packed = pack_params([ed.params()])
+    direct = np.asarray(
+        dev.develop_jit(
+            jnp.asarray(img.transpose(2, 0, 1)),
+            packed,
+            jnp.ones((1, 40, 64), dtype=jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+
+
+def test_bucketed_shapes_share_padded_shape(rng):
+    """Two images with different true dims in the same bucket produce the
+    same padded device shapes (the compile-cache reuse property)."""
+    ed_a = PhotoEditor.from_rgb_f32(random_linear_image(rng, 40, 64),
+                                    use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed_b = PhotoEditor.from_rgb_f32(random_linear_image(rng, 100, 120),
+                                    use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    assert ed_a._originals[FULL].shape == (3, 128, 128)
+    assert ed_b._originals[FULL].shape == (3, 128, 128)
+    assert ed_a.shape == (40, 64) and ed_b.shape == (100, 120)
