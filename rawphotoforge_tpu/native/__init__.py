@@ -1,1 +1,143 @@
-"""rawphotoforge_tpu.native"""
+"""ctypes loader for the native host runtime (librpf_native.so).
+
+Builds the library on first import if the .so is missing (best-effort; all
+callers have numpy fallbacks, so a missing toolchain degrades gracefully).
+See rpf_native.cpp for what lives here and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "librpf_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    c = ctypes.c_int32
+    c64 = ctypes.c_int64
+
+    lib.rpf_pchip_build_lut.argtypes = [i32p, i32p, c, c, c, c, i32p]
+    lib.rpf_pchip_build_lut.restype = c
+    lib.rpf_resize_bilinear_f32.argtypes = [f32p, c, c, c, f32p, c, c]
+    lib.rpf_resize_bilinear_f32.restype = c
+    lib.rpf_srgb_u8_to_linear_f32.argtypes = [u8p, f32p, c64]
+    lib.rpf_srgb_u8_to_linear_f32.restype = c
+    lib.rpf_linear_f32_to_srgb_u8.argtypes = [f32p, u8p, c64]
+    lib.rpf_linear_f32_to_srgb_u8.restype = c
+    lib.rpf_histogram_rgbl_f32.argtypes = [f32p, c, c, i32p]
+    lib.rpf_histogram_rgbl_f32.restype = c
+    lib.rpf_binarize_mask_f32.argtypes = [f32p, f32p, c64, ctypes.c_float]
+    lib.rpf_binarize_mask_f32.restype = c
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pchip_build_lut(xs, ys, lo=0, hi=65535, lut_size=65536):
+    """Native PCHIP LUT expansion; raises on bad control points.
+    Semantics identical to core.curve.build_lut (tested equal)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    xs = np.ascontiguousarray(xs, dtype=np.int32)
+    ys = np.ascontiguousarray(ys, dtype=np.int32)
+    out = np.empty(lut_size, dtype=np.int32)
+    rc = lib.rpf_pchip_build_lut(xs, ys, len(xs), lo, hi, lut_size, out)
+    if rc == 2:
+        from ..core.curve import CurveError
+
+        raise CurveError("control point x values must be strictly increasing")
+    if rc != 0:
+        raise ValueError(f"rpf_pchip_build_lut failed: {rc}")
+    return out
+
+
+def resize_bilinear(src_hwc, dh, dw):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(src_hwc, dtype=np.float32)
+    h, w, ch = src.shape
+    out = np.empty((dh, dw, ch), dtype=np.float32)
+    rc = lib.rpf_resize_bilinear_f32(src, h, w, ch, out, dh, dw)
+    if rc != 0:
+        raise ValueError(f"rpf_resize_bilinear_f32 failed: {rc}")
+    return out
+
+
+def srgb_u8_to_linear(u8):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(u8, dtype=np.uint8)
+    out = np.empty(src.shape, dtype=np.float32)
+    lib.rpf_srgb_u8_to_linear_f32(src, out, src.size)
+    return out
+
+
+def linear_to_srgb_u8(f32):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(f32, dtype=np.float32)
+    out = np.empty(src.shape, dtype=np.uint8)
+    lib.rpf_linear_f32_to_srgb_u8(src, out, src.size)
+    return out
+
+
+def histogram_rgbl(hwc):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(hwc, dtype=np.float32)
+    h, w, ch = src.shape
+    assert ch == 3
+    out = np.zeros((4, 256), dtype=np.int32)
+    lib.rpf_histogram_rgbl_f32(src, h, w, out)
+    return out
+
+
+def binarize_mask(src, threshold):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s = np.ascontiguousarray(src, dtype=np.float32)
+    out = np.empty(s.shape, dtype=np.float32)
+    lib.rpf_binarize_mask_f32(s, out, s.size, float(threshold))
+    return out
