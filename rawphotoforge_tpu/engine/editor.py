@@ -190,6 +190,44 @@ class PhotoEditor:
     def mask_names(self) -> list[str]:
         return [m.name for m in self.masks]
 
+    def add_similarity_mask(
+        self, name: str, point_xy: tuple[int, int],
+        color_tolerance: float = 0.1, spatial_sigma: float = 0.0,
+    ) -> None:
+        """Point-prompted selection (the AI-mask workflow shape of
+        python-legacy raw_photo_forge.py:2375-2479, model-free): sample the
+        color at ``point_xy`` (x, y) on the *current render base* and select
+        by OKLab similarity; logits are thresholded by mask_range like any
+        ingested mask."""
+        from ..ops.masking import similarity_mask
+
+        x, y = point_xy
+        logits = similarity_mask(
+            self._geo_at(FULL),
+            jnp.asarray([y, x], dtype=jnp.int32),
+            jnp.float32(color_tolerance),
+            jnp.float32(spatial_sigma if spatial_sigma > 0 else 1.0),
+            spatial_falloff=spatial_sigma > 0,
+        )
+        h, w = self.shape
+        self.add_mask(name, np.asarray(logits)[:h, :w])
+
+    # -- lens profile correction (load-time, python-legacy editor.py:425-711)
+    def apply_lens_profile(self, profile) -> None:
+        """Apply a LensProfile (devignette -> TCA -> distortion) to the
+        session's base image at every pyramid level. Like v1, this is a
+        load-time correction: the corrected image becomes the new original
+        all edits derive from."""
+        from ..ops.lenscorr import apply_profile
+
+        for level in list(self._originals):
+            extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
+            self._originals[level] = apply_profile(
+                self._originals[level], profile, extent
+            )
+        self._geo_cache.clear()
+        self._invalidate(masks_changed=False)
+
     # -- edits --------------------------------------------------------------
     def params(self, mask_name: Optional[str] = None) -> EditParameters:
         return self._find(mask_name).params

@@ -1,0 +1,166 @@
+"""Profile-driven lens corrections: vignetting, distortion, chromatic
+aberration.
+
+Capability parity with v1's lensfun integration
+(python-legacy/raw_image_editor/editor.py:425-711): given a lens profile,
+apply (1) devignetting gain, (2) geometric distortion remap, (3) per-channel
+transverse-chromatic-aberration remap. The lensfun *database* is not
+shipped; profiles are explicit parameter sets (JSON-serializable) using the
+standard lensfun math models, so any profile's numbers drop in directly.
+
+Models (r = radius normalized so the half-diagonal is 1):
+* vignetting 'pa' model:  gain(r) = 1 + k1 r^2 + k2 r^4 + k3 r^6
+  (correction multiplies by 1/gain).
+* distortion 'poly3':     r_src = r_d (1 - k1 + k1 r_d^2)
+* distortion 'ptlens':    r_src = r_d (a r_d^3 + b r_d^2 + c r_d + 1-a-b-c)
+* TCA 'linear':           r_src_R = r * vr,  r_src_B = r * vb
+  (green is the reference channel).
+
+TPU shape: devignetting is pointwise; the remaps are one fused
+coordinate-computation + bilinear gather per channel (same machinery as the
+creative lens_distortion stage, ops/geometry.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class LensProfile:
+    """One lens+settings correction set (lensfun model parameters)."""
+
+    name: str = "unnamed"
+    # Vignetting (pa model), applied on linear light.
+    vignetting: Optional[tuple] = None          # (k1, k2, k3)
+    # Geometric distortion.
+    distortion_model: str = "poly3"             # 'poly3' | 'ptlens'
+    distortion: Optional[tuple] = None          # poly3: (k1,); ptlens: (a, b, c)
+    # Transverse chromatic aberration (linear model).
+    tca: Optional[tuple] = None                 # (vr, vb)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "LensProfile":
+        d = json.loads(s)
+        for k in ("vignetting", "distortion", "tca"):
+            if d.get(k) is not None:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+
+def _radius2(h, w, extent=None):
+    """Squared radius map, normalized so the half-diagonal is 1 (lensfun
+    convention), plus the centered coordinate grids."""
+    if extent is None:
+        hf, wf = jnp.float32(h), jnp.float32(w)
+    else:
+        hf = jnp.where(extent[0] > 0, extent[0], jnp.float32(h))
+        wf = jnp.where(extent[1] > 0, extent[1], jnp.float32(w))
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    cx = (wf - 1.0) * 0.5
+    cy = (hf - 1.0) * 0.5
+    half_diag = jnp.sqrt(cx * cx + cy * cy)
+    dx = (xs - cx) / half_diag
+    dy = (ys - cy) / half_diag
+    return dx, dy, dx * dx + dy * dy, half_diag, cx, cy, hf, wf
+
+
+def devignette(planes: jax.Array, k: jax.Array, extent=None) -> jax.Array:
+    """Divide out the pa-model vignetting falloff. ``k`` = (k1, k2, k3)."""
+    _, h, w = planes.shape
+    _, _, r2, *_ = _radius2(h, w, extent)
+    gain = 1.0 + r2 * (k[0] + r2 * (k[1] + r2 * k[2]))
+    return planes / jnp.maximum(gain, 1e-4)
+
+
+def _remap_radial(plane: jax.Array, scale: jax.Array, geom) -> jax.Array:
+    """Sample ``plane`` at radially scaled coordinates (bilinear, edge clamp).
+
+    ``scale`` is the per-pixel ratio r_src / r_dst; geom is the _radius2
+    output tuple."""
+    dx, dy, _, half_diag, cx, cy, hf, wf = geom
+    h, w = plane.shape
+    sx = dx * scale * half_diag + cx
+    sy = dy * scale * half_diag + cy
+    wi = (wf - 1.0).astype(jnp.int32)
+    hi = (hf - 1.0).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, wi)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, hi)
+    x1 = jnp.minimum(x0 + 1, wi)
+    y1 = jnp.minimum(y0 + 1, hi)
+    # Weights relative to the *clamped* corner: a coordinate an ulp below 0
+    # must not interpolate a full step toward the next row/col.
+    tx = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    ty = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    c00 = plane[y0, x0]
+    c10 = plane[y0, x1]
+    c01 = plane[y1, x0]
+    c11 = plane[y1, x1]
+    return (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (
+        c01 * (1 - tx) + c11 * tx
+    ) * ty
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def correct_distortion(
+    planes: jax.Array, coeffs: jax.Array, model: str = "poly3", extent=None
+) -> jax.Array:
+    """Geometric distortion correction: resample at the model's r_src."""
+    _, h, w = planes.shape
+    geom = _radius2(h, w, extent)
+    r2 = geom[2]
+    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    if model == "poly3":
+        scale = 1.0 - coeffs[0] + coeffs[0] * r2
+    elif model == "ptlens":
+        a, b, c = coeffs[0], coeffs[1], coeffs[2]
+        scale = a * r2 * r + b * r2 + c * r + (1.0 - a - b - c)
+    else:
+        raise ValueError(f"unknown distortion model {model!r}")
+    return jnp.stack([_remap_radial(planes[i], scale, geom) for i in range(3)])
+
+
+@jax.jit
+def correct_tca(planes: jax.Array, vr: jax.Array, vb: jax.Array, extent=None) -> jax.Array:
+    """Linear-model TCA: radially rescale R and B toward green."""
+    _, h, w = planes.shape
+    geom = _radius2(h, w, extent)
+    ones = jnp.ones((h, w), dtype=jnp.float32)
+    r_fix = _remap_radial(planes[0], ones * vr, geom)
+    b_fix = _remap_radial(planes[2], ones * vb, geom)
+    return jnp.stack([r_fix, planes[1], b_fix])
+
+
+def apply_profile(planes: jax.Array, profile: LensProfile, extent=None) -> jax.Array:
+    """Full correction chain (lensfun order: devignette -> TCA -> distortion,
+    editor.py:425-711 applies color modification first, then subpixel
+    remaps, then geometry)."""
+    if profile.vignetting is not None:
+        planes = devignette(
+            planes, jnp.asarray(profile.vignetting, dtype=jnp.float32), extent
+        )
+    if profile.tca is not None:
+        planes = correct_tca(
+            planes,
+            jnp.float32(profile.tca[0]),
+            jnp.float32(profile.tca[1]),
+            extent,
+        )
+    if profile.distortion is not None:
+        planes = correct_distortion(
+            planes,
+            jnp.asarray(profile.distortion, dtype=jnp.float32),
+            model=profile.distortion_model,
+            extent=extent,
+        )
+    return planes

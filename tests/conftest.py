@@ -8,6 +8,9 @@ tests then see an 8-device mesh without TPU hardware (SURVEY.md §4d).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache in tests: CPU AOT artifacts are
+# machine-feature-specific and reloading them across hosts warns/SIGILLs.
+os.environ["RPF_JAX_CACHE"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
