@@ -1,0 +1,117 @@
+"""Preview-server API tests (in-process, CPU backend)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rawphotoforge_tpu.app.server import serve
+from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+from conftest import random_linear_image
+
+
+@pytest.fixture(scope="module")
+def base_url():
+    rng = np.random.default_rng(42)
+    ed = PhotoEditor.from_rgb_f32(
+        random_linear_image(rng, 60, 90),
+        use_pallas=False, mid_long_edge=48, low_long_edge=24,
+    )
+    httpd = serve(ed, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read() or b"{}")
+
+
+def test_index_page(base_url):
+    status, ctype, body = _get(base_url + "/")
+    assert status == 200 and "text/html" in ctype
+    assert b"RawPhotoForge-TPU" in body
+
+
+def test_preview_jpeg(base_url):
+    for level in ("low", "mid", "full"):
+        status, ctype, body = _get(base_url + f"/preview?level={level}")
+        assert status == 200 and ctype == "image/jpeg"
+        assert body[:2] == b"\xff\xd8"  # JPEG SOI
+
+
+def test_edit_changes_preview(base_url):
+    _, _, before = _get(base_url + "/preview?level=mid")
+    status, _ = _post(base_url + "/edit", {"exposure": 2.0})
+    assert status == 200
+    _, _, after = _get(base_url + "/preview?level=mid")
+    assert before != after
+    _post(base_url + "/reset", {})
+
+
+def test_histogram_endpoint(base_url):
+    status, _, body = _get(base_url + "/histogram")
+    h = json.loads(body)
+    assert status == 200
+    assert len(h) == 4 and len(h[0]) == 256
+
+
+def test_curve_edit(base_url):
+    status, _ = _post(
+        base_url + "/edit",
+        {"curve_brightness": [[0, 0], [30000, 45000], [65535, 65535]]},
+    )
+    assert status == 200
+    _post(base_url + "/reset", {})
+
+
+def test_mask_endpoints(base_url):
+    status, _ = _post(
+        base_url + "/mask/add", {"name": "spot", "point": [10, 10], "tolerance": 0.2}
+    )
+    assert status == 200
+    _, _, body = _get(base_url + "/masks")
+    assert json.loads(body) == ["main", "spot"]
+    _post(base_url + "/mask/invert", {"name": "spot"})
+    _post(base_url + "/mask/remove", {"name": "spot"})
+    _, _, body = _get(base_url + "/masks")
+    assert json.loads(body) == ["main"]
+
+
+def test_preset_roundtrip(base_url):
+    _post(base_url + "/edit", {"contrast": 40})
+    _, _, preset = _get(base_url + "/preset")
+    obj = json.loads(preset)
+    assert obj["masks"][0]["params"]["contrast"] == 40
+    status, _ = _post(base_url + "/preset", obj)
+    assert status == 200
+    _post(base_url + "/reset", {})
+
+
+def test_export_endpoint(base_url):
+    status, ctype, body = _get(base_url + "/export")
+    assert status == 200 and ctype == "image/jpeg" and body[:2] == b"\xff\xd8"
+
+
+def test_bad_request_returns_400(base_url):
+    req = urllib.request.Request(
+        base_url + "/mask/remove", data=b'{"wrong": 1}', method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
