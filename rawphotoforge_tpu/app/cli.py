@@ -95,6 +95,7 @@ def cmd_info(args) -> int:
 
 
 def cmd_develop(args) -> int:
+    image_io.format_for_path(args.output)  # validate before spending a render
     t0 = time.perf_counter()
     ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path)
     t_load = time.perf_counter() - t0
@@ -148,6 +149,24 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_devices(args) -> int:
+    """List accelerator devices (the GPU adapter-picker analog,
+    rust-godot-legacy settings_window.gd:46-49)."""
+    import jax
+
+    for i, d in enumerate(jax.devices()):
+        print(f"[{i}] {d.platform}: {d}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .server import main as server_main
+
+    return server_main(
+        ([args.image] if args.image else []) + ["--port", str(args.port)]
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rawphotoforge-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -168,8 +187,25 @@ def main(argv=None) -> int:
     _add_edit_flags(p_batch)
     p_batch.set_defaults(fn=cmd_batch)
 
+    p_ls = sub.add_parser("devices", help="list accelerator devices")
+    p_ls.set_defaults(fn=cmd_devices)
+
+    p_srv = sub.add_parser("serve", help="run the interactive preview server")
+    p_srv.add_argument("image", nargs="?")
+    p_srv.add_argument("--port", type=int, default=8080)
+    p_srv.set_defaults(fn=cmd_serve)
+
     args = ap.parse_args(argv)
-    return args.fn(args)
+    from ..errors import PhotoEditorError
+
+    try:
+        return args.fn(args)
+    except PhotoEditorError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

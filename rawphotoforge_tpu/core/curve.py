@@ -30,7 +30,10 @@ CURVE_RESOLUTION = 65536  # rust/photo-editor/src/lib.rs:17
 MAX_CTRL = 32  # static padding bound for control points (UI uses <= ~16)
 
 
-class CurveError(ValueError):
+from .._errbase import PhotoEditorError
+
+
+class CurveError(PhotoEditorError, ValueError):
     """Raised for invalid control points (mirrors InterpolationError,
     rust/photo-editor/src/errors.rs)."""
 

@@ -61,7 +61,10 @@ def _pad_to_bucket(
     return jnp.pad(arr, pad, mode=mode)
 
 
-class MaskNotFound(KeyError):
+from .._errbase import PhotoEditorError
+
+
+class MaskNotFound(PhotoEditorError, KeyError):
     """Mirrors PhotoEditorError::MaskNotFound (errors.rs)."""
 
 

@@ -55,7 +55,10 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
-class DngError(ValueError):
+from .._errbase import PhotoEditorError
+
+
+class DngError(PhotoEditorError, ValueError):
     """Unsupported or malformed RAW container."""
 
 

@@ -34,7 +34,10 @@ SUPPORTED_EXTENSIONS = {
 }
 
 
-class ImageIOError(ValueError):
+from .._errbase import PhotoEditorError
+
+
+class ImageIOError(PhotoEditorError, ValueError):
     """Unsupported or undecodable image data (errors.rs taxonomy)."""
 
 

@@ -1,0 +1,77 @@
+"""CLI end-to-end tests (CPU backend, jnp path for speed)."""
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from rawphotoforge_tpu.app.cli import main
+
+from conftest import random_linear_image
+
+
+@pytest.fixture
+def jpeg_path(tmp_path, rng):
+    yy, xx = np.mgrid[0:60, 0:90].astype(np.float32)
+    img = np.stack([yy / 60, xx / 90, (yy + xx) / 150], -1)
+    p = tmp_path / "in.jpg"
+    PILImage.fromarray((img * 255).astype(np.uint8)).save(p, quality=95)
+    return str(p)
+
+
+def test_info(jpeg_path, capsys):
+    assert main(["info", jpeg_path]) == 0
+    out = capsys.readouterr().out
+    assert "90x60" in out
+
+
+def test_develop_roundtrip(jpeg_path, tmp_path, capsys):
+    out = tmp_path / "out.png"
+    rc = main([
+        "develop", jpeg_path, str(out),
+        "--exposure", "0.5", "--contrast", "20", "--jnp-path",
+        "--brightness-curve", "0:0,30000:40000,65535:65535",
+        "--save-preset", str(tmp_path / "p.json"), "--histogram",
+    ])
+    assert rc == 0
+    assert out.exists()
+    assert (tmp_path / "p.json").exists()
+    assert "developed 90x60" in capsys.readouterr().out
+
+
+def test_develop_with_preset(jpeg_path, tmp_path):
+    preset = tmp_path / "p.json"
+    out1 = tmp_path / "a.png"
+    out2 = tmp_path / "b.png"
+    main(["develop", jpeg_path, str(out1), "--exposure", "1.0", "--jnp-path",
+          "--save-preset", str(preset)])
+    main(["develop", jpeg_path, str(out2), "--preset", str(preset), "--jnp-path"])
+    a = np.asarray(PILImage.open(out1))
+    b = np.asarray(PILImage.open(out2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch(jpeg_path, tmp_path, capsys):
+    import shutil, os
+
+    ind = tmp_path / "in"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    shutil.copy(jpeg_path, ind / "a.jpg")
+    shutil.copy(jpeg_path, ind / "b.jpg")
+    rc = main(["batch", str(ind), str(outd), "--exposure", "0.3", "--jnp-path"])
+    assert rc == 0
+    assert sorted(os.listdir(outd)) == ["a.jpg", "b.jpg"]
+
+
+def test_error_paths(jpeg_path, tmp_path, capsys):
+    assert main(["develop", jpeg_path, str(tmp_path / "x.xyz")]) == 2
+    assert "unsupported image format" in capsys.readouterr().err
+    assert main(["develop", jpeg_path, str(tmp_path / "x.jpg"),
+                 "--brightness-curve", "9:9,1:1"]) == 2
+    assert "strictly increasing" in capsys.readouterr().err
+    assert main(["info", str(tmp_path / "missing.jpg")]) == 2
+
+
+def test_devices(capsys):
+    assert main(["devices"]) == 0
+    assert "[0]" in capsys.readouterr().out
