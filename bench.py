@@ -56,7 +56,8 @@ def main() -> int:
     @functools.partial(jax.jit, static_argnames=("iters",))
     def chained(planes, params, masks, iters):
         def body(_, x):
-            return fused.develop_post_geo_fused(x, params, masks)
+            return fused.develop_post_geo_fused(
+                x, params, masks, main_mask_all_ones=True)
         return jax.lax.fori_loop(0, iters, body, planes)
 
     def timed(fn):

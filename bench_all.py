@@ -63,8 +63,9 @@ def main() -> int:
     planes = jax.random.uniform(key, (3, h, w), dtype=jnp.float32)
     masks = jnp.ones((1, h, w), dtype=jnp.float32)
     params = edit_params()
+    dev_fn = functools.partial(fused.develop_post_geo_fused, main_mask_all_ones=True)
     dt = device_time(
-        fused.develop_post_geo_fused, planes, params, masks,
+        dev_fn, planes, params, masks,
         chain=lambda i, out, a: (out,) + a[1:],
     )
     results["c1_24mp_edit_ms"] = dt * 1e3
@@ -103,7 +104,8 @@ def main() -> int:
     def full_stack(m):
         rgb = dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
         rgb = unsharp_mask(rgb, jnp.float32(0.8))
-        srgb = fused.develop_post_geo_fused(rgb, params3, masks3)
+        srgb = fused.develop_post_geo_fused(rgb, params3, masks3,
+                                            main_mask_all_ones=True)
         hist = histogram_rgbl(srgb)
         return srgb, hist
 
@@ -128,7 +130,8 @@ def main() -> int:
         # needs many chained iterations to rise above launch jitter.
         return max(
             device_time(
-                fused.develop_post_geo_fused, pl, pr, mk, iters=200,
+                functools.partial(fused.develop_post_geo_fused,
+                                  main_mask_all_ones=True), pl, pr, mk, iters=200,
                 chain=lambda i, out, a: (out,) + a[1:],
             ),
             0.0,
@@ -154,7 +157,8 @@ def main() -> int:
     def export_chunk(ms):
         def one(m):
             rgb = dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
-            srgb = fused.develop_post_geo_fused(rgb, params5, masks5)
+            srgb = fused.develop_post_geo_fused(rgb, params5, masks5,
+                                                main_mask_all_ones=True)
             return (jnp.clip(srgb, 0, 1) * 255.0).astype(jnp.uint8)
 
         return jax.vmap(one)(ms)

@@ -348,7 +348,9 @@ class PhotoEditor:
         if self.use_pallas:
             from ..kernels import fused
 
-            out = fused.develop_post_geo_fused(geo, params, masks)
+            out = fused.develop_post_geo_fused(
+                geo, params, masks, main_mask_all_ones=True
+            )
         else:
             out = dev.develop_post_geo_jit(geo, params, masks)
         h, w = self._extents[level]

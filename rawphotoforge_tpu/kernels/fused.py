@@ -38,10 +38,11 @@ from . import ktrig
 
 LUT_MAX = 65535.0
 
-# Default tile: 256 sublanes x 512 lanes, f32. VMEM: (3 in + 3 out) planes
-# = 3 MiB + 0.5 MiB per mask — comfortably inside ~16 MiB with double
-# buffering.
-TILE_H = 256
+# Default tile: 16 sublanes x 512 lanes, f32. Counterintuitively small:
+# the kernel holds ~15 live full-tile temporaries (tone chain, OKLCH
+# round trip, curve accumulators), and at 256x512 those spill VMEM —
+# measured 7.7 ms for a 24MP frame at 256x512 vs 4.9 ms at 16x512.
+TILE_H = 16
 TILE_W = 512
 
 
@@ -95,16 +96,20 @@ def _develop_kernel(
     dknots_ref,   # SMEM (M*4, S) f32
     dcoeffs_ref,  # SMEM (M*4, S*4) f32
     img_ref,      # VMEM (3, TH, TW) f32
-    masks_ref,    # VMEM (M, TH, TW) f32
-    out_ref,      # VMEM (3, TH, TW) f32
-    *,
+    *rest_refs,   # [masks_ref VMEM (M, TH, TW) f32 unless main_only] out_ref
     num_masks: int,
     num_seg: int,
     full_h: int,
     full_w: int,
     tile_h: int,
     tile_w: int,
+    main_only: bool,
 ):
+    if main_only:
+        (out_ref,) = rest_refs
+        masks_ref = None
+    else:
+        masks_ref, out_ref = rest_refs
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
@@ -124,9 +129,11 @@ def _develop_kernel(
     dknots = dknots_ref
     dcoeffs = dcoeffs_ref
 
-    # Per-mask linear pass (wgsl:279-308).
+    # Per-mask linear pass (wgsl:279-308). Mask 0 is the all-ones main mask
+    # by construction (lib.rs:100-113): when the caller asserts main_only,
+    # the mask read and selects are elided entirely.
     for k in range(num_masks):
-        sel = masks_ref[k] == 1.0
+        sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
         gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
         rk, gk, bk = pointwise.white_balance(r, g, b, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
@@ -135,21 +142,27 @@ def _develop_kernel(
         rk = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
         gk = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
         bk = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-        r = jnp.where(sel, rk, r)
-        g = jnp.where(sel, gk, g)
-        b = jnp.where(sel, bk, b)
+        if sel is None:
+            r, g, b = rk, gk, bk
+        else:
+            r = jnp.where(sel, rk, r)
+            g = jnp.where(sel, gk, g)
+            b = jnp.where(sel, bk, b)
 
     # Per-mask OKLCH pass (wgsl:310-331). Polynomial trig: Mosaic has no
     # atan2/sin/cos primitives.
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
-        sel = masks_ref[k] == 1.0
+        sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
         new_h = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 1, num_seg, LUT_MAX)
         sat_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 2, num_seg, 32767.5)
         light_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 3, num_seg, 32767.5)
-        H = jnp.where(sel, new_h, H)
-        C = jnp.where(sel, C * sat_g, C)
-        L = jnp.where(sel, L * light_g, L)
+        if sel is None:
+            H, C, L = new_h, C * sat_g, L * light_g
+        else:
+            H = jnp.where(sel, new_h, H)
+            C = jnp.where(sel, C * sat_g, C)
+            L = jnp.where(sel, L * light_g, L)
     r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
 
     out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
@@ -157,23 +170,32 @@ def _develop_kernel(
     out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "main_mask_all_ones")
+)
 def develop_post_geo_fused(
     planes: jax.Array,
     params: DevelopParams,
     masks: jax.Array,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    main_mask_all_ones: bool = False,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
     Same signature and semantics (to curve-evaluation tolerance): planes
     f32 [3, H, W] post-geometry linear image, masks f32 [M, H, W],
     returns sRGB-encoded f32 [3, H, W] in [0, 1].
+
+    ``main_mask_all_ones``: caller-asserted invariant that mask row 0 is
+    all ones (always true for editor sessions, lib.rs:100-113) — elides the
+    main-mask read/selects, and with a single mask skips streaming the mask
+    array entirely (~14% of HBM traffic).
     """
     _, h, w = planes.shape
     m = masks.shape[0]
     s = params.breaks.shape[-1]
+    main_only = main_mask_all_ones and m == 1
 
     tile_h = min(tile_h, max(8, h))
     tile_w = min(tile_w, max(128, w))
@@ -200,28 +222,35 @@ def develop_post_geo_fused(
         full_w=w,
         tile_h=tile_h,
         tile_w=tile_w,
+        main_only=main_only,
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.SMEM)
+    in_specs = [
+        smem((1, 3)),
+        smem((m, 3)),
+        smem((m, 6)),
+        smem((m * 4, s)),
+        smem((m * 4, s)),
+        smem((m * 4, s * 4)),
+        pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [vig, params.gains, params.tone, knots, dknots, dcoeffs, planes]
+    if not main_only:
+        in_specs.append(
+            pl.BlockSpec((m, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(masks)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            smem((1, 3)),
-            smem((m, 3)),
-            smem((m, 6)),
-            smem((m * 4, s)),
-            smem((m * 4, s)),
-            smem((m * 4, s * 4)),
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile_h, tile_w), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
         interpret=_interpret(),
-    )(vig, params.gains, params.tone, knots, dknots, dcoeffs, planes, masks)
+    )(*inputs)
