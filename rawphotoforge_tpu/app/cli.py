@@ -49,6 +49,8 @@ def _add_edit_flags(p: argparse.ArgumentParser):
     p.add_argument("--vignette", type=int, default=0)
     p.add_argument("--lens-distortion", type=int, default=0)
     p.add_argument("--sharpness", type=int, default=0)
+    p.add_argument("--crop", type=str, default=None,
+                   help='crop rect "x0,y0,x1,y1" in source pixels')
     p.add_argument("--brightness-curve", type=str, default=None,
                    help='control points "x:y,x:y,..." in [0,65535]')
     p.add_argument("--hue-curve", type=str, default=None)
@@ -65,6 +67,9 @@ def _add_edit_flags(p: argparse.ArgumentParser):
 
 
 def _apply_edit_flags(ed: PhotoEditor, args):
+    if args.crop:
+        x0, y0, x1, y1 = (int(v) for v in args.crop.split(","))
+        ed.set_crop(x0, y0, x1, y1)
     if args.preset:
         ed.load_preset(args.preset)
         return

@@ -3,10 +3,12 @@
 The reference ships three UIs (web/main.ts, Godot main.gd, tkinter
 raw_photo_forge.py) all with the same shape: slider edits -> re-render at a
 preview resolution (drag->LOW, release->MID, export->FULL,
-web/main.ts:900-907) -> present, plus curve editors, histogram, EXIF table,
-masks and presets. This module provides that surface as a local HTTP app:
-a single-page UI (vanilla JS sliders + curve points + histogram canvas)
-talking JSON to a PhotoEditor session, with previews streamed as JPEG.
+web/main.ts:900-907) -> present, plus curve editors (tone_curve_editor.ts),
+histogram overlay, EXIF table, masks, presets, settings and i18n. This
+module provides that surface as a local HTTP app: a single-page UI (vanilla
+JS sliders + a draggable-control-point curve editor with client-side PCHIP
+preview + histogram canvas) talking JSON to a PhotoEditor session, with
+previews streamed as JPEG.
 
 Run:  python -m rawphotoforge_tpu.app.server [--port 8080] [image]
 """
@@ -22,26 +24,49 @@ import numpy as np
 
 from ..core.params import CURVE_NAMES
 from ..engine.editor import PhotoEditor, FULL, MID, LOW
+from ..engine.session import Settings
 from ..io import image_io
+from .translations import tr
 
 _PAGE = """<!DOCTYPE html>
-<html><head><title>RawPhotoForge-TPU</title><style>
-body{font-family:sans-serif;display:flex;margin:0;background:#222;color:#ddd}
-#side{width:300px;padding:12px;overflow-y:auto;height:100vh;box-sizing:border-box}
-#main{flex:1;display:flex;flex-direction:column;align-items:center;padding:10px}
-#preview{max-width:100%;max-height:80vh}
-label{display:block;font-size:12px;margin-top:8px}
-input[type=range]{width:100%}
-canvas{background:#111;width:100%;height:80px}
-button{margin:4px 2px}
+<html><head><title>{app_title}</title><style>
+body{{font-family:sans-serif;display:flex;margin:0;background:#222;color:#ddd}}
+#side{{width:320px;padding:12px;overflow-y:auto;height:100vh;box-sizing:border-box}}
+#main{{flex:1;display:flex;flex-direction:column;align-items:center;padding:10px}}
+#preview{{max-width:100%;max-height:85vh}}
+label{{display:block;font-size:12px;margin-top:6px}}
+input[type=range]{{width:100%}}
+canvas{{background:#111;width:100%}}
+button,select{{margin:3px 2px;background:#333;color:#ddd;border:1px solid #555}}
+a{{color:#8cf}}
 </style></head><body>
 <div id=side>
-  <h3>RawPhotoForge-TPU</h3>
-  <canvas id=hist width=256 height=80></canvas>
+  <h3>{app_title}</h3>
+  <canvas id=hist width=256 height=70></canvas>
   <div id=sliders></div>
-  <button onclick="resetAll()">Reset</button>
-  <button onclick="savePreset()">Save preset</button>
-  <a id=dl style="color:#8cf" href="/export" download="export.jpg">Export JPEG</a>
+  <label>{curve}:
+    <select id=curvesel>
+      <option value=brightness>{brightness}</option>
+      <option value=hue>{hue}</option>
+      <option value=saturation>{saturation}</option>
+      <option value=lightness>{lightness}</option>
+    </select>
+  </label>
+  <canvas id=curve width=256 height=160></canvas>
+  <div style="font-size:11px;color:#888">click: add / drag: move / dblclick: remove</div>
+  <button onclick="resetAll()">{reset}</button>
+  <button onclick="savePreset()">{save_preset}</button>
+  <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
+  <details><summary>{settings}</summary>
+    <label>{language}
+      <select id=locale onchange="saveSettings()">
+        <option value=en>English</option><option value=ja>日本語</option>
+      </select></label>
+    <label>{preview_size}
+      <input id=uiPreview type=number min=500 max=2000 onchange="saveSettings()"></label>
+    <label>{drag_preview_size}
+      <input id=dragPreview type=number min=100 max=800 onchange="saveSettings()"></label>
+  </details>
   <pre id=exif style="font-size:11px"></pre>
 </div>
 <div id=main><img id=preview src="/preview?level=mid"></div>
@@ -50,62 +75,158 @@ const SLIDERS=[["exposure",-6,6,0.05],["contrast",-100,100,1],["shadow",-100,100
  ["highlight",-100,100,1],["black",-100,100,1],["white",-100,100,1],
  ["wb_temperature",-100,100,1],["wb_tint",-100,100,1],["vignette",-100,100,1],
  ["lens_distortion",-100,100,1],["sharpness",0,100,1]];
-const state={};
+const LABELS={labels_json};
+const state={{}};
 const box=document.getElementById('sliders');
-for(const [name,lo,hi,st] of SLIDERS){
+for(const [name,lo,hi,st] of SLIDERS){{
   state[name]=0;
   box.insertAdjacentHTML('beforeend',
-   `<label>${name}: <span id=v_${name}>0</span>
-    <input type=range id=s_${name} min=${lo} max=${hi} step=${st} value=0></label>`);
+   `<label>${{LABELS[name]||name}}: <span id=v_${{name}}>0</span>
+    <input type=range id=s_${{name}} min=${{lo}} max=${{hi}} step=${{st}} value=0></label>`);
   const el=document.getElementById('s_'+name);
-  el.oninput=()=>{state[name]=parseFloat(el.value);
-    document.getElementById('v_'+name).textContent=el.value;push('low');};
-  el.onchange=()=>{push('mid');};
-}
+  el.oninput=()=>{{state[name]=parseFloat(el.value);
+    document.getElementById('v_'+name).textContent=el.value;push('low');}};
+  el.onchange=()=>{{push('mid');}};
+}}
+// ---- curve editor (tone_curve_editor.ts analog) ----
+const curves={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
+ saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
+let curCurve='brightness', dragIdx=-1;
+const cc=document.getElementById('curve'), ctx=cc.getContext('2d');
+document.getElementById('curvesel').onchange=e=>{{curCurve=e.target.value;drawCurve();}};
+function toPx(p){{return [p[0]/65535*255, 159-p[1]/65535*159];}}
+function fromPx(x,y){{return [Math.round(x/255*65535), Math.round((159-y)/159*65535)];}}
+function pchipSample(pts,xs){{
+  const n=pts.length, X=pts.map(p=>p[0]), Y=pts.map(p=>p[1]);
+  if(n===1) return xs.map(_=>Y[0]);
+  const h=[],d=[];
+  for(let i=0;i<n-1;i++){{h.push(X[i+1]-X[i]);d.push((Y[i+1]-Y[i])/(X[i+1]-X[i]));}}
+  const m=[d[0]];
+  for(let i=1;i<n-1;i++){{
+    if(d[i-1]*d[i]<=0)m.push(0);
+    else{{const w1=2*h[i]+h[i-1],w2=h[i]+2*h[i-1];m.push((w1+w2)/(w1/d[i-1]+w2/d[i]));}}
+  }}
+  m.push(d[n-2]);
+  return xs.map(x=>{{
+    if(x<=X[0])return Y[0]; if(x>=X[n-1])return Y[n-1];
+    let i=0; while(i<n-2&&X[i+1]<x)i++;
+    const t=(x-X[i])/h[i],t2=t*t,t3=t2*t;
+    return (2*t3-3*t2+1)*Y[i]+(t3-2*t2+t)*h[i]*m[i]
+          +(-2*t3+3*t2)*Y[i+1]+(t3-t2)*h[i]*m[i+1];
+  }});
+}}
+function drawCurve(){{
+  ctx.clearRect(0,0,256,160);
+  ctx.strokeStyle='#444';
+  ctx.strokeRect(0,0,256,160);
+  const pts=curves[curCurve];
+  const xs=Array.from({{length:128}},(_,i)=>i/127*65535);
+  const ys=pchipSample(pts,xs);
+  ctx.strokeStyle='#8cf';ctx.beginPath();
+  xs.forEach((x,i)=>{{const px=x/65535*255,py=159-Math.min(Math.max(ys[i],0),65535)/65535*159;
+    i?ctx.lineTo(px,py):ctx.moveTo(px,py);}});
+  ctx.stroke();
+  ctx.fillStyle='#fc6';
+  for(const p of pts){{const [px,py]=toPx(p);ctx.fillRect(px-3,py-3,6,6);}}
+}}
+function curvePos(e){{
+  const r=cc.getBoundingClientRect();
+  return [(e.clientX-r.left)*256/r.width,(e.clientY-r.top)*160/r.height];
+}}
+cc.onmousedown=e=>{{
+  const [x,y]=curvePos(e);const pts=curves[curCurve];
+  dragIdx=pts.findIndex(p=>{{const [px,py]=toPx(p);return Math.abs(px-x)<8&&Math.abs(py-y)<8;}});
+  if(dragIdx<0){{
+    const np=fromPx(x,y);
+    pts.push(np);pts.sort((a,b)=>a[0]-b[0]);dragIdx=pts.indexOf(np);drawCurve();
+  }}
+}};
+cc.onmousemove=e=>{{
+  if(dragIdx<0)return;
+  const [x,y]=curvePos(e);const pts=curves[curCurve];
+  const lo=dragIdx>0?pts[dragIdx-1][0]+64:0;
+  const hi=dragIdx<pts.length-1?pts[dragIdx+1][0]-64:65535;
+  const np=fromPx(x,y);
+  pts[dragIdx]=[Math.min(Math.max(np[0],lo),hi),Math.min(Math.max(np[1],0),65535)];
+  drawCurve();
+}};
+cc.onmouseup=()=>{{if(dragIdx>=0){{dragIdx=-1;sendCurves('mid');}}}};
+cc.ondblclick=e=>{{
+  const [x,y]=curvePos(e);const pts=curves[curCurve];
+  const i=pts.findIndex(p=>{{const [px,py]=toPx(p);return Math.abs(px-x)<8&&Math.abs(py-y)<8;}});
+  if(i>=0&&pts.length>2){{pts.splice(i,1);drawCurve();sendCurves('mid');}}
+}};
+function sendCurves(level){{
+  for(const name in curves) state['curve_'+name]=curves[name];
+  push(level);
+}}
+// ---- render loop ----
 let busy=false,queued=null;
-async function push(level){
-  if(busy){queued=level;return;}
+async function push(level){{
+  if(busy){{queued=level;return;}}
   busy=true;
-  await fetch('/edit',{method:'POST',body:JSON.stringify(state)});
+  await fetch('/edit',{{method:'POST',body:JSON.stringify(state)}});
   document.getElementById('preview').src='/preview?level='+level+'&t='+Date.now();
   const h=await (await fetch('/histogram')).json();
   drawHist(h);
   busy=false;
-  if(queued){const q=queued;queued=null;push(q);}
-}
-function drawHist(h){
+  if(queued){{const q=queued;queued=null;push(q);}}
+}}
+function drawHist(h){{
   const c=document.getElementById('hist').getContext('2d');
-  c.clearRect(0,0,256,80);
+  c.clearRect(0,0,256,70);
   const colors=['#f55','#5f5','#59f','#ccc'];
   const m=Math.max(1,...h.flat());
-  h.forEach((row,ci)=>{c.strokeStyle=colors[ci];c.beginPath();
-    row.forEach((v,i)=>{const y=80-78*v/m; i?c.lineTo(i,y):c.moveTo(i,y);});c.stroke();});
-}
-async function resetAll(){
-  await fetch('/reset',{method:'POST'});
-  for(const [name] of SLIDERS){state[name]=0;
+  h.forEach((row,ci)=>{{c.strokeStyle=colors[ci];c.beginPath();
+    row.forEach((v,i)=>{{const y=70-68*v/m; i?c.lineTo(i,y):c.moveTo(i,y);}});c.stroke();}});
+}}
+async function resetAll(){{
+  await fetch('/reset',{{method:'POST'}});
+  for(const [name] of SLIDERS){{state[name]=0;
     document.getElementById('s_'+name).value=0;
-    document.getElementById('v_'+name).textContent='0';}
-  push('mid');
-}
-async function savePreset(){
+    document.getElementById('v_'+name).textContent='0';}}
+  curves.brightness=[[0,0],[65535,65535]];curves.hue=[[0,0],[65535,65535]];
+  curves.saturation=[[0,32767],[65535,32767]];curves.lightness=[[0,32767],[65535,32767]];
+  for(const k in state) if(k.startsWith('curve_')) delete state[k];
+  drawCurve();push('mid');
+}}
+async function savePreset(){{
   const p=await (await fetch('/preset')).text();
   const a=document.createElement('a');
   a.href=URL.createObjectURL(new Blob([p]));a.download='preset.json';a.click();
-}
-fetch('/exif').then(r=>r.json()).then(e=>{
+}}
+async function saveSettings(){{
+  await fetch('/settings',{{method:'POST',body:JSON.stringify({{
+    locale:document.getElementById('locale').value,
+    ui_preview_size:parseInt(document.getElementById('uiPreview').value),
+    drag_preview_size:parseInt(document.getElementById('dragPreview').value)}})}});
+}}
+fetch('/settings').then(r=>r.json()).then(s=>{{
+  document.getElementById('locale').value=s.locale;
+  document.getElementById('uiPreview').value=s.ui_preview_size;
+  document.getElementById('dragPreview').value=s.drag_preview_size;}});
+fetch('/exif').then(r=>r.json()).then(e=>{{
   document.getElementById('exif').textContent=
-    Object.entries(e).map(([k,v])=>k+': '+v).join('\\n');});
-push('mid');
+    Object.entries(e).map(([k,v])=>k+': '+v).join('\\n');}});
+drawCurve();push('mid');
 </script></body></html>"""
 
 
 class EditorApp:
-    """The server's model object: one PhotoEditor + its lock."""
+    """The server's model object: one PhotoEditor + its lock + settings."""
 
-    def __init__(self, editor: PhotoEditor):
+    def __init__(self, editor: PhotoEditor, settings: Settings | None = None,
+                 settings_path: str | None = None):
         self.editor = editor
         self.lock = threading.Lock()
+        self.settings = settings or Settings.load(settings_path)
+        self.settings_path = settings_path
+
+    def page(self) -> str:
+        labels = tr(self.settings.locale)
+        return _PAGE.format(
+            labels_json=json.dumps(labels, ensure_ascii=False), **labels
+        )
 
     def apply_state(self, st: dict):
         ed = self.editor
@@ -146,13 +267,19 @@ def make_handler(app: EditorApp):
             q = urllib.parse.parse_qs(url.query)
             with app.lock:
                 if url.path == "/":
-                    self._send(200, _PAGE.encode(), "text/html")
+                    self._send(200, app.page().encode(), "text/html")
                 elif url.path == "/preview":
                     level = q.get("level", ["mid"])[0]
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
                     self._send(200, app.preview_jpeg(level), "image/jpeg")
                 elif url.path == "/export":
-                    self._send(200, app.editor.save_bytes("JPEG"), "image/jpeg")
+                    self._send(
+                        200,
+                        app.editor.save_bytes(
+                            "JPEG", quality=app.settings.jpeg_quality
+                        ),
+                        "image/jpeg",
+                    )
                 elif url.path == "/histogram":
                     h = app.editor.histogram(MID).tolist()
                     self._send(200, json.dumps(h).encode())
@@ -162,6 +289,8 @@ def make_handler(app: EditorApp):
                     self._send(200, app.editor.preset_json().encode())
                 elif url.path == "/masks":
                     self._send(200, json.dumps(app.editor.mask_names()).encode())
+                elif url.path == "/settings":
+                    self._send(200, json.dumps(app.settings.to_json()).encode())
                 else:
                     self._send(404, b"{}")
 
@@ -176,10 +305,24 @@ def make_handler(app: EditorApp):
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/reset":
                         app.editor.reset()
+                        app.editor.clear_crop()
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/preset":
                         app.editor.load_preset_json(json.dumps(body))
                         self._send(200, b'{"ok": true}')
+                    elif url.path == "/crop":
+                        if body.get("clear"):
+                            app.editor.clear_crop()
+                        else:
+                            app.editor.set_crop(
+                                body["x0"], body["y0"], body["x1"], body["y1"]
+                            )
+                        self._send(200, b'{"ok": true}')
+                    elif url.path == "/settings":
+                        merged = {**app.settings.to_json(), **body}
+                        app.settings = Settings.from_json(merged)
+                        app.settings.save(app.settings_path)
+                        self._send(200, json.dumps(app.settings.to_json()).encode())
                     elif url.path == "/mask/add":
                         if "point" in body:
                             app.editor.add_similarity_mask(
@@ -206,8 +349,9 @@ def make_handler(app: EditorApp):
     return Handler
 
 
-def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1"):
-    app = EditorApp(editor)
+def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1",
+          settings: Settings | None = None, settings_path: str | None = None):
+    app = EditorApp(editor, settings=settings, settings_path=settings_path)
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd
 
@@ -219,12 +363,17 @@ def main(argv=None) -> int:
     ap.add_argument("image", nargs="?")
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args(argv)
+    settings = Settings.load()
     if args.image:
-        ed = PhotoEditor.open(args.image)
+        ed = PhotoEditor.open(
+            args.image,
+            mid_long_edge=settings.ui_preview_size,
+            low_long_edge=settings.drag_preview_size,
+        )
     else:
         rng = np.random.default_rng(0)
         ed = PhotoEditor.from_rgb_f32(rng.random((600, 900, 3)).astype(np.float32) ** 2)
-    httpd = serve(ed, port=args.port)
+    httpd = serve(ed, port=args.port, settings=settings)
     print(f"serving on http://127.0.0.1:{args.port}/")
     httpd.serve_forever()
     return 0

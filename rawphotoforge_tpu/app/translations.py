@@ -1,0 +1,84 @@
+"""UI translations (en/ja) — the i18n surface of the reference UIs
+(web/translations/translation.json: 56 keys en/ja, loaded by
+web/main.ts:41-60; python-legacy load_translations raw_photo_forge.py:1039).
+
+Keys cover the slider/tab/button vocabulary; the server injects the chosen
+locale's strings into the page.
+"""
+
+TRANSLATIONS = {
+    "en": {
+        "app_title": "RawPhotoForge-TPU",
+        "exposure": "Exposure",
+        "contrast": "Contrast",
+        "shadow": "Shadow",
+        "highlight": "Highlight",
+        "black": "Black",
+        "white": "White",
+        "wb_temperature": "WB Temperature",
+        "wb_tint": "WB Tint",
+        "vignette": "Vignette",
+        "lens_distortion": "Lens Distortion",
+        "sharpness": "Sharpness",
+        "mask_range": "Mask Range",
+        "brightness": "Brightness",
+        "hue": "Hue",
+        "saturation": "Saturation",
+        "lightness": "Lightness",
+        "curve": "Curve",
+        "reset": "Reset",
+        "save_preset": "Save preset",
+        "load_preset": "Load preset",
+        "export_jpeg": "Export JPEG",
+        "histogram": "Histogram",
+        "metadata": "Metadata",
+        "masks": "Masks",
+        "add_mask": "Add mask",
+        "remove_mask": "Remove mask",
+        "invert_mask": "Invert mask",
+        "settings": "Settings",
+        "preview_size": "Preview size",
+        "drag_preview_size": "Drag preview size",
+        "language": "Language",
+        "crop": "Crop",
+    },
+    "ja": {
+        "app_title": "RawPhotoForge-TPU",
+        "exposure": "露出",
+        "contrast": "コントラスト",
+        "shadow": "シャドウ",
+        "highlight": "ハイライト",
+        "black": "ブラック",
+        "white": "ホワイト",
+        "wb_temperature": "色温度",
+        "wb_tint": "色かぶり補正",
+        "vignette": "周辺光量",
+        "lens_distortion": "歪曲収差補正",
+        "sharpness": "シャープネス",
+        "mask_range": "マスク範囲",
+        "brightness": "明るさ",
+        "hue": "色相",
+        "saturation": "彩度",
+        "lightness": "輝度",
+        "curve": "カーブ",
+        "reset": "リセット",
+        "save_preset": "プリセットを保存",
+        "load_preset": "プリセットを読み込む",
+        "export_jpeg": "JPEGを書き出す",
+        "histogram": "ヒストグラム",
+        "metadata": "メタデータ",
+        "masks": "マスク",
+        "add_mask": "マスクを追加",
+        "remove_mask": "マスクを削除",
+        "invert_mask": "マスクを反転",
+        "settings": "設定",
+        "preview_size": "プレビューサイズ",
+        "drag_preview_size": "ドラッグ時プレビューサイズ",
+        "language": "言語",
+        "crop": "切り抜き",
+    },
+}
+
+
+def tr(locale: str) -> dict:
+    return TRANSLATIONS.get(locale, TRANSLATIONS["en"])

@@ -93,7 +93,13 @@ class PhotoEditor:
         if planes.ndim != 3 or planes.shape[0] != 3:
             raise ValueError(f"expected planar [3, H, W] image, got {planes.shape}")
         self.exif = dict(exif or {})
+        # Raw EXIF blob for write-back into exports (the reference's
+        # exiftool metadata write-back, python-legacy editor.py:345-350).
+        self._exif_bytes = self.exif.pop("_exif_bytes", None)
         self.use_pallas = use_pallas
+        # Non-destructive crop rect (x0, y0, x1, y1) in FULL pixel coords,
+        # exclusive ends; None = no crop (v1 capability, editor.py:358-366).
+        self.crop_rect = None
 
         _, h, w = planes.shape
         full = jax.device_put(planes)
@@ -269,6 +275,34 @@ class PhotoEditor:
         self._find(mask_name).params.set_curve(slot, control_x, control_y, raw_lut)
         self._edited()
 
+    def set_crop(self, x0: int, y0: int, x1: int, y1: int):
+        """Non-destructive crop in FULL pixel coordinates (exclusive ends).
+
+        Applied to rendered output at every level (scaled); histograms and
+        exports see the cropped region. Reset with clear_crop()."""
+        h, w = self.shape
+        x0, x1 = sorted((int(x0), int(x1)))
+        y0, y1 = sorted((int(y0), int(y1)))
+        x0 = max(0, x0)
+        y0 = max(0, y0)
+        x1 = min(w, x1)
+        y1 = min(h, y1)
+        if x1 - x0 < 1 or y1 - y0 < 1:
+            raise ValueError(f"empty crop rect ({x0},{y0})-({x1},{y1})")
+        self.crop_rect = (x0, y0, x1, y1)
+        self._edited()
+
+    def clear_crop(self):
+        self.crop_rect = None
+        self._edited()
+
+    @property
+    def cropped_shape(self) -> tuple[int, int]:
+        if self.crop_rect is None:
+            return self.shape
+        x0, y0, x1, y1 = self.crop_rect
+        return (y1 - y0, x1 - x0)
+
     def reset(self):
         """Drop all regional masks and reset main params (lib.rs:227-235)."""
         self.masks = [m for m in self.masks if m.name == "main"]
@@ -355,6 +389,14 @@ class PhotoEditor:
             out = dev.develop_post_geo_jit(geo, params, masks)
         h, w = self._extents[level]
         out = out[:, :h, :w]
+        if self.crop_rect is not None:
+            fh, fw = self.shape
+            x0, y0, x1, y1 = self.crop_rect
+            # Scale the FULL-coordinate rect to this level.
+            sy, sx = h / fh, w / fw
+            cy0, cy1 = int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy))
+            cx0, cx1 = int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx))
+            out = out[:, cy0:cy1, cx0:cx1]
         self._rendered[level] = (self._version, out)
         return out
 
@@ -372,18 +414,25 @@ class PhotoEditor:
 
     def save(self, path: str, quality: int = 95) -> None:
         """Full-resolution render + encode (web/main.ts:910-954 policy:
-        always re-render FULL before export)."""
-        image_io.write_image(path, self.apply(FULL), quality=quality)
+        always re-render FULL before export). Original EXIF is written back
+        into the export (python-legacy editor.py:345-350)."""
+        fmt = image_io.format_for_path(path)
+        with open(path, "wb") as f:
+            f.write(self.save_bytes(fmt, quality=quality))
 
     def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
-        return image_io.encode_image(self.apply(FULL), fmt, quality=quality)
+        return image_io.encode_image(
+            self.apply(FULL), fmt, quality=quality, exif_bytes=self._exif_bytes
+        )
 
     # -- presets / session checkpointing ------------------------------------
     def preset_json(self) -> str:
         """Serialize the complete edit state (all masks' parameters) —
         the session checkpoint (raw_photo_forge.py:2259-2341)."""
         return json.dumps(
-            {"version": 1, "masks": [
+            {"version": 1,
+             "crop": list(self.crop_rect) if self.crop_rect else None,
+             "masks": [
                 {"name": m.name, "params": m.params.to_json()} for m in self.masks
             ]}
         )
@@ -396,6 +445,8 @@ class PhotoEditor:
         for m in self.masks:
             if m.name in by_name:
                 m.params = EditParameters.from_json(by_name[m.name])
+        crop = obj.get("crop")
+        self.crop_rect = tuple(crop) if crop else None
         self._invalidate(masks_changed=False)
 
     def save_preset(self, path: str) -> None:

@@ -1,0 +1,60 @@
+"""Settings persistence — the reference's settings files
+(web/main.ts:268-316 localStorage; Godot user://settings.json
+main.gd:258-284; python-legacy settings.json raw_photo_forge.py:85-157).
+
+Keys and ranges mirror the web UI: uiPreviewSize 500-2000 (default 1280),
+dragPreviewSize 100-800 (default 400), locale en/ja, plus the accelerator
+device index (the Godot adapter picker, settings_window.gd:46-49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+
+def default_settings_path() -> str:
+    return os.environ.get(
+        "RPF_SETTINGS",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".settings.json"),
+    )
+
+
+@dataclasses.dataclass
+class Settings:
+    ui_preview_size: int = 1280
+    drag_preview_size: int = 400
+    locale: str = "en"
+    device_index: int = 0
+    jpeg_quality: int = 95
+
+    def clamp(self) -> "Settings":
+        self.ui_preview_size = int(min(max(self.ui_preview_size, 500), 2000))
+        self.drag_preview_size = int(min(max(self.drag_preview_size, 100), 800))
+        if self.locale not in ("en", "ja"):
+            self.locale = "en"
+        self.jpeg_quality = int(min(max(self.jpeg_quality, 1), 100))
+        return self
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Settings":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known}).clamp()
+
+    def save(self, path: str | None = None) -> None:
+        with open(path or default_settings_path(), "w") as f:
+            json.dump(self.to_json(), f, indent=1)
+
+    @classmethod
+    def load(cls, path: str | None = None) -> "Settings":
+        p = path or default_settings_path()
+        try:
+            with open(p) as f:
+                return cls.from_json(json.load(f))
+        except (OSError, ValueError):
+            return cls()

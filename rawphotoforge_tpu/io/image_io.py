@@ -101,6 +101,11 @@ def decode_image(data: bytes, fmt: str):
     from .exif import parse_exif  # local import to avoid cycle
 
     exif = parse_exif(img)
+    raw_exif = img.info.get("exif")
+    if raw_exif:
+        # Raw blob for metadata write-back into exports (exiftool-style,
+        # python-legacy editor.py:345-350); editors pop this key.
+        exif["_exif_bytes"] = raw_exif
     img = ImageOps.exif_transpose(img)
 
     if img.mode in ("I;16", "I;16B", "I;16L", "I"):
@@ -120,10 +125,11 @@ def decode_image(data: bytes, fmt: str):
     return chw, exif
 
 
-def encode_image(planes, fmt: str, quality: int = 95) -> bytes:
+def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> container bytes.
 
-    Truncating u8 quantization per image.rs:375-383.
+    Truncating u8 quantization per image.rs:375-383. ``exif_bytes`` (a raw
+    EXIF blob from decode) is written back into formats that carry it.
     """
     if fmt == "DNG":
         raise ImageIOError(
@@ -137,10 +143,18 @@ def encode_image(planes, fmt: str, quality: int = 95) -> bytes:
     img = PILImage.fromarray(u8, mode="RGB")
     buf = _io.BytesIO()
     save_kwargs = {}
-    if fmt == "JPEG":
+    if fmt in ("JPEG", "WEBP"):
         save_kwargs["quality"] = quality
-    if fmt == "WEBP":
-        save_kwargs["quality"] = quality
+    if exif_bytes and fmt in ("JPEG", "PNG", "WEBP", "TIFF"):
+        # Pixels were already orientation-corrected at decode; reset the
+        # Orientation tag so viewers don't rotate the export again.
+        try:
+            ex = PILImage.Exif()
+            ex.load(exif_bytes)
+            ex[274] = 1  # Orientation = normal
+            save_kwargs["exif"] = ex.tobytes()
+        except Exception:  # noqa: BLE001 - fall back to the raw blob
+            save_kwargs["exif"] = exif_bytes
     img.save(buf, format=fmt, **save_kwargs)
     return buf.getvalue()
 

@@ -233,3 +233,32 @@ def test_bucketed_shapes_share_padded_shape(rng):
     assert ed_a._originals[FULL].shape == (3, 128, 128)
     assert ed_b._originals[FULL].shape == (3, 128, 128)
     assert ed_a.shape == (40, 64) and ed_b.shape == (100, 120)
+
+
+def test_crop_nondestructive(rng):
+    ed = make_editor(rng, h=40, w=64)
+    full = np.asarray(ed.apply(FULL))
+    ed.set_crop(8, 4, 40, 28)
+    cropped = np.asarray(ed.apply(FULL))
+    assert cropped.shape == (3, 24, 32)
+    np.testing.assert_allclose(cropped, full[:, 4:28, 8:40], atol=1e-6)
+    assert ed.cropped_shape == (24, 32)
+    ed.clear_crop()
+    assert np.asarray(ed.apply(FULL)).shape == (3, 40, 64)
+
+
+def test_crop_in_preset(rng):
+    ed = make_editor(rng)
+    ed.set_crop(0, 0, 32, 20)
+    blob = ed.preset_json()
+    ed2 = make_editor(rng)
+    ed2.load_preset_json(blob)
+    assert ed2.crop_rect == (0, 0, 32, 20)
+
+
+def test_crop_validation(rng):
+    ed = make_editor(rng)
+    with pytest.raises(ValueError):
+        ed.set_crop(5, 5, 5, 20)
+    ed.set_crop(-10, -10, 1000, 1000)  # clamped to image
+    assert ed.crop_rect == (0, 0, 64, 40)

@@ -131,3 +131,26 @@ def test_resize_matches_reference_semantics(rng):
                 c01 * (1 - tx) + c11 * tx
             ) * ty
     np.testing.assert_allclose(out.transpose(1, 2, 0), expected, atol=1e-6)
+
+
+def test_exif_preserved_in_export(tmp_path):
+    from PIL import Image as PILImage
+    from PIL.ExifTags import Base
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    img = PILImage.new("RGB", (24, 16), (120, 80, 200))
+    ex = img.getexif()
+    ex[Base.Make] = "ParityCam"
+    ex[Base.Model] = "X-1"
+    src = tmp_path / "src.jpg"
+    img.save(src, format="JPEG", exif=ex)
+
+    ed = PhotoEditor.open(str(src), use_pallas=False, mid_long_edge=16, low_long_edge=8)
+    assert ed.exif.get("Make") == "ParityCam"
+    out = tmp_path / "out.jpg"
+    ed.set_tone(exposure=0.5)
+    ed.save(str(out))
+    back = PILImage.open(out).getexif()
+    assert back[Base.Make] == "ParityCam"
+    assert back[Base.Model] == "X-1"
+    assert back.get(274, 1) == 1  # orientation reset

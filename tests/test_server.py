@@ -14,13 +14,16 @@ from conftest import random_linear_image
 
 
 @pytest.fixture(scope="module")
-def base_url():
+def base_url(tmp_path_factory):
+    from rawphotoforge_tpu.engine.session import Settings
+
     rng = np.random.default_rng(42)
     ed = PhotoEditor.from_rgb_f32(
         random_linear_image(rng, 60, 90),
         use_pallas=False, mid_long_edge=48, low_long_edge=24,
     )
-    httpd = serve(ed, port=0)
+    settings_path = str(tmp_path_factory.mktemp("settings") / "settings.json")
+    httpd = serve(ed, port=0, settings=Settings(), settings_path=settings_path)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -115,3 +118,29 @@ def test_bad_request_returns_400(base_url):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_settings_endpoints(base_url, tmp_path, monkeypatch):
+    import os
+    status, _, body = _get(base_url + "/settings")
+    s = json.loads(body)
+    assert s["ui_preview_size"] == 1280
+    status, out = _post(base_url + "/settings", {"locale": "ja", "ui_preview_size": 900})
+    assert status == 200 and out["locale"] == "ja" and out["ui_preview_size"] == 900
+    # Page renders with Japanese labels now.
+    _, _, page = _get(base_url + "/")
+    assert "露出".encode() in page
+    _post(base_url + "/settings", {"locale": "en"})
+
+
+def test_crop_endpoint(base_url):
+    status, _ = _post(base_url + "/crop", {"x0": 10, "y0": 5, "x1": 60, "y1": 40})
+    assert status == 200
+    from PIL import Image as PILImage
+    import io as _io
+    _, _, body = _get(base_url + "/preview?level=full")
+    img = PILImage.open(_io.BytesIO(body))
+    assert img.size == (50, 35)
+    _post(base_url + "/crop", {"clear": True})
+    _, _, body = _get(base_url + "/preview?level=full")
+    assert PILImage.open(_io.BytesIO(body)).size == (90, 60)
