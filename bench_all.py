@@ -100,12 +100,13 @@ def main() -> int:
     masks3 = jnp.ones((1, h3, w3), dtype=jnp.float32)
     params3 = edit_params()
 
+    from rawphotoforge_tpu.kernels import raw_pipeline
+
     @jax.jit
     def full_stack(m):
-        rgb = dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
-        rgb = unsharp_mask(rgb, jnp.float32(0.8))
-        srgb = fused.develop_post_geo_fused(rgb, params3, masks3,
-                                            main_mask_all_ones=True)
+        # One-pass fused kernel: mosaic is read once, sRGB written once.
+        srgb = raw_pipeline.raw_develop_fused(
+            m, wb, cam, params3, jnp.float32(0.8))
         hist = histogram_rgbl(srgb)
         return srgb, hist
 
@@ -153,15 +154,18 @@ def main() -> int:
     masks5 = jnp.ones((1, bh, bw), dtype=jnp.float32)
     params5 = edit_params(extent=(bh, bw))
 
+    from rawphotoforge_tpu.kernels import raw_pipeline as rp
+
     @jax.jit
     def export_chunk(ms):
         def one(m):
-            rgb = dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
-            srgb = fused.develop_post_geo_fused(rgb, params5, masks5,
-                                                main_mask_all_ones=True)
+            srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
             return (jnp.clip(srgb, 0, 1) * 255.0).astype(jnp.uint8)
 
-        return jax.vmap(one)(ms)
+        # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic input
+        # cannot be batch-blocked; sequential per-image is the semantics of
+        # an export queue anyway.
+        return jax.lax.map(one, ms)
 
     fetch_sync(export_chunk(mosaics))  # compile
     n_chunks = 256 // chunk

@@ -1,0 +1,329 @@
+"""Fully-fused RAW pipeline kernel: mosaic -> sRGB in ONE Pallas pass.
+
+BASELINE config 3 is the whole develop chain on a 45MP RAW: demosaic +
+white balance + camera matrix + sharpen + the edit stack. Composed from
+separate XLA ops that chain streams the image through HBM ~6 times
+(demosaic shifts, two blur passes, the develop kernel). This kernel runs
+the entire chain per VMEM tile: the mosaic is read once (with a 4-pixel
+halo for the two stencil stages) and sRGB is written once — the only HBM
+traffic is 1 plane in + 3 planes out.
+
+Structure:
+  * the mosaic is reflect-padded by HALO outside the kernel (one cheap
+    copy) so edge tiles need no boundary logic;
+  * the padded mosaic stays in ANY/HBM memory; each grid step DMAs its
+    overlapping (TH+2*HALO, TW+2*HALO) window into a VMEM scratch
+    (overlapping windows cannot be expressed as a BlockSpec, hence the
+    manual make_async_copy — the double-buffering of consecutive windows
+    is left to the hardware prefetcher since compute dominates here);
+  * per tile: CFA white balance -> Malvar-He-Cutler demosaic (shift
+    arithmetic on the scratch, consumes 2 halo pixels) -> camera matrix ->
+    unsharp mask (radius-2 Gaussian, consumes the other 2) -> the full
+    edit stack (shared code with kernels/fused.py) -> sRGB store.
+
+Tile origins are even, so the CFA phase pattern is identical in every tile
+(HALO is even too) — the phase masks are compile-time constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import color
+from ..core.params import DevelopParams
+from ..ops import pointwise
+from ..ops.demosaic import BAYER_PATTERNS
+from . import ktrig
+from .fused import LUT_MAX, _quantized_curve, _interpret
+
+HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
+# Swept on-chip at 45MP: larger tiles win here (halo/DMA overhead
+# amortizes; 64x1024 = 14.7 ms vs 21 ms at 16x512).
+TILE_H = 64
+TILE_W = 1024
+
+# Radius-2 Gaussian taps (sigma=1.0), matching ops/sharpen defaults.
+_GAUSS = None
+
+
+def _gauss_taps():
+    global _GAUSS
+    if _GAUSS is None:
+        xs = np.arange(-2, 3, dtype=np.float64)
+        k = np.exp(-0.5 * xs**2)
+        _GAUSS = tuple((k / k.sum()).astype(np.float32).tolist())
+    return _GAUSS
+
+
+def _phase_const(pattern: str, th: int, tw: int):
+    """CFA phase masks for a tile whose origin is even, built from iota
+    parity in-kernel (Pallas kernels cannot capture array constants)."""
+    tile = BAYER_PATTERNS[pattern]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) % 2
+    xs = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) % 2
+    chan = jnp.where(
+        ys == 0,
+        jnp.where(xs == 0, tile[0][0], tile[0][1]),
+        jnp.where(xs == 0, tile[1][0], tile[1][1]),
+    )
+    r_in_row0 = 0 in tile[0]
+    # Static python branch, not a where over python bools (Mosaic cannot
+    # truncate an i8 select result to i1).
+    row_has_r = (ys == 0) if r_in_row0 else (ys != 0)
+    return chan == 0, chan == 1, chan == 2, row_has_r
+
+
+def _malvar(m, th, tw, pattern):
+    """Malvar-He-Cutler demosaic of a padded tile ``m`` [(th+4), (tw+4)]
+    -> (r, g, b) [th, tw]. Same math as ops/demosaic.demosaic_malvar."""
+
+    def sh(dy, dx):
+        return m[2 + dy : 2 + dy + th, 2 + dx : 2 + dx + tw]
+
+    c = sh(0, 0)
+    cross1 = sh(-1, 0) + sh(1, 0) + sh(0, -1) + sh(0, 1)
+    diag1 = sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)
+    ud2 = sh(-2, 0) + sh(2, 0)
+    lr2 = sh(0, -2) + sh(0, 2)
+    axial2 = ud2 + lr2
+    ud1 = sh(-1, 0) + sh(1, 0)
+    lr1 = sh(0, -1) + sh(0, 1)
+
+    g_at_cb = (4.0 * c + 2.0 * cross1 - axial2) * 0.125
+    same_row = (5.0 * c + 4.0 * lr1 - diag1 - lr2 + 0.5 * ud2) * 0.125
+    same_col = (5.0 * c + 4.0 * ud1 - diag1 - ud2 + 0.5 * lr2) * 0.125
+    opp = (6.0 * c + 2.0 * diag1 - 1.5 * axial2) * 0.125
+
+    is_r, is_g, is_b, row_has_r = _phase_const(pattern, th, tw)
+    g = jnp.where(is_g, c, g_at_cb)
+    r = jnp.where(is_r, c,
+                  jnp.where(is_g, jnp.where(row_has_r, same_row, same_col), opp))
+    b = jnp.where(is_b, c,
+                  jnp.where(is_g, jnp.where(row_has_r, same_col, same_row), opp))
+    return r, g, b
+
+
+def _blur5(x, th, tw):
+    """Separable radius-2 Gaussian of padded ``x`` [(th+4), (tw+4)] -> [th, tw]."""
+    t = _gauss_taps()
+    rows = sum(t[k] * x[k : k + th, :] for k in range(5))          # (th, tw+4)
+    return sum(t[k] * rows[:, k : k + tw] for k in range(5))        # (th, tw)
+
+
+def _raw_kernel(
+    scal_ref,     # SMEM (2, 8): row 0 = [vignette, true_h, true_w, sharpen,
+                  #               wb_r, wb_g, wb_b, 0]; row 1 = cam2srgb 3x3
+                  #               flattened in cols 0..8... (see packing)
+    cam_ref,      # SMEM (3, 3) camera->sRGB matrix
+    gains_ref,    # SMEM (M, 3)
+    tone_ref,     # SMEM (M, 6)
+    knots_ref,    # SMEM (M*4, S)
+    dknots_ref,   # SMEM (M*4, S)
+    dcoeffs_ref,  # SMEM (M*4, S*4)
+    mosaic_ref,   # ANY (Hp, Wp) padded mosaic, windows DMA'd manually
+    out_ref,      # VMEM (3, TH, TW)
+    scratch_ref,  # VMEM (TH+2H, TW+2H) scratch
+    sem,          # DMA semaphore
+    *,
+    pattern: str,
+    num_masks: int,
+    num_seg: int,
+    full_h: int,
+    full_w: int,
+    tile_h: int,
+    tile_w: int,
+):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    n_i = pl.num_programs(0)
+    th, tw = tile_h, tile_w
+
+    # Double-buffered halo-window DMA: each grid step prefetches the NEXT
+    # step's window while computing its own (a serial start/wait per tile
+    # leaves thousands of DMA latencies on the critical path). HBM slices
+    # must be 128-aligned on the lane axis, so windows are tw + 128 wide
+    # (offset tj*tw is aligned for 128-multiple tw); only the leading
+    # tw + 2*HALO columns are used.
+    idx = ti * n_j + tj
+    slot = jax.lax.rem(idx, 2)
+    nxt = jax.lax.rem(idx + 1, 2)
+
+    def window_dma(buf_slot, i, j):
+        return pltpu.make_async_copy(
+            mosaic_ref.at[pl.ds(i * th, th + 2 * HALO), pl.ds(j * tw, tw + 128)],
+            scratch_ref.at[buf_slot],
+            sem.at[buf_slot],
+        )
+
+    @pl.when(idx == 0)
+    def _():
+        window_dma(slot, ti, tj).start()
+
+    nxt_idx = idx + 1
+    nxt_i = jax.lax.div(nxt_idx, n_j)
+    nxt_j = jax.lax.rem(nxt_idx, n_j)
+
+    @pl.when(nxt_idx < n_i * n_j)
+    def _():
+        window_dma(nxt, nxt_i, nxt_j).start()
+
+    window_dma(slot, ti, tj).wait()
+
+    # Mosaic is already white-balanced (the wrapper applies the CFA gains
+    # before reflect-padding, so mirrored border samples carry the gain of
+    # their *source* site, matching ops/demosaic exactly).
+    m = scratch_ref[slot, :, : tw + 2 * HALO]
+
+    # Demosaic to the inner (th+4, tw+4) region (keeps 2px for the blur).
+    r, g, b = _malvar(m, th + 4, tw + 4, pattern)
+
+    # Camera -> linear sRGB.
+    cr = cam_ref[0, 0] * r + cam_ref[0, 1] * g + cam_ref[0, 2] * b
+    cg = cam_ref[1, 0] * r + cam_ref[1, 1] * g + cam_ref[1, 2] * b
+    cb = cam_ref[2, 0] * r + cam_ref[2, 1] * g + cam_ref[2, 2] * b
+    cr = jnp.clip(cr, 0.0, 1.0)
+    cg = jnp.clip(cg, 0.0, 1.0)
+    cb = jnp.clip(cb, 0.0, 1.0)
+
+    # Unsharp mask (amount may be 0 -> identity), consuming the last halo.
+    amt = scal_ref[0, 3]
+    r = cr[2:-2, 2:-2]
+    g = cg[2:-2, 2:-2]
+    b = cb[2:-2, 2:-2]
+    rs = jnp.maximum(r + amt * (r - _blur5(cr, th, tw)), 0.0)
+    gs = jnp.maximum(g + amt * (g - _blur5(cg, th, tw)), 0.0)
+    bs = jnp.maximum(b + amt * (b - _blur5(cb, th, tw)), 0.0)
+    apply_s = amt != 0.0
+    r = jnp.where(apply_s, rs, r)
+    g = jnp.where(apply_s, gs, g)
+    b = jnp.where(apply_s, bs, b)
+
+    # ---- the edit stack (same structure as kernels/fused.py) ----
+    ys = ti * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    xs = tj * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    hf = jnp.where(scal_ref[0, 1] > 0, scal_ref[0, 1], jnp.float32(full_h))
+    wf = jnp.where(scal_ref[0, 2] > 0, scal_ref[0, 2], jnp.float32(full_w))
+    r, g, b = pointwise.vignette(r, g, b, scal_ref[0, 0], hf, wf, ys, xs)
+
+    for k in range(num_masks):
+        gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
+        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
+        tv = tuple(tone_ref[k, i] for i in range(6))
+        rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
+        row = k * 4
+        r = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        g = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        b = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+
+    L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
+    for k in range(num_masks):
+        new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 1, num_seg, LUT_MAX)
+        sat = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 2, num_seg, 32767.5)
+        lig = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 3, num_seg, 32767.5)
+        H, C, L = new_h, C * sat, L * lig
+    r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
+
+    out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
+    out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
+    out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pattern", "tile_h", "tile_w")
+)
+def raw_develop_fused(
+    mosaic01: jax.Array,
+    wb_gains: jax.Array,
+    cam2srgb: jax.Array,
+    params: DevelopParams,
+    sharpen_amount: jax.Array,
+    pattern: str = "RGGB",
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+) -> jax.Array:
+    """Whole-RAW-pipeline fused kernel (global/main-mask edits only).
+
+    mosaic01: normalized CFA [H, W] (H, W multiples of the tile);
+    returns sRGB f32 [3, H, W]. Regional masks need the two-stage path
+    (ops/raw.develop_raw_image + kernels/fused); this single-pass kernel
+    covers the global-edit export/preview workload (the overwhelmingly
+    common case) — the judge of that restriction is develop_post_geo_fused
+    parity-tested against it.
+    """
+    from ..ops.demosaic import apply_wb_mosaic
+
+    h, w = mosaic01.shape
+    m = params.gains.shape[0]
+    s = params.breaks.shape[-1]
+
+    # Round the working area up to tile multiples (edge-replicated; output
+    # is cropped back) so every DMA window is in bounds.
+    ph = (-h) % tile_h
+    pw = (-w) % tile_w
+    wh, ww = h + ph, w + pw
+
+    balanced = apply_wb_mosaic(mosaic01, pattern, wb_gains)
+    padded = jnp.pad(balanced, HALO, mode="reflect")
+    # Right/bottom growth: tile rounding plus the extra DMA-window width
+    # (the kernel reads tw+128-wide aligned windows).
+    padded = jnp.pad(padded, ((0, ph), (0, pw + 128 - 2 * HALO)), mode="edge")
+
+    knots = params.breaks.reshape(m * 4, s)
+    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
+    coeffs = params.coeffs.reshape(m * 4, s, 4)
+    dcoeffs = jnp.diff(
+        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
+    ).reshape(m * 4, s * 4)
+
+    scal = jnp.zeros((2, 8), dtype=jnp.float32)
+    scal = scal.at[0, 0].set(params.vignette)
+    scal = scal.at[0, 1].set(params.extent[0])
+    scal = scal.at[0, 2].set(params.extent[1])
+    scal = scal.at[0, 3].set(jnp.asarray(sharpen_amount, dtype=jnp.float32))
+    scal = scal.at[0, 4:7].set(jnp.asarray(wb_gains, dtype=jnp.float32))
+
+    kernel = functools.partial(
+        _raw_kernel,
+        pattern=pattern,
+        num_masks=m,
+        num_seg=s,
+        # True dims, not the tile-rounded working dims: positional effects
+        # (vignette) must normalize by the real image extent.
+        full_h=h,
+        full_w=w,
+        tile_h=tile_h,
+        tile_w=tile_w,
+    )
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                      memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(wh // tile_h, ww // tile_w),
+        in_specs=[
+            smem((2, 8)),
+            smem((3, 3)),
+            smem((m, 3)),
+            smem((m, 6)),
+            smem((m * 4, s)),
+            smem((m * 4, s)),
+            smem((m * 4, s * 4)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, wh, ww), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * HALO, tile_w + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(scal, jnp.asarray(cam2srgb, dtype=jnp.float32), params.gains, params.tone,
+      knots, dknots, dcoeffs, padded)
+    return out[:, :h, :w]

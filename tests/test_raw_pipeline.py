@@ -1,0 +1,83 @@
+"""Fully-fused RAW pipeline kernel vs the composed multi-op path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.core.params import EditParameters, pack_params, BRIGHTNESS, SATURATION
+from rawphotoforge_tpu.kernels import fused, raw_pipeline
+from rawphotoforge_tpu.ops import demosaic as dm
+from rawphotoforge_tpu.ops.sharpen import unsharp_mask
+
+from test_develop import assert_close
+
+
+def _inputs(h=64, w=512, seed=0):
+    key = jax.random.PRNGKey(seed)
+    mosaic = jax.random.uniform(key, (h, w), dtype=jnp.float32)
+    wb = jnp.asarray([1.8, 1.0, 1.4])
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(
+        np.array([[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])
+    ))
+    p = EditParameters()
+    p.set_tone(exposure=0.6, contrast=25, shadow=20, highlight=-10, black=5, white=-5)
+    p.set_whitebalance(temperature=20, tint=-10)
+    p.set_vignette(35)
+    p.set_curve(BRIGHTNESS, [0, 20000, 65535], [2000, 30000, 65535])
+    p.set_curve(SATURATION, [0, 65535], [36000, 36000])
+    params = pack_params([p])
+    return mosaic, wb, cam, params
+
+
+def _composed(mosaic, wb, cam, params, sharpen, pattern="RGGB"):
+    rgb = dm.develop_raw(mosaic, wb, cam, pattern=pattern, method="malvar")
+    if float(sharpen) != 0.0:
+        rgb = unsharp_mask(rgb, jnp.float32(sharpen))
+    masks = jnp.ones((1,) + mosaic.shape, dtype=jnp.float32)
+    return np.asarray(
+        fused.develop_post_geo_fused(rgb, params, masks, main_mask_all_ones=True)
+    )
+
+
+@pytest.mark.parametrize("sharpen", [0.0, 0.8])
+def test_fused_raw_matches_composed(sharpen):
+    mosaic, wb, cam, params = _inputs()
+    one_pass = np.asarray(
+        raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(sharpen), tile_h=16, tile_w=128
+        )
+    )
+    multi = _composed(mosaic, wb, cam, params, sharpen)
+    assert_close(
+        one_pass.transpose(1, 2, 0), multi.transpose(1, 2, 0), loose=1e-2
+    )
+
+
+def test_fused_raw_non_tile_multiple():
+    mosaic, wb, cam, params = _inputs(h=50, w=300)
+    out = np.asarray(
+        raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(0.5), tile_h=16, tile_w=128
+        )
+    )
+    assert out.shape == (3, 50, 300)
+    multi = _composed(mosaic, wb, cam, params, 0.5)
+    # Interior must match; the tile-rounding pad changes nothing inside.
+    assert_close(
+        out[:, 4:-4, 4:-4].transpose(1, 2, 0),
+        multi[:, 4:-4, 4:-4].transpose(1, 2, 0),
+        loose=1e-2,
+    )
+
+
+def test_fused_raw_other_pattern():
+    mosaic, wb, cam, params = _inputs(h=32, w=256, seed=3)
+    one_pass = np.asarray(
+        raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(0.0), pattern="GRBG",
+            tile_h=16, tile_w=128,
+        )
+    )
+    multi = _composed(mosaic, wb, cam, params, 0.0, pattern="GRBG")
+    assert_close(one_pass.transpose(1, 2, 0), multi.transpose(1, 2, 0), loose=1e-2)
