@@ -44,6 +44,12 @@ class ImageIOError(PhotoEditorError, ValueError):
 def format_for_path(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext not in SUPPORTED_EXTENSIONS:
+        from .raw import RAW_EXTENSIONS
+
+        if ext in RAW_EXTENSIONS:
+            # TIFF-structured vendor RAWs route through the DNG/TIFF
+            # walker; unsupported compressions raise a typed DngError.
+            return "DNG"
         raise ImageIOError(f"unsupported image format: {ext!r}")
     return SUPPORTED_EXTENSIONS[ext]
 

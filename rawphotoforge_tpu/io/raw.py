@@ -15,9 +15,27 @@ import jax.numpy as jnp
 
 from ..ops import demosaic as dm
 from ..ops.geometry import orient_exif
-from .dng import RawImage, read_dng
+from .dng import DngError, RawImage, read_dng
 
-RAW_EXTENSIONS = {".dng"}
+# The RAW container surface (rust-godot-legacy image.rs:14-179 enumerates
+# these via rawler's format list). DNG and any TIFF-structured RAW with
+# uncompressed CFA strips decode natively today; vendor-compressed
+# variants (lossless-JPEG NEF/CR2, Sony ARW compression, ...) parse their
+# container/EXIF but raise a typed unsupported-compression error. The
+# TIFF walker finds the CFA IFD in ARW/NEF/ORF/PEF/RW2-style files too.
+RAW_EXTENSIONS = {
+    ".dng", ".arw", ".nef", ".nrw", ".cr2", ".orf", ".pef", ".raf",
+    ".rw2", ".srw", ".kdc", ".dcr", ".erf", ".3fr", ".fff", ".iiq",
+    ".mos", ".mef", ".mrw", ".sr2", ".srf", ".x3f", ".crw", ".cr3",
+    ".rwl", ".raw",
+}
+
+
+def is_raw_image(path: str) -> bool:
+    """Extension-based RAW detection (is_raw_image analog, image.rs:14-179)."""
+    import os
+
+    return os.path.splitext(path)[1].lower() in RAW_EXTENSIONS
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

@@ -193,3 +193,23 @@ def test_editor_sharpness_stage(rng):
     assert not np.allclose(base, sharp)
     ed.set_sharpness(0)
     np.testing.assert_allclose(np.asarray(ed.apply(FULL)), base, atol=1e-6)
+
+
+def test_raw_extension_registry(tmp_path, rng):
+    from rawphotoforge_tpu.io.raw import is_raw_image, RAW_EXTENSIONS
+
+    assert is_raw_image("a.ARW") and is_raw_image("b.dng") and is_raw_image("c.nef")
+    assert not is_raw_image("d.jpg")
+    assert len(RAW_EXTENSIONS) >= 26
+
+    # A TIFF-structured vendor RAW with uncompressed CFA decodes through
+    # the generic walker (here: our DNG bytes under an .arw name).
+    rgb = random_linear_image(rng, 32, 48).transpose(2, 0, 1)
+    raw = synthetic_raw(rgb)
+    p = tmp_path / "shot.arw"
+    p.write_bytes(dng_mod.write_dng(raw))
+    from rawphotoforge_tpu.io import image_io
+
+    planes, exif = image_io.read_image(str(p))
+    assert planes.shape == (3, 32, 48)
+    assert exif["Make"] == "Synthetic"

@@ -93,3 +93,59 @@ def test_export_batch_step(rng, the_mesh):
     )
     assert u8.dtype == jnp.uint8
     assert u8.shape == (8, 3, 32, 128)
+
+
+def test_demosaic_sharded_matches_single(rng, the_mesh):
+    """Halo-exchange demosaic over the 'sp' axis == single-device demosaic
+    (both interior and the shard-boundary rows)."""
+    from rawphotoforge_tpu.parallel import spatial
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    h, w = 64, 128  # 2 shards of 32 rows on sp
+    mosaic = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    sharded = jax.jit(
+        spatial.demosaic_sharded, static_argnums=(1, 2, 3)
+    )(mosaic, the_mesh, "RGGB", "malvar")
+    single = dm.demosaic_malvar(mosaic, "RGGB")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_demosaic_sharded_bilinear_and_pattern(rng, the_mesh):
+    from rawphotoforge_tpu.parallel import spatial
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    mosaic = jnp.asarray(rng.random((32, 128), dtype=np.float32))
+    sharded = jax.jit(
+        spatial.demosaic_sharded, static_argnums=(1, 2, 3)
+    )(mosaic, the_mesh, "GRBG", "bilinear")
+    single = dm.demosaic_bilinear(mosaic, "GRBG")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_raw_develop_sharded_matches_single(rng, the_mesh):
+    from rawphotoforge_tpu.parallel import spatial
+    from rawphotoforge_tpu.ops import demosaic as dm
+    from rawphotoforge_tpu.ops.sharpen import unsharp_mask
+
+    h, w = 64, 128
+    mosaic = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    wb = jnp.asarray([1.8, 1.0, 1.4])
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(
+        np.array([[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])
+    ))
+    sharded = jax.jit(
+        spatial.raw_develop_sharded, static_argnums=(3, 4)
+    )(mosaic, wb, cam, the_mesh, "RGGB", jnp.float32(0.7))
+
+    balanced = dm.apply_wb_mosaic(mosaic, "RGGB", wb)
+    single = jnp.clip(dm.camera_to_srgb(dm.demosaic_malvar(balanced, "RGGB"), cam), 0, 1)
+    single = unsharp_mask(single, jnp.float32(0.7))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_demosaic_sharded_rejects_odd_shards(rng, the_mesh):
+    from rawphotoforge_tpu.parallel import spatial
+
+    mosaic = jnp.asarray(rng.random((30, 128), dtype=np.float32))
+    with pytest.raises(ValueError):
+        spatial.demosaic_sharded(mosaic, the_mesh)
