@@ -54,6 +54,14 @@ a{{color:#8cf}}
   </label>
   <canvas id=curve width=256 height=160></canvas>
   <div style="font-size:11px;color:#888">click: add / drag: move / dblclick: remove</div>
+  <div style="margin-top:6px"><b>{masks}</b>
+    <select id=masksel onchange="switchMask()"><option>main</option></select>
+    <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
+    <button onclick="maskOp('invert')">{invert_mask}</button>
+    <button onclick="maskOp('remove')">{remove_mask}</button>
+  </div>
+  <div style="font-size:11px;color:#888">hold preview: compare original;
+    with add-mask armed, click selects by color</div>
   <button onclick="resetAll()">{reset}</button>
   <button onclick="savePreset()">{save_preset}</button>
   <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
@@ -208,6 +216,59 @@ fetch('/settings').then(r=>r.json()).then(s=>{{
 fetch('/exif').then(r=>r.json()).then(e=>{{
   document.getElementById('exif').textContent=
     Object.entries(e).map(([k,v])=>k+': '+v).join('\\n');}});
+// ---- masks + compare-to-original ----
+let maskAddMode=false, imgInfo=null, maskCounter=0;
+fetch('/info').then(r=>r.json()).then(i=>imgInfo=i);
+function toggleMaskAdd(){{
+  maskAddMode=!maskAddMode;
+  document.getElementById('maskadd').style.background=maskAddMode?'#675527':'#333';
+}}
+async function loadMasks(keep){{
+  const names=await (await fetch('/masks')).json();
+  const sel=document.getElementById('masksel');
+  sel.innerHTML=names.map(n=>`<option>${{n}}</option>`).join('');
+  sel.value=names.includes(keep)?keep:'main';
+  state._target=sel.value;
+}}
+async function switchMask(){{
+  const sel=document.getElementById('masksel');
+  state._target=sel.value;
+  const p=await (await fetch('/params?mask='+encodeURIComponent(sel.value))).json();
+  for(const [name] of SLIDERS){{
+    if(name in p){{state[name]=p[name];
+      document.getElementById('s_'+name).value=p[name];
+      document.getElementById('v_'+name).textContent=p[name];}}
+  }}
+}}
+async function maskOp(op){{
+  const sel=document.getElementById('masksel');
+  if(sel.value==='main')return;
+  await fetch('/mask/'+op,{{method:'POST',body:JSON.stringify({{name:sel.value}})}});
+  await loadMasks(op==='remove'?'main':sel.value);
+  push('mid');
+}}
+const pv=document.getElementById('preview');
+pv.onmousedown=async e=>{{
+  if(maskAddMode&&imgInfo){{
+    const r=pv.getBoundingClientRect();
+    const x=Math.round((e.clientX-r.left)/r.width*imgInfo.shape[1]);
+    const y=Math.round((e.clientY-r.top)/r.height*imgInfo.shape[0]);
+    const name='mask'+(++maskCounter);
+    await fetch('/mask/add',{{method:'POST',body:JSON.stringify(
+      {{name:name,point:[x,y],tolerance:0.12}})}});
+    await loadMasks(name);
+    switchMask();
+    toggleMaskAdd();
+    push('mid');
+  }} else {{
+    pv.src='/preview?level=mid&original=1&t='+Date.now();
+  }}
+}};
+pv.onmouseup=pv.onmouseleave=()=>{{
+  if(!maskAddMode)pv.src='/preview?level=mid&t='+Date.now();
+}};
+pv.ondragstart=()=>false;
+loadMasks('main');
 drawCurve();push('mid');
 </script></body></html>"""
 
@@ -229,13 +290,22 @@ class EditorApp:
         )
 
     def apply_state(self, st: dict):
+        """Apply slider/curve state to the target mask ('_target', default
+        main). Global-only params (vignette, distortion, sharpness,
+        wgsl:270-276) always go to main."""
         ed = self.editor
+        target = st.get("_target") or "main"
+        mask_name = None if target == "main" else target
         ed.set_tone(
             st.get("exposure", 0.0), int(st.get("contrast", 0)),
             int(st.get("shadow", 0)), int(st.get("highlight", 0)),
             int(st.get("black", 0)), int(st.get("white", 0)),
+            mask_name=mask_name,
         )
-        ed.set_whitebalance(int(st.get("wb_temperature", 0)), int(st.get("wb_tint", 0)))
+        ed.set_whitebalance(
+            int(st.get("wb_temperature", 0)), int(st.get("wb_tint", 0)),
+            mask_name=mask_name,
+        )
         ed.set_vignette(int(st.get("vignette", 0)))
         ed.set_lens_distortion(int(st.get("lens_distortion", 0)))
         ed.set_sharpness(int(st.get("sharpness", 0)))
@@ -244,10 +314,19 @@ class EditorApp:
             if pts:
                 xs = [p[0] for p in pts]
                 ys = [p[1] for p in pts]
-                ed.set_curve(i, xs, ys)
+                ed.set_curve(i, xs, ys, mask_name=mask_name)
 
-    def preview_jpeg(self, level: str) -> bytes:
-        return image_io.encode_image(self.editor.apply(level), "JPEG", quality=90)
+    def params_json(self, mask_name: str) -> dict:
+        p = self.editor.params(None if mask_name == "main" else mask_name)
+        return p.to_json()
+
+    def preview_jpeg(self, level: str, original: bool = False) -> bytes:
+        img = (
+            self.editor.original_srgb(level)
+            if original
+            else self.editor.apply(level)
+        )
+        return image_io.encode_image(img, "JPEG", quality=90)
 
 
 def make_handler(app: EditorApp):
@@ -266,12 +345,28 @@ def make_handler(app: EditorApp):
             url = urllib.parse.urlparse(self.path)
             q = urllib.parse.parse_qs(url.query)
             with app.lock:
+                try:
+                    self._do_get(url, q)
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, json.dumps({"error": str(e)}).encode())
+
+        def _do_get(self, url, q):
                 if url.path == "/":
                     self._send(200, app.page().encode(), "text/html")
                 elif url.path == "/preview":
                     level = q.get("level", ["mid"])[0]
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
-                    self._send(200, app.preview_jpeg(level), "image/jpeg")
+                    original = q.get("original", ["0"])[0] == "1"
+                    self._send(200, app.preview_jpeg(level, original), "image/jpeg")
+                elif url.path == "/params":
+                    name = q.get("mask", ["main"])[0]
+                    self._send(200, json.dumps(app.params_json(name)).encode())
+                elif url.path == "/info":
+                    h, w = app.editor.shape
+                    ph, pw = app.editor.level_shape(MID)
+                    self._send(200, json.dumps(
+                        {"shape": [h, w], "preview_shape": [ph, pw]}
+                    ).encode())
                 elif url.path == "/export":
                     self._send(
                         200,

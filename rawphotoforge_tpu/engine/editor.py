@@ -407,6 +407,22 @@ class PhotoEditor:
     def clipping(self, level: str = MID) -> dict:
         return {k: float(v) for k, v in clipping_stats(self.apply(level)).items()}
 
+    def original_srgb(self, level: str = MID) -> jax.Array:
+        """sRGB-encoded *unedited* original at a pyramid level — the
+        press-image-to-compare feature (main.gd:602-609)."""
+        from ..core.color import linear_to_srgb
+
+        h, w = self._extents[level]
+        lin = self._originals[level][:, :h, :w]
+        out = jnp.clip(linear_to_srgb(jnp.clip(lin, 0.0, 1.0)), 0.0, 1.0)
+        if self.crop_rect is not None:
+            fh, fw = self.shape
+            x0, y0, x1, y1 = self.crop_rect
+            sy, sx = h / fh, w / fw
+            out = out[:, int(y0 * sy):max(int(y0 * sy) + 1, int(y1 * sy)),
+                      int(x0 * sx):max(int(x0 * sx) + 1, int(x1 * sx))]
+        return out
+
     def get_srgb_f32(self, level: str = FULL) -> np.ndarray:
         """HWC float32 sRGB render (the wasm get_rgb_f32 surface,
         photo-editor-web/src/lib.rs)."""

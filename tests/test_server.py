@@ -144,3 +144,36 @@ def test_crop_endpoint(base_url):
     _post(base_url + "/crop", {"clear": True})
     _, _, body = _get(base_url + "/preview?level=full")
     assert PILImage.open(_io.BytesIO(body)).size == (90, 60)
+
+
+def test_original_preview_and_info(base_url):
+    _post(base_url + "/edit", {"exposure": 3.0})
+    _, _, edited = _get(base_url + "/preview?level=mid")
+    _, _, orig = _get(base_url + "/preview?level=mid&original=1")
+    assert edited != orig  # compare-to-original differs after an edit
+    status, _, body = _get(base_url + "/info")
+    info = json.loads(body)
+    assert info["shape"] == [60, 90]
+    _post(base_url + "/reset", {})
+
+
+def test_params_endpoint_and_mask_targeting(base_url):
+    _post(base_url + "/mask/add", {"name": "zone", "point": [5, 5], "tolerance": 0.3})
+    status, _ = _post(base_url + "/edit", {"_target": "zone", "exposure": 1.5})
+    assert status == 200
+    _, _, body = _get(base_url + "/params?mask=zone")
+    assert json.loads(body)["exposure"] == 1.5
+    _, _, body = _get(base_url + "/params?mask=main")
+    assert json.loads(body)["exposure"] == 0.0
+    _post(base_url + "/mask/remove", {"name": "zone"})
+    _post(base_url + "/reset", {})
+
+
+def test_params_unknown_mask_is_400(base_url):
+    import urllib.error
+    try:
+        _get(base_url + "/params?mask=ghost")
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
