@@ -127,10 +127,8 @@ def _raw_kernel(
     dknots_ref,   # SMEM (M*4, S)
     dcoeffs_ref,  # SMEM (M*4, S*4)
     mosaic_ref,   # ANY (Hp, Wp) padded mosaic, windows DMA'd manually
-    out_ref,      # VMEM (3, TH, TW)
-    scratch_ref,  # VMEM (TH+2H, TW+2H) scratch
-    sem,          # DMA semaphore
-    *,
+    *rest,        # [masks_ref VMEM (M-1, TH, TW) if num_masks > 1],
+                  # out_ref VMEM (3, TH, TW), scratch, sem
     pattern: str,
     num_masks: int,
     num_seg: int,
@@ -139,6 +137,11 @@ def _raw_kernel(
     tile_h: int,
     tile_w: int,
 ):
+    if num_masks > 1:
+        masks_ref, out_ref, scratch_ref, sem = rest
+    else:
+        out_ref, scratch_ref, sem = rest
+        masks_ref = None
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -213,21 +216,36 @@ def _raw_kernel(
     r, g, b = pointwise.vignette(r, g, b, scal_ref[0, 0], hf, wf, ys, xs)
 
     for k in range(num_masks):
+        # Mask 0 is the all-ones main mask (unconditional); regional masks
+        # select per pixel (wgsl:279-308 semantics).
+        sel = None if k == 0 else masks_ref[k - 1] == 1.0
         gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
         rk, gk, bk = pointwise.white_balance(r, g, b, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
         row = k * 4
-        r = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-        g = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-        b = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        rk = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        gk = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        bk = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        if sel is None:
+            r, g, b = rk, gk, bk
+        else:
+            r = jnp.where(sel, rk, r)
+            g = jnp.where(sel, gk, g)
+            b = jnp.where(sel, bk, b)
 
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
+        sel = None if k == 0 else masks_ref[k - 1] == 1.0
         new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 1, num_seg, LUT_MAX)
         sat = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 2, num_seg, 32767.5)
         lig = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 3, num_seg, 32767.5)
-        H, C, L = new_h, C * sat, L * lig
+        if sel is None:
+            H, C, L = new_h, C * sat, L * lig
+        else:
+            H = jnp.where(sel, new_h, H)
+            C = jnp.where(sel, C * sat, C)
+            L = jnp.where(sel, L * lig, L)
     r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
 
     out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
@@ -247,15 +265,14 @@ def raw_develop_fused(
     pattern: str = "RGGB",
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    masks: jax.Array | None = None,
 ) -> jax.Array:
-    """Whole-RAW-pipeline fused kernel (global/main-mask edits only).
+    """Whole-RAW-pipeline fused kernel.
 
-    mosaic01: normalized CFA [H, W] (H, W multiples of the tile);
-    returns sRGB f32 [3, H, W]. Regional masks need the two-stage path
-    (ops/raw.develop_raw_image + kernels/fused); this single-pass kernel
-    covers the global-edit export/preview workload (the overwhelmingly
-    common case) — the judge of that restriction is develop_post_geo_fused
-    parity-tested against it.
+    mosaic01: normalized CFA [H, W]; returns sRGB f32 [3, H, W]. With
+    regional masks pass ``masks`` [M, H, W] (row 0 = main, always treated
+    as all ones) matching params' mask count; the per-mask stack runs
+    inside the same single pass.
     """
     from ..ops.demosaic import apply_wb_mosaic
 
@@ -303,19 +320,31 @@ def raw_develop_fused(
     )
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.SMEM)
+    in_specs = [
+        smem((2, 8)),
+        smem((3, 3)),
+        smem((m, 3)),
+        smem((m, 6)),
+        smem((m * 4, s)),
+        smem((m * 4, s)),
+        smem((m * 4, s * 4)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [scal, jnp.asarray(cam2srgb, dtype=jnp.float32), params.gains,
+              params.tone, knots, dknots, dcoeffs, padded]
+    if m > 1:
+        if masks is None:
+            raise ValueError(f"params pack {m} masks; pass masks [M, H, W]")
+        regional = jnp.pad(masks[1:], ((0, 0), (0, ph), (0, pw)))
+        in_specs.append(
+            pl.BlockSpec((m - 1, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(regional)
     out = pl.pallas_call(
         kernel,
         grid=(wh // tile_h, ww // tile_w),
-        in_specs=[
-            smem((2, 8)),
-            smem((3, 3)),
-            smem((m, 3)),
-            smem((m, 6)),
-            smem((m * 4, s)),
-            smem((m * 4, s)),
-            smem((m * 4, s * 4)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, wh, ww), jnp.float32),
@@ -324,6 +353,5 @@ def raw_develop_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(scal, jnp.asarray(cam2srgb, dtype=jnp.float32), params.gains, params.tone,
-      knots, dknots, dcoeffs, padded)
+    )(*inputs)
     return out[:, :h, :w]

@@ -75,3 +75,24 @@ def test_error_paths(jpeg_path, tmp_path, capsys):
 def test_devices(capsys):
     assert main(["devices"]) == 0
     assert "[0]" in capsys.readouterr().out
+
+
+def test_batch_raw_fast_path(tmp_path, rng, capsys):
+    import numpy as np
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    from rawphotoforge_tpu.io.dng import write_dng
+
+    ind = tmp_path / "raws"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    rgb = np.stack([0.2 + 0.4 * xx / 64, 0.3 + 0.3 * yy / 48, 0.4 - 0.1 * xx / 64])
+    for name in ("a.dng", "b.dng"):
+        (ind / name).write_bytes(write_dng(synthetic_raw(rgb, wb_gains=(1.8, 1.0, 1.4))))
+
+    rc = main(["batch", str(ind), str(outd), "--exposure", "0.4", "--sharpness", "30"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fused raw path" in out
+    import os
+    assert sorted(os.listdir(outd)) == ["a.jpg", "b.jpg"]

@@ -81,3 +81,31 @@ def test_fused_raw_other_pattern():
     )
     multi = _composed(mosaic, wb, cam, params, 0.0, pattern="GRBG")
     assert_close(one_pass.transpose(1, 2, 0), multi.transpose(1, 2, 0), loose=1e-2)
+
+
+def test_fused_raw_with_regional_masks():
+    """One-pass kernel with a regional mask matches the composed path
+    (demosaic -> fused develop with masks)."""
+    mosaic, wb, cam, _ = _inputs(h=64, w=256, seed=5)
+    main = EditParameters()
+    main.set_tone(exposure=0.5, contrast=20)
+    main.set_vignette(30)
+    reg = EditParameters()
+    reg.set_tone(contrast=60)
+    reg.set_curve(SATURATION, [0, 65535], [45000, 45000])
+    params = pack_params([main, reg])
+
+    masks = np.zeros((2, 64, 256), dtype=np.float32)
+    masks[0] = 1.0
+    masks[1, 10:40, 30:200] = 1.0
+    masks = jnp.asarray(masks)
+
+    one_pass = np.asarray(
+        raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(0.0),
+            tile_h=16, tile_w=128, masks=masks,
+        )
+    )
+    rgb = dm.develop_raw(mosaic, wb, cam, pattern="RGGB", method="malvar")
+    multi = np.asarray(fused.develop_post_geo_fused(rgb, params, masks))
+    assert_close(one_pass.transpose(1, 2, 0), multi.transpose(1, 2, 0), loose=1e-2)
