@@ -175,7 +175,7 @@ def _batch_raw_fast_path(paths, args) -> int:
             if raw.xyz_to_cam is not None
             else jnp.eye(3, dtype=jnp.float32)
         )
-        packed = pack_params([edit], extent=(h, w))
+        packed = pack_params([edit], extent=(h, w), build_luts=False)
         srgb = raw_develop_fused(
             mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
             packed, sharpen, pattern=raw.pattern,

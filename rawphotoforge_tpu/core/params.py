@@ -277,13 +277,20 @@ class DevelopParams:
 
 
 def pack_params(
-    param_list: list[EditParameters], extent: Optional[tuple[int, int]] = None
+    param_list: list[EditParameters],
+    extent: Optional[tuple[int, int]] = None,
+    build_luts: bool = True,
 ) -> DevelopParams:
     """Stack per-mask EditParameters into a DevelopParams pytree.
 
     Mask 0 must be the main mask. Mirrors the per-mask buffer packing of
     GpuProcessor::apply_adjustments (gpu_image_processing.rs:232-254).
     ``extent``: true (h, w) when image arrays are bucket-padded.
+    ``build_luts=False`` packs placeholder [M, 4, 1] LUTs: the Pallas
+    kernels evaluate curves from the packed coefficients and never read
+    ``luts``, so interactive edits skip ~2 ms of host LUT expansion and a
+    1 MiB device upload per slider move (the exact-LUT jnp anchor path
+    requires build_luts=True).
     """
     if not param_list:
         raise ValueError("need at least the main mask parameters")
@@ -298,7 +305,9 @@ def pack_params(
     s = min(1 << (s - 1).bit_length(), MAX_CTRL)
     gains = np.zeros((m, 3), dtype=np.float32)
     tone = np.zeros((m, 6), dtype=np.float32)
-    luts = np.zeros((m, 4, CURVE_RESOLUTION), dtype=np.int32)
+    luts = np.zeros(
+        (m, 4, CURVE_RESOLUTION if build_luts else 1), dtype=np.int32
+    )
     breaks = np.zeros((m, 4, s), dtype=np.float32)
     coeffs = np.zeros((m, 4, s, 4), dtype=np.float32)
     for i, p in enumerate(param_list):
@@ -312,7 +321,8 @@ def pack_params(
             p.white / 100.0,
         )
         for slot in range(4):
-            luts[i, slot] = p.curves[slot].lut(slot)
+            if build_luts:
+                luts[i, slot] = p.curves[slot].lut(slot)
             b, c = p.curves[slot].packed(slot, max_ctrl=s)
             breaks[i, slot] = b
             coeffs[i, slot] = c

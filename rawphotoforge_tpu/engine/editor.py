@@ -319,7 +319,11 @@ class PhotoEditor:
 
     def _packed_params(self, level: str):
         if self._packed is None:
-            self._packed = pack_params([m.params for m in self.masks])
+            # Kernel path never reads the exact LUTs — skip building and
+            # uploading them on every slider move.
+            self._packed = pack_params(
+                [m.params for m in self.masks], build_luts=not self.use_pallas
+            )
         # Same packed stack for every level; only the true extent differs.
         import dataclasses as _dc
 

@@ -207,3 +207,23 @@ def test_batch_develop_matches_single(rng):
     for i in range(3):
         single = dev.develop_jit(jnp.asarray(imgs[i].transpose(2, 0, 1)), packed, masks)
         np.testing.assert_allclose(np.asarray(batch[i]), np.asarray(single), atol=1e-6)
+
+
+def test_pack_params_skip_luts(rng):
+    """build_luts=False packs placeholder LUTs; the kernel path output is
+    unchanged (it evaluates curves from packed coefficients)."""
+    import jax.numpy as jnp
+    from rawphotoforge_tpu.kernels import fused
+
+    img = random_linear_image(rng, 32, 128)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    masks = jnp.ones((1, 32, 128), dtype=jnp.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.8, contrast=20)
+    p.set_curve(BRIGHTNESS, [0, 30000, 65535], [2000, 35000, 65535])
+    full = pack_params([p])
+    lean = pack_params([p], build_luts=False)
+    assert lean.luts.shape == (1, 4, 1)
+    a = np.asarray(fused.develop_post_geo_fused(planes, full, masks))
+    b = np.asarray(fused.develop_post_geo_fused(planes, lean, masks))
+    np.testing.assert_array_equal(a, b)
