@@ -357,7 +357,15 @@ def make_handler(app: EditorApp):
                     level = q.get("level", ["mid"])[0]
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
                     original = q.get("original", ["0"])[0] == "1"
-                    self._send(200, app.preview_jpeg(level, original), "image/jpeg")
+                    overlay = q.get("overlay", [None])[0]
+                    if overlay:
+                        body = image_io.encode_image(
+                            app.editor.mask_overlay_srgb(overlay, level),
+                            "JPEG", quality=90,
+                        )
+                    else:
+                        body = app.preview_jpeg(level, original)
+                    self._send(200, body, "image/jpeg")
                 elif url.path == "/params":
                     name = q.get("mask", ["main"])[0]
                     self._send(200, json.dumps(app.params_json(name)).encode())

@@ -427,6 +427,35 @@ class PhotoEditor:
                       int(x0 * sx):max(int(x0 * sx) + 1, int(x1 * sx))]
         return out
 
+    def _crop_slice(self, level: str):
+        """Level-space (cy0, cy1, cx0, cx1) of the crop rect, or None."""
+        if self.crop_rect is None:
+            return None
+        h, w = self._extents[level]
+        fh, fw = self.shape
+        x0, y0, x1, y1 = self.crop_rect
+        sy, sx = h / fh, w / fw
+        return (int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy)),
+                int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx)))
+
+    def mask_overlay_srgb(self, name: str, level: str = MID) -> jax.Array:
+        """Current render with the named mask tinted red — the mask
+        visualization of python-legacy get_mask_image (editor.py:1173-1189)."""
+        from ..ops.masking import mask_overlay
+
+        idx = next(
+            (i for i, m in enumerate(self.masks) if m.name == name), None
+        )
+        if idx is None:
+            raise MaskNotFound(f"the specified mask '{name}' does not exist")
+        srgb = self.apply(level)
+        h, w = self._extents[level]
+        mask = self._masks_at(level)[idx][:h, :w]
+        cs = self._crop_slice(level)
+        if cs is not None:
+            mask = mask[cs[0]:cs[1], cs[2]:cs[3]]
+        return mask_overlay(srgb, mask)
+
     def get_srgb_f32(self, level: str = FULL) -> np.ndarray:
         """HWC float32 sRGB render (the wasm get_rgb_f32 surface,
         photo-editor-web/src/lib.rs)."""

@@ -177,3 +177,12 @@ def test_params_unknown_mask_is_400(base_url):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_mask_overlay_preview(base_url):
+    _post(base_url + "/mask/add", {"name": "ov", "point": [8, 8], "tolerance": 0.5})
+    _, ctype, body = _get(base_url + "/preview?level=mid&overlay=ov")
+    assert ctype == "image/jpeg" and body[:2] == b"\xff\xd8"
+    _, _, plain = _get(base_url + "/preview?level=mid")
+    assert body != plain  # tint visible
+    _post(base_url + "/mask/remove", {"name": "ov"})
