@@ -393,14 +393,9 @@ class PhotoEditor:
             out = dev.develop_post_geo_jit(geo, params, masks)
         h, w = self._extents[level]
         out = out[:, :h, :w]
-        if self.crop_rect is not None:
-            fh, fw = self.shape
-            x0, y0, x1, y1 = self.crop_rect
-            # Scale the FULL-coordinate rect to this level.
-            sy, sx = h / fh, w / fw
-            cy0, cy1 = int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy))
-            cx0, cx1 = int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx))
-            out = out[:, cy0:cy1, cx0:cx1]
+        cs = self._crop_slice(level)
+        if cs is not None:
+            out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
         self._rendered[level] = (self._version, out)
         return out
 
@@ -419,12 +414,9 @@ class PhotoEditor:
         h, w = self._extents[level]
         lin = self._originals[level][:, :h, :w]
         out = jnp.clip(linear_to_srgb(jnp.clip(lin, 0.0, 1.0)), 0.0, 1.0)
-        if self.crop_rect is not None:
-            fh, fw = self.shape
-            x0, y0, x1, y1 = self.crop_rect
-            sy, sx = h / fh, w / fw
-            out = out[:, int(y0 * sy):max(int(y0 * sy) + 1, int(y1 * sy)),
-                      int(x0 * sx):max(int(x0 * sx) + 1, int(x1 * sx))]
+        cs = self._crop_slice(level)
+        if cs is not None:
+            out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
         return out
 
     def _crop_slice(self, level: str):
