@@ -208,8 +208,12 @@ def cmd_batch(args) -> int:
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
 
+    # The one-pass fused RAW kernel has no lens-distortion (geometry)
+    # stage; with --lens-distortion set, fall through to the editor path
+    # so batch output matches `develop` with identical flags.
     if (all(is_raw_image(p) for p in paths) and not args.preset
-            and not args.crop and not args.jnp_path):
+            and not args.crop and not args.jnp_path
+            and args.lens_distortion == 0):
         return _batch_raw_fast_path(paths, args)
 
     t0 = time.perf_counter()

@@ -317,12 +317,26 @@ class PhotoEditor:
         if masks_changed:
             self._mask_stack.clear()
 
+    def _any_raw_lut(self) -> bool:
+        return any(
+            c.raw_lut is not None for m in self.masks for c in m.params.curves
+        )
+
+    def _use_exact_path(self) -> bool:
+        """True when this render must take the exact-LUT gather (jnp anchor)
+        path: either the caller asked for it, or some curve was supplied as
+        a raw 65536-entry LUT, which the kernel's packed-PCHIP refit can
+        only approximate (core/curve.lut_to_coeffs). Raw LUTs (e.g. the v1
+        tone model, core/tonelut) therefore always render exactly."""
+        return not self.use_pallas or self._any_raw_lut()
+
     def _packed_params(self, level: str):
         if self._packed is None:
             # Kernel path never reads the exact LUTs — skip building and
             # uploading them on every slider move.
             self._packed = pack_params(
-                [m.params for m in self.masks], build_luts=not self.use_pallas
+                [m.params for m in self.masks],
+                build_luts=self._use_exact_path(),
             )
         # Same packed stack for every level; only the true extent differs.
         import dataclasses as _dc
@@ -383,14 +397,14 @@ class PhotoEditor:
         params = self._packed_params(level)
         masks = self._masks_at(level)
         geo = self._geo_at(level)
-        if self.use_pallas:
+        if self._use_exact_path():
+            out = dev.develop_post_geo_jit(geo, params, masks)
+        else:
             from ..kernels import fused
 
             out = fused.develop_post_geo_fused(
                 geo, params, masks, main_mask_all_ones=True
             )
-        else:
-            out = dev.develop_post_geo_jit(geo, params, masks)
         h, w = self._extents[level]
         out = out[:, :h, :w]
         cs = self._crop_slice(level)
@@ -487,7 +501,17 @@ class PhotoEditor:
             if m.name in by_name:
                 m.params = EditParameters.from_json(by_name[m.name])
         crop = obj.get("crop")
-        self.crop_rect = tuple(crop) if crop else None
+        if crop:
+            # Validate/clamp against the *current* image dimensions — a
+            # preset saved from a larger image must not install an
+            # out-of-bounds or empty rect (set_crop rejects those).
+            try:
+                self.set_crop(*crop)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"preset crop rect {crop!r} is invalid "
+                                 f"for this image: {e}") from e
+        else:
+            self.crop_rect = None
         self._invalidate(masks_changed=False)
 
     def save_preset(self, path: str) -> None:

@@ -96,3 +96,28 @@ def test_batch_raw_fast_path(tmp_path, rng, capsys):
     assert "fused raw path" in out
     import os
     assert sorted(os.listdir(outd)) == ["a.jpg", "b.jpg"]
+
+
+def test_batch_lens_distortion_skips_raw_fast_path(tmp_path, rng, capsys):
+    """--lens-distortion must not take the fused fast path (which has no
+    geometry stage): batch output must match develop with the same flags."""
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    from rawphotoforge_tpu.io.dng import write_dng
+
+    ind = tmp_path / "raws"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    rgb = np.stack([0.2 + 0.4 * xx / 64, 0.3 + 0.3 * yy / 48, 0.4 - 0.1 * xx / 64])
+    (ind / "a.dng").write_bytes(write_dng(synthetic_raw(rgb)))
+
+    rc = main(["batch", str(ind), str(outd), "--lens-distortion", "40"])
+    assert rc == 0
+    assert "fused raw path" not in capsys.readouterr().out
+
+    rc = main(["develop", str(ind / "a.dng"), str(tmp_path / "ref.jpg"),
+               "--lens-distortion", "40"])
+    assert rc == 0
+    a = np.asarray(PILImage.open(outd / "a.jpg"))
+    b = np.asarray(PILImage.open(tmp_path / "ref.jpg"))
+    np.testing.assert_array_equal(a, b)
