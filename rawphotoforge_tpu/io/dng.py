@@ -7,11 +7,15 @@ covers the DNG subset the framework owns natively in round 1:
 
 * classic TIFF structure (II/MM byte order, IFD chains, SubIFDs)
 * uncompressed (Compression=1) CFA strips, 8/12/14/16 bits per sample
+* lossless-JPEG (Compression=7, ITU-T.81 SOF3) CFA strips AND tiles —
+  the encoding nearly all real-world DNGs use (io/ljpeg.py; tiles decode
+  in parallel through the native scan decoder)
 * the color tags needed for develop: CFAPattern, BlackLevel, WhiteLevel,
   AsShotNeutral, ColorMatrix1, Orientation, plus basic EXIF rationals
 
-plus a writer that emits a valid uncompressed 16-bit CFA DNG — used for
-tests and for re-exporting mosaics.
+plus a writer that emits valid uncompressed or lossless-JPEG (optionally
+tiled) 16-bit CFA DNGs — used for tests, fixtures, and re-exporting
+mosaics.
 """
 
 from __future__ import annotations
@@ -37,6 +41,10 @@ T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTE_COUNTS = 279
 T_SUB_IFDS = 330
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_BYTE_COUNTS = 325
 T_CFA_REPEAT_DIM = 33421
 T_CFA_PATTERN = 33422
 T_EXPOSURE_TIME = 33434
@@ -121,6 +129,52 @@ def _unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
     return (u.astype(np.uint32) * weights).sum(axis=1).astype(np.uint16)
 
 
+def _decode_ljpeg_chunks(
+    data: bytes, offsets, counts, height, width, rows_per, cols_per
+) -> np.ndarray:
+    """Assemble a CFA mosaic from lossless-JPEG tiles or strips.
+
+    DNG stores lossless-JPEG CFA data as independent SOF3 streams, usually
+    2-component with columns interleaved (sample x of component c maps to
+    mosaic column x*ncomp+c); the decoded stream width must equal the tile
+    (or image) width. Tiles are laid out across then down, edge tiles
+    padded (TIFF 6.0 §15); the pad is cropped here. Tiles decode in
+    parallel threads — the native scan decoder releases the GIL.
+    """
+    from . import ljpeg
+
+    tiles_across = (width + cols_per - 1) // cols_per
+    mosaic = np.zeros((height, width), dtype=np.uint16)
+
+    def one(i):
+        o, c = offsets[i], counts[i]
+        try:
+            samples, _frame = ljpeg.decode(data[o : o + c])
+        except ljpeg.LJpegError as e:
+            raise DngError(f"chunk {i}: {e}") from e
+        ty, tx = divmod(i, tiles_across)
+        y0, x0 = ty * rows_per, tx * cols_per
+        if samples.shape[0] < min(rows_per, height - y0) or samples.shape[1] < min(
+            cols_per, width - x0
+        ):
+            raise DngError(
+                f"chunk {i} decodes to {samples.shape}, expected at least "
+                f"({min(rows_per, height - y0)}, {min(cols_per, width - x0)})"
+            )
+        h_take = min(rows_per, height - y0)
+        w_take = min(cols_per, width - x0)
+        mosaic[y0 : y0 + h_take, x0 : x0 + w_take] = samples[:h_take, :w_take]
+
+    if len(offsets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(offsets))) as pool:
+            list(pool.map(one, range(len(offsets))))
+    else:
+        one(0)
+    return mosaic
+
+
 def read_dng(data: bytes) -> RawImage:
     """Parse DNG/TIFF bytes into a RawImage."""
     if data[:2] == b"II":
@@ -166,31 +220,48 @@ def read_dng(data: bytes) -> RawImage:
     if isinstance(bits, list):
         bits = bits[0]
     compression = tag(cfa_ifd, T_COMPRESSION, 1)
-    if compression != 1:
+    if compression not in (1, 7):
         raise DngError(
-            f"unsupported DNG compression {compression} (only uncompressed "
-            f"strips are supported in this round)"
+            f"unsupported DNG compression {compression} (supported: 1 "
+            f"uncompressed, 7 lossless JPEG)"
         )
 
-    offsets = tag(cfa_ifd, T_STRIP_OFFSETS)
-    counts = tag(cfa_ifd, T_STRIP_BYTE_COUNTS)
+    tiled = T_TILE_OFFSETS in cfa_ifd
+    if tiled:
+        offsets = tag(cfa_ifd, T_TILE_OFFSETS)
+        counts = tag(cfa_ifd, T_TILE_BYTE_COUNTS)
+    else:
+        offsets = tag(cfa_ifd, T_STRIP_OFFSETS)
+        counts = tag(cfa_ifd, T_STRIP_BYTE_COUNTS)
     offsets = offsets if isinstance(offsets, list) else [offsets]
     counts = counts if isinstance(counts, list) else [counts]
-    strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
 
-    n_samples = width * height
-    if bits == 16:
-        mosaic = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
-    elif bits == 8:
-        mosaic = np.frombuffer(strip_data, dtype=np.uint8, count=n_samples).astype(
-            np.uint16
+    if compression == 7:
+        rows_per = (
+            tag(cfa_ifd, T_TILE_LENGTH) if tiled
+            else tag(cfa_ifd, T_ROWS_PER_STRIP, height)
         )
-    elif bits in (10, 12, 14):
-        packed = np.frombuffer(strip_data, dtype=np.uint8)
-        mosaic = _unpack_bits(packed, bits, n_samples)
+        cols_per = tag(cfa_ifd, T_TILE_WIDTH) if tiled else width
+        mosaic = _decode_ljpeg_chunks(
+            data, offsets, counts, height, width, rows_per, cols_per
+        )
     else:
-        raise DngError(f"unsupported bit depth {bits}")
-    mosaic = mosaic.reshape(height, width)
+        if tiled:
+            raise DngError("tiled uncompressed DNG is not supported")
+        strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+        n_samples = width * height
+        if bits == 16:
+            mosaic = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
+        elif bits == 8:
+            mosaic = np.frombuffer(
+                strip_data, dtype=np.uint8, count=n_samples
+            ).astype(np.uint16)
+        elif bits in (10, 12, 14):
+            packed = np.frombuffer(strip_data, dtype=np.uint8)
+            mosaic = _unpack_bits(packed, bits, n_samples)
+        else:
+            raise DngError(f"unsupported bit depth {bits}")
+        mosaic = mosaic.reshape(height, width)
 
     # CFA pattern.
     cfa = tag(cfa_ifd, T_CFA_PATTERN) or tag(ifds[0], T_CFA_PATTERN)
@@ -263,11 +334,60 @@ def read_dng(data: bytes) -> RawImage:
     )
 
 
-def write_dng(raw: RawImage) -> bytes:
-    """Emit a minimal valid uncompressed 16-bit CFA DNG (little-endian)."""
+def write_dng(
+    raw: RawImage,
+    compression: int = 1,
+    tile: Optional[tuple[int, int]] = None,
+    predictor: int = 1,
+) -> bytes:
+    """Emit a minimal valid 16-bit CFA DNG (little-endian).
+
+    ``compression=1`` writes uncompressed strips; ``compression=7`` writes
+    lossless-JPEG (SOF3, 2-component column-interleaved — the layout real
+    DNG converters emit). With ``tile=(th, tw)`` the compressed variant is
+    tiled (tw must be even); otherwise one strip covers the image.
+    """
     h, w = raw.mosaic.shape
     mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
-    strip = mosaic.tobytes()
+
+    chunks: list[bytes] = []
+    if compression == 7:
+        from . import ljpeg
+
+        precision = max(2, int(raw.mosaic.max()).bit_length())
+
+        def enc(block: np.ndarray) -> bytes:
+            bh, bw = block.shape
+            ncomp = 2 if bw % 2 == 0 else 1
+            return ljpeg.encode(
+                block.reshape(bh, bw // ncomp, ncomp),
+                precision=precision, predictor=predictor,
+            )
+
+        if tile is not None:
+            th, tw = tile
+            if tw % 2:
+                raise DngError("tile width must be even for 2-component SOF3")
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = mosaic[y0 : y0 + th, x0 : x0 + tw]
+                    # Edge tiles are padded to full tile size (TIFF 6.0 §15).
+                    if block.shape != (th, tw):
+                        block = np.pad(
+                            block,
+                            ((0, th - block.shape[0]), (0, tw - block.shape[1])),
+                            mode="edge",
+                        )
+                    chunks.append(enc(block))
+        else:
+            chunks.append(enc(mosaic))
+    elif compression == 1:
+        if tile is not None:
+            raise DngError("tiling is only supported with compression=7")
+        chunks.append(mosaic.tobytes())
+    else:
+        raise DngError(f"unsupported write compression {compression}")
+    strip = b"".join(chunks)
 
     cfa_codes = {"R": 0, "G": 1, "B": 2}
     cfa = bytes(cfa_codes[c] for c in raw.pattern)
@@ -300,17 +420,23 @@ def write_dng(raw: RawImage) -> bytes:
     add(T_WIDTH, 4, w)
     add(T_LENGTH, 4, h)
     add(T_BITS_PER_SAMPLE, 3, 16)
-    add(T_COMPRESSION, 3, 1)
+    add(T_COMPRESSION, 3, compression)
     add(T_PHOTOMETRIC, 3, PHOTOMETRIC_CFA)
     if "Make" in raw.exif:
         add(T_MAKE, 2, raw.exif["Make"])
     if "Model" in raw.exif:
         add(T_MODEL, 2, raw.exif["Model"])
-    add(T_STRIP_OFFSETS, 4, 0)  # patched below
+    if tile is not None:
+        add(T_TILE_WIDTH, 4, tile[1])
+        add(T_TILE_LENGTH, 4, tile[0])
+        add(T_TILE_OFFSETS, 4, [0] * len(chunks))  # patched below
+        add(T_TILE_BYTE_COUNTS, 4, [len(c) for c in chunks])
+    else:
+        add(T_STRIP_OFFSETS, 4, 0)  # patched below
+        add(T_ROWS_PER_STRIP, 4, h)
+        add(T_STRIP_BYTE_COUNTS, 4, len(strip))
     add(T_ORIENTATION, 3, raw.orientation)
     add(T_SAMPLES_PER_PIXEL, 3, 1)
-    add(T_ROWS_PER_STRIP, 4, h)
-    add(T_STRIP_BYTE_COUNTS, 4, len(strip))
     add(T_CFA_REPEAT_DIM, 3, [2, 2])
     entries.append([T_CFA_PATTERN, 1, 4, cfa])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
@@ -326,7 +452,7 @@ def write_dng(raw: RawImage) -> bytes:
     header_size = 8
     ifd_size = 2 + len(entries) * 12 + 4
     data_off = header_size + ifd_size
-    out_of_line = b""
+    out_of_line = bytearray()
     for e in entries:
         if len(e[3]) > 4:
             e.append(data_off + len(out_of_line))
@@ -335,10 +461,19 @@ def write_dng(raw: RawImage) -> bytes:
         else:
             e.append(None)
 
+    # Patch chunk offsets now that the data start is known.
     strip_off = data_off + len(out_of_line)
+    chunk_offs = np.cumsum([0] + [len(c) for c in chunks[:-1]]) + strip_off
     for e in entries:
-        if e[0] == T_STRIP_OFFSETS:
-            e[3] = struct.pack("<I", strip_off)
+        if e[0] in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
+            packed_offs = struct.pack(
+                "<" + str(len(chunks)) + "I", *(int(o) for o in chunk_offs)
+            )
+            if e[4] is None:  # inline (single chunk)
+                e[3] = packed_offs
+            else:
+                pos = e[4] - data_off
+                out_of_line[pos : pos + len(packed_offs)] = packed_offs
 
     buf = bytearray()
     buf += b"II" + struct.pack("<HI", 42, 8)

@@ -19,10 +19,12 @@ from .dng import DngError, RawImage, read_dng
 
 # The RAW container surface (rust-godot-legacy image.rs:14-179 enumerates
 # these via rawler's format list). DNG and any TIFF-structured RAW with
-# uncompressed CFA strips decode natively today; vendor-compressed
-# variants (lossless-JPEG NEF/CR2, Sony ARW compression, ...) parse their
-# container/EXIF but raise a typed unsupported-compression error. The
-# TIFF walker finds the CFA IFD in ARW/NEF/ORF/PEF/RW2-style files too.
+# uncompressed OR lossless-JPEG (SOF3 strips/tiles) CFA data decode
+# natively today — that covers standard DNGs from Adobe converters and
+# cameras. Vendor-specific schemes (Nikon NEF huffman variant, Sony ARW
+# delta packing, ...) parse their container/EXIF but raise a typed
+# unsupported-compression error. The TIFF walker finds the CFA IFD in
+# ARW/NEF/ORF/PEF/RW2-style files too.
 RAW_EXTENSIONS = {
     ".dng", ".arw", ".nef", ".nrw", ".cr2", ".orf", ".pef", ".raf",
     ".rw2", ".srw", ".kdc", ".dcr", ".erf", ".3fr", ".fff", ".iiq",

@@ -61,6 +61,12 @@ def _load():
     lib.rpf_histogram_rgbl_f32.restype = c
     lib.rpf_binarize_mask_f32.argtypes = [f32p, f32p, c64, ctypes.c_float]
     lib.rpf_binarize_mask_f32.restype = c
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.rpf_ljpeg_decode_scan.argtypes = [
+        ctypes.c_char_p, c64, u16p, c, c, c,
+        u8p, u8p, i32p, u8p, c, c, c, c, c64, c64,
+    ]
+    lib.rpf_ljpeg_decode_scan.restype = c
     _lib = lib
     return lib
 
@@ -131,6 +137,28 @@ def histogram_rgbl(hwc):
     out = np.zeros((4, 256), dtype=np.int32)
     lib.rpf_histogram_rgbl_f32(src, h, w, out)
     return out
+
+
+def ljpeg_decode_scan(seg: bytes, out, frame, mcu_start: int, mcu_count: int):
+    """Decode one lossless-JPEG restart segment into ``out`` (u16
+    [rows, mcus_per_row*ncomp]); see io/ljpeg.py for the framing layer."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    counts = np.ascontiguousarray(frame.counts, dtype=np.uint8)
+    values = np.ascontiguousarray(frame.values, dtype=np.uint8)
+    nvalues = np.ascontiguousarray(frame.nvalues, dtype=np.int32)
+    comp_tab = np.ascontiguousarray(frame.comp_table, dtype=np.uint8)
+    rc = lib.rpf_ljpeg_decode_scan(
+        seg, len(seg), out, frame.rows, frame.mcus_per_row, frame.ncomp,
+        counts, values, nvalues, comp_tab, counts.shape[0],
+        frame.predictor, frame.precision, frame.point_transform,
+        mcu_start, mcu_count,
+    )
+    if rc != 0:
+        from ..io.ljpeg import LJpegError
+
+        raise LJpegError(f"native lossless-JPEG decode failed (rc={rc})")
 
 
 def binarize_mask(src, threshold):

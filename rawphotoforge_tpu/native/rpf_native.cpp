@@ -232,6 +232,182 @@ int rpf_histogram_rgbl_f32(const float* hwc, int h, int w, int32_t* out4x256) {
   return RPF_OK;
 }
 
+// ---------------------------------------------------------------------------
+// Lossless-JPEG (ITU-T.81 process 14) scan decoding — the per-sample
+// Huffman hot loop behind io/ljpeg.py. One call decodes one restart
+// segment (already 0xFF00-unstuffed by the Python layer) into the shared
+// output plane; prediction state resets at segment entry per T.81 F.2.1.3.
+// Semantics oracle: io/ljpeg._decode_scan_py (tested equal).
+// ---------------------------------------------------------------------------
+
+enum {
+  RPF_ERR_BAD_HUFF = 3,
+  RPF_ERR_TRUNCATED = 4,
+};
+
+namespace {
+
+struct LjBitReader {
+  const uint8_t* p;
+  int64_t n;        // total bytes
+  int64_t byte;     // next byte to load
+  uint64_t cache;   // MSB-aligned bit cache
+  int ncached;
+
+  void fill() {
+    if (byte + 8 <= n) {
+      // Bulk refill: top up to a whole number of bytes from one load.
+      uint64_t v;
+      std::memcpy(&v, p + byte, 8);
+#if defined(__GNUC__) || defined(__clang__)
+      v = __builtin_bswap64(v);
+#else
+      v = ((v & 0xFFULL) << 56) | ((v & 0xFF00ULL) << 40) |
+          ((v & 0xFF0000ULL) << 24) | ((v & 0xFF000000ULL) << 8) |
+          ((v >> 8) & 0xFF000000ULL) | ((v >> 24) & 0xFF0000ULL) |
+          ((v >> 40) & 0xFF00ULL) | (v >> 56);
+#endif
+      int k = (64 - ncached) >> 3;
+      if (k) {
+        uint64_t masked = (k >= 8) ? v : (v & (~0ULL << (64 - 8 * k)));
+        cache |= masked >> ncached;
+        byte += k;
+        ncached += 8 * k;
+      }
+      return;
+    }
+    while (ncached <= 48) {
+      uint64_t b = (byte < n) ? p[byte] : 0;  // zero-pad past end
+      ++byte;
+      cache |= b << (56 - ncached);
+      ncached += 8;
+    }
+  }
+  inline uint32_t peek16() {
+    if (ncached < 16) fill();
+    return static_cast<uint32_t>(cache >> 48);
+  }
+  inline void skip(int k) {
+    cache <<= k;
+    ncached -= k;
+  }
+  inline uint32_t get(int k) {
+    if (k == 0) return 0;
+    if (ncached < k) fill();
+    uint32_t v = static_cast<uint32_t>(cache >> (64 - k));
+    cache <<= k;
+    ncached -= k;
+    return v;
+  }
+};
+
+}  // namespace
+
+int rpf_ljpeg_decode_scan(
+    const uint8_t* seg, int64_t seg_bytes,
+    uint16_t* out,                 // [rows, mcus_per_row * ncomp]
+    int rows, int mcus_per_row, int ncomp,
+    const uint8_t* counts,         // [ntab, 16]
+    const uint8_t* values,         // [ntab, 17]
+    const int32_t* nvalues,        // [ntab]
+    const uint8_t* comp_tab,       // [ncomp]
+    int ntab,
+    int predictor, int precision, int pt,
+    int64_t mcu_start, int64_t mcu_count) {
+  if (!seg || !out || !counts || !values || !comp_tab || rows <= 0 ||
+      mcus_per_row <= 0 || ncomp <= 0 || ncomp > 4 || ntab <= 0 ||
+      predictor < 1 || predictor > 7)
+    return RPF_ERR_ARGS;
+
+  // Build peek-16 Huffman LUTs: sym + code length per table.
+  uint8_t* lut_sym = new uint8_t[static_cast<size_t>(ntab) << 16];
+  uint8_t* lut_len = new uint8_t[static_cast<size_t>(ntab) << 16]();
+  for (int t = 0; t < ntab; ++t) {
+    uint32_t code = 0;
+    int k = 0;
+    uint8_t* sym = lut_sym + (static_cast<size_t>(t) << 16);
+    uint8_t* len = lut_len + (static_cast<size_t>(t) << 16);
+    for (int ln = 1; ln <= 16; ++ln) {
+      for (int c = 0; c < counts[t * 16 + ln - 1]; ++c) {
+        if (k >= nvalues[t] || code >= (1u << ln)) {
+          delete[] lut_sym; delete[] lut_len;
+          return RPF_ERR_BAD_HUFF;
+        }
+        uint32_t lo = code << (16 - ln);
+        uint32_t hi = lo + (1u << (16 - ln));
+        for (uint32_t i = lo; i < hi; ++i) {
+          sym[i] = values[t * 17 + k];
+          len[i] = static_cast<uint8_t>(ln);
+        }
+        ++code;
+        ++k;
+      }
+      code <<= 1;
+    }
+  }
+
+  LjBitReader br{seg, seg_bytes, 0, 0, 0};
+  const int stride = mcus_per_row * ncomp;
+  const int32_t dflt = 1 << (precision - pt - 1);
+  bool seg_first[4] = {true, true, true, true};
+  int rc = RPF_OK;
+
+  for (int64_t idx = mcu_start; idx < mcu_start + mcu_count; ++idx) {
+    int row = static_cast<int>(idx / mcus_per_row);
+    int col = static_cast<int>(idx % mcus_per_row);
+    uint16_t* orow = out + static_cast<size_t>(row) * stride;
+    for (int c = 0; c < ncomp; ++c) {
+      const size_t toff = static_cast<size_t>(comp_tab[c]) << 16;
+      uint32_t peek = br.peek16();
+      int ssss = lut_sym[toff + peek];
+      int ln = lut_len[toff + peek];
+      if (ln == 0) { rc = RPF_ERR_BAD_HUFF; goto done; }
+      br.skip(ln);
+      int32_t diff;
+      if (ssss == 16) {
+        diff = 32768;
+      } else if (ssss == 0) {
+        diff = 0;
+      } else {
+        uint32_t v = br.get(ssss);
+        diff = (v >= (1u << (ssss - 1)))
+                   ? static_cast<int32_t>(v)
+                   : static_cast<int32_t>(v) - (1 << ssss) + 1;
+      }
+      int x = col * ncomp + c;
+      int32_t pred;
+      if (seg_first[c]) {
+        pred = dflt;
+        seg_first[c] = false;
+      } else if (row == 0) {
+        pred = orow[x - ncomp];
+      } else if (col == 0) {
+        pred = *(orow - stride + x);
+      } else {
+        int32_t ra = orow[x - ncomp];
+        int32_t rb = *(orow - stride + x);
+        int32_t rcn = *(orow - stride + x - ncomp);
+        switch (predictor) {
+          case 1: pred = ra; break;
+          case 2: pred = rb; break;
+          case 3: pred = rcn; break;
+          case 4: pred = ra + rb - rcn; break;
+          case 5: pred = ra + ((rb - rcn) >> 1); break;
+          case 6: pred = rb + ((ra - rcn) >> 1); break;
+          default: pred = (ra + rb) >> 1; break;
+        }
+      }
+      orow[x] = static_cast<uint16_t>((pred + diff) & 0xFFFF);
+    }
+  }
+  // Consumed more bits than the segment holds -> truncated stream.
+  if (8 * br.byte - br.ncached > 8 * seg_bytes) rc = RPF_ERR_TRUNCATED;
+done:
+  delete[] lut_sym;
+  delete[] lut_len;
+  return rc;
+}
+
 // Mask binarization: v >= threshold -> 1.0 else 0.0 (lib.rs:481-499).
 int rpf_binarize_mask_f32(const float* src, float* dst, int64_t n,
                           float threshold) {

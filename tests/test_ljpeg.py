@@ -1,0 +1,154 @@
+"""Lossless JPEG (ITU-T.81 process 14) codec tests.
+
+The decoder is anchored three ways: (a) a hand-derived bitstream worked out
+from the T.81 spec (encoder-independent), (b) encode->decode round trips
+across the full configuration grid, (c) native C++ scan decoder vs the
+pure-Python oracle.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rawphotoforge_tpu.io import ljpeg
+from rawphotoforge_tpu.io.ljpeg import LJpegError
+
+
+def _manual_stream(scan: bytes, precision=8, h=2, w=2, predictor=1, ncomp=1):
+    """Assemble a complete SOF3 stream around hand-built scan bytes, using
+    the 17-categories-at-5-bits Huffman table."""
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">BBHBHHB", 0xFF, 0xC3, 8 + 3 * ncomp, precision, h, w, ncomp)
+    for c in range(ncomp):
+        out += struct.pack(">BBB", c + 1, 0x11, 0)
+    counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
+    out += struct.pack(">BBH", 0xFF, 0xC4, 2 + 1 + 16 + 17) + b"\x00"
+    out += counts + bytes(range(17))
+    out += struct.pack(">BBHB", 0xFF, 0xDA, 6 + 2 * ncomp, ncomp)
+    for c in range(ncomp):
+        out += struct.pack(">BB", c + 1, 0x00)
+    out += struct.pack(">BBB", predictor, 0, 0)
+    out += scan + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_derived_bitstream():
+    """2x2 8-bit predictor-1 image worked out by hand from T.81 Annex H.
+
+    samples [[100, 102], [98, 99]]; first prediction 2^(8-1)=128:
+      (0,0): diff -28 -> cat 5, bits 00011 ; code 00101
+      (0,1): Ra=100, diff  +2 -> cat 2, bits 10    ; code 00010
+      (1,0): Rb=100, diff  -2 -> cat 2, bits 01    ; code 00010
+      (1,1): Ra=98,  diff  +1 -> cat 1, bits 1     ; code 00001
+    -> 00101 00011 00010 10 00010 01 00001 1 + '11' pad = 28 C5 09 0F
+    """
+    data = _manual_stream(bytes([0x28, 0xC5, 0x09, 0x0F]))
+    dec, frame = ljpeg.decode(data)
+    np.testing.assert_array_equal(dec, [[100, 102], [98, 99]])
+    assert frame.precision == 8 and frame.predictor == 1
+
+
+def test_hand_derived_bitstream_predictor2():
+    """Same samples, predictor 2 (Rb): row 0 still predicts via Ra.
+      (0,0): 128 -> 100: cat 5, 00011
+      (0,1): Ra=100 -> 102: cat 2, 10
+      (1,0): Rb=100 -> 98: diff -2, cat 2, 01
+      (1,1): Rb=102 -> 99: diff -3, cat 2, 00
+    -> 00101 00011 00010 10 00010 01 00010 00 + 1111 pad
+       = 00101000 11000101 00001001 00010001 111(1) -> 28 C5 09 11 F?
+    bits: 00101,00011,00010,10,00010,01,00010,00 = 34 bits -> pad 6 ones
+      00101000 11000101 00001001 00010001 11111111? no: 34+6=40 bits
+      byte4   = 00010 00 + 1 -> 00010001
+      byte5   = 11111111
+    """
+    scan = bytes([0x28, 0xC5, 0x09, 0x11, 0xFF, 0x00])  # FF stuffed with 00
+    data = _manual_stream(scan, predictor=2)
+    dec, _ = ljpeg.decode(data)
+    np.testing.assert_array_equal(dec, [[100, 102], [98, 99]])
+
+
+@pytest.mark.parametrize("bits", [8, 12, 14, 16])
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_roundtrip_grid(rng, bits, predictor):
+    for nc in (1, 2):
+        s = rng.integers(0, 1 << bits, (13, 11, nc)).astype(np.uint16)
+        enc = ljpeg.encode(s, precision=bits, predictor=predictor)
+        dec, frame = ljpeg.decode(enc)
+        np.testing.assert_array_equal(dec, s.reshape(13, 11 * nc))
+        assert frame.ncomp == nc and frame.width == 11 * nc
+
+
+def test_roundtrip_restart_intervals(rng):
+    s = rng.integers(0, 1 << 12, (9, 14, 2)).astype(np.uint16)
+    for ri in (1, 3, 5, 100):
+        enc = ljpeg.encode(s, precision=12, predictor=4, restart_interval=ri)
+        dec, frame = ljpeg.decode(enc)
+        assert frame.restart_interval == ri
+        np.testing.assert_array_equal(dec, s.reshape(9, 28))
+
+
+def test_roundtrip_point_transform(rng):
+    s = (rng.integers(0, 1 << 12, (9, 7)) << 2).astype(np.uint16)
+    enc = ljpeg.encode(s, precision=14, predictor=4, point_transform=2)
+    dec, frame = ljpeg.decode(enc)
+    assert frame.point_transform == 2
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_extreme_diffs_category_16(rng):
+    """Alternating 0/65535 forces +-32768-wrap diffs (category 16)."""
+    s = np.zeros((4, 8), dtype=np.uint16)
+    s[:, 1::2] = 65535
+    s[1::2] = s[1::2][:, ::-1]
+    enc = ljpeg.encode(s, precision=16, predictor=1)
+    dec, _ = ljpeg.decode(enc)
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_native_matches_python_oracle(rng):
+    from rawphotoforge_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for bits, pred, nc, ri in [(8, 1, 1, 0), (14, 4, 2, 7), (16, 7, 2, 0),
+                               (12, 5, 3, 3), (10, 6, 1, 0)]:
+        s = rng.integers(0, 1 << bits, (21, 13, nc)).astype(np.uint16)
+        enc = ljpeg.encode(s, precision=bits, predictor=pred,
+                           restart_interval=ri)
+        frame = ljpeg.parse(enc)
+        total = frame.rows * frame.mcus_per_row
+        segs = ljpeg._split_segments(frame.scan, frame.restart_interval, total)
+        luts = [
+            ljpeg._build_huffman_lut(frame.counts[t], frame.values[t],
+                                     int(frame.nvalues[t]))
+            for t in range(frame.counts.shape[0])
+        ]
+        py = np.zeros((frame.rows, frame.width), dtype=np.int32)
+        nat = np.zeros((frame.rows, frame.width), dtype=np.uint16)
+        for seg, start, count in segs:
+            ljpeg._decode_scan_py(seg, py, frame, start, count, luts)
+            native.ljpeg_decode_scan(seg, nat, frame, start, count)
+        np.testing.assert_array_equal(py.astype(np.uint16), nat)
+        np.testing.assert_array_equal(nat, s.reshape(21, 13 * nc))
+
+
+def test_error_paths():
+    with pytest.raises(LJpegError):
+        ljpeg.decode(b"\x00\x01not a jpeg")
+    with pytest.raises(LJpegError):
+        # Baseline DCT (SOF0), not lossless.
+        bad = bytearray(_manual_stream(b"\x00"))
+        bad[3] = 0xC0
+        ljpeg.decode(bytes(bad))
+    with pytest.raises(LJpegError):
+        ljpeg.encode(np.zeros((4, 4, 5), dtype=np.uint16))  # 5 components
+    with pytest.raises(LJpegError):
+        ljpeg.encode(np.full((4, 4), 300, dtype=np.uint16), precision=8)
+
+
+def test_truncated_scan_raises(rng):
+    s = rng.integers(0, 256, (8, 8)).astype(np.uint16)
+    enc = ljpeg.encode(s, precision=8)
+    with pytest.raises(LJpegError):
+        ljpeg.decode(enc[: len(enc) // 2])

@@ -213,3 +213,74 @@ def test_raw_extension_registry(tmp_path, rng):
     planes, exif = image_io.read_image(str(p))
     assert planes.shape == (3, 32, 48)
     assert exif["Make"] == "Synthetic"
+
+
+def test_dng_lossless_jpeg_strip_roundtrip(rng):
+    """Compression=7 single-strip DNG: mosaic round-trips bit-exactly."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    yy, xx = np.mgrid[0:84, 0:106].astype(np.float32)
+    rgb = np.stack([0.2 + 0.5 * xx / 106, 0.3 + 0.4 * yy / 84, 0.5 - 0.2 * xx / 106])
+    raw = synthetic_raw(rgb, pattern="GBRG", wb_gains=(1.7, 1.0, 1.45))
+    blob = write_dng(raw, compression=7)
+    assert len(blob) < len(write_dng(raw))  # actually compressed
+    got = read_dng(blob)
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    assert got.pattern == raw.pattern
+    assert got.black_level == raw.black_level
+    np.testing.assert_allclose(got.wb_gains, raw.wb_gains, rtol=1e-4)
+
+
+def test_dng_lossless_jpeg_tiled_roundtrip(rng):
+    """Tiled compression=7 DNG with non-aligned edges (pad crop) across
+    predictors."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    img = rng.random((3, 90, 118)).astype(np.float32) ** 2
+    raw = synthetic_raw(img)
+    for predictor in (1, 4, 7):
+        blob = write_dng(raw, compression=7, tile=(32, 48), predictor=predictor)
+        got = read_dng(blob)
+        np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+
+
+def test_dng_unsupported_compression_message():
+    """Unknown compression raises a typed error naming the scheme."""
+    from rawphotoforge_tpu.io.dng import DngError, read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(np.full((3, 8, 8), 0.5, dtype=np.float32))
+    blob = bytearray(write_dng(raw))
+    # Patch the COMPRESSION short (tag 259, type 3) to 34892 (lossy DNG).
+    import struct
+    n = struct.unpack_from("<H", blob, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", blob, off)[0] == 259:
+            struct.pack_into("<H", blob, off + 8, 34892)
+    with pytest.raises(DngError, match="34892"):
+        read_dng(bytes(blob))
+
+
+def test_editor_opens_compressed_dng(rng, tmp_path):
+    """PhotoEditor.open on a lossless-JPEG DNG produces the same session
+    as the uncompressed variant of the same mosaic."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    img = rng.random((3, 40, 64)).astype(np.float32) ** 2
+    raw = synthetic_raw(img)
+    p1 = tmp_path / "u.dng"
+    p7 = tmp_path / "c.dng"
+    p1.write_bytes(write_dng(raw))
+    p7.write_bytes(write_dng(raw, compression=7, tile=(16, 32)))
+    ed1 = PhotoEditor.open(str(p1), use_pallas=False,
+                           mid_long_edge=32, low_long_edge=16)
+    ed7 = PhotoEditor.open(str(p7), use_pallas=False,
+                           mid_long_edge=32, low_long_edge=16)
+    np.testing.assert_array_equal(
+        np.asarray(ed1.apply(FULL)), np.asarray(ed7.apply(FULL))
+    )
