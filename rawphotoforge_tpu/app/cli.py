@@ -153,7 +153,7 @@ def _batch_raw_fast_path(paths, args) -> int:
     import jax.numpy as jnp
 
     from ..core.params import pack_params
-    from ..io.dng import read_dng
+    from ..io.raw import parse_raw
     from ..io.raw import develop_raw_image  # noqa: F401 (parity fallback)
     from ..kernels.raw_pipeline import raw_develop_fused
     from ..ops import demosaic as dm
@@ -165,7 +165,7 @@ def _batch_raw_fast_path(paths, args) -> int:
     total_pix = 0
     for p in paths:
         with open(p, "rb") as f:
-            raw = read_dng(f.read())
+            raw = parse_raw(f.read())
         h, w = raw.mosaic.shape
         mos01 = dm.normalize_mosaic(
             jnp.asarray(raw.mosaic), raw.black_level, raw.white_level

@@ -40,6 +40,18 @@ def is_raw_image(path: str) -> bool:
     return os.path.splitext(path)[1].lower() in RAW_EXTENSIONS
 
 
+def parse_raw(data: bytes) -> RawImage:
+    """Sniff the container type and parse RAW bytes into a RawImage.
+
+    Canon CR2 carries a CR\\x02 marker at byte 8; everything else
+    TIFF-structured (DNG, TIFF-EP RAWs) goes through the DNG walker."""
+    from .cr2 import is_cr2, read_cr2
+
+    if is_cr2(data):
+        return read_cr2(data)
+    return read_dng(data)
+
+
 def develop_raw_image(raw: RawImage, method: str = "malvar"):
     """RawImage -> (linear sRGB planes f32 [3, H, W], exif dict)."""
     mosaic01 = dm.normalize_mosaic(
@@ -61,13 +73,13 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
 
 
 def read_raw(path_or_bytes, method: str = "malvar"):
-    """Load a DNG file (path or bytes) -> (linear planes, exif)."""
+    """Load a RAW file (path or bytes) -> (linear planes, exif)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
-    return develop_raw_image(read_dng(data), method=method)
+    return develop_raw_image(parse_raw(data), method=method)
 
 
 def synthetic_raw(
