@@ -33,15 +33,25 @@ _PAGE = """<!DOCTYPE html>
 body{{font-family:sans-serif;display:flex;margin:0;background:#222;color:#ddd}}
 #side{{width:320px;padding:12px;overflow-y:auto;height:100vh;box-sizing:border-box}}
 #main{{flex:1;display:flex;flex-direction:column;align-items:center;padding:10px}}
-#preview{{max-width:100%;max-height:85vh}}
+#pwrap{{position:relative;display:inline-block}}
+#preview{{max-width:100%;max-height:85vh;display:block}}
+#croprect{{position:absolute;border:1px dashed #fc6;background:rgba(255,204,102,.15);
+  pointer-events:none;display:none}}
 label{{display:block;font-size:12px;margin-top:6px}}
 input[type=range]{{width:100%}}
-canvas{{background:#111;width:100%}}
+canvas{{background:#111;width:100%;touch-action:none}}
 button,select{{margin:3px 2px;background:#333;color:#ddd;border:1px solid #555}}
+button.armed{{background:#675527}}
 a{{color:#8cf}}
 </style></head><body>
 <div id=side>
   <h3>{app_title}</h3>
+  <div>
+    <button onclick="document.getElementById('fopen').click()">{open_file}</button>
+    <input id=fopen type=file style="display:none"
+      accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw">
+    <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
+  </div>
   <canvas id=hist width=256 height=70></canvas>
   <div id=sliders></div>
   <label>{curve}:
@@ -53,18 +63,25 @@ a{{color:#8cf}}
     </select>
   </label>
   <canvas id=curve width=256 height=160></canvas>
-  <div style="font-size:11px;color:#888">click: add / drag: move / dblclick: remove</div>
+  <div style="font-size:11px;color:#888">click: add / drag: move /
+    dblclick or double-tap: remove</div>
   <div style="margin-top:6px"><b>{masks}</b>
     <select id=masksel onchange="switchMask()"><option>main</option></select>
     <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
     <button onclick="maskOp('invert')">{invert_mask}</button>
     <button onclick="maskOp('remove')">{remove_mask}</button>
   </div>
+  <div style="margin-top:4px"><b>{crop}</b>
+    <button id=cropbtn onclick="toggleCrop()">{crop}</button>
+    <button onclick="clearCrop()">{clear_crop}</button>
+  </div>
   <div style="font-size:11px;color:#888">hold preview: compare original;
-    with add-mask armed, click selects by color</div>
+    with add-mask armed, click selects by color; with crop armed, drag a
+    rectangle</div>
   <button onclick="resetAll()">{reset}</button>
   <button onclick="savePreset()">{save_preset}</button>
-  <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
+  <button onclick="document.getElementById('fpreset').click()">{load_preset}</button>
+  <input id=fpreset type=file style="display:none" accept=".json">
   <details><summary>{settings}</summary>
     <label>{language}
       <select id=locale onchange="saveSettings()">
@@ -77,7 +94,8 @@ a{{color:#8cf}}
   </details>
   <pre id=exif style="font-size:11px"></pre>
 </div>
-<div id=main><img id=preview src="/preview?level=mid"></div>
+<div id=main><div id=pwrap><img id=preview src="/preview?level=mid">
+  <div id=croprect></div></div></div>
 <script>
 const SLIDERS=[["exposure",-6,6,0.05],["contrast",-100,100,1],["shadow",-100,100,1],
  ["highlight",-100,100,1],["black",-100,100,1],["white",-100,100,1],
@@ -123,10 +141,32 @@ function pchipSample(pts,xs){{
           +(-2*t3+3*t2)*Y[i+1]+(t3-t2)*h[i]*m[i+1];
   }});
 }}
+let lastHist=null;
 function drawCurve(){{
   ctx.clearRect(0,0,256,160);
+  // Histogram overlay behind the brightness curve
+  // (raw_photo_forge.py:236-257 draws RGB+luma behind the tone widget).
+  if(curCurve==='brightness'&&lastHist){{
+    const colors=['rgba(255,85,85,.35)','rgba(85,255,85,.35)',
+                  'rgba(85,153,255,.35)','rgba(204,204,204,.45)'];
+    const m=Math.max(1,...lastHist.flat());
+    lastHist.forEach((row,ci)=>{{
+      ctx.strokeStyle=colors[ci];ctx.beginPath();
+      row.forEach((v,i)=>{{const y=159-150*v/m;
+        i?ctx.lineTo(i,y):ctx.moveTo(i,y);}});
+      ctx.stroke();}});
+  }}
   ctx.strokeStyle='#444';
   ctx.strokeRect(0,0,256,160);
+  const gain=(curCurve==='saturation'||curCurve==='lightness');
+  if(gain){{  // display domain [0,2], neutral gain line at 1.0 (=32767.5)
+    ctx.strokeStyle='#555';ctx.setLineDash([4,4]);ctx.beginPath();
+    ctx.moveTo(0,79.5);ctx.lineTo(256,79.5);ctx.stroke();ctx.setLineDash([]);
+  }}
+  ctx.fillStyle='#777';ctx.font='9px sans-serif';
+  ctx.fillText(gain?'2.0':'1.0',3,10);
+  ctx.fillText('0',3,157);
+  if(gain)ctx.fillText('1.0',3,77);
   const pts=curves[curCurve];
   const xs=Array.from({{length:128}},(_,i)=>i/127*65535);
   const ys=pchipSample(pts,xs);
@@ -159,14 +199,46 @@ cc.onmousemove=e=>{{
   drawCurve();
 }};
 cc.onmouseup=()=>{{if(dragIdx>=0){{dragIdx=-1;sendCurves('mid');}}}};
-cc.ondblclick=e=>{{
-  const [x,y]=curvePos(e);const pts=curves[curCurve];
+function deleteNear(x,y){{
+  const pts=curves[curCurve];
   const i=pts.findIndex(p=>{{const [px,py]=toPx(p);return Math.abs(px-x)<8&&Math.abs(py-y)<8;}});
   if(i>=0&&pts.length>2){{pts.splice(i,1);drawCurve();sendCurves('mid');}}
-}};
+}}
+cc.ondblclick=e=>{{const [x,y]=curvePos(e);deleteNear(x,y);}};
+// Touch: drag points, double-tap to delete (tone_curve_editor.ts:217-254).
+let lastTap=0;
+cc.addEventListener('touchstart',e=>{{
+  e.preventDefault();
+  const t=e.changedTouches[0];
+  const now=Date.now();
+  if(now-lastTap<300){{
+    const [x,y]=curvePos(t);deleteNear(x,y);lastTap=0;return;
+  }}
+  lastTap=now;
+  cc.onmousedown(t);
+}},{{passive:false}});
+cc.addEventListener('touchmove',e=>{{
+  e.preventDefault();cc.onmousemove(e.changedTouches[0]);
+}},{{passive:false}});
+cc.addEventListener('touchend',e=>{{e.preventDefault();cc.onmouseup();}},
+  {{passive:false}});
 function sendCurves(level){{
   for(const name in curves) state['curve_'+name]=curves[name];
   push(level);
+}}
+function loadCurvesFrom(p){{
+  // Replace the editor's working points with the target mask's stored
+  // curves and drop pending curve_* state so curves edited on one mask
+  // are never re-applied to another.
+  const defaults={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
+    saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
+  for(const name in curves){{
+    const c=(p.curves||{{}})[name];
+    curves[name]=c&&c.x?c.x.map((x,i)=>[x,c.y[i]])
+      :defaults[name].map(q=>q.slice());
+    delete state['curve_'+name];
+  }}
+  drawCurve();
 }}
 // ---- render loop ----
 let busy=false,queued=null;
@@ -181,12 +253,14 @@ async function push(level){{
   if(queued){{const q=queued;queued=null;push(q);}}
 }}
 function drawHist(h){{
+  lastHist=h;
   const c=document.getElementById('hist').getContext('2d');
   c.clearRect(0,0,256,70);
   const colors=['#f55','#5f5','#59f','#ccc'];
   const m=Math.max(1,...h.flat());
   h.forEach((row,ci)=>{{c.strokeStyle=colors[ci];c.beginPath();
     row.forEach((v,i)=>{{const y=70-68*v/m; i?c.lineTo(i,y):c.moveTo(i,y);}});c.stroke();}});
+  if(curCurve==='brightness')drawCurve();  // refresh the overlay
 }}
 async function resetAll(){{
   await fetch('/reset',{{method:'POST'}});
@@ -230,15 +304,20 @@ async function loadMasks(keep){{
   sel.value=names.includes(keep)?keep:'main';
   state._target=sel.value;
 }}
+// vignette/lens-distortion/sharpness act on the whole frame (main only,
+// wgsl:270-276): never copy them from a regional mask's (zero) params, or
+// the next push would wipe the user's global edits.
+const GLOBAL_ONLY=new Set(['vignette','lens_distortion','sharpness']);
 async function switchMask(){{
   const sel=document.getElementById('masksel');
   state._target=sel.value;
   const p=await (await fetch('/params?mask='+encodeURIComponent(sel.value))).json();
   for(const [name] of SLIDERS){{
-    if(name in p){{state[name]=p[name];
+    if(name in p&&!GLOBAL_ONLY.has(name)){{state[name]=p[name];
       document.getElementById('s_'+name).value=p[name];
       document.getElementById('v_'+name).textContent=p[name];}}
   }}
+  loadCurvesFrom(p);
 }}
 async function maskOp(op){{
   const sel=document.getElementById('masksel');
@@ -247,12 +326,79 @@ async function maskOp(op){{
   await loadMasks(op==='remove'?'main':sel.value);
   push('mid');
 }}
+// ---- file open / preset load (web/main.ts:652-695 loadImage dialog,
+// raw_photo_forge.py:2259-2341 preset load) ----
+document.getElementById('fopen').onchange=async e=>{{
+  const f=e.target.files[0];
+  if(!f)return;
+  const r=await fetch('/open?name='+encodeURIComponent(f.name),
+    {{method:'POST',body:await f.arrayBuffer()}});
+  if(r.ok){{location.reload();}}
+  else alert((await r.json()).error);
+}};
+document.getElementById('fpreset').onchange=async e=>{{
+  const f=e.target.files[0];
+  if(!f)return;
+  const r=await fetch('/preset',{{method:'POST',body:await f.text()}});
+  if(!r.ok){{alert((await r.json()).error);return;}}
+  const p=await (await fetch('/params?mask=main')).json();
+  for(const [name] of SLIDERS){{
+    if(name in p){{state[name]=p[name];
+      document.getElementById('s_'+name).value=p[name];
+      document.getElementById('v_'+name).textContent=p[name];}}
+  }}
+  loadCurvesFrom(p);
+  imgInfo=await (await fetch('/info')).json();
+  push('mid');
+}};
+// ---- crop drag-rect (v1 crop, editor.py:358-366) ----
+let cropMode=false, cropStart=null;
+const cropDiv=document.getElementById('croprect');
+function toggleCrop(){{
+  cropMode=!cropMode;
+  document.getElementById('cropbtn').className=cropMode?'armed':'';
+}}
+async function clearCrop(){{
+  await fetch('/crop',{{method:'POST',body:JSON.stringify({{clear:true}})}});
+  imgInfo=await (await fetch('/info')).json();
+  push('mid');
+}}
+function cropPx(e){{
+  const r=pv.getBoundingClientRect();
+  return [e.clientX-r.left, e.clientY-r.top, r];
+}}
+async function finishCrop(e){{
+  const [x1,y1,r]=cropPx(e);
+  const [x0,y0]=cropStart;
+  cropStart=null;
+  cropDiv.style.display='none';
+  if(Math.abs(x1-x0)<5||Math.abs(y1-y0)<5)return;
+  // Display coords -> FULL-image coords: the preview shows the current
+  // crop region, so scale by its extent and offset by its origin.
+  const cur=imgInfo.crop||[0,0,imgInfo.shape[1],imgInfo.shape[0]];
+  const sx=(cur[2]-cur[0])/r.width, sy=(cur[3]-cur[1])/r.height;
+  await fetch('/crop',{{method:'POST',body:JSON.stringify({{
+    x0:Math.round(cur[0]+Math.min(x0,x1)*sx),
+    y0:Math.round(cur[1]+Math.min(y0,y1)*sy),
+    x1:Math.round(cur[0]+Math.max(x0,x1)*sx),
+    y1:Math.round(cur[1]+Math.max(y0,y1)*sy)}})}});
+  imgInfo=await (await fetch('/info')).json();
+  toggleCrop();
+  push('mid');
+}}
 const pv=document.getElementById('preview');
 pv.onmousedown=async e=>{{
-  if(maskAddMode&&imgInfo){{
+  if(cropMode){{
+    e.preventDefault();
+    cropStart=cropPx(e);
+    cropDiv.style.display='block';
+    cropDiv.style.left=cropStart[0]+'px';cropDiv.style.top=cropStart[1]+'px';
+    cropDiv.style.width='0';cropDiv.style.height='0';
+  }} else if(maskAddMode&&imgInfo){{
     const r=pv.getBoundingClientRect();
-    const x=Math.round((e.clientX-r.left)/r.width*imgInfo.shape[1]);
-    const y=Math.round((e.clientY-r.top)/r.height*imgInfo.shape[0]);
+    const cur=imgInfo.crop||[0,0,imgInfo.shape[1],imgInfo.shape[0]];
+    const x=Math.round(cur[0]+(e.clientX-r.left)/r.width*(cur[2]-cur[0]));
+    const y=Math.round(cur[1]+(e.clientY-r.top)/r.height*(cur[3]-cur[1]));
     const name='mask'+(++maskCounter);
     await fetch('/mask/add',{{method:'POST',body:JSON.stringify(
       {{name:name,point:[x,y],tolerance:0.12}})}});
@@ -264,8 +410,17 @@ pv.onmousedown=async e=>{{
     pv.src='/preview?level=mid&original=1&t='+Date.now();
   }}
 }};
-pv.onmouseup=pv.onmouseleave=()=>{{
-  if(!maskAddMode)pv.src='/preview?level=mid&t='+Date.now();
+pv.onmousemove=e=>{{
+  if(!cropStart)return;
+  const [x,y]=cropPx(e);
+  cropDiv.style.left=Math.min(x,cropStart[0])+'px';
+  cropDiv.style.top=Math.min(y,cropStart[1])+'px';
+  cropDiv.style.width=Math.abs(x-cropStart[0])+'px';
+  cropDiv.style.height=Math.abs(y-cropStart[1])+'px';
+}};
+pv.onmouseup=pv.onmouseleave=e=>{{
+  if(cropStart){{finishCrop(e);return;}}
+  if(!maskAddMode&&!cropMode)pv.src='/preview?level=mid&t='+Date.now();
 }};
 pv.ondragstart=()=>false;
 loadMasks('main');
@@ -306,9 +461,14 @@ class EditorApp:
             int(st.get("wb_temperature", 0)), int(st.get("wb_tint", 0)),
             mask_name=mask_name,
         )
-        ed.set_vignette(int(st.get("vignette", 0)))
-        ed.set_lens_distortion(int(st.get("lens_distortion", 0)))
-        ed.set_sharpness(int(st.get("sharpness", 0)))
+        # Globals are applied only when the request carries them, so a
+        # client editing a regional mask can't accidentally zero them.
+        if "vignette" in st:
+            ed.set_vignette(int(st["vignette"]))
+        if "lens_distortion" in st:
+            ed.set_lens_distortion(int(st["lens_distortion"]))
+        if "sharpness" in st:
+            ed.set_sharpness(int(st["sharpness"]))
         for i, cname in enumerate(CURVE_NAMES):
             pts = st.get(f"curve_{cname}")
             if pts:
@@ -372,8 +532,10 @@ def make_handler(app: EditorApp):
                 elif url.path == "/info":
                     h, w = app.editor.shape
                     ph, pw = app.editor.level_shape(MID)
+                    crop = app.editor.crop_rect
                     self._send(200, json.dumps(
-                        {"shape": [h, w], "preview_shape": [ph, pw]}
+                        {"shape": [h, w], "preview_shape": [ph, pw],
+                         "crop": list(crop) if crop else None}
                     ).encode())
                 elif url.path == "/export":
                     self._send(
@@ -399,8 +561,28 @@ def make_handler(app: EditorApp):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
+            raw_body = self.rfile.read(n)
             url = urllib.parse.urlparse(self.path)
+            if url.path == "/open":
+                # Body is the raw file bytes; format from ?name= extension
+                # (web/main.ts:652-695 loadImage).
+                q = urllib.parse.parse_qs(url.query)
+                name = q.get("name", ["file.jpg"])[0]
+                with app.lock:
+                    try:
+                        fmt = image_io.format_for_path(name)
+                        app.editor = PhotoEditor.from_bytes(
+                            raw_body, fmt,
+                            mid_long_edge=app.settings.ui_preview_size,
+                            low_long_edge=app.settings.drag_preview_size,
+                        )
+                        self._send(200, b'{"ok": true}')
+                    except Exception as e:  # noqa: BLE001
+                        self._send(
+                            400, json.dumps({"error": str(e)}).encode()
+                        )
+                return
+            body = json.loads(raw_body or b"{}")
             with app.lock:
                 try:
                     if url.path == "/edit":

@@ -33,13 +33,19 @@ def fetch_sync(x):
     return x
 
 
-def device_time(fn, *args, iters: int = 10, chain=None):
+def device_time(fn, *args, iters: int = 10, chain=None,
+                min_window: float = 0.03, max_iters: int = 16384):
     """Median per-call device time of ``fn(*args)``.
 
     When ``chain`` is given — a function (i, last_out, args) -> new args —
     K calls are chained data-dependently inside one jitted loop and timed
-    by difference quotient, which excludes host/tunnel round trips. Without
-    it, per-call wall time including one tiny fetch is measured.
+    by difference quotient (T(K+1) - T(1)) / K, which excludes host/tunnel
+    round trips. K grows geometrically until the measured window exceeds
+    ``min_window`` seconds, so sub-millisecond kernels yield a real number
+    instead of clamping into launch jitter (each K costs one compile; the
+    persistent compile cache amortizes re-runs). Raises instead of ever
+    returning a non-positive time. Without ``chain``, per-call wall time
+    including one tiny fetch is measured.
     """
     import jax
 
@@ -64,10 +70,21 @@ def device_time(fn, *args, iters: int = 10, chain=None):
         fetch_sync(chained(k, *args))
         return time.perf_counter() - t0
 
-    run(1), run(iters + 1)  # compile both variants
-    t1 = min(run(1) for _ in range(3))
-    tk = min(run(iters + 1) for _ in range(3))
-    return (tk - t1) / iters
+    k = max(2, iters)
+    while True:
+        run(1), run(k + 1)  # compile both variants
+        t1 = min(run(1) for _ in range(3))
+        tk = min(run(k + 1) for _ in range(3))
+        window = tk - t1
+        if window >= min_window or k >= max_iters:
+            break
+        k = min(k * 4, max_iters)
+    if window <= 0:
+        raise RuntimeError(
+            f"device_time: non-positive window {window * 1e3:.3f} ms at "
+            f"K={k}; kernel is below the measurable floor — raise max_iters"
+        )
+    return window / k
 
 
 class StageTimer:

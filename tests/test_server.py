@@ -186,3 +186,78 @@ def test_mask_overlay_preview(base_url):
     _, _, plain = _get(base_url + "/preview?level=mid")
     assert body != plain  # tint visible
     _post(base_url + "/mask/remove", {"name": "ov"})
+
+
+def _post_raw(url, data: bytes):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read() or b"{}")
+
+
+def test_open_endpoint_replaces_session(base_url):
+    """POST /open with raw file bytes swaps in a new PhotoEditor
+    (web/main.ts:652-695 loadImage)."""
+    import io as _io
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(9)
+    buf = _io.BytesIO()
+    PILImage.fromarray(
+        (rng.random((30, 44, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    status, out = _post_raw(base_url + "/open?name=new.png", buf.getvalue())
+    assert status == 200 and out["ok"]
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [30, 44]
+
+    # Bad bytes -> 400 with a typed message, session unchanged.
+    try:
+        _post_raw(base_url + "/open?name=bad.png", b"not an image")
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [30, 44]
+
+
+def test_open_endpoint_raw_dng(base_url):
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    img = np.random.default_rng(11).random((3, 32, 48)).astype(np.float32)
+    blob = write_dng(synthetic_raw(img), compression=7)
+    status, out = _post_raw(base_url + "/open?name=shot.dng", blob)
+    assert status == 200 and out["ok"]
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [32, 48]
+
+
+def test_info_reports_crop(base_url):
+    _post(base_url + "/crop", {"x0": 4, "y0": 2, "x1": 30, "y1": 20})
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["crop"] == [4, 2, 30, 20]
+    _post(base_url + "/crop", {"clear": True})
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["crop"] is None
+
+
+def test_regional_edit_does_not_wipe_globals(base_url):
+    """A client editing a regional mask sends no global keys; vignette and
+    friends on main must survive (advisor r1 finding)."""
+    _post(base_url + "/edit", {"vignette": 55, "lens_distortion": -20})
+    _post(base_url + "/mask/add", {"name": "rg", "point": [6, 6], "tolerance": 0.4})
+    # Simulates the fixed client: regional pushes omit global-only keys.
+    _post(base_url + "/edit", {"_target": "rg", "exposure": 0.8})
+    _, _, body = _get(base_url + "/params?mask=main")
+    p = json.loads(body)
+    assert p["vignette"] == 55 and p["lens_distortion"] == -20
+    _post(base_url + "/mask/remove", {"name": "rg"})
+    _post(base_url + "/reset", {})
+
+
+def test_page_has_new_ui_affordances(base_url):
+    _, _, page = _get(base_url + "/")
+    for needle in (b"fopen", b"fpreset", b"croprect", b"touchstart",
+                   b"GLOBAL_ONLY", b"loadCurvesFrom"):
+        assert needle in page, needle
