@@ -64,6 +64,10 @@ def _add_edit_flags(p: argparse.ArgumentParser):
                    help="use the exact-LUT jnp path instead of the fused kernel")
     p.add_argument("--histogram", action="store_true",
                    help="print the 4x256 histogram summary")
+    p.add_argument("--lens-correct", action="store_true",
+                   help="auto-apply a lens profile matched from EXIF")
+    p.add_argument("--lens-db", type=str, action="append", default=None,
+                   help="extra lensfun XML file/dir (repeatable)")
 
 
 def _apply_edit_flags(ed: PhotoEditor, args):
@@ -102,8 +106,12 @@ def cmd_info(args) -> int:
 def cmd_develop(args) -> int:
     image_io.format_for_path(args.output)  # validate before spending a render
     t0 = time.perf_counter()
-    ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path)
+    ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path,
+                          lens_correct=args.lens_correct,
+                          lens_db_paths=args.lens_db)
     t_load = time.perf_counter() - t0
+    if args.lens_correct:
+        print(f"lens profile: {ed.applied_lens_profile or 'no match'}")
     _apply_edit_flags(ed, args)
     t1 = time.perf_counter()
     ed.apply(FULL).block_until_ready()
@@ -209,17 +217,20 @@ def cmd_batch(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
 
     # The one-pass fused RAW kernel has no lens-distortion (geometry)
-    # stage; with --lens-distortion set, fall through to the editor path
-    # so batch output matches `develop` with identical flags.
+    # stage and no profile-correction stage; with --lens-distortion or
+    # --lens-correct set, fall through to the editor path so batch output
+    # matches `develop` with identical flags.
     if (all(is_raw_image(p) for p in paths) and not args.preset
             and not args.crop and not args.jnp_path
-            and args.lens_distortion == 0):
+            and args.lens_distortion == 0 and not args.lens_correct):
         return _batch_raw_fast_path(paths, args)
 
     t0 = time.perf_counter()
     total_pix = 0
     for p in paths:
-        ed = PhotoEditor.open(p, use_pallas=not args.jnp_path)
+        ed = PhotoEditor.open(p, use_pallas=not args.jnp_path,
+                              lens_correct=args.lens_correct,
+                              lens_db_paths=args.lens_db)
         _apply_edit_flags(ed, args)
         out = os.path.join(
             args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"

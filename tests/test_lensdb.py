@@ -1,0 +1,163 @@
+"""Lens database tests: lensfun-XML parsing, EXIF resolution, auto-apply."""
+
+import io as _io
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+from rawphotoforge_tpu.io.lensdb import LensDatabase
+from rawphotoforge_tpu.ops.lenscorr import LensProfile, devignette
+
+_XML = """<lensdatabase>
+  <lens>
+    <maker>TestCo</maker>
+    <model>TestCo Prime 50mm f/1.8</model>
+    <cropfactor>1.0</cropfactor>
+    <calibration>
+      <distortion model="poly3" focal="50" k1="-0.01"/>
+      <tca model="linear" focal="50" vr="1.0003" vb="0.9996"/>
+      <vignetting model="pa" focal="50" aperture="1.8" k1="-0.8" k2="0.2" k3="-0.04"/>
+      <vignetting model="pa" focal="50" aperture="5.6" k1="-0.2" k2="0.05" k3="0.0"/>
+    </calibration>
+  </lens>
+  <lens>
+    <maker>TestCo</maker>
+    <model>TestCo Zoom 24-70mm f/2.8</model>
+    <calibration>
+      <distortion model="ptlens" focal="24" a="0.01" b="-0.03" c="0.0"/>
+      <distortion model="ptlens" focal="70" a="0.0" b="0.008" c="0.0"/>
+    </calibration>
+  </lens>
+</lensdatabase>"""
+
+
+@pytest.fixture
+def db():
+    return LensDatabase.parse_xml(_XML)
+
+
+def test_parse_and_exact_match(db):
+    assert len(db.lenses) == 2
+    e = db.find_lens("TestCo Prime 50mm f/1.8")
+    assert e is not None and len(e.vignetting) == 2
+
+
+def test_fuzzy_containment_and_tokens(db):
+    # EXIF often carries extra decorations around the model string.
+    assert db.find_lens("testco prime 50mm f/1.8 (serial 123)") is not None
+    assert db.find_lens("TestCo Zoom 24-70mm F2.8") is not None
+    assert db.find_lens("OtherBrand 85mm") is None
+    # Maker gating: a mismatched maker rejects the entry.
+    assert db.find_lens("TestCo Prime 50mm f/1.8", maker="SomeoneElse") is None
+    assert db.find_lens("TestCo Prime 50mm f/1.8", maker="TestCo Inc.") is not None
+
+
+def test_nearest_focal_and_aperture(db):
+    p24 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=28)
+    assert p24.distortion_model == "ptlens" and p24.distortion[0] == 0.01
+    p70 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=65)
+    assert p70.distortion == (0.0, 0.008, 0.0)
+    wide_open = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=2.0)
+    assert wide_open.vignetting == (-0.8, 0.2, -0.04)
+    stopped = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=8.0)
+    assert stopped.vignetting == (-0.2, 0.05, 0.0)
+
+
+def test_profile_from_exif(db):
+    p = db.profile_from_exif({
+        "LensModel": "TestCo Prime 50mm f/1.8", "Make": "TestCo",
+        "FocalLength": "50", "FNumber": "1.8",
+    })
+    assert p is not None and p.tca == (1.0003, 0.9996)
+    assert db.profile_from_exif({"Model": "Phone X"}) is None
+    assert db.profile_from_exif({}) is None
+
+
+def test_bundled_database_loads():
+    db = LensDatabase.load()
+    assert len(db.lenses) >= 5
+    p = db.profile_from_exif({
+        "LensModel": "Canon EF 50mm f/1.8 II", "Make": "Canon",
+        "FocalLength": "50", "FNumber": "1.8",
+    })
+    assert p is not None and p.vignetting is not None
+
+
+def test_db_directory_loading(tmp_path):
+    (tmp_path / "custom.xml").write_text(_XML)
+    db = LensDatabase.load([str(tmp_path)], include_bundled=False)
+    assert len(db.lenses) == 2
+
+
+def _jpeg_with_lens_exif(tmp_path, lens_model="TestCo Prime 50mm f/1.8"):
+    arr = np.full((64, 96, 3), 128, dtype=np.uint8)
+    img = PILImage.fromarray(arr)
+    ex = PILImage.Exif()
+    ex[271] = "TestCo"             # Make
+    ex[272] = "TestCo Cam"         # Model
+    ex[42036] = lens_model         # LensModel
+    ex[37386] = 50.0               # FocalLength
+    ex[33437] = 1.8                # FNumber
+    p = tmp_path / "shot.jpg"
+    img.save(p, quality=97, exif=ex.tobytes())
+    return str(p)
+
+
+def test_editor_auto_applies_profile(tmp_path):
+    """PhotoEditor.open(lens_correct=True) resolves the EXIF lens and
+    corrects the base image; verified against a by-hand application of the
+    same profile (VERDICT r1 item 6)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+    (tmp_path / "db").mkdir()
+    (tmp_path / "db" / "t.xml").write_text(_XML)
+    path = _jpeg_with_lens_exif(tmp_path)
+
+    ed = PhotoEditor.open(
+        path, lens_correct=True, lens_db_paths=[str(tmp_path / "db")],
+        use_pallas=False, mid_long_edge=48, low_long_edge=24,
+    )
+    assert ed.applied_lens_profile == "TestCo Prime 50mm f/1.8"
+
+    manual = PhotoEditor.open(path, use_pallas=False,
+                              mid_long_edge=48, low_long_edge=24)
+    assert manual.applied_lens_profile is None
+    manual.apply_lens_profile(LensProfile(
+        name="hand", vignetting=(-0.8, 0.2, -0.04),
+        distortion_model="poly3", distortion=(-0.01,), tca=(1.0003, 0.9996),
+    ))
+    np.testing.assert_array_equal(
+        np.asarray(ed.apply(FULL)), np.asarray(manual.apply(FULL))
+    )
+
+
+def test_devignette_hand_computed_gain():
+    """Corner/center gains verified against the pa-model formula by hand."""
+    import jax.numpy as jnp
+
+    planes = jnp.full((3, 10, 10), 0.5, dtype=jnp.float32)
+    k = jnp.asarray([-0.5, 0.1, 0.0], dtype=jnp.float32)
+    out = np.asarray(devignette(planes, k))
+    # Exact corner pixel: r = 1 (half-diagonal normalization) -> gain
+    # 1 + k1 + k2 + k3 = 0.6 -> 0.5 / 0.6.
+    np.testing.assert_allclose(out[0, 0, 0], 0.5 / 0.6, rtol=1e-5)
+    # Center of a 10x10 grid: nearest pixels are half a step off-center;
+    # r^2 = (0.5^2+0.5^2)/(4.5^2+4.5^2) = 1/81.
+    r2 = 1.0 / 81.0
+    gain = 1.0 + r2 * (-0.5 + r2 * 0.1)
+    np.testing.assert_allclose(out[0, 5, 5], 0.5 / gain, rtol=1e-5)
+
+
+def test_editor_no_match_is_noop(tmp_path):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+    path = _jpeg_with_lens_exif(tmp_path, lens_model="Unknown Glass 31mm")
+    ed = PhotoEditor.open(path, lens_correct=True, use_pallas=False,
+                          mid_long_edge=48, low_long_edge=24)
+    assert ed.applied_lens_profile is None
+    plain = PhotoEditor.open(path, use_pallas=False,
+                             mid_long_edge=48, low_long_edge=24)
+    np.testing.assert_array_equal(
+        np.asarray(ed.apply(FULL)), np.asarray(plain.apply(FULL))
+    )
