@@ -432,11 +432,14 @@ class EditorApp:
     """The server's model object: one PhotoEditor + its lock + settings."""
 
     def __init__(self, editor: PhotoEditor, settings: Settings | None = None,
-                 settings_path: str | None = None):
+                 settings_path: str | None = None, segmenter=None):
         self.editor = editor
         self.lock = threading.Lock()
         self.settings = settings or Settings.load(settings_path)
         self.settings_path = settings_path
+        # Optional external promptable-segmentation adapter for AI masks
+        # (engine/segmenter.py); /mask/add uses it when {"model": true}.
+        self.segmenter = segmenter
 
     def page(self) -> str:
         labels = tr(self.settings.locale)
@@ -610,11 +613,32 @@ def make_handler(app: EditorApp):
                         self._send(200, json.dumps(app.settings.to_json()).encode())
                     elif url.path == "/mask/add":
                         if "point" in body:
-                            app.editor.add_similarity_mask(
-                                body["name"], tuple(body["point"]),
-                                body.get("tolerance", 0.1),
-                                body.get("sigma", 0.0),
-                            )
+                            seg = None
+                            if body.get("model"):
+                                # {"model": true} uses the server-configured
+                                # segmenter; a dict/list spec builds one ad
+                                # hoc (local-trust surface, like loading a
+                                # model path in the reference GUI).
+                                from ..engine.segmenter import make_segmenter
+
+                                seg = (
+                                    app.segmenter
+                                    if body["model"] is True
+                                    or body["model"] == "default"
+                                    else make_segmenter(body["model"])
+                                )
+                            if seg is not None:
+                                app.editor.add_model_mask(
+                                    body["name"], tuple(body["point"]), seg
+                                )
+                            else:
+                                # Graceful degradation: model-free OKLab
+                                # similarity selection.
+                                app.editor.add_similarity_mask(
+                                    body["name"], tuple(body["point"]),
+                                    body.get("tolerance", 0.1),
+                                    body.get("sigma", 0.0),
+                                )
                         else:
                             app.editor.add_mask(
                                 body["name"], np.asarray(body["data"], dtype=np.float32)
@@ -635,8 +659,10 @@ def make_handler(app: EditorApp):
 
 
 def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1",
-          settings: Settings | None = None, settings_path: str | None = None):
-    app = EditorApp(editor, settings=settings, settings_path=settings_path)
+          settings: Settings | None = None, settings_path: str | None = None,
+          segmenter=None):
+    app = EditorApp(editor, settings=settings, settings_path=settings_path,
+                    segmenter=segmenter)
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd
 
@@ -647,8 +673,16 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rawphotoforge-tpu-server")
     ap.add_argument("image", nargs="?")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--segmenter", type=str, default=None,
+                    help="external segmenter command: 'cmd args...' "
+                         "(called as: cmd image.png x y out.npy)")
     args = ap.parse_args(argv)
     settings = Settings.load()
+    segmenter = None
+    if args.segmenter:
+        from ..engine.segmenter import make_segmenter
+
+        segmenter = make_segmenter(args.segmenter)
     if args.image:
         ed = PhotoEditor.open(
             args.image,
@@ -658,7 +692,7 @@ def main(argv=None) -> int:
     else:
         rng = np.random.default_rng(0)
         ed = PhotoEditor.from_rgb_f32(rng.random((600, 900, 3)).astype(np.float32) ** 2)
-    httpd = serve(ed, port=args.port, settings=settings)
+    httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter)
     print(f"serving on http://127.0.0.1:{args.port}/")
     httpd.serve_forever()
     return 0

@@ -236,6 +236,25 @@ class PhotoEditor:
         h, w = self.shape
         self.add_mask(name, np.asarray(logits)[:h, :w])
 
+    def add_model_mask(self, name: str, point_xy: tuple[int, int],
+                       segmenter) -> None:
+        """Point-prompted AI mask via an external segmenter adapter — the
+        v1 SAM2 workflow (editor.py:1120-1159): the model sees the
+        *currently rendered* image (raw_photo_forge.py:2409-2411 re-applies
+        edits before predicting), its logits are resampled to full
+        resolution and thresholded by mask_range like any ingested mask.
+        ``segmenter`` is an adapter or a spec for engine.segmenter
+        .make_segmenter (callable / subprocess cmd / torchscript)."""
+        from .segmenter import make_segmenter, segment_to_mask
+
+        seg = make_segmenter(segmenter) if not hasattr(
+            segmenter, "segment") else segmenter
+        srgb = self.apply(FULL, cropped=False)
+        rgb_u8 = (np.asarray(jnp.clip(srgb, 0.0, 1.0)).transpose(1, 2, 0)
+                  * 255.0).astype(np.uint8)
+        logits = segment_to_mask(seg, rgb_u8, point_xy)
+        self.add_mask(name, logits)
+
     # -- lens profile correction (load-time, python-legacy editor.py:425-711)
     def apply_lens_profile(self, profile) -> None:
         """Apply a LensProfile (devignette -> TCA -> distortion) to the
@@ -398,34 +417,36 @@ class PhotoEditor:
         return out
 
     # -- rendering ----------------------------------------------------------
-    def apply(self, level: str = FULL) -> jax.Array:
+    def apply(self, level: str = FULL, cropped: bool = True) -> jax.Array:
         """Render the edit stack at a pyramid level -> sRGB f32 [3, h, w]
-        (true, unpadded dimensions).
+        (true, unpadded dimensions; the crop rect applied unless
+        ``cropped=False``).
 
-        Cached per (edit version, level): repeated calls without edits are
-        free; after an edit only the pointwise pass re-runs (the geometry
-        stage re-runs only if lens_distortion changed).
+        The *uncropped* render is what's cached per (edit version, level):
+        repeated calls without edits are free; after an edit only the
+        pointwise pass re-runs (the geometry stage re-runs only if
+        lens_distortion changed).
         """
         cached = self._rendered.get(level)
-        if cached is not None and cached[0] == self._version:
-            return cached[1]
-        params = self._packed_params(level)
-        masks = self._masks_at(level)
-        geo = self._geo_at(level)
-        if self._use_exact_path():
-            out = dev.develop_post_geo_jit(geo, params, masks)
-        else:
-            from ..kernels import fused
+        if cached is None or cached[0] != self._version:
+            params = self._packed_params(level)
+            masks = self._masks_at(level)
+            geo = self._geo_at(level)
+            if self._use_exact_path():
+                out = dev.develop_post_geo_jit(geo, params, masks)
+            else:
+                from ..kernels import fused
 
-            out = fused.develop_post_geo_fused(
-                geo, params, masks, main_mask_all_ones=True
-            )
-        h, w = self._extents[level]
-        out = out[:, :h, :w]
-        cs = self._crop_slice(level)
+                out = fused.develop_post_geo_fused(
+                    geo, params, masks, main_mask_all_ones=True
+                )
+            h, w = self._extents[level]
+            out = out[:, :h, :w]
+            self._rendered[level] = (self._version, out)
+        out = self._rendered[level][1]
+        cs = self._crop_slice(level) if cropped else None
         if cs is not None:
             out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
-        self._rendered[level] = (self._version, out)
         return out
 
     def histogram(self, level: str = MID) -> np.ndarray:

@@ -1,0 +1,154 @@
+"""External segmenter adapter tests (stub models; no weights shipped)."""
+
+import os
+import stat
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from rawphotoforge_tpu.engine.segmenter import (
+    CallableSegmenter, SegmenterError, SubprocessSegmenter, make_segmenter,
+    segment_to_mask,
+)
+from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+from conftest import random_linear_image
+
+
+def _disk_stub(rgb_u8, point_xy, radius=6):
+    """Stub 'model': logits = 1 inside a disk around the click, else -1."""
+    h, w = rgb_u8.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    x, y = point_xy
+    return np.where((xx - x) ** 2 + (yy - y) ** 2 <= radius ** 2, 1.0, -1.0)
+
+
+def test_callable_adapter_and_resample():
+    img = np.zeros((40, 60, 3), dtype=np.uint8)
+    seg = CallableSegmenter(lambda im, pt: _disk_stub(im, pt)[::2, ::2])
+    logits = segment_to_mask(seg, img, (30, 20))
+    assert logits.shape == (40, 60)  # resampled from (20, 30) to full res
+    assert logits[20, 30] > 0 and logits[0, 0] < 0
+
+
+def test_editor_add_model_mask(rng):
+    ed = PhotoEditor.from_rgb_f32(
+        random_linear_image(rng, 40, 64), use_pallas=False,
+        mid_long_edge=32, low_long_edge=16,
+    )
+    ed.set_mask_range(0.5)
+    ed.add_model_mask("subject", (32, 20), lambda im, pt: _disk_stub(im, pt))
+    assert "subject" in ed.mask_names()
+    mask = np.asarray(ed._find("subject").data_full)
+    assert mask[20, 32] == 1.0 and mask[0, 0] == 0.0
+    assert 50 < mask.sum() < 200  # a disk, not everything
+
+    # Regional edits through the AI mask actually land.
+    base = np.asarray(ed.apply(FULL))
+    ed.set_tone(exposure=2.0, mask_name="subject")
+    out = np.asarray(ed.apply(FULL))
+    assert out[:, 20, 32].mean() > base[:, 20, 32].mean()
+    np.testing.assert_allclose(out[:, 0, 0], base[:, 0, 0], atol=1e-6)
+
+
+def test_subprocess_adapter(tmp_path, rng):
+    script = tmp_path / "stubseg.py"
+    script.write_text(textwrap.dedent("""\
+        import sys
+        import numpy as np
+        from PIL import Image
+        img = np.asarray(Image.open(sys.argv[1]))
+        x, y = int(sys.argv[2]), int(sys.argv[3])
+        h, w = img.shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        np.save(sys.argv[4], ((xx-x)**2 + (yy-y)**2 <= 25).astype(np.float32)*2 - 1)
+    """))
+    seg = SubprocessSegmenter([sys.executable, str(script)])
+    img = (random_linear_image(rng, 32, 48) * 255).astype(np.uint8)
+    logits = segment_to_mask(seg, img, (24, 16))
+    assert logits.shape == (32, 48)
+    assert logits[16, 24] == 1.0 and logits[0, 0] == -1.0
+
+
+def test_subprocess_failure_is_typed(tmp_path):
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; sys.exit(3)")
+    seg = SubprocessSegmenter([sys.executable, str(bad)])
+    with pytest.raises(SegmenterError, match="exited 3"):
+        seg.segment(np.zeros((8, 8, 3), dtype=np.uint8), (1, 1))
+
+
+def test_torchscript_adapter(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    class Disk(torch.nn.Module):
+        def forward(self, img, pt):
+            h, w = img.shape[1], img.shape[2]
+            yy = torch.arange(h, dtype=torch.float32)[:, None].expand(h, w)
+            xx = torch.arange(w, dtype=torch.float32)[None, :].expand(h, w)
+            d2 = (xx - pt[0]) ** 2 + (yy - pt[1]) ** 2
+            return torch.where(d2 <= 16.0, 1.0, -1.0)
+
+    path = str(tmp_path / "disk.pt")
+    torch.jit.script(Disk()).save(path)
+    seg = make_segmenter({"type": "torchscript", "path": path})
+    logits = seg.segment(np.zeros((20, 30, 3), dtype=np.uint8), (10, 5))
+    assert logits.shape == (20, 30)
+    assert logits[5, 10] == 1.0 and logits[19, 29] == -1.0
+
+
+def test_make_segmenter_specs():
+    assert make_segmenter(None) is None
+    assert isinstance(make_segmenter(lambda i, p: None), CallableSegmenter)
+    assert isinstance(make_segmenter("python seg.py"), SubprocessSegmenter)
+    assert isinstance(make_segmenter(["python", "seg.py"]), SubprocessSegmenter)
+    with pytest.raises(SegmenterError):
+        make_segmenter({"type": "onnx"})
+    with pytest.raises(SegmenterError):
+        make_segmenter(42)
+
+
+def test_bad_logits_shape_is_typed():
+    seg = CallableSegmenter(lambda im, pt: np.zeros((2, 3, 4, 5)))
+    with pytest.raises(SegmenterError, match="2-D"):
+        seg.segment(np.zeros((8, 8, 3), dtype=np.uint8), (0, 0))
+
+
+def test_server_model_mask(tmp_path, rng):
+    """/mask/add with {"model": true} uses the configured adapter; without
+    a configured adapter it degrades to the similarity mask."""
+    import json
+    import threading
+    import urllib.request
+
+    from rawphotoforge_tpu.app.server import serve
+    from rawphotoforge_tpu.engine.session import Settings
+
+    ed = PhotoEditor.from_rgb_f32(
+        random_linear_image(rng, 40, 64), use_pallas=False,
+        mid_long_edge=32, low_long_edge=16,
+    )
+    ed.set_mask_range(0.5)
+    httpd = serve(ed, port=0, settings=Settings(),
+                  segmenter=make_segmenter(lambda im, pt: _disk_stub(im, pt)))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(p, obj):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{p}",
+                data=json.dumps(obj).encode(), method="POST")
+            return urllib.request.urlopen(req, timeout=60).status
+
+        assert post("/mask/add",
+                    {"name": "ai", "point": [30, 20], "model": True}) == 200
+        mask = np.asarray(ed._find("ai").data_full)
+        assert mask[20, 30] == 1.0 and mask.sum() < 200
+        # No "model" key -> similarity-mask fallback still works.
+        assert post("/mask/add", {"name": "sim", "point": [5, 5],
+                                  "tolerance": 0.3}) == 200
+        assert "sim" in ed.mask_names()
+    finally:
+        httpd.shutdown()
