@@ -30,6 +30,56 @@ def _bilinear_gather(plane, y0, y1, x0, x1, ty, tx):
     return cx0 * (1.0 - ty) + cx1 * ty
 
 
+def warp_coords(ys, xs, hf, wf, strength):
+    """Source coordinates of the radial warp for destination pixels
+    (ys, xs) — the shared math of the single-device and row-sharded
+    paths (contract: wgpu_shader.wgsl:109-164).
+
+    Returns (py, px, oob): f32 source pixel coordinates in the full-image
+    frame and the out-of-range mask (black pixels).
+    """
+    u = xs.astype(jnp.float32) / wf
+    v = ys.astype(jnp.float32) / hf
+    cu = u - 0.5
+    cv = v - 0.5
+    aspect = wf / hf
+    cu = cu * aspect
+    r2 = cu * cu + cv * cv
+    denom = 1.0 + strength * r2
+    du = cu / denom
+    dv = cv / denom
+    fu = du / aspect + 0.5
+    fv = dv + 0.5
+    oob = (fu < 0.0) | (fu > 1.0) | (fv < 0.0) | (fv > 1.0)
+    px = fu * (wf - 1.0)
+    py = fv * (hf - 1.0)
+    return py, px, oob
+
+
+def max_row_displacement(h: int, w: int, max_abs_distortion: float = 100.0):
+    """Static bound on |source_row - dest_row| of the warp over the slider
+    range (the halo-size analysis for the sharded gather).
+
+    The vertical displacement |dv - cv| = |cv| |s| r2 / |1 + s r2| is
+    monotone in |cv| and r2, so the corner (|cv| = 1/2, r2 = R2max)
+    evaluated at s = +/-s_max bounds it. Returns None when the
+    barrel-model denominator can approach 0 within the range (extreme
+    aspect ratios) — callers must then gather everything.
+    """
+    import numpy as np
+
+    smax = 0.5 * max_abs_distortion / 100.0
+    a = w / h
+    r2max = 0.25 * (1.0 + a * a)
+    worst = 0.0
+    for s in (smax, -smax):
+        denom = 1.0 + s * r2max
+        if denom <= 0.05:
+            return None
+        worst = max(worst, abs(0.5 * s * r2max / denom))
+    return int(np.ceil(worst * h)) + 2
+
+
 def lens_distortion(r, g, b, distortion, extent=None):
     """Radial lens-distortion resample of full planes.
 
@@ -58,22 +108,7 @@ def lens_distortion(r, g, b, distortion, extent=None):
             wf = jnp.where(extent[1] > 0, extent[1], jnp.float32(w))
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        u = xs.astype(jnp.float32) / wf
-        v = ys.astype(jnp.float32) / hf
-        cu = u - 0.5
-        cv = v - 0.5
-        aspect = wf / hf
-        cu = cu * aspect
-        r2 = cu * cu + cv * cv
-        denom = 1.0 + strength * r2
-        du = cu / denom
-        dv = cv / denom
-        fu = du / aspect + 0.5
-        fv = dv + 0.5
-        oob = (fu < 0.0) | (fu > 1.0) | (fv < 0.0) | (fv > 1.0)
-
-        px = fu * (wf - 1.0)
-        py = fv * (hf - 1.0)
+        py, px, oob = warp_coords(ys, xs, hf, wf, strength)
         x0f = jnp.floor(px)
         y0f = jnp.floor(py)
         wi = (wf - 1.0).astype(jnp.int32)

@@ -64,12 +64,16 @@ def develop_spatial_sharded(
     """Single-image develop with rows sharded over the 'sp' axis.
 
     The post-geometry stack is pointwise, so the XLA partitioner runs it
-    with zero collectives; only the (optional) lens-distortion gather would
-    need cross-shard reads, so the geometry stage runs under its own
-    (replicated) sharding first.
+    with zero collectives; the lens-distortion gather — the one stage with
+    cross-shard reads — runs row-sharded too, exchanging only the
+    bounded-displacement halo rows (spatial.distortion_sharded). Nothing
+    in the step computes replicated full-image data.
     """
+    from . import spatial
+
     row_sharding = NamedSharding(mesh, P(None, "sp", None))
-    geo = dev.geometry_stage(planes, params.distortion)
+    planes = jax.lax.with_sharding_constraint(planes, row_sharding)
+    geo = spatial.distortion_sharded(planes, params.distortion, mesh)
     geo = jax.lax.with_sharding_constraint(geo, row_sharding)
     masks = jax.lax.with_sharding_constraint(
         masks, NamedSharding(mesh, P(None, "sp", None))

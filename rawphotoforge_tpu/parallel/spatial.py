@@ -94,6 +94,110 @@ def demosaic_sharded(
     return out[0]
 
 
+def distortion_sharded(
+    planes: jax.Array,
+    distortion,
+    mesh: Mesh,
+    max_abs_distortion: float = 100.0,
+) -> jax.Array:
+    """Row-sharded lens-distortion warp with bounded-displacement halo
+    exchange (SURVEY §7.3: the one stage that genuinely needs cross-shard
+    reads).
+
+    The warp's maximum vertical reach over the slider range is a static
+    bound (ops.geometry.max_row_displacement); each shard collects just
+    enough neighbor rows to cover it — K ppermute hops, the outermost hop
+    trimmed to the residual halo — then computes its own destination rows
+    only. No full-image replicated compute. Bit-identical to the
+    single-device warp (same ops.geometry.warp_coords math, global clamp).
+
+    ``planes`` [3, H, W] row-sharded over 'sp'; ``distortion`` the traced
+    slider scalar; ``max_abs_distortion`` the static slider bound used for
+    the halo analysis (smaller known ranges shrink communication).
+    """
+    from ..ops.geometry import max_row_displacement, warp_coords
+
+    n_sp = mesh.shape["sp"]
+    _, h, w = planes.shape
+    if n_sp == 1:
+        from ..ops.develop import geometry_stage
+
+        return geometry_stage(planes, distortion)
+    if h % n_sp:
+        raise ValueError(f"height {h} must divide the sp axis size {n_sp}")
+    h_local = h // n_sp
+    halo = max_row_displacement(h, w, max_abs_distortion)
+    if halo is None:
+        halo = (n_sp - 1) * h_local  # singular model range: gather all
+    halo = min(halo, (n_sp - 1) * h_local)
+    k = -(-halo // h_local)  # hops needed
+    # Rows contributed by hop j (outermost hop trimmed to the residual).
+    m = [min(h_local, halo - (j - 1) * h_local) for j in range(1, k + 1)]
+    h_above = sum(m)
+    strength = -0.5 * (jnp.asarray(distortion, dtype=jnp.float32) / 100.0)
+
+    def local_fn(block, s):
+        rows = block[0].transpose(1, 0, 2)  # [h_local, 3, W]
+        above = []
+        below = []
+        for j in range(k, 0, -1):
+            # My bottom m[j-1] rows go to shard idx+j (their hop-j top
+            # halo); my top rows go to idx-j.
+            above.append(jax.lax.ppermute(
+                rows[-m[j - 1]:], "sp",
+                [(i, i + j) for i in range(n_sp - j)],
+            ))
+        for j in range(1, k + 1):
+            below.append(jax.lax.ppermute(
+                rows[: m[j - 1]], "sp",
+                [(i, i - j) for i in range(j, n_sp)],
+            ))
+        ext = jnp.concatenate(above + [rows] + below, axis=0)
+        # ext[0] holds global row idx*h_local - h_above (leading rows of
+        # edge shards are zero-filled but the global clamp keeps every
+        # gathered index inside the real data).
+        idx = jax.lax.axis_index("sp")
+        base = idx * h_local - h_above
+        hf = jnp.float32(h)
+        wf = jnp.float32(w)
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (h_local, w), 0)
+              + idx * h_local)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h_local, w), 1)
+        py, px, oob = warp_coords(ys, xs, hf, wf, s[0])
+        x0f = jnp.floor(px)
+        y0f = jnp.floor(py)
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        tx = px - x0f
+        ty = py - y0f
+        y0l = y0 - base
+        y1l = y1 - base
+        planes_ext = ext.transpose(1, 0, 2)  # [3, h_ext, W]
+        out = jnp.stack([
+            jnp.where(
+                oob, 0.0,
+                (planes_ext[c][y0l, x0] * (1.0 - tx)
+                 + planes_ext[c][y0l, x1] * tx) * (1.0 - ty)
+                + (planes_ext[c][y1l, x0] * (1.0 - tx)
+                   + planes_ext[c][y1l, x1] * tx) * ty,
+            )
+            for c in range(3)
+        ])
+        return out[None]
+
+    warped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, "sp", None), P()),
+        out_specs=P(None, None, "sp", None),
+        check_rep=False,
+    )(planes[None], strength[None])
+    # Zero strength must be an exact identity (wgsl:118-120 early return).
+    return jnp.where(strength == 0.0, planes, warped[0])
+
+
 def raw_develop_sharded(
     mosaic01: jax.Array,
     wb_gains: jax.Array,

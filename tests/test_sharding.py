@@ -149,3 +149,87 @@ def test_demosaic_sharded_rejects_odd_shards(rng, the_mesh):
     mosaic = jnp.asarray(rng.random((30, 128), dtype=np.float32))
     with pytest.raises(ValueError):
         spatial.demosaic_sharded(mosaic, the_mesh)
+
+
+def test_distortion_sharded_matches_single(rng, the_mesh):
+    """Row-sharded bounded-halo warp == single-device warp across
+    barrel/pincushion/zero strengths (VERDICT r1 item 8).
+
+    Tolerance note: the two programs compile separately, so XLA may
+    contract the py = fv*(h-1) chain differently; a few-ulp difference in
+    py is amplified absolutely by ty = py - floor(py) (|py| ~ h), giving
+    ~h * 2^-23-level output differences. 5e-5 covers h=64."""
+    from rawphotoforge_tpu.parallel import spatial
+
+    h, w = 64, 128
+    planes = jnp.asarray(
+        random_linear_image(rng, h, w).transpose(2, 0, 1)
+    )
+    for d in (-100, -60, 0, 35, 100):
+        dist = jnp.float32(d)
+        sharded = jax.jit(
+            spatial.distortion_sharded, static_argnums=2
+        )(planes, dist, the_mesh)
+        single = dev.geometry_stage(planes, dist)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=5e-5
+        )
+
+
+def test_distortion_sharded_many_shards(rng):
+    """All 8 devices on 'sp': the halo spans multiple shards (multi-hop
+    exchange with a trimmed outermost hop)."""
+    from rawphotoforge_tpu.parallel import spatial
+
+    mesh8 = pmesh.make_mesh(n_batch=1, n_spatial=8)
+    h, w = 64, 96
+    planes = jnp.asarray(random_linear_image(rng, h, w).transpose(2, 0, 1))
+    for d in (-100, 80):
+        dist = jnp.float32(d)
+        sharded = jax.jit(
+            spatial.distortion_sharded, static_argnums=2
+        )(planes, dist, mesh8)
+        single = dev.geometry_stage(planes, dist)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=5e-5
+        )
+
+
+def test_distortion_halo_bound_is_tight_enough(rng):
+    """Empirically verify the static displacement bound against the actual
+    warp over a dense grid (the correctness condition of the halo size)."""
+    from rawphotoforge_tpu.ops.geometry import max_row_displacement, warp_coords
+
+    for (h, w) in ((64, 96), (96, 64), (128, 128)):
+        bound = max_row_displacement(h, w, 100.0)
+        ys = jnp.arange(h, dtype=jnp.int32)[:, None].repeat(w, 1)
+        xs = jnp.arange(w, dtype=jnp.int32)[None, :].repeat(h, 0)
+        for d in (-100.0, 100.0):
+            s = jnp.float32(-0.5 * d / 100.0)
+            py, _, _ = warp_coords(ys, xs, jnp.float32(h), jnp.float32(w), s)
+            disp = float(jnp.max(jnp.abs(py - ys.astype(jnp.float32))))
+            assert disp + 1 <= bound, (h, w, d, disp, bound)
+
+
+def test_full_step_has_no_replicated_geometry(rng, the_mesh):
+    """The sharded interactive step still matches the single-device stack
+    with a nonzero distortion (exercising the sharded gather inside
+    full_step)."""
+    img = random_linear_image(rng, 64, 128)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    masks = jnp.ones((1, 64, 128), dtype=jnp.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.5, contrast=15)
+    p.set_lens_distortion(-70)
+    params = pack_params([p])
+    srgb, hist, clip = jax.jit(pmesh.full_step, static_argnums=3)(
+        planes, params, masks, the_mesh
+    )
+    geo = dev.geometry_stage(planes, params.distortion)
+    single = dev.develop_post_geo(geo, params, masks)
+    # Warp ulp noise (see test_distortion_sharded_matches_single) further
+    # amplified by the develop stack's tone/curve slopes.
+    np.testing.assert_allclose(
+        np.asarray(srgb), np.asarray(single), atol=5e-4
+    )
+    assert int(hist.sum()) == 4 * 64 * 128
