@@ -678,6 +678,7 @@ def main(argv=None) -> int:
                          "(called as: cmd image.png x y out.npy)")
     args = ap.parse_args(argv)
     settings = Settings.load()
+    settings.select_device()  # adapter picker (settings_window.gd:46-49)
     segmenter = None
     if args.segmenter:
         from ..engine.segmenter import make_segmenter

@@ -137,6 +137,10 @@ class EditParameters:
     lens_distortion: int = 0
     sharpness: int = 0  # main-only unsharp amount, 0..100 (north-star stack)
     mask_range: float = 0.0
+    # Brightness-curve channel selector: 0=R, 1=G, 2=B, 3=all — v1's
+    # tone_curve_lut channel argument (python-legacy slang_kernel.slang
+    # tone_curve_lut entry; v4 always applies to all three).
+    brightness_channel: int = 3
     curves: list = dataclasses.field(
         default_factory=lambda: [CurveState() for _ in range(4)]
     )
@@ -163,8 +167,20 @@ class EditParameters:
     def set_sharpness(self, value=0):
         self.sharpness = int(np.clip(value, 0, 100))
 
-    def set_curve(self, slot: int, control_x=None, control_y=None, raw_lut=None):
-        """Set one of the four curves; mirrors set_*_curve (lib.rs:300-479)."""
+    def set_curve(self, slot: int, control_x=None, control_y=None, raw_lut=None,
+                  channel: Optional[int] = None):
+        """Set one of the four curves; mirrors set_*_curve (lib.rs:300-479).
+
+        ``channel`` (BRIGHTNESS slot only): apply the curve to one RGB
+        channel (0/1/2) or all three (3, the default — v4 semantics); the
+        v1 tone_curve_lut channel selector."""
+        if channel is not None:
+            if slot != BRIGHTNESS:
+                raise curve_mod.CurveError(
+                    "channel selection applies to the brightness curve only")
+            if channel not in (0, 1, 2, 3):
+                raise curve_mod.CurveError(f"bad curve channel {channel}")
+            self.brightness_channel = int(channel)
         if raw_lut is not None:
             raw_lut = np.asarray(raw_lut, dtype=np.int32)
             if raw_lut.shape != (CURVE_RESOLUTION,):
@@ -207,6 +223,7 @@ class EditParameters:
             "lens_distortion": self.lens_distortion,
             "sharpness": self.sharpness,
             "mask_range": self.mask_range,
+            "brightness_channel": self.brightness_channel,
             "curves": {
                 CURVE_NAMES[i]: self.curves[i].to_json() for i in range(4)
             },
@@ -225,6 +242,7 @@ class EditParameters:
         p.set_lens_distortion(d.get("lens_distortion", 0))
         p.set_sharpness(d.get("sharpness", 0))
         p.mask_range = float(d.get("mask_range", 0.0))
+        p.brightness_channel = int(d.get("brightness_channel", 3))
         cd = d.get("curves", {})
         p.curves = [CurveState.from_json(cd.get(CURVE_NAMES[i])) for i in range(4)]
         return p
@@ -253,6 +271,7 @@ class DevelopParams:
       vignette: f32 []       main-mask vignette slider value
       distortion: f32 []     main-mask lens-distortion slider value
       luts:     i32 [M, 4, 65536]   exact LUTs (anchor path)
+      bright_channel: i32 [M]       brightness-curve channel (0/1/2, 3=all)
       breaks:   f32 [M, 4, S]       packed curve knots (kernel path)
       coeffs:   f32 [M, 4, S, 4]    packed curve monomial coefficients
       extent:   f32 [2]   true (height, width) when the image arrays are
@@ -267,6 +286,7 @@ class DevelopParams:
     vignette: jax.Array
     distortion: jax.Array
     luts: jax.Array
+    bright_channel: jax.Array
     breaks: jax.Array
     coeffs: jax.Array
     extent: jax.Array
@@ -305,6 +325,7 @@ def pack_params(
     s = min(1 << (s - 1).bit_length(), MAX_CTRL)
     gains = np.zeros((m, 3), dtype=np.float32)
     tone = np.zeros((m, 6), dtype=np.float32)
+    bright_channel = np.full(m, 3, dtype=np.int32)
     luts = np.zeros(
         (m, 4, CURVE_RESOLUTION if build_luts else 1), dtype=np.int32
     )
@@ -312,6 +333,7 @@ def pack_params(
     coeffs = np.zeros((m, 4, s, 4), dtype=np.float32)
     for i, p in enumerate(param_list):
         gains[i] = p.gains()
+        bright_channel[i] = p.brightness_channel
         tone[i] = (
             p.exposure,
             p.contrast / 100.0,
@@ -333,6 +355,7 @@ def pack_params(
         vignette=jnp.asarray(np.float32(main.vignette)),
         distortion=jnp.asarray(np.float32(main.lens_distortion)),
         luts=jnp.asarray(luts),
+        bright_channel=jnp.asarray(bright_channel),
         breaks=jnp.asarray(breaks),
         coeffs=jnp.asarray(coeffs),
         extent=jnp.asarray(

@@ -305,8 +305,9 @@ class PhotoEditor:
         self._edited()
 
     def set_curve(self, slot, control_x=None, control_y=None, raw_lut=None,
-                  mask_name=None):
-        self._find(mask_name).params.set_curve(slot, control_x, control_y, raw_lut)
+                  mask_name=None, channel=None):
+        self._find(mask_name).params.set_curve(
+            slot, control_x, control_y, raw_lut, channel=channel)
         self._edited()
 
     def set_crop(self, x0: int, y0: int, x1: int, y1: int):
@@ -358,11 +359,16 @@ class PhotoEditor:
 
     def _use_exact_path(self) -> bool:
         """True when this render must take the exact-LUT gather (jnp anchor)
-        path: either the caller asked for it, or some curve was supplied as
-        a raw 65536-entry LUT, which the kernel's packed-PCHIP refit can
-        only approximate (core/curve.lut_to_coeffs). Raw LUTs (e.g. the v1
-        tone model, core/tonelut) therefore always render exactly."""
-        return not self.use_pallas or self._any_raw_lut()
+        path: the caller asked for it, some curve was supplied as a raw
+        65536-entry LUT (which the kernel's packed-PCHIP refit can only
+        approximate, core/curve.lut_to_coeffs), or a v1-style per-channel
+        brightness curve is in play (the fused kernel implements the v4
+        all-channel semantics only)."""
+        return (
+            not self.use_pallas
+            or self._any_raw_lut()
+            or any(m.params.brightness_channel != 3 for m in self.masks)
+        )
 
     def _packed_params(self, level: str):
         if self._packed is None:

@@ -58,3 +58,18 @@ class Settings:
                 return cls.from_json(json.load(f))
         except (OSError, ValueError):
             return cls()
+
+    def select_device(self):
+        """Make ``device_index`` the session's default accelerator — the
+        adapter picker of the reference (gpu_image_processing.rs:43-51,
+        settings_window.gd:46-49). Out-of-range indices keep the default
+        device (like the reference's fallback to adapter 0). Returns the
+        selected device or None."""
+        import jax
+
+        devices = jax.devices()
+        if not (0 <= self.device_index < len(devices)):
+            return None
+        dev = devices[self.device_index]
+        jax.config.update("jax_default_device", dev)
+        return dev

@@ -76,9 +76,15 @@ def develop_post_geo(
         rk, gk, bk = pointwise.white_balance(r, g, b, params.gains[k])
         rk, gk, bk = pointwise.tone(rk, gk, bk, params.tone[k])
         lut = params.luts[k, BRIGHTNESS]
-        rk = _fetch(lut, _lut_index(rk)).astype(jnp.float32) / LUT_MAX
-        gk = _fetch(lut, _lut_index(gk)).astype(jnp.float32) / LUT_MAX
-        bk = _fetch(lut, _lut_index(bk)).astype(jnp.float32) / LUT_MAX
+        # Channel selector (v1 tone_curve_lut channel arg; 3 = all, the v4
+        # semantics): non-selected channels skip the curve.
+        ch = params.bright_channel[k]
+        rc = _fetch(lut, _lut_index(rk)).astype(jnp.float32) / LUT_MAX
+        gc = _fetch(lut, _lut_index(gk)).astype(jnp.float32) / LUT_MAX
+        bc = _fetch(lut, _lut_index(bk)).astype(jnp.float32) / LUT_MAX
+        rk = jnp.where((ch == 0) | (ch == 3), rc, rk)
+        gk = jnp.where((ch == 1) | (ch == 3), gc, gk)
+        bk = jnp.where((ch == 2) | (ch == 3), bc, bk)
         r = jnp.where(sel, rk, r)
         g = jnp.where(sel, gk, g)
         b = jnp.where(sel, bk, b)

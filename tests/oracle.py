@@ -179,8 +179,14 @@ def develop(rgb_hwc, mask_params, masks_hw):
             p["white"] / 100.0,
         )
         idx = (x * F(65535.0)).astype(np.int64)
-        x = lut_fetch(p["luts"][0], idx).astype(F) / F(65535.0)
-        rgb = np.where(sel[..., None], x, rgb).astype(F)
+        xc = lut_fetch(p["luts"][0], idx).astype(F) / F(65535.0)
+        # v1 channel selector (slang tone_curve_lut): channels other than
+        # the selected one skip the curve (but keep WB + tone).
+        ch = p.get("brightness_channel", 3)
+        if ch != 3:
+            chan_sel = np.array([ch == 0, ch == 1, ch == 2])
+            xc = np.where(chan_sel[None, None, :], xc, x).astype(F)
+        rgb = np.where(sel[..., None], xc, rgb).astype(F)
 
     L, C, H = to_oklch(rgb)
     for k, p in enumerate(mask_params):

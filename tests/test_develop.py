@@ -45,6 +45,7 @@ def _oracle_params(p: EditParameters) -> dict:
         "vignette": p.vignette,
         "lens_distortion": p.lens_distortion,
         "luts": [np.asarray(p.curves[s].lut(s), dtype=np.int64) for s in range(4)],
+        "brightness_channel": p.brightness_channel,
     }
 
 
@@ -227,3 +228,51 @@ def test_pack_params_skip_luts(rng):
     a = np.asarray(fused.develop_post_geo_fused(planes, full, masks))
     b = np.asarray(fused.develop_post_geo_fused(planes, lean, masks))
     np.testing.assert_array_equal(a, b)
+
+
+def test_brightness_curve_channel_selector_matches_oracle(rng):
+    """v1 tone_curve_lut channel argument: the brightness curve targets one
+    RGB channel; gated against the numpy oracle for every selector."""
+    img = random_linear_image(rng, 16, 24)
+    masks = _full_mask(16, 24)
+    outs = []
+    for channel in (0, 1, 2, 3):
+        p = EditParameters()
+        p.set_tone(exposure=0.3, contrast=10)
+        p.set_curve(BRIGHTNESS, [0, 32000, 65535], [0, 45000, 65535],
+                    channel=channel)
+        ours, ref = _run_both(img, [p], masks)
+        assert_close(ours, ref)
+        outs.append(ours)
+    # Each selector produces a genuinely different render.
+    for i in range(3):
+        assert np.abs(outs[i] - outs[3]).max() > 1e-3
+
+
+def test_brightness_channel_validation_and_json():
+    from rawphotoforge_tpu.core.curve import CurveError
+    from rawphotoforge_tpu.core.params import (
+        BRIGHTNESS, SATURATION, EditParameters,
+    )
+
+    p = EditParameters()
+    p.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=2)
+    assert p.brightness_channel == 2
+    q = EditParameters.from_json(p.to_json())
+    assert q.brightness_channel == 2
+    with pytest.raises(CurveError):
+        p.set_curve(SATURATION, [0, 65535], [0, 60000], channel=1)
+    with pytest.raises(CurveError):
+        p.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=7)
+
+
+def test_editor_channel_curve_takes_exact_path(rng):
+    from rawphotoforge_tpu.core.params import BRIGHTNESS
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    img = random_linear_image(rng, 16, 24)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=True,
+                                  mid_long_edge=16, low_long_edge=8)
+    assert not ed._use_exact_path()
+    ed.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=0)
+    assert ed._use_exact_path()  # kernel implements all-channel only

@@ -204,3 +204,19 @@ def test_mask_overlay(rng):
     out = np.asarray(masking.mask_overlay(srgb, mask, tint=(1, 0, 0), alpha=1.0))
     np.testing.assert_allclose(out[0], 1.0, atol=1e-6)
     np.testing.assert_allclose(out[1], 0.0, atol=1e-6)
+
+
+def test_settings_device_index_selects_device():
+    """Settings.device_index is consumed: it selects the default jax
+    device (the reference's adapter picker, settings_window.gd:46-49)."""
+    import jax
+    from rawphotoforge_tpu.engine.session import Settings
+
+    try:
+        dev = Settings(device_index=3).select_device()
+        assert dev is jax.devices()[3]
+        x = jax.numpy.zeros(4) + 1
+        assert x.devices() == {jax.devices()[3]}
+        assert Settings(device_index=99).select_device() is None
+    finally:
+        jax.config.update("jax_default_device", None)
