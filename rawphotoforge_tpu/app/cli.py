@@ -188,6 +188,9 @@ def _batch_raw_fast_path(paths, args) -> int:
             mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
             packed, sharpen, pattern=raw.pattern,
         )
+        if raw.default_crop is not None:
+            cx, cy, cw, ch = raw.default_crop
+            srgb = srgb[:, cy : cy + ch, cx : cx + cw]
         srgb = orient_exif(srgb, raw.orientation)
         out = os.path.join(
             args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"

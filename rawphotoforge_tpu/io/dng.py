@@ -51,10 +51,14 @@ T_EXPOSURE_TIME = 33434
 T_F_NUMBER = 33437
 T_ISO = 34855
 T_DNG_VERSION = 50706
+T_LINEARIZATION_TABLE = 50712
 T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
+T_DEFAULT_CROP_ORIGIN = 50719
+T_DEFAULT_CROP_SIZE = 50720
 T_COLOR_MATRIX_1 = 50721
 T_AS_SHOT_NEUTRAL = 50728
+T_ACTIVE_AREA = 50829
 
 PHOTOMETRIC_CFA = 32803
 
@@ -82,6 +86,10 @@ class RawImage:
     xyz_to_cam: Optional[np.ndarray]  # 3x3 ColorMatrix1, None if absent
     orientation: int = 1
     exif: dict = dataclasses.field(default_factory=dict)
+    # DNG DefaultCropOrigin/Size (x, y, w, h) relative to the decoded
+    # mosaic — the recommended final crop, applied after demosaic (the v1
+    # DefaultCropOrigin auto-crop, python-legacy raw_photo_forge.py:2006+).
+    default_crop: Optional[tuple] = None
 
     @property
     def shape(self):
@@ -263,6 +271,28 @@ def read_dng(data: bytes) -> RawImage:
             raise DngError(f"unsupported bit depth {bits}")
         mosaic = mosaic.reshape(height, width)
 
+    # Sensor linearization (DNG spec 1.4 LinearizationTable, tag 50712):
+    # raw values index the table before black/white scaling — some cameras
+    # store companded data.
+    lintab = tag(cfa_ifd, T_LINEARIZATION_TABLE)
+    if lintab is not None:
+        lt = np.asarray(
+            lintab if isinstance(lintab, list) else [lintab], dtype=np.uint16
+        )
+        mosaic = lt[np.minimum(mosaic, len(lt) - 1)]
+
+    # ActiveArea (tag 50829: top, left, bottom, right): masked border
+    # pixels are cropped out; the CFA phase shifts with the crop origin.
+    phase_y = phase_x = 0
+    active = tag(cfa_ifd, T_ACTIVE_AREA)
+    if isinstance(active, list) and len(active) == 4:
+        top, left, bottom, right = (int(v) for v in active)
+        if not (0 <= top < bottom <= height and 0 <= left < right <= width):
+            raise DngError(f"ActiveArea {active} outside {height}x{width}")
+        mosaic = mosaic[top:bottom, left:right]
+        height, width = mosaic.shape
+        phase_y, phase_x = top % 2, left % 2
+
     # CFA pattern.
     cfa = tag(cfa_ifd, T_CFA_PATTERN) or tag(ifds[0], T_CFA_PATTERN)
     if cfa is None:
@@ -276,6 +306,13 @@ def read_dng(data: bytes) -> RawImage:
             vals = [int(cfa)]
         names = {0: "R", 1: "G", 2: "B"}
         pattern = "".join(names.get(v, "G") for v in vals)
+        if phase_y or phase_x:
+            # ActiveArea origin parity shifts the CFA phase.
+            grid = [[pattern[0], pattern[1]], [pattern[2], pattern[3]]]
+            pattern = "".join(
+                grid[(y + phase_y) % 2][(x + phase_x) % 2]
+                for y in (0, 1) for x in (0, 1)
+            )
         if pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
             raise DngError(f"unsupported CFA pattern {pattern}")
 
@@ -306,6 +343,16 @@ def read_dng(data: bytes) -> RawImage:
 
     orientation = int(first_ifd0(T_ORIENTATION, 1) or 1)
 
+    default_crop = None
+    dco = tag(cfa_ifd, T_DEFAULT_CROP_ORIGIN)
+    dcs = tag(cfa_ifd, T_DEFAULT_CROP_SIZE)
+    if isinstance(dco, list) and isinstance(dcs, list):
+        cx, cy = int(dco[0]), int(dco[1])        # [horizontal, vertical]
+        cw, ch = int(dcs[0]), int(dcs[1])
+        if 0 <= cx and 0 <= cy and cx + cw <= width and cy + ch <= height \
+                and cw > 0 and ch > 0:
+            default_crop = (cx, cy, cw, ch)
+
     exif = {}
     make, model = first_ifd0(T_MAKE), first_ifd0(T_MODEL)
     if make:
@@ -331,6 +378,7 @@ def read_dng(data: bytes) -> RawImage:
         xyz_to_cam=xyz_to_cam,
         orientation=orientation,
         exif=exif,
+        default_crop=default_crop,
     )
 
 
@@ -339,6 +387,8 @@ def write_dng(
     compression: int = 1,
     tile: Optional[tuple[int, int]] = None,
     predictor: int = 1,
+    active_area: Optional[tuple] = None,
+    linearization_table: Optional[np.ndarray] = None,
 ) -> bytes:
     """Emit a minimal valid 16-bit CFA DNG (little-endian).
 
@@ -442,6 +492,15 @@ def write_dng(
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
     add(T_BLACK_LEVEL, 3, int(raw.black_level))
     add(T_WHITE_LEVEL, 3, int(raw.white_level))
+    if active_area is not None:
+        add(T_ACTIVE_AREA, 4, [int(v) for v in active_area])
+    if linearization_table is not None:
+        add(T_LINEARIZATION_TABLE, 3,
+            [int(v) for v in np.asarray(linearization_table)])
+    if raw.default_crop is not None:
+        cx, cy, cw, ch = raw.default_crop
+        add(T_DEFAULT_CROP_ORIGIN, 4, [cx, cy])
+        add(T_DEFAULT_CROP_SIZE, 4, [cw, ch])
     if raw.xyz_to_cam is not None:
         m = raw.xyz_to_cam.reshape(-1)
         add(T_COLOR_MATRIX_1, 11, [float(v) for v in m])

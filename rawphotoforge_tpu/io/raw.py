@@ -68,6 +68,11 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
         pattern=raw.pattern,
         method=method,
     )
+    if raw.default_crop is not None:
+        # DNG DefaultCrop: recommended final crop, applied post-demosaic
+        # (so the demosaic keeps its border context), pre-orientation.
+        cx, cy, cw, ch = raw.default_crop
+        planes = planes[:, cy : cy + ch, cx : cx + cw]
     planes = orient_exif(planes, raw.orientation)
     return planes, dict(raw.exif)
 

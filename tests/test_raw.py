@@ -284,3 +284,65 @@ def test_editor_opens_compressed_dng(rng, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ed1.apply(FULL)), np.asarray(ed7.apply(FULL))
     )
+
+
+def test_dng_linearization_table(rng):
+    """DNG LinearizationTable (tag 50712): raw values index the table
+    before black/white scaling."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    import dataclasses
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32),
+                        black_level=0, white_level=4095)
+    # Store companded 12-bit codes; table expands to 16-bit-ish values.
+    codes = np.minimum(raw.mosaic, 4095).astype(np.uint16)
+    table = (np.arange(4096, dtype=np.uint32) * 13 // 3).astype(np.uint16)
+    stored = dataclasses.replace(raw, mosaic=codes)
+    blob = write_dng(stored, linearization_table=table)
+    got = read_dng(blob)
+    np.testing.assert_array_equal(got.mosaic, table[codes])
+
+
+def test_dng_active_area_crop_and_phase(rng):
+    """ActiveArea (tag 50829) crops masked borders and shifts the CFA
+    phase by the origin parity."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    import dataclasses
+
+    inner = synthetic_raw(rng.random((3, 20, 28)).astype(np.float32))
+    full = np.zeros((26, 36), dtype=np.uint16)
+    # Odd origin (3, 5): the active area's CFA phase flips both ways.
+    full[3:23, 5:33] = inner.mosaic
+    stored = dataclasses.replace(inner, mosaic=full)
+    blob = write_dng(stored, active_area=(3, 5, 23, 33))
+    got = read_dng(blob)
+    np.testing.assert_array_equal(got.mosaic, inner.mosaic)
+    assert got.pattern == "BGGR"  # RGGB shifted by (1, 1)
+
+    blob = write_dng(stored, active_area=(2, 6, 22, 34))  # even origin
+    got = read_dng(blob)
+    assert got.pattern == "RGGB"
+    np.testing.assert_array_equal(got.mosaic, full[2:22, 6:34])
+
+
+def test_dng_default_crop_applied_after_demosaic(rng):
+    """DefaultCropOrigin/Size round-trips through the container and crops
+    the developed output (v1's auto-crop), not the mosaic."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import develop_raw_image, synthetic_raw
+    import dataclasses
+
+    raw = synthetic_raw(rng.random((3, 24, 32)).astype(np.float32))
+    cropped = dataclasses.replace(raw, default_crop=(4, 2, 24, 18))
+    got = read_dng(write_dng(cropped))
+    assert got.default_crop == (4, 2, 24, 18)
+    assert got.mosaic.shape == (24, 32)  # mosaic untouched
+
+    planes, _ = develop_raw_image(got)
+    assert planes.shape == (3, 18, 24)
+    full_planes, _ = develop_raw_image(read_dng(write_dng(raw)))
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(full_planes)[:, 2:20, 4:28], atol=1e-6
+    )
