@@ -142,8 +142,21 @@ function pchipSample(pts,xs){{
   }});
 }}
 let lastHist=null;
+function hueGradient(){{
+  // OKLCH-hue axis backdrop for the hue/sat/light curves (the reference
+  // widget's per-curve PNG backgrounds, tone_curve_editor.ts).
+  const g=ctx.createLinearGradient(0,0,256,0);
+  for(let i=0;i<=12;i++)g.addColorStop(i/12,`hsl(${{i*30}},70%,45%)`);
+  return g;
+}}
 function drawCurve(){{
   ctx.clearRect(0,0,256,160);
+  if(curCurve!=='brightness'){{
+    ctx.globalAlpha=0.25;
+    ctx.fillStyle=hueGradient();
+    ctx.fillRect(0,0,256,160);
+    ctx.globalAlpha=1.0;
+  }}
   // Histogram overlay behind the brightness curve
   // (raw_photo_forge.py:236-257 draws RGB+luma behind the tone widget).
   if(curCurve==='brightness'&&lastHist){{
