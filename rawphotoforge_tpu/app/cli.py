@@ -262,7 +262,9 @@ def cmd_serve(args) -> int:
     from .server import main as server_main
 
     return server_main(
-        ([args.image] if args.image else []) + ["--port", str(args.port)]
+        ([args.image] if args.image else [])
+        + ["--port", str(args.port)]
+        + (["--segmenter", args.segmenter] if args.segmenter else [])
     )
 
 
@@ -292,6 +294,8 @@ def main(argv=None) -> int:
     p_srv = sub.add_parser("serve", help="run the interactive preview server")
     p_srv.add_argument("image", nargs="?")
     p_srv.add_argument("--port", type=int, default=8080)
+    p_srv.add_argument("--segmenter", type=str, default=None,
+                       help="external AI-mask command: cmd image.png x y out.npy")
     p_srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

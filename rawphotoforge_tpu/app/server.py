@@ -51,6 +51,7 @@ a{{color:#8cf}}
     <input id=fopen type=file style="display:none"
       accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw">
     <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
+    <a href="/export?fmt=png" download="export.png">PNG</a>
   </div>
   <canvas id=hist width=256 height=70></canvas>
   <div id=sliders></div>
@@ -554,12 +555,18 @@ def make_handler(app: EditorApp):
                          "crop": list(crop) if crop else None}
                     ).encode())
                 elif url.path == "/export":
+                    # ?fmt=jpeg|png|webp|tiff (save_png/save_jpeg parity,
+                    # photo-editor-web/src/lib.rs).
+                    fmt = q.get("fmt", ["jpeg"])[0].upper()
+                    fmt = {"JPG": "JPEG"}.get(fmt, fmt)
+                    if fmt not in ("JPEG", "PNG", "WEBP", "TIFF"):
+                        raise ValueError(f"unsupported export format {fmt}")
                     self._send(
                         200,
                         app.editor.save_bytes(
-                            "JPEG", quality=app.settings.jpeg_quality
+                            fmt, quality=app.settings.jpeg_quality
                         ),
-                        "image/jpeg",
+                        f"image/{fmt.lower()}",
                     )
                 elif url.path == "/histogram":
                     h = app.editor.histogram(MID).tolist()

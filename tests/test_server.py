@@ -261,3 +261,14 @@ def test_page_has_new_ui_affordances(base_url):
     for needle in (b"fopen", b"fpreset", b"croprect", b"touchstart",
                    b"GLOBAL_ONLY", b"loadCurvesFrom"):
         assert needle in page, needle
+
+
+def test_export_format_choice(base_url):
+    _, ctype, body = _get(base_url + "/export?fmt=png")
+    assert ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
+    try:
+        _get(base_url + "/export?fmt=bmp")
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
