@@ -8,7 +8,7 @@ lens-distortion correction; Bayer RAW develop (demosaic, camera WB, color
 matrix); preview pyramid; histograms; presets; batch export over a TPU mesh.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 

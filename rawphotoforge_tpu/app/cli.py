@@ -184,10 +184,29 @@ def _batch_raw_fast_path(paths, args) -> int:
             else jnp.eye(3, dtype=jnp.float32)
         )
         packed = pack_params([edit], extent=(h, w), build_luts=False)
-        srgb = raw_develop_fused(
-            mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-            packed, sharpen, pattern=raw.pattern,
-        )
+        if raw.pattern in dm.BAYER_PATTERNS:
+            srgb = raw_develop_fused(
+                mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
+                packed, sharpen, pattern=raw.pattern,
+            )
+        else:
+            # Non-Bayer CFA (X-Trans): the one-pass kernel is Bayer-only;
+            # develop via the generic path, then the fused edit kernel.
+            from ..kernels import fused
+
+            planes = dm.develop_raw(
+                mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
+                pattern=raw.pattern,
+            )
+            if edit.sharpness:
+                from ..ops.sharpen import unsharp_mask
+
+                planes = unsharp_mask(planes, sharpen)
+            srgb = fused.develop_post_geo_fused(
+                planes, packed, jnp.ones((1,) + planes.shape[1:],
+                                         dtype=jnp.float32),
+                main_mask_all_ones=True,
+            )
         if raw.default_crop is not None:
             cx, cy, cw, ch = raw.default_crop
             srgb = srgb[:, cy : cy + ch, cx : cx + cw]

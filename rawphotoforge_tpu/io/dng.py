@@ -291,30 +291,46 @@ def read_dng(data: bytes) -> RawImage:
             raise DngError(f"ActiveArea {active} outside {height}x{width}")
         mosaic = mosaic[top:bottom, left:right]
         height, width = mosaic.shape
-        phase_y, phase_x = top % 2, left % 2
+        phase_y, phase_x = top, left
 
-    # CFA pattern.
+    # CFA pattern: 2x2 Bayer or 6x6 X-Trans (CFARepeatPatternDim).
     cfa = tag(cfa_ifd, T_CFA_PATTERN) or tag(ifds[0], T_CFA_PATTERN)
+    rep = tag(cfa_ifd, T_CFA_REPEAT_DIM) or [2, 2]
+    rep = [int(v) for v in (rep if isinstance(rep, list) else [rep, rep])]
     if cfa is None:
         pattern = "RGGB"
     else:
+        ph, pw = rep
+        n = ph * pw
         if isinstance(cfa, (bytes, bytearray)):
-            vals = list(cfa[:4])
+            vals = list(cfa[:n])
         elif isinstance(cfa, list):
-            vals = [int(v) for v in cfa[:4]]
+            vals = [int(v) for v in cfa[:n]]
         else:
             vals = [int(cfa)]
-        names = {0: "R", 1: "G", 2: "B"}
-        pattern = "".join(names.get(v, "G") for v in vals)
-        if phase_y or phase_x:
-            # ActiveArea origin parity shifts the CFA phase.
-            grid = [[pattern[0], pattern[1]], [pattern[2], pattern[3]]]
-            pattern = "".join(
-                grid[(y + phase_y) % 2][(x + phase_x) % 2]
-                for y in (0, 1) for x in (0, 1)
-            )
-        if pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
-            raise DngError(f"unsupported CFA pattern {pattern}")
+        if len(vals) < n:
+            raise DngError(f"CFAPattern has {len(vals)} codes, expected {n}")
+        layout = np.asarray(vals, dtype=np.int32).reshape(ph, pw)
+        # ActiveArea origin shifts the CFA phase (modulo the repeat dims).
+        eff = np.empty_like(layout)
+        for y in range(ph):
+            for x in range(pw):
+                eff[y, x] = layout[(y + phase_y) % ph, (x + phase_x) % pw]
+        if (ph, pw) == (2, 2):
+            names = {0: "R", 1: "G", 2: "B"}
+            pattern = "".join(names.get(int(v), "G") for v in eff.reshape(-1))
+            if pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
+                raise DngError(f"unsupported CFA pattern {pattern}")
+        elif (ph, pw) == (6, 6):
+            from ..ops.demosaic import XTRANS
+
+            if not np.array_equal(eff, XTRANS):
+                raise DngError(
+                    "6x6 CFA layout is not the canonical X-Trans matrix"
+                )
+            pattern = "XTRANS"
+        else:
+            raise DngError(f"unsupported CFA repeat dim {ph}x{pw}")
 
     def first_ifd0(t, default=None):
         for e in ifds:
@@ -439,8 +455,15 @@ def write_dng(
         raise DngError(f"unsupported write compression {compression}")
     strip = b"".join(chunks)
 
-    cfa_codes = {"R": 0, "G": 1, "B": 2}
-    cfa = bytes(cfa_codes[c] for c in raw.pattern)
+    if raw.pattern == "XTRANS":
+        from ..ops.demosaic import XTRANS
+
+        cfa_rep = [6, 6]
+        cfa = bytes(int(v) for v in XTRANS.reshape(-1))
+    else:
+        cfa_codes = {"R": 0, "G": 1, "B": 2}
+        cfa_rep = [2, 2]
+        cfa = bytes(cfa_codes[c] for c in raw.pattern)
 
     entries = []  # (tag, type, count, packed_value_bytes_or_payload)
     extra = []    # out-of-line payloads, filled with offsets later
@@ -487,8 +510,8 @@ def write_dng(
         add(T_STRIP_BYTE_COUNTS, 4, len(strip))
     add(T_ORIENTATION, 3, raw.orientation)
     add(T_SAMPLES_PER_PIXEL, 3, 1)
-    add(T_CFA_REPEAT_DIM, 3, [2, 2])
-    entries.append([T_CFA_PATTERN, 1, 4, cfa])
+    add(T_CFA_REPEAT_DIM, 3, cfa_rep)
+    entries.append([T_CFA_PATTERN, 1, len(cfa), cfa])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
     add(T_BLACK_LEVEL, 3, int(raw.black_level))
     add(T_WHITE_LEVEL, 3, int(raw.white_level))

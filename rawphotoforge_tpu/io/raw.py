@@ -111,12 +111,10 @@ def synthetic_raw(
     inv_gains = 1.0 / np.asarray(wb_gains, dtype=np.float32)
     rgb = rgb * inv_gains[:, None, None]
 
-    tile = dm.BAYER_PATTERNS[pattern]
-    chan = np.zeros((h, w), dtype=np.int64)
-    chan[0::2, 0::2] = tile[0][0]
-    chan[0::2, 1::2] = tile[0][1]
-    chan[1::2, 0::2] = tile[1][0]
-    chan[1::2, 1::2] = tile[1][1]
+    tile = np.asarray(dm.NAMED_CFA[pattern], dtype=np.int64)
+    ph, pw = tile.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    chan = tile[yy % ph, xx % pw]
     mosaic01 = np.take_along_axis(
         rgb.reshape(3, -1), chan.reshape(1, -1), axis=0
     ).reshape(h, w)

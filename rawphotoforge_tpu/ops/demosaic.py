@@ -162,6 +162,78 @@ def demosaic_malvar(mosaic: jax.Array, pattern: str = "RGGB") -> jax.Array:
     return jnp.stack([r, g, b])
 
 
+# Fuji X-Trans 6x6 CFA layout (0=R, 1=G, 2=B) — the canonical matrix used
+# by every X-Trans decoder (rawler's xtrans module decodes these sensors
+# for the reference, rust-godot-legacy image.rs:14-179 routes .raf there).
+# The generic machinery below takes ANY periodic layout, so a camera with
+# a rotated variant just passes its own 6x6 array.
+XTRANS = np.array(
+    [
+        [1, 1, 0, 1, 1, 2],
+        [1, 1, 2, 1, 1, 0],
+        [2, 0, 1, 0, 2, 1],
+        [1, 1, 2, 1, 1, 0],
+        [1, 1, 0, 1, 1, 2],
+        [0, 2, 1, 2, 0, 1],
+    ],
+    dtype=np.int32,
+)
+
+NAMED_CFA = {"XTRANS": XTRANS}
+NAMED_CFA.update({
+    k: np.asarray(v, dtype=np.int32) for k, v in BAYER_PATTERNS.items()
+})
+
+
+def _cfa_channel_map(h: int, w: int, cfa: np.ndarray) -> jax.Array:
+    """[H, W] i32 channel ids (0/1/2) for a periodic CFA layout."""
+    ph, pw = cfa.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % ph
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % pw
+    flat = jnp.asarray(cfa.reshape(-1), dtype=jnp.int32)
+    return flat[ys * pw + xs]
+
+
+# Triangle-weighted 7x7 window: every pixel of the X-Trans tile has a
+# same-color sample within this support, so the normalizer never hits 0.
+_NC_KERNEL_1D = np.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0], dtype=np.float32)
+
+
+def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray) -> jax.Array:
+    """Demosaic an arbitrary periodic CFA (X-Trans and friends) by
+    normalized convolution: each channel's sparse samples are spread with a
+    separable triangle kernel and divided by the spread of the sampling
+    mask; measured sites keep their exact sample.
+
+    Rougher than Malvar on Bayer (no cross-channel gradient correction),
+    but layout-agnostic and fully MXU/VPU-friendly — two separable convs
+    per channel. Bayer input should use demosaic_malvar instead.
+    """
+    h, w = mosaic.shape
+    cfa = np.asarray(cfa, dtype=np.int32)
+    chan = _cfa_channel_map(h, w, cfa)
+    k = jnp.asarray(_NC_KERNEL_1D)
+    pad = len(_NC_KERNEL_1D) // 2
+
+    def spread(x):
+        # Separable triangle filter, reflect-padded, via two small convs.
+        xp = jnp.pad(x, pad, mode="reflect")[None, None]
+        kr = k[None, None, :, None]
+        kc = k[None, None, None, :]
+        y = jax.lax.conv_general_dilated(xp, kr, (1, 1), "VALID")
+        y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
+        return y[0, 0]
+
+    planes = []
+    for c in range(3):
+        mask = (chan == c).astype(jnp.float32)
+        num = spread(mosaic * mask)
+        den = spread(mask)
+        est = num / jnp.maximum(den, 1e-8)
+        planes.append(jnp.where(mask > 0, mosaic, est))
+    return jnp.stack(planes)
+
+
 def normalize_mosaic(raw_values, black_level, white_level):
     """Integer CFA values -> float32 [0, 1]: (v - black) / (white - black),
     clipped at 0 (the standard rawler/rawpy normalization)."""
@@ -171,11 +243,15 @@ def normalize_mosaic(raw_values, black_level, white_level):
 
 def apply_wb_mosaic(mosaic, pattern: str, gains):
     """Per-CFA-site white-balance gains applied *before* demosaic (camera
-    WB as rawpy's use_camera_wb does). ``gains`` is (r, g, b)."""
+    WB as rawpy's use_camera_wb does). ``gains`` is (r, g, b); ``pattern``
+    is a Bayer name or any NAMED_CFA key (e.g. "XTRANS")."""
     h, w = mosaic.shape
-    is_r, is_g, is_b = _phase_masks(h, w, pattern)
-    gain = jnp.where(is_r, gains[0], jnp.where(is_g, gains[1], gains[2]))
-    return mosaic * gain
+    if pattern in BAYER_PATTERNS:
+        is_r, is_g, _ = _phase_masks(h, w, pattern)
+        gain = jnp.where(is_r, gains[0], jnp.where(is_g, gains[1], gains[2]))
+        return mosaic * gain
+    chan = _cfa_channel_map(h, w, NAMED_CFA[pattern])
+    return mosaic * jnp.asarray(gains, dtype=jnp.float32)[chan]
 
 
 def camera_to_srgb(planes, cam2srgb):
@@ -228,7 +304,11 @@ def develop_raw(
     matrix -> clip to [0, 1].
     """
     m = apply_wb_mosaic(mosaic01, pattern, wb_gains)
-    demosaic = demosaic_malvar if method == "malvar" else demosaic_bilinear
-    rgb = demosaic(m, pattern)
+    if pattern in BAYER_PATTERNS:
+        demosaic = demosaic_malvar if method == "malvar" else demosaic_bilinear
+        rgb = demosaic(m, pattern)
+    else:
+        # Non-Bayer periodic layouts (X-Trans): normalized convolution.
+        rgb = demosaic_cfa(m, NAMED_CFA[pattern])
     rgb = camera_to_srgb(rgb, cam2srgb)
     return jnp.clip(rgb, 0.0, 1.0)
