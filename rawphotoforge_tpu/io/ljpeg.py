@@ -467,17 +467,36 @@ _ENC_COUNTS = np.array([0, 0, 0, 0, 17] + [0] * 11, dtype=np.uint8)
 _ENC_VALUES = np.arange(17, dtype=np.uint8)
 
 
+def _canonical_codes(counts: np.ndarray, values: np.ndarray):
+    """Canonical code/length per symbol value (inverse of the decode LUT)."""
+    code_of = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(int(counts[ln - 1])):
+            code_of[int(values[k])] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return code_of
+
+
 def encode(
     samples: np.ndarray,
     precision: int | None = None,
     predictor: int = 1,
     point_transform: int = 0,
     restart_interval: int = 0,
+    huffman: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> bytes:
     """Encode u16 samples ([H, W] or [H, W, C], C<=4) as lossless JPEG.
 
     Every decoder-supported shape is encodable, which gives the round-trip
     property the tests rely on; also used by write_dng(compression=7).
+    ``huffman``: optional (counts[16], values) canonical table covering
+    every category the data produces — by default the simple
+    17-categories-at-5-bits table; custom tables exercise the decoder the
+    way real camera files do.
     """
     s = np.asarray(samples)
     if s.ndim == 2:
@@ -512,12 +531,28 @@ def encode(
     flat_extra = extra.reshape(-1).astype(np.uint32)
     flat_elen = extra_len.reshape(-1)
 
-    # Interleave (code, extra) per sample; codes are category value @ 5 bits.
+    if huffman is None:
+        enc_counts, enc_values = _ENC_COUNTS, _ENC_VALUES
+    else:
+        enc_counts = np.asarray(huffman[0], dtype=np.uint8)
+        enc_values = np.asarray(huffman[1], dtype=np.uint8)
+    code_of = _canonical_codes(enc_counts, enc_values)
+    missing = set(np.unique(flat_ssss)) - set(code_of)
+    if missing:
+        raise LJpegError(f"Huffman table lacks categories {sorted(missing)}")
+    cat_code = np.zeros(17, dtype=np.uint32)
+    cat_len = np.zeros(17, dtype=np.uint8)
+    for v, (c, ln) in code_of.items():
+        if v <= 16:
+            cat_code[v] = c
+            cat_len[v] = ln
+
+    # Interleave (code, extra) per sample.
     n = flat_ssss.size
     vals = np.empty(2 * n, dtype=np.uint32)
     lens = np.empty(2 * n, dtype=np.uint8)
-    vals[0::2] = flat_ssss
-    lens[0::2] = 5
+    vals[0::2] = cat_code[flat_ssss]
+    lens[0::2] = cat_len[flat_ssss]
     vals[1::2] = flat_extra
     lens[1::2] = flat_elen
 
@@ -528,8 +563,9 @@ def encode(
     for c in range(nc):
         out += struct.pack(">BBB", c + 1, 0x11, 0)
     # DHT (table 0, used by all components)
-    out += struct.pack(">BBH", 0xFF, M_DHT, 2 + 1 + 16 + 17) + b"\x00"
-    out += _ENC_COUNTS.tobytes() + _ENC_VALUES.tobytes()
+    nval = int(enc_counts.sum())
+    out += struct.pack(">BBH", 0xFF, M_DHT, 2 + 1 + 16 + nval) + b"\x00"
+    out += enc_counts.tobytes() + enc_values[:nval].tobytes()
     if restart_interval:
         out += struct.pack(">BBHH", 0xFF, M_DRI, 4, restart_interval)
     # SOS

@@ -152,3 +152,65 @@ def test_truncated_scan_raises(rng):
     enc = ljpeg.encode(s, precision=8)
     with pytest.raises(LJpegError):
         ljpeg.decode(enc[: len(enc) // 2])
+
+
+def _random_canonical_table(rng):
+    """A random valid canonical Huffman table for categories 0..16 with
+    varied code lengths (the shape real camera files use)."""
+    # Assign lengths by repeatedly splitting the Kraft budget.
+    while True:
+        lens = sorted(int(rng.integers(2, 13)) for _ in range(17))
+        kraft = sum(2.0 ** -l for l in lens)
+        if kraft <= 1.0:
+            break
+    counts = np.zeros(16, dtype=np.uint8)
+    for l in lens:
+        counts[l - 1] += 1
+    # Canonical assignment orders values by code length: shuffle which
+    # category lands on which code.
+    values = rng.permutation(np.arange(17)).astype(np.uint8)
+    return counts, values
+
+
+def test_roundtrip_random_huffman_tables(rng):
+    """Decoder robustness across arbitrary canonical tables — not just the
+    fixed table our encoder defaults to."""
+    for trial in range(8):
+        counts, values = _random_canonical_table(rng)
+        s = rng.integers(0, 1 << 14, (11, 9, 2)).astype(np.uint16)
+        enc = ljpeg.encode(s, precision=14, predictor=(trial % 7) + 1,
+                           huffman=(counts, values))
+        dec, frame = ljpeg.decode(enc)
+        np.testing.assert_array_equal(dec, s.reshape(11, 18))
+
+
+def test_random_tables_native_matches_python(rng):
+    from rawphotoforge_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    counts, values = _random_canonical_table(rng)
+    s = rng.integers(0, 1 << 16, (15, 13)).astype(np.uint16)
+    enc = ljpeg.encode(s, precision=16, predictor=4, huffman=(counts, values))
+    frame = ljpeg.parse(enc)
+    total = frame.rows * frame.mcus_per_row
+    segs = ljpeg._split_segments(frame.scan, 0, total)
+    luts = [ljpeg._build_huffman_lut(frame.counts[t], frame.values[t],
+                                     int(frame.nvalues[t]))
+            for t in range(frame.counts.shape[0])]
+    py = np.zeros((frame.rows, frame.width), dtype=np.int32)
+    nat = np.zeros((frame.rows, frame.width), dtype=np.uint16)
+    for seg, start, count in segs:
+        ljpeg._decode_scan_py(seg, py, frame, start, count, luts)
+        native.ljpeg_decode_scan(seg, nat, frame, start, count)
+    np.testing.assert_array_equal(py.astype(np.uint16), nat)
+    np.testing.assert_array_equal(nat, s)
+
+
+def test_encode_rejects_insufficient_table():
+    counts = np.zeros(16, dtype=np.uint8)
+    counts[2] = 4  # only 4 categories covered
+    values = np.arange(4, dtype=np.uint8)
+    s = np.full((4, 4), 30000, dtype=np.uint16)  # needs high categories
+    with pytest.raises(LJpegError, match="lacks categories"):
+        ljpeg.encode(s, precision=16, huffman=(counts, values))
