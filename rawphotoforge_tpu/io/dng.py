@@ -427,7 +427,7 @@ def write_dng(
             ncomp = 2 if bw % 2 == 0 else 1
             return ljpeg.encode(
                 block.reshape(bh, bw // ncomp, ncomp),
-                precision=precision, predictor=predictor,
+                precision=precision, predictor=predictor, huffman="optimal",
             )
 
         if tile is not None:

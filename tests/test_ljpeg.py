@@ -214,3 +214,40 @@ def test_encode_rejects_insufficient_table():
     s = np.full((4, 4), 30000, dtype=np.uint16)  # needs high categories
     with pytest.raises(LJpegError, match="lacks categories"):
         ljpeg.encode(s, precision=16, huffman=(counts, values))
+
+
+def test_optimal_table_roundtrip_and_smaller(rng):
+    """huffman='optimal' round-trips and beats the fixed 5-bit table on
+    low-entropy (realistic) data."""
+    yy, xx = np.mgrid[0:64, 0:48].astype(np.float32)
+    s = (2000 + 800 * np.sin(xx / 9) + 50 * rng.normal(0, 1, (64, 48))
+         ).clip(0, 16383).astype(np.uint16)
+    fixed = ljpeg.encode(s, precision=14, predictor=1)
+    opt = ljpeg.encode(s, precision=14, predictor=1, huffman="optimal")
+    dec, _ = ljpeg.decode(opt)
+    np.testing.assert_array_equal(dec, s)
+    assert len(opt) < len(fixed)
+
+
+def test_optimal_table_skewed_lengths_capped(rng):
+    """Extremely skewed category stats still produce <=16-bit codes."""
+    # Overwhelmingly category 0 (constant image) with rare large diffs.
+    s = np.full((80, 64), 5000, dtype=np.uint16)
+    s[::17, ::13] = 60000
+    s[3::29, 7::11] = 1
+    enc = ljpeg.encode(s, precision=16, huffman="optimal")
+    frame = ljpeg.parse(enc)
+    assert int(frame.counts[0].sum()) >= 2  # real multi-symbol table
+    dec, _ = ljpeg.decode(enc)
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_optimal_table_single_category():
+    s = np.full((16, 16), 1234, dtype=np.uint16)  # all diffs 0 after first
+    # First sample diff is nonzero (vs the 2^(P-1) default), so two cats.
+    enc = ljpeg.encode(s, precision=16, huffman="optimal")
+    dec, _ = ljpeg.decode(enc)
+    np.testing.assert_array_equal(dec, s)
+    lone = np.zeros(100, dtype=np.int64)  # the degenerate 1-symbol table
+    counts, values = ljpeg.optimal_table(lone)
+    assert counts[0] == 1 and list(values) == [0]
