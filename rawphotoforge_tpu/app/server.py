@@ -254,13 +254,34 @@ function loadCurvesFrom(p){{
   }}
   drawCurve();
 }}
-// ---- render loop ----
+// ---- render loop + zoom/pan viewport ----
+// Wheel zooms around the cursor, drag pans when zoomed, dblclick resets.
+// The server slices the viewport from its cached render (tiled multi-zoom:
+// pan/zoom never recomputes the develop stack).
 let busy=false,queued=null;
+const view={{zoom:1,cx:0.5,cy:0.5}};
+function viewRect(){{
+  const he=0.5/view.zoom;
+  const x0=Math.min(Math.max(view.cx-he,0),1-2*he);
+  const y0=Math.min(Math.max(view.cy-he,0),1-2*he);
+  view.cx=x0+he;view.cy=y0+he;
+  return [x0,y0,x0+2*he,y0+2*he];
+}}
+function previewURL(level,original){{
+  // Zoomed-in still views fetch the FULL-res render for pixel peeping.
+  const lv=(view.zoom>=2&&level!=='low')?'full':level;
+  let u='/preview?level='+lv+(original?'&original=1':'')+'&t='+Date.now();
+  if(view.zoom>1.001)u+='&rect='+viewRect().map(v=>v.toFixed(5)).join(',');
+  return u;
+}}
+function pvRefresh(level,original){{
+  document.getElementById('preview').src=previewURL(level,!!original);
+}}
 async function push(level){{
   if(busy){{queued=level;return;}}
   busy=true;
   await fetch('/edit',{{method:'POST',body:JSON.stringify(state)}});
-  document.getElementById('preview').src='/preview?level='+level+'&t='+Date.now();
+  pvRefresh(level);
   const h=await (await fetch('/histogram')).json();
   drawHist(h);
   busy=false;
@@ -387,20 +408,37 @@ async function finishCrop(e){{
   cropStart=null;
   cropDiv.style.display='none';
   if(Math.abs(x1-x0)<5||Math.abs(y1-y0)<5)return;
-  // Display coords -> FULL-image coords: the preview shows the current
-  // crop region, so scale by its extent and offset by its origin.
+  // Display coords -> FULL-image coords: through the zoom viewport, then
+  // the current crop region's extent and origin.
   const cur=imgInfo.crop||[0,0,imgInfo.shape[1],imgInfo.shape[0]];
-  const sx=(cur[2]-cur[0])/r.width, sy=(cur[3]-cur[1])/r.height;
+  const [vx0,vy0,vx1,vy1]=viewRect();
+  const fx=p=>vx0+(p/r.width)*(vx1-vx0);
+  const fy=p=>vy0+(p/r.height)*(vy1-vy0);
   await fetch('/crop',{{method:'POST',body:JSON.stringify({{
-    x0:Math.round(cur[0]+Math.min(x0,x1)*sx),
-    y0:Math.round(cur[1]+Math.min(y0,y1)*sy),
-    x1:Math.round(cur[0]+Math.max(x0,x1)*sx),
-    y1:Math.round(cur[1]+Math.max(y0,y1)*sy)}})}});
+    x0:Math.round(cur[0]+fx(Math.min(x0,x1))*(cur[2]-cur[0])),
+    y0:Math.round(cur[1]+fy(Math.min(y0,y1))*(cur[3]-cur[1])),
+    x1:Math.round(cur[0]+fx(Math.max(x0,x1))*(cur[2]-cur[0])),
+    y1:Math.round(cur[1]+fy(Math.max(y0,y1))*(cur[3]-cur[1]))}})}});
   imgInfo=await (await fetch('/info')).json();
+  view.zoom=1;view.cx=view.cy=0.5;
   toggleCrop();
   push('mid');
 }}
 const pv=document.getElementById('preview');
+let panStart=null,panMoved=false,lastPanFetch=0;
+pv.onwheel=e=>{{
+  e.preventDefault();
+  const r=pv.getBoundingClientRect();
+  const fx=(e.clientX-r.left)/r.width, fy=(e.clientY-r.top)/r.height;
+  const [x0,y0]=viewRect();
+  const px=x0+fx/view.zoom, py=y0+fy/view.zoom;  // point under cursor
+  view.zoom=Math.min(Math.max(view.zoom*(e.deltaY<0?1.25:0.8),1),16);
+  view.cx=px-fx/view.zoom+0.5/view.zoom;
+  view.cy=py-fy/view.zoom+0.5/view.zoom;
+  if(view.zoom<=1.001){{view.zoom=1;view.cx=view.cy=0.5;}}
+  pvRefresh('mid');
+}};
+pv.ondblclick=()=>{{view.zoom=1;view.cx=view.cy=0.5;pvRefresh('mid');}};
 pv.onmousedown=async e=>{{
   if(cropMode){{
     e.preventDefault();
@@ -411,8 +449,11 @@ pv.onmousedown=async e=>{{
   }} else if(maskAddMode&&imgInfo){{
     const r=pv.getBoundingClientRect();
     const cur=imgInfo.crop||[0,0,imgInfo.shape[1],imgInfo.shape[0]];
-    const x=Math.round(cur[0]+(e.clientX-r.left)/r.width*(cur[2]-cur[0]));
-    const y=Math.round(cur[1]+(e.clientY-r.top)/r.height*(cur[3]-cur[1]));
+    const [vx0,vy0,vx1,vy1]=viewRect();
+    const fx=vx0+(e.clientX-r.left)/r.width*(vx1-vx0);
+    const fy=vy0+(e.clientY-r.top)/r.height*(vy1-vy0);
+    const x=Math.round(cur[0]+fx*(cur[2]-cur[0]));
+    const y=Math.round(cur[1]+fy*(cur[3]-cur[1]));
     const name='mask'+(++maskCounter);
     await fetch('/mask/add',{{method:'POST',body:JSON.stringify(
       {{name:name,point:[x,y],tolerance:0.12}})}});
@@ -420,21 +461,34 @@ pv.onmousedown=async e=>{{
     switchMask();
     toggleMaskAdd();
     push('mid');
+  }} else if(view.zoom>1){{
+    e.preventDefault();
+    panStart=[e.clientX,e.clientY,view.cx,view.cy];
+    panMoved=false;
   }} else {{
-    pv.src='/preview?level=mid&original=1&t='+Date.now();
+    pvRefresh('mid',true);  // hold to compare with the original
   }}
 }};
 pv.onmousemove=e=>{{
-  if(!cropStart)return;
-  const [x,y]=cropPx(e);
-  cropDiv.style.left=Math.min(x,cropStart[0])+'px';
-  cropDiv.style.top=Math.min(y,cropStart[1])+'px';
-  cropDiv.style.width=Math.abs(x-cropStart[0])+'px';
-  cropDiv.style.height=Math.abs(y-cropStart[1])+'px';
+  if(cropStart){{
+    const [x,y]=cropPx(e);
+    cropDiv.style.left=Math.min(x,cropStart[0])+'px';
+    cropDiv.style.top=Math.min(y,cropStart[1])+'px';
+    cropDiv.style.width=Math.abs(x-cropStart[0])+'px';
+    cropDiv.style.height=Math.abs(y-cropStart[1])+'px';
+    return;
+  }}
+  if(!panStart)return;
+  const r=pv.getBoundingClientRect();
+  view.cx=panStart[2]-(e.clientX-panStart[0])/r.width/view.zoom;
+  view.cy=panStart[3]-(e.clientY-panStart[1])/r.height/view.zoom;
+  panMoved=true;
+  if(Date.now()-lastPanFetch>150){{lastPanFetch=Date.now();pvRefresh('low');}}
 }};
 pv.onmouseup=pv.onmouseleave=e=>{{
   if(cropStart){{finishCrop(e);return;}}
-  if(!maskAddMode&&!cropMode)pv.src='/preview?level=mid&t='+Date.now();
+  if(panStart){{panStart=null;if(panMoved)pvRefresh('mid');return;}}
+  if(!maskAddMode&&!cropMode)pvRefresh('mid');
 }};
 pv.ondragstart=()=>false;
 loadMasks('main');
@@ -497,12 +551,23 @@ class EditorApp:
         p = self.editor.params(None if mask_name == "main" else mask_name)
         return p.to_json()
 
-    def preview_jpeg(self, level: str, original: bool = False) -> bytes:
+    def preview_jpeg(self, level: str, original: bool = False,
+                     rect=None) -> bytes:
+        """Encode a preview; ``rect`` = fractional (x0, y0, x1, y1) of the
+        displayed image — the zoom/pan viewport. Slicing happens on the
+        *cached* render, so pan/zoom never recomputes the develop stack
+        (the tiled multi-zoom loop of BASELINE config 4)."""
         img = (
             self.editor.original_srgb(level)
             if original
             else self.editor.apply(level)
         )
+        if rect is not None:
+            _, h, w = img.shape
+            x0, y0, x1, y1 = rect
+            c0, r0 = int(x0 * w), int(y0 * h)
+            c1, r1 = max(c0 + 1, int(x1 * w)), max(r0 + 1, int(y1 * h))
+            img = img[:, max(r0, 0):min(r1, h), max(c0, 0):min(c1, w)]
         return image_io.encode_image(img, "JPEG", quality=90)
 
 
@@ -535,13 +600,20 @@ def make_handler(app: EditorApp):
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
                     original = q.get("original", ["0"])[0] == "1"
                     overlay = q.get("overlay", [None])[0]
+                    rect = None
+                    if "rect" in q:
+                        rect = [float(v) for v in q["rect"][0].split(",")]
+                        if len(rect) != 4 or not all(
+                            0.0 <= v <= 1.0 for v in rect
+                        ) or rect[0] >= rect[2] or rect[1] >= rect[3]:
+                            raise ValueError(f"bad viewport rect {rect}")
                     if overlay:
                         body = image_io.encode_image(
                             app.editor.mask_overlay_srgb(overlay, level),
                             "JPEG", quality=90,
                         )
                     else:
-                        body = app.preview_jpeg(level, original)
+                        body = app.preview_jpeg(level, original, rect=rect)
                     self._send(200, body, "image/jpeg")
                 elif url.path == "/params":
                     name = q.get("mask", ["main"])[0]

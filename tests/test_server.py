@@ -272,3 +272,25 @@ def test_export_format_choice(base_url):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_viewport_rect_preview(base_url):
+    """?rect=x0,y0,x1,y1 slices the cached render (zoom/pan viewport)."""
+    import io as _io
+    from PIL import Image as PILImage
+
+    # Session shape after earlier tests: query /info for truth.
+    _, _, info = _get(base_url + "/info")
+    h, w = json.loads(info)["shape"]
+    _, ctype, body = _get(base_url + "/preview?level=full&rect=0.25,0.25,0.75,0.75")
+    img = PILImage.open(_io.BytesIO(body))
+    assert ctype == "image/jpeg"
+    assert abs(img.size[0] - w // 2) <= 1 and abs(img.size[1] - h // 2) <= 1
+    # Degenerate/out-of-range rects are 400s.
+    for bad in ("0.5,0.5,0.5,0.9", "0,0,2,1", "-0.1,0,1,1", "0,0,1"):
+        try:
+            _get(base_url + f"/preview?level=mid&rect={bad}")
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400, bad
