@@ -174,32 +174,36 @@ class EditParameters:
         ``channel`` (BRIGHTNESS slot only): apply the curve to one RGB
         channel (0/1/2) or all three (3, the default — v4 semantics); the
         v1 tone_curve_lut channel selector."""
+        # Validate EVERYTHING before mutating any state, so a rejected call
+        # leaves the parameters untouched.
         if channel is not None:
             if slot != BRIGHTNESS:
                 raise curve_mod.CurveError(
                     "channel selection applies to the brightness curve only")
             if channel not in (0, 1, 2, 3):
                 raise curve_mod.CurveError(f"bad curve channel {channel}")
-            self.brightness_channel = int(channel)
         if raw_lut is not None:
             raw_lut = np.asarray(raw_lut, dtype=np.int32)
             if raw_lut.shape != (CURVE_RESOLUTION,):
                 raise curve_mod.CurveError(
                     f"raw curve must have {CURVE_RESOLUTION} entries, got {raw_lut.shape}"
                 )
-            self.curves[slot] = CurveState(raw_lut=raw_lut)
-            return
-        if control_x is None or control_y is None:
-            raise curve_mod.CurveError("need either raw_lut or control points")
-        cx = np.asarray(control_x, dtype=np.int32)
-        cy = np.asarray(control_y, dtype=np.int32)
-        if cx.shape != cy.shape:
-            raise curve_mod.CurveError("mismatched control point lengths")
-        if cx.size == 0:
-            raise curve_mod.CurveError("empty control points")
-        # Validate monotonicity eagerly (matches setter-time PCHIP failure).
-        curve_mod.pchip_slopes_f32(cx, cy) if cx.size >= 2 else None
-        self.curves[slot] = CurveState(control_x=cx, control_y=cy)
+            new_state = CurveState(raw_lut=raw_lut)
+        else:
+            if control_x is None or control_y is None:
+                raise curve_mod.CurveError("need either raw_lut or control points")
+            cx = np.asarray(control_x, dtype=np.int32)
+            cy = np.asarray(control_y, dtype=np.int32)
+            if cx.shape != cy.shape:
+                raise curve_mod.CurveError("mismatched control point lengths")
+            if cx.size == 0:
+                raise curve_mod.CurveError("empty control points")
+            # Validate monotonicity eagerly (matches setter-time PCHIP failure).
+            curve_mod.pchip_slopes_f32(cx, cy) if cx.size >= 2 else None
+            new_state = CurveState(control_x=cx, control_y=cy)
+        if channel is not None:
+            self.brightness_channel = int(channel)
+        self.curves[slot] = new_state
 
     # -- derived GPU-side scalars ------------------------------------------
     def gains(self) -> tuple[float, float, float]:

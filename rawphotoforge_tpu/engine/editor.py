@@ -100,6 +100,8 @@ class PhotoEditor:
         # Non-destructive crop rect (x0, y0, x1, y1) in FULL pixel coords,
         # exclusive ends; None = no crop (v1 capability, editor.py:358-366).
         self.crop_rect = None
+        # Name of the auto-applied lens profile (open(lens_correct=True)).
+        self.applied_lens_profile = None
 
         _, h, w = planes.shape
         full = jax.device_put(planes)
@@ -138,7 +140,6 @@ class PhotoEditor:
         profile name is recorded in ``applied_lens_profile``."""
         planes, exif = image_io.read_image(path)
         ed = cls(planes, exif=exif, **kwargs)
-        ed.applied_lens_profile = None
         if lens_correct:
             from ..io.lensdb import LensDatabase
 

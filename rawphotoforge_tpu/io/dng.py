@@ -293,9 +293,17 @@ def read_dng(data: bytes) -> RawImage:
         height, width = mosaic.shape
         phase_y, phase_x = top, left
 
-    # CFA pattern: 2x2 Bayer or 6x6 X-Trans (CFARepeatPatternDim).
-    cfa = tag(cfa_ifd, T_CFA_PATTERN) or tag(ifds[0], T_CFA_PATTERN)
-    rep = tag(cfa_ifd, T_CFA_REPEAT_DIM) or [2, 2]
+    # CFA pattern: 2x2 Bayer or 6x6 X-Trans (CFARepeatPatternDim). Both
+    # tags fall back through the whole IFD chain the same way, so they are
+    # always sourced consistently.
+    def any_ifd(t, default=None):
+        for e in ifds:
+            if t in e:
+                return _value(data, e[t], bo)
+        return default
+
+    cfa = tag(cfa_ifd, T_CFA_PATTERN) or any_ifd(T_CFA_PATTERN)
+    rep = tag(cfa_ifd, T_CFA_REPEAT_DIM) or any_ifd(T_CFA_REPEAT_DIM) or [2, 2]
     rep = [int(v) for v in (rep if isinstance(rep, list) else [rep, rep])]
     if cfa is None:
         pattern = "RGGB"

@@ -305,6 +305,11 @@ def _decode_scan_py(
     br = _BitReaderPy(seg)
     o = out  # [rows, mcus_per_row * nc] int32 view during decode
     seg_first = [True] * nc
+    # T.81 H.1.2.1: the first LINE of samples at the start of the scan and
+    # at the beginning of each restart interval uses the 1-D Ra predictor
+    # (the very first sample the default); the selected predictor applies
+    # from the next line on.
+    first_row = mcu_start // mcus_per_row
 
     for idx in range(mcu_start, mcu_start + mcu_count):
         row, col = divmod(idx, mcus_per_row)
@@ -327,8 +332,8 @@ def _decode_scan_py(
             if seg_first[c]:
                 pred = default
                 seg_first[c] = False
-            elif row == 0:
-                pred = int(o[0, x - nc])
+            elif row == first_row:
+                pred = int(o[row, x - nc])  # 1-D Ra on the interval's line
             elif col == 0:
                 pred = int(o[row - 1, x])
             else:
@@ -365,7 +370,12 @@ def decode(data: bytes) -> tuple[np.ndarray, LJpegFrame]:
     total = frame.rows * frame.mcus_per_row
     segs = _split_segments(frame.scan, frame.restart_interval, total)
 
-    out = np.zeros((frame.rows, frame.width), dtype=np.int32)
+    # Peek-16 Huffman LUTs, built ONCE per frame (not per restart segment —
+    # a per-row DRI would otherwise rebuild ntab x 128 KB per segment).
+    luts = [
+        _build_huffman_lut(frame.counts[t], frame.values[t], int(frame.nvalues[t]))
+        for t in range(frame.counts.shape[0])
+    ]
 
     native = None
     try:
@@ -378,16 +388,15 @@ def decode(data: bytes) -> tuple[np.ndarray, LJpegFrame]:
 
     if native is not None:
         out16 = np.zeros((frame.rows, frame.width), dtype=np.uint16)
+        lut_sym = np.concatenate([s for s, _ in luts])
+        lut_len = np.concatenate([l for _, l in luts])
         for seg, start, count in segs:
-            native(seg, out16, frame, start, count)
+            native(seg, out16, frame, start, count, lut_sym, lut_len)
         if frame.point_transform:
             out16 <<= frame.point_transform
         return out16, frame
 
-    luts = [
-        _build_huffman_lut(frame.counts[t], frame.values[t], int(frame.nvalues[t]))
-        for t in range(frame.counts.shape[0])
-    ]
+    out = np.zeros((frame.rows, frame.width), dtype=np.int32)
     for seg, start, count in segs:
         _decode_scan_py(seg, out, frame, start, count, luts)
     if frame.point_transform:
@@ -427,16 +436,23 @@ def _diffs(samples: np.ndarray, predictor: int, precision: int, pt: int,
         pred = (ra + rb) >> 1
     else:
         raise LJpegError(f"bad predictor {predictor}")
-    # Boundary rules (T.81 H.1.2.1).
+    # Boundary rules (T.81 H.1.2.1): the first line of the scan — and of
+    # every restart interval — uses the 1-D Ra predictor; the very first
+    # sample of each uses the default prediction.
     pred[0, 1:] = ra[0, 1:]
     pred[1:, 0] = rb[1:, 0]
     default = 1 << (precision - pt - 1)
     pred[0, 0] = default
-    # First MCU of each restart interval: prediction resets to the default.
     if restart_interval > 0:
+        idx = np.arange(h * w)
+        start = (idx // restart_interval) * restart_interval
+        same_line = (idx // w) == (start // w)
+        # Ra on each interval's first line (col 0 can only be the interval
+        # start itself, handled below).
+        line_mask = (same_line & (idx != start)).reshape(h, w)
+        pred[line_mask] = ra[line_mask]
         flat_pred = pred.reshape(-1, nc)
-        starts = np.arange(restart_interval, h * w, restart_interval)
-        flat_pred[starts] = default
+        flat_pred[np.arange(0, h * w, restart_interval)] = default
         pred = flat_pred.reshape(h, w, nc)
     return s - pred
 
@@ -482,16 +498,18 @@ def optimal_table(categories: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     present = np.flatnonzero(freq)
     if len(present) == 0:
         return _ENC_COUNTS, _ENC_VALUES
-    if len(present) == 1:
-        counts = np.zeros(16, dtype=np.uint8)
-        counts[0] = 1
-        return counts, np.asarray([present[0]], dtype=np.uint8)
 
-    # Huffman: merge the two lightest subtrees; track per-symbol depths.
-    heap = [(int(freq[s]), i, [int(s)]) for i, s in enumerate(present)]
+    # Huffman over the real symbols PLUS the T.81 K.2 dummy (frequency 1,
+    # pseudo-value 255): the dummy takes the deepest/last canonical code —
+    # the all-1-bits codeword the spec reserves — and is dropped from the
+    # table afterwards, so no real symbol ever gets it.
+    DUMMY = 255
+    heap = [(int(freq[s]), int(s), [int(s)]) for s in present]
+    heap.append((1, DUMMY, [DUMMY]))
     heapq.heapify(heap)
-    depth = np.zeros(17, dtype=np.int64)
-    uid = len(heap)
+    depth = {int(s): 0 for s in present}
+    depth[DUMMY] = 0
+    uid = 1000
     while len(heap) > 1:
         fa, _, sa = heapq.heappop(heap)
         fb, _, sb = heapq.heappop(heap)
@@ -501,7 +519,7 @@ def optimal_table(categories: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         uid += 1
 
     counts = np.zeros(32, dtype=np.int64)
-    for s in present:
+    for s in list(present) + [DUMMY]:
         counts[depth[s] - 1] += 1
     # Length cap (T.81 K.3 Adjust_BITS): repeatedly take one code from the
     # longest length, pair it under a code at the nearest shorter length.
@@ -517,9 +535,15 @@ def optimal_table(categories: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             counts[j] -= 1
         else:
             i -= 1
-    # Canonical value order: by code length, ties by symbol value.
-    order = sorted(present, key=lambda s: (depth[s], s))
-    # Re-derive lengths from the adjusted counts in that order.
+    # Drop the dummy: it occupies the last code of the longest length
+    # (deepest depth; canonical ties order it last via its 255 value).
+    i = 15
+    while counts[i] == 0:
+        i -= 1
+    counts[i] -= 1
+    # Canonical value order: by code length, ties by symbol value; the
+    # dummy sorts strictly last and is excluded.
+    order = sorted(present, key=lambda s: (depth[int(s)], s))
     values = np.asarray(order, dtype=np.uint8)
     return counts[:16].astype(np.uint8), values
 

@@ -64,7 +64,7 @@ def _load():
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.rpf_ljpeg_decode_scan.argtypes = [
         ctypes.c_char_p, c64, u16p, c, c, c,
-        u8p, u8p, i32p, u8p, c, c, c, c, c64, c64,
+        u8p, u8p, u8p, c, c, c, c, c64, c64,
     ]
     lib.rpf_ljpeg_decode_scan.restype = c
     _lib = lib
@@ -139,19 +139,31 @@ def histogram_rgbl(hwc):
     return out
 
 
-def ljpeg_decode_scan(seg: bytes, out, frame, mcu_start: int, mcu_count: int):
+def ljpeg_decode_scan(seg: bytes, out, frame, mcu_start: int, mcu_count: int,
+                      lut_sym=None, lut_len=None):
     """Decode one lossless-JPEG restart segment into ``out`` (u16
-    [rows, mcus_per_row*ncomp]); see io/ljpeg.py for the framing layer."""
+    [rows, mcus_per_row*ncomp]); see io/ljpeg.py for the framing layer.
+    ``lut_sym``/``lut_len``: concatenated peek-16 Huffman LUTs
+    ([ntab << 16] u8 each), built once per frame by the caller."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    counts = np.ascontiguousarray(frame.counts, dtype=np.uint8)
-    values = np.ascontiguousarray(frame.values, dtype=np.uint8)
-    nvalues = np.ascontiguousarray(frame.nvalues, dtype=np.int32)
+    if lut_sym is None or lut_len is None:
+        from ..io.ljpeg import _build_huffman_lut
+
+        luts = [
+            _build_huffman_lut(frame.counts[t], frame.values[t],
+                               int(frame.nvalues[t]))
+            for t in range(frame.counts.shape[0])
+        ]
+        lut_sym = np.concatenate([s for s, _ in luts])
+        lut_len = np.concatenate([l for _, l in luts])
+    lut_sym = np.ascontiguousarray(lut_sym, dtype=np.uint8)
+    lut_len = np.ascontiguousarray(lut_len, dtype=np.uint8)
     comp_tab = np.ascontiguousarray(frame.comp_table, dtype=np.uint8)
     rc = lib.rpf_ljpeg_decode_scan(
         seg, len(seg), out, frame.rows, frame.mcus_per_row, frame.ncomp,
-        counts, values, nvalues, comp_tab, counts.shape[0],
+        lut_sym, lut_len, comp_tab, lut_sym.size >> 16,
         frame.predictor, frame.precision, frame.point_transform,
         mcu_start, mcu_count,
     )

@@ -307,49 +307,25 @@ int rpf_ljpeg_decode_scan(
     const uint8_t* seg, int64_t seg_bytes,
     uint16_t* out,                 // [rows, mcus_per_row * ncomp]
     int rows, int mcus_per_row, int ncomp,
-    const uint8_t* counts,         // [ntab, 16]
-    const uint8_t* values,         // [ntab, 17]
-    const int32_t* nvalues,        // [ntab]
+    const uint8_t* lut_sym,        // [ntab << 16] peek-16 symbol LUT
+    const uint8_t* lut_len,        // [ntab << 16] peek-16 code lengths
     const uint8_t* comp_tab,       // [ncomp]
     int ntab,
     int predictor, int precision, int pt,
     int64_t mcu_start, int64_t mcu_count) {
-  if (!seg || !out || !counts || !values || !comp_tab || rows <= 0 ||
+  // The Huffman LUTs are built once per frame by the Python layer
+  // (io/ljpeg._build_huffman_lut) and shared across restart segments.
+  if (!seg || !out || !lut_sym || !lut_len || !comp_tab || rows <= 0 ||
       mcus_per_row <= 0 || ncomp <= 0 || ncomp > 4 || ntab <= 0 ||
       predictor < 1 || predictor > 7)
     return RPF_ERR_ARGS;
-
-  // Build peek-16 Huffman LUTs: sym + code length per table.
-  uint8_t* lut_sym = new uint8_t[static_cast<size_t>(ntab) << 16];
-  uint8_t* lut_len = new uint8_t[static_cast<size_t>(ntab) << 16]();
-  for (int t = 0; t < ntab; ++t) {
-    uint32_t code = 0;
-    int k = 0;
-    uint8_t* sym = lut_sym + (static_cast<size_t>(t) << 16);
-    uint8_t* len = lut_len + (static_cast<size_t>(t) << 16);
-    for (int ln = 1; ln <= 16; ++ln) {
-      for (int c = 0; c < counts[t * 16 + ln - 1]; ++c) {
-        if (k >= nvalues[t] || code >= (1u << ln)) {
-          delete[] lut_sym; delete[] lut_len;
-          return RPF_ERR_BAD_HUFF;
-        }
-        uint32_t lo = code << (16 - ln);
-        uint32_t hi = lo + (1u << (16 - ln));
-        for (uint32_t i = lo; i < hi; ++i) {
-          sym[i] = values[t * 17 + k];
-          len[i] = static_cast<uint8_t>(ln);
-        }
-        ++code;
-        ++k;
-      }
-      code <<= 1;
-    }
-  }
 
   LjBitReader br{seg, seg_bytes, 0, 0, 0};
   const int stride = mcus_per_row * ncomp;
   const int32_t dflt = 1 << (precision - pt - 1);
   bool seg_first[4] = {true, true, true, true};
+  // T.81 H.1.2.1: the interval's first line predicts with 1-D Ra.
+  const int first_row = static_cast<int>(mcu_start / mcus_per_row);
   int rc = RPF_OK;
 
   for (int64_t idx = mcu_start; idx < mcu_start + mcu_count; ++idx) {
@@ -361,7 +337,7 @@ int rpf_ljpeg_decode_scan(
       uint32_t peek = br.peek16();
       int ssss = lut_sym[toff + peek];
       int ln = lut_len[toff + peek];
-      if (ln == 0) { rc = RPF_ERR_BAD_HUFF; goto done; }
+      if (ln == 0) return RPF_ERR_BAD_HUFF;
       br.skip(ln);
       int32_t diff;
       if (ssss == 16) {
@@ -379,8 +355,8 @@ int rpf_ljpeg_decode_scan(
       if (seg_first[c]) {
         pred = dflt;
         seg_first[c] = false;
-      } else if (row == 0) {
-        pred = orow[x - ncomp];
+      } else if (row == first_row) {
+        pred = orow[x - ncomp];  // 1-D Ra on the interval's first line
       } else if (col == 0) {
         pred = *(orow - stride + x);
       } else {
@@ -402,9 +378,6 @@ int rpf_ljpeg_decode_scan(
   }
   // Consumed more bits than the segment holds -> truncated stream.
   if (8 * br.byte - br.ncached > 8 * seg_bytes) rc = RPF_ERR_TRUNCATED;
-done:
-  delete[] lut_sym;
-  delete[] lut_len;
   return rc;
 }
 

@@ -187,15 +187,19 @@ def distortion_sharded(
         ])
         return out[None]
 
-    warped = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, None, "sp", None), P()),
-        out_specs=P(None, None, "sp", None),
-        check_rep=False,
-    )(planes[None], strength[None])
-    # Zero strength must be an exact identity (wgsl:118-120 early return).
-    return jnp.where(strength == 0.0, planes, warped[0])
+    def run_warp(p):
+        return shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, None, "sp", None), P()),
+            out_specs=P(None, None, "sp", None),
+            check_rep=False,
+        )(p[None], strength[None])[0]
+
+    # Zero strength is an exact identity (wgsl:118-120 early return) AND
+    # skips the halo collectives + gather at runtime — the common
+    # interactive case where the distortion slider sits at 0.
+    return jax.lax.cond(strength == 0.0, lambda p: p, run_warp, planes)
 
 
 def raw_develop_sharded(

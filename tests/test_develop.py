@@ -276,3 +276,28 @@ def test_editor_channel_curve_takes_exact_path(rng):
     assert not ed._use_exact_path()
     ed.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=0)
     assert ed._use_exact_path()  # kernel implements all-channel only
+
+
+def test_set_curve_rejected_call_leaves_state_unchanged():
+    """A rejected set_curve call must not half-apply (advisor: channel was
+    mutated before validation)."""
+    from rawphotoforge_tpu.core.curve import CurveError
+    from rawphotoforge_tpu.core.params import BRIGHTNESS, EditParameters
+
+    p = EditParameters()
+    with pytest.raises(CurveError):
+        p.set_curve(BRIGHTNESS, channel=0)  # no points: invalid
+    assert p.brightness_channel == 3
+    assert p.curves[BRIGHTNESS].control_x is None
+    with pytest.raises(CurveError):
+        p.set_curve(BRIGHTNESS, [0, 100, 50], [0, 1, 2], channel=1)
+    assert p.brightness_channel == 3
+
+
+def test_applied_lens_profile_default_on_all_constructors(rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    ed = PhotoEditor.from_rgb_f32(random_linear_image(rng, 8, 8),
+                                  use_pallas=False,
+                                  mid_long_edge=8, low_long_edge=8)
+    assert ed.applied_lens_profile is None

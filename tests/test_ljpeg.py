@@ -251,3 +251,50 @@ def test_optimal_table_single_category():
     lone = np.zeros(100, dtype=np.int64)  # the degenerate 1-symbol table
     counts, values = ljpeg.optimal_table(lone)
     assert counts[0] == 1 and list(values) == [0]
+
+
+def test_restart_first_line_uses_ra_predictor():
+    """T.81 H.1.2.1 anchor: the first line of each restart interval uses
+    the 1-D Ra predictor (not the scan's selected predictor), the first
+    sample of each interval the default prediction. Hand-derived diffs for
+    a 3x4 predictor-2 image with restart_interval=5."""
+    s = np.array([[10, 12, 14, 16],
+                  [20, 22, 24, 26],
+                  [30, 32, 34, 36]], dtype=np.uint16)
+    d = ljpeg._diffs(s[:, :, None], predictor=2, precision=8, pt=0,
+                     restart_interval=5)[:, :, 0]
+    expected = np.array([
+        [10 - 128, 2, 2, 2],        # scan start: default, then Ra
+        [10, 22 - 128, 2, 2],       # Rb at col 0; RST at idx 5: default, Ra
+        [10, 10, 34 - 128, 2],      # Rb, Rb(selected), RST at idx 10, Ra
+    ])
+    np.testing.assert_array_equal(d, expected)
+    # And the full stream round-trips through both decoders.
+    enc = ljpeg.encode(s, precision=8, predictor=2, restart_interval=5)
+    dec, _ = ljpeg.decode(enc)
+    np.testing.assert_array_equal(dec, s)
+
+
+def test_optimal_table_reserves_all_ones_code(rng):
+    """T.81 Annex C: the all-1-bits codeword of every length must stay a
+    prefix for longer codes (K.2 dummy-symbol procedure)."""
+    streams = [
+        np.zeros(1000, dtype=np.int64),                       # 1 category
+        rng.integers(0, 3, 500),                              # few, even
+        np.concatenate([np.zeros(10000, dtype=np.int64),      # very skewed
+                        np.arange(17)]),
+        rng.integers(0, 17, 64),                              # all cats
+    ]
+    for cats in streams:
+        counts, values = ljpeg.optimal_table(cats)
+        assert int(counts.sum()) == len(np.unique(cats))
+        code, k = 0, 0
+        last = None
+        for ln in range(1, 17):
+            for _ in range(int(counts[ln - 1])):
+                last = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        lc, ll = last
+        assert lc != (1 << ll) - 1, f"all-ones code assigned: {last}"
