@@ -192,8 +192,10 @@ def read_dng(data: bytes) -> RawImage:
     else:
         raise DngError("not a TIFF container")
     (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic != 42:
-        raise DngError("bad TIFF magic")
+    # 42 is classic TIFF; Olympus ORF keeps the TIFF structure but stamps
+    # 'RO'/'SR' (0x4F52/0x5352) as the magic (exiftool Olympus notes).
+    if magic not in (42, 0x4F52, 0x5352):
+        raise DngError(f"bad TIFF magic 0x{magic:04X}")
     (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
 
     # Walk IFD0 + SubIFDs; pick the CFA IFD (PhotometricInterpretation 32803),

@@ -455,3 +455,22 @@ def test_xtrans_active_area_phase(rng):
     got = read_dng(bytes(blob))
     assert got.pattern == "XTRANS"
     np.testing.assert_array_equal(got.mosaic, raw_inner.mosaic)
+
+
+def test_orf_magic_accepted(rng):
+    """Olympus ORF keeps TIFF structure under an 'RO'/'SR' magic; the
+    walker accepts it (uncompressed CFA ORFs then parse normally)."""
+    import struct
+    from rawphotoforge_tpu.io.dng import DngError, read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    for magic in (0x4F52, 0x5352):
+        blob = bytearray(write_dng(raw))
+        struct.pack_into("<H", blob, 2, magic)
+        got = read_dng(bytes(blob))
+        np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    blob = bytearray(write_dng(raw))
+    struct.pack_into("<H", blob, 2, 0x1234)
+    with pytest.raises(DngError, match="magic"):
+        read_dng(bytes(blob))
