@@ -101,3 +101,76 @@ def test_fuzz_kernel_vs_anchor(seed):
                                      tile_h=16, tile_w=128)
     )
     assert_fuzz_close(kern.transpose(1, 2, 0), anchor.transpose(1, 2, 0))
+
+
+def test_editor_cache_coherence_random_sequences(rng):
+    """Dirty-stage caching invariant: after ANY random sequence of edits,
+    mask ops, crops, resets and interleaved renders, the editor's output
+    must equal a FRESH editor handed only the final state — i.e. the
+    render stays a pure function of (original, params, masks) and no cache
+    ever serves stale data (lib.rs:507-515 purity contract)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL, MID, LOW
+
+    img = random_linear_image(rng, 40, 56)
+    kw = dict(use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed = PhotoEditor.from_rgb_f32(img, **kw)
+    ed.set_mask_range(0.5)
+    levels = [FULL, MID, LOW]
+    mask_n = 0
+
+    for step in range(40):
+        op = rng.integers(0, 12)
+        names = [m.name for m in ed.masks]
+        target = str(rng.choice(names))
+        tgt = None if target == "main" else target
+        if op == 0:
+            ed.set_tone(exposure=float(rng.uniform(-2, 2)),
+                        contrast=int(rng.integers(-80, 81)),
+                        mask_name=tgt)
+        elif op == 1:
+            ed.set_whitebalance(int(rng.integers(-80, 81)),
+                                int(rng.integers(-80, 81)), mask_name=tgt)
+        elif op == 2:
+            ed.set_vignette(int(rng.integers(-100, 101)))
+        elif op == 3:
+            ed.set_lens_distortion(int(rng.integers(-100, 101)))
+        elif op == 4:
+            ed.set_sharpness(int(rng.integers(0, 80)))
+        elif op == 5:
+            slot = int(rng.integers(0, 4))
+            xs = np.sort(rng.choice(65536, size=3, replace=False))
+            ys = rng.integers(0, 65536, size=3)
+            ed.set_curve(slot, xs, ys, mask_name=tgt)
+        elif op == 6 and mask_n < 3:
+            mask_n += 1
+            data = (rng.random((40, 56)) > 0.5).astype(np.float32)
+            ed.add_mask(f"m{mask_n}", data)
+        elif op == 7 and tgt:
+            ed.invert_mask(target)
+        elif op == 8 and tgt and rng.random() < 0.3:
+            ed.remove_mask(target)
+        elif op == 9:
+            ed.set_crop(int(rng.integers(0, 20)), int(rng.integers(0, 15)),
+                        int(rng.integers(30, 56)), int(rng.integers(25, 40)))
+        elif op == 10:
+            ed.clear_crop()
+        elif op == 11 and rng.random() < 0.15:
+            ed.reset()
+            mask_n = 0
+        # Interleave renders so caches populate at random moments.
+        if rng.random() < 0.6:
+            ed.apply(str(rng.choice(levels)))
+
+    # Fresh editor, same original, handed only the FINAL state.
+    fresh = PhotoEditor.from_rgb_f32(img, **kw)
+    fresh.set_mask_range(0.5)
+    for m in ed.masks[1:]:
+        fresh.add_mask(m.name, np.asarray(m.data_full))
+    fresh.load_preset_json(ed.preset_json())
+    if ed.crop_rect is None:
+        fresh.clear_crop()
+
+    for level in levels:
+        a = np.asarray(ed.apply(level))
+        b = np.asarray(fresh.apply(level))
+        np.testing.assert_array_equal(a, b, err_msg=f"level {level}")
