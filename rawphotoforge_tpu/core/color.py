@@ -99,18 +99,24 @@ def _sincos_turns_jnp(h):
     return jnp.sin(ang), jnp.cos(ang)
 
 
-def linear_srgb_to_oklch(r, g, b, atan2_turns=_atan2_turns_jnp):
+def _cbrt_jnp(x):
+    return jnp.power(jnp.maximum(x, 0.0), 1.0 / 3.0)
+
+
+def linear_srgb_to_oklch(r, g, b, atan2_turns=_atan2_turns_jnp,
+                         cbrt=_cbrt_jnp):
     """Planar linear sRGB -> (L, C, h) with h in turns [0, 1).
 
     Contract: wgpu_shader.wgsl:64-75. LMS is clamped at 0 before the cube
-    root; hue is atan2 / 2pi, wrapped into [0, 1). ``atan2_turns`` is
-    injectable because Mosaic has no atan2 — the Pallas kernel passes the
-    polynomial version from kernels/ktrig.py.
+    root; hue is atan2 / 2pi, wrapped into [0, 1). ``atan2_turns`` and
+    ``cbrt`` are injectable: the Pallas kernel passes the polynomial atan2
+    (Mosaic has no atan2) and the Halley-iteration cube root (cheaper than
+    the exp/log pow lowering) from kernels/ktrig.py.
     """
     l_, m_, s_ = _mat3_apply(M1, r, g, b)
-    l_ = jnp.power(jnp.maximum(l_, 0.0), 1.0 / 3.0)
-    m_ = jnp.power(jnp.maximum(m_, 0.0), 1.0 / 3.0)
-    s_ = jnp.power(jnp.maximum(s_, 0.0), 1.0 / 3.0)
+    l_ = cbrt(l_)
+    m_ = cbrt(m_)
+    s_ = cbrt(s_)
     L, A, B = _mat3_apply(M2, l_, m_, s_)
     C = jnp.sqrt(A * A + B * B)
     return L, C, atan2_turns(B, A)

@@ -150,7 +150,9 @@ def _develop_kernel(
             b = jnp.where(sel, bk, b)
 
     # Per-mask OKLCH pass (wgsl:310-331). Polynomial trig: Mosaic has no
-    # atan2/sin/cos primitives.
+    # atan2/sin/cos primitives. (Measured: Mosaic's native pow lowering
+    # beats ktrig.cbrt_fast here — the Halley divisions and extra live
+    # temporaries cost more than exp/log in this spill-sensitive kernel.)
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0

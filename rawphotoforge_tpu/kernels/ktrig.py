@@ -1,14 +1,23 @@
-"""Polynomial trig for Pallas TPU kernels.
+"""Polynomial/iterative math for Pallas TPU kernels.
 
 Mosaic has no atan2/sin/cos lowering, so the OKLCH hue round trip inside the
 fused kernel uses these f32 polynomial implementations (Cephes-style
 argument reduction; absolute error ~1e-7 rad, far below the 9.6e-5 rad width
 of one 65536-entry hue-LUT step). All inputs/outputs are *turns* in [0, 1),
 matching the hue encoding of wgpu_shader.wgsl:72-74.
+
+Also here: fast power replacements for the kernel's remaining
+transcendentals — ``cbrt_fast`` (exponent bit-hack seed + two Halley
+iterations, ~1 ulp over the OKLab LMS domain) and ``linear_to_srgb_fast``
+(x^(1/2.4) = cbrt(sqrt(sqrt(x^5))), exact algebra over cheap VPU
+primitives) — which replace exp/log-based pow lowerings on the hot path.
+The jnp anchor path keeps jnp.power; the kernel-vs-anchor gates bound the
+difference (observed < 1e-5, budget 5e-3).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _TWO_PI = 6.28318530718
@@ -43,6 +52,37 @@ def atan2_turns(y, x):
     r = jnp.where(y < 0.0, -r, r)
     h = r * (1.0 / _TWO_PI)
     return jnp.where(h < 0.0, h + 1.0, h)
+
+
+def cbrt_fast(x):
+    """max(x, 0)^(1/3): bit-hack exponent seed + two Halley iterations.
+
+    Seed: reinterpret the f32 bits, divide by 3 and add a magic bias —
+    a ~3%-accurate cube root; Halley (cubic convergence) then lands within
+    ~1 ulp for normal inputs. x == 0 stays (numerically) 0.
+    """
+    # abs() after the clamp: maximum(-0.0, 0.0) may keep -0.0, whose sign
+    # bit would turn the bit-hack seed into a NaN pattern.
+    x = jnp.abs(jnp.maximum(x, 0.0))
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    y = jax.lax.bitcast_convert_type(i // 3 + 709921077, jnp.float32)
+    for _ in range(2):
+        y3 = y * y * y
+        # Guard must be a NORMAL float: 1e-38 is subnormal and flushes to
+        # zero on FTZ backends, making x == 0 divide 0/0.
+        y = y * (y3 + 2.0 * x) / (2.0 * y3 + x + 1e-30)
+    return y
+
+
+def linear_to_srgb_fast(c):
+    """The sRGB OETF (wgpu_shader.wgsl:95-103) with the pow replaced by
+    exact exponent algebra: x^(1/2.4) = x^(5/12) = cbrt(sqrt(sqrt(x^5))) —
+    three multiplies, two square roots, one fast cube root."""
+    x = jnp.maximum(c, 0.0)
+    x5 = x * x
+    x5 = x5 * x5 * x
+    root = cbrt_fast(jnp.sqrt(jnp.sqrt(x5)))
+    return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * root - 0.055)
 
 
 def sincos_turns(h):

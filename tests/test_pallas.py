@@ -97,3 +97,28 @@ def test_brightness_curve_staircase(rng, steep):
         assert_close(kern, anchor, loose=2e-2, frac=2e-2)
     else:
         assert_close(kern, anchor)
+
+
+def test_ktrig_fast_powers_accuracy():
+    """cbrt_fast / linear_to_srgb_fast match the pow-based forms to ~2e-7
+    incl. the -0.0 / subnormal / FTZ edge cases (kept as utilities; the
+    fused kernels measured faster with Mosaic's native pow lowering)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rawphotoforge_tpu.kernels import ktrig
+
+    xs = np.concatenate([
+        [-1.0, -0.0, 0.0, 1e-45, 1e-38, 1e-30, 0.0031308, 1.3],
+        np.logspace(-12, 0.2, 5000),
+    ]).astype(np.float32)
+    out = np.asarray(ktrig.cbrt_fast(jnp.asarray(xs)))
+    assert not np.isnan(out).any()
+    ref = np.cbrt(np.maximum(xs, 0).astype(np.float64))
+    rel = np.abs(out - ref) / np.maximum(ref, 1e-30)
+    assert rel[xs > 1e-20].max() < 1e-6
+
+    s = np.asarray(ktrig.linear_to_srgb_fast(jnp.asarray(xs)))
+    xx = np.maximum(xs.astype(np.float64), 0)
+    sref = np.where(xs <= 0.0031308, xs * 12.92,
+                    1.055 * xx ** (1 / 2.4) - 0.055)
+    assert np.abs(s - sref).max() < 1e-6
