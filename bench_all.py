@@ -76,6 +76,25 @@ def main() -> int:
     log(f"config 1: 24MP full edit stack {dt * 1e3:.2f} ms "
         f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
+    # ---- config 1a: slider-only edit (no curves touched) — the
+    # staircase-shortcut kernel variant the editor uses in that state.
+    p_sliders = EditParameters()
+    p_sliders.set_tone(exposure=0.7, contrast=25, shadow=30, highlight=-20,
+                       black=5, white=-5)
+    p_sliders.set_whitebalance(temperature=25, tint=-10)
+    p_sliders.set_vignette(40)
+    params_s = jax.device_put(pack_params([p_sliders]))
+    dev_fast = functools.partial(fused.develop_post_geo_fused,
+                                 main_mask_all_ones=True, default_curves=True)
+    dt = device_time(
+        dev_fast, planes, params_s, masks,
+        chain=lambda i, out, a: (out,) + a[1:],
+    )
+    results["c1_24mp_sliders_only_ms"] = dt * 1e3
+    results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
+    log(f"config 1a: 24MP slider-only edit (default curves) {dt * 1e3:.2f} ms "
+        f"= {h * w / 1e6 / dt:.0f} MPix/s")
+
     # ---- config 1b: the same edit with M=4 masks (the reference's typical
     # regional-edit workload; per-mask loop cost, wgsl:281-331) -------------
     regionals = []

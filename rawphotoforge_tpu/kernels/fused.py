@@ -104,6 +104,7 @@ def _develop_kernel(
     tile_h: int,
     tile_w: int,
     main_only: bool,
+    default_curves: bool,
 ):
     if main_only:
         (out_ref,) = rest_refs
@@ -138,10 +139,17 @@ def _develop_kernel(
         rk, gk, bk = pointwise.white_balance(r, g, b, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
-        row = k * 4 + 0  # brightness slot
-        rk = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-        gk = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-        bk = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+        if default_curves:
+            # Identity-LUT staircase without evaluating the (identity)
+            # curve: floor(v*65535)/65535 — bit-identical, far fewer ops.
+            rk = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            gk = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            bk = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+        else:
+            row = k * 4 + 0  # brightness slot
+            rk = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+            gk = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+            bk = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
         if sel is None:
             r, g, b = rk, gk, bk
         else:
@@ -156,9 +164,18 @@ def _develop_kernel(
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
-        new_h = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 1, num_seg, LUT_MAX)
-        sat_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 2, num_seg, 32767.5)
-        light_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 3, num_seg, 32767.5)
+        if default_curves:
+            # Identity hue staircase + constant 32767/32767.5 gains —
+            # exactly what the default curves evaluate to.
+            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            # f32 division (not a pre-rounded f64 constant) so the value
+            # is bit-identical to the general path's floor(32767)/32767.5.
+            sat_g = jnp.float32(32767.0) / jnp.float32(32767.5)
+            light_g = sat_g
+        else:
+            new_h = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 1, num_seg, LUT_MAX)
+            sat_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 2, num_seg, 32767.5)
+            light_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 3, num_seg, 32767.5)
         if sel is None:
             H, C, L = new_h, C * sat_g, L * light_g
         else:
@@ -173,7 +190,9 @@ def _develop_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "tile_w", "main_mask_all_ones")
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "main_mask_all_ones",
+                     "default_curves"),
 )
 def develop_post_geo_fused(
     planes: jax.Array,
@@ -182,6 +201,7 @@ def develop_post_geo_fused(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     main_mask_all_ones: bool = False,
+    default_curves: bool = False,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
@@ -193,6 +213,13 @@ def develop_post_geo_fused(
     all ones (always true for editor sessions, lib.rs:100-113) — elides the
     main-mask read/selects, and with a single mask skips streaming the mask
     array entirely (~14% of HBM traffic).
+
+    ``default_curves``: caller-asserted invariant that EVERY mask's four
+    curves are the defaults (identity brightness/hue, constant-32767
+    sat/light) — the curve evaluations then reduce to the bare floor
+    staircase and a constant gain, bit-identical to evaluating the default
+    curves but skipping ~6 packed-PCHIP sweeps per pixel. This is the
+    common slider-only editing state.
     """
     _, h, w = planes.shape
     m = masks.shape[0]
@@ -225,6 +252,7 @@ def develop_post_geo_fused(
         tile_h=tile_h,
         tile_w=tile_w,
         main_only=main_only,
+        default_curves=default_curves,
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))

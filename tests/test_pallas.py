@@ -122,3 +122,52 @@ def test_ktrig_fast_powers_accuracy():
     sref = np.where(xs <= 0.0031308, xs * 12.92,
                     1.055 * xx ** (1 / 2.4) - 0.055)
     assert np.abs(s - sref).max() < 1e-6
+
+
+def test_default_curves_variant_bit_identical(rng):
+    """The default_curves staircase-shortcut variant must be BIT-identical
+    to the general kernel path with default curves (it skips evaluation,
+    not semantics)."""
+    img = random_linear_image(rng, 48, 160)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    masks = jnp.ones((1, 48, 160), dtype=np.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.8, contrast=20, shadow=15)
+    p.set_whitebalance(temperature=30)
+    p.set_vignette(40)
+    packed = pack_params([p])
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True))
+    np.testing.assert_array_equal(general, fast)
+    # Multi-mask too (regional mask with default curves but tone edits).
+    reg = EditParameters()
+    reg.set_tone(exposure=-0.6)
+    m2 = np.ones((2, 48, 160), dtype=np.float32)
+    m2[1, :20] = 0.0
+    packed2 = pack_params([p, reg])
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, packed2, jnp.asarray(m2), tile_h=16, tile_w=128))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packed2, jnp.asarray(m2), tile_h=16, tile_w=128,
+        default_curves=True))
+    np.testing.assert_array_equal(general, fast)
+
+
+def test_editor_uses_default_curve_variant(rng):
+    """Editor renders identically whether or not any curve was ever set
+    (the flag only selects the shortcut)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+    img = random_linear_image(rng, 32, 128)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=True,
+                                  mid_long_edge=32, low_long_edge=16)
+    ed.set_tone(exposure=0.5, contrast=10)
+    a = np.asarray(ed.apply(FULL))
+    # Setting then resetting a curve to the explicit default must not
+    # change the render (flag flips, semantics identical).
+    ed.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 20000, 65535])
+    ed.set_curve(BRIGHTNESS, [0, 65535], [0, 65535])
+    b = np.asarray(ed.apply(FULL))
+    np.testing.assert_array_equal(a, b)
