@@ -169,6 +169,8 @@ def _batch_raw_fast_path(paths, args) -> int:
 
     edit = _params_from_args(args)
     sharpen = jnp.float32(edit.sharpness / 100.0 * 2.0)
+    # No curve flags -> staircase-shortcut kernel variant (bit-identical).
+    dc = all(edit.curves[s].is_default(s) for s in range(4))
     t0 = time.perf_counter()
     total_pix = 0
     for p in paths:
@@ -187,7 +189,7 @@ def _batch_raw_fast_path(paths, args) -> int:
         if raw.pattern in dm.BAYER_PATTERNS:
             srgb = raw_develop_fused(
                 mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-                packed, sharpen, pattern=raw.pattern,
+                packed, sharpen, pattern=raw.pattern, default_curves=dc,
             )
         else:
             # Non-Bayer CFA (X-Trans): the one-pass kernel is Bayer-only;

@@ -132,6 +132,7 @@ def _raw_kernel(
     pattern: str,
     num_masks: int,
     num_seg: int,
+    default_curves: bool,
     full_h: int,
     full_w: int,
     tile_h: int,
@@ -223,10 +224,16 @@ def _raw_kernel(
         rk, gk, bk = pointwise.white_balance(r, g, b, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
-        row = k * 4
-        rk = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-        gk = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-        bk = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        if default_curves:
+            # Identity-LUT staircase shortcut (see kernels/fused.py).
+            rk = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            gk = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            bk = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+        else:
+            row = k * 4
+            rk = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+            gk = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+            bk = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
         if sel is None:
             r, g, b = rk, gk, bk
         else:
@@ -237,9 +244,14 @@ def _raw_kernel(
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = None if k == 0 else masks_ref[k - 1] == 1.0
-        new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 1, num_seg, LUT_MAX)
-        sat = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 2, num_seg, 32767.5)
-        lig = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 3, num_seg, 32767.5)
+        if default_curves:
+            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            sat = jnp.float32(32767.0) / jnp.float32(32767.5)
+            lig = sat
+        else:
+            new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 1, num_seg, LUT_MAX)
+            sat = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 2, num_seg, 32767.5)
+            lig = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 3, num_seg, 32767.5)
         if sel is None:
             H, C, L = new_h, C * sat, L * lig
         else:
@@ -254,7 +266,7 @@ def _raw_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pattern", "tile_h", "tile_w")
+    jax.jit, static_argnames=("pattern", "tile_h", "tile_w", "default_curves")
 )
 def raw_develop_fused(
     mosaic01: jax.Array,
@@ -266,6 +278,7 @@ def raw_develop_fused(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     masks: jax.Array | None = None,
+    default_curves: bool = False,
 ) -> jax.Array:
     """Whole-RAW-pipeline fused kernel.
 
@@ -311,6 +324,7 @@ def raw_develop_fused(
         pattern=pattern,
         num_masks=m,
         num_seg=s,
+        default_curves=default_curves,
         # True dims, not the tile-rounded working dims: positional effects
         # (vignette) must normalize by the real image extent.
         full_h=h,

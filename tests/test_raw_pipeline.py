@@ -109,3 +109,29 @@ def test_fused_raw_with_regional_masks():
     rgb = dm.develop_raw(mosaic, wb, cam, pattern="RGGB", method="malvar")
     multi = np.asarray(fused.develop_post_geo_fused(rgb, params, masks))
     assert_close(one_pass.transpose(1, 2, 0), multi.transpose(1, 2, 0), loose=1e-2)
+
+
+def test_raw_kernel_default_curves_variant_bit_identical(rng):
+    """The staircase-shortcut variant of the one-pass RAW kernel is
+    bit-identical to the general path with default curves."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from rawphotoforge_tpu.core.params import EditParameters, pack_params
+    from rawphotoforge_tpu.kernels import raw_pipeline as rp
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    mosaic = jnp.asarray(rng.random((64, 256), dtype=np.float32))
+    wb = jnp.asarray([1.8, 1.0, 1.4])
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])))
+    p = EditParameters()
+    p.set_tone(exposure=0.6, contrast=20)
+    p.set_vignette(30)
+    packed = pack_params([p], extent=(64, 256))
+    a = np.asarray(rp.raw_develop_fused(mosaic, wb, cam, packed,
+                                        jnp.float32(0.5)))
+    b = np.asarray(rp.raw_develop_fused(mosaic, wb, cam, packed,
+                                        jnp.float32(0.5),
+                                        default_curves=True))
+    np.testing.assert_array_equal(a, b)
