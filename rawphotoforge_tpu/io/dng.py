@@ -3,7 +3,7 @@
 Replaces the reference's rawler/rawpy dependency for the RAW ingestion layer
 (rust-godot-legacy/photo-editor/src/image.rs:509-557 decodes 29 formats via
 rawler; python-legacy editor.py:169-181 via rawpy). This implementation
-covers the DNG subset the framework owns natively in round 1:
+covers the DNG subset the framework owns natively:
 
 * classic TIFF structure (II/MM byte order, IFD chains, SubIFDs)
 * uncompressed (Compression=1) CFA strips, 8/12/14/16 bits per sample
@@ -79,7 +79,7 @@ class RawImage:
     """Decoded CFA RAW: everything develop_raw needs (SURVEY.md §7.2 step 4)."""
 
     mosaic: np.ndarray            # u16 [H, W] raw CFA values
-    pattern: str                  # "RGGB" | "BGGR" | "GRBG" | "GBRG"
+    pattern: str                  # "RGGB"|"BGGR"|"GRBG"|"GBRG"|"XTRANS"
     black_level: float
     white_level: float
     wb_gains: tuple               # (r, g, b) camera WB multipliers, g == 1
@@ -342,32 +342,26 @@ def read_dng(data: bytes) -> RawImage:
         else:
             raise DngError(f"unsupported CFA repeat dim {ph}x{pw}")
 
-    def first_ifd0(t, default=None):
-        for e in ifds:
-            if t in e:
-                return _value(data, e[t], bo)
-        return default
-
-    black = first_ifd0(T_BLACK_LEVEL, 0)
+    black = any_ifd(T_BLACK_LEVEL, 0)
     if isinstance(black, list):
         black = float(np.mean(black))
-    white = first_ifd0(T_WHITE_LEVEL, (1 << bits) - 1)
+    white = any_ifd(T_WHITE_LEVEL, (1 << bits) - 1)
     if isinstance(white, list):
         white = float(white[0])
 
-    neutral = first_ifd0(T_AS_SHOT_NEUTRAL)
+    neutral = any_ifd(T_AS_SHOT_NEUTRAL)
     if neutral:
         n = np.asarray(neutral, dtype=np.float64)
         wb = tuple((n[1] / np.maximum(n, 1e-8)).tolist())  # gains, g == 1
     else:
         wb = (1.0, 1.0, 1.0)
 
-    cm = first_ifd0(T_COLOR_MATRIX_1)
+    cm = any_ifd(T_COLOR_MATRIX_1)
     xyz_to_cam = (
         np.asarray(cm, dtype=np.float64).reshape(3, 3) if cm is not None else None
     )
 
-    orientation = int(first_ifd0(T_ORIENTATION, 1) or 1)
+    orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
 
     default_crop = None
     dco = tag(cfa_ifd, T_DEFAULT_CROP_ORIGIN)
@@ -380,18 +374,18 @@ def read_dng(data: bytes) -> RawImage:
             default_crop = (cx, cy, cw, ch)
 
     exif = {}
-    make, model = first_ifd0(T_MAKE), first_ifd0(T_MODEL)
+    make, model = any_ifd(T_MAKE), any_ifd(T_MODEL)
     if make:
         exif["Make"] = make.strip()
     if model:
         exif["Model"] = model.strip()
-    et = first_ifd0(T_EXPOSURE_TIME)
+    et = any_ifd(T_EXPOSURE_TIME)
     if et:
         exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
-    fn = first_ifd0(T_F_NUMBER)
+    fn = any_ifd(T_F_NUMBER)
     if fn:
         exif["FNumber"] = str(fn)
-    iso = first_ifd0(T_ISO)
+    iso = any_ifd(T_ISO)
     if iso:
         exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
 

@@ -79,7 +79,7 @@ def parse(data: bytes) -> LJpegFrame:
         raise LJpegError("missing SOI marker")
     pos = 2
     precision = rows = mcus = ncomp = None
-    comp_ids: list[int] = []
+    comp_index: dict = {}
     restart = 0
     tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -104,7 +104,7 @@ def parse(data: bytes) -> LJpegFrame:
                 raise LJpegError(f"bad precision {precision}")
             if ncomp < 1 or ncomp > 4:
                 raise LJpegError(f"unsupported component count {ncomp}")
-            comps = {}
+            comp_index = {}  # component id -> frame position
             for i in range(ncomp):
                 cid, hv, _tq = struct.unpack_from(">BBB", data, pos + 8 + 3 * i)
                 if hv != 0x11:
@@ -112,8 +112,7 @@ def parse(data: bytes) -> LJpegFrame:
                         f"unsupported sampling factors 0x{hv:02x} "
                         f"(RAW lossless JPEG is always 1x1)"
                     )
-                comps[cid] = i
-            comp_ids = comps
+                comp_index[cid] = i
             pos += seglen
         elif marker in _SOF_UNSUPPORTED:
             raise LJpegError(
@@ -148,9 +147,9 @@ def parse(data: bytes) -> LJpegFrame:
             comp_table = np.zeros(ncomp, dtype=np.uint8)
             for i in range(ns):
                 cs, tdta = struct.unpack_from(">BB", data, pos + 3 + 2 * i)
-                if cs not in comp_ids:
+                if cs not in comp_index:
                     raise LJpegError(f"scan references unknown component {cs}")
-                comp_table[comp_ids[cs]] = tdta >> 4
+                comp_table[comp_index[cs]] = tdta >> 4
             ss, _se, ahal = struct.unpack_from(
                 ">BBB", data, pos + 3 + 2 * ns
             )
