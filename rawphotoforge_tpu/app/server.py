@@ -71,6 +71,8 @@ a{{color:#8cf}}
     <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
     <button onclick="maskOp('invert')">{invert_mask}</button>
     <button onclick="maskOp('remove')">{remove_mask}</button>
+    <label>{mask_range}: <span id=v_mask_range>0</span>
+      <input type=range id=s_mask_range min=0 max=1 step=0.01 value=0></label>
   </div>
   <div style="margin-top:4px"><b>{crop}</b>
     <button id=cropbtn onclick="toggleCrop()">{crop}</button>
@@ -113,6 +115,14 @@ for(const [name,lo,hi,st] of SLIDERS){{
   const el=document.getElementById('s_'+name);
   el.oninput=()=>{{state[name]=parseFloat(el.value);
     document.getElementById('v_'+name).textContent=el.value;push('low');}};
+  el.onchange=()=>{{push('mid');}};
+}}
+// Mask binarization threshold (lib.rs:481-499: applied when a mask is
+// ADDED, like the reference).
+{{
+  const el=document.getElementById('s_mask_range');
+  el.oninput=()=>{{state.mask_range=parseFloat(el.value);
+    document.getElementById('v_mask_range').textContent=el.value;}};
   el.onchange=()=>{{push('mid');}};
 }}
 // ---- curve editor (tone_curve_editor.ts analog) ----
@@ -532,6 +542,8 @@ class EditorApp:
             int(st.get("wb_temperature", 0)), int(st.get("wb_tint", 0)),
             mask_name=mask_name,
         )
+        if "mask_range" in st:
+            ed.set_mask_range(float(st["mask_range"]))
         # Globals are applied only when the request carries them, so a
         # client editing a regional mask can't accidentally zero them.
         if "vignette" in st:

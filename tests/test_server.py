@@ -294,3 +294,12 @@ def test_viewport_rect_preview(base_url):
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 400, bad
+
+
+def test_mask_range_edit(base_url):
+    """/edit carries mask_range (the binarization threshold applied when a
+    mask is added, lib.rs:481-499)."""
+    _post(base_url + "/edit", {"mask_range": 0.7})
+    _, _, body = _get(base_url + "/params?mask=main")
+    assert json.loads(body)["mask_range"] == 0.7
+    _post(base_url + "/edit", {"mask_range": 0.0})
