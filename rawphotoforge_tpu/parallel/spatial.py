@@ -17,7 +17,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import demosaic as dm
 from ..ops.sharpen import unsharp_mask
@@ -89,7 +92,7 @@ def demosaic_sharded(
         mesh=mesh,
         in_specs=P(None, "sp", None),
         out_specs=P(None, None, "sp", None),
-        check_rep=False,
+        check_vma=False,
     )(mosaic[None])
     return out[0]
 
@@ -193,7 +196,7 @@ def distortion_sharded(
             mesh=mesh,
             in_specs=(P(None, None, "sp", None), P()),
             out_specs=P(None, None, "sp", None),
-            check_rep=False,
+            check_vma=False,
         )(p[None], strength[None])[0]
 
     # Zero strength is an exact identity (wgsl:118-120 early return) AND
@@ -234,7 +237,7 @@ def raw_develop_sharded(
             mesh=mesh,
             in_specs=P(None, "sp", None),
             out_specs=P(None, "sp", None),
-            check_rep=False,
+            check_vma=False,
         )(rgb)
     return jax.lax.with_sharding_constraint(
         rgb, NamedSharding(mesh, P(None, "sp", None))
