@@ -5,18 +5,24 @@ bench_results.json. The headline single-line metric stays in bench.py.
 
 Configs (BASELINE.md):
   1. 24MP sRGB: exposure + contrast + tone-curve edit, single image
+     (1a: slider-only staircase-shortcut variant; 1b: M=4 regional masks)
   2. 24MP Bayer RAW: demosaic + WB + camera-matrix -> sRGB
   3. 45MP RAW full stack: demosaic + develop + sharpen + live histogram
   4. interactive preview loop: per-slider edit sweeps at three pyramid
      levels with dirty-stage caching (reports device ms/frame)
-  5. batch develop: 256-image RAW->sRGB export in device-sized chunks
+  5. batch develop: 256x 24MP RAW -> JPEG export, end to end
 
 Timing uses chained-loop difference quotients (utils/profiling.device_time)
 so remote-tunnel round trips don't pollute device numbers.
+
+``--only 1,2`` re-measures a subset and merges into the existing
+bench_results.json (useful to re-run the fast configs on a quiet machine
+after the 15-minute config 5).
 """
 
 from __future__ import annotations
 
+import argparse
 import functools
 import json
 import sys
@@ -24,12 +30,24 @@ import time
 
 import numpy as np
 
+RESULTS_PATH = "bench_results.json"
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated config ids (1,1a,1b,2,3,4,5); "
+                         "results merge into the existing JSON")
+    cli = ap.parse_args(argv)
+    only = set(cli.only.split(",")) if cli.only else None
+
+    def want(cfg: str) -> bool:
+        return only is None or cfg in only
+
     import jax
     import jax.numpy as jnp
 
@@ -37,12 +55,18 @@ def main() -> int:
         BRIGHTNESS, HUE, SATURATION, LIGHTNESS, EditParameters, pack_params,
     )
     from rawphotoforge_tpu.kernels import fused
+    from rawphotoforge_tpu.kernels import raw_pipeline as rp
     from rawphotoforge_tpu.ops import demosaic as dm
-    from rawphotoforge_tpu.ops.sharpen import unsharp_mask
     from rawphotoforge_tpu.ops.stats import histogram_rgbl
     from rawphotoforge_tpu.utils.profiling import device_time, fetch_sync
 
     results = {}
+    if only is not None:
+        try:
+            with open(RESULTS_PATH) as f:
+                results.update(json.load(f))
+        except (OSError, ValueError):
+            pass
     log(f"bench_all: backend={jax.default_backend()} devices={jax.devices()}")
 
     def main_edit() -> EditParameters:
@@ -60,233 +84,216 @@ def main() -> int:
         return jax.device_put(pack_params([main_edit()], extent=extent))
 
     key = jax.random.PRNGKey(0)
-
-    # ---- config 1: 24MP sRGB edit ----------------------------------------
     h, w = 4000, 6000
-    planes = jax.random.uniform(key, (3, h, w), dtype=jnp.float32)
-    masks = jnp.ones((1, h, w), dtype=jnp.float32)
-    params = edit_params()
-    dev_fn = functools.partial(fused.develop_post_geo_fused, main_mask_all_ones=True)
-    dt = device_time(
-        dev_fn, planes, params, masks,
-        chain=lambda i, out, a: (out,) + a[1:],
-    )
-    results["c1_24mp_edit_ms"] = dt * 1e3
-    results["c1_24mp_edit_mpix_s"] = h * w / 1e6 / dt
-    log(f"config 1: 24MP full edit stack {dt * 1e3:.2f} ms "
-        f"= {h * w / 1e6 / dt:.0f} MPix/s")
-
-    # ---- config 1a: slider-only edit (no curves touched) — the
-    # staircase-shortcut kernel variant the editor uses in that state.
-    p_sliders = EditParameters()
-    p_sliders.set_tone(exposure=0.7, contrast=25, shadow=30, highlight=-20,
-                       black=5, white=-5)
-    p_sliders.set_whitebalance(temperature=25, tint=-10)
-    p_sliders.set_vignette(40)
-    params_s = jax.device_put(pack_params([p_sliders]))
-    dev_fast = functools.partial(fused.develop_post_geo_fused,
-                                 main_mask_all_ones=True, default_curves=True)
-    dt = device_time(
-        dev_fast, planes, params_s, masks,
-        chain=lambda i, out, a: (out,) + a[1:],
-    )
-    results["c1_24mp_sliders_only_ms"] = dt * 1e3
-    results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
-    log(f"config 1a: 24MP slider-only edit (default curves) {dt * 1e3:.2f} ms "
-        f"= {h * w / 1e6 / dt:.0f} MPix/s")
-
-    # ---- config 1b: the same edit with M=4 masks (the reference's typical
-    # regional-edit workload; per-mask loop cost, wgsl:281-331) -------------
-    regionals = []
-    for i in range(3):
-        q = EditParameters()
-        q.set_tone(exposure=0.4 - 0.2 * i, contrast=10 + 5 * i)
-        q.set_curve(SATURATION, [0, 65535], [30000 + 1000 * i, 34000])
-        regionals.append(q)
-    params_m4 = jax.device_put(pack_params([main_edit()] + regionals))
-    masks_m4 = jnp.concatenate([
-        jnp.ones((1, h, w), dtype=jnp.float32),
-        (jax.random.uniform(jax.random.PRNGKey(7), (3, h, w)) > 0.5
-         ).astype(jnp.float32),
-    ])
-    dt = device_time(
-        dev_fn, planes, params_m4, masks_m4,
-        chain=lambda i, out, a: (out,) + a[1:],
-    )
-    results["c1_24mp_edit_m4_ms"] = dt * 1e3
-    results["c1_24mp_edit_m4_mpix_s"] = h * w / 1e6 / dt
-    log(f"config 1b: 24MP edit with 4 masks {dt * 1e3:.2f} ms "
-        f"= {h * w / 1e6 / dt:.0f} MPix/s")
-
-    # ---- config 2: 24MP Bayer demosaic + WB + matrix ---------------------
-    mosaic = jax.random.uniform(key, (h, w), dtype=jnp.float32)
+    chain_first = lambda i, out, a: (out,) + a[1:]  # noqa: E731
+    dev_fn = functools.partial(fused.develop_post_geo_fused,
+                               main_mask_all_ones=True)
     wb = jnp.asarray([2.0, 1.0, 1.5])
     cam = jnp.asarray(dm.cam_matrix_to_srgb(
         np.array([[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])
     ))
 
-    @jax.jit
-    def raw_develop_step(m):
-        rgb = dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
-        return rgb
+    def planes_masks():
+        planes = jax.random.uniform(key, (3, h, w), dtype=jnp.float32)
+        masks = jnp.ones((1, h, w), dtype=jnp.float32)
+        return planes, masks
 
-    dt = device_time(
-        raw_develop_step, mosaic,
-        chain=lambda i, out, a: (out[0],),
-    )
-    results["c2_24mp_raw_ms"] = dt * 1e3
-    results["c2_24mp_raw_mpix_s"] = h * w / 1e6 / dt
-    log(f"config 2: 24MP Bayer malvar demosaic + WB + matrix {dt * 1e3:.2f} ms "
-        f"= {h * w / 1e6 / dt:.0f} MPix/s")
+    if want("1"):
+        planes, masks = planes_masks()
+        dt = device_time(dev_fn, planes, edit_params(), masks, chain=chain_first)
+        results["c1_24mp_edit_ms"] = dt * 1e3
+        results["c1_24mp_edit_mpix_s"] = h * w / 1e6 / dt
+        log(f"config 1: 24MP full edit stack {dt * 1e3:.2f} ms "
+            f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
-    # ---- config 3: 45MP RAW full stack + histogram -----------------------
-    h3, w3 = 5504, 8256
-    mosaic3 = jax.random.uniform(key, (h3, w3), dtype=jnp.float32)
-    masks3 = jnp.ones((1, h3, w3), dtype=jnp.float32)
-    params3 = edit_params()
+    if want("1a"):
+        # Slider-only edit (no curves touched): the staircase-shortcut
+        # kernel variant the editor uses in that state.
+        planes, masks = planes_masks()
+        p_sliders = EditParameters()
+        p_sliders.set_tone(exposure=0.7, contrast=25, shadow=30,
+                           highlight=-20, black=5, white=-5)
+        p_sliders.set_whitebalance(temperature=25, tint=-10)
+        p_sliders.set_vignette(40)
+        params_s = jax.device_put(pack_params([p_sliders]))
+        dev_fast = functools.partial(fused.develop_post_geo_fused,
+                                     main_mask_all_ones=True,
+                                     default_curves=True)
+        dt = device_time(dev_fast, planes, params_s, masks, chain=chain_first)
+        results["c1_24mp_sliders_only_ms"] = dt * 1e3
+        results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
+        log(f"config 1a: 24MP slider-only edit (default curves) "
+            f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
 
-    from rawphotoforge_tpu.kernels import raw_pipeline
+    if want("1b"):
+        # The same edit with M=4 masks (the reference's typical
+        # regional-edit workload; per-mask loop cost, wgsl:281-331).
+        planes, _ = planes_masks()
+        regionals = []
+        for i in range(3):
+            q = EditParameters()
+            q.set_tone(exposure=0.4 - 0.2 * i, contrast=10 + 5 * i)
+            q.set_curve(SATURATION, [0, 65535], [30000 + 1000 * i, 34000])
+            regionals.append(q)
+        params_m4 = jax.device_put(pack_params([main_edit()] + regionals))
+        masks_m4 = jnp.concatenate([
+            jnp.ones((1, h, w), dtype=jnp.float32),
+            (jax.random.uniform(jax.random.PRNGKey(7), (3, h, w)) > 0.5
+             ).astype(jnp.float32),
+        ])
+        dt = device_time(dev_fn, planes, params_m4, masks_m4, chain=chain_first)
+        results["c1_24mp_edit_m4_ms"] = dt * 1e3
+        results["c1_24mp_edit_m4_mpix_s"] = h * w / 1e6 / dt
+        log(f"config 1b: 24MP edit with 4 masks {dt * 1e3:.2f} ms "
+            f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
-    @jax.jit
-    def full_stack(m):
-        # One-pass fused kernel: mosaic is read once, sRGB written once.
-        srgb = raw_pipeline.raw_develop_fused(
-            m, wb, cam, params3, jnp.float32(0.8))
-        hist = histogram_rgbl(srgb)
-        return srgb, hist
+    if want("2"):
+        mosaic = jax.random.uniform(key, (h, w), dtype=jnp.float32)
 
-    dt = device_time(
-        full_stack, mosaic3,
-        chain=lambda i, out, a: (out[0][0],),
-    )
-    results["c3_45mp_full_ms"] = dt * 1e3
-    results["c3_45mp_full_mpix_s"] = h3 * w3 / 1e6 / dt
-    log(f"config 3: 45MP demosaic+sharpen+edit+histogram {dt * 1e3:.2f} ms "
-        f"= {h3 * w3 / 1e6 / dt:.0f} MPix/s")
+        @jax.jit
+        def raw_develop_step(m):
+            return dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
 
-    # ---- config 4: interactive slider sweep ------------------------------
-    # Device time of one preview re-render at each pyramid level for a 45MP
-    # session (MID 1280, LOW 400 long edge), the drag->LOW / release->MID /
-    # idle->FULL policy of the reference UI.
-    def level_time(lh, lw):
-        pl = jax.random.uniform(key, (3, lh, lw), dtype=jnp.float32)
-        mk = jnp.ones((1, lh, lw), dtype=jnp.float32)
-        pr = edit_params(extent=(lh, lw))
-        # Preview kernels are sub-millisecond: device_time grows the chain
-        # until the window beats launch jitter, and raises rather than
-        # ever reporting a clamped 0.0.
-        return device_time(
-            functools.partial(fused.develop_post_geo_fused,
-                              main_mask_all_ones=True), pl, pr, mk, iters=512,
-            chain=lambda i, out, a: (out,) + a[1:],
+        dt = device_time(raw_develop_step, mosaic,
+                         chain=lambda i, out, a: (out[0],))
+        results["c2_24mp_raw_ms"] = dt * 1e3
+        results["c2_24mp_raw_mpix_s"] = h * w / 1e6 / dt
+        log(f"config 2: 24MP Bayer malvar demosaic + WB + matrix "
+            f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
+
+    if want("3") or want("4"):
+        h3, w3 = 5504, 8256
+        mosaic3 = jax.random.uniform(key, (h3, w3), dtype=jnp.float32)
+        params3 = edit_params()
+
+        @jax.jit
+        def full_stack(m):
+            # One-pass fused kernel: mosaic read once, sRGB written once.
+            srgb = rp.raw_develop_fused(m, wb, cam, params3, jnp.float32(0.8))
+            return srgb, histogram_rgbl(srgb)
+
+        dt = device_time(full_stack, mosaic3,
+                         chain=lambda i, out, a: (out[0][0],))
+        results["c3_45mp_full_ms"] = dt * 1e3
+        results["c3_45mp_full_mpix_s"] = h3 * w3 / 1e6 / dt
+        log(f"config 3: 45MP demosaic+sharpen+edit+histogram {dt * 1e3:.2f} ms "
+            f"= {h3 * w3 / 1e6 / dt:.0f} MPix/s")
+
+    if want("4"):
+        # Device time of one preview re-render at each pyramid level for a
+        # 45MP session (MID 1280, LOW 400 long edge): the drag->LOW /
+        # release->MID / idle->FULL policy of the reference UI.
+        def level_time(lh, lw):
+            pl = jax.random.uniform(key, (3, lh, lw), dtype=jnp.float32)
+            mk = jnp.ones((1, lh, lw), dtype=jnp.float32)
+            pr = edit_params(extent=(lh, lw))
+            # Sub-millisecond: device_time grows the chain until the window
+            # beats launch jitter and raises rather than reporting 0.0.
+            return device_time(dev_fn, pl, pr, mk, iters=512, chain=chain_first)
+
+        t_low = level_time(256, 384)     # ~LOW bucket for 3:2
+        t_mid = level_time(896, 1280)    # ~MID bucket
+        results["c4_drag_low_ms"] = t_low * 1e3
+        results["c4_release_mid_ms"] = t_mid * 1e3
+        results["c4_full_45mp_ms"] = results["c3_45mp_full_ms"]
+        log(f"config 4: slider-to-preview device time: LOW {t_low * 1e3:.2f} ms, "
+            f"MID {t_mid * 1e3:.2f} ms, FULL(45MP w/ demosaic) "
+            f"{results['c3_45mp_full_ms']:.1f} ms — north star < 50 ms")
+
+    if want("5"):
+        # The full export path, nothing excluded: device develop (one-pass
+        # fused RAW kernel) -> u8 -> host fetch -> JPEG encode (PIL, q92)
+        # -> file write, host work pipelined behind the device. Under the
+        # axon tunnel the fetch pays remote-link bandwidth a
+        # locally-attached host would not.
+        import os
+        import shutil
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image as PILImage
+
+        bh, bw = 4000, 6000  # 24MP per image
+        chunk = 4
+        yy, xx = jnp.mgrid[0:bh, 0:bw].astype(jnp.float32)
+        base = 0.35 + 0.3 * jnp.sin(xx / 700.0) * jnp.cos(yy / 500.0)
+        mosaics = jnp.stack([
+            jnp.clip(base + 0.02 * jax.random.normal(
+                jax.random.PRNGKey(i), (bh, bw)), 0.0, 1.0)
+            for i in range(chunk)
+        ])
+        params5 = edit_params(extent=(bh, bw))
+
+        @jax.jit
+        def export_chunk(ms):
+            def one(m):
+                srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
+                return (jnp.clip(srgb, 0, 1) * 255.0).astype(jnp.uint8)
+
+            # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic
+            # input cannot be batch-blocked; sequential per-image is the
+            # semantics of an export queue anyway.
+            return jax.lax.map(one, ms)
+
+        outdir = tempfile.mkdtemp(prefix="rpf_export_")
+
+        def encode_one(arg):
+            i, arr = arg
+            img = PILImage.fromarray(np.asarray(arr).transpose(1, 2, 0))
+            img.save(os.path.join(outdir, f"img{i:04d}.jpg"), quality=92)
+
+        # Device-side develop throughput for this shape (the end-to-end
+        # number below adds host transfer + encode).
+        dt_dev = device_time(
+            lambda m: rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8)),
+            mosaics[0], chain=lambda i, out, a: (out[0],),
         )
+        results["c5_device_develop_mpix_s"] = bh * bw / 1e6 / dt_dev
 
-    t_low = level_time(256, 384)     # ~LOW bucket for 3:2
-    t_mid = level_time(896, 1280)    # ~MID bucket
-    results["c4_drag_low_ms"] = t_low * 1e3
-    results["c4_release_mid_ms"] = t_mid * 1e3
-    results["c4_full_45mp_ms"] = results["c3_45mp_full_ms"]
-    log(f"config 4: slider-to-preview device time: LOW {t_low * 1e3:.2f} ms, "
-        f"MID {t_mid * 1e3:.2f} ms, FULL(45MP w/ demosaic) "
-        f"{results['c3_45mp_full_ms']:.1f} ms — north star < 50 ms")
+        n_images = 256
+        n_chunks = n_images // chunk
+        fetch_sync(export_chunk(mosaics))  # compile
+        t_fetch = 0.0
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(chunk) as fpool:
+            pending = []
+            dev_out = export_chunk(mosaics)  # device computes chunk 0
+            for ci in range(n_chunks):
+                tf = time.perf_counter()
+                # Per-image parallel fetch: the remote link serializes one
+                # large transfer but sustains more across streams.
+                host_u8 = list(fpool.map(
+                    np.asarray, [dev_out[j] for j in range(chunk)]))
+                t_fetch += time.perf_counter() - tf
+                if ci + 1 < n_chunks:
+                    dev_out = export_chunk(mosaics)  # overlap next chunk
+                pending.extend(
+                    pool.submit(encode_one, (ci * chunk + j, host_u8[j]))
+                    for j in range(chunk)
+                )
+            for f in pending:
+                f.result()
+        dt_total = time.perf_counter() - t0
+        files = os.listdir(outdir)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(outdir, f)) for f in files
+        )
+        assert len(files) == n_images, f"export wrote {len(files)} files"
+        shutil.rmtree(outdir)
+        total_mpix = n_images * bh * bw / 1e6
+        u8_gb = n_images * 3 * bh * bw / 1e9
+        results["c5_batch256_24mp_s"] = dt_total
+        results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
+        results["c5_fetch_s"] = t_fetch
+        log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
+            f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
+            f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
+            f"{t_fetch:.0f} s of that is fetching {u8_gb:.1f} GB of u8 pixels "
+            f"over the remote tunnel ({u8_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s "
+            f"link; a locally-attached host moves this at PCIe rates); "
+            f"{total_bytes / 1e9:.2f} GB of JPEGs written")
 
-    # ---- config 5: 256-image 24MP RAW -> JPEG export, end to end ---------
-    # The full export path, nothing excluded: device develop (one-pass
-    # fused RAW kernel) -> u8 -> host fetch -> JPEG encode (PIL, q92) ->
-    # file write. Host encode/write runs in a thread pool pipelined behind
-    # the device, which is how the CLI batch path behaves. Note: under the
-    # axon tunnel the device->host fetch pays remote-link bandwidth that a
-    # locally-attached host would not.
-    import os
-    import shutil
-    import tempfile
-    from concurrent.futures import ThreadPoolExecutor
-
-    from PIL import Image as PILImage
-
-    bh, bw = 4000, 6000  # 24MP per image
-    chunk = 4
-    yy, xx = jnp.mgrid[0:bh, 0:bw].astype(jnp.float32)
-    base = 0.35 + 0.3 * jnp.sin(xx / 700.0) * jnp.cos(yy / 500.0)
-    mosaics = jnp.stack([
-        jnp.clip(base + 0.02 * jax.random.normal(jax.random.PRNGKey(i), (bh, bw)),
-                 0.0, 1.0)
-        for i in range(chunk)
-    ])
-    params5 = edit_params(extent=(bh, bw))
-
-    from rawphotoforge_tpu.kernels import raw_pipeline as rp
-
-    @jax.jit
-    def export_chunk(ms):
-        def one(m):
-            srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-            return (jnp.clip(srgb, 0, 1) * 255.0).astype(jnp.uint8)
-
-        # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic input
-        # cannot be batch-blocked; sequential per-image is the semantics of
-        # an export queue anyway.
-        return jax.lax.map(one, ms)
-
-    outdir = tempfile.mkdtemp(prefix="rpf_export_")
-
-    def encode_one(arg):
-        i, arr = arg
-        img = PILImage.fromarray(np.asarray(arr).transpose(1, 2, 0))
-        img.save(os.path.join(outdir, f"img{i:04d}.jpg"), quality=92)
-
-    # Device-side develop throughput for this config's shape (what the
-    # chip sustains; the end-to-end number below adds host transfer+encode).
-    dt_dev = device_time(
-        lambda m: rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8)),
-        mosaics[0], chain=lambda i, out, a: (out[0],),
-    )
-    results["c5_device_develop_mpix_s"] = bh * bw / 1e6 / dt_dev
-
-    n_images = 256
-    n_chunks = n_images // chunk
-    fetch_sync(export_chunk(mosaics))  # compile
-    t_fetch = 0.0
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(chunk) as fpool:
-        pending = []
-        dev_out = export_chunk(mosaics)  # device computes chunk 0
-        for ci in range(n_chunks):
-            tf = time.perf_counter()
-            # Per-image parallel fetch: the remote link serializes a single
-            # large transfer at ~25 MB/s but sustains ~45 MB/s across
-            # concurrent streams.
-            host_u8 = list(fpool.map(np.asarray, [dev_out[j] for j in range(chunk)]))
-            t_fetch += time.perf_counter() - tf
-            if ci + 1 < n_chunks:
-                dev_out = export_chunk(mosaics)  # overlap next chunk
-            pending.extend(
-                pool.submit(encode_one, (ci * chunk + j, host_u8[j]))
-                for j in range(chunk)
-            )
-        for f in pending:
-            f.result()
-    dt_total = time.perf_counter() - t0
-    files = os.listdir(outdir)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(outdir, f)) for f in files
-    )
-    assert len(files) == n_images, f"export wrote {len(files)} files"
-    shutil.rmtree(outdir)
-    total_mpix = n_images * bh * bw / 1e6
-    u8_gb = n_images * 3 * bh * bw / 1e9
-    results["c5_batch256_24mp_s"] = dt_total
-    results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
-    results["c5_fetch_s"] = t_fetch
-    log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
-        f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
-        f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
-        f"{t_fetch:.0f} s of that is fetching {u8_gb:.1f} GB of u8 pixels "
-        f"over the remote tunnel ({u8_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s "
-        f"link; a locally-attached host moves this at PCIe rates); "
-        f"{total_bytes / 1e9:.2f} GB of JPEGs written")
-
-    with open("bench_results.json", "w") as f:
+    with open(RESULTS_PATH, "w") as f:
         json.dump({k: round(v, 3) for k, v in results.items()}, f, indent=1)
     log("bench_all: wrote bench_results.json")
     return 0
