@@ -269,6 +269,31 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Transcode a RAW file to a lossless-JPEG-compressed DNG — archival
+    recompression through the framework's own ITU-T.81 encoder with
+    per-image optimal Huffman tables (typically 2-2.5x smaller than
+    uncompressed; pixel data bit-identical)."""
+    from ..io.dng import write_dng
+    from ..io.raw import parse_raw
+
+    with open(args.input, "rb") as f:
+        src = f.read()
+    raw = parse_raw(src)
+    tile = None
+    if args.tile:
+        th, tw = (int(v) for v in args.tile.split("x"))
+        tile = (th, tw)
+    out = write_dng(raw, compression=7, tile=tile)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    h, w = raw.mosaic.shape
+    print(f"converted {w}x{h} {raw.pattern} mosaic: "
+          f"{len(src)} -> {len(out)} bytes "
+          f"({len(src) / max(len(out), 1):.2f}x)")
+    return 0
+
+
 def cmd_devices(args) -> int:
     """List accelerator devices (the GPU adapter-picker analog,
     rust-godot-legacy settings_window.gd:46-49)."""
@@ -308,6 +333,14 @@ def main(argv=None) -> int:
     p_batch.add_argument("output_dir")
     _add_edit_flags(p_batch)
     p_batch.set_defaults(fn=cmd_batch)
+
+    p_cv = sub.add_parser(
+        "convert", help="transcode a RAW to a lossless-JPEG-compressed DNG")
+    p_cv.add_argument("input")
+    p_cv.add_argument("output")
+    p_cv.add_argument("--tile", type=str, default=None,
+                      help='tile size "HxW" (e.g. 256x256); default: one strip')
+    p_cv.set_defaults(fn=cmd_convert)
 
     p_ls = sub.add_parser("devices", help="list accelerator devices")
     p_ls.set_defaults(fn=cmd_devices)

@@ -121,3 +121,25 @@ def test_batch_lens_distortion_skips_raw_fast_path(tmp_path, rng, capsys):
     a = np.asarray(PILImage.open(outd / "a.jpg"))
     b = np.asarray(PILImage.open(tmp_path / "ref.jpg"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_convert_to_compressed_dng(tmp_path, rng, capsys):
+    """`convert` transcodes RAW -> lossless-JPEG DNG: smaller file, pixel
+    data bit-identical, still openable by the editor."""
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    rgb = np.stack([0.2 + 0.5 * xx / 96, 0.3 + 0.4 * yy / 64, 0.5 - 0.2 * xx / 96])
+    raw = synthetic_raw(rgb)
+    src = tmp_path / "in.dng"
+    dst = tmp_path / "out.dng"
+    src.write_bytes(write_dng(raw))
+
+    rc = main(["convert", str(src), str(dst), "--tile", "32x32"])
+    assert rc == 0
+    assert "->" in capsys.readouterr().out
+    assert dst.stat().st_size < src.stat().st_size
+    got = read_dng(dst.read_bytes())
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    assert got.pattern == raw.pattern

@@ -303,3 +303,32 @@ def test_mask_range_edit(base_url):
     _, _, body = _get(base_url + "/params?mask=main")
     assert json.loads(body)["mask_range"] == 0.7
     _post(base_url + "/edit", {"mask_range": 0.0})
+
+
+def test_concurrent_edit_preview_storm(base_url):
+    """Race handling: concurrent edits, previews, mask ops and preset
+    reads must all succeed (editor lock) and leave a consistent state."""
+    import concurrent.futures
+    import urllib.error
+
+    def worker(i):
+        for j in range(4):
+            k = (i + j) % 4
+            if k == 0:
+                _post(base_url + "/edit", {"exposure": (i % 5) * 0.3})
+            elif k == 1:
+                _get(base_url + "/preview?level=low")
+            elif k == 2:
+                _get(base_url + "/histogram")
+            else:
+                _get(base_url + "/preset")
+        return True
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        assert all(pool.map(worker, range(16)))
+    # State still consistent and renderable.
+    _, _, body = _get(base_url + "/params?mask=main")
+    assert "exposure" in json.loads(body)
+    status, _, _ = _get(base_url + "/preview?level=mid")
+    assert status == 200
+    _post(base_url + "/reset", {})
