@@ -456,8 +456,34 @@ def _diffs(samples: np.ndarray, predictor: int, precision: int, pt: int,
     return s - pred
 
 
+# Category (bit length) of |diff| for 0..32768 — exact integer lookup,
+# far cheaper than float frexp over megapixel arrays.
+_SSSS_TABLE = None
+
+
+def _ssss_table() -> np.ndarray:
+    global _SSSS_TABLE
+    if _SSSS_TABLE is None:
+        t = np.zeros(32769, dtype=np.uint8)
+        for k in range(1, 17):
+            t[1 << (k - 1): (1 << k)] = k
+        t[32768] = 16
+        _SSSS_TABLE = t
+    return _SSSS_TABLE
+
+
 def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
-    """MSB-first bit packing of (value, nbits) pairs; pads with 1s."""
+    """MSB-first bit packing of (value, nbits) pairs; pads with 1s.
+
+    Uses the native packer when available (~20x the numpy form); the numpy
+    path below is the semantics oracle and fallback."""
+    try:
+        from ..native import available, ljpeg_pack_bits
+
+        if available():
+            return ljpeg_pack_bits(vals, lens)
+    except ImportError:
+        pass
     lens = lens.astype(np.int64)
     pos = np.cumsum(lens) - lens
     total = int(lens.sum())
@@ -591,23 +617,21 @@ def encode(
         raise LJpegError("samples exceed precision")
 
     d = _diffs(s, predictor, precision, point_transform, restart_interval)
-    # Map to mod-2^16 signed representatives in [-32767, 32768].
-    d16 = (d & 0xFFFF).astype(np.int32)
-    wrap = d16 >= 32768
-    d16 = np.where(wrap, d16 - 65536, d16)
+    # Map to mod-2^16 signed representatives in [-32767, 32768]; all
+    # integer int32 math (the float path costs seconds at 50MP).
+    d16 = d & np.int32(0xFFFF)
+    d16 -= (d16 >= 32768) * np.int32(65536)
 
     mag = np.abs(d16)
-    # Category = bit length of |diff|; frexp's exponent is exact for ints.
-    _, ssss = np.frexp(mag.astype(np.float64))
-    ssss = ssss.astype(np.uint8)
-    is16 = d16 == -32768  # category 16: diff == 32768, no appended bits
-    ssss[is16] = 16
+    ssss = _ssss_table()[mag]  # exact bit length; mag == 32768 -> 16
+    is16 = d16 == np.int32(-32768)  # category 16: no appended bits
 
-    extra = np.where(d16 < 0, d16 + (1 << ssss.astype(np.int64)) - 1, d16)
-    extra_len = np.where(is16, 0, ssss).astype(np.uint8)
+    extra = np.where(d16 < 0,
+                     d16 + (np.int32(1) << ssss.astype(np.int32)) - 1, d16)
+    extra_len = np.where(is16, np.uint8(0), ssss)
 
     flat_ssss = ssss.reshape(-1)
-    flat_extra = extra.reshape(-1).astype(np.uint32)
+    flat_extra = extra.reshape(-1)
     flat_elen = extra_len.reshape(-1)
 
     if huffman is None:

@@ -67,6 +67,9 @@ def _load():
         u8p, u8p, u8p, c, c, c, c, c64, c64,
     ]
     lib.rpf_ljpeg_decode_scan.restype = c
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rpf_ljpeg_pack_bits.argtypes = [i64p, u8p, c64, u8p]
+    lib.rpf_ljpeg_pack_bits.restype = c64
     _lib = lib
     return lib
 
@@ -171,6 +174,21 @@ def ljpeg_decode_scan(seg: bytes, out, frame, mcu_start: int, mcu_count: int,
         from ..io.ljpeg import LJpegError
 
         raise LJpegError(f"native lossless-JPEG decode failed (rc={rc})")
+
+
+def ljpeg_pack_bits(vals, lens) -> bytes:
+    """MSB-first bit packing of (value, nbits) entries, 1-padded to a byte
+    boundary — the lossless-JPEG encoder hot loop."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.uint8)
+    out = np.empty(int(lens.astype(np.int64).sum()) // 8 + 2, dtype=np.uint8)
+    n = lib.rpf_ljpeg_pack_bits(vals, lens, vals.size, out)
+    if n < 0:
+        raise ValueError("rpf_ljpeg_pack_bits failed")
+    return out[:n].tobytes()
 
 
 def binarize_mask(src, threshold):

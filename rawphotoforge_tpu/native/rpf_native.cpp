@@ -381,6 +381,33 @@ int rpf_ljpeg_decode_scan(
   return rc;
 }
 
+// Lossless-JPEG bit packing (encoder hot loop): MSB-first concatenation
+// of (value, nbits<=32) entries, final partial byte padded with 1s (the
+// JPEG byte-align rule). Returns bytes written. Semantics oracle:
+// io/ljpeg._pack_bits (numpy; tested byte-equal).
+int64_t rpf_ljpeg_pack_bits(const int64_t* vals, const uint8_t* lens,
+                            int64_t n, uint8_t* out) {
+  if ((!vals || !lens || !out) && n > 0) return -1;
+  uint64_t acc = 0;
+  int nacc = 0;
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int l = lens[i];
+    const uint64_t mask = (l >= 64) ? ~0ULL : ((1ULL << l) - 1);
+    acc = (acc << l) | (static_cast<uint64_t>(vals[i]) & mask);
+    nacc += l;
+    while (nacc >= 8) {
+      out[o++] = static_cast<uint8_t>(acc >> (nacc - 8));
+      nacc -= 8;
+    }
+  }
+  if (nacc > 0) {
+    const int pad = 8 - nacc;
+    out[o++] = static_cast<uint8_t>(((acc << pad) | ((1u << pad) - 1)) & 0xFF);
+  }
+  return o;
+}
+
 // Mask binarization: v >= threshold -> 1.0 else 0.0 (lib.rs:481-499).
 int rpf_binarize_mask_f32(const float* src, float* dst, int64_t n,
                           float threshold) {

@@ -298,3 +298,26 @@ def test_optimal_table_reserves_all_ones_code(rng):
             code <<= 1
         lc, ll = last
         assert lc != (1 << ll) - 1, f"all-ones code assigned: {last}"
+
+
+def test_native_pack_bits_matches_numpy(rng):
+    from rawphotoforge_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for trial in range(5):
+        n = int(rng.integers(1, 3000))
+        lens = rng.integers(1, 33, n).astype(np.uint8)
+        vals = np.array([int(rng.integers(0, 1 << int(l))) for l in lens],
+                        dtype=np.int64)
+        nat = native.ljpeg_pack_bits(vals, lens)
+        # Numpy oracle (the in-module fallback form).
+        l64 = lens.astype(np.int64)
+        pos = np.cumsum(l64) - l64
+        total = int(l64.sum())
+        bits = np.ones(total + (-total % 8), dtype=np.uint8)
+        for b in range(int(l64.max())):
+            m = l64 > b
+            bits[pos[m] + b] = (vals[m] >> (l64[m] - 1 - b)) & 1
+        ref = np.packbits(bits).tobytes()
+        assert nat == ref, trial
