@@ -199,15 +199,24 @@ def _cfa_channel_map(h: int, w: int, cfa: np.ndarray) -> jax.Array:
 _NC_KERNEL_1D = np.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0], dtype=np.float32)
 
 
-def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray) -> jax.Array:
-    """Demosaic an arbitrary periodic CFA (X-Trans and friends) by
-    normalized convolution: each channel's sparse samples are spread with a
-    separable triangle kernel and divided by the spread of the sampling
-    mask; measured sites keep their exact sample.
+def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
+                 method: str = "residual") -> jax.Array:
+    """Demosaic an arbitrary periodic CFA (X-Trans and friends).
 
-    Rougher than Malvar on Bayer (no cross-channel gradient correction),
-    but layout-agnostic and fully MXU/VPU-friendly — two separable convs
-    per channel. Bayer input should use demosaic_malvar instead.
+    ``method="nc"``: plain normalized convolution — each channel's sparse
+    samples spread with a separable triangle kernel, divided by the spread
+    of the sampling mask. Layout-agnostic and fully VPU-friendly, but each
+    channel interpolates with a different sample phase, so sharp gray
+    edges pick up false color.
+
+    ``method="residual"`` (default): green-guided residual interpolation —
+    interpolate the dense green channel by NC, then interpolate the
+    chroma residuals (R-G, B-G) from their sample sites and add green
+    back. Residuals are nearly flat across luminance edges, so the false
+    color of plain NC largely cancels (gated by the gray-edge test).
+
+    Measured sites keep their exact sample either way. Bayer input should
+    use demosaic_malvar instead.
     """
     h, w = mosaic.shape
     cfa = np.asarray(cfa, dtype=np.int32)
@@ -224,14 +233,57 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray) -> jax.Array:
         y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
         return y[0, 0]
 
+    def conv1d(x, kern, axis):
+        xp = jnp.pad(x, [(pad, pad) if a == axis else (0, 0)
+                         for a in range(2)], mode="reflect")[None, None]
+        shape = [1, 1, 1, 1]
+        shape[2 + axis] = len(_NC_KERNEL_1D)
+        y = jax.lax.conv_general_dilated(xp, kern.reshape(shape), (1, 1),
+                                         "VALID")
+        return y[0, 0]
+
+    def nc(values, mask):
+        return spread(values * mask) / jnp.maximum(spread(mask), 1e-8)
+
+    def nc1d(values, mask, axis):
+        """1-D normalized convolution along ``axis``; where the line has no
+        samples in the window, fall back to the 2-D estimate."""
+        den = conv1d(mask, k, axis)
+        est = conv1d(values * mask, k, axis) / jnp.maximum(den, 1e-8)
+        return est, den
+
+    masks = [(chan == c).astype(jnp.float32) for c in range(3)]
+
+    if method == "nc":
+        planes = [
+            jnp.where(m > 0, mosaic, nc(mosaic, m)) for m in masks
+        ]
+        return jnp.stack(planes)
+    if method != "residual":
+        raise ValueError(f"unknown CFA demosaic method {method!r}")
+
+    # Directional green: interpolate along the lower-gradient axis so the
+    # estimate never crosses an edge (the Markesteijn idea, cheap form).
+    # X-Trans has green samples in every row and column, so the 1-D
+    # windows always see samples; layouts that don't fall back to 2-D.
+    g2d = nc(mosaic, masks[1])
+    g_h, den_h = nc1d(mosaic, masks[1], axis=1)
+    g_v, den_v = nc1d(mosaic, masks[1], axis=0)
+    g_h = jnp.where(den_h > 0.5, g_h, g2d)
+    g_v = jnp.where(den_v > 0.5, g_v, g2d)
+    grad_x = jnp.abs(jnp.pad(mosaic[:, 2:] - mosaic[:, :-2],
+                             ((0, 0), (1, 1)), mode="edge"))
+    grad_y = jnp.abs(jnp.pad(mosaic[2:, :] - mosaic[:-2, :],
+                             ((1, 1), (0, 0)), mode="edge"))
+    g_est = jnp.where(spread(grad_x) > spread(grad_y), g_v, g_h)
+    g = jnp.where(masks[1] > 0, mosaic, g_est)
+
     planes = []
-    for c in range(3):
-        mask = (chan == c).astype(jnp.float32)
-        num = spread(mosaic * mask)
-        den = spread(mask)
-        est = num / jnp.maximum(den, 1e-8)
-        planes.append(jnp.where(mask > 0, mosaic, est))
-    return jnp.stack(planes)
+    for c in (0, 2):
+        resid = nc(mosaic - g_est, masks[c])  # chroma residual everywhere
+        est = g + resid
+        planes.append(jnp.where(masks[c] > 0, mosaic, est))
+    return jnp.stack([planes[0], g, planes[1]])
 
 
 def normalize_mosaic(raw_values, black_level, white_level):

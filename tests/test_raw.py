@@ -474,3 +474,25 @@ def test_orf_magic_accepted(rng):
     struct.pack_into("<H", blob, 2, 0x1234)
     with pytest.raises(DngError, match="magic"):
         read_dng(bytes(blob))
+
+
+def test_xtrans_residual_beats_nc_on_gray_edge():
+    """Green-guided residual interpolation must cut the false color plain
+    NC produces on a sharp gray edge (the Malvar-vs-bilinear analog for
+    the generic CFA path)."""
+    from rawphotoforge_tpu.ops.demosaic import XTRANS, demosaic_cfa
+
+    h, w = 48, 60
+    xx = np.tile(np.arange(w, dtype=np.float32), (h, 1))
+    edge = (xx > w / 2).astype(np.float32) * 0.8 + 0.1
+    tile = np.asarray(XTRANS)
+    yy = np.arange(h)[:, None]
+    chan = tile[yy % 6, np.arange(w)[None, :] % 6]
+    # Gray image: every CFA site samples the same edge value.
+    mosaic = jnp.asarray(edge)
+    out_nc = np.asarray(demosaic_cfa(mosaic, XTRANS, method="nc"))
+    out_ri = np.asarray(demosaic_cfa(mosaic, XTRANS))
+    interior = (slice(None), slice(8, -8), slice(8, -8))
+    fringe_nc = np.abs(out_nc[0] - out_nc[1])[interior[1:]].max()
+    fringe_ri = np.abs(out_ri[0] - out_ri[1])[interior[1:]].max()
+    assert fringe_ri < 0.35 * fringe_nc, (fringe_nc, fringe_ri)
