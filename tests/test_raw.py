@@ -496,3 +496,22 @@ def test_xtrans_residual_beats_nc_on_gray_edge():
     fringe_nc = np.abs(out_nc[0] - out_nc[1])[interior[1:]].max()
     fringe_ri = np.abs(out_ri[0] - out_ri[1])[interior[1:]].max()
     assert fringe_ri < 0.35 * fringe_nc, (fringe_nc, fringe_ri)
+
+
+def test_bayer_residual_method_available_and_sharp(rng):
+    """develop_raw(method='residual') routes Bayer through the
+    directional-green residual demosaic: matches the smooth-recovery gate
+    and beats Malvar's gray-edge fringe."""
+    h, w = 64, 64
+    xx = np.tile(np.arange(w, dtype=np.float32), (h, 1))
+    edge = (xx > w / 2).astype(np.float32) * 0.8 + 0.1
+    rgb = np.stack([edge] * 3)
+    mosaic = _mosaic_from_rgb(rgb, "RGGB")
+    wb = jnp.asarray([1.0, 1.0, 1.0])
+    cam = jnp.eye(3, dtype=jnp.float32)
+    out_m = np.asarray(dm.develop_raw(jnp.asarray(mosaic), wb, cam,
+                                      pattern="RGGB", method="malvar"))
+    out_r = np.asarray(dm.develop_raw(jnp.asarray(mosaic), wb, cam,
+                                      pattern="RGGB", method="residual"))
+    fr = lambda o: np.abs(o[0] - o[1])[4:-4, 4:-4].max()
+    assert fr(out_r) < 0.2 * fr(out_m), (fr(out_m), fr(out_r))
