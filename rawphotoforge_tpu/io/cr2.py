@@ -36,7 +36,9 @@ T_EXIF_IFD = 34665
 T_MAKERNOTE = 37500
 T_CR2_SLICES = 0xC640
 T_CANON_SENSOR_INFO = 0x00E0
+T_CANON_LENS_MODEL = 0x0095
 T_CANON_COLOR_DATA = 0x4001
+T_FOCAL_LENGTH = 37386
 
 # ColorData variant -> word offset of WB_RGGBLevelsAsShot, keyed on the
 # 0x4001 element count (exiftool Canon.pm ColorData1..11 dispatch).
@@ -201,6 +203,12 @@ def read_cr2(data: bytes) -> RawImage:
     iso = tag(exif_entries, T_ISO)
     if iso:
         exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
+    fl = tag(exif_entries, T_FOCAL_LENGTH)
+    if fl:
+        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
+    lens = tag(maker_entries, T_CANON_LENS_MODEL)
+    if isinstance(lens, str) and lens.strip():
+        exif["LensModel"] = lens.strip()
 
     return RawImage(
         mosaic=np.ascontiguousarray(mosaic),

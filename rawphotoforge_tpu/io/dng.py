@@ -49,7 +49,10 @@ T_CFA_REPEAT_DIM = 33421
 T_CFA_PATTERN = 33422
 T_EXPOSURE_TIME = 33434
 T_F_NUMBER = 33437
+T_EXIF_IFD = 34665
 T_ISO = 34855
+T_FOCAL_LENGTH = 37386
+T_LENS_MODEL = 42036
 T_DNG_VERSION = 50706
 T_LINEARIZATION_TABLE = 50712
 T_BLACK_LEVEL = 50714
@@ -209,6 +212,15 @@ def read_dng(data: bytes) -> RawImage:
         for s in subs:
             sub_entries, _ = _read_ifd(data, s, bo)
             ifds.append(sub_entries)
+    if T_EXIF_IFD in entries:
+        # Real DNGs keep ExposureTime/FNumber/ISO/FocalLength/LensModel in
+        # the EXIF sub-IFD, not IFD0.
+        try:
+            exif_ifd, _ = _read_ifd(
+                data, _value(data, entries[T_EXIF_IFD], bo), bo)
+            ifds.append(exif_ifd)
+        except (struct.error, KeyError):
+            pass
     while next_off:
         more, next_off = _read_ifd(data, next_off, bo)
         ifds.append(more)
@@ -388,6 +400,12 @@ def read_dng(data: bytes) -> RawImage:
     iso = any_ifd(T_ISO)
     if iso:
         exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
+    fl = any_ifd(T_FOCAL_LENGTH)
+    if fl:
+        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
+    lens = any_ifd(T_LENS_MODEL)
+    if isinstance(lens, str) and lens.strip():
+        exif["LensModel"] = lens.strip()
 
     return RawImage(
         mosaic=np.ascontiguousarray(mosaic),

@@ -21,6 +21,7 @@ def build_cr2(
     colordata_count=1312,           # ColorData7 -> WB at word 0x3F
     wb_word_offset=0x3F,
     predictor=1,
+    lens_model=None,
 ):
     """Assemble a minimal spec-shaped CR2 around a full-sensor mosaic."""
     h, w = mosaic_full.shape
@@ -66,14 +67,20 @@ def build_cr2(
     cd = np.zeros(colordata_count, dtype="<u2")
     cd[wb_word_offset : wb_word_offset + 4] = wb_rggb
     cd_off = add_blob(cd.tobytes())
-    maker_off = add_ifd([
+    maker_entries = [
         (0x00E0, 3, len(sensor_info), si_off),
         (0x4001, 3, colordata_count, cd_off),
-    ])
+    ]
+    if lens_model:
+        lm = lens_model.encode() + b"\x00"
+        maker_entries.append((0x0095, 2, len(lm), add_blob(lm)))
+    maker_off = add_ifd(maker_entries)
     exp_off = add_blob(struct.pack("<II", 1, 125))
+    fl_off = add_blob(struct.pack("<II", 50, 1))
     exif_off = add_ifd([
         (0x829A, 5, 1, exp_off),                       # ExposureTime 1/125
         (0x8827, 3, 1, struct.pack("<H", 400)),        # ISO
+        (0x920A, 5, 1, fl_off),                        # FocalLength 50mm
         (0x927C, 7, 64, maker_off),                    # MakerNote
     ])
     slice_off = add_blob(struct.pack("<3H", *slices))
@@ -174,3 +181,17 @@ def test_cr2_editor_end_to_end(sensor, tmp_path):
     assert out.shape == (3, 28, 40)
     assert 0.0 <= out.min() and out.max() <= 1.0
     assert ed.exif["Model"] == "Canon EOS synthetic"
+
+
+def test_cr2_lens_model_and_focal_length(sensor):
+    """Canon LensModel (MakerNote 0x95) and EXIF FocalLength surface in
+    the exif dict, enabling lens-profile auto-resolution on CR2s."""
+    raw = read_cr2(build_cr2(sensor, lens_model="EF 50mm f/1.8 II"))
+    assert raw.exif["LensModel"] == "EF 50mm f/1.8 II"
+    assert raw.exif.get("FocalLength", "").startswith("50")
+    from rawphotoforge_tpu.io.lensdb import LensDatabase
+    prof = LensDatabase.load().profile_from_exif(raw.exif)
+    assert prof is not None and "50mm" in prof.name
+    # Absent fields stay absent.
+    raw2 = read_cr2(build_cr2(sensor))
+    assert "LensModel" not in raw2.exif

@@ -515,3 +515,46 @@ def test_bayer_residual_method_available_and_sharp(rng):
                                       pattern="RGGB", method="residual"))
     fr = lambda o: np.abs(o[0] - o[1])[4:-4, 4:-4].max()
     assert fr(out_r) < 0.2 * fr(out_m), (fr(out_m), fr(out_r))
+
+
+def test_dng_exif_subifd_fields(rng):
+    """Real DNGs keep ExposureTime/FNumber/FocalLength/LensModel in the
+    EXIF sub-IFD (34665); the walker must find them there so
+    lens_correct can resolve profiles."""
+    import struct
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    base = bytearray(write_dng(raw))
+    # Append an EXIF sub-IFD with FocalLength (rational) and LensModel.
+    lens = b"Canon EF 50mm f/1.8 II\x00"
+    lens_off = len(base)
+    base += lens
+    if len(base) % 2:
+        base += b"\x00"
+    fl_off = len(base)
+    base += struct.pack("<II", 50, 1)
+    exif_ifd_off = len(base)
+    base += struct.pack("<H", 2)
+    base += struct.pack("<HHII", 37386, 5, 1, fl_off)          # FocalLength
+    base += struct.pack("<HHII", 42036, 2, len(lens), lens_off)  # LensModel
+    base += struct.pack("<I", 0)
+    # Rewrite IFD0 with an added ExifIFD (34665) entry.
+    n = struct.unpack_from("<H", base, 8)[0]
+    entries = [bytes(base[10 + 12 * i: 22 + 12 * i]) for i in range(n)]
+    entries.append(struct.pack("<HHII", 34665, 4, 1, exif_ifd_off))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    new_ifd0_off = len(base)
+    base += struct.pack("<H", n + 1) + b"".join(entries) + struct.pack("<I", 0)
+    struct.pack_into("<I", base, 4, new_ifd0_off)
+
+    got = read_dng(bytes(base))
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    assert got.exif.get("LensModel") == "Canon EF 50mm f/1.8 II"
+    assert got.exif.get("FocalLength", "").startswith("50")
+
+    # And the bundled lens database resolves it.
+    from rawphotoforge_tpu.io.lensdb import LensDatabase
+    prof = LensDatabase.load().profile_from_exif(got.exif | {"Make": "Canon"})
+    assert prof is not None and prof.name == "Canon EF 50mm f/1.8 II"
