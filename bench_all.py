@@ -255,15 +255,18 @@ def main(argv=None) -> int:
         fetch_sync(export_chunk(mosaics))  # compile
         t_fetch = 0.0
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(chunk) as fpool:
+        from rawphotoforge_tpu.utils.transfer import fetch_np
+
+        with ThreadPoolExecutor(8) as pool:
             pending = []
             dev_out = export_chunk(mosaics)  # device computes chunk 0
             for ci in range(n_chunks):
                 tf = time.perf_counter()
-                # Per-image parallel fetch: the remote link serializes one
-                # large transfer but sustains more across streams.
-                host_u8 = list(fpool.map(
-                    np.asarray, [dev_out[j] for j in range(chunk)]))
+                # Banded parallel fetch of the whole chunk: the remote link
+                # is single-stream window-bound but sustains ~3x more across
+                # ~8 MB concurrent bands (utils/transfer.py).
+                chunk_u8 = fetch_np(dev_out)
+                host_u8 = [chunk_u8[j] for j in range(chunk)]
                 t_fetch += time.perf_counter() - tf
                 if ci + 1 < n_chunks:
                     dev_out = export_chunk(mosaics)  # overlap next chunk

@@ -137,15 +137,18 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
     Truncating u8 quantization per image.rs:375-383. ``exif_bytes`` (a raw
     EXIF blob from decode) is written back into formats that carry it.
     """
+    from ..utils.transfer import fetch_np, fetch_u8_hwc
+
     if fmt == "DNG":
         raise ImageIOError(
             "cannot encode a developed image as DNG; use io.dng.write_dng "
             "for CFA mosaics"
         )
-    hwc = np.asarray(planes).transpose(1, 2, 0)
     if fmt == "PPM16":
-        return encode_ppm16(hwc)
-    u8 = (np.clip(hwc, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return encode_ppm16(fetch_np(planes).transpose(1, 2, 0))
+    # Quantize on device + parallel banded fetch: the tunnel moves 1
+    # byte/sample instead of 4 (utils/transfer.py).
+    u8 = fetch_u8_hwc(planes)
     img = PILImage.fromarray(u8, mode="RGB")
     buf = _io.BytesIO()
     save_kwargs = {}
@@ -182,7 +185,7 @@ def write_image(path: str, srgb_planes, quality: int = 95) -> None:
 
 def linear_planes_to_srgb_u8(planes) -> np.ndarray:
     """Utility: linear [3,H,W] -> sRGB u8 HWC (for thumbnails/masks UIs)."""
+    from ..utils.transfer import fetch_u8_hwc
+
     srgb = linear_to_srgb(jnp.clip(jnp.asarray(planes), 0.0, 1.0))
-    return (np.asarray(jnp.clip(srgb, 0.0, 1.0)).transpose(1, 2, 0) * 255.0).astype(
-        np.uint8
-    )
+    return fetch_u8_hwc(srgb)

@@ -1,0 +1,93 @@
+"""Device->host transfer helpers tuned for remote/tunneled backends.
+
+The reference's readback is one aligned copy_texture_to_buffer + map_async
+(rust/photo-editor/src/image.rs:202-276) — on a locally attached GPU a
+single mapping is optimal. Through a remote PJRT tunnel a single large
+fetch is latency/window-bound (~25 MB/s measured), while several
+concurrent medium-sized fetches sustain ~3x that. These helpers split a
+device array into flat bands and fetch them in parallel threads, and move
+the u8 quantization for exports onto the device so the link carries 1
+byte/sample instead of 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+# ~8 MB bands keep per-stream transfers large enough to amortize RTT while
+# giving the link enough concurrent streams to fill its window (measured
+# sweet spot on the axon tunnel: 8 bands/24MP-u8-image, 16 threads).
+_BAND_BYTES = 8 << 20
+_MAX_BANDS = 32
+_MAX_THREADS = 16
+_MIN_PARALLEL_BYTES = 16 << 20
+
+
+def _is_device_array(x) -> bool:
+    return hasattr(x, "addressable_shards")
+
+
+def fetch_np(arr, bands: int | None = None, threads: int | None = None
+             ) -> np.ndarray:
+    """Fetch a device array to the host as np.ndarray via parallel bands.
+
+    The array is viewed flat (row-major reshape is free on device), split
+    into ``bands`` contiguous ranges, and each range is fetched in its own
+    thread into a preallocated output. Small arrays and non-device inputs
+    fall back to a plain ``np.asarray``.
+    """
+    if not _is_device_array(arr):
+        return np.asarray(arr)
+    nbytes = arr.size * arr.dtype.itemsize
+    if bands is None:
+        if nbytes < _MIN_PARALLEL_BYTES:
+            return np.asarray(arr)
+        bands = max(1, min(_MAX_BANDS, nbytes // _BAND_BYTES))
+    bands = min(bands, max(1, arr.size))
+    if bands <= 1:
+        return np.asarray(arr)
+    threads = min(bands, _MAX_THREADS if threads is None else threads)
+
+    shape, dtype = arr.shape, np.dtype(arr.dtype.name)
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    bounds = [n * i // bands for i in range(bands + 1)]
+    out = np.empty(n, dtype=dtype)
+
+    def one(i):
+        a, b = bounds[i], bounds[i + 1]
+        out[a:b] = np.asarray(flat[a:b])
+
+    with ThreadPoolExecutor(threads) as pool:
+        list(pool.map(one, range(bands)))
+    return out.reshape(shape)
+
+
+@functools.cache
+def _to_u8_hwc_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(planes):
+        u8 = (jnp.clip(planes, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return u8.transpose(1, 2, 0)
+
+    return f
+
+
+def fetch_u8_hwc(planes) -> np.ndarray:
+    """sRGB f32 planes [3,H,W] in [0,1] -> u8 HWC on the host.
+
+    Device inputs are quantized AND transposed on device (truncating u8
+    cast, image.rs:375-383 semantics — XLA's f32->u8 convert truncates
+    toward zero exactly like numpy's astype) so the link moves 1
+    byte/sample; the host path reproduces the same math for np inputs.
+    """
+    if _is_device_array(planes):
+        return fetch_np(_to_u8_hwc_jit()(planes))
+    hwc = np.asarray(planes).transpose(1, 2, 0)
+    return (np.clip(hwc, 0.0, 1.0) * 255.0).astype(np.uint8)

@@ -1,0 +1,56 @@
+"""Banded device->host transfer (utils/transfer.py).
+
+Correctness gates for the parallel-fetch path used by every export: band
+reassembly must be exact for any shape/dtype/band count, and the
+device-side u8 quantization must bit-match the host quantization that
+reproduces the reference's truncating readback (image.rs:375-383).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.utils import transfer
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((3, 37, 53), np.float32),
+    ((4, 3, 16, 24), np.uint8),
+    ((1001,), np.float32),
+    ((2, 2), np.int32),
+])
+@pytest.mark.parametrize("bands", [2, 3, 8, 64])
+def test_fetch_np_matches_asarray(shape, dtype, bands):
+    rng = np.random.default_rng(7)
+    host = (rng.random(shape) * 200).astype(dtype)
+    dev = jnp.asarray(host)
+    got = transfer.fetch_np(dev, bands=bands)
+    np.testing.assert_array_equal(got, host)
+    assert got.dtype == host.dtype and got.shape == host.shape
+
+
+def test_fetch_np_numpy_passthrough():
+    host = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(transfer.fetch_np(host), host)
+
+
+def test_fetch_u8_hwc_device_matches_host():
+    rng = np.random.default_rng(11)
+    planes = rng.normal(0.5, 0.6, size=(3, 41, 29)).astype(np.float32)
+    # Exact boundary values exercise the clip + truncating-cast semantics.
+    planes[0, 0, :5] = [0.0, 1.0, -0.25, 1.25, 0.999999]
+    want = transfer.fetch_u8_hwc(planes)              # host np path
+    got = transfer.fetch_u8_hwc(jnp.asarray(planes))  # device path
+    assert want.shape == (41, 29, 3) and want.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_image_device_equals_host_bytes():
+    from rawphotoforge_tpu.io import image_io
+
+    rng = np.random.default_rng(3)
+    planes = rng.random((3, 33, 47)).astype(np.float32)
+    for fmt in ("PNG", "JPEG", "PPM16"):
+        b_host = image_io.encode_image(planes, fmt, quality=92)
+        b_dev = image_io.encode_image(jnp.asarray(planes), fmt, quality=92)
+        assert b_host == b_dev, fmt
