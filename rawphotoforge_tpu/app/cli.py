@@ -270,10 +270,11 @@ def cmd_batch(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    """Transcode a RAW file to a lossless-JPEG-compressed DNG — archival
-    recompression through the framework's own ITU-T.81 encoder with
-    per-image optimal Huffman tables (typically 2-2.5x smaller than
-    uncompressed; pixel data bit-identical)."""
+    """Transcode a RAW file to a compressed DNG — archival recompression,
+    pixel data bit-identical. ``--codec ljpeg`` (default) uses the
+    framework's own ITU-T.81 encoder with per-image optimal Huffman tables
+    (typically 2-2.5x smaller than uncompressed); ``--codec deflate``
+    writes Compression=8 with the X2 CFA-pitch predictor."""
     from ..io.dng import write_dng
     from ..io.raw import parse_raw
 
@@ -284,7 +285,10 @@ def cmd_convert(args) -> int:
     if args.tile:
         th, tw = (int(v) for v in args.tile.split("x"))
         tile = (th, tw)
-    out = write_dng(raw, compression=7, tile=tile)
+    if args.codec == "deflate":
+        out = write_dng(raw, compression=8, predictor=34892, tile=tile)
+    else:
+        out = write_dng(raw, compression=7, tile=tile)
     with open(args.output, "wb") as f:
         f.write(out)
     h, w = raw.mosaic.shape
@@ -335,11 +339,14 @@ def main(argv=None) -> int:
     p_batch.set_defaults(fn=cmd_batch)
 
     p_cv = sub.add_parser(
-        "convert", help="transcode a RAW to a lossless-JPEG-compressed DNG")
+        "convert", help="transcode a RAW to a compressed DNG")
     p_cv.add_argument("input")
     p_cv.add_argument("output")
     p_cv.add_argument("--tile", type=str, default=None,
                       help='tile size "HxW" (e.g. 256x256); default: one strip')
+    p_cv.add_argument("--codec", choices=("ljpeg", "deflate"),
+                      default="ljpeg",
+                      help="DNG compression: lossless JPEG (7) or deflate (8)")
     p_cv.set_defaults(fn=cmd_convert)
 
     p_ls = sub.add_parser("devices", help="list accelerator devices")

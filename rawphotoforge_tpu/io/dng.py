@@ -10,6 +10,12 @@ covers the DNG subset the framework owns natively:
 * lossless-JPEG (Compression=7, ITU-T.81 SOF3) CFA strips AND tiles —
   the encoding nearly all real-world DNGs use (io/ljpeg.py; tiles decode
   in parallel through the native scan decoder)
+* Deflate (Compression=8 / legacy 32946) CFA strips and tiles: integer
+  16/8-bit with Predictor 1/2/34892/34893 (none / horizontal / X2 / X4),
+  and IEEE-float HDR data (SampleFormat=3, fp16/fp32) with the TIFF TN3
+  floating-point Predictor 3 — the encoding Adobe writes for float DNGs.
+  fp24 needs non-IEEE exponent-bias math with no offline ground truth, so
+  it raises a typed error instead of risking a silently wrong decode.
 * the color tags needed for develop: CFAPattern, BlackLevel, WhiteLevel,
   AsShotNeutral, ColorMatrix1, Orientation, plus basic EXIF rationals
 
@@ -40,7 +46,9 @@ T_ORIENTATION = 274
 T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTE_COUNTS = 279
+T_PREDICTOR = 317
 T_SUB_IFDS = 330
+T_SAMPLE_FORMAT = 339
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
@@ -81,7 +89,7 @@ class DngError(PhotoEditorError, ValueError):
 class RawImage:
     """Decoded CFA RAW: everything develop_raw needs (SURVEY.md §7.2 step 4)."""
 
-    mosaic: np.ndarray            # u16 [H, W] raw CFA values
+    mosaic: np.ndarray            # [H, W] raw CFA values: u16, or f32 (HDR DNG)
     pattern: str                  # "RGGB"|"BGGR"|"GRBG"|"GBRG"|"XTRANS"
     black_level: float
     white_level: float
@@ -140,6 +148,155 @@ def _unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
     return (u.astype(np.uint32) * weights).sum(axis=1).astype(np.uint16)
 
 
+# Predictor tag values (TIFF 6.0 + TIFF TN3 + DNG 1.4 / exiftool table):
+# 1 none, 2 horizontal differencing, 3 floating-point (TN3),
+# 34892/34893 horizontal differencing X2/X4 (CFA column pitch).
+_INT_PREDICTOR_STEP = {1: 0, 2: 1, 34892: 2, 34893: 4}
+
+
+def _deflate_decode_block(
+    raw: bytes, bh: int, bw: int, bits: int, predictor: int,
+    sample_format: int, bo: str,
+) -> np.ndarray:
+    """One deflate strip/tile -> [bh, bw] samples (u16, or f32 for HDR).
+
+    Integer predictors store per-row left-differences at the given column
+    pitch (wrapping u16 math — verified against Pillow's independent
+    TIFF deflate+predictor decoder). The TN3 float predictor stores each
+    row as big-endian byte planes with byte-wise differencing (libtiff
+    fpDiff/fpAcc layout).
+    """
+    import zlib
+
+    if sample_format == 3 and bits not in (16, 32):
+        raise DngError(
+            f"unsupported float DNG depth {bits} (fp16/fp32 decode "
+            f"natively; fp24 has no IEEE layout to verify against)"
+        )
+    try:
+        data = zlib.decompress(raw)
+    except zlib.error as e:
+        raise DngError(f"bad deflate stream: {e}") from e
+    bps = bits // 8
+    need = bh * bw * bps
+    if len(data) < need:
+        raise DngError(
+            f"deflate chunk holds {len(data)} bytes, expected {need}"
+        )
+
+    if sample_format == 3:  # IEEE floating point (HDR DNG)
+        if predictor == 3:
+            rows = np.frombuffer(data, np.uint8, count=need).reshape(
+                bh, bps * bw
+            )
+            # Undo byte-wise horizontal differencing (mod-256 running sum),
+            # then reassemble samples from big-endian byte planes.
+            acc = np.cumsum(rows, axis=1, dtype=np.uint64).astype(np.uint8)
+            be = np.moveaxis(acc.reshape(bh, bps, bw), 1, 2)
+            arr = np.frombuffer(
+                np.ascontiguousarray(be).tobytes(),
+                dtype=">f2" if bits == 16 else ">f4",
+            ).reshape(bh, bw)
+        elif predictor == 1:
+            arr = np.frombuffer(
+                data, dtype=bo + ("f2" if bits == 16 else "f4"),
+                count=bh * bw,
+            ).reshape(bh, bw)
+        else:
+            raise DngError(f"unsupported float predictor {predictor}")
+        return arr.astype(np.float32)
+
+    if bits == 16:
+        arr = np.frombuffer(data, dtype=bo + "u2", count=bh * bw)
+    elif bits == 8:
+        arr = np.frombuffer(data, np.uint8, count=bh * bw).astype(np.uint16)
+    else:
+        raise DngError(f"unsupported deflate bit depth {bits}")
+    arr = arr.reshape(bh, bw)
+    step = _INT_PREDICTOR_STEP.get(predictor)
+    if step is None:
+        raise DngError(f"unsupported integer predictor {predictor}")
+    if step:
+        out = arr.astype(np.uint64)
+        for lane in range(step):
+            out[:, lane::step] = np.cumsum(out[:, lane::step], axis=1)
+        arr = out.astype(np.uint16)
+    return np.ascontiguousarray(arr)
+
+
+def _deflate_encode_block(
+    block: np.ndarray, predictor: int, level: int = 6
+) -> bytes:
+    """Inverse of _deflate_decode_block for the writer (round-trip gated)."""
+    import zlib
+
+    if block.dtype.kind == "f":
+        bps = block.dtype.itemsize
+        bh, bw = block.shape
+        if predictor == 3:
+            be = np.frombuffer(
+                np.ascontiguousarray(block.astype(">f2" if bps == 2 else ">f4")
+                                     ).tobytes(), np.uint8,
+            ).reshape(bh, bw, bps)
+            planes = np.moveaxis(be, 2, 1).reshape(bh, bps * bw)
+            diff = planes.astype(np.int64)
+            diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+            payload = diff.astype(np.uint8).tobytes()
+        elif predictor == 1:
+            payload = np.ascontiguousarray(
+                block.astype("<f2" if bps == 2 else "<f4")).tobytes()
+        else:
+            raise DngError(f"unsupported float predictor {predictor}")
+        return zlib.compress(payload, level)
+
+    step = _INT_PREDICTOR_STEP.get(predictor)
+    if step is None:
+        raise DngError(f"unsupported integer predictor {predictor}")
+    out = block.astype(np.int64)
+    if step:
+        for lane in range(block.shape[1] - 1, step - 1, -1):
+            out[:, lane] -= block[:, lane - step].astype(np.int64)
+    return zlib.compress(out.astype("<u2").tobytes(), level)
+
+
+def _assemble_chunks(
+    decode_one, offsets, counts, height, width, rows_per, cols_per, dtype,
+    tiled: bool, parallel: bool = True,
+) -> np.ndarray:
+    """Paste decoded strips/tiles into the mosaic (TIFF 6.0 §15 layout:
+    tiles across then down; edge tiles stored padded to full tile size and
+    cropped here; the last strip is stored short).
+    ``decode_one(i, stored_h, stored_w)`` returns [>=h_take, >=w_take]
+    samples for chunk i, whose *stored* block dims are passed in.
+    """
+    tiles_across = (width + cols_per - 1) // cols_per
+    mosaic = np.zeros((height, width), dtype=dtype)
+
+    def one(i):
+        ty, tx = divmod(i, tiles_across)
+        y0, x0 = ty * rows_per, tx * cols_per
+        h_take = min(rows_per, height - y0)
+        w_take = min(cols_per, width - x0)
+        stored_h = rows_per if tiled else h_take
+        samples = decode_one(i, stored_h, cols_per)
+        if samples.shape[0] < h_take or samples.shape[1] < w_take:
+            raise DngError(
+                f"chunk {i} decodes to {samples.shape}, expected at least "
+                f"({h_take}, {w_take})"
+            )
+        mosaic[y0 : y0 + h_take, x0 : x0 + w_take] = samples[:h_take, :w_take]
+
+    if parallel and len(offsets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(offsets))) as pool:
+            list(pool.map(one, range(len(offsets))))
+    else:
+        for i in range(len(offsets)):
+            one(i)
+    return mosaic
+
+
 def _decode_ljpeg_chunks(
     data: bytes, offsets, counts, height, width, rows_per, cols_per
 ) -> np.ndarray:
@@ -154,36 +311,18 @@ def _decode_ljpeg_chunks(
     """
     from . import ljpeg
 
-    tiles_across = (width + cols_per - 1) // cols_per
-    mosaic = np.zeros((height, width), dtype=np.uint16)
-
-    def one(i):
+    def one(i, _stored_h, _stored_w):
         o, c = offsets[i], counts[i]
         try:
             samples, _frame = ljpeg.decode(data[o : o + c])
         except ljpeg.LJpegError as e:
             raise DngError(f"chunk {i}: {e}") from e
-        ty, tx = divmod(i, tiles_across)
-        y0, x0 = ty * rows_per, tx * cols_per
-        if samples.shape[0] < min(rows_per, height - y0) or samples.shape[1] < min(
-            cols_per, width - x0
-        ):
-            raise DngError(
-                f"chunk {i} decodes to {samples.shape}, expected at least "
-                f"({min(rows_per, height - y0)}, {min(cols_per, width - x0)})"
-            )
-        h_take = min(rows_per, height - y0)
-        w_take = min(cols_per, width - x0)
-        mosaic[y0 : y0 + h_take, x0 : x0 + w_take] = samples[:h_take, :w_take]
+        return samples
 
-    if len(offsets) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(min(8, len(offsets))) as pool:
-            list(pool.map(one, range(len(offsets))))
-    else:
-        one(0)
-    return mosaic
+    return _assemble_chunks(
+        one, offsets, counts, height, width, rows_per, cols_per,
+        np.uint16, tiled=cols_per < width or rows_per < height,
+    )
 
 
 def read_dng(data: bytes) -> RawImage:
@@ -242,11 +381,17 @@ def read_dng(data: bytes) -> RawImage:
     if isinstance(bits, list):
         bits = bits[0]
     compression = tag(cfa_ifd, T_COMPRESSION, 1)
-    if compression not in (1, 7):
+    if compression not in (1, 7, 8, 32946):
         raise DngError(
             f"unsupported DNG compression {compression} (supported: 1 "
-            f"uncompressed, 7 lossless JPEG)"
+            f"uncompressed, 7 lossless JPEG, 8/32946 deflate)"
         )
+    sample_format = tag(cfa_ifd, T_SAMPLE_FORMAT, 1)
+    if isinstance(sample_format, list):
+        sample_format = sample_format[0]
+    if sample_format not in (1, 3):
+        raise DngError(f"unsupported SampleFormat {sample_format}")
+    predictor = int(tag(cfa_ifd, T_PREDICTOR, 1))
 
     tiled = T_TILE_OFFSETS in cfa_ifd
     if tiled:
@@ -258,15 +403,30 @@ def read_dng(data: bytes) -> RawImage:
     offsets = offsets if isinstance(offsets, list) else [offsets]
     counts = counts if isinstance(counts, list) else [counts]
 
-    if compression == 7:
+    if compression in (7, 8, 32946):
         rows_per = (
             tag(cfa_ifd, T_TILE_LENGTH) if tiled
             else tag(cfa_ifd, T_ROWS_PER_STRIP, height)
         )
         cols_per = tag(cfa_ifd, T_TILE_WIDTH) if tiled else width
-        mosaic = _decode_ljpeg_chunks(
-            data, offsets, counts, height, width, rows_per, cols_per
-        )
+        if compression == 7:
+            mosaic = _decode_ljpeg_chunks(
+                data, offsets, counts, height, width, rows_per, cols_per
+            )
+        else:
+            def _one_deflate(i, stored_h, stored_w):
+                o, c = offsets[i], counts[i]
+                return _deflate_decode_block(
+                    data[o : o + c], stored_h, stored_w, bits, predictor,
+                    sample_format, bo,
+                )
+
+            mosaic = _assemble_chunks(
+                _one_deflate, offsets, counts, height, width, rows_per,
+                cols_per,
+                np.float32 if sample_format == 3 else np.uint16,
+                tiled=tiled,
+            )
     else:
         if tiled:
             raise DngError("tiled uncompressed DNG is not supported")
@@ -289,7 +449,7 @@ def read_dng(data: bytes) -> RawImage:
     # raw values index the table before black/white scaling — some cameras
     # store companded data.
     lintab = tag(cfa_ifd, T_LINEARIZATION_TABLE)
-    if lintab is not None:
+    if lintab is not None and mosaic.dtype.kind == "u":
         lt = np.asarray(
             lintab if isinstance(lintab, list) else [lintab], dtype=np.uint16
         )
@@ -357,7 +517,9 @@ def read_dng(data: bytes) -> RawImage:
     black = any_ifd(T_BLACK_LEVEL, 0)
     if isinstance(black, list):
         black = float(np.mean(black))
-    white = any_ifd(T_WHITE_LEVEL, (1 << bits) - 1)
+    # Floating-point DNG data is already scene-linear; the spec default
+    # white level for SampleFormat=3 is 1.0.
+    white = any_ifd(T_WHITE_LEVEL, 1.0 if sample_format == 3 else (1 << bits) - 1)
     if isinstance(white, list):
         white = float(white[0])
 
@@ -428,18 +590,50 @@ def write_dng(
     active_area: Optional[tuple] = None,
     linearization_table: Optional[np.ndarray] = None,
 ) -> bytes:
-    """Emit a minimal valid 16-bit CFA DNG (little-endian).
+    """Emit a minimal valid CFA DNG (little-endian).
 
     ``compression=1`` writes uncompressed strips; ``compression=7`` writes
     lossless-JPEG (SOF3, 2-component column-interleaved — the layout real
-    DNG converters emit). With ``tile=(th, tw)`` the compressed variant is
-    tiled (tw must be even); otherwise one strip covers the image.
+    DNG converters emit); ``compression=8`` writes deflate (integer u16
+    with ``predictor`` 1/2/34892/34893, or — when ``raw.mosaic`` is
+    floating point — fp16/fp32 HDR data with the TN3 float ``predictor``
+    3). With ``tile=(th, tw)`` the compressed variants are tiled (tw must
+    be even for SOF3); otherwise one strip covers the image.
     """
     h, w = raw.mosaic.shape
-    mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
+    is_float = raw.mosaic.dtype.kind == "f"
+    if is_float:
+        if compression != 8:
+            raise DngError("floating-point mosaics require compression=8")
+        bits = 16 if raw.mosaic.dtype == np.float16 else 32
+        mosaic = np.ascontiguousarray(
+            raw.mosaic.astype(np.float16 if bits == 16 else np.float32))
+        if predictor == 1:
+            predictor = 3  # TN3 float predictor, the layout Adobe writes
+    else:
+        bits = 16
+        mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
 
     chunks: list[bytes] = []
-    if compression == 7:
+    if compression == 8:
+        def enc8(block: np.ndarray) -> bytes:
+            return _deflate_encode_block(block, predictor)
+
+        if tile is not None:
+            th, tw = tile
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = mosaic[y0 : y0 + th, x0 : x0 + tw]
+                    if block.shape != (th, tw):
+                        block = np.pad(
+                            block,
+                            ((0, th - block.shape[0]), (0, tw - block.shape[1])),
+                            mode="edge",
+                        )
+                    chunks.append(enc8(block))
+        else:
+            chunks.append(enc8(mosaic))
+    elif compression == 7:
         from . import ljpeg
 
         precision = max(2, int(raw.mosaic.max()).bit_length())
@@ -471,7 +665,7 @@ def write_dng(
             chunks.append(enc(mosaic))
     elif compression == 1:
         if tile is not None:
-            raise DngError("tiling is only supported with compression=7")
+            raise DngError("tiling is only supported with compression 7/8")
         chunks.append(mosaic.tobytes())
     else:
         raise DngError(f"unsupported write compression {compression}")
@@ -514,9 +708,13 @@ def write_dng(
     add(T_NEW_SUBFILE_TYPE, 4, 0)
     add(T_WIDTH, 4, w)
     add(T_LENGTH, 4, h)
-    add(T_BITS_PER_SAMPLE, 3, 16)
+    add(T_BITS_PER_SAMPLE, 3, bits)
     add(T_COMPRESSION, 3, compression)
     add(T_PHOTOMETRIC, 3, PHOTOMETRIC_CFA)
+    if is_float:
+        add(T_SAMPLE_FORMAT, 3, 3)
+    if compression == 8 and predictor != 1:
+        add(T_PREDICTOR, 3, predictor)
     if "Make" in raw.exif:
         add(T_MAKE, 2, raw.exif["Make"])
     if "Model" in raw.exif:
@@ -535,8 +733,14 @@ def write_dng(
     add(T_CFA_REPEAT_DIM, 3, cfa_rep)
     entries.append([T_CFA_PATTERN, 1, len(cfa), cfa])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
-    add(T_BLACK_LEVEL, 3, int(raw.black_level))
-    add(T_WHITE_LEVEL, 3, int(raw.white_level))
+    if is_float:
+        # Fractional levels for HDR data go out as rationals (the reader's
+        # generic tag parser returns them as floats either way).
+        add(T_BLACK_LEVEL, 5, [(int(round(raw.black_level * 1e6)), 1000000)])
+        add(T_WHITE_LEVEL, 5, [(int(round(raw.white_level * 1e6)), 1000000)])
+    else:
+        add(T_BLACK_LEVEL, 3, int(raw.black_level))
+        add(T_WHITE_LEVEL, 3, int(raw.white_level))
     if active_area is not None:
         add(T_ACTIVE_AREA, 4, [int(v) for v in active_area])
     if linearization_table is not None:

@@ -19,12 +19,13 @@ from .dng import DngError, RawImage, read_dng
 
 # The RAW container surface (rust-godot-legacy image.rs:14-179 enumerates
 # these via rawler's format list). DNG and any TIFF-structured RAW with
-# uncompressed OR lossless-JPEG (SOF3 strips/tiles) CFA data decode
-# natively today — that covers standard DNGs from Adobe converters and
-# cameras. Vendor-specific schemes (Nikon NEF huffman variant, Sony ARW
-# delta packing, ...) parse their container/EXIF but raise a typed
-# unsupported-compression error. The TIFF walker finds the CFA IFD in
-# ARW/NEF/ORF/PEF/RW2-style files too.
+# uncompressed, lossless-JPEG (SOF3 strips/tiles), or deflate
+# (Compression=8, integer or fp16/fp32 HDR) CFA data decode natively
+# today — that covers standard DNGs from Adobe converters and cameras
+# plus Canon CR2 (io/cr2.py). Vendor-specific schemes (Nikon NEF huffman
+# variant, Sony ARW delta packing, ...) parse their container/EXIF but
+# raise a typed unsupported-compression error. The TIFF walker finds the
+# CFA IFD in ARW/NEF/ORF/PEF/RW2-style files too.
 RAW_EXTENSIONS = {
     ".dng", ".arw", ".nef", ".nrw", ".cr2", ".orf", ".pef", ".raf",
     ".rw2", ".srw", ".kdc", ".dcr", ".erf", ".3fr", ".fff", ".iiq",
