@@ -176,7 +176,7 @@ def _batch_raw_fast_path(paths, args) -> int:
     for p in paths:
         with open(p, "rb") as f:
             raw = parse_raw(f.read())
-        h, w = raw.mosaic.shape
+        h, w = raw.mosaic.shape[:2]
         mos01 = dm.normalize_mosaic(
             jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
         )
@@ -192,14 +192,20 @@ def _batch_raw_fast_path(paths, args) -> int:
                 packed, sharpen, pattern=raw.pattern, default_curves=dc,
             )
         else:
-            # Non-Bayer CFA (X-Trans): the one-pass kernel is Bayer-only;
-            # develop via the generic path, then the fused edit kernel.
+            # Non-Bayer data (X-Trans CFA, or demosaiced LinearRaw): the
+            # one-pass kernel is Bayer-only; develop via the generic path,
+            # then the fused edit kernel.
             from ..kernels import fused
 
-            planes = dm.develop_raw(
-                mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-                pattern=raw.pattern,
-            )
+            if raw.pattern == "RGB":
+                planes = dm.develop_linear_raw(
+                    mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam
+                )
+            else:
+                planes = dm.develop_raw(
+                    mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
+                    pattern=raw.pattern,
+                )
             if edit.sharpness:
                 from ..ops.sharpen import unsharp_mask
 
@@ -291,7 +297,7 @@ def cmd_convert(args) -> int:
         out = write_dng(raw, compression=7, tile=tile)
     with open(args.output, "wb") as f:
         f.write(out)
-    h, w = raw.mosaic.shape
+    h, w = raw.mosaic.shape[:2]
     print(f"converted {w}x{h} {raw.pattern} mosaic: "
           f"{len(src)} -> {len(out)} bytes "
           f"({len(src) / max(len(out), 1):.2f}x)")

@@ -250,9 +250,10 @@ class PhotoEditor:
 
         seg = make_segmenter(segmenter) if not hasattr(
             segmenter, "segment") else segmenter
+        from ..utils.transfer import fetch_u8_hwc
+
         srgb = self.apply(FULL, cropped=False)
-        rgb_u8 = (np.asarray(jnp.clip(srgb, 0.0, 1.0)).transpose(1, 2, 0)
-                  * 255.0).astype(np.uint8)
+        rgb_u8 = fetch_u8_hwc(srgb)
         logits = segment_to_mask(seg, rgb_u8, point_xy)
         self.add_mask(name, logits)
 
@@ -515,7 +516,9 @@ class PhotoEditor:
     def get_srgb_f32(self, level: str = FULL) -> np.ndarray:
         """HWC float32 sRGB render (the wasm get_rgb_f32 surface,
         photo-editor-web/src/lib.rs)."""
-        return np.asarray(self.apply(level)).transpose(1, 2, 0)
+        from ..utils.transfer import fetch_np
+
+        return fetch_np(self.apply(level)).transpose(1, 2, 0)
 
     def save(self, path: str, quality: int = 95) -> None:
         """Full-resolution render + encode (web/main.ts:910-954 policy:

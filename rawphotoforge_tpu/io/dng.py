@@ -72,6 +72,8 @@ T_AS_SHOT_NEUTRAL = 50728
 T_ACTIVE_AREA = 50829
 
 PHOTOMETRIC_CFA = 32803
+PHOTOMETRIC_LINEAR_RAW = 34892   # demosaiced RAW (DNG spec)
+COMPRESSION_LOSSY_JPEG = 34892   # baseline DCT JPEG (DNG 1.4 lossy)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8}
@@ -261,16 +263,18 @@ def _deflate_encode_block(
 
 def _assemble_chunks(
     decode_one, offsets, counts, height, width, rows_per, cols_per, dtype,
-    tiled: bool, parallel: bool = True,
+    tiled: bool, parallel: bool = True, channels: int = 0,
 ) -> np.ndarray:
     """Paste decoded strips/tiles into the mosaic (TIFF 6.0 §15 layout:
     tiles across then down; edge tiles stored padded to full tile size and
     cropped here; the last strip is stored short).
     ``decode_one(i, stored_h, stored_w)`` returns [>=h_take, >=w_take]
     samples for chunk i, whose *stored* block dims are passed in.
+    ``channels`` > 0 assembles interleaved multi-sample data [H, W, C].
     """
     tiles_across = (width + cols_per - 1) // cols_per
-    mosaic = np.zeros((height, width), dtype=dtype)
+    shape = (height, width) if channels == 0 else (height, width, channels)
+    mosaic = np.zeros(shape, dtype=dtype)
 
     def one(i):
         ty, tx = divmod(i, tiles_across)
@@ -364,13 +368,18 @@ def read_dng(data: bytes) -> RawImage:
         more, next_off = _read_ifd(data, next_off, bo)
         ifds.append(more)
 
-    cfa_ifd = None
-    for e in ifds:
-        if e.get(T_PHOTOMETRIC) and _value(data, e[T_PHOTOMETRIC], bo) == PHOTOMETRIC_CFA:
-            cfa_ifd = e
+    cfa_ifd = photometric = None
+    for want in (PHOTOMETRIC_CFA, PHOTOMETRIC_LINEAR_RAW):
+        for e in ifds:
+            if e.get(T_PHOTOMETRIC) and _value(data, e[T_PHOTOMETRIC], bo) == want:
+                cfa_ifd, photometric = e, want
+                break
+        if cfa_ifd is not None:
             break
     if cfa_ifd is None:
-        raise DngError("no CFA IFD found (not a Bayer RAW, or compressed preview only)")
+        raise DngError(
+            "no CFA or LinearRaw IFD found (not a RAW, or preview only)"
+        )
 
     def tag(e, t, default=None):
         return _value(data, e[t], bo) if t in e else default
@@ -381,10 +390,11 @@ def read_dng(data: bytes) -> RawImage:
     if isinstance(bits, list):
         bits = bits[0]
     compression = tag(cfa_ifd, T_COMPRESSION, 1)
-    if compression not in (1, 7, 8, 32946):
+    if compression not in (1, 7, 8, 32946, COMPRESSION_LOSSY_JPEG):
         raise DngError(
             f"unsupported DNG compression {compression} (supported: 1 "
-            f"uncompressed, 7 lossless JPEG, 8/32946 deflate)"
+            f"uncompressed, 7 lossless JPEG, 8/32946 deflate, 34892 lossy "
+            f"JPEG)"
         )
     sample_format = tag(cfa_ifd, T_SAMPLE_FORMAT, 1)
     if isinstance(sample_format, list):
@@ -403,7 +413,59 @@ def read_dng(data: bytes) -> RawImage:
     offsets = offsets if isinstance(offsets, list) else [offsets]
     counts = counts if isinstance(counts, list) else [counts]
 
-    if compression in (7, 8, 32946):
+    pattern = None
+    if photometric == PHOTOMETRIC_LINEAR_RAW:
+        spp = tag(cfa_ifd, T_SAMPLES_PER_PIXEL, 1)
+        if spp != 3:
+            raise DngError(
+                f"LinearRaw with {spp} samples/pixel is not supported"
+            )
+        rows_per = (
+            tag(cfa_ifd, T_TILE_LENGTH) if tiled
+            else tag(cfa_ifd, T_ROWS_PER_STRIP, height)
+        )
+        cols_per = tag(cfa_ifd, T_TILE_WIDTH) if tiled else width
+        if compression == COMPRESSION_LOSSY_JPEG:
+            import io as _io
+
+            from PIL import Image as PILImage
+
+            def _one_jpeg(i, stored_h, stored_w):
+                o, c = offsets[i], counts[i]
+                arr = np.array(PILImage.open(_io.BytesIO(data[o : o + c])))
+                if arr.ndim != 3 or arr.shape[2] != 3:
+                    raise DngError(
+                        f"lossy chunk {i} decodes to shape {arr.shape}, "
+                        f"expected RGB"
+                    )
+                return arr.astype(np.uint16)
+
+            mosaic = _assemble_chunks(
+                _one_jpeg, offsets, counts, height, width, rows_per,
+                cols_per, np.uint16, tiled=tiled, channels=3,
+            )
+        elif compression == 1:
+            if tiled:
+                raise DngError("tiled uncompressed LinearRaw is not supported")
+            strip_data = b"".join(
+                data[o : o + c] for o, c in zip(offsets, counts)
+            )
+            n_samples = width * height * 3
+            if bits == 16:
+                arr = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
+            elif bits == 8:
+                arr = np.frombuffer(
+                    strip_data, dtype=np.uint8, count=n_samples
+                ).astype(np.uint16)
+            else:
+                raise DngError(f"unsupported LinearRaw bit depth {bits}")
+            mosaic = arr.reshape(height, width, 3)
+        else:
+            raise DngError(
+                f"unsupported LinearRaw compression {compression}"
+            )
+        pattern = "RGB"
+    elif compression in (7, 8, 32946):
         rows_per = (
             tag(cfa_ifd, T_TILE_LENGTH) if tiled
             else tag(cfa_ifd, T_ROWS_PER_STRIP, height)
@@ -428,6 +490,10 @@ def read_dng(data: bytes) -> RawImage:
                 tiled=tiled,
             )
     else:
+        if compression != 1:
+            raise DngError(
+                f"compression {compression} is only supported for LinearRaw"
+            )
         if tiled:
             raise DngError("tiled uncompressed DNG is not supported")
         strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
@@ -464,7 +530,7 @@ def read_dng(data: bytes) -> RawImage:
         if not (0 <= top < bottom <= height and 0 <= left < right <= width):
             raise DngError(f"ActiveArea {active} outside {height}x{width}")
         mosaic = mosaic[top:bottom, left:right]
-        height, width = mosaic.shape
+        height, width = mosaic.shape[:2]
         phase_y, phase_x = top, left
 
     # CFA pattern: 2x2 Bayer or 6x6 X-Trans (CFARepeatPatternDim). Both
@@ -479,7 +545,9 @@ def read_dng(data: bytes) -> RawImage:
     cfa = tag(cfa_ifd, T_CFA_PATTERN) or any_ifd(T_CFA_PATTERN)
     rep = tag(cfa_ifd, T_CFA_REPEAT_DIM) or any_ifd(T_CFA_REPEAT_DIM) or [2, 2]
     rep = [int(v) for v in (rep if isinstance(rep, list) else [rep, rep])]
-    if cfa is None:
+    if pattern is not None:
+        pass  # LinearRaw: demosaiced data, no CFA layout to parse
+    elif cfa is None:
         pattern = "RGGB"
     else:
         ph, pw = rep
@@ -600,6 +668,11 @@ def write_dng(
     3). With ``tile=(th, tw)`` the compressed variants are tiled (tw must
     be even for SOF3); otherwise one strip covers the image.
     """
+    if raw.mosaic.ndim != 2:
+        raise DngError(
+            "re-encoding demosaiced LinearRaw data as DNG is not supported; "
+            "export a JPEG/PNG/TIFF instead"
+        )
     h, w = raw.mosaic.shape
     is_float = raw.mosaic.dtype.kind == "f"
     if is_float:

@@ -62,13 +62,19 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
         cam2srgb = jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
     else:
         cam2srgb = jnp.eye(3, dtype=jnp.float32)
-    planes = dm.develop_raw(
-        mosaic01,
-        jnp.asarray(raw.wb_gains, dtype=jnp.float32),
-        cam2srgb,
-        pattern=raw.pattern,
-        method=method,
-    )
+    if raw.pattern == "RGB":
+        # Demosaiced LinearRaw data (lossy DNG): WB + matrix only.
+        planes = dm.develop_linear_raw(
+            mosaic01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam2srgb
+        )
+    else:
+        planes = dm.develop_raw(
+            mosaic01,
+            jnp.asarray(raw.wb_gains, dtype=jnp.float32),
+            cam2srgb,
+            pattern=raw.pattern,
+            method=method,
+        )
     if raw.default_crop is not None:
         # DNG DefaultCrop: recommended final crop, applied post-demosaic
         # (so the demosaic keeps its border context), pre-orientation.

@@ -367,3 +367,14 @@ def develop_raw(
         rgb = demosaic_cfa(m, NAMED_CFA[pattern])
     rgb = camera_to_srgb(rgb, cam2srgb)
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+@jax.jit
+def develop_linear_raw(rgb01, wb_gains, cam2srgb):
+    """Normalized LinearRaw [H, W, 3] in [0,1] -> linear sRGB [3, H, W].
+
+    Demosaiced RAW data (DNG PhotometricInterpretation=LinearRaw, e.g.
+    lossy-JPEG DNGs): the develop_raw chain minus the demosaic — WB gains
+    per channel, camera matrix, clip."""
+    planes = jnp.moveaxis(rgb01 * wb_gains[None, None, :], -1, 0)
+    return jnp.clip(camera_to_srgb(planes, cam2srgb), 0.0, 1.0)
