@@ -202,16 +202,18 @@ def main(argv=None) -> int:
 
     if want("5"):
         # The full export path, nothing excluded: device develop (one-pass
-        # fused RAW kernel) -> u8 -> host fetch -> JPEG encode (PIL, q92)
-        # -> file write, host work pipelined behind the device. Under the
-        # axon tunnel the fetch pays remote-link bandwidth a
-        # locally-attached host would not.
+        # fused RAW kernel) -> device YCbCr 4:2:0 (1.5 B/px over the link)
+        # -> banded parallel fetch -> native baseline-JPEG encode
+        # (rpf_jpeg_encode_ycc420, q92) -> file write, host work pipelined
+        # behind the device. Under the axon tunnel the fetch pays
+        # remote-link bandwidth a locally-attached host would not.
         import os
         import shutil
         import tempfile
         from concurrent.futures import ThreadPoolExecutor
 
-        from PIL import Image as PILImage
+        from rawphotoforge_tpu import native as rpf_native
+        from rawphotoforge_tpu.io import jpegenc
 
         bh, bw = 4000, 6000  # 24MP per image
         chunk = 4
@@ -224,11 +226,13 @@ def main(argv=None) -> int:
         ])
         params5 = edit_params(extent=(bh, bw))
 
+        to_ycc = jpegenc._to_ycc420_jit()
+
         @jax.jit
         def export_chunk(ms):
             def one(m):
                 srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-                return (jnp.clip(srgb, 0, 1) * 255.0).astype(jnp.uint8)
+                return to_ycc(srgb)
 
             # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic
             # input cannot be batch-blocked; sequential per-image is the
@@ -238,9 +242,10 @@ def main(argv=None) -> int:
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
         def encode_one(arg):
-            i, arr = arg
-            img = PILImage.fromarray(np.asarray(arr).transpose(1, 2, 0))
-            img.save(os.path.join(outdir, f"img{i:04d}.jpg"), quality=92)
+            i, y_, cb_, cr_ = arg
+            data = rpf_native.jpeg_encode_ycc420(y_, cb_, cr_, quality=92)
+            with open(os.path.join(outdir, f"img{i:04d}.jpg"), "wb") as f:
+                f.write(data)
 
         # Device-side develop throughput for this shape (the end-to-end
         # number below adds host transfer + encode).
@@ -257,21 +262,26 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         from rawphotoforge_tpu.utils.transfer import fetch_np
 
-        with ThreadPoolExecutor(8) as pool:
+        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(2) as cpool:
             pending = []
             dev_out = export_chunk(mosaics)  # device computes chunk 0
             for ci in range(n_chunks):
                 tf = time.perf_counter()
                 # Banded parallel fetch of the whole chunk: the remote link
                 # is single-stream window-bound but sustains ~3x more across
-                # ~8 MB concurrent bands (utils/transfer.py).
-                chunk_u8 = fetch_np(dev_out)
-                host_u8 = [chunk_u8[j] for j in range(chunk)]
+                # ~8 MB concurrent bands (utils/transfer.py); chroma planes
+                # ride alongside the luma fetch.
+                dy, dcb, dcr = dev_out
+                fcb = cpool.submit(fetch_np, dcb)
+                fcr = cpool.submit(fetch_np, dcr)
+                host_y = fetch_np(dy)
+                host_cb, host_cr = fcb.result(), fcr.result()
                 t_fetch += time.perf_counter() - tf
                 if ci + 1 < n_chunks:
                     dev_out = export_chunk(mosaics)  # overlap next chunk
                 pending.extend(
-                    pool.submit(encode_one, (ci * chunk + j, host_u8[j]))
+                    pool.submit(encode_one, (ci * chunk + j, host_y[j],
+                                             host_cb[j], host_cr[j]))
                     for j in range(chunk)
                 )
             for f in pending:
@@ -284,17 +294,18 @@ def main(argv=None) -> int:
         assert len(files) == n_images, f"export wrote {len(files)} files"
         shutil.rmtree(outdir)
         total_mpix = n_images * bh * bw / 1e6
-        u8_gb = n_images * 3 * bh * bw / 1e9
+        ycc_gb = n_images * 1.5 * bh * bw / 1e9
         results["c5_batch256_24mp_s"] = dt_total
         results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
         results["c5_fetch_s"] = t_fetch
         log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
             f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
             f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
-            f"{t_fetch:.0f} s of that is fetching {u8_gb:.1f} GB of u8 pixels "
-            f"over the remote tunnel ({u8_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s "
-            f"link; a locally-attached host moves this at PCIe rates); "
-            f"{total_bytes / 1e9:.2f} GB of JPEGs written")
+            f"{t_fetch:.0f} s of that is fetching {ycc_gb:.1f} GB of device-"
+            f"subsampled YCbCr 4:2:0 planes over the remote tunnel "
+            f"({ycc_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s link; a locally-"
+            f"attached host moves this at PCIe rates); native baseline-JPEG "
+            f"encode overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")
 
     with open(RESULTS_PATH, "w") as f:
         json.dump({k: round(v, 3) for k, v in results.items()}, f, indent=1)

@@ -222,8 +222,16 @@ def _batch_raw_fast_path(paths, args) -> int:
         out = os.path.join(
             args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"
         )
+        # Fast JPEG path: device-side YCbCr 4:2:0 + native encoder (half
+        # the link bytes); falls back to the Pillow path without native.
+        from ..io import jpegenc
+
+        if jpegenc.available():
+            body = jpegenc.encode_jpeg(srgb, quality=args.quality)
+        else:
+            body = image_io.encode_image(srgb, "JPEG", quality=args.quality)
         with open(out, "wb") as f:
-            f.write(image_io.encode_image(srgb, "JPEG", quality=args.quality))
+            f.write(body)
         total_pix += h * w
         print(f"  {p} -> {out}")
     dt = time.perf_counter() - t0

@@ -70,6 +70,10 @@ def _load():
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.rpf_ljpeg_pack_bits.argtypes = [i64p, u8p, c64, u8p]
     lib.rpf_ljpeg_pack_bits.restype = c64
+    lib.rpf_jpeg_encode_ycc420.argtypes = [
+        u8p, u8p, u8p, c, c, c, u8p, c64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rpf_jpeg_encode_ycc420.restype = c
     _lib = lib
     return lib
 
@@ -199,3 +203,32 @@ def binarize_mask(src, threshold):
     out = np.empty(s.shape, dtype=np.float32)
     lib.rpf_binarize_mask_f32(s, out, s.size, float(threshold))
     return out
+
+
+def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
+    """Baseline JFIF 4:2:0 encode from planar YCbCr u8 (the export hot
+    path; planes come from io/jpegenc's device-side conversion)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    cb = np.ascontiguousarray(cb, dtype=np.uint8)
+    cr = np.ascontiguousarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if cb.shape != (ch, cw) or cr.shape != (ch, cw):
+        raise ValueError(
+            f"chroma planes must be ({ch}, {cw}), got {cb.shape}/{cr.shape}"
+        )
+    # Worst case (noise at high quality) stays well under 2 bytes/pixel
+    # of luma + headers; the encoder bounds-checks and reports overflow.
+    cap = int(h) * int(w) * 2 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = _ct.c_int64(0)
+    rc = lib.rpf_jpeg_encode_ycc420(
+        y, cb, cr, h, w, int(quality), out, cap, _ct.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"rpf_jpeg_encode_ycc420 failed (rc={rc})")
+    return out[: out_len.value].tobytes()
