@@ -69,6 +69,7 @@ a{{color:#8cf}}
   <div style="margin-top:6px"><b>{masks}</b>
     <select id=masksel onchange="switchMask()"><option>main</option></select>
     <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
+    <label style="font-size:11px"><input type=checkbox id=smartsel checked>smart</label>
     <button onclick="maskOp('invert')">{invert_mask}</button>
     <button onclick="maskOp('remove')">{remove_mask}</button>
     <label>{mask_range}: <span id=v_mask_range>0</span>
@@ -465,8 +466,10 @@ pv.onmousedown=async e=>{{
     const x=Math.round(cur[0]+fx*(cur[2]-cur[0]));
     const y=Math.round(cur[1]+fy*(cur[3]-cur[1]));
     const name='mask'+(++maskCounter);
+    const smart=document.getElementById('smartsel').checked;
     await fetch('/mask/add',{{method:'POST',body:JSON.stringify(
-      {{name:name,point:[x,y],tolerance:0.12}})}});
+      smart?{{name:name,point:[x,y],smart:true,tolerance:0.15}}
+           :{{name:name,point:[x,y],tolerance:0.12}})}});
     await loadMasks(name);
     switchMask();
     toggleMaskAdd();
@@ -734,6 +737,14 @@ def make_handler(app: EditorApp):
                             if seg is not None:
                                 app.editor.add_model_mask(
                                     body["name"], tuple(body["point"]), seg
+                                )
+                            elif body.get("smart"):
+                                # Model-free object selection: edge-aware
+                                # geodesic flood fill.
+                                app.editor.add_smart_mask(
+                                    body["name"], tuple(body["point"]),
+                                    body.get("tolerance", 0.15),
+                                    body.get("edge_weight", 12.0),
                                 )
                             else:
                                 # Graceful degradation: model-free OKLab

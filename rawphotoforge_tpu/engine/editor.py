@@ -237,6 +237,33 @@ class PhotoEditor:
         h, w = self.shape
         self.add_mask(name, np.asarray(logits)[:h, :w])
 
+    def add_smart_mask(
+        self, name: str, point_xy: tuple[int, int],
+        tolerance: float = 0.15, edge_weight: float = 12.0,
+    ) -> None:
+        """Point-prompted *object* selection, model-free: edge-aware
+        geodesic flood fill (ops/masking.smart_select_mask) run at MID
+        preview resolution and upsampled — the same resize-to-levels flow
+        v1 uses for SAM masks (raw_photo_forge.py:2427-2474). Unlike
+        add_similarity_mask the selection respects connectivity and stops
+        at contrast boundaries."""
+        from ..ops.geometry import resize_bilinear
+        from ..ops.masking import smart_select_mask
+
+        level = MID  # always present (falls back to FULL for small images)
+        mh, mw = self._extents[level]
+        h, w = self.shape
+        x, y = point_xy  # full-res prompt coordinates
+        py = min(mh - 1, max(0, int(y * mh / h)))
+        px = min(mw - 1, max(0, int(x * mw / w)))
+        base = self._geo_at(level)[:, :mh, :mw]
+        logits = smart_select_mask(
+            base, (py, px), tolerance=tolerance, edge_weight=edge_weight
+        )
+        if (mh, mw) != (h, w):
+            logits = resize_bilinear(logits[None], h, w)[0]
+        self.add_mask(name, np.asarray(logits))
+
     def add_model_mask(self, name: str, point_xy: tuple[int, int],
                        segmenter) -> None:
         """Point-prompted AI mask via an external segmenter adapter — the
