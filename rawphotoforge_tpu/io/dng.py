@@ -330,7 +330,24 @@ def _decode_ljpeg_chunks(
 
 
 def read_dng(data: bytes) -> RawImage:
-    """Parse DNG/TIFF bytes into a RawImage."""
+    """Parse DNG/TIFF bytes into a RawImage.
+
+    Untrusted-input contract: malformed bytes (truncation, corruption)
+    raise DngError — low-level parse failures never escape (the CLI and
+    server map PhotoEditorError to friendly failures; fuzzed in
+    tests/test_dng_fuzz.py)."""
+    import struct as _struct
+
+    try:
+        return _read_dng(data)
+    except (PhotoEditorError, MemoryError):
+        raise
+    except (_struct.error, ValueError, IndexError, KeyError, TypeError,
+            OverflowError, OSError) as e:
+        raise DngError(f"malformed RAW container: {e}") from e
+
+
+def _read_dng(data: bytes) -> RawImage:
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -386,6 +403,12 @@ def read_dng(data: bytes) -> RawImage:
 
     width = tag(cfa_ifd, T_WIDTH)
     height = tag(cfa_ifd, T_LENGTH)
+    # Sanity caps protect against corrupted dimension tags turning into
+    # multi-GB allocations (largest real sensors are ~150 MP).
+    if not (isinstance(width, int) and isinstance(height, int)
+            and 0 < width <= 65535 and 0 < height <= 65535
+            and width * height <= 500_000_000):
+        raise DngError(f"implausible RAW dimensions {width}x{height}")
     bits = tag(cfa_ifd, T_BITS_PER_SAMPLE, 16)
     if isinstance(bits, list):
         bits = bits[0]

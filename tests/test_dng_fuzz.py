@@ -1,0 +1,79 @@
+"""Container robustness: malformed RAW bytes must raise typed errors.
+
+Every mutation of a valid DNG (truncation, byte flips, zeroed spans) must
+either decode or raise a PhotoEditorError subclass — never an unhandled
+struct.error/IndexError/OSError escaping to the caller (the CLI and
+server map typed errors to friendly failures; anything else is a crash).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from rawphotoforge_tpu._errbase import PhotoEditorError
+from rawphotoforge_tpu.io import dng
+
+
+def _variants():
+    rng = np.random.default_rng(0)
+    mosaic = rng.integers(0, 16000, size=(24, 32), dtype=np.uint16)
+    raw = dng.RawImage(
+        mosaic=mosaic, pattern="RGGB", black_level=128.0,
+        white_level=16383.0, wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+    )
+    out = {
+        "uncompressed": dng.write_dng(raw, compression=1),
+        "ljpeg": dng.write_dng(raw, compression=7),
+        "ljpeg_tiled": dng.write_dng(raw, compression=7, tile=(16, 16)),
+        "deflate": dng.write_dng(raw, compression=8, predictor=2),
+        "float": dng.write_dng(
+            dng.RawImage(
+                mosaic=(mosaic.astype(np.float32) / 16383.0),
+                pattern="RGGB", black_level=0.0, white_level=1.0,
+                wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+            ),
+            compression=8,
+        ),
+    }
+    # A lossy LinearRaw fixture via the test builder.
+    from PIL import Image as PILImage
+
+    from test_dng_lossy import _build_dng
+
+    rgb = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    PILImage.fromarray(rgb).save(buf, format="JPEG", quality=90)
+    jpg = buf.getvalue()
+    out["lossy"] = _build_dng(
+        24, 32, [jpg],
+        chunk_tags=[(273, 4, 1, 0), (278, 4, 1, 24), (279, 4, 1, len(jpg))],
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_variants()))
+def test_mutations_raise_typed_errors(name):
+    data = _variants()[name]
+    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    failures = []
+    for trial in range(120):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:  # truncate
+            cut = int(rng.integers(1, len(buf)))
+            buf = buf[:cut]
+        elif kind == 1:  # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:  # zero a span
+            a = int(rng.integers(0, len(buf) - 1))
+            b = min(len(buf), a + int(rng.integers(1, 64)))
+            buf[a:b] = bytes(b - a)
+        try:
+            dng.read_dng(bytes(buf))
+        except PhotoEditorError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            failures.append((trial, kind, type(e).__name__, str(e)[:120]))
+    assert not failures, failures[:5]
