@@ -266,6 +266,11 @@ def main(argv=None) -> int:
             pending = []
             dev_out = export_chunk(mosaics)  # device computes chunk 0
             for ci in range(n_chunks):
+                # NOTE: dispatching the next chunk BEFORE this fetch was
+                # tried and is >2x SLOWER through the tunnel — the dispatch
+                # RPC and the bulk fetch contend on the same link, so keep
+                # the dispatch after the fetch (device compute is only
+                # ~33 ms/chunk, negligible next to the transfer).
                 tf = time.perf_counter()
                 # Banded parallel fetch of the whole chunk: the remote link
                 # is single-stream window-bound but sustains ~3x more across
@@ -278,7 +283,7 @@ def main(argv=None) -> int:
                 host_cb, host_cr = fcb.result(), fcr.result()
                 t_fetch += time.perf_counter() - tf
                 if ci + 1 < n_chunks:
-                    dev_out = export_chunk(mosaics)  # overlap next chunk
+                    dev_out = export_chunk(mosaics)
                 pending.extend(
                     pool.submit(encode_one, (ci * chunk + j, host_y[j],
                                              host_cb[j], host_cr[j]))

@@ -69,7 +69,7 @@ a{{color:#8cf}}
   <div style="margin-top:6px"><b>{masks}</b>
     <select id=masksel onchange="switchMask()"><option>main</option></select>
     <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
-    <label style="font-size:11px"><input type=checkbox id=smartsel checked>smart</label>
+    <label style="font-size:11px"><input type=checkbox id=smartsel checked>{smart_select}</label>
     <button onclick="maskOp('invert')">{invert_mask}</button>
     <button onclick="maskOp('remove')">{remove_mask}</button>
     <label>{mask_range}: <span id=v_mask_range>0</span>
