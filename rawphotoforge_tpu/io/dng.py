@@ -19,9 +19,13 @@ covers the DNG subset the framework owns natively:
 * the color tags needed for develop: CFAPattern, BlackLevel, WhiteLevel,
   AsShotNeutral, ColorMatrix1, Orientation, plus basic EXIF rationals
 
-plus a writer that emits valid uncompressed or lossless-JPEG (optionally
-tiled) 16-bit CFA DNGs — used for tests, fixtures, and re-exporting
-mosaics.
+* lossy-JPEG DNG (Compression=34892) over PhotometricInterpretation=
+  LinearRaw RGB — the demosaiced format Adobe's lossy DNGs use; decoded
+  via Pillow and developed without the demosaic stage
+
+plus a writer that emits valid uncompressed, lossless-JPEG (optionally
+tiled), or deflate (integer u16 / fp16 / fp32) CFA DNGs — used for tests,
+fixtures, and archival re-compression (`cli convert`).
 """
 
 from __future__ import annotations
@@ -92,7 +96,10 @@ class RawImage:
     """Decoded CFA RAW: everything develop_raw needs (SURVEY.md §7.2 step 4)."""
 
     mosaic: np.ndarray            # [H, W] raw CFA values: u16, or f32 (HDR DNG)
-    pattern: str                  # "RGGB"|"BGGR"|"GRBG"|"GBRG"|"XTRANS"
+    pattern: str                  # "RGGB"|"BGGR"|"GRBG"|"GBRG"|"XTRANS", or
+                                  # "RGB" (demosaiced LinearRaw: mosaic is
+                                  # [H, W, 3] and the develop path skips
+                                  # demosaic)
     black_level: float
     white_level: float
     wb_gains: tuple               # (r, g, b) camera WB multipliers, g == 1
@@ -262,7 +269,7 @@ def _deflate_encode_block(
 
 
 def _assemble_chunks(
-    decode_one, offsets, counts, height, width, rows_per, cols_per, dtype,
+    decode_one, n_chunks, height, width, rows_per, cols_per, dtype,
     tiled: bool, parallel: bool = True, channels: int = 0,
 ) -> np.ndarray:
     """Paste decoded strips/tiles into the mosaic (TIFF 6.0 §15 layout:
@@ -290,13 +297,13 @@ def _assemble_chunks(
             )
         mosaic[y0 : y0 + h_take, x0 : x0 + w_take] = samples[:h_take, :w_take]
 
-    if parallel and len(offsets) > 1:
+    if parallel and n_chunks > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, len(offsets))) as pool:
-            list(pool.map(one, range(len(offsets))))
+        with ThreadPoolExecutor(min(8, n_chunks)) as pool:
+            list(pool.map(one, range(n_chunks)))
     else:
-        for i in range(len(offsets)):
+        for i in range(n_chunks):
             one(i)
     return mosaic
 
@@ -324,7 +331,7 @@ def _decode_ljpeg_chunks(
         return samples
 
     return _assemble_chunks(
-        one, offsets, counts, height, width, rows_per, cols_per,
+        one, len(offsets), height, width, rows_per, cols_per,
         np.uint16, tiled=cols_per < width or rows_per < height,
     )
 
@@ -424,6 +431,14 @@ def _read_dng(data: bytes) -> RawImage:
         sample_format = sample_format[0]
     if sample_format not in (1, 3):
         raise DngError(f"unsupported SampleFormat {sample_format}")
+    if sample_format == 3 and compression not in (8, 32946):
+        # Floating-point data is only handled on the deflate path; letting
+        # it fall into the integer branches would reinterpret half-float
+        # bits as u16 — silently wrong output instead of a typed error.
+        raise DngError(
+            f"float DNG (SampleFormat=3) with compression {compression} "
+            f"is not supported (deflate only)"
+        )
     predictor = int(tag(cfa_ifd, T_PREDICTOR, 1))
 
     tiled = T_TILE_OFFSETS in cfa_ifd
@@ -455,7 +470,12 @@ def _read_dng(data: bytes) -> RawImage:
 
             def _one_jpeg(i, stored_h, stored_w):
                 o, c = offsets[i], counts[i]
-                arr = np.array(PILImage.open(_io.BytesIO(data[o : o + c])))
+                try:
+                    arr = np.array(PILImage.open(_io.BytesIO(data[o : o + c])))
+                except Exception as e:  # noqa: BLE001 — PIL raises its own
+                    # hierarchy (incl. DecompressionBombError, a direct
+                    # Exception subclass) on corrupt embedded JPEGs.
+                    raise DngError(f"lossy chunk {i}: {e}") from e
                 if arr.ndim != 3 or arr.shape[2] != 3:
                     raise DngError(
                         f"lossy chunk {i} decodes to shape {arr.shape}, "
@@ -464,7 +484,7 @@ def _read_dng(data: bytes) -> RawImage:
                 return arr.astype(np.uint16)
 
             mosaic = _assemble_chunks(
-                _one_jpeg, offsets, counts, height, width, rows_per,
+                _one_jpeg, len(offsets), height, width, rows_per,
                 cols_per, np.uint16, tiled=tiled, channels=3,
             )
         elif compression == 1:
@@ -507,7 +527,7 @@ def _read_dng(data: bytes) -> RawImage:
                 )
 
             mosaic = _assemble_chunks(
-                _one_deflate, offsets, counts, height, width, rows_per,
+                _one_deflate, len(offsets), height, width, rows_per,
                 cols_per,
                 np.float32 if sample_format == 3 else np.uint16,
                 tiled=tiled,
@@ -704,8 +724,12 @@ def write_dng(
         bits = 16 if raw.mosaic.dtype == np.float16 else 32
         mosaic = np.ascontiguousarray(
             raw.mosaic.astype(np.float16 if bits == 16 else np.float32))
-        if predictor == 1:
-            predictor = 3  # TN3 float predictor, the layout Adobe writes
+        if predictor != 3:
+            # Integer predictors (1/2/X2/X4) have no float meaning; remap
+            # to the TN3 float predictor — the layout Adobe writes — so
+            # callers like `cli convert --codec deflate` work on the float
+            # DNGs the reader supports.
+            predictor = 3
     else:
         bits = 16
         mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
@@ -831,9 +855,17 @@ def write_dng(
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
     if is_float:
         # Fractional levels for HDR data go out as rationals (the reader's
-        # generic tag parser returns them as floats either way).
-        add(T_BLACK_LEVEL, 5, [(int(round(raw.black_level * 1e6)), 1000000)])
-        add(T_WHITE_LEVEL, 5, [(int(round(raw.white_level * 1e6)), 1000000)])
+        # generic tag parser returns them as floats either way). The
+        # denominator shrinks for large values so the u32 numerator
+        # cannot overflow (e.g. white_level=16383.0 on float data).
+        def _rat(v):
+            den = 1000000
+            while den > 1 and round(v * den) > 0xFFFFFFFF:
+                den //= 10
+            return (int(round(v * den)), den)
+
+        add(T_BLACK_LEVEL, 5, [_rat(raw.black_level)])
+        add(T_WHITE_LEVEL, 5, [_rat(raw.white_level)])
     else:
         add(T_BLACK_LEVEL, 3, int(raw.black_level))
         add(T_WHITE_LEVEL, 3, int(raw.white_level))

@@ -222,13 +222,19 @@ def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
         raise ValueError(
             f"chroma planes must be ({ch}, {cw}), got {cb.shape}/{cr.shape}"
         )
-    # Worst case (noise at high quality) stays well under 2 bytes/pixel
-    # of luma + headers; the encoder bounds-checks and reports overflow.
-    cap = int(h) * int(w) * 2 + (1 << 16)
-    out = np.empty(cap, dtype=np.uint8)
+    # Start at 2 bytes/pixel (noise at quality 100 measures ~1.98 B/px)
+    # and grow on overflow; the absolute worst case — max-magnitude
+    # coefficients everywhere plus full byte stuffing — is bounded by
+    # ~10 B/px, covered by the last rung.
     out_len = _ct.c_int64(0)
-    rc = lib.rpf_jpeg_encode_ycc420(
-        y, cb, cr, h, w, int(quality), out, cap, _ct.byref(out_len))
+    rc = 3
+    for bpp in (2, 4, 10):
+        cap = int(h) * int(w) * bpp + (1 << 16)
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.rpf_jpeg_encode_ycc420(
+            y, cb, cr, h, w, int(quality), out, cap, _ct.byref(out_len))
+        if rc != 3:
+            break
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_ycc420 failed (rc={rc})")
     return out[: out_len.value].tobytes()

@@ -133,3 +133,35 @@ def test_float_requires_deflate():
                black_level=0.0, white_level=1.0)
     with pytest.raises(dng.DngError):
         dng.write_dng(raw, compression=1)
+
+
+def test_uncompressed_float_rejected():
+    """SampleFormat=3 outside the deflate path must raise, not decode
+    half-float bits as u16 (review finding)."""
+    vals = np.random.default_rng(2).random((8, 8)).astype(np.float32)
+    raw = _raw(vals, black_level=0.0, white_level=1.0)
+    data = dng.write_dng(raw, compression=8)
+    entry8 = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0)
+    entry1 = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+    assert data.count(entry8) == 1
+    with pytest.raises(dng.DngError, match="SampleFormat=3"):
+        dng.read_dng(data.replace(entry8, entry1))
+
+
+def test_float_write_remaps_integer_predictor():
+    """cli convert --codec deflate passes predictor=34892; float mosaics
+    must remap it to the TN3 predictor instead of failing."""
+    vals = (np.random.default_rng(4).random((12, 16)) * 3.0).astype(np.float32)
+    raw = _raw(vals, black_level=0.0, white_level=2.0)
+    data = dng.write_dng(raw, compression=8, predictor=34892)
+    back = dng.read_dng(data)
+    np.testing.assert_array_equal(back.mosaic, vals)
+
+
+def test_float_large_white_level_rational():
+    """Levels > ~4294 must not overflow the u32 rational numerator."""
+    vals = np.random.default_rng(6).random((8, 8)).astype(np.float32) * 16000
+    raw = _raw(vals, black_level=512.0, white_level=16383.0)
+    back = dng.read_dng(dng.write_dng(raw, compression=8))
+    assert back.white_level == pytest.approx(16383.0, rel=1e-6)
+    assert back.black_level == pytest.approx(512.0, rel=1e-6)

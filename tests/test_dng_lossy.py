@@ -179,3 +179,32 @@ def test_lossy_cfa_is_rejected():
     assert data.count(entry1) == 1
     with pytest.raises(dng.DngError, match="LinearRaw"):
         dng.read_dng(data.replace(entry1, entry_lossy))
+
+
+def test_corrupt_embedded_jpeg_raises_typed_error():
+    """PIL's own exception hierarchy (incl. DecompressionBombError) must
+    not escape read_dng (review finding)."""
+    h, w = 16, 16
+    bad = b"\xff\xd8\xff\xe0" + b"garbage" * 10
+    data = _build_dng(
+        h, w, [bad],
+        chunk_tags=[(273, 4, 1, 0), (278, 4, 1, h), (279, 4, 1, len(bad))],
+    )
+    with pytest.raises(dng.DngError):
+        dng.read_dng(data)
+
+
+def test_decompression_bomb_contained():
+    """A lossy chunk whose SOF declares enormous dimensions must raise
+    DngError, not PIL.Image.DecompressionBombError."""
+    h, w = 16, 16
+    jpg = bytearray(_jpeg_bytes(_gradient_rgb(h, w)))
+    sof = jpg.find(b"\xff\xc0")
+    assert sof > 0
+    jpg[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"  # 65535 x 65535
+    data = _build_dng(
+        h, w, [bytes(jpg)],
+        chunk_tags=[(273, 4, 1, 0), (278, 4, 1, h), (279, 4, 1, len(jpg))],
+    )
+    with pytest.raises(dng.DngError):
+        dng.read_dng(data)

@@ -94,3 +94,16 @@ def test_flat_color_is_near_exact():
     dec = _decode(data)
     src = np.full((32, 32, 3), round(0.42 * 255), dtype=np.uint8)
     assert np.abs(dec.astype(int) - src.astype(int)).max() <= 2
+
+
+def test_high_entropy_q100_grows_buffer():
+    """Noise at quality 100 exceeds 2 B/px; the wrapper must grow the
+    output buffer instead of raising (review finding)."""
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, size=(512, 512), dtype=np.uint8)
+    cb = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    cr = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    data = native.jpeg_encode_ycc420(y, cb, cr, quality=100)
+    assert len(data) > 512 * 512 * 1.5  # genuinely high-entropy stream
+    dec = PILImage.open(io.BytesIO(data))
+    assert dec.size == (512, 512)
