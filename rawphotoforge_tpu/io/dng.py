@@ -431,13 +431,14 @@ def _read_dng(data: bytes) -> RawImage:
         sample_format = sample_format[0]
     if sample_format not in (1, 3):
         raise DngError(f"unsupported SampleFormat {sample_format}")
-    if sample_format == 3 and compression not in (8, 32946):
-        # Floating-point data is only handled on the deflate path; letting
-        # it fall into the integer branches would reinterpret half-float
-        # bits as u16 — silently wrong output instead of a typed error.
+    if sample_format == 3 and compression not in (1, 8, 32946):
+        # Floating-point data is handled on the uncompressed and deflate
+        # paths only; letting it fall into an integer entropy branch would
+        # reinterpret half-float bits as u16 — silently wrong output
+        # instead of a typed error.
         raise DngError(
             f"float DNG (SampleFormat=3) with compression {compression} "
-            f"is not supported (deflate only)"
+            f"is not supported (uncompressed or deflate only)"
         )
     predictor = int(tag(cfa_ifd, T_PREDICTOR, 1))
 
@@ -541,7 +542,17 @@ def _read_dng(data: bytes) -> RawImage:
             raise DngError("tiled uncompressed DNG is not supported")
         strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
         n_samples = width * height
-        if bits == 16:
+        if sample_format == 3:
+            if bits not in (16, 32):
+                raise DngError(
+                    f"unsupported float DNG depth {bits} (fp16/fp32 decode "
+                    f"natively; fp24 has no IEEE layout to verify against)"
+                )
+            mosaic = np.frombuffer(
+                strip_data, dtype=bo + ("f2" if bits == 16 else "f4"),
+                count=n_samples,
+            ).astype(np.float32)
+        elif bits == 16:
             mosaic = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
         elif bits == 8:
             mosaic = np.frombuffer(
@@ -719,12 +730,13 @@ def write_dng(
     h, w = raw.mosaic.shape
     is_float = raw.mosaic.dtype.kind == "f"
     if is_float:
-        if compression != 8:
-            raise DngError("floating-point mosaics require compression=8")
+        if compression not in (1, 8):
+            raise DngError(
+                "floating-point mosaics write as uncompressed or deflate")
         bits = 16 if raw.mosaic.dtype == np.float16 else 32
         mosaic = np.ascontiguousarray(
-            raw.mosaic.astype(np.float16 if bits == 16 else np.float32))
-        if predictor != 3:
+            raw.mosaic.astype("<f2" if bits == 16 else "<f4"))
+        if compression == 8 and predictor != 3:
             # Integer predictors (1/2/X2/X4) have no float meaning; remap
             # to the TN3 float predictor — the layout Adobe writes — so
             # callers like `cli convert --codec deflate` work on the float

@@ -128,24 +128,36 @@ def test_fp24_rejected_with_typed_error():
         dng._deflate_decode_block(b"x" * 4, 2, 2, 24, 3, 3, "<")
 
 
-def test_float_requires_deflate():
+def test_float_rejects_ljpeg_compression():
     raw = _raw(np.ones((8, 8), dtype=np.float32),
                black_level=0.0, white_level=1.0)
     with pytest.raises(dng.DngError):
-        dng.write_dng(raw, compression=1)
+        dng.write_dng(raw, compression=7)
 
 
-def test_uncompressed_float_rejected():
-    """SampleFormat=3 outside the deflate path must raise, not decode
-    half-float bits as u16 (review finding)."""
+@pytest.mark.parametrize("dtype", [np.float16, np.float32])
+def test_uncompressed_float_round_trip(dtype):
+    """Compression=1 + SampleFormat=3 is legal DNG 1.4; decode the IEEE
+    bits directly rather than reinterpreting them as u16 (review
+    finding: the old behavior developed such files as solid white)."""
+    vals = (np.random.default_rng(2).random((10, 14)) * 3.0).astype(dtype)
+    raw = _raw(vals, black_level=0.0, white_level=2.0)
+    back = dng.read_dng(dng.write_dng(raw, compression=1))
+    assert back.mosaic.dtype == np.float32
+    np.testing.assert_array_equal(back.mosaic, vals.astype(np.float32))
+
+
+def test_float_with_entropy_compression_rejected():
+    """SampleFormat=3 under lossless-JPEG must raise, not decode
+    half-float bits as u16."""
     vals = np.random.default_rng(2).random((8, 8)).astype(np.float32)
     raw = _raw(vals, black_level=0.0, white_level=1.0)
     data = dng.write_dng(raw, compression=8)
     entry8 = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0)
-    entry1 = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+    entry7 = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 7, 0)
     assert data.count(entry8) == 1
     with pytest.raises(dng.DngError, match="SampleFormat=3"):
-        dng.read_dng(data.replace(entry8, entry1))
+        dng.read_dng(data.replace(entry8, entry7))
 
 
 def test_float_write_remaps_integer_predictor():
