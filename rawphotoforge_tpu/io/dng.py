@@ -165,14 +165,16 @@ _INT_PREDICTOR_STEP = {1: 0, 2: 1, 34892: 2, 34893: 4}
 
 def _deflate_decode_block(
     raw: bytes, bh: int, bw: int, bits: int, predictor: int,
-    sample_format: int, bo: str,
+    sample_format: int, bo: str, spp: int = 1,
 ) -> np.ndarray:
-    """One deflate strip/tile -> [bh, bw] samples (u16, or f32 for HDR).
+    """One deflate strip/tile -> [bh, bw] (or [bh, bw, spp]) samples.
 
     Integer predictors store per-row left-differences at the given column
     pitch (wrapping u16 math — verified against Pillow's independent
-    TIFF deflate+predictor decoder). The TN3 float predictor stores each
-    row as big-endian byte planes with byte-wise differencing (libtiff
+    TIFF deflate+predictor decoder); with ``spp`` interleaved samples the
+    difference pitch is one *pixel*, i.e. ``spp`` samples (TIFF 6.0 §14).
+    The TN3 float predictor stores each row as big-endian byte planes
+    with byte-wise differencing at byte stride ``spp`` (libtiff
     fpDiff/fpAcc layout).
     """
     import zlib
@@ -187,69 +189,88 @@ def _deflate_decode_block(
     except zlib.error as e:
         raise DngError(f"bad deflate stream: {e}") from e
     bps = bits // 8
-    need = bh * bw * bps
+    wc = bw * spp  # samples per row
+    need = bh * wc * bps
     if len(data) < need:
         raise DngError(
             f"deflate chunk holds {len(data)} bytes, expected {need}"
         )
 
+    def _shape(arr):
+        return arr.reshape(bh, bw) if spp == 1 else arr.reshape(bh, bw, spp)
+
     if sample_format == 3:  # IEEE floating point (HDR DNG)
         if predictor == 3:
             rows = np.frombuffer(data, np.uint8, count=need).reshape(
-                bh, bps * bw
+                bh, bps * wc
             )
-            # Undo byte-wise horizontal differencing (mod-256 running sum),
-            # then reassemble samples from big-endian byte planes.
-            acc = np.cumsum(rows, axis=1, dtype=np.uint64).astype(np.uint8)
-            be = np.moveaxis(acc.reshape(bh, bps, bw), 1, 2)
+            # Undo byte-wise horizontal differencing (mod-256 running sum
+            # at byte stride spp), then reassemble samples from big-endian
+            # byte planes.
+            acc = rows.astype(np.uint64)
+            for lane in range(spp):
+                acc[:, lane::spp] = np.cumsum(acc[:, lane::spp], axis=1)
+            acc = acc.astype(np.uint8)
+            be = np.moveaxis(acc.reshape(bh, bps, wc), 1, 2)
             arr = np.frombuffer(
                 np.ascontiguousarray(be).tobytes(),
                 dtype=">f2" if bits == 16 else ">f4",
-            ).reshape(bh, bw)
+            )
         elif predictor == 1:
             arr = np.frombuffer(
                 data, dtype=bo + ("f2" if bits == 16 else "f4"),
-                count=bh * bw,
-            ).reshape(bh, bw)
+                count=bh * wc,
+            )
         else:
             raise DngError(f"unsupported float predictor {predictor}")
-        return arr.astype(np.float32)
+        return _shape(arr.astype(np.float32))
 
     if bits == 16:
-        arr = np.frombuffer(data, dtype=bo + "u2", count=bh * bw)
+        arr = np.frombuffer(data, dtype=bo + "u2", count=bh * wc)
+        wrap_dtype = np.uint16
     elif bits == 8:
-        arr = np.frombuffer(data, np.uint8, count=bh * bw).astype(np.uint16)
+        arr = np.frombuffer(data, np.uint8, count=bh * wc)
+        wrap_dtype = np.uint8  # differences wrap at the sample width
     else:
         raise DngError(f"unsupported deflate bit depth {bits}")
-    arr = arr.reshape(bh, bw)
+    arr = arr.reshape(bh, wc)
     step = _INT_PREDICTOR_STEP.get(predictor)
     if step is None:
         raise DngError(f"unsupported integer predictor {predictor}")
-    if step:
+    if step > 1 and spp != 1:
+        raise DngError(
+            f"CFA-pitch predictor {predictor} with {spp} samples/pixel"
+        )
+    stride = step * spp
+    if stride:
         out = arr.astype(np.uint64)
-        for lane in range(step):
-            out[:, lane::step] = np.cumsum(out[:, lane::step], axis=1)
-        arr = out.astype(np.uint16)
-    return np.ascontiguousarray(arr)
+        for lane in range(stride):
+            out[:, lane::stride] = np.cumsum(out[:, lane::stride], axis=1)
+        arr = out.astype(wrap_dtype)
+    return _shape(np.ascontiguousarray(arr.astype(np.uint16)))
 
 
 def _deflate_encode_block(
     block: np.ndarray, predictor: int, level: int = 6
 ) -> bytes:
-    """Inverse of _deflate_decode_block for the writer (round-trip gated)."""
+    """Inverse of _deflate_decode_block for the writer (round-trip gated).
+
+    ``block`` is [h, w] single-sample or [h, w, spp] interleaved."""
     import zlib
 
+    spp = 1 if block.ndim == 2 else block.shape[2]
+    bh = block.shape[0]
+    wc = block.shape[1] * spp
     if block.dtype.kind == "f":
         bps = block.dtype.itemsize
-        bh, bw = block.shape
         if predictor == 3:
             be = np.frombuffer(
                 np.ascontiguousarray(block.astype(">f2" if bps == 2 else ">f4")
                                      ).tobytes(), np.uint8,
-            ).reshape(bh, bw, bps)
-            planes = np.moveaxis(be, 2, 1).reshape(bh, bps * bw)
+            ).reshape(bh, wc, bps)
+            planes = np.moveaxis(be, 2, 1).reshape(bh, bps * wc)
             diff = planes.astype(np.int64)
-            diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+            diff[:, spp:] = diff[:, spp:] - diff[:, :-spp]
             payload = diff.astype(np.uint8).tobytes()
         elif predictor == 1:
             payload = np.ascontiguousarray(
@@ -261,10 +282,15 @@ def _deflate_encode_block(
     step = _INT_PREDICTOR_STEP.get(predictor)
     if step is None:
         raise DngError(f"unsupported integer predictor {predictor}")
-    out = block.astype(np.int64)
-    if step:
-        for lane in range(block.shape[1] - 1, step - 1, -1):
-            out[:, lane] -= block[:, lane - step].astype(np.int64)
+    if step > 1 and spp != 1:
+        raise DngError(
+            f"CFA-pitch predictor {predictor} with {spp} samples/pixel"
+        )
+    flat = block.reshape(bh, wc)
+    out = flat.astype(np.int64)
+    stride = step * spp
+    if stride:
+        out[:, stride:] -= flat[:, :-stride].astype(np.int64)
     return zlib.compress(out.astype("<u2").tobytes(), level)
 
 
@@ -488,6 +514,22 @@ def _read_dng(data: bytes) -> RawImage:
                 _one_jpeg, len(offsets), height, width, rows_per,
                 cols_per, np.uint16, tiled=tiled, channels=3,
             )
+        elif compression in (8, 32946):
+            # Deflate LinearRaw — the layout HDR-merge tools emit
+            # (fp16/fp32 demosaiced data), plus integer u16/u8.
+            def _one_deflate3(i, stored_h, stored_w):
+                o, c = offsets[i], counts[i]
+                return _deflate_decode_block(
+                    data[o : o + c], stored_h, stored_w, bits, predictor,
+                    sample_format, bo, spp=3,
+                )
+
+            mosaic = _assemble_chunks(
+                _one_deflate3, len(offsets), height, width, rows_per,
+                cols_per,
+                np.float32 if sample_format == 3 else np.uint16,
+                tiled=tiled, channels=3,
+            )
         elif compression == 1:
             if tiled:
                 raise DngError("tiled uncompressed LinearRaw is not supported")
@@ -495,7 +537,16 @@ def _read_dng(data: bytes) -> RawImage:
                 data[o : o + c] for o, c in zip(offsets, counts)
             )
             n_samples = width * height * 3
-            if bits == 16:
+            if sample_format == 3:
+                if bits not in (16, 32):
+                    raise DngError(
+                        f"unsupported float LinearRaw depth {bits}"
+                    )
+                arr = np.frombuffer(
+                    strip_data, dtype=bo + ("f2" if bits == 16 else "f4"),
+                    count=n_samples,
+                ).astype(np.float32)
+            elif bits == 16:
                 arr = np.frombuffer(strip_data, dtype=bo + "u2", count=n_samples)
             elif bits == 8:
                 arr = np.frombuffer(
@@ -722,13 +773,14 @@ def write_dng(
     3). With ``tile=(th, tw)`` the compressed variants are tiled (tw must
     be even for SOF3); otherwise one strip covers the image.
     """
-    if raw.mosaic.ndim != 2:
-        raise DngError(
-            "re-encoding demosaiced LinearRaw data as DNG is not supported; "
-            "export a JPEG/PNG/TIFF instead"
-        )
-    h, w = raw.mosaic.shape
+    is_rgb = raw.mosaic.ndim == 3
+    if is_rgb and raw.mosaic.shape[2] != 3:
+        raise DngError(f"LinearRaw mosaic must be [H, W, 3], got "
+                       f"{raw.mosaic.shape}")
+    h, w = raw.mosaic.shape[:2]
     is_float = raw.mosaic.dtype.kind == "f"
+    if is_rgb and compression not in (1, 8):
+        raise DngError("LinearRaw writes as uncompressed or deflate")
     if is_float:
         if compression not in (1, 8):
             raise DngError(
@@ -745,6 +797,8 @@ def write_dng(
     else:
         bits = 16
         mosaic = np.ascontiguousarray(raw.mosaic.astype("<u2"))
+        if is_rgb and predictor in (34892, 34893):
+            predictor = 2  # CFA-pitch predictors are meaningless for RGB
 
     chunks: list[bytes] = []
     if compression == 8:
@@ -756,12 +810,12 @@ def write_dng(
             for y0 in range(0, h, th):
                 for x0 in range(0, w, tw):
                     block = mosaic[y0 : y0 + th, x0 : x0 + tw]
-                    if block.shape != (th, tw):
-                        block = np.pad(
-                            block,
-                            ((0, th - block.shape[0]), (0, tw - block.shape[1])),
-                            mode="edge",
-                        )
+                    if block.shape[:2] != (th, tw):
+                        pad = [(0, th - block.shape[0]),
+                               (0, tw - block.shape[1])]
+                        if block.ndim == 3:
+                            pad.append((0, 0))
+                        block = np.pad(block, pad, mode="edge")
                     chunks.append(enc8(block))
         else:
             chunks.append(enc8(mosaic))
@@ -803,7 +857,9 @@ def write_dng(
         raise DngError(f"unsupported write compression {compression}")
     strip = b"".join(chunks)
 
-    if raw.pattern == "XTRANS":
+    if is_rgb:
+        cfa_rep = cfa = None
+    elif raw.pattern == "XTRANS":
         from ..ops.demosaic import XTRANS
 
         cfa_rep = [6, 6]
@@ -840,11 +896,12 @@ def write_dng(
     add(T_NEW_SUBFILE_TYPE, 4, 0)
     add(T_WIDTH, 4, w)
     add(T_LENGTH, 4, h)
-    add(T_BITS_PER_SAMPLE, 3, bits)
+    add(T_BITS_PER_SAMPLE, 3, [bits] * 3 if is_rgb else bits)
     add(T_COMPRESSION, 3, compression)
-    add(T_PHOTOMETRIC, 3, PHOTOMETRIC_CFA)
+    add(T_PHOTOMETRIC, 3,
+        PHOTOMETRIC_LINEAR_RAW if is_rgb else PHOTOMETRIC_CFA)
     if is_float:
-        add(T_SAMPLE_FORMAT, 3, 3)
+        add(T_SAMPLE_FORMAT, 3, [3] * 3 if is_rgb else 3)
     if compression == 8 and predictor != 1:
         add(T_PREDICTOR, 3, predictor)
     if "Make" in raw.exif:
@@ -861,9 +918,10 @@ def write_dng(
         add(T_ROWS_PER_STRIP, 4, h)
         add(T_STRIP_BYTE_COUNTS, 4, len(strip))
     add(T_ORIENTATION, 3, raw.orientation)
-    add(T_SAMPLES_PER_PIXEL, 3, 1)
-    add(T_CFA_REPEAT_DIM, 3, cfa_rep)
-    entries.append([T_CFA_PATTERN, 1, len(cfa), cfa])
+    add(T_SAMPLES_PER_PIXEL, 3, 3 if is_rgb else 1)
+    if not is_rgb:
+        add(T_CFA_REPEAT_DIM, 3, cfa_rep)
+        entries.append([T_CFA_PATTERN, 1, len(cfa), cfa])
     add(T_DNG_VERSION, 1, [1, 4, 0, 0])
     if is_float:
         # Fractional levels for HDR data go out as rationals (the reader's

@@ -153,7 +153,9 @@ def test_lossy_develops_end_to_end():
     )
 
 
-def test_lossy_rejects_reencode_as_dng():
+def test_lossy_reencodes_as_lossless_linear_raw():
+    """`convert` on a lossy DNG re-encodes it losslessly as a LinearRaw
+    deflate DNG (archival recompression of an already-demosaiced file)."""
     h, w = 16, 16
     jpg = _jpeg_bytes(_gradient_rgb(h, w))
     data = _build_dng(
@@ -161,8 +163,13 @@ def test_lossy_rejects_reencode_as_dng():
         chunk_tags=[(273, 4, 1, 0), (278, 4, 1, h), (279, 4, 1, len(jpg))],
     )
     raw = dng.read_dng(data)
-    with pytest.raises(dng.DngError, match="LinearRaw"):
-        dng.write_dng(raw)
+    for compression, predictor in ((8, 2), (8, 1), (1, 1)):
+        back = dng.read_dng(
+            dng.write_dng(raw, compression=compression, predictor=predictor))
+        assert back.pattern == "RGB"
+        np.testing.assert_array_equal(back.mosaic, raw.mosaic)
+    with pytest.raises(dng.DngError):
+        dng.write_dng(raw, compression=7)  # SOF3 stays CFA-only
 
 
 def test_lossy_cfa_is_rejected():
@@ -208,3 +215,78 @@ def test_decompression_bomb_contained():
     )
     with pytest.raises(dng.DngError):
         dng.read_dng(data)
+
+
+def test_interleaved_predictor_matches_pillow():
+    """The spp=3 predictor-2 pitch (one PIXEL = 3 samples) is gated
+    against Pillow's independent TIFF decoder via a u8 RGB fixture."""
+    import zlib
+
+    h, w, spp = 5, 7, 3
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(h, w, spp), dtype=np.uint8)
+    flat = img.reshape(h, w * spp).astype(np.int64)
+    d = flat.copy()
+    d[:, spp:] -= flat[:, :-spp]
+    strip = zlib.compress(d.astype(np.uint8).tobytes())
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, None), (259, 3, 1, 8),
+        (262, 3, 1, 2), (273, 4, 1, 0), (277, 3, 1, 3), (278, 4, 1, h),
+        (279, 4, 1, len(strip)), (317, 3, 1, 2),
+    ]
+    out_of_line = bytearray()
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    packed = []
+    for tag, typ, n, val in entries:
+        payload = (struct.pack("<3H", 8, 8, 8) if tag == 258 else
+                   struct.pack("<I" if typ == 4 else "<H", val))
+        if len(payload) > 4:
+            packed.append((tag, typ, n,
+                           struct.pack("<I", data_off + len(out_of_line))))
+            out_of_line += payload
+        else:
+            packed.append((tag, typ, n, payload.ljust(4, b"\x00")))
+    strip_off = data_off + len(out_of_line)
+    buf = bytearray(b"II" + struct.pack("<HI", 42, 8)
+                    + struct.pack("<H", len(packed)))
+    for tag, typ, n, payload in packed:
+        if tag == 273:
+            payload = struct.pack("<I", strip_off)
+        buf += struct.pack("<HHI", tag, typ, n) + payload
+    buf += struct.pack("<I", 0) + out_of_line + strip
+    got_pil = np.array(PILImage.open(io.BytesIO(bytes(buf))))
+    np.testing.assert_array_equal(got_pil, img)
+    ours = dng._deflate_decode_block(strip, h, w, 8, 2, 1, "<", spp=3)
+    np.testing.assert_array_equal(ours, img)
+
+
+@pytest.mark.parametrize("dtype,predictor,tile", [
+    (np.uint16, 2, None), (np.uint16, 1, (8, 12)),
+    (np.float16, 3, None), (np.float32, 3, (8, 12)), (np.float32, 1, None),
+])
+def test_linear_raw_deflate_round_trip(dtype, predictor, tile):
+    """Deflate LinearRaw (the Lightroom HDR-merge DNG layout: fp16
+    demosaiced RGB) round trips through write_dng/read_dng, strips and
+    tiles, integer and float."""
+    h, w = 18, 26
+    rng = np.random.default_rng(13)
+    if np.issubdtype(dtype, np.integer):
+        vals = rng.integers(0, 60000, size=(h, w, 3)).astype(dtype)
+        kw = dict(black_level=0.0, white_level=65535.0)
+    else:
+        vals = (rng.random((h, w, 3)) * 4.0).astype(dtype)
+        kw = dict(black_level=0.0, white_level=2.0)
+    raw = dng.RawImage(
+        mosaic=vals, pattern="RGB", wb_gains=(1.2, 1.0, 1.6),
+        xyz_to_cam=None, **kw)
+    data = dng.write_dng(raw, compression=8, predictor=predictor, tile=tile)
+    back = dng.read_dng(data)
+    assert back.pattern == "RGB"
+    want = vals.astype(np.float32) if dtype != np.uint16 else vals
+    np.testing.assert_array_equal(back.mosaic, want)
+    # ...and it develops.
+    from rawphotoforge_tpu.io.raw import develop_raw_image
+
+    planes, _ = develop_raw_image(back)
+    assert planes.shape == (3, h, w)
