@@ -17,6 +17,7 @@ linearization happens on the TPU, not the host.
 
 from __future__ import annotations
 
+import functools as _functools
 import io as _io
 import os
 
@@ -54,8 +55,8 @@ def format_for_path(path: str) -> str:
     return SUPPORTED_EXTENSIONS[ext]
 
 
-def decode_ppm16(data: bytes) -> np.ndarray:
-    """16-bit big-endian P6 PPM -> float32 HWC in [0,1] (image.ts:146-195)."""
+def _parse_ppm16(data: bytes) -> np.ndarray:
+    """16-bit big-endian P6 PPM -> u16 HWC samples (image.ts:146-195)."""
     # Header: magic, dims, maxval — whitespace separated, '#' comments allowed.
     pos = 0
     fields = []
@@ -73,7 +74,12 @@ def decode_ppm16(data: bytes) -> np.ndarray:
     if maxval != 65535:
         raise ImageIOError("only 16-bit PPM (max=65535) is supported")
     raw = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=pos)
-    return (raw.astype(np.float32) / 65535.0).reshape(h, w, 3)
+    return raw.reshape(h, w, 3).astype(np.uint16)
+
+
+def decode_ppm16(data: bytes) -> np.ndarray:
+    """16-bit P6 PPM -> float32 HWC in [0,1]."""
+    return _parse_ppm16(data).astype(np.float32) / 65535.0
 
 
 def encode_ppm16(hwc: np.ndarray) -> bytes:
@@ -83,6 +89,19 @@ def encode_ppm16(hwc: np.ndarray) -> bytes:
     return b"P6\n%d %d\n65535\n" % (w, h) + u16.tobytes()
 
 
+@_functools.cache
+def _normalize_upload(scale: float, linearize: bool):
+    """Jitted integer->f32 normalize (+ optional sRGB EOTF) on device."""
+    import jax
+
+    @jax.jit
+    def f(x):
+        y = x.astype(jnp.float32) / jnp.float32(scale)
+        return srgb_to_linear(y) if linearize else y
+
+    return f
+
+
 def decode_image(data: bytes, fmt: str):
     """Decode container bytes -> (planes f32 [3,H,W] linear-light, exif dict).
 
@@ -90,9 +109,11 @@ def decode_image(data: bytes, fmt: str):
     EOTF — except TIFF, which is passed through (image.rs:430-440).
     """
     if fmt == "PPM16":
-        hwc = decode_ppm16(data)
-        planes = jnp.asarray(np.ascontiguousarray(hwc.transpose(2, 0, 1)))
-        return planes, {}
+        u16 = _parse_ppm16(data)
+        # Integer upload + on-device normalize: the host->device link
+        # carries 2 bytes/sample instead of 4 (same f32 math either way).
+        chw = jnp.asarray(np.ascontiguousarray(u16.transpose(2, 0, 1)))
+        return _normalize_upload(65535.0, False)(chw), {}
 
     if fmt == "DNG":
         from .raw import read_raw  # local import to avoid cycle
@@ -114,19 +135,25 @@ def decode_image(data: bytes, fmt: str):
         exif["_exif_bytes"] = raw_exif
     img = ImageOps.exif_transpose(img)
 
+    # Upload the decoder's native integer width and normalize on device:
+    # a 24MP JPEG moves 72 MB over the host->device link instead of 288 MB
+    # (the /scale division is the identical f32 op on either side).
     if img.mode in ("I;16", "I;16B", "I;16L", "I"):
-        arr = np.asarray(img, dtype=np.float32) / 65535.0
+        arr, scale = np.asarray(img, dtype=np.uint16), 65535.0
     elif img.mode == "F":
-        arr = np.asarray(img, dtype=np.float32)
+        arr, scale = np.asarray(img, dtype=np.float32), None
     else:
         if img.mode not in ("RGB", "L"):
             img = img.convert("RGB")
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        arr, scale = np.asarray(img, dtype=np.uint8), 255.0
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
 
     chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
-    if fmt != "TIFF":
+    linearize = fmt != "TIFF"
+    if scale is not None:
+        return _normalize_upload(scale, linearize)(chw), exif
+    if linearize:
         chw = srgb_to_linear(chw)
     return chw, exif
 
