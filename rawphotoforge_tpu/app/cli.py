@@ -95,6 +95,17 @@ def _apply_edit_flags(ed: PhotoEditor, args):
 
 
 def cmd_info(args) -> int:
+    if getattr(args, "preview", None):
+        from ..io.dng import extract_preview
+
+        with open(args.image, "rb") as f:
+            jpeg = extract_preview(f.read())
+        if jpeg is None:
+            print("no embedded JPEG preview found")
+        else:
+            with open(args.preview, "wb") as f:
+                f.write(jpeg)
+            print(f"embedded preview: {len(jpeg)} bytes -> {args.preview}")
     planes, exif = image_io.read_image(args.image)
     _, h, w = planes.shape
     print(f"{args.image}: {w}x{h} ({w * h / 1e6:.1f} MPix)")
@@ -338,6 +349,8 @@ def main(argv=None) -> int:
 
     p_info = sub.add_parser("info", help="print image dims + EXIF")
     p_info.add_argument("image")
+    p_info.add_argument("--preview", type=str, default=None,
+                        help="extract the embedded JPEG preview to this path")
     p_info.set_defaults(fn=cmd_info)
 
     p_dev = sub.add_parser("develop", help="develop one image")

@@ -362,6 +362,76 @@ def _decode_ljpeg_chunks(
     )
 
 
+T_JPEG_INTERCHANGE = 513        # EXIF thumbnail offset (IFD1)
+T_JPEG_INTERCHANGE_LEN = 514
+
+
+def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
+    """IFD0 chain plus every SubIFD of each — the full IFD forest."""
+    (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
+    ifds = []
+    off = ifd0_off
+    seen = set()
+    while off and off not in seen and off + 2 <= len(data):
+        seen.add(off)
+        entries, off = _read_ifd(data, off, bo)
+        ifds.append(entries)
+    for e in list(ifds):
+        if T_SUB_IFDS in e:
+            subs = _value(data, e[T_SUB_IFDS], bo)
+            for s in subs if isinstance(subs, list) else [subs]:
+                if isinstance(s, int) and 0 < s < len(data) and s not in seen:
+                    seen.add(s)
+                    sub, _ = _read_ifd(data, s, bo)
+                    ifds.append(sub)
+    return ifds
+
+
+def extract_preview(data: bytes) -> Optional[bytes]:
+    """Return the largest embedded JPEG preview/thumbnail, or None.
+
+    RAW containers usually embed rendered JPEG previews (DNG preview
+    IFDs with Compression=7 and a non-CFA photometric; Canon CR2's IFD0
+    full-size preview with Compression=6; EXIF IFD1 thumbnails via
+    JPEGInterchangeFormat) — the instant-display images the reference
+    gets from rawler/exiftool. Candidates are validated by their SOI
+    marker; malformed containers return None rather than raising."""
+    try:
+        if data[:2] == b"II":
+            bo = "<"
+        elif data[:2] == b"MM":
+            bo = ">"
+        else:
+            return None
+        best = b""
+        for e in _walk_all_ifds(data, bo):
+            def val(t, default=None):
+                return _value(data, e[t], bo) if t in e else default
+
+            cand = None
+            if T_JPEG_INTERCHANGE in e and T_JPEG_INTERCHANGE_LEN in e:
+                o = val(T_JPEG_INTERCHANGE)
+                n = val(T_JPEG_INTERCHANGE_LEN)
+                if isinstance(o, int) and isinstance(n, int):
+                    cand = data[o : o + n]
+            else:
+                comp = val(T_COMPRESSION, 1)
+                photometric = val(T_PHOTOMETRIC, 0)
+                if comp in (6, 7) and photometric != PHOTOMETRIC_CFA:
+                    offs = val(T_STRIP_OFFSETS)
+                    cnts = val(T_STRIP_BYTE_COUNTS)
+                    if isinstance(offs, list):
+                        offs, cnts = offs[0], (
+                            cnts[0] if isinstance(cnts, list) else cnts)
+                    if isinstance(offs, int) and isinstance(cnts, int):
+                        cand = data[offs : offs + cnts]
+            if cand and cand[:2] == b"\xff\xd8" and len(cand) > len(best):
+                best = cand
+        return best or None
+    except Exception:  # noqa: BLE001 — best-effort on untrusted bytes
+        return None
+
+
 def read_dng(data: bytes) -> RawImage:
     """Parse DNG/TIFF bytes into a RawImage.
 
