@@ -121,6 +121,10 @@ def cmd_develop(args) -> int:
                           lens_correct=args.lens_correct,
                           lens_db_paths=args.lens_db)
     t_load = time.perf_counter() - t0
+    if ed.opened_from_preview:
+        print(f"WARNING: sensor data not decodable "
+              f"({ed.opened_from_preview}); editing the embedded "
+              f"camera-rendered JPEG preview instead")
     if args.lens_correct:
         print(f"lens profile: {ed.applied_lens_profile or 'no match'}")
     _apply_edit_flags(ed, args)

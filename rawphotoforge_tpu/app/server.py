@@ -22,6 +22,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from .._errbase import PhotoEditorError
 from ..core.params import CURVE_NAMES
 from ..engine.editor import PhotoEditor, FULL, MID, LOW
 from ..engine.session import Settings
@@ -681,12 +682,32 @@ def make_handler(app: EditorApp):
                 with app.lock:
                     try:
                         fmt = image_io.format_for_path(name)
-                        app.editor = PhotoEditor.from_bytes(
-                            raw_body, fmt,
+                        kwargs = dict(
                             mid_long_edge=app.settings.ui_preview_size,
                             low_long_edge=app.settings.drag_preview_size,
                         )
-                        self._send(200, b'{"ok": true}')
+                        preview_reason = None
+                        try:
+                            ed = PhotoEditor.from_bytes(raw_body, fmt, **kwargs)
+                        except PhotoEditorError as e:
+                            # Vendor-codec RAW: fall back to the embedded
+                            # camera-rendered JPEG preview (explicit in the
+                            # response, never silently wrong).
+                            from ..io.dng import extract_preview
+                            from ..io.raw import is_raw_image
+
+                            jpeg = (extract_preview(raw_body)
+                                    if is_raw_image(name) else None)
+                            if jpeg is None:
+                                raise
+                            ed = PhotoEditor.from_bytes(jpeg, "JPEG", **kwargs)
+                            preview_reason = str(e)
+                        ed.opened_from_preview = preview_reason
+                        app.editor = ed
+                        self._send(200, json.dumps({
+                            "ok": True,
+                            "opened_from_preview": preview_reason,
+                        }).encode())
                     except Exception as e:  # noqa: BLE001
                         self._send(
                             400, json.dumps({"error": str(e)}).encode()

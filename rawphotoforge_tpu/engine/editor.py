@@ -102,6 +102,9 @@ class PhotoEditor:
         self.crop_rect = None
         # Name of the auto-applied lens profile (open(lens_correct=True)).
         self.applied_lens_profile = None
+        # Set by open() when the session edits an embedded JPEG preview
+        # because the RAW sensor data could not be decoded (vendor codec).
+        self.opened_from_preview = None  # None, or the decode-error string
 
         _, h, w = planes.shape
         full = jax.device_put(planes)
@@ -132,14 +135,36 @@ class PhotoEditor:
     # -- construction -------------------------------------------------------
     @classmethod
     def open(cls, path: str, lens_correct: bool = False,
-             lens_db_paths=None, **kwargs) -> "PhotoEditor":
+             lens_db_paths=None, preview_fallback: bool = True,
+             **kwargs) -> "PhotoEditor":
         """Open a file; with ``lens_correct=True``, resolve the EXIF
         camera/lens against the lens database (bundled profiles plus any
         lensfun XML dirs in ``lens_db_paths``) and auto-apply the matched
         profile — the v1 lensfun flow (editor.py:425-711). The applied
-        profile name is recorded in ``applied_lens_profile``."""
-        planes, exif = image_io.read_image(path)
+        profile name is recorded in ``applied_lens_profile``.
+
+        ``preview_fallback``: when a RAW file's sensor data uses an
+        unsupported vendor codec, open the embedded camera-rendered JPEG
+        preview instead (often full resolution) rather than failing —
+        explicit (``opened_from_preview`` records the decode error), never
+        silently wrong."""
+        preview_reason = None
+        try:
+            planes, exif = image_io.read_image(path)
+        except PhotoEditorError as e:
+            from ..io.dng import extract_preview
+            from ..io.raw import is_raw_image
+
+            if not (preview_fallback and is_raw_image(path)):
+                raise
+            with open(path, "rb") as f:
+                jpeg = extract_preview(f.read())
+            if jpeg is None:
+                raise
+            planes, exif = image_io.decode_image(jpeg, "JPEG")
+            preview_reason = str(e)
         ed = cls(planes, exif=exif, **kwargs)
+        ed.opened_from_preview = preview_reason
         if lens_correct:
             from ..io.lensdb import LensDatabase
 

@@ -98,3 +98,62 @@ def test_cli_info_preview_flag(tmp_path, capsys):
     rc = main(["info", str(p), "--preview", str(out)])
     assert rc != 0 or out.exists()  # extraction happens before decode
     assert out.read_bytes() == big
+
+
+def test_editor_preview_fallback(tmp_path):
+    """An un-decodable vendor RAW with an embedded preview opens as an
+    editable session on the preview, with the decode error recorded."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu._errbase import PhotoEditorError
+    import pytest as _pytest
+
+    big = _jpeg(60, 80, seed=7)
+    p = tmp_path / "vendor.nef"
+    p.write_bytes(_tiff_with_previews(big, _jpeg(10, 12, seed=8)))
+
+    ed = PhotoEditor.open(str(p))
+    assert ed.opened_from_preview  # the DngError text
+    assert ed.shape == (60, 80)
+    ed.set_tone(exposure=0.5)
+    assert ed.apply().shape == (3, 60, 80)
+
+    with _pytest.raises(PhotoEditorError):
+        PhotoEditor.open(str(p), preview_fallback=False)
+
+
+def test_server_open_preview_fallback():
+    import json as _json
+
+    from rawphotoforge_tpu.app import server as srv
+
+    big = _jpeg(40, 50, seed=9)
+    blob = _tiff_with_previews(big, _jpeg(8, 10, seed=10))
+    # Drive the handler logic at the function level via a live server.
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5), port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/open?name=shot.nef", data=blob,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.loads(r.read())
+        assert out["ok"] is True
+        assert out["opened_from_preview"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/preview?level=full", timeout=60
+        ) as r:
+            from PIL import Image as _PILImage
+
+            img = _PILImage.open(io.BytesIO(r.read()))
+        assert img.size == (50, 40)
+    finally:
+        httpd.shutdown()
