@@ -25,6 +25,7 @@ import struct
 
 import numpy as np
 
+from .._errbase import PhotoEditorError
 from .dng import (
     DngError, RawImage, _read_ifd, _value,
     T_COMPRESSION, T_STRIP_OFFSETS, T_STRIP_BYTE_COUNTS, T_MAKE, T_MODEL,
@@ -115,6 +116,21 @@ def _bayer_pattern_at(top: int, left: int) -> str:
 
 
 def read_cr2(data: bytes) -> RawImage:
+    """Parse CR2 bytes into a RawImage.
+
+    Untrusted-input contract (same as read_dng): malformed bytes raise
+    DngError; low-level parse failures never escape (fuzzed in
+    tests/test_dng_fuzz.py)."""
+    try:
+        return _read_cr2(data)
+    except (PhotoEditorError, MemoryError):
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, TypeError,
+            OverflowError, OSError) as e:
+        raise DngError(f"malformed CR2 container: {e}") from e
+
+
+def _read_cr2(data: bytes) -> RawImage:
     if not is_cr2(data):
         raise DngError("not a CR2 container (missing CR\\x02 marker)")
     bo = "<"
@@ -122,7 +138,9 @@ def read_cr2(data: bytes) -> RawImage:
 
     ifds = []
     off = ifd0_off
-    while off:
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
         entries, off = _read_ifd(data, off, bo)
         ifds.append(entries)
 

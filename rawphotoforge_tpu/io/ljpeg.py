@@ -169,6 +169,13 @@ def parse(data: bytes) -> LJpegFrame:
     scan_start, predictor, pt, comp_table = frame_done
     if rows == 0:
         raise LJpegError("DNL-deferred line count is not supported")
+    # Allocation-bomb guard: corrupted SOF3 dimensions must not turn into
+    # multi-GB buffers (largest real sensors are ~150 MP).
+    if rows * mcus * ncomp > 500_000_000:
+        raise LJpegError(
+            f"implausible SOF3 dimensions: {rows} lines x {mcus} MCUs x "
+            f"{ncomp} components"
+        )
 
     # Scan runs until EOI (last 0xFFD9) or end of data.
     end = data.rfind(b"\xff\xd9")

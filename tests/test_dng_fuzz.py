@@ -77,3 +77,34 @@ def test_mutations_raise_typed_errors(name):
         except Exception as e:  # noqa: BLE001
             failures.append((trial, kind, type(e).__name__, str(e)[:120]))
     assert not failures, failures[:5]
+
+
+def test_cr2_mutations_raise_typed_errors():
+    from test_cr2 import build_cr2
+
+    from rawphotoforge_tpu.io.raw import parse_raw
+
+    rng = np.random.default_rng(42)
+    mosaic = rng.integers(0, 16000, size=(48, 48), dtype=np.uint16)
+    data = build_cr2(mosaic)
+    parse_raw(data)  # the pristine fixture must decode
+    failures = []
+    for trial in range(150):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:
+            buf = buf[: int(rng.integers(1, len(buf)))]
+        elif kind == 1:
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:
+            a = int(rng.integers(0, len(buf) - 1))
+            b = min(len(buf), a + int(rng.integers(1, 64)))
+            buf[a:b] = bytes(b - a)
+        try:
+            parse_raw(bytes(buf))
+        except PhotoEditorError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            failures.append((trial, kind, type(e).__name__, str(e)[:120]))
+    assert not failures, failures[:5]
