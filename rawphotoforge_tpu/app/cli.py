@@ -175,6 +175,7 @@ def _batch_raw_fast_path(paths, args) -> int:
     from the kernel's tile-multiple padding (BASELINE config 5 shape)."""
     import jax.numpy as jnp
 
+    from .._errbase import PhotoEditorError
     from ..core.params import pack_params
     from ..io.raw import parse_raw
     from ..io.raw import develop_raw_image  # noqa: F401 (parity fallback)
@@ -186,54 +187,79 @@ def _batch_raw_fast_path(paths, args) -> int:
     sharpen = jnp.float32(edit.sharpness / 100.0 * 2.0)
     # No curve flags -> staircase-shortcut kernel variant (bit-identical).
     dc = all(edit.curves[s].is_default(s) for s in range(4))
+
+    def edit_planes(planes, extent):
+        """Sharpen + the fused edit kernel on already-linear planes."""
+        from ..kernels import fused
+
+        packed = pack_params([edit], extent=extent, build_luts=False)
+        if edit.sharpness:
+            from ..ops.sharpen import unsharp_mask
+
+            planes = unsharp_mask(planes, sharpen)
+        return fused.develop_post_geo_fused(
+            planes, packed, jnp.ones((1,) + planes.shape[1:],
+                                     dtype=jnp.float32),
+            main_mask_all_ones=True,
+        )
+
     t0 = time.perf_counter()
     total_pix = 0
     for p in paths:
         with open(p, "rb") as f:
-            raw = parse_raw(f.read())
-        h, w = raw.mosaic.shape[:2]
-        mos01 = dm.normalize_mosaic(
-            jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
-        )
-        cam = (
-            jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
-            if raw.xyz_to_cam is not None
-            else jnp.eye(3, dtype=jnp.float32)
-        )
-        packed = pack_params([edit], extent=(h, w), build_luts=False)
-        if raw.pattern in dm.BAYER_PATTERNS:
-            srgb = raw_develop_fused(
-                mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-                packed, sharpen, pattern=raw.pattern, default_curves=dc,
-            )
-        else:
-            # Non-Bayer data (X-Trans CFA, or demosaiced LinearRaw): the
-            # one-pass kernel is Bayer-only; develop via the generic path,
-            # then the fused edit kernel.
-            from ..kernels import fused
+            data = f.read()
+        preview_note = ""
+        try:
+            raw = parse_raw(data)
+        except PhotoEditorError as e:
+            # Vendor-codec sensor data: develop the embedded
+            # camera-rendered preview instead of aborting the batch.
+            from ..io.dng import extract_preview
 
-            if raw.pattern == "RGB":
-                planes = dm.develop_linear_raw(
-                    mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam
+            jpeg = extract_preview(data)
+            if jpeg is None:
+                raise
+            raw = None
+            planes, _ = image_io.decode_image(jpeg, "JPEG")
+            preview_note = f"  [embedded preview; sensor decode: {e}]"
+        if raw is None:
+            h, w = planes.shape[1:]
+            srgb = edit_planes(planes, (h, w))
+        else:
+            h, w = raw.mosaic.shape[:2]
+            mos01 = dm.normalize_mosaic(
+                jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
+            )
+            cam = (
+                jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
+                if raw.xyz_to_cam is not None
+                else jnp.eye(3, dtype=jnp.float32)
+            )
+            if raw.pattern in dm.BAYER_PATTERNS:
+                packed = pack_params([edit], extent=(h, w), build_luts=False)
+                srgb = raw_develop_fused(
+                    mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
+                    packed, sharpen, pattern=raw.pattern, default_curves=dc,
                 )
             else:
-                planes = dm.develop_raw(
-                    mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-                    pattern=raw.pattern,
-                )
-            if edit.sharpness:
-                from ..ops.sharpen import unsharp_mask
-
-                planes = unsharp_mask(planes, sharpen)
-            srgb = fused.develop_post_geo_fused(
-                planes, packed, jnp.ones((1,) + planes.shape[1:],
-                                         dtype=jnp.float32),
-                main_mask_all_ones=True,
-            )
-        if raw.default_crop is not None:
-            cx, cy, cw, ch = raw.default_crop
-            srgb = srgb[:, cy : cy + ch, cx : cx + cw]
-        srgb = orient_exif(srgb, raw.orientation)
+                # Non-Bayer data (X-Trans CFA, or demosaiced LinearRaw):
+                # the one-pass kernel is Bayer-only; develop via the
+                # generic path, then the fused edit kernel.
+                if raw.pattern == "RGB":
+                    planes = dm.develop_linear_raw(
+                        mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),
+                        cam,
+                    )
+                else:
+                    planes = dm.develop_raw(
+                        mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),
+                        cam, pattern=raw.pattern,
+                    )
+                srgb = edit_planes(planes, (h, w))
+            if raw.default_crop is not None:
+                cx, cy, cw, ch = raw.default_crop
+                srgb = srgb[:, cy : cy + ch, cx : cx + cw]
+            srgb = orient_exif(srgb, raw.orientation)
         out = os.path.join(
             args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"
         )
@@ -248,7 +274,7 @@ def _batch_raw_fast_path(paths, args) -> int:
         with open(out, "wb") as f:
             f.write(body)
         total_pix += h * w
-        print(f"  {p} -> {out}")
+        print(f"  {p} -> {out}{preview_note}")
     dt = time.perf_counter() - t0
     print(f"batch (fused raw path): {len(paths)} images, "
           f"{total_pix / 1e6:.1f} MPix in {dt:.1f} s "

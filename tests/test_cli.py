@@ -143,3 +143,31 @@ def test_convert_to_compressed_dng(tmp_path, rng, capsys):
     got = read_dng(dst.read_bytes())
     np.testing.assert_array_equal(got.mosaic, raw.mosaic)
     assert got.pattern == raw.pattern
+
+
+def test_batch_fast_path_preview_fallback(tmp_path, capsys):
+    """A vendor-codec RAW (no decodable sensor data, embedded preview
+    present) must not abort the batch — it develops from the preview."""
+    import os
+
+    import numpy as np
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    from test_preview import _jpeg, _tiff_with_previews
+
+    ind = tmp_path / "raws"
+    outd = tmp_path / "out"
+    ind.mkdir()
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    rgb = np.stack([0.2 + 0.4 * xx / 64, 0.3 + 0.3 * yy / 48,
+                    0.4 - 0.1 * xx / 64])
+    (ind / "good.dng").write_bytes(
+        write_dng(synthetic_raw(rgb, wb_gains=(1.8, 1.0, 1.4))))
+    (ind / "vendor.nef").write_bytes(
+        _tiff_with_previews(_jpeg(48, 64, seed=3), _jpeg(8, 10, seed=4)))
+
+    rc = main(["batch", str(ind), str(outd), "--exposure", "0.4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "embedded preview" in out
+    assert sorted(os.listdir(outd)) == ["good.jpg", "vendor.jpg"]
