@@ -89,7 +89,7 @@ def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
 
 
 def _develop_kernel(
-    vig_ref,      # SMEM (1, 3) f32: [vignette slider, true_h, true_w]
+    vig_ref,      # SMEM (1, 4) f32: [vignette, true_h, true_w, row_offset]
     gains_ref,    # SMEM (M, 3) f32
     tone_ref,     # SMEM (M, 6) f32
     knots_ref,    # SMEM (M*4, S) f32
@@ -120,7 +120,11 @@ def _develop_kernel(
 
     # Vignette (main-mask only, wgsl:276): global integer pixel coords,
     # normalized by the *true* extent when the image is bucket-padded.
-    ys = ti * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    # vig_ref[0, 3] is the global row offset of this shard (0 single-chip;
+    # axis_index * local_rows under shard_map — exact in f32 below 2^24).
+    ys = (ti * tile_h
+          + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          ).astype(jnp.float32) + vig_ref[0, 3]
     xs = tj * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
     hf = jnp.where(vig_ref[0, 1] > 0, vig_ref[0, 1], jnp.float32(full_h))
     wf = jnp.where(vig_ref[0, 2] > 0, vig_ref[0, 2], jnp.float32(full_w))
@@ -202,6 +206,7 @@ def develop_post_geo_fused(
     tile_w: int = TILE_W,
     main_mask_all_ones: bool = False,
     default_curves: bool = False,
+    row_offset: jax.Array | None = None,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
@@ -213,6 +218,10 @@ def develop_post_geo_fused(
     all ones (always true for editor sessions, lib.rs:100-113) — elides the
     main-mask read/selects, and with a single mask skips streaming the mask
     array entirely (~14% of HBM traffic).
+
+    ``row_offset``: global row index of this block's first row — pass
+    ``jax.lax.axis_index(...) * local_rows`` when running per-shard under
+    shard_map so the vignette's global coordinates stay correct.
 
     ``default_curves``: caller-asserted invariant that EVERY mask's four
     curves are the defaults (identity brightness/hue, constant-32767
@@ -239,9 +248,11 @@ def develop_post_geo_fused(
     dcoeffs = jnp.diff(
         coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
     ).reshape(m * 4, s * 4)
+    off = (jnp.zeros(1, jnp.float32) if row_offset is None
+           else jnp.asarray(row_offset, jnp.float32).reshape(1))
     vig = jnp.concatenate(
-        [params.vignette.reshape(1), params.extent.reshape(2)]
-    ).reshape(1, 3)
+        [params.vignette.reshape(1), params.extent.reshape(2), off]
+    ).reshape(1, 4)
 
     kernel = functools.partial(
         _develop_kernel,
@@ -259,7 +270,7 @@ def develop_post_geo_fused(
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                                       memory_space=pltpu.SMEM)
     in_specs = [
-        smem((1, 3)),
+        smem((1, 4)),
         smem((m, 3)),
         smem((m, 6)),
         smem((m * 4, s)),

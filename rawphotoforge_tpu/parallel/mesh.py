@@ -66,7 +66,8 @@ def batch_develop_sharded(
 
 
 def develop_spatial_sharded(
-    planes: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh
+    planes: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Single-image develop with rows sharded over the 'sp' axis.
 
@@ -75,6 +76,12 @@ def develop_spatial_sharded(
     cross-shard reads — runs row-sharded too, exchanging only the
     bounded-displacement halo rows (spatial.distortion_sharded). Nothing
     in the step computes replicated full-image data.
+
+    ``use_pallas``: run the fused develop kernel per shard under
+    shard_map (the production multi-chip path: each chip executes the
+    same VMEM-tile megakernel on its row slab, with the shard's global
+    row offset feeding the vignette coordinates) instead of the jnp
+    anchor stack. Output matches the single-device kernel exactly.
     """
     from . import spatial
 
@@ -85,6 +92,33 @@ def develop_spatial_sharded(
     masks = jax.lax.with_sharding_constraint(
         masks, NamedSharding(mesh, P(None, "sp", None))
     )
+    if use_pallas:
+        import dataclasses
+
+        from ..kernels import fused
+
+        # Per-shard kernels see only their row slab, so the true global
+        # extent must ride in params (the single-device kernel can fall
+        # back to the array shape; a shard cannot).
+        ext = jnp.where(
+            params.extent > 0, params.extent,
+            jnp.asarray(planes.shape[1:], jnp.float32),
+        )
+        params = dataclasses.replace(params, extent=ext)
+        n_sp = mesh.shape["sp"]
+        local_rows = planes.shape[1] // n_sp
+
+        def local_fn(g, p, m):
+            off = jax.lax.axis_index("sp") * local_rows
+            return fused.develop_post_geo_fused(g, p, m, row_offset=off)
+
+        return shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, "sp", None), P(), P(None, "sp", None)),
+            out_specs=P(None, "sp", None),
+            check_vma=False,  # axis_index makes shard values device-varying
+        )(geo, params, masks)
     out = dev.develop_post_geo(geo, params, masks)
     return jax.lax.with_sharding_constraint(out, row_sharding)
 

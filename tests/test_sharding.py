@@ -233,3 +233,29 @@ def test_full_step_has_no_replicated_geometry(rng, the_mesh):
         np.asarray(srgb), np.asarray(single), atol=5e-4
     )
     assert int(hist.sum()) == 4 * 64 * 128
+
+
+def test_spatial_pallas_sharded_matches_single_kernel(rng):
+    """The production multi-chip path — the fused Pallas kernel per shard
+    under shard_map, with global-row-offset vignette coordinates — must
+    match the single-device kernel exactly."""
+    from rawphotoforge_tpu.kernels import fused
+
+    sp_mesh = pmesh.make_mesh(n_batch=1, n_spatial=8)
+    h, w = 64, 256
+    img = random_linear_image(rng, h, w)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    p = EditParameters()
+    p.set_tone(exposure=0.6, contrast=20)
+    p.set_vignette(45)  # exercises the global pixel coordinates
+    p.set_curve(1, [0, 30000, 65535], [5000, 33000, 62000])
+    packed = pack_params([p], extent=(h, w))
+    masks = jnp.asarray(
+        (rng.random((1, h, w)) > 0.5).astype(np.float32))
+
+    sharded = jax.jit(
+        pmesh.develop_spatial_sharded, static_argnums=(3, 4)
+    )(planes, packed, masks, sp_mesh, True)
+    single = fused.develop_post_geo_fused(planes, packed, masks)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-6)
