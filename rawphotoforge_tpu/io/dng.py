@@ -67,6 +67,7 @@ T_FOCAL_LENGTH = 37386
 T_LENS_MODEL = 42036
 T_DNG_VERSION = 50706
 T_LINEARIZATION_TABLE = 50712
+T_OPCODE_LIST_2 = 51009         # applied after linearization (DNG 1.3)
 T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
 T_DEFAULT_CROP_ORIGIN = 50719
@@ -360,6 +361,90 @@ def _decode_ljpeg_chunks(
         one, len(offsets), height, width, rows_per, cols_per,
         np.uint16, tiled=cols_per < width or rows_per < height,
     )
+
+
+def _opcodes_contain(opcodes: bytes, want_id: int) -> bool:
+    """Scan an opcode list's headers for a given opcode id (cheap)."""
+    try:
+        (count,) = struct.unpack_from(">I", opcodes, 0)
+        pos = 4
+        for _ in range(count):
+            op_id, _v, _f, nbytes = struct.unpack_from(">IIII", opcodes, pos)
+            if op_id == want_id:
+                return True
+            pos += 16 + nbytes
+    except struct.error:
+        return False
+    return False
+
+
+def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
+    """Apply OpcodeList2 GainMap opcodes (DNG 1.3 §opcodes, id 9) —
+    the per-plane shading/vignette correction phone DNGs rely on.
+    ``mosaic`` must already hold linear reference values (normalized
+    floats — the stage OpcodeList2 is defined at).
+
+    Opcode lists are big-endian: u32 count, then per opcode
+    (u32 id, u32 dng_version, u32 flags, u32 nbytes, params).
+    GainMap params: area (top,left,bottom,right u32), plane,planes,
+    row_pitch,col_pitch (u32), points_v,points_h (u32),
+    spacing_v,spacing_h, origin_v,origin_h (f64), map_planes (u32),
+    then f32 gains [points_v][points_h][map_planes]. Gains sample
+    bilinearly in normalized image coordinates and multiply the pixels
+    of the opcode's pitched area. Unknown opcodes are skipped (the
+    optional-flag pragmatics real decoders use).
+    """
+    out = mosaic.astype(np.float32, copy=True)
+    h, w = out.shape[:2]
+    pos = 0
+    try:
+        (count,) = struct.unpack_from(">I", opcodes, pos)
+        pos += 4
+        for _ in range(count):
+            op_id, _ver, _flags, nbytes = struct.unpack_from(
+                ">IIII", opcodes, pos)
+            pos += 16
+            body = opcodes[pos : pos + nbytes]
+            pos += nbytes
+            if op_id != 9:  # not a GainMap
+                continue
+            (top, left, bottom, right, _plane, _planes, row_pitch,
+             col_pitch, pts_v, pts_h) = struct.unpack_from(">10I", body, 0)
+            spacing_v, spacing_h, origin_v, origin_h = struct.unpack_from(
+                ">4d", body, 40)
+            (map_planes,) = struct.unpack_from(">I", body, 72)
+            n = pts_v * pts_h * map_planes
+            gains = np.frombuffer(body, ">f4", count=n, offset=76).reshape(
+                pts_v, pts_h, map_planes).astype(np.float32)
+            bottom = min(bottom, h)
+            right = min(right, w)
+            if top >= bottom or left >= right or pts_v < 1 or pts_h < 1:
+                continue
+            rows = np.arange(top, bottom, max(row_pitch, 1))
+            cols = np.arange(left, right, max(col_pitch, 1))
+            # Normalized image coordinates -> fractional map indices.
+            mv = ((rows / max(h - 1, 1)) - origin_v) / max(spacing_v, 1e-12)
+            mh = ((cols / max(w - 1, 1)) - origin_h) / max(spacing_h, 1e-12)
+            mv = np.clip(mv, 0.0, pts_v - 1.0)
+            mh = np.clip(mh, 0.0, pts_h - 1.0)
+            v0 = np.minimum(mv.astype(np.int32), pts_v - 2 if pts_v > 1 else 0)
+            h0 = np.minimum(mh.astype(np.int32), pts_h - 2 if pts_h > 1 else 0)
+            fv = (mv - v0)[:, None] if pts_v > 1 else np.zeros((len(rows), 1))
+            fh = (mh - h0)[None, :] if pts_h > 1 else np.zeros((1, len(cols)))
+            g = gains[..., 0]  # map plane 0 per pitched area
+            v1 = np.minimum(v0 + 1, pts_v - 1)
+            h1 = np.minimum(h0 + 1, pts_h - 1)
+            gm = ((1 - fv) * (1 - fh) * g[np.ix_(v0, h0)]
+                  + (1 - fv) * fh * g[np.ix_(v0, h1)]
+                  + fv * (1 - fh) * g[np.ix_(v1, h0)]
+                  + fv * fh * g[np.ix_(v1, h1)]).astype(np.float32)
+            sub = out[np.ix_(rows, cols)]
+            if sub.ndim == 3:  # LinearRaw [H, W, 3]
+                gm = gm[..., None]
+            out[np.ix_(rows, cols)] = sub * gm
+    except (struct.error, ValueError, IndexError) as e:
+        raise DngError(f"malformed OpcodeList2: {e}") from e
+    return out
 
 
 T_JPEG_INTERCHANGE = 513        # EXIF thumbnail offset (IFD1)
@@ -778,6 +863,18 @@ def _read_dng(data: bytes) -> RawImage:
         np.asarray(cm, dtype=np.float64).reshape(3, 3) if cm is not None else None
     )
 
+    # OpcodeList2 GainMap (DNG 1.3, opcode 9): per-area shading correction
+    # defined at the linear-reference-value stage, so normalize first and
+    # hand develop a float mosaic with black=0/white=1 (phone DNGs —
+    # ProRAW, Pixel — rely on this for lens shading).
+    oplist2 = tag(cfa_ifd, T_OPCODE_LIST_2)
+    if isinstance(oplist2, (bytes, bytearray)) and _opcodes_contain(
+            bytes(oplist2), 9):
+        span = max(float(white) - float(black), 1e-9)
+        norm = (mosaic.astype(np.float32) - float(black)) / span
+        mosaic = _apply_gain_maps(norm, bytes(oplist2))
+        black, white = 0.0, 1.0
+
     orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
 
     default_crop = None
@@ -832,6 +929,7 @@ def write_dng(
     predictor: int = 1,
     active_area: Optional[tuple] = None,
     linearization_table: Optional[np.ndarray] = None,
+    opcode_list_2: Optional[bytes] = None,
 ) -> bytes:
     """Emit a minimal valid CFA DNG (little-endian).
 
@@ -1014,6 +1112,9 @@ def write_dng(
     if linearization_table is not None:
         add(T_LINEARIZATION_TABLE, 3,
             [int(v) for v in np.asarray(linearization_table)])
+    if opcode_list_2 is not None:
+        entries.append([T_OPCODE_LIST_2, 7, len(opcode_list_2),
+                        bytes(opcode_list_2)])
     if raw.default_crop is not None:
         cx, cy, cw, ch = raw.default_crop
         add(T_DEFAULT_CROP_ORIGIN, 4, [cx, cy])
