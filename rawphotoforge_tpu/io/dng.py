@@ -68,6 +68,7 @@ T_LENS_MODEL = 42036
 T_DNG_VERSION = 50706
 T_LINEARIZATION_TABLE = 50712
 T_OPCODE_LIST_2 = 51009         # applied after linearization (DNG 1.3)
+T_OPCODE_LIST_3 = 51022         # applied after demosaicking (DNG 1.3)
 T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
 T_DEFAULT_CROP_ORIGIN = 50719
@@ -111,6 +112,9 @@ class RawImage:
     # mosaic — the recommended final crop, applied after demosaic (the v1
     # DefaultCropOrigin auto-crop, python-legacy raw_photo_forge.py:2006+).
     default_crop: Optional[tuple] = None
+    # DNG OpcodeList3 WarpRectilinear (opcode 1): (coefs f32 [P, 6],
+    # center f32 [2] relative) — applied post-demosaic by develop.
+    warp_rectilinear: Optional[tuple] = None
 
     @property
     def shape(self):
@@ -361,6 +365,32 @@ def _decode_ljpeg_chunks(
         one, len(offsets), height, width, rows_per, cols_per,
         np.uint16, tiled=cols_per < width or rows_per < height,
     )
+
+
+def _parse_warp_rectilinear(opcodes: bytes):
+    """Extract WarpRectilinear (opcode 1) from an opcode list, or None.
+
+    Params: u32 plane count (1 shared or 3 per-plane), per plane 6 f64
+    (kr0..kr3, kt0, kt1), then 2 f64 relative optical center."""
+    (count,) = struct.unpack_from(">I", opcodes, 0)
+    pos = 4
+    for _ in range(count):
+        op_id, _ver, _flags, nbytes = struct.unpack_from(">IIII", opcodes, pos)
+        pos += 16
+        body = opcodes[pos : pos + nbytes]
+        pos += nbytes
+        if op_id != 1:
+            continue
+        (nplanes,) = struct.unpack_from(">I", body, 0)
+        if nplanes not in (1, 3):
+            raise DngError(
+                f"WarpRectilinear with {nplanes} coefficient sets")
+        coefs = np.frombuffer(
+            body, ">f8", count=nplanes * 6, offset=4
+        ).reshape(nplanes, 6).astype(np.float32)
+        ccx, ccy = struct.unpack_from(">2d", body, 4 + nplanes * 48)
+        return coefs, np.asarray([ccx, ccy], dtype=np.float32)
+    return None
 
 
 def _opcodes_contain(opcodes: bytes, want_id: int) -> bool:
@@ -875,6 +905,14 @@ def _read_dng(data: bytes) -> RawImage:
         mosaic = _apply_gain_maps(norm, bytes(oplist2))
         black, white = 0.0, 1.0
 
+    # OpcodeList3 WarpRectilinear (post-demosaic geometric correction,
+    # phone DNGs): parsed here, applied by the develop path.
+    warp = None
+    oplist3 = tag(cfa_ifd, T_OPCODE_LIST_3)
+    if isinstance(oplist3, (bytes, bytearray)) and _opcodes_contain(
+            bytes(oplist3), 1):
+        warp = _parse_warp_rectilinear(bytes(oplist3))
+
     orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
 
     default_crop = None
@@ -919,6 +957,7 @@ def _read_dng(data: bytes) -> RawImage:
         orientation=orientation,
         exif=exif,
         default_crop=default_crop,
+        warp_rectilinear=warp,
     )
 
 
@@ -930,6 +969,7 @@ def write_dng(
     active_area: Optional[tuple] = None,
     linearization_table: Optional[np.ndarray] = None,
     opcode_list_2: Optional[bytes] = None,
+    opcode_list_3: Optional[bytes] = None,
 ) -> bytes:
     """Emit a minimal valid CFA DNG (little-endian).
 
@@ -1115,6 +1155,9 @@ def write_dng(
     if opcode_list_2 is not None:
         entries.append([T_OPCODE_LIST_2, 7, len(opcode_list_2),
                         bytes(opcode_list_2)])
+    if opcode_list_3 is not None:
+        entries.append([T_OPCODE_LIST_3, 7, len(opcode_list_3),
+                        bytes(opcode_list_3)])
     if raw.default_crop is not None:
         cx, cy, cw, ch = raw.default_crop
         add(T_DEFAULT_CROP_ORIGIN, 4, [cx, cy])

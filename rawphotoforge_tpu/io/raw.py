@@ -75,6 +75,16 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
             pattern=raw.pattern,
             method=method,
         )
+    if raw.warp_rectilinear is not None:
+        # DNG OpcodeList3 WarpRectilinear: post-demosaic geometric
+        # correction (the distortion correction phone DNGs rely on),
+        # applied before DefaultCrop per the opcode-stage ordering.
+        from ..ops.lenscorr import warp_rectilinear
+
+        coefs, center = raw.warp_rectilinear
+        planes = warp_rectilinear(
+            planes, jnp.asarray(coefs), jnp.asarray(center)
+        )
     if raw.default_crop is not None:
         # DNG DefaultCrop: recommended final crop, applied post-demosaic
         # (so the demosaic keeps its border context), pre-orientation.

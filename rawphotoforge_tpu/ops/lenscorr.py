@@ -83,15 +83,21 @@ def devignette(planes: jax.Array, k: jax.Array, extent=None) -> jax.Array:
     return planes / jnp.maximum(gain, 1e-4)
 
 
-def _remap_radial(plane: jax.Array, scale: jax.Array, geom) -> jax.Array:
-    """Sample ``plane`` at radially scaled coordinates (bilinear, edge clamp).
-
-    ``scale`` is the per-pixel ratio r_src / r_dst; geom is the _radius2
-    output tuple."""
-    dx, dy, _, half_diag, cx, cy, hf, wf = geom
-    h, w = plane.shape
-    sx = dx * scale * half_diag + cx
-    sy = dy * scale * half_diag + cy
+def bilinear_sample(plane: jax.Array, sx: jax.Array, sy: jax.Array,
+                    hf, wf) -> jax.Array:
+    """Sample ``plane`` at float coordinates (bilinear, edge clamp);
+    hf/wf bound the valid extent (true dims under bucket padding)."""
+    # Near-integer coordinates are numerically unstable under fusion: the
+    # floor() and the weight can see differently-contracted (FMA) copies
+    # of the same expression an ulp apart across a pixel boundary, turning
+    # ulp noise into a full-pixel sampling error (observed on the XLA CPU
+    # backend with identity warps). Snap anything within 1e-4 px of an
+    # integer — far below visual relevance — and pin one materialization.
+    snap_x = jnp.round(sx)
+    snap_y = jnp.round(sy)
+    sx = jnp.where(jnp.abs(sx - snap_x) < 1e-4, snap_x, sx)
+    sy = jnp.where(jnp.abs(sy - snap_y) < 1e-4, snap_y, sy)
+    sx, sy = jax.lax.optimization_barrier((sx, sy))
     wi = (wf - 1.0).astype(jnp.int32)
     hi = (hf - 1.0).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, wi)
@@ -111,6 +117,17 @@ def _remap_radial(plane: jax.Array, scale: jax.Array, geom) -> jax.Array:
     ) * ty
 
 
+def _remap_radial(plane: jax.Array, scale: jax.Array, geom) -> jax.Array:
+    """Sample ``plane`` at radially scaled coordinates (bilinear, edge clamp).
+
+    ``scale`` is the per-pixel ratio r_src / r_dst; geom is the _radius2
+    output tuple."""
+    dx, dy, _, half_diag, cx, cy, hf, wf = geom
+    sx = dx * scale * half_diag + cx
+    sy = dy * scale * half_diag + cy
+    return bilinear_sample(plane, sx, sy, hf, wf)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def correct_distortion(
     planes: jax.Array, coeffs: jax.Array, model: str = "poly3", extent=None
@@ -128,6 +145,52 @@ def correct_distortion(
     else:
         raise ValueError(f"unknown distortion model {model!r}")
     return jnp.stack([_remap_radial(planes[i], scale, geom) for i in range(3)])
+
+
+@jax.jit
+def warp_rectilinear(planes: jax.Array, coefs: jax.Array,
+                     center: jax.Array, extent=None) -> jax.Array:
+    """DNG WarpRectilinear (OpcodeList3 opcode 1) — the geometric
+    distortion correction phone DNGs carry.
+
+    ``coefs`` f32 [P, 6] with P in {1, 3} (shared or per-RGB-plane):
+    kr0..kr3 radial, kt0/kt1 tangential. ``center`` f32 [2] = optical
+    center in relative (x, y) image coordinates. Model (DNG 1.3 spec /
+    dng_sdk dng_lens_correction convention): coordinates about the
+    center, normalized by the maximum center-to-corner distance;
+      f(r) = kr0 + kr1 r^2 + kr2 r^4 + kr3 r^6
+      x_src = f x + kt0 (2 x y) + kt1 (r^2 + 2 x^2)
+      y_src = f y + kt1 (2 x y) + kt0 (r^2 + 2 y^2)
+    """
+    _, h, w = planes.shape
+    if extent is None:
+        hf, wf = jnp.float32(h), jnp.float32(w)
+    else:
+        hf = jnp.where(extent[0] > 0, extent[0], jnp.float32(h))
+        wf = jnp.where(extent[1] > 0, extent[1], jnp.float32(w))
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    cx = center[0] * (wf - 1.0)
+    cy = center[1] * (hf - 1.0)
+    # Max distance from the optical center to any image corner.
+    mx = jnp.maximum(cx, (wf - 1.0) - cx)
+    my = jnp.maximum(cy, (hf - 1.0) - cy)
+    mmax = jnp.sqrt(mx * mx + my * my)
+    dx = (xs - cx) / mmax
+    dy = (ys - cy) / mmax
+    r2 = dx * dx + dy * dy
+
+    n_coef = coefs.shape[0]
+    out = []
+    for p in range(3):
+        k = coefs[min(p, n_coef - 1)]
+        fr = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
+        sx_n = fr * dx + k[4] * (2.0 * dx * dy) + k[5] * (r2 + 2.0 * dx * dx)
+        sy_n = fr * dy + k[5] * (2.0 * dx * dy) + k[4] * (r2 + 2.0 * dy * dy)
+        sx = sx_n * mmax + cx
+        sy = sy_n * mmax + cy
+        out.append(bilinear_sample(planes[p], sx, sy, hf, wf))
+    return jnp.stack(out)
 
 
 @jax.jit
