@@ -119,7 +119,7 @@ def test_editor_cache_coherence_random_sequences(rng):
     mask_n = 0
 
     for step in range(40):
-        op = rng.integers(0, 12)
+        op = rng.integers(0, 15)
         names = [m.name for m in ed.masks]
         target = str(rng.choice(names))
         tgt = None if target == "main" else target
@@ -157,6 +157,26 @@ def test_editor_cache_coherence_random_sequences(rng):
         elif op == 11 and rng.random() < 0.15:
             ed.reset()
             mask_n = 0
+        elif op == 12 and mask_n < 3:
+            mask_n += 1
+            ed.add_similarity_mask(
+                f"m{mask_n}",
+                (int(rng.integers(0, 56)), int(rng.integers(0, 40))),
+                color_tolerance=float(rng.uniform(0.05, 0.3)),
+            )
+        elif op == 13 and mask_n < 3:
+            mask_n += 1
+            ed.add_smart_mask(
+                f"m{mask_n}",
+                (int(rng.integers(0, 56)), int(rng.integers(0, 40))),
+                tolerance=float(rng.uniform(0.1, 0.4)),
+            )
+        elif op == 14:
+            # Channel-selectable brightness curve (v1 tone_curve_lut arg).
+            xs = np.sort(rng.choice(65536, size=3, replace=False))
+            ys = rng.integers(0, 65536, size=3)
+            ed.set_curve(0, xs, ys, mask_name=tgt,
+                         channel=int(rng.integers(0, 4)))
         # Interleave renders so caches populate at random moments.
         if rng.random() < 0.6:
             ed.apply(str(rng.choice(levels)))
