@@ -214,13 +214,13 @@ def _batch_raw_fast_path(paths, args) -> int:
         except PhotoEditorError as e:
             # Vendor-codec sensor data: develop the embedded
             # camera-rendered preview instead of aborting the batch.
-            from ..io.dng import extract_preview
+            from ..io.raw import decode_embedded_preview
 
-            jpeg = extract_preview(data)
-            if jpeg is None:
+            res = decode_embedded_preview(data)
+            if res is None:
                 raise
             raw = None
-            planes, _ = image_io.decode_image(jpeg, "JPEG")
+            planes, _ = res
             preview_note = f"  [embedded preview; sensor decode: {e}]"
         if raw is None:
             h, w = planes.shape[1:]
@@ -235,16 +235,19 @@ def _batch_raw_fast_path(paths, args) -> int:
                 if raw.xyz_to_cam is not None
                 else jnp.eye(3, dtype=jnp.float32)
             )
-            if raw.pattern in dm.BAYER_PATTERNS:
+            if raw.pattern in dm.BAYER_PATTERNS and \
+                    raw.warp_rectilinear is None:
                 packed = pack_params([edit], extent=(h, w), build_luts=False)
                 srgb = raw_develop_fused(
                     mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
                     packed, sharpen, pattern=raw.pattern, default_curves=dc,
                 )
             else:
-                # Non-Bayer data (X-Trans CFA, or demosaiced LinearRaw):
-                # the one-pass kernel is Bayer-only; develop via the
-                # generic path, then the fused edit kernel.
+                # Non-Bayer data (X-Trans CFA, demosaiced LinearRaw) or a
+                # WarpRectilinear opcode (must run between demosaic and
+                # the edit stack): the one-pass kernel doesn't cover
+                # these — develop via the generic path, then the fused
+                # edit kernel.
                 if raw.pattern == "RGB":
                     planes = dm.develop_linear_raw(
                         mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),
@@ -255,6 +258,12 @@ def _batch_raw_fast_path(paths, args) -> int:
                         mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),
                         cam, pattern=raw.pattern,
                     )
+                if raw.warp_rectilinear is not None:
+                    from ..ops.lenscorr import warp_rectilinear
+
+                    wc, wcen = raw.warp_rectilinear
+                    planes = warp_rectilinear(
+                        planes, jnp.asarray(wc), jnp.asarray(wcen))
                 srgb = edit_planes(planes, (h, w))
             if raw.default_crop is not None:
                 cx, cy, cw, ch = raw.default_crop
@@ -335,7 +344,9 @@ def cmd_convert(args) -> int:
 
     with open(args.input, "rb") as f:
         src = f.read()
-    raw = parse_raw(src)
+    # Lossless-transcode mode: stored pixel values pass through verbatim
+    # and opcode lists (GainMap/Warp) are re-serialized, not baked in.
+    raw = parse_raw(src, apply_opcodes=False)
     tile = None
     if args.tile:
         th, tw = (int(v) for v in args.tile.split("x"))

@@ -693,14 +693,16 @@ def make_handler(app: EditorApp):
                             # Vendor-codec RAW: fall back to the embedded
                             # camera-rendered JPEG preview (explicit in the
                             # response, never silently wrong).
-                            from ..io.dng import extract_preview
-                            from ..io.raw import is_raw_image
+                            from ..io.raw import (
+                                decode_embedded_preview, is_raw_image,
+                            )
 
-                            jpeg = (extract_preview(raw_body)
-                                    if is_raw_image(name) else None)
-                            if jpeg is None:
+                            res = (decode_embedded_preview(raw_body)
+                                   if is_raw_image(name) else None)
+                            if res is None:
                                 raise
-                            ed = PhotoEditor.from_bytes(jpeg, "JPEG", **kwargs)
+                            planes_p, exif_p = res
+                            ed = PhotoEditor(planes_p, exif=exif_p, **kwargs)
                             preview_reason = str(e)
                         ed.opened_from_preview = preview_reason
                         app.editor = ed

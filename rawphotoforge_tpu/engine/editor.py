@@ -152,16 +152,15 @@ class PhotoEditor:
         try:
             planes, exif = image_io.read_image(path)
         except PhotoEditorError as e:
-            from ..io.dng import extract_preview
-            from ..io.raw import is_raw_image
+            from ..io.raw import decode_embedded_preview, is_raw_image
 
             if not (preview_fallback and is_raw_image(path)):
                 raise
             with open(path, "rb") as f:
-                jpeg = extract_preview(f.read())
-            if jpeg is None:
+                res = decode_embedded_preview(f.read())
+            if res is None:
                 raise
-            planes, exif = image_io.decode_image(jpeg, "JPEG")
+            planes, exif = res
             preview_reason = str(e)
         ed = cls(planes, exif=exif, **kwargs)
         ed.opened_from_preview = preview_reason

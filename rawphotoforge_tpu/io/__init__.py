@@ -13,4 +13,9 @@ Public surface (each re-exported from its module):
 """
 
 from .dng import RawImage, extract_preview, read_dng, write_dng  # noqa: F401
-from .raw import is_raw_image, parse_raw, read_raw  # noqa: F401
+from .image_io import (  # noqa: F401
+    decode_image, encode_image, read_image, write_image,
+)
+from .raw import (  # noqa: F401
+    decode_embedded_preview, is_raw_image, parse_raw, read_raw,
+)

@@ -115,6 +115,10 @@ class RawImage:
     # DNG OpcodeList3 WarpRectilinear (opcode 1): (coefs f32 [P, 6],
     # center f32 [2] relative) — applied post-demosaic by develop.
     warp_rectilinear: Optional[tuple] = None
+    # Raw (unapplied) OpcodeList2/3 blobs, kept ONLY by
+    # read_dng(apply_opcodes=False) so write_dng can re-serialize them —
+    # the lossless-transcode path (cli convert).
+    opcode_lists: Optional[tuple] = None
 
     @property
     def shape(self):
@@ -438,7 +442,7 @@ def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
             pos += nbytes
             if op_id != 9:  # not a GainMap
                 continue
-            (top, left, bottom, right, _plane, _planes, row_pitch,
+            (top, left, bottom, right, plane, planes, row_pitch,
              col_pitch, pts_v, pts_h) = struct.unpack_from(">10I", body, 0)
             spacing_v, spacing_h, origin_v, origin_h = struct.unpack_from(
                 ">4d", body, 40)
@@ -461,17 +465,31 @@ def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
             h0 = np.minimum(mh.astype(np.int32), pts_h - 2 if pts_h > 1 else 0)
             fv = (mv - v0)[:, None] if pts_v > 1 else np.zeros((len(rows), 1))
             fh = (mh - h0)[None, :] if pts_h > 1 else np.zeros((1, len(cols)))
-            g = gains[..., 0]  # map plane 0 per pitched area
             v1 = np.minimum(v0 + 1, pts_v - 1)
             h1 = np.minimum(h0 + 1, pts_h - 1)
-            gm = ((1 - fv) * (1 - fh) * g[np.ix_(v0, h0)]
-                  + (1 - fv) * fh * g[np.ix_(v0, h1)]
-                  + fv * (1 - fh) * g[np.ix_(v1, h0)]
-                  + fv * fh * g[np.ix_(v1, h1)]).astype(np.float32)
+
+            def interp(g):
+                return ((1 - fv) * (1 - fh) * g[np.ix_(v0, h0)]
+                        + (1 - fv) * fh * g[np.ix_(v0, h1)]
+                        + fv * (1 - fh) * g[np.ix_(v1, h0)]
+                        + fv * fh * g[np.ix_(v1, h1)]).astype(np.float32)
+
             sub = out[np.ix_(rows, cols)]
-            if sub.ndim == 3:  # LinearRaw [H, W, 3]
-                gm = gm[..., None]
-            out[np.ix_(rows, cols)] = sub * gm
+            if sub.ndim == 3:
+                # LinearRaw: honor the Plane/Planes selectors — each
+                # opcode touches channels [plane, plane+planes), sampling
+                # map plane min(j, map_planes-1) for channel offset j.
+                nch = sub.shape[2]
+                p0 = min(plane, nch)
+                pn = min(planes if planes > 0 else nch, nch - p0)
+                for j in range(pn):
+                    gm = interp(gains[..., min(j, map_planes - 1)])
+                    sub[..., p0 + j] *= gm
+                out[np.ix_(rows, cols)] = sub
+            else:
+                # CFA: the pitched (top, left, row/col pitch) lattice IS
+                # the plane selection; one map plane applies to it.
+                out[np.ix_(rows, cols)] = sub * interp(gains[..., 0])
     except (struct.error, ValueError, IndexError) as e:
         raise DngError(f"malformed OpcodeList2: {e}") from e
     return out
@@ -509,8 +527,9 @@ def extract_preview(data: bytes) -> Optional[bytes]:
     IFDs with Compression=7 and a non-CFA photometric; Canon CR2's IFD0
     full-size preview with Compression=6; EXIF IFD1 thumbnails via
     JPEGInterchangeFormat) — the instant-display images the reference
-    gets from rawler/exiftool. Candidates are validated by their SOI
-    marker; malformed containers return None rather than raising."""
+    gets from rawler/exiftool. Candidates are validated with Pillow (so
+    an SOF3/corrupt strip can't masquerade as a decodable preview);
+    malformed containers return None rather than raising."""
     try:
         if data[:2] == b"II":
             bo = "<"
@@ -518,7 +537,7 @@ def extract_preview(data: bytes) -> Optional[bytes]:
             bo = ">"
         else:
             return None
-        best = b""
+        cands = []
         for e in _walk_all_ifds(data, bo):
             def val(t, default=None):
                 return _value(data, e[t], bo) if t in e else default
@@ -540,24 +559,40 @@ def extract_preview(data: bytes) -> Optional[bytes]:
                             cnts[0] if isinstance(cnts, list) else cnts)
                     if isinstance(offs, int) and isinstance(cnts, int):
                         cand = data[offs : offs + cnts]
-            if cand and cand[:2] == b"\xff\xd8" and len(cand) > len(best):
-                best = cand
-        return best or None
+            if cand and cand[:2] == b"\xff\xd8":
+                cands.append(cand)
+        import io as _io
+
+        from PIL import Image as PILImage
+
+        for cand in sorted(cands, key=len, reverse=True):
+            try:
+                img = PILImage.open(_io.BytesIO(cand))
+                img.load()  # full decode: verify() passes SOF3 structure
+                return cand
+            except Exception:  # noqa: BLE001 — try the next candidate
+                continue
+        return None
     except Exception:  # noqa: BLE001 — best-effort on untrusted bytes
         return None
 
 
-def read_dng(data: bytes) -> RawImage:
+def read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     """Parse DNG/TIFF bytes into a RawImage.
 
     Untrusted-input contract: malformed bytes (truncation, corruption)
     raise DngError — low-level parse failures never escape (the CLI and
     server map PhotoEditorError to friendly failures; fuzzed in
-    tests/test_dng_fuzz.py)."""
+    tests/test_dng_fuzz.py).
+
+    ``apply_opcodes=False`` is the lossless-transcode mode: GainMap is
+    NOT baked in (the mosaic keeps its stored integer values), the warp
+    is not scheduled for develop, and the raw OpcodeList2/3 blobs ride on
+    ``RawImage.opcode_lists`` so write_dng re-serializes them."""
     import struct as _struct
 
     try:
-        return _read_dng(data)
+        return _read_dng(data, apply_opcodes)
     except (PhotoEditorError, MemoryError):
         raise
     except (_struct.error, ValueError, IndexError, KeyError, TypeError,
@@ -565,7 +600,7 @@ def read_dng(data: bytes) -> RawImage:
         raise DngError(f"malformed RAW container: {e}") from e
 
 
-def _read_dng(data: bytes) -> RawImage:
+def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -898,20 +933,26 @@ def _read_dng(data: bytes) -> RawImage:
     # hand develop a float mosaic with black=0/white=1 (phone DNGs —
     # ProRAW, Pixel — rely on this for lens shading).
     oplist2 = tag(cfa_ifd, T_OPCODE_LIST_2)
-    if isinstance(oplist2, (bytes, bytearray)) and _opcodes_contain(
-            bytes(oplist2), 9):
-        span = max(float(white) - float(black), 1e-9)
-        norm = (mosaic.astype(np.float32) - float(black)) / span
-        mosaic = _apply_gain_maps(norm, bytes(oplist2))
-        black, white = 0.0, 1.0
-
-    # OpcodeList3 WarpRectilinear (post-demosaic geometric correction,
-    # phone DNGs): parsed here, applied by the develop path.
-    warp = None
     oplist3 = tag(cfa_ifd, T_OPCODE_LIST_3)
-    if isinstance(oplist3, (bytes, bytearray)) and _opcodes_contain(
-            bytes(oplist3), 1):
-        warp = _parse_warp_rectilinear(bytes(oplist3))
+    oplist2 = bytes(oplist2) if isinstance(oplist2, (bytes, bytearray)) else None
+    oplist3 = bytes(oplist3) if isinstance(oplist3, (bytes, bytearray)) else None
+    warp = None
+    opcode_lists = None
+    if not apply_opcodes:
+        # Lossless-transcode mode: keep the stored pixel values and the
+        # opcode blobs verbatim for re-serialization.
+        if oplist2 is not None or oplist3 is not None:
+            opcode_lists = (oplist2, oplist3)
+    else:
+        if oplist2 is not None and _opcodes_contain(oplist2, 9):
+            span = max(float(white) - float(black), 1e-9)
+            norm = (mosaic.astype(np.float32) - float(black)) / span
+            mosaic = _apply_gain_maps(norm, oplist2)
+            black, white = 0.0, 1.0
+        # OpcodeList3 WarpRectilinear (post-demosaic geometric correction,
+        # phone DNGs): parsed here, applied by the develop path.
+        if oplist3 is not None and _opcodes_contain(oplist3, 1):
+            warp = _parse_warp_rectilinear(oplist3)
 
     orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
 
@@ -958,6 +999,7 @@ def _read_dng(data: bytes) -> RawImage:
         exif=exif,
         default_crop=default_crop,
         warp_rectilinear=warp,
+        opcode_lists=opcode_lists,
     )
 
 
@@ -1152,6 +1194,10 @@ def write_dng(
     if linearization_table is not None:
         add(T_LINEARIZATION_TABLE, 3,
             [int(v) for v in np.asarray(linearization_table)])
+    if opcode_list_2 is None and raw.opcode_lists is not None:
+        opcode_list_2 = raw.opcode_lists[0]
+    if opcode_list_3 is None and raw.opcode_lists is not None:
+        opcode_list_3 = raw.opcode_lists[1]
     if opcode_list_2 is not None:
         entries.append([T_OPCODE_LIST_2, 7, len(opcode_list_2),
                         bytes(opcode_list_2)])

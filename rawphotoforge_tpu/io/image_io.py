@@ -138,8 +138,12 @@ def decode_image(data: bytes, fmt: str):
     # Upload the decoder's native integer width and normalize on device:
     # a 24MP JPEG moves 72 MB over the host->device link instead of 288 MB
     # (the /scale division is the identical f32 op on either side).
-    if img.mode in ("I;16", "I;16B", "I;16L", "I"):
+    if img.mode in ("I;16", "I;16B", "I;16L"):
         arr, scale = np.asarray(img, dtype=np.uint16), 65535.0
+    elif img.mode == "I":
+        # 32-bit integer mode: values may exceed 65535, so a u16 cast
+        # would wrap — keep the float path (scaled like the 16-bit modes).
+        arr, scale = np.asarray(img, dtype=np.float32) / 65535.0, None
     elif img.mode == "F":
         arr, scale = np.asarray(img, dtype=np.float32), None
     else:

@@ -41,16 +41,41 @@ def is_raw_image(path: str) -> bool:
     return os.path.splitext(path)[1].lower() in RAW_EXTENSIONS
 
 
-def parse_raw(data: bytes) -> RawImage:
+def parse_raw(data: bytes, apply_opcodes: bool = True) -> RawImage:
     """Sniff the container type and parse RAW bytes into a RawImage.
 
     Canon CR2 carries a CR\\x02 marker at byte 8; everything else
-    TIFF-structured (DNG, TIFF-EP RAWs) goes through the DNG walker."""
+    TIFF-structured (DNG, TIFF-EP RAWs) goes through the DNG walker.
+    ``apply_opcodes=False`` is the lossless-transcode mode (see
+    read_dng)."""
     from .cr2 import is_cr2, read_cr2
 
     if is_cr2(data):
         return read_cr2(data)
-    return read_dng(data)
+    return read_dng(data, apply_opcodes=apply_opcodes)
+
+
+def decode_embedded_preview(data: bytes):
+    """Decode the embedded camera-rendered JPEG preview of a RAW file.
+
+    The single fallback used when sensor data can't decode (vendor
+    entropy codecs): returns (linear planes f32 [3,H,W], exif dict), or
+    None when no decodable preview exists. Failures inside the preview
+    decode surface as typed PhotoEditorError (never PIL exceptions) so
+    callers' error handling stays uniform."""
+    from .._errbase import PhotoEditorError
+    from .dng import extract_preview
+    from .image_io import ImageIOError, decode_image
+
+    jpeg = extract_preview(data)
+    if jpeg is None:
+        return None
+    try:
+        return decode_image(jpeg, "JPEG")
+    except PhotoEditorError:
+        raise
+    except Exception as e:  # noqa: BLE001 — PIL's hierarchy stays inside
+        raise ImageIOError(f"embedded preview failed to decode: {e}") from e
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

@@ -91,13 +91,16 @@ def bilinear_sample(plane: jax.Array, sx: jax.Array, sy: jax.Array,
     # floor() and the weight can see differently-contracted (FMA) copies
     # of the same expression an ulp apart across a pixel boundary, turning
     # ulp noise into a full-pixel sampling error (observed on the XLA CPU
-    # backend with identity warps). Snap anything within 1e-4 px of an
-    # integer — far below visual relevance — and pin one materialization.
-    snap_x = jnp.round(sx)
-    snap_y = jnp.round(sy)
-    sx = jnp.where(jnp.abs(sx - snap_x) < 1e-4, snap_x, sx)
-    sy = jnp.where(jnp.abs(sy - snap_y) < 1e-4, snap_y, sy)
-    sx, sy = jax.lax.optimization_barrier((sx, sy))
+    # backend with identity warps). Snap anything within a few ulps of an
+    # integer — the threshold scales with magnitude so it stays live at
+    # production coordinates (one f32 ulp at x=4096 is 2.4e-4) while
+    # remaining far below visual relevance — and pin one materialization.
+    def snap(s):
+        r = jnp.round(s)
+        thr = jnp.maximum(1e-4, jnp.abs(s) * 6e-7)  # ~5 ulps
+        return jnp.where(jnp.abs(s - r) < thr, r, s)
+
+    sx, sy = jax.lax.optimization_barrier((snap(sx), snap(sy)))
     wi = (wf - 1.0).astype(jnp.int32)
     hi = (hf - 1.0).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, wi)

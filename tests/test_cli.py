@@ -171,3 +171,38 @@ def test_batch_fast_path_preview_fallback(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "embedded preview" in out
     assert sorted(os.listdir(outd)) == ["good.jpg", "vendor.jpg"]
+
+
+def test_batch_fast_path_applies_warp_opcode(tmp_path):
+    """WarpRectilinear must not be silently skipped by the batch fast
+    path (review finding: batch and develop disagreed on the same file)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    from test_warp_rect import _warp_opcode
+
+    yy, xx = np.mgrid[0:64, 0:80].astype(np.float32)
+    rgb = np.clip(np.stack([0.2 + 0.6 * xx / 80, 0.3 + 0.5 * yy / 64,
+                            0.6 - 0.3 * xx / 80]), 0, 1)
+    base = synthetic_raw(rgb, wb_gains=(1.0, 1.0, 1.0))
+    op3 = _warp_opcode([[0.85, 0.1, 0, 0, 0, 0]], (0.5, 0.5))
+
+    for name, op in (("plain.dng", None), ("warped.dng", op3)):
+        d = tmp_path / name.split(".")[0]
+        d.mkdir()
+        (d / name).write_bytes(write_dng(base, opcode_list_3=op))
+        outd = tmp_path / (name.split(".")[0] + "_out")
+        assert main(["batch", str(d), str(outd)]) == 0
+    a = np.array(PILImage.open(tmp_path / "plain_out" / "plain.jpg"),
+                 dtype=np.int32)
+    b = np.array(PILImage.open(tmp_path / "warped_out" / "warped.jpg"),
+                 dtype=np.int32)
+    # The pipeline is deterministic, so ANY difference proves the warp
+    # branch ran (a smooth gradient warps into a similar gradient, so the
+    # per-pixel deltas are modest but pervasive).
+    assert not np.array_equal(a, b)
+    assert np.abs(a - b).mean() > 0.5

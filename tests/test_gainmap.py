@@ -126,3 +126,69 @@ def test_malformed_opcode_list_is_typed():
     with pytest.raises(dng.DngError):
         dng._apply_gain_maps(
             norm, struct.pack(">I", 2) + struct.pack(">IIII", 9, 0, 0, 400))
+
+
+def test_linear_raw_per_plane_selectors():
+    """Plane/Planes selectors route each opcode's gains to its own
+    channels only (review finding: all channels got every map)."""
+    norm = np.ones((8, 8, 3), dtype=np.float32)
+    ops = []
+    for ch, g in enumerate((1.5, 2.0, 3.0)):
+        body = struct.pack(">10I", 0, 0, 8, 8, ch, 1, 1, 1, 1, 1)
+        body += struct.pack(">4d", 1.0, 1.0, 0.0, 0.0)
+        body += struct.pack(">I", 1)
+        body += np.asarray([[g]], dtype=">f4").tobytes()
+        ops.append((9, body))
+    got = dng._apply_gain_maps(norm, _opcode_list(ops))
+    np.testing.assert_allclose(got[..., 0], 1.5)
+    np.testing.assert_allclose(got[..., 1], 2.0)
+    np.testing.assert_allclose(got[..., 2], 3.0)
+
+
+def test_multi_plane_map_single_opcode():
+    """One opcode with Planes=3 and map_planes=3 applies map plane j to
+    channel j."""
+    norm = np.ones((6, 6, 3), dtype=np.float32)
+    gains = np.asarray([1.1, 1.2, 1.3], dtype=np.float32).reshape(1, 1, 3)
+    body = struct.pack(">10I", 0, 0, 6, 6, 0, 3, 1, 1, 1, 1)
+    body += struct.pack(">4d", 1.0, 1.0, 0.0, 0.0)
+    body += struct.pack(">I", 3)
+    body += gains.astype(">f4").tobytes()
+    got = dng._apply_gain_maps(norm, _opcode_list([(9, body)]))
+    np.testing.assert_allclose(got[0, 0], [1.1, 1.2, 1.3], rtol=1e-6)
+
+
+def test_convert_mode_preserves_pixels_and_opcodes():
+    """read_dng(apply_opcodes=False) + write_dng = lossless transcode:
+    stored integer pixels pass through verbatim and both opcode lists
+    re-serialize (review findings: convert crashed / dropped opcodes)."""
+    rng = np.random.default_rng(3)
+    mosaic = rng.integers(600, 15000, size=(16, 16), dtype=np.uint16)
+    raw0 = dng.RawImage(
+        mosaic=mosaic, pattern="RGGB", black_level=512.0,
+        white_level=16383.0, wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+    )
+    gains = np.asarray([[1.0, 1.5]], dtype=np.float32)
+    op2 = _opcode_list([(9, _gain_map_opcode(
+        0, 0, 16, 16, 1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, gains))])
+    from test_warp_rect import _warp_opcode
+
+    op3 = _warp_opcode([[0.95, 0.02, 0, 0, 0, 0]], (0.5, 0.5))
+    src = dng.write_dng(raw0, compression=7, opcode_list_2=op2,
+                        opcode_list_3=op3)
+
+    # Transcode without baking anything in.
+    raw = dng.read_dng(src, apply_opcodes=False)
+    assert raw.mosaic.dtype == np.uint16
+    np.testing.assert_array_equal(raw.mosaic, mosaic)
+    assert raw.warp_rectilinear is None  # not scheduled in transcode mode
+    out = dng.write_dng(raw, compression=8, predictor=34892)
+
+    # The transcoded file still decodes (with opcodes APPLIED) exactly
+    # like the source does.
+    a = dng.read_dng(src)
+    b = dng.read_dng(out)
+    assert a.mosaic.dtype == b.mosaic.dtype == np.float32  # gains baked
+    np.testing.assert_allclose(b.mosaic, a.mosaic, rtol=1e-6)
+    assert b.warp_rectilinear is not None
+    np.testing.assert_allclose(b.warp_rectilinear[0], a.warp_rectilinear[0])

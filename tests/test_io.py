@@ -154,3 +154,21 @@ def test_exif_preserved_in_export(tmp_path):
     assert back[Base.Make] == "ParityCam"
     assert back[Base.Model] == "X-1"
     assert back.get(274, 1) == 1  # orientation reset
+
+
+def test_mode_i_32bit_tiff_does_not_wrap():
+    """Pillow mode 'I' (32-bit) samples above 65535 must scale, not wrap
+    modulo 65536 (review finding)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io import image_io
+
+    arr = np.full((6, 8), 70000, dtype=np.int32)  # > u16 range
+    buf = _io.BytesIO()
+    PILImage.fromarray(arr, mode="I").save(buf, format="TIFF")
+    planes, _ = image_io.decode_image(buf.getvalue(), "TIFF")
+    got = float(np.asarray(planes)[0, 0, 0])
+    assert abs(got - 70000 / 65535.0) < 1e-3, got

@@ -157,3 +157,26 @@ def test_server_open_preview_fallback():
         assert img.size == (50, 40)
     finally:
         httpd.shutdown()
+
+
+def test_undecodable_soi_strip_rejected_as_preview():
+    """A strip with a valid SOI marker but an undecodable body must be
+    rejected by the Pillow full-decode validation (review finding:
+    SOI-only checks accepted such strips, crashing callers later). A
+    decodable smaller candidate is chosen instead."""
+    truncated = _jpeg(60, 80, seed=12)[:60]  # valid SOI, cut-off body
+    ok = _jpeg(10, 12, seed=13)
+    data = _tiff_with_previews(truncated, ok)
+    assert dng.extract_preview(data) == ok
+    # With no decodable candidate at all: None, no exception.
+    data = _tiff_with_previews(truncated, b"\xff\xd8garbage")
+    assert dng.extract_preview(data) is None
+
+
+def test_decode_embedded_preview_typed_errors():
+    from rawphotoforge_tpu.io.raw import decode_embedded_preview
+
+    assert decode_embedded_preview(b"garbage") is None
+    big = _jpeg(20, 30, seed=11)
+    res = decode_embedded_preview(_tiff_with_previews(big, b"\x00" * 4))
+    assert res is not None and res[0].shape == (3, 20, 30)
