@@ -321,3 +321,40 @@ def test_native_pack_bits_matches_numpy(rng):
             bits[pos[m] + b] = (vals[m] >> (l64[m] - 1 - b)) & 1
         ref = np.packbits(bits).tobytes()
         assert nat == ref, trial
+
+
+def test_encoder_against_libjpeg_turbo_oracle():
+    """Independent-oracle gate: Pillow's libjpeg-turbo build decodes
+    8-bit single-component lossless JPEG (SOF3), so our from-scratch
+    encoder's bitstream framing, Huffman coding, and all 7 predictors are
+    cross-validated against a decoder we didn't write. (>8-bit and
+    multi-component streams are outside Pillow's JPEG plugin; those stay
+    covered by round trips and hand-derived bitstreams.)"""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(7)
+    for predictor in range(1, 8):
+        samples = rng.integers(0, 256, size=(11, 17, 1)).astype(np.uint16)
+        data = ljpeg.encode(samples, precision=8, predictor=predictor)
+        got = np.array(PILImage.open(_io.BytesIO(data)))
+        np.testing.assert_array_equal(
+            got.astype(np.uint16), samples[..., 0],
+            err_msg=f"predictor {predictor}")
+        # ...and our own decoder agrees with the oracle.
+        ours, _ = ljpeg.decode(data)
+        np.testing.assert_array_equal(ours, samples[..., 0])
+
+
+def test_encoder_oracle_with_restart_intervals():
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(0, 256, size=(16, 12, 1)).astype(np.uint16)
+    data = ljpeg.encode(samples, precision=8, predictor=1,
+                        restart_interval=12)
+    got = np.array(PILImage.open(_io.BytesIO(data)))
+    np.testing.assert_array_equal(got.astype(np.uint16), samples[..., 0])
