@@ -311,6 +311,7 @@ function drawHist(h){{
 }}
 async function resetAll(){{
   await fetch('/reset',{{method:'POST'}});
+  imgInfo=await (await fetch('/info')).json();  // crop cleared server-side
   for(const [name] of SLIDERS){{state[name]=0;
     document.getElementById('s_'+name).value=0;
     document.getElementById('v_'+name).textContent='0';}}
@@ -745,18 +746,28 @@ def make_handler(app: EditorApp):
                         if "point" in body:
                             seg = None
                             if body.get("model"):
-                                # {"model": true} uses the server-configured
-                                # segmenter; a dict/list spec builds one ad
-                                # hoc (local-trust surface, like loading a
-                                # model path in the reference GUI).
-                                from ..engine.segmenter import make_segmenter
-
-                                seg = (
-                                    app.segmenter
-                                    if body["model"] is True
-                                    or body["model"] == "default"
-                                    else make_segmenter(body["model"])
-                                )
+                                # Only the server-configured segmenter
+                                # (--segmenter at launch, the operator's
+                                # trust decision) may run. Arbitrary
+                                # specs in the request body would let any
+                                # page that can reach this no-auth local
+                                # HTTP server (CSRF) construct a
+                                # subprocess command — drive-by code
+                                # execution — so they are rejected.
+                                if body["model"] is not True and \
+                                        body["model"] != "default":
+                                    raise ValueError(
+                                        "segmenter specs are not accepted "
+                                        "over HTTP; configure one with "
+                                        "--segmenter at launch and pass "
+                                        '{"model": true}'
+                                    )
+                                seg = app.segmenter
+                                if seg is None:
+                                    raise ValueError(
+                                        "no segmenter configured (launch "
+                                        "with --segmenter)"
+                                    )
                             if seg is not None:
                                 app.editor.add_model_mask(
                                     body["name"], tuple(body["point"]), seg

@@ -598,12 +598,20 @@ class PhotoEditor:
 
     def load_preset_json(self, s: str) -> None:
         """Restore edit parameters; regional-mask params apply only to masks
-        that still exist by name (pixel data is not part of a preset)."""
+        that still exist by name (pixel data is not part of a preset).
+
+        All-or-nothing: every piece of the preset is parsed and validated
+        BEFORE any session state mutates, so a rejected preset (bad JSON,
+        bad curve, out-of-bounds crop) leaves the editor exactly as it
+        was — the same rejected-call invariant the individual setters
+        keep."""
         obj = json.loads(s)
         by_name = {m["name"]: m["params"] for m in obj["masks"]}
-        for m in self.masks:
-            if m.name in by_name:
-                m.params = EditParameters.from_json(by_name[m.name])
+        # Stage 1: parse/validate everything into locals.
+        staged = [
+            (m, EditParameters.from_json(by_name[m.name]))
+            for m in self.masks if m.name in by_name
+        ]
         crop = obj.get("crop")
         if crop:
             # Validate/clamp against the *current* image dimensions — a
@@ -616,6 +624,9 @@ class PhotoEditor:
                                  f"for this image: {e}") from e
         else:
             self.crop_rect = None
+        # Stage 2: commit.
+        for m, params in staged:
+            m.params = params
         self._invalidate(masks_changed=False)
 
     def save_preset(self, path: str) -> None:

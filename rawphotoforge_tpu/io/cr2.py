@@ -27,9 +27,9 @@ import numpy as np
 
 from .._errbase import PhotoEditorError
 from .dng import (
-    DngError, RawImage, _read_ifd, _value,
+    DngError, RawImage, _format_exif, _read_ifd, _value,
     T_COMPRESSION, T_STRIP_OFFSETS, T_STRIP_BYTE_COUNTS, T_MAKE, T_MODEL,
-    T_ORIENTATION, T_EXPOSURE_TIME, T_F_NUMBER, T_ISO,
+    T_ORIENTATION, T_LENS_MODEL,
 )
 from . import ljpeg
 
@@ -39,7 +39,6 @@ T_CR2_SLICES = 0xC640
 T_CANON_SENSOR_INFO = 0x00E0
 T_CANON_LENS_MODEL = 0x0095
 T_CANON_COLOR_DATA = 0x4001
-T_FOCAL_LENGTH = 37386
 
 # ColorData variant -> word offset of WB_RGGBLevelsAsShot, keyed on the
 # 0x4001 element count (exiftool Canon.pm ColorData1..11 dispatch).
@@ -205,28 +204,17 @@ def _read_cr2(data: bytes) -> RawImage:
             if g > 0 and r > 0 and b > 0:
                 wb = (r / g, 1.0, b / g)
 
-    exif = {}
-    make = tag(ifds[0], T_MAKE)
-    model = tag(ifds[0], T_MODEL)
-    if make:
-        exif["Make"] = make.strip()
-    if model:
-        exif["Model"] = model.strip()
-    et = tag(exif_entries, T_EXPOSURE_TIME)
-    if et:
-        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
-    fn = tag(exif_entries, T_F_NUMBER)
-    if fn:
-        exif["FNumber"] = str(fn)
-    iso = tag(exif_entries, T_ISO)
-    if iso:
-        exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
-    fl = tag(exif_entries, T_FOCAL_LENGTH)
-    if fl:
-        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
-    lens = tag(maker_entries, T_CANON_LENS_MODEL)
-    if isinstance(lens, str) and lens.strip():
-        exif["LensModel"] = lens.strip()
+    def _lookup(t):
+        # Same formatting as the DNG walker (dng._format_exif); only the
+        # tag locations are Canon-specific: Make/Model in IFD0, shooting
+        # fields in the EXIF sub-IFD, the lens name in the MakerNote.
+        if t in (T_MAKE, T_MODEL):
+            return tag(ifds[0], t)
+        if t == T_LENS_MODEL:
+            return tag(maker_entries, T_CANON_LENS_MODEL)
+        return tag(exif_entries, t)
+
+    exif = _format_exif(_lookup)
 
     return RawImage(
         mosaic=np.ascontiguousarray(mosaic),

@@ -499,6 +499,36 @@ T_JPEG_INTERCHANGE = 513        # EXIF thumbnail offset (IFD1)
 T_JPEG_INTERCHANGE_LEN = 514
 
 
+def _format_exif(lookup) -> dict:
+    """Shared EXIF field formatting for the TIFF-family RAW readers
+    (DNG walker + CR2). ``lookup(tag_id)`` returns the raw tag value or
+    None; one formatting rule set keeps DNG and CR2 sessions reporting
+    identically-formatted EXIF (the lens-DB resolver matches on these
+    strings)."""
+    exif = {}
+    make, model = lookup(T_MAKE), lookup(T_MODEL)
+    if make:
+        exif["Make"] = make.strip()
+    if model:
+        exif["Model"] = model.strip()
+    et = lookup(T_EXPOSURE_TIME)
+    if et:
+        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
+    fn = lookup(T_F_NUMBER)
+    if fn:
+        exif["FNumber"] = str(fn)
+    iso = lookup(T_ISO)
+    if iso:
+        exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
+    fl = lookup(T_FOCAL_LENGTH)
+    if fl:
+        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
+    lens = lookup(T_LENS_MODEL)
+    if isinstance(lens, str) and lens.strip():
+        exif["LensModel"] = lens.strip()
+    return exif
+
+
 def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
     """IFD0 chain plus every SubIFD of each — the full IFD forest."""
     (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
@@ -966,27 +996,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
                 and cw > 0 and ch > 0:
             default_crop = (cx, cy, cw, ch)
 
-    exif = {}
-    make, model = any_ifd(T_MAKE), any_ifd(T_MODEL)
-    if make:
-        exif["Make"] = make.strip()
-    if model:
-        exif["Model"] = model.strip()
-    et = any_ifd(T_EXPOSURE_TIME)
-    if et:
-        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
-    fn = any_ifd(T_F_NUMBER)
-    if fn:
-        exif["FNumber"] = str(fn)
-    iso = any_ifd(T_ISO)
-    if iso:
-        exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
-    fl = any_ifd(T_FOCAL_LENGTH)
-    if fl:
-        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
-    lens = any_ifd(T_LENS_MODEL)
-    if isinstance(lens, str) and lens.strip():
-        exif["LensModel"] = lens.strip()
+    exif = _format_exif(any_ifd)
 
     return RawImage(
         mosaic=np.ascontiguousarray(mosaic),

@@ -132,6 +132,14 @@ def parse(data: bytes) -> LJpegFrame:
                 if nval > 17:
                     raise LJpegError(f"too many Huffman values ({nval})")
                 vals = np.frombuffer(data, np.uint8, nval, p + 17).copy()
+                if vals.size and int(vals.max()) > 16:
+                    # Lossless SSSS categories are 0..16; a larger value
+                    # would drive the native decoder into shift counts
+                    # >= 64 (undefined behavior).
+                    raise LJpegError(
+                        f"Huffman value {int(vals.max())} out of range "
+                        f"(SSSS must be 0..16)"
+                    )
                 tables[th] = (counts, vals)
                 p += 17 + nval
             pos = end

@@ -355,16 +355,19 @@ def develop_raw(
     linear gamma, no auto-bright): WB on mosaic -> demosaic -> camera
     matrix -> clip to [0, 1].
     """
+    if method not in ("malvar", "bilinear", "residual", "nc"):
+        raise ValueError(f"unknown demosaic method {method!r}")
     m = apply_wb_mosaic(mosaic01, pattern, wb_gains)
     if pattern in BAYER_PATTERNS and method in ("malvar", "bilinear"):
         demosaic = demosaic_malvar if method == "malvar" else demosaic_bilinear
         rgb = demosaic(m, pattern)
     else:
         # Non-Bayer periodic layouts (X-Trans), or Bayer with
-        # method="residual": directional-green residual interpolation
+        # method="residual"/"nc": directional-green residual interpolation
         # (beats Malvar's gray-edge fringing; Malvar stays the default
         # because the one-pass RAW kernel implements it in-kernel).
-        rgb = demosaic_cfa(m, NAMED_CFA[pattern])
+        cfa_method = method if method in ("residual", "nc") else "residual"
+        rgb = demosaic_cfa(m, NAMED_CFA[pattern], method=cfa_method)
     rgb = camera_to_srgb(rgb, cam2srgb)
     return jnp.clip(rgb, 0.0, 1.0)
 

@@ -25,14 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:  # jax >= 0.8: top-level shard_map (check_vma kwarg)
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax (check_rep kwarg)
-    from jax.experimental.shard_map import shard_map as _old_shard_map
-
-    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
-        return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs, check_rep=check_vma)
+from ._compat import shard_map
 
 from ..core.params import DevelopParams
 from ..ops import develop as dev

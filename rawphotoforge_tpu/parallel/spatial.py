@@ -17,14 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:  # jax >= 0.8: top-level shard_map (check_vma kwarg)
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax (check_rep kwarg)
-    from jax.experimental.shard_map import shard_map as _old_shard_map
-
-    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
-        return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
-                              out_specs=out_specs, check_rep=check_vma)
+from ._compat import shard_map
 
 from ..ops import demosaic as dm
 from ..ops.sharpen import unsharp_mask
@@ -130,9 +123,15 @@ def distortion_sharded(
         from ..ops.develop import geometry_stage
 
         return geometry_stage(planes, distortion)
-    if h % n_sp:
-        raise ValueError(f"height {h} must divide the sp axis size {n_sp}")
-    h_local = h // n_sp
+    # Heights that don't divide the mesh pad with edge rows to a shard
+    # multiple: the warp normalizes and clamps by the TRUE height, so the
+    # padded rows are never sampled, and they are sliced off afterwards.
+    pad = (-h) % n_sp
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.repeat(planes[:, -1:], pad, axis=1)], axis=1)
+    h_pad = h + pad
+    h_local = h_pad // n_sp
     halo = max_row_displacement(h, w, max_abs_distortion)
     if halo is None:
         halo = (n_sp - 1) * h_local  # singular model range: gather all
@@ -206,7 +205,8 @@ def distortion_sharded(
     # Zero strength is an exact identity (wgsl:118-120 early return) AND
     # skips the halo collectives + gather at runtime — the common
     # interactive case where the distortion slider sits at 0.
-    return jax.lax.cond(strength == 0.0, lambda p: p, run_warp, planes)
+    out = jax.lax.cond(strength == 0.0, lambda p: p, run_warp, planes)
+    return out[:, :h, :] if pad else out
 
 
 def raw_develop_sharded(

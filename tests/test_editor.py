@@ -319,3 +319,26 @@ def test_preset_crop_validated_against_current_image(rng):
     ed_mid = make_editor(rng, h=180, w=280)  # rect partially outside: clamp
     ed_mid.load_preset_json(blob)
     assert ed_mid.crop_rect == (250, 150, 280, 180)
+
+
+def test_preset_load_is_atomic_on_invalid_crop(rng):
+    """A rejected preset must leave the session EXACTLY as it was — no
+    half-applied mask params, no stale caches (review finding)."""
+    import json
+
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    img = random_linear_image(rng, 30, 40)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False)
+    ed.set_tone(exposure=0.5, contrast=20)
+    before_params = ed.preset_json()
+    before_render = np.asarray(ed.apply())
+
+    bad = json.loads(before_params)
+    bad["masks"][0]["params"]["exposure"] = 3.0
+    bad["crop"] = [500, 500, 900, 900]  # outside this 40x30 image
+    with pytest.raises(ValueError):
+        ed.load_preset_json(json.dumps(bad))
+
+    assert ed.preset_json() == before_params
+    np.testing.assert_array_equal(np.asarray(ed.apply()), before_render)

@@ -358,3 +358,19 @@ def test_encoder_oracle_with_restart_intervals():
                         restart_interval=12)
     got = np.array(PILImage.open(_io.BytesIO(data)))
     np.testing.assert_array_equal(got.astype(np.uint16), samples[..., 0])
+
+
+def test_dht_value_out_of_range_rejected():
+    """DHT HUFFVAL bytes above 16 (SSSS range) would drive the native
+    decoder into >=64-bit shifts (undefined behavior); parse must reject
+    them (review finding)."""
+    rng = np.random.default_rng(3)
+    samples = rng.integers(0, 4096, size=(8, 8, 1)).astype(np.uint16)
+    data = bytearray(ljpeg.encode(samples, precision=12, predictor=1))
+    dht = data.find(b"\xff\xc4")
+    assert dht > 0
+    # DHT: marker(2) len(2) tcth(1) counts(16) values...
+    vals_at = dht + 2 + 2 + 1 + 16
+    data[vals_at] = 200
+    with pytest.raises(ljpeg.LJpegError, match="out of range"):
+        ljpeg.decode(bytes(data))

@@ -558,3 +558,20 @@ def test_dng_exif_subifd_fields(rng):
     from rawphotoforge_tpu.io.lensdb import LensDatabase
     prof = LensDatabase.load().profile_from_exif(got.exif | {"Make": "Canon"})
     assert prof is not None and prof.name == "Canon EF 50mm f/1.8 II"
+
+
+def test_develop_raw_method_routing(rng):
+    """method='nc' reaches demosaic_cfa (not silently 'residual'), and
+    unknown method names raise (review finding)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    m = jnp.asarray(rng.random((24, 24)).astype(np.float32))
+    wb = jnp.ones(3)
+    cam = jnp.eye(3, dtype=jnp.float32)
+    nc = dm.develop_raw(m, wb, cam, pattern="RGGB", method="nc")
+    res = dm.develop_raw(m, wb, cam, pattern="RGGB", method="residual")
+    assert float(jnp.abs(nc - res).max()) > 1e-4  # genuinely different paths
+    with pytest.raises(ValueError, match="unknown demosaic method"):
+        dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvarr")

@@ -152,3 +152,46 @@ def test_server_model_mask(tmp_path, rng):
         assert "sim" in ed.mask_names()
     finally:
         httpd.shutdown()
+
+
+def test_server_rejects_segmenter_specs_over_http(tmp_path, rng):
+    """Arbitrary segmenter specs in the request body would be drive-by
+    command execution on a no-auth localhost server (CSRF); only the
+    operator-configured segmenter may run (review finding)."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.app import server as srv
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.4), port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/mask/add",
+                data=json.dumps(body).encode(), method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        evil = {"name": "x", "point": [1, 1],
+                "model": {"type": "subprocess",
+                          "cmd": ["bash", "-c", "touch /tmp/pwned_test"]}}
+        assert post(evil) == 400
+        assert post({"name": "x", "point": [1, 1],
+                     "model": "bash -c 'touch /tmp/pwned_test'"}) == 400
+        # No segmenter configured -> {"model": true} is a clean 400 too.
+        assert post({"name": "x", "point": [1, 1], "model": True}) == 400
+        import os
+
+        assert not os.path.exists("/tmp/pwned_test")
+    finally:
+        httpd.shutdown()

@@ -259,3 +259,23 @@ def test_spatial_pallas_sharded_matches_single_kernel(rng):
     single = fused.develop_post_geo_fused(planes, packed, masks)
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_spatial_warp_uneven_height(rng, the_mesh):
+    """Heights that don't divide the 'sp' axis pad internally instead of
+    raising (review finding: regression vs the replicated-geometry path)."""
+    from rawphotoforge_tpu.ops.develop import geometry_stage
+
+    h, w = 71, 128  # 71 % 2 != 0
+    img = random_linear_image(rng, h, w)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    from rawphotoforge_tpu.parallel import spatial
+
+    d = jnp.float32(-60.0)
+    sharded = jax.jit(
+        spatial.distortion_sharded, static_argnums=2
+    )(planes, d, the_mesh)
+    single = geometry_stage(planes, d)
+    assert sharded.shape == (3, h, w)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=h * 3e-6)
