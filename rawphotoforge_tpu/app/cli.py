@@ -106,7 +106,21 @@ def cmd_info(args) -> int:
             with open(args.preview, "wb") as f:
                 f.write(jpeg)
             print(f"embedded preview: {len(jpeg)} bytes -> {args.preview}")
-    planes, exif = image_io.read_image(args.image)
+    try:
+        planes, exif = image_io.read_image(args.image)
+    except Exception as e:
+        from .._errbase import PhotoEditorError
+        from ..io.raw import decode_embedded_preview, is_raw_image
+
+        if not (isinstance(e, PhotoEditorError) and is_raw_image(args.image)):
+            raise
+        with open(args.image, "rb") as f:
+            res = decode_embedded_preview(f.read())
+        if res is None:
+            raise
+        planes, exif = res
+        print(f"sensor data not decodable ({e}); dimensions are the "
+              f"embedded camera preview's")
     _, h, w = planes.shape
     print(f"{args.image}: {w}x{h} ({w * h / 1e6:.1f} MPix)")
     for k, v in sorted(exif.items()):

@@ -22,7 +22,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from .._errbase import PhotoEditorError
 from ..core.params import CURVE_NAMES
 from ..engine.editor import PhotoEditor, FULL, MID, LOW
 from ..engine.session import Settings
@@ -683,33 +682,18 @@ def make_handler(app: EditorApp):
                 with app.lock:
                     try:
                         fmt = image_io.format_for_path(name)
-                        kwargs = dict(
+                        # Vendor-codec RAWs fall back to their embedded
+                        # camera-rendered preview inside from_bytes
+                        # (explicit in the response, never silently wrong).
+                        ed = PhotoEditor.from_bytes(
+                            raw_body, fmt,
                             mid_long_edge=app.settings.ui_preview_size,
                             low_long_edge=app.settings.drag_preview_size,
                         )
-                        preview_reason = None
-                        try:
-                            ed = PhotoEditor.from_bytes(raw_body, fmt, **kwargs)
-                        except PhotoEditorError as e:
-                            # Vendor-codec RAW: fall back to the embedded
-                            # camera-rendered JPEG preview (explicit in the
-                            # response, never silently wrong).
-                            from ..io.raw import (
-                                decode_embedded_preview, is_raw_image,
-                            )
-
-                            res = (decode_embedded_preview(raw_body)
-                                   if is_raw_image(name) else None)
-                            if res is None:
-                                raise
-                            planes_p, exif_p = res
-                            ed = PhotoEditor(planes_p, exif=exif_p, **kwargs)
-                            preview_reason = str(e)
-                        ed.opened_from_preview = preview_reason
                         app.editor = ed
                         self._send(200, json.dumps({
                             "ok": True,
-                            "opened_from_preview": preview_reason,
+                            "opened_from_preview": ed.opened_from_preview,
                         }).encode())
                     except Exception as e:  # noqa: BLE001
                         self._send(

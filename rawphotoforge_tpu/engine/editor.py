@@ -148,22 +148,11 @@ class PhotoEditor:
         preview instead (often full resolution) rather than failing —
         explicit (``opened_from_preview`` records the decode error), never
         silently wrong."""
-        preview_reason = None
-        try:
-            planes, exif = image_io.read_image(path)
-        except PhotoEditorError as e:
-            from ..io.raw import decode_embedded_preview, is_raw_image
-
-            if not (preview_fallback and is_raw_image(path)):
-                raise
-            with open(path, "rb") as f:
-                res = decode_embedded_preview(f.read())
-            if res is None:
-                raise
-            planes, exif = res
-            preview_reason = str(e)
-        ed = cls(planes, exif=exif, **kwargs)
-        ed.opened_from_preview = preview_reason
+        fmt = image_io.format_for_path(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        ed = cls.from_bytes(data, fmt, preview_fallback=preview_fallback,
+                            **kwargs)
         if lens_correct:
             from ..io.lensdb import LensDatabase
 
@@ -174,9 +163,28 @@ class PhotoEditor:
         return ed
 
     @classmethod
-    def from_bytes(cls, data: bytes, fmt: str, **kwargs) -> "PhotoEditor":
-        planes, exif = image_io.decode_image(data, fmt)
-        return cls(planes, exif=exif, **kwargs)
+    def from_bytes(cls, data: bytes, fmt: str, preview_fallback: bool = True,
+                   **kwargs) -> "PhotoEditor":
+        """Decode container bytes into a session. The single home of the
+        vendor-codec fallback: when RAW sensor data can't decode and the
+        file carries a camera-rendered JPEG preview, the session opens on
+        the preview with ``opened_from_preview`` recording the decode
+        error (used by open(), the server /open endpoint, and the CLI)."""
+        preview_reason = None
+        try:
+            planes, exif = image_io.decode_image(data, fmt)
+        except PhotoEditorError as e:
+            from ..io.raw import decode_embedded_preview
+
+            res = (decode_embedded_preview(data)
+                   if preview_fallback and fmt == "DNG" else None)
+            if res is None:
+                raise
+            planes, exif = res
+            preview_reason = str(e)
+        ed = cls(planes, exif=exif, **kwargs)
+        ed.opened_from_preview = preview_reason
+        return ed
 
     @classmethod
     def from_rgb_f32(cls, hwc: np.ndarray, **kwargs) -> "PhotoEditor":

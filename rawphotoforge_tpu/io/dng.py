@@ -314,7 +314,18 @@ def _assemble_chunks(
     samples for chunk i, whose *stored* block dims are passed in.
     ``channels`` > 0 assembles interleaved multi-sample data [H, W, C].
     """
+    if rows_per is None or cols_per is None or rows_per < 1 or cols_per < 1:
+        raise DngError(
+            f"bad strip/tile geometry: rows_per={rows_per} cols_per={cols_per}"
+        )
     tiles_across = (width + cols_per - 1) // cols_per
+    tiles_down = (height + rows_per - 1) // rows_per
+    if n_chunks != tiles_across * tiles_down:
+        # A truncated offsets list would otherwise decode to silently
+        # zero-filled (black) image regions.
+        raise DngError(
+            f"{n_chunks} strips/tiles for a {tiles_down}x{tiles_across} grid"
+        )
     shape = (height, width) if channels == 0 else (height, width, channels)
     mosaic = np.zeros(shape, dtype=dtype)
 
@@ -664,7 +675,12 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             ifds.append(exif_ifd)
         except (struct.error, KeyError):
             pass
-    while next_off:
+    seen_offsets = {ifd0_off}
+    while next_off and next_off not in seen_offsets:
+        # The seen-set breaks cyclic next-IFD pointers in crafted files —
+        # an unguarded walk loops forever (same guard as _walk_all_ifds
+        # and the CR2 walker).
+        seen_offsets.add(next_off)
         more, next_off = _read_ifd(data, next_off, bo)
         ifds.append(more)
 

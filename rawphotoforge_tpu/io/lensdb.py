@@ -23,6 +23,7 @@ flag), ``tca`` linear/poly3 (constant term), ``vignetting`` ``pa``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import glob
 import os
 import xml.etree.ElementTree as ET
@@ -79,8 +80,16 @@ class LensDatabase:
     # -- loading -------------------------------------------------------------
     @classmethod
     def load(cls, db_paths=None, include_bundled: bool = True) -> "LensDatabase":
-        """Parse lensfun XML files. ``db_paths``: file or directory paths
-        (directories are scanned for ``*.xml``)."""
+        """Parse lensfun XML files (memoized per path set — batch runs
+        with --lens-correct open many images against one database).
+        ``db_paths``: file or directory paths (directories are scanned
+        for ``*.xml``)."""
+        return cls._load_cached(
+            tuple(db_paths) if db_paths else None, include_bundled)
+
+    @classmethod
+    @functools.lru_cache(maxsize=8)
+    def _load_cached(cls, db_paths, include_bundled) -> "LensDatabase":
         files = []
         if include_bundled and os.path.exists(_BUNDLED):
             files.append(_BUNDLED)

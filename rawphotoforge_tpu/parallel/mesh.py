@@ -99,19 +99,30 @@ def develop_spatial_sharded(
         )
         params = dataclasses.replace(params, extent=ext)
         n_sp = mesh.shape["sp"]
-        local_rows = planes.shape[1] // n_sp
+        h = geo.shape[1]
+        # shard_map needs evenly divisible dims: pad with edge rows (the
+        # vignette normalizes by the TRUE extent in params, so padded
+        # rows render garbage that is sliced off below).
+        pad = (-h) % n_sp
+        if pad:
+            geo = jnp.concatenate(
+                [geo, jnp.repeat(geo[:, -1:], pad, axis=1)], axis=1)
+            masks = jnp.concatenate(
+                [masks, jnp.repeat(masks[:, -1:], pad, axis=1)], axis=1)
+        local_rows = (h + pad) // n_sp
 
         def local_fn(g, p, m):
             off = jax.lax.axis_index("sp") * local_rows
             return fused.develop_post_geo_fused(g, p, m, row_offset=off)
 
-        return shard_map(
+        out = shard_map(
             local_fn,
             mesh=mesh,
             in_specs=(P(None, "sp", None), P(), P(None, "sp", None)),
             out_specs=P(None, "sp", None),
             check_vma=False,  # axis_index makes shard values device-varying
         )(geo, params, masks)
+        return out[:, :h, :] if pad else out
     out = dev.develop_post_geo(geo, params, masks)
     return jax.lax.with_sharding_constraint(out, row_sharding)
 

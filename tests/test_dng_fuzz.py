@@ -108,3 +108,40 @@ def test_cr2_mutations_raise_typed_errors():
         except Exception as e:  # noqa: BLE001
             failures.append((trial, kind, type(e).__name__, str(e)[:120]))
     assert not failures, failures[:5]
+
+
+def test_cyclic_ifd_chain_terminates():
+    """A next-IFD pointer looping back must not hang the parser
+    (review finding)."""
+    raw = dng.RawImage(
+        mosaic=np.random.default_rng(0).integers(
+            0, 4000, size=(8, 8), dtype=np.uint16),
+        pattern="RGGB", black_level=0.0, white_level=16383.0,
+        wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None,
+    )
+    data = bytearray(dng.write_dng(raw))
+    # The writer emits one IFD at offset 8 with a zero next pointer after
+    # its entries; point it back at IFD0.
+    import struct
+
+    (n_entries,) = struct.unpack_from("<H", data, 8)
+    next_ptr_at = 8 + 2 + n_entries * 12
+    assert struct.unpack_from("<I", data, next_ptr_at)[0] == 0
+    struct.pack_into("<I", data, next_ptr_at, 8)
+    back = dng.read_dng(bytes(data))  # must terminate
+    np.testing.assert_array_equal(back.mosaic, raw.mosaic)
+
+
+def test_truncated_chunk_grid_rejected():
+    """A chunk list that doesn't cover the strip/tile grid must raise,
+    not decode to silently black regions (review finding)."""
+    with pytest.raises(dng.DngError, match="grid"):
+        dng._assemble_chunks(
+            lambda i, h, w: np.zeros((h, w), np.uint16),
+            2, 32, 32, 16, 16, np.uint16, tiled=True,  # 2 chunks, 2x2 grid
+        )
+    with pytest.raises(dng.DngError, match="geometry"):
+        dng._assemble_chunks(
+            lambda i, h, w: np.zeros((h, w), np.uint16),
+            1, 32, 32, 0, 32, np.uint16, tiled=False,  # RowsPerStrip=0
+        )

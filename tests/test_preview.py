@@ -180,3 +180,17 @@ def test_decode_embedded_preview_typed_errors():
     big = _jpeg(20, 30, seed=11)
     res = decode_embedded_preview(_tiff_with_previews(big, b"\x00" * 4))
     assert res is not None and res[0].shape == (3, 20, 30)
+
+
+def test_cli_info_preview_fallback_succeeds(tmp_path, capsys):
+    """`info` on a vendor-codec RAW reports the embedded preview's
+    dimensions instead of failing (review finding)."""
+    from rawphotoforge_tpu.app.cli import main
+
+    p = tmp_path / "vendor.nef"
+    p.write_bytes(_tiff_with_previews(_jpeg(30, 44, seed=20),
+                                      _jpeg(6, 8, seed=21)))
+    rc = main(["info", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "44x30" in out and "embedded camera preview" in out

@@ -279,3 +279,25 @@ def test_spatial_warp_uneven_height(rng, the_mesh):
     assert sharded.shape == (3, h, w)
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=h * 3e-6)
+
+
+def test_spatial_pallas_uneven_height(rng):
+    """The per-shard Pallas path pads uneven heights instead of failing
+    at shard_map trace time (review finding)."""
+    from rawphotoforge_tpu.kernels import fused
+
+    sp_mesh = pmesh.make_mesh(n_batch=1, n_spatial=8)
+    h, w = 67, 256  # 67 % 8 != 0
+    img = random_linear_image(rng, h, w)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    p = EditParameters()
+    p.set_vignette(40)
+    packed = pack_params([p], extent=(h, w))
+    masks = jnp.ones((1, h, w), dtype=jnp.float32)
+    sharded = jax.jit(
+        pmesh.develop_spatial_sharded, static_argnums=(3, 4)
+    )(planes, packed, masks, sp_mesh, True)
+    single = fused.develop_post_geo_fused(planes, packed, masks)
+    assert sharded.shape == (3, h, w)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-6)
