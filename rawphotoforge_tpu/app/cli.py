@@ -361,14 +361,20 @@ def cmd_convert(args) -> int:
     # Lossless-transcode mode: stored pixel values pass through verbatim
     # and opcode lists (GainMap/Warp) are re-serialized, not baked in.
     raw = parse_raw(src, apply_opcodes=False)
+    # Carry the source's embedded camera preview through so the output
+    # DNG stays instantly viewable in other software.
+    from ..io.dng import extract_preview
+
+    preview = None if args.no_preview else extract_preview(src)
     tile = None
     if args.tile:
         th, tw = (int(v) for v in args.tile.split("x"))
         tile = (th, tw)
     if args.codec == "deflate":
-        out = write_dng(raw, compression=8, predictor=34892, tile=tile)
+        out = write_dng(raw, compression=8, predictor=34892, tile=tile,
+                        preview_jpeg=preview)
     else:
-        out = write_dng(raw, compression=7, tile=tile)
+        out = write_dng(raw, compression=7, tile=tile, preview_jpeg=preview)
     with open(args.output, "wb") as f:
         f.write(out)
     h, w = raw.mosaic.shape[:2]
@@ -429,6 +435,9 @@ def main(argv=None) -> int:
     p_cv.add_argument("--codec", choices=("ljpeg", "deflate"),
                       default="ljpeg",
                       help="DNG compression: lossless JPEG (7) or deflate (8)")
+    p_cv.add_argument("--no-preview", action="store_true",
+                      help="do not carry the source's embedded JPEG preview "
+                           "into the output")
     p_cv.set_defaults(fn=cmd_convert)
 
     p_ls = sub.add_parser("devices", help="list accelerator devices")

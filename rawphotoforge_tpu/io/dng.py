@@ -1038,6 +1038,7 @@ def write_dng(
     linearization_table: Optional[np.ndarray] = None,
     opcode_list_2: Optional[bytes] = None,
     opcode_list_3: Optional[bytes] = None,
+    preview_jpeg: Optional[bytes] = None,
 ) -> bytes:
     """Emit a minimal valid CFA DNG (little-endian).
 
@@ -1241,7 +1242,42 @@ def write_dng(
 
     entries.sort(key=lambda e: e[0])
 
-    header_size = 8
+    # Optional embedded preview: IFD0 becomes a JPEG preview IFD (the
+    # standard DNG layout other software shows as the thumbnail) whose
+    # SubIFDs tag points at the raw IFD below.
+    preview_block = b""
+    if preview_jpeg:
+        import io as _io
+
+        from PIL import Image as PILImage
+
+        pw, ph = PILImage.open(_io.BytesIO(preview_jpeg)).size
+        pent = [
+            (254, 4, 1, 1),          # NewSubfileType: reduced-res preview
+            (256, 4, 1, pw), (257, 4, 1, ph),
+            (258, 3, 1, 8), (259, 3, 1, 7), (262, 3, 1, 6),  # JPEG, YCbCr
+            (273, 4, 1, 0),          # StripOffsets (patched below)
+            (277, 3, 1, 3), (278, 4, 1, ph),
+            (279, 4, 1, len(preview_jpeg)),
+            (330, 4, 1, 0),          # SubIFDs -> raw IFD (patched below)
+        ]
+        pifd_size = 2 + len(pent) * 12 + 4
+        jpeg_off = 8 + pifd_size
+        raw_base = jpeg_off + len(preview_jpeg) + (len(preview_jpeg) & 1)
+        pifd = struct.pack("<H", len(pent))
+        for t, ty, n, v in pent:
+            if t == 273:
+                v = jpeg_off
+            elif t == 330:
+                v = raw_base
+            pifd += struct.pack("<HHI", t, ty, n)
+            pifd += (struct.pack("<I", v) if ty == 4
+                     else struct.pack("<HH", v, 0))
+        pifd += struct.pack("<I", 0)  # preview IFD ends the IFD0 chain
+        preview_block = (pifd + preview_jpeg
+                         + (b"\x00" if len(preview_jpeg) & 1 else b""))
+
+    header_size = 8 + len(preview_block)
     ifd_size = 2 + len(entries) * 12 + 4
     data_off = header_size + ifd_size
     out_of_line = bytearray()
@@ -1269,6 +1305,7 @@ def write_dng(
 
     buf = bytearray()
     buf += b"II" + struct.pack("<HI", 42, 8)
+    buf += preview_block
     buf += struct.pack("<H", len(entries))
     for tag, typ, n, payload, off in entries:
         buf += struct.pack("<HHI", tag, typ, n)

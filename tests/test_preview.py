@@ -194,3 +194,42 @@ def test_cli_info_preview_fallback_succeeds(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "44x30" in out and "embedded camera preview" in out
+
+
+def test_write_dng_embeds_preview():
+    """write_dng(preview_jpeg=...) emits a standard preview-IFD0 +
+    SubIFDs layout: our extractor finds the preview, the reader still
+    finds the CFA data, and `convert` carries previews through."""
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rng = np.random.default_rng(0)
+    rgb = np.clip(rng.random((3, 24, 32)), 0, 1).astype(np.float32)
+    raw = synthetic_raw(rgb)
+    jpeg = _jpeg(12, 16, seed=30)
+    data = dng.write_dng(raw, compression=7, preview_jpeg=jpeg)
+    assert dng.extract_preview(data) == jpeg
+    back = dng.read_dng(data)
+    np.testing.assert_array_equal(back.mosaic, raw.mosaic)
+    assert back.pattern == raw.pattern
+    # Odd-length previews keep the raw IFD word-aligned.
+    jpeg_odd = jpeg + b"" if len(jpeg) % 2 else jpeg[:-1]
+    data = dng.write_dng(raw, preview_jpeg=jpeg_odd)
+    np.testing.assert_array_equal(dng.read_dng(data).mosaic, raw.mosaic)
+
+
+def test_cli_convert_carries_preview(tmp_path, capsys):
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    # Build a source DNG that itself embeds a preview.
+    rng = np.random.default_rng(1)
+    rgb = np.clip(rng.random((3, 24, 32)), 0, 1).astype(np.float32)
+    jpeg = _jpeg(12, 16, seed=31)
+    src = tmp_path / "in.dng"
+    src.write_bytes(dng.write_dng(synthetic_raw(rgb), preview_jpeg=jpeg))
+    out = tmp_path / "out.dng"
+    assert main(["convert", str(src), str(out), "--codec", "deflate"]) == 0
+    assert dng.extract_preview(out.read_bytes()) == jpeg
+    a = dng.read_dng(src.read_bytes())
+    b = dng.read_dng(out.read_bytes())
+    np.testing.assert_array_equal(a.mosaic, b.mosaic)
