@@ -129,7 +129,11 @@ def cmd_info(args) -> int:
 
 
 def cmd_develop(args) -> int:
-    image_io.format_for_path(args.output)  # validate before spending a render
+    # A .dng output exports scene-linear HDR (float LinearRaw DNG);
+    # everything else validates as a display format before rendering.
+    hdr_out = args.output.lower().endswith(".dng")
+    if not hdr_out:
+        image_io.format_for_path(args.output)
     t0 = time.perf_counter()
     ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path,
                           lens_correct=args.lens_correct,
@@ -145,7 +149,10 @@ def cmd_develop(args) -> int:
     t1 = time.perf_counter()
     ed.apply(FULL).block_until_ready()
     t_dev = time.perf_counter() - t1
-    ed.save(args.output, quality=args.quality)
+    if hdr_out:
+        ed.save_hdr_dng(args.output)
+    else:
+        ed.save(args.output, quality=args.quality)
     t_total = time.perf_counter() - t0
     h, w = ed.shape
     mpix = h * w / 1e6

@@ -592,6 +592,27 @@ class PhotoEditor:
             self.apply(FULL), fmt, quality=quality, exif_bytes=self._exif_bytes
         )
 
+    def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
+        """Export the edited image as a floating-point LinearRaw DNG
+        (deflate, TN3 predictor) — scene-linear HDR output, the layout
+        HDR-merge tools emit. The DNG carries the *linear* render (the
+        sRGB OETF undone from the develop output), so reopening it as a
+        RAW and developing with identity WB/matrix reproduces this
+        session's render."""
+        from ..core.color import srgb_to_linear
+        from ..io.dng import RawImage, write_dng
+        from ..utils.transfer import fetch_np
+
+        linear = srgb_to_linear(self.apply(FULL))
+        hwc = fetch_np(linear).transpose(1, 2, 0).astype(dtype)
+        raw = RawImage(
+            mosaic=hwc, pattern="RGB", black_level=0.0, white_level=1.0,
+            wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None,
+            exif=dict(self.exif),
+        )
+        with open(path, "wb") as f:
+            f.write(write_dng(raw, compression=8))
+
     # -- presets / session checkpointing ------------------------------------
     def preset_json(self) -> str:
         """Serialize the complete edit state (all masks' parameters) —

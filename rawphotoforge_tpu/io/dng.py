@@ -22,10 +22,18 @@ covers the DNG subset the framework owns natively:
 * lossy-JPEG DNG (Compression=34892) over PhotometricInterpretation=
   LinearRaw RGB — the demosaiced format Adobe's lossy DNGs use; decoded
   via Pillow and developed without the demosaic stage
+* DNG opcode lists: OpcodeList2 GainMap (shading correction, applied at
+  the normalized linear-reference stage) and OpcodeList3 WarpRectilinear
+  (distortion, applied post-demosaic by develop) — the corrections phone
+  DNGs/ProRAW carry; read_dng(apply_opcodes=False) is the lossless
+  transcode mode that re-serializes them instead
+* embedded JPEG preview extraction (``extract_preview``) from preview
+  IFDs / EXIF thumbnails, Pillow-validated
 
 plus a writer that emits valid uncompressed, lossless-JPEG (optionally
-tiled), or deflate (integer u16 / fp16 / fp32) CFA DNGs — used for tests,
-fixtures, and archival re-compression (`cli convert`).
+tiled), or deflate (integer u16 / fp16 / fp32; CFA or LinearRaw) DNGs,
+optionally with an embedded JPEG preview IFD — used for tests, fixtures,
+and archival re-compression (`cli convert`).
 """
 
 from __future__ import annotations

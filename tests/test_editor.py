@@ -342,3 +342,45 @@ def test_preset_load_is_atomic_on_invalid_crop(rng):
 
     assert ed.preset_json() == before_params
     np.testing.assert_array_equal(np.asarray(ed.apply()), before_render)
+
+
+def test_save_hdr_dng_round_trip(rng, tmp_path):
+    """HDR export: the edited linear render round-trips through a float
+    LinearRaw DNG — reopening and developing with identity WB/matrix
+    reproduces the session's output within fp16 quantization."""
+    from rawphotoforge_tpu.core.color import srgb_to_linear
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.io.raw import read_raw
+
+    img = random_linear_image(rng, 24, 32)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False)
+    ed.set_tone(exposure=0.6, contrast=25)
+    ed.set_vignette(30)
+    p = tmp_path / "hdr.dng"
+    ed.save_hdr_dng(str(p))
+
+    want = np.asarray(srgb_to_linear(ed.apply()))
+    got, exif = read_raw(str(p))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)  # fp16
+    # fp32 export is exact up to the develop clip.
+    ed.save_hdr_dng(str(p), dtype=np.float32)
+    got32, _ = read_raw(str(p))
+    np.testing.assert_allclose(np.asarray(got32), np.clip(want, 0, 1),
+                               atol=1e-6)
+
+
+def test_cli_develop_hdr_dng_output(rng, tmp_path):
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io import dng
+
+    src = tmp_path / "in.png"
+    arr = (random_linear_image(rng, 20, 28) * 255).astype(np.uint8)
+    PILImage.fromarray(arr).save(src)
+    out = tmp_path / "out.dng"
+    assert main(["develop", str(src), str(out), "--exposure", "0.4",
+                 "--jnp-path"]) == 0
+    raw = dng.read_dng(out.read_bytes())
+    assert raw.pattern == "RGB" and raw.mosaic.dtype == np.float32
