@@ -52,6 +52,7 @@ a{{color:#8cf}}
       accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw">
     <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
     <a href="/export?fmt=png" download="export.png">PNG</a>
+    <a href="/export?fmt=dng" download="export_hdr.dng">HDR</a>
   </div>
   <canvas id=hist width=256 height=70></canvas>
   <div id=sliders></div>
@@ -647,15 +648,20 @@ def make_handler(app: EditorApp):
                     # photo-editor-web/src/lib.rs).
                     fmt = q.get("fmt", ["jpeg"])[0].upper()
                     fmt = {"JPG": "JPEG"}.get(fmt, fmt)
-                    if fmt not in ("JPEG", "PNG", "WEBP", "TIFF"):
+                    if fmt == "DNG":
+                        # Scene-linear HDR export (float LinearRaw DNG).
+                        self._send(200, app.editor.hdr_dng_bytes(),
+                                   "image/x-adobe-dng")
+                    elif fmt in ("JPEG", "PNG", "WEBP", "TIFF"):
+                        self._send(
+                            200,
+                            app.editor.save_bytes(
+                                fmt, quality=app.settings.jpeg_quality
+                            ),
+                            f"image/{fmt.lower()}",
+                        )
+                    else:
                         raise ValueError(f"unsupported export format {fmt}")
-                    self._send(
-                        200,
-                        app.editor.save_bytes(
-                            fmt, quality=app.settings.jpeg_quality
-                        ),
-                        f"image/{fmt.lower()}",
-                    )
                 elif url.path == "/histogram":
                     h = app.editor.histogram(MID).tolist()
                     self._send(200, json.dumps(h).encode())

@@ -592,7 +592,7 @@ class PhotoEditor:
             self.apply(FULL), fmt, quality=quality, exif_bytes=self._exif_bytes
         )
 
-    def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
+    def hdr_dng_bytes(self, dtype=np.float16) -> bytes:
         """Export the edited image as a floating-point LinearRaw DNG
         (deflate, TN3 predictor) — scene-linear HDR output, the layout
         HDR-merge tools emit. The DNG carries the *linear* render (the
@@ -610,8 +610,11 @@ class PhotoEditor:
             wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None,
             exif=dict(self.exif),
         )
+        return write_dng(raw, compression=8)
+
+    def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
         with open(path, "wb") as f:
-            f.write(write_dng(raw, compression=8))
+            f.write(self.hdr_dng_bytes(dtype))
 
     # -- presets / session checkpointing ------------------------------------
     def preset_json(self) -> str:

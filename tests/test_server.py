@@ -332,3 +332,15 @@ def test_concurrent_edit_preview_storm(base_url):
     status, _, _ = _get(base_url + "/preview?level=mid")
     assert status == 200
     _post(base_url + "/reset", {})
+
+
+def test_export_hdr_dng(base_url):
+    import numpy as np
+
+    from rawphotoforge_tpu.io import dng
+
+    status, ctype, body = _get(base_url + "/export?fmt=dng")
+    assert status == 200 and "dng" in ctype
+    raw = dng.read_dng(body)
+    assert raw.pattern == "RGB"
+    assert raw.mosaic.dtype == np.float32
