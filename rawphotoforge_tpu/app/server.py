@@ -211,7 +211,13 @@ cc.onmousedown=e=>{{
   const [x,y]=curvePos(e);const pts=curves[curCurve];
   dragIdx=pts.findIndex(p=>{{const [px,py]=toPx(p);return Math.abs(px-x)<8&&Math.abs(py-y)<8;}});
   if(dragIdx<0){{
+    // Clamp new points into the domain and keep x strictly increasing
+    // (duplicate x would make the PCHIP slopes Inf/NaN and the server
+    // reject the curve).
     const np=fromPx(x,y);
+    np[0]=Math.min(Math.max(np[0],0),65535);
+    np[1]=Math.min(Math.max(np[1],0),65535);
+    if(pts.some(p=>Math.abs(p[0]-np[0])<64))return;
     pts.push(np);pts.sort((a,b)=>a[0]-b[0]);dragIdx=pts.indexOf(np);drawCurve();
   }}
 }};
@@ -292,11 +298,19 @@ function pvRefresh(level,original){{
 async function push(level){{
   if(busy){{queued=level;return;}}
   busy=true;
-  await fetch('/edit',{{method:'POST',body:JSON.stringify(state)}});
-  pvRefresh(level);
-  const h=await (await fetch('/histogram')).json();
-  drawHist(h);
-  busy=false;
+  try{{
+    await fetch('/edit',{{method:'POST',body:JSON.stringify(state)}});
+    pvRefresh(level);
+    if(level!=='low'){{
+      // Skip the histogram during drag ticks: it renders at MID, which
+      // would defeat the drag->LOW fast path; refresh it on release.
+      const h=await (await fetch('/histogram')).json();
+      drawHist(h);
+    }}
+  }}finally{{
+    // Never leave the render loop bricked by one rejected fetch.
+    busy=false;
+  }}
   if(queued){{const q=queued;queued=null;push(q);}}
 }}
 function drawHist(h){{
@@ -312,6 +326,10 @@ function drawHist(h){{
 async function resetAll(){{
   await fetch('/reset',{{method:'POST'}});
   imgInfo=await (await fetch('/info')).json();  // crop cleared server-side
+  // Regional masks are gone server-side: re-target main and reload the
+  // dropdown, or every subsequent edit 400s with MaskNotFound.
+  state._target='main';
+  await loadMasks('main');
   for(const [name] of SLIDERS){{state[name]=0;
     document.getElementById('s_'+name).value=0;
     document.getElementById('v_'+name).textContent='0';}}
@@ -533,10 +551,38 @@ class EditorApp:
     def apply_state(self, st: dict):
         """Apply slider/curve state to the target mask ('_target', default
         main). Global-only params (vignette, distortion, sharpness,
-        wgsl:270-276) always go to main."""
-        ed = self.editor
+        wgsl:270-276) always go to main.
+
+        All-or-nothing: every value is validated against a scratch
+        EditParameters BEFORE any session state mutates, so a rejected
+        /edit (e.g. a non-monotone curve) leaves the editor untouched —
+        the same invariant the individual setters and preset loads keep."""
+        from ..core.params import EditParameters
+
         target = st.get("_target") or "main"
         mask_name = None if target == "main" else target
+        scratch = EditParameters()
+        scratch.set_tone(
+            st.get("exposure", 0.0), int(st.get("contrast", 0)),
+            int(st.get("shadow", 0)), int(st.get("highlight", 0)),
+            int(st.get("black", 0)), int(st.get("white", 0)),
+        )
+        scratch.set_whitebalance(
+            int(st.get("wb_temperature", 0)), int(st.get("wb_tint", 0)))
+        for i, cname in enumerate(CURVE_NAMES):
+            pts = st.get(f"curve_{cname}")
+            if pts:
+                scratch.set_curve(i, [p[0] for p in pts], [p[1] for p in pts])
+        if "vignette" in st:
+            scratch.set_vignette(int(st["vignette"]))
+        if "lens_distortion" in st:
+            scratch.set_lens_distortion(int(st["lens_distortion"]))
+        if "sharpness" in st:
+            scratch.set_sharpness(int(st["sharpness"]))
+        if "mask_range" in st:
+            float(st["mask_range"])
+
+        ed = self.editor
         ed.set_tone(
             st.get("exposure", 0.0), int(st.get("contrast", 0)),
             int(st.get("shadow", 0)), int(st.get("highlight", 0)),
@@ -677,7 +723,20 @@ def make_handler(app: EditorApp):
                     self._send(404, b"{}")
 
         def do_POST(self):
+            # Cross-origin defense for ALL state-changing endpoints: a
+            # drive-by page CSRF-ing this no-auth local server carries an
+            # Origin header that won't match the Host it connected to.
+            origin = self.headers.get("Origin")
+            host = self.headers.get("Host", "")
+            if origin is not None and origin != f"http://{host}":
+                self._send(403, json.dumps(
+                    {"error": "cross-origin request rejected"}).encode())
+                return
             n = int(self.headers.get("Content-Length", 0))
+            if n > (1 << 31):  # body-size cap: no multi-GB allocations
+                self._send(413, json.dumps(
+                    {"error": "request body too large"}).encode())
+                return
             raw_body = self.rfile.read(n)
             url = urllib.parse.urlparse(self.path)
             if url.path == "/open":
@@ -706,9 +765,11 @@ def make_handler(app: EditorApp):
                             400, json.dumps({"error": str(e)}).encode()
                         )
                 return
-            body = json.loads(raw_body or b"{}")
             with app.lock:
                 try:
+                    # Inside the try: malformed JSON must answer 400, not
+                    # kill the connection without a response.
+                    body = json.loads(raw_body or b"{}")
                     if url.path == "/edit":
                         app.apply_state(body)
                         self._send(200, b'{"ok": true}')

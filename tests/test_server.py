@@ -344,3 +344,63 @@ def test_export_hdr_dng(base_url):
     raw = dng.read_dng(body)
     assert raw.pattern == "RGB"
     assert raw.mosaic.dtype == np.float32
+
+
+def test_malformed_json_returns_400(base_url):
+    import http.client
+    import urllib.parse
+
+    u = urllib.parse.urlparse(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    conn.request("POST", "/preset", body=b"{not json",
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"error" in resp.read()
+    conn.close()
+
+
+def test_cross_origin_post_rejected(base_url):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        base_url + "/reset", data=b"{}", method="POST",
+        headers={"Origin": "http://evil.example"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 403
+    # Same-origin (matching Host) still works.
+    import urllib.parse
+
+    host = urllib.parse.urlparse(base_url).netloc
+    req = urllib.request.Request(
+        base_url + "/histogram", method="GET")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    req = urllib.request.Request(
+        base_url + "/reset", data=b"{}", method="POST",
+        headers={"Origin": f"http://{host}"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+
+
+def test_edit_rejected_curve_leaves_state_untouched(base_url):
+    """A non-monotone curve in /edit must not half-apply the sliders."""
+    status, _ = _post(base_url + "/edit", {"exposure": 0.0})
+    assert status == 200
+    before = json.loads(_get(base_url + "/params?mask=main")[2])
+    try:
+        _post(base_url + "/edit", {
+            "exposure": 3.0,
+            "curve_brightness": [[0, 0], [0, 5000]],  # duplicate x: invalid
+        })
+        status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    after = json.loads(_get(base_url + "/params?mask=main")[2])
+    assert after == before  # nothing half-applied
