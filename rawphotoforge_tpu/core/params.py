@@ -248,7 +248,18 @@ class EditParameters:
         p.mask_range = float(d.get("mask_range", 0.0))
         p.brightness_channel = int(d.get("brightness_channel", 3))
         cd = d.get("curves", {})
-        p.curves = [CurveState.from_json(cd.get(CURVE_NAMES[i])) for i in range(4)]
+        for i in range(4):
+            c = cd.get(CURVE_NAMES[i])
+            if c is None:
+                continue  # keep the slot's default curve
+            # Route through set_curve so deserialized curves get the SAME
+            # validation as setter calls — a preset carrying a
+            # non-monotone curve or a wrong-length raw LUT must be
+            # rejected here, not detonate at the next render.
+            if "raw_lut" in c:
+                p.set_curve(i, raw_lut=c["raw_lut"])
+            else:
+                p.set_curve(i, c["x"], c["y"])
         return p
 
     def dumps(self) -> str:

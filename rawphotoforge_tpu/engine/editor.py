@@ -69,12 +69,14 @@ class MaskNotFound(PhotoEditorError, KeyError):
 
 
 class _Mask:
-    __slots__ = ("name", "data_full", "params", "_levels")
+    __slots__ = ("name", "data_full", "params", "_levels", "logits")
 
-    def __init__(self, name: str, data_full: jax.Array, params: EditParameters):
+    def __init__(self, name: str, data_full: jax.Array,
+                 params: EditParameters, logits=None):
         self.name = name
         self.data_full = data_full  # f32 [H, W], binarized 0/1
         self.params = params
+        self.logits = logits        # pre-threshold values, for re-binarize
         self._levels: dict[str, jax.Array] = {}
 
 
@@ -219,18 +221,22 @@ class PhotoEditor:
         """Add a regional mask; binarized at the main mask_range threshold
         (v >= mask_range -> 1.0, lib.rs:481-499). ``data`` is [H, W] float
         (e.g. SAM-style logits) at full resolution."""
+        if name == "main" or any(m.name == name for m in self.masks):
+            raise ValueError(f"mask name {name!r} already exists")
         thr = self._find("main").params.mask_range
         arr = jnp.asarray(np.asarray(data, dtype=np.float32))
         if arr.shape != self.shape:
             raise ValueError(f"mask shape {arr.shape} != image shape {self.shape}")
         binar = (arr >= thr).astype(jnp.float32)
-        self.masks.append(_Mask(name, binar, EditParameters()))
+        self.masks.append(_Mask(name, binar, EditParameters(), logits=arr))
         self._invalidate(masks_changed=True)
 
     def remove_mask(self, name: str) -> None:
-        """Remove a regional mask; 'main' is not removable (lib.rs:501-505)."""
+        """Remove a regional mask; 'main' is not removable (lib.rs:501-505).
+        Unknown names raise MaskNotFound (consistent with invert_mask)."""
         if name == "main":
             return
+        self._find(name)  # raises MaskNotFound for typos
         self.masks = [m for m in self.masks if m.name != name]
         self._invalidate(masks_changed=True)
 
@@ -241,6 +247,7 @@ class PhotoEditor:
             return
         m = self._find(name)
         m.data_full = 1.0 - m.data_full
+        m.logits = None  # inversion detaches the mask from its logits
         m._levels.clear()
         self._invalidate(masks_changed=True)
 
@@ -334,6 +341,9 @@ class PhotoEditor:
 
     # -- edits --------------------------------------------------------------
     def params(self, mask_name: Optional[str] = None) -> EditParameters:
+        """The live EditParameters for a mask — read-only by contract:
+        mutate through the editor's setters (which invalidate caches), or
+        renders will serve stale state."""
         return self._find(mask_name).params
 
     def _edited(self):
@@ -362,8 +372,19 @@ class PhotoEditor:
         self._edited()
 
     def set_mask_range(self, value: float):
+        """Change the binarization threshold AND re-threshold every
+        existing regional mask from its stored logits — the live
+        mask_range semantics of v1 (editor.py:1384 thresholds at apply
+        time); masks whose logits are gone (inverted) keep their data."""
         self._find(None).params.mask_range = float(value)
-        self._edited()
+        changed = False
+        for m in self.masks[1:]:
+            if m.logits is not None:
+                m.data_full = (m.logits >= value).astype(jnp.float32)
+                m._levels.clear()
+                changed = True
+        if changed:
+            self._invalidate(masks_changed=True)
 
     def set_curve(self, slot, control_x=None, control_y=None, raw_lut=None,
                   mask_name=None, channel=None):
@@ -385,12 +406,13 @@ class PhotoEditor:
         y1 = min(h, y1)
         if x1 - x0 < 1 or y1 - y0 < 1:
             raise ValueError(f"empty crop rect ({x0},{y0})-({x1},{y1})")
+        # No cache invalidation: the crop slices the cached UNCROPPED
+        # render (apply() docstring), so adjusting it must not force a
+        # develop re-run.
         self.crop_rect = (x0, y0, x1, y1)
-        self._edited()
 
     def clear_crop(self):
         self.crop_rect = None
-        self._edited()
 
     @property
     def cropped_shape(self) -> tuple[int, int]:
@@ -400,9 +422,11 @@ class PhotoEditor:
         return (y1 - y0, x1 - x0)
 
     def reset(self):
-        """Drop all regional masks and reset main params (lib.rs:227-235)."""
+        """Drop all regional masks, reset main params (lib.rs:227-235),
+        and clear the crop (it is part of the serialized edit state)."""
         self.masks = [m for m in self.masks if m.name == "main"]
         self.masks[0].params = EditParameters()
+        self.crop_rect = None
         self._invalidate(masks_changed=True)
 
     # -- cache plumbing -----------------------------------------------------
@@ -582,10 +606,14 @@ class PhotoEditor:
     def save(self, path: str, quality: int = 95) -> None:
         """Full-resolution render + encode (web/main.ts:910-954 policy:
         always re-render FULL before export). Original EXIF is written back
-        into the export (python-legacy editor.py:345-350)."""
+        into the export (python-legacy editor.py:345-350).
+
+        The bytes are produced BEFORE the destination opens, so a render
+        or encode failure never truncates an existing file."""
         fmt = image_io.format_for_path(path)
+        data = self.save_bytes(fmt, quality=quality)
         with open(path, "wb") as f:
-            f.write(self.save_bytes(fmt, quality=quality))
+            f.write(data)
 
     def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
         return image_io.encode_image(
@@ -613,8 +641,9 @@ class PhotoEditor:
         return write_dng(raw, compression=8)
 
     def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
+        data = self.hdr_dng_bytes(dtype)  # render before touching the file
         with open(path, "wb") as f:
-            f.write(self.hdr_dng_bytes(dtype))
+            f.write(data)
 
     # -- presets / session checkpointing ------------------------------------
     def preset_json(self) -> str:

@@ -384,3 +384,76 @@ def test_cli_develop_hdr_dng_output(rng, tmp_path):
                  "--jnp-path"]) == 0
     raw = dng.read_dng(out.read_bytes())
     assert raw.pattern == "RGB" and raw.mosaic.dtype == np.float32
+
+
+def test_editor_review_fixes(rng, tmp_path):
+    """Round-2 editor-review regressions in one sweep."""
+    import json
+
+    from rawphotoforge_tpu.core import curve as curve_mod
+    from rawphotoforge_tpu.engine.editor import MaskNotFound, PhotoEditor
+
+    img = random_linear_image(rng, 30, 40)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False)
+
+    # Preset with a non-monotone curve is rejected BEFORE any mutation.
+    before = ed.preset_json()
+    bad = json.loads(before)
+    bad["masks"][0]["params"]["curves"]["brightness"] = {
+        "x": [0, 0], "y": [0, 65535]}
+    with pytest.raises(curve_mod.CurveError):
+        ed.load_preset_json(json.dumps(bad))
+    assert ed.preset_json() == before
+    # ...and a wrong-length raw LUT too.
+    bad["masks"][0]["params"]["curves"]["brightness"] = {"raw_lut": [1, 2, 3]}
+    with pytest.raises(curve_mod.CurveError):
+        ed.load_preset_json(json.dumps(bad))
+
+    # save() must not truncate an existing file when encoding fails.
+    out = tmp_path / "keep.dng"
+    out.write_bytes(b"precious")
+    with pytest.raises(Exception):
+        ed.save(str(out))  # DNG is not a display-encode target
+    assert out.read_bytes() == b"precious"
+
+    # Duplicate / reserved mask names are rejected.
+    ed.add_mask("m1", (rng.random((30, 40)) > 0.5).astype(np.float32))
+    with pytest.raises(ValueError):
+        ed.add_mask("m1", np.ones((30, 40), np.float32))
+    with pytest.raises(ValueError):
+        ed.add_mask("main", np.ones((30, 40), np.float32))
+
+    # remove_mask raises for typos (consistent with invert_mask).
+    with pytest.raises(MaskNotFound):
+        ed.remove_mask("nope")
+
+    # Crop adjustments reuse the cached render (no version bump).
+    ed.apply(FULL)
+    v = ed._version
+    ed.set_crop(2, 2, 20, 20)
+    ed.clear_crop()
+    assert ed._version == v
+    ed.set_crop(1, 1, 30, 25)
+
+    # reset() clears the crop along with masks/params.
+    ed.reset()
+    assert ed.crop_rect is None and ed.mask_names() == ["main"]
+
+
+def test_mask_range_rethresholds_existing_masks(rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    img = random_linear_image(rng, 20, 24)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=False)
+    logits = np.linspace(-1.0, 1.0, 20 * 24, dtype=np.float32).reshape(20, 24)
+    ed.add_mask("grad", logits)  # threshold 0.0 -> upper half selected
+    m = ed.masks[1]
+    sel_lo = float(np.asarray(m.data_full).mean())
+    ed.set_mask_range(0.9)  # live re-threshold (v1 semantics)
+    sel_hi = float(np.asarray(ed.masks[1].data_full).mean())
+    assert sel_hi < sel_lo
+    # Inversion detaches from logits: further range moves leave it alone.
+    ed.invert_mask("grad")
+    frozen = np.asarray(ed.masks[1].data_full).copy()
+    ed.set_mask_range(0.1)
+    np.testing.assert_array_equal(np.asarray(ed.masks[1].data_full), frozen)
