@@ -74,7 +74,17 @@ class LJpegFrame:
 
 def parse(data: bytes) -> LJpegFrame:
     """Parse markers up to (and including) SOS; returns the frame +
-    entropy-coded scan bytes."""
+    entropy-coded scan bytes. Malformed/truncated headers raise
+    LJpegError (never struct/numpy errors)."""
+    try:
+        return _parse(data)
+    except LJpegError:
+        raise
+    except (struct.error, ValueError, IndexError) as e:
+        raise LJpegError(f"malformed lossless-JPEG header: {e}") from e
+
+
+def _parse(data: bytes) -> LJpegFrame:
     if len(data) < 4 or data[0] != 0xFF or data[1] != M_SOI:
         raise LJpegError("missing SOI marker")
     pos = 2
@@ -132,6 +142,16 @@ def parse(data: bytes) -> LJpegFrame:
                 if nval > 17:
                     raise LJpegError(f"too many Huffman values ({nval})")
                 vals = np.frombuffer(data, np.uint8, nval, p + 17).copy()
+                # Kraft validity: an oversubscribed table would overflow
+                # the 16-bit code space and alias symbols in the peek-16
+                # LUT -> silently wrong pixels.
+                kraft = sum(int(counts[l]) << (16 - (l + 1))
+                            for l in range(16))
+                if kraft > (1 << 16):
+                    raise LJpegError(
+                        f"invalid Huffman table: code space oversubscribed "
+                        f"(Kraft sum {kraft / float(1 << 16):.3f} > 1)"
+                    )
                 if vals.size and int(vals.max()) > 16:
                     # Lossless SSSS categories are 0..16; a larger value
                     # would drive the native decoder into shift counts
@@ -163,6 +183,12 @@ def parse(data: bytes) -> LJpegFrame:
             )
             if not (1 <= ss <= 7):
                 raise LJpegError(f"bad predictor {ss}")
+            if (ahal & 0x0F) >= precision:
+                # 1 << (precision - pt - 1) would be a negative shift:
+                # C++ UB / silently wrong pixels on the native path.
+                raise LJpegError(
+                    f"point transform {ahal & 0x0F} >= precision {precision}"
+                )
             scan_start = pos + seglen
             frame_done = (scan_start, ss, ahal & 0x0F, comp_table)
             break
@@ -273,36 +299,54 @@ def _build_huffman_lut(counts: np.ndarray, values: np.ndarray, nval: int):
 
 
 class _BitReaderPy:
-    """Bit reader over unstuffed segment bytes (MSB first)."""
+    """Bit reader over unstuffed segment bytes (MSB first).
 
-    __slots__ = ("data", "pos", "nbits")
+    Byte-cursor + small bit cache (the same shape as the C++ LjBitReader):
+    a whole-segment bignum with per-read shifts would make every read
+    O(remaining bits) and the fallback decoder O(n^2) — unusably slow on
+    real RAW files."""
+
+    __slots__ = ("seg", "byte", "cache", "ncached")
 
     def __init__(self, seg: bytes):
-        self.data = int.from_bytes(seg, "big") if seg else 0
-        self.nbits = 8 * len(seg)
-        self.pos = 0
+        self.seg = seg
+        self.byte = 0       # next byte index to refill from
+        self.cache = 0      # MSB-aligned within ncached bits
+        self.ncached = 0
+
+    def _fill(self, need: int):
+        while self.ncached < need:
+            b = self.seg[self.byte] if self.byte < len(self.seg) else 0
+            self.byte += 1
+            self.cache = (self.cache << 8) | b
+            self.ncached += 8
 
     def peek16(self) -> int:
-        rem = self.nbits - self.pos
-        if rem >= 16:
-            return (self.data >> (rem - 16)) & 0xFFFF
-        if rem <= 0:
-            return 0
-        return ((self.data << (16 - rem)) & 0xFFFF)
+        self._fill(16)
+        return (self.cache >> (self.ncached - 16)) & 0xFFFF
 
     def skip(self, n: int):
-        self.pos += n
+        self._fill(n)
+        self.ncached -= n
+        self.cache &= (1 << self.ncached) - 1
 
     def get(self, n: int) -> int:
         if n == 0:
             return 0
-        rem = self.nbits - self.pos
-        if rem >= n:
-            v = (self.data >> (rem - n)) & ((1 << n) - 1)
-        else:
-            v = (self.data << (n - max(rem, 0))) & ((1 << n) - 1) if rem > 0 else 0
-        self.pos += n
+        self._fill(n)
+        v = (self.cache >> (self.ncached - n)) & ((1 << n) - 1)
+        self.ncached -= n
+        self.cache &= (1 << self.ncached) - 1
         return v
+
+    @property
+    def pos(self) -> int:
+        """Bits consumed (can exceed nbits after an over-read)."""
+        return self.byte * 8 - self.ncached
+
+    @property
+    def nbits(self) -> int:
+        return 8 * len(self.seg)
 
 
 def _decode_scan_py(
@@ -623,11 +667,17 @@ def encode(
         s = s[:, :, None]
     if s.ndim != 3 or s.shape[2] > 4:
         raise LJpegError(f"bad sample shape {samples.shape}")
+    if s.size == 0:
+        raise LJpegError("cannot encode an empty sample array")
     h, w, nc = s.shape
     if precision is None:
         precision = max(2, int(s.max()).bit_length())
     if not (2 <= precision <= 16):
         raise LJpegError(f"bad precision {precision}")
+    if not (0 <= point_transform < precision):
+        raise LJpegError(
+            f"point transform {point_transform} out of range for "
+            f"precision {precision}")
     if int(s.max()) >= (1 << precision):
         raise LJpegError("samples exceed precision")
 

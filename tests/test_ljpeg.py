@@ -374,3 +374,73 @@ def test_dht_value_out_of_range_rejected():
     data[vals_at] = 200
     with pytest.raises(ljpeg.LJpegError, match="out of range"):
         ljpeg.decode(bytes(data))
+
+
+def test_codec_review_regressions():
+    """Whole-file codec review findings, one sweep."""
+    import struct as _struct
+    import time
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(0, 4096, size=(8, 8, 1)).astype(np.uint16)
+    good = ljpeg.encode(samples, precision=12, predictor=1)
+
+    # 1. Point transform >= precision is rejected at parse time (was C++
+    #    negative-shift UB / bare ValueError).
+    data = bytearray(good)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    (seglen,) = _struct.unpack_from(">H", data, sos + 2)
+    ahal_at = sos + 2 + seglen - 1
+    data[ahal_at] = (data[ahal_at] & 0xF0) | 15  # Al = 15 >= precision 12
+    with pytest.raises(ljpeg.LJpegError, match="point transform"):
+        ljpeg.decode(bytes(data))
+
+    # 2. Truncated headers raise LJpegError, not struct.error.
+    with pytest.raises(ljpeg.LJpegError):
+        ljpeg.parse(b"\xff\xd8\xff\xc3\x00")
+    with pytest.raises(ljpeg.LJpegError):
+        ljpeg.parse(good[:20])
+
+    # 3. Oversubscribed Huffman tables (Kraft sum > 1) are rejected (were
+    #    silently wrong pixels via empty LUT slices).
+    data = bytearray(good)
+    dht = data.find(b"\xff\xc4")
+    counts_at = dht + 5
+    data[counts_at : counts_at + 16] = bytes(16)
+    data[counts_at] = 2
+    data[counts_at + 1] = 1  # lengths [2,1]: 2*2^-1 + 1*2^-2 > 1
+    with pytest.raises(ljpeg.LJpegError, match="oversubscribed"):
+        ljpeg.decode(bytes(data))
+
+    # 4. Encoder validates point_transform and empty input with typed
+    #    errors.
+    with pytest.raises(ljpeg.LJpegError, match="point transform"):
+        ljpeg.encode(samples, precision=2, point_transform=2)
+    with pytest.raises(ljpeg.LJpegError, match="empty"):
+        ljpeg.encode(np.zeros((4, 0), dtype=np.uint16))
+
+    # 5. The pure-Python fallback decoder is O(n): 4x the pixels must not
+    #    cost ~16x the time (the old bignum reader was quadratic).
+    def py_time(n, monkeypatch_native=[None]):
+        arr = rng.integers(0, 65535, size=(n, 64, 1)).astype(np.uint16)
+        enc = ljpeg.encode(arr, precision=16, predictor=1)
+        frame = ljpeg.parse(enc)
+        segs = ljpeg._split_segments(
+            frame.scan, frame.restart_interval,
+            frame.rows * frame.mcus_per_row)
+        luts = [ljpeg._build_huffman_lut(
+            frame.counts[t], frame.values[t], int(frame.nvalues[t]))
+            for t in range(frame.counts.shape[0])]
+        out = np.zeros((frame.rows, frame.width), np.int32)
+        t0 = time.perf_counter()
+        for seg, start, count in segs:
+            ljpeg._decode_scan_py(seg, out, frame, start, count, luts)
+        dt = time.perf_counter() - t0
+        np.testing.assert_array_equal(
+            out.astype(np.uint16), arr[..., 0])  # and it decodes right
+        return dt
+
+    t1 = py_time(64)
+    t4 = py_time(256)
+    assert t4 < t1 * 10, (t1, t4)  # linear-ish, with generous slack
