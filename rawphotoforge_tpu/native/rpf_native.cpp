@@ -14,6 +14,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <new>
 #include <cstring>
 #include <algorithm>
 
@@ -40,12 +41,17 @@ int rpf_pchip_build_lut(const int32_t* xs, const int32_t* ys, int n,
                         int32_t lo, int32_t hi, int lut_size, int32_t* out) {
   if (n < 2 || lut_size <= 0 || !xs || !ys || !out) return RPF_ERR_ARGS;
 
-  // f32 working copies (match the reference's f32 internals).
-  float* x = new float[n];
-  float* y = new float[n];
-  float* h = new float[n - 1];
-  float* del = new float[n - 1];
-  float* slope = new float[n];
+  // f32 working copies (match the reference's f32 internals). nothrow:
+  // an exception must not unwind through the C ABI into ctypes.
+  float* x = new (std::nothrow) float[n];
+  float* y = new (std::nothrow) float[n];
+  float* h = new (std::nothrow) float[n - 1];
+  float* del = new (std::nothrow) float[n - 1];
+  float* slope = new (std::nothrow) float[n];
+  if (!x || !y || !h || !del || !slope) {
+    delete[] x; delete[] y; delete[] h; delete[] del; delete[] slope;
+    return RPF_ERR_ARGS;
+  }
   for (int i = 0; i < n; ++i) {
     x[i] = static_cast<float>(xs[i]);
     y[i] = static_cast<float>(ys[i]);
@@ -97,7 +103,11 @@ int rpf_pchip_build_lut(const int32_t* xs, const int32_t* ys, int n,
       val = h00 * y[i] + h10 * hv * slope[i] + h01 * y[i + 1] +
             h11 * hv * slope[i + 1];
     }
-    // Truncate toward zero (Rust `as i32`), then clamp.
+    // Clamp in float FIRST (casting values at/above 2^31 is UB and lands
+    // on the wrong side), then truncate toward zero (Rust `as i32`).
+    float lof = static_cast<float>(lo);
+    float hif = static_cast<float>(hi);
+    val = (val >= lof) ? std::min(val, hif) : lof;  // NaN -> lo
     int32_t iv = static_cast<int32_t>(val);
     out[k] = std::min(std::max(iv, lo), hi);
   }
@@ -107,8 +117,10 @@ int rpf_pchip_build_lut(const int32_t* xs, const int32_t* ys, int n,
 }
 
 // ---------------------------------------------------------------------------
-// Bilinear resize, HWC float32, half-texel-centered, edge-clamped — the
-// preview-pyramid resampler semantics.
+// Bilinear resize, HWC float32, half-texel-centered — the preview-pyramid
+// resampler contract (web/main.ts:984-1019): indices clamp at the edges
+// but the first-row/column weights can go slightly negative on upscale
+// (mild extrapolation), exactly like the reference and ops/geometry.
 // ---------------------------------------------------------------------------
 
 int rpf_resize_bilinear_f32(const float* src, int sh, int sw, int ch,
@@ -149,24 +161,25 @@ int rpf_resize_bilinear_f32(const float* src, int sh, int sw, int ch,
 // 256-entry table, encode truncating like image.rs:375-383).
 // ---------------------------------------------------------------------------
 
-static float srgb_decode_table[256];
-static bool srgb_table_init = false;
-
-static void init_srgb_table() {
-  if (srgb_table_init) return;
-  for (int i = 0; i < 256; ++i) {
-    float c = i / 255.0f;
-    srgb_decode_table[i] =
-        (c <= 0.04045f) ? c / 12.92f : std::pow((c + 0.055f) / 1.055f, 2.4f);
+// Thread-safe lazy table (C++11 magic static): ctypes releases the GIL,
+// so concurrent first calls from Python threads are real; a plain
+// check-then-init bool is a data race.
+struct SrgbDecodeTable {
+  float v[256];
+  SrgbDecodeTable() {
+    for (int i = 0; i < 256; ++i) {
+      float c = i / 255.0f;
+      v[i] = (c <= 0.04045f) ? c / 12.92f
+                             : std::pow((c + 0.055f) / 1.055f, 2.4f);
+    }
   }
-  srgb_table_init = true;
-}
+};
 
 int rpf_srgb_u8_to_linear_f32(const uint8_t* src, float* dst, int64_t n) {
   if (!src || !dst || n < 0) return RPF_ERR_ARGS;
-  init_srgb_table();
+  static const SrgbDecodeTable table;
 #pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < n; ++i) dst[i] = srgb_decode_table[src[i]];
+  for (int64_t i = 0; i < n; ++i) dst[i] = table.v[src[i]];
   return RPF_OK;
 }
 
@@ -178,7 +191,8 @@ int rpf_linear_f32_to_srgb_u8(const float* src, uint8_t* dst, int64_t n) {
     float s = (c <= 0.0031308f)
                   ? c * 12.92f
                   : 1.055f * std::pow(std::max(c, 0.0f), 1.0f / 2.4f) - 0.055f;
-    s = std::min(std::max(s, 0.0f), 1.0f);
+    // NaN-safe clamp BEFORE the cast (float->int of NaN/huge is UB).
+    s = (s >= 0.0f) ? std::min(s, 1.0f) : 0.0f;
     dst[i] = static_cast<uint8_t>(s * 255.0f);  // truncating, as reference
   }
   return RPF_OK;
@@ -200,7 +214,9 @@ int rpf_histogram_rgbl_f32(const float* hwc, int h, int w, int32_t* out4x256) {
   int nthreads = 1;
 #endif
   // Per-thread local bins, merged at the end (avoids atomics).
-  int32_t* locals = new int32_t[static_cast<size_t>(nthreads) * 4 * 256]();
+  int32_t* locals =
+      new (std::nothrow) int32_t[static_cast<size_t>(nthreads) * 4 * 256]();
+  if (!locals) return RPF_ERR_ARGS;
 
 #pragma omp parallel
   {
@@ -215,10 +231,17 @@ int rpf_histogram_rgbl_f32(const float* hwc, int h, int w, int32_t* out4x256) {
       const float* px = hwc + i * 3;
       float r = px[0], g = px[1], b = px[2];
       float gray = 0.299f * r + 0.587f * g + 0.114f * b;
-      int ri = std::min(std::max(static_cast<int>(r * 255.0f), 0), 255);
-      int gi = std::min(std::max(static_cast<int>(g * 255.0f), 0), 255);
-      int bi = std::min(std::max(static_cast<int>(b * 255.0f), 0), 255);
-      int yi = std::min(std::max(static_cast<int>(gray * 255.0f), 0), 255);
+      // Clamp in float BEFORE the int cast: casting NaN or out-of-range
+      // floats is UB. NaN deterministically lands in bin 0.
+      auto bin = [](float v) {
+        v = v * 255.0f;
+        v = (v >= 0.0f) ? std::min(v, 255.0f) : 0.0f;
+        return static_cast<int>(v);
+      };
+      int ri = bin(r);
+      int gi = bin(g);
+      int bi = bin(b);
+      int yi = bin(gray);
       bins[0 * 256 + ri]++;
       bins[1 * 256 + gi]++;
       bins[2 * 256 + bi]++;
@@ -317,7 +340,15 @@ int rpf_ljpeg_decode_scan(
   // (io/ljpeg._build_huffman_lut) and shared across restart segments.
   if (!seg || !out || !lut_sym || !lut_len || !comp_tab || rows <= 0 ||
       mcus_per_row <= 0 || ncomp <= 0 || ncomp > 4 || ntab <= 0 ||
-      predictor < 1 || predictor > 7)
+      predictor < 1 || predictor > 7 || precision < 2 || precision > 16 ||
+      pt < 0 || pt >= precision)
+    return RPF_ERR_ARGS;
+  // The ONLY write-bounds parameters: an out-of-range MCU window would be
+  // a heap overflow, so it is validated here, not just in the Python
+  // framing layer.
+  const int64_t total_mcus =
+      static_cast<int64_t>(rows) * mcus_per_row;
+  if (mcu_start < 0 || mcu_count < 0 || mcu_start + mcu_count > total_mcus)
     return RPF_ERR_ARGS;
 
   LjBitReader br{seg, seg_bytes, 0, 0, 0};
@@ -393,7 +424,8 @@ int64_t rpf_ljpeg_pack_bits(const int64_t* vals, const uint8_t* lens,
   int64_t o = 0;
   for (int64_t i = 0; i < n; ++i) {
     const int l = lens[i];
-    const uint64_t mask = (l >= 64) ? ~0ULL : ((1ULL << l) - 1);
+    if (l > 32) return -1;  // > code+extra width: acc << l would drop bits
+    const uint64_t mask = (1ULL << l) - 1;
     acc = (acc << l) | (static_cast<uint64_t>(vals[i]) & mask);
     nacc += l;
     while (nacc >= 8) {
@@ -554,10 +586,11 @@ struct DctConsts {
   float c[8][8];  // c[u][x] = C(u)/2 * cos((2x+1) u pi / 16)
   DctConsts() {
     for (int u = 0; u < 8; ++u) {
+      const double kPi = 3.14159265358979323846;  // M_PI is POSIX-only
       const double cu = (u == 0) ? (1.0 / std::sqrt(2.0)) : 1.0;
       for (int x = 0; x < 8; ++x)
         c[u][x] = static_cast<float>(
-            0.5 * cu * std::cos((2 * x + 1) * u * M_PI / 16.0));
+            0.5 * cu * std::cos((2 * x + 1) * u * kPi / 16.0));
     }
   }
 };
@@ -654,7 +687,8 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
                            const uint8_t* cr, int h, int w, int quality,
                            uint8_t* out, int64_t out_cap, int64_t* out_len) {
   using namespace jpg;
-  if (!y || !cb || !cr || !out || !out_len || h <= 0 || w <= 0)
+  if (!y || !cb || !cr || !out || !out_len || h <= 0 || w <= 0 ||
+      h > 65535 || w > 65535)  // SOF0 dimension fields are 16-bit
     return RPF_ERR_ARGS;
   const int ch = (h + 1) / 2, cw = (w + 1) / 2;
 

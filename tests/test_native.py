@@ -103,3 +103,46 @@ def test_build_lut_uses_native_and_matches():
     xe = np.arange(cv.CURVE_RESOLUTION, dtype=np.float32)
     pure = np.clip(np.trunc(cv.pchip_eval_f32(xs, ys, xe)), 0, 65535).astype(np.int32)
     np.testing.assert_array_equal(via_build, pure)
+
+
+def test_native_decode_scan_rejects_out_of_range_mcus():
+    """The MCU window is the decoder's only write-bounds parameter; an
+    out-of-range value must be rejected in C++ (heap-overflow class),
+    not just by the Python framing layer (review finding)."""
+    import numpy as np
+
+    from rawphotoforge_tpu import native
+    from rawphotoforge_tpu.io import ljpeg
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    samples = rng.integers(0, 4096, size=(8, 8, 1)).astype(np.uint16)
+    frame = ljpeg.parse(ljpeg.encode(samples, precision=12))
+    out = np.zeros((frame.rows, frame.width), dtype=np.uint16)
+    with pytest.raises(ljpeg.LJpegError):
+        native.ljpeg_decode_scan(frame.scan, out, frame, 0,
+                                 frame.rows * frame.mcus_per_row + 1)
+    with pytest.raises(ljpeg.LJpegError):
+        native.ljpeg_decode_scan(frame.scan, out, frame, -1, 4)
+
+
+def test_native_jpeg_rejects_oversize_dimensions():
+    """SOF0 dimension fields are 16-bit; >65535 must error, not silently
+    truncate (review finding)."""
+    import numpy as np
+
+    from rawphotoforge_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    y = np.zeros((1, 8), dtype=np.uint8)
+    cb = cr = np.zeros((1, 4), dtype=np.uint8)
+    lib = native._load()
+    import ctypes
+
+    out = np.empty(1 << 16, dtype=np.uint8)
+    out_len = ctypes.c_int64(0)
+    rc = lib.rpf_jpeg_encode_ycc420(y, cb, cr, 70000, 8, 92, out,
+                                    out.size, ctypes.byref(out_len))
+    assert rc != 0
