@@ -297,10 +297,14 @@ def _batch_raw_fast_path(paths, args) -> int:
         # the link bytes); falls back to the Pillow path without native.
         from ..io import jpegenc
 
+        exif_b = (image_io.build_exif_bytes(raw.exif)
+                  if raw is not None else None)
         if jpegenc.available():
-            body = jpegenc.encode_jpeg(srgb, quality=args.quality)
+            body = jpegenc.encode_jpeg(srgb, quality=args.quality,
+                                       exif_bytes=exif_b)
         else:
-            body = image_io.encode_image(srgb, "JPEG", quality=args.quality)
+            body = image_io.encode_image(srgb, "JPEG", quality=args.quality,
+                                         exif_bytes=exif_b)
         with open(out, "wb") as f:
             f.write(body)
         total_pix += h * w

@@ -615,9 +615,16 @@ class PhotoEditor:
         with open(path, "wb") as f:
             f.write(data)
 
+    def export_exif_bytes(self):
+        """The EXIF payload exports carry: the original blob for container
+        opens, or one synthesized from the parsed RAW metadata (the
+        reference's exiftool write-back, python-legacy editor.py:345-350)."""
+        return self._exif_bytes or image_io.build_exif_bytes(self.exif)
+
     def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
         return image_io.encode_image(
-            self.apply(FULL), fmt, quality=quality, exif_bytes=self._exif_bytes
+            self.apply(FULL), fmt, quality=quality,
+            exif_bytes=self.export_exif_bytes(),
         )
 
     def hdr_dng_bytes(self, dtype=np.float16) -> bytes:

@@ -162,6 +162,71 @@ def decode_image(data: bytes, fmt: str):
     return chw, exif
 
 
+def build_exif_bytes(exif: dict | None) -> bytes | None:
+    """Synthesize an EXIF APP1 payload from a parsed RAW metadata dict
+    (the io/dng._format_exif key set: Make, Model, ExposureTime, FNumber,
+    ISO, FocalLength, LensModel).
+
+    RAW containers are parsed into a plain dict, so exports from RAW
+    sources have no raw EXIF blob to copy; the reference preserves camera
+    metadata on export by writing it back with exiftool (python-legacy
+    editor.py:307-355 / :345-350). This rebuilds the equivalent payload
+    for Pillow / APP1 splicing. Orientation is deliberately omitted: the
+    pipeline rotates pixels upright at develop time, so the export is
+    Orientation=1 by default. Returns None when nothing is writable.
+    """
+    if not exif:
+        return None
+    from fractions import Fraction as _Fraction
+
+    from PIL.TiffImagePlugin import IFDRational as _Rat
+
+    def _rat(v):
+        try:
+            s = str(v)
+            if "/" in s:
+                n, d = s.split("/", 1)
+                return _Rat(int(round(float(n))), int(round(float(d))))
+            f = _Fraction(float(s)).limit_denominator(100000)
+            return _Rat(f.numerator, f.denominator)
+        except (ValueError, ZeroDivisionError, OverflowError):
+            return None
+
+    ex = PILImage.Exif()
+    wrote = False
+    for tag, key in ((271, "Make"), (272, "Model")):
+        v = exif.get(key)
+        if v:
+            ex[tag] = str(v)
+            wrote = True
+    sub = ex.get_ifd(0x8769)  # Exif sub-IFD
+    for tag, key in ((33434, "ExposureTime"), (33437, "FNumber"),
+                     (37386, "FocalLength")):
+        v = exif.get(key)
+        if v is not None:
+            r = _rat(v)
+            if r is not None:
+                sub[tag] = r
+                wrote = True
+    iso = exif.get("ISO")
+    if iso is not None:
+        try:
+            sub[34855] = int(float(iso))
+            wrote = True
+        except (ValueError, OverflowError):
+            pass
+    lens = exif.get("LensModel")
+    if lens:
+        sub[42036] = str(lens)
+        wrote = True
+    if not wrote:
+        return None
+    try:
+        return ex.tobytes()
+    except (TypeError, ValueError, OSError):
+        return None
+
+
 def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> container bytes.
 

@@ -81,12 +81,30 @@ def available() -> bool:
     return native.available()
 
 
-def encode_jpeg(planes, quality: int = 92) -> bytes:
+def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
+    """Insert an EXIF APP1 segment right after SOI (ITU-T.81 B.2.4.4 /
+    JEITA CP-3451 layout: the EXIF APP1 precedes other marker segments)."""
+    if not jpeg.startswith(b"\xff\xd8"):
+        return jpeg
+    payload = exif_bytes
+    if not payload.startswith(b"Exif\x00\x00"):
+        payload = b"Exif\x00\x00" + payload
+    if len(payload) + 2 > 0xFFFF:  # segment length field is 16-bit
+        return jpeg
+    import struct
+
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> baseline JFIF bytes.
 
     Device inputs convert + subsample on device and fetch 1.5
     bytes/pixel; np inputs use the same math on the host. Falls back to
-    the Pillow path when the native library is unavailable.
+    the Pillow path when the native library is unavailable. An
+    ``exif_bytes`` payload (raw blob or io/image_io.build_exif_bytes
+    output) is spliced in as the APP1 segment.
     """
     from .. import native
     from ..utils.transfer import _is_device_array, fetch_np
@@ -94,7 +112,8 @@ def encode_jpeg(planes, quality: int = 92) -> bytes:
     if not native.available():
         from .image_io import encode_image
 
-        return encode_image(planes, "JPEG", quality=quality)
+        return encode_image(planes, "JPEG", quality=quality,
+                            exif_bytes=exif_bytes)
     if _is_device_array(planes):
         y, cb, cr = _to_ycc420_jit()(planes)
         from concurrent.futures import ThreadPoolExecutor
@@ -106,4 +125,7 @@ def encode_jpeg(planes, quality: int = 92) -> bytes:
             cb, cr = fcb.result(), fcr.result()
     else:
         y, cb, cr = _to_ycc420_np(planes)
-    return native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
+    body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
+    if exif_bytes:
+        body = _splice_app1(body, exif_bytes)
+    return body

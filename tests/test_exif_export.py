@@ -1,0 +1,116 @@
+"""EXIF write-back on export from RAW sources.
+
+The reference preserves camera metadata in exports by copying it from
+the source file with exiftool (python-legacy editor.py:307-355,
+:345-350). RAW containers here are parsed into a plain dict, so exports
+synthesize an equivalent EXIF APP1 payload
+(io/image_io.build_exif_bytes) and splice it into both encode paths
+(Pillow and the native baseline encoder).
+"""
+
+import dataclasses
+import io
+
+import numpy as np
+from PIL import Image
+
+EXIF = {
+    "Make": "Canon",
+    "Model": "Canon EOS R5",
+    "ExposureTime": "1/250",
+    "FNumber": "2.8",
+    "ISO": "400",
+    "FocalLength": "50.0",
+    "LensModel": "RF50mm F1.2 L USM",
+}
+
+
+def test_build_exif_bytes_roundtrip():
+    from rawphotoforge_tpu.io.image_io import build_exif_bytes
+
+    b = build_exif_bytes(EXIF)
+    ex = Image.Exif()
+    ex.load(b)
+    assert ex[271] == "Canon"
+    assert ex[272] == "Canon EOS R5"
+    sub = ex.get_ifd(0x8769)
+    assert abs(float(sub[33434]) - 1 / 250) < 1e-9
+    assert abs(float(sub[33437]) - 2.8) < 1e-6
+    assert sub[34855] == 400
+    assert abs(float(sub[37386]) - 50.0) < 1e-6
+    assert sub[42036] == "RF50mm F1.2 L USM"
+
+
+def test_build_exif_bytes_empty_and_junk():
+    from rawphotoforge_tpu.io.image_io import build_exif_bytes
+
+    assert build_exif_bytes(None) is None
+    assert build_exif_bytes({}) is None
+    # Nothing parseable -> nothing to write.
+    assert build_exif_bytes({"ExposureTime": "garbage", "ISO": "n/a"}) is None
+    # Junk numerics don't poison the valid fields.
+    b = build_exif_bytes({"Make": "X", "FNumber": "n/a"})
+    ex = Image.Exif()
+    ex.load(b)
+    assert ex[271] == "X"
+    assert 33437 not in ex.get_ifd(0x8769)
+
+
+def test_editor_save_bytes_carries_raw_exif(rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    planes = rng.uniform(0.1, 0.9, (3, 32, 48)).astype(np.float32)
+    ed = PhotoEditor(planes, exif=dict(EXIF))
+    body = ed.save_bytes("JPEG")
+    ex = Image.open(io.BytesIO(body)).getexif()
+    assert ex.get(271) == "Canon"
+    sub = ex.get_ifd(0x8769)
+    assert sub[34855] == 400
+    assert sub[42036] == "RF50mm F1.2 L USM"
+    # Pixels are exported upright; Orientation must be normal/absent.
+    assert ex.get(274, 1) == 1
+
+
+def test_jpegenc_app1_splice_decodes():
+    from rawphotoforge_tpu.io import jpegenc
+    from rawphotoforge_tpu.io.image_io import build_exif_bytes
+
+    planes = np.linspace(0, 1, 3 * 32 * 48, dtype=np.float32).reshape(3, 32, 48)
+    body = jpegenc.encode_jpeg(planes, quality=90,
+                               exif_bytes=build_exif_bytes(EXIF))
+    img = Image.open(io.BytesIO(body))
+    img.load()  # full decode: the spliced segment must not corrupt the scan
+    assert img.size == (48, 32)
+    assert img.getexif().get(272) == "Canon EOS R5"
+
+
+def test_app1_splice_guards():
+    from rawphotoforge_tpu.io.jpegenc import _splice_app1
+
+    j = b"\xff\xd8rest"
+    # Oversize payloads (16-bit segment length) are skipped, not truncated.
+    assert _splice_app1(j, b"x" * 70000) == j
+    # Non-JPEG bytes pass through untouched.
+    assert _splice_app1(b"nope", b"abc") == b"nope"
+    out = _splice_app1(j, b"abc")
+    assert out.startswith(b"\xff\xd8\xff\xe1")
+    assert b"Exif\x00\x00abc" in out
+
+
+def test_batch_exports_carry_exif(tmp_path):
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    ind = tmp_path / "r"
+    outd = tmp_path / "o"
+    ind.mkdir()
+    rgb = np.full((3, 32, 48), 0.5, np.float32)
+    raw = dataclasses.replace(
+        synthetic_raw(rgb), exif={"Make": "NikoCan", "Model": "Z9"}
+    )
+    (ind / "a.dng").write_bytes(write_dng(raw))
+    assert main(["batch", str(ind), str(outd)]) == 0
+    ex = Image.open(outd / "a.jpg").getexif()
+    assert ex.get(271) == "NikoCan"
+    assert ex.get(272) == "Z9"
