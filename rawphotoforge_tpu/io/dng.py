@@ -569,6 +569,23 @@ def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
     return ifds
 
 
+def _best_jpeg(cands) -> Optional[bytes]:
+    """Largest candidate that survives a FULL Pillow decode (verify()
+    passes SOF3 structure and says nothing about truncation)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    for cand in sorted(cands, key=len, reverse=True):
+        try:
+            img = PILImage.open(_io.BytesIO(cand))
+            img.load()
+            return cand
+        except Exception:  # noqa: BLE001 — try the next candidate
+            continue
+    return None
+
+
 def extract_preview(data: bytes) -> Optional[bytes]:
     """Return the largest embedded JPEG preview/thumbnail, or None.
 
@@ -576,16 +593,20 @@ def extract_preview(data: bytes) -> Optional[bytes]:
     IFDs with Compression=7 and a non-CFA photometric; Canon CR2's IFD0
     full-size preview with Compression=6; EXIF IFD1 thumbnails via
     JPEGInterchangeFormat) — the instant-display images the reference
-    gets from rawler/exiftool. Candidates are validated with Pillow (so
-    an SOF3/corrupt strip can't masquerade as a decodable preview);
-    malformed containers return None rather than raising."""
+    gets from rawler/exiftool. Non-TIFF vendor containers (Fujifilm RAF,
+    Canon CR3 BMFF) route through io/vendor_preview. Candidates are
+    validated with Pillow (so an SOF3/corrupt strip can't masquerade as
+    a decodable preview); malformed containers return None rather than
+    raising."""
     try:
         if data[:2] == b"II":
             bo = "<"
         elif data[:2] == b"MM":
             bo = ">"
         else:
-            return None
+            from .vendor_preview import vendor_preview_candidates
+
+            return _best_jpeg(vendor_preview_candidates(data))
         cands = []
         for e in _walk_all_ifds(data, bo):
             def val(t, default=None):
@@ -610,18 +631,7 @@ def extract_preview(data: bytes) -> Optional[bytes]:
                         cand = data[offs : offs + cnts]
             if cand and cand[:2] == b"\xff\xd8":
                 cands.append(cand)
-        import io as _io
-
-        from PIL import Image as PILImage
-
-        for cand in sorted(cands, key=len, reverse=True):
-            try:
-                img = PILImage.open(_io.BytesIO(cand))
-                img.load()  # full decode: verify() passes SOF3 structure
-                return cand
-            except Exception:  # noqa: BLE001 — try the next candidate
-                continue
-        return None
+        return _best_jpeg(cands)
     except Exception:  # noqa: BLE001 — best-effort on untrusted bytes
         return None
 

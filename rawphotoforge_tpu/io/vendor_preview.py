@@ -1,0 +1,131 @@
+"""Embedded-preview extraction for non-TIFF RAW containers.
+
+Two vendor container families don't use the TIFF/IFD structure the DNG
+walker (io/dng.extract_preview) handles:
+
+* Fujifilm RAF — a fixed proprietary header (``FUJIFILMCCD-RAW``) with
+  big-endian (offset, length) pointers to an embedded full-EXIF JPEG at
+  header offset 84 (the layout libopenraw/exiftool document).
+* Canon CR3 — ISO base media (BMFF/MP4) boxes: a THMB thumbnail and a
+  PRVW preview live inside vendor ``uuid`` boxes, and the full-size
+  rendered JPEG is the first track chunk at the head of ``mdat``. The
+  reference opens CR3 through rawler's BMFF decoder
+  (rust-godot-legacy/photo-editor/src/image.rs:14-179).
+
+These extractors only *locate* JPEG byte ranges — every candidate is
+validated by a full Pillow decode in io/dng.extract_preview before
+anything is returned, so the loose scanning here can never surface
+garbage. Candidates run from an SOI marker to the end of their
+enclosing region (not to the first EOI marker: EXIF APP1 segments embed
+thumbnails with their own EOI, and a structural JPEG decode stops at
+the true end regardless of trailing bytes). Sensor decode for these
+containers is a deliberate non-goal (vendor entropy codecs, see
+CLAUDE.md); the preview is the opening path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+RAF_MAGIC = b"FUJIFILMCCD-RAW"
+_SOI = b"\xff\xd8\xff"
+_MAX_CAND = 64 << 20  # cap one candidate slice (mdat can be huge)
+
+
+def _soi_candidates(data: bytes, lo: int, hi: int, out: list,
+                    max_soi: int = 4) -> None:
+    """Append SOI->region-end slices for up to max_soi SOI markers."""
+    pos = lo
+    for _ in range(max_soi):
+        soi = data.find(_SOI, pos, hi)
+        if soi < 0:
+            return
+        out.append(data[soi:min(hi, soi + _MAX_CAND)])
+        pos = soi + 2
+
+
+def is_raf(data: bytes) -> bool:
+    return data[:len(RAF_MAGIC)] == RAF_MAGIC
+
+
+def is_bmff(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def raf_preview_candidates(data: bytes) -> list:
+    """JPEG candidates from a Fujifilm RAF container.
+
+    The (offset, length) pointer pair at header offset 84 is
+    authoritative; a bounded SOI scan over the header region backs it up
+    for variant layouts."""
+    cands: list = []
+    if len(data) >= 92:
+        off, ln = struct.unpack_from(">II", data, 84)
+        if 0 < off < len(data) and 0 < ln <= len(data) - off \
+                and data[off:off + 3] == _SOI:
+            cands.append(data[off:off + ln])
+    if not cands:
+        _soi_candidates(data, len(RAF_MAGIC), min(len(data), 8 << 20), cands)
+    return cands
+
+
+def _iter_boxes(data: bytes, lo: int, hi: int):
+    """Yield (fourcc, payload_start, payload_end) for ISO-BMFF boxes."""
+    off = lo
+    for _ in range(256):  # bound adversarial box chains
+        if off + 8 > hi:
+            return
+        (size,) = struct.unpack_from(">I", data, off)
+        typ = data[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > hi:
+                return
+            (size,) = struct.unpack_from(">Q", data, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = hi - off
+        if size < hdr or off + size > hi:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def bmff_preview_candidates(data: bytes) -> list:
+    """JPEG candidates from an ISO-BMFF RAW container (Canon CR3).
+
+    Scans vendor ``uuid`` payloads (THMB/PRVW live there, at both the
+    top level and inside ``moov``) and the head of ``mdat`` (the
+    full-size JPEG track chunk leads the media data in the CR3 layout).
+    """
+    cands: list = []
+
+    def scan_region(lo: int, hi: int) -> None:
+        if len(cands) < 16:
+            _soi_candidates(data, lo, hi, cands)
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > 3:
+            return
+        for typ, s, e in _iter_boxes(data, lo, hi):
+            if typ == b"uuid" and e - s >= 16:
+                scan_region(s + 16, e)
+            elif typ == b"moov":
+                walk(s, e, depth + 1)
+            elif typ == b"mdat":
+                # Only accept a JPEG that *leads* the media data; deep
+                # SOI scans of compressed sensor payload are noise.
+                soi = data.find(_SOI, s, min(e, s + 4096))
+                if soi >= 0:
+                    cands.append(data[soi:min(e, soi + _MAX_CAND)])
+
+    walk(0, len(data), 0)
+    return cands
+
+
+def vendor_preview_candidates(data: bytes) -> list:
+    if is_raf(data):
+        return raf_preview_candidates(data)
+    if is_bmff(data):
+        return bmff_preview_candidates(data)
+    return []

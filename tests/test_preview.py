@@ -233,3 +233,106 @@ def test_cli_convert_carries_preview(tmp_path, capsys):
     a = dng.read_dng(src.read_bytes())
     b = dng.read_dng(out.read_bytes())
     np.testing.assert_array_equal(a.mosaic, b.mosaic)
+
+
+# ---- non-TIFF vendor containers (io/vendor_preview) -----------------------
+
+def _raf(jpeg, good_pointer=True):
+    """Minimal Fujifilm RAF: magic header + (offset, length) at byte 84."""
+    head = bytearray(148)
+    head[0:16] = b"FUJIFILMCCD-RAW "
+    head[16:20] = b"0201"
+    head[28:60] = b"X-T5".ljust(32, b"\x00")
+    if good_pointer:
+        struct.pack_into(">II", head, 84, 148, len(jpeg))
+    return bytes(head) + jpeg
+
+
+def _box(fourcc, payload):
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _cr3(prvw_jpeg, mdat_jpeg, thumb_jpeg=None):
+    """Minimal CR3-shaped BMFF: ftyp + uuid(PRVW) [+ moov>uuid(THMB)]
+    + mdat led by the full-size JPEG chunk."""
+    ftyp = _box(b"ftyp", b"crx \x00\x00\x00\x01isomcrx ")
+    prvw = _box(b"PRVW", b"\x00" * 12 + struct.pack(">I", len(prvw_jpeg))
+                + prvw_jpeg)
+    uuid_prvw = _box(b"uuid",
+                     bytes.fromhex("eaf42b5e1c984b88b9fbb7dc406e4d16")
+                     + b"\x00" * 8 + prvw)
+    parts = [ftyp, uuid_prvw]
+    if thumb_jpeg is not None:
+        thmb = _box(b"THMB", b"\x00" * 12 + thumb_jpeg)
+        inner = _box(b"uuid",
+                     bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+                     + thmb)
+        parts.append(_box(b"moov", inner))
+    parts.append(_box(b"mdat", mdat_jpeg + b"\x00" * 512))  # sensor payload
+    return b"".join(parts)
+
+
+def test_raf_preview_pointer():
+    jpeg = _jpeg(20, 28, seed=41)
+    assert dng.extract_preview(_raf(jpeg)) == jpeg
+
+
+def test_raf_preview_scan_fallback():
+    jpeg = _jpeg(20, 28, seed=42)
+    got = dng.extract_preview(_raf(jpeg, good_pointer=False))
+    # Scan finds the SOI; the slice runs to region end, and must decode
+    # to the same pixels.
+    assert got is not None and got.startswith(b"\xff\xd8\xff")
+    a = PILImage.open(io.BytesIO(got))
+    a.load()
+    assert a.size == (28, 20)
+
+
+def test_cr3_prefers_fullsize_mdat_jpeg():
+    small, big = _jpeg(10, 14, seed=43), _jpeg(40, 56, seed=44)
+    got = dng.extract_preview(_cr3(small, big, thumb_jpeg=_jpeg(6, 8)))
+    img = PILImage.open(io.BytesIO(got))
+    img.load()
+    assert img.size == (56, 40)
+
+
+def test_cr3_uuid_preview_when_mdat_opaque():
+    small = _jpeg(10, 14, seed=45)
+    data = _cr3(small, b"\x00" * 4096)  # mdat holds no leading JPEG
+    got = dng.extract_preview(data)
+    img = PILImage.open(io.BytesIO(got))
+    img.load()
+    assert img.size == (14, 10)
+
+
+def test_vendor_garbage_returns_none():
+    assert dng.extract_preview(b"FUJIFILMCCD-RAW " + b"\x00" * 64) is None
+    assert dng.extract_preview(b"\x00\x00\x00\x08ftyp" + b"\x00" * 32) is None
+    assert dng.extract_preview(b"\x00\x00\x00\x01ftyp") is None  # bad size64
+
+
+def test_editor_opens_cr3_and_raf_via_preview(tmp_path):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    jpeg = _jpeg(24, 32, seed=46)
+    for name, blob in (("a.cr3", _cr3(_jpeg(8, 10), jpeg)),
+                       ("b.raf", _raf(jpeg))):
+        p = tmp_path / name
+        p.write_bytes(blob)
+        ed = PhotoEditor.open(str(p))
+        assert ed.opened_from_preview  # sensor decode is a non-goal here
+        assert ed.shape == (24, 32)
+
+
+def test_vendor_extractor_fuzz_never_raises():
+    rng = np.random.default_rng(7)
+    base_raf = _raf(_jpeg(12, 16, seed=47))
+    base_cr3 = _cr3(_jpeg(8, 10, seed=48), _jpeg(16, 20, seed=49))
+    for base in (base_raf, base_cr3):
+        for _ in range(150):
+            b = bytearray(base)
+            for _ in range(rng.integers(1, 8)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            cut = rng.integers(0, len(b) + 1)
+            dng.extract_preview(bytes(b))        # whole mutant
+            dng.extract_preview(bytes(b[:cut]))  # truncated mutant
