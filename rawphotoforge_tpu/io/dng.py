@@ -67,6 +67,8 @@ T_TILE_OFFSETS = 324
 T_TILE_BYTE_COUNTS = 325
 T_CFA_REPEAT_DIM = 33421
 T_CFA_PATTERN = 33422
+T_DATETIME = 306
+T_DATETIME_ORIGINAL = 36867
 T_EXPOSURE_TIME = 33434
 T_F_NUMBER = 33437
 T_EXIF_IFD = 34665
@@ -516,6 +518,7 @@ def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
 
 T_JPEG_INTERCHANGE = 513        # EXIF thumbnail offset (IFD1)
 T_JPEG_INTERCHANGE_LEN = 514
+T_JPG_FROM_RAW = 0x002E         # Panasonic RW2: full JPEG as a tag value
 
 
 def _format_exif(lookup) -> dict:
@@ -545,6 +548,11 @@ def _format_exif(lookup) -> dict:
     lens = lookup(T_LENS_MODEL)
     if isinstance(lens, str) and lens.strip():
         exif["LensModel"] = lens.strip()
+    # Capture time: prefer DateTimeOriginal (EXIF sub-IFD) over the file
+    # modification DateTime (IFD0).
+    dt = lookup(T_DATETIME_ORIGINAL) or lookup(T_DATETIME)
+    if isinstance(dt, str) and dt.strip():
+        exif["DateTime"] = dt.strip()
     return exif
 
 
@@ -613,7 +621,11 @@ def extract_preview(data: bytes) -> Optional[bytes]:
                 return _value(data, e[t], bo) if t in e else default
 
             cand = None
-            if T_JPEG_INTERCHANGE in e and T_JPEG_INTERCHANGE_LEN in e:
+            if T_JPG_FROM_RAW in e:
+                v = val(T_JPG_FROM_RAW)
+                if isinstance(v, (bytes, bytearray)):
+                    cand = bytes(v)
+            elif T_JPEG_INTERCHANGE in e and T_JPEG_INTERCHANGE_LEN in e:
                 o = val(T_JPEG_INTERCHANGE)
                 n = val(T_JPEG_INTERCHANGE_LEN)
                 if isinstance(o, int) and isinstance(n, int):

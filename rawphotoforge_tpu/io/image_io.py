@@ -219,6 +219,11 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
     if lens:
         sub[42036] = str(lens)
         wrote = True
+    dt = exif.get("DateTime")
+    if dt:
+        ex[306] = str(dt)          # DateTime (IFD0)
+        sub[36867] = str(dt)       # DateTimeOriginal
+        wrote = True
     if not wrote:
         return None
     try:

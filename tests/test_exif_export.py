@@ -114,3 +114,22 @@ def test_batch_exports_carry_exif(tmp_path):
     ex = Image.open(outd / "a.jpg").getexif()
     assert ex.get(271) == "NikoCan"
     assert ex.get(272) == "Z9"
+
+
+def test_format_exif_datetime_preference():
+    from rawphotoforge_tpu.io.dng import _format_exif
+
+    both = {306: "2026:01:01 00:00:00", 36867: "2026:08:17 10:00:00"}
+    assert _format_exif(both.get)["DateTime"] == "2026:08:17 10:00:00"
+    only_306 = {306: "2026:01:01 00:00:00"}
+    assert _format_exif(only_306.get)["DateTime"] == "2026:01:01 00:00:00"
+
+
+def test_build_exif_bytes_datetime_roundtrip():
+    from rawphotoforge_tpu.io.image_io import build_exif_bytes
+
+    b = build_exif_bytes({"Make": "X", "DateTime": "2026:08:17 10:00:00"})
+    ex = Image.Exif()
+    ex.load(b)
+    assert ex[306] == "2026:08:17 10:00:00"
+    assert ex.get_ifd(0x8769)[36867] == "2026:08:17 10:00:00"

@@ -336,3 +336,15 @@ def test_vendor_extractor_fuzz_never_raises():
             cut = rng.integers(0, len(b) + 1)
             dng.extract_preview(bytes(b))        # whole mutant
             dng.extract_preview(bytes(b[:cut]))  # truncated mutant
+
+
+def test_rw2_jpgfromraw_tag():
+    """Panasonic RW2 stores a complete JPEG as IFD0 tag 0x002E."""
+    jpeg = _jpeg(18, 24, seed=51)
+    entry = struct.pack("<HHI", 0x002E, 7, len(jpeg))  # UNDEFINED
+    data_off = 8 + 2 + 12 + 4
+    ifd0 = struct.pack("<H", 1) + entry + struct.pack("<I", data_off) \
+        + struct.pack("<I", 0)
+    blob = b"II" + struct.pack("<H", 0x55) + struct.pack("<I", 8) \
+        + ifd0 + jpeg
+    assert dng.extract_preview(blob) == jpeg
