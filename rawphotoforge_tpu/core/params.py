@@ -34,6 +34,17 @@ from .curve import CURVE_RESOLUTION, MAX_CTRL
 BRIGHTNESS, HUE, SATURATION, LIGHTNESS = 0, 1, 2, 3
 CURVE_NAMES = ("brightness", "hue", "saturation", "lightness")
 
+# Reference v1 preset key -> curve slot (current names + the legacy
+# aliases the reference's own loader migrates, raw_photo_forge.py:2305).
+_V1_CURVE_KEYS = {
+    "brightness_curve_points": BRIGHTNESS,
+    "oklch_h_curve_points": HUE, "hue_curve_points": HUE,
+    "oklch_c_curve_points": SATURATION,
+    "saturation_curve_points": SATURATION,
+    "oklch_l_curve_points": LIGHTNESS,
+    "lightness_curve_points": LIGHTNESS,
+}
+
 
 def _default_points(slot: int) -> tuple[np.ndarray, np.ndarray]:
     if slot in (BRIGHTNESS, HUE):
@@ -260,6 +271,19 @@ class EditParameters:
                 p.set_curve(i, raw_lut=c["raw_lut"])
             else:
                 p.set_curve(i, c["x"], c["y"])
+        if "curves" not in d:
+            # Reference v1 preset compatibility: the tkinter GUI saves
+            # asdict(EditParameters) with flat *_curve_points lists of
+            # [x, y] pairs in 0..65535 (raw_photo_forge.py:2259-2283),
+            # and its loader migrates older hue/saturation/lightness
+            # names (:2305-2315). Accept both spellings so a reference
+            # user's preset files import unchanged; the shared numeric
+            # field names (exposure..mask_range) already loaded above.
+            for key, slot in _V1_CURVE_KEYS.items():
+                pts = d.get(key)
+                if pts:
+                    p.set_curve(slot, [q[0] for q in pts],
+                                [q[1] for q in pts])
         return p
 
     def dumps(self) -> str:

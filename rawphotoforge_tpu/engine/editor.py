@@ -674,6 +674,16 @@ class PhotoEditor:
         was — the same rejected-call invariant the individual setters
         keep."""
         obj = json.loads(s)
+        if "masks" not in obj:
+            # Reference v1 preset: one flat EditParameters dict (the
+            # GUI's unmasked params, asdict + *_curve_points lists,
+            # raw_photo_forge.py:2259-2341) — apply to main. Crop is
+            # not part of that schema, so it's left untouched.
+            params = EditParameters.from_json(obj)  # validates first
+            main = next(m for m in self.masks if m.name == "main")
+            main.params = params
+            self._invalidate(masks_changed=False)
+            return
         by_name = {m["name"]: m["params"] for m in obj["masks"]}
         # Stage 1: parse/validate everything into locals.
         staged = [
