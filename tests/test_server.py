@@ -404,3 +404,41 @@ def test_edit_rejected_curve_leaves_state_untouched(base_url):
     assert status == 400
     after = json.loads(_get(base_url + "/params?mask=main")[2])
     assert after == before  # nothing half-applied
+
+
+def test_open_endpoint_cr3_via_preview(base_url):
+    """Non-TIFF vendor RAW opens on its embedded preview through /open."""
+    import io as _io
+    import struct as _struct
+
+    from PIL import Image as PILImage
+
+    def _box(fourcc, payload):
+        return _struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(
+        (np.random.default_rng(21).random((26, 38, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    blob = _box(b"ftyp", b"crx \x00\x00\x00\x01") + _box(
+        b"uuid", bytes.fromhex("eaf42b5e1c984b88b9fbb7dc406e4d16")
+        + b"\x00" * 8 + jpeg) + _box(b"mdat", b"\x00" * 256)
+    status, out = _post_raw(base_url + "/open?name=shot.cr3", blob)
+    assert status == 200 and out["ok"]
+    assert out.get("opened_from_preview")  # surfaced, never silent
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [26, 38]
+
+
+def test_preset_endpoint_accepts_v1_schema(base_url):
+    """The reference GUI's flat v1 preset uploads through POST /preset."""
+    v1 = {"exposure": 0.5, "contrast": 10,
+          "brightness_curve_points": [[0, 0], [20000, 30000], [65535, 65535]],
+          "vignette": 25}
+    status, out = _post(base_url + "/preset", v1)
+    assert status == 200 and out["ok"]
+    _, _, body = _get(base_url + "/params?mask=main")
+    got = json.loads(body)
+    assert got["exposure"] == 0.5 and got["vignette"] == 25
+    assert got["curves"]["brightness"]["x"] == [0, 20000, 65535]
