@@ -123,9 +123,20 @@ def bmff_preview_candidates(data: bytes) -> list:
     return cands
 
 
+def generic_jpeg_candidates(data: bytes) -> list:
+    """Last-resort bounded SOI scan for containers with no structured
+    extractor (Sigma X3F 'FOVb', Minolta MRW, …). Every candidate still
+    has to survive the caller's full Pillow decode, so a false SOI in
+    compressed sensor payload costs one fast header-parse failure and
+    nothing else."""
+    cands: list = []
+    _soi_candidates(data, 0, len(data), cands, max_soi=8)
+    return cands
+
+
 def vendor_preview_candidates(data: bytes) -> list:
     if is_raf(data):
         return raf_preview_candidates(data)
     if is_bmff(data):
         return bmff_preview_candidates(data)
-    return []
+    return generic_jpeg_candidates(data)

@@ -348,3 +348,25 @@ def test_rw2_jpgfromraw_tag():
     blob = b"II" + struct.pack("<H", 0x55) + struct.pack("<I", 8) \
         + ifd0 + jpeg
     assert dng.extract_preview(blob) == jpeg
+
+
+def test_generic_scan_opens_x3f_style_container():
+    """Unknown containers (e.g. Sigma X3F) get a bounded SOI scan; the
+    PIL gate keeps false SOIs in sensor payload from surfacing."""
+    jpeg = _jpeg(16, 22, seed=52)
+    rng = np.random.default_rng(8)
+    noise = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    noise = noise.replace(b"\xff\xd8", b"\x00\x00")  # no accidental SOI
+    blob = b"FOVb" + noise + jpeg + noise
+    got = dng.extract_preview(blob)
+    assert got is not None
+    img = PILImage.open(io.BytesIO(got))
+    img.load()
+    assert img.size == (22, 16)
+
+
+def test_generic_scan_rejects_jpegless_garbage():
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+    noise = noise.replace(b"\xff\xd8", b"\x00\x00")
+    assert dng.extract_preview(b"FOVb" + noise) is None
