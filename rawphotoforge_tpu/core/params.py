@@ -282,8 +282,14 @@ class EditParameters:
             for key, slot in _V1_CURVE_KEYS.items():
                 pts = d.get(key)
                 if pts:
-                    p.set_curve(slot, [q[0] for q in pts],
-                                [q[1] for q in pts])
+                    try:
+                        xs = [q[0] for q in pts]
+                        ys = [q[1] for q in pts]
+                    except (TypeError, IndexError) as e:
+                        raise ValueError(
+                            f"preset key {key!r} must hold [x, y] pairs"
+                        ) from e
+                    p.set_curve(slot, xs, ys)
         return p
 
     def dumps(self) -> str:

@@ -226,9 +226,11 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
         wrote = True
     if not wrote:
         return None
+    import struct as _struct
+
     try:
         return ex.tobytes()
-    except (TypeError, ValueError, OSError):
+    except (TypeError, ValueError, OSError, _struct.error):
         return None
 
 

@@ -71,3 +71,12 @@ def test_editor_rejects_bad_v1_preset(rng):
         ed.load_preset_json(json.dumps(bad))
     main = next(m for m in ed.masks if m.name == "main")
     assert main.params.exposure == 0.0  # untouched
+
+
+def test_v1_malformed_curve_points_rejected():
+    import pytest
+
+    from rawphotoforge_tpu.core.params import EditParameters
+
+    with pytest.raises(ValueError, match="pairs"):
+        EditParameters.from_json({"brightness_curve_points": [1, 2, 3]})
