@@ -137,3 +137,26 @@ def oklch_to_linear_srgb(L, C, h, sincos_turns=_sincos_turns_jnp):
 def luma(r, g, b):
     """Rec.709 relative luminance of linear RGB (wgpu_shader.wgsl:218)."""
     return LUMA_R * r + LUMA_G * g + LUMA_B * b
+
+
+def apply_gamma(x, gamma=(2.222, 4.5 / 255.0)):
+    """v1's rawpy-style display gamma (python-legacy editor.py:47-76).
+
+    Piecewise (g, c) transfer: clip to [0,1]; below
+    ``threshold = (c/(g-1))**g`` a linear segment ``x * c/(g-1)``, above it
+    ``(1+c) * x**(1/g) - c``. Faithful to the reference including its
+    quirk of dividing the slope argument by 255 *again* inside (so the
+    default's effective c is 4.5/255/255 and the linear toe is
+    vanishingly small) — parity means reproducing that behavior, not the
+    textbook BT.709 curve. Not used by the v4 develop contract (which is
+    sRGB, linear_to_srgb above); provided for v1-workflow compatibility.
+    """
+    g, c = gamma
+    c = c / 255.0
+    x = jnp.clip(x, 0.0, 1.0)
+    threshold = (c / (g - 1.0)) ** g
+    return jnp.where(
+        x < threshold,
+        x * (c / (g - 1.0)),
+        (1.0 + c) * jnp.power(x, 1.0 / g) - c,
+    ).astype(jnp.float32)

@@ -75,3 +75,25 @@ def test_hue_in_unit_turn_range(rng):
     )
     h = np.asarray(h)
     assert np.all(h >= 0.0) and np.all(h < 1.0)
+
+
+def test_apply_gamma_v1_contract():
+    """Hand-computed points of the v1 piecewise gamma (editor.py:47-76),
+    including its internal second /255 of the slope argument."""
+    import numpy as np
+
+    from rawphotoforge_tpu.core.color import apply_gamma
+
+    g, c_arg = 2.222, 4.5 / 255.0
+    c = c_arg / 255.0
+    x = np.array([0.0, 1e-12, 0.25, 0.5, 1.0], dtype=np.float32)
+    thr = (c / (g - 1.0)) ** g
+    expect = np.where(x < thr, x * (c / (g - 1.0)),
+                      (1.0 + c) * np.power(x, 1.0 / g) - c)
+    got = np.asarray(apply_gamma(x))
+    np.testing.assert_allclose(got, expect.astype(np.float32), atol=2e-7)
+    # Monotone, endpoints pinned.
+    assert got[0] == 0.0 and abs(got[-1] - 1.0) < 1e-6
+    assert (np.diff(got) >= 0).all()
+    # Out-of-range input is clipped first (reference behavior).
+    assert np.asarray(apply_gamma(np.array([2.0], np.float32)))[0] == got[-1]
