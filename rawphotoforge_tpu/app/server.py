@@ -26,7 +26,7 @@ from ..core.params import CURVE_NAMES
 from ..engine.editor import PhotoEditor, FULL, MID, LOW
 from ..engine.session import Settings
 from ..io import image_io
-from .translations import tr
+from .translations import exif_labels, tr
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>{app_title}</title><style>
@@ -107,6 +107,7 @@ const SLIDERS=[["exposure",-6,6,0.05],["contrast",-100,100,1],["shadow",-100,100
  ["wb_temperature",-100,100,1],["wb_tint",-100,100,1],["vignette",-100,100,1],
  ["lens_distortion",-100,100,1],["sharpness",0,100,1]];
 const LABELS={labels_json};
+const EXIF_LABELS={exif_labels_json};
 const state={{}};
 const box=document.getElementById('sliders');
 for(const [name,lo,hi,st] of SLIDERS){{
@@ -355,7 +356,7 @@ fetch('/settings').then(r=>r.json()).then(s=>{{
   document.getElementById('dragPreview').value=s.drag_preview_size;}});
 fetch('/exif').then(r=>r.json()).then(e=>{{
   document.getElementById('exif').textContent=
-    Object.entries(e).map(([k,v])=>k+': '+v).join('\\n');}});
+    Object.entries(e).map(([k,v])=>(EXIF_LABELS[k]||k)+': '+v).join('\\n');}});
 // ---- masks + compare-to-original ----
 let maskAddMode=false, imgInfo=null, maskCounter=0;
 fetch('/info').then(r=>r.json()).then(i=>imgInfo=i);
@@ -545,7 +546,10 @@ class EditorApp:
     def page(self) -> str:
         labels = tr(self.settings.locale)
         return _PAGE.format(
-            labels_json=json.dumps(labels, ensure_ascii=False), **labels
+            labels_json=json.dumps(labels, ensure_ascii=False),
+            exif_labels_json=json.dumps(
+                exif_labels(self.settings.locale), ensure_ascii=False),
+            **labels
         )
 
     def apply_state(self, st: dict):

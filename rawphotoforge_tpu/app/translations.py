@@ -85,6 +85,28 @@ TRANSLATIONS = {
     },
 }
 
+# EXIF field display names per locale (the reference shows Japanese tag
+# names via photo_metadata.display_japanese when language is 日本語,
+# raw_photo_forge.py:2017). Keys match io/dng._format_exif output;
+# missing keys fall back to the raw field name.
+EXIF_LABELS = {
+    "en": {},
+    "ja": {
+        "Make": "メーカー",
+        "Model": "機種名",
+        "ExposureTime": "露出時間",
+        "FNumber": "F値",
+        "ISO": "ISO感度",
+        "FocalLength": "焦点距離",
+        "LensModel": "レンズモデル",
+        "DateTime": "撮影日時",
+    },
+}
+
+
+def exif_labels(locale: str) -> dict:
+    return EXIF_LABELS.get(locale, EXIF_LABELS["en"])
+
 
 def tr(locale: str) -> dict:
     return TRANSLATIONS.get(locale, TRANSLATIONS["en"])

@@ -442,3 +442,15 @@ def test_preset_endpoint_accepts_v1_schema(base_url):
     got = json.loads(body)
     assert got["exposure"] == 0.5 and got["vignette"] == 25
     assert got["curves"]["brightness"]["x"] == [0, 20000, 65535]
+
+
+def test_page_injects_localized_exif_labels(base_url):
+    _post(base_url + "/settings", {"locale": "ja"})
+    try:
+        _, _, body = _get(base_url + "/")
+        page = body.decode("utf-8")
+        assert "EXIF_LABELS" in page and "メーカー" in page
+    finally:
+        _post(base_url + "/settings", {"locale": "en"})
+    _, _, body = _get(base_url + "/")
+    assert "constEXIF_LABELS={};" in body.decode("utf-8").replace(" ", "")
