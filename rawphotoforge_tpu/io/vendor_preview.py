@@ -99,17 +99,17 @@ def bmff_preview_candidates(data: bytes) -> list:
     full-size JPEG track chunk leads the media data in the CR3 layout).
     """
     cands: list = []
-
-    def scan_region(lo: int, hi: int) -> None:
-        if len(cands) < 16:
-            _soi_candidates(data, lo, hi, cands)
+    budget = [2048]  # total boxes parsed, across all nesting levels
 
     def walk(lo: int, hi: int, depth: int) -> None:
         if depth > 3:
             return
         for typ, s, e in _iter_boxes(data, lo, hi):
+            budget[0] -= 1
+            if budget[0] <= 0 or len(cands) >= 16:
+                return
             if typ == b"uuid" and e - s >= 16:
-                scan_region(s + 16, e)
+                _soi_candidates(data, s + 16, e, cands)
             elif typ == b"moov":
                 walk(s, e, depth + 1)
             elif typ == b"mdat":

@@ -370,3 +370,24 @@ def test_generic_scan_rejects_jpegless_garbage():
     noise = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
     noise = noise.replace(b"\xff\xd8", b"\x00\x00")
     assert dng.extract_preview(b"FOVb" + noise) is None
+
+
+def test_bmff_adversarial_nesting_bounded():
+    """Deep nested-moov chains and mass mdat boxes stay within the box
+    budget and candidate cap (no CPU/memory blowup on crafted input)."""
+    import time
+
+    jpeg = _jpeg(6, 8, seed=53)
+    # 64 mdat boxes each leading with a JPEG + deeply nested moovs.
+    moov = _box(b"moov", b"")
+    for _ in range(10):
+        moov = _box(b"moov", moov * 4)
+    blob = _box(b"ftyp", b"crx ") + moov + b"".join(
+        _box(b"mdat", jpeg + b"\x00" * 32) for _ in range(64))
+    from rawphotoforge_tpu.io.vendor_preview import bmff_preview_candidates
+
+    t0 = time.perf_counter()
+    cands = bmff_preview_candidates(blob)
+    assert time.perf_counter() - t0 < 2.0
+    assert len(cands) <= 16
+    assert dng.extract_preview(blob) is not None  # still finds the JPEG
