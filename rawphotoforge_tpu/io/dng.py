@@ -579,7 +579,8 @@ def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
 
 def _best_jpeg(cands) -> Optional[bytes]:
     """Largest candidate that survives a FULL Pillow decode (verify()
-    passes SOF3 structure and says nothing about truncation)."""
+    passes SOF3 structure and says nothing about truncation). Accepts
+    bytes or zero-copy memoryviews; only the winner is materialized."""
     import io as _io
 
     from PIL import Image as PILImage
@@ -588,7 +589,7 @@ def _best_jpeg(cands) -> Optional[bytes]:
         try:
             img = PILImage.open(_io.BytesIO(cand))
             img.load()
-            return cand
+            return cand if isinstance(cand, bytes) else bytes(cand)
         except Exception:  # noqa: BLE001 — try the next candidate
             continue
     return None

@@ -34,13 +34,16 @@ _MAX_CAND = 64 << 20  # cap one candidate slice (mdat can be huge)
 
 def _soi_candidates(data: bytes, lo: int, hi: int, out: list,
                     max_soi: int = 4) -> None:
-    """Append SOI->region-end slices for up to max_soi SOI markers."""
+    """Append SOI->region-end slices (zero-copy memoryviews — only the
+    winning candidate is ever materialized) for up to max_soi SOI
+    markers."""
+    mv = memoryview(data)
     pos = lo
     for _ in range(max_soi):
         soi = data.find(_SOI, pos, hi)
         if soi < 0:
             return
-        out.append(data[soi:min(hi, soi + _MAX_CAND)])
+        out.append(mv[soi:min(hi, soi + _MAX_CAND)])
         pos = soi + 2
 
 
@@ -63,7 +66,7 @@ def raf_preview_candidates(data: bytes) -> list:
         off, ln = struct.unpack_from(">II", data, 84)
         if 0 < off < len(data) and 0 < ln <= len(data) - off \
                 and data[off:off + 3] == _SOI:
-            cands.append(data[off:off + ln])
+            cands.append(memoryview(data)[off:off + ln])
     if not cands:
         _soi_candidates(data, len(RAF_MAGIC), min(len(data), 8 << 20), cands)
     return cands
@@ -117,7 +120,8 @@ def bmff_preview_candidates(data: bytes) -> list:
                 # SOI scans of compressed sensor payload are noise.
                 soi = data.find(_SOI, s, min(e, s + 4096))
                 if soi >= 0:
-                    cands.append(data[soi:min(e, soi + _MAX_CAND)])
+                    cands.append(
+                        memoryview(data)[soi:min(e, soi + _MAX_CAND)])
 
     walk(0, len(data), 0)
     return cands
