@@ -1180,9 +1180,9 @@ def write_dng(
     entries = []  # (tag, type, count, packed_value_bytes_or_payload)
     extra = []    # out-of-line payloads, filled with offsets later
 
-    def add(tag, typ, values):
+    def _pack_tag(tag, typ, values):
         if typ == 2:
-            payload = values.encode("ascii") + b"\x00"
+            payload = values.encode("ascii", "replace") + b"\x00"
             n = len(payload)
         elif typ == 5:  # rational list of (num, den)
             payload = b"".join(struct.pack("<II", a, b) for a, b in values)
@@ -1192,7 +1192,10 @@ def write_dng(
             vals = values if isinstance(values, (list, tuple)) else [values]
             payload = struct.pack("<" + str(len(vals)) + fmt, *vals)
             n = len(vals)
-        entries.append([tag, typ, n, payload])
+        return [tag, typ, n, payload]
+
+    def add(tag, typ, values):
+        entries.append(_pack_tag(tag, typ, values))
 
     neutral_g = raw.wb_gains
     as_shot = [
@@ -1216,6 +1219,52 @@ def write_dng(
         add(T_MAKE, 2, raw.exif["Make"])
     if "Model" in raw.exif:
         add(T_MODEL, 2, raw.exif["Model"])
+    if "DateTime" in raw.exif:
+        add(T_DATETIME, 2, str(raw.exif["DateTime"]))
+
+    # EXIF sub-IFD: the capture metadata the reader's _format_exif parses
+    # back (the reference round-trips it through exiftool). String fields
+    # come from the _format_exif conventions ("1/250", "2.8", ...).
+    def _exif_rat(v):
+        s = str(v)
+        try:
+            if "/" in s:
+                n, d = s.split("/", 1)
+                n, d = int(round(float(n))), int(round(float(d)))
+            else:
+                from fractions import Fraction
+
+                f = Fraction(float(s)).limit_denominator(100000)
+                n, d = f.numerator, f.denominator
+            if 0 <= n <= 0xFFFFFFFF and 0 < d <= 0xFFFFFFFF:
+                return [(n, d)]
+        except (ValueError, OverflowError, ZeroDivisionError):
+            pass
+        return None
+
+    exif_entries = []
+    for tag, key in ((T_EXPOSURE_TIME, "ExposureTime"),
+                     (T_F_NUMBER, "FNumber"),
+                     (T_FOCAL_LENGTH, "FocalLength")):
+        if key in raw.exif:
+            r = _exif_rat(raw.exif[key])
+            if r is not None:
+                exif_entries.append(_pack_tag(tag, 5, r))
+    if "ISO" in raw.exif:
+        try:
+            iso = int(float(raw.exif["ISO"]))
+            if 0 <= iso <= 0xFFFF:
+                exif_entries.append(_pack_tag(T_ISO, 3, iso))
+        except (ValueError, OverflowError):
+            pass
+    if "LensModel" in raw.exif:
+        exif_entries.append(_pack_tag(T_LENS_MODEL, 2,
+                                      str(raw.exif["LensModel"])))
+    if "DateTime" in raw.exif:
+        exif_entries.append(_pack_tag(T_DATETIME_ORIGINAL, 2,
+                                      str(raw.exif["DateTime"])))
+    if exif_entries:
+        add(T_EXIF_IFD, 4, 0)  # patched once the layout is known
     if tile is not None:
         add(T_TILE_WIDTH, 4, tile[1])
         add(T_TILE_LENGTH, 4, tile[0])
@@ -1320,8 +1369,30 @@ def write_dng(
         else:
             e.append(None)
 
+    # EXIF sub-IFD block sits between the out-of-line payloads and the
+    # image data; serialize it against its absolute base offset.
+    exif_block = b""
+    exif_base = data_off + len(out_of_line)
+    if exif_entries:
+        exif_entries.sort(key=lambda e: e[0])
+        eifd_size = 2 + len(exif_entries) * 12 + 4
+        eool = bytearray()
+        eb = struct.pack("<H", len(exif_entries))
+        for tag, typ, n, payload in exif_entries:
+            eb += struct.pack("<HHI", tag, typ, n)
+            if len(payload) > 4:
+                eb += struct.pack("<I", exif_base + eifd_size + len(eool))
+                eool += payload + (b"\x00" if len(payload) % 2 else b"")
+            else:
+                eb += payload.ljust(4, b"\x00")[:4]
+        eb += struct.pack("<I", 0)
+        exif_block = eb + bytes(eool)
+        for e in entries:
+            if e[0] == T_EXIF_IFD:
+                e[3] = struct.pack("<I", exif_base)
+
     # Patch chunk offsets now that the data start is known.
-    strip_off = data_off + len(out_of_line)
+    strip_off = data_off + len(out_of_line) + len(exif_block)
     chunk_offs = np.cumsum([0] + [len(c) for c in chunks[:-1]]) + strip_off
     for e in entries:
         if e[0] in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
@@ -1346,5 +1417,6 @@ def write_dng(
             buf += payload.ljust(4, b"\x00")[:4]
     buf += struct.pack("<I", 0)  # no next IFD
     buf += out_of_line
+    buf += exif_block
     buf += strip
     return bytes(buf)

@@ -133,3 +133,47 @@ def test_build_exif_bytes_datetime_roundtrip():
     ex.load(b)
     assert ex[306] == "2026:08:17 10:00:00"
     assert ex.get_ifd(0x8769)[36867] == "2026:08:17 10:00:00"
+
+
+def test_write_dng_roundtrips_exif_subifd():
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rgb = np.full((3, 16, 24), 0.4, np.float32)
+    full = dict(EXIF, DateTime="2026:08:17 11:22:33")
+    raw = dataclasses.replace(synthetic_raw(rgb), exif=full)
+    for compression in (1, 7, 8):
+        got = read_dng(write_dng(raw, compression=compression)).exif
+        assert got["Make"] == "Canon" and got["Model"] == "Canon EOS R5"
+        assert got["ExposureTime"] == "1/250"
+        assert float(got["FNumber"]) == 2.8
+        assert got["ISO"] == "400"
+        assert float(got["FocalLength"]) == 50.0
+        assert got["LensModel"] == "RF50mm F1.2 L USM"
+        assert got["DateTime"] == "2026:08:17 11:22:33"
+
+
+def test_hdr_dng_export_carries_exif(rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.io.dng import read_dng
+
+    planes = rng.uniform(0.1, 0.9, (3, 16, 24)).astype(np.float32)
+    ed = PhotoEditor(planes, exif=dict(EXIF))
+    got = read_dng(ed.hdr_dng_bytes()).exif
+    assert got["Make"] == "Canon" and got["ExposureTime"] == "1/250"
+
+
+def test_write_dng_skips_malformed_exif_values():
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rgb = np.full((3, 16, 24), 0.4, np.float32)
+    raw = dataclasses.replace(
+        synthetic_raw(rgb),
+        exif={"Make": "X", "ExposureTime": "junk", "ISO": "also junk",
+              "FNumber": "1/0"},
+    )
+    got = read_dng(write_dng(raw)).exif
+    assert got["Make"] == "X"
+    assert "ExposureTime" not in got and "ISO" not in got
+    assert "FNumber" not in got
