@@ -27,7 +27,7 @@ import numpy as np
 
 from .._errbase import PhotoEditorError
 from .dng import (
-    DngError, RawImage, _format_exif, _read_ifd, _value,
+    DngError, RawImage, T_DATETIME, _format_exif, _read_ifd, _value,
     T_COMPRESSION, T_STRIP_OFFSETS, T_STRIP_BYTE_COUNTS, T_MAKE, T_MODEL,
     T_ORIENTATION, T_LENS_MODEL,
 )
@@ -208,7 +208,7 @@ def _read_cr2(data: bytes) -> RawImage:
         # Same formatting as the DNG walker (dng._format_exif); only the
         # tag locations are Canon-specific: Make/Model in IFD0, shooting
         # fields in the EXIF sub-IFD, the lens name in the MakerNote.
-        if t in (T_MAKE, T_MODEL):
+        if t in (T_MAKE, T_MODEL, T_DATETIME):
             return tag(ifds[0], t)
         if t == T_LENS_MODEL:
             return tag(maker_entries, T_CANON_LENS_MODEL)

@@ -92,10 +92,12 @@ def build_cr2(
     ])
     make_off = add_blob(b"Canon\x00")
     model_off = add_blob(b"Canon EOS synthetic\x00")
+    dt = b"2026:08:17 09:00:00\x00"
     ifd0 = add_ifd([
         (271, 2, 6, make_off),
         (272, 2, 20, model_off),
         (274, 3, 1, struct.pack("<H", 1)),
+        (306, 2, len(dt), add_blob(dt)),
         (34665, 4, 1, exif_off),
     ], next_off=raw_ifd)
     struct.pack_into("<I", out, 4, ifd0)
@@ -195,3 +197,12 @@ def test_cr2_lens_model_and_focal_length(sensor):
     # Absent fields stay absent.
     raw2 = read_cr2(build_cr2(sensor))
     assert "LensModel" not in raw2.exif
+
+
+def test_cr2_datetime_from_ifd0(sensor):
+    """IFD0 DateTime is the fallback when DateTimeOriginal is absent
+    (the synthetic fixture's EXIF sub-IFD carries no 36867)."""
+    from rawphotoforge_tpu.io.cr2 import read_cr2
+
+    raw = read_cr2(build_cr2(sensor))
+    assert raw.exif["DateTime"] == "2026:08:17 09:00:00"
