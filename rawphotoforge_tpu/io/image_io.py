@@ -58,23 +58,33 @@ def format_for_path(path: str) -> str:
 def _parse_ppm16(data: bytes) -> np.ndarray:
     """16-bit big-endian P6 PPM -> u16 HWC samples (image.ts:146-195)."""
     # Header: magic, dims, maxval — whitespace separated, '#' comments allowed.
-    pos = 0
-    fields = []
-    while len(fields) < 4:
-        nl = data.index(b"\n", pos)
-        line = data[pos:nl]
-        pos = nl + 1
-        hash_i = line.find(b"#")
-        if hash_i >= 0:
-            line = line[:hash_i]
-        fields.extend(line.split())
-    magic, w, h, maxval = fields[0], int(fields[1]), int(fields[2]), int(fields[3])
-    if magic != b"P6":
-        raise ImageIOError("PPM must be binary P6")
-    if maxval != 65535:
-        raise ImageIOError("only 16-bit PPM (max=65535) is supported")
-    raw = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=pos)
-    return raw.reshape(h, w, 3).astype(np.uint16)
+    try:
+        pos = 0
+        fields = []
+        while len(fields) < 4:
+            nl = data.index(b"\n", pos)
+            line = data[pos:nl]
+            pos = nl + 1
+            hash_i = line.find(b"#")
+            if hash_i >= 0:
+                line = line[:hash_i]
+            fields.extend(line.split())
+        magic = fields[0]
+        w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
+        if magic != b"P6":
+            raise ImageIOError("PPM must be binary P6")
+        if maxval != 65535:
+            raise ImageIOError("only 16-bit PPM (max=65535) is supported")
+        if not (0 < w <= 65535 and 0 < h <= 65535):
+            raise ImageIOError(f"bad PPM dimensions {w}x{h}")
+        raw = np.frombuffer(data, dtype=">u2", count=w * h * 3, offset=pos)
+        return raw.reshape(h, w, 3).astype(np.uint16)
+    except ImageIOError:
+        raise
+    except (ValueError, IndexError, OverflowError) as e:
+        # Truncated/garbled header or short pixel data — keep the typed
+        # error contract (callers branch on PhotoEditorError).
+        raise ImageIOError(f"malformed PPM: {e}") from e
 
 
 def decode_ppm16(data: bytes) -> np.ndarray:
@@ -122,34 +132,40 @@ def decode_image(data: bytes, fmt: str):
 
     try:
         img = PILImage.open(_io.BytesIO(data))
-    except Exception as e:  # noqa: BLE001
+
+        from .exif import parse_exif  # local import to avoid cycle
+
+        exif = parse_exif(img)
+        raw_exif = img.info.get("exif")
+        if raw_exif:
+            # Raw blob for metadata write-back into exports (exiftool-style,
+            # python-legacy editor.py:345-350); editors pop this key.
+            exif["_exif_bytes"] = raw_exif
+        img = ImageOps.exif_transpose(img)
+
+        # Upload the decoder's native integer width and normalize on
+        # device: a 24MP JPEG moves 72 MB over the host->device link
+        # instead of 288 MB (the /scale division is the identical f32 op
+        # on either side).
+        if img.mode in ("I;16", "I;16B", "I;16L"):
+            arr, scale = np.asarray(img, dtype=np.uint16), 65535.0
+        elif img.mode == "I":
+            # 32-bit integer mode: values may exceed 65535, so a u16 cast
+            # would wrap — keep the float path (scaled like 16-bit modes).
+            arr, scale = np.asarray(img, dtype=np.float32) / 65535.0, None
+        elif img.mode == "F":
+            arr, scale = np.asarray(img, dtype=np.float32), None
+        else:
+            if img.mode not in ("RGB", "L"):
+                img = img.convert("RGB")
+            arr, scale = np.asarray(img, dtype=np.uint8), 255.0
+    except PhotoEditorError:
+        raise
+    except Exception as e:  # noqa: BLE001 — PIL raises OSError/ValueError/
+        # SyntaxError subclasses at open(), transpose, or pixel access
+        # (truncated scans surface only when pixels decode); keep the
+        # typed-error contract for all of it.
         raise ImageIOError(f"failed to decode {fmt}: {e}") from e
-
-    from .exif import parse_exif  # local import to avoid cycle
-
-    exif = parse_exif(img)
-    raw_exif = img.info.get("exif")
-    if raw_exif:
-        # Raw blob for metadata write-back into exports (exiftool-style,
-        # python-legacy editor.py:345-350); editors pop this key.
-        exif["_exif_bytes"] = raw_exif
-    img = ImageOps.exif_transpose(img)
-
-    # Upload the decoder's native integer width and normalize on device:
-    # a 24MP JPEG moves 72 MB over the host->device link instead of 288 MB
-    # (the /scale division is the identical f32 op on either side).
-    if img.mode in ("I;16", "I;16B", "I;16L"):
-        arr, scale = np.asarray(img, dtype=np.uint16), 65535.0
-    elif img.mode == "I":
-        # 32-bit integer mode: values may exceed 65535, so a u16 cast
-        # would wrap — keep the float path (scaled like the 16-bit modes).
-        arr, scale = np.asarray(img, dtype=np.float32) / 65535.0, None
-    elif img.mode == "F":
-        arr, scale = np.asarray(img, dtype=np.float32), None
-    else:
-        if img.mode not in ("RGB", "L"):
-            img = img.convert("RGB")
-        arr, scale = np.asarray(img, dtype=np.uint8), 255.0
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
 

@@ -172,3 +172,32 @@ def test_mode_i_32bit_tiff_does_not_wrap():
     planes, _ = image_io.decode_image(buf.getvalue(), "TIFF")
     got = float(np.asarray(planes)[0, 0, 0])
     assert abs(got - 70000 / 65535.0) < 1e-3, got
+
+
+def test_truncated_jpeg_raises_typed_error():
+    """PIL surfaces truncated scans only at pixel access; the decode
+    wrapper must map that to ImageIOError (callers branch on it)."""
+    import io as _io
+
+    import pytest
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io.image_io import ImageIOError, decode_image
+
+    buf = _io.BytesIO()
+    PILImage.new("RGB", (64, 64), (90, 120, 50)).save(
+        buf, format="JPEG", quality=95)
+    whole = buf.getvalue()
+    with pytest.raises(ImageIOError):
+        decode_image(whole[: len(whole) // 2], "JPEG")
+
+
+def test_malformed_ppm_raises_typed_error():
+    import pytest
+
+    from rawphotoforge_tpu.io.image_io import ImageIOError, decode_image
+
+    for blob in (b"P6\n10", b"P6\n10 x\n65535\n", b"P6\n4 4\n65535\nshort",
+                 b"P6\n-3 4\n65535\n" + b"\x00" * 200):
+        with pytest.raises(ImageIOError):
+            decode_image(blob, "PPM16")
