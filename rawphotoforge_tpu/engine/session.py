@@ -31,11 +31,18 @@ class Settings:
     jpeg_quality: int = 95
 
     def clamp(self) -> "Settings":
-        self.ui_preview_size = int(min(max(self.ui_preview_size, 500), 2000))
-        self.drag_preview_size = int(min(max(self.drag_preview_size, 100), 800))
+        def _int(v, lo, hi, default):
+            try:
+                return int(min(max(int(v), lo), hi))
+            except (TypeError, ValueError):
+                return default
+
+        self.ui_preview_size = _int(self.ui_preview_size, 500, 2000, 1280)
+        self.drag_preview_size = _int(self.drag_preview_size, 100, 800, 400)
         if self.locale not in ("en", "ja"):
             self.locale = "en"
-        self.jpeg_quality = int(min(max(self.jpeg_quality, 1), 100))
+        self.jpeg_quality = _int(self.jpeg_quality, 1, 100, 95)
+        self.device_index = _int(self.device_index, 0, 4095, 0)
         return self
 
     def to_json(self) -> dict:
@@ -47,8 +54,12 @@ class Settings:
         return cls(**{k: v for k, v in d.items() if k in known}).clamp()
 
     def save(self, path: str | None = None) -> None:
-        with open(path or default_settings_path(), "w") as f:
+        # Write-then-rename so a crash mid-write can't corrupt the file.
+        p = path or default_settings_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.to_json(), f, indent=1)
+        os.replace(tmp, p)
 
     @classmethod
     def load(cls, path: str | None = None) -> "Settings":
@@ -56,7 +67,8 @@ class Settings:
         try:
             with open(p) as f:
                 return cls.from_json(json.load(f))
-        except (OSError, ValueError):
+        except (OSError, ValueError, TypeError, AttributeError):
+            # TypeError/AttributeError: hand-edited non-dict JSON.
             return cls()
 
     def select_device(self):

@@ -454,3 +454,25 @@ def test_page_injects_localized_exif_labels(base_url):
         _post(base_url + "/settings", {"locale": "en"})
     _, _, body = _get(base_url + "/")
     assert "constEXIF_LABELS={};" in body.decode("utf-8").replace(" ", "")
+
+
+def test_settings_survive_garbage_values(tmp_path):
+    import json as _json
+
+    from rawphotoforge_tpu.engine.session import Settings
+
+    p = str(tmp_path / "s.json")
+    with open(p, "w") as f:
+        _json.dump({"ui_preview_size": "huge", "device_index": "x",
+                    "locale": ["ja"], "jpeg_quality": None}, f)
+    s = Settings.load(p)
+    assert (s.ui_preview_size, s.device_index, s.locale, s.jpeg_quality) == \
+        (1280, 0, "en", 95)
+    # Non-dict JSON falls back to defaults instead of crashing.
+    with open(p, "w") as f:
+        f.write("[1,2,3]")
+    assert Settings.load(p).locale == "en"
+    # Atomic save round-trips.
+    s.locale = "ja"
+    s.save(p)
+    assert Settings.load(p).locale == "ja"
