@@ -51,6 +51,8 @@ class LensProfile:
     @classmethod
     def from_json(cls, s: str) -> "LensProfile":
         d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}  # tolerate extras
         for k in ("vignetting", "distortion", "tca"):
             if d.get(k) is not None:
                 d[k] = tuple(d[k])

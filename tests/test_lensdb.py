@@ -161,3 +161,13 @@ def test_editor_no_match_is_noop(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ed.apply(FULL)), np.asarray(plain.apply(FULL))
     )
+
+
+def test_profile_json_tolerates_unknown_keys():
+    from rawphotoforge_tpu.ops.lenscorr import LensProfile
+
+    p = LensProfile.from_json(
+        '{"name": "x", "vignetting": [-0.3, 0.1, 0.0], '
+        '"comment": "from a future version", "extra": 1}'
+    )
+    assert p.name == "x" and p.vignetting == (-0.3, 0.1, 0.0)
