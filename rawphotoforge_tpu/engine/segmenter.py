@@ -118,8 +118,12 @@ class TorchScriptSegmenter:
             rgb_u8.astype(np.float32).transpose(2, 0, 1) / 255.0
         )
         pt = torch.tensor([float(point_xy[0]), float(point_xy[1])])
-        with torch.no_grad():
-            out = self.module(img, pt)
+        try:
+            with torch.no_grad():
+                out = self.module(img, pt)
+        except RuntimeError as e:
+            raise SegmenterError(
+                f"segmenter {self.name!r} failed: {e}") from e
         logits = out.detach().cpu().numpy()
         if logits.ndim == 3:
             logits = logits[0]
@@ -142,8 +146,12 @@ def make_segmenter(spec):
     if isinstance(spec, dict):
         kind = spec.get("type", "subprocess")
         if kind == "subprocess":
+            if "cmd" not in spec:
+                raise SegmenterError("subprocess segmenter spec needs 'cmd'")
             return SubprocessSegmenter(spec["cmd"], spec.get("timeout", 120.0))
         if kind == "torchscript":
+            if "path" not in spec:
+                raise SegmenterError("torchscript segmenter spec needs 'path'")
             return TorchScriptSegmenter(spec["path"])
         raise SegmenterError(f"unknown segmenter type {kind!r}")
     raise SegmenterError(f"cannot build a segmenter from {type(spec).__name__}")

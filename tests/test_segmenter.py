@@ -195,3 +195,14 @@ def test_server_rejects_segmenter_specs_over_http(tmp_path, rng):
         assert not os.path.exists("/tmp/pwned_test")
     finally:
         httpd.shutdown()
+
+
+def test_make_segmenter_spec_missing_keys():
+    import pytest
+
+    from rawphotoforge_tpu.engine.segmenter import SegmenterError, make_segmenter
+
+    with pytest.raises(SegmenterError, match="cmd"):
+        make_segmenter({"type": "subprocess"})
+    with pytest.raises(SegmenterError, match="path"):
+        make_segmenter({"type": "torchscript"})
