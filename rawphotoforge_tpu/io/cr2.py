@@ -114,6 +114,14 @@ def _bayer_pattern_at(top: int, left: int) -> str:
     )
 
 
+def _safe_orientation(v) -> int:
+    try:
+        o = int(v or 1)
+    except (TypeError, ValueError):
+        return 1
+    return o if 1 <= o <= 8 else 1
+
+
 def read_cr2(data: bytes) -> RawImage:
     """Parse CR2 bytes into a RawImage.
 
@@ -224,6 +232,6 @@ def _read_cr2(data: bytes) -> RawImage:
         wb_gains=wb,
         xyz_to_cam=None,  # Canon matrices live in a per-model table; the
         # develop falls back to identity + WB (rawpy's use_camera_wb analog)
-        orientation=int(tag(ifds[0], T_ORIENTATION, 1) or 1),
+        orientation=_safe_orientation(tag(ifds[0], T_ORIENTATION, 1)),
         exif=exif,
     )

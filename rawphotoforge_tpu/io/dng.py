@@ -1032,6 +1032,8 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             warp = _parse_warp_rectilinear(oplist3)
 
     orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
+    if not 1 <= orientation <= 8:
+        orientation = 1  # junk tag: display as stored rather than raising
 
     default_crop = None
     dco = tag(cfa_ifd, T_DEFAULT_CROP_ORIGIN)

@@ -201,3 +201,16 @@ def test_malformed_ppm_raises_typed_error():
                  b"P6\n-3 4\n65535\n" + b"\x00" * 200):
         with pytest.raises(ImageIOError):
             decode_image(blob, "PPM16")
+
+
+def test_junk_orientation_tag_falls_back_to_upright():
+    import dataclasses
+
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import develop_raw_image, synthetic_raw
+
+    rgb = np.full((3, 16, 24), 0.5, np.float32)
+    raw = dataclasses.replace(synthetic_raw(rgb), orientation=99)
+    parsed = read_dng(write_dng(raw))
+    assert parsed.orientation == 1
+    develop_raw_image(parsed)  # must not raise
