@@ -76,6 +76,7 @@ def _nearest(calibs: list[_Calib], focal: Optional[float],
 class LensDatabase:
     def __init__(self, lenses: list[LensEntry]):
         self.lenses = lenses
+        self.skipped_files: list[str] = []  # unparseable DB files (load)
 
     # -- loading -------------------------------------------------------------
     @classmethod
@@ -99,9 +100,18 @@ class LensDatabase:
             else:
                 files.append(p)
         lenses: list[LensEntry] = []
+        skipped: list[str] = []
         for f in files:
-            lenses.extend(cls._parse_file(f))
-        return cls(lenses)
+            try:
+                lenses.extend(cls._parse_file(f))
+            except (ET.ParseError, ValueError, OSError):
+                # One corrupt file in a user-pointed DB directory must not
+                # take down the open — the image still develops, just
+                # without that file's profiles.
+                skipped.append(f)
+        db = cls(lenses)
+        db.skipped_files = skipped
+        return db
 
     @classmethod
     def _parse_file(cls, path: str) -> list[LensEntry]:

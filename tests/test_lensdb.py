@@ -171,3 +171,22 @@ def test_profile_json_tolerates_unknown_keys():
         '"comment": "from a future version", "extra": 1}'
     )
     assert p.name == "x" and p.vignetting == (-0.3, 0.1, 0.0)
+
+
+def test_corrupt_db_file_is_skipped_not_fatal(tmp_path):
+    from rawphotoforge_tpu.io.lensdb import LensDatabase
+
+    good = tmp_path / "good.xml"
+    good.write_text(
+        "<lensdatabase><lens><maker>M</maker><model>GoodLens 50mm</model>"
+        "<calibration><distortion model='poly3' focal='50' k1='0.01'/>"
+        "</calibration></lens></lensdatabase>"
+    )
+    (tmp_path / "bad.xml").write_text("<lensdatabase><lens>")
+    (tmp_path / "junk.xml").write_text(
+        "<lensdatabase><lens><model>J</model><cropfactor>NaNope</cropfactor>"
+        "<calibration/></lens></lensdatabase>"
+    )
+    db = LensDatabase.load((str(tmp_path),), include_bundled=False)
+    assert db.find_lens("GoodLens 50mm") is not None
+    assert len(db.skipped_files) == 2
