@@ -697,15 +697,6 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         for s in subs:
             sub_entries, _ = _read_ifd(data, s, bo)
             ifds.append(sub_entries)
-    if T_EXIF_IFD in entries:
-        # Real DNGs keep ExposureTime/FNumber/ISO/FocalLength/LensModel in
-        # the EXIF sub-IFD, not IFD0.
-        try:
-            exif_ifd, _ = _read_ifd(
-                data, _value(data, entries[T_EXIF_IFD], bo), bo)
-            ifds.append(exif_ifd)
-        except (struct.error, KeyError):
-            pass
     seen_offsets = {ifd0_off}
     while next_off and next_off not in seen_offsets:
         # The seen-set breaks cyclic next-IFD pointers in crafted files —
@@ -714,6 +705,23 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         seen_offsets.add(next_off)
         more, next_off = _read_ifd(data, next_off, bo)
         ifds.append(more)
+    # Real DNGs keep ExposureTime/FNumber/ISO/FocalLength/LensModel in an
+    # EXIF sub-IFD (tag 34665), not IFD0 — and which IFD carries the
+    # pointer varies (IFD0 in Adobe files; the raw SubIFD in files whose
+    # IFD0 is a preview, like ours). Check every walked IFD.
+    exif_seen = set()
+    for e in list(ifds):
+        if T_EXIF_IFD not in e:
+            continue
+        try:
+            off = _value(data, e[T_EXIF_IFD], bo)
+            if off in exif_seen:
+                continue
+            exif_seen.add(off)
+            exif_ifd, _ = _read_ifd(data, off, bo)
+            ifds.append(exif_ifd)
+        except (struct.error, KeyError):
+            pass
 
     cfa_ifd = photometric = None
     for want in (PHOTOMETRIC_CFA, PHOTOMETRIC_LINEAR_RAW):

@@ -391,3 +391,27 @@ def test_bmff_adversarial_nesting_bounded():
     assert time.perf_counter() - t0 < 2.0
     assert len(cands) <= 16
     assert dng.extract_preview(blob) is not None  # still finds the JPEG
+
+
+def test_write_dng_preview_keeps_exif_subifd():
+    """EXIF capture metadata survives a preview-IFD0 layout: the EXIF
+    sub-IFD pointer lives in the raw SubIFD (IFD0 is the preview), and
+    the reader must find it there (regression: it only checked IFD0)."""
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rng = np.random.default_rng(4)
+    rgb = np.clip(rng.random((3, 24, 32)), 0, 1).astype(np.float32)
+    raw = synthetic_raw(rgb)
+    raw.exif.update({
+        "Make": "RPF", "Model": "TestCam", "ExposureTime": "1/250",
+        "FNumber": "2.8", "ISO": "400", "FocalLength": "35.0",
+        "LensModel": "RPF 35mm", "DateTime": "2026:08:17 12:00:00",
+    })
+    jpeg = _jpeg(12, 16, seed=40)
+    for comp, pred in ((1, 1), (7, 1), (8, 2)):
+        data = dng.write_dng(raw, compression=comp, predictor=pred,
+                             preview_jpeg=jpeg)
+        back = dng.read_dng(data)
+        for key, want in raw.exif.items():
+            assert back.exif.get(key) == want, (comp, key, back.exif)
+        assert dng.extract_preview(data) == jpeg
