@@ -230,6 +230,7 @@ def _batch_raw_fast_path(paths, args) -> int:
         with open(p, "rb") as f:
             data = f.read()
         preview_note = ""
+        pv_exif: dict = {}
         try:
             raw = parse_raw(data)
         except PhotoEditorError as e:
@@ -241,7 +242,7 @@ def _batch_raw_fast_path(paths, args) -> int:
             if res is None:
                 raise
             raw = None
-            planes, _ = res
+            planes, pv_exif = res
             preview_note = f"  [embedded preview; sensor decode: {e}]"
         if raw is None:
             h, w = planes.shape[1:]
@@ -297,8 +298,10 @@ def _batch_raw_fast_path(paths, args) -> int:
         # the link bytes); falls back to the Pillow path without native.
         from ..io import jpegenc
 
-        exif_b = (image_io.build_exif_bytes(raw.exif)
-                  if raw is not None else None)
+        # Preview-fallback files still carry metadata: synthesize the
+        # EXIF payload from whichever dict the open produced.
+        exif_b = image_io.build_exif_bytes(
+            raw.exif if raw is not None else pv_exif)
         if jpegenc.available():
             body = jpegenc.encode_jpeg(srgb, quality=args.quality,
                                        exif_bytes=exif_b)

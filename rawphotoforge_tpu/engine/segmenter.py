@@ -118,10 +118,15 @@ class TorchScriptSegmenter:
             rgb_u8.astype(np.float32).transpose(2, 0, 1) / 255.0
         )
         pt = torch.tensor([float(point_xy[0]), float(point_xy[1])])
+        # torch.jit.Error (script-level `raise` inside forward) is NOT a
+        # RuntimeError subclass — its MRO is (Error, Exception); catching
+        # only RuntimeError lets the most common TorchScript failure class
+        # escape the typed-error contract.
+        jit_error = getattr(getattr(torch, "jit", None), "Error", RuntimeError)
         try:
             with torch.no_grad():
                 out = self.module(img, pt)
-        except RuntimeError as e:
+        except (RuntimeError, jit_error) as e:
             raise SegmenterError(
                 f"segmenter {self.name!r} failed: {e}") from e
         logits = out.detach().cpu().numpy()

@@ -550,9 +550,12 @@ def _format_exif(lookup) -> dict:
         exif["LensModel"] = lens.strip()
     # Capture time: prefer DateTimeOriginal (EXIF sub-IFD) over the file
     # modification DateTime (IFD0).
-    dt = lookup(T_DATETIME_ORIGINAL) or lookup(T_DATETIME)
-    if isinstance(dt, str) and dt.strip():
-        exif["DateTime"] = dt.strip()
+    # each candidate is validated on its own: a truthy mis-typed
+    # DateTimeOriginal must not suppress a valid IFD0 DateTime string.
+    for dt in (lookup(T_DATETIME_ORIGINAL), lookup(T_DATETIME)):
+        if isinstance(dt, str) and dt.strip():
+            exif["DateTime"] = dt.strip()
+            break
     return exif
 
 
@@ -575,6 +578,50 @@ def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
                     sub, _ = _read_ifd(data, s, bo)
                     ifds.append(sub)
     return ifds
+
+
+def extract_container_exif(data: bytes) -> dict:
+    """Capture metadata from a TIFF-structured container WITHOUT decoding
+    sensor data: walk the full IFD forest (plus EXIF sub-IFDs) and build
+    the same dict read_dng produces. Used by the embedded-preview
+    fallback — the camera preview JPEG usually has no EXIF of its own,
+    but the container's TIFF tags (Make/Model/ExposureTime/DateTime) are
+    still authoritative. Returns {} for non-TIFF or malformed input."""
+    try:
+        if data[:2] == b"II":
+            bo = "<"
+        elif data[:2] == b"MM":
+            bo = ">"
+        else:
+            return {}
+        (magic,) = struct.unpack_from(bo + "H", data, 2)
+        if magic not in (42, 0x4F52, 0x5352):  # TIFF + Olympus ORF variants
+            return {}
+        ifds = _walk_all_ifds(data, bo)
+        seen_exif = set()
+        for e in list(ifds):
+            if T_EXIF_IFD in e:
+                try:
+                    off = _value(data, e[T_EXIF_IFD], bo)
+                    if isinstance(off, int) and off not in seen_exif:
+                        seen_exif.add(off)
+                        sub, _ = _read_ifd(data, off, bo)
+                        ifds.append(sub)
+                except (struct.error, KeyError):
+                    pass
+
+        def lookup(t):
+            for e in ifds:
+                if t in e:
+                    try:
+                        return _value(data, e[t], bo)
+                    except (struct.error, KeyError):
+                        continue
+            return None
+
+        return _format_exif(lookup)
+    except Exception:  # noqa: BLE001 — best-effort metadata, never fatal
+        return {}
 
 
 def _best_jpeg(cands) -> Optional[bytes]:
@@ -1039,7 +1086,10 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         if oplist3 is not None and _opcodes_contain(oplist3, 1):
             warp = _parse_warp_rectilinear(oplist3)
 
-    orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
+    try:
+        orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
+    except (TypeError, ValueError):
+        orientation = 1  # mis-typed tag (ASCII/list): same as CR2's guard
     if not 1 <= orientation <= 8:
         orientation = 1  # junk tag: display as stored rather than raising
 
@@ -1236,21 +1286,10 @@ def write_dng(
     # back (the reference round-trips it through exiftool). String fields
     # come from the _format_exif conventions ("1/250", "2.8", ...).
     def _exif_rat(v):
-        s = str(v)
-        try:
-            if "/" in s:
-                n, d = s.split("/", 1)
-                n, d = int(round(float(n))), int(round(float(d)))
-            else:
-                from fractions import Fraction
+        from .exif import parse_rational
 
-                f = Fraction(float(s)).limit_denominator(100000)
-                n, d = f.numerator, f.denominator
-            if 0 <= n <= 0xFFFFFFFF and 0 < d <= 0xFFFFFFFF:
-                return [(n, d)]
-        except (ValueError, OverflowError, ZeroDivisionError):
-            pass
-        return None
+        nd = parse_rational(v)
+        return None if nd is None else [nd]
 
     exif_entries = []
     for tag, key in ((T_EXPOSURE_TIME, "ExposureTime"),

@@ -57,6 +57,31 @@ class Exif:
         return out
 
 
+def parse_rational(v, max_num=0xFFFFFFFF):
+    """Parse an exif-dict value ("1/250", "2.8", 35.0) into an unsigned
+    TIFF RATIONAL (numerator, denominator), or None if unrepresentable.
+
+    Single home for the parse both serializers share (io/dng.py EXIF
+    sub-IFD writes, io/image_io.build_exif_bytes APP1 blobs) so the two
+    export paths cannot drift in how they encode the same dict.
+    """
+    from fractions import Fraction
+
+    try:
+        s = str(v)
+        if "/" in s:
+            n, d = s.split("/", 1)
+            n, d = int(round(float(n))), int(round(float(d)))
+        else:
+            f = Fraction(float(s)).limit_denominator(100000)
+            n, d = f.numerator, f.denominator
+        if 0 <= n <= max_num and 0 < d <= max_num:
+            return (n, d)
+    except (ValueError, OverflowError, ZeroDivisionError):
+        pass
+    return None
+
+
 def _ratio_to_float(v):
     try:
         return float(v)

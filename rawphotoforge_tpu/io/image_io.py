@@ -159,7 +159,10 @@ def decode_image(data: bytes, fmt: str):
             if img.mode not in ("RGB", "L"):
                 img = img.convert("RGB")
             arr, scale = np.asarray(img, dtype=np.uint8), 255.0
-    except PhotoEditorError:
+    except (PhotoEditorError, MemoryError):
+        # MemoryError must surface as itself (same convention as read_dng):
+        # converting OOM into ImageIOError sends callers down the
+        # corrupt-file / preview-fallback path on an exhausted machine.
         raise
     except Exception as e:  # noqa: BLE001 — PIL raises OSError/ValueError/
         # SyntaxError subclasses at open(), transpose, or pixel access
@@ -178,6 +181,24 @@ def decode_image(data: bytes, fmt: str):
     return chw, exif
 
 
+def normalize_exif_blob(exif_bytes: bytes) -> bytes:
+    """Reset the Orientation tag to 1 in a raw EXIF blob.
+
+    Pixels are rotated upright at decode (exif_transpose / orient_exif),
+    so any export that re-embeds the original blob must clear the stored
+    rotation or viewers rotate the image a second time. Shared by both
+    encoders (encode_image and the native io/jpegenc fast path) so they
+    cannot diverge on orientation. Falls back to the raw blob if PIL
+    cannot parse it."""
+    try:
+        ex = PILImage.Exif()
+        ex.load(exif_bytes)
+        ex[274] = 1  # Orientation = normal
+        return ex.tobytes()
+    except Exception:  # noqa: BLE001 - unparseable blob: pass through
+        return exif_bytes
+
+
 def build_exif_bytes(exif: dict | None) -> bytes | None:
     """Synthesize an EXIF APP1 payload from a parsed RAW metadata dict
     (the io/dng._format_exif key set: Make, Model, ExposureTime, FNumber,
@@ -193,20 +214,13 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
     """
     if not exif:
         return None
-    from fractions import Fraction as _Fraction
-
     from PIL.TiffImagePlugin import IFDRational as _Rat
 
+    from .exif import parse_rational
+
     def _rat(v):
-        try:
-            s = str(v)
-            if "/" in s:
-                n, d = s.split("/", 1)
-                return _Rat(int(round(float(n))), int(round(float(d))))
-            f = _Fraction(float(s)).limit_denominator(100000)
-            return _Rat(f.numerator, f.denominator)
-        except (ValueError, ZeroDivisionError, OverflowError):
-            return None
+        nd = parse_rational(v)
+        return None if nd is None else _Rat(*nd)
 
     ex = PILImage.Exif()
     wrote = False
@@ -235,7 +249,9 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
     if lens:
         sub[42036] = str(lens)
         wrote = True
-    dt = exif.get("DateTime")
+    # Container opens key this "DateTimeOriginal" (io/exif.py to_dict);
+    # RAW parsers key it "DateTime" — accept either.
+    dt = exif.get("DateTime") or exif.get("DateTimeOriginal")
     if dt:
         ex[306] = str(dt)          # DateTime (IFD0)
         sub[36867] = str(dt)       # DateTimeOriginal
@@ -274,15 +290,7 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
     if fmt in ("JPEG", "WEBP"):
         save_kwargs["quality"] = quality
     if exif_bytes and fmt in ("JPEG", "PNG", "WEBP", "TIFF"):
-        # Pixels were already orientation-corrected at decode; reset the
-        # Orientation tag so viewers don't rotate the export again.
-        try:
-            ex = PILImage.Exif()
-            ex.load(exif_bytes)
-            ex[274] = 1  # Orientation = normal
-            save_kwargs["exif"] = ex.tobytes()
-        except Exception:  # noqa: BLE001 - fall back to the raw blob
-            save_kwargs["exif"] = exif_bytes
+        save_kwargs["exif"] = normalize_exif_blob(exif_bytes)
     img.save(buf, format=fmt, **save_kwargs)
     return buf.getvalue()
 

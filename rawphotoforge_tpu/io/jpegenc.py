@@ -86,7 +86,11 @@ def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
     JEITA CP-3451 layout: the EXIF APP1 precedes other marker segments)."""
     if not jpeg.startswith(b"\xff\xd8"):
         return jpeg
-    payload = exif_bytes
+    from .image_io import normalize_exif_blob
+
+    # Same orientation reset encode_image applies: pixels are already
+    # upright, so a stored Orientation!=1 would double-rotate in viewers.
+    payload = normalize_exif_blob(exif_bytes)
     if not payload.startswith(b"Exif\x00\x00"):
         payload = b"Exif\x00\x00" + payload
     if len(payload) + 2 > 0xFFFF:  # segment length field is 16-bit

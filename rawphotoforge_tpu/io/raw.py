@@ -67,15 +67,23 @@ def decode_embedded_preview(data: bytes):
     from .dng import extract_preview
     from .image_io import ImageIOError, decode_image
 
+    from .dng import extract_container_exif
+
     jpeg = extract_preview(data)
     if jpeg is None:
         return None
     try:
-        return decode_image(jpeg, "JPEG")
+        planes, exif = decode_image(jpeg, "JPEG")
     except PhotoEditorError:
         raise
     except Exception as e:  # noqa: BLE001 — PIL's hierarchy stays inside
         raise ImageIOError(f"embedded preview failed to decode: {e}") from e
+    # Camera previews rarely carry their own EXIF; the container's TIFF
+    # tags are the authoritative capture metadata. Preview-embedded tags
+    # win where both exist ("_exif_bytes" blob included).
+    merged = dict(extract_container_exif(data))
+    merged.update(exif)
+    return planes, merged
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

@@ -177,3 +177,90 @@ def test_write_dng_skips_malformed_exif_values():
     assert got["Make"] == "X"
     assert "ExposureTime" not in got and "ISO" not in got
     assert "FNumber" not in got
+
+
+def test_format_exif_mistyped_datetime_original_falls_back():
+    """A truthy mis-typed DateTimeOriginal must not suppress a valid
+    IFD0 DateTime string (review regression)."""
+    from rawphotoforge_tpu.io.dng import _format_exif
+
+    junk = {36867: 12345, 306: "2026:01:01 00:00:00"}
+    assert _format_exif(junk.get)["DateTime"] == "2026:01:01 00:00:00"
+
+
+def test_build_exif_bytes_accepts_datetime_original_key():
+    """Container opens key capture time "DateTimeOriginal" (io/exif.py
+    to_dict); synthesized payloads must carry it (review regression)."""
+    from rawphotoforge_tpu.io.image_io import build_exif_bytes
+
+    b = build_exif_bytes({"Make": "X",
+                          "DateTimeOriginal": "2026:08:17 11:00:00"})
+    ex = Image.Exif()
+    ex.load(b)
+    assert ex[306] == "2026:08:17 11:00:00"
+
+
+def test_jpegenc_splice_resets_orientation():
+    """The native fast path must reset Orientation like encode_image
+    does — pixels are already upright at decode (review regression)."""
+    from rawphotoforge_tpu.io.jpegenc import _splice_app1
+
+    src = Image.Exif()
+    src[271] = "RPF"
+    src[274] = 6  # stored rotation from the camera
+    blob = src.tobytes()
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8)).save(buf, format="JPEG")
+    out = _splice_app1(buf.getvalue(), blob)
+    ex = Image.open(io.BytesIO(out)).getexif()
+    assert ex.get(271) == "RPF"
+    assert ex.get(274, 1) == 1
+
+
+def test_batch_preview_fallback_carries_exif(tmp_path):
+    """Preview-fallback batch exports keep camera metadata: the sensor
+    decode fails but the container's parsed EXIF must still reach the
+    output JPEG (review regression)."""
+    import struct
+
+    from rawphotoforge_tpu.app.cli import main
+
+    # TIFF container with EXIF tags + an embedded JPEG preview but NO
+    # decodable sensor IFD -> parse_raw fails, preview fallback engages.
+    pb = io.BytesIO()
+    Image.new("RGB", (24, 16), (90, 120, 40)).save(pb, format="JPEG")
+    preview = pb.getvalue()
+
+    def tiff_with_preview_and_exif():
+        make = b"NikoCan\x00"
+        entries = []
+        data_off = 8 + 2 + 12 * 4 + 4
+        entries.append(struct.pack("<HHI4s", 271, 2, len(make), b"\x00" * 4))
+        make_off = data_off
+        entries.append(struct.pack("<HHII", 513, 4, 1,
+                                   make_off + len(make)))  # JPEGInterchange
+        entries.append(struct.pack("<HHII", 514, 4, 1, len(preview)))
+        entries.append(struct.pack("<HHII", 256, 4, 1, 24))
+        buf = struct.pack("<2sHI", b"II", 42, 8)
+        buf += struct.pack("<H", 4)
+        fixed = []
+        for e in entries:
+            tag = struct.unpack("<H", e[:2])[0]
+            if tag == 271:
+                fixed.append(struct.pack("<HHII", 271, 2, len(make),
+                                         make_off))
+            else:
+                fixed.append(e)
+        buf += b"".join(sorted(fixed, key=lambda x: struct.unpack("<H", x[:2])[0]))
+        buf += struct.pack("<I", 0)
+        buf += make + preview
+        return buf
+
+    ind = tmp_path / "r"
+    outd = tmp_path / "o"
+    ind.mkdir()
+    (ind / "cam.nef").write_bytes(tiff_with_preview_and_exif())
+    assert main(["batch", str(ind), str(outd)]) == 0
+    ex = Image.open(outd / "cam.jpg").getexif()
+    assert ex.get(271) == "NikoCan"

@@ -206,3 +206,23 @@ def test_make_segmenter_spec_missing_keys():
         make_segmenter({"type": "subprocess"})
     with pytest.raises(SegmenterError, match="path"):
         make_segmenter({"type": "torchscript"})
+
+
+def test_torchscript_script_raise_is_typed(tmp_path):
+    """A script-level `raise` inside forward surfaces as torch.jit.Error
+    (NOT a RuntimeError subclass) — it must still map to SegmenterError
+    (review regression)."""
+    torch = pytest.importorskip("torch")
+    from rawphotoforge_tpu.engine.segmenter import SegmenterError
+
+    class Guarded(torch.nn.Module):
+        def forward(self, img, pt):
+            if pt[0] < 0:
+                raise ValueError("point out of bounds")
+            return img[0]
+
+    path = str(tmp_path / "guarded.pt")
+    torch.jit.script(Guarded()).save(path)
+    seg = make_segmenter({"type": "torchscript", "path": path})
+    with pytest.raises(SegmenterError):
+        seg.segment(np.zeros((8, 8, 3), dtype=np.uint8), (-1, 0))
