@@ -43,6 +43,12 @@ canvas{{background:#111;width:100%;touch-action:none}}
 button,select{{margin:3px 2px;background:#333;color:#ddd;border:1px solid #555}}
 button.armed{{background:#675527}}
 a{{color:#8cf}}
+#tabhdr{{display:flex;flex-wrap:wrap;border-bottom:1px solid #555;margin-top:8px}}
+#tabhdr button{{flex:1;font-size:11px;padding:3px 2px;margin:0;border:none;
+  background:#2a2a2a;white-space:nowrap}}
+#tabhdr button.active{{background:#444;color:#fff}}
+.pane{{display:none;padding-top:4px}}
+.pane.active{{display:block}}
 </style></head><body>
 <div id=side>
   <h3>{app_title}</h3>
@@ -55,18 +61,33 @@ a{{color:#8cf}}
     <a href="/export?fmt=dng" download="export_hdr.dng">HDR</a>
   </div>
   <canvas id=hist width=256 height=70></canvas>
-  <div id=sliders></div>
-  <label>{curve}:
-    <select id=curvesel>
-      <option value=brightness>{brightness}</option>
-      <option value=hue>{hue}</option>
-      <option value=saturation>{saturation}</option>
-      <option value=lightness>{lightness}</option>
-    </select>
-  </label>
-  <canvas id=curve width=256 height=160></canvas>
-  <div style="font-size:11px;color:#888">click: add / drag: move /
-    dblclick or double-tap: remove</div>
+  <div id=tabhdr>
+    <button data-tab=tone class=active>{tab_tone}</button>
+    <button data-tab=brightness>{brightness}</button>
+    <button data-tab=hue>{hue}</button>
+    <button data-tab=saturation>{saturation}</button>
+    <button data-tab=lightness>{lightness}</button>
+    <button data-tab=wb>WB</button>
+    <button data-tab=effect>{tab_effect}</button>
+    <button data-tab=metadata>{metadata}</button>
+  </div>
+  <div id=pane_tone class="pane active"><div id=sl_tone></div>
+    <button onclick="resetTab('tone')">{reset_tab}</button></div>
+  <div id=pane_brightness class=pane></div>
+  <div id=pane_hue class=pane></div>
+  <div id=pane_saturation class=pane></div>
+  <div id=pane_lightness class=pane></div>
+  <div id=pane_wb class=pane><div id=sl_wb></div>
+    <button onclick="resetTab('wb')">{reset_tab}</button></div>
+  <div id=pane_effect class=pane><div id=sl_effect></div>
+    <button onclick="resetTab('effect')">{reset_tab}</button></div>
+  <div id=pane_metadata class=pane><pre id=exif style="font-size:11px"></pre></div>
+  <div id=curvebox style="display:none">
+    <canvas id=curve width=256 height=160></canvas>
+    <div style="font-size:11px;color:#888">click: add / drag: move /
+      dblclick or double-tap: remove</div>
+    <button onclick="resetTab(curCurve)">{reset_tab}</button>
+  </div>
   <div style="margin-top:6px"><b>{masks}</b>
     <select id=masksel onchange="switchMask()"><option>main</option></select>
     <button id=maskadd onclick="toggleMaskAdd()">{add_mask}</button>
@@ -97,7 +118,6 @@ a{{color:#8cf}}
     <label>{drag_preview_size}
       <input id=dragPreview type=number min=100 max=800 onchange="saveSettings()"></label>
   </details>
-  <pre id=exif style="font-size:11px"></pre>
 </div>
 <div id=main><div id=pwrap><img id=preview src="/preview?level=mid">
   <div id=croprect></div></div></div>
@@ -109,9 +129,18 @@ const SLIDERS=[["exposure",-6,6,0.05],["contrast",-100,100,1],["shadow",-100,100
 const LABELS={labels_json};
 const EXIF_LABELS={exif_labels_json};
 const state={{}};
-const box=document.getElementById('sliders');
+// Slider-to-tab layout per the reference edit panel (web/index.html:43-120:
+// tone / WB / effect panes; curves get their own tabs below).
+const TAB_SLIDERS={{tone:['exposure','contrast','shadow','highlight','black','white'],
+  wb:['wb_temperature','wb_tint'],
+  effect:['vignette','lens_distortion','sharpness']}};
+function tabFor(n){{
+  for(const t in TAB_SLIDERS) if(TAB_SLIDERS[t].includes(n)) return t;
+  return 'tone';
+}}
 for(const [name,lo,hi,st] of SLIDERS){{
   state[name]=0;
+  const box=document.getElementById('sl_'+tabFor(name));
   box.insertAdjacentHTML('beforeend',
    `<label>${{LABELS[name]||name}}: <span id=v_${{name}}>0</span>
     <input type=range id=s_${{name}} min=${{lo}} max=${{hi}} step=${{st}} value=0></label>`);
@@ -133,7 +162,36 @@ const curves={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
  saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
 let curCurve='brightness', dragIdx=-1;
 const cc=document.getElementById('curve'), ctx=cc.getContext('2d');
-document.getElementById('curvesel').onchange=e=>{{curCurve=e.target.value;drawCurve();}};
+// ---- tabs (web/index.html tab-container analog) ----
+const CURVE_TABS=new Set(['brightness','hue','saturation','lightness']);
+const CURVE_DEFAULTS={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
+  saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
+function switchTab(name){{
+  document.querySelectorAll('#tabhdr button').forEach(b=>
+    b.classList.toggle('active',b.dataset.tab===name));
+  document.querySelectorAll('.pane').forEach(p=>
+    p.classList.toggle('active',p.id==='pane_'+name));
+  const cb=document.getElementById('curvebox');
+  if(CURVE_TABS.has(name)){{
+    document.getElementById('pane_'+name).appendChild(cb);
+    cb.style.display='block';curCurve=name;drawCurve();
+  }} else cb.style.display='none';
+}}
+document.querySelectorAll('#tabhdr button').forEach(b=>
+  b.onclick=()=>switchTab(b.dataset.tab));
+function resetTab(name){{
+  // Per-tab reset (the reference's reset-<tab>-button).
+  if(CURVE_TABS.has(name)){{
+    curves[name]=CURVE_DEFAULTS[name].map(q=>q.slice());
+    drawCurve();sendCurves('mid');return;
+  }}
+  for(const n of TAB_SLIDERS[name]||[]){{
+    state[n]=0;
+    document.getElementById('s_'+n).value=0;
+    document.getElementById('v_'+n).textContent='0';
+  }}
+  push('mid');
+}}
 function toPx(p){{return [p[0]/65535*255, 159-p[1]/65535*159];}}
 function fromPx(x,y){{return [Math.round(x/255*65535), Math.round((159-y)/159*65535)];}}
 function pchipSample(pts,xs){{
@@ -263,12 +321,10 @@ function loadCurvesFrom(p){{
   // Replace the editor's working points with the target mask's stored
   // curves and drop pending curve_* state so curves edited on one mask
   // are never re-applied to another.
-  const defaults={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
-    saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
   for(const name in curves){{
     const c=(p.curves||{{}})[name];
     curves[name]=c&&c.x?c.x.map((x,i)=>[x,c.y[i]])
-      :defaults[name].map(q=>q.slice());
+      :CURVE_DEFAULTS[name].map(q=>q.slice());
     delete state['curve_'+name];
   }}
   drawCurve();
@@ -334,8 +390,7 @@ async function resetAll(){{
   for(const [name] of SLIDERS){{state[name]=0;
     document.getElementById('s_'+name).value=0;
     document.getElementById('v_'+name).textContent='0';}}
-  curves.brightness=[[0,0],[65535,65535]];curves.hue=[[0,0],[65535,65535]];
-  curves.saturation=[[0,32767],[65535,32767]];curves.lightness=[[0,32767],[65535,32767]];
+  for(const name in curves) curves[name]=CURVE_DEFAULTS[name].map(q=>q.slice());
   for(const k in state) if(k.startsWith('curve_')) delete state[k];
   drawCurve();push('mid');
 }}

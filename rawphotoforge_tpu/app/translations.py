@@ -44,6 +44,9 @@ TRANSLATIONS = {
         "crop": "Crop",
         "clear_crop": "Clear crop",
         "open_file": "Open image",
+        "tab_tone": "Tone",
+        "tab_effect": "Effects",
+        "reset_tab": "Reset this tab",
     },
     "ja": {
         "app_title": "RawPhotoForge-TPU",
@@ -82,6 +85,9 @@ TRANSLATIONS = {
         "crop": "切り抜き",
         "clear_crop": "切り抜きを解除",
         "open_file": "画像を開く",
+        "tab_tone": "トーン",
+        "tab_effect": "効果",
+        "reset_tab": "このタブをリセット",
     },
 }
 

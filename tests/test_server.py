@@ -476,3 +476,17 @@ def test_settings_survive_garbage_values(tmp_path):
     s.locale = "ja"
     s.save(p)
     assert Settings.load(p).locale == "ja"
+
+
+def test_page_tabbed_edit_panel(base_url):
+    """The edit panel is organized into the reference's tabs
+    (web/index.html:43-120: tone/brightness/hue/saturation/lightness/
+    WB/effect/metadata) with per-tab reset buttons."""
+    _, _, page = _get(base_url + "/")
+    for needle in (b"pane_tone", b"pane_brightness", b"pane_hue",
+                   b"pane_saturation", b"pane_lightness", b"pane_wb",
+                   b"pane_effect", b"pane_metadata", b"switchTab",
+                   b"resetTab", b"curvebox", b"TAB_SLIDERS"):
+        assert needle in page, needle
+    assert b"curvesel" not in page
+    assert page.count(b"id=exif") == 1
