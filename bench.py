@@ -30,7 +30,31 @@ import time
 import numpy as np
 
 
+def _watchdog(seconds: int) -> None:
+    """Abort instead of hanging forever if the device backend stalls.
+
+    The tunneled TPU backend can wedge (dispatches never complete, no
+    exception raised); a benchmark that blocks indefinitely is worse
+    than one that fails loudly. SIGALRM fires in the main thread even
+    while blocked in PJRT C++ calls."""
+    import os
+    import signal
+
+    timeout = int(os.environ.get("RPF_BENCH_TIMEOUT_S", seconds))
+    if timeout <= 0:
+        return
+
+    def on_alarm(signum, frame):
+        print(f"bench: device backend stalled for {timeout}s; aborting "
+              "(tunnel down?)", file=sys.stderr)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout)
+
+
 def main() -> int:
+    _watchdog(2700)
     import jax
     import jax.numpy as jnp
 

@@ -38,6 +38,11 @@ def log(msg):
 
 
 def main(argv=None) -> int:
+    from bench import _watchdog
+
+    # Config 5 alone is a real 10-20 min export; leave generous headroom
+    # while still refusing to hang forever on a wedged tunnel.
+    _watchdog(7200)
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated config ids (1,1a,1b,2,3,4,5); "
