@@ -81,7 +81,8 @@ a{{color:#8cf}}
     <button onclick="resetTab('wb')">{reset_tab}</button></div>
   <div id=pane_effect class=pane><div id=sl_effect></div>
     <button onclick="resetTab('effect')">{reset_tab}</button></div>
-  <div id=pane_metadata class=pane><pre id=exif style="font-size:11px"></pre></div>
+  <div id=pane_metadata class=pane><table id=exif style="font-size:11px;
+    border-collapse:collapse;width:100%"></table></div>
   <div id=curvebox style="display:none">
     <canvas id=curve width=256 height=160></canvas>
     <div style="font-size:11px;color:#888">click: add / drag: move /
@@ -409,9 +410,19 @@ fetch('/settings').then(r=>r.json()).then(s=>{{
   document.getElementById('locale').value=s.locale;
   document.getElementById('uiPreview').value=s.ui_preview_size;
   document.getElementById('dragPreview').value=s.drag_preview_size;}});
-fetch('/exif').then(r=>r.json()).then(e=>{{
-  document.getElementById('exif').textContent=
-    Object.entries(e).map(([k,v])=>(EXIF_LABELS[k]||k)+': '+v).join('\\n');}});
+function fillExif(e){{
+  // Two-column metadata table (web/index.html metadata-table analog);
+  // textContent per cell keeps tag values from injecting markup.
+  const t=document.getElementById('exif');t.innerHTML='';
+  for(const [k,v] of Object.entries(e)){{
+    const tr=t.insertRow();
+    const name=tr.insertCell(), val=tr.insertCell();
+    name.textContent=EXIF_LABELS[k]||k; val.textContent=v;
+    name.style.cssText='color:#999;padding:2px 8px 2px 0;border-bottom:1px solid #333';
+    val.style.cssText='padding:2px 0;border-bottom:1px solid #333';
+  }}
+}}
+fetch('/exif').then(r=>r.json()).then(fillExif);
 // ---- masks + compare-to-original ----
 let maskAddMode=false, imgInfo=null, maskCounter=0;
 fetch('/info').then(r=>r.json()).then(i=>imgInfo=i);
