@@ -527,24 +527,32 @@ def _format_exif(lookup) -> dict:
     None; one formatting rule set keeps DNG and CR2 sessions reporting
     identically-formatted EXIF (the lens-DB resolver matches on these
     strings)."""
+    # Every field guards its own type: a crafted/corrupt file can store
+    # any tag with any TIFF type, and one junk field must neither raise
+    # (AttributeError/TypeError escape the error taxonomy) nor suppress
+    # the other, valid fields.
     exif = {}
     make, model = lookup(T_MAKE), lookup(T_MODEL)
-    if make:
+    if isinstance(make, str) and make.strip():
         exif["Make"] = make.strip()
-    if model:
+    if isinstance(model, str) and model.strip():
         exif["Model"] = model.strip()
     et = lookup(T_EXPOSURE_TIME)
-    if et:
-        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if 0 < et < 1 else str(et)
+    if isinstance(et, (int, float)) and et > 0:
+        exif["ExposureTime"] = f"1/{round(1.0 / et)}" if et < 1 else str(et)
     fn = lookup(T_F_NUMBER)
-    if fn:
+    if isinstance(fn, (int, float)) and fn > 0:
         exif["FNumber"] = str(fn)
     iso = lookup(T_ISO)
-    if iso:
-        exif["ISO"] = str(int(iso if not isinstance(iso, list) else iso[0]))
+    if isinstance(iso, list) and iso:
+        iso = iso[0]
+    if isinstance(iso, (int, float)) and iso > 0:
+        exif["ISO"] = str(int(iso))
     fl = lookup(T_FOCAL_LENGTH)
-    if fl:
-        exif["FocalLength"] = str(fl if not isinstance(fl, list) else fl[0])
+    if isinstance(fl, list) and fl:
+        fl = fl[0]
+    if isinstance(fl, (int, float)) and fl > 0:
+        exif["FocalLength"] = str(fl)
     lens = lookup(T_LENS_MODEL)
     if isinstance(lens, str) and lens.strip():
         exif["LensModel"] = lens.strip()

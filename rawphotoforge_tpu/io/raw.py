@@ -67,8 +67,6 @@ def decode_embedded_preview(data: bytes):
     from .dng import extract_preview
     from .image_io import ImageIOError, decode_image
 
-    from .dng import extract_container_exif
-
     jpeg = extract_preview(data)
     if jpeg is None:
         return None
@@ -78,12 +76,27 @@ def decode_embedded_preview(data: bytes):
         raise
     except Exception as e:  # noqa: BLE001 — PIL's hierarchy stays inside
         raise ImageIOError(f"embedded preview failed to decode: {e}") from e
-    # Camera previews rarely carry their own EXIF; the container's TIFF
-    # tags are the authoritative capture metadata. Preview-embedded tags
-    # win where both exist ("_exif_bytes" blob included).
-    merged = dict(extract_container_exif(data))
+    # Camera previews rarely carry their own EXIF; the container's
+    # metadata tags are the authoritative capture record. Preview-embedded
+    # tags win where both exist ("_exif_bytes" blob included).
+    merged = container_exif(data)
     merged.update(exif)
     return planes, merged
+
+
+def container_exif(data: bytes) -> dict:
+    """Best-effort capture metadata from any RAW container, without
+    decoding sensor data: the TIFF IFD forest for TIFF-structured files,
+    or the CMT metadata boxes of a BMFF container (Canon CR3)."""
+    from .dng import extract_container_exif
+    from .vendor_preview import bmff_exif_tiff_blocks, is_bmff
+
+    exif = dict(extract_container_exif(data))
+    if not exif and is_bmff(data):
+        for blk in bmff_exif_tiff_blocks(data):
+            for k, v in extract_container_exif(bytes(blk)).items():
+                exif.setdefault(k, v)
+    return exif
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

@@ -127,6 +127,38 @@ def bmff_preview_candidates(data: bytes) -> list:
     return cands
 
 
+def bmff_exif_tiff_blocks(data: bytes) -> list:
+    """TIFF-structured metadata payloads from a BMFF RAW container.
+
+    Canon CR3 stores capture metadata as bare little-endian TIFF streams
+    in CMT boxes nested moov > uuid(Canon 85c0b687...) — CMT1 is IFD0
+    (Make/Model/DateTime), CMT2 the EXIF IFD content
+    (ExposureTime/FNumber/ISO/FocalLength/LensModel as plain IFD0 tags
+    of that stream). CMT3 (MakerNote) / CMT4 (GPS) are skipped: vendor
+    tag IDs collide numerically with standard ones and would surface
+    garbage values. Order is CMT1 before CMT2 as encountered; callers
+    merge first-wins."""
+    blocks: list = []
+    budget = [2048]
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > 4:
+            return
+        for typ, s, e in _iter_boxes(data, lo, hi):
+            budget[0] -= 1
+            if budget[0] <= 0 or len(blocks) >= 8:
+                return
+            if typ in (b"CMT1", b"CMT2") and data[s:s + 2] in (b"II", b"MM"):
+                blocks.append(memoryview(data)[s:e])
+            elif typ == b"moov":
+                walk(s, e, depth + 1)
+            elif typ == b"uuid" and e - s >= 16:
+                walk(s + 16, e, depth + 1)
+
+    walk(0, len(data), 0)
+    return blocks
+
+
 def generic_jpeg_candidates(data: bytes) -> list:
     """Last-resort bounded SOI scan for containers with no structured
     extractor (Sigma X3F 'FOVb', Minolta MRW, …). Every candidate still

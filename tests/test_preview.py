@@ -415,3 +415,59 @@ def test_write_dng_preview_keeps_exif_subifd():
         for key, want in raw.exif.items():
             assert back.exif.get(key) == want, (comp, key, back.exif)
         assert dng.extract_preview(data) == jpeg
+
+
+def _mini_tiff(entries_spec):
+    """Hand-pack a little-endian TIFF stream with one IFD.
+
+    entries_spec: list of (tag, type, count, inline_value_bytes or
+    (payload_bytes,)) — tuples with payload go out-of-line."""
+    n = len(entries_spec)
+    ifd_size = 2 + n * 12 + 4
+    data_off = 8 + ifd_size
+    head = struct.pack("<2sHI", b"II", 42, 8)
+    body = b""
+    ool = b""
+    for tag, typ, cnt, val in sorted(entries_spec):
+        if isinstance(val, tuple):
+            body += struct.pack("<HHII", tag, typ, cnt,
+                                data_off + len(ool))
+            ool += val[0]
+        else:
+            body += struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+    return head + struct.pack("<H", n) + body + struct.pack("<I", 0) + ool
+
+
+def test_cr3_cmt_boxes_provide_exif():
+    """CR3 metadata comes from the CMT1/CMT2 TIFF streams inside
+    moov>uuid (the preview JPEG itself has no EXIF)."""
+    from rawphotoforge_tpu.io.raw import container_exif, decode_embedded_preview
+
+    make = b"Canon\x00"
+    cmt1 = _mini_tiff([
+        (271, 2, len(make), (make,)),
+        (306, 2, 20, (b"2026:08:17 12:00:00\x00",)),
+    ])
+    cmt2 = _mini_tiff([
+        (0x829A, 5, 1, (struct.pack("<II", 1, 250),)),  # ExposureTime
+        (0x8827, 3, 1, struct.pack("<H", 400)),         # ISO
+    ])
+    canon_uuid = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+    inner = _box(b"uuid", canon_uuid + _box(b"CMT1", cmt1)
+                 + _box(b"CMT2", cmt2))
+    big = _jpeg(20, 28, seed=50)
+    ftyp = _box(b"ftyp", b"crx \x00\x00\x00\x01isomcrx ")
+    data = (ftyp + _box(b"moov", inner)
+            + _box(b"mdat", big + b"\x00" * 256))
+
+    exif = container_exif(data)
+    assert exif["Make"] == "Canon"
+    assert exif["DateTime"] == "2026:08:17 12:00:00"
+    assert exif["ExposureTime"] == "1/250"
+    assert exif["ISO"] == "400"
+
+    res = decode_embedded_preview(data)
+    assert res is not None
+    planes, merged = res
+    assert planes.shape == (3, 20, 28)
+    assert merged["Make"] == "Canon" and merged["ISO"] == "400"
