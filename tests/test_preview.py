@@ -471,3 +471,40 @@ def test_cr3_cmt_boxes_provide_exif():
     planes, merged = res
     assert planes.shape == (3, 20, 28)
     assert merged["Make"] == "Canon" and merged["ISO"] == "400"
+
+
+def test_bmff_metadata_mutations_contained():
+    """Mutated CR3 containers (truncation/flips/zeroed spans) must yield
+    best-effort metadata or typed errors — never an unhandled exception
+    from the CMT walk or the preview decode."""
+    from rawphotoforge_tpu._errbase import PhotoEditorError
+    from rawphotoforge_tpu.io.raw import container_exif, decode_embedded_preview
+
+    make = b"Canon\x00"
+    cmt1 = _mini_tiff([(271, 2, len(make), (make,))])
+    cmt2 = _mini_tiff([(0x829A, 5, 1, (struct.pack("<II", 1, 250),))])
+    canon_uuid = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+    inner = _box(b"uuid", canon_uuid + _box(b"CMT1", cmt1)
+                 + _box(b"CMT2", cmt2))
+    ftyp = _box(b"ftyp", b"crx \x00\x00\x00\x01isomcrx ")
+    data = (ftyp + _box(b"moov", inner)
+            + _box(b"mdat", _jpeg(12, 16, seed=51) + b"\x00" * 128))
+
+    rng = np.random.default_rng(51)
+    for trial in range(150):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:
+            buf = buf[:int(rng.integers(1, len(buf)))]
+        elif kind == 1:
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:
+            a = int(rng.integers(0, len(buf) - 1))
+            b = min(len(buf), a + int(rng.integers(1, 64)))
+            buf[a:b] = bytes(b - a)
+        try:
+            assert isinstance(container_exif(bytes(buf)), dict)
+            decode_embedded_preview(bytes(buf))
+        except PhotoEditorError:
+            pass
