@@ -15,11 +15,20 @@ import os
 
 
 def default_settings_path() -> str:
-    return os.environ.get(
-        "RPF_SETTINGS",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".settings.json"),
-    )
+    """RPF_SETTINGS env override > repo-root .settings.json for a source
+    checkout > per-user config dir. A pip-installed package must NOT
+    default into site-packages: that lands settings inside the Python
+    lib dir (often read-only → every save fails) shared across users."""
+    env = os.environ.get("RPF_SETTINGS")
+    if env:
+        return env
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if os.path.exists(os.path.join(pkg_parent, "pyproject.toml")):
+        return os.path.join(pkg_parent, ".settings.json")
+    base = os.environ.get("XDG_CONFIG_HOME",
+                          os.path.join(os.path.expanduser("~"), ".config"))
+    return os.path.join(base, "rawphotoforge_tpu", "settings.json")
 
 
 @dataclasses.dataclass
@@ -56,6 +65,9 @@ class Settings:
     def save(self, path: str | None = None) -> None:
         # Write-then-rename so a crash mid-write can't corrupt the file.
         p = path or default_settings_path()
+        parent = os.path.dirname(p)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.to_json(), f, indent=1)

@@ -15,9 +15,9 @@ lensfunpy DB -> vignetting/TCA/distortion modifiers). Here:
 * Matching is fuzzy the way lensfun's is in practice: casefolded exact
   match first, then substring containment either way, then token overlap.
 
-Supported calibration models (the common ones): distortion ``poly3`` and
-``ptlens`` (``poly5`` is converted to poly3 by dropping k2 with a warning
-flag), ``tca`` linear/poly3 (constant term), ``vignetting`` ``pa``.
+Supported calibration models (the common ones): distortion ``poly3``,
+``poly5`` and ``ptlens``, ``tca`` linear/poly3 (constant term),
+``vignetting`` ``pa``.
 """
 
 from __future__ import annotations
@@ -57,6 +57,27 @@ def _norm(s: str) -> str:
     return " ".join((s or "").casefold().split())
 
 
+def _parse_number(v) -> Optional[float]:
+    """EXIF numeric forms: 50, "50", "50/1", "50 mm", "f/2.8". A value
+    that cannot be parsed returns None (the caller treats it as
+    'unknown', not 'calibration 0') — editor.py:456-483 _parse_number."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v) if v > 0 else None
+    from .exif import parse_rational
+
+    s = str(v).strip()
+    for cand in (s, s.split()[0] if s.split() else "",
+                 s.split("/", 1)[-1] if s.casefold().startswith("f/") else ""):
+        if not cand:
+            continue
+        nd = parse_rational(cand)
+        if nd is not None and nd[0] > 0:
+            return nd[0] / nd[1]
+    return None
+
+
 def _nearest(calibs: list[_Calib], focal: Optional[float],
              aperture: Optional[float] = None) -> Optional[_Calib]:
     if not calibs:
@@ -85,6 +106,10 @@ class LensDatabase:
         with --lens-correct open many images against one database).
         ``db_paths``: file or directory paths (directories are scanned
         for ``*.xml``)."""
+        if isinstance(db_paths, (str, os.PathLike)):
+            # A bare path would be iterated character-by-character below,
+            # silently loading nothing from the user's database.
+            db_paths = [os.fspath(db_paths)]
         return cls._load_cached(
             tuple(db_paths) if db_paths else None, include_bundled)
 
@@ -142,9 +167,14 @@ class LensDatabase:
                     entry.distortion.append(
                         _Calib(focal, (float(d.get("k1", 0)),), "poly3"))
                 elif model == "poly5":
-                    # poly3 approximation: keep the dominant r^2 term.
-                    entry.distortion.append(
-                        _Calib(focal, (float(d.get("k1", 0)),), "poly3"))
+                    # Native poly5: r_src = r (1 + k1 r^2 + k2 r^4) —
+                    # anchored at the center (NOT poly3's r=1 anchor, so
+                    # plugging k1 into poly3 would add a spurious uniform
+                    # ~(1-k1) scale).
+                    entry.distortion.append(_Calib(
+                        focal,
+                        (float(d.get("k1", 0)), float(d.get("k2", 0))),
+                        "poly5"))
                 elif model == "ptlens":
                     entry.distortion.append(_Calib(
                         focal,
@@ -186,24 +216,33 @@ class LensDatabase:
             em = _norm(e.maker)
             return not em or em in maker_n or maker_n in em
 
-        candidates = [e for e in self.lenses if maker_ok(e)]
-        for e in candidates:                       # exact
-            if _norm(e.model) == want:
-                return e
-        for e in candidates:                       # containment
-            em = _norm(e.model)
-            if em and (em in want or want in em):
-                return e
-        best, best_score = None, 0.0               # token overlap
-        want_tokens = set(want.split())
-        for e in candidates:
-            toks = set(_norm(e.model).split())
-            if not toks:
-                continue
-            score = len(toks & want_tokens) / len(toks | want_tokens)
-            if score > best_score:
-                best, best_score = e, score
-        return best if best_score >= 0.5 else None
+        def search(candidates):
+            for e in candidates:                   # exact
+                if _norm(e.model) == want:
+                    return e
+            for e in candidates:                   # containment
+                em = _norm(e.model)
+                if em and (em in want or want in em):
+                    return e
+            best, best_score = None, 0.0           # token overlap
+            want_tokens = set(want.split())
+            for e in candidates:
+                toks = set(_norm(e.model).split())
+                if not toks:
+                    continue
+                score = len(toks & want_tokens) / len(toks | want_tokens)
+                if score > best_score:
+                    best, best_score = e, score
+            return best if best_score >= 0.5 else None
+
+        found = search([e for e in self.lenses if maker_ok(e)])
+        if found is None and maker_n:
+            # Retry maker-unqualified (editor.py:531-549 retries
+            # find_lenses with maker=None): the caller often passes the
+            # camera BODY Make, which legitimately differs from the lens
+            # maker for third-party glass (body 'Canon', lens 'Sigma ...').
+            found = search(self.lenses)
+        return found
 
     def profile_for(
         self,
@@ -235,18 +274,8 @@ class LensDatabase:
         lens = exif.get("LensModel") or exif.get("Model")
         if not lens:
             return None
-        focal = None
-        if exif.get("FocalLength"):
-            try:
-                focal = float(str(exif["FocalLength"]).split()[0])
-            except ValueError:
-                pass
-        aperture = None
-        if exif.get("FNumber"):
-            try:
-                aperture = float(exif["FNumber"])
-            except ValueError:
-                pass
+        focal = _parse_number(exif.get("FocalLength"))
+        aperture = _parse_number(exif.get("FNumber"))
         return self.profile_for(
             lens, focal=focal, aperture=aperture,
             maker=exif.get("LensMake") or exif.get("Make"),

@@ -12,6 +12,7 @@ Models (r = radius normalized so the half-diagonal is 1):
 * vignetting 'pa' model:  gain(r) = 1 + k1 r^2 + k2 r^4 + k3 r^6
   (correction multiplies by 1/gain).
 * distortion 'poly3':     r_src = r_d (1 - k1 + k1 r_d^2)
+* distortion 'poly5':     r_src = r_d (1 + k1 r_d^2 + k2 r_d^4)
 * distortion 'ptlens':    r_src = r_d (a r_d^3 + b r_d^2 + c r_d + 1-a-b-c)
 * TCA 'linear':           r_src_R = r * vr,  r_src_B = r * vb
   (green is the reference channel).
@@ -40,8 +41,9 @@ class LensProfile:
     # Vignetting (pa model), applied on linear light.
     vignetting: Optional[tuple] = None          # (k1, k2, k3)
     # Geometric distortion.
-    distortion_model: str = "poly3"             # 'poly3' | 'ptlens'
-    distortion: Optional[tuple] = None          # poly3: (k1,); ptlens: (a, b, c)
+    distortion_model: str = "poly3"             # 'poly3' | 'poly5' | 'ptlens'
+    distortion: Optional[tuple] = None          # poly3: (k1,); poly5: (k1, k2);
+    #                                             ptlens: (a, b, c)
     # Transverse chromatic aberration (linear model).
     tca: Optional[tuple] = None                 # (vr, vb)
 
@@ -133,6 +135,19 @@ def _remap_radial(plane: jax.Array, scale: jax.Array, geom) -> jax.Array:
     return bilinear_sample(plane, sx, sy, hf, wf)
 
 
+def _distortion_scale(r2: jax.Array, coeffs: jax.Array, model: str) -> jax.Array:
+    """Per-pixel r_src/r_dst ratio for a distortion model (lensfun math)."""
+    if model == "poly3":
+        return 1.0 - coeffs[0] + coeffs[0] * r2
+    if model == "poly5":
+        return 1.0 + r2 * (coeffs[0] + r2 * coeffs[1])
+    if model == "ptlens":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+        a, b, c = coeffs[0], coeffs[1], coeffs[2]
+        return a * r2 * r + b * r2 + c * r + (1.0 - a - b - c)
+    raise ValueError(f"unknown distortion model {model!r}")
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def correct_distortion(
     planes: jax.Array, coeffs: jax.Array, model: str = "poly3", extent=None
@@ -140,15 +155,7 @@ def correct_distortion(
     """Geometric distortion correction: resample at the model's r_src."""
     _, h, w = planes.shape
     geom = _radius2(h, w, extent)
-    r2 = geom[2]
-    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
-    if model == "poly3":
-        scale = 1.0 - coeffs[0] + coeffs[0] * r2
-    elif model == "ptlens":
-        a, b, c = coeffs[0], coeffs[1], coeffs[2]
-        scale = a * r2 * r + b * r2 + c * r + (1.0 - a - b - c)
-    else:
-        raise ValueError(f"unknown distortion model {model!r}")
+    scale = _distortion_scale(geom[2], coeffs, model)
     return jnp.stack([_remap_radial(planes[i], scale, geom) for i in range(3)])
 
 
@@ -209,13 +216,46 @@ def correct_tca(planes: jax.Array, vr: jax.Array, vb: jax.Array, extent=None) ->
     return jnp.stack([r_fix, planes[1], b_fix])
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def correct_tca_distortion(
+    planes: jax.Array, coeffs: jax.Array, vr: jax.Array, vb: jax.Array,
+    model: str = "poly3", extent=None,
+) -> jax.Array:
+    """TCA + distortion as ONE composed remap per channel.
+
+    Both corrections are radial scales about the same center, so they
+    compose exactly: r_src = r * s_dist(r) * v_channel. One bilinear
+    gather per channel instead of two (half the gather cost, and no
+    bilinear-of-bilinear softening) — the single composed remap the
+    reference's lensfunpy apply_subpixel_geometry_distortion performs
+    (editor.py:620-650)."""
+    _, h, w = planes.shape
+    geom = _radius2(h, w, extent)
+    scale = _distortion_scale(geom[2], coeffs, model)
+    return jnp.stack([
+        _remap_radial(planes[0], scale * vr, geom),
+        _remap_radial(planes[1], scale, geom),
+        _remap_radial(planes[2], scale * vb, geom),
+    ])
+
+
 def apply_profile(planes: jax.Array, profile: LensProfile, extent=None) -> jax.Array:
     """Full correction chain (lensfun order: devignette -> TCA -> distortion,
     editor.py:425-711 applies color modification first, then subpixel
-    remaps, then geometry)."""
+    remaps, then geometry). TCA and distortion fuse into one composed
+    remap when both are present."""
     if profile.vignetting is not None:
         planes = devignette(
             planes, jnp.asarray(profile.vignetting, dtype=jnp.float32), extent
+        )
+    if profile.tca is not None and profile.distortion is not None:
+        return correct_tca_distortion(
+            planes,
+            jnp.asarray(profile.distortion, dtype=jnp.float32),
+            jnp.float32(profile.tca[0]),
+            jnp.float32(profile.tca[1]),
+            model=profile.distortion_model,
+            extent=extent,
         )
     if profile.tca is not None:
         planes = correct_tca(

@@ -220,3 +220,35 @@ def test_settings_device_index_selects_device():
         assert Settings(device_index=99).select_device() is None
     finally:
         jax.config.update("jax_default_device", None)
+
+
+def test_settings_path_not_in_site_packages(tmp_path, monkeypatch):
+    """Installed packages must not default settings into the Python lib
+    dir (read-only / shared); source checkouts keep the repo-root file
+    (review regression)."""
+    from rawphotoforge_tpu.engine import session
+
+    monkeypatch.delenv("RPF_SETTINGS", raising=False)
+    # Source checkout: pyproject.toml three levels up -> repo root.
+    p = session.default_settings_path()
+    assert p.endswith(".settings.json")
+    # Simulated installed layout: no pyproject -> per-user config dir.
+    fake_pkg = tmp_path / "site-packages" / "rawphotoforge_tpu" / "engine"
+    fake_pkg.mkdir(parents=True)
+    monkeypatch.setattr(session, "__file__",
+                        str(fake_pkg / "session.py"))
+    monkeypatch.setenv("XDG_CONFIG_HOME", str(tmp_path / "cfg"))
+    p = session.default_settings_path()
+    assert str(tmp_path / "cfg") in p
+    assert "site-packages" not in p
+    # save() creates the config dir on first use.
+    s = session.Settings()
+    s.save(p)
+    assert session.Settings.load(p).ui_preview_size == s.ui_preview_size
+
+
+def test_settings_env_override(tmp_path, monkeypatch):
+    from rawphotoforge_tpu.engine import session
+
+    monkeypatch.setenv("RPF_SETTINGS", str(tmp_path / "x.json"))
+    assert session.default_settings_path() == str(tmp_path / "x.json")

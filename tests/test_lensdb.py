@@ -48,8 +48,11 @@ def test_fuzzy_containment_and_tokens(db):
     assert db.find_lens("testco prime 50mm f/1.8 (serial 123)") is not None
     assert db.find_lens("TestCo Zoom 24-70mm F2.8") is not None
     assert db.find_lens("OtherBrand 85mm") is None
-    # Maker gating: a mismatched maker rejects the entry.
-    assert db.find_lens("TestCo Prime 50mm f/1.8", maker="SomeoneElse") is None
+    # Maker gating disambiguates but must not reject an exact model
+    # match: callers pass the camera BODY Make, which differs from the
+    # lens maker for third-party glass (maker-unqualified retry,
+    # editor.py:531-549).
+    assert db.find_lens("TestCo Prime 50mm f/1.8", maker="SomeoneElse") is not None
     assert db.find_lens("TestCo Prime 50mm f/1.8", maker="TestCo Inc.") is not None
 
 
@@ -190,3 +193,100 @@ def test_corrupt_db_file_is_skipped_not_fatal(tmp_path):
     db = LensDatabase.load((str(tmp_path),), include_bundled=False)
     assert db.find_lens("GoodLens 50mm") is not None
     assert len(db.skipped_files) == 2
+
+
+_XML2 = """<lensdatabase>
+  <lens>
+    <maker>Sigma</maker>
+    <model>Sigma 35mm F1.4 DG HSM Art</model>
+    <calibration>
+      <distortion model="poly5" focal="35" k1="-0.02" k2="0.004"/>
+    </calibration>
+  </lens>
+</lensdatabase>"""
+
+
+def test_third_party_lens_matches_despite_body_make():
+    """Body Make is not the lens maker: a Sigma lens shot on a Canon
+    body must still resolve (maker-unqualified retry, editor.py:531-549
+    review regression)."""
+    db = LensDatabase.parse_xml(_XML2)
+    p = db.profile_from_exif({
+        "Make": "Canon", "Model": "Canon EOS R5",
+        "LensModel": "Sigma 35mm F1.4 DG HSM Art", "FocalLength": "35",
+    })
+    assert p is not None and p.distortion_model == "poly5"
+
+
+def test_poly5_parsed_natively_and_center_anchored():
+    """poly5 keeps both coefficients and its own center-anchored scale
+    (converting k1 into poly3 would add a spurious uniform ~(1-k1)
+    magnification — review regression)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.ops import lenscorr
+
+    db = LensDatabase.parse_xml(_XML2)
+    p = db.profile_for("Sigma 35mm F1.4 DG HSM Art", focal=35)
+    assert p.distortion_model == "poly5"
+    assert p.distortion == (-0.02, 0.004)
+    # Identity at k=0; center-anchored (scale(0)=1) for nonzero k.
+    img = np.zeros((3, 33, 41), np.float32)
+    img[:, 16, 20] = 1.0
+    out = np.asarray(lenscorr.correct_distortion(
+        jnp.asarray(img), jnp.asarray([-0.02, 0.004]), "poly5"))
+    # The exact center pixel maps to itself (r=0 -> scale irrelevant).
+    assert out[0, 16, 20] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_parse_number_exif_forms():
+    from rawphotoforge_tpu.io.lensdb import _parse_number
+
+    assert _parse_number(50) == 50.0
+    assert _parse_number("50") == 50.0
+    assert _parse_number("50/1") == 50.0
+    assert _parse_number("50 mm") == 50.0
+    assert _parse_number("f/2.8") == pytest.approx(2.8)
+    assert _parse_number("1/250") == pytest.approx(0.004)
+    assert _parse_number("junk") is None
+    assert _parse_number(None) is None
+    assert _parse_number(0) is None
+
+
+def test_load_accepts_bare_string_path(tmp_path):
+    """A single path (not wrapped in a list) must load that file, not
+    iterate its characters (review regression)."""
+    f = tmp_path / "db.xml"
+    f.write_text(_XML2)
+    db = LensDatabase.load(str(f), include_bundled=False)
+    assert any("sigma" in l.maker.lower() for l in db.lenses)
+
+
+def test_composed_tca_distortion_matches_sequential():
+    """The fused TCA+distortion remap equals the two-pass chain up to
+    the extra bilinear pass's softening (and is exact where the
+    two-pass result is exact)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.ops import lenscorr
+
+    # Smooth image: single-vs-double resampling differ by interpolation
+    # smoothing, which scales with local curvature — on a smooth field
+    # the two paths must agree tightly while still exercising the warp.
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    img = jnp.asarray(np.stack([
+        0.5 + 0.4 * np.sin(yy / 9.0), 0.5 + 0.4 * np.cos(xx / 11.0),
+        (yy + xx) / 112.0]).astype(np.float32))
+    prof = LensProfile(name="t", distortion=(-0.015,),
+                       distortion_model="poly3", tca=(1.004, 0.997))
+    fused = np.asarray(lenscorr.apply_profile(img, prof))
+    seq = np.asarray(lenscorr.correct_distortion(
+        lenscorr.correct_tca(img, jnp.float32(1.004), jnp.float32(0.997)),
+        jnp.asarray([-0.015]), "poly3"))
+    assert np.abs(fused - seq).max() < 0.01
+    assert np.abs(fused - seq).mean() < 5e-4
+    # Identity params: fused path must be exact passthrough.
+    ident = LensProfile(name="i", distortion=(0.0,), tca=(1.0, 1.0))
+    np.testing.assert_allclose(
+        np.asarray(lenscorr.apply_profile(img, ident)), np.asarray(img),
+        atol=1e-6)
