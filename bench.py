@@ -40,7 +40,10 @@ def _watchdog(seconds: int) -> None:
     import os
     import signal
 
-    timeout = int(os.environ.get("RPF_BENCH_TIMEOUT_S", seconds))
+    try:
+        timeout = int(float(os.environ.get("RPF_BENCH_TIMEOUT_S", seconds)))
+    except ValueError:
+        timeout = seconds  # junk override must not become a startup crash
     if timeout <= 0:
         return
 

@@ -67,7 +67,7 @@ a{{color:#8cf}}
     <button data-tab=hue>{hue}</button>
     <button data-tab=saturation>{saturation}</button>
     <button data-tab=lightness>{lightness}</button>
-    <button data-tab=wb>WB</button>
+    <button data-tab=wb>{tab_wb}</button>
     <button data-tab=effect>{tab_effect}</button>
     <button data-tab=metadata>{metadata}</button>
   </div>
@@ -186,11 +186,14 @@ function resetTab(name){{
     curves[name]=CURVE_DEFAULTS[name].map(q=>q.slice());
     drawCurve();sendCurves('mid');return;
   }}
-  for(const n of TAB_SLIDERS[name]||[]){{
-    state[n]=0;
-    document.getElementById('s_'+n).value=0;
-    document.getElementById('v_'+n).textContent='0';
-  }}
+  // Derive the reset set from the pane's actual sliders so pane
+  // contents and reset targets can never diverge.
+  document.querySelectorAll('#pane_'+name+' input[type=range]').forEach(el=>{{
+    const n=el.id.replace(/^s_/,'');
+    state[n]=0;el.value=0;
+    const v=document.getElementById('v_'+n);
+    if(v)v.textContent='0';
+  }});
   push('mid');
 }}
 function toPx(p){{return [p[0]/65535*255, 159-p[1]/65535*159];}}

@@ -45,6 +45,7 @@ TRANSLATIONS = {
         "clear_crop": "Clear crop",
         "open_file": "Open image",
         "tab_tone": "Tone",
+        "tab_wb": "WB",
         "tab_effect": "Effects",
         "reset_tab": "Reset this tab",
     },
@@ -86,6 +87,7 @@ TRANSLATIONS = {
         "clear_crop": "切り抜きを解除",
         "open_file": "画像を開く",
         "tab_tone": "トーン",
+        "tab_wb": "WB",
         "tab_effect": "効果",
         "reset_tab": "このタブをリセット",
     },

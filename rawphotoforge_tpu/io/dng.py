@@ -588,23 +588,24 @@ def _walk_all_ifds(data: bytes, bo: str) -> list[dict]:
     return ifds
 
 
-def extract_container_exif(data: bytes) -> dict:
-    """Capture metadata from a TIFF-structured container WITHOUT decoding
-    sensor data: walk the full IFD forest (plus EXIF sub-IFDs) and build
-    the same dict read_dng produces. Used by the embedded-preview
-    fallback — the camera preview JPEG usually has no EXIF of its own,
-    but the container's TIFF tags (Make/Model/ExposureTime/DateTime) are
-    still authoritative. Returns {} for non-TIFF or malformed input."""
+def extract_container_tags(data: bytes, tags) -> dict:
+    """First-found raw values for ``tags`` across a TIFF container's IFD
+    forest (plus EXIF sub-IFDs), without decoding sensor data. Returns
+    {} for non-TIFF or malformed input; never raises (best-effort
+    metadata). Callers merging several TIFF streams (CR3 CMT blocks)
+    merge at THIS tag level so cross-stream preferences like
+    DateTimeOriginal-over-DateTime still hold after the merge."""
+    out: dict = {}
     try:
         if data[:2] == b"II":
             bo = "<"
         elif data[:2] == b"MM":
             bo = ">"
         else:
-            return {}
+            return out
         (magic,) = struct.unpack_from(bo + "H", data, 2)
         if magic not in (42, 0x4F52, 0x5352):  # TIFF + Olympus ORF variants
-            return {}
+            return out
         ifds = _walk_all_ifds(data, bo)
         seen_exif = set()
         for e in list(ifds):
@@ -617,19 +618,31 @@ def extract_container_exif(data: bytes) -> dict:
                         ifds.append(sub)
                 except (struct.error, KeyError):
                     pass
-
-        def lookup(t):
+        for t in tags:
             for e in ifds:
                 if t in e:
                     try:
-                        return _value(data, e[t], bo)
+                        out[t] = _value(data, e[t], bo)
+                        break
                     except (struct.error, KeyError):
                         continue
-            return None
-
-        return _format_exif(lookup)
+        return out
     except Exception:  # noqa: BLE001 — best-effort metadata, never fatal
-        return {}
+        return out
+
+
+_EXIF_TAGS = (T_MAKE, T_MODEL, T_EXPOSURE_TIME, T_F_NUMBER, T_ISO,
+              T_FOCAL_LENGTH, T_LENS_MODEL, T_DATETIME_ORIGINAL, T_DATETIME)
+
+
+def extract_container_exif(data: bytes) -> dict:
+    """Capture metadata from a TIFF-structured container WITHOUT decoding
+    sensor data: walk the full IFD forest (plus EXIF sub-IFDs) and build
+    the same dict read_dng produces. Used by the embedded-preview
+    fallback — the camera preview JPEG usually has no EXIF of its own,
+    but the container's TIFF tags (Make/Model/ExposureTime/DateTime) are
+    still authoritative. Returns {} for non-TIFF or malformed input."""
+    return _format_exif(extract_container_tags(data, _EXIF_TAGS).get)
 
 
 def _best_jpeg(cands) -> Optional[bytes]:
@@ -770,12 +783,14 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             continue
         try:
             off = _value(data, e[T_EXIF_IFD], bo)
-            if off in exif_seen:
+            # A mis-typed pointer tag (ASCII/list) must not abort the
+            # sensor decode; same guard as extract_container_exif.
+            if not isinstance(off, int) or off in exif_seen:
                 continue
             exif_seen.add(off)
             exif_ifd, _ = _read_ifd(data, off, bo)
             ifds.append(exif_ifd)
-        except (struct.error, KeyError):
+        except (struct.error, KeyError, TypeError):
             pass
 
     cfa_ifd = photometric = None

@@ -188,11 +188,16 @@ def normalize_exif_blob(exif_bytes: bytes) -> bytes:
     so any export that re-embeds the original blob must clear the stored
     rotation or viewers rotate the image a second time. Shared by both
     encoders (encode_image and the native io/jpegenc fast path) so they
-    cannot diverge on orientation. Falls back to the raw blob if PIL
-    cannot parse it."""
+    cannot diverge on orientation. Blobs already at Orientation=1 (or
+    with none) pass through UNTOUCHED — a PIL re-serialization relocates
+    offset-based MakerNotes and drops structures PIL can't model, so it
+    is only paid when a rotation actually has to be cleared. Falls back
+    to the raw blob if PIL cannot parse it."""
     try:
         ex = PILImage.Exif()
         ex.load(exif_bytes)
+        if ex.get(274, 1) == 1:
+            return exif_bytes
         ex[274] = 1  # Orientation = normal
         return ex.tobytes()
     except Exception:  # noqa: BLE001 - unparseable blob: pass through

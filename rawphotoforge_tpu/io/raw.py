@@ -88,14 +88,23 @@ def container_exif(data: bytes) -> dict:
     """Best-effort capture metadata from any RAW container, without
     decoding sensor data: the TIFF IFD forest for TIFF-structured files,
     or the CMT metadata boxes of a BMFF container (Canon CR3)."""
-    from .dng import extract_container_exif
+    from .dng import _EXIF_TAGS, _format_exif, extract_container_exif
     from .vendor_preview import bmff_exif_tiff_blocks, is_bmff
 
     exif = dict(extract_container_exif(data))
     if not exif and is_bmff(data):
+        # Merge the CMT streams at the raw-TAG level, then format once:
+        # CMT1 (IFD0 stream) holds DateTime(306), CMT2 (EXIF stream)
+        # DateTimeOriginal(36867) — a per-block format + dict merge would
+        # let CMT1's modification time shadow the capture time.
+        from .dng import extract_container_tags
+
+        tags: dict = {}
         for blk in bmff_exif_tiff_blocks(data):
-            for k, v in extract_container_exif(bytes(blk)).items():
-                exif.setdefault(k, v)
+            for t, v in extract_container_tags(bytes(blk), _EXIF_TAGS).items():
+                tags.setdefault(t, v)
+        if tags:
+            exif = _format_exif(tags.get)
     return exif
 
 

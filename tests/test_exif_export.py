@@ -264,3 +264,40 @@ def test_batch_preview_fallback_carries_exif(tmp_path):
     assert main(["batch", str(ind), str(outd)]) == 0
     ex = Image.open(outd / "cam.jpg").getexif()
     assert ex.get(271) == "NikoCan"
+
+
+def test_mistyped_exif_pointer_does_not_abort_decode():
+    """Tag 34665 stored with ASCII type must not abort the sensor decode
+    of an otherwise valid DNG (review regression, reproduced)."""
+    import struct
+
+    from rawphotoforge_tpu.io import dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rgb = np.full((3, 24, 32), 0.5, np.float32)
+    data = bytearray(dng.write_dng(synthetic_raw(rgb)))
+    # Rewrite the first IFD entry's tag to 34665 with ASCII type.
+    (ifd0,) = struct.unpack_from("<I", data, 4)
+    struct.pack_into("<HH", data, ifd0 + 2, 34665, 2)
+    back = dng.read_dng(bytes(data))
+    assert back.mosaic.shape == (24, 32)
+
+
+def test_normalize_exif_blob_passthrough_when_upright():
+    """Already-upright blobs pass through byte-identical (a PIL
+    re-serialization relocates MakerNote offsets); rotated blobs get
+    Orientation reset (review regression)."""
+    from rawphotoforge_tpu.io.image_io import normalize_exif_blob
+
+    up = Image.Exif()
+    up[271] = "RPF"
+    blob_up = up.tobytes()
+    assert normalize_exif_blob(blob_up) == blob_up
+
+    rot = Image.Exif()
+    rot[271] = "RPF"
+    rot[274] = 6
+    out = normalize_exif_blob(rot.tobytes())
+    ex = Image.Exif()
+    ex.load(out)
+    assert ex[274] == 1 and ex[271] == "RPF"

@@ -508,3 +508,19 @@ def test_bmff_metadata_mutations_contained():
             decode_embedded_preview(bytes(buf))
         except PhotoEditorError:
             pass
+
+
+def test_cr3_datetime_original_wins_across_cmt_blocks():
+    """CMT1 carries the file-modification DateTime, CMT2 the capture
+    DateTimeOriginal; the merge must prefer the capture time even though
+    the blocks are separate TIFF streams (review regression)."""
+    from rawphotoforge_tpu.io.raw import container_exif
+
+    cmt1 = _mini_tiff([(306, 2, 20, (b"2026:08:17 23:59:59\x00",))])
+    cmt2 = _mini_tiff([(36867, 2, 20, (b"2020:01:01 10:00:00\x00",))])
+    canon_uuid = bytes.fromhex("85c0b687820f11e08111f4ce462b6a48")
+    inner = _box(b"uuid", canon_uuid + _box(b"CMT1", cmt1)
+                 + _box(b"CMT2", cmt2))
+    ftyp = _box(b"ftyp", b"crx \x00\x00\x00\x01isomcrx ")
+    data = ftyp + _box(b"moov", inner) + _box(b"mdat", b"\x00" * 64)
+    assert container_exif(data)["DateTime"] == "2020:01:01 10:00:00"
