@@ -103,6 +103,18 @@ def _cbrt_jnp(x):
     return jnp.power(jnp.maximum(x, 0.0), 1.0 / 3.0)
 
 
+def linear_srgb_to_oklab(r, g, b, cbrt=_cbrt_jnp):
+    """Planar linear sRGB -> cartesian OKLab (L, a, b).
+
+    LMS is clamped at 0 before the cube root (wgpu_shader.wgsl:64-72);
+    ``cbrt`` is injectable for the Pallas kernels."""
+    l_, m_, s_ = _mat3_apply(M1, r, g, b)
+    l_ = cbrt(l_)
+    m_ = cbrt(m_)
+    s_ = cbrt(s_)
+    return _mat3_apply(M2, l_, m_, s_)
+
+
 def linear_srgb_to_oklch(r, g, b, atan2_turns=_atan2_turns_jnp,
                          cbrt=_cbrt_jnp):
     """Planar linear sRGB -> (L, C, h) with h in turns [0, 1).
@@ -113,11 +125,7 @@ def linear_srgb_to_oklch(r, g, b, atan2_turns=_atan2_turns_jnp,
     (Mosaic has no atan2) and the Halley-iteration cube root (cheaper than
     the exp/log pow lowering) from kernels/ktrig.py.
     """
-    l_, m_, s_ = _mat3_apply(M1, r, g, b)
-    l_ = cbrt(l_)
-    m_ = cbrt(m_)
-    s_ = cbrt(s_)
-    L, A, B = _mat3_apply(M2, l_, m_, s_)
+    L, A, B = linear_srgb_to_oklab(r, g, b, cbrt=cbrt)
     C = jnp.sqrt(A * A + B * B)
     return L, C, atan2_turns(B, A)
 

@@ -502,6 +502,12 @@ class PhotoEditor:
         out = dev.geometry_stage_jit(
             self._originals[level], jnp.float32(key[0]), extent
         )
+        th, tw = self._extents[level]
+        if key[0] != 0.0 and (out.shape[1] > th or out.shape[2] > tw):
+            # The warp blackens the bucket pad (OOB); restore edge
+            # replication before any stencil reads it (develop.py
+            # replicate_true_edges docstring).
+            out = dev.replicate_true_edges(out, th, tw)
         if key[1] != 0.0:
             out = unsharp_mask(out, jnp.float32(key[1] / 100.0 * 2.0))
         self._geo_cache[level] = (key, out)

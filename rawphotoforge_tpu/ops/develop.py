@@ -19,6 +19,8 @@ mask value equals 1.0 exactly (wgpu_shader.wgsl:281,314).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -127,6 +129,31 @@ def develop(planes: jax.Array, params: DevelopParams, masks: jax.Array) -> jax.A
 
 develop_jit = jax.jit(develop)
 geometry_stage_jit = jax.jit(geometry_stage)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw"))
+def replicate_true_edges(planes: jax.Array, th: int, tw: int) -> jax.Array:
+    """Re-edge-replicate the true image into the bucket pad after a warp.
+
+    The lens-distortion warp maps pad pixels out of bounds → black (the
+    reference's OOB semantics, correct inside the true frame). A
+    downstream stencil (unsharp_mask, radius 2) must see replicated
+    edges like the unwarped path does, or the last true rows/cols
+    sharpen against black and the export shows a bright fringe."""
+    ph, pw = planes.shape[1], planes.shape[2]
+    if ph > th:
+        planes = jnp.concatenate(
+            [planes[:, :th],
+             jnp.broadcast_to(planes[:, th - 1:th], (3, ph - th, pw))],
+            axis=1)
+    if pw > tw:
+        planes = jnp.concatenate(
+            [planes[:, :, :tw],
+             jnp.broadcast_to(planes[:, :, tw - 1:tw], (3, ph, pw - tw))],
+            axis=2)
+    return planes
+
+
 develop_post_geo_jit = jax.jit(develop_post_geo)
 
 

@@ -66,7 +66,7 @@ def max_row_displacement(h: int, w: int, max_abs_distortion: float = 100.0):
     barrel-model denominator can approach 0 within the range (extreme
     aspect ratios) — callers must then gather everything.
     """
-    import numpy as np
+    import math
 
     smax = 0.5 * max_abs_distortion / 100.0
     a = w / h
@@ -77,7 +77,7 @@ def max_row_displacement(h: int, w: int, max_abs_distortion: float = 100.0):
         if denom <= 0.05:
             return None
         worst = max(worst, abs(0.5 * s * r2max / denom))
-    return int(np.ceil(worst * h)) + 2
+    return math.ceil(worst * h) + 2
 
 
 def lens_distortion(r, g, b, distortion, extent=None):

@@ -16,8 +16,7 @@ This module owns the TPU-native tools around that surface:
   geodesic flood fill (directional lax.scan sweeps), so selection stops at
   contrast boundaries instead of leaking to distant same-colored pixels.
 * ``feather_mask`` — Gaussian edge softening.
-* ``mask_to_image`` / overlay helpers for UI display (get_mask_image,
-  editor.py:1173-1189).
+* ``mask_overlay`` for UI display (get_mask_image, editor.py:1173-1189).
 
 External models remain a first-class ingestion path: PhotoEditor.add_mask
 accepts any [H, W] float array (SAM logits included).
@@ -78,12 +77,7 @@ def similarity_mask(
 
 def _oklab(planes):
     """Linear RGB planes -> OKLab (L, a, b) — cartesian, not LCh."""
-    r, g, b = planes[0], planes[1], planes[2]
-    l_, m_, s_ = color._mat3_apply(color.M1, r, g, b)
-    l_ = jnp.power(jnp.maximum(l_, 0.0), 1.0 / 3.0)
-    m_ = jnp.power(jnp.maximum(m_, 0.0), 1.0 / 3.0)
-    s_ = jnp.power(jnp.maximum(s_, 0.0), 1.0 / 3.0)
-    return color._mat3_apply(color.M2, l_, m_, s_)
+    return color.linear_srgb_to_oklab(planes[0], planes[1], planes[2])
 
 
 def _sweep_down(d: jax.Array, step_cost: jax.Array) -> jax.Array:
@@ -143,12 +137,18 @@ def geodesic_distance(
     seed = jnp.zeros((h, w), jnp.bool_).at[point_yx[0], point_yx[1]].set(True)
     d = jnp.where(seed, 0.0, big)
 
+    # Hoist the loop-invariant flips/transposes: XLA does not reliably
+    # pull large-tensor invariants out of while-loop bodies, and each
+    # would otherwise cost a full-image copy per sweep round.
+    cost_up_f = jnp.flip(cost_up, 0)
+    cost_right_t = cost_right.T
+    cost_left_ft = jnp.flip(cost_left, 1).T
+
     def one_round(d, _):
         d = _sweep_down(d, cost_down)
-        d = jnp.flip(_sweep_down(jnp.flip(d, 0), jnp.flip(cost_up, 0)), 0)
-        d = _sweep_down(d.T, cost_right.T).T
-        d = jnp.flip(
-            _sweep_down(jnp.flip(d, 1).T, jnp.flip(cost_left, 1).T).T, 1)
+        d = jnp.flip(_sweep_down(jnp.flip(d, 0), cost_up_f), 0)
+        d = _sweep_down(d.T, cost_right_t).T
+        d = jnp.flip(_sweep_down(jnp.flip(d, 1).T, cost_left_ft).T, 1)
         return d, None
 
     d, _ = jax.lax.scan(one_round, d, None, length=sweeps)

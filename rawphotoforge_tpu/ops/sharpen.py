@@ -30,7 +30,11 @@ def _blur_axis(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
     radius = (len(taps) - 1) // 2
     pad = [(0, 0)] * x.ndim
     pad[axis] = (radius, radius)
-    xp = jnp.pad(x, pad, mode="reflect")
+    # reflect requires pad < dim; degrade to edge replication for images
+    # (or feather radii) thinner than the blur support instead of
+    # raising at trace time.
+    mode = "reflect" if x.shape[axis] > radius else "edge"
+    xp = jnp.pad(x, pad, mode=mode)
     out = jnp.zeros_like(x)
     n = x.shape[axis]
     for i, w in enumerate(taps):

@@ -24,33 +24,6 @@ NUM_BINS = 256
 _HIST_CHUNK = 16384
 
 
-def _hist256(values: jax.Array) -> jax.Array:
-    """values f32 [...] in [0,1] -> i32 [256] histogram.
-
-    TPU formulation: neither a full [P, 256] one-hot (XLA materializes a
-    pixels x bins intermediate — memory and compile blow up) nor a
-    scatter-add (serializes, and compiles pathologically on some backends).
-    Instead a lax.scan over fixed-size chunks: each step does a small
-    [chunk, 256] compare-and-sum entirely in registers/VMEM, accumulating
-    into the 256-bin carry. O(P * 256) VPU ops, tiny compile."""
-    idx = jnp.clip((values * 255.0).astype(jnp.int32), 0, 255).reshape(-1)
-    n = idx.shape[0]
-    pad = (-n) % _HIST_CHUNK
-    # Pad with bin id 256 (an extra scratch bin, dropped at the end).
-    idx = jnp.concatenate([idx, jnp.full((pad,), NUM_BINS, dtype=jnp.int32)])
-    chunks = idx.reshape(-1, _HIST_CHUNK)
-    bins = jnp.arange(NUM_BINS + 1, dtype=jnp.int32)
-
-    def body(carry, chunk):
-        onehot = (chunk[:, None] == bins[None, :]).astype(jnp.int32)
-        return carry + jnp.sum(onehot, axis=0), None
-
-    hist, _ = jax.lax.scan(
-        body, jnp.zeros(NUM_BINS + 1, dtype=jnp.int32), chunks
-    )
-    return hist[:NUM_BINS]
-
-
 @jax.jit
 def histogram_rgbl(srgb_planes: jax.Array) -> jax.Array:
     """sRGB-encoded planes [3, H, W] -> i32 [4, 256]: R, G, B, gray rows.
@@ -59,11 +32,39 @@ def histogram_rgbl(srgb_planes: jax.Array) -> jax.Array:
     display-encoded planes, matching the reference's histogram source — it
     feeds cv2.cvtColor(RGB2GRAY) with the u8 preview
     (raw_photo_forge.py:1849-1862).
+
+    TPU formulation: neither a full [P, 256] one-hot (XLA materializes a
+    pixels x bins intermediate — memory and compile blow up) nor a
+    scatter-add (serializes, and compiles pathologically on some
+    backends). Instead a lax.scan over fixed-size chunks: each step does
+    a small compare-and-sum entirely in registers/VMEM, accumulating
+    into the per-channel 256-bin carry. Out-of-range pad samples go to a
+    scratch bin 256, dropped at the end.
     """
     r, g, b = srgb_planes[0], srgb_planes[1], srgb_planes[2]
     # OpenCV RGB2GRAY weights (reference feeds cv2 the u8 preview).
     gray = 0.299 * r + 0.587 * g + 0.114 * b
-    return jnp.stack([_hist256(r), _hist256(g), _hist256(b), _hist256(gray)])
+    # One fused chunk-scan over all four channels (one image walk, one
+    # scan carry) instead of four independent scans; the per-step chunk
+    # shrinks by 4x so the compare-and-sum working set stays the same.
+    vals = jnp.stack([r, g, b, gray]).reshape(4, -1)
+    idx = jnp.clip((vals * 255.0).astype(jnp.int32), 0, 255)
+    chunk = _HIST_CHUNK // 4
+    n = idx.shape[1]
+    pad = (-n) % chunk
+    idx = jnp.concatenate(
+        [idx, jnp.full((4, pad), NUM_BINS, dtype=jnp.int32)], axis=1)
+    chunks = idx.reshape(4, -1, chunk).transpose(1, 0, 2)  # [steps, 4, chunk]
+    bins = jnp.arange(NUM_BINS + 1, dtype=jnp.int32)
+
+    def body(carry, ck):
+        onehot = (ck[:, :, None] == bins[None, None, :]).astype(jnp.int32)
+        return carry + jnp.sum(onehot, axis=1), None
+
+    hist, _ = jax.lax.scan(
+        body, jnp.zeros((4, NUM_BINS + 1), dtype=jnp.int32), chunks
+    )
+    return hist[:, :NUM_BINS]
 
 
 @jax.jit

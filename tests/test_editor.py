@@ -457,3 +457,27 @@ def test_mask_range_rethresholds_existing_masks(rng):
     frozen = np.asarray(ed.masks[1].data_full).copy()
     ed.set_mask_range(0.1)
     np.testing.assert_array_equal(np.asarray(ed.masks[1].data_full), frozen)
+
+
+def test_warp_plus_sharpen_matches_unpadded_oracle():
+    """The warp blackens the bucket pad (OOB); without re-replication the
+    sharpen stencil bled that black into the last true rows (~0.25
+    error). The padded geometry+sharpen stage must now match the same
+    stage run on exactly-sized planes (review regression)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.engine.editor import FULL, PhotoEditor
+    from rawphotoforge_tpu.ops import develop as dev
+    from rawphotoforge_tpu.ops.sharpen import unsharp_mask
+
+    # 120x150 -> bucket-padded to 128x256 internally.
+    img = np.full((120, 150, 3), 0.5, np.float32)
+    ed = PhotoEditor.from_rgb_f32(img)
+    ed.set_lens_distortion(1)
+    ed.set_sharpness(50)
+    got = np.asarray(ed._geo_at(FULL))[:, :120, :150]
+
+    planes = jnp.asarray(np.full((3, 120, 150), 0.5, np.float32))
+    oracle = dev.geometry_stage_jit(planes, jnp.float32(1.0), None)
+    oracle = np.asarray(unsharp_mask(oracle, jnp.float32(50 / 100.0 * 2.0)))
+    np.testing.assert_allclose(got, oracle, atol=1e-6)

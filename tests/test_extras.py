@@ -252,3 +252,15 @@ def test_settings_env_override(tmp_path, monkeypatch):
 
     monkeypatch.setenv("RPF_SETTINGS", str(tmp_path / "x.json"))
     assert session.default_settings_path() == str(tmp_path / "x.json")
+
+
+def test_gaussian_blur_thin_image_no_crash():
+    """Blur radius >= image dim degrades to edge padding instead of the
+    reflect-mode trace error (review regression)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.ops.sharpen import gaussian_blur
+
+    thin = jnp.ones((3, 2, 40), jnp.float32) * 0.25
+    out = np.asarray(gaussian_blur(thin, sigma=2.0, radius=4))
+    np.testing.assert_allclose(out, 0.25, atol=1e-6)
