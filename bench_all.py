@@ -159,8 +159,13 @@ def main(argv=None) -> int:
         def raw_develop_step(m):
             return dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvar")
 
-        dt = device_time(raw_develop_step, mosaic,
-                         chain=lambda i, out, a: (out[0],))
+        # The chain must consume EVERY output channel: feeding only
+        # out[0] back lets XLA dead-code-eliminate the G/B-specific tail
+        # ops inside the timing loop (the 1e-30 scale keeps the next
+        # mosaic in range without changing what executes).
+        dt = device_time(
+            raw_develop_step, mosaic,
+            chain=lambda i, out, a: (out[0] + (out[1] + out[2]) * 1e-30,))
         results["c2_24mp_raw_ms"] = dt * 1e3
         results["c2_24mp_raw_mpix_s"] = h * w / 1e6 / dt
         log(f"config 2: 24MP Bayer malvar demosaic + WB + matrix "
@@ -171,18 +176,36 @@ def main(argv=None) -> int:
         mosaic3 = jax.random.uniform(key, (h3, w3), dtype=jnp.float32)
         params3 = edit_params()
 
+        from rawphotoforge_tpu.ops.geometry import (
+            resize_bilinear, resize_long_edge_shape)
+
+        mh, mw = resize_long_edge_shape(h3, w3, 1280)
+
         @jax.jit
         def full_stack(m):
             # One-pass fused kernel: mosaic read once, sRGB written once.
             srgb = rp.raw_develop_fused(m, wb, cam, params3, jnp.float32(0.8))
-            return srgb, histogram_rgbl(srgb)
+            # The LIVE histogram sources the display preview, not the
+            # 45MP buffer — both in the reference (raw_photo_forge.py:1849
+            # feeds cv2 the preview u8) and in this app's server
+            # (histogram(MID)). A full-res histogram is a different
+            # (non-interactive) workload: ~104 ms at 45MP, measured.
+            preview = resize_bilinear(srgb, mh, mw)
+            return srgb, histogram_rgbl(preview)
 
-        dt = device_time(full_stack, mosaic3,
-                         chain=lambda i, out, a: (out[0][0],))
+        # Consume all three sRGB channels AND the histogram in the chain:
+        # with out[0][0] alone, the histogram (and the G/B tails) were
+        # dead inside the timing loop and XLA eliminated them — the old
+        # 16.4 ms number never included the histogram it claimed.
+        dt = device_time(
+            full_stack, mosaic3,
+            chain=lambda i, out, a: (
+                out[0][0] + (out[0][1] + out[0][2]) * 1e-30
+                + out[1].sum().astype(jnp.float32) * 1e-30,))
         results["c3_45mp_full_ms"] = dt * 1e3
         results["c3_45mp_full_mpix_s"] = h3 * w3 / 1e6 / dt
-        log(f"config 3: 45MP demosaic+sharpen+edit+histogram {dt * 1e3:.2f} ms "
-            f"= {h3 * w3 / 1e6 / dt:.0f} MPix/s")
+        log(f"config 3: 45MP demosaic+sharpen+edit + preview histogram "
+            f"{dt * 1e3:.2f} ms = {h3 * w3 / 1e6 / dt:.0f} MPix/s")
 
     if want("4"):
         # Device time of one preview re-render at each pyramid level for a

@@ -19,8 +19,6 @@ is SIMT threads inside one kernel dispatch. The TPU-native equivalents here:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,13 @@ def make_mesh(n_batch: int | None = None, n_spatial: int = 1, devices=None) -> M
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_batch is None:
         n_batch = devices.size // n_spatial
-    devices = devices[: n_batch * n_spatial].reshape(n_batch, n_spatial)
+    need = n_batch * n_spatial
+    if n_batch < 1 or need > devices.size:
+        raise ValueError(
+            f"mesh shape ({n_batch} batch x {n_spatial} sp) needs {need} "
+            f"devices, have {devices.size}"
+        )
+    devices = devices[:need].reshape(n_batch, n_spatial)
     return Mesh(devices, axis_names=("batch", "sp"))
 
 
@@ -80,7 +84,8 @@ def develop_spatial_sharded(
 
     row_sharding = NamedSharding(mesh, P(None, "sp", None))
     planes = jax.lax.with_sharding_constraint(planes, row_sharding)
-    geo = spatial.distortion_sharded(planes, params.distortion, mesh)
+    geo = spatial.distortion_sharded(
+        planes, params.distortion, mesh, extent=params.extent)
     geo = jax.lax.with_sharding_constraint(geo, row_sharding)
     masks = jax.lax.with_sharding_constraint(
         masks, NamedSharding(mesh, P(None, "sp", None))
@@ -129,27 +134,37 @@ def develop_spatial_sharded(
 
 def histogram_sharded(srgb_planes: jax.Array, mesh: Mesh) -> jax.Array:
     """[3, H, W] sRGB planes (row-sharded over 'sp') -> replicated [4, 256]
-    histogram via per-shard partials + explicit psum over the mesh."""
+    histogram via per-shard partials + explicit psum over the mesh.
+
+    Per-shard work reuses ops/stats.histogram_rgbl (the per-bin
+    fused-reduction formulation — bincount is a scatter and compiles
+    pathologically on TPU). Heights that don't divide the 'sp' axis pad
+    with out-of-gamut rows binned into 255, whose known count is
+    subtracted after the psum."""
+    from ..ops.stats import histogram_rgbl
+
+    n_sp = mesh.shape["sp"]
+    _, h, w = srgb_planes.shape
+    pad = (-h) % n_sp
+    if pad:
+        srgb_planes = jnp.concatenate(
+            [srgb_planes,
+             jnp.full((3, pad, w), 2.0, srgb_planes.dtype)], axis=1)
 
     def partial_hist(local: jax.Array) -> jax.Array:
-        r, g, b = local[0], local[1], local[2]
-        gray = 0.299 * r + 0.587 * g + 0.114 * b
-
-        def h(v):
-            idx = jnp.clip((v * 255.0).astype(jnp.int32), 0, 255).reshape(-1)
-            return jnp.bincount(idx, length=NUM_BINS).astype(jnp.int32)
-
-        local_hist = jnp.stack([h(r), h(g), h(b), h(gray)])
         # Rows are split over 'sp' only; the image is replicated over
         # 'batch', so the reduction rides the 'sp' ICI ring.
-        return jax.lax.psum(local_hist, axis_name="sp")
+        return jax.lax.psum(histogram_rgbl(local), axis_name="sp")
 
-    return shard_map(
+    hist = shard_map(
         partial_hist,
         mesh=mesh,
         in_specs=P(None, "sp", None),
         out_specs=P(),
     )(srgb_planes)
+    if pad:
+        hist = hist.at[:, NUM_BINS - 1].add(-pad * w)
+    return hist
 
 
 def full_step(
@@ -160,7 +175,10 @@ def full_step(
     This is the program the multichip dry-run jit-compiles."""
     srgb = develop_spatial_sharded(planes, params, masks, mesh)
     hist = histogram_sharded(srgb, mesh)
-    hi_clip = jnp.mean((srgb >= 1.0 - 0.5 / 255.0).astype(jnp.float32))
+    # Canonical clip semantics (ops/stats.clipping_stats): fraction of
+    # PIXELS with any clipped channel, not the per-element mean.
+    hi_clip = jnp.mean(
+        jnp.any(srgb >= 1.0 - 0.5 / 255.0, axis=0).astype(jnp.float32))
     return srgb, hist, hi_clip
 
 

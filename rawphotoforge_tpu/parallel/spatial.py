@@ -12,8 +12,6 @@ single-device path — bit-identical output (tested shard-vs-single).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -72,6 +70,14 @@ def demosaic_sharded(
         raise ValueError(
             f"height {h} must be divisible by 2 * sp axis size ({2 * n_sp})"
         )
+    if h // n_sp <= HALO:
+        # The edge-shard reflection needs HALO rows beyond the boundary
+        # row from the SAME shard; with h_local == HALO the slice
+        # silently broadcasts a single row into both halo rows.
+        raise ValueError(
+            f"shard height {h // n_sp} must exceed the halo ({HALO}); "
+            f"use fewer 'sp' shards for a {h}-row image"
+        )
 
     demosaic = dm.demosaic_malvar if method == "malvar" else dm.demosaic_bilinear
 
@@ -99,6 +105,7 @@ def distortion_sharded(
     distortion,
     mesh: Mesh,
     max_abs_distortion: float = 100.0,
+    extent=None,
 ) -> jax.Array:
     """Row-sharded lens-distortion warp with bounded-displacement halo
     exchange (SURVEY §7.3: the one stage that genuinely needs cross-shard
@@ -108,12 +115,17 @@ def distortion_sharded(
     bound (ops.geometry.max_row_displacement); each shard collects just
     enough neighbor rows to cover it — K ppermute hops, the outermost hop
     trimmed to the residual halo — then computes its own destination rows
-    only. No full-image replicated compute. Bit-identical to the
-    single-device warp (same ops.geometry.warp_coords math, global clamp).
+    only. No full-image replicated compute. Same ops.geometry.warp_coords
+    math and global clamp as the single-device warp; note the two
+    differently-compiled programs differ at ulp level in the source
+    coordinates, which ty = py - floor(py) can amplify — comparisons need
+    height-scaled tolerances (CLAUDE.md), not bit equality.
 
     ``planes`` [3, H, W] row-sharded over 'sp'; ``distortion`` the traced
     slider scalar; ``max_abs_distortion`` the static slider bound used for
-    the halo analysis (smaller known ranges shrink communication).
+    the halo analysis (smaller known ranges shrink communication);
+    ``extent`` the true (h, w) f32 [2] for bucket-padded buffers — the
+    warp normalizes and clamps by it, like the single-device path.
     """
     from ..ops.geometry import max_row_displacement, warp_coords
 
@@ -122,7 +134,7 @@ def distortion_sharded(
     if n_sp == 1:
         from ..ops.develop import geometry_stage
 
-        return geometry_stage(planes, distortion)
+        return geometry_stage(planes, distortion, extent)
     # Heights that don't divide the mesh pad with edge rows to a shard
     # multiple: the warp normalizes and clamps by the TRUE height, so the
     # padded rows are never sampled, and they are sliced off afterwards.
@@ -141,8 +153,16 @@ def distortion_sharded(
     m = [min(h_local, halo - (j - 1) * h_local) for j in range(1, k + 1)]
     h_above = sum(m)
     strength = -0.5 * (jnp.asarray(distortion, dtype=jnp.float32) / 100.0)
+    if extent is None:
+        ext_arr = jnp.asarray([jnp.float32(h), jnp.float32(w)])
+    else:
+        ext_arr = jnp.where(
+            jnp.asarray(extent, jnp.float32) > 0,
+            jnp.asarray(extent, jnp.float32),
+            jnp.asarray([h, w], jnp.float32),
+        )
 
-    def local_fn(block, s):
+    def local_fn(block, s, ext_hw):
         rows = block[0].transpose(1, 0, 2)  # [h_local, 3, W]
         above = []
         below = []
@@ -164,18 +184,22 @@ def distortion_sharded(
         # gathered index inside the real data).
         idx = jax.lax.axis_index("sp")
         base = idx * h_local - h_above
-        hf = jnp.float32(h)
-        wf = jnp.float32(w)
+        # Normalize and clamp by the TRUE extent (bucket-padded buffers),
+        # exactly like the single-device geometry stage.
+        hf = ext_hw[0]
+        wf = ext_hw[1]
         ys = (jax.lax.broadcasted_iota(jnp.int32, (h_local, w), 0)
               + idx * h_local)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h_local, w), 1)
         py, px, oob = warp_coords(ys, xs, hf, wf, s[0])
+        wi = (wf - 1.0).astype(jnp.int32)
+        hi = (hf - 1.0).astype(jnp.int32)
         x0f = jnp.floor(px)
         y0f = jnp.floor(py)
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, wi)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, hi)
+        x1 = jnp.minimum(x0 + 1, wi)
+        y1 = jnp.minimum(y0 + 1, hi)
         tx = px - x0f
         ty = py - y0f
         y0l = y0 - base
@@ -197,10 +221,10 @@ def distortion_sharded(
         return shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(None, None, "sp", None), P()),
+            in_specs=(P(None, None, "sp", None), P(), P()),
             out_specs=P(None, None, "sp", None),
             check_vma=False,
-        )(p[None], strength[None])[0]
+        )(p[None], strength[None], ext_arr)[0]
 
     # Zero strength is an exact identity (wgsl:118-120 early return) AND
     # skips the halo collectives + gather at runtime — the common

@@ -301,3 +301,77 @@ def test_spatial_pallas_uneven_height(rng):
     assert sharded.shape == (3, h, w)
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), atol=1e-6)
+
+
+def test_histogram_sharded_uneven_height(rng, the_mesh):
+    """Heights not divisible by the 'sp' axis pad internally; the pad's
+    known bin-255 contribution is subtracted (review regression: the
+    shard_map used to raise a divisibility error)."""
+    img = random_linear_image(rng, 63, 128)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    h_sharded = jax.jit(pmesh.histogram_sharded, static_argnums=1)(
+        planes, the_mesh)
+    np.testing.assert_array_equal(
+        np.asarray(h_sharded), np.asarray(histogram_rgbl(planes)))
+
+
+def test_full_step_uneven_height(rng, the_mesh):
+    """The whole interactive frame step works for heights that don't
+    divide the mesh (review regression)."""
+    img = random_linear_image(rng, 62, 128)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    packed = _params()
+    masks = jnp.ones((1, 62, 128), dtype=jnp.float32)
+    srgb, hist, clip = jax.jit(pmesh.full_step, static_argnums=3)(
+        planes, packed, masks, the_mesh)
+    assert srgb.shape == (3, 62, 128)
+    assert int(np.asarray(hist).sum()) == 4 * 62 * 128
+    # Canonical clip semantics: fraction of pixels with ANY channel
+    # clipped (ops/stats.clipping_stats).
+    from rawphotoforge_tpu.ops.stats import clipping_stats
+
+    want = float(np.asarray(clipping_stats(srgb)["highlight_clip_fraction"]))
+    assert float(np.asarray(clip)) == pytest.approx(want, abs=1e-6)
+
+
+def test_sharded_warp_respects_extent(rng, the_mesh):
+    """Bucket-padded buffers: the sharded warp must normalize and clamp
+    by the TRUE extent like the single-device geometry stage (review
+    regression: it used the padded shape, warping every pixel
+    differently)."""
+    from rawphotoforge_tpu.parallel import spatial
+
+    th, tw = 60, 120
+    img = random_linear_image(rng, th, tw).transpose(2, 0, 1)
+    padded = np.pad(img, [(0, 0), (0, 4), (0, 8)], mode="edge")
+    planes = jnp.asarray(padded)
+    ext = jnp.asarray([float(th), float(tw)], jnp.float32)
+
+    sharded = jax.jit(
+        spatial.distortion_sharded, static_argnums=2)(
+        planes, jnp.float32(-55.0), the_mesh, extent=ext)
+    single = dev.geometry_stage_jit(planes, jnp.float32(-55.0), ext)
+    # ulp-level coordinate differences between differently-compiled
+    # programs can amplify near pixel boundaries (CLAUDE.md); compare the
+    # TRUE region with a height-scaled tolerance.
+    a = np.asarray(sharded)[:, :th, :tw]
+    b = np.asarray(single)[:, :th, :tw]
+    close = np.isclose(a, b, atol=2e-4)
+    assert close.mean() > 0.999
+    np.testing.assert_allclose(np.sort(a.ravel()), np.sort(b.ravel()),
+                               atol=2e-3)
+
+
+def test_demosaic_sharded_thin_shard_rejected(the_mesh):
+    from rawphotoforge_tpu.parallel import spatial
+
+    mosaic = jnp.zeros((4, 128), jnp.float32)  # 2 rows/shard == HALO
+    with pytest.raises(ValueError, match="halo"):
+        spatial.demosaic_sharded(mosaic, the_mesh)
+
+
+def test_make_mesh_too_many_devices_rejected():
+    with pytest.raises(ValueError, match="devices"):
+        pmesh.make_mesh(n_batch=64, n_spatial=2)
+    with pytest.raises(ValueError, match="devices"):
+        pmesh.make_mesh(n_spatial=16)  # n_batch floors to 0
