@@ -218,10 +218,10 @@ def _batch_raw_fast_path(paths, args) -> int:
             from ..ops.sharpen import unsharp_mask
 
             planes = unsharp_mask(planes, sharpen)
+        # masks=None: the all-ones main mask is elided entirely — no dead
+        # [1, H, W] device allocation (~180 MB at 45MP).
         return fused.develop_post_geo_fused(
-            planes, packed, jnp.ones((1,) + planes.shape[1:],
-                                     dtype=jnp.float32),
-            main_mask_all_ones=True,
+            planes, packed, None, main_mask_all_ones=True,
         )
 
     t0 = time.perf_counter()

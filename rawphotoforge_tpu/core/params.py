@@ -207,10 +207,19 @@ class EditParameters:
             cy = np.asarray(control_y, dtype=np.int32)
             if cx.shape != cy.shape:
                 raise curve_mod.CurveError("mismatched control point lengths")
-            if cx.size == 0:
-                raise curve_mod.CurveError("empty control points")
+            if cx.size < 2:
+                # 'Validate EVERYTHING before mutating any state': a single
+                # point passes the slope check only by skipping it, then
+                # detonates at the next render (build_lut/pack_params).
+                raise curve_mod.CurveError(
+                    f"need at least 2 control points, got {cx.size}")
+            if cx.size > MAX_CTRL:
+                # pack_params pads to the static MAX_CTRL bound; reject at
+                # the setter, not at render time.
+                raise curve_mod.CurveError(
+                    f"too many control points: {cx.size} > {MAX_CTRL}")
             # Validate monotonicity eagerly (matches setter-time PCHIP failure).
-            curve_mod.pchip_slopes_f32(cx, cy) if cx.size >= 2 else None
+            curve_mod.pchip_slopes_f32(cx, cy)
             new_state = CurveState(control_x=cx, control_y=cy)
         if channel is not None:
             self.brightness_channel = int(channel)

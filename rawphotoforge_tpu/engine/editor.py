@@ -444,16 +444,12 @@ class PhotoEditor:
 
     def _use_exact_path(self) -> bool:
         """True when this render must take the exact-LUT gather (jnp anchor)
-        path: the caller asked for it, some curve was supplied as a raw
-        65536-entry LUT (which the kernel's packed-PCHIP refit can only
-        approximate, core/curve.lut_to_coeffs), or a v1-style per-channel
-        brightness curve is in play (the fused kernel implements the v4
-        all-channel semantics only)."""
-        return (
-            not self.use_pallas
-            or self._any_raw_lut()
-            or any(m.params.brightness_channel != 3 for m in self.masks)
-        )
+        path: the caller asked for it, or some curve was supplied as a
+        raw 65536-entry LUT (which the kernel's packed-PCHIP refit can
+        only approximate, core/curve.lut_to_coeffs). v1-style per-channel
+        brightness curves render on the kernel path too (it implements
+        the same channel selector, kernels/fused._channel_select)."""
+        return not self.use_pallas or self._any_raw_lut()
 
     def _packed_params(self, level: str):
         if self._packed is None:
@@ -527,15 +523,20 @@ class PhotoEditor:
         cached = self._rendered.get(level)
         if cached is None or cached[0] != self._version:
             params = self._packed_params(level)
-            masks = self._masks_at(level)
             geo = self._geo_at(level)
             if self._use_exact_path():
-                out = dev.develop_post_geo_jit(geo, params, masks)
+                out = dev.develop_post_geo_jit(geo, params,
+                                               self._masks_at(level))
             else:
                 from ..kernels import fused
 
                 out = fused.develop_post_geo_fused(
-                    geo, params, masks, main_mask_all_ones=True,
+                    geo, params,
+                    # Single-mask sessions skip the mask array entirely
+                    # (None — not even built); the kernel elides the
+                    # all-ones main mask.
+                    None if len(self.masks) == 1 else self._masks_at(level),
+                    main_mask_all_ones=True,
                     # Slider-only edits (no curve touched on any mask) take
                     # the staircase-shortcut kernel variant — bit-identical
                     # to evaluating the default curves, measurably faster.

@@ -50,6 +50,45 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def pack_curve_deltas(params: DevelopParams, m: int, s: int):
+    """Host-side (traced, tiny) packing of curve data into SMEM-friendly
+    telescoped-delta form — ONE home for the convention both kernels
+    (this one and kernels/raw_pipeline) depend on.
+
+    Returns (knots, dknots, dcoeffs): knots [m*4, s] sorted positions,
+    dknots the first differences, and dcoeffs [m*4, s*4] the
+    first-difference of each monomial coefficient across segments. The
+    first "delta" is the base segment-0 coefficient itself (the
+    telescoped sum starts from it), so the diff prepends ZEROS, not the
+    first row."""
+    knots = params.breaks.reshape(m * 4, s)
+    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
+    coeffs = params.coeffs.reshape(m * 4, s, 4)
+    dcoeffs = jnp.diff(
+        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
+    ).reshape(m * 4, s * 4)
+    return knots, dknots, dcoeffs
+
+
+def smem_spec(shape):
+    """BlockSpec for a whole-array SMEM table under a 2-D grid."""
+    return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                        memory_space=pltpu.SMEM)
+
+
+def _channel_select(ch, rk, gk, bk, rc, gc, bc):
+    """Brightness-curve channel selector (v1 tone_curve_lut channel arg;
+    ops/develop.py:83-89 semantics): ch 0/1/2 applies the curve to one
+    RGB channel, 3 (the v4 default) to all. ``ch`` is a traced SMEM
+    scalar; the {0,1}-weight blend is exact and Mosaic-safe."""
+    wr = ((ch == 0.0) | (ch == 3.0)).astype(jnp.float32)
+    wg = ((ch == 1.0) | (ch == 3.0)).astype(jnp.float32)
+    wb = ((ch == 2.0) | (ch == 3.0)).astype(jnp.float32)
+    return (rc * wr + rk * (1.0 - wr),
+            gc * wg + gk * (1.0 - wg),
+            bc * wb + bk * (1.0 - wb))
+
+
 def _eval_curve(u, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg):
     """Telescoped packed-PCHIP evaluation at LUT-domain positions ``u``.
 
@@ -92,6 +131,7 @@ def _develop_kernel(
     vig_ref,      # SMEM (1, 4) f32: [vignette, true_h, true_w, row_offset]
     gains_ref,    # SMEM (M, 3) f32
     tone_ref,     # SMEM (M, 6) f32
+    chan_ref,     # SMEM (M, 1) f32: brightness-curve channel selector
     knots_ref,    # SMEM (M*4, S) f32
     dknots_ref,   # SMEM (M*4, S) f32
     dcoeffs_ref,  # SMEM (M*4, S*4) f32
@@ -146,14 +186,15 @@ def _develop_kernel(
         if default_curves:
             # Identity-LUT staircase without evaluating the (identity)
             # curve: floor(v*65535)/65535 — bit-identical, far fewer ops.
-            rk = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            gk = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            bk = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            gc = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
         else:
             row = k * 4 + 0  # brightness slot
-            rk = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-            gk = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-            bk = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+            rc = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+            gc = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+            bc = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
+        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
         if sel is None:
             r, g, b = rk, gk, bk
         else:
@@ -201,7 +242,7 @@ def _develop_kernel(
 def develop_post_geo_fused(
     planes: jax.Array,
     params: DevelopParams,
-    masks: jax.Array,
+    masks: jax.Array | None,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     main_mask_all_ones: bool = False,
@@ -210,14 +251,17 @@ def develop_post_geo_fused(
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
-    Same signature and semantics (to curve-evaluation tolerance): planes
-    f32 [3, H, W] post-geometry linear image, masks f32 [M, H, W],
-    returns sRGB-encoded f32 [3, H, W] in [0, 1].
+    Same signature and semantics (to curve-evaluation tolerance),
+    including the brightness-curve channel selector: planes f32 [3, H, W]
+    post-geometry linear image, masks f32 [M, H, W], returns
+    sRGB-encoded f32 [3, H, W] in [0, 1].
 
     ``main_mask_all_ones``: caller-asserted invariant that mask row 0 is
     all ones (always true for editor sessions, lib.rs:100-113) — elides the
     main-mask read/selects, and with a single mask skips streaming the mask
-    array entirely (~14% of HBM traffic).
+    array entirely (~14% of HBM traffic). In that single-mask case
+    ``masks`` may be ``None``, skipping the dead [1, H, W] device
+    allocation too (~180 MB at 45MP).
 
     ``row_offset``: global row index of this block's first row — pass
     ``jax.lax.axis_index(...) * local_rows`` when running per-shard under
@@ -231,23 +275,23 @@ def develop_post_geo_fused(
     common slider-only editing state.
     """
     _, h, w = planes.shape
-    m = masks.shape[0]
+    if masks is None:
+        if not main_mask_all_ones:
+            raise ValueError(
+                "masks=None requires main_mask_all_ones=True (the all-ones "
+                "main mask is what justifies eliding the mask array)")
+        m = params.gains.shape[0]
+        if m != 1:
+            raise ValueError(f"masks=None requires a single mask, got {m}")
+    else:
+        m = masks.shape[0]
     s = params.breaks.shape[-1]
     main_only = main_mask_all_ones and m == 1
 
     tile_h = min(tile_h, max(8, h))
     tile_w = min(tile_w, max(128, w))
 
-    # Host-side (traced, tiny) packing of curve data into SMEM-friendly 2D
-    # telescoped-delta form.
-    knots = params.breaks.reshape(m * 4, s)
-    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
-    coeffs = params.coeffs.reshape(m * 4, s, 4)
-    # First "delta" is the base segment-0 coefficient itself (the telescoped
-    # sum starts from it), so prepend zeros, not the first row.
-    dcoeffs = jnp.diff(
-        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
-    ).reshape(m * 4, s * 4)
+    knots, dknots, dcoeffs = pack_curve_deltas(params, m, s)
     off = (jnp.zeros(1, jnp.float32) if row_offset is None
            else jnp.asarray(row_offset, jnp.float32).reshape(1))
     vig = jnp.concatenate(
@@ -267,19 +311,20 @@ def develop_post_geo_fused(
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
-    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
-                                      memory_space=pltpu.SMEM)
+    chan = params.bright_channel.reshape(m, 1).astype(jnp.float32)
     in_specs = [
-        smem((1, 4)),
-        smem((m, 3)),
-        smem((m, 6)),
-        smem((m * 4, s)),
-        smem((m * 4, s)),
-        smem((m * 4, s * 4)),
+        smem_spec((1, 4)),
+        smem_spec((m, 3)),
+        smem_spec((m, 6)),
+        smem_spec((m, 1)),
+        smem_spec((m * 4, s)),
+        smem_spec((m * 4, s)),
+        smem_spec((m * 4, s * 4)),
         pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [vig, params.gains, params.tone, knots, dknots, dcoeffs, planes]
+    inputs = [vig, params.gains, params.tone, chan, knots, dknots, dcoeffs,
+              planes]
     if not main_only:
         in_specs.append(
             pl.BlockSpec((m, tile_h, tile_w), lambda i, j: (0, i, j),

@@ -6,13 +6,14 @@ argument reduction; absolute error ~1e-7 rad, far below the 9.6e-5 rad width
 of one 65536-entry hue-LUT step). All inputs/outputs are *turns* in [0, 1),
 matching the hue encoding of wgpu_shader.wgsl:72-74.
 
-Also here: fast power replacements for the kernel's remaining
-transcendentals — ``cbrt_fast`` (exponent bit-hack seed + two Halley
-iterations, ~1 ulp over the OKLab LMS domain) and ``linear_to_srgb_fast``
+Also here, as benchmarked-and-REJECTED alternatives (kept for the
+accuracy tests and future re-evaluation, NOT used by the kernels):
+``cbrt_fast`` (exponent bit-hack seed + two Halley iterations, ~1 ulp
+over the OKLab LMS domain) and ``linear_to_srgb_fast``
 (x^(1/2.4) = cbrt(sqrt(sqrt(x^5))), exact algebra over cheap VPU
-primitives) — which replace exp/log-based pow lowerings on the hot path.
-The jnp anchor path keeps jnp.power; the kernel-vs-anchor gates bound the
-difference (observed < 1e-5, budget 5e-3).
+primitives). Measured on hardware, Mosaic's native exp/log pow lowering
+beats them in the spill-sensitive fused kernel (the Halley divisions and
+extra live temporaries cost more than exp/log; see kernels/fused.py).
 """
 
 from __future__ import annotations

@@ -40,7 +40,8 @@ from ..core.params import DevelopParams
 from ..ops import pointwise
 from ..ops.demosaic import BAYER_PATTERNS
 from . import ktrig
-from .fused import LUT_MAX, _quantized_curve, _interpret
+from .fused import (LUT_MAX, _channel_select, _interpret, _quantized_curve,
+                    pack_curve_deltas, smem_spec)
 
 HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
 # Swept on-chip at 45MP: larger tiles win here (halo/DMA overhead
@@ -117,12 +118,13 @@ def _blur5(x, th, tw):
 
 
 def _raw_kernel(
-    scal_ref,     # SMEM (2, 8): row 0 = [vignette, true_h, true_w, sharpen,
-                  #               wb_r, wb_g, wb_b, 0]; row 1 = cam2srgb 3x3
-                  #               flattened in cols 0..8... (see packing)
+    scal_ref,     # SMEM (1, 4): [vignette, true_h, true_w, sharpen]
+                  # (WB is applied host-side in apply_wb_mosaic; the
+                  # camera matrix arrives via cam_ref)
     cam_ref,      # SMEM (3, 3) camera->sRGB matrix
     gains_ref,    # SMEM (M, 3)
     tone_ref,     # SMEM (M, 6)
+    chan_ref,     # SMEM (M, 1) brightness-curve channel selector
     knots_ref,    # SMEM (M*4, S)
     dknots_ref,   # SMEM (M*4, S)
     dcoeffs_ref,  # SMEM (M*4, S*4)
@@ -226,14 +228,15 @@ def _raw_kernel(
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
         if default_curves:
             # Identity-LUT staircase shortcut (see kernels/fused.py).
-            rk = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            gk = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            bk = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            gc = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
         else:
             row = k * 4
-            rk = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-            gk = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-            bk = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+            rc = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+            gc = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+            bc = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
+        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
         if sel is None:
             r, g, b = rk, gk, bk
         else:
@@ -292,6 +295,13 @@ def raw_develop_fused(
     h, w = mosaic01.shape
     m = params.gains.shape[0]
     s = params.breaks.shape[-1]
+    if tile_w % 128 != 0:
+        # The double-buffered HBM DMA reads tw+128-wide windows at offset
+        # tj*tw; lane slices must be 128-aligned (CLAUDE.md).
+        raise ValueError(f"tile_w must be a multiple of 128, got {tile_w}")
+    if tile_h % 2 != 0:
+        # Odd tile origins would shift the CFA phase masks.
+        raise ValueError(f"tile_h must be even, got {tile_h}")
 
     # Round the working area up to tile multiples (edge-replicated; output
     # is cropped back) so every DMA window is in bounds.
@@ -305,19 +315,13 @@ def raw_develop_fused(
     # (the kernel reads tw+128-wide aligned windows).
     padded = jnp.pad(padded, ((0, ph), (0, pw + 128 - 2 * HALO)), mode="edge")
 
-    knots = params.breaks.reshape(m * 4, s)
-    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
-    coeffs = params.coeffs.reshape(m * 4, s, 4)
-    dcoeffs = jnp.diff(
-        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
-    ).reshape(m * 4, s * 4)
+    knots, dknots, dcoeffs = pack_curve_deltas(params, m, s)
 
-    scal = jnp.zeros((2, 8), dtype=jnp.float32)
-    scal = scal.at[0, 0].set(params.vignette)
-    scal = scal.at[0, 1].set(params.extent[0])
-    scal = scal.at[0, 2].set(params.extent[1])
-    scal = scal.at[0, 3].set(jnp.asarray(sharpen_amount, dtype=jnp.float32))
-    scal = scal.at[0, 4:7].set(jnp.asarray(wb_gains, dtype=jnp.float32))
+    scal = jnp.stack([
+        params.vignette.astype(jnp.float32).reshape(()),
+        params.extent[0], params.extent[1],
+        jnp.asarray(sharpen_amount, dtype=jnp.float32).reshape(()),
+    ]).reshape(1, 4)
 
     kernel = functools.partial(
         _raw_kernel,
@@ -332,20 +336,20 @@ def raw_develop_fused(
         tile_h=tile_h,
         tile_w=tile_w,
     )
-    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
-                                      memory_space=pltpu.SMEM)
+    chan = params.bright_channel.reshape(m, 1).astype(jnp.float32)
     in_specs = [
-        smem((2, 8)),
-        smem((3, 3)),
-        smem((m, 3)),
-        smem((m, 6)),
-        smem((m * 4, s)),
-        smem((m * 4, s)),
-        smem((m * 4, s * 4)),
+        smem_spec((1, 4)),
+        smem_spec((3, 3)),
+        smem_spec((m, 3)),
+        smem_spec((m, 6)),
+        smem_spec((m, 1)),
+        smem_spec((m * 4, s)),
+        smem_spec((m * 4, s)),
+        smem_spec((m * 4, s * 4)),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [scal, jnp.asarray(cam2srgb, dtype=jnp.float32), params.gains,
-              params.tone, knots, dknots, dcoeffs, padded]
+              params.tone, chan, knots, dknots, dcoeffs, padded]
     if m > 1:
         if masks is None:
             raise ValueError(f"params pack {m} masks; pass masks [M, H, W]")

@@ -51,7 +51,9 @@ def fetch_np(arr, bands: int | None = None, threads: int | None = None
         return np.asarray(arr)
     threads = min(bands, _MAX_THREADS if threads is None else threads)
 
-    shape, dtype = arr.shape, np.dtype(arr.dtype.name)
+    # np.dtype(arr.dtype), NOT np.dtype(arr.dtype.name): extended dtypes
+    # (bfloat16 from ml_dtypes) are not string-registered with numpy.
+    shape, dtype = arr.shape, np.dtype(arr.dtype)
     flat = arr.reshape(-1)
     n = flat.shape[0]
     bounds = [n * i // bands for i in range(bands + 1)]

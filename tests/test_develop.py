@@ -266,16 +266,41 @@ def test_brightness_channel_validation_and_json():
         p.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=7)
 
 
-def test_editor_channel_curve_takes_exact_path(rng):
-    from rawphotoforge_tpu.core.params import BRIGHTNESS
-    from rawphotoforge_tpu.engine.editor import PhotoEditor
+def test_editor_channel_curve_stays_on_kernel_path(rng):
+    """The fused kernel implements the brightness-curve channel selector
+    (kernels/fused._channel_select), so channel curves no longer force
+    the exact-LUT path — and the render matches the anchor."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.core.params import BRIGHTNESS, pack_params
+    from rawphotoforge_tpu.engine.editor import FULL, PhotoEditor
+    from rawphotoforge_tpu.ops import develop as dev
 
     img = random_linear_image(rng, 16, 24)
     ed = PhotoEditor.from_rgb_f32(img, use_pallas=True,
                                   mid_long_edge=16, low_long_edge=8)
     assert not ed._use_exact_path()
     ed.set_curve(BRIGHTNESS, [0, 65535], [0, 60000], channel=0)
-    assert ed._use_exact_path()  # kernel implements all-channel only
+    assert not ed._use_exact_path()
+    got = np.asarray(ed.apply(FULL))
+    # Anchor oracle: pack WITH the exact LUTs (the kernel-path pack
+    # skips building them).
+    import dataclasses
+
+    anchor_params = dataclasses.replace(
+        pack_params([m.params for m in ed.masks], build_luts=True),
+        extent=jnp.asarray(ed._extents[FULL], jnp.float32))
+    want = np.asarray(dev.develop_post_geo_jit(
+        ed._geo_at(FULL), anchor_params, ed._masks_at(FULL)
+    ))[:, :16, :24]
+    assert np.abs(got - want).max() < 5e-3
+    # Only the red channel is curved: green/blue must match an
+    # un-curved render exactly on those channels.
+    ed2 = PhotoEditor.from_rgb_f32(img, use_pallas=True,
+                                   mid_long_edge=16, low_long_edge=8)
+    base = np.asarray(ed2.apply(FULL))
+    assert np.abs(got[1:] - base[1:]).max() < 5e-3
+    assert np.abs(got[0] - base[0]).max() > 0.02
 
 
 def test_set_curve_rejected_call_leaves_state_unchanged():
