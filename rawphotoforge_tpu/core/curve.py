@@ -236,9 +236,11 @@ def eval_packed(u, breaks, coeffs):
       breaks: f32 [S] knot positions (padded per ``pchip_coeffs``).
       coeffs: f32 [S, 4] monomial coefficients.
 
-    Per pixel: segment index i = (#breaks <= u) - 1 clamped to [0, S-2],
-    computed with S compares; coefficients selected with S scalar
-    broadcast-selects (no gathers); one Horner evaluation.
+    Per pixel: segment index i = (#breaks <= u) - 1 clamped to [0, S-1]
+    (index S-1 is the constant clamp row pchip_coeffs appends — reaching
+    it is what clamps u >= x_last to y_last), computed with S compares;
+    coefficients selected with S scalar broadcast-selects (no gathers);
+    one Horner evaluation.
     """
     s = breaks.shape[0]
     u = jnp.maximum(u, breaks[0])

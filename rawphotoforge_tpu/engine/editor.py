@@ -129,6 +129,7 @@ class PhotoEditor:
 
         # Dirty-stage caches.
         self._packed = None            # DevelopParams, rebuilt on edit
+        self._packed_with_luts = None  # build_luts state of _packed
         self._mask_stack: dict[str, jax.Array] = {}
         self._geo_cache: dict[str, tuple[float, jax.Array]] = {}
         self._rendered: dict[str, tuple[int, jax.Array]] = {}
@@ -221,6 +222,10 @@ class PhotoEditor:
         """Add a regional mask; binarized at the main mask_range threshold
         (v >= mask_range -> 1.0, lib.rs:481-499). ``data`` is [H, W] float
         (e.g. SAM-style logits) at full resolution."""
+        if not name:
+            # '' would be unreachable forever: every name-taking API
+            # resolves falsy names to the main mask (`name or "main"`).
+            raise ValueError("mask name must be non-empty")
         if name == "main" or any(m.name == name for m in self.masks):
             raise ValueError(f"mask name {name!r} already exists")
         thr = self._find("main").params.mask_range
@@ -331,11 +336,16 @@ class PhotoEditor:
         all edits derive from."""
         from ..ops.lenscorr import apply_profile
 
+        # Small images alias MID/LOW to the FULL array — correct each
+        # unique buffer once and share the result across aliased keys.
+        done: dict[int, jax.Array] = {}
         for level in list(self._originals):
-            extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
-            self._originals[level] = apply_profile(
-                self._originals[level], profile, extent
-            )
+            src = self._originals[level]
+            key = id(src)
+            if key not in done:
+                extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
+                done[key] = apply_profile(src, profile, extent)
+            self._originals[level] = done[key]
         self._geo_cache.clear()
         self._invalidate(masks_changed=False)
 
@@ -452,13 +462,17 @@ class PhotoEditor:
         return not self.use_pallas or self._any_raw_lut()
 
     def _packed_params(self, level: str):
-        if self._packed is None:
+        want_luts = self._use_exact_path()
+        if self._packed is None or self._packed_with_luts != want_luts:
             # Kernel path never reads the exact LUTs — skip building and
-            # uploading them on every slider move.
+            # uploading them on every slider move. The cache keys on the
+            # build_luts state too: toggling use_pallas after a render
+            # must not serve the exact path placeholder zero LUTs.
             self._packed = pack_params(
                 [m.params for m in self.masks],
-                build_luts=self._use_exact_path(),
+                build_luts=want_luts,
             )
+            self._packed_with_luts = want_luts
         # Same packed stack for every level; only the true extent differs.
         import dataclasses as _dc
 
@@ -473,7 +487,12 @@ class PhotoEditor:
             rows = []
             for m in self.masks:
                 if level not in m._levels:
-                    if m.data_full.shape == (h, w):
+                    if m.name == "main":
+                        # The main mask is all-ones by construction
+                        # (never inverted) — build it at the level shape
+                        # instead of a full-res bilinear downsample.
+                        m._levels[level] = jnp.ones((h, w), jnp.float32)
+                    elif m.data_full.shape == (h, w):
                         m._levels[level] = m.data_full
                     else:
                         resized = resize_bilinear(m.data_full[None], h, w)[0]
@@ -690,6 +709,10 @@ class PhotoEditor:
             main = next(m for m in self.masks if m.name == "main")
             main.params = params
             self._invalidate(masks_changed=False)
+            # Re-binarize logit-backed masks at the restored threshold —
+            # a raw params assignment bypasses set_mask_range's live
+            # re-threshold semantics.
+            self.set_mask_range(main.params.mask_range)
             return
         by_name = {m["name"]: m["params"] for m in obj["masks"]}
         # Stage 1: parse/validate everything into locals.
@@ -713,6 +736,9 @@ class PhotoEditor:
         for m, params in staged:
             m.params = params
         self._invalidate(masks_changed=False)
+        # Re-binarize logit-backed masks at the restored threshold (see
+        # the v1-branch note above).
+        self.set_mask_range(self._find("main").params.mask_range)
 
     def save_preset(self, path: str) -> None:
         with open(path, "w") as f:

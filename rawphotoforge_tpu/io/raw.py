@@ -76,10 +76,18 @@ def decode_embedded_preview(data: bytes):
         raise
     except Exception as e:  # noqa: BLE001 — PIL's hierarchy stays inside
         raise ImageIOError(f"embedded preview failed to decode: {e}") from e
-    # Camera previews rarely carry their own EXIF; the container's
-    # metadata tags are the authoritative capture record. Preview-embedded
-    # tags win where both exist ("_exif_bytes" blob included).
+    # The container's metadata tags are the authoritative capture record;
+    # camera previews rarely carry their own EXIF, and when they do the
+    # two agree on shared fields (both written by the camera), so the
+    # preview's parsed tags fill per-field. The preview's raw
+    # "_exif_bytes" blob is DROPPED when the container knows fields the
+    # blob's parse lacks — write-back prefers the blob verbatim
+    # (editor.export_exif_bytes), and a stripped preview blob would
+    # silently shadow the richer container record on save.
     merged = container_exif(data)
+    pv_fields = {k for k in exif if k != "_exif_bytes"}
+    if merged and any(k not in pv_fields for k in merged):
+        exif.pop("_exif_bytes", None)
     merged.update(exif)
     return planes, merged
 

@@ -95,12 +95,29 @@ class StageTimer:
         self.stages: dict[str, list[float]] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, sync=None):
+    def stage(self, name: str):
+        """Time a block. The context yields a holder whose ``.result``
+        the block SETS to its output — the device arrays produced inside
+        the block cannot be passed at with-entry (they don't exist yet),
+        and without a sync the tunnel backend records dispatch time only:
+
+            with timer.stage("develop") as st:
+                st.result = editor.apply()
+        """
+        class _Holder:
+            result = None
+
+        holder = _Holder()
         t0 = time.perf_counter()
-        yield
-        if sync is not None:
-            fetch_sync(sync)
-        self.stages.setdefault(name, []).append(time.perf_counter() - t0)
+        try:
+            yield holder
+        finally:
+            # Record even when the block raises (partial stage evidence
+            # beats a silently missing row).
+            if holder.result is not None:
+                fetch_sync(holder.result)
+            self.stages.setdefault(name, []).append(
+                time.perf_counter() - t0)
 
     def report(self) -> str:
         lines = ["stage timings (median over calls):"]

@@ -481,3 +481,54 @@ def test_warp_plus_sharpen_matches_unpadded_oracle():
     oracle = dev.geometry_stage_jit(planes, jnp.float32(1.0), None)
     oracle = np.asarray(unsharp_mask(oracle, jnp.float32(50 / 100.0 * 2.0)))
     np.testing.assert_allclose(got, oracle, atol=1e-6)
+
+
+def test_use_pallas_toggle_invalidates_packed_luts(rng):
+    """Toggling use_pallas after a render must rebuild packed params with
+    the exact LUTs — the kernel-path pack holds placeholder zero LUTs
+    that render black on the anchor path (review regression)."""
+    from rawphotoforge_tpu.core.params import BRIGHTNESS
+    from rawphotoforge_tpu.engine.editor import FULL, PhotoEditor
+
+    img = np.clip(rng.random((24, 32, 3)), 0.05, 1).astype(np.float32)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=True,
+                                  mid_long_edge=16, low_long_edge=8)
+    ed.set_curve(BRIGHTNESS, [0, 65535], [10000, 65535])
+    a = np.asarray(ed.apply(FULL))
+    ed.use_pallas = False
+    b = np.asarray(ed.apply(FULL))
+    assert b.mean() > 0.05, "anchor path rendered black (stale packed LUTs)"
+    assert np.abs(a - b).max() < 5e-3
+
+
+def test_preset_restores_mask_range_rethreshold(rng):
+    """A preset carrying mask_range must re-binarize logit-backed masks,
+    like a live set_mask_range call (review regression)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    img = np.full((16, 24, 3), 0.5, np.float32)
+
+    def fresh():
+        ed = PhotoEditor.from_rgb_f32(img, mid_long_edge=16, low_long_edge=8)
+        logits = np.linspace(0, 1, 16 * 24, dtype=np.float32).reshape(16, 24)
+        ed.add_mask("grad", logits)
+        return ed
+
+    ed1 = fresh()
+    ed1.set_mask_range(0.8)
+    preset = ed1.preset_json()
+    want = np.asarray(ed1._find("grad").data_full)
+
+    ed2 = fresh()  # binarized at the default threshold
+    ed2.load_preset_json(preset)
+    got = np.asarray(ed2._find("grad").data_full)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_add_mask_rejects_empty_name(rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    ed = PhotoEditor.from_rgb_f32(np.full((8, 8, 3), 0.5, np.float32),
+                                  mid_long_edge=8, low_long_edge=8)
+    with pytest.raises(ValueError, match="non-empty"):
+        ed.add_mask("", np.ones((8, 8), np.float32))

@@ -185,7 +185,18 @@ def test_editor_cache_coherence_random_sequences(rng):
     fresh = PhotoEditor.from_rgb_f32(img, **kw)
     fresh.set_mask_range(0.5)
     for m in ed.masks[1:]:
-        fresh.add_mask(m.name, np.asarray(m.data_full))
+        # Reconstruct the TRUE mask state: real logits where the source
+        # mask kept them (load_preset re-thresholds logit-backed masks at
+        # the restored mask_range, v1 semantics), and a detached
+        # logits=None data copy for inverted masks.
+        fresh.add_mask(m.name, np.asarray(
+            m.logits if m.logits is not None else m.data_full))
+        fm = next(x for x in fresh.masks if x.name == m.name)
+        if m.logits is None:
+            fm.logits = None
+        fm.data_full = m.data_full
+        fm._levels.clear()
+    fresh._invalidate(masks_changed=True)
     fresh.load_preset_json(ed.preset_json())
     if ed.crop_rect is None:
         fresh.clear_crop()
