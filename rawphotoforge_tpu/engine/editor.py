@@ -98,7 +98,7 @@ class PhotoEditor:
         # Raw EXIF blob for write-back into exports (the reference's
         # exiftool metadata write-back, python-legacy editor.py:345-350).
         self._exif_bytes = self.exif.pop("_exif_bytes", None)
-        self.use_pallas = use_pallas
+        self._use_pallas = bool(use_pallas)
         # Non-destructive crop rect (x0, y0, x1, y1) in FULL pixel coords,
         # exclusive ends; None = no crop (v1 capability, editor.py:358-366).
         self.crop_rect = None
@@ -134,6 +134,21 @@ class PhotoEditor:
         self._geo_cache: dict[str, tuple[float, jax.Array]] = {}
         self._rendered: dict[str, tuple[int, jax.Array]] = {}
         self._version = 0              # bumped on every edit
+
+    @property
+    def use_pallas(self) -> bool:
+        return self._use_pallas
+
+    @use_pallas.setter
+    def use_pallas(self, value: bool) -> None:
+        # The two paths agree to curve-evaluation tolerance, not bit
+        # exactly: a render cached on the other path must not be served
+        # after a toggle (purity: output is a function of state incl.
+        # the chosen path).
+        value = bool(value)
+        if value != self._use_pallas:
+            self._use_pallas = value
+            self._rendered.clear()
 
     # -- construction -------------------------------------------------------
     @classmethod

@@ -532,3 +532,22 @@ def test_add_mask_rejects_empty_name(rng):
                                   mid_long_edge=8, low_long_edge=8)
     with pytest.raises(ValueError, match="non-empty"):
         ed.add_mask("", np.ones((8, 8), np.float32))
+
+
+def test_use_pallas_toggle_invalidates_render_cache(rng):
+    """The kernel and anchor paths agree only to tolerance; a cached
+    render from the other path must not be served after a toggle
+    (campaign regression: ulp-stale renders)."""
+    from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
+
+    img = np.clip(rng.random((40, 56, 3)), 0.05, 1).astype(np.float32)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=True,
+                                  mid_long_edge=32, low_long_edge=16)
+    ed.set_tone(exposure=0.6, contrast=15)
+    ed.apply(MID)  # cache a kernel-path render
+    ed.use_pallas = False
+    a = np.asarray(ed.apply(MID))
+    fresh = PhotoEditor.from_rgb_f32(img, use_pallas=False,
+                                     mid_long_edge=32, low_long_edge=16)
+    fresh.set_tone(exposure=0.6, contrast=15)
+    np.testing.assert_array_equal(a, np.asarray(fresh.apply(MID)))
