@@ -27,9 +27,18 @@ def _variants():
         "ljpeg": dng.write_dng(raw, compression=7),
         "ljpeg_tiled": dng.write_dng(raw, compression=7, tile=(16, 16)),
         "deflate": dng.write_dng(raw, compression=8, predictor=2),
+        "deflate_x4": dng.write_dng(raw, compression=8, predictor=34893),
         "float": dng.write_dng(
             dng.RawImage(
                 mosaic=(mosaic.astype(np.float32) / 16383.0),
+                pattern="RGGB", black_level=0.0, white_level=1.0,
+                wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+            ),
+            compression=8,
+        ),
+        "float_f16": dng.write_dng(
+            dng.RawImage(
+                mosaic=(mosaic.astype(np.float32) / 16383.0).astype(np.float16),
                 pattern="RGGB", black_level=0.0, white_level=1.0,
                 wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
             ),
