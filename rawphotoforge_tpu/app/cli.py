@@ -467,6 +467,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     from ..errors import PhotoEditorError
 
+    # Honor the settings' adapter pick (device_index) in the CLI too —
+    # the server already does (gpu_image_processing.rs:43-51 analog).
+    if args.cmd not in ("serve",):  # serve selects via its own Settings
+        from ..engine.session import Settings
+
+        Settings.load().select_device()
     try:
         return args.fn(args)
     except PhotoEditorError as e:
