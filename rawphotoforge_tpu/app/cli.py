@@ -133,7 +133,15 @@ def cmd_develop(args) -> int:
     # everything else validates as a display format before rendering.
     hdr_out = args.output.lower().endswith(".dng")
     if not hdr_out:
-        image_io.format_for_path(args.output)
+        fmt = image_io.format_for_path(args.output)
+        if fmt == "DNG":
+            # A vendor-RAW extension (.cr2/.nef/...) maps to "DNG" in the
+            # registry; only literal .dng means the HDR export. Reject up
+            # front instead of after minutes of develop + fetch.
+            raise image_io.ImageIOError(
+                f"cannot develop to {os.path.splitext(args.output)[1]}; "
+                "use .dng for scene-linear HDR or a display format "
+                "(.jpg/.png/.webp/.tif/.ppm)")
     t0 = time.perf_counter()
     ed = PhotoEditor.open(args.input, use_pallas=not args.jnp_path,
                           lens_correct=args.lens_correct,
@@ -147,7 +155,13 @@ def cmd_develop(args) -> int:
         print(f"lens profile: {ed.applied_lens_profile or 'no match'}")
     _apply_edit_flags(ed, args)
     t1 = time.perf_counter()
-    ed.apply(FULL).block_until_ready()
+    # fetch_sync, NOT block_until_ready: the latter is a no-op through
+    # the axon tunnel (CLAUDE.md), which would report dispatch time as
+    # develop time. The tiny fetch forces device completion; save()'s
+    # bulk fetch then reuses the finished buffer.
+    from ..utils.profiling import fetch_sync
+
+    fetch_sync(ed.apply(FULL))
     t_dev = time.perf_counter() - t1
     if hdr_out:
         ed.save_hdr_dng(args.output)
@@ -190,6 +204,22 @@ def _params_from_args(args):
     return p
 
 
+def _batch_out_name(path, output_dir, taken) -> str:
+    """Collision-safe output path: RAW+JPEG shooting pairs (IMG_0001.CR2
+    + IMG_0001.JPG) must not overwrite each other's develop."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    name = stem + ".jpg"
+    if name in taken:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        name = f"{stem}_{ext}.jpg"
+        i = 2
+        while name in taken:
+            name = f"{stem}_{ext}_{i}.jpg"
+            i += 1
+    taken.add(name)
+    return os.path.join(output_dir, name)
+
+
 def _batch_raw_fast_path(paths, args) -> int:
     """Batch-develop RAW files through the one-pass fused kernel: the
     mosaic never round-trips HBM between stages, and compile reuse comes
@@ -222,10 +252,12 @@ def _batch_raw_fast_path(paths, args) -> int:
         # [1, H, W] device allocation (~180 MB at 45MP).
         return fused.develop_post_geo_fused(
             planes, packed, None, main_mask_all_ones=True,
+            default_curves=dc,
         )
 
     t0 = time.perf_counter()
     total_pix = 0
+    taken: set = set()
     for p in paths:
         with open(p, "rb") as f:
             data = f.read()
@@ -257,19 +289,25 @@ def _batch_raw_fast_path(paths, args) -> int:
                 if raw.xyz_to_cam is not None
                 else jnp.eye(3, dtype=jnp.float32)
             )
+            # Position-dependent stages (vignette center, the sharpen
+            # stencil at crop borders) must see the CROPPED frame like
+            # `develop` does (the editor crops at open, io/raw.py) — the
+            # one-pass kernel fuses crop-after, so such files take the
+            # generic demosaic + crop-first + fused-edit route.
+            crop_first = raw.default_crop is not None and (
+                edit.vignette != 0 or edit.sharpness != 0)
             if raw.pattern in dm.BAYER_PATTERNS and \
-                    raw.warp_rectilinear is None:
+                    raw.warp_rectilinear is None and not crop_first:
                 packed = pack_params([edit], extent=(h, w), build_luts=False)
                 srgb = raw_develop_fused(
                     mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
                     packed, sharpen, pattern=raw.pattern, default_curves=dc,
                 )
             else:
-                # Non-Bayer data (X-Trans CFA, demosaiced LinearRaw) or a
+                # Non-Bayer data (X-Trans CFA, demosaiced LinearRaw), a
                 # WarpRectilinear opcode (must run between demosaic and
-                # the edit stack): the one-pass kernel doesn't cover
-                # these — develop via the generic path, then the fused
-                # edit kernel.
+                # the edit stack), or crop-first routing: develop via the
+                # generic path, then the fused edit kernel.
                 if raw.pattern == "RGB":
                     planes = dm.develop_linear_raw(
                         mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),
@@ -286,14 +324,17 @@ def _batch_raw_fast_path(paths, args) -> int:
                     wc, wcen = raw.warp_rectilinear
                     planes = warp_rectilinear(
                         planes, jnp.asarray(wc), jnp.asarray(wcen))
-                srgb = edit_planes(planes, (h, w))
-            if raw.default_crop is not None:
+                if crop_first:
+                    cx, cy, cw, ch = raw.default_crop
+                    planes = planes[:, cy : cy + ch, cx : cx + cw]
+                    srgb = edit_planes(planes, (ch, cw))
+                else:
+                    srgb = edit_planes(planes, (h, w))
+            if raw.default_crop is not None and not crop_first:
                 cx, cy, cw, ch = raw.default_crop
                 srgb = srgb[:, cy : cy + ch, cx : cx + cw]
             srgb = orient_exif(srgb, raw.orientation)
-        out = os.path.join(
-            args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"
-        )
+        out = _batch_out_name(p, args.output_dir, taken)
         # Fast JPEG path: device-side YCbCr 4:2:0 + native encoder (half
         # the link bytes); falls back to the Pillow path without native.
         from ..io import jpegenc
@@ -302,12 +343,10 @@ def _batch_raw_fast_path(paths, args) -> int:
         # EXIF payload from whichever dict the open produced.
         exif_b = image_io.build_exif_bytes(
             raw.exif if raw is not None else pv_exif)
-        if jpegenc.available():
-            body = jpegenc.encode_jpeg(srgb, quality=args.quality,
-                                       exif_bytes=exif_b)
-        else:
-            body = image_io.encode_image(srgb, "JPEG", quality=args.quality,
-                                         exif_bytes=exif_b)
+        # encode_jpeg falls back to the Pillow path itself when the
+        # native library is unavailable.
+        body = jpegenc.encode_jpeg(srgb, quality=args.quality,
+                                   exif_bytes=exif_b)
         with open(out, "wb") as f:
             f.write(body)
         total_pix += h * w
@@ -343,14 +382,13 @@ def cmd_batch(args) -> int:
 
     t0 = time.perf_counter()
     total_pix = 0
+    taken: set = set()
     for p in paths:
         ed = PhotoEditor.open(p, use_pallas=not args.jnp_path,
                               lens_correct=args.lens_correct,
                               lens_db_paths=args.lens_db)
         _apply_edit_flags(ed, args)
-        out = os.path.join(
-            args.output_dir, os.path.splitext(os.path.basename(p))[0] + ".jpg"
-        )
+        out = _batch_out_name(p, args.output_dir, taken)
         ed.save(out, quality=args.quality)
         h, w = ed.shape
         total_pix += h * w
@@ -469,16 +507,28 @@ def main(argv=None) -> int:
 
     # Honor the settings' adapter pick (device_index) in the CLI too —
     # the server already does (gpu_image_processing.rs:43-51 analog).
-    if args.cmd not in ("serve",):  # serve selects via its own Settings
+    # Only for commands that compute: `convert`/`info` are pure
+    # numpy/C++ paths that must keep working offline, and backend init
+    # through the tunnel costs seconds.
+    if args.cmd in ("develop", "batch"):
         from ..engine.session import Settings
 
-        Settings.load().select_device()
+        try:
+            Settings.load().select_device()
+        except Exception:  # noqa: BLE001 — no accelerator reachable:
+            pass           # the command surfaces its own typed error
     try:
         return args.fn(args)
     except PhotoEditorError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        # Malformed flag values (--crop/--*-curve/--tile) raise plain
+        # ValueError; user input must exit 2 with a message, not a
+        # traceback.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -646,18 +646,38 @@ def extract_container_exif(data: bytes) -> dict:
 
 
 def _best_jpeg(cands) -> Optional[bytes]:
-    """Largest candidate that survives a FULL Pillow decode (verify()
-    passes SOF3 structure and says nothing about truncation). Accepts
-    bytes or zero-copy memoryviews; only the winner is materialized."""
+    """Largest-AREA candidate that survives a FULL Pillow decode
+    (verify() passes SOF3 structure and says nothing about truncation).
+
+    Candidates rank by decoded pixel dimensions from a cheap header
+    parse — NOT by slice length: vendor-preview slices run from an SOI to
+    their region end, so byte length measures the enclosing region (a
+    thumbnail inside a big region would beat a full-size preview). The
+    winner is trimmed to the bytes the decoder actually consumed, so
+    megabytes of trailing sensor payload after the EOI never leak into
+    the returned 'JPEG'. Accepts bytes or zero-copy memoryviews; only
+    candidates that reach the full decode are materialized."""
     import io as _io
 
     from PIL import Image as PILImage
 
-    for cand in sorted(cands, key=len, reverse=True):
+    def header_area(cand):
         try:
-            img = PILImage.open(_io.BytesIO(cand))
+            with PILImage.open(_io.BytesIO(cand)) as im:
+                return im.size[0] * im.size[1]
+        except Exception:  # noqa: BLE001 — unparseable header
+            return -1
+
+    for cand in sorted(cands, key=header_area, reverse=True):
+        try:
+            bio = _io.BytesIO(cand)
+            img = PILImage.open(bio)
             img.load()
-            return cand if isinstance(cand, bytes) else bytes(cand)
+            # bio.tell() after the full decode bounds the JPEG's true
+            # length (the decoder stops at EOI, modulo read-ahead).
+            end = min(len(cand), bio.tell())
+            return bytes(cand[:end]) if end < len(cand) else (
+                cand if isinstance(cand, bytes) else bytes(cand))
         except Exception:  # noqa: BLE001 — try the next candidate
             continue
     return None

@@ -285,7 +285,16 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
             "for CFA mosaics"
         )
     if fmt == "PPM16":
-        return encode_ppm16(fetch_np(planes).transpose(1, 2, 0))
+        # PPM16 is a LINEAR container here (the decode path takes its
+        # samples as linear light, matching the reference TS loader's
+        # passthrough) — undo the render's sRGB OETF before storing, or
+        # a .ppm export round-trips double-bright.
+        import jax.numpy as jnp
+
+        from ..core.color import srgb_to_linear
+
+        lin = srgb_to_linear(jnp.clip(jnp.asarray(planes), 0.0, 1.0))
+        return encode_ppm16(fetch_np(lin).transpose(1, 2, 0))
     # Quantize on device + parallel banded fetch: the tunnel moves 1
     # byte/sample instead of 4 (utils/transfer.py).
     u8 = fetch_u8_hwc(planes)

@@ -206,3 +206,85 @@ def test_batch_fast_path_applies_warp_opcode(tmp_path):
     # per-pixel deltas are modest but pervasive).
     assert not np.array_equal(a, b)
     assert np.abs(a - b).mean() > 0.5
+
+
+def test_batch_same_stem_no_overwrite(tmp_path):
+    """RAW+JPEG shooting pairs (IMG.dng + IMG.jpg) must not overwrite
+    each other's developed output (review regression)."""
+    import dataclasses
+
+    from PIL import Image
+
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    ind = tmp_path / "r"
+    outd = tmp_path / "o"
+    ind.mkdir()
+    rgb = np.full((3, 32, 48), 0.5, np.float32)
+    (ind / "IMG_0001.dng").write_bytes(write_dng(synthetic_raw(rgb)))
+    Image.new("RGB", (48, 32), (90, 120, 40)).save(ind / "IMG_0001.jpg")
+    assert main(["batch", str(ind), str(outd)]) == 0
+    outs = sorted(p.name for p in outd.iterdir())
+    assert len(outs) == 2, outs
+
+
+def test_develop_rejects_raw_output_extension(tmp_path, capsys):
+    """A vendor-RAW output extension fails fast with exit 2, before the
+    render (review regression)."""
+    from rawphotoforge_tpu.app.cli import main
+
+    src = tmp_path / "t.png"
+    from PIL import Image
+
+    Image.new("RGB", (8, 8)).save(src)
+    rc = main(["develop", str(src), str(tmp_path / "out.cr2")])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
+
+
+def test_malformed_flag_values_exit_two(tmp_path, capsys):
+    from PIL import Image
+
+    from rawphotoforge_tpu.app.cli import main
+
+    src = tmp_path / "t.png"
+    Image.new("RGB", (8, 8)).save(src)
+    for flags in (["--crop", "1,2,3"], ["--brightness-curve", "10:20,30"]):
+        rc = main(["develop", str(src), str(tmp_path / "o.jpg"), *flags])
+        assert rc == 2, flags
+        assert "error:" in capsys.readouterr().err
+
+
+def test_batch_vignette_crop_parity(tmp_path):
+    """`batch --vignette` on a RAW with an off-center DefaultCrop must
+    match `develop --vignette` (the fast path used to vignette about the
+    uncropped center — review regression)."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rng = np.random.default_rng(9)
+    rgb = np.clip(rng.random((3, 48, 64)), 0, 1).astype(np.float32)
+    raw = dataclasses.replace(synthetic_raw(rgb),
+                              default_crop=(10, 2, 40, 40))
+    ind = tmp_path / "r"
+    outd = tmp_path / "o"
+    ind.mkdir()
+    (ind / "a.dng").write_bytes(write_dng(raw))
+    assert main(["batch", str(ind), str(outd), "--vignette", "70"]) == 0
+    dev_out = tmp_path / "dev.jpg"
+    assert main(["develop", str(ind / "a.dng"), str(dev_out),
+                 "--vignette", "70"]) == 0
+    a = np.asarray(Image.open(outd / "a.jpg"), dtype=np.float32)
+    b = np.asarray(Image.open(dev_out), dtype=np.float32)
+    assert a.shape == b.shape
+    # JPEG quantization differs between the native and Pillow encoders;
+    # the vignette CENTER mismatch this guards against is tens of levels.
+    assert np.abs(a - b).mean() < 3.0, np.abs(a - b).mean()

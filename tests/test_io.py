@@ -214,3 +214,23 @@ def test_junk_orientation_tag_falls_back_to_upright():
     parsed = read_dng(write_dng(raw))
     assert parsed.orientation == 1
     develop_raw_image(parsed)  # must not raise
+
+
+def test_ppm16_export_roundtrips_linear(rng):
+    """PPM16 is a linear container: encode_image must undo the render's
+    sRGB OETF so a .ppm export reopens at the same brightness (review
+    regression: double gamma)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.io import image_io
+
+    srgb = jnp.asarray(
+        np.clip(rng.random((3, 12, 16)), 0, 1).astype(np.float32))
+    data = image_io.encode_image(srgb, "PPM16")
+    planes, _ = image_io.decode_image(data, "PPM16")
+    # decode treats PPM16 samples as linear; re-encoding to sRGB must
+    # reproduce the original render (u16 quantization tolerance).
+    from rawphotoforge_tpu.core.color import linear_to_srgb
+
+    back = np.asarray(linear_to_srgb(jnp.asarray(planes)))
+    np.testing.assert_allclose(back, np.asarray(srgb), atol=2e-3)
