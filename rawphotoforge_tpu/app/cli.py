@@ -29,11 +29,17 @@ from ..io import image_io
 
 
 def _parse_curve(spec: str):
-    xs, ys = [], []
-    for pair in spec.split(","):
-        x, y = pair.split(":")
-        xs.append(int(x))
-        ys.append(int(y))
+    from ..errors import PhotoEditorError
+
+    try:
+        xs, ys = [], []
+        for pair in spec.split(","):
+            x, y = pair.split(":")
+            xs.append(int(x))
+            ys.append(int(y))
+    except ValueError as e:
+        raise PhotoEditorError(
+            f"bad curve spec {spec!r} (want 'x:y,x:y,...'): {e}") from e
     return np.asarray(xs, dtype=np.int32), np.asarray(ys, dtype=np.int32)
 
 
@@ -72,8 +78,15 @@ def _add_edit_flags(p: argparse.ArgumentParser):
 
 def _apply_edit_flags(ed: PhotoEditor, args):
     if args.crop:
-        x0, y0, x1, y1 = (int(v) for v in args.crop.split(","))
-        ed.set_crop(x0, y0, x1, y1)
+        from ..errors import PhotoEditorError
+
+        try:
+            x0, y0, x1, y1 = (int(v) for v in args.crop.split(","))
+            ed.set_crop(x0, y0, x1, y1)
+        except ValueError as e:
+            raise PhotoEditorError(
+                f"bad crop {args.crop!r} (want 'x0,y0,x1,y1' inside the "
+                f"image): {e}") from e
     if args.preset:
         ed.load_preset(args.preset)
         return
@@ -339,10 +352,14 @@ def _batch_raw_fast_path(paths, args) -> int:
         # the link bytes); falls back to the Pillow path without native.
         from ..io import jpegenc
 
-        # Preview-fallback files still carry metadata: synthesize the
-        # EXIF payload from whichever dict the open produced.
-        exif_b = image_io.build_exif_bytes(
-            raw.exif if raw is not None else pv_exif)
+        # Preview-fallback files keep the preview's own EXIF blob when it
+        # carries one (same as `develop` via editor.export_exif_bytes);
+        # otherwise synthesize from whichever dict the open produced.
+        if raw is not None:
+            exif_b = image_io.build_exif_bytes(raw.exif)
+        else:
+            exif_b = (pv_exif.get("_exif_bytes")
+                      or image_io.build_exif_bytes(pv_exif))
         # encode_jpeg falls back to the Pillow path itself when the
         # native library is unavailable.
         body = jpegenc.encode_jpeg(srgb, quality=args.quality,
@@ -420,7 +437,13 @@ def cmd_convert(args) -> int:
     preview = None if args.no_preview else extract_preview(src)
     tile = None
     if args.tile:
-        th, tw = (int(v) for v in args.tile.split("x"))
+        from ..errors import PhotoEditorError
+
+        try:
+            th, tw = (int(v) for v in args.tile.split("x"))
+        except ValueError as e:
+            raise PhotoEditorError(
+                f"bad tile {args.tile!r} (want 'HxW', e.g. 256x256)") from e
         tile = (th, tw)
     if args.codec == "deflate":
         out = write_dng(raw, compression=8, predictor=34892, tile=tile,
@@ -523,12 +546,6 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
-    except ValueError as e:
-        # Malformed flag values (--crop/--*-curve/--tile) raise plain
-        # ValueError; user input must exit 2 with a message, not a
-        # traceback.
         print(f"error: {e}", file=sys.stderr)
         return 2
 

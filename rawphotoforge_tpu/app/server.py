@@ -159,14 +159,14 @@ for(const [name,lo,hi,st] of SLIDERS){{
   el.onchange=()=>{{push('mid');}};
 }}
 // ---- curve editor (tone_curve_editor.ts analog) ----
-const curves={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
- saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
+const CURVE_DEFAULTS={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
+  saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
+const curves={{}};
+for(const k in CURVE_DEFAULTS) curves[k]=CURVE_DEFAULTS[k].map(q=>q.slice());
 let curCurve='brightness', dragIdx=-1;
 const cc=document.getElementById('curve'), ctx=cc.getContext('2d');
 // ---- tabs (web/index.html tab-container analog) ----
 const CURVE_TABS=new Set(['brightness','hue','saturation','lightness']);
-const CURVE_DEFAULTS={{brightness:[[0,0],[65535,65535]],hue:[[0,0],[65535,65535]],
-  saturation:[[0,32767],[65535,32767]],lightness:[[0,32767],[65535,32767]]}};
 function switchTab(name){{
   document.querySelectorAll('#tabhdr button').forEach(b=>
     b.classList.toggle('active',b.dataset.tab===name));

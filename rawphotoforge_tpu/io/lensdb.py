@@ -216,7 +216,7 @@ class LensDatabase:
             em = _norm(e.maker)
             return not em or em in maker_n or maker_n in em
 
-        def search(candidates):
+        def search(candidates, fuzzy=True):
             for e in candidates:                   # exact
                 if _norm(e.model) == want:
                     return e
@@ -224,6 +224,8 @@ class LensDatabase:
                 em = _norm(e.model)
                 if em and (em in want or want in em):
                     return e
+            if not fuzzy:
+                return None
             best, best_score = None, 0.0           # token overlap
             want_tokens = set(want.split())
             for e in candidates:
@@ -241,7 +243,11 @@ class LensDatabase:
             # find_lenses with maker=None): the caller often passes the
             # camera BODY Make, which legitimately differs from the lens
             # maker for third-party glass (body 'Canon', lens 'Sigma ...').
-            found = search(self.lenses)
+            # EXACT/containment tiers only: third-party LensModel strings
+            # name their maker ('Sigma 35mm ...'), while a weak token
+            # match across makers ('50mm f/1.8' ~ another brand's
+            # fifty) would warp the wrong profile into the pixels.
+            found = search(self.lenses, fuzzy=False)
         return found
 
     def profile_for(

@@ -290,3 +290,22 @@ def test_composed_tca_distortion_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(lenscorr.apply_profile(img, ident)), np.asarray(img),
         atol=1e-6)
+
+
+def test_maker_retry_skips_weak_fuzzy_match():
+    """The maker-unqualified retry uses exact/containment only: a
+    generic model string must not weakly token-match another maker's
+    lens (review regression)."""
+    xml = """<lensdatabase>
+      <lens><maker>Nikon</maker><model>Nikon Nikkor 50mm f/1.8</model>
+        <calibration><distortion model="poly3" focal="50" k1="-0.01"/>
+        </calibration></lens>
+    </lensdatabase>"""
+    db = LensDatabase.parse_xml(xml)
+    # Same maker via weak token overlap is fine maker-qualified...
+    assert db.find_lens("Nikkor 50mm f/1.8", maker="Nikon") is not None
+    # ...but a Canon body's unknown '50mm f/1.8' must NOT pick up the
+    # Nikon profile through the retry's fuzzy tier.
+    assert db.find_lens("50mm f/1.8 STM", maker="Canon") is None
+    # Exact third-party match still resolves despite the body maker.
+    assert db.find_lens("Nikon Nikkor 50mm f/1.8", maker="Canon") is not None
