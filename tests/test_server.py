@@ -490,3 +490,30 @@ def test_page_tabbed_edit_panel(base_url):
         assert needle in page, needle
     assert b"curvesel" not in page
     assert page.count(b"id=exif") == 1
+
+
+def test_endpoint_fuzz_malformed_bodies(base_url):
+    """Every POST endpoint must answer 4xx (JSON error) to malformed
+    bodies — never 500, never kill the server thread."""
+    endpoints = ["/edit", "/mask/add", "/mask/remove", "/mask/invert",
+                 "/preset", "/crop", "/settings", "/reset"]
+    rng = np.random.default_rng(7)
+    bodies = [b"", b"null", b"[]", b'"str"', b"{", b"\xff\xfe\x00",
+              json.dumps({"exposure": "NaN"}).encode(),
+              json.dumps({"_target": "missing", "exposure": 1}).encode(),
+              json.dumps({"curve_brightness": [[1]]}).encode(),
+              json.dumps({"name": 5}).encode(),
+              json.dumps({"x0": -1, "y0": -1, "x1": -5, "y1": -5}).encode(),
+              json.dumps({"point": "xy"}).encode()]
+    bodies += [bytes(rng.integers(0, 256, size=int(rng.integers(1, 200)),
+                                  dtype=np.uint8)) for _ in range(20)]
+    for ep in endpoints:
+        for body in bodies:
+            try:
+                status, _ = _post_raw(base_url + ep, body)
+            except urllib.error.HTTPError as e:
+                status = e.code
+            assert status < 500, (ep, body[:40], status)
+    # The server is still alive and functional afterwards.
+    status, _, page = _get(base_url + "/")
+    assert status == 200 and b"RawPhotoForge-TPU" in page
