@@ -805,7 +805,14 @@ def make_handler(app: EditorApp):
                 self._send(403, json.dumps(
                     {"error": "cross-origin request rejected"}).encode())
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                # A malformed header must get the same typed-400 answer
+                # malformed bodies do, not a dropped connection.
+                self._send(400, json.dumps(
+                    {"error": "invalid Content-Length header"}).encode())
+                return
             if n > (1 << 31):  # body-size cap: no multi-GB allocations
                 self._send(413, json.dumps(
                     {"error": "request body too large"}).encode())

@@ -244,10 +244,14 @@ class PhotoEditor:
         if name == "main" or any(m.name == name for m in self.masks):
             raise ValueError(f"mask name {name!r} already exists")
         thr = self._find("main").params.mask_range
-        arr = jnp.asarray(np.asarray(data, dtype=np.float32))
+        # Logits stay on the HOST (np): at 45MP a full-res f32 plane is
+        # ~180 MB of device memory per mask, kept alive only to support
+        # the occasional live mask_range re-threshold — a cheap numpy
+        # compare + one upload when it actually happens.
+        arr = np.asarray(data, dtype=np.float32)
         if arr.shape != self.shape:
             raise ValueError(f"mask shape {arr.shape} != image shape {self.shape}")
-        binar = (arr >= thr).astype(jnp.float32)
+        binar = jnp.asarray((arr >= thr).astype(np.float32))
         self.masks.append(_Mask(name, binar, EditParameters(), logits=arr))
         self._invalidate(masks_changed=True)
 
@@ -282,12 +286,19 @@ class PhotoEditor:
         python-legacy raw_photo_forge.py:2375-2479, model-free): sample the
         color at ``point_xy`` (x, y) on the *current render base* and select
         by OKLab similarity; logits are thresholded by mask_range like any
-        ingested mask."""
+        ingested mask.
+
+        Samples the *rendered* image (like add_model_mask, and v1's
+        predictor which re-applies edits before predicting,
+        raw_photo_forge.py:2409-2411): after a strong WB/tone shift the
+        prompt selects the color the user sees, not the undeveloped
+        base."""
+        from ..core.color import srgb_to_linear
         from ..ops.masking import similarity_mask
 
         x, y = point_xy
         logits = similarity_mask(
-            self._geo_at(FULL),
+            srgb_to_linear(self.apply(FULL, cropped=False)),
             jnp.asarray([y, x], dtype=jnp.int32),
             jnp.float32(color_tolerance),
             jnp.float32(spatial_sigma if spatial_sigma > 0 else 1.0),
@@ -305,7 +316,10 @@ class PhotoEditor:
         preview resolution and upsampled — the same resize-to-levels flow
         v1 uses for SAM masks (raw_photo_forge.py:2427-2474). Unlike
         add_similarity_mask the selection respects connectivity and stops
-        at contrast boundaries."""
+        at contrast boundaries. Like add_similarity_mask / add_model_mask,
+        the flood runs over the *rendered* image (v1 re-applies edits
+        before predicting, raw_photo_forge.py:2409-2411)."""
+        from ..core.color import srgb_to_linear
         from ..ops.geometry import resize_bilinear
         from ..ops.masking import smart_select_mask
 
@@ -315,7 +329,7 @@ class PhotoEditor:
         x, y = point_xy  # full-res prompt coordinates
         py = min(mh - 1, max(0, int(y * mh / h)))
         px = min(mw - 1, max(0, int(x * mw / w)))
-        base = self._geo_at(level)[:, :mh, :mw]
+        base = srgb_to_linear(self.apply(level, cropped=False))
         logits = smart_select_mask(
             base, (py, px), tolerance=tolerance, edge_weight=edge_weight
         )
@@ -405,7 +419,9 @@ class PhotoEditor:
         changed = False
         for m in self.masks[1:]:
             if m.logits is not None:
-                m.data_full = (m.logits >= value).astype(jnp.float32)
+                # Host-side compare + upload (logits live on host, add_mask)
+                m.data_full = jnp.asarray(
+                    (m.logits >= value).astype(np.float32))
                 m._levels.clear()
                 changed = True
         if changed:

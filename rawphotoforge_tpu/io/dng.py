@@ -1378,6 +1378,9 @@ def write_dng(
         # denominator shrinks for large values so the u32 numerator
         # cannot overflow (e.g. white_level=16383.0 on float data).
         def _rat(v):
+            # RATIONAL is unsigned: a negative level (crafted input on the
+            # convert transcode path) must not escape as struct.error.
+            v = max(0.0, float(v))
             den = 1000000
             while den > 1 and round(v * den) > 0xFFFFFFFF:
                 den //= 10

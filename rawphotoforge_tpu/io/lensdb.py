@@ -105,17 +105,12 @@ class LensDatabase:
         """Parse lensfun XML files (memoized per path set — batch runs
         with --lens-correct open many images against one database).
         ``db_paths``: file or directory paths (directories are scanned
-        for ``*.xml``)."""
+        for ``*.xml``). The returned instance is shared between callers
+        with the same (files, mtimes) — treat it as read-only."""
         if isinstance(db_paths, (str, os.PathLike)):
             # A bare path would be iterated character-by-character below,
             # silently loading nothing from the user's database.
             db_paths = [os.fspath(db_paths)]
-        return cls._load_cached(
-            tuple(db_paths) if db_paths else None, include_bundled)
-
-    @classmethod
-    @functools.lru_cache(maxsize=8)
-    def _load_cached(cls, db_paths, include_bundled) -> "LensDatabase":
         files = []
         if include_bundled and os.path.exists(_BUNDLED):
             files.append(_BUNDLED)
@@ -124,6 +119,22 @@ class LensDatabase:
                 files.extend(sorted(glob.glob(os.path.join(p, "*.xml"))))
             else:
                 files.append(p)
+
+        def mtime(f):
+            try:
+                return os.stat(f).st_mtime_ns
+            except OSError:
+                return None
+
+        # The memo key carries each file's mtime so XML files added to a
+        # pointed-at directory or edited on disk during a long-lived server
+        # process are re-read, not served stale from the cache.
+        return cls._load_cached(tuple((f, mtime(f)) for f in files))
+
+    @classmethod
+    @functools.lru_cache(maxsize=8)
+    def _load_cached(cls, files_with_mtimes) -> "LensDatabase":
+        files = [f for f, _ in files_with_mtimes]
         lenses: list[LensEntry] = []
         skipped: list[str] = []
         for f in files:

@@ -188,6 +188,58 @@ def test_editor_similarity_mask_flow(rng):
     np.testing.assert_allclose(out[:, 22:], ref[:, 22:], atol=1e-6)
 
 
+def test_similarity_mask_prompts_rendered_image():
+    """Point prompts must select by the *rendered* color, not the
+    undeveloped base (v1 re-applies edits before predicting,
+    raw_photo_forge.py:2409-2411). A strong vignette darkens corners only
+    in the render — the base (and geometry stage) stays uniform — so a
+    tight-tolerance prompt at the center must exclude the corners."""
+    h, w = 48, 48
+    img = np.full((h, w, 3), 0.5, dtype=np.float32)
+    ed = PhotoEditor.from_rgb_f32(
+        img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed.set_vignette(-100)
+    ed.add_similarity_mask("m", (w // 2, h // 2), color_tolerance=0.05)
+    mask = np.asarray(ed._find("m").data_full)
+    assert mask[h // 2, w // 2] == 1.0
+    assert mask[0, 0] == 0.0 and mask[-1, -1] == 0.0
+    # Sanity: without the edit the uniform image selects everywhere.
+    ed2 = PhotoEditor.from_rgb_f32(
+        img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed2.add_similarity_mask("m", (w // 2, h // 2), color_tolerance=0.05)
+    assert np.asarray(ed2._find("m").data_full).mean() > 0.99
+
+
+def test_smart_mask_prompts_rendered_image():
+    """Same contract for the geodesic smart select: the flood runs over
+    the rendered image, so a rendered-only boundary (vignette ring)
+    stops it before the corners."""
+    h, w = 48, 48
+    img = np.full((h, w, 3), 0.5, dtype=np.float32)
+    ed = PhotoEditor.from_rgb_f32(
+        img, use_pallas=False, mid_long_edge=32, low_long_edge=16)
+    ed.set_vignette(-100)
+    ed.add_smart_mask("m", (w // 2, h // 2), tolerance=0.08)
+    mask = np.asarray(ed._find("m").data_full)
+    assert mask[h // 2, w // 2] == 1.0
+    assert mask[0, 0] == 0.0 and mask[-1, -1] == 0.0
+
+
+def test_mask_logits_stay_on_host():
+    """Full-res pre-threshold logits are host np arrays (re-binarize
+    support must not pin ~180 MB/mask of device memory at 45MP)."""
+    h, w = 24, 32
+    ed = PhotoEditor.from_rgb_f32(
+        np.full((h, w, 3), 0.4, dtype=np.float32), use_pallas=False,
+        mid_long_edge=32, low_long_edge=16)
+    ed.add_mask("m", np.linspace(-1, 1, h * w, dtype=np.float32).reshape(h, w))
+    assert isinstance(ed._find("m").logits, np.ndarray)
+    before = float(np.asarray(ed._find("m").data_full).mean())
+    ed.set_mask_range(0.9)
+    after = float(np.asarray(ed._find("m").data_full).mean())
+    assert after < before  # re-threshold from host logits still works
+
+
 def test_feather_and_luminance_masks(rng):
     m = jnp.zeros((32, 32), dtype=jnp.float32).at[8:24, 8:24].set(1.0)
     f = np.asarray(masking.feather_mask(m, radius=3))
