@@ -621,6 +621,31 @@ class EditorApp:
             **labels
         )
 
+    #: Exact /edit schema (docs/API.md). Anything else is a 400: /edit has
+    #: full-state semantics (absent sliders reset to default), so a
+    #: misspelled or nested key would otherwise silently no-op AND zero
+    #: every other slider.
+    EDIT_KEYS = frozenset(
+        ("_target", "exposure", "contrast", "shadow", "highlight", "black",
+         "white", "wb_temperature", "wb_tint", "vignette", "lens_distortion",
+         "sharpness", "mask_range")
+        + tuple(f"curve_{c}" for c in CURVE_NAMES)
+    )
+
+    @staticmethod
+    def check_keys(body, allowed, endpoint: str):
+        """Strict body validation: the JSON object may only carry known
+        top-level keys. Raises ValueError (-> typed 400) naming the first
+        offender, so clients learn about typos instead of silently
+        resetting state."""
+        if not isinstance(body, dict):
+            raise ValueError(f"{endpoint} body must be a JSON object")
+        for k in body:
+            if k not in allowed:
+                raise ValueError(
+                    f"unknown key {k!r} for {endpoint} "
+                    f"(allowed: {', '.join(sorted(allowed))})")
+
     def apply_state(self, st: dict):
         """Apply slider/curve state to the target mask ('_target', default
         main). Global-only params (vignette, distortion, sharpness,
@@ -628,10 +653,12 @@ class EditorApp:
 
         All-or-nothing: every value is validated against a scratch
         EditParameters BEFORE any session state mutates, so a rejected
-        /edit (e.g. a non-monotone curve) leaves the editor untouched —
-        the same invariant the individual setters and preset loads keep."""
+        /edit (e.g. a non-monotone curve or an unknown key) leaves the
+        editor untouched — the same invariant the individual setters and
+        preset loads keep."""
         from ..core.params import EditParameters
 
+        self.check_keys(st, self.EDIT_KEYS, "/edit")
         target = st.get("_target") or "main"
         mask_name = None if target == "main" else target
         scratch = EditParameters()
@@ -854,13 +881,21 @@ def make_handler(app: EditorApp):
                         app.apply_state(body)
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/reset":
+                        app.check_keys(body, frozenset(), "/reset")
                         app.editor.reset()
                         app.editor.clear_crop()
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/preset":
+                        # Preset bodies keep their own schema validation
+                        # (load_preset_json is all-or-nothing and must
+                        # tolerate v1 preset files' extra keys).
                         app.editor.load_preset_json(json.dumps(body))
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/crop":
+                        app.check_keys(
+                            body,
+                            frozenset({"clear", "x0", "y0", "x1", "y1"}),
+                            "/crop")
                         if body.get("clear"):
                             app.editor.clear_crop()
                         else:
@@ -869,11 +904,20 @@ def make_handler(app: EditorApp):
                             )
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/settings":
+                        app.check_keys(
+                            body, frozenset(app.settings.to_json()),
+                            "/settings")
                         merged = {**app.settings.to_json(), **body}
                         app.settings = Settings.from_json(merged)
                         app.settings.save(app.settings_path)
                         self._send(200, json.dumps(app.settings.to_json()).encode())
                     elif url.path == "/mask/add":
+                        app.check_keys(
+                            body,
+                            frozenset({"name", "point", "data", "model",
+                                       "smart", "tolerance", "edge_weight",
+                                       "sigma"}),
+                            "/mask/add")
                         if "point" in body:
                             seg = None
                             if body.get("model"):
@@ -925,9 +969,11 @@ def make_handler(app: EditorApp):
                             )
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/mask/remove":
+                        app.check_keys(body, frozenset({"name"}), "/mask/remove")
                         app.editor.remove_mask(body["name"])
                         self._send(200, b'{"ok": true}')
                     elif url.path == "/mask/invert":
+                        app.check_keys(body, frozenset({"name"}), "/mask/invert")
                         app.editor.invert_mask(body["name"])
                         self._send(200, b'{"ok": true}')
                     else:

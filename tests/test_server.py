@@ -492,6 +492,39 @@ def test_page_tabbed_edit_panel(base_url):
     assert page.count(b"id=exif") == 1
 
 
+def test_unknown_keys_rejected_with_400(base_url):
+    """Wrong-but-well-formed bodies must be rejected, not silently
+    applied: /edit has full-state semantics, so a misspelled or nested
+    key would otherwise no-op AND reset every other slider."""
+    status, _ = _post(base_url + "/edit", {"exposure": 1.5})
+    assert status == 200
+    before = json.loads(_get(base_url + "/params?mask=main")[2])
+    assert before["exposure"] == 1.5
+    for ep, body in [
+        ("/edit", {"tone": {"exposure": 0.8}}),      # nested schema
+        ("/edit", {"exposures": 0.2}),               # typo
+        ("/edit", {"curve_bright": [[0, 0], [65535, 65535]]}),
+        ("/reset", {"hard": True}),
+        ("/crop", {"x0": 0, "y0": 0, "x1": 5, "y1": 5, "mode": "lossy"}),
+        ("/settings", {"jpg_quality": 80}),          # typo of jpeg_quality
+        ("/mask/add", {"name": "m", "point": [1, 1], "colour": 0.1}),
+        ("/mask/remove", {"name": "m", "force": 1}),
+        ("/mask/invert", {"names": "m"}),
+    ]:
+        try:
+            status, resp = _post(base_url + ep, body)
+        except urllib.error.HTTPError as e:
+            status, resp = e.code, e.read()
+        assert status == 400, (ep, body, status)
+        assert b"unknown key" in resp or b"must be a JSON object" in resp, (
+            ep, resp)
+    # The rejected /edit bodies left the editor state untouched.
+    after = json.loads(_get(base_url + "/params?mask=main")[2])
+    assert after == before
+    status, _ = _post(base_url + "/edit", {"exposure": 0.0})
+    assert status == 200
+
+
 def test_endpoint_fuzz_malformed_bodies(base_url):
     """Every POST endpoint must answer 4xx (JSON error) to malformed
     bodies — never 500, never kill the server thread."""
