@@ -9,9 +9,11 @@ lensfunpy DB -> vignetting/TCA/distortion modifiers). Here:
   directory of real lensfun ``*.xml`` files the user points at
   (``db_paths``), so an actual lensfun checkout drops in unchanged.
 * ``LensDatabase.profile_for`` resolves (LensModel, focal, aperture) ->
-  ops/lenscorr.LensProfile, picking the nearest calibrated focal length
-  (lensfun interpolates between focals; nearest-neighbor is used here and
-  documented — calibration points are dense where it matters).
+  ops/lenscorr.LensProfile, interpolating distortion/TCA linearly between
+  the calibrated focal lengths that bracket the shot's focal, and
+  vignetting bilinearly over (focal, aperture) — the lensfun behavior v1
+  inherits through lensfunpy — with crop-factor coordinate rescaling when
+  the shooting body's crop differs from the calibration camera's.
 * Matching is fuzzy the way lensfun's is in practice: casefolded exact
   match first, then substring containment either way, then token overlap.
 
@@ -92,6 +94,91 @@ def _nearest(calibs: list[_Calib], focal: Optional[float],
         return d
 
     return min(calibs, key=key)
+
+
+def _lerp_data(c0: _Calib, c1: _Calib, t: float) -> tuple:
+    return tuple(a * (1.0 - t) + b * t for a, b in zip(c0.data, c1.data))
+
+
+def _interp_focal(calibs: list[_Calib], focal: Optional[float]
+                  ) -> Optional[_Calib]:
+    """Interpolate calibration parameters linearly between the two focal
+    lengths bracketing ``focal`` (what lensfun — and v1 via lensfunpy,
+    editor.py:425-711 — does between calibration points; nearest-neighbor
+    is measurably off a stop away from a calibrated focal). Clamped to
+    the endpoints outside the calibrated range; exact at calibration
+    points. Only same-model points interpolate — with mixed models the
+    group of the nearest point wins (coefficients of different models are
+    not commensurable)."""
+    if not calibs:
+        return None
+    if focal is None:
+        return calibs[0]
+    near = min(calibs, key=lambda c: abs(c.focal - focal))
+    group = sorted((c for c in calibs if c.model == near.model),
+                   key=lambda c: c.focal)
+    lo = [c for c in group if c.focal <= focal]
+    hi = [c for c in group if c.focal >= focal]
+    if not lo:
+        return group[0]
+    if not hi:
+        return group[-1]
+    c0, c1 = lo[-1], hi[0]
+    if c1.focal == c0.focal:
+        return c0
+    t = (focal - c0.focal) / (c1.focal - c0.focal)
+    return _Calib(focal, _lerp_data(c0, c1, t), c0.model)
+
+
+def _interp_vignetting(calibs: list[_Calib], focal: Optional[float],
+                       aperture: Optional[float]) -> Optional[_Calib]:
+    """Bilinear interpolation of pa-model vignetting over (focal,
+    aperture): at each of the two bracketing focals the parameters are
+    interpolated linearly across aperture (clamped at the calibrated
+    ends), then linearly across focal — the lensfun behavior v1 inherits
+    through lensfunpy. With no aperture the nearest-aperture column is
+    used at each focal."""
+    if not calibs:
+        return None
+    if focal is None:
+        return calibs[0]
+
+    def at_focal(f: float) -> Optional[_Calib]:
+        col = sorted((c for c in calibs if c.focal == f),
+                     key=lambda c: c.aperture)
+        if not col:
+            return None
+        if aperture is None:
+            return col[0]
+        lo = [c for c in col if c.aperture <= aperture]
+        hi = [c for c in col if c.aperture >= aperture]
+        if not lo:
+            return col[0]
+        if not hi:
+            return col[-1]
+        a0, a1 = lo[-1], hi[0]
+        if a1.aperture == a0.aperture:
+            return a0
+        t = (aperture - a0.aperture) / (a1.aperture - a0.aperture)
+        return _Calib(f, _lerp_data(a0, a1, t), a0.model,
+                      aperture)
+
+    focals = sorted({c.focal for c in calibs})
+    f_lo = [f for f in focals if f <= focal]
+    f_hi = [f for f in focals if f >= focal]
+    if not f_lo:
+        v = at_focal(focals[0])
+    elif not f_hi:
+        v = at_focal(focals[-1])
+    else:
+        c0, c1 = at_focal(f_lo[-1]), at_focal(f_hi[0])
+        if c0 is None or c1 is None or c1.focal == c0.focal:
+            v = c0 or c1
+        else:
+            t = (focal - c0.focal) / (c1.focal - c0.focal)
+            v = _Calib(focal, _lerp_data(c0, c1, t), c0.model,
+                       aperture if aperture is not None else c0.aperture)
+    return v
 
 
 class LensDatabase:
@@ -267,33 +354,53 @@ class LensDatabase:
         focal: Optional[float] = None,
         aperture: Optional[float] = None,
         maker: Optional[str] = None,
+        cam_crop_factor: Optional[float] = None,
     ) -> Optional[LensProfile]:
-        """Resolve EXIF fields to an applicable LensProfile (or None)."""
+        """Resolve EXIF fields to an applicable LensProfile (or None).
+
+        Calibration parameters are interpolated between calibrated focal
+        lengths (and, for vignetting, apertures). When the shooting
+        camera's crop factor differs from the calibration entry's, the
+        profile carries the coordinate rescale calib_crop/cam_crop
+        (LensProfile.radius_scale): the correction polynomials are then
+        evaluated in the calibration camera's frame, like lensfun does
+        when pairing a lens profile with a different-crop body."""
         entry = self.find_lens(lens_model, maker)
         if entry is None:
             return None
-        dist = _nearest(entry.distortion, focal)
-        tca = _nearest(entry.tca, focal)
-        vig = _nearest(entry.vignetting, focal, aperture)
+        dist = _interp_focal(entry.distortion, focal)
+        tca = _interp_focal(entry.tca, focal)
+        vig = _interp_vignetting(entry.vignetting, focal, aperture)
         if dist is None and tca is None and vig is None:
             return None
+        radius_scale = 1.0
+        if cam_crop_factor and cam_crop_factor > 0 and entry.crop_factor > 0:
+            radius_scale = entry.crop_factor / cam_crop_factor
         return LensProfile(
             name=entry.model,
             vignetting=vig.data if vig else None,
             distortion_model=dist.model if dist else "poly3",
             distortion=dist.data if dist else None,
             tca=tca.data if tca else None,
+            radius_scale=radius_scale,
         )
 
     def profile_from_exif(self, exif: dict) -> Optional[LensProfile]:
         """Resolve from the session's EXIF dict (LensModel falling back to
-        the body Model for fixed-lens cameras, editor.py:425-711 order)."""
+        the body Model for fixed-lens cameras, editor.py:425-711 order).
+        The camera crop factor comes from FocalLengthIn35mmFilm /
+        FocalLength when both are present (the standard EXIF route to it;
+        absent -> assume the calibration crop)."""
         lens = exif.get("LensModel") or exif.get("Model")
         if not lens:
             return None
         focal = _parse_number(exif.get("FocalLength"))
         aperture = _parse_number(exif.get("FNumber"))
+        equiv35 = _parse_number(exif.get("FocalLengthIn35mmFilm")
+                                or exif.get("FocalLenIn35mmFilm"))
+        crop = (equiv35 / focal) if (equiv35 and focal) else None
         return self.profile_for(
             lens, focal=focal, aperture=aperture,
             maker=exif.get("LensMake") or exif.get("Make"),
+            cam_crop_factor=crop,
         )

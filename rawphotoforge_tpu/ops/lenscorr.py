@@ -46,6 +46,13 @@ class LensProfile:
     #                                             ptlens: (a, b, c)
     # Transverse chromatic aberration (linear model).
     tca: Optional[tuple] = None                 # (vr, vb)
+    # Crop-factor coordinate rescale: the model polynomials are evaluated
+    # at r_cal = r_image * radius_scale. Lensfun calibrations normalize by
+    # the *calibration camera's* frame; applying them to an image from a
+    # different-crop body rescales coordinates by
+    # calib_crop / camera_crop (a smaller sensor sees the central part of
+    # the image circle). 1.0 = same crop as calibration.
+    radius_scale: float = 1.0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -79,10 +86,14 @@ def _radius2(h, w, extent=None):
     return dx, dy, dx * dx + dy * dy, half_diag, cx, cy, hf, wf
 
 
-def devignette(planes: jax.Array, k: jax.Array, extent=None) -> jax.Array:
-    """Divide out the pa-model vignetting falloff. ``k`` = (k1, k2, k3)."""
+def devignette(planes: jax.Array, k: jax.Array, extent=None,
+               radius_scale=1.0) -> jax.Array:
+    """Divide out the pa-model vignetting falloff. ``k`` = (k1, k2, k3);
+    ``radius_scale`` maps image radii into the calibration frame
+    (LensProfile.radius_scale)."""
     _, h, w = planes.shape
     _, _, r2, *_ = _radius2(h, w, extent)
+    r2 = r2 * jnp.float32(radius_scale) ** 2
     gain = 1.0 + r2 * (k[0] + r2 * (k[1] + r2 * k[2]))
     return planes / jnp.maximum(gain, 1e-4)
 
@@ -150,12 +161,16 @@ def _distortion_scale(r2: jax.Array, coeffs: jax.Array, model: str) -> jax.Array
 
 @functools.partial(jax.jit, static_argnames=("model",))
 def correct_distortion(
-    planes: jax.Array, coeffs: jax.Array, model: str = "poly3", extent=None
+    planes: jax.Array, coeffs: jax.Array, model: str = "poly3", extent=None,
+    radius_scale=1.0,
 ) -> jax.Array:
-    """Geometric distortion correction: resample at the model's r_src."""
+    """Geometric distortion correction: resample at the model's r_src.
+    The model is evaluated at calibration-frame radii (r * radius_scale);
+    the resulting r_src/r_dst ratio is normalization-invariant."""
     _, h, w = planes.shape
     geom = _radius2(h, w, extent)
-    scale = _distortion_scale(geom[2], coeffs, model)
+    r2c = geom[2] * jnp.float32(radius_scale) ** 2
+    scale = _distortion_scale(r2c, coeffs, model)
     return jnp.stack([_remap_radial(planes[i], scale, geom) for i in range(3)])
 
 
@@ -219,7 +234,7 @@ def correct_tca(planes: jax.Array, vr: jax.Array, vb: jax.Array, extent=None) ->
 @functools.partial(jax.jit, static_argnames=("model",))
 def correct_tca_distortion(
     planes: jax.Array, coeffs: jax.Array, vr: jax.Array, vb: jax.Array,
-    model: str = "poly3", extent=None,
+    model: str = "poly3", extent=None, radius_scale=1.0,
 ) -> jax.Array:
     """TCA + distortion as ONE composed remap per channel.
 
@@ -231,7 +246,8 @@ def correct_tca_distortion(
     (editor.py:620-650)."""
     _, h, w = planes.shape
     geom = _radius2(h, w, extent)
-    scale = _distortion_scale(geom[2], coeffs, model)
+    r2c = geom[2] * jnp.float32(radius_scale) ** 2
+    scale = _distortion_scale(r2c, coeffs, model)
     return jnp.stack([
         _remap_radial(planes[0], scale * vr, geom),
         _remap_radial(planes[1], scale, geom),
@@ -244,9 +260,11 @@ def apply_profile(planes: jax.Array, profile: LensProfile, extent=None) -> jax.A
     editor.py:425-711 applies color modification first, then subpixel
     remaps, then geometry). TCA and distortion fuse into one composed
     remap when both are present."""
+    rs = jnp.float32(getattr(profile, "radius_scale", 1.0) or 1.0)
     if profile.vignetting is not None:
         planes = devignette(
-            planes, jnp.asarray(profile.vignetting, dtype=jnp.float32), extent
+            planes, jnp.asarray(profile.vignetting, dtype=jnp.float32),
+            extent, radius_scale=rs,
         )
     if profile.tca is not None and profile.distortion is not None:
         return correct_tca_distortion(
@@ -256,6 +274,7 @@ def apply_profile(planes: jax.Array, profile: LensProfile, extent=None) -> jax.A
             jnp.float32(profile.tca[1]),
             model=profile.distortion_model,
             extent=extent,
+            radius_scale=rs,
         )
     if profile.tca is not None:
         planes = correct_tca(
@@ -270,5 +289,6 @@ def apply_profile(planes: jax.Array, profile: LensProfile, extent=None) -> jax.A
             jnp.asarray(profile.distortion, dtype=jnp.float32),
             model=profile.distortion_model,
             extent=extent,
+            radius_scale=rs,
         )
     return planes

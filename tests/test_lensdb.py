@@ -56,15 +56,97 @@ def test_fuzzy_containment_and_tokens(db):
     assert db.find_lens("TestCo Prime 50mm f/1.8", maker="TestCo Inc.") is not None
 
 
-def test_nearest_focal_and_aperture(db):
-    p24 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=28)
-    assert p24.distortion_model == "ptlens" and p24.distortion[0] == 0.01
-    p70 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=65)
-    assert p70.distortion == (0.0, 0.008, 0.0)
-    wide_open = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=2.0)
-    assert wide_open.vignetting == (-0.8, 0.2, -0.04)
+def test_focal_interpolation_hand_computed(db):
+    """Distortion interpolates linearly between the calibrated focals
+    (lensfun/lensfunpy behavior, editor.py:425-711) — hand-computed at
+    28mm and 65mm between the 24mm and 70mm ptlens points."""
+    p28 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=28)
+    t = (28 - 24) / (70 - 24)
+    assert p28.distortion_model == "ptlens"
+    np.testing.assert_allclose(
+        p28.distortion,
+        (0.01 * (1 - t) + 0.0 * t, -0.03 * (1 - t) + 0.008 * t, 0.0),
+        rtol=1e-12)
+    p65 = db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=65)
+    t = (65 - 24) / (70 - 24)
+    np.testing.assert_allclose(
+        p65.distortion,
+        (0.01 * (1 - t), -0.03 * (1 - t) + 0.008 * t, 0.0), rtol=1e-12)
+    # Exact at a calibration point; clamped outside the calibrated range.
+    assert db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=24).distortion \
+        == (0.01, -0.03, 0.0)
+    assert db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=18).distortion \
+        == (0.01, -0.03, 0.0)
+    assert db.profile_for("TestCo Zoom 24-70mm f/2.8", focal=200).distortion \
+        == (0.0, 0.008, 0.0)
+
+
+def test_vignetting_aperture_interpolation_hand_computed(db):
+    """Vignetting interpolates across aperture at the calibrated focal
+    (bilinear over (focal, aperture), lensfun behavior)."""
+    t = (2.0 - 1.8) / (5.6 - 1.8)
+    wide_open = db.profile_for("TestCo Prime 50mm f/1.8", focal=50,
+                               aperture=2.0)
+    np.testing.assert_allclose(
+        wide_open.vignetting,
+        (-0.8 * (1 - t) - 0.2 * t, 0.2 * (1 - t) + 0.05 * t,
+         -0.04 * (1 - t)), rtol=1e-12)
+    # Clamped at the calibrated ends; exact at a calibration point.
     stopped = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=8.0)
     assert stopped.vignetting == (-0.2, 0.05, 0.0)
+    exact = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=1.8)
+    assert exact.vignetting == (-0.8, 0.2, -0.04)
+    # No aperture in EXIF -> the widest calibrated column (deterministic).
+    noap = db.profile_for("TestCo Prime 50mm f/1.8", focal=50)
+    assert noap.vignetting == (-0.8, 0.2, -0.04)
+
+
+def test_crop_factor_radius_scale(db):
+    """A body with a different crop factor than the calibration camera
+    carries the calib_crop/cam_crop coordinate rescale."""
+    p = db.profile_for("TestCo Prime 50mm f/1.8", focal=50,
+                       cam_crop_factor=1.6)
+    np.testing.assert_allclose(p.radius_scale, 1.0 / 1.6, rtol=1e-12)
+    assert db.profile_for("TestCo Prime 50mm f/1.8", focal=50).radius_scale \
+        == 1.0
+    # EXIF route: FocalLengthIn35mmFilm / FocalLength -> crop factor.
+    pe = db.profile_from_exif({
+        "LensModel": "TestCo Prime 50mm f/1.8", "FocalLength": "50",
+        "FNumber": "1.8", "FocalLengthIn35mmFilm": "80",
+    })
+    np.testing.assert_allclose(pe.radius_scale, 1.0 / 1.6, rtol=1e-12)
+
+
+def test_devignette_radius_scale_hand_computed():
+    """radius_scale rescales the radius the pa polynomial sees: on a 1.6x
+    crop of a full-frame-calibrated profile, the image corner (r_img = 1)
+    evaluates at r_cal = 1/1.6."""
+    import jax.numpy as jnp
+
+    planes = jnp.full((3, 10, 10), 0.5, dtype=jnp.float32)
+    k = jnp.asarray([-0.5, 0.1, 0.0], dtype=jnp.float32)
+    out = np.asarray(devignette(planes, k, radius_scale=1.0 / 1.6))
+    r2 = (1.0 / 1.6) ** 2
+    gain = 1.0 + r2 * (-0.5 + r2 * 0.1)
+    np.testing.assert_allclose(out[0, 0, 0], 0.5 / gain, rtol=1e-5)
+
+
+def test_mixed_model_groups_do_not_interpolate():
+    """Coefficients of different distortion models are not commensurable:
+    the nearest point's model group wins and only same-model points
+    interpolate."""
+    xml = """<lensdatabase>
+      <lens><maker>M</maker><model>Mixed 10-100mm</model>
+        <calibration>
+          <distortion model="poly3" focal="10" k1="-0.02"/>
+          <distortion model="ptlens" focal="100" a="0.01" b="0.0" c="0.0"/>
+        </calibration></lens>
+    </lensdatabase>"""
+    db = LensDatabase.parse_xml(xml)
+    p = db.profile_for("Mixed 10-100mm", focal=20)
+    assert p.distortion_model == "poly3" and p.distortion == (-0.02,)
+    p = db.profile_for("Mixed 10-100mm", focal=90)
+    assert p.distortion_model == "ptlens" and p.distortion == (0.01, 0.0, 0.0)
 
 
 def test_profile_from_exif(db):
