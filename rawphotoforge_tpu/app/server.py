@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -56,9 +57,10 @@ a{{color:#8cf}}
     <button onclick="document.getElementById('fopen').click()">{open_file}</button>
     <input id=fopen type=file style="display:none"
       accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw">
-    <a id=dl href="/export" download="export.jpg">{export_jpeg}</a>
-    <a href="/export?fmt=png" download="export.png">PNG</a>
-    <a href="/export?fmt=dng" download="export_hdr.dng">HDR</a>
+    <a id=dl href="#" onclick="asyncExport('jpeg','export.jpg');return false">{export_jpeg}</a>
+    <a href="#" onclick="asyncExport('png','export.png');return false">PNG</a>
+    <a href="#" onclick="asyncExport('dng','export_hdr.dng');return false">HDR</a>
+    <span id=exp_status></span>
   </div>
   <canvas id=hist width=256 height=70></canvas>
   <div id=tabhdr>
@@ -398,6 +400,30 @@ async function resetAll(){{
   for(const k in state) if(k.startsWith('curve_')) delete state[k];
   drawCurve();push('mid');
 }}
+async function asyncExport(fmt,filename){{
+  // Job-based export (server worker thread): the edit loop stays live
+  // while a FULL render + fetch runs; the status span tracks the stage.
+  const st=document.getElementById('exp_status');
+  st.textContent='...';
+  try{{
+    const r=await fetch('/export/start',{{method:'POST',
+      body:JSON.stringify({{fmt:fmt}})}});
+    if(!r.ok)throw new Error((await r.json()).error||r.status);
+    const job=(await r.json()).job;
+    for(;;){{
+      const s=await (await fetch('/export/status?job='+job)).json();
+      if(s.state==='error')throw new Error(s.error);
+      if(s.state==='done'){{break;}}
+      st.textContent=s.stage+'...';
+      await new Promise(res=>setTimeout(res,300));
+    }}
+    const blob=await (await fetch('/export/result?job='+job)).blob();
+    const a=document.createElement('a');
+    a.href=URL.createObjectURL(blob);a.download=filename;a.click();
+    setTimeout(()=>URL.revokeObjectURL(a.href),10000);
+    st.textContent='';
+  }}catch(e){{st.textContent='export failed: '+e.message;}}
+}}
 async function savePreset(){{
   const p=await (await fetch('/preset')).text();
   const a=document.createElement('a');
@@ -611,6 +637,11 @@ class EditorApp:
         # Optional external promptable-segmentation adapter for AI masks
         # (engine/segmenter.py); /mask/add uses it when {"model": true}.
         self.segmenter = segmenter
+        # Async export jobs (v1 runs exports on a worker thread with a
+        # progress dialog, raw_photo_forge.py:2180-2257): job id ->
+        # mutable status dict. Only the last few are retained.
+        self.export_jobs: dict[str, dict] = {}
+        self._export_seq = 0
 
     def page(self) -> str:
         labels = tr(self.settings.locale)
@@ -710,6 +741,75 @@ class EditorApp:
                 ys = [p[1] for p in pts]
                 ed.set_curve(i, xs, ys, mask_name=mask_name)
 
+    # -- async export (v1's worker-thread export with progress dialog,
+    # raw_photo_forge.py:2180-2257; a 45MP FULL render + tunnel fetch
+    # takes tens of seconds and must not block the edit loop) ------------
+    _EXPORT_FMTS = ("JPEG", "PNG", "WEBP", "TIFF", "DNG")
+
+    def start_export(self, fmt: str) -> str:
+        fmt = {"JPG": "JPEG"}.get(fmt.upper(), fmt.upper())
+        if fmt not in self._EXPORT_FMTS:
+            raise ValueError(f"unsupported export format {fmt}")
+        self._export_seq += 1
+        job_id = str(self._export_seq)
+        job = {"state": "running", "stage": "render", "fmt": fmt,
+               "stages_ms": {}, "error": None, "data": None,
+               "_t0": time.monotonic()}
+        self.export_jobs[job_id] = job
+        # Retain only recent jobs (result bytes can be tens of MB).
+        for old in sorted(self.export_jobs, key=int)[:-4]:
+            del self.export_jobs[old]
+        t = threading.Thread(target=self._run_export, args=(job,),
+                             daemon=True)
+        t.start()
+        return job_id
+
+    def _run_export(self, job: dict):
+        """Worker body. The editor lock is held only for the *render*
+        stage (device dispatch + state snapshot — milliseconds of host
+        time); the fetch (tunnel-bound, the long part) and host encode
+        run unlocked against the snapshot, so /edit stays responsive.
+        Renders are functional device arrays: later edits build new
+        arrays and never mutate the snapshot."""
+
+        def enter_stage(name):
+            now = time.monotonic()
+            job["stages_ms"][job["stage"]] = round(
+                (now - job["_t0"]) * 1000.0, 1)
+            job["stage"] = name
+            job["_t0"] = now
+
+        try:
+            with self.lock:
+                if job["fmt"] == "DNG":
+                    # hdr_dng_bytes owns its fetch; coarser breakdown.
+                    data = self.editor.hdr_dng_bytes()
+                    enter_stage("done")
+                else:
+                    img = self.editor.apply(FULL)
+                    exif = self.editor.export_exif_bytes()
+                    quality = self.settings.jpeg_quality
+            if job["fmt"] != "DNG":
+                data = image_io.encode_image(
+                    img, job["fmt"], quality=quality, exif_bytes=exif,
+                    on_stage=enter_stage,
+                )
+                enter_stage("done")
+            job["data"] = data
+            job["state"] = "done"
+        except Exception as e:  # noqa: BLE001 — reported via /export/status
+            job["error"] = str(e)
+            job["state"] = "error"
+
+    def export_status(self, job_id: str) -> dict:
+        job = self.export_jobs.get(job_id)
+        if job is None:
+            raise KeyError(f"unknown export job {job_id}")
+        return {"state": job["state"], "stage": job["stage"],
+                "fmt": job["fmt"], "stages_ms": job["stages_ms"],
+                "error": job["error"],
+                "size": len(job["data"]) if job["data"] else None}
+
     def params_json(self, mask_name: str) -> dict:
         p = self.editor.params(None if mask_name == "main" else mask_name)
         return p.to_json()
@@ -808,6 +908,24 @@ def make_handler(app: EditorApp):
                         )
                     else:
                         raise ValueError(f"unsupported export format {fmt}")
+                elif url.path == "/export/status":
+                    self._send(200, json.dumps(app.export_status(
+                        q.get("job", [""])[0])).encode())
+                elif url.path == "/export/result":
+                    job = app.export_jobs.get(q.get("job", [""])[0])
+                    if job is None:
+                        raise ValueError("unknown export job")
+                    if job["state"] == "error":
+                        self._send(500, json.dumps(
+                            {"error": job["error"]}).encode())
+                    elif job["state"] != "done":
+                        self._send(409, json.dumps(
+                            {"error": "export not finished",
+                             "stage": job["stage"]}).encode())
+                    else:
+                        ctype = ("image/x-adobe-dng" if job["fmt"] == "DNG"
+                                 else f"image/{job['fmt'].lower()}")
+                        self._send(200, job["data"], ctype)
                 elif url.path == "/histogram":
                     h = app.editor.histogram(MID).tolist()
                     self._send(200, json.dumps(h).encode())
@@ -880,6 +998,11 @@ def make_handler(app: EditorApp):
                     if url.path == "/edit":
                         app.apply_state(body)
                         self._send(200, b'{"ok": true}')
+                    elif url.path == "/export/start":
+                        app.check_keys(body, frozenset({"fmt"}),
+                                       "/export/start")
+                        job_id = app.start_export(body.get("fmt", "jpeg"))
+                        self._send(200, json.dumps({"job": job_id}).encode())
                     elif url.path == "/reset":
                         app.check_keys(body, frozenset(), "/reset")
                         app.editor.reset()

@@ -271,14 +271,19 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
         return None
 
 
-def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
+def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
+                 on_stage=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> container bytes.
 
     Truncating u8 quantization per image.rs:375-383. ``exif_bytes`` (a raw
     EXIF blob from decode) is written back into formats that carry it.
+    ``on_stage(name)`` (optional) is called entering the 'fetch' (device ->
+    host transfer, the tunnel-bound part) and 'encode' (host container
+    encode) stages — progress reporting for async export jobs.
     """
     from ..utils.transfer import fetch_np, fetch_u8_hwc
 
+    stage = on_stage or (lambda _name: None)
     if fmt == "DNG":
         raise ImageIOError(
             "cannot encode a developed image as DNG; use io.dng.write_dng "
@@ -294,10 +299,15 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None) -> bytes:
         from ..core.color import srgb_to_linear
 
         lin = srgb_to_linear(jnp.clip(jnp.asarray(planes), 0.0, 1.0))
-        return encode_ppm16(fetch_np(lin).transpose(1, 2, 0))
+        stage("fetch")
+        hwc = fetch_np(lin).transpose(1, 2, 0)
+        stage("encode")
+        return encode_ppm16(hwc)
     # Quantize on device + parallel banded fetch: the tunnel moves 1
     # byte/sample instead of 4 (utils/transfer.py).
+    stage("fetch")
     u8 = fetch_u8_hwc(planes)
+    stage("encode")
     img = PILImage.fromarray(u8, mode="RGB")
     buf = _io.BytesIO()
     save_kwargs = {}

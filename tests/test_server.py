@@ -492,6 +492,58 @@ def test_page_tabbed_edit_panel(base_url):
     assert page.count(b"id=exif") == 1
 
 
+def test_async_export_job_flow(base_url):
+    """Job-based export (v1's worker-thread export with progress,
+    raw_photo_forge.py:2180-2257): start -> poll status with stage
+    breakdown -> fetch result, without blocking the edit loop."""
+    import time as _time
+
+    status, resp = _post(base_url + "/export/start", {"fmt": "jpeg"})
+    assert status == 200
+    job = resp["job"]
+    st = None
+    for _ in range(400):
+        st = json.loads(_get(base_url + f"/export/status?job={job}")[2])
+        if st["state"] in ("done", "error"):
+            break
+        # Edits stay serviceable while the job runs.
+        assert _post(base_url + "/edit", {"exposure": 0.1})[0] == 200
+        _time.sleep(0.05)
+    assert st["state"] == "done", st
+    assert set(st["stages_ms"]) >= {"render", "fetch", "encode"}, st
+    assert st["size"] > 0
+    status, ctype, body = _get(base_url + f"/export/result?job={job}")
+    assert status == 200 and ctype == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"  # decodes as JPEG
+    _post(base_url + "/edit", {"exposure": 0.0})
+
+    # HDR DNG jobs work through the same flow.
+    _, resp = _post(base_url + "/export/start", {"fmt": "dng"})
+    job = resp["job"]
+    for _ in range(400):
+        st = json.loads(_get(base_url + f"/export/status?job={job}")[2])
+        if st["state"] in ("done", "error"):
+            break
+        _time.sleep(0.05)
+    assert st["state"] == "done", st
+    status, ctype, body = _get(base_url + f"/export/result?job={job}")
+    assert status == 200 and "dng" in ctype and len(body) > 100
+
+    # Typed errors: unknown job, bad format.
+    for url_, code in [(base_url + "/export/status?job=999999", 400),
+                       (base_url + "/export/result?job=999999", 400)]:
+        try:
+            status = _get(url_)[0]
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == code
+    try:
+        status, _ = _post(base_url + "/export/start", {"fmt": "bmp"})
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
 def test_unknown_keys_rejected_with_400(base_url):
     """Wrong-but-well-formed bodies must be rejected, not silently
     applied: /edit has full-state semantics, so a misspelled or nested

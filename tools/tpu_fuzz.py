@@ -1,12 +1,21 @@
 """Kernel-vs-anchor fuzz ON THE REAL TPU (tests run it on CPU interpret).
 
-Run on hardware (~10-30 min, remote-compile dominated): 24 random
+Run on hardware (~10-30 min, remote-compile dominated): N random
 full-parameter draws, M in {1,2,3} masks, through the Mosaic-compiled
-fused kernel vs the exact-LUT jnp anchor.
+fused kernel vs the exact-LUT jnp anchor, plus the one-pass RAW kernel
+vs the composed demosaic+develop path.
 
-The Mosaic-compiled kernel is the production artifact; this drives N
-random full-parameter draws through both paths on hardware.
+The Mosaic-compiled kernel is the production artifact; the committed
+per-round JSON (``--out TPUFUZZ_rNN.json``) records backend, git HEAD,
+per-seed deviation stats and the pass/fail verdict, so on-hardware
+kernel correctness is a regenerable artifact, not a commit message:
+
+    python tools/tpu_fuzz.py --out TPUFUZZ_r03.json
 """
+import argparse
+import datetime
+import json
+import subprocess
 import sys
 
 import os
@@ -18,6 +27,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--out", default=None,
+                help="write the JSON artifact here (e.g. TPUFUZZ_r03.json)")
+ap.add_argument("--seeds", type=int, default=24)
+ap.add_argument("--raw-seeds", type=int, default=8)
+args = ap.parse_args()
+
 print("backend:", jax.default_backend(), flush=True)
 
 from rawphotoforge_tpu.core.params import pack_params
@@ -25,9 +41,18 @@ from rawphotoforge_tpu.kernels import fused
 from rawphotoforge_tpu.ops import develop as dev
 from test_fuzz import _random_params, assert_fuzz_close
 
+
+def _dev_stats(ours, ref):
+    d = np.abs(np.asarray(ours, dtype=np.float64)
+               - np.asarray(ref, dtype=np.float64))
+    return {"median": float(np.median(d)), "mean": float(d.mean()),
+            "max": float(d.max())}
+
+
 h, w = 256, 512
 fails = 0
-for seed in range(24):
+fused_seeds = []
+for seed in range(args.seeds):
     r = np.random.default_rng(seed + 1000)
     planes = jnp.asarray(r.random((3, h, w)).astype(np.float32))
     masks = jnp.asarray(
@@ -40,12 +65,18 @@ for seed in range(24):
     ours = fused.develop_post_geo_fused(planes, params, masks,
                                         main_mask_all_ones=True)
     ref = dev.develop_post_geo_jit(planes, params, masks)
+    stats = _dev_stats(ours, ref)
     try:
         assert_fuzz_close(ours, ref)
-        print(f"seed {seed}: ok (M={masks.shape[0]})", flush=True)
+        ok = True
+        print(f"seed {seed}: ok (M={masks.shape[0]}, "
+              f"max={stats['max']:.2e})", flush=True)
     except AssertionError as e:
+        ok = False
         fails += 1
         print(f"seed {seed}: FAIL {e}", flush=True)
+    fused_seeds.append({"seed": seed, "masks": int(masks.shape[0]),
+                        "ok": ok, **stats})
 
 print("TPU FUZZ RESULT:", "PASS" if fails == 0 else f"{fails} FAILURES")
 
@@ -55,7 +86,8 @@ from rawphotoforge_tpu.ops import demosaic as dm
 from rawphotoforge_tpu.ops.sharpen import unsharp_mask
 
 raw_fails = 0
-for seed in range(8):
+raw_seeds = []
+for seed in range(args.raw_seeds):
     r = np.random.default_rng(seed + 2000)
     pattern = ["RGGB", "BGGR", "GRBG", "GBRG"][seed % 4]
     mosaic = jnp.asarray(r.random((192, 512)).astype(np.float32))
@@ -75,18 +107,55 @@ for seed in range(8):
     masks = jnp.ones((1,) + mosaic.shape, dtype=jnp.float32)
     composed = np.asarray(fused.develop_post_geo_fused(
         rgb, params, masks, main_mask_all_ones=True))
-    d = np.abs(one_pass.astype(np.float64) - composed.astype(np.float64))
+    stats = _dev_stats(one_pass, composed)
     # Random steep curves: same fuzz-grade bound as part 1, plus slack for
     # the one-pass kernel's f32 demosaic reassociation.
-    ok = np.median(d) < 1e-4 and d.mean() < 2e-3 and d.max() < 0.08
+    ok = (stats["median"] < 1e-4 and stats["mean"] < 2e-3
+          and stats["max"] < 0.08)
     if ok:
-        print(f"raw seed {seed}: ok ({pattern}, sharpen={float(sharpen):.2f})",
-              flush=True)
+        print(f"raw seed {seed}: ok ({pattern}, sharpen={float(sharpen):.2f}, "
+              f"max={stats['max']:.2e})", flush=True)
     else:
         raw_fails += 1
-        print(f"raw seed {seed}: FAIL median={np.median(d):.2e} "
-              f"mean={d.mean():.2e} max={d.max():.2e}", flush=True)
+        print(f"raw seed {seed}: FAIL median={stats['median']:.2e} "
+              f"mean={stats['mean']:.2e} max={stats['max']:.2e}", flush=True)
+    raw_seeds.append({"seed": seed, "pattern": pattern,
+                      "sharpen": float(sharpen), "ok": ok, **stats})
 
 print("TPU RAW FUZZ RESULT:",
       "PASS" if raw_fails == 0 else f"{raw_fails} FAILURES")
+
+if args.out:
+    try:
+        head = subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        head = "unknown"
+    artifact = {
+        "git_head": head,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "when_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"),
+        "shape": [3, h, w],
+        "fused_kernel": {
+            "seeds": args.seeds, "fails": fails,
+            "worst_max_dev": max(s["max"] for s in fused_seeds),
+            "worst_median_dev": max(s["median"] for s in fused_seeds),
+            "per_seed": fused_seeds,
+        },
+        "raw_kernel": {
+            "seeds": args.raw_seeds, "fails": raw_fails,
+            "worst_max_dev": max(s["max"] for s in raw_seeds),
+            "worst_median_dev": max(s["median"] for s in raw_seeds),
+            "per_seed": raw_seeds,
+        },
+        "ok": fails == 0 and raw_fails == 0,
+    }
+    with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
+              else args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
 sys.exit(0 if fails == 0 and raw_fails == 0 else 1)
