@@ -138,6 +138,35 @@ def cmd_info(args) -> int:
     print(f"{args.image}: {w}x{h} ({w * h / 1e6:.1f} MPix)")
     for k, v in sorted(exif.items()):
         print(f"  {k}: {v}")
+    if getattr(args, "verify_decode", False):
+        # Silent-wrong detector for vendor RAW decodes: develop the
+        # sensor data and correlate against the file's own embedded
+        # camera preview (io/vendor_raw.preview_correlation).
+        from ..io.raw import is_raw_image
+        from ..io.vendor_raw import CORRELATION_GATE, preview_correlation
+
+        if not is_raw_image(args.image):
+            print("verify-decode: not a RAW container, nothing to verify")
+        else:
+            from .._errbase import PhotoEditorError
+
+            try:
+                with open(args.image, "rb") as f:
+                    corr = preview_correlation(f.read())
+            except PhotoEditorError as e:
+                print(f"verify-decode: sensor data not decodable ({e})")
+                return 0
+            if corr is None:
+                print("verify-decode: no embedded preview to correlate "
+                      "against")
+            else:
+                verdict = ("ok" if corr >= CORRELATION_GATE
+                           else "SUSPECT (below gate "
+                                f"{CORRELATION_GATE})")
+                print(f"verify-decode: preview correlation {corr:.4f} "
+                      f"-> {verdict}")
+                if corr < CORRELATION_GATE:
+                    return 1
     return 0
 
 
@@ -487,6 +516,11 @@ def main(argv=None) -> int:
     p_info.add_argument("image")
     p_info.add_argument("--preview", type=str, default=None,
                         help="extract the embedded JPEG preview to this path")
+    p_info.add_argument("--verify-decode", action="store_true",
+                        help="correlate the developed sensor decode against "
+                             "the embedded camera preview (silent-wrong "
+                             "detector for vendor RAWs; exit 1 below the "
+                             "0.9 gate)")
     p_info.set_defaults(fn=cmd_info)
 
     p_dev = sub.add_parser("develop", help="develop one image")

@@ -83,6 +83,11 @@ T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
 T_DEFAULT_CROP_ORIGIN = 50719
 T_DEFAULT_CROP_SIZE = 50720
+# Sony ARW vendor tags carried in the raw IFD (exiftool Sony.pm /
+# libraw sony_arw tag handling).
+T_SONY_BLACK_LEVEL = 0x7310     # 4 per-CFA-site shorts
+T_SONY_WHITE_LEVEL = 0x787F     # WhiteLevel (1-3 values)
+T_SONY_WB_RGGB = 0x7313         # WB_RGGBLevels (multiplier levels)
 T_COLOR_MATRIX_1 = 50721
 T_AS_SHOT_NEUTRAL = 50728
 T_ACTIVE_AREA = 50829
@@ -129,6 +134,11 @@ class RawImage:
     # read_dng(apply_opcodes=False) so write_dng can re-serialize them —
     # the lossless-transcode path (cli convert).
     opcode_lists: Optional[tuple] = None
+    # False when the container carried NO usable camera WB (vendor RAWs
+    # whose WB lives in encrypted/undocumented maker notes): the develop
+    # path then estimates gray-world gains instead of rendering the raw
+    # sensor response (develop_raw_image).
+    wb_known: bool = True
 
     @property
     def shape(self):
@@ -604,7 +614,8 @@ def extract_container_tags(data: bytes, tags) -> dict:
         else:
             return out
         (magic,) = struct.unpack_from(bo + "H", data, 2)
-        if magic not in (42, 0x4F52, 0x5352):  # TIFF + Olympus ORF variants
+        # TIFF + Olympus ORF variants + Panasonic RW2 (0x55).
+        if magic not in (42, 0x4F52, 0x5352, 0x0055):
             return out
         ifds = _walk_all_ifds(data, bo)
         seen_exif = set()
@@ -1082,21 +1093,43 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         else:
             raise DngError(f"unsupported CFA repeat dim {ph}x{pw}")
 
-    black = any_ifd(T_BLACK_LEVEL, 0)
+    black = any_ifd(T_BLACK_LEVEL)
+    if black is None:
+        # Sony ARW keeps its black level in the vendor tag 0x7310 of the
+        # raw IFD (exiftool Sony BlackLevel, 4 per-CFA-site shorts).
+        black = any_ifd(T_SONY_BLACK_LEVEL, 0)
     if isinstance(black, list):
         black = float(np.mean(black))
     # Floating-point DNG data is already scene-linear; the spec default
     # white level for SampleFormat=3 is 1.0.
-    white = any_ifd(T_WHITE_LEVEL, 1.0 if sample_format == 3 else (1 << bits) - 1)
+    white = any_ifd(T_WHITE_LEVEL)
+    if white is None:
+        white = any_ifd(T_SONY_WHITE_LEVEL)  # exiftool Sony WhiteLevel
+    if white is None:
+        white = 1.0 if sample_format == 3 else (1 << bits) - 1
     if isinstance(white, list):
         white = float(white[0])
 
+    wb_known = True
     neutral = any_ifd(T_AS_SHOT_NEUTRAL)
+    sony_wb = any_ifd(T_SONY_WB_RGGB)
     if neutral:
         n = np.asarray(neutral, dtype=np.float64)
         wb = tuple((n[1] / np.maximum(n, 1e-8)).tolist())  # gains, g == 1
+    elif isinstance(sony_wb, list) and len(sony_wb) >= 4 \
+            and all(v > 0 for v in sony_wb[:4]):
+        # Sony WB_RGGBLevels (0x7313): multiplier levels in CFA order.
+        r, g1, _g2, b = (float(v) for v in sony_wb[:4])
+        wb = (r / g1, 1.0, b / g1)
     else:
         wb = (1.0, 1.0, 1.0)
+        if pattern != "RGB" and any_ifd(T_DNG_VERSION) is None:
+            # A non-DNG TIFF-EP RAW (uncompressed NEF/ARW/ORF/PEF…)
+            # whose camera WB lives in an undocumented maker note:
+            # flag it so develop estimates gains instead of rendering
+            # the unbalanced sensor response (rawpy's no-camera-WB
+            # fallback, python-legacy editor.py:169-181 use_camera_wb).
+            wb_known = False
 
     cm = any_ifd(T_COLOR_MATRIX_1)
     xyz_to_cam = (
@@ -1160,6 +1193,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         default_crop=default_crop,
         warp_rectilinear=warp,
         opcode_lists=opcode_lists,
+        wb_known=wb_known,
     )
 
 

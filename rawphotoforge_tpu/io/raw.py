@@ -44,14 +44,21 @@ def is_raw_image(path: str) -> bool:
 def parse_raw(data: bytes, apply_opcodes: bool = True) -> RawImage:
     """Sniff the container type and parse RAW bytes into a RawImage.
 
-    Canon CR2 carries a CR\\x02 marker at byte 8; everything else
-    TIFF-structured (DNG, TIFF-EP RAWs) goes through the DNG walker.
+    Canon CR2 carries a CR\\x02 marker at byte 8; Panasonic RW2 stamps
+    TIFF magic 0x0055; Fujifilm RAF has its fixed ``FUJIFILMCCD-RAW``
+    header; everything else TIFF-structured (DNG, uncompressed
+    NEF/ARW/other TIFF-EP RAWs) goes through the DNG walker.
     ``apply_opcodes=False`` is the lossless-transcode mode (see
     read_dng)."""
     from .cr2 import is_cr2, read_cr2
+    from .vendor_raw import is_raf, is_rw2, read_raf, read_rw2
 
     if is_cr2(data):
         return read_cr2(data)
+    if is_rw2(data):
+        return read_rw2(data)
+    if is_raf(data):
+        return read_raf(data)
     return read_dng(data, apply_opcodes=apply_opcodes)
 
 
@@ -116,8 +123,54 @@ def container_exif(data: bytes) -> dict:
     return exif
 
 
+def estimate_gray_world_gains(mosaic: np.ndarray, pattern: str,
+                              black: float, white: float) -> tuple:
+    """Gray-world WB gains from per-CFA-channel means (host numpy).
+
+    The fallback for vendor RAWs whose camera WB lives in an
+    undocumented/encrypted maker note (RawImage.wb_known False): assume
+    the scene averages neutral, so gains equalize the channel means —
+    the same spirit as rawpy/libraw auto_wb when use_camera_wb has no
+    camera WB to use. Deterministic; clipped to [0.25, 8]."""
+    m = np.asarray(mosaic)
+    if m.ndim == 3:  # demosaiced RGB
+        sub = m[:: max(1, m.shape[0] // 512), :: max(1, m.shape[1] // 512)]
+        means = sub.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    else:
+        tile = np.asarray(dm.NAMED_CFA[pattern])
+        ph, pw = tile.shape
+        th, tw = m.shape[0] // ph, m.shape[1] // pw
+        if th == 0 or tw == 0:
+            return (1.0, 1.0, 1.0)
+        # Subsample whole CFA tiles (keeps every channel phase) so a
+        # 45MP sensor averages ~1M samples, not all of them.
+        t = m[: th * ph, : tw * pw].reshape(th, ph, tw, pw)
+        t = t[:: max(1, th // 512), :, :: max(1, tw // 512), :]
+        sub = t.reshape(t.shape[0] * ph, t.shape[2] * pw)
+        yy, xx = np.mgrid[0:sub.shape[0], 0:sub.shape[1]]
+        chan = tile[yy % ph, xx % pw]
+        vals = sub.astype(np.float64)
+        means = np.array([
+            vals[chan == c].mean() if (chan == c).any() else 1.0
+            for c in range(3)
+        ])
+    span = max(float(white) - float(black), 1e-9)
+    means = np.maximum((means - float(black)) / span, 1e-6)
+    g = means[1]
+    gains = np.clip(g / means, 0.25, 8.0)
+    return (float(gains[0]), 1.0, float(gains[2]))
+
+
 def develop_raw_image(raw: RawImage, method: str = "malvar"):
     """RawImage -> (linear sRGB planes f32 [3, H, W], exif dict)."""
+    if not raw.wb_known and tuple(raw.wb_gains) == (1.0, 1.0, 1.0):
+        import dataclasses
+
+        raw = dataclasses.replace(
+            raw,
+            wb_gains=estimate_gray_world_gains(
+                raw.mosaic, raw.pattern, raw.black_level, raw.white_level),
+        )
     mosaic01 = dm.normalize_mosaic(
         jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
     )
