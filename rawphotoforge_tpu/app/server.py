@@ -629,8 +629,10 @@ class EditorApp:
     """The server's model object: one PhotoEditor + its lock + settings."""
 
     def __init__(self, editor: PhotoEditor, settings: Settings | None = None,
-                 settings_path: str | None = None, segmenter=None):
+                 settings_path: str | None = None, segmenter=None,
+                 prewarm: bool = True):
         self.editor = editor
+        self.prewarm = prewarm  # warm preview compiles on /open
         self.lock = threading.Lock()
         self.settings = settings or Settings.load(settings_path)
         self.settings_path = settings_path
@@ -981,6 +983,14 @@ def make_handler(app: EditorApp):
                             low_long_edge=app.settings.drag_preview_size,
                         )
                         app.editor = ed
+                        if app.prewarm:
+                            # Front-load the preview compiles for THIS
+                            # image's pyramid shapes (covers non-standard
+                            # aspects the startup warm missed); daemon
+                            # thread, takes no locks, touches no state.
+                            from ..engine.prewarm import warm_async
+
+                            warm_async(editor=ed)
                         self._send(200, json.dumps({
                             "ok": True,
                             "opened_from_preview": ed.opened_from_preview,
@@ -1109,9 +1119,20 @@ def make_handler(app: EditorApp):
 
 def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1",
           settings: Settings | None = None, settings_path: str | None = None,
-          segmenter=None):
+          segmenter=None, prewarm: bool = True):
     app = EditorApp(editor, settings=settings, settings_path=settings_path,
-                    segmenter=segmenter)
+                    segmenter=segmenter, prewarm=prewarm)
+    if prewarm:
+        # Compile-before-first-slider: warm the opened editor's actual
+        # preview shapes plus the standard-aspect buckets (any photo
+        # opened later with a common aspect then hits warm programs).
+        from ..engine.prewarm import preview_shapes, warm_async
+
+        s = app.settings
+        warm_async(
+            shapes=preview_shapes(s.ui_preview_size, s.drag_preview_size),
+            editor=editor,
+        )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd
 

@@ -544,6 +544,15 @@ class PhotoEditor:
         cached = self._geo_cache.get(level)
         if cached is not None and cached[0] == key:
             return cached[1]
+        if key == (0.0, 0.0):
+            # Bit-exact identity (lens_distortion lax.cond's to a
+            # passthrough at strength 0; sharpness 0 skips the unsharp):
+            # skip the dispatch entirely so a cold open never compiles
+            # the warp program — it is off the first-preview critical
+            # path until the user touches a geometry slider.
+            out = self._originals[level]
+            self._geo_cache[level] = (key, out)
+            return out
         extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
         out = dev.geometry_stage_jit(
             self._originals[level], jnp.float32(key[0]), extent

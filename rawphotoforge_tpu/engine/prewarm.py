@@ -1,0 +1,165 @@
+"""Preview-program pre-warming: compile before the user's first slider.
+
+The reference renders interactively from the moment a file loads
+(web/main.ts:652-695); through the remote-TPU tunnel a *cold* XLA compile
+of the develop program costs tens of seconds to minutes, which would land
+on the user's first preview request. This module compiles the programs on
+the first-preview critical path ahead of time, in a daemon thread:
+
+* the fused develop kernel (slider-only "staircase shortcut" variant — the
+  state every session opens in) at the bucket-padded preview shapes;
+* the MID-level histogram (served with every edit tick);
+* the device-side preview quantizers (u8 HWC and YCbCr 4:2:0).
+
+Two warming moments:
+
+* server start: the standard-aspect MID/LOW preview buckets are known
+  before any file opens (the preview long edges come from Settings; the
+  bucket rounding collapses all same-aspect photos onto one shape), so a
+  background warm at startup covers most subsequent ``POST /open``s;
+* file open: the *actual* pyramid shapes of the just-opened editor (covers
+  non-standard aspects, custom preview sizes, and the small-image case
+  where MID aliases FULL).
+
+All compiles land in the persistent on-disk compile cache, so a warm done
+once benefits every later process too. Warming is strictly best-effort:
+it touches no editor state (only freshly-allocated dummy buffers), takes
+no locks, and swallows every failure — a dead tunnel must degrade to
+"cold compiles on demand", never to a crashed server.
+"""
+
+from __future__ import annotations
+
+import threading
+
+# (aspect_w, aspect_h) of the sensor formats that cover essentially all
+# cameras: 3:2 (full-frame/APS-C), 4:3 (MFT/phones), 16:9 (video crops),
+# 1:1, plus portrait orientations.
+STANDARD_ASPECTS = (
+    (3, 2), (2, 3), (4, 3), (3, 4), (16, 9), (9, 16), (1, 1),
+)
+
+# Shapes (true h, true w) whose programs this process already warmed (or
+# started warming) — consulted to skip duplicate work on repeated opens.
+_warmed: set[tuple[int, int]] = set()
+_warmed_lock = threading.Lock()
+
+
+def preview_shapes(
+    mid_long_edge: int, low_long_edge: int,
+    aspects=STANDARD_ASPECTS,
+) -> list[tuple[int, int]]:
+    """True (h, w) preview dimensions for the standard aspects.
+
+    Mirrors the editor's pyramid construction (engine.editor.PhotoEditor
+    __init__): each level is the original resized so its long edge equals
+    the configured preview size, so for any photo bigger than the preview
+    the true preview shape depends only on the aspect ratio.
+    """
+    from ..ops.geometry import resize_long_edge_shape
+
+    out = []
+    for edge in (mid_long_edge, low_long_edge):
+        for aw, ah in aspects:
+            # A representative source comfortably larger than the edge;
+            # resize_long_edge_shape only uses the h:w ratio.
+            h, w = ah * 1000, aw * 1000
+            out.append(resize_long_edge_shape(h, w, edge))
+    # Dedup, stable order.
+    seen: set[tuple[int, int]] = set()
+    uniq = []
+    for s in out:
+        if s not in seen:
+            seen.add(s)
+            uniq.append(s)
+    return uniq
+
+
+def warm_shape(true_shape: tuple[int, int]) -> bool:
+    """Compile the first-preview programs for one true (h, w) shape.
+
+    Runs the fused develop (default-curve variant, single elided mask) on
+    a dummy bucket-padded image, then the histogram and both preview
+    quantizers on the true-extent slice — exactly the programs
+    ``PhotoEditor.apply(MID)`` + ``/histogram`` + ``/preview`` dispatch on
+    a freshly-opened session. Returns True if all programs compiled.
+    """
+    import jax.numpy as jnp
+
+    from ..core.params import EditParameters, pack_params
+    from ..io.jpegenc import _to_ycc420_jit
+    from ..kernels import fused
+    from ..ops.stats import histogram_rgbl
+    from ..utils.transfer import _to_u8_hwc_jit
+    from .editor import _pad_to_bucket
+
+    h, w = int(true_shape[0]), int(true_shape[1])
+    with _warmed_lock:
+        if (h, w) in _warmed:
+            return True
+        _warmed.add((h, w))
+    try:
+        planes = _pad_to_bucket(jnp.zeros((3, h, w), jnp.float32))
+        params = pack_params([EditParameters()], extent=(h, w),
+                             build_luts=False)
+        out = fused.develop_post_geo_fused(
+            planes, params, None,
+            main_mask_all_ones=True, default_curves=True,
+        )
+        true_out = out[:, :h, :w]
+        hist = histogram_rgbl(true_out)
+        _to_u8_hwc_jit()(true_out)
+        _to_ycc420_jit()(true_out)
+        # The jit compiles run synchronously at dispatch (that is the
+        # expensive part being front-loaded); block_until_ready is a
+        # no-op through the tunnel, so force execution with a tiny
+        # indexed fetch (CLAUDE.md timing notes).
+        float(hist[0, 0])
+        return True
+    except Exception:
+        # Best-effort by contract: cold compiles on demand still work.
+        with _warmed_lock:
+            _warmed.discard((h, w))
+        return False
+
+
+def warm_editor_levels(editor, levels=("mid", "low")) -> int:
+    """Warm the preview programs for an open editor's actual shapes."""
+    n = 0
+    for level in levels:
+        try:
+            shape = editor.level_shape(level)
+        except KeyError:
+            continue
+        if warm_shape(shape):
+            n += 1
+    return n
+
+
+def warm_async(shapes=None, editor=None, levels=("mid", "low"),
+               on_done=None) -> threading.Thread:
+    """Spawn a daemon thread warming ``shapes`` and/or an editor's levels.
+
+    The thread never raises; ``on_done(warmed_count)`` (optional) runs at
+    the end (used by tests and the server log line).
+    """
+
+    def run():
+        n = 0
+        try:
+            if editor is not None:
+                n += warm_editor_levels(editor, levels)
+            for s in shapes or ():
+                if warm_shape(s):
+                    n += 1
+        except Exception:
+            pass
+        if on_done is not None:
+            try:
+                on_done(n)
+            except Exception:
+                pass
+
+    t = threading.Thread(target=run, name="rpf-prewarm", daemon=True)
+    t.start()
+    return t

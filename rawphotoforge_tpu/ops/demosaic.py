@@ -221,26 +221,24 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     h, w = mosaic.shape
     cfa = np.asarray(cfa, dtype=np.int32)
     chan = _cfa_channel_map(h, w, cfa)
-    k = jnp.asarray(_NC_KERNEL_1D)
-    pad = len(_NC_KERNEL_1D) // 2
+    taps = [float(t) for t in _NC_KERNEL_1D]
+    pad = len(taps) // 2
+
+    # Shift-add filters, NOT conv_general_dilated: a [1,1,H,W] conv with a
+    # 7-tap kernel pads the single channel up to the MXU tile (8x128) and
+    # wastes ~99% of the systolic array; tap-weighted slice sums are pure
+    # VPU adds that XLA fuses into the surrounding pointwise pass (same
+    # formulation as the in-kernel _blur5, kernels/raw_pipeline.py).
+    def conv1d(x, axis):
+        xp = jnp.pad(x, [(pad, pad) if a == axis else (0, 0)
+                         for a in range(2)], mode="reflect")
+        if axis == 0:
+            return sum(t * xp[i : i + h, :] for i, t in enumerate(taps))
+        return sum(t * xp[:, i : i + w] for i, t in enumerate(taps))
 
     def spread(x):
-        # Separable triangle filter, reflect-padded, via two small convs.
-        xp = jnp.pad(x, pad, mode="reflect")[None, None]
-        kr = k[None, None, :, None]
-        kc = k[None, None, None, :]
-        y = jax.lax.conv_general_dilated(xp, kr, (1, 1), "VALID")
-        y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
-        return y[0, 0]
-
-    def conv1d(x, kern, axis):
-        xp = jnp.pad(x, [(pad, pad) if a == axis else (0, 0)
-                         for a in range(2)], mode="reflect")[None, None]
-        shape = [1, 1, 1, 1]
-        shape[2 + axis] = len(_NC_KERNEL_1D)
-        y = jax.lax.conv_general_dilated(xp, kern.reshape(shape), (1, 1),
-                                         "VALID")
-        return y[0, 0]
+        # Separable triangle filter, reflect-padded.
+        return conv1d(conv1d(x, 0), 1)
 
     def nc(values, mask):
         return spread(values * mask) / jnp.maximum(spread(mask), 1e-8)
@@ -248,8 +246,8 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     def nc1d(values, mask, axis):
         """1-D normalized convolution along ``axis``; where the line has no
         samples in the window, fall back to the 2-D estimate."""
-        den = conv1d(mask, k, axis)
-        est = conv1d(values * mask, k, axis) / jnp.maximum(den, 1e-8)
+        den = conv1d(mask, axis)
+        est = conv1d(values * mask, axis) / jnp.maximum(den, 1e-8)
         return est, den
 
     masks = [(chan == c).astype(jnp.float32) for c in range(3)]

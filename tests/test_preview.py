@@ -136,7 +136,8 @@ def test_server_open_preview_fallback():
 
     from rawphotoforge_tpu.engine.editor import PhotoEditor
 
-    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5), port=0)
+    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5), port=0,
+                      prewarm=False)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

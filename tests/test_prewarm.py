@@ -1,0 +1,134 @@
+"""Prewarm + cold-open compile-avoidance tests (VERDICT r2 #3).
+
+The interactive contract (web/main.ts:652-695 renders the moment a file
+loads) requires the first preview to be cheap: the geometry stage must not
+compile at all while its sliders are untouched, and the develop/histogram/
+quantize programs should be warmable ahead of the first request.
+"""
+
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.engine import prewarm
+from rawphotoforge_tpu.engine.editor import MID, LOW, PhotoEditor
+
+
+def _img(h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((3, h, w), dtype=np.float32))
+
+
+class TestPreviewShapes:
+    def test_standard_aspects_cover_common_cameras(self):
+        shapes = prewarm.preview_shapes(1280, 400)
+        # 3:2 landscape at MID: long edge 1280 -> 1280x853 true shape.
+        assert (853, 1280) in shapes
+        assert (1280, 853) in shapes  # portrait
+        assert (960, 1280) in shapes  # 4:3
+        assert (400, 400) in shapes   # 1:1 at LOW
+        # Deduped: square appears once per level, not per orientation.
+        assert len(shapes) == len(set(shapes))
+
+    def test_long_edge_is_the_preview_size(self):
+        for h, w in prewarm.preview_shapes(1280, 400):
+            assert max(h, w) in (1280, 400)
+
+
+class TestWarmShape:
+    def test_warm_marks_and_dedups(self):
+        prewarm._warmed.discard((40, 60))
+        assert prewarm.warm_shape((40, 60))
+        assert (40, 60) in prewarm._warmed
+        # Second call is a no-op hit.
+        assert prewarm.warm_shape((40, 60))
+
+    def test_warm_failure_unmarks(self, monkeypatch):
+        # A dead backend must leave the shape unwarmed (retry later) and
+        # return False instead of raising.
+        import rawphotoforge_tpu.ops.stats as stats
+
+        def boom(*a, **k):
+            raise RuntimeError("tunnel down")
+
+        monkeypatch.setattr(stats, "histogram_rgbl", boom)
+        prewarm._warmed.discard((48, 64))
+        assert prewarm.warm_shape((48, 64)) is False
+        assert (48, 64) not in prewarm._warmed
+
+    def test_warm_async_editor_reports_count(self):
+        ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
+        for level in (MID, LOW):
+            prewarm._warmed.discard(ed.level_shape(level))
+        done = threading.Event()
+        counts = []
+        t = prewarm.warm_async(editor=ed, on_done=lambda n: (
+            counts.append(n), done.set()))
+        assert done.wait(timeout=120)
+        t.join(timeout=10)
+        assert counts == [2]
+        for level in (MID, LOW):
+            assert ed.level_shape(level) in prewarm._warmed
+
+
+class TestColdOpenGeometryShortcut:
+    def test_zero_geometry_never_dispatches_warp(self, monkeypatch):
+        """With distortion=0 and sharpness=0 the geometry stage is a
+        bit-exact identity — the editor must serve the original buffer
+        without compiling/dispatching the warp program (it is off the
+        first-preview critical path)."""
+        from rawphotoforge_tpu.ops import develop as dev
+
+        ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
+
+        def boom(*a, **k):
+            raise AssertionError("geometry program dispatched at cold open")
+
+        monkeypatch.setattr(dev, "geometry_stage_jit", boom)
+        out = ed.apply(MID)
+        assert out.shape[0] == 3
+        # The identity result IS the original buffer (no copy).
+        assert ed._geo_cache[MID][1] is ed._originals[MID]
+
+    def test_geometry_slider_still_works_after_shortcut(self):
+        ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
+        base = np.asarray(ed.apply(MID))
+        ed.set_lens_distortion(30)
+        warped = np.asarray(ed.apply(MID))
+        assert warped.shape == base.shape
+        assert not np.allclose(warped, base)
+        # And back to zero reproduces the identity render bit-exactly.
+        ed.set_lens_distortion(0)
+        again = np.asarray(ed.apply(MID))
+        np.testing.assert_array_equal(again, base)
+
+    def test_shortcut_matches_dispatched_identity(self):
+        """The skipped program at (0, 0) must equal what the dispatched
+        geometry stage would have produced (lens_distortion lax.cond's
+        to a passthrough at zero strength)."""
+        from rawphotoforge_tpu.ops import develop as dev
+
+        ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
+        short = ed._geo_at(MID)
+        extent = jnp.asarray(ed._extents[MID], dtype=jnp.float32)
+        dispatched = dev.geometry_stage_jit(
+            ed._originals[MID], jnp.float32(0.0), extent)
+        np.testing.assert_array_equal(np.asarray(short),
+                                      np.asarray(dispatched))
+
+
+class TestServerPrewarmFlag:
+    def test_serve_prewarm_off_spawns_no_thread(self, monkeypatch):
+        import rawphotoforge_tpu.app.server as srv
+
+        called = []
+        monkeypatch.setattr(prewarm, "warm_async",
+                            lambda *a, **k: called.append(1))
+        from rawphotoforge_tpu.engine.session import Settings
+
+        httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5),
+                          port=0, settings=Settings(), prewarm=False)
+        httpd.server_close()
+        assert called == []

@@ -131,7 +131,7 @@ def test_server_model_mask(tmp_path, rng):
         mid_long_edge=32, low_long_edge=16,
     )
     ed.set_mask_range(0.5)
-    httpd = serve(ed, port=0, settings=Settings(),
+    httpd = serve(ed, port=0, settings=Settings(), prewarm=False,
                   segmenter=make_segmenter(lambda im, pt: _disk_stub(im, pt)))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -168,7 +168,8 @@ def test_server_rejects_segmenter_specs_over_http(tmp_path, rng):
     from rawphotoforge_tpu.app import server as srv
     from rawphotoforge_tpu.engine.editor import PhotoEditor
 
-    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.4), port=0)
+    httpd = srv.serve(PhotoEditor(jnp.ones((3, 16, 16)) * 0.4), port=0,
+                      prewarm=False)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     try:

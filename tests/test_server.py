@@ -23,7 +23,8 @@ def base_url(tmp_path_factory):
         use_pallas=False, mid_long_edge=48, low_long_edge=24,
     )
     settings_path = str(tmp_path_factory.mktemp("settings") / "settings.json")
-    httpd = serve(ed, port=0, settings=Settings(), settings_path=settings_path)
+    httpd = serve(ed, port=0, settings=Settings(),
+                  settings_path=settings_path, prewarm=False)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
