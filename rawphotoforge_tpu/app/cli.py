@@ -338,7 +338,8 @@ def _batch_raw_fast_path(paths, args) -> int:
             # generic demosaic + crop-first + fused-edit route.
             crop_first = raw.default_crop is not None and (
                 edit.vignette != 0 or edit.sharpness != 0)
-            if raw.pattern in dm.BAYER_PATTERNS and \
+            if (raw.pattern in dm.BAYER_PATTERNS or
+                    raw.pattern == "XTRANS") and \
                     raw.warp_rectilinear is None and not crop_first:
                 packed = pack_params([edit], extent=(h, w), build_luts=False)
                 srgb = raw_develop_fused(
@@ -346,10 +347,11 @@ def _batch_raw_fast_path(paths, args) -> int:
                     packed, sharpen, pattern=raw.pattern, default_curves=dc,
                 )
             else:
-                # Non-Bayer data (X-Trans CFA, demosaiced LinearRaw), a
-                # WarpRectilinear opcode (must run between demosaic and
-                # the edit stack), or crop-first routing: develop via the
-                # generic path, then the fused edit kernel.
+                # Non-CFA data (demosaiced LinearRaw), a WarpRectilinear
+                # opcode (must run between demosaic and the edit stack),
+                # or crop-first routing: develop via the generic path,
+                # then the fused edit kernel. (Bayer AND X-Trans CFAs
+                # take the one-pass kernel above.)
                 if raw.pattern == "RGB":
                     planes = dm.develop_linear_raw(
                         mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32),

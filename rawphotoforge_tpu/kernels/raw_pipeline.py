@@ -49,6 +49,17 @@ HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
 TILE_H = 64
 TILE_W = 1024
 
+# X-Trans variant: the residual demosaic's support is 9 pixels (7-tap NC
+# of a quantity that itself needs a 7-tap NC) + 2 for sharpen; the halo
+# must also be 0 mod 6 so every DMA window starts on the same 6x6 CFA
+# phase (tile origins are 0 mod 6 too — see the validations below).
+XT_HALO = 12
+# Swept on-chip at 24MP: 48x384 17.0 ms, 48x768 13.2 ms, 96x384 13.9 ms,
+# 96x768 12.6 ms (best; 192x768 / 96x1536 / 144x768 exhaust VMEM and fail
+# to compile — the residual demosaic holds ~12 window-sized temporaries).
+XT_TILE_H = 96     # multiple of 6 (constant 6x6 CFA phase per tile)
+XT_TILE_W = 768    # multiple of lcm(128, 6): 128-aligned DMA AND phase
+
 # Radius-2 Gaussian taps (sigma=1.0), matching ops/sharpen defaults.
 _GAUSS = None
 
@@ -110,6 +121,105 @@ def _malvar(m, th, tw, pattern):
     return r, g, b
 
 
+def _xtrans_masks(oy: int, ox: int, eh: int, ew: int):
+    """Float R/G/B sample masks [eh, ew] for a window whose origin sits at
+    CFA phase (oy, ox) mod 6, built from iota parity (kernels cannot
+    capture array constants). R and B each occupy 8 of the 36 tile sites,
+    so they are built as 8-term indicator sums and G as the complement —
+    20 fewer selects than mapping all 36 sites."""
+    from ..ops.demosaic import XTRANS
+
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) + oy) % 6
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) + ox) % 6
+
+    def sites(ch):
+        acc = None
+        for r in range(6):
+            for c in range(6):
+                if int(XTRANS[r][c]) == ch:
+                    t = jnp.logical_and(ys == r, xs == c).astype(jnp.float32)
+                    acc = t if acc is None else acc + t
+        return acc
+
+    mr = sites(0)
+    mb = sites(2)
+    return mr, 1.0 - mr - mb, mb
+
+
+# The un-normalized triangle taps of ops/demosaic._NC_KERNEL_1D (NC divides
+# a weighted sum by the weighted mask sum, so scale cancels — but using the
+# same taps keeps the arithmetic bit-comparable to the jnp path).
+_NC_TAPS = (1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+
+
+def _conv7y(x, eh):
+    """7-tap triangle filter down the rows: [(eh+6), W] -> [eh, W]."""
+    return sum(t * x[i : i + eh, :] for i, t in enumerate(_NC_TAPS))
+
+
+def _conv7x(x, ew):
+    """7-tap triangle filter along the columns: [H, (ew+6)] -> [H, ew]."""
+    return sum(t * x[:, i : i + ew] for i, t in enumerate(_NC_TAPS))
+
+
+def _xtrans(m, th, tw):
+    """Directional-green residual demosaic of an X-Trans window
+    ``m`` [(th + 2*XT_HALO), (tw + 2*XT_HALO)] -> (r, g, b) [th+4, tw+4]
+    (2 pixels of margin remain for the sharpen stage, like _malvar).
+
+    Same math as ops/demosaic.demosaic_cfa(method="residual") with two
+    window-local simplifications, both exact for the X-Trans layout:
+
+    * the 1-D green NC denominators are always > 0.5 (every X-Trans row
+      and column holds a green within any 7-window), so the jnp path's
+      2-D fallback branch is never taken and is omitted here;
+    * phase masks continue periodically into the reflect-padded border
+      instead of reflecting with the mosaic, so the outer <=9 px of a
+      full image may differ slightly from the jnp path (interior tiles
+      see true neighbors and match exactly).
+    """
+    # Window-coordinate offsets: output E0 at 10 (= XT_HALO - 2), the
+    # green estimate E1 at 7 (E0 - 3), conv/grad support at 4 (E1 - 3),
+    # gradients read mosaic one pixel further (offset 3).
+    eh0, ew0 = th + 4, tw + 4          # demosaic output extent
+    eh1, ew1 = th + 10, tw + 10        # g_est extent
+    ehs, ews = th + 16, tw + 16        # conv-input / mask extent
+
+    mr, mg, mb = _xtrans_masks(4, 4, ehs, ews)
+    mw = m[4 : 4 + ehs, 4 : 4 + ews]
+
+    # Directional gradient energies at E1: spread(|central difference|).
+    gx = jnp.abs(m[4 : 4 + ehs, 5 : 5 + ews] - m[4 : 4 + ehs, 3 : 3 + ews])
+    gy = jnp.abs(m[5 : 5 + ehs, 4 : 4 + ews] - m[3 : 3 + ehs, 4 : 4 + ews])
+    sgx = _conv7x(_conv7y(gx, eh1), ew1)
+    sgy = _conv7x(_conv7y(gy, eh1), ew1)
+
+    # 1-D green NC along each axis at E1; pick the lower-gradient axis.
+    prod = mw * mg
+    g_h = _conv7x(prod[3 : 3 + eh1, :], ew1) / jnp.maximum(
+        _conv7x(mg[3 : 3 + eh1, :], ew1), 1e-8)
+    g_v = _conv7y(prod[:, 3 : 3 + ew1], eh1) / jnp.maximum(
+        _conv7y(mg[:, 3 : 3 + ew1], eh1), 1e-8)
+    g_est = jnp.where(sgx > sgy, g_v, g_h)
+
+    m0 = m[10 : 10 + eh0, 10 : 10 + ew0]
+    g = jnp.where(mg[6 : 6 + eh0, 6 : 6 + ew0] > 0, m0,
+                  g_est[3 : 3 + eh0, 3 : 3 + ew0])
+
+    # Chroma residual NC: (mosaic - g_est) sampled at R/B sites, spread
+    # with the same triangle, added back onto the final green.
+    d = m[7 : 7 + eh1, 7 : 7 + ew1] - g_est
+
+    def chroma(mask):
+        mk = mask[3 : 3 + eh1, 3 : 3 + ew1]
+        num = _conv7x(_conv7y(d * mk, eh0), ew0)
+        den = _conv7x(_conv7y(mk, eh0), ew0)
+        est = g + num / jnp.maximum(den, 1e-8)
+        return jnp.where(mask[6 : 6 + eh0, 6 : 6 + ew0] > 0, m0, est)
+
+    return chroma(mr), g, chroma(mb)
+
+
 def _blur5(x, th, tw):
     """Separable radius-2 Gaussian of padded ``x`` [(th+4), (tw+4)] -> [th, tw]."""
     t = _gauss_taps()
@@ -139,6 +249,7 @@ def _raw_kernel(
     full_w: int,
     tile_h: int,
     tile_w: int,
+    halo: int = HALO,
 ):
     if num_masks > 1:
         masks_ref, out_ref, scratch_ref, sem = rest
@@ -163,7 +274,7 @@ def _raw_kernel(
 
     def window_dma(buf_slot, i, j):
         return pltpu.make_async_copy(
-            mosaic_ref.at[pl.ds(i * th, th + 2 * HALO), pl.ds(j * tw, tw + 128)],
+            mosaic_ref.at[pl.ds(i * th, th + 2 * halo), pl.ds(j * tw, tw + 128)],
             scratch_ref.at[buf_slot],
             sem.at[buf_slot],
         )
@@ -185,10 +296,13 @@ def _raw_kernel(
     # Mosaic is already white-balanced (the wrapper applies the CFA gains
     # before reflect-padding, so mirrored border samples carry the gain of
     # their *source* site, matching ops/demosaic exactly).
-    m = scratch_ref[slot, :, : tw + 2 * HALO]
+    m = scratch_ref[slot, :, : tw + 2 * halo]
 
     # Demosaic to the inner (th+4, tw+4) region (keeps 2px for the blur).
-    r, g, b = _malvar(m, th + 4, tw + 4, pattern)
+    if pattern == "XTRANS":
+        r, g, b = _xtrans(m, th, tw)
+    else:
+        r, g, b = _malvar(m, th + 4, tw + 4, pattern)
 
     # Camera -> linear sRGB.
     cr = cam_ref[0, 0] * r + cam_ref[0, 1] * g + cam_ref[0, 2] * b
@@ -295,11 +409,24 @@ def raw_develop_fused(
     h, w = mosaic01.shape
     m = params.gains.shape[0]
     s = params.breaks.shape[-1]
+    xtrans = pattern == "XTRANS"
+    if xtrans and (tile_h, tile_w) == (TILE_H, TILE_W):
+        # The Bayer defaults violate the 6-periodicity constraints below;
+        # swap in the X-Trans tile geometry unless the caller chose one.
+        tile_h, tile_w = XT_TILE_H, XT_TILE_W
+    halo = XT_HALO if xtrans else HALO
     if tile_w % 128 != 0:
         # The double-buffered HBM DMA reads tw+128-wide windows at offset
         # tj*tw; lane slices must be 128-aligned (CLAUDE.md).
         raise ValueError(f"tile_w must be a multiple of 128, got {tile_w}")
-    if tile_h % 2 != 0:
+    if xtrans:
+        # Constant 6x6 phase masks need every window origin (tile origin
+        # minus halo) at phase 0; XT_HALO is 0 mod 6 already.
+        if tile_h % 6 != 0 or tile_w % 6 != 0:
+            raise ValueError(
+                f"X-Trans tiles must be multiples of 6, got "
+                f"{tile_h}x{tile_w} (tile_w needs lcm(128,6)=384)")
+    elif tile_h % 2 != 0:
         # Odd tile origins would shift the CFA phase masks.
         raise ValueError(f"tile_h must be even, got {tile_h}")
 
@@ -310,10 +437,23 @@ def raw_develop_fused(
     wh, ww = h + ph, w + pw
 
     balanced = apply_wb_mosaic(mosaic01, pattern, wb_gains)
-    padded = jnp.pad(balanced, HALO, mode="reflect")
+    if xtrans:
+        # Phase-preserving border: reflect padding breaks the 6x6 CFA
+        # phase (row -k mirrors row k, and -k != k mod 6), which would
+        # feed wrong-channel samples into the border NC sums (full-scale
+        # fringe). halo == 12 is exactly two CFA periods, so continuing
+        # each edge with its OWN first/last 12 rows/cols (not the
+        # opposite edge's, as mode="wrap" would) keeps every padded site
+        # on its true channel while sourcing values <= 12 px away.
+        padded = jnp.concatenate(
+            [balanced[:halo], balanced, balanced[-halo:]], axis=0)
+        padded = jnp.concatenate(
+            [padded[:, :halo], padded, padded[:, -halo:]], axis=1)
+    else:
+        padded = jnp.pad(balanced, halo, mode="reflect")
     # Right/bottom growth: tile rounding plus the extra DMA-window width
     # (the kernel reads tw+128-wide aligned windows).
-    padded = jnp.pad(padded, ((0, ph), (0, pw + 128 - 2 * HALO)), mode="edge")
+    padded = jnp.pad(padded, ((0, ph), (0, pw + 128 - 2 * halo)), mode="edge")
 
     knots, dknots, dcoeffs = pack_curve_deltas(params, m, s)
 
@@ -335,6 +475,7 @@ def raw_develop_fused(
         full_w=w,
         tile_h=tile_h,
         tile_w=tile_w,
+        halo=halo,
     )
     chan = params.bright_channel.reshape(m, 1).astype(jnp.float32)
     in_specs = [
@@ -367,7 +508,7 @@ def raw_develop_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, wh, ww), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2 * HALO, tile_w + 128), jnp.float32),
+            pltpu.VMEM((2, tile_h + 2 * halo, tile_w + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),

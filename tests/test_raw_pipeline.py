@@ -135,3 +135,68 @@ def test_raw_kernel_default_curves_variant_bit_identical(rng):
                                         jnp.float32(0.5),
                                         default_curves=True))
     np.testing.assert_array_equal(a, b)
+
+
+class TestXTransFused:
+    """One-pass X-Trans kernel vs the composed path (demosaic_cfa residual
+    -> sharpen -> fused develop). Interiors match bit-comparably; the
+    outer 12 px use a phase-preserving periodic border (the jnp path
+    reflect-pads intermediates instead) so borders are compared only on
+    smooth content, where any sane boundary policy must agree."""
+
+    def _compare(self, h, w, sharpen, seed=0):
+        mosaic, wb, cam, params = _inputs(h=h, w=w, seed=seed)
+        one = np.asarray(raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(sharpen),
+            pattern="XTRANS", tile_h=48, tile_w=384))
+        rgb = dm.develop_raw(mosaic, wb, cam, pattern="XTRANS",
+                             method="residual")
+        if float(sharpen) != 0.0:
+            rgb = unsharp_mask(rgb, jnp.float32(sharpen))
+        masks = jnp.ones((1, h, w), dtype=jnp.float32)
+        multi = np.asarray(fused.develop_post_geo_fused(
+            rgb, params, masks, main_mask_all_ones=True))
+        return one, multi
+
+    @pytest.mark.parametrize("sharpen", [0.0, 0.8])
+    def test_interior_matches_composed(self, sharpen):
+        one, multi = self._compare(96, 768, sharpen)
+        assert_close(
+            one[:, 14:-14, 14:-14].transpose(1, 2, 0),
+            multi[:, 14:-14, 14:-14].transpose(1, 2, 0), loose=1e-2,
+        )
+
+    def test_non_tile_multiple_interior(self):
+        one, multi = self._compare(100, 700, 0.5, seed=2)
+        assert one.shape == (3, 100, 700)
+        assert_close(
+            one[:, 14:-14, 14:-14].transpose(1, 2, 0),
+            multi[:, 14:-14, 14:-14].transpose(1, 2, 0), loose=1e-2,
+        )
+
+    def test_smooth_borders_match(self):
+        """On smooth content the phase-preserving border must track the
+        jnp path's reflected border closely, everywhere incl. corners."""
+        h, w = 96, 768
+        yy, xx = jnp.mgrid[0:h, 0:w]
+        mosaic = 0.2 + 0.5 * (yy.astype(jnp.float32) / h) * (
+            xx.astype(jnp.float32) / w)
+        wb = jnp.asarray([1.2, 1.0, 1.3])
+        cam = jnp.asarray(dm.cam_matrix_to_srgb(np.array(
+            [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])))
+        params = pack_params([EditParameters()])
+        one = np.asarray(raw_pipeline.raw_develop_fused(
+            mosaic, wb, cam, params, jnp.float32(0.0), pattern="XTRANS"))
+        rgb = dm.develop_raw(mosaic, wb, cam, pattern="XTRANS",
+                             method="residual")
+        multi = np.asarray(fused.develop_post_geo_fused(
+            rgb, params, jnp.ones((1, h, w), dtype=jnp.float32),
+            main_mask_all_ones=True))
+        assert np.abs(one - multi).max() < 2e-2
+
+    def test_bad_tile_geometry_rejected(self):
+        mosaic, wb, cam, params = _inputs(h=48, w=384)
+        with pytest.raises(ValueError, match="multiples of 6"):
+            raw_pipeline.raw_develop_fused(
+                mosaic, wb, cam, params, jnp.float32(0.0),
+                pattern="XTRANS", tile_h=16, tile_w=128)
