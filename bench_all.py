@@ -162,13 +162,17 @@ def main(argv=None) -> int:
         p_sliders.set_whitebalance(temperature=25, tint=-10)
         p_sliders.set_vignette(40)
         params_s = jax.device_put(pack_params([p_sliders]))
+        # What the editor actually dispatches in this state: staircase
+        # shortcut + identity_oklch (the OKLCH round trip skipped; the
+        # default hue/sat/light curves only perturb sub-u8-quantization).
         dev_fast = functools.partial(fused.develop_post_geo_fused,
                                      main_mask_all_ones=True,
-                                     default_curves=True)
+                                     default_curves=True,
+                                     identity_oklch=True)
         dt = device_time(dev_fast, planes, params_s, masks, chain=chain_first)
         results["c1_24mp_sliders_only_ms"] = dt * 1e3
         results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
-        log(f"config 1a: 24MP slider-only edit (default curves) "
+        log(f"config 1a: 24MP slider-only edit (identity_oklch variant) "
             f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
 
     if want("1b"):

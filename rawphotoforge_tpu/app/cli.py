@@ -294,7 +294,7 @@ def _batch_raw_fast_path(paths, args) -> int:
         # [1, H, W] device allocation (~180 MB at 45MP).
         return fused.develop_post_geo_fused(
             planes, packed, None, main_mask_all_ones=True,
-            default_curves=dc,
+            default_curves=dc, identity_oklch=dc,
         )
 
     t0 = time.perf_counter()
@@ -345,6 +345,7 @@ def _batch_raw_fast_path(paths, args) -> int:
                 srgb = raw_develop_fused(
                     mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
                     packed, sharpen, pattern=raw.pattern, default_curves=dc,
+                    identity_oklch=dc,
                 )
             else:
                 # Non-CFA data (demosaiced LinearRaw), a WarpRectilinear

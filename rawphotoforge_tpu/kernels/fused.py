@@ -145,6 +145,7 @@ def _develop_kernel(
     tile_w: int,
     main_only: bool,
     default_curves: bool,
+    identity_oklch: bool,
 ):
     if main_only:
         (out_ref,) = rest_refs
@@ -206,6 +207,18 @@ def _develop_kernel(
     # atan2/sin/cos primitives. (Measured: Mosaic's native pow lowering
     # beats ktrig.cbrt_fast here — the Halley divisions and extra live
     # temporaries cost more than exp/log in this spill-sensitive kernel.)
+    #
+    # identity_oklch: with every hue/sat/light curve at its default, the
+    # OKLCH pass only quantizes H to 1/65536 and scales C and L by
+    # floor(32767)/32767.5 (= 1 - 1.5e-5) — all sub-u8-quantization.
+    # Skipping the whole round trip (2 matrix pairs, 3 cbrt, atan2,
+    # sincos, 3 cubes) deviates <= ~1e-4 in sRGB out, far below the
+    # kernel-vs-anchor gate, and nearly halves the slider-only frame.
+    if identity_oklch:
+        out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
+        out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
+        out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+        return
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
@@ -237,7 +250,7 @@ def _develop_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "main_mask_all_ones",
-                     "default_curves"),
+                     "default_curves", "identity_oklch"),
 )
 def develop_post_geo_fused(
     planes: jax.Array,
@@ -247,6 +260,7 @@ def develop_post_geo_fused(
     tile_w: int = TILE_W,
     main_mask_all_ones: bool = False,
     default_curves: bool = False,
+    identity_oklch: bool = False,
     row_offset: jax.Array | None = None,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
@@ -273,6 +287,13 @@ def develop_post_geo_fused(
     staircase and a constant gain, bit-identical to evaluating the default
     curves but skipping ~6 packed-PCHIP sweeps per pixel. This is the
     common slider-only editing state.
+
+    ``identity_oklch`` (requires ``default_curves``): additionally skip
+    the OKLCH round trip the default hue/sat/light curves barely perturb
+    (H quantized to 1/65536, C and L scaled by 1 - 1.5e-5) — NOT
+    bit-identical, deviates <= ~1e-4 in sRGB output (sub-u8-quantization;
+    gated in tests/test_pallas.py), and nearly halves the slider-only
+    frame time.
     """
     _, h, w = planes.shape
     if masks is None:
@@ -285,6 +306,11 @@ def develop_post_geo_fused(
             raise ValueError(f"masks=None requires a single mask, got {m}")
     else:
         m = masks.shape[0]
+    if identity_oklch and not default_curves:
+        # Skipping the OKLCH pass is only near-exact when the hue/sat/
+        # light curves are the defaults; with real curves it would drop
+        # the user's edit entirely.
+        raise ValueError("identity_oklch requires default_curves=True")
     s = params.breaks.shape[-1]
     main_only = main_mask_all_ones and m == 1
 
@@ -308,6 +334,7 @@ def develop_post_geo_fused(
         tile_w=tile_w,
         main_only=main_only,
         default_curves=default_curves,
+        identity_oklch=identity_oklch,
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))

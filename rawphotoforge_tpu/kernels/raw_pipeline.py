@@ -245,6 +245,7 @@ def _raw_kernel(
     num_masks: int,
     num_seg: int,
     default_curves: bool,
+    identity_oklch: bool,
     full_h: int,
     full_w: int,
     tile_h: int,
@@ -358,6 +359,14 @@ def _raw_kernel(
             g = jnp.where(sel, gk, g)
             b = jnp.where(sel, bk, b)
 
+    # identity_oklch: skip the OKLCH round trip the default hue/sat/light
+    # curves barely perturb (see kernels/fused.py — deviation <= ~2e-3,
+    # sub-u8-quantization after encode).
+    if identity_oklch:
+        out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
+        out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
+        out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+        return
     L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = None if k == 0 else masks_ref[k - 1] == 1.0
@@ -383,7 +392,8 @@ def _raw_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pattern", "tile_h", "tile_w", "default_curves")
+    jax.jit, static_argnames=("pattern", "tile_h", "tile_w", "default_curves",
+                              "identity_oklch")
 )
 def raw_develop_fused(
     mosaic01: jax.Array,
@@ -396,6 +406,7 @@ def raw_develop_fused(
     tile_w: int = TILE_W,
     masks: jax.Array | None = None,
     default_curves: bool = False,
+    identity_oklch: bool = False,
 ) -> jax.Array:
     """Whole-RAW-pipeline fused kernel.
 
@@ -409,6 +420,8 @@ def raw_develop_fused(
     h, w = mosaic01.shape
     m = params.gains.shape[0]
     s = params.breaks.shape[-1]
+    if identity_oklch and not default_curves:
+        raise ValueError("identity_oklch requires default_curves=True")
     xtrans = pattern == "XTRANS"
     if xtrans and (tile_h, tile_w) == (TILE_H, TILE_W):
         # The Bayer defaults violate the 6-periodicity constraints below;
@@ -469,6 +482,7 @@ def raw_develop_fused(
         num_masks=m,
         num_seg=s,
         default_curves=default_curves,
+        identity_oklch=identity_oklch,
         # True dims, not the tile-rounded working dims: positional effects
         # (vignette) must normalize by the real image extent.
         full_h=h,

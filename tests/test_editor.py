@@ -191,6 +191,18 @@ def test_pallas_editor_matches_jnp_editor(rng):
     for ed in (ed_a, ed_b):
         ed.set_tone(exposure=0.8, contrast=20)
         ed.set_whitebalance(temperature=30)
+    # Slider-only state: the kernel path takes the identity_oklch variant
+    # (skips the OKLCH round trip the anchor still performs with exact
+    # trig), so the deviation profile is a broad ~1e-4 haze rather than
+    # sparse curve-evaluation error — gate max + a loose rate.
+    a = np.asarray(ed_a.apply(FULL))
+    b = np.asarray(ed_b.apply(FULL))
+    assert np.abs(a - b).max() < 2e-3
+    assert (np.abs(a - b) > 1e-3).mean() < 5e-3
+    # With any curve set, both paths evaluate the full OKLCH stack: the
+    # original strict gates apply (sparse curve-eval tolerance only).
+    for ed in (ed_a, ed_b):
+        ed.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 24000, 65535])
     a = np.asarray(ed_a.apply(FULL))
     b = np.asarray(ed_b.apply(FULL))
     assert np.abs(a - b).max() < 5e-3

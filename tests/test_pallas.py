@@ -171,3 +171,75 @@ def test_editor_uses_default_curve_variant(rng):
     ed.set_curve(BRIGHTNESS, [0, 65535], [0, 65535])
     b = np.asarray(ed.apply(FULL))
     np.testing.assert_array_equal(a, b)
+
+
+def test_identity_oklch_variant_near_exact(rng):
+    """identity_oklch skips the OKLCH round trip the default hue/sat/light
+    curves barely perturb: H quantized to 1/65536, C and L scaled by
+    floor(32767)/32767.5, plus the polynomial-trig round-trip error — all
+    sub-u8-quantization after encode. Bounded, NOT bit-identical."""
+    img = random_linear_image(rng, 48, 160)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    masks = jnp.ones((1, 48, 160), dtype=np.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.8, contrast=20, shadow=15)
+    p.set_whitebalance(temperature=30)
+    p.set_vignette(40)
+    packed = pack_params([p])
+    full = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True,
+        identity_oklch=True))
+    assert np.abs(full - fast).max() < 3e-3
+
+
+def test_identity_oklch_requires_default_curves(rng):
+    img = random_linear_image(rng, 32, 128)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    packed = pack_params([EditParameters()])
+    with pytest.raises(ValueError, match="default_curves"):
+        fused.develop_post_geo_fused(
+            planes, packed, None, main_mask_all_ones=True,
+            identity_oklch=True)
+
+
+def test_raw_kernel_identity_oklch_near_exact(rng):
+    from rawphotoforge_tpu.kernels import raw_pipeline as rp
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    mosaic = jnp.asarray(rng.random((64, 256), dtype=np.float32))
+    wb = jnp.asarray([1.8, 1.0, 1.4])
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])))
+    p = EditParameters()
+    p.set_tone(exposure=0.6, contrast=20)
+    packed = pack_params([p], extent=(64, 256))
+    full = np.asarray(rp.raw_develop_fused(
+        mosaic, wb, cam, packed, jnp.float32(0.5), tile_h=16, tile_w=128,
+        default_curves=True))
+    fast = np.asarray(rp.raw_develop_fused(
+        mosaic, wb, cam, packed, jnp.float32(0.5), tile_h=16, tile_w=128,
+        default_curves=True, identity_oklch=True))
+    assert np.abs(full - fast).max() < 3e-3
+    with pytest.raises(ValueError, match="default_curves"):
+        rp.raw_develop_fused(mosaic, wb, cam, packed, jnp.float32(0.5),
+                             identity_oklch=True)
+
+
+def test_editor_slider_only_render_close_to_anchor(rng):
+    """The editor's slider-only kernel render (identity_oklch) stays
+    within the kernel-vs-anchor gate of the exact-LUT jnp path."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor, FULL
+
+    img = random_linear_image(rng, 40, 144)
+    kw = dict(mid_long_edge=32, low_long_edge=16)
+    ed = PhotoEditor.from_rgb_f32(img, use_pallas=True, **kw)
+    ed.set_tone(exposure=0.5, contrast=10)
+    ed.set_vignette(30)
+    a = np.asarray(ed.apply(FULL))
+    ed2 = PhotoEditor.from_rgb_f32(img, use_pallas=False, **kw)
+    ed2.set_tone(exposure=0.5, contrast=10)
+    ed2.set_vignette(30)
+    b = np.asarray(ed2.apply(FULL))
+    assert np.abs(a - b).max() < 5e-3

@@ -125,6 +125,81 @@ for seed in range(args.raw_seeds):
 print("TPU RAW FUZZ RESULT:",
       "PASS" if raw_fails == 0 else f"{raw_fails} FAILURES")
 
+# --- part 3: the X-Trans one-pass kernel vs the composed residual path ---
+# Interior-only comparison: the kernel's border uses a phase-preserving
+# periodic continuation while the jnp path reflect-pads intermediates
+# (kernels/raw_pipeline._xtrans docstring) — the outer 12 px legitimately
+# differ on noise inputs.
+xt_fails = 0
+xt_seeds = []
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 3000)
+    mosaic = jnp.asarray(r.random((192, 768)).astype(np.float32))
+    wb = jnp.asarray([r.uniform(1.2, 2.4), 1.0, r.uniform(1.1, 2.0)],
+                     dtype=jnp.float32)
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]])))
+    params = jax.device_put(pack_params(
+        [_random_params(r, allow_geometry=False)]))
+    sharpen = jnp.float32(r.uniform(0.0, 1.5))
+
+    one_pass = np.asarray(raw_pipeline.raw_develop_fused(
+        mosaic, wb, cam, params, sharpen, pattern="XTRANS"))
+    rgb = dm.develop_raw(mosaic, wb, cam, pattern="XTRANS",
+                         method="residual")
+    rgb = jax.lax.cond(sharpen != 0.0,
+                       lambda x: unsharp_mask(x, sharpen), lambda x: x, rgb)
+    masks = jnp.ones((1,) + mosaic.shape, dtype=jnp.float32)
+    composed = np.asarray(fused.develop_post_geo_fused(
+        rgb, params, masks, main_mask_all_ones=True))
+    stats = _dev_stats(one_pass[:, 14:-14, 14:-14],
+                       composed[:, 14:-14, 14:-14])
+    ok = (stats["median"] < 1e-4 and stats["mean"] < 2e-3
+          and stats["max"] < 0.08)
+    if ok:
+        print(f"xtrans seed {seed}: ok (sharpen={float(sharpen):.2f}, "
+              f"max={stats['max']:.2e})", flush=True)
+    else:
+        xt_fails += 1
+        print(f"xtrans seed {seed}: FAIL median={stats['median']:.2e} "
+              f"mean={stats['mean']:.2e} max={stats['max']:.2e}", flush=True)
+    xt_seeds.append({"seed": seed, "sharpen": float(sharpen), "ok": ok,
+                     **stats})
+
+print("TPU XTRANS FUZZ RESULT:",
+      "PASS" if xt_fails == 0 else f"{xt_fails} FAILURES")
+
+# --- part 4: identity_oklch variant vs the general staircase variant ---
+# The editor's slider-only fast path; documented deviation bound 3e-3
+# (sub-u8-quantization after encode).
+io_fails = 0
+io_seeds = []
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 4000)
+    planes = jnp.asarray(r.random((3, h, w)).astype(np.float32))
+    p = _random_params(r, allow_geometry=False)
+    for slot in range(4):
+        p.curves[slot].control_x = None  # defaults only: the variant's domain
+        p.curves[slot].control_y = None
+        p.curves[slot].raw_lut = None
+    params = jax.device_put(pack_params([p]))
+    full = np.asarray(fused.develop_post_geo_fused(
+        planes, params, None, main_mask_all_ones=True, default_curves=True))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, params, None, main_mask_all_ones=True, default_curves=True,
+        identity_oklch=True))
+    mx = float(np.abs(full - fast).max())
+    ok = mx < 3e-3
+    if ok:
+        print(f"identity_oklch seed {seed}: ok (max={mx:.2e})", flush=True)
+    else:
+        io_fails += 1
+        print(f"identity_oklch seed {seed}: FAIL max={mx:.2e}", flush=True)
+    io_seeds.append({"seed": seed, "ok": ok, "max": mx})
+
+print("TPU IDENTITY-OKLCH RESULT:",
+      "PASS" if io_fails == 0 else f"{io_fails} FAILURES")
+
 if args.out:
     try:
         head = subprocess.run(
@@ -151,11 +226,24 @@ if args.out:
             "worst_median_dev": max(s["median"] for s in raw_seeds),
             "per_seed": raw_seeds,
         },
-        "ok": fails == 0 and raw_fails == 0,
+        "xtrans_kernel": {
+            "seeds": len(xt_seeds), "fails": xt_fails,
+            "worst_max_dev": max(s["max"] for s in xt_seeds),
+            "worst_median_dev": max(s["median"] for s in xt_seeds),
+            "per_seed": xt_seeds,
+        },
+        "identity_oklch": {
+            "seeds": len(io_seeds), "fails": io_fails,
+            "worst_max_dev": max(s["max"] for s in io_seeds),
+            "per_seed": io_seeds,
+        },
+        "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
+              and io_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
-sys.exit(0 if fails == 0 and raw_fails == 0 else 1)
+sys.exit(0 if fails == 0 and raw_fails == 0 and xt_fails == 0
+         and io_fails == 0 else 1)
