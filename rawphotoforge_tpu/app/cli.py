@@ -278,7 +278,9 @@ def _batch_raw_fast_path(paths, args) -> int:
 
     edit = _params_from_args(args)
     sharpen = jnp.float32(edit.sharpness / 100.0 * 2.0)
-    # No curve flags -> staircase-shortcut kernel variant (bit-identical).
+    # No curve flags -> the staircase + identity_oklch kernel variants
+    # (the latter skips the OKLCH round trip; <= ~2e-3 deviation vs the
+    # general kernel, sub-u8-quantization — kernels/fused.py docstring).
     dc = all(edit.curves[s].is_default(s) for s in range(4))
 
     def edit_planes(planes, extent):
@@ -322,6 +324,20 @@ def _batch_raw_fast_path(paths, args) -> int:
             h, w = planes.shape[1:]
             srgb = edit_planes(planes, (h, w))
         else:
+            if not raw.wb_known and tuple(raw.wb_gains) == (1.0, 1.0, 1.0):
+                # Same gray-world fallback the single-file route applies
+                # (io/raw.develop_raw_image): a vendor RAW with no
+                # readable WB must not batch-develop with unit gains
+                # (green cast) while `develop` of the identical file
+                # balances it.
+                import dataclasses
+
+                from ..io.raw import estimate_gray_world_gains
+
+                raw = dataclasses.replace(
+                    raw, wb_gains=estimate_gray_world_gains(
+                        raw.mosaic, raw.pattern, raw.black_level,
+                        raw.white_level))
             h, w = raw.mosaic.shape[:2]
             mos01 = dm.normalize_mosaic(
                 jnp.asarray(raw.mosaic), raw.black_level, raw.white_level

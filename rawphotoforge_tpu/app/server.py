@@ -411,7 +411,11 @@ async function asyncExport(fmt,filename){{
     if(!r.ok)throw new Error((await r.json()).error||r.status);
     const job=(await r.json()).job;
     for(;;){{
-      const s=await (await fetch('/export/status?job='+job)).json();
+      const sr=await fetch('/export/status?job='+job);
+      const s=await sr.json();
+      // A non-OK reply (evicted job, server restart) has no `state`
+      // field — without this check the loop would poll forever.
+      if(!sr.ok)throw new Error(s.error||sr.status);
       if(s.state==='error')throw new Error(s.error);
       if(s.state==='done'){{break;}}
       st.textContent=s.stage+'...';
@@ -758,9 +762,13 @@ class EditorApp:
                "stages_ms": {}, "error": None, "data": None,
                "_t0": time.monotonic()}
         self.export_jobs[job_id] = job
-        # Retain only recent jobs (result bytes can be tens of MB).
+        # Retain only recent jobs (result bytes can be tens of MB) — but
+        # never evict a job still running: its worker thread would finish
+        # into a dict entry no /export/status or /export/result can reach
+        # and the whole render+fetch would be wasted.
         for old in sorted(self.export_jobs, key=int)[:-4]:
-            del self.export_jobs[old]
+            if self.export_jobs[old]["state"] != "running":
+                del self.export_jobs[old]
         t = threading.Thread(target=self._run_export, args=(job,),
                              daemon=True)
         t.start()
@@ -784,19 +792,27 @@ class EditorApp:
         try:
             with self.lock:
                 if job["fmt"] == "DNG":
-                    # hdr_dng_bytes owns its fetch; coarser breakdown.
-                    data = self.editor.hdr_dng_bytes()
-                    enter_stage("done")
+                    # Device render + exif snapshot only; the FULL f32
+                    # fetch (~540 MB at 45MP over the tunnel) and the
+                    # deflate encode run unlocked below, like the other
+                    # formats — holding the lock across them would block
+                    # every /edit and /preview for tens of seconds.
+                    linear, raw_exif = self.editor.hdr_dng_render()
                 else:
                     img = self.editor.apply(FULL)
                     exif = self.editor.export_exif_bytes()
                     quality = self.settings.jpeg_quality
-            if job["fmt"] != "DNG":
+            if job["fmt"] == "DNG":
+                from ..engine.editor import hdr_dng_encode
+
+                data = hdr_dng_encode(linear, raw_exif,
+                                      on_stage=enter_stage)
+            else:
                 data = image_io.encode_image(
                     img, job["fmt"], quality=quality, exif_bytes=exif,
                     on_stage=enter_stage,
                 )
-                enter_stage("done")
+            enter_stage("done")
             job["data"] = data
             job["state"] = "done"
         except Exception as e:  # noqa: BLE001 — reported via /export/status

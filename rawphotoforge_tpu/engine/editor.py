@@ -698,6 +698,17 @@ class PhotoEditor:
             exif_bytes=self.export_exif_bytes(),
         )
 
+    def hdr_dng_render(self):
+        """Device-side half of the HDR DNG export: the FULL scene-linear
+        render (sRGB OETF undone) still on device, plus an exif snapshot.
+        Callers that must not hold a session lock across the tunnel-bound
+        fetch (the server's async export worker) take this under the
+        lock and run ``hdr_dng_encode`` on the result unlocked — renders
+        are functional device arrays, later edits never mutate them."""
+        from ..core.color import srgb_to_linear
+
+        return srgb_to_linear(self.apply(FULL)), dict(self.exif)
+
     def hdr_dng_bytes(self, dtype=np.float16) -> bytes:
         """Export the edited image as a floating-point LinearRaw DNG
         (deflate, TN3 predictor) — scene-linear HDR output, the layout
@@ -705,18 +716,8 @@ class PhotoEditor:
         sRGB OETF undone from the develop output), so reopening it as a
         RAW and developing with identity WB/matrix reproduces this
         session's render."""
-        from ..core.color import srgb_to_linear
-        from ..io.dng import RawImage, write_dng
-        from ..utils.transfer import fetch_np
-
-        linear = srgb_to_linear(self.apply(FULL))
-        hwc = fetch_np(linear).transpose(1, 2, 0).astype(dtype)
-        raw = RawImage(
-            mosaic=hwc, pattern="RGB", black_level=0.0, white_level=1.0,
-            wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None,
-            exif=dict(self.exif),
-        )
-        return write_dng(raw, compression=8)
+        linear, exif = self.hdr_dng_render()
+        return hdr_dng_encode(linear, exif, dtype=dtype)
 
     def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
         data = self.hdr_dng_bytes(dtype)  # render before touching the file
@@ -792,3 +793,25 @@ class PhotoEditor:
     def load_preset(self, path: str) -> None:
         with open(path) as f:
             self.load_preset_json(f.read())
+
+
+def hdr_dng_encode(linear, exif: dict, dtype=np.float16,
+                   on_stage=None) -> bytes:
+    """Host-side half of the HDR DNG export: fetch the device-resident
+    scene-linear render and encode it as a float LinearRaw DNG (deflate,
+    TN3 predictor). ``on_stage(name)`` is called entering the 'fetch'
+    and 'encode' stages (the server's export progress breakdown)."""
+    from ..io.dng import RawImage, write_dng
+    from ..utils.transfer import fetch_np
+
+    if on_stage:
+        on_stage("fetch")
+    hwc = fetch_np(linear).transpose(1, 2, 0).astype(dtype)
+    if on_stage:
+        on_stage("encode")
+    raw = RawImage(
+        mosaic=hwc, pattern="RGB", black_level=0.0, white_level=1.0,
+        wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None,
+        exif=dict(exif),
+    )
+    return write_dng(raw, compression=8)

@@ -102,9 +102,15 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         planes = _pad_to_bucket(jnp.zeros((3, h, w), jnp.float32))
         params = pack_params([EditParameters()], extent=(h, w),
                              build_luts=False)
+        # EXACTLY the static-arg combination the editor dispatches on a
+        # fresh open (engine/editor.apply: default_curves=dc,
+        # identity_oklch=dc with dc=True) — any other (default_curves,
+        # identity_oklch) pair is a different XLA program and the warm
+        # would never be hit.
         out = fused.develop_post_geo_fused(
             planes, params, None,
             main_mask_all_ones=True, default_curves=True,
+            identity_oklch=True,
         )
         true_out = out[:, :h, :w]
         hist = histogram_rgbl(true_out)

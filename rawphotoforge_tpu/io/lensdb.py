@@ -80,22 +80,6 @@ def _parse_number(v) -> Optional[float]:
     return None
 
 
-def _nearest(calibs: list[_Calib], focal: Optional[float],
-             aperture: Optional[float] = None) -> Optional[_Calib]:
-    if not calibs:
-        return None
-    if focal is None:
-        return calibs[0]
-
-    def key(c: _Calib):
-        d = abs(c.focal - focal)
-        if aperture is not None and c.aperture:
-            d += 0.1 * abs(c.aperture - aperture)
-        return d
-
-    return min(calibs, key=key)
-
-
 def _lerp_data(c0: _Calib, c1: _Calib, t: float) -> tuple:
     return tuple(a * (1.0 - t) + b * t for a, b in zip(c0.data, c1.data))
 

@@ -132,3 +132,25 @@ class TestServerPrewarmFlag:
                           port=0, settings=Settings(), prewarm=False)
         httpd.server_close()
         assert called == []
+
+
+class TestWarmVariantMatchesEditor:
+    def test_warm_compiles_the_editors_cold_open_program(self):
+        """warm_shape must compile the exact static-arg combination the
+        editor dispatches on a fresh open (default_curves=True,
+        identity_oklch=True) — any other pair is a different XLA program
+        and the warm would be dead weight (regression: the identity_oklch
+        flag was added without updating the warm)."""
+        from rawphotoforge_tpu.kernels import fused
+
+        shape = (44, 60)
+        prewarm._warmed.discard(shape)
+        assert prewarm.warm_shape(shape)
+        before = fused.develop_post_geo_fused._cache_size()
+        ed = PhotoEditor(_img(*shape), mid_long_edge=64, low_long_edge=32)
+        ed.set_tone(exposure=0.4)  # slider-only state
+        ed.apply(MID)  # MID aliases FULL at this size -> warmed shape
+        after = fused.develop_post_geo_fused._cache_size()
+        assert after == before, (
+            "editor cold-open render compiled a new program despite the "
+            "prewarm")

@@ -603,3 +603,40 @@ def test_endpoint_fuzz_malformed_bodies(base_url):
     # The server is still alive and functional afterwards.
     status, _, page = _get(base_url + "/")
     assert status == 200 and b"RawPhotoForge-TPU" in page
+
+
+def test_export_job_retention_never_evicts_running(tmp_path):
+    """Rapid export starts must not evict a still-running job (its
+    worker would finish into an unreachable dict entry and the whole
+    render+fetch would be wasted); finished jobs are swept normally."""
+    import threading as _threading
+    import time
+
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.app.server import EditorApp
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    app = EditorApp(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5),
+                    settings=Settings(), prewarm=False)
+    release = _threading.Event()
+
+    def slow_export(job):
+        release.wait(timeout=60)
+        job["state"] = "done"
+        job["data"] = b"x"
+
+    app._run_export = slow_export
+    jobs = [app.start_export("JPEG") for _ in range(8)]
+    # All 8 are running: none may be evicted despite the keep-4 sweep.
+    assert all(j in app.export_jobs for j in jobs)
+    release.set()
+    for _ in range(100):
+        if all(app.export_jobs[j]["state"] == "done" for j in jobs):
+            break
+        time.sleep(0.05)
+    # A new start sweeps the now-finished backlog down to the cap.
+    newest = app.start_export("JPEG")
+    assert newest in app.export_jobs
+    assert len(app.export_jobs) <= 5

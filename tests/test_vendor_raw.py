@@ -316,3 +316,52 @@ def test_vendor_container_mutation_fuzz():
                 assert got.mosaic.size > 0
             except PhotoEditorError:
                 pass  # typed rejection is the contract
+
+
+def test_preview_correlation_orientation_rotated():
+    """Portrait captures: develop_raw_image applies the container's
+    Orientation tag but vendor preview strips usually carry no EXIF of
+    their own — the gate must pass a correct decode whose develop is
+    90/180-degree rotated or mirrored relative to the preview (max over
+    the 8 dihedral placements), and still crater on wrong unpacking."""
+    img = scene(h=96, w=128)
+    raw = synthetic_raw(img, pattern="RGGB", black_level=512,
+                        white_level=16383, wb_gains=(2.0, 1.0, 1.5))
+    jpeg = preview_jpeg(img)  # preview of the UNROTATED scene
+    for orientation in (3, 6, 8):
+        rot = dataclasses.replace(raw, orientation=orientation)
+        data = vr.write_tiff_ep(rot, bits=16, make="SONY", sony_tags=True,
+                                preview_jpeg=jpeg)
+        good = vr.preview_correlation(data)
+        assert good is not None and good > vr.CORRELATION_GATE, (
+            orientation, good)
+        bad = dataclasses.replace(
+            rot, mosaic=rot.mosaic.byteswap().astype(np.uint16))
+        assert vr.preview_correlation(data, raw=bad) < 0.5
+
+
+def test_batch_cli_gray_world_matches_develop(tmp_path):
+    """`cli batch` must apply the same gray-world WB fallback as
+    `cli develop` for vendor RAWs with unreadable WB (unit gains would
+    ship a green-cast JPEG only on the batch route)."""
+    from rawphotoforge_tpu.app.cli import main as cli_main
+
+    rng = np.random.default_rng(7)
+    img = np.repeat(rng.random((1, 48, 64), dtype=np.float32) * 0.7, 3,
+                    axis=0)  # neutral scene
+    raw = synthetic_raw(img, pattern="RGGB", black_level=100,
+                        white_level=4000, wb_gains=(1.9, 1.0, 1.4))
+    data = vr.write_tiff_ep(
+        dataclasses.replace(raw, wb_gains=(1.0, 1.0, 1.0)), bits=12,
+        make="NIKON")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "shot.nef").write_bytes(data)
+    outdir = tmp_path / "out"
+    assert cli_main(["batch", str(indir), str(outdir)]) == 0
+    out = np.asarray(PILImage.open(outdir / "shot.jpg"),
+                     dtype=np.float32) / 255.0
+    means = out[8:-8, 8:-8].reshape(-1, 3).mean(axis=0)
+    # Gray-world balanced: channel means agree like the develop route's.
+    assert abs(means[0] - means[1]) < 0.06 * means[1]
+    assert abs(means[2] - means[1]) < 0.06 * means[1]
