@@ -140,9 +140,35 @@ def main(argv=None) -> int:
         results["c6_first_preview_cold_s"] = t_cold
         results["c6_first_preview_warm_s"] = t_warm
         results["c6_first_preview_prewarmed_s"] = t_pre
+
+        # Instant host preview: 24MP DNG container bytes -> the marked
+        # stand-in JPEG the async /open serves immediately — pure numpy
+        # superpixel develop, ZERO device work (engine/instant.py).
+        # Median of 3: the first open in a fresh process additionally
+        # pays lazy module imports, which a live server paid at startup.
+        from rawphotoforge_tpu.engine import instant as _instant
+        from rawphotoforge_tpu.io.dng import RawImage, write_dng
+
+        blob = write_dng(RawImage(
+            mosaic=rng6.integers(512, 16383, size=(4000, 6000),
+                                 dtype=np.uint16),
+            pattern="RGGB", black_level=512.0, white_level=16383.0,
+            wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+            exif={"Make": "Synthetic", "Model": "rpf-bench"}))
+        t_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ho = PhotoEditor.open_host(blob, "DNG")
+            jpeg = _instant.encode_instant_jpeg(ho.instant)
+            t_runs.append(time.perf_counter() - t0)
+        t_instant = sorted(t_runs)[1]
+        assert jpeg[:2] == b"\xff\xd8"
+        results["c6_instant_preview_ms"] = t_instant * 1e3
+
         log(f"config 6: open->first MID preview: cold {t_cold:.1f} s "
             f"(fresh {jit_h}x6000 aspect), warm {t_warm:.2f} s, "
-            f"prewarmed standard 24MP {t_pre:.2f} s")
+            f"prewarmed standard 24MP {t_pre:.2f} s; instant host "
+            f"stand-in {t_instant * 1e3:.0f} ms (24MP DNG)")
 
     if want("1"):
         planes, masks = planes_masks()

@@ -624,6 +624,33 @@ pv.onmouseup=pv.onmouseleave=e=>{{
   if(!maskAddMode&&!cropMode)pvRefresh('mid');
 }};
 pv.ondragstart=()=>false;
+// ---- async-open poller: while the device phase of a just-opened file
+// compiles (server /open/status not ready), the preview/histogram are
+// host-side instant stand-ins; poll until ready, then re-post the full
+// client state so any sliders moved meanwhile take effect.
+let wasOpening=false;
+async function pollReady(){{
+  try{{
+    const s=await (await fetch('/open/status')).json();
+    const st=document.getElementById('exp_status');
+    if(!s.ready){{
+      wasOpening=true;
+      st.textContent=LABELS.opening||'processing on device…';
+      setTimeout(pollReady,2500);
+      return;
+    }}
+    if(wasOpening){{
+      // Ready again: either the new session landed, or the device
+      // phase failed and the server rolled back to the previous
+      // session (s.error says why) — both are fully interactive.
+      wasOpening=false;
+      st.textContent=s.error?('open failed: '+s.error):'';
+      imgInfo=await (await fetch('/info')).json();
+      push('mid');  // real render with the full current client state
+    }}
+  }}catch(e){{setTimeout(pollReady,4000);}}
+}}
+pollReady();
 loadMasks('main');
 drawCurve();push('mid');
 </script></body></html>"""
@@ -648,6 +675,110 @@ class EditorApp:
         # mutable status dict. Only the last few are retained.
         self.export_jobs: dict[str, dict] = {}
         self._export_seq = 0
+        # Async open (engine.instant design): while a just-opened file's
+        # device phase (upload + remote XLA compiles — minutes cold through
+        # the tunnel) runs in a background thread, `opening` holds the
+        # host-side session the UI is served from: an instant preview
+        # JPEG, its histogram, shape and EXIF. `opening is not None` is
+        # the instant era: previews/histograms come from it, editor-state
+        # endpoints answer 409 (the client keeps full slider state and
+        # re-posts it whole once ready, so nothing is lost).
+        self.opening: dict | None = None
+        self._open_seq = 0
+        # Device-phase failure of the MOST RECENT open (reported by
+        # /open/status after the era ends; a new /open clears it). The
+        # previous session is never replaced until success, so a failed
+        # open rolls back to a fully usable editor.
+        self.last_open_error: str | None = None
+        # Signaled when the open's device phase lands (tests/benches wait
+        # on it; the UI polls /open/status instead).
+        self.device_ready = threading.Event()
+        self.device_ready.set()
+
+    def start_open(self, raw_body: bytes, name: str) -> dict:
+        """Host-decode an uploaded file and kick off the device phase.
+
+        File-content errors raise HERE (synchronously -> a 400 with the
+        parse error, exactly like the old blocking open). When the decode
+        yields an instant preview, the upload + compiles continue on a
+        daemon thread and the response returns immediately; otherwise
+        falls back to the blocking open."""
+        fmt = image_io.format_for_path(name)
+        kwargs = dict(mid_long_edge=self.settings.ui_preview_size,
+                      low_long_edge=self.settings.drag_preview_size)
+        ho = PhotoEditor.open_host(
+            raw_body, fmt, mid_long_edge=self.settings.ui_preview_size)
+        self.last_open_error = None
+        if ho.instant is None:
+            # No host pixels to show (exotic mode): keep today's blocking
+            # behavior rather than an instant era with a blank frame.
+            ed = PhotoEditor.from_host(ho, **kwargs)
+            self.editor = ed
+            self.opening = None
+            self.device_ready.set()
+            if self.prewarm:
+                from ..engine.prewarm import warm_async
+
+                warm_async(editor=ed)
+            return {"ok": True, "instant": False,
+                    "opened_from_preview": ed.opened_from_preview}
+
+        from ..engine import instant as _instant
+
+        self._open_seq += 1
+        seq = self._open_seq
+        self.opening = {
+            "seq": seq,
+            "jpeg": _instant.encode_instant_jpeg(ho.instant),
+            "hist": _instant.instant_histogram(ho.instant).tolist(),
+            "shape": list(ho.shape),
+            "exif": {k: v for k, v in ho.exif.items()
+                     if k != "_exif_bytes"},
+            "opened_from_preview": ho.preview_reason,
+        }
+        self.device_ready.clear()
+        threading.Thread(
+            target=self._finish_open, args=(ho, seq, kwargs),
+            name="rpf-open", daemon=True,
+        ).start()
+        return {"ok": True, "instant": True,
+                "opened_from_preview": ho.preview_reason}
+
+    def _finish_open(self, ho, seq: int, kwargs: dict) -> None:
+        """Device phase of an async open (background thread): upload,
+        compile + cache the first MID preview and histogram on a session
+        nobody else can see yet, then swap it in under the lock."""
+        try:
+            ed = PhotoEditor.from_host(ho, **kwargs)
+            ed.apply(MID)      # compiles land here, off the request path
+            ed.histogram(MID)
+        except Exception as e:  # noqa: BLE001 — surfaced via /open/status
+            with self.lock:
+                if self.opening is not None and self.opening["seq"] == seq:
+                    # Roll back: end the instant era (the previous session
+                    # was never replaced and stays fully usable) and
+                    # surface the failure via /open/status.
+                    self.opening = None
+                    self.last_open_error = str(e)
+            self.device_ready.set()
+            return
+        with self.lock:
+            if self.opening is None or self.opening["seq"] != seq:
+                return  # superseded by a newer /open
+            self.editor = ed
+            self.opening = None
+        self.device_ready.set()
+        if self.prewarm:
+            from ..engine.prewarm import warm_async
+
+            warm_async(editor=ed)  # LOW drag level + any residual programs
+
+    def open_status(self) -> dict:
+        op = self.opening
+        if op is None:
+            return {"ready": True, "error": self.last_open_error}
+        return {"ready": False, "error": None,
+                "opened_from_preview": op["opened_from_preview"]}
 
     def page(self) -> str:
         labels = tr(self.settings.locale)
@@ -876,7 +1007,54 @@ def make_handler(app: EditorApp):
         def _do_get(self, url, q):
                 if url.path == "/":
                     self._send(200, app.page().encode(), "text/html")
-                elif url.path == "/preview":
+                    return
+                if url.path == "/open/status":
+                    self._send(200, json.dumps(app.open_status()).encode())
+                    return
+                # Snapshot once: the background device phase can clear
+                # app.opening between a check and a read.
+                op = app.opening
+                if op is not None:
+                    # Instant era (async open in flight): serve the
+                    # host-side stand-ins; editor-state reads answer 409
+                    # (the UI only issues the endpoints below until
+                    # /open/status flips ready).
+                    if url.path == "/preview":
+                        self.send_response(200)
+                        self.send_header("Content-Type", "image/jpeg")
+                        self.send_header("X-RPF-Instant", "1")
+                        self.send_header("Content-Length",
+                                         str(len(op["jpeg"])))
+                        self.end_headers()
+                        self.wfile.write(op["jpeg"])
+                    elif url.path == "/histogram":
+                        self._send(200, json.dumps(op["hist"]).encode())
+                    elif url.path == "/info":
+                        h, w = op["shape"]
+                        from ..ops.geometry import resize_long_edge_shape
+
+                        ph, pw = resize_long_edge_shape(
+                            h, w, app.settings.ui_preview_size)
+                        self._send(200, json.dumps(
+                            {"shape": [h, w], "preview_shape": [ph, pw],
+                             "crop": None, "instant": True}).encode())
+                    elif url.path == "/exif":
+                        self._send(200, json.dumps(op["exif"]).encode())
+                    elif url.path == "/masks":
+                        self._send(200, b'["main"]')
+                    elif url.path == "/params":
+                        from ..core.params import EditParameters
+
+                        self._send(200, json.dumps(
+                            EditParameters().to_json()).encode())
+                    elif url.path == "/settings":
+                        self._send(200,
+                                   json.dumps(app.settings.to_json()).encode())
+                    else:
+                        self._send(409, json.dumps(
+                            {"error": "open in progress"}).encode())
+                    return
+                if url.path == "/preview":
                     level = q.get("level", ["mid"])[0]
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
                     original = q.get("original", ["0"])[0] == "1"
@@ -984,37 +1162,30 @@ def make_handler(app: EditorApp):
             url = urllib.parse.urlparse(self.path)
             if url.path == "/open":
                 # Body is the raw file bytes; format from ?name= extension
-                # (web/main.ts:652-695 loadImage).
+                # (web/main.ts:652-695 loadImage). Host decode runs here
+                # (file errors -> 400 now); the device phase — upload +
+                # remote compiles, minutes on a cold shape — continues on
+                # a background thread while /preview serves the instant
+                # host render (vendor-codec RAWs fall back to their
+                # embedded camera preview inside open_host, explicit in
+                # the response, never silently wrong).
                 q = urllib.parse.parse_qs(url.query)
                 name = q.get("name", ["file.jpg"])[0]
                 with app.lock:
                     try:
-                        fmt = image_io.format_for_path(name)
-                        # Vendor-codec RAWs fall back to their embedded
-                        # camera-rendered preview inside from_bytes
-                        # (explicit in the response, never silently wrong).
-                        ed = PhotoEditor.from_bytes(
-                            raw_body, fmt,
-                            mid_long_edge=app.settings.ui_preview_size,
-                            low_long_edge=app.settings.drag_preview_size,
-                        )
-                        app.editor = ed
-                        if app.prewarm:
-                            # Front-load the preview compiles for THIS
-                            # image's pyramid shapes (covers non-standard
-                            # aspects the startup warm missed); daemon
-                            # thread, takes no locks, touches no state.
-                            from ..engine.prewarm import warm_async
-
-                            warm_async(editor=ed)
-                        self._send(200, json.dumps({
-                            "ok": True,
-                            "opened_from_preview": ed.opened_from_preview,
-                        }).encode())
+                        self._send(200, json.dumps(
+                            app.start_open(raw_body, name)).encode())
                     except Exception as e:  # noqa: BLE001
                         self._send(
                             400, json.dumps({"error": str(e)}).encode()
                         )
+                return
+            if app.opening is not None:
+                # Instant era: editor state is about to be replaced; the
+                # client re-posts its full state once /open/status flips
+                # ready, so rejected edits lose nothing.
+                self._send(409, json.dumps(
+                    {"error": "open in progress"}).encode())
                 return
             with app.lock:
                 try:

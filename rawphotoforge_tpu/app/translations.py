@@ -30,6 +30,7 @@ TRANSLATIONS = {
         "save_preset": "Save preset",
         "load_preset": "Load preset",
         "export_jpeg": "Export JPEG",
+        "opening": "Processing on device\u2026",
         "histogram": "Histogram",
         "metadata": "Metadata",
         "masks": "Masks",
@@ -72,6 +73,7 @@ TRANSLATIONS = {
         "save_preset": "プリセットを保存",
         "load_preset": "プリセットを読み込む",
         "export_jpeg": "JPEGを書き出す",
+        "opening": "デバイスで処理中\u2026",
         "histogram": "ヒストグラム",
         "metadata": "メタデータ",
         "masks": "マスク",

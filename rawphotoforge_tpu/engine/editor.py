@@ -80,6 +80,32 @@ class _Mask:
         self._levels: dict[str, jax.Array] = {}
 
 
+class HostOpen:
+    """Result of ``PhotoEditor.open_host``: the host-decoded image (with
+    instant preview + metadata) plus the pending device phase. The server
+    answers /open from this and runs ``PhotoEditor.from_host`` in a
+    background thread."""
+
+    __slots__ = ("decoded", "preview_reason")
+
+    def __init__(self, decoded, preview_reason):
+        self.decoded = decoded             # io.image_io.HostDecoded
+        self.preview_reason = preview_reason
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return tuple(self.decoded.shape)
+
+    @property
+    def exif(self) -> dict:
+        return self.decoded.exif
+
+    @property
+    def instant(self):
+        """sRGB u8 HWC instant preview, or None."""
+        return self.decoded.instant
+
+
 class PhotoEditor:
     """A single-image editing session with a 3-level preview pyramid."""
 
@@ -110,19 +136,24 @@ class PhotoEditor:
 
         _, h, w = planes.shape
         full = jax.device_put(planes)
-        # Per level: bucket-padded device planes + the true extent.
+        # Per level: bucket-padded device planes + the true extent. The
+        # MID/LOW resizes are built LAZILY on first access (_original_at):
+        # each source extent is its own XLA program, and through the
+        # remote tunnel that compile must not block the open — the server
+        # warms it in a background thread while the instant host preview
+        # (engine.instant) carries the first frames.
         self._originals: dict[str, jax.Array] = {FULL: _pad_to_bucket(full)}
         self._extents: dict[str, tuple[int, int]] = {FULL: (h, w)}
         for level, edge in ((MID, mid_long_edge), (LOW, low_long_edge)):
             if max(h, w) > edge:
-                dh, dw = resize_long_edge_shape(h, w, edge)
-                self._originals[level] = _pad_to_bucket(
-                    resize_bilinear(full, dh, dw)
-                )
-                self._extents[level] = (dh, dw)
+                self._extents[level] = resize_long_edge_shape(h, w, edge)
             else:
-                self._originals[level] = self._originals[FULL]
                 self._extents[level] = (h, w)
+        # Host-side instant preview (sRGB u8 HWC, <= MID long edge) set by
+        # from_bytes when the decode had host pixels in hand; None for
+        # device-array constructions.
+        self.instant_srgb_u8: Optional[np.ndarray] = None
+        self._instant_jpeg: Optional[bytes] = None
 
         self.masks: list[_Mask] = []
         self._add_main_mask()
@@ -188,20 +219,43 @@ class PhotoEditor:
         file carries a camera-rendered JPEG preview, the session opens on
         the preview with ``opened_from_preview`` recording the decode
         error (used by open(), the server /open endpoint, and the CLI)."""
+        ho = cls.open_host(
+            data, fmt, preview_fallback=preview_fallback,
+            mid_long_edge=int(kwargs.get("mid_long_edge",
+                                         DEFAULT_MID_LONG_EDGE)),
+        )
+        return cls.from_host(ho, **kwargs)
+
+    @classmethod
+    def open_host(cls, data: bytes, fmt: str, preview_fallback: bool = True,
+                  mid_long_edge: int = DEFAULT_MID_LONG_EDGE) -> "HostOpen":
+        """Host phase of ``from_bytes``: container parse, EXIF, instant
+        preview — every file-content error surfaces here, synchronously,
+        with ZERO device work. Pass the result to ``from_host`` (possibly
+        from another thread) to run the device phase (upload + the remote
+        compiles). The server's async /open is built on this split."""
         preview_reason = None
         try:
-            planes, exif = image_io.decode_image(data, fmt)
+            hd = image_io.decode_image_host(
+                data, fmt, instant_long_edge=mid_long_edge)
         except PhotoEditorError as e:
-            from ..io.raw import decode_embedded_preview
+            from ..io.raw import decode_embedded_preview_host
 
-            res = (decode_embedded_preview(data)
-                   if preview_fallback and fmt == "DNG" else None)
-            if res is None:
+            hd = (decode_embedded_preview_host(
+                      data, instant_long_edge=mid_long_edge)
+                  if preview_fallback and fmt == "DNG" else None)
+            if hd is None:
                 raise
-            planes, exif = res
             preview_reason = str(e)
-        ed = cls(planes, exif=exif, **kwargs)
-        ed.opened_from_preview = preview_reason
+        return HostOpen(hd, preview_reason)
+
+    @classmethod
+    def from_host(cls, ho: "HostOpen", **kwargs) -> "PhotoEditor":
+        """Device phase: run the upload/develop closure and build the
+        session. Safe to call off-thread (touches no shared state)."""
+        ed = cls(ho.decoded.upload(), exif=ho.decoded.exif, **kwargs)
+        ed.opened_from_preview = ho.preview_reason
+        ed.instant_srgb_u8 = ho.decoded.instant
         return ed
 
     @classmethod
@@ -215,6 +269,27 @@ class PhotoEditor:
     def shape(self) -> tuple[int, int]:
         """True (unpadded) image dimensions."""
         return self._extents[FULL]
+
+    def _original_at(self, level: str) -> jax.Array:
+        """Bucket-padded original planes at a pyramid level, built lazily.
+
+        The MID/LOW resize is one XLA program per source extent; deferring
+        it keeps the remote compile off the open path (prewarm warms it in
+        the background; engine.instant covers the gap)."""
+        cached = self._originals.get(level)
+        if cached is not None:
+            return cached
+        h, w = self._extents[FULL]
+        dh, dw = self._extents[level]
+        if (dh, dw) == (h, w):
+            # Small image: the level aliases FULL (same buffer, so
+            # apply_lens_profile's id-dedup keeps correcting it once).
+            out = self._originals[FULL]
+        else:
+            full_true = self._originals[FULL][:, :h, :w]
+            out = _pad_to_bucket(resize_bilinear(full_true, dh, dw))
+        self._originals[level] = out
+        return out
 
     def level_shape(self, level: str) -> tuple[int, int]:
         """True (unpadded) dimensions at a pyramid level."""
@@ -550,12 +625,12 @@ class PhotoEditor:
             # skip the dispatch entirely so a cold open never compiles
             # the warp program — it is off the first-preview critical
             # path until the user touches a geometry slider.
-            out = self._originals[level]
+            out = self._original_at(level)
             self._geo_cache[level] = (key, out)
             return out
         extent = jnp.asarray(self._extents[level], dtype=jnp.float32)
         out = dev.geometry_stage_jit(
-            self._originals[level], jnp.float32(key[0]), extent
+            self._original_at(level), jnp.float32(key[0]), extent
         )
         th, tw = self._extents[level]
         if key[0] != 0.0 and (out.shape[1] > th or out.shape[2] > tw):
@@ -631,12 +706,53 @@ class PhotoEditor:
         from ..core.color import linear_to_srgb
 
         h, w = self._extents[level]
-        lin = self._originals[level][:, :h, :w]
+        lin = self._original_at(level)[:, :h, :w]
         out = jnp.clip(linear_to_srgb(jnp.clip(lin, 0.0, 1.0)), 0.0, 1.0)
         cs = self._crop_slice(level)
         if cs is not None:
             out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
         return out
+
+    # -- instant (host-side) previews ----------------------------------------
+    def instant_preview_jpeg(self, quality: int = 88) -> Optional[bytes]:
+        """JPEG bytes of the host-side instant preview, or None.
+
+        Zero device work: the approximate preview engine.instant built at
+        decode time, encoded host-side and cached. The server streams it
+        while the real preview programs compile (marked instant — it shows
+        the ORIGINAL image, not any pending edits)."""
+        if self.instant_srgb_u8 is None:
+            return None
+        img = self._instant_cropped()
+        if self._instant_jpeg is None or self.crop_rect is not None:
+            from . import instant
+
+            jpeg = instant.encode_instant_jpeg(img, quality=quality)
+            if self.crop_rect is None:
+                self._instant_jpeg = jpeg
+            return jpeg
+        return self._instant_jpeg
+
+    def instant_histogram(self) -> Optional[np.ndarray]:
+        """[4, 256] histogram of the instant preview, or None (host-side
+        stand-in for histogram() while device programs compile)."""
+        if self.instant_srgb_u8 is None:
+            return None
+        from . import instant
+
+        return instant.instant_histogram(self._instant_cropped())
+
+    def _instant_cropped(self) -> np.ndarray:
+        img = self.instant_srgb_u8
+        if self.crop_rect is None:
+            return img
+        ih, iw = img.shape[:2]
+        fh, fw = self.shape
+        x0, y0, x1, y1 = self.crop_rect
+        sy, sx = ih / fh, iw / fw
+        r0, r1 = int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy))
+        c0, c1 = int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx))
+        return img[r0:r1, c0:c1]
 
     def _crop_slice(self, level: str):
         """Level-space (cy0, cy1, cx0, cx1) of the crop rect, or None."""

@@ -112,23 +112,70 @@ def _normalize_upload(scale: float, linearize: bool):
     return f
 
 
-def decode_image(data: bytes, fmt: str):
+class HostDecoded:
+    """The host half of a decode: everything knowable before any device
+    work, plus an ``upload()`` closure that performs the device half
+    (transfer + normalize/develop dispatch — the part that pays remote
+    compiles). Lets the server answer ``/open`` from host data immediately
+    and run ``upload()`` in a background thread (engine.instant design)."""
+
+    __slots__ = ("exif", "instant", "shape", "upload")
+
+    def __init__(self, exif, instant, shape, upload):
+        self.exif = exif          # parsed capture metadata (host-side)
+        self.instant = instant    # sRGB u8 HWC instant preview, or None
+        self.shape = shape        # final true (h, w) of the device planes
+        self.upload = upload      # () -> device planes f32 [3, H, W]
+
+
+def decode_image(data: bytes, fmt: str, instant_out: dict | None = None):
     """Decode container bytes -> (planes f32 [3,H,W] linear-light, exif dict).
 
     Applies EXIF orientation (image.rs:417-426) then linearizes via the sRGB
     EOTF — except TIFF, which is passed through (image.rs:430-440).
+
+    ``instant_out``: optional dict; when given, the host-side instant
+    preview (``"srgb_u8_hwc"``, <= ``instant_out.get("long_edge", 1280)``
+    px) is stashed from the host data the decode naturally holds — zero
+    device work (engine.instant). Best-effort: absent on failure.
     """
+    edge = None
+    if instant_out is not None:
+        edge = int(instant_out.get("long_edge", 1280))
+    hd = decode_image_host(data, fmt, instant_long_edge=edge)
+    if instant_out is not None and hd.instant is not None:
+        instant_out["srgb_u8_hwc"] = hd.instant
+    return hd.upload(), hd.exif
+
+
+def decode_image_host(data: bytes, fmt: str,
+                      instant_long_edge: int | None = None) -> HostDecoded:
+    """Host phase of decode_image: container parse + instant preview,
+    no device work. Every file-content error surfaces HERE (the upload
+    closure only moves already-validated arrays)."""
     if fmt == "PPM16":
         u16 = _parse_ppm16(data)
-        # Integer upload + on-device normalize: the host->device link
-        # carries 2 bytes/sample instead of 4 (same f32 math either way).
-        chw = jnp.asarray(np.ascontiguousarray(u16.transpose(2, 0, 1)))
-        return _normalize_upload(65535.0, False)(chw), {}
+        pv = None
+        if instant_long_edge:
+            from ..engine import instant
+
+            pv = instant.quick_from_linear_rgb(
+                u16.transpose(2, 0, 1).astype(np.float32) / 65535.0,
+                instant_long_edge,
+            )
+
+        def upload_ppm(u16=u16):
+            # Integer upload + on-device normalize: the host->device link
+            # carries 2 bytes/sample instead of 4 (same f32 math).
+            chw = jnp.asarray(np.ascontiguousarray(u16.transpose(2, 0, 1)))
+            return _normalize_upload(65535.0, False)(chw)
+
+        return HostDecoded({}, pv, u16.shape[:2], upload_ppm)
 
     if fmt == "DNG":
-        from .raw import read_raw  # local import to avoid cycle
+        from .raw import decode_raw_host  # local import to avoid cycle
 
-        return read_raw(data)
+        return decode_raw_host(data, instant_long_edge=instant_long_edge)
 
     try:
         img = PILImage.open(_io.BytesIO(data))
@@ -172,13 +219,38 @@ def decode_image(data: bytes, fmt: str):
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
 
-    chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
     linearize = fmt != "TIFF"
-    if scale is not None:
-        return _normalize_upload(scale, linearize)(chw), exif
-    if linearize:
-        chw = srgb_to_linear(chw)
-    return chw, exif
+    pv = None
+    if instant_long_edge:
+        from ..engine import instant
+
+        if scale == 255.0:
+            pv = instant.quick_from_srgb_u8(arr, instant_long_edge)
+        else:
+            hostf = arr.astype(np.float32)
+            if scale is not None:
+                hostf /= np.float32(scale)
+            planes_h = hostf.transpose(2, 0, 1)
+            if linearize:
+                # Encoded-space resize, like quick_from_srgb_u8 (stand-in
+                # image; sub-quantization difference at preview scale).
+                small = instant._fit_long_edge(planes_h, instant_long_edge)
+                pv = np.ascontiguousarray(
+                    np.clip(small * 255.0 + 0.5, 0.0, 255.0)
+                    .astype(np.uint8).transpose(1, 2, 0))
+            else:
+                pv = instant.quick_from_linear_rgb(planes_h,
+                                                   instant_long_edge)
+
+    def upload_pil(arr=arr, scale=scale, linearize=linearize):
+        chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+        if scale is not None:
+            return _normalize_upload(scale, linearize)(chw)
+        if linearize:
+            chw = srgb_to_linear(chw)
+        return chw
+
+    return HostDecoded(exif, pv, arr.shape[:2], upload_pil)
 
 
 def normalize_exif_blob(exif_bytes: bytes) -> bytes:

@@ -70,19 +70,32 @@ def decode_embedded_preview(data: bytes):
     None when no decodable preview exists. Failures inside the preview
     decode surface as typed PhotoEditorError (never PIL exceptions) so
     callers' error handling stays uniform."""
+    hd = decode_embedded_preview_host(data)
+    if hd is None:
+        return None
+    return hd.upload(), hd.exif
+
+
+def decode_embedded_preview_host(data: bytes,
+                                 instant_long_edge: int | None = None):
+    """Host phase of decode_embedded_preview (HostDecoded contract):
+    preview extraction + PIL decode + container-EXIF merge happen here;
+    the returned upload closure only moves the validated pixels."""
     from .._errbase import PhotoEditorError
     from .dng import extract_preview
-    from .image_io import ImageIOError, decode_image
+    from .image_io import ImageIOError, decode_image_host
 
     jpeg = extract_preview(data)
     if jpeg is None:
         return None
     try:
-        planes, exif = decode_image(jpeg, "JPEG")
+        hd = decode_image_host(jpeg, "JPEG",
+                               instant_long_edge=instant_long_edge)
     except PhotoEditorError:
         raise
     except Exception as e:  # noqa: BLE001 — PIL's hierarchy stays inside
         raise ImageIOError(f"embedded preview failed to decode: {e}") from e
+    exif = hd.exif
     # The container's metadata tags are the authoritative capture record;
     # camera previews rarely carry their own EXIF, and when they do the
     # two agree on shared fields (both written by the camera), so the
@@ -96,7 +109,8 @@ def decode_embedded_preview(data: bytes):
     if merged and any(k not in pv_fields for k in merged):
         exif.pop("_exif_bytes", None)
     merged.update(exif)
-    return planes, merged
+    hd.exif = merged
+    return hd
 
 
 def container_exif(data: bytes) -> dict:
@@ -218,6 +232,36 @@ def read_raw(path_or_bytes, method: str = "malvar"):
         with open(path_or_bytes, "rb") as f:
             data = f.read()
     return develop_raw_image(parse_raw(data), method=method)
+
+
+def decode_raw_host(data: bytes, instant_long_edge: int | None = None):
+    """Host phase of a RAW decode (io.image_io.HostDecoded contract):
+    container parse + superpixel instant preview, no device work. All
+    file-content errors (corrupt containers, unsupported vendor codecs)
+    surface here; the upload closure runs the device develop."""
+    from .image_io import HostDecoded
+
+    raw = parse_raw(data)
+
+    pv = None
+    if instant_long_edge:
+        from ..engine import instant
+
+        pv = instant.quick_from_raw(raw, instant_long_edge)
+
+    # Final planes shape, knowable without developing: mosaic extent,
+    # DefaultCrop applied post-demosaic, then orientations 5-8 transpose.
+    h, w = raw.mosaic.shape[:2]
+    if raw.default_crop is not None:
+        cx, cy, cw, ch = raw.default_crop
+        h, w = ch, cw
+    if raw.orientation in (5, 6, 7, 8):
+        h, w = w, h
+
+    def upload(raw=raw):
+        return develop_raw_image(raw)[0]
+
+    return HostDecoded(dict(raw.exif), pv, (h, w), upload)
 
 
 def synthetic_raw(

@@ -1,0 +1,389 @@
+"""Instant host-side previews + the async /open split (engine/instant.py).
+
+The contract under test: a file open must yield first pixels with ZERO
+device work (the remote-tunnel cold-compile cost is minutes, CLAUDE.md),
+the stand-in must approximate the device develop, and the server must
+serve it — explicitly marked — until the background device phase lands.
+"""
+
+import io as _io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from conftest import random_linear_image
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors
+# ---------------------------------------------------------------------------
+
+def test_resize_bilinear_np_matches_device():
+    from rawphotoforge_tpu.engine.instant import resize_bilinear_np
+    from rawphotoforge_tpu.ops.geometry import resize_bilinear
+
+    rng = np.random.default_rng(3)
+    planes = rng.random((3, 37, 53), dtype=np.float32)
+    got = resize_bilinear_np(planes, 17, 29)
+    want = np.asarray(resize_bilinear(planes, 17, 29))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_linear_to_srgb_np_matches_device():
+    from rawphotoforge_tpu.core.color import linear_to_srgb
+    from rawphotoforge_tpu.engine.instant import linear_to_srgb_np
+
+    x = np.linspace(0.0, 1.0, 513, dtype=np.float32)
+    np.testing.assert_allclose(
+        linear_to_srgb_np(x), np.asarray(linear_to_srgb(x)), atol=2e-6)
+
+
+@pytest.mark.parametrize("orientation", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_orient_np_matches_device(orientation):
+    from rawphotoforge_tpu.engine.instant import _orient_np
+    from rawphotoforge_tpu.ops.geometry import orient_exif
+
+    rng = np.random.default_rng(orientation)
+    planes = rng.random((3, 6, 9), dtype=np.float32)
+    np.testing.assert_array_equal(
+        _orient_np(planes, orientation),
+        np.asarray(orient_exif(planes, orientation)))
+
+
+# ---------------------------------------------------------------------------
+# superpixel RAW develop approximation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pattern", ["RGGB", "XTRANS"])
+def test_quick_from_raw_approximates_develop(pattern):
+    """The instant superpixel develop must track the real device develop:
+    same WB/matrix/encode, demosaic replaced by block means — on a smooth
+    image the two agree closely once both are at the same scale."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.engine.instant import quick_from_raw
+    from rawphotoforge_tpu.io.raw import develop_raw_image, synthetic_raw
+    from rawphotoforge_tpu.core.color import linear_to_srgb
+    from rawphotoforge_tpu.ops.geometry import resize_bilinear
+
+    rng = np.random.default_rng(7)
+    # Smooth low-frequency image: demosaic differences vanish, the
+    # color-pipeline math dominates the comparison.
+    h, w = 96, 132
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        0.2 + 0.5 * np.sin(yy / 31) ** 2,
+        0.3 + 0.4 * np.cos(xx / 23) ** 2,
+        0.25 + 0.3 * np.sin((xx + yy) / 41) ** 2,
+    ])
+    xyz_to_cam = np.asarray(
+        [[0.7, 0.15, 0.1], [0.2, 0.9, -0.1], [0.05, -0.2, 0.8]],
+        dtype=np.float32)
+    raw = synthetic_raw(base, pattern=pattern, xyz_to_cam=xyz_to_cam)
+    quick = quick_from_raw(raw, long_edge=1280)  # bigger than source: no resize
+    assert quick is not None and quick.dtype == np.uint8
+
+    planes, _ = develop_raw_image(raw)
+    srgb = np.clip(np.asarray(
+        linear_to_srgb(jnp.clip(planes, 0.0, 1.0))), 0.0, 1.0)
+    # Bring the full-res develop down to the superpixel grid for comparison.
+    qh, qw = quick.shape[:2]
+    ref = np.asarray(resize_bilinear(srgb, qh, qw)).transpose(1, 2, 0)
+    diff = np.abs(quick.astype(np.float32) / 255.0 - ref)
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.08
+
+
+def test_quick_from_raw_respects_default_crop_and_orientation():
+    from rawphotoforge_tpu.engine.instant import quick_from_raw
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    base = rng.random((3, 40, 64), dtype=np.float32)
+    raw = synthetic_raw(base, pattern="RGGB")
+    raw = dataclasses.replace(raw, default_crop=(4, 2, 56, 36), orientation=6)
+    quick = quick_from_raw(raw, long_edge=1280)
+    # 2x2 superpixels: crop (56, 36) -> (18, 28), orientation 6 swaps.
+    assert quick.shape == (28, 18, 3)
+
+
+def test_quick_from_raw_linear_raw_rgb():
+    from rawphotoforge_tpu.engine.instant import quick_from_raw
+    from rawphotoforge_tpu.io.dng import RawImage
+
+    rng = np.random.default_rng(13)
+    hwc = (rng.random((24, 36, 3)) * 60000).astype(np.uint16)
+    raw = RawImage(mosaic=hwc, pattern="RGB", black_level=0.0,
+                   white_level=65535.0, wb_gains=(1.0, 1.0, 1.0),
+                   xyz_to_cam=None)
+    quick = quick_from_raw(raw, long_edge=1280)
+    assert quick is not None and quick.shape == (24, 36, 3)
+
+
+def test_instant_histogram_mass():
+    from rawphotoforge_tpu.engine.instant import instant_histogram
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    h = instant_histogram(img)
+    assert h.shape == (4, 256)
+    assert (h.sum(axis=1) == 20 * 30).all()
+
+
+# ---------------------------------------------------------------------------
+# editor integration: open_host / from_host split, lazy pyramid
+# ---------------------------------------------------------------------------
+
+def _png_bytes(rng, h, w):
+    from PIL import Image as PILImage
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(
+        (rng.random((h, w, 3)) * 255).astype(np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_open_host_from_host_equals_from_bytes():
+    from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
+
+    rng = np.random.default_rng(17)
+    data = _png_bytes(rng, 40, 60)
+    ho = PhotoEditor.open_host(data, "PNG", mid_long_edge=32)
+    assert ho.shape == (40, 60)
+    # The instant is built at the MID long edge: 40x60 -> 21x32.
+    assert ho.instant is not None and ho.instant.shape == (21, 32, 3)
+    ed = PhotoEditor.from_host(ho, mid_long_edge=32, low_long_edge=16,
+                               use_pallas=False)
+    ed2 = PhotoEditor.from_bytes(data, "PNG", mid_long_edge=32,
+                                 low_long_edge=16, use_pallas=False)
+    np.testing.assert_array_equal(
+        np.asarray(ed.apply(MID)), np.asarray(ed2.apply(MID)))
+    assert ed2.instant_srgb_u8 is not None
+
+
+def test_open_host_raises_on_junk():
+    from rawphotoforge_tpu._errbase import PhotoEditorError
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    with pytest.raises(PhotoEditorError):
+        PhotoEditor.open_host(b"not an image at all", "PNG")
+
+
+def test_open_host_dng_and_instant():
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    rng = np.random.default_rng(19)
+    img = rng.random((3, 32, 48)).astype(np.float32)
+    blob = write_dng(synthetic_raw(img), compression=7)
+    ho = PhotoEditor.open_host(blob, "DNG")
+    assert ho.shape == (32, 48)
+    assert ho.instant is not None and ho.instant.shape == (16, 24, 3)
+
+
+def test_instant_preview_jpeg_and_crop():
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    rng = np.random.default_rng(23)
+    ed = PhotoEditor.from_bytes(_png_bytes(rng, 40, 60), "PNG",
+                                mid_long_edge=32, use_pallas=False)
+    jpeg = ed.instant_preview_jpeg()
+    assert jpeg[:2] == b"\xff\xd8"
+    hist = ed.instant_histogram()
+    assert hist is not None and (hist.sum(axis=1) > 0).all()
+    ih, iw = ed.instant_srgb_u8.shape[:2]
+    ed.set_crop(10, 5, 50, 35)
+    cropped = ed._instant_cropped()
+    # The FULL-coord crop rect scales onto the instant's resolution.
+    assert cropped.shape == (max(1, round(30 / 40 * ih) - 1) + 1,
+                             max(1, round(40 / 60 * iw) - 1) + 1, 3) or (
+        0 < cropped.shape[0] < ih and 0 < cropped.shape[1] < iw)
+    assert ed.instant_preview_jpeg()[:2] == b"\xff\xd8"
+
+
+def test_pyramid_is_lazy():
+    """MID/LOW device resizes must not run at construction (they are the
+    cold-open compiles the async open exists to dodge); first access
+    builds them and matches the eager construction."""
+    from rawphotoforge_tpu.engine.editor import FULL, LOW, MID, PhotoEditor
+    from rawphotoforge_tpu.ops.geometry import resize_bilinear
+
+    rng = np.random.default_rng(29)
+    planes = random_linear_image(rng, 50, 70)
+    ed = PhotoEditor(planes.transpose(2, 0, 1), mid_long_edge=32,
+                     low_long_edge=16, use_pallas=False)
+    assert set(ed._originals) == {FULL}
+    h, w = ed._extents[MID]
+    mid = np.asarray(ed._original_at(MID))[:, :h, :w]
+    assert set(ed._originals) >= {FULL, MID}
+    fh, fw = ed._extents[FULL]
+    want = np.asarray(resize_bilinear(
+        ed._originals[FULL][:, :fh, :fw], h, w))
+    np.testing.assert_array_equal(mid, want)
+    # LOW still lazy until asked.
+    assert LOW not in ed._originals
+    ed.apply(LOW)
+    assert LOW in ed._originals
+
+
+def test_lens_profile_then_lazy_mid():
+    """A lens profile applied before MID materializes must still be
+    reflected in the lazily-built MID (it resizes the corrected FULL)."""
+    from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
+    from rawphotoforge_tpu.io.lensdb import LensProfile
+
+    rng = np.random.default_rng(31)
+    planes = random_linear_image(rng, 48, 64)
+    ed = PhotoEditor(planes.transpose(2, 0, 1), mid_long_edge=32,
+                     use_pallas=False)
+    before = np.asarray(ed.apply(MID))
+    ed2 = PhotoEditor(planes.transpose(2, 0, 1), mid_long_edge=32,
+                      use_pallas=False)
+    prof = LensProfile(name="t", distortion=(0.08,))
+    ed2.apply_lens_profile(prof)
+    after = np.asarray(ed2.apply(MID))
+    assert np.abs(after - before).max() > 1e-3  # the correction showed up
+
+
+# ---------------------------------------------------------------------------
+# server: instant era end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def gated_server(monkeypatch, tmp_path):
+    """A live server whose /open device phase blocks on an event, freezing
+    the instant era so its contract can be asserted deterministically."""
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    gate = threading.Event()
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def gated_from_host(cls, ho, **kwargs):
+        gate.wait(timeout=60)
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(gated_from_host))
+    rng = np.random.default_rng(42)
+    ed = PhotoEditor(random_linear_image(rng, 30, 40).transpose(2, 0, 1),
+                     mid_long_edge=24, use_pallas=False)
+    httpd = srvmod.serve(ed, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", gate
+    gate.set()
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_server_instant_era(gated_server):
+    base, gate = gated_server
+    rng = np.random.default_rng(33)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 36, 54),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["ok"] and out["instant"]
+
+    # Instant era: preview is the marked host stand-in ...
+    status, headers, body = _get(base + "/preview?level=mid")
+    assert status == 200 and headers.get("X-RPF-Instant") == "1"
+    assert body[:2] == b"\xff\xd8"
+    # ... histogram/info/exif come from the host decode ...
+    _, _, hist = _get(base + "/histogram")
+    assert len(json.loads(hist)) == 4
+    _, _, info = _get(base + "/info")
+    assert json.loads(info)["shape"] == [36, 54]
+    _, _, st = _get(base + "/open/status")
+    assert json.loads(st) == {"ready": False, "error": None,
+                              "opened_from_preview": None}
+    # ... and editor-state changes are rejected, not applied to the
+    # about-to-be-replaced session.
+    req = urllib.request.Request(base + "/edit",
+                                 data=json.dumps({"exposure": 1.0}).encode(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 409
+
+    # Release the device phase: the real render takes over, unmarked.
+    gate.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("open never became ready")
+    status, headers, body = _get(base + "/preview?level=mid")
+    assert status == 200 and "X-RPF-Instant" not in headers
+    assert body[:2] == b"\xff\xd8"
+
+
+def test_server_open_device_failure_rolls_back(monkeypatch, tmp_path):
+    """A device-phase failure must END the instant era: the previous
+    session (never replaced until success) serves again, the error
+    surfaces once via /open/status, and edits work — not a permanent
+    409 limbo."""
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    def boom_from_host(cls, ho, **kwargs):
+        raise RuntimeError("device exploded")
+
+    monkeypatch.setattr(PhotoEditor, "from_host", classmethod(boom_from_host))
+    rng = np.random.default_rng(47)
+    ed = PhotoEditor(random_linear_image(rng, 30, 40).transpose(2, 0, 1),
+                     mid_long_edge=24, use_pallas=False)
+    httpd = srvmod.serve(ed, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            base + "/open?name=pic.png", data=_png_bytes(rng, 36, 54),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["instant"]
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            _, _, st = _get(base + "/open/status")
+            st = json.loads(st)
+            if st["ready"]:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("rollback never became ready")
+        assert "device exploded" in st["error"]
+        # The previous session is live again: unmarked preview + edits OK.
+        status, headers, body = _get(base + "/preview?level=mid")
+        assert status == 200 and "X-RPF-Instant" not in headers
+        _, _, info = _get(base + "/info")
+        assert json.loads(info)["shape"] == [30, 40]
+        req = urllib.request.Request(
+            base + "/edit", data=json.dumps({"exposure": 0.5}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        httpd.shutdown()

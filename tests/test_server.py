@@ -195,6 +195,22 @@ def _post_raw(url, data: bytes):
         return r.status, json.loads(r.read() or b"{}")
 
 
+def _wait_open_ready(base_url, timeout=120.0):
+    """Poll /open/status until the async open's device phase lands (the
+    same protocol the page JS runs)."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < timeout:
+        _, _, body = _get(base_url + "/open/status")
+        st = json.loads(body)
+        assert not st.get("error"), st
+        if st["ready"]:
+            return
+        _time.sleep(0.1)
+    raise AssertionError("async open never became ready")
+
+
 def test_open_endpoint_replaces_session(base_url):
     """POST /open with raw file bytes swaps in a new PhotoEditor
     (web/main.ts:652-695 loadImage)."""
@@ -208,6 +224,7 @@ def test_open_endpoint_replaces_session(base_url):
     ).save(buf, format="PNG")
     status, out = _post_raw(base_url + "/open?name=new.png", buf.getvalue())
     assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
     _, _, body = _get(base_url + "/info")
     assert json.loads(body)["shape"] == [30, 44]
 
@@ -230,6 +247,7 @@ def test_open_endpoint_raw_dng(base_url):
     blob = write_dng(synthetic_raw(img), compression=7)
     status, out = _post_raw(base_url + "/open?name=shot.dng", blob)
     assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
     _, _, body = _get(base_url + "/info")
     assert json.loads(body)["shape"] == [32, 48]
 
@@ -427,6 +445,7 @@ def test_open_endpoint_cr3_via_preview(base_url):
         + b"\x00" * 8 + jpeg) + _box(b"mdat", b"\x00" * 256)
     status, out = _post_raw(base_url + "/open?name=shot.cr3", blob)
     assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
     assert out.get("opened_from_preview")  # surfaced, never silent
     _, _, body = _get(base_url + "/info")
     assert json.loads(body)["shape"] == [26, 38]
