@@ -111,13 +111,18 @@ def main(argv=None) -> int:
         # MID preview JPEG bytes — the cold-open pain the reference never
         # has (web/main.ts:652-695 renders immediately). Runs FIRST so
         # configs 1-5 can't pre-populate the in-process jit cache.
-        #   cold      - a fresh aspect (dims jittered by wall time) so the
-        #               resize/histogram/quantize programs compile anew;
-        #               the develop bucket may hit the persistent cache,
-        #               exactly as it would for a real user's next photo
-        #   warm      - same image, new session: everything cached
-        #   prewarmed - standard 3:2 24MP after warm_shape() of the
-        #               standard preview buckets (the server-start path)
+        #   cold      - TRUE cold: the persistent compile cache is
+        #               redirected to an empty temp dir for this one
+        #               measurement, so every program pays the full
+        #               remote XLA compile (rounds of bench runs would
+        #               otherwise slowly populate .jax_cache with the
+        #               jittered aspects and quietly turn "cold" warm)
+        #   warm      - same image, new session: in-process jit cache
+        #   prewarmed - standard 3:2 24MP from the REAL persistent cache
+        #               after warm_shape() of the standard preview
+        #               buckets (the server-start path)
+        import tempfile
+
         from rawphotoforge_tpu.engine import prewarm
         from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
         from rawphotoforge_tpu.io import image_io
@@ -132,7 +137,13 @@ def main(argv=None) -> int:
         rng6 = np.random.default_rng(6)
         jit_h = 4000 + 8 * (int(time.time()) % 97) + 1  # unseen extents
         cold_img = rng6.random((3, jit_h, 6000), dtype=np.float32)
-        t_cold = first_preview_s(cold_img)
+        real_cache = jax.config.jax_compilation_cache_dir
+        with tempfile.TemporaryDirectory(prefix="rpf_coldcache_") as tmp:
+            jax.config.update("jax_compilation_cache_dir", tmp)
+            try:
+                t_cold = first_preview_s(cold_img)
+            finally:
+                jax.config.update("jax_compilation_cache_dir", real_cache)
         t_warm = first_preview_s(cold_img)
         for s in prewarm.preview_shapes(1280, 400):
             prewarm.warm_shape(s)  # the server-start warm, not timed

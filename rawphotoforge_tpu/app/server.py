@@ -735,6 +735,17 @@ class EditorApp:
             "exif": {k: v for k, v in ho.exif.items()
                      if k != "_exif_bytes"},
             "opened_from_preview": ho.preview_reason,
+            # Live era edits (engine.hostdev): the small linear planes
+            # edits render from, the current EditParameters (None =
+            # pristine, serve the decode JPEG above), the raw /edit body
+            # to replay onto the device session at swap, the era crop
+            # rect (FULL coords), and the lazily-built (jpeg, hist)
+            # render cache.
+            "linear": ho.instant_linear,
+            "params": None,
+            "replay": None,
+            "crop": None,
+            "render": None,
         }
         self.device_ready.clear()
         threading.Thread(
@@ -765,6 +776,18 @@ class EditorApp:
         with self.lock:
             if self.opening is None or self.opening["seq"] != seq:
                 return  # superseded by a newer /open
+            # Replay edits made during the era onto the device session
+            # BEFORE it becomes visible — era edits persist even for API
+            # clients that don't re-post state on ready. Already
+            # validated at era_edit time; cheap (parameter sets only, no
+            # renders or device work).
+            try:
+                if self.opening["replay"] is not None:
+                    self.apply_state(self.opening["replay"], editor=ed)
+                if self.opening["crop"] is not None:
+                    ed.set_crop(*self.opening["crop"])
+            except Exception:  # noqa: BLE001 — stand-in state only; the
+                pass           # client's next full-state POST rebuilds it
             self.editor = ed
             self.opening = None
         self.device_ready.set()
@@ -779,6 +802,70 @@ class EditorApp:
             return {"ready": True, "error": self.last_open_error}
         return {"ready": False, "error": None,
                 "opened_from_preview": op["opened_from_preview"]}
+
+    # -- live edits during the instant era (engine.hostdev) --------------
+    def era_edit(self, body: dict) -> None:
+        """/edit while the device phase compiles: validate exactly like
+        apply_state, stash the EditParameters for the host renderer, and
+        remember the body to replay onto the device session at swap —
+        era edits are never lost, with or without a well-behaved client."""
+        op = self.opening
+        if (body.get("_target") or "main") != "main":
+            raise ValueError(
+                "masks cannot be targeted while an open is in progress")
+        op["params"] = self._state_to_params(body)
+        op["replay"] = body
+        op["render"] = None  # re-render lazily at the next /preview
+
+    def era_crop(self, body: dict) -> None:
+        self.check_keys(
+            body, frozenset({"clear", "x0", "y0", "x1", "y1"}), "/crop")
+        op = self.opening
+        if body.get("clear"):
+            op["crop"] = None
+        else:
+            h, w = op["shape"]
+            x0, y0 = max(0, int(body["x0"])), max(0, int(body["y0"]))
+            x1, y1 = min(w, int(body["x1"])), min(h, int(body["y1"]))
+            if x1 <= x0 or y1 <= y0:
+                raise ValueError("empty crop rect")
+            op["crop"] = (x0, y0, x1, y1)
+        op["render"] = None
+
+    def era_reset(self) -> None:
+        op = self.opening
+        op["params"] = op["replay"] = op["crop"] = op["render"] = None
+
+    def era_render(self, op: dict) -> tuple[bytes, list]:
+        """(jpeg, histogram) of the era state — the pristine decode when
+        untouched, else a hostdev re-develop of the small linear planes.
+        ``op`` is the caller's snapshot of ``self.opening`` (the swap can
+        clear the attribute mid-render; the snapshot keeps this safe)."""
+        if op["render"] is None:
+            if op["params"] is None and op["crop"] is None:
+                op["render"] = (op["jpeg"], op["hist"])
+            else:
+                from ..core.params import EditParameters
+                from ..engine import hostdev
+                from ..engine import instant as _instant
+
+                p = op["params"] or EditParameters()
+                u8 = hostdev.render_u8_hwc(op["linear"], p)
+                if op["crop"] is not None:
+                    ih, iw = u8.shape[:2]
+                    fh, fw = op["shape"]
+                    x0, y0, x1, y1 = op["crop"]
+                    sy, sx = ih / fh, iw / fw
+                    r0 = int(y0 * sy)
+                    r1 = max(r0 + 1, int(y1 * sy))
+                    c0 = int(x0 * sx)
+                    c1 = max(c0 + 1, int(x1 * sx))
+                    u8 = np.ascontiguousarray(u8[r0:r1, c0:c1])
+                op["render"] = (
+                    _instant.encode_instant_jpeg(u8),
+                    _instant.instant_histogram(u8).tolist(),
+                )
+        return op["render"]
 
     def page(self) -> str:
         labels = tr(self.settings.locale)
@@ -814,21 +901,14 @@ class EditorApp:
                     f"unknown key {k!r} for {endpoint} "
                     f"(allowed: {', '.join(sorted(allowed))})")
 
-    def apply_state(self, st: dict):
-        """Apply slider/curve state to the target mask ('_target', default
-        main). Global-only params (vignette, distortion, sharpness,
-        wgsl:270-276) always go to main.
-
-        All-or-nothing: every value is validated against a scratch
-        EditParameters BEFORE any session state mutates, so a rejected
-        /edit (e.g. a non-monotone curve or an unknown key) leaves the
-        editor untouched — the same invariant the individual setters and
-        preset loads keep."""
+    @classmethod
+    def _state_to_params(cls, st: dict):
+        """Validate an /edit body into a fresh EditParameters (the scratch
+        of apply_state's all-or-nothing invariant, and the live parameter
+        set of an era_edit). Raises before any session state mutates."""
         from ..core.params import EditParameters
 
-        self.check_keys(st, self.EDIT_KEYS, "/edit")
-        target = st.get("_target") or "main"
-        mask_name = None if target == "main" else target
+        cls.check_keys(st, cls.EDIT_KEYS, "/edit")
         scratch = EditParameters()
         scratch.set_tone(
             st.get("exposure", 0.0), int(st.get("contrast", 0)),
@@ -849,8 +929,24 @@ class EditorApp:
             scratch.set_sharpness(int(st["sharpness"]))
         if "mask_range" in st:
             float(st["mask_range"])
+        return scratch
 
-        ed = self.editor
+    def apply_state(self, st: dict, editor: PhotoEditor | None = None):
+        """Apply slider/curve state to the target mask ('_target', default
+        main). Global-only params (vignette, distortion, sharpness,
+        wgsl:270-276) always go to main.
+
+        All-or-nothing: every value is validated against a scratch
+        EditParameters BEFORE any session state mutates, so a rejected
+        /edit (e.g. a non-monotone curve or an unknown key) leaves the
+        editor untouched — the same invariant the individual setters and
+        preset loads keep. ``editor`` overrides the live session (used to
+        replay era edits onto a not-yet-visible session at open-swap)."""
+        self._state_to_params(st)
+        target = st.get("_target") or "main"
+        mask_name = None if target == "main" else target
+
+        ed = editor if editor is not None else self.editor
         ed.set_tone(
             st.get("exposure", 0.0), int(st.get("contrast", 0)),
             int(st.get("shadow", 0)), int(st.get("highlight", 0)),
@@ -1016,28 +1112,32 @@ def make_handler(app: EditorApp):
                 op = app.opening
                 if op is not None:
                     # Instant era (async open in flight): serve the
-                    # host-side stand-ins; editor-state reads answer 409
+                    # host-side stand-ins — live hostdev renders of any
+                    # era edits; remaining editor-state reads answer 409
                     # (the UI only issues the endpoints below until
                     # /open/status flips ready).
                     if url.path == "/preview":
+                        jpeg, _ = app.era_render(op)
                         self.send_response(200)
                         self.send_header("Content-Type", "image/jpeg")
                         self.send_header("X-RPF-Instant", "1")
-                        self.send_header("Content-Length",
-                                         str(len(op["jpeg"])))
+                        self.send_header("Content-Length", str(len(jpeg)))
                         self.end_headers()
-                        self.wfile.write(op["jpeg"])
+                        self.wfile.write(jpeg)
                     elif url.path == "/histogram":
-                        self._send(200, json.dumps(op["hist"]).encode())
+                        _, hist = app.era_render(op)
+                        self._send(200, json.dumps(hist).encode())
                     elif url.path == "/info":
                         h, w = op["shape"]
                         from ..ops.geometry import resize_long_edge_shape
 
                         ph, pw = resize_long_edge_shape(
                             h, w, app.settings.ui_preview_size)
+                        crop = op["crop"]
                         self._send(200, json.dumps(
                             {"shape": [h, w], "preview_shape": [ph, pw],
-                             "crop": None, "instant": True}).encode())
+                             "crop": list(crop) if crop else None,
+                             "instant": True}).encode())
                     elif url.path == "/exif":
                         self._send(200, json.dumps(op["exif"]).encode())
                     elif url.path == "/masks":
@@ -1045,8 +1145,8 @@ def make_handler(app: EditorApp):
                     elif url.path == "/params":
                         from ..core.params import EditParameters
 
-                        self._send(200, json.dumps(
-                            EditParameters().to_json()).encode())
+                        p = op["params"] or EditParameters()
+                        self._send(200, json.dumps(p.to_json()).encode())
                     elif url.path == "/settings":
                         self._send(200,
                                    json.dumps(app.settings.to_json()).encode())
@@ -1181,12 +1281,42 @@ def make_handler(app: EditorApp):
                         )
                 return
             if app.opening is not None:
-                # Instant era: editor state is about to be replaced; the
-                # client re-posts its full state once /open/status flips
-                # ready, so rejected edits lose nothing.
-                self._send(409, json.dumps(
-                    {"error": "open in progress"}).encode())
-                return
+                # Instant era: slider/curve edits, crop and reset stay
+                # LIVE — validated like their real counterparts, rendered
+                # host-side (engine.hostdev) and replayed onto the device
+                # session at swap. Everything else (masks, presets,
+                # exports) answers 409 until the open lands.
+                with app.lock:
+                    try:
+                        if app.opening is None:
+                            # Landed between the check and the lock: fall
+                            # out to the normal handlers below.
+                            pass
+                        elif url.path == "/edit":
+                            body = json.loads(raw_body or b"{}")
+                            app.era_edit(body)
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/crop":
+                            body = json.loads(raw_body or b"{}")
+                            app.era_crop(body)
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/reset":
+                            app.check_keys(
+                                json.loads(raw_body or b"{}"),
+                                frozenset(), "/reset")
+                            app.era_reset()
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        else:
+                            self._send(409, json.dumps(
+                                {"error": "open in progress"}).encode())
+                            return
+                    except Exception as e:  # noqa: BLE001 — typed 400
+                        self._send(400,
+                                   json.dumps({"error": str(e)}).encode())
+                        return
             with app.lock:
                 try:
                     # Inside the try: malformed JSON must answer 400, not

@@ -105,6 +105,19 @@ class HostOpen:
         """sRGB u8 HWC instant preview, or None."""
         return self.decoded.instant
 
+    @property
+    def instant_linear(self):
+        """Small linear planes [3, h, w] f32 matching ``instant`` (the
+        engine.hostdev era-render source), recovering them from the u8
+        instant when the decode had no cheap linear form."""
+        lin = self.decoded.instant_linear
+        if lin is None and self.decoded.instant is not None:
+            from . import instant as _instant
+
+            lin = self.decoded.instant_linear = _instant.linear_from_srgb_u8(
+                self.decoded.instant)
+        return lin
+
 
 class PhotoEditor:
     """A single-image editing session with a 3-level preview pyramid."""

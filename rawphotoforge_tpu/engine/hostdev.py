@@ -1,0 +1,239 @@
+"""Host-side develop: the anchor pipeline mirrored in pure numpy.
+
+Lets the server render LIVE edits during the *instant era* of an async
+open — the minutes a cold shape spends in remote XLA compiles — so the
+UI is interactive from t=0 like the reference (web/main.ts:652-695,
+wgpu_shader.wgsl:265-337). It mirrors `ops.develop.develop_post_geo`
+(vignette -> WB -> tone -> brightness LUT -> OKLCH hue/sat/light LUTs ->
+sRGB) plus the editor's geometry stage (lens-distortion warp + unsharp)
+for the MAIN mask only — the only mask that can exist during an open —
+at the instant preview's resolution (~1 MPix: a few hundred ms of numpy,
+zero device work).
+
+Fidelity: identical formula sequences and the exact 65536-entry i32 LUT
+gathers (`core.curve` builds LUTs host-side already); differences vs the
+device anchor are f32 reassociation noise, gated in tests/test_hostdev.py.
+The serving contract stays "approximate, explicitly marked": the source
+pixels are the superpixel instant decode, not the real demosaic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.color import (
+    LUMA_B, LUMA_G, LUMA_R, M1, M1_INV, M2, M2_INV, TWO_PI,
+)
+from ..core.params import BRIGHTNESS, HUE, LIGHTNESS, SATURATION
+from .instant import linear_to_srgb_np
+
+LUT_MAX = 65535.0
+
+_f32 = np.float32
+
+
+def _mat3_np(m, a, b, c):
+    x = _f32(m[0][0]) * a + _f32(m[0][1]) * b + _f32(m[0][2]) * c
+    y = _f32(m[1][0]) * a + _f32(m[1][1]) * b + _f32(m[1][2]) * c
+    z = _f32(m[2][0]) * a + _f32(m[2][1]) * b + _f32(m[2][2]) * c
+    return x, y, z
+
+
+def _lut_fetch_np(lut_row: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """WGSL lut_fetch: u32(v * 65535) truncating index, table clamp."""
+    idx = (v * _f32(LUT_MAX)).astype(np.int32)
+    return np.clip(np.take(lut_row, idx), 0, 65535)
+
+
+def warp_np(planes: np.ndarray, distortion: float) -> np.ndarray:
+    """Radial lens-distortion resample (ops.geometry contract,
+    wgpu_shader.wgsl:109-164) over [3, H, W]; OOB pixels go black."""
+    if distortion == 0.0:
+        return planes
+    _, h, w = planes.shape
+    strength = _f32(-0.5 * (distortion / 100.0))
+    hf, wf = _f32(h), _f32(w)
+    v = (np.arange(h, dtype=np.float32) / hf)[:, None]
+    u = (np.arange(w, dtype=np.float32) / wf)[None, :]
+    cu = (u - _f32(0.5)) * _f32(wf / hf)
+    cv = v - _f32(0.5)
+    r2 = cu * cu + cv * cv
+    denom = _f32(1.0) + strength * r2
+    fu = (cu / denom) / _f32(wf / hf) + _f32(0.5)
+    fv = cv / denom + _f32(0.5)
+    oob = (fu < 0.0) | (fu > 1.0) | (fv < 0.0) | (fv > 1.0)
+    px = fu * (wf - 1.0)
+    py = fv * (hf - 1.0)
+    x0f = np.floor(px)
+    y0f = np.floor(py)
+    x0 = np.clip(x0f.astype(np.int32), 0, w - 1)
+    y0 = np.clip(y0f.astype(np.int32), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    tx = (px - x0f).astype(np.float32)
+    ty = (py - y0f).astype(np.float32)
+    out = np.empty_like(planes)
+    for c in range(3):
+        p = planes[c]
+        top = p[y0, x0] * (1.0 - tx) + p[y0, x1] * tx
+        bot = p[y1, x0] * (1.0 - tx) + p[y1, x1] * tx
+        out[c] = np.where(oob, _f32(0.0), top * (1.0 - ty) + bot * ty)
+    return out
+
+
+def _gauss_taps_np(sigma: float, radius: int) -> np.ndarray:
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur_axis_np(x: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarray:
+    radius = (len(taps) - 1) // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    mode = "reflect" if x.shape[axis] > radius else "edge"
+    xp = np.pad(x, pad, mode=mode)
+    out = np.zeros_like(x)
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    for i, wgt in enumerate(taps):
+        sl[axis] = slice(i, i + n)
+        out += wgt * xp[tuple(sl)]
+    return out
+
+
+def unsharp_np(planes: np.ndarray, amount: float,
+               sigma: float = 1.0, radius: int = 2) -> np.ndarray:
+    """ops.sharpen.unsharp_mask mirror: x + amount * (x - gaussian(x))."""
+    if amount == 0.0:
+        return planes
+    taps = _gauss_taps_np(sigma, radius)
+    blur = _blur_axis_np(_blur_axis_np(planes, taps, 1), taps, 2)
+    return np.maximum(planes + _f32(amount) * (planes - blur), 0.0)
+
+
+def _tone_np(r, g, b, exposure, contrast, shadow, highlight, black, white):
+    """ops.pointwise.tone mirror (wgpu_shader.wgsl:200-259); slider
+    values already /100-scaled like the packed tone row."""
+    mul = _f32(np.exp2(exposure))
+    r, g, b = r * mul, g * mul, b * mul
+    y = _f32(LUMA_R) * r + _f32(LUMA_G) * g + _f32(LUMA_B) * b
+
+    sg = _f32(1.0) + _f32(shadow) * np.clip(_f32(1.0) - y, 0.0, 1.0)
+    r, g, b = r * sg, g * sg, b * sg
+    hg = _f32(1.0) + _f32(highlight) * np.clip(y, 0.0, 1.0)
+    r, g, b = r * hg, g * hg, b * hg
+
+    t = np.clip(y, 0.0, 1.0)
+    if black != 0.0:
+        lift = _f32(black) * ((_f32(1.0) - t) * (_f32(1.0) - t))
+        r, g, b = r + lift, g + lift, b + lift
+    if white != 0.0:
+        lift = _f32(white) * (t * t)
+        r, g, b = r + lift, g + lift, b + lift
+    if contrast != 0.0:
+        c = _f32(1.0 + contrast)
+        r = (r - _f32(0.5)) * c + _f32(0.5)
+        g = (g - _f32(0.5)) * c + _f32(0.5)
+        b = (b - _f32(0.5)) * c + _f32(0.5)
+    return (np.clip(r, 0.0, 1.0), np.clip(g, 0.0, 1.0),
+            np.clip(b, 0.0, 1.0))
+
+
+def _vignette_np(r, g, b, vignette_value):
+    """ops.pointwise.vignette mirror (wgpu_shader.wgsl:166-178)."""
+    strength = _f32((-vignette_value / 100.0) * 2.0)
+    if strength == 0.0:
+        return r, g, b
+    h, w = r.shape
+    cy = ((np.arange(h, dtype=np.float32) / _f32(h) - 0.5) * 1.5)[:, None]
+    cx = ((np.arange(w, dtype=np.float32) / _f32(w) - 0.5) * 1.5)[None, :]
+    dist = np.sqrt(cx * cx + cy * cy, dtype=np.float32)
+    t = np.clip((dist - _f32(0.25)) / _f32(0.75), 0.0, 1.0)
+    gain = np.clip(_f32(1.0) - strength * (t * np.sqrt(t)), 0.0, 4.0)
+    return r * gain, g * gain, b * gain
+
+
+def _oklch_from_linear(r, g, b):
+    l_, m_, s_ = _mat3_np(M1, r, g, b)
+    cbrt = lambda x: np.cbrt(np.maximum(x, 0.0), dtype=np.float32)  # noqa: E731
+    L, A, B = _mat3_np(M2, cbrt(l_), cbrt(m_), cbrt(s_))
+    C = np.sqrt(A * A + B * B, dtype=np.float32)
+    H = np.arctan2(B, A, dtype=np.float32) / _f32(TWO_PI)
+    H = np.where(H < 0.0, H + _f32(1.0), H)
+    return L, C, H
+
+
+def _linear_from_oklch(L, C, H):
+    ang = H * _f32(TWO_PI)
+    A = C * np.cos(ang, dtype=np.float32)
+    B = C * np.sin(ang, dtype=np.float32)
+    l_, m_, s_ = _mat3_np(M2_INV, L, A, B)
+    return _mat3_np(M1_INV, l_ * l_ * l_, m_ * m_ * m_, s_ * s_ * s_)
+
+
+def develop_np(linear_planes: np.ndarray, params) -> np.ndarray:
+    """Full main-mask develop of linear [3, H, W] f32 -> clipped sRGB f32.
+
+    ``params`` is a core.params.EditParameters (the main mask). Order
+    matches PhotoEditor.apply: warp -> unsharp -> vignette -> WB -> tone
+    -> brightness LUT (channel selector) -> OKLCH LUTs -> sRGB encode.
+    """
+    planes = np.asarray(linear_planes, dtype=np.float32)
+    planes = warp_np(planes, float(params.lens_distortion))
+    planes = unsharp_np(planes, float(params.sharpness) / 100.0 * 2.0)
+
+    r, g, b = planes[0], planes[1], planes[2]
+    r, g, b = _vignette_np(r, g, b, float(params.vignette))
+
+    gains = params.gains()
+    r, g, b = r * _f32(gains[0]), g * _f32(gains[1]), b * _f32(gains[2])
+    r, g, b = _tone_np(
+        r, g, b, float(params.exposure), params.contrast / 100.0,
+        params.shadow / 100.0, params.highlight / 100.0,
+        params.black / 100.0, params.white / 100.0,
+    )
+
+    if not params.curves[BRIGHTNESS].is_default(BRIGHTNESS) or \
+            params.brightness_channel != 3:
+        lut = params.curves[BRIGHTNESS].lut(BRIGHTNESS)
+        ch = params.brightness_channel
+        rc = _lut_fetch_np(lut, r).astype(np.float32) / _f32(LUT_MAX)
+        gc = _lut_fetch_np(lut, g).astype(np.float32) / _f32(LUT_MAX)
+        bc = _lut_fetch_np(lut, b).astype(np.float32) / _f32(LUT_MAX)
+        if ch in (0, 3):
+            r = rc
+        if ch in (1, 3):
+            g = gc
+        if ch in (2, 3):
+            b = bc
+
+    oklch_default = all(
+        params.curves[slot].is_default(slot)
+        for slot in (HUE, SATURATION, LIGHTNESS)
+    )
+    if not oklch_default:
+        L, C, H = _oklch_from_linear(r, g, b)
+        h_idx = (H * _f32(LUT_MAX)).astype(np.int32)
+        hue_lut = params.curves[HUE].lut(HUE)
+        sat_lut = params.curves[SATURATION].lut(SATURATION)
+        light_lut = params.curves[LIGHTNESS].lut(LIGHTNESS)
+        H = np.clip(np.take(hue_lut, h_idx), 0, 65535).astype(
+            np.float32) / _f32(LUT_MAX)
+        C = C * (np.clip(np.take(sat_lut, h_idx), 0, 65535).astype(
+            np.float32) / _f32(32767.5))
+        L = L * (np.clip(np.take(light_lut, h_idx), 0, 65535).astype(
+            np.float32) / _f32(32767.5))
+        r, g, b = _linear_from_oklch(L, C, H)
+
+    out = np.stack([linear_to_srgb_np(r), linear_to_srgb_np(g),
+                    linear_to_srgb_np(b)])
+    return np.clip(out, 0.0, 1.0)
+
+
+def render_u8_hwc(linear_planes: np.ndarray, params) -> np.ndarray:
+    """develop_np -> truncating u8 HWC (the reference's `as u8` store,
+    image.rs:375-383) — the era preview the server encodes to JPEG."""
+    srgb = develop_np(linear_planes, params)
+    u8 = (srgb * _f32(255.0)).astype(np.uint8)
+    return np.ascontiguousarray(u8.transpose(1, 2, 0))

@@ -106,8 +106,31 @@ def quick_from_linear_rgb(
     planes: np.ndarray, long_edge: int, orientation: int = 1
 ) -> np.ndarray:
     """Linear [3, H, W] f32 -> instant sRGB u8 HWC at <= long_edge."""
+    return _to_u8_hwc(
+        quick_linear_from_linear_rgb(planes, long_edge, orientation))
+
+
+def quick_linear_from_linear_rgb(
+    planes: np.ndarray, long_edge: int, orientation: int = 1
+) -> np.ndarray:
+    """Linear [3, H, W] f32 -> small linear planes (the era-render source
+    for engine.hostdev live edits)."""
     p = _orient_np(np.asarray(planes, dtype=np.float32), orientation)
-    return _to_u8_hwc(_fit_long_edge(p, long_edge))
+    return _fit_long_edge(p, long_edge)
+
+
+def linear_from_srgb_u8(hwc_u8: np.ndarray) -> np.ndarray:
+    """Instant sRGB u8 HWC -> linear [3, h, w] f32 — the inverse of the
+    encode half of _to_u8_hwc (EOTF mirror of core.color.srgb_to_linear).
+    Used to recover era-render source planes from an already-encoded
+    instant preview."""
+    c = hwc_u8.astype(np.float32).transpose(2, 0, 1) / np.float32(255.0)
+    return np.where(
+        c <= np.float32(0.04045),
+        c / np.float32(12.92),
+        np.power((c + np.float32(0.055)) / np.float32(1.055),
+                 np.float32(2.4)),
+    ).astype(np.float32)
 
 
 def quick_from_srgb_u8(
@@ -135,6 +158,13 @@ def quick_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
     demosaic; the WB/matrix/encode math matches io.raw.develop_raw_image.
     Returns None for exotic layouts (never raises — instant previews are
     strictly best-effort)."""
+    lin = quick_linear_from_raw(raw, long_edge)
+    return None if lin is None else _to_u8_hwc(lin)
+
+
+def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
+    """RawImage -> small LINEAR planes [3, h, w] f32 (pre-encode half of
+    quick_from_raw; the era-render source for engine.hostdev)."""
     try:
         from ..ops.demosaic import NAMED_CFA, cam_matrix_to_srgb
 
@@ -194,7 +224,8 @@ def quick_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
             x0, x1 = int(cx * sx), max(int(cx * sx) + 1, int((cx + cw) * sx))
             rgb = rgb[:, y0:y1, x0:x1]
         rgb = _orient_np(rgb, raw.orientation)
-        return _to_u8_hwc(_fit_long_edge(rgb, long_edge))
+        return np.ascontiguousarray(
+            _fit_long_edge(rgb, long_edge).astype(np.float32))
     except Exception:  # noqa: BLE001 — best-effort by contract
         return None
 

@@ -119,13 +119,18 @@ class HostDecoded:
     compiles). Lets the server answer ``/open`` from host data immediately
     and run ``upload()`` in a background thread (engine.instant design)."""
 
-    __slots__ = ("exif", "instant", "shape", "upload")
+    __slots__ = ("exif", "instant", "instant_linear", "shape", "upload")
 
-    def __init__(self, exif, instant, shape, upload):
+    def __init__(self, exif, instant, shape, upload, instant_linear=None):
         self.exif = exif          # parsed capture metadata (host-side)
         self.instant = instant    # sRGB u8 HWC instant preview, or None
         self.shape = shape        # final true (h, w) of the device planes
         self.upload = upload      # () -> device planes f32 [3, H, W]
+        # Small LINEAR planes [3, h, w] f32 matching ``instant`` — the
+        # era-render source for engine.hostdev live edits. None when the
+        # decode had no cheap linear form (recoverable from ``instant``
+        # via engine.instant.linear_from_srgb_u8).
+        self.instant_linear = instant_linear
 
 
 def decode_image(data: bytes, fmt: str, instant_out: dict | None = None):
@@ -155,14 +160,15 @@ def decode_image_host(data: bytes, fmt: str,
     closure only moves already-validated arrays)."""
     if fmt == "PPM16":
         u16 = _parse_ppm16(data)
-        pv = None
+        pv = lin = None
         if instant_long_edge:
             from ..engine import instant
 
-            pv = instant.quick_from_linear_rgb(
+            lin = instant.quick_linear_from_linear_rgb(
                 u16.transpose(2, 0, 1).astype(np.float32) / 65535.0,
                 instant_long_edge,
             )
+            pv = instant._to_u8_hwc(lin)
 
         def upload_ppm(u16=u16):
             # Integer upload + on-device normalize: the host->device link
@@ -170,7 +176,8 @@ def decode_image_host(data: bytes, fmt: str,
             chw = jnp.asarray(np.ascontiguousarray(u16.transpose(2, 0, 1)))
             return _normalize_upload(65535.0, False)(chw)
 
-        return HostDecoded({}, pv, u16.shape[:2], upload_ppm)
+        return HostDecoded({}, pv, u16.shape[:2], upload_ppm,
+                           instant_linear=lin)
 
     if fmt == "DNG":
         from .raw import decode_raw_host  # local import to avoid cycle
@@ -220,11 +227,13 @@ def decode_image_host(data: bytes, fmt: str,
         arr = np.stack([arr] * 3, axis=-1)
 
     linearize = fmt != "TIFF"
-    pv = None
+    pv = lin = None
     if instant_long_edge:
         from ..engine import instant
 
         if scale == 255.0:
+            # sRGB u8 source: the linear era-render planes are recovered
+            # from the u8 instant on demand (lossless round trip).
             pv = instant.quick_from_srgb_u8(arr, instant_long_edge)
         else:
             hostf = arr.astype(np.float32)
@@ -239,8 +248,9 @@ def decode_image_host(data: bytes, fmt: str,
                     np.clip(small * 255.0 + 0.5, 0.0, 255.0)
                     .astype(np.uint8).transpose(1, 2, 0))
             else:
-                pv = instant.quick_from_linear_rgb(planes_h,
-                                                   instant_long_edge)
+                lin = instant.quick_linear_from_linear_rgb(
+                    planes_h, instant_long_edge)
+                pv = instant._to_u8_hwc(lin)
 
     def upload_pil(arr=arr, scale=scale, linearize=linearize):
         chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
@@ -250,7 +260,8 @@ def decode_image_host(data: bytes, fmt: str,
             chw = srgb_to_linear(chw)
         return chw
 
-    return HostDecoded(exif, pv, arr.shape[:2], upload_pil)
+    return HostDecoded(exif, pv, arr.shape[:2], upload_pil,
+                       instant_linear=lin)
 
 
 def normalize_exif_blob(exif_bytes: bytes) -> bytes:

@@ -243,11 +243,13 @@ def decode_raw_host(data: bytes, instant_long_edge: int | None = None):
 
     raw = parse_raw(data)
 
-    pv = None
+    pv = lin = None
     if instant_long_edge:
         from ..engine import instant
 
-        pv = instant.quick_from_raw(raw, instant_long_edge)
+        lin = instant.quick_linear_from_raw(raw, instant_long_edge)
+        if lin is not None:
+            pv = instant._to_u8_hwc(lin)
 
     # Final planes shape, knowable without developing: mosaic extent,
     # DefaultCrop applied post-demosaic, then orientations 5-8 transpose.
@@ -261,7 +263,8 @@ def decode_raw_host(data: bytes, instant_long_edge: int | None = None):
     def upload(raw=raw):
         return develop_raw_image(raw)[0]
 
-    return HostDecoded(dict(raw.exif), pv, (h, w), upload)
+    return HostDecoded(dict(raw.exif), pv, (h, w), upload,
+                       instant_linear=lin)
 
 
 def synthetic_raw(

@@ -1,0 +1,131 @@
+"""engine/hostdev.py: the pure-numpy main-mask develop mirror that renders
+live edits during the instant era of an async open.
+
+Contract under test: develop_np must track the device anchor pipeline
+(geometry warp -> unsharp -> develop_post_geo) within fuzz-grade f32
+tolerances across the full parameter space — it is a stand-in, but one
+carrying the same formula sequences and the exact 65536-LUT gathers.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rawphotoforge_tpu.core.params import (
+    BRIGHTNESS, HUE, SATURATION, LIGHTNESS, EditParameters, pack_params,
+)
+from rawphotoforge_tpu.engine import hostdev
+from rawphotoforge_tpu.ops import develop as dev
+from rawphotoforge_tpu.ops.sharpen import unsharp_mask
+
+from test_fuzz import _random_params, assert_fuzz_close
+
+
+def _anchor_full(img_planes: np.ndarray, p: EditParameters) -> np.ndarray:
+    """The device pipeline exactly as PhotoEditor.apply runs it for a
+    single-mask session: warp -> unsharp -> develop_post_geo."""
+    packed = pack_params([p])
+    geo = dev.geometry_stage_jit(jnp.asarray(img_planes), packed.distortion)
+    geo = unsharp_mask(geo, jnp.float32(p.sharpness / 100.0 * 2.0))
+    masks = jnp.ones((1,) + img_planes.shape[1:], dtype=jnp.float32)
+    return np.asarray(dev.develop_post_geo_jit(geo, packed, masks))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_develop_np_matches_anchor_fuzz(seed):
+    r = np.random.default_rng(7000 + seed)
+    img = (r.random((3, 40, 56), dtype=np.float32) ** 1.8).astype(np.float32)
+    p = _random_params(r, allow_geometry=True)
+    p.set_sharpness(int(r.integers(0, 101)))
+    got = hostdev.develop_np(img, p)
+    want = _anchor_full(img, p)
+    assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
+
+
+def test_develop_np_default_params_near_identity_encode():
+    """All-default params: develop_np must reduce to the sRGB encode (it
+    skips the default-curve staircase/OKLCH round trip, <= ~2e-3 — the
+    same shortcut the identity_oklch kernel variant takes)."""
+    r = np.random.default_rng(71)
+    img = (r.random((3, 24, 32), dtype=np.float32) ** 1.8).astype(np.float32)
+    p = EditParameters()
+    got = hostdev.develop_np(img, p)
+    want = _anchor_full(img, p)
+    assert np.abs(got - want).max() < 2.5e-3
+
+
+def test_develop_np_sliders_only():
+    """Slider edits with default curves — the common era frame."""
+    r = np.random.default_rng(72)
+    img = (r.random((3, 32, 44), dtype=np.float32) ** 1.8).astype(np.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.8, contrast=30, shadow=-20, highlight=10,
+               black=8, white=-5)
+    p.set_whitebalance(25, -10)
+    p.set_vignette(40)
+    got = hostdev.develop_np(img, p)
+    want = _anchor_full(img, p)
+    assert np.abs(got - want).max() < 2.5e-3
+
+
+def test_warp_np_matches_geometry_stage():
+    r = np.random.default_rng(73)
+    img = r.random((3, 48, 64), dtype=np.float32)
+    for d in (-80, -15, 40, 100):
+        got = hostdev.warp_np(img, float(d))
+        want = np.asarray(dev.geometry_stage_jit(
+            jnp.asarray(img), jnp.float32(d)))
+        # Bilinear weights amplify ulp-level coordinate differences; the
+        # images are O(1) so 1e-4 is still a tight gate.
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_warp_np_zero_is_identity():
+    r = np.random.default_rng(74)
+    img = r.random((3, 20, 30), dtype=np.float32)
+    assert hostdev.warp_np(img, 0.0) is img
+
+
+def test_unsharp_np_matches_device():
+    r = np.random.default_rng(75)
+    img = r.random((3, 40, 52), dtype=np.float32)
+    for s in (10, 55, 100):
+        amount = s / 100.0 * 2.0
+        got = hostdev.unsharp_np(img, amount)
+        want = np.asarray(unsharp_mask(jnp.asarray(img), jnp.float32(amount)))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_brightness_channel_selector():
+    """v1 channel arg: a strong curve on channel 0 must move R only."""
+    r = np.random.default_rng(76)
+    img = (r.random((3, 24, 32), dtype=np.float32) * 0.8).astype(np.float32)
+    p = EditParameters()
+    p.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 52000, 65535], channel=0)
+    got = hostdev.develop_np(img, p)
+    want = _anchor_full(img, p)
+    assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
+    base = hostdev.develop_np(img, EditParameters())
+    assert np.abs(got[0] - base[0]).max() > 0.05      # R moved
+    assert np.abs(got[1:] - base[1:]).max() < 2.5e-3  # G/B untouched
+
+
+def test_oklch_curves_apply():
+    r = np.random.default_rng(77)
+    img = (0.2 + 0.6 * r.random((3, 24, 32), dtype=np.float32)).astype(
+        np.float32)
+    p = EditParameters()
+    p.set_curve(HUE, [0, 20000, 65535], [8000, 30000, 60000])
+    p.set_curve(SATURATION, [0, 65535], [45000, 45000])
+    p.set_curve(LIGHTNESS, [0, 65535], [28000, 28000])
+    got = hostdev.develop_np(img, p)
+    want = _anchor_full(img, p)
+    assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
+
+
+def test_render_u8_hwc_truncates():
+    img = np.full((3, 4, 6), 0.5, dtype=np.float32)
+    out = hostdev.render_u8_hwc(img, EditParameters())
+    assert out.shape == (4, 6, 3) and out.dtype == np.uint8
+    # 0.5 linear -> sRGB ~0.7354 -> *255 = 187.52 -> truncating store 187.
+    assert int(out[0, 0, 0]) == 187

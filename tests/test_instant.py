@@ -313,11 +313,35 @@ def test_server_instant_era(gated_server):
     _, _, st = _get(base + "/open/status")
     assert json.loads(st) == {"ready": False, "error": None,
                               "opened_from_preview": None}
-    # ... and editor-state changes are rejected, not applied to the
-    # about-to-be-replaced session.
+    # ... era edits are LIVE: a strong exposure push renders host-side
+    # (still marked instant, visibly brighter) and /params reflects it ...
+    _, _, pristine = _get(base + "/preview?level=mid")
     req = urllib.request.Request(base + "/edit",
-                                 data=json.dumps({"exposure": 1.0}).encode(),
+                                 data=json.dumps({"exposure": 2.0}).encode(),
                                  method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["ok"] and out["instant"]
+    status, headers, edited = _get(base + "/preview?level=mid")
+    assert headers.get("X-RPF-Instant") == "1" and edited != pristine
+    from PIL import Image as PILImage
+    mean_a = np.asarray(PILImage.open(_io.BytesIO(pristine))).mean()
+    mean_b = np.asarray(PILImage.open(_io.BytesIO(edited))).mean()
+    assert mean_b > mean_a + 10  # +2 EV is unmistakably brighter
+    _, _, params = _get(base + "/params")
+    assert json.loads(params)["exposure"] == 2.0
+    # ... era-invalid bodies still answer 400, and mask/preset/export
+    # state stays locked behind 409 until the open lands.
+    req = urllib.request.Request(base + "/edit",
+                                 data=json.dumps({"exposur": 1.0}).encode(),
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    req = urllib.request.Request(
+        base + "/mask/add",
+        data=json.dumps({"name": "m", "point": [1, 1]}).encode(),
+        method="POST")
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 409
@@ -335,6 +359,46 @@ def test_server_instant_era(gated_server):
     status, headers, body = _get(base + "/preview?level=mid")
     assert status == 200 and "X-RPF-Instant" not in headers
     assert body[:2] == b"\xff\xd8"
+    # The era edit was replayed onto the device session at swap: the
+    # exposure persists even without the client re-posting state.
+    _, _, params = _get(base + "/params")
+    assert json.loads(params)["exposure"] == 2.0
+
+
+def test_server_era_crop_and_reset(gated_server):
+    """Era /crop slices the host render (FULL coords scaled onto the
+    instant resolution); /reset restores the pristine decode."""
+    base, gate = gated_server
+    rng = np.random.default_rng(53)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 40, 80),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+    _, _, pristine = _get(base + "/preview?level=mid")
+
+    req = urllib.request.Request(
+        base + "/crop",
+        data=json.dumps({"x0": 20, "y0": 10, "x1": 60, "y1": 30}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+    from PIL import Image as PILImage
+    _, headers, body = _get(base + "/preview?level=mid")
+    assert headers.get("X-RPF-Instant") == "1"
+    im = PILImage.open(_io.BytesIO(body))
+    full = PILImage.open(_io.BytesIO(pristine))
+    # Crop is half the width, half the height of the frame.
+    assert im.size[0] < full.size[0] and im.size[1] < full.size[1]
+    _, _, info = _get(base + "/info")
+    assert json.loads(info)["crop"] == [20, 10, 60, 30]
+
+    req = urllib.request.Request(base + "/reset", data=b"{}", method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+    _, _, body = _get(base + "/preview?level=mid")
+    assert body == pristine
+    gate.set()
 
 
 def test_server_open_device_failure_rolls_back(monkeypatch, tmp_path):
