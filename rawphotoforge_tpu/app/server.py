@@ -1117,7 +1117,10 @@ def make_handler(app: EditorApp):
                     # (the UI only issues the endpoints below until
                     # /open/status flips ready).
                     if url.path == "/preview":
-                        jpeg, _ = app.era_render(op)
+                        if q.get("original", ["0"])[0] == "1":
+                            jpeg = op["jpeg"]  # compare-press: pristine
+                        else:
+                            jpeg, _ = app.era_render(op)
                         self.send_response(200)
                         self.send_header("Content-Type", "image/jpeg")
                         self.send_header("X-RPF-Instant", "1")
