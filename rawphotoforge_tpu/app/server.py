@@ -659,9 +659,13 @@ drawCurve();push('mid');
 class EditorApp:
     """The server's model object: one PhotoEditor + its lock + settings."""
 
-    def __init__(self, editor: PhotoEditor, settings: Settings | None = None,
+    def __init__(self, editor: PhotoEditor | None,
+                 settings: Settings | None = None,
                  settings_path: str | None = None, segmenter=None,
                  prewarm: bool = True):
+        # None until the first open lands (instant server startup: serve()
+        # begins listening during the initial file's device phase; the
+        # era endpoints carry the UI until then).
         self.editor = editor
         self.prewarm = prewarm  # warm preview compiles on /open
         self.lock = threading.Lock()
@@ -1157,6 +1161,18 @@ def make_handler(app: EditorApp):
                         self._send(409, json.dumps(
                             {"error": "open in progress"}).encode())
                     return
+                if app.editor is None:
+                    # Instant startup whose initial open failed (or no
+                    # file at all): nothing to serve yet — POST /open
+                    # starts a fresh session.
+                    if url.path == "/settings":
+                        self._send(200,
+                                   json.dumps(app.settings.to_json()).encode())
+                    else:
+                        self._send(503, json.dumps(
+                            {"error": app.last_open_error or
+                             "no image open"}).encode())
+                    return
                 if url.path == "/preview":
                     level = q.get("level", ["mid"])[0]
                     level = {"low": LOW, "mid": MID, "full": FULL}.get(level, MID)
@@ -1320,6 +1336,11 @@ def make_handler(app: EditorApp):
                         self._send(400,
                                    json.dumps({"error": str(e)}).encode())
                         return
+            if app.editor is None and url.path != "/settings":
+                self._send(503, json.dumps(
+                    {"error": app.last_open_error or
+                     "no image open"}).encode())
+                return
             with app.lock:
                 try:
                     # Inside the try: malformed JSON must answer 400, not
@@ -1437,11 +1458,22 @@ def make_handler(app: EditorApp):
     return Handler
 
 
-def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1",
+def serve(editor: PhotoEditor | None, port: int = 8080,
+          host: str = "127.0.0.1",
           settings: Settings | None = None, settings_path: str | None = None,
-          segmenter=None, prewarm: bool = True):
+          segmenter=None, prewarm: bool = True,
+          initial_file: tuple[bytes, str] | None = None):
+    """Build the HTTP app and server.
+
+    ``editor=None`` with ``initial_file=(bytes, name)`` is the instant
+    startup: the file's host phase runs here (seconds — file errors raise
+    now), the server starts listening immediately, and the device phase
+    (remote compiles, minutes on a cold shape) proceeds in the
+    background while the instant era serves live host renders."""
     app = EditorApp(editor, settings=settings, settings_path=settings_path,
                     segmenter=segmenter, prewarm=prewarm)
+    if initial_file is not None:
+        app.start_open(initial_file[0], initial_file[1])
     if prewarm:
         # Compile-before-first-slider: warm the opened editor's actual
         # preview shapes plus the standard-aspect buckets (any photo
@@ -1451,7 +1483,7 @@ def serve(editor: PhotoEditor, port: int = 8080, host: str = "127.0.0.1",
         s = app.settings
         warm_async(
             shapes=preview_shapes(s.ui_preview_size, s.drag_preview_size),
-            editor=editor,
+            editor=app.editor,
         )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd
@@ -1475,15 +1507,21 @@ def main(argv=None) -> int:
 
         segmenter = make_segmenter(args.segmenter)
     if args.image:
-        ed = PhotoEditor.open(
-            args.image,
-            mid_long_edge=settings.ui_preview_size,
-            low_long_edge=settings.drag_preview_size,
-        )
+        # Instant startup: host-decode here (file errors fail fast), start
+        # listening immediately, run the device phase in the background —
+        # the UI is interactive from t=0 (live era edits) instead of
+        # blocking on minutes of cold remote compiles.
+        import os as _os
+
+        with open(args.image, "rb") as f:
+            data = f.read()
+        httpd = serve(None, port=args.port, settings=settings,
+                      segmenter=segmenter,
+                      initial_file=(data, _os.path.basename(args.image)))
     else:
         rng = np.random.default_rng(0)
         ed = PhotoEditor.from_rgb_f32(rng.random((600, 900, 3)).astype(np.float32) ** 2)
-    httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter)
+        httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter)
     print(f"serving on http://127.0.0.1:{args.port}/")
     httpd.serve_forever()
     return 0

@@ -401,6 +401,115 @@ def test_server_era_crop_and_reset(gated_server):
     gate.set()
 
 
+def test_server_instant_startup(monkeypatch, tmp_path):
+    """serve(None, initial_file=...) listens during the initial file's
+    device phase: the era carries the UI (preview + live edits) from
+    t=0, then the session lands."""
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    gate = threading.Event()
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def gated_from_host(cls, ho, **kwargs):
+        gate.wait(timeout=60)
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(gated_from_host))
+    rng = np.random.default_rng(59)
+    httpd = srvmod.serve(None, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False,
+                         initial_file=(_png_bytes(rng, 30, 44), "start.png"))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, headers, body = _get(base + "/preview?level=mid")
+        assert status == 200 and headers.get("X-RPF-Instant") == "1"
+        req = urllib.request.Request(
+            base + "/edit", data=json.dumps({"contrast": 60}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["instant"]
+        gate.set()
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            _, _, st = _get(base + "/open/status")
+            if json.loads(st)["ready"]:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("startup open never became ready")
+        _, _, info = _get(base + "/info")
+        assert json.loads(info)["shape"] == [30, 44]
+        _, _, params = _get(base + "/params")
+        assert json.loads(params)["contrast"] == 60  # era edit replayed
+    finally:
+        gate.set()
+        httpd.shutdown()
+
+
+def test_server_instant_startup_device_failure_503(monkeypatch, tmp_path):
+    """If the STARTUP open's device phase fails there is no previous
+    session to roll back to: endpoints answer 503 carrying the error,
+    and a fresh POST /open recovers the server."""
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    real_from_host = PhotoEditor.from_host.__func__
+    fail = {"on": True}
+
+    def flaky_from_host(cls, ho, **kwargs):
+        if fail["on"]:
+            raise RuntimeError("startup device failure")
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(flaky_from_host))
+    rng = np.random.default_rng(61)
+    httpd = srvmod.serve(None, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False,
+                         initial_file=(_png_bytes(rng, 30, 44), "start.png"))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            _, _, st = _get(base + "/open/status")
+            if json.loads(st)["ready"]:
+                break
+            time.sleep(0.05)
+        assert "startup device failure" in json.loads(st)["error"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(base + "/preview?level=mid")
+        assert ei.value.code == 503
+        assert "startup device failure" in json.loads(
+            ei.value.read())["error"]
+        # Recovery: a fresh open brings the server up.
+        fail["on"] = False
+        req = urllib.request.Request(
+            base + "/open?name=pic.png", data=_png_bytes(rng, 20, 26),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["ok"]
+        _wait = time.monotonic() + 60
+        while time.monotonic() < _wait:
+            _, _, st = _get(base + "/open/status")
+            if json.loads(st)["ready"] and not json.loads(st)["error"]:
+                break
+            time.sleep(0.05)
+        _, _, info = _get(base + "/info")
+        assert json.loads(info)["shape"] == [20, 26]
+    finally:
+        httpd.shutdown()
+
+
 def test_server_open_device_failure_rolls_back(monkeypatch, tmp_path):
     """A device-phase failure must END the instant era: the previous
     session (never replaced until success) serves again, the error
