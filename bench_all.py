@@ -176,6 +176,21 @@ def main(argv=None) -> int:
         assert jpeg[:2] == b"\xff\xd8"
         results["c6_instant_preview_ms"] = t_instant * 1e3
 
+        # Live era-edit frame: hostdev develop + JPEG encode of the
+        # instant-resolution planes (what one /edit -> /preview costs
+        # while the device phase compiles). Median of 3.
+        from rawphotoforge_tpu.engine import hostdev
+
+        era_p = main_edit()
+        lin = ho.instant_linear
+        t_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            u8 = hostdev.render_u8_hwc(lin, era_p)
+            _instant.encode_instant_jpeg(u8)
+            t_runs.append(time.perf_counter() - t0)
+        results["c6_era_edit_ms"] = sorted(t_runs)[1] * 1e3
+
         log(f"config 6: open->first MID preview: cold {t_cold:.1f} s "
             f"(fresh {jit_h}x6000 aspect), warm {t_warm:.2f} s, "
             f"prewarmed standard 24MP {t_pre:.2f} s; instant host "

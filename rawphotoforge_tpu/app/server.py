@@ -747,7 +747,7 @@ class EditorApp:
             # render cache.
             "linear": ho.instant_linear,
             "params": None,
-            "replay": None,
+            "replay": [],
             "crop": None,
             "render": None,
         }
@@ -786,10 +786,16 @@ class EditorApp:
             # validated at era_edit time; cheap (parameter sets only, no
             # renders or device work).
             try:
-                if self.opening["replay"] is not None:
-                    self.apply_state(self.opening["replay"], editor=ed)
+                for kind, body in self.opening["replay"]:
+                    if kind == "edit":
+                        self.apply_state(body, editor=ed)
+                    else:  # preset (full fidelity: all masks + crop)
+                        ed.load_preset_json(json.dumps(body))
                 if self.opening["crop"] is not None:
                     ed.set_crop(*self.opening["crop"])
+                elif self.opening["replay"]:
+                    ed.clear_crop()  # a preset may have set one; the
+                    #                  era's final crop state was None
             except Exception:  # noqa: BLE001 — stand-in state only; the
                 pass           # client's next full-state POST rebuilds it
             self.editor = ed
@@ -818,8 +824,49 @@ class EditorApp:
             raise ValueError(
                 "masks cannot be targeted while an open is in progress")
         op["params"] = self._state_to_params(body)
-        op["replay"] = body
+        # /edit is full-state: a trailing edit replaces the previous one
+        # (but never an interleaved preset, which also resets crop/masks).
+        if op["replay"] and op["replay"][-1][0] == "edit":
+            op["replay"].pop()
+        op["replay"].append(("edit", body))
         op["render"] = None  # re-render lazily at the next /preview
+
+    def era_preset(self, body) -> None:
+        """/preset during the era: validate every piece (all-or-nothing,
+        like load_preset_json), render the MAIN mask's parameters
+        host-side, and replay the full preset — including regional-mask
+        params and crop — onto the device session at swap."""
+        from ..core.params import EditParameters
+
+        op = self.opening
+        if not isinstance(body, dict):
+            raise ValueError("/preset body must be a JSON object")
+        if "masks" in body:
+            for m in body["masks"]:
+                EditParameters.from_json(m["params"])  # validate ALL
+            main = next((m for m in body["masks"]
+                         if m.get("name") == "main"), None)
+            p = (EditParameters.from_json(main["params"])
+                 if main else EditParameters())
+            crop = body.get("crop")
+            if crop:
+                x0, y0, x1, y1 = (int(v) for v in crop)
+                h, w = op["shape"]
+                x0, y0 = max(0, x0), max(0, y0)
+                x1, y1 = min(w, x1), min(h, y1)
+                if x1 <= x0 or y1 <= y0:
+                    raise ValueError(
+                        f"preset crop rect {crop!r} is invalid for this "
+                        "image")
+                op["crop"] = (x0, y0, x1, y1)
+            else:
+                op["crop"] = None  # the masks schema resets crop
+        else:
+            # Reference v1 flat preset: main params only, crop untouched.
+            p = EditParameters.from_json(body)
+        op["params"] = p
+        op["replay"].append(("preset", body))
+        op["render"] = None
 
     def era_crop(self, body: dict) -> None:
         self.check_keys(
@@ -837,8 +884,12 @@ class EditorApp:
         op["render"] = None
 
     def era_reset(self) -> None:
+        """Reset during the era = back to the fresh session's defaults:
+        clearing the replay list reproduces it exactly (the device
+        session starts default; nothing replayed = nothing changed)."""
         op = self.opening
-        op["params"] = op["replay"] = op["crop"] = op["render"] = None
+        op["params"] = op["crop"] = op["render"] = None
+        op["replay"] = []
 
     def era_render(self, op: dict) -> tuple[bytes, list]:
         """(jpeg, histogram) of the era state — the pristine decode when
@@ -1154,6 +1205,16 @@ def make_handler(app: EditorApp):
 
                         p = op["params"] or EditParameters()
                         self._send(200, json.dumps(p.to_json()).encode())
+                    elif url.path == "/preset":
+                        from ..core.params import EditParameters
+
+                        p = op["params"] or EditParameters()
+                        crop = op["crop"]
+                        self._send(200, json.dumps(
+                            {"version": 1,
+                             "crop": list(crop) if crop else None,
+                             "masks": [{"name": "main",
+                                        "params": p.to_json()}]}).encode())
                     elif url.path == "/settings":
                         self._send(200,
                                    json.dumps(app.settings.to_json()).encode())
@@ -1319,6 +1380,11 @@ def make_handler(app: EditorApp):
                         elif url.path == "/crop":
                             body = json.loads(raw_body or b"{}")
                             app.era_crop(body)
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/preset":
+                            body = json.loads(raw_body or b"{}")
+                            app.era_preset(body)
                             self._send(200, b'{"ok": true, "instant": true}')
                             return
                         elif url.path == "/reset":

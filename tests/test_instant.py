@@ -401,6 +401,51 @@ def test_server_era_crop_and_reset(gated_server):
     gate.set()
 
 
+def test_server_era_preset_applies_and_replays(gated_server):
+    """A preset loaded during the era renders its main-mask look
+    host-side and replays in FULL (crop included) onto the device
+    session at swap."""
+    base, gate = gated_server
+    rng = np.random.default_rng(67)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 40, 80),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+    _, _, pristine = _get(base + "/preview?level=mid")
+
+    from rawphotoforge_tpu.core.params import EditParameters
+    p = EditParameters()
+    p.set_tone(exposure=1.5, contrast=20)
+    preset = {"version": 1, "crop": [10, 5, 70, 35],
+              "masks": [{"name": "main", "params": p.to_json()}]}
+    req = urllib.request.Request(
+        base + "/preset", data=json.dumps(preset).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+    _, headers, body = _get(base + "/preview?level=mid")
+    assert headers.get("X-RPF-Instant") == "1" and body != pristine
+    _, _, params = _get(base + "/params")
+    assert json.loads(params)["exposure"] == 1.5
+    # Era GET /preset round-trips the era state.
+    _, _, saved = _get(base + "/preset")
+    saved = json.loads(saved)
+    assert saved["crop"] == [10, 5, 70, 35]
+    assert saved["masks"][0]["params"]["exposure"] == 1.5
+
+    gate.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    _, _, params = _get(base + "/params")
+    assert json.loads(params)["exposure"] == 1.5
+    _, _, info = _get(base + "/info")
+    assert json.loads(info)["crop"] == [10, 5, 70, 35]
+
+
 def test_server_instant_startup(monkeypatch, tmp_path):
     """serve(None, initial_file=...) listens during the initial file's
     device phase: the era carries the UI (preview + live edits) from
