@@ -739,6 +739,7 @@ class EditorApp:
             "exif": {k: v for k, v in ho.exif.items()
                      if k != "_exif_bytes"},
             "opened_from_preview": ho.preview_reason,
+            "pixels": ho.instant,
             # Live era edits (engine.hostdev): the small linear planes
             # edits render from, the current EditParameters (None =
             # pristine, serve the decode JPEG above), the raw /edit body
@@ -785,19 +786,26 @@ class EditorApp:
             # clients that don't re-post state on ready. Already
             # validated at era_edit time; cheap (parameter sets only, no
             # renders or device work).
-            try:
-                for kind, body in self.opening["replay"]:
+            # Per-item isolation: one rejected item (e.g. a preset whose
+            # crop rect was saved from a larger image — the era clipped
+            # it, load_preset_json re-validates the original) must not
+            # void the edits that followed it.
+            for kind, body in self.opening["replay"]:
+                try:
                     if kind == "edit":
                         self.apply_state(body, editor=ed)
                     else:  # preset (full fidelity: all masks + crop)
                         ed.load_preset_json(json.dumps(body))
+                except Exception:  # noqa: BLE001 — stand-in state only
+                    pass
+            try:
                 if self.opening["crop"] is not None:
                     ed.set_crop(*self.opening["crop"])
                 elif self.opening["replay"]:
                     ed.clear_crop()  # a preset may have set one; the
                     #                  era's final crop state was None
-            except Exception:  # noqa: BLE001 — stand-in state only; the
-                pass           # client's next full-state POST rebuilds it
+            except Exception:  # noqa: BLE001
+                pass
             self.editor = ed
             self.opening = None
         self.device_ready.set()
@@ -898,7 +906,7 @@ class EditorApp:
         clear the attribute mid-render; the snapshot keeps this safe)."""
         if op["render"] is None:
             if op["params"] is None and op["crop"] is None:
-                op["render"] = (op["jpeg"], op["hist"])
+                op["render"] = (op["jpeg"], op["hist"], op["pixels"])
             else:
                 from ..core.params import EditParameters
                 from ..engine import hostdev
@@ -919,6 +927,7 @@ class EditorApp:
                 op["render"] = (
                     _instant.encode_instant_jpeg(u8),
                     _instant.instant_histogram(u8).tolist(),
+                    u8,
                 )
         return op["render"]
 
@@ -1175,7 +1184,30 @@ def make_handler(app: EditorApp):
                         if q.get("original", ["0"])[0] == "1":
                             jpeg = op["jpeg"]  # compare-press: pristine
                         else:
-                            jpeg, _ = app.era_render(op)
+                            jpeg, _, u8 = app.era_render(op)
+                            if "rect" in q:
+                                # Zoom/pan viewport: fractional rect of
+                                # the displayed frame, sliced from the
+                                # cached era pixels (same semantics as
+                                # preview_jpeg).
+                                from ..engine import instant as _instant
+
+                                rect = [float(v)
+                                        for v in q["rect"][0].split(",")]
+                                if len(rect) != 4 or not all(
+                                    0.0 <= v <= 1.0 for v in rect
+                                ) or rect[0] >= rect[2] \
+                                        or rect[1] >= rect[3]:
+                                    raise ValueError(
+                                        f"bad viewport rect {rect}")
+                                ih, iw = u8.shape[:2]
+                                c0 = max(int(rect[0] * iw), 0)
+                                r0 = max(int(rect[1] * ih), 0)
+                                c1 = max(c0 + 1, int(rect[2] * iw))
+                                r1 = max(r0 + 1, int(rect[3] * ih))
+                                jpeg = _instant.encode_instant_jpeg(
+                                    np.ascontiguousarray(
+                                        u8[r0:min(r1, ih), c0:min(c1, iw)]))
                         self.send_response(200)
                         self.send_header("Content-Type", "image/jpeg")
                         self.send_header("X-RPF-Instant", "1")
@@ -1183,7 +1215,7 @@ def make_handler(app: EditorApp):
                         self.end_headers()
                         self.wfile.write(jpeg)
                     elif url.path == "/histogram":
-                        _, hist = app.era_render(op)
+                        _, hist, _ = app.era_render(op)
                         self._send(200, json.dumps(hist).encode())
                     elif url.path == "/info":
                         h, w = op["shape"]

@@ -330,6 +330,12 @@ def test_server_instant_era(gated_server):
     assert mean_b > mean_a + 10  # +2 EV is unmistakably brighter
     _, _, params = _get(base + "/params")
     assert json.loads(params)["exposure"] == 2.0
+    # ... the zoom viewport slices the era render like preview_jpeg ...
+    _, h2, zoomed = _get(base + "/preview?level=mid&rect=0.25,0.25,0.75,0.75")
+    assert h2.get("X-RPF-Instant") == "1"
+    zi = PILImage.open(_io.BytesIO(zoomed))
+    fi = PILImage.open(_io.BytesIO(edited))
+    assert zi.size[0] <= fi.size[0] // 2 + 1 and zi.size[1] <= fi.size[1] // 2 + 1
     # ... era-invalid bodies still answer 400, and mask/preset/export
     # state stays locked behind 409 until the open lands.
     req = urllib.request.Request(base + "/edit",
