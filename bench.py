@@ -96,7 +96,11 @@ def main() -> int:
     def per_iter_ms(h, w, k=21, reps=3):
         planes = jax.random.uniform(jax.random.PRNGKey(0), (3, h, w),
                                     dtype=jnp.float32)
-        masks = jnp.ones((1, h, w), dtype=jnp.float32)
+        # masks=None is what the editor dispatches for a single-mask
+        # session (mask elision: the kernel never reads a mask plane) —
+        # the bench measures the production call, not a stale variant
+        # that streams an extra 96 MB of all-ones mask per frame.
+        masks = None
         timed(lambda: chained(planes, params, masks, 1))   # compile
         timed(lambda: chained(planes, params, masks, k))   # compile
         t1 = min(timed(lambda: chained(planes, params, masks, 1))

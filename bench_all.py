@@ -197,8 +197,12 @@ def main(argv=None) -> int:
             f"stand-in {t_instant * 1e3:.0f} ms (24MP DNG)")
 
     if want("1"):
-        planes, masks = planes_masks()
-        dt = device_time(dev_fn, planes, edit_params(), masks, chain=chain_first)
+        # masks=None: the editor's single-mask dispatch (mask elision) —
+        # the kernel never reads a mask plane for the main-mask-only
+        # session this config models.
+        planes, _ = planes_masks()
+        dt = device_time(dev_fn, planes, edit_params(), None,
+                         chain=chain_first)
         results["c1_24mp_edit_ms"] = dt * 1e3
         results["c1_24mp_edit_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1: 24MP full edit stack {dt * 1e3:.2f} ms "
@@ -207,7 +211,7 @@ def main(argv=None) -> int:
     if want("1a"):
         # Slider-only edit (no curves touched): the staircase-shortcut
         # kernel variant the editor uses in that state.
-        planes, masks = planes_masks()
+        planes, _ = planes_masks()
         p_sliders = EditParameters()
         p_sliders.set_tone(exposure=0.7, contrast=25, shadow=30,
                            highlight=-20, black=5, white=-5)
@@ -221,7 +225,7 @@ def main(argv=None) -> int:
                                      main_mask_all_ones=True,
                                      default_curves=True,
                                      identity_oklch=True)
-        dt = device_time(dev_fast, planes, params_s, masks, chain=chain_first)
+        dt = device_time(dev_fast, planes, params_s, None, chain=chain_first)
         results["c1_24mp_sliders_only_ms"] = dt * 1e3
         results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1a: 24MP slider-only edit (identity_oklch variant) "
