@@ -1426,6 +1426,10 @@ def make_handler(app: EditorApp):
                             app.era_reset()
                             self._send(200, b'{"ok": true, "instant": true}')
                             return
+                        elif url.path == "/settings":
+                            pass  # session-global, independent of the
+                            #       pending swap: fall through to the
+                            #       normal handler below
                         else:
                             self._send(409, json.dumps(
                                 {"error": "open in progress"}).encode())

@@ -351,6 +351,12 @@ def test_server_instant_era(gated_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 409
+    # ... but session-global /settings stays writable during the era.
+    req = urllib.request.Request(
+        base + "/settings", data=json.dumps({"locale": "ja"}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["locale"] == "ja"
 
     # Release the device phase: the real render takes over, unmarked.
     gate.set()
