@@ -413,6 +413,47 @@ def test_server_era_crop_and_reset(gated_server):
     gate.set()
 
 
+def test_server_era_endpoint_fuzz_malformed_bodies(gated_server):
+    """Era POST handlers (live /edit, /crop, /preset, /reset plus the
+    409 paths) must answer 4xx JSON to malformed bodies — never 500,
+    never kill the server or corrupt the era state."""
+    base, gate = gated_server
+    rng = np.random.default_rng(71)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 24, 30),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    endpoints = ["/edit", "/crop", "/preset", "/reset", "/mask/add",
+                 "/settings", "/export/start"]
+    bodies = [b"", b"null", b"[]", b'"str"', b"{", b"\xff\xfe\x00",
+              json.dumps({"exposure": "NaN"}).encode(),
+              json.dumps({"_target": "sky", "exposure": 1}).encode(),
+              json.dumps({"curve_brightness": [[1]]}).encode(),
+              json.dumps({"x0": -1, "y0": -1, "x1": -5, "y1": -5}).encode(),
+              json.dumps({"masks": "nope"}).encode(),
+              json.dumps({"masks": [{"name": "main"}]}).encode(),
+              json.dumps({"crop": [9, 9], "masks": []}).encode()]
+    bodies += [bytes(rng.integers(0, 256, size=int(rng.integers(1, 120)),
+                                  dtype=np.uint8)) for _ in range(10)]
+    for ep in endpoints:
+        for body in bodies:
+            req = urllib.request.Request(base + ep, data=body,
+                                         method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    status = r.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+            assert status < 500, (ep, body[:40], status)
+    # Era still alive and pristine-renderable after the storm.
+    status, headers, body = _get(base + "/preview?level=mid")
+    assert status == 200 and headers.get("X-RPF-Instant") == "1"
+    assert body[:2] == b"\xff\xd8"
+    gate.set()
+
+
 def test_server_era_preset_applies_and_replays(gated_server):
     """A preset loaded during the era renders its main-mask look
     host-side and replays in FULL (crop included) onto the device
