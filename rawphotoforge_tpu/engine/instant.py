@@ -186,13 +186,38 @@ def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
             th, tw = mosaic.shape[0] // ph, mosaic.shape[1] // pw
             if th < 8 or tw < 8:
                 return None
-            t = mosaic[: th * ph, : tw * pw].astype(np.float32)
+            if max(th, tw) > long_edge:
+                # Decimate to the TARGET grid first: gather only the CFA
+                # tiles the preview will show (center-sampled, the
+                # nearest-tile analog of the half-texel resize) instead
+                # of block-meaning all ~6M superpixels and bilinearly
+                # resizing them down — ~5x less touched data at 24MP
+                # Bayer, and the later _fit_long_edge is a no-op. A
+                # stand-in trades that aliasing for latency by design.
+                from ..ops.geometry import resize_long_edge_shape
+
+                dh, dw = resize_long_edge_shape(th, tw, long_edge)
+                yi = np.minimum(
+                    ((np.arange(dh) + 0.5) * (th / dh)).astype(np.int64),
+                    th - 1)
+                xi = np.minimum(
+                    ((np.arange(dw) + 0.5) * (tw / dw)).astype(np.int64),
+                    tw - 1)
+                rows = (yi[:, None] * ph
+                        + np.arange(ph)[None, :]).reshape(-1)
+                cols = (xi[:, None] * pw
+                        + np.arange(pw)[None, :]).reshape(-1)
+                t = mosaic[np.ix_(rows, cols)].astype(np.float32)
+                eh, ew = dh, dw
+            else:
+                t = mosaic[: th * ph, : tw * pw].astype(np.float32)
+                eh, ew = th, tw
             t = np.clip((t - black) / span, 0.0, 1.0)
-            # (th, tw, ph*pw): every CFA site of a tile in the last axis.
+            # (eh, ew, ph*pw): every CFA site of a tile in the last axis.
             t = (
-                t.reshape(th, ph, tw, pw)
+                t.reshape(eh, ph, ew, pw)
                 .transpose(0, 2, 1, 3)
-                .reshape(th, tw, ph * pw)
+                .reshape(eh, ew, ph * pw)
             )
             flat = tile.reshape(-1)
             rgb = np.stack(

@@ -99,6 +99,35 @@ def test_quick_from_raw_approximates_develop(pattern):
     assert np.quantile(diff, 0.99) < 0.08
 
 
+def test_quick_from_raw_decimated_path():
+    """When the superpixel grid exceeds long_edge the decimated gather
+    path runs (only the shown tiles are touched): the output shape must
+    match resize_long_edge_shape and, on a smooth image, the values must
+    track the undecimated superpixel develop."""
+    from rawphotoforge_tpu.engine.instant import quick_from_raw
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+    from rawphotoforge_tpu.ops.geometry import resize_long_edge_shape
+
+    h, w = 96, 132
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        0.2 + 0.5 * np.sin(yy / 37) ** 2,
+        0.3 + 0.4 * np.cos(xx / 29) ** 2,
+        0.25 + 0.3 * np.sin((xx + yy) / 47) ** 2,
+    ])
+    raw = synthetic_raw(base, pattern="RGGB")
+    # Superpixel grid is 48x66; long_edge=24 forces decimation.
+    small = quick_from_raw(raw, long_edge=24)
+    assert small.shape[:2] == resize_long_edge_shape(48, 66, 24)
+    # The undecimated path at full superpixel resolution, downsampled.
+    full = quick_from_raw(raw, long_edge=1280).astype(np.float32)
+    from rawphotoforge_tpu.engine.instant import resize_bilinear_np
+    want = resize_bilinear_np(full.transpose(2, 0, 1),
+                              *small.shape[:2]).transpose(1, 2, 0)
+    diff = np.abs(small.astype(np.float32) - want) / 255.0
+    assert diff.mean() < 0.02 and np.quantile(diff, 0.99) < 0.08
+
+
 def test_quick_from_raw_respects_default_crop_and_orientation():
     from rawphotoforge_tpu.engine.instant import quick_from_raw
     from rawphotoforge_tpu.io.raw import synthetic_raw
