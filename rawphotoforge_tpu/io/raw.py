@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..ops import demosaic as dm
 from ..ops.geometry import orient_exif
-from .dng import DngError, RawImage, read_dng
+from .dng import RawImage, read_dng
 
 # The RAW container surface (rust-godot-legacy image.rs:14-179 enumerates
 # these via rawler's format list). DNG and any TIFF-structured RAW with

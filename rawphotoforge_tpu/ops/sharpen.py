@@ -13,7 +13,6 @@ passes (static unrolled taps — no conv op, fuses with neighbors), then
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax
