@@ -207,22 +207,26 @@ def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
                         + np.arange(ph)[None, :]).reshape(-1)
                 cols = (xi[:, None] * pw
                         + np.arange(pw)[None, :]).reshape(-1)
-                t = mosaic[np.ix_(rows, cols)].astype(np.float32)
+                t = mosaic[np.ix_(rows, cols)]
                 eh, ew = dh, dw
             else:
-                t = mosaic[: th * ph, : tw * pw].astype(np.float32)
+                t = mosaic[: th * ph, : tw * pw]
                 eh, ew = th, tw
-            t = np.clip((t - black) / span, 0.0, 1.0)
-            # (eh, ew, ph*pw): every CFA site of a tile in the last axis.
-            t = (
-                t.reshape(eh, ph, ew, pw)
-                .transpose(0, 2, 1, 3)
-                .reshape(eh, ew, ph * pw)
-            )
-            flat = tile.reshape(-1)
-            rgb = np.stack(
-                [t[:, :, flat == ch].mean(axis=-1) for ch in range(3)]
-            )
+            # Per-channel block means by strided accumulation: one pass
+            # over the integer data via (ph*pw) cheap strided views — no
+            # transposed [eh, ew, ph*pw] copy, no boolean gathers (those
+            # cost ~5 s at 24MP X-Trans's 36-site tiles). Normalization
+            # is applied to the MEANS (linear; the clip commutes for
+            # in-range data — stand-in contract).
+            sums = np.zeros((3, eh, ew), dtype=np.float32)
+            counts = np.zeros(3, dtype=np.float32)
+            for dy in range(ph):
+                for dx in range(pw):
+                    ch = int(tile[dy, dx])
+                    sums[ch] += t[dy::ph, dx::pw]
+                    counts[ch] += 1.0
+            rgb = np.clip(
+                (sums / counts[:, None, None] - black) / span, 0.0, 1.0)
 
         gains = np.asarray(raw.wb_gains, dtype=np.float32)
         if not raw.wb_known and tuple(raw.wb_gains) == (1.0, 1.0, 1.0):
