@@ -747,10 +747,12 @@ class EditorApp:
             # rect (FULL coords), and the lazily-built (jpeg, hist)
             # render cache.
             "linear": ho.instant_linear,
+            "linear_low": None,  # built lazily on the first low request
             "params": None,
             "replay": [],
             "crop": None,
             "render": None,
+            "render_low": None,
         }
         self.device_ready.clear()
         threading.Thread(
@@ -837,7 +839,7 @@ class EditorApp:
         if op["replay"] and op["replay"][-1][0] == "edit":
             op["replay"].pop()
         op["replay"].append(("edit", body))
-        op["render"] = None  # re-render lazily at the next /preview
+        op["render"] = op["render_low"] = None  # re-render lazily
 
     def era_preset(self, body) -> None:
         """/preset during the era: validate every piece (all-or-nothing,
@@ -874,7 +876,7 @@ class EditorApp:
             p = EditParameters.from_json(body)
         op["params"] = p
         op["replay"].append(("preset", body))
-        op["render"] = None
+        op["render"] = op["render_low"] = None
 
     def era_crop(self, body: dict) -> None:
         self.check_keys(
@@ -889,31 +891,50 @@ class EditorApp:
             if x1 <= x0 or y1 <= y0:
                 raise ValueError("empty crop rect")
             op["crop"] = (x0, y0, x1, y1)
-        op["render"] = None
+        op["render"] = op["render_low"] = None
 
     def era_reset(self) -> None:
         """Reset during the era = back to the fresh session's defaults:
         clearing the replay list reproduces it exactly (the device
         session starts default; nothing replayed = nothing changed)."""
         op = self.opening
-        op["params"] = op["crop"] = op["render"] = None
+        op["params"] = op["crop"] = None
+        op["render"] = op["render_low"] = None
         op["replay"] = []
 
-    def era_render(self, op: dict) -> tuple[bytes, list]:
-        """(jpeg, histogram) of the era state — the pristine decode when
-        untouched, else a hostdev re-develop of the small linear planes.
+    def era_render(self, op: dict, low: bool = False) -> tuple[bytes, list]:
+        """(jpeg, histogram, u8) of the era state — the pristine decode
+        when untouched, else a hostdev re-develop of the small linear
+        planes. ``low`` renders from a drag-preview-sized copy (~10x
+        fewer pixels: fluid slider drags while the device compiles).
         ``op`` is the caller's snapshot of ``self.opening`` (the swap can
         clear the attribute mid-render; the snapshot keeps this safe)."""
-        if op["render"] is None:
-            if op["params"] is None and op["crop"] is None:
-                op["render"] = (op["jpeg"], op["hist"], op["pixels"])
+        slot = "render_low" if low else "render"
+        if op[slot] is None:
+            from ..engine import instant as _instant
+
+            if op["params"] is None and op["crop"] is None and not low:
+                op[slot] = (op["jpeg"], op["hist"], op["pixels"])
             else:
                 from ..core.params import EditParameters
                 from ..engine import hostdev
-                from ..engine import instant as _instant
 
+                lin = op["linear"]
+                if low:
+                    if op["linear_low"] is None:
+                        from ..ops.geometry import resize_long_edge_shape
+
+                        edge = self.settings.drag_preview_size
+                        _, lh, lw = lin.shape
+                        if max(lh, lw) > edge:
+                            dh, dw = resize_long_edge_shape(lh, lw, edge)
+                            op["linear_low"] = _instant.resize_bilinear_np(
+                                lin, dh, dw)
+                        else:
+                            op["linear_low"] = lin
+                    lin = op["linear_low"]
                 p = op["params"] or EditParameters()
-                u8 = hostdev.render_u8_hwc(op["linear"], p)
+                u8 = hostdev.render_u8_hwc(lin, p)
                 if op["crop"] is not None:
                     ih, iw = u8.shape[:2]
                     fh, fw = op["shape"]
@@ -924,12 +945,12 @@ class EditorApp:
                     c0 = int(x0 * sx)
                     c1 = max(c0 + 1, int(x1 * sx))
                     u8 = np.ascontiguousarray(u8[r0:r1, c0:c1])
-                op["render"] = (
+                op[slot] = (
                     _instant.encode_instant_jpeg(u8),
                     _instant.instant_histogram(u8).tolist(),
                     u8,
                 )
-        return op["render"]
+        return op[slot]
 
     def page(self) -> str:
         labels = tr(self.settings.locale)
@@ -1184,7 +1205,8 @@ def make_handler(app: EditorApp):
                         if q.get("original", ["0"])[0] == "1":
                             jpeg = op["jpeg"]  # compare-press: pristine
                         else:
-                            jpeg, _, u8 = app.era_render(op)
+                            low = q.get("level", ["mid"])[0] == "low"
+                            jpeg, _, u8 = app.era_render(op, low=low)
                             if "rect" in q:
                                 # Zoom/pan viewport: fractional rect of
                                 # the displayed frame, sliced from the

@@ -359,6 +359,13 @@ def test_server_instant_era(gated_server):
     assert mean_b > mean_a + 10  # +2 EV is unmistakably brighter
     _, _, params = _get(base + "/params")
     assert json.loads(params)["exposure"] == 2.0
+    # ... drag frames render from the drag-preview-sized copy ...
+    _, h3, lowimg = _get(base + "/preview?level=low")
+    assert h3.get("X-RPF-Instant") == "1"
+    li = PILImage.open(_io.BytesIO(lowimg))
+    ei = PILImage.open(_io.BytesIO(edited))
+    assert li.size[0] <= ei.size[0] and li.size[1] <= ei.size[1]
+    assert np.asarray(li).mean() > mean_a + 10  # the edit shows at low too
     # ... the zoom viewport slices the era render like preview_jpeg ...
     _, h2, zoomed = _get(base + "/preview?level=mid&rect=0.25,0.25,0.75,0.75")
     assert h2.get("X-RPF-Instant") == "1"
