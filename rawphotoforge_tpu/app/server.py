@@ -1185,6 +1185,28 @@ def make_handler(app: EditorApp):
                 except Exception as e:  # noqa: BLE001
                     self._send(400, json.dumps({"error": str(e)}).encode())
 
+        def _export_get(self, url, q):
+            """GET /export/status | /export/result — app-level jobs,
+            served identically inside and outside the instant era."""
+            if url.path == "/export/status":
+                self._send(200, json.dumps(app.export_status(
+                    q.get("job", [""])[0])).encode())
+                return
+            job = app.export_jobs.get(q.get("job", [""])[0])
+            if job is None:
+                raise ValueError("unknown export job")
+            if job["state"] == "error":
+                self._send(500, json.dumps(
+                    {"error": job["error"]}).encode())
+            elif job["state"] != "done":
+                self._send(409, json.dumps(
+                    {"error": "export not finished",
+                     "stage": job["stage"]}).encode())
+            else:
+                ctype = ("image/x-adobe-dng" if job["fmt"] == "DNG"
+                         else f"image/{job['fmt'].lower()}")
+                self._send(200, job["data"], ctype)
+
         def _do_get(self, url, q):
                 if url.path == "/":
                     self._send(200, app.page().encode(), "text/html")
@@ -1272,6 +1294,12 @@ def make_handler(app: EditorApp):
                     elif url.path == "/settings":
                         self._send(200,
                                    json.dumps(app.settings.to_json()).encode())
+                    elif url.path in ("/export/status", "/export/result"):
+                        # Export jobs are app-level: one started before
+                        # this open (old session's render, already
+                        # snapshotted) must stay reachable through the
+                        # era or its result is lost.
+                        self._export_get(url, q)
                     else:
                         self._send(409, json.dumps(
                             {"error": "open in progress"}).encode())
@@ -1338,24 +1366,8 @@ def make_handler(app: EditorApp):
                         )
                     else:
                         raise ValueError(f"unsupported export format {fmt}")
-                elif url.path == "/export/status":
-                    self._send(200, json.dumps(app.export_status(
-                        q.get("job", [""])[0])).encode())
-                elif url.path == "/export/result":
-                    job = app.export_jobs.get(q.get("job", [""])[0])
-                    if job is None:
-                        raise ValueError("unknown export job")
-                    if job["state"] == "error":
-                        self._send(500, json.dumps(
-                            {"error": job["error"]}).encode())
-                    elif job["state"] != "done":
-                        self._send(409, json.dumps(
-                            {"error": "export not finished",
-                             "stage": job["stage"]}).encode())
-                    else:
-                        ctype = ("image/x-adobe-dng" if job["fmt"] == "DNG"
-                                 else f"image/{job['fmt'].lower()}")
-                        self._send(200, job["data"], ctype)
+                elif url.path in ("/export/status", "/export/result"):
+                    self._export_get(url, q)
                 elif url.path == "/histogram":
                     h = app.editor.histogram(MID).tolist()
                     self._send(200, json.dumps(h).encode())

@@ -372,6 +372,12 @@ def test_server_instant_era(gated_server):
     zi = PILImage.open(_io.BytesIO(zoomed))
     fi = PILImage.open(_io.BytesIO(edited))
     assert zi.size[0] <= fi.size[0] // 2 + 1 and zi.size[1] <= fi.size[1] // 2 + 1
+    # ... export-job GETs route to the real handler through the era
+    # (an unknown job answers the same typed 400 as outside it) ...
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/export/status?job=nope")
+    assert ei.value.code == 400
+    assert "unknown export job" in json.loads(ei.value.read())["error"]
     # ... era-invalid bodies still answer 400, and mask/preset/export
     # state stays locked behind 409 until the open lands.
     req = urllib.request.Request(base + "/edit",
