@@ -749,6 +749,7 @@ class EditorApp:
             "linear": ho.instant_linear,
             "linear_low": None,  # built lazily on the first low request
             "params": None,
+            "masks": [],  # era regional masks: {name, logits, data, params}
             "replay": [],
             "crop": None,
             "render": None,
@@ -796,8 +797,24 @@ class EditorApp:
                 try:
                     if kind == "edit":
                         self.apply_state(body, editor=ed)
-                    else:  # preset (full fidelity: all masks + crop)
+                    elif kind == "preset":  # full fidelity: masks + crop
                         ed.load_preset_json(json.dumps(body))
+                    elif kind == "mask_add":
+                        # Re-run the selection on the REAL session (full
+                        # resolution, true render) — the era's instant-
+                        # resolution selection was the stand-in.
+                        if "point" in body:
+                            ed.add_similarity_mask(
+                                body["name"], tuple(body["point"]),
+                                float(body.get("tolerance", 0.1)),
+                                float(body.get("sigma", 0.0)))
+                        else:
+                            ed.add_mask(body["name"], np.asarray(
+                                body["data"], dtype=np.float32))
+                    elif kind == "mask_remove":
+                        ed.remove_mask(body["name"])
+                    elif kind == "mask_invert":
+                        ed.invert_mask(body["name"])
                 except Exception:  # noqa: BLE001 — stand-in state only
                     pass
             try:
@@ -824,22 +841,165 @@ class EditorApp:
                 "opened_from_preview": op["opened_from_preview"]}
 
     # -- live edits during the instant era (engine.hostdev) --------------
+    @staticmethod
+    def _era_find_mask(op: dict, name: str) -> dict:
+        for m in op["masks"]:
+            if m["name"] == name:
+                return m
+        raise ValueError(f"unknown mask {name!r}")
+
     def era_edit(self, body: dict) -> None:
         """/edit while the device phase compiles: validate exactly like
         apply_state, stash the EditParameters for the host renderer, and
         remember the body to replay onto the device session at swap —
         era edits are never lost, with or without a well-behaved client."""
+        from ..core.params import EditParameters
+
         op = self.opening
-        if (body.get("_target") or "main") != "main":
-            raise ValueError(
-                "masks cannot be targeted while an open is in progress")
-        op["params"] = self._state_to_params(body)
-        # /edit is full-state: a trailing edit replaces the previous one
-        # (but never an interleaved preset, which also resets crop/masks).
-        if op["replay"] and op["replay"][-1][0] == "edit":
+        target = body.get("_target") or "main"
+        scratch = self._state_to_params(body)
+        prev_main = op["params"] or EditParameters()
+        if target == "main":
+            # Globals follow apply_state: applied only when the request
+            # carries them, preserved otherwise.
+            if "vignette" not in body:
+                scratch.vignette = prev_main.vignette
+            if "lens_distortion" not in body:
+                scratch.lens_distortion = prev_main.lens_distortion
+            if "sharpness" not in body:
+                scratch.sharpness = prev_main.sharpness
+            scratch.mask_range = prev_main.mask_range
+            op["params"] = scratch
+        else:
+            m = self._era_find_mask(op, target)
+            # Full-state for the targeted mask; globals (if present) go
+            # to main, like apply_state.
+            m["params"] = scratch
+            main = prev_main
+            if "vignette" in body:
+                main.set_vignette(int(body["vignette"]))
+            if "lens_distortion" in body:
+                main.set_lens_distortion(int(body["lens_distortion"]))
+            if "sharpness" in body:
+                main.set_sharpness(int(body["sharpness"]))
+            op["params"] = main
+        if "mask_range" in body:
+            mr = float(body["mask_range"])
+            op["params"].mask_range = mr
+            for m in op["masks"]:
+                if m["logits"] is not None:
+                    m["data"] = (m["logits"] >= mr).astype(np.float32)
+        # /edit is full-state: a trailing same-target edit replaces the
+        # previous one (never an interleaved preset or mask op).
+        if op["replay"] and op["replay"][-1][0] == "edit" and \
+                (op["replay"][-1][1].get("_target") or "main") == target:
             op["replay"].pop()
         op["replay"].append(("edit", body))
         op["render"] = op["render_low"] = None  # re-render lazily
+
+    def era_mask_add(self, body: dict) -> None:
+        """/mask/add during the era — similarity and data-array masks
+        only (smart/model selections need the device; they stay 409).
+        The selection runs on the era's RENDERED image like
+        add_similarity_mask, at instant resolution; the swap replays the
+        original request on the real session."""
+        from ..core.params import EditParameters
+        from ..engine import hostdev
+        from ..engine import instant as _instant
+
+        self.check_keys(
+            body,
+            frozenset({"name", "point", "data", "model", "smart",
+                       "tolerance", "edge_weight", "sigma"}),
+            "/mask/add")
+        op = self.opening
+        name = body.get("name")
+        if not name or not isinstance(name, str):
+            raise ValueError("mask name must be non-empty")
+        if name == "main" or any(m["name"] == name for m in op["masks"]):
+            raise ValueError(f"mask name {name!r} already exists")
+        ih, iw = op["linear"].shape[1], op["linear"].shape[2]
+        fh, fw = op["shape"]
+        if "point" in body:
+            x, y = body["point"]
+            py = min(ih - 1, max(0, int(float(y) * ih / fh)))
+            px = min(iw - 1, max(0, int(float(x) * iw / fw)))
+            plist, marr = self._era_plist_masks(op, (ih, iw))
+            base = hostdev.develop_np(op["linear"], plist, marr)
+            lin = _instant.linear_from_srgb_u8(
+                (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
+            logits = hostdev.similarity_logits_np(
+                lin, (py, px), float(body.get("tolerance", 0.1)),
+                float(body.get("sigma", 0.0)))
+        else:
+            arr = np.asarray(body["data"], dtype=np.float32)
+            if arr.shape != (fh, fw):
+                raise ValueError(
+                    f"mask shape {arr.shape} != image shape {(fh, fw)}")
+            logits = _instant.resize_bilinear_np(arr[None], ih, iw)[0]
+        mr = (op["params"] or EditParameters()).mask_range
+        op["masks"].append({
+            "name": name, "logits": logits,
+            "data": (logits >= mr).astype(np.float32),
+            "params": EditParameters(),
+        })
+        op["replay"].append(("mask_add", body))
+        op["render"] = op["render_low"] = None
+
+    def era_mask_remove(self, name: str) -> None:
+        op = self.opening
+        if name == "main":
+            return
+        self._era_find_mask(op, name)
+        op["masks"] = [m for m in op["masks"] if m["name"] != name]
+        op["replay"].append(("mask_remove", {"name": name}))
+        op["render"] = op["render_low"] = None
+
+    def era_mask_invert(self, name: str) -> None:
+        op = self.opening
+        if name == "main":
+            return
+        m = self._era_find_mask(op, name)
+        m["data"] = (1.0 - m["data"]).astype(np.float32)
+        m["logits"] = None  # inversion detaches logits (editor contract)
+        op["replay"].append(("mask_invert", {"name": name}))
+        op["render"] = op["render_low"] = None
+
+    @staticmethod
+    def _era_crop_slice(op: dict, ih: int, iw: int):
+        """The era crop rect (FULL coords) as a slice of an (ih, iw)
+        render grid, or None."""
+        if op["crop"] is None:
+            return None
+        fh, fw = op["shape"]
+        x0, y0, x1, y1 = op["crop"]
+        sy, sx = ih / fh, iw / fw
+        r0 = int(y0 * sy)
+        r1 = max(r0 + 1, int(y1 * sy))
+        c0 = int(x0 * sx)
+        c1 = max(c0 + 1, int(x1 * sx))
+        return (r0, r1, c0, c1)
+
+    @staticmethod
+    def _era_plist_masks(op: dict, shape_hw) -> tuple:
+        """(params list, masks array) for hostdev.develop_np at a render
+        resolution — mask data resampled when rendering the low level."""
+        from ..core.params import EditParameters
+        from ..engine import instant as _instant
+
+        plist = [op["params"] or EditParameters()]
+        if not op["masks"]:
+            return plist, None
+        h, w = shape_hw
+        rows = [np.ones((h, w), dtype=np.float32)]
+        for m in op["masks"]:
+            d = m["data"]
+            if d.shape != (h, w):
+                d = (_instant.resize_bilinear_np(d[None], h, w)[0]
+                     > 0.5).astype(np.float32)
+            rows.append(d)
+            plist.append(m["params"])
+        return plist, np.stack(rows)
 
     def era_preset(self, body) -> None:
         """/preset during the era: validate every piece (all-or-nothing,
@@ -852,12 +1012,14 @@ class EditorApp:
         if not isinstance(body, dict):
             raise ValueError("/preset body must be a JSON object")
         if "masks" in body:
-            for m in body["masks"]:
-                EditParameters.from_json(m["params"])  # validate ALL
-            main = next((m for m in body["masks"]
-                         if m.get("name") == "main"), None)
-            p = (EditParameters.from_json(main["params"])
-                 if main else EditParameters())
+            staged = {m.get("name"): EditParameters.from_json(m["params"])
+                      for m in body["masks"]}  # validate ALL first
+            p = staged.get("main") or EditParameters()
+            # Regional params apply to era masks that exist by name —
+            # the load_preset_json contract.
+            for m in op["masks"]:
+                if m["name"] in staged:
+                    m["params"] = staged[m["name"]]
             crop = body.get("crop")
             if crop:
                 x0, y0, x1, y1 = (int(v) for v in crop)
@@ -875,6 +1037,11 @@ class EditorApp:
             # Reference v1 flat preset: main params only, crop untouched.
             p = EditParameters.from_json(body)
         op["params"] = p
+        # Re-threshold logit-backed era masks at the restored mask_range
+        # (load_preset_json's set_mask_range step).
+        for m in op["masks"]:
+            if m["logits"] is not None:
+                m["data"] = (m["logits"] >= p.mask_range).astype(np.float32)
         op["replay"].append(("preset", body))
         op["render"] = op["render_low"] = None
 
@@ -899,6 +1066,7 @@ class EditorApp:
         session starts default; nothing replayed = nothing changed)."""
         op = self.opening
         op["params"] = op["crop"] = None
+        op["masks"] = []
         op["render"] = op["render_low"] = None
         op["replay"] = []
 
@@ -913,10 +1081,10 @@ class EditorApp:
         if op[slot] is None:
             from ..engine import instant as _instant
 
-            if op["params"] is None and op["crop"] is None and not low:
+            if op["params"] is None and op["crop"] is None \
+                    and not op["masks"] and not low:
                 op[slot] = (op["jpeg"], op["hist"], op["pixels"])
             else:
-                from ..core.params import EditParameters
                 from ..engine import hostdev
 
                 lin = op["linear"]
@@ -933,18 +1101,11 @@ class EditorApp:
                         else:
                             op["linear_low"] = lin
                     lin = op["linear_low"]
-                p = op["params"] or EditParameters()
-                u8 = hostdev.render_u8_hwc(lin, p)
-                if op["crop"] is not None:
-                    ih, iw = u8.shape[:2]
-                    fh, fw = op["shape"]
-                    x0, y0, x1, y1 = op["crop"]
-                    sy, sx = ih / fh, iw / fw
-                    r0 = int(y0 * sy)
-                    r1 = max(r0 + 1, int(y1 * sy))
-                    c0 = int(x0 * sx)
-                    c1 = max(c0 + 1, int(x1 * sx))
-                    u8 = np.ascontiguousarray(u8[r0:r1, c0:c1])
+                plist, marr = self._era_plist_masks(op, lin.shape[1:])
+                u8 = hostdev.render_u8_hwc(lin, plist, marr)
+                cs = self._era_crop_slice(op, *u8.shape[:2])
+                if cs is not None:
+                    u8 = np.ascontiguousarray(u8[cs[0]:cs[1], cs[2]:cs[3]])
                 op[slot] = (
                     _instant.encode_instant_jpeg(u8),
                     _instant.instant_histogram(u8).tolist(),
@@ -1224,8 +1385,24 @@ def make_handler(app: EditorApp):
                     # (the UI only issues the endpoints below until
                     # /open/status flips ready).
                     if url.path == "/preview":
+                        overlay = q.get("overlay", [None])[0]
                         if q.get("original", ["0"])[0] == "1":
                             jpeg = op["jpeg"]  # compare-press: pristine
+                        elif overlay:
+                            from ..engine import hostdev
+                            from ..engine import instant as _instant
+
+                            _, _, u8 = app.era_render(op)
+                            m = app._era_find_mask(op, overlay)["data"]
+                            cs = app._era_crop_slice(op, *m.shape)
+                            if cs is not None:
+                                m = m[cs[0]:cs[1], cs[2]:cs[3]]
+                            if m.shape != u8.shape[:2]:
+                                m = (_instant.resize_bilinear_np(
+                                    m[None], *u8.shape[:2])[0]
+                                    > 0.5).astype(np.float32)
+                            jpeg = _instant.encode_instant_jpeg(
+                                hostdev.mask_overlay_np(u8, m))
                         else:
                             low = q.get("level", ["mid"])[0] == "low"
                             jpeg, _, u8 = app.era_render(op, low=low)
@@ -1275,11 +1452,17 @@ def make_handler(app: EditorApp):
                     elif url.path == "/exif":
                         self._send(200, json.dumps(op["exif"]).encode())
                     elif url.path == "/masks":
-                        self._send(200, b'["main"]')
+                        self._send(200, json.dumps(
+                            ["main"] + [m["name"]
+                                        for m in op["masks"]]).encode())
                     elif url.path == "/params":
                         from ..core.params import EditParameters
 
-                        p = op["params"] or EditParameters()
+                        name = q.get("mask", ["main"])[0] or "main"
+                        if name == "main":
+                            p = op["params"] or EditParameters()
+                        else:
+                            p = app._era_find_mask(op, name)["params"]
                         self._send(200, json.dumps(p.to_json()).encode())
                     elif url.path == "/preset":
                         from ..core.params import EditParameters
@@ -1451,6 +1634,33 @@ def make_handler(app: EditorApp):
                         elif url.path == "/preset":
                             body = json.loads(raw_body or b"{}")
                             app.era_preset(body)
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/mask/add":
+                            body = json.loads(raw_body or b"{}")
+                            if body.get("model") or body.get("smart"):
+                                # Device-side selections (geodesic flood,
+                                # external segmenter) can't run host-side.
+                                self._send(409, json.dumps(
+                                    {"error": "model/smart masks need the "
+                                     "device session; open in progress"}
+                                ).encode())
+                                return
+                            app.era_mask_add(body)
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/mask/remove":
+                            body = json.loads(raw_body or b"{}")
+                            app.check_keys(body, frozenset({"name"}),
+                                           "/mask/remove")
+                            app.era_mask_remove(str(body.get("name", "")))
+                            self._send(200, b'{"ok": true, "instant": true}')
+                            return
+                        elif url.path == "/mask/invert":
+                            body = json.loads(raw_body or b"{}")
+                            app.check_keys(body, frozenset({"name"}),
+                                           "/mask/invert")
+                            app.era_mask_invert(str(body.get("name", "")))
                             self._send(200, b'{"ok": true, "instant": true}')
                             return
                         elif url.path == "/reset":

