@@ -259,7 +259,7 @@ def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
         return None
 
 
-def encode_instant_jpeg(hwc_u8: np.ndarray, quality: int = 88) -> bytes:
+def encode_instant_jpeg(hwc_u8: np.ndarray, quality: int = 90) -> bytes:
     """Host JPEG encode of an instant preview (PIL; no device involved)."""
     import io as _io
 
