@@ -803,7 +803,11 @@ class EditorApp:
                         # Re-run the selection on the REAL session (full
                         # resolution, true render) — the era's instant-
                         # resolution selection was the stand-in.
-                        if "point" in body:
+                        if body.get("model"):
+                            ed.add_model_mask(
+                                body["name"], tuple(body["point"]),
+                                self.segmenter)
+                        elif "point" in body:
                             ed.add_similarity_mask(
                                 body["name"], tuple(body["point"]),
                                 float(body.get("tolerance", 0.1)),
@@ -926,11 +930,32 @@ class EditorApp:
             px = min(iw - 1, max(0, int(float(x) * iw / fw)))
             plist, marr = self._era_plist_masks(op, (ih, iw))
             base = hostdev.develop_np(op["linear"], plist, marr)
-            lin = _instant.linear_from_srgb_u8(
-                (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
-            logits = hostdev.similarity_logits_np(
-                lin, (py, px), float(body.get("tolerance", 0.1)),
-                float(body.get("sigma", 0.0)))
+            if body.get("model"):
+                # The external segmenter is a HOST process — it only
+                # needs a render, and the era has one. Same operator-
+                # trust rule as the normal handler: only the launch-
+                # configured adapter runs.
+                if body["model"] is not True and body["model"] != "default":
+                    raise ValueError(
+                        "segmenter specs are not accepted over HTTP; "
+                        "configure one with --segmenter at launch and "
+                        'pass {"model": true}')
+                if self.segmenter is None:
+                    raise ValueError(
+                        "no segmenter configured (launch with --segmenter)")
+                u8 = (base * 255.0).astype(np.uint8).transpose(1, 2, 0)
+                logits = np.asarray(
+                    self.segmenter.segment(np.ascontiguousarray(u8),
+                                           (px, py)), dtype=np.float32)
+                if logits.shape != (ih, iw):
+                    logits = _instant.resize_bilinear_np(
+                        logits[None], ih, iw)[0]
+            else:
+                lin = _instant.linear_from_srgb_u8(
+                    (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
+                logits = hostdev.similarity_logits_np(
+                    lin, (py, px), float(body.get("tolerance", 0.1)),
+                    float(body.get("sigma", 0.0)))
         else:
             arr = np.asarray(body["data"], dtype=np.float32)
             if arr.shape != (fh, fw):
@@ -1638,11 +1663,11 @@ def make_handler(app: EditorApp):
                             return
                         elif url.path == "/mask/add":
                             body = json.loads(raw_body or b"{}")
-                            if body.get("model") or body.get("smart"):
-                                # Device-side selections (geodesic flood,
-                                # external segmenter) can't run host-side.
+                            if body.get("smart"):
+                                # The geodesic flood runs on the device
+                                # session (jnp lax loops) — era 409.
                                 self._send(409, json.dumps(
-                                    {"error": "model/smart masks need the "
+                                    {"error": "smart masks need the "
                                      "device session; open in progress"}
                                 ).encode())
                                 return

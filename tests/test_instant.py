@@ -574,6 +574,80 @@ def test_server_era_similarity_masks(gated_server):
     # (covered by the handler sharing era_mask_remove's replay path)
 
 
+def test_server_era_model_mask(monkeypatch, tmp_path):
+    """Model masks work during the era: the segmenter is a host process
+    and only needs a render. The prompt runs on the era render at
+    instant resolution and replays at full resolution on swap."""
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.segmenter import make_segmenter
+    from rawphotoforge_tpu.engine.session import Settings
+
+    def disk(rgb_u8, point_xy, radius=6):
+        h, w = rgb_u8.shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        x, y = point_xy
+        return np.where((xx - x) ** 2 + (yy - y) ** 2 <= radius ** 2,
+                        1.0, -1.0)
+
+    gate = threading.Event()
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def gated_from_host(cls, ho, **kwargs):
+        gate.wait(timeout=60)
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(gated_from_host))
+    rng = np.random.default_rng(83)
+    ed = PhotoEditor(random_linear_image(rng, 30, 40).transpose(2, 0, 1),
+                     mid_long_edge=24, use_pallas=False)
+    httpd = srvmod.serve(ed, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False,
+                         segmenter=make_segmenter(disk))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            base + "/open?name=pic.png", data=_png_bytes(rng, 40, 60),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["instant"]
+        req = urllib.request.Request(
+            base + "/mask/add",
+            data=json.dumps({"name": "dog", "point": [30, 20],
+                             "model": True}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["instant"]
+        _, _, names = _get(base + "/masks")
+        assert json.loads(names) == ["main", "dog"]
+        status, headers, _ = _get(base + "/preview?overlay=dog")
+        assert status == 200 and headers.get("X-RPF-Instant") == "1"
+        # Arbitrary specs are still rejected (CSRF → subprocess defense).
+        req = urllib.request.Request(
+            base + "/mask/add",
+            data=json.dumps({"name": "evil", "point": [1, 1],
+                             "model": "rm -rf /"}).encode(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+        gate.set()
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            _, _, st = _get(base + "/open/status")
+            if json.loads(st)["ready"]:
+                break
+            time.sleep(0.05)
+        _, _, names = _get(base + "/masks")
+        assert json.loads(names) == ["main", "dog"]  # replayed full-res
+    finally:
+        gate.set()
+        httpd.shutdown()
+
+
 def test_server_era_preset_applies_and_replays(gated_server):
     """A preset loaded during the era renders its main-mask look
     host-side and replays in FULL (crop included) onto the device
