@@ -807,6 +807,11 @@ class EditorApp:
                             ed.add_model_mask(
                                 body["name"], tuple(body["point"]),
                                 self.segmenter)
+                        elif body.get("smart"):
+                            ed.add_smart_mask(
+                                body["name"], tuple(body["point"]),
+                                float(body.get("tolerance", 0.15)),
+                                float(body.get("edge_weight", 12.0)))
                         elif "point" in body:
                             ed.add_similarity_mask(
                                 body["name"], tuple(body["point"]),
@@ -950,6 +955,12 @@ class EditorApp:
                 if logits.shape != (ih, iw):
                     logits = _instant.resize_bilinear_np(
                         logits[None], ih, iw)[0]
+            elif body.get("smart"):
+                lin = _instant.linear_from_srgb_u8(
+                    (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
+                logits = hostdev.smart_logits_np(
+                    lin, (py, px), float(body.get("tolerance", 0.15)),
+                    float(body.get("edge_weight", 12.0)))
             else:
                 lin = _instant.linear_from_srgb_u8(
                     (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
@@ -1663,14 +1674,6 @@ def make_handler(app: EditorApp):
                             return
                         elif url.path == "/mask/add":
                             body = json.loads(raw_body or b"{}")
-                            if body.get("smart"):
-                                # The geodesic flood runs on the device
-                                # session (jnp lax loops) — era 409.
-                                self._send(409, json.dumps(
-                                    {"error": "smart masks need the "
-                                     "device session; open in progress"}
-                                ).encode())
-                                return
                             app.era_mask_add(body)
                             self._send(200, b'{"ok": true, "instant": true}')
                             return

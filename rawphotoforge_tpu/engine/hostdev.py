@@ -269,6 +269,13 @@ def render_u8_hwc(linear_planes: np.ndarray, params,
     return np.ascontiguousarray(u8.transpose(1, 2, 0))
 
 
+def _oklab_np(linear_planes: np.ndarray):
+    p = np.asarray(linear_planes, dtype=np.float32)
+    l_, m_, s_ = _mat3_np(M1, p[0], p[1], p[2])
+    cbrt = lambda x: np.cbrt(np.maximum(x, 0.0), dtype=np.float32)  # noqa: E731
+    return _mat3_np(M2, cbrt(l_), cbrt(m_), cbrt(s_))
+
+
 def similarity_logits_np(linear_planes: np.ndarray,
                          point_yx: tuple[int, int],
                          color_tolerance: float,
@@ -276,10 +283,7 @@ def similarity_logits_np(linear_planes: np.ndarray,
     """numpy mirror of ops.masking.similarity_mask: OKLab-distance logits
     around the prompted pixel's color, optional Gaussian spatial falloff
     — the era's host-side point-prompted selection."""
-    p = np.asarray(linear_planes, dtype=np.float32)
-    l_, m_, s_ = _mat3_np(M1, p[0], p[1], p[2])
-    cbrt = lambda x: np.cbrt(np.maximum(x, 0.0), dtype=np.float32)  # noqa: E731
-    L, A, B = _mat3_np(M2, cbrt(l_), cbrt(m_), cbrt(s_))
+    L, A, B = _oklab_np(linear_planes)
     y, x = int(point_yx[0]), int(point_yx[1])
     dist = np.sqrt((L - L[y, x]) ** 2 + (A - A[y, x]) ** 2
                    + (B - B[y, x]) ** 2, dtype=np.float32)
@@ -295,6 +299,67 @@ def similarity_logits_np(linear_planes: np.ndarray,
                          / _f32(max(spatial_sigma, 1.0)) ** 2)
         logits = logits * spatial - (_f32(1.0) - spatial)
     return np.clip(logits, -1.0, 1.0).astype(np.float32)
+
+
+def _sweep_down_np(d: np.ndarray, step_cost: np.ndarray) -> np.ndarray:
+    """In-place top->bottom relaxation: d[y] = min(d[y], d[y-1] + cost[y])
+    — the numpy mirror of ops.masking._sweep_down (the in-place update
+    reads the just-relaxed previous row, exactly like the scan carry)."""
+    for y in range(1, d.shape[0]):
+        np.minimum(d[y], d[y - 1] + step_cost[y], out=d[y])
+    return d
+
+
+def geodesic_distance_np(linear_planes: np.ndarray,
+                         point_yx: tuple[int, int],
+                         edge_weight: float, spatial_cost: float,
+                         sweeps: int = 4) -> np.ndarray:
+    """numpy mirror of ops.masking.geodesic_distance: Toivanen-style
+    alternating raster sweeps of the edge-aware distance transform."""
+    L, A, B = _oklab_np(linear_planes)
+    h, w = L.shape
+
+    def grad_cost(axis):
+        dl = np.diff(L, axis=axis)
+        da = np.diff(A, axis=axis)
+        db = np.diff(B, axis=axis)
+        g = (np.sqrt(dl * dl + da * da + db * db, dtype=np.float32)
+             * _f32(edge_weight) + _f32(spatial_cost))
+        pad_fwd = [(0, 0), (0, 0)]
+        pad_fwd[axis] = (1, 0)
+        pad_bwd = [(0, 0), (0, 0)]
+        pad_bwd[axis] = (0, 1)
+        return np.pad(g, pad_fwd), np.pad(g, pad_bwd)
+
+    cost_down, cost_up = grad_cost(0)
+    cost_right, cost_left = grad_cost(1)
+    # Contiguous pre-oriented copies (the device hoists its flips too).
+    cost_up_f = np.ascontiguousarray(cost_up[::-1])
+    cost_right_t = np.ascontiguousarray(cost_right.T)
+    cost_left_ft = np.ascontiguousarray(cost_left[:, ::-1].T)
+
+    d = np.full((h, w), 1e9, dtype=np.float32)
+    d[int(point_yx[0]), int(point_yx[1])] = 0.0
+    for _ in range(sweeps):
+        d = _sweep_down_np(d, cost_down)
+        d = _sweep_down_np(np.ascontiguousarray(d[::-1]), cost_up_f)[::-1]
+        d = _sweep_down_np(np.ascontiguousarray(d.T), cost_right_t).T
+        d = _sweep_down_np(np.ascontiguousarray(d[:, ::-1].T),
+                           cost_left_ft).T[:, ::-1]
+        d = np.ascontiguousarray(d)
+    return d
+
+
+def smart_logits_np(linear_planes: np.ndarray, point_yx: tuple[int, int],
+                    tolerance: float = 0.15, edge_weight: float = 12.0,
+                    spatial_cost: float = 0.002,
+                    sweeps: int = 4) -> np.ndarray:
+    """numpy mirror of ops.masking.smart_select_mask — the era's
+    host-side edge-aware object selection."""
+    d = geodesic_distance_np(linear_planes, point_yx, edge_weight,
+                             spatial_cost, sweeps=sweeps)
+    return np.clip(_f32(1.0) - d / _f32(max(tolerance, 1e-6)),
+                   -1.0, 1.0).astype(np.float32)
 
 
 def mask_overlay_np(srgb_u8_hwc: np.ndarray, mask01: np.ndarray,

@@ -83,6 +83,26 @@ def test_similarity_logits_np_matches_device():
         np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+def test_smart_logits_np_matches_device():
+    """The era's host geodesic flood vs ops.masking.smart_select_mask:
+    same Toivanen sweeps, same costs — bit-close."""
+    from rawphotoforge_tpu.ops.masking import smart_select_mask
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(87)
+    # Two regions split by a hard edge + noise: connectivity matters.
+    img = np.full((3, 28, 40), 0.2, dtype=np.float32)
+    img[:, :, 20:] = 0.7
+    img += (r.random((3, 28, 40), dtype=np.float32) - 0.5) * 0.01
+    img = np.clip(img, 0.0, 1.0)
+    got = hostdev.smart_logits_np(img, (14, 8), 1.0, 12.0)
+    want = np.asarray(smart_select_mask(jnp.asarray(img), (14, 8),
+                                        tolerance=1.0, edge_weight=12.0))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # And it actually respects the edge: left floods, right does not.
+    assert (got[:, :20] >= 0).all() and (got[:, 20:] < 0).all()
+
+
 def test_develop_np_default_params_near_identity_encode():
     """All-default params: develop_np must reduce to the sRGB encode (it
     skips the default-curve staircase/OKLCH round trip, <= ~2e-3 — the

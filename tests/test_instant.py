@@ -391,9 +391,14 @@ def test_server_instant_era(gated_server):
         data=json.dumps({"name": "m", "point": [1, 1],
                          "smart": True}).encode(),
         method="POST")
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        urllib.request.urlopen(req, timeout=30)
-    assert ei.value.code == 409  # smart/model masks need the device
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]  # geodesic runs host-side
+    _, _, names = _get(base + "/masks")
+    assert json.loads(names) == ["main", "m"]
+    req = urllib.request.Request(
+        base + "/mask/remove", data=json.dumps({"name": "m"}).encode(),
+        method="POST")
+    urllib.request.urlopen(req, timeout=30).read()
     # ... but session-global /settings stays writable during the era.
     req = urllib.request.Request(
         base + "/settings", data=json.dumps({"locale": "ja"}).encode(),
