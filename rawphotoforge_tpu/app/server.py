@@ -751,6 +751,7 @@ class EditorApp:
             "params": None,
             "masks": [],  # era regional masks: {name, logits, data, params}
             "replay": [],
+            "applied": 0,  # replay items the finisher already applied
             "crop": None,
             "render": None,
             "render_low": None,
@@ -781,62 +782,82 @@ class EditorApp:
                     self.last_open_error = str(e)
             self.device_ready.set()
             return
-        with self.lock:
-            if self.opening is None or self.opening["seq"] != seq:
-                return  # superseded by a newer /open
-            # Replay edits made during the era onto the device session
-            # BEFORE it becomes visible — era edits persist even for API
-            # clients that don't re-post state on ready. Already
-            # validated at era_edit time; cheap (parameter sets only, no
-            # renders or device work).
-            # Per-item isolation: one rejected item (e.g. a preset whose
-            # crop rect was saved from a larger image — the era clipped
-            # it, load_preset_json re-validates the original) must not
-            # void the edits that followed it.
-            for kind, body in self.opening["replay"]:
+        # Replay edits made during the era onto the device session BEFORE
+        # it becomes visible — era edits persist even for API clients
+        # that don't re-post state on ready. Items are applied OUTSIDE
+        # the app lock (a model-mask replay runs an external segmenter; a
+        # smart-mask replay may pay a fresh compile — holding the lock
+        # would freeze every request, including /open/status, at swap
+        # time). The loop re-checks under the lock for items that arrived
+        # while replaying (op["applied"] gates era_edit's collapse so an
+        # already-applied trailing edit is never popped) and only swaps
+        # when the list is drained.
+        while True:
+            with self.lock:
+                op = self.opening
+                if op is None or op["seq"] != seq:
+                    return  # superseded by a newer /open
+                pending = list(op["replay"][op["applied"]:])
+                if not pending:
+                    # Drained: settle the final crop state and swap.
+                    # Per-item isolation throughout: one rejected item
+                    # (e.g. a preset whose crop was saved from a larger
+                    # image) must not void the items around it.
+                    try:
+                        if op["crop"] is not None:
+                            ed.set_crop(*op["crop"])
+                        elif op["replay"]:
+                            ed.clear_crop()  # a preset may have set one;
+                            #                  the era ended with none
+                    except Exception:  # noqa: BLE001
+                        pass
+                    self.editor = ed
+                    self.opening = None
+                    break
+            for kind, body in pending:  # outside the lock
                 try:
-                    if kind == "edit":
-                        self.apply_state(body, editor=ed)
-                    elif kind == "preset":  # full fidelity: masks + crop
-                        ed.load_preset_json(json.dumps(body))
-                    elif kind == "mask_add":
-                        # Re-run the selection on the REAL session (full
-                        # resolution, true render) — the era's instant-
-                        # resolution selection was the stand-in.
-                        if body.get("model"):
-                            ed.add_model_mask(
-                                body["name"], tuple(body["point"]),
-                                self.segmenter)
-                        elif body.get("smart"):
-                            ed.add_smart_mask(
-                                body["name"], tuple(body["point"]),
-                                float(body.get("tolerance", 0.15)),
-                                float(body.get("edge_weight", 12.0)))
-                        elif "point" in body:
-                            ed.add_similarity_mask(
-                                body["name"], tuple(body["point"]),
-                                float(body.get("tolerance", 0.1)),
-                                float(body.get("sigma", 0.0)))
-                        else:
-                            ed.add_mask(body["name"], np.asarray(
-                                body["data"], dtype=np.float32))
-                    elif kind == "mask_remove":
-                        ed.remove_mask(body["name"])
-                    elif kind == "mask_invert":
-                        ed.invert_mask(body["name"])
+                    self._replay_item(ed, kind, body)
                 except Exception:  # noqa: BLE001 — stand-in state only
                     pass
-            try:
-                if self.opening["crop"] is not None:
-                    ed.set_crop(*self.opening["crop"])
-                elif self.opening["replay"]:
-                    ed.clear_crop()  # a preset may have set one; the
-                    #                  era's final crop state was None
-            except Exception:  # noqa: BLE001
-                pass
-            self.editor = ed
-            self.opening = None
+            with self.lock:
+                if self.opening is not None and \
+                        self.opening["seq"] == seq:
+                    self.opening["applied"] += len(pending)
         self.device_ready.set()
+
+    def _replay_item(self, ed: PhotoEditor, kind: str, body) -> None:
+        """Apply one era (edit|preset|mask_*) item to the not-yet-visible
+        device session. Selections re-run on the REAL render at full
+        resolution — the era's instant-resolution result was the
+        stand-in."""
+        if kind == "edit":
+            self.apply_state(body, editor=ed)
+        elif kind == "preset":  # full fidelity: masks + crop
+            ed.load_preset_json(json.dumps(body))
+        elif kind == "mask_add":
+            if body.get("model"):
+                ed.add_model_mask(
+                    body["name"], tuple(body["point"]), self.segmenter)
+            elif body.get("smart"):
+                ed.add_smart_mask(
+                    body["name"], tuple(body["point"]),
+                    float(body.get("tolerance", 0.15)),
+                    float(body.get("edge_weight", 12.0)))
+            elif "point" in body:
+                ed.add_similarity_mask(
+                    body["name"], tuple(body["point"]),
+                    float(body.get("tolerance", 0.1)),
+                    float(body.get("sigma", 0.0)))
+            else:
+                ed.add_mask(body["name"],
+                            np.asarray(body["data"], dtype=np.float32))
+        elif kind == "mask_remove":
+            ed.remove_mask(body["name"])
+        elif kind == "mask_invert":
+            ed.invert_mask(body["name"])
+        elif kind == "reset":
+            ed.reset()
+            ed.clear_crop()
         if self.prewarm:
             from ..engine.prewarm import warm_async
 
@@ -899,8 +920,10 @@ class EditorApp:
                 if m["logits"] is not None:
                     m["data"] = (m["logits"] >= mr).astype(np.float32)
         # /edit is full-state: a trailing same-target edit replaces the
-        # previous one (never an interleaved preset or mask op).
-        if op["replay"] and op["replay"][-1][0] == "edit" and \
+        # previous one (never an interleaved preset or mask op, and
+        # never an item the swap finisher has already applied).
+        if len(op["replay"]) > op["applied"] and \
+                op["replay"][-1][0] == "edit" and \
                 (op["replay"][-1][1].get("_target") or "main") == target:
             op["replay"].pop()
         op["replay"].append(("edit", body))
@@ -1097,14 +1120,15 @@ class EditorApp:
         op["render"] = op["render_low"] = None
 
     def era_reset(self) -> None:
-        """Reset during the era = back to the fresh session's defaults:
-        clearing the replay list reproduces it exactly (the device
-        session starts default; nothing replayed = nothing changed)."""
+        """Reset during the era = back to the fresh session's defaults.
+        Recorded as a replay ITEM (ed.reset() at swap), not a list clear:
+        the finisher may already have applied earlier items outside the
+        lock, and those must be undone on the device session too."""
         op = self.opening
         op["params"] = op["crop"] = None
         op["masks"] = []
         op["render"] = op["render_low"] = None
-        op["replay"] = []
+        op["replay"].append(("reset", {}))
 
     def era_render(self, op: dict, low: bool = False) -> tuple[bytes, list]:
         """(jpeg, histogram, u8) of the era state — the pristine decode

@@ -579,6 +579,44 @@ def test_server_era_similarity_masks(gated_server):
     # (covered by the handler sharing era_mask_remove's replay path)
 
 
+def test_server_era_reset_replays_in_order(gated_server):
+    """edit -> reset -> edit during the era must land on the device
+    session as exactly the last edit (reset is a replay ITEM, so items
+    a concurrent finisher already applied get undone too)."""
+    base, gate = gated_server
+    rng = np.random.default_rng(97)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 30, 40),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(), method="POST")
+        urllib.request.urlopen(req, timeout=30).read()
+
+    post("/edit", {"exposure": 1.0, "vignette": 50})
+    post("/crop", {"x0": 5, "y0": 5, "x1": 30, "y1": 25})
+    post("/reset", {})
+    _, _, p = _get(base + "/params")
+    assert json.loads(p)["exposure"] == 0.0  # era state reset
+    post("/edit", {"contrast": 40})
+    gate.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    _, _, p = _get(base + "/params")
+    p = json.loads(p)
+    assert p["contrast"] == 40 and p["exposure"] == 0.0
+    assert p["vignette"] == 0
+    _, _, info = _get(base + "/info")
+    assert json.loads(info)["crop"] is None
+
+
 def test_server_era_model_mask(monkeypatch, tmp_path):
     """Model masks work during the era: the segmenter is a host process
     and only needs a render. The prompt runs on the era render at
