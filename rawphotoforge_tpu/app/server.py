@@ -798,6 +798,12 @@ class EditorApp:
                 if op is None or op["seq"] != seq:
                     return  # superseded by a newer /open
                 pending = list(op["replay"][op["applied"]:])
+                # CLAIM the items before leaving the lock: era_edit's
+                # trailing-collapse gate reads op["applied"], and an item
+                # being applied right now must not be popped-and-replaced
+                # (the replacement would land inside the already-counted
+                # region and never replay).
+                op["applied"] += len(pending)
                 if not pending:
                     # Drained: settle the final crop state and swap.
                     # Per-item isolation throughout: one rejected item
@@ -819,10 +825,6 @@ class EditorApp:
                     self._replay_item(ed, kind, body)
                 except Exception:  # noqa: BLE001 — stand-in state only
                     pass
-            with self.lock:
-                if self.opening is not None and \
-                        self.opening["seq"] == seq:
-                    self.opening["applied"] += len(pending)
         self.device_ready.set()
 
     def _replay_item(self, ed: PhotoEditor, kind: str, body) -> None:
