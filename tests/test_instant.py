@@ -579,6 +579,65 @@ def test_server_era_similarity_masks(gated_server):
     # (covered by the handler sharing era_mask_remove's replay path)
 
 
+def test_finisher_claim_race(monkeypatch, tmp_path):
+    """An edit posted WHILE the finisher is applying the previous edit
+    must not be lost: the in-flight item is claimed, so the full-state
+    collapse appends instead of popping it, and the drain loop picks the
+    newcomer up before swapping."""
+    from rawphotoforge_tpu.app.server import EditorApp
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    rng = np.random.default_rng(101)
+    open_gate = threading.Event()
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def gated_from_host(cls, ho, **kwargs):
+        open_gate.wait(timeout=60)
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(gated_from_host))
+    ed0 = PhotoEditor(random_linear_image(rng, 20, 26).transpose(2, 0, 1),
+                      mid_long_edge=16, use_pallas=False)
+    app = EditorApp(ed0, settings=Settings(),
+                    settings_path=str(tmp_path / "s.json"), prewarm=False)
+    out = app.start_open(
+        open("/dev/null", "rb").read() or _png_bytes(rng, 20, 26),
+        "p.png")
+    assert out["instant"]
+
+    in_replay = threading.Event()
+    release_replay = threading.Event()
+    applied = []
+    real_replay = EditorApp._replay_item
+
+    def slow_replay(self, ed, kind, body):
+        applied.append((kind, dict(body) if isinstance(body, dict) else body))
+        in_replay.set()
+        release_replay.wait(timeout=60)
+        return real_replay(self, ed, kind, body)
+
+    monkeypatch.setattr(EditorApp, "_replay_item", slow_replay)
+    with app.lock:
+        app.era_edit({"exposure": 1.0})
+    open_gate.set()               # device phase proceeds to the replay
+    assert in_replay.wait(timeout=60)
+    with app.lock:                # finisher is mid-apply of edit 1
+        app.era_edit({"contrast": 40})
+        assert len(app.opening["replay"]) == 2  # appended, NOT collapsed
+    release_replay.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if app.opening is None:
+            break
+        time.sleep(0.02)
+    assert app.opening is None
+    assert [k for k, _ in applied] == ["edit", "edit"]
+    assert applied[1][1] == {"contrast": 40}
+    assert app.editor.params().contrast == 40
+
+
 def test_server_era_reset_replays_in_order(gated_server):
     """edit -> reset -> edit during the era must land on the device
     session as exactly the last edit (reset is a replay ITEM, so items
