@@ -212,21 +212,35 @@ def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
             else:
                 t = mosaic[: th * ph, : tw * pw]
                 eh, ew = th, tw
-            # Per-channel block means by strided accumulation: one pass
-            # over the integer data via (ph*pw) cheap strided views — no
+            # Per-channel block means: the C++ hot loop visits every
+            # sample once (native/rpf_native.cpp rpf_cfa_block_means);
+            # the numpy fallback accumulates (ph*pw) strided views — no
             # transposed [eh, ew, ph*pw] copy, no boolean gathers (those
             # cost ~5 s at 24MP X-Trans's 36-site tiles). Normalization
             # is applied to the MEANS (linear; the clip commutes for
-            # in-range data — stand-in contract).
-            sums = np.zeros((3, eh, ew), dtype=np.float32)
-            counts = np.zeros(3, dtype=np.float32)
-            for dy in range(ph):
-                for dx in range(pw):
-                    ch = int(tile[dy, dx])
-                    sums[ch] += t[dy::ph, dx::pw]
-                    counts[ch] += 1.0
-            rgb = np.clip(
-                (sums / counts[:, None, None] - black) / span, 0.0, 1.0)
+            # in-range data — stand-in contract). Same f32 summation
+            # order both ways (site dy-major), tested equal.
+            rgb = None
+            if t.dtype == np.uint16:
+                from .. import native
+
+                if native.available():
+                    try:
+                        rgb = native.cfa_block_means(
+                            t, ph, pw, tile.reshape(-1),
+                            float(black), float(span))
+                    except Exception:  # noqa: BLE001 — numpy fallback
+                        rgb = None
+            if rgb is None:
+                sums = np.zeros((3, eh, ew), dtype=np.float32)
+                counts = np.zeros(3, dtype=np.float32)
+                for dy in range(ph):
+                    for dx in range(pw):
+                        ch = int(tile[dy, dx])
+                        sums[ch] += t[dy::ph, dx::pw]
+                        counts[ch] += 1.0
+                rgb = np.clip(
+                    (sums / counts[:, None, None] - black) / span, 0.0, 1.0)
 
         gains = np.asarray(raw.wb_gains, dtype=np.float32)
         if not raw.wb_known and tuple(raw.wb_gains) == (1.0, 1.0, 1.0):

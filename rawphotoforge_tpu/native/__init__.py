@@ -74,6 +74,10 @@ def _load():
         u8p, u8p, u8p, c, c, c, u8p, c64, ctypes.POINTER(ctypes.c_int64),
     ]
     lib.rpf_jpeg_encode_ycc420.restype = c
+    lib.rpf_cfa_block_means.argtypes = [
+        u16p, c, c, c, c, i32p, ctypes.c_float, ctypes.c_float, f32p,
+    ]
+    lib.rpf_cfa_block_means.restype = c
     _lib = lib
     return lib
 
@@ -238,3 +242,28 @@ def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_ycc420 failed (rc={rc})")
     return out[: out_len.value].tobytes()
+
+
+def cfa_block_means(t_u16, ph: int, pw: int, tile_flat, black: float,
+                    span: float):
+    """Per-CFA-tile channel means of a u16 block -> f32 [3, eh, ew] in
+    [0, 1] (instant-preview hot loop; semantics identical to the numpy
+    strided accumulation in engine/instant.quick_linear_from_raw)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    t = np.ascontiguousarray(t_u16, dtype=np.uint16)
+    h, w = t.shape
+    if ph <= 0 or pw <= 0 or h % ph or w % pw:
+        raise ValueError(f"block {t.shape} not a multiple of tile "
+                         f"({ph}, {pw})")
+    eh, ew = h // ph, w // pw
+    tile = np.ascontiguousarray(tile_flat, dtype=np.int32).reshape(-1)
+    if tile.size != ph * pw:
+        raise ValueError("tile size mismatch")
+    out = np.empty((3, eh, ew), dtype=np.float32)
+    rc = lib.rpf_cfa_block_means(t, eh, ew, ph, pw, tile,
+                                 float(black), float(span), out)
+    if rc != 0:
+        raise ValueError(f"rpf_cfa_block_means failed (rc={rc})")
+    return out

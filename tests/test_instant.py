@@ -128,6 +128,36 @@ def test_quick_from_raw_decimated_path():
     assert diff.mean() < 0.02 and np.quantile(diff, 0.99) < 0.08
 
 
+def test_native_cfa_block_means_matches_numpy():
+    """The C++ instant hot loop vs the numpy strided accumulation —
+    identical summation order, equal to a ulp of the normalize."""
+    from rawphotoforge_tpu import native
+    from rawphotoforge_tpu.ops.demosaic import NAMED_CFA
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    for pat in ("RGGB", "GBRG", "XTRANS"):
+        tile = np.asarray(NAMED_CFA[pat])
+        ph, pw = tile.shape
+        t = rng.integers(0, 65535, size=(11 * ph, 13 * pw), dtype=np.uint16)
+        got = native.cfa_block_means(t, ph, pw, tile.reshape(-1),
+                                     512.0, 15871.0)
+        tt = t.astype(np.float32)
+        sums = np.zeros((3, 11, 13), np.float32)
+        counts = np.zeros(3, np.float32)
+        for dy in range(ph):
+            for dx in range(pw):
+                ch = int(tile[dy, dx])
+                sums[ch] += tt[dy::ph, dx::pw]
+                counts[ch] += 1.0
+        want = np.clip((sums / counts[:, None, None] - 512.0) / 15871.0,
+                       0.0, 1.0)
+        np.testing.assert_allclose(got, want, atol=2e-7)
+    with pytest.raises(ValueError):
+        native.cfa_block_means(t[:-1], 6, 6, np.zeros(36, np.int32), 0, 1)
+
+
 def test_quick_from_raw_respects_default_crop_and_orientation():
     from rawphotoforge_tpu.engine.instant import quick_from_raw
     from rawphotoforge_tpu.io.raw import synthetic_raw
