@@ -56,7 +56,7 @@ a{{color:#8cf}}
   <div>
     <button onclick="document.getElementById('fopen').click()">{open_file}</button>
     <input id=fopen type=file style="display:none"
-      accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw">
+      accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw,.rw2,.raf,.cr3,.x3f,.orf,.pef,.srw">
     <a id=dl href="#" onclick="asyncExport('jpeg','export.jpg');return false">{export_jpeg}</a>
     <a href="#" onclick="asyncExport('png','export.png');return false">PNG</a>
     <a href="#" onclick="asyncExport('dng','export_hdr.dng');return false">HDR</a>
@@ -777,10 +777,13 @@ class EditorApp:
                 if self.opening is not None and self.opening["seq"] == seq:
                     # Roll back: end the instant era (the previous session
                     # was never replaced and stays fully usable) and
-                    # surface the failure via /open/status.
+                    # surface the failure via /open/status. device_ready
+                    # is set under the same lock and ONLY when this open
+                    # still owns the era — a superseded open must not
+                    # set the event a newer /open just cleared.
                     self.opening = None
                     self.last_open_error = str(e)
-            self.device_ready.set()
+                    self.device_ready.set()
             return
         # Replay edits made during the era onto the device session BEFORE
         # it becomes visible — era edits persist even for API clients
@@ -819,13 +822,16 @@ class EditorApp:
                         pass
                     self.editor = ed
                     self.opening = None
+                    # Inside the lock: a new /open arriving after the
+                    # swap clears the event for ITS era; setting it out
+                    # here would falsely mark that newer open ready.
+                    self.device_ready.set()
                     break
             for kind, body in pending:  # outside the lock
                 try:
                     self._replay_item(ed, kind, body)
                 except Exception:  # noqa: BLE001 — stand-in state only
                     pass
-        self.device_ready.set()
 
     def _replay_item(self, ed: PhotoEditor, kind: str, body) -> None:
         """Apply one era (edit|preset|mask_*) item to the not-yet-visible

@@ -11,6 +11,11 @@ walker (io/dng.extract_preview) handles:
   rendered JPEG is the first track chunk at the head of ``mdat``. The
   reference opens CR3 through rawler's BMFF decoder
   (rust-godot-legacy/photo-editor/src/image.rs:14-179).
+* Sigma X3F — ``FOVb`` header; the last 4 bytes of the file point (u32
+  LE) at a ``SECd`` directory whose IMAG/IMA2 entries are image
+  sections (``SECi`` header; format 18 = JPEG-compressed preview) —
+  the layout x3f_tools/libopenraw document. rawler routes ``.x3f``
+  through its x3f module (image.rs:14-179).
 
 These extractors only *locate* JPEG byte ranges — every candidate is
 validated by a full Pillow decode in io/dng.extract_preview before
@@ -159,12 +164,69 @@ def bmff_exif_tiff_blocks(data: bytes) -> list:
     return blocks
 
 
+X3F_MAGIC = b"FOVb"
+
+
+def is_x3f(data: bytes) -> bool:
+    return data[:4] == X3F_MAGIC
+
+
+def x3f_preview_candidates(data: bytes) -> list:
+    """JPEG candidates from a Sigma X3F container.
+
+    Structure (all integers little-endian): the file's last 4 bytes are
+    the offset of the directory section — ``SECd``, version, entry
+    count, then 12-byte entries (offset, length, 4-char type). Entries
+    typed ``IMAG``/``IMA2`` point at image sections: a 28-byte ``SECi``
+    header (magic, version, type, format, columns, rows, rowSize)
+    followed by the image data; format 18 is a JPEG-compressed preview.
+    The directory walk targets exactly those payloads — a blind SOI
+    scan from byte 0 would burn its candidate budget on false SOI
+    markers inside the compressed sensor payload that precedes the
+    previews in real files. Falls back to the bounded generic scan when
+    the directory is damaged."""
+    cands: list = []
+    try:
+        (dir_off,) = struct.unpack_from("<I", data, len(data) - 4)
+        if 8 <= dir_off <= len(data) - 12 \
+                and data[dir_off:dir_off + 4] == b"SECd":
+            (n,) = struct.unpack_from("<I", data, dir_off + 8)
+            mv = memoryview(data)
+            for i in range(min(n, 64)):
+                base = dir_off + 12 + 12 * i
+                if base + 12 > len(data) or len(cands) >= 8:
+                    break
+                off, ln, typ = struct.unpack_from("<II4s", data, base)
+                if typ not in (b"IMAG", b"IMA2"):
+                    continue
+                if not (0 < off < len(data)) or ln < 28 \
+                        or ln > len(data) - off:
+                    continue
+                if data[off:off + 4] != b"SECi":
+                    continue
+                payload = off + 28
+                if data[payload:payload + 3] == _SOI:
+                    cands.append(
+                        mv[payload:min(off + ln, payload + _MAX_CAND)])
+                else:
+                    # Format-3/6 sections (uncompressed/huffman sensor
+                    # data) are skipped by the SOI check; variant header
+                    # paddings get a scan bounded to the section.
+                    _soi_candidates(data, payload, off + ln, cands,
+                                    max_soi=2)
+    except Exception:  # noqa: BLE001 — fall through to the generic scan
+        pass
+    if not cands:
+        _soi_candidates(data, 0, len(data), cands, max_soi=8)
+    return cands
+
+
 def generic_jpeg_candidates(data: bytes) -> list:
     """Last-resort bounded SOI scan for containers with no structured
-    extractor (Sigma X3F 'FOVb', Minolta MRW, …). Every candidate still
-    has to survive the caller's full Pillow decode, so a false SOI in
-    compressed sensor payload costs one fast header-parse failure and
-    nothing else."""
+    extractor (Minolta MRW, …). Every candidate still has to survive
+    the caller's full Pillow decode, so a false SOI in compressed
+    sensor payload costs one fast header-parse failure and nothing
+    else."""
     cands: list = []
     _soi_candidates(data, 0, len(data), cands, max_soi=8)
     return cands
@@ -175,4 +237,6 @@ def vendor_preview_candidates(data: bytes) -> list:
         return raf_preview_candidates(data)
     if is_bmff(data):
         return bmff_preview_candidates(data)
+    if is_x3f(data):
+        return x3f_preview_candidates(data)
     return generic_jpeg_candidates(data)

@@ -984,3 +984,56 @@ def test_server_open_device_failure_rolls_back(monkeypatch, tmp_path):
             assert json.loads(r.read())["ok"]
     finally:
         httpd.shutdown()
+
+
+def test_superseded_open_failure_keeps_device_ready_cleared(
+        monkeypatch, tmp_path):
+    """A superseded open's device-phase FAILURE must not set device_ready
+    (a newer /open just cleared it for ITS era) and must not roll back
+    the newer era or record an error for it."""
+    from rawphotoforge_tpu.app.server import EditorApp
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    rng = np.random.default_rng(211)
+    gates = {(20, 26): threading.Event(), (24, 30): threading.Event()}
+    calls = []
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def gated_from_host(cls, ho, **kwargs):
+        # Keyed on the opened image's shape: thread scheduling must not
+        # decide which open fails.
+        calls.append(ho.shape)
+        gates[ho.shape].wait(timeout=60)
+        if ho.shape == (20, 26):
+            raise RuntimeError("stale open exploded")
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(gated_from_host))
+    ed0 = PhotoEditor(random_linear_image(rng, 20, 26).transpose(2, 0, 1),
+                      mid_long_edge=16, use_pallas=False)
+    app = EditorApp(ed0, settings=Settings(),
+                    settings_path=str(tmp_path / "s.json"), prewarm=False)
+    with app.lock:
+        assert app.start_open(_png_bytes(rng, 20, 26), "a.png")["instant"]
+    with app.lock:
+        assert app.start_open(_png_bytes(rng, 24, 30), "b.png")["instant"]
+    assert not app.device_ready.is_set()
+    seq2 = app.opening["seq"]
+
+    gates[(20, 26)].set()  # stale open #1 fails now
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and len(calls) < 2:
+        time.sleep(0.02)
+    time.sleep(0.2)  # let open #1's failure path run to completion
+    # Open #2 still owns the era: not ready, not rolled back, no error.
+    assert not app.device_ready.is_set()
+    assert app.opening is not None and app.opening["seq"] == seq2
+    assert app.open_status() == {"ready": False, "error": None,
+                                 "opened_from_preview": None}
+
+    gates[(24, 30)].set()  # open #2 lands
+    assert app.device_ready.wait(timeout=60)
+    assert app.opening is None and app.last_open_error is None
+    assert app.editor.shape == (24, 30)

@@ -351,19 +351,103 @@ def test_rw2_jpgfromraw_tag():
     assert dng.extract_preview(blob) == jpeg
 
 
-def test_generic_scan_opens_x3f_style_container():
-    """Unknown containers (e.g. Sigma X3F) get a bounded SOI scan; the
-    PIL gate keeps false SOIs in sensor payload from surfacing."""
-    jpeg = _jpeg(16, 22, seed=52)
-    rng = np.random.default_rng(8)
+def _x3f(sections, sensor_noise=b""):
+    """Minimal Sigma X3F: FOVb header, optional opaque sensor payload,
+    image sections, SECd directory, footer pointer. ``sections`` is a
+    list of (entry_type, format, jpeg_bytes)."""
+    blob = bytearray(b"FOVb" + struct.pack("<I", 0x00020003) + b"\x00" * 32)
+    blob += sensor_noise
+    entries = []
+    for typ, fmt, payload in sections:
+        off = len(blob)
+        # SECi header is 28 bytes: magic, version, type, format,
+        # columns, rows, rowSize.
+        sec = (b"SECi" + struct.pack("<IIIIII", 0x00020003, 2, fmt,
+                                     22, 16, 0) + payload)
+        blob += sec
+        entries.append((off, len(sec), typ))
+    dir_off = len(blob)
+    blob += b"SECd" + struct.pack("<II", 0x00020003, len(entries))
+    for off, ln, typ in entries:
+        blob += struct.pack("<II", off, ln) + typ
+    blob += struct.pack("<I", dir_off)
+    return bytes(blob)
+
+
+def _fake_soi_noise(n_soi=12, seed=8):
+    """Opaque payload salted with MANY undecodable SOI markers — a blind
+    scan's candidate budget dies here."""
+    rng = np.random.default_rng(seed)
     noise = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
-    noise = noise.replace(b"\xff\xd8", b"\x00\x00")  # no accidental SOI
-    blob = b"FOVb" + noise + jpeg + noise
+    noise = noise.replace(b"\xff\xd8", b"\x00\x00")
+    return (b"\xff\xd8\xff\x00BAD!" + noise[:256]) * n_soi + noise
+
+
+def test_x3f_directory_walk_finds_preview_past_fake_sois():
+    """The structured X3F path reads the footer directory and goes
+    straight to the IMA2/IMAG JPEG sections — even when the sensor
+    payload before them carries more false SOI markers than the generic
+    scan's whole candidate budget."""
+    thumb, big = _jpeg(8, 10, seed=54), _jpeg(16, 22, seed=52)
+    blob = _x3f([(b"IMA2", 18, thumb), (b"IMAG", 18, big)],
+                sensor_noise=_fake_soi_noise())
+    got = dng.extract_preview(blob)
+    assert got is not None
+    img = PILImage.open(io.BytesIO(got))
+    img.load()
+    assert img.size == (22, 16)  # largest preview wins
+
+
+def test_x3f_damaged_directory_falls_back_to_scan():
+    """A corrupt footer pointer degrades to the bounded generic scan;
+    the PIL gate keeps false SOIs in sensor payload from surfacing."""
+    jpeg = _jpeg(16, 22, seed=52)
+    blob = _x3f([(b"IMA2", 18, jpeg)])
+    blob = blob[:-4] + struct.pack("<I", 0xFFFFFFF0)  # dead pointer
     got = dng.extract_preview(blob)
     assert got is not None
     img = PILImage.open(io.BytesIO(got))
     img.load()
     assert img.size == (22, 16)
+
+
+def test_x3f_skips_non_jpeg_sections():
+    """Format-3 (uncompressed sensor) sections carry no SOI at their
+    payload start and must be skipped, not surfaced as garbage."""
+    rng = np.random.default_rng(11)
+    sensor = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    sensor = sensor.replace(b"\xff\xd8", b"\x00\x00")
+    jpeg = _jpeg(12, 14, seed=55)
+    blob = _x3f([(b"IMAG", 3, sensor), (b"IMA2", 18, jpeg)])
+    got = dng.extract_preview(blob)
+    img = PILImage.open(io.BytesIO(got))
+    img.load()
+    assert img.size == (14, 12)
+
+
+def test_editor_opens_x3f_via_preview(tmp_path):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    jpeg = _jpeg(24, 32, seed=56)
+    p = tmp_path / "c.x3f"
+    p.write_bytes(_x3f([(b"IMA2", 18, jpeg)],
+                       sensor_noise=_fake_soi_noise(seed=12)))
+    ed = PhotoEditor.open(str(p))
+    assert ed.opened_from_preview  # sensor decode is a non-goal here
+    assert ed.shape == (24, 32)
+
+
+def test_x3f_extractor_fuzz_never_raises():
+    rng = np.random.default_rng(13)
+    base = _x3f([(b"IMA2", 18, _jpeg(10, 12, seed=57))],
+                sensor_noise=b"\x01" * 512)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        cut = rng.integers(0, len(b) + 1)
+        dng.extract_preview(bytes(b))        # whole mutant
+        dng.extract_preview(bytes(b[:cut]))  # truncated mutant
 
 
 def test_generic_scan_rejects_jpegless_garbage():
