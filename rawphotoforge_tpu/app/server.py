@@ -60,7 +60,7 @@ a{{color:#8cf}}
     <a id=dl href="#" onclick="asyncExport('jpeg','export.jpg');return false">{export_jpeg}</a>
     <a href="#" onclick="asyncExport('png','export.png');return false">PNG</a>
     <a href="#" onclick="asyncExport('dng','export_hdr.dng');return false">HDR</a>
-    <span id=exp_status></span>
+    <span id=exp_status></span> <span id=open_status></span>
   </div>
   <canvas id=hist width=256 height=70></canvas>
   <div id=tabhdr>
@@ -421,7 +421,11 @@ async function asyncExport(fmt,filename){{
       st.textContent=s.stage+'...';
       await new Promise(res=>setTimeout(res,300));
     }}
-    const blob=await (await fetch('/export/result?job='+job)).blob();
+    // An evicted job / restarted server answers 4xx JSON here — that
+    // must surface as an error, not download as the image file.
+    const rr=await fetch('/export/result?job='+job);
+    if(!rr.ok)throw new Error((await rr.json()).error||rr.status);
+    const blob=await rr.blob();
     const a=document.createElement('a');
     a.href=URL.createObjectURL(blob);a.download=filename;a.click();
     setTimeout(()=>URL.revokeObjectURL(a.href),10000);
@@ -632,7 +636,9 @@ let wasOpening=false;
 async function pollReady(){{
   try{{
     const s=await (await fetch('/open/status')).json();
-    const st=document.getElementById('exp_status');
+    // Own span: the 2.5 s poll must not clobber live export progress
+    // text (export jobs stay reachable through the era).
+    const st=document.getElementById('open_status');
     if(!s.ready){{
       wasOpening=true;
       st.textContent=LABELS.opening||'processing on device…';
@@ -832,6 +838,14 @@ class EditorApp:
                     self._replay_item(ed, kind, body)
                 except Exception:  # noqa: BLE001 — stand-in state only
                     pass
+        if self.prewarm:
+            # After the swap — unconditionally, not per replay item: the
+            # common no-edits-during-open case must still warm the LOW
+            # drag level and any residual programs, or the first slider
+            # drag pays a cold remote compile.
+            from ..engine.prewarm import warm_async
+
+            warm_async(editor=ed)
 
     def _replay_item(self, ed: PhotoEditor, kind: str, body) -> None:
         """Apply one era (edit|preset|mask_*) item to the not-yet-visible
@@ -866,10 +880,6 @@ class EditorApp:
         elif kind == "reset":
             ed.reset()
             ed.clear_crop()
-        if self.prewarm:
-            from ..engine.prewarm import warm_async
-
-            warm_async(editor=ed)  # LOW drag level + any residual programs
 
     def open_status(self) -> dict:
         op = self.opening
@@ -1510,8 +1520,15 @@ def make_handler(app: EditorApp):
                         h, w = op["shape"]
                         from ..ops.geometry import resize_long_edge_shape
 
-                        ph, pw = resize_long_edge_shape(
-                            h, w, app.settings.ui_preview_size)
+                        # Clamp like the editor pyramid: images smaller
+                        # than the preview size are NOT upscaled, so the
+                        # era preview_shape must match what the session
+                        # will report after the swap.
+                        if max(h, w) > app.settings.ui_preview_size:
+                            ph, pw = resize_long_edge_shape(
+                                h, w, app.settings.ui_preview_size)
+                        else:
+                            ph, pw = h, w
                         crop = op["crop"]
                         self._send(200, json.dumps(
                             {"shape": [h, w], "preview_shape": [ph, pw],
@@ -1537,11 +1554,18 @@ def make_handler(app: EditorApp):
 
                         p = op["params"] or EditParameters()
                         crop = op["crop"]
+                        masks = [{"name": "main", "params": p.to_json()}]
+                        # Era regional masks carry their params too —
+                        # the same full-state serialization
+                        # editor.preset_json emits (mask pixel data is
+                        # never part of a preset).
+                        masks += [{"name": m["name"],
+                                   "params": m["params"].to_json()}
+                                  for m in op["masks"]]
                         self._send(200, json.dumps(
                             {"version": 1,
                              "crop": list(crop) if crop else None,
-                             "masks": [{"name": "main",
-                                        "params": p.to_json()}]}).encode())
+                             "masks": masks}).encode())
                     elif url.path == "/settings":
                         self._send(200,
                                    json.dumps(app.settings.to_json()).encode())
@@ -1677,77 +1701,59 @@ def make_handler(app: EditorApp):
                             400, json.dumps({"error": str(e)}).encode()
                         )
                 return
-            if app.opening is not None:
-                # Instant era: slider/curve edits, crop and reset stay
-                # LIVE — validated like their real counterparts, rendered
-                # host-side (engine.hostdev) and replayed onto the device
-                # session at swap. Everything else (masks, presets,
-                # exports) answers 409 until the open lands.
-                with app.lock:
+            with app.lock:
+                # The era check happens under the SAME lock acquisition
+                # as the dispatch: checking app.opening outside and
+                # re-acquiring would let a concurrent /open slip in
+                # between — the edit would then apply to the OUTGOING
+                # session, answer a plain 200, and vanish at swap
+                # (era-time edits must persist via the replay list).
+                if app.opening is not None and url.path != "/settings":
+                    # Instant era: slider/curve edits, masks, presets,
+                    # crop and reset stay LIVE — validated like their
+                    # real counterparts, rendered host-side
+                    # (engine.hostdev) and replayed onto the device
+                    # session at swap. Everything else (exports) answers
+                    # 409 until the open lands. /settings is
+                    # session-global, independent of the pending swap:
+                    # it takes the normal handler below.
+                    if url.path not in ("/edit", "/crop", "/preset",
+                                        "/mask/add", "/mask/remove",
+                                        "/mask/invert", "/reset"):
+                        self._send(409, json.dumps(
+                            {"error": "open in progress"}).encode())
+                        return
                     try:
-                        if app.opening is None:
-                            # Landed between the check and the lock: fall
-                            # out to the normal handlers below.
-                            pass
-                        elif url.path == "/edit":
-                            body = json.loads(raw_body or b"{}")
+                        body = json.loads(raw_body or b"{}")
+                        if url.path == "/edit":
                             app.era_edit(body)
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
                         elif url.path == "/crop":
-                            body = json.loads(raw_body or b"{}")
                             app.era_crop(body)
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
                         elif url.path == "/preset":
-                            body = json.loads(raw_body or b"{}")
                             app.era_preset(body)
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
                         elif url.path == "/mask/add":
-                            body = json.loads(raw_body or b"{}")
                             app.era_mask_add(body)
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
                         elif url.path == "/mask/remove":
-                            body = json.loads(raw_body or b"{}")
                             app.check_keys(body, frozenset({"name"}),
                                            "/mask/remove")
                             app.era_mask_remove(str(body.get("name", "")))
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
                         elif url.path == "/mask/invert":
-                            body = json.loads(raw_body or b"{}")
                             app.check_keys(body, frozenset({"name"}),
                                            "/mask/invert")
                             app.era_mask_invert(str(body.get("name", "")))
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
-                        elif url.path == "/reset":
-                            app.check_keys(
-                                json.loads(raw_body or b"{}"),
-                                frozenset(), "/reset")
+                        else:  # /reset
+                            app.check_keys(body, frozenset(), "/reset")
                             app.era_reset()
-                            self._send(200, b'{"ok": true, "instant": true}')
-                            return
-                        elif url.path == "/settings":
-                            pass  # session-global, independent of the
-                            #       pending swap: fall through to the
-                            #       normal handler below
-                        else:
-                            self._send(409, json.dumps(
-                                {"error": "open in progress"}).encode())
-                            return
+                        self._send(200, b'{"ok": true, "instant": true}')
                     except Exception as e:  # noqa: BLE001 — typed 400
                         self._send(400,
                                    json.dumps({"error": str(e)}).encode())
-                        return
-            if app.editor is None and url.path != "/settings":
-                self._send(503, json.dumps(
-                    {"error": app.last_open_error or
-                     "no image open"}).encode())
-                return
-            with app.lock:
+                    return
+                if app.editor is None and url.path != "/settings":
+                    self._send(503, json.dumps(
+                        {"error": app.last_open_error or
+                         "no image open"}).encode())
+                    return
                 try:
                     # Inside the try: malformed JSON must answer 400, not
                     # kill the connection without a response.

@@ -179,9 +179,10 @@ def quick_linear_from_raw(raw, long_edge: int) -> Optional[np.ndarray]:
                 (mosaic.astype(np.float32) - black) / span, 0.0, 1.0
             ).transpose(2, 0, 1)
         else:
-            tile = np.asarray(NAMED_CFA.get(raw.pattern))
+            tile = NAMED_CFA.get(raw.pattern)
             if tile is None or mosaic.ndim != 2:
-                return None
+                return None  # unknown layout: no instant (best-effort)
+            tile = np.asarray(tile)
             ph, pw = tile.shape
             th, tw = mosaic.shape[0] // ph, mosaic.shape[1] // pw
             if th < 8 or tw < 8:

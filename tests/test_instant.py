@@ -1037,3 +1037,95 @@ def test_superseded_open_failure_keeps_device_ready_cleared(
     assert app.device_ready.wait(timeout=60)
     assert app.opening is None and app.last_open_error is None
     assert app.editor.shape == (24, 30)
+
+
+def test_era_preset_get_includes_regional_masks(gated_server):
+    """GET /preset during the era must serialize era regional masks'
+    params (the editor.preset_json contract), not just main."""
+    base, gate = gated_server
+    rng = np.random.default_rng(223)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 30, 40),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(), method="POST")
+        urllib.request.urlopen(req, timeout=30).read()
+
+    post("/mask/add", {"name": "spot", "point": [10, 10],
+                       "tolerance": 0.3})
+    post("/edit", {"_target": "spot", "exposure": -2.0})
+    _, _, p = _get(base + "/preset")
+    p = json.loads(p)
+    by_name = {m["name"]: m["params"] for m in p["masks"]}
+    assert set(by_name) == {"main", "spot"}
+    assert by_name["spot"]["exposure"] == -2.0
+    gate.set()
+
+
+def test_era_info_preview_shape_never_upscales(gated_server):
+    """A small image's era preview_shape must match the post-swap
+    pyramid (no upscale past the source size)."""
+    base, gate = gated_server
+    rng = np.random.default_rng(227)
+    req = urllib.request.Request(
+        base + "/open?name=pic.png", data=_png_bytes(rng, 30, 40),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+    _, _, info = _get(base + "/info")
+    info = json.loads(info)
+    assert info["instant"] and info["preview_shape"] == [30, 40]
+    gate.set()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    _, _, info2 = _get(base + "/info")
+    assert json.loads(info2)["preview_shape"] == [30, 40]
+
+
+def test_quick_linear_from_raw_unknown_pattern_returns_none():
+    from rawphotoforge_tpu.engine.instant import quick_linear_from_raw
+
+    class FakeRaw:
+        mosaic = np.zeros((32, 32), np.uint16)
+        pattern = "NOT_A_CFA"
+        black_level = 0.0
+        white_level = 1023.0
+        wb_gains = (1.0, 1.0, 1.0)
+        wb_known = True
+        xyz_to_cam = None
+        default_crop = None
+        orientation = 1
+
+    assert quick_linear_from_raw(FakeRaw(), 64) is None
+
+
+def test_async_open_prewarms_after_swap_without_era_edits(
+        monkeypatch, tmp_path):
+    """The no-edits-during-open case must still warm the new session's
+    residual programs exactly once, after the swap."""
+    from rawphotoforge_tpu.app.server import EditorApp
+    from rawphotoforge_tpu.engine import prewarm as pw
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    warmed = []
+    monkeypatch.setattr(pw, "warm_async",
+                        lambda *a, **k: warmed.append((a, k)))
+    rng = np.random.default_rng(229)
+    ed0 = PhotoEditor(random_linear_image(rng, 20, 26).transpose(2, 0, 1),
+                      mid_long_edge=16, use_pallas=False)
+    app = EditorApp(ed0, settings=Settings(),
+                    settings_path=str(tmp_path / "s.json"), prewarm=True)
+    with app.lock:
+        assert app.start_open(_png_bytes(rng, 24, 30), "b.png")["instant"]
+    assert app.device_ready.wait(timeout=60)
+    assert len(warmed) == 1
+    assert warmed[0][1].get("editor") is app.editor
