@@ -176,7 +176,16 @@ def _read_cr2(data: bytes) -> RawImage:
     exif_entries = {}
     maker_entries = {}
     if T_EXIF_IFD in ifds[0]:
-        exif_entries, _ = _read_ifd(data, tag(ifds[0], T_EXIF_IFD), bo)
+        try:
+            # A mis-typed or out-of-range EXIF pointer must drop the
+            # metadata, not abort a sensor decode whose strips are fine
+            # (the same guard the DNG walker applies to its EXIF/SubIFD
+            # pointers).
+            exif_off = tag(ifds[0], T_EXIF_IFD)
+            if isinstance(exif_off, int) and 0 < exif_off < len(data):
+                exif_entries, _ = _read_ifd(data, exif_off, bo)
+        except (struct.error, KeyError, TypeError, ValueError):
+            exif_entries = {}
         if T_MAKERNOTE in exif_entries:
             typ, n, mn_off = exif_entries[T_MAKERNOTE]
             try:

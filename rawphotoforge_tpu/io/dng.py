@@ -74,6 +74,7 @@ T_F_NUMBER = 33437
 T_EXIF_IFD = 34665
 T_ISO = 34855
 T_FOCAL_LENGTH = 37386
+T_FOCAL_LENGTH_35MM = 41989     # FocalLengthIn35mmFilm (crop factor route)
 T_LENS_MODEL = 42036
 T_DNG_VERSION = 50706
 T_LINEARIZATION_TABLE = 50712
@@ -563,6 +564,14 @@ def _format_exif(lookup) -> dict:
         fl = fl[0]
     if isinstance(fl, (int, float)) and fl > 0:
         exif["FocalLength"] = str(fl)
+    f35 = lookup(T_FOCAL_LENGTH_35MM)
+    if isinstance(f35, list) and f35:
+        f35 = f35[0]
+    if isinstance(f35, (int, float)) and f35 > 0:
+        # Not one of the reference's 11 display fields, but the lens-DB
+        # crop-factor rescale keys on it (lensdb.profile_from_exif:
+        # crop = FocalLengthIn35mmFilm / FocalLength).
+        exif["FocalLengthIn35mmFilm"] = str(int(f35))
     lens = lookup(T_LENS_MODEL)
     if isinstance(lens, str) and lens.strip():
         exif["LensModel"] = lens.strip()
@@ -643,7 +652,8 @@ def extract_container_tags(data: bytes, tags) -> dict:
 
 
 _EXIF_TAGS = (T_MAKE, T_MODEL, T_EXPOSURE_TIME, T_F_NUMBER, T_ISO,
-              T_FOCAL_LENGTH, T_LENS_MODEL, T_DATETIME_ORIGINAL, T_DATETIME)
+              T_FOCAL_LENGTH, T_FOCAL_LENGTH_35MM, T_LENS_MODEL,
+              T_DATETIME_ORIGINAL, T_DATETIME)
 
 
 def extract_container_exif(data: bytes) -> dict:
@@ -791,10 +801,22 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     entries, next_off = _read_ifd(data, ifd0_off, bo)
     ifds.append(entries)
     if T_SUB_IFDS in entries:
-        subs = _value(data, entries[T_SUB_IFDS], bo)
+        try:
+            subs = _value(data, entries[T_SUB_IFDS], bo)
+        except struct.error:
+            subs = []  # out-of-line pointer array past EOF
         subs = subs if isinstance(subs, list) else [subs]
         for s in subs:
-            sub_entries, _ = _read_ifd(data, s, bo)
+            # One corrupt/mis-typed SubIFD pointer must not abort the
+            # decode (the raw IFD may be elsewhere in the chain; same
+            # posture as the EXIF-pointer guard below and
+            # _walk_all_ifds' bounds check).
+            if not isinstance(s, int) or not 0 < s < len(data):
+                continue
+            try:
+                sub_entries, _ = _read_ifd(data, s, bo)
+            except (struct.error, ValueError, KeyError, TypeError):
+                continue
             ifds.append(sub_entries)
     seen_offsets = {ifd0_off}
     while next_off and next_off not in seen_offsets:
@@ -1050,7 +1072,15 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     def any_ifd(t, default=None):
         for e in ifds:
             if t in e:
-                return _value(data, e[t], bo)
+                try:
+                    return _value(data, e[t], bo)
+                except struct.error:
+                    # An out-of-line value offset past EOF (corruption
+                    # confined to a metadata tag) must not abort the
+                    # sensor decode — _format_exif's one-junk-field
+                    # contract, and the posture extract_container_tags
+                    # already takes per tag.
+                    return default
         return default
 
     cfa = tag(cfa_ifd, T_CFA_PATTERN) or any_ifd(T_CFA_PATTERN)
@@ -1334,12 +1364,19 @@ def write_dng(
     def add(tag, typ, values):
         entries.append(_pack_tag(tag, typ, values))
 
+    def _neutral_rat(g):
+        # AsShotNeutral = 1/gain as an *unsigned* u32 RATIONAL. A zero or
+        # tiny gain (crafted AsShotNeutral on the convert transcode path)
+        # would overflow the numerator at the fixed 1e6 denominator and
+        # escape as struct.error; floor the gain so the largest numerator
+        # stays < 2^32, and keep it >= 1 so a huge gain can't serialize a
+        # zero neutral (division by zero on read-back).
+        num = int(round(1e6 / max(float(g), 2.4e-4)))
+        return (min(max(num, 1), 0xFFFFFFFF), 1000000)
+
     neutral_g = raw.wb_gains
-    as_shot = [
-        (int(1e6 / max(neutral_g[0], 1e-6)), 1000000),
-        (1000000, 1000000),
-        (int(1e6 / max(neutral_g[2], 1e-6)), 1000000),
-    ]
+    as_shot = [_neutral_rat(neutral_g[0]), (1000000, 1000000),
+               _neutral_rat(neutral_g[2])]
 
     add(T_NEW_SUBFILE_TYPE, 4, 0)
     add(T_WIDTH, 4, w)
@@ -1381,6 +1418,13 @@ def write_dng(
             iso = int(float(raw.exif["ISO"]))
             if 0 <= iso <= 0xFFFF:
                 exif_entries.append(_pack_tag(T_ISO, 3, iso))
+        except (ValueError, OverflowError):
+            pass
+    if "FocalLengthIn35mmFilm" in raw.exif:
+        try:
+            f35 = int(float(raw.exif["FocalLengthIn35mmFilm"]))
+            if 0 < f35 <= 0xFFFF:
+                exif_entries.append(_pack_tag(T_FOCAL_LENGTH_35MM, 3, f35))
         except (ValueError, OverflowError):
             pass
     if "LensModel" in raw.exif:
@@ -1464,26 +1508,33 @@ def write_dng(
         pent = [
             (254, 4, 1, 1),          # NewSubfileType: reduced-res preview
             (256, 4, 1, pw), (257, 4, 1, ph),
-            (258, 3, 1, 8), (259, 3, 1, 7), (262, 3, 1, 6),  # JPEG, YCbCr
+            (258, 3, 3, 0),          # BitsPerSample [8,8,8]: TIFF 6.0
+            #                          requires count == SamplesPerPixel;
+            #                          3 SHORTs are out-of-line (below)
+            (259, 3, 1, 7), (262, 3, 1, 6),  # JPEG, YCbCr
             (273, 4, 1, 0),          # StripOffsets (patched below)
             (277, 3, 1, 3), (278, 4, 1, ph),
             (279, 4, 1, len(preview_jpeg)),
             (330, 4, 1, 0),          # SubIFDs -> raw IFD (patched below)
         ]
         pifd_size = 2 + len(pent) * 12 + 4
-        jpeg_off = 8 + pifd_size
+        bps_off = 8 + pifd_size      # the [8,8,8] SHORT triple
+        jpeg_off = bps_off + 8       # 6 bytes + 2 pad keeps JPEG even
         raw_base = jpeg_off + len(preview_jpeg) + (len(preview_jpeg) & 1)
         pifd = struct.pack("<H", len(pent))
         for t, ty, n, v in pent:
-            if t == 273:
+            if t == 258:
+                v = bps_off
+            elif t == 273:
                 v = jpeg_off
             elif t == 330:
                 v = raw_base
             pifd += struct.pack("<HHI", t, ty, n)
-            pifd += (struct.pack("<I", v) if ty == 4
+            pifd += (struct.pack("<I", v) if ty == 4 or t == 258
                      else struct.pack("<HH", v, 0))
         pifd += struct.pack("<I", 0)  # preview IFD ends the IFD0 chain
-        preview_block = (pifd + preview_jpeg
+        preview_block = (pifd + struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+                         + preview_jpeg
                          + (b"\x00" if len(preview_jpeg) & 1 else b""))
 
     header_size = 8 + len(preview_block)

@@ -141,4 +141,14 @@ def parse_exif(img: PILImage.Image) -> dict:
             pass
     if ExifTag.ExposureBiasValue in merged:
         e.exposure_bias = _ratio_to_float(merged[ExifTag.ExposureBiasValue])
-    return e.to_dict()
+    out = e.to_dict()
+    if ExifTag.FocalLengthIn35mmFilm in merged:
+        f35 = _ratio_to_float(merged[ExifTag.FocalLengthIn35mmFilm])
+        if f35 is not None and f35 > 0:
+            # Beyond the reference's 11 display fields: the lens-DB
+            # crop-factor rescale keys on it (lensdb.profile_from_exif
+            # derives crop = FocalLengthIn35mmFilm / FocalLength) — a
+            # profile calibrated for another sensor size is otherwise
+            # silently evaluated in the wrong radius frame.
+            out["FocalLengthIn35mmFilm"] = str(int(f35))
+    return out

@@ -57,18 +57,28 @@ def format_for_path(path: str) -> str:
 
 def _parse_ppm16(data: bytes) -> np.ndarray:
     """16-bit big-endian P6 PPM -> u16 HWC samples (image.ts:146-195)."""
-    # Header: magic, dims, maxval — whitespace separated, '#' comments allowed.
+    # Header: magic, dims, maxval — tokens separated by ANY whitespace
+    # (netpbm allows "P6 W H 65535 <data>" on one line, not just
+    # newline-terminated lines), '#' comments run to end of line, and
+    # exactly ONE whitespace byte after maxval precedes the pixel data.
     try:
         pos = 0
+        n = len(data)
         fields = []
         while len(fields) < 4:
-            nl = data.index(b"\n", pos)
-            line = data[pos:nl]
-            pos = nl + 1
-            hash_i = line.find(b"#")
-            if hash_i >= 0:
-                line = line[:hash_i]
-            fields.extend(line.split())
+            while pos < n and data[pos:pos + 1].isspace():
+                pos += 1
+            if pos < n and data[pos:pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < n and not data[pos:pos + 1].isspace() \
+                    and data[pos:pos + 1] != b"#":
+                pos += 1
+            if pos == start:
+                raise ImageIOError("truncated PPM header")
+            fields.append(data[start:pos])
+        pos += 1  # the single whitespace byte terminating maxval
         magic = fields[0]
         w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
         if magic != b"P6":

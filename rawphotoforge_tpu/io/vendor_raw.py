@@ -312,16 +312,14 @@ def write_rw2(raw: RawImage, jpg_from_raw: Optional[bytes] = None,
 # Fujifilm RAF
 # ---------------------------------------------------------------------------
 
-RAF_MAGIC = b"FUJIFILMCCD-RAW"
+# Single home of the container sniff: the preview extractor and this
+# sensor decoder must never disagree on what is a RAF file.
+from .vendor_preview import RAF_MAGIC, is_raf  # noqa: F401
 
 _RAF_DIMS = 0x0100          # (height u16, width u16) big-endian
 _RAF_LAYOUT = 0x0130        # SuperCCD layout flags
 _RAF_XTRANS = 0x0131        # 36 color codes, stored reversed (dcraw)
 _RAF_WB = 0x2FF0            # (G, R, G2, B) u16 levels (dcraw cam_mul[c^1])
-
-
-def is_raf(data: bytes) -> bool:
-    return data[: len(RAF_MAGIC)] == RAF_MAGIC
 
 
 def _raf_pointers(data: bytes):

@@ -206,3 +206,19 @@ def test_cr2_datetime_from_ifd0(sensor):
 
     raw = read_cr2(build_cr2(sensor))
     assert raw.exif["DateTime"] == "2026:08:17 09:00:00"
+
+
+def test_cr2_corrupt_exif_pointer_keeps_sensor_decode(sensor):
+    """A mis-pointed EXIF IFD must drop the shooting metadata, not abort
+    a sensor decode whose strips are fine (the DNG walker's posture)."""
+    blob = bytearray(build_cr2(sensor))
+    i = blob.find(struct.pack("<HHI", 34665, 4, 1))
+    assert i >= 0
+    struct.pack_into("<I", blob, i + 8, 0xFFFFFFF0)
+    raw = read_cr2(bytes(blob))
+    # Without the EXIF IFD the Canon MakerNote (and its SensorInfo
+    # borders) is gone too: the decode degrades to the full sensor
+    # instead of failing outright.
+    assert raw.mosaic.shape == (32, 48)
+    assert raw.exif.get("Make") == "Canon"
+    assert "ExposureTime" not in raw.exif

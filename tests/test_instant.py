@@ -1129,3 +1129,104 @@ def test_async_open_prewarms_after_swap_without_era_edits(
     assert app.device_ready.wait(timeout=60)
     assert len(warmed) == 1
     assert warmed[0][1].get("editor") is app.editor
+
+
+def test_server_concurrent_soak_across_era_transitions(
+        monkeypatch, tmp_path):
+    """Concurrency soak: worker threads fire random GET/POSTs while
+    /open era transitions (start, swap, supersede, rollback) churn.
+    Every response must be a well-formed HTTP status from the contract
+    set — no hung requests, no dropped connections, no 500s — and the
+    server must end in a consistent, editable state."""
+    import urllib.error
+
+    from rawphotoforge_tpu.app import server as srvmod
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.session import Settings
+
+    # Device phase artificially slowed (not gated: transitions churn on
+    # their own) so opens overlap with traffic.
+    real_from_host = PhotoEditor.from_host.__func__
+
+    def slow_from_host(cls, ho, **kwargs):
+        time.sleep(0.05)
+        if ho.shape == (21, 27):   # one shape fails -> rollback path
+            raise RuntimeError("boom")
+        return real_from_host(cls, ho, **kwargs)
+
+    monkeypatch.setattr(PhotoEditor, "from_host",
+                        classmethod(slow_from_host))
+    rng = np.random.default_rng(241)
+    ed = PhotoEditor(random_linear_image(rng, 30, 40).transpose(2, 0, 1),
+                     mid_long_edge=24, use_pallas=False)
+    httpd = srvmod.serve(ed, port=0, settings=Settings(),
+                         settings_path=str(tmp_path / "s.json"),
+                         prewarm=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    pngs = {shape: _png_bytes(rng, *shape)
+            for shape in ((20, 26), (21, 27), (24, 30))}
+    errors: list = []
+    OK = {200, 400, 404, 409, 503}
+
+    def req(path, body=None):
+        try:
+            r = urllib.request.Request(
+                base + path,
+                data=(None if body is None else
+                      body if isinstance(body, bytes)
+                      else json.dumps(body).encode()),
+                method="GET" if body is None else "POST")
+            with urllib.request.urlopen(r, timeout=30) as resp:
+                resp.read()
+                return resp.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+        except Exception as e:  # noqa: BLE001 — dropped conn = bug
+            errors.append(f"{path}: {type(e).__name__} {e}")
+            return -1
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(40):
+            roll = r.integers(0, 10)
+            if roll == 0:
+                shape = list(pngs)[int(r.integers(0, 3))]
+                code = req(f"/open?name=f{shape[0]}.png", pngs[shape])
+            elif roll < 4:
+                code = req("/edit", {"exposure": float(r.uniform(-2, 2))})
+            elif roll == 4:
+                code = req("/crop", {"x0": 1, "y0": 1, "x1": 15, "y1": 12})
+            elif roll == 5:
+                code = req("/reset", {})
+            elif roll == 6:
+                code = req("/preview?level=mid")
+            elif roll == 7:
+                code = req("/histogram")
+            elif roll == 8:
+                code = req("/params?mask=main")
+            else:
+                code = req("/open/status")
+            if code not in OK:
+                errors.append(f"unexpected status {code}")
+
+    threads = [threading.Thread(target=worker, args=(300 + i,))
+               for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+        assert not th.is_alive(), "soak worker hung"
+    assert not errors, errors[:5]
+    # Quiesce: let any in-flight open land, then the session must edit.
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        _, _, st = _get(base + "/open/status")
+        if json.loads(st)["ready"]:
+            break
+        time.sleep(0.05)
+    assert req("/edit", {"exposure": 0.5}) == 200
+    assert req("/preview?level=mid") == 200
+    httpd.shutdown()

@@ -234,3 +234,18 @@ def test_ppm16_export_roundtrips_linear(rng):
 
     back = np.asarray(linear_to_srgb(jnp.asarray(planes)))
     np.testing.assert_allclose(back, np.asarray(srgb), atol=2e-3)
+
+
+def test_ppm16_single_space_header(rng):
+    """netpbm allows ANY single whitespace between header tokens and
+    after maxval — a spec-legal 'P6 W H 65535 <data>' one-liner must
+    decode identically to the newline layout."""
+    hwc = rng.random((3, 4, 3)).astype(np.float32)
+    newline = image_io.encode_ppm16(hwc)
+    want = image_io.decode_ppm16(newline)
+    body = newline.split(b"65535", 1)[1][1:]  # pixel bytes
+    spaced = b"P6 4 3 65535 " + body
+    np.testing.assert_array_equal(image_io.decode_ppm16(spaced), want)
+    # Comments between tokens still parse.
+    commented = b"P6 #c\n4 #c\n3\n65535\n" + body
+    np.testing.assert_array_equal(image_io.decode_ppm16(commented), want)

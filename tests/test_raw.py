@@ -575,3 +575,125 @@ def test_develop_raw_method_routing(rng):
     assert float(jnp.abs(nc - res).max()) > 1e-4  # genuinely different paths
     with pytest.raises(ValueError, match="unknown demosaic method"):
         dm.develop_raw(m, wb, cam, pattern="RGGB", method="malvarr")
+
+
+def test_write_dng_extreme_wb_gains_stay_typed(rng):
+    """Zero/huge AsShotNeutral gains must serialize (clamped into the
+    unsigned-RATIONAL range) instead of escaping as struct.error."""
+    import dataclasses
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    for gains in ((0.0, 1.0, 1.5), (1e9, 1.0, 1e-9)):
+        data = write_dng(dataclasses.replace(raw, wb_gains=gains))
+        got = read_dng(data)
+        for g in got.wb_gains:
+            assert np.isfinite(g) and g > 0
+
+
+def test_write_dng_preview_bps_count_matches_samples(rng):
+    """TIFF 6.0 requires BitsPerSample count == SamplesPerPixel: the
+    YCbCr preview IFD must declare three 8s, not one."""
+    import io
+    import struct
+
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io.dng import extract_preview, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    buf = io.BytesIO()
+    PILImage.fromarray(
+        (rng.random((20, 30, 3)) * 255).astype(np.uint8)).save(buf, "JPEG")
+    jpeg = buf.getvalue()
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    data = write_dng(raw, preview_jpeg=jpeg)
+    (off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, off)
+    entries = {}
+    for i in range(n):
+        t, ty, cnt, val = struct.unpack_from("<HHII", data,
+                                             off + 2 + 12 * i)
+        entries[t] = (ty, cnt, val)
+    ty, cnt, val = entries[258]
+    assert (ty, cnt) == (3, 3)
+    assert struct.unpack_from("<3H", data, val) == (8, 8, 8)
+    assert entries[277][2] == 3  # SamplesPerPixel
+    assert extract_preview(data) == jpeg  # layout shift kept offsets right
+
+
+def test_dng_corrupt_exif_value_offset_drops_field_only(rng):
+    """Corruption confined to one EXIF tag's out-of-line value must not
+    abort the sensor decode — the field drops, everything else stays."""
+    import dataclasses
+    import struct
+
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    raw = dataclasses.replace(
+        raw, exif={**raw.exif, "Make": "Maker", "Model": "Body",
+                   "ExposureTime": "1/250"})
+    blob = bytearray(write_dng(raw))
+    i = blob.find(struct.pack("<HHI", 33434, 5, 1))  # ExposureTime entry
+    assert i >= 0
+    struct.pack_into("<I", blob, i + 8, len(blob) + 64)  # value past EOF
+    got = read_dng(bytes(blob))
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    assert "ExposureTime" not in got.exif
+    assert got.exif.get("Model") == "Body"
+
+
+def test_dng_corrupt_subifd_pointer_skipped(rng):
+    """An out-of-range SubIFDs pointer is skipped, not fatal: the raw
+    IFD elsewhere in the chain still decodes."""
+    import struct
+
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    base = bytearray(write_dng(raw))
+    n = struct.unpack_from("<H", base, 8)[0]
+    entries = [bytes(base[10 + 12 * i: 22 + 12 * i]) for i in range(n)]
+    entries.append(struct.pack("<HHII", 330, 4, 1, len(base) + 4096))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    new_off = len(base)
+    base += struct.pack("<H", n + 1) + b"".join(entries) \
+        + struct.pack("<I", 0)
+    struct.pack_into("<I", base, 4, new_off)
+    got = read_dng(bytes(base))
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+
+
+def test_focal_35mm_produced_and_round_tripped(rng):
+    """FocalLengthIn35mmFilm must flow from both EXIF producers (the
+    lens-DB crop-factor rescale keys on it) and survive a DNG
+    transcode."""
+    import dataclasses
+    import io
+
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io.dng import read_dng, write_dng
+    from rawphotoforge_tpu.io.exif import parse_exif
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    raw = synthetic_raw(rng.random((3, 16, 24)).astype(np.float32))
+    raw = dataclasses.replace(
+        raw, exif={**raw.exif, "FocalLength": "35",
+                   "FocalLengthIn35mmFilm": "52"})
+    got = read_dng(write_dng(raw))
+    assert got.exif.get("FocalLengthIn35mmFilm") == "52"
+
+    ex = PILImage.Exif()
+    ex[37386] = 35.0   # FocalLength
+    ex[41989] = 52     # FocalLengthIn35mmFilm
+    buf = io.BytesIO()
+    PILImage.fromarray(
+        (rng.random((8, 10, 3)) * 255).astype(np.uint8)).save(
+        buf, "JPEG", exif=ex.tobytes())
+    d = parse_exif(PILImage.open(io.BytesIO(buf.getvalue())))
+    assert d.get("FocalLengthIn35mmFilm") == "52"
