@@ -127,6 +127,93 @@ def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
     return y / denom
 
 
+def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
+               knots_ref, dknots_ref, dcoeffs_ref, num_masks, num_seg,
+               default_curves, identity_oklch):
+    """The per-mask edit stack: (WB -> tone -> brightness curve) per mask,
+    the per-mask OKLCH hue/sat/light pass, then the sRGB encode
+    (wgpu_shader.wgsl:279-336). ONE home for the contract shared by the
+    two production kernels (this module's _develop_kernel and
+    kernels/raw_pipeline's one-pass RAW kernel) — they differ only in how
+    a mask row is fetched, injected as ``sel_for(k) -> None | bool
+    tile`` (None = unconditional main-mask application). Returns the
+    encoded (r, g, b) tile triple."""
+    for k in range(num_masks):
+        sel = sel_for(k)
+        gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
+        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
+        tv = tuple(tone_ref[k, i] for i in range(6))
+        rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
+        if default_curves:
+            # Identity-LUT staircase without evaluating the (identity)
+            # curve: floor(v*65535)/65535 — bit-identical, far fewer ops.
+            rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            gc = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+        else:
+            row = k * 4 + 0  # brightness slot
+            rc = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref,
+                                  row, num_seg, LUT_MAX)
+            gc = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref,
+                                  row, num_seg, LUT_MAX)
+            bc = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref,
+                                  row, num_seg, LUT_MAX)
+        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
+        if sel is None:
+            r, g, b = rk, gk, bk
+        else:
+            r = jnp.where(sel, rk, r)
+            g = jnp.where(sel, gk, g)
+            b = jnp.where(sel, bk, b)
+
+    # Per-mask OKLCH pass (wgsl:310-331). Polynomial trig: Mosaic has no
+    # atan2/sin/cos primitives. (Measured: Mosaic's native pow lowering
+    # beats ktrig.cbrt_fast here — the Halley divisions and extra live
+    # temporaries cost more than exp/log in this spill-sensitive kernel.)
+    #
+    # identity_oklch: with every hue/sat/light curve at its default, the
+    # OKLCH pass only quantizes H to 1/65536 and scales C and L by
+    # floor(32767)/32767.5 (= 1 - 1.5e-5) — all sub-u8-quantization.
+    # Skipping the whole round trip (2 matrix pairs, 3 cbrt, atan2,
+    # sincos, 3 cubes) deviates <= ~2e-3 in sRGB out (mostly the ktrig
+    # round-trip error the anchor keeps; documented 3e-3 bound, gated
+    # in tests/test_pallas.py) and nearly halves the slider-only frame.
+    if identity_oklch:
+        return (jnp.clip(color.linear_to_srgb(r), 0.0, 1.0),
+                jnp.clip(color.linear_to_srgb(g), 0.0, 1.0),
+                jnp.clip(color.linear_to_srgb(b), 0.0, 1.0))
+    L, C, H = color.linear_srgb_to_oklch(r, g, b,
+                                         atan2_turns=ktrig.atan2_turns)
+    for k in range(num_masks):
+        sel = sel_for(k)
+        if default_curves:
+            # Identity hue staircase + constant 32767/32767.5 gains —
+            # exactly what the default curves evaluate to.
+            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            # f32 division (not a pre-rounded f64 constant) so the value
+            # is bit-identical to the general path's floor(32767)/32767.5.
+            sat_g = jnp.float32(32767.0) / jnp.float32(32767.5)
+            light_g = sat_g
+        else:
+            new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+                                     k * 4 + 1, num_seg, LUT_MAX)
+            sat_g = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+                                     k * 4 + 2, num_seg, 32767.5)
+            light_g = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+                                       k * 4 + 3, num_seg, 32767.5)
+        if sel is None:
+            H, C, L = new_h, C * sat_g, L * light_g
+        else:
+            H = jnp.where(sel, new_h, H)
+            C = jnp.where(sel, C * sat_g, C)
+            L = jnp.where(sel, L * light_g, L)
+    r, g, b = color.oklch_to_linear_srgb(L, C, H,
+                                         sincos_turns=ktrig.sincos_turns)
+    return (jnp.clip(color.linear_to_srgb(r), 0.0, 1.0),
+            jnp.clip(color.linear_to_srgb(g), 0.0, 1.0),
+            jnp.clip(color.linear_to_srgb(b), 0.0, 1.0))
+
+
 def _develop_kernel(
     vig_ref,      # SMEM (1, 4) f32: [vignette, true_h, true_w, row_offset]
     gains_ref,    # SMEM (M, 3) f32
@@ -171,80 +258,18 @@ def _develop_kernel(
     wf = jnp.where(vig_ref[0, 2] > 0, vig_ref[0, 2], jnp.float32(full_w))
     r, g, b = pointwise.vignette(r, g, b, vig_ref[0, 0], hf, wf, ys, xs)
 
-    knots = knots_ref
-    dknots = dknots_ref
-    dcoeffs = dcoeffs_ref
+    # Mask 0 is the all-ones main mask by construction (lib.rs:100-113):
+    # when the caller asserts main_only, the mask read and selects are
+    # elided entirely.
+    def sel_for(k):
+        return None if (k == 0 and main_only) else masks_ref[k] == 1.0
 
-    # Per-mask linear pass (wgsl:279-308). Mask 0 is the all-ones main mask
-    # by construction (lib.rs:100-113): when the caller asserts main_only,
-    # the mask read and selects are elided entirely.
-    for k in range(num_masks):
-        sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
-        gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
-        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
-        tv = tuple(tone_ref[k, i] for i in range(6))
-        rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
-        if default_curves:
-            # Identity-LUT staircase without evaluating the (identity)
-            # curve: floor(v*65535)/65535 — bit-identical, far fewer ops.
-            rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            gc = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-        else:
-            row = k * 4 + 0  # brightness slot
-            rc = _quantized_curve(rk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-            gc = _quantized_curve(gk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-            bc = _quantized_curve(bk, knots, dknots, dcoeffs, row, num_seg, LUT_MAX)
-        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
-        if sel is None:
-            r, g, b = rk, gk, bk
-        else:
-            r = jnp.where(sel, rk, r)
-            g = jnp.where(sel, gk, g)
-            b = jnp.where(sel, bk, b)
-
-    # Per-mask OKLCH pass (wgsl:310-331). Polynomial trig: Mosaic has no
-    # atan2/sin/cos primitives. (Measured: Mosaic's native pow lowering
-    # beats ktrig.cbrt_fast here — the Halley divisions and extra live
-    # temporaries cost more than exp/log in this spill-sensitive kernel.)
-    #
-    # identity_oklch: with every hue/sat/light curve at its default, the
-    # OKLCH pass only quantizes H to 1/65536 and scales C and L by
-    # floor(32767)/32767.5 (= 1 - 1.5e-5) — all sub-u8-quantization.
-    # Skipping the whole round trip (2 matrix pairs, 3 cbrt, atan2,
-    # sincos, 3 cubes) deviates <= ~1e-4 in sRGB out, far below the
-    # kernel-vs-anchor gate, and nearly halves the slider-only frame.
-    if identity_oklch:
-        out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
-        out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
-        out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
-        return
-    L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
-    for k in range(num_masks):
-        sel = None if (k == 0 and main_only) else masks_ref[k] == 1.0
-        if default_curves:
-            # Identity hue staircase + constant 32767/32767.5 gains —
-            # exactly what the default curves evaluate to.
-            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            # f32 division (not a pre-rounded f64 constant) so the value
-            # is bit-identical to the general path's floor(32767)/32767.5.
-            sat_g = jnp.float32(32767.0) / jnp.float32(32767.5)
-            light_g = sat_g
-        else:
-            new_h = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 1, num_seg, LUT_MAX)
-            sat_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 2, num_seg, 32767.5)
-            light_g = _quantized_curve(H, knots, dknots, dcoeffs, k * 4 + 3, num_seg, 32767.5)
-        if sel is None:
-            H, C, L = new_h, C * sat_g, L * light_g
-        else:
-            H = jnp.where(sel, new_h, H)
-            C = jnp.where(sel, C * sat_g, C)
-            L = jnp.where(sel, L * light_g, L)
-    r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
-
-    out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
-    out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
-    out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+    r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
+                         knots_ref, dknots_ref, dcoeffs_ref,
+                         num_masks, num_seg, default_curves, identity_oklch)
+    out_ref[0] = r
+    out_ref[1] = g
+    out_ref[2] = b
 
 
 @functools.partial(
@@ -291,9 +316,10 @@ def develop_post_geo_fused(
     ``identity_oklch`` (requires ``default_curves``): additionally skip
     the OKLCH round trip the default hue/sat/light curves barely perturb
     (H quantized to 1/65536, C and L scaled by 1 - 1.5e-5) — NOT
-    bit-identical, deviates <= ~1e-4 in sRGB output (sub-u8-quantization;
-    gated in tests/test_pallas.py), and nearly halves the slider-only
-    frame time.
+    bit-identical, deviates <= ~2e-3 in sRGB output (mostly the ktrig
+    round-trip error the anchor keeps; documented 3e-3 bound, gated in
+    tests/test_pallas.py), and nearly halves the slider-only frame
+    time.
     """
     _, h, w = planes.shape
     if masks is None:
@@ -306,6 +332,13 @@ def develop_post_geo_fused(
             raise ValueError(f"masks=None requires a single mask, got {m}")
     else:
         m = masks.shape[0]
+        if m != params.gains.shape[0]:
+            # A stale mask stack (fewer rows: packed params silently
+            # dropped; more rows: SMEM blocks read past the param
+            # arrays) would mis-render with no exception — fail loudly.
+            raise ValueError(
+                f"masks rows ({m}) != packed mask count "
+                f"({params.gains.shape[0]})")
     if identity_oklch and not default_curves:
         # Skipping the OKLCH pass is only near-exact when the hue/sat/
         # light curves are the defaults; with real curves it would drop

@@ -35,13 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core import color
 from ..core.params import DevelopParams
 from ..ops import pointwise
 from ..ops.demosaic import BAYER_PATTERNS
-from . import ktrig
-from .fused import (LUT_MAX, _channel_select, _interpret, _quantized_curve,
-                    pack_curve_deltas, smem_spec)
+from .fused import _interpret, edit_stack, pack_curve_deltas, smem_spec
 
 HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
 # Swept on-chip at 45MP: larger tiles win here (halo/DMA overhead
@@ -60,17 +57,14 @@ XT_HALO = 12
 XT_TILE_H = 96     # multiple of 6 (constant 6x6 CFA phase per tile)
 XT_TILE_W = 768    # multiple of lcm(128, 6): 128-aligned DMA AND phase
 
-# Radius-2 Gaussian taps (sigma=1.0), matching ops/sharpen defaults.
-_GAUSS = None
-
 
 def _gauss_taps():
-    global _GAUSS
-    if _GAUSS is None:
-        xs = np.arange(-2, 3, dtype=np.float64)
-        k = np.exp(-0.5 * xs**2)
-        _GAUSS = tuple((k / k.sum()).astype(np.float32).tolist())
-    return _GAUSS
+    """Radius-2 Gaussian taps — ops/sharpen's own computation (sigma=1.0,
+    radius=2) so the kernel-vs-anchor sharpen equivalence can never
+    drift from a duplicated constant."""
+    from ..ops.sharpen import _gauss_taps as _ops_taps
+
+    return tuple(_ops_taps(1.0, 2).tolist())
 
 
 def _phase_const(pattern: str, th: int, tw: int):
@@ -333,62 +327,20 @@ def _raw_kernel(
     wf = jnp.where(scal_ref[0, 2] > 0, scal_ref[0, 2], jnp.float32(full_w))
     r, g, b = pointwise.vignette(r, g, b, scal_ref[0, 0], hf, wf, ys, xs)
 
-    for k in range(num_masks):
-        # Mask 0 is the all-ones main mask (unconditional); regional masks
-        # select per pixel (wgsl:279-308 semantics).
-        sel = None if k == 0 else masks_ref[k - 1] == 1.0
-        gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
-        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
-        tv = tuple(tone_ref[k, i] for i in range(6))
-        rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
-        if default_curves:
-            # Identity-LUT staircase shortcut (see kernels/fused.py).
-            rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            gc = jnp.clip(jnp.floor(gk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-        else:
-            row = k * 4
-            rc = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-            gc = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-            bc = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg, LUT_MAX)
-        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
-        if sel is None:
-            r, g, b = rk, gk, bk
-        else:
-            r = jnp.where(sel, rk, r)
-            g = jnp.where(sel, gk, g)
-            b = jnp.where(sel, bk, b)
+    # Mask 0 is the all-ones main mask (unconditional); regional masks
+    # select per pixel (wgsl:279-308 semantics; this kernel's mask
+    # stack carries regional rows only, hence the k-1 indexing). The
+    # stack itself is kernels/fused.edit_stack — one home for the
+    # per-mask linear + OKLCH contract both production kernels share.
+    def sel_for(k):
+        return None if k == 0 else masks_ref[k - 1] == 1.0
 
-    # identity_oklch: skip the OKLCH round trip the default hue/sat/light
-    # curves barely perturb (see kernels/fused.py — deviation <= ~2e-3,
-    # sub-u8-quantization after encode).
-    if identity_oklch:
-        out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
-        out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
-        out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
-        return
-    L, C, H = color.linear_srgb_to_oklch(r, g, b, atan2_turns=ktrig.atan2_turns)
-    for k in range(num_masks):
-        sel = None if k == 0 else masks_ref[k - 1] == 1.0
-        if default_curves:
-            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
-            sat = jnp.float32(32767.0) / jnp.float32(32767.5)
-            lig = sat
-        else:
-            new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 1, num_seg, LUT_MAX)
-            sat = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 2, num_seg, 32767.5)
-            lig = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref, k * 4 + 3, num_seg, 32767.5)
-        if sel is None:
-            H, C, L = new_h, C * sat, L * lig
-        else:
-            H = jnp.where(sel, new_h, H)
-            C = jnp.where(sel, C * sat, C)
-            L = jnp.where(sel, L * lig, L)
-    r, g, b = color.oklch_to_linear_srgb(L, C, H, sincos_turns=ktrig.sincos_turns)
-
-    out_ref[0] = jnp.clip(color.linear_to_srgb(r), 0.0, 1.0)
-    out_ref[1] = jnp.clip(color.linear_to_srgb(g), 0.0, 1.0)
-    out_ref[2] = jnp.clip(color.linear_to_srgb(b), 0.0, 1.0)
+    r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
+                         knots_ref, dknots_ref, dcoeffs_ref,
+                         num_masks, num_seg, default_curves, identity_oklch)
+    out_ref[0] = r
+    out_ref[1] = g
+    out_ref[2] = b
 
 
 @functools.partial(

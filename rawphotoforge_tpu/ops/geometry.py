@@ -19,6 +19,24 @@ import jax
 import jax.numpy as jnp
 
 
+def snap_near_integer(s: jax.Array) -> jax.Array:
+    """Snap sampling coordinates within a few ulps of an integer.
+
+    Near-integer coordinates are numerically unstable under fusion: the
+    floor() and the weight can see differently-contracted (FMA) copies
+    of the same expression an ulp apart across a pixel boundary, turning
+    ulp noise into a full-pixel sampling error (observed on the XLA CPU
+    backend with identity warps; CLAUDE.md). The threshold scales with
+    magnitude so it stays live at production coordinates (one f32 ulp at
+    x=4096 is 2.4e-4) while remaining far below visual relevance. ONE
+    home for every bilinear warp sampler (lens_distortion here,
+    ops/lenscorr.bilinear_sample, parallel/spatial.distortion_sharded);
+    callers pin one materialization with optimization_barrier."""
+    r = jnp.round(s)
+    thr = jnp.maximum(1e-4, jnp.abs(s) * 6e-7)  # ~5 ulps
+    return jnp.where(jnp.abs(s - r) < thr, r, s)
+
+
 def _bilinear_gather(plane, y0, y1, x0, x1, ty, tx):
     """Sample one plane at the four integer corners and lerp."""
     c00 = plane[y0, x0]
@@ -109,6 +127,11 @@ def lens_distortion(r, g, b, distortion, extent=None):
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         py, px, oob = warp_coords(ys, xs, hf, wf, strength)
+        # Same near-integer stability fix as lenscorr.bilinear_sample
+        # (a +-1-slider warp lands center-row coords within ulps of
+        # integers; see snap_near_integer).
+        px, py = jax.lax.optimization_barrier(
+            (snap_near_integer(px), snap_near_integer(py)))
         x0f = jnp.floor(px)
         y0f = jnp.floor(py)
         wi = (wf - 1.0).astype(jnp.int32)

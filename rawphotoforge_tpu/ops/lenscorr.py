@@ -102,20 +102,13 @@ def bilinear_sample(plane: jax.Array, sx: jax.Array, sy: jax.Array,
                     hf, wf) -> jax.Array:
     """Sample ``plane`` at float coordinates (bilinear, edge clamp);
     hf/wf bound the valid extent (true dims under bucket padding)."""
-    # Near-integer coordinates are numerically unstable under fusion: the
-    # floor() and the weight can see differently-contracted (FMA) copies
-    # of the same expression an ulp apart across a pixel boundary, turning
-    # ulp noise into a full-pixel sampling error (observed on the XLA CPU
-    # backend with identity warps). Snap anything within a few ulps of an
-    # integer — the threshold scales with magnitude so it stays live at
-    # production coordinates (one f32 ulp at x=4096 is 2.4e-4) while
-    # remaining far below visual relevance — and pin one materialization.
-    def snap(s):
-        r = jnp.round(s)
-        thr = jnp.maximum(1e-4, jnp.abs(s) * 6e-7)  # ~5 ulps
-        return jnp.where(jnp.abs(s - r) < thr, r, s)
+    # Near-integer stability: see ops/geometry.snap_near_integer (the
+    # single home of the fix, discovered here) — snap, then pin one
+    # materialization.
+    from .geometry import snap_near_integer
 
-    sx, sy = jax.lax.optimization_barrier((snap(sx), snap(sy)))
+    sx, sy = jax.lax.optimization_barrier(
+        (snap_near_integer(sx), snap_near_integer(sy)))
     wi = (wf - 1.0).astype(jnp.int32)
     hi = (hf - 1.0).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, wi)

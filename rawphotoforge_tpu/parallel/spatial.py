@@ -66,7 +66,11 @@ def demosaic_sharded(
     """
     n_sp = mesh.shape["sp"]
     h, w = mosaic.shape
-    if h % (2 * n_sp) != 0:
+    if n_sp > 1 and h % (2 * n_sp) != 0:
+        # Shards must start on even global rows (CFA phase) and split
+        # evenly. A single shard starts at row 0 whatever the parity —
+        # odd heights (common after vendor border crops) stay valid
+        # there, like the unsharded demosaic.
         raise ValueError(
             f"height {h} must be divisible by 2 * sp axis size ({2 * n_sp})"
         )
@@ -127,7 +131,8 @@ def distortion_sharded(
     ``extent`` the true (h, w) f32 [2] for bucket-padded buffers — the
     warp normalizes and clamps by it, like the single-device path.
     """
-    from ..ops.geometry import max_row_displacement, warp_coords
+    from ..ops.geometry import (max_row_displacement, snap_near_integer,
+                                warp_coords)
 
     n_sp = mesh.shape["sp"]
     _, h, w = planes.shape
@@ -192,6 +197,11 @@ def distortion_sharded(
               + idx * h_local)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h_local, w), 1)
         py, px, oob = warp_coords(ys, xs, hf, wf, s[0])
+        # Same near-integer snap as the single-device warp — BOTH paths
+        # must take it or sharded-vs-single ulp divergence widens to
+        # full pixels at snapped coordinates (geometry.snap_near_integer).
+        px, py = jax.lax.optimization_barrier(
+            (snap_near_integer(px), snap_near_integer(py)))
         wi = (wf - 1.0).astype(jnp.int32)
         hi = (hf - 1.0).astype(jnp.int32)
         x0f = jnp.floor(px)

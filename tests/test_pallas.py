@@ -243,3 +243,23 @@ def test_editor_slider_only_render_close_to_anchor(rng):
     ed2.set_vignette(30)
     b = np.asarray(ed2.apply(FULL))
     assert np.abs(a - b).max() < 5e-3
+
+
+def test_fused_rejects_mismatched_mask_count():
+    """A mask stack whose row count disagrees with the packed params
+    must fail loudly — both directions silently mis-render otherwise
+    (dropped param rows / garbage SMEM reads)."""
+    import pytest
+
+    from rawphotoforge_tpu.core.params import EditParameters, pack_params
+    from rawphotoforge_tpu.kernels import fused
+
+    params2 = pack_params([EditParameters(), EditParameters()],
+                          build_luts=False)
+    planes = jnp.zeros((3, 16, 128), jnp.float32)
+    with pytest.raises(ValueError, match="packed mask count"):
+        fused.develop_post_geo_fused(
+            planes, params2, jnp.ones((1, 16, 128), jnp.float32))
+    with pytest.raises(ValueError, match="packed mask count"):
+        fused.develop_post_geo_fused(
+            planes, params2, jnp.ones((3, 16, 128), jnp.float32))

@@ -375,3 +375,21 @@ def test_make_mesh_too_many_devices_rejected():
         pmesh.make_mesh(n_batch=64, n_spatial=2)
     with pytest.raises(ValueError, match="devices"):
         pmesh.make_mesh(n_spatial=16)  # n_batch floors to 0
+
+
+def test_demosaic_sharded_odd_height_single_shard(rng):
+    """A single-'sp'-shard mesh must accept odd heights (common after
+    vendor border crops) exactly like the unsharded demosaic; multi-
+    shard meshes keep the even-shard-start requirement."""
+    from rawphotoforge_tpu.ops import demosaic as dm
+    from rawphotoforge_tpu.parallel import spatial
+
+    mesh1 = pmesh.make_mesh(n_batch=8, n_spatial=1)
+    mosaic = jnp.asarray(rng.random((33, 48), dtype=np.float32))
+    out = spatial.demosaic_sharded(mosaic, mesh1, "RGGB")
+    want = dm.demosaic_malvar(mosaic, "RGGB")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-6)
+    mesh2 = pmesh.make_mesh(n_batch=4, n_spatial=2)
+    with pytest.raises(ValueError):
+        spatial.demosaic_sharded(jnp.zeros((34, 48)), mesh2, "RGGB")
