@@ -1045,17 +1045,11 @@ class EditorApp:
     @staticmethod
     def _era_crop_slice(op: dict, ih: int, iw: int):
         """The era crop rect (FULL coords) as a slice of an (ih, iw)
-        render grid, or None."""
-        if op["crop"] is None:
-            return None
-        fh, fw = op["shape"]
-        x0, y0, x1, y1 = op["crop"]
-        sy, sx = ih / fh, iw / fw
-        r0 = int(y0 * sy)
-        r1 = max(r0 + 1, int(y1 * sy))
-        c0 = int(x0 * sx)
-        c1 = max(c0 + 1, int(x1 * sx))
-        return (r0, r1, c0, c1)
+        render grid, or None — the editor's shared scaling (one home:
+        engine.editor.crop_slice_for_grid)."""
+        from ..engine.editor import crop_slice_for_grid
+
+        return crop_slice_for_grid(op["crop"], op["shape"], (ih, iw))
 
     @staticmethod
     def _era_plist_masks(op: dict, shape_hw) -> tuple:
@@ -1348,20 +1342,24 @@ class EditorApp:
                     # deflate encode run unlocked below, like the other
                     # formats — holding the lock across them would block
                     # every /edit and /preview for tens of seconds.
-                    linear, raw_exif = self.editor.hdr_dng_render()
+                    linear, crop, raw_exif = self.editor.hdr_dng_render()
                 else:
-                    img = self.editor.apply(FULL)
+                    # Full-frame render + host-side crop slice: device
+                    # program shapes stay crop-independent (editor
+                    # save_bytes takes the same route).
+                    img = self.editor.apply(FULL, cropped=False)
+                    crop = self.editor._crop_slice(FULL)
                     exif = self.editor.export_exif_bytes()
                     quality = self.settings.jpeg_quality
             if job["fmt"] == "DNG":
                 from ..engine.editor import hdr_dng_encode
 
                 data = hdr_dng_encode(linear, raw_exif,
-                                      on_stage=enter_stage)
+                                      on_stage=enter_stage, host_crop=crop)
             else:
                 data = image_io.encode_image(
                     img, job["fmt"], quality=quality, exif_bytes=exif,
-                    on_stage=enter_stage,
+                    on_stage=enter_stage, host_crop=crop,
                 )
             enter_stage("done")
             job["data"] = data
@@ -1388,19 +1386,29 @@ class EditorApp:
         """Encode a preview; ``rect`` = fractional (x0, y0, x1, y1) of the
         displayed image — the zoom/pan viewport. Slicing happens on the
         *cached* render, so pan/zoom never recomputes the develop stack
-        (the tiled multi-zoom loop of BASELINE config 4)."""
-        img = (
-            self.editor.original_srgb(level)
-            if original
-            else self.editor.apply(level)
-        )
+        (the tiled multi-zoom loop of BASELINE config 4).
+
+        The device side always quantizes the FULL (true-extent) render;
+        the crop rect and the viewport compose into one HOST slice after
+        the fetch — device program shapes stay stable across crop rects
+        and zoom views (one remote compile per level shape, ever)."""
+        ed = self.editor
+        img = (ed.original_srgb(level, cropped=False) if original
+               else ed.apply(level, cropped=False))
+        _, fh, fw = img.shape
+        cs = ed._crop_slice(level) or (0, fh, 0, fw)
         if rect is not None:
-            _, h, w = img.shape
+            # Fractional viewport of the DISPLAYED (cropped) image.
+            ch, cw = cs[1] - cs[0], cs[3] - cs[2]
             x0, y0, x1, y1 = rect
-            c0, r0 = int(x0 * w), int(y0 * h)
-            c1, r1 = max(c0 + 1, int(x1 * w)), max(r0 + 1, int(y1 * h))
-            img = img[:, max(r0, 0):min(r1, h), max(c0, 0):min(c1, w)]
-        return image_io.encode_image(img, "JPEG", quality=90)
+            r0 = cs[0] + max(int(y0 * ch), 0)
+            c0 = cs[2] + max(int(x0 * cw), 0)
+            r1 = max(r0 + 1, cs[0] + int(y1 * ch))
+            c1 = max(c0 + 1, cs[2] + int(x1 * cw))
+            cs = (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
+        host_crop = None if cs == (0, fh, 0, fw) else cs
+        return image_io.encode_image(img, "JPEG", quality=90,
+                                     host_crop=host_crop)
 
 
 def make_handler(app: EditorApp):
@@ -1605,8 +1613,10 @@ def make_handler(app: EditorApp):
                             raise ValueError(f"bad viewport rect {rect}")
                     if overlay:
                         body = image_io.encode_image(
-                            app.editor.mask_overlay_srgb(overlay, level),
+                            app.editor.mask_overlay_srgb(
+                                overlay, level, cropped=False),
                             "JPEG", quality=90,
+                            host_crop=app.editor._crop_slice(level),
                         )
                     else:
                         body = app.preview_jpeg(level, original, rect=rect)

@@ -30,7 +30,8 @@ from ..core.params import EditParameters, pack_params
 from ..ops import develop as dev
 from ..ops.geometry import resize_bilinear, resize_long_edge_shape
 from ..ops.sharpen import unsharp_mask
-from ..ops.stats import histogram_rgbl, clipping_stats
+from ..ops.stats import (histogram_rgbl, histogram_rgbl_rect,
+                         clipping_stats, clipping_stats_rect)
 from ..io import image_io
 
 FULL, MID, LOW = "full", "mid", "low"
@@ -42,6 +43,23 @@ DEFAULT_LOW_LONG_EDGE = 400   # dragPreviewSize default
 # XLA shape costs seconds of compile; real libraries have arbitrary dims).
 # Positional effects normalize by the true extent (DevelopParams.extent).
 SHAPE_BUCKET = 128
+
+
+def crop_slice_for_grid(crop_rect, full_hw, grid_hw):
+    """FULL-coordinate crop rect -> (r0, r1, c0, c1) slice of an (h, w)
+    render grid, or None. Int-truncated starts; ends floored but kept
+    strictly past the start so the slice is never empty. ONE home for
+    the scaling every crop-slicing surface shares (PhotoEditor's level
+    and instant slices, the server's era slice) — three drifting copies
+    otherwise."""
+    if crop_rect is None:
+        return None
+    fh, fw = full_hw
+    h, w = grid_hw
+    x0, y0, x1, y1 = crop_rect
+    sy, sx = h / fh, w / fw
+    return (int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy)),
+            int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx)))
 
 
 def _pad_to_bucket(
@@ -166,7 +184,7 @@ class PhotoEditor:
         # from_bytes when the decode had host pixels in hand; None for
         # device-array constructions.
         self.instant_srgb_u8: Optional[np.ndarray] = None
-        self._instant_jpeg: Optional[bytes] = None
+        self._instant_jpeg = None  # (quality, bytes) cache
 
         self.masks: list[_Mask] = []
         self._add_main_mask()
@@ -672,8 +690,12 @@ class PhotoEditor:
             params = self._packed_params(level)
             geo = self._geo_at(level)
             if self._use_exact_path():
-                out = dev.develop_post_geo_jit(geo, params,
-                                               self._masks_at(level))
+                # Single-mask sessions skip the mask stack here too (the
+                # all-ones main row is elided bit-identically; no
+                # [1, H, W] device ones array — same as the kernel path).
+                out = dev.develop_post_geo_jit(
+                    geo, params,
+                    None if len(self.masks) == 1 else self._masks_at(level))
             else:
                 from ..kernels import fused
 
@@ -707,21 +729,45 @@ class PhotoEditor:
         return out
 
     def histogram(self, level: str = MID) -> np.ndarray:
-        """[4, 256] R/G/B/gray histogram of the current render at ``level``."""
-        return np.asarray(histogram_rgbl(self.apply(level)))
+        """[4, 256] R/G/B/gray histogram of the current render at ``level``
+        (the cropped region when a crop rect is set).
+
+        Cropped sessions dispatch the rect-parameterized reduction over
+        the UNCROPPED render: histogramming the sliced array would
+        compile one remote XLA program per distinct rect as the user
+        drags the crop (ops/stats.histogram_rgbl_rect docstring)."""
+        cs = self._crop_slice(level)
+        if cs is None:
+            return np.asarray(histogram_rgbl(self.apply(level)))
+        rect = jnp.asarray([cs[0], cs[1], cs[2], cs[3]], jnp.int32)
+        return np.asarray(
+            histogram_rgbl_rect(self.apply(level, cropped=False), rect))
 
     def clipping(self, level: str = MID) -> dict:
-        return {k: float(v) for k, v in clipping_stats(self.apply(level)).items()}
+        cs = self._crop_slice(level)
+        if cs is None:
+            stats = clipping_stats(self.apply(level))
+        else:
+            rect = jnp.asarray([cs[0], cs[1], cs[2], cs[3]], jnp.int32)
+            stats = clipping_stats_rect(self.apply(level, cropped=False),
+                                        rect)
+        return {k: float(v) for k, v in stats.items()}
 
-    def original_srgb(self, level: str = MID) -> jax.Array:
+    def original_srgb(self, level: str = MID,
+                      cropped: bool = True) -> jax.Array:
         """sRGB-encoded *unedited* original at a pyramid level — the
-        press-image-to-compare feature (main.gd:602-609)."""
+        press-image-to-compare feature (main.gd:602-609).
+
+        ``cropped=False`` returns the full (true-extent) frame — callers
+        that encode to bytes slice host-side instead, so the device
+        programs keep one stable shape per level across crop rects
+        (remote compiles are seconds-minutes, CLAUDE.md)."""
         from ..core.color import linear_to_srgb
 
         h, w = self._extents[level]
         lin = self._original_at(level)[:, :h, :w]
         out = jnp.clip(linear_to_srgb(jnp.clip(lin, 0.0, 1.0)), 0.0, 1.0)
-        cs = self._crop_slice(level)
+        cs = self._crop_slice(level) if cropped else None
         if cs is not None:
             out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
         return out
@@ -737,14 +783,18 @@ class PhotoEditor:
         if self.instant_srgb_u8 is None:
             return None
         img = self._instant_cropped()
-        if self._instant_jpeg is None or self.crop_rect is not None:
-            from . import instant
+        # Cache keyed on quality too: a hit must not serve bytes encoded
+        # at a previous call's quality.
+        cached = self._instant_jpeg
+        if cached is not None and self.crop_rect is None \
+                and cached[0] == quality:
+            return cached[1]
+        from . import instant
 
-            jpeg = instant.encode_instant_jpeg(img, quality=quality)
-            if self.crop_rect is None:
-                self._instant_jpeg = jpeg
-            return jpeg
-        return self._instant_jpeg
+        jpeg = instant.encode_instant_jpeg(img, quality=quality)
+        if self.crop_rect is None:
+            self._instant_jpeg = (quality, jpeg)
+        return jpeg
 
     def instant_histogram(self) -> Optional[np.ndarray]:
         """[4, 256] histogram of the instant preview, or None (host-side
@@ -757,30 +807,22 @@ class PhotoEditor:
 
     def _instant_cropped(self) -> np.ndarray:
         img = self.instant_srgb_u8
-        if self.crop_rect is None:
-            return img
-        ih, iw = img.shape[:2]
-        fh, fw = self.shape
-        x0, y0, x1, y1 = self.crop_rect
-        sy, sx = ih / fh, iw / fw
-        r0, r1 = int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy))
-        c0, c1 = int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx))
-        return img[r0:r1, c0:c1]
+        cs = crop_slice_for_grid(self.crop_rect, self.shape, img.shape[:2])
+        return img if cs is None else img[cs[0]:cs[1], cs[2]:cs[3]]
 
     def _crop_slice(self, level: str):
         """Level-space (cy0, cy1, cx0, cx1) of the crop rect, or None."""
-        if self.crop_rect is None:
-            return None
-        h, w = self._extents[level]
-        fh, fw = self.shape
-        x0, y0, x1, y1 = self.crop_rect
-        sy, sx = h / fh, w / fw
-        return (int(y0 * sy), max(int(y0 * sy) + 1, int(y1 * sy)),
-                int(x0 * sx), max(int(x0 * sx) + 1, int(x1 * sx)))
+        return crop_slice_for_grid(self.crop_rect, self.shape,
+                                   self._extents[level])
 
-    def mask_overlay_srgb(self, name: str, level: str = MID) -> jax.Array:
+    def mask_overlay_srgb(self, name: str, level: str = MID,
+                          cropped: bool = True) -> jax.Array:
         """Current render with the named mask tinted red — the mask
-        visualization of python-legacy get_mask_image (editor.py:1173-1189)."""
+        visualization of python-legacy get_mask_image (editor.py:1173-1189).
+
+        ``cropped=False``: full-frame overlay for callers that slice
+        host-side after the fetch (stable device shapes across crop
+        rects, like original_srgb)."""
         from ..ops.masking import mask_overlay
 
         idx = next(
@@ -788,10 +830,10 @@ class PhotoEditor:
         )
         if idx is None:
             raise MaskNotFound(f"the specified mask '{name}' does not exist")
-        srgb = self.apply(level)
+        srgb = self.apply(level, cropped=cropped)
         h, w = self._extents[level]
         mask = self._masks_at(level)[idx][:h, :w]
-        cs = self._crop_slice(level)
+        cs = self._crop_slice(level) if cropped else None
         if cs is not None:
             mask = mask[cs[0]:cs[1], cs[2]:cs[3]]
         return mask_overlay(srgb, mask)
@@ -822,21 +864,27 @@ class PhotoEditor:
         return self._exif_bytes or image_io.build_exif_bytes(self.exif)
 
     def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
+        # Full-frame device quantize + host-side crop slice: the device
+        # programs keep one stable shape per level across crop rects
+        # (encode_image host_crop docstring).
         return image_io.encode_image(
-            self.apply(FULL), fmt, quality=quality,
+            self.apply(FULL, cropped=False), fmt, quality=quality,
             exif_bytes=self.export_exif_bytes(),
+            host_crop=self._crop_slice(FULL),
         )
 
     def hdr_dng_render(self):
         """Device-side half of the HDR DNG export: the FULL scene-linear
-        render (sRGB OETF undone) still on device, plus an exif snapshot.
+        render (sRGB OETF undone, full frame) still on device, the crop
+        slice to apply host-side after the fetch, and an exif snapshot.
         Callers that must not hold a session lock across the tunnel-bound
         fetch (the server's async export worker) take this under the
         lock and run ``hdr_dng_encode`` on the result unlocked — renders
         are functional device arrays, later edits never mutate them."""
         from ..core.color import srgb_to_linear
 
-        return srgb_to_linear(self.apply(FULL)), dict(self.exif)
+        return (srgb_to_linear(self.apply(FULL, cropped=False)),
+                self._crop_slice(FULL), dict(self.exif))
 
     def hdr_dng_bytes(self, dtype=np.float16) -> bytes:
         """Export the edited image as a floating-point LinearRaw DNG
@@ -845,8 +893,8 @@ class PhotoEditor:
         sRGB OETF undone from the develop output), so reopening it as a
         RAW and developing with identity WB/matrix reproduces this
         session's render."""
-        linear, exif = self.hdr_dng_render()
-        return hdr_dng_encode(linear, exif, dtype=dtype)
+        linear, crop, exif = self.hdr_dng_render()
+        return hdr_dng_encode(linear, exif, dtype=dtype, host_crop=crop)
 
     def save_hdr_dng(self, path: str, dtype=np.float16) -> None:
         data = self.hdr_dng_bytes(dtype)  # render before touching the file
@@ -925,17 +973,22 @@ class PhotoEditor:
 
 
 def hdr_dng_encode(linear, exif: dict, dtype=np.float16,
-                   on_stage=None) -> bytes:
+                   on_stage=None, host_crop=None) -> bytes:
     """Host-side half of the HDR DNG export: fetch the device-resident
     scene-linear render and encode it as a float LinearRaw DNG (deflate,
     TN3 predictor). ``on_stage(name)`` is called entering the 'fetch'
-    and 'encode' stages (the server's export progress breakdown)."""
+    and 'encode' stages (the server's export progress breakdown).
+    ``host_crop`` (r0, r1, c0, c1) is applied after the fetch — the
+    device render stays full-frame so its shape is crop-independent."""
     from ..io.dng import RawImage, write_dng
     from ..utils.transfer import fetch_np
 
     if on_stage:
         on_stage("fetch")
     hwc = fetch_np(linear).transpose(1, 2, 0).astype(dtype)
+    if host_crop is not None:
+        r0, r1, c0, c1 = host_crop
+        hwc = np.ascontiguousarray(hwc[r0:r1, c0:c1])
     if on_stage:
         on_stage("encode")
     raw = RawImage(

@@ -288,17 +288,21 @@ def encode_instant_jpeg(hwc_u8: np.ndarray, quality: int = 90) -> bytes:
 def instant_histogram(hwc_u8: np.ndarray) -> np.ndarray:
     """[4, 256] R/G/B/luma histogram of an instant preview (u8 domain) —
     the stand-in for ops.stats.histogram_rgbl while the device program
-    compiles. Luma uses the same Rec.709 weights."""
+    compiles. The gray row uses the SAME BT.601 weights (0.299/0.587/
+    0.114, truncating bin index) as the device reduction and the
+    reference's cv2 RGB2GRAY source — Rec.709 weights here would make
+    the luma histogram visibly jump the moment the device render swaps
+    in (e.g. saturated red: bin ~76 vs ~54)."""
     out = np.zeros((4, 256), dtype=np.int64)
     for ch in range(3):
         out[ch] = np.bincount(hwc_u8[:, :, ch].reshape(-1), minlength=256)
     luma = (
-        0.2126 * hwc_u8[:, :, 0]
-        + 0.7152 * hwc_u8[:, :, 1]
-        + 0.0722 * hwc_u8[:, :, 2]
+        0.299 * hwc_u8[:, :, 0]
+        + 0.587 * hwc_u8[:, :, 1]
+        + 0.114 * hwc_u8[:, :, 2]
     )
     out[3] = np.bincount(
-        np.clip(luma + 0.5, 0, 255).astype(np.uint8).reshape(-1),
+        np.clip(luma, 0, 255).astype(np.uint8).reshape(-1),
         minlength=256,
     )
     return out

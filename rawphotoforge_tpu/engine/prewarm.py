@@ -89,7 +89,7 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
     from ..core.params import EditParameters, pack_params
     from ..io.jpegenc import _to_ycc420_jit
     from ..kernels import fused
-    from ..ops.stats import histogram_rgbl
+    from ..ops.stats import histogram_rgbl, histogram_rgbl_rect
     from ..utils.transfer import _to_u8_hwc_jit
     from .editor import _pad_to_bucket
 
@@ -114,6 +114,9 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         )
         true_out = out[:, :h, :w]
         hist = histogram_rgbl(true_out)
+        # The crop-rect histogram variant (editor.histogram under a crop)
+        # is one program per level shape too — warm it alongside.
+        histogram_rgbl_rect(true_out, jnp.asarray([0, h, 0, w], jnp.int32))
         _to_u8_hwc_jit()(true_out)
         _to_ycc420_jit()(true_out)
         # The jit compiles run synchronously at dispatch (that is the

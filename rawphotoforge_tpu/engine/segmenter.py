@@ -145,7 +145,12 @@ def make_segmenter(spec):
     if callable(spec):
         return CallableSegmenter(spec)
     if isinstance(spec, str):
-        return SubprocessSegmenter(spec.split())
+        # shlex, not str.split: an executable path containing spaces
+        # must be quotable ('"/opt/my tools/sam2.sh" --flag') instead of
+        # silently splitting into a nonsense argv.
+        import shlex
+
+        return SubprocessSegmenter(shlex.split(spec))
     if isinstance(spec, (list, tuple)):
         return SubprocessSegmenter(list(spec))
     if isinstance(spec, dict):

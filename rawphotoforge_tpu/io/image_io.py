@@ -365,7 +365,7 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
 
 
 def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
-                 on_stage=None) -> bytes:
+                 on_stage=None, host_crop=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> container bytes.
 
     Truncating u8 quantization per image.rs:375-383. ``exif_bytes`` (a raw
@@ -373,10 +373,23 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
     ``on_stage(name)`` (optional) is called entering the 'fetch' (device ->
     host transfer, the tunnel-bound part) and 'encode' (host container
     encode) stages — progress reporting for async export jobs.
+
+    ``host_crop``: optional (r0, r1, c0, c1) applied on the HOST after
+    the fetch. Crop-aware callers pass the full-frame render plus this
+    slice instead of a device-sliced array: device shapes then stay
+    stable across crop rects, so the quantize programs compile once per
+    level shape, not once per rect (remote compiles are seconds-minutes,
+    CLAUDE.md). The extra fetched rows/cols are cheap next to that.
     """
     from ..utils.transfer import fetch_np, fetch_u8_hwc
 
     stage = on_stage or (lambda _name: None)
+
+    def hcrop(hwc):
+        if host_crop is None:
+            return hwc
+        r0, r1, c0, c1 = host_crop
+        return np.ascontiguousarray(hwc[r0:r1, c0:c1])
     if fmt == "DNG":
         raise ImageIOError(
             "cannot encode a developed image as DNG; use io.dng.write_dng "
@@ -393,13 +406,13 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
 
         lin = srgb_to_linear(jnp.clip(jnp.asarray(planes), 0.0, 1.0))
         stage("fetch")
-        hwc = fetch_np(lin).transpose(1, 2, 0)
+        hwc = hcrop(fetch_np(lin).transpose(1, 2, 0))
         stage("encode")
         return encode_ppm16(hwc)
     # Quantize on device + parallel banded fetch: the tunnel moves 1
     # byte/sample instead of 4 (utils/transfer.py).
     stage("fetch")
-    u8 = fetch_u8_hwc(planes)
+    u8 = hcrop(fetch_u8_hwc(planes))
     stage("encode")
     img = PILImage.fromarray(u8, mode="RGB")
     buf = _io.BytesIO()

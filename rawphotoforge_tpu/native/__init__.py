@@ -36,7 +36,12 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
+    # Always run make (near-free no-op when current): gating on the .so's
+    # existence would keep loading a STALE binary after rpf_native.cpp
+    # changes, silently breaking the wrappers' bit-identical contracts on
+    # that machine while fresh-build CI stays green. The Makefile's
+    # dependency line makes this a correct rebuild, not a rebuild-always.
+    if not _build() and not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)

@@ -61,10 +61,18 @@ def develop_post_geo(
 ) -> jax.Array:
     """Develop stack *after* lens distortion: vignette -> per-mask linear
     pass -> per-mask OKLCH pass -> sRGB encode. Pure pointwise; XLA fuses it
-    into one pass over the image."""
+    into one pass over the image.
+
+    ``masks=None`` is the single-mask session: mask row 0 is all-ones by
+    construction (lib.rs:100-113), so its selects are elided and no
+    [1, H, W] ones stack is ever materialized (~180 MB of device memory
+    at 45MP; the same elision the fused kernel's main_mask_all_ones
+    applies). The math is identical; the differently-fused XLA program
+    differs from the explicit-mask one by f32 reassociation noise only
+    (~1e-5, gated in tests/test_editor.py)."""
     r, g, b = planes[0], planes[1], planes[2]
     h_img, w_img = r.shape
-    num_masks = masks.shape[0]
+    num_masks = 1 if masks is None else masks.shape[0]
 
     hf = jnp.where(params.extent[0] > 0, params.extent[0], jnp.float32(h_img))
     wf = jnp.where(params.extent[1] > 0, params.extent[1], jnp.float32(w_img))
@@ -74,7 +82,7 @@ def develop_post_geo(
 
     # Per-mask linear-RGB pass: WB -> tone -> brightness LUT (wgsl:279-308).
     for k in range(num_masks):
-        sel = masks[k] == 1.0
+        sel = None if masks is None else masks[k] == 1.0
         rk, gk, bk = pointwise.white_balance(r, g, b, params.gains[k])
         rk, gk, bk = pointwise.tone(rk, gk, bk, params.tone[k])
         lut = params.luts[k, BRIGHTNESS]
@@ -87,21 +95,27 @@ def develop_post_geo(
         rk = jnp.where((ch == 0) | (ch == 3), rc, rk)
         gk = jnp.where((ch == 1) | (ch == 3), gc, gk)
         bk = jnp.where((ch == 2) | (ch == 3), bc, bk)
-        r = jnp.where(sel, rk, r)
-        g = jnp.where(sel, gk, g)
-        b = jnp.where(sel, bk, b)
+        if sel is None:
+            r, g, b = rk, gk, bk
+        else:
+            r = jnp.where(sel, rk, r)
+            g = jnp.where(sel, gk, g)
+            b = jnp.where(sel, bk, b)
 
     # Per-mask OKLCH pass: hue remap + sat/light gains by hue (wgsl:310-331).
     L, C, H = color.linear_srgb_to_oklch(r, g, b)
     for k in range(num_masks):
-        sel = masks[k] == 1.0
+        sel = None if masks is None else masks[k] == 1.0
         h_idx = _lut_index(H)
         new_hue = _fetch(params.luts[k, HUE], h_idx).astype(jnp.float32) / LUT_MAX
         sat_gain = _fetch(params.luts[k, SATURATION], h_idx).astype(jnp.float32) / 32767.5
         light_gain = _fetch(params.luts[k, LIGHTNESS], h_idx).astype(jnp.float32) / 32767.5
-        H = jnp.where(sel, new_hue, H)
-        C = jnp.where(sel, C * sat_gain, C)
-        L = jnp.where(sel, L * light_gain, L)
+        if sel is None:
+            H, C, L = new_hue, C * sat_gain, L * light_gain
+        else:
+            H = jnp.where(sel, new_hue, H)
+            C = jnp.where(sel, C * sat_gain, C)
+            L = jnp.where(sel, L * light_gain, L)
     r, g, b = color.oklch_to_linear_srgb(L, C, H)
 
     out = jnp.stack(

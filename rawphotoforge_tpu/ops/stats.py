@@ -52,6 +52,52 @@ def histogram_rgbl(srgb_planes: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def histogram_rgbl_rect(srgb_planes: jax.Array, rect: jax.Array) -> jax.Array:
+    """histogram_rgbl restricted to the rows/cols of ``rect`` — a traced
+    i32 [4] (y0, y1, x0, x1), exclusive ends.
+
+    The crop-rect histogram path: slicing the render by the rect and
+    histogramming the slice would compile one XLA program PER DISTINCT
+    RECT (10-400 s each through the remote tunnel, CLAUDE.md) as the
+    user drags the crop; with the rect traced, ONE program per render
+    shape serves every rect — the invalid pixels are excluded by an
+    iota compare fused into the same per-bin reductions."""
+    _, h, w = srgb_planes.shape
+    r, g, b = srgb_planes[0], srgb_planes[1], srgb_planes[2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((ys >= rect[0]) & (ys < rect[1])
+             & (xs >= rect[2]) & (xs < rect[3])).reshape(1, -1)
+    vals = jnp.stack([r, g, b, gray]).reshape(4, -1)
+    idx = jnp.clip((vals * 255.0).astype(jnp.int32), 0, 255)
+    bins = jnp.arange(NUM_BINS, dtype=jnp.int32)
+
+    def count(b_val):
+        return jnp.sum(((idx == b_val) & valid).astype(jnp.int32), axis=1)
+
+    return jax.vmap(count)(bins).T
+
+
+@jax.jit
+def clipping_stats_rect(srgb_planes: jax.Array, rect: jax.Array) -> dict:
+    """clipping_stats restricted to a traced (y0, y1, x0, x1) rect —
+    same per-rect-compile avoidance as histogram_rgbl_rect."""
+    _, h, w = srgb_planes.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((ys >= rect[0]) & (ys < rect[1])
+             & (xs >= rect[2]) & (xs < rect[3]))
+    hi = jnp.any(srgb_planes >= 1.0 - 0.5 / 255.0, axis=0) & valid
+    lo = jnp.any(srgb_planes <= 0.5 / 255.0, axis=0) & valid
+    n = jnp.maximum((rect[1] - rect[0]) * (rect[3] - rect[2]), 1)
+    return {
+        "highlight_clip_fraction": jnp.sum(hi) / n,
+        "shadow_clip_fraction": jnp.sum(lo) / n,
+    }
+
+
+@jax.jit
 def clipping_stats(srgb_planes: jax.Array) -> dict:
     """Fractions of highlight- and shadow-clipped pixels (any channel)."""
     hi = jnp.any(srgb_planes >= 1.0 - 0.5 / 255.0, axis=0)

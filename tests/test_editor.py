@@ -563,3 +563,101 @@ def test_use_pallas_toggle_invalidates_render_cache(rng):
                                      mid_long_edge=32, low_long_edge=16)
     fresh.set_tone(exposure=0.6, contrast=15)
     np.testing.assert_array_equal(a, np.asarray(fresh.apply(MID)))
+
+
+def test_rect_stats_match_sliced(rng):
+    """The rect-parameterized histogram/clipping (one compiled program
+    per shape, not per crop rect) must equal the sliced-array versions
+    exactly."""
+    from rawphotoforge_tpu.ops.stats import (
+        clipping_stats, clipping_stats_rect, histogram_rgbl,
+        histogram_rgbl_rect)
+
+    planes = jnp.asarray(
+        rng.random((3, 40, 56), dtype=np.float32))
+    rect = (7, 31, 9, 50)
+    sliced = planes[:, rect[0]:rect[1], rect[2]:rect[3]]
+    ra = jnp.asarray(rect, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(histogram_rgbl_rect(planes, ra)),
+        np.asarray(histogram_rgbl(sliced)))
+    a = {k: float(v) for k, v in clipping_stats_rect(planes, ra).items()}
+    b = {k: float(v) for k, v in clipping_stats(sliced).items()}
+    assert a == pytest.approx(b)
+
+
+def test_cropped_histogram_and_clipping_match_cropped_render(rng):
+    """editor.histogram()/clipping() under a crop must equal the stats of
+    the cropped render — while dispatching on the stable uncropped
+    shape (no per-rect remote compiles)."""
+    from rawphotoforge_tpu.ops.stats import clipping_stats, histogram_rgbl
+
+    ed = PhotoEditor(random_linear_image(rng, 40, 60).transpose(2, 0, 1),
+                     mid_long_edge=32, use_pallas=False)
+    ed.set_tone(exposure=0.6, contrast=20)
+    ed.set_crop(8, 5, 52, 35)
+    want_h = np.asarray(histogram_rgbl(ed.apply(MID)))
+    np.testing.assert_array_equal(ed.histogram(MID), want_h)
+    want_c = {k: float(v) for k, v in clipping_stats(ed.apply(MID)).items()}
+    assert ed.clipping(MID) == pytest.approx(want_c)
+
+
+def test_cropped_save_bytes_match_device_sliced_encode(rng):
+    """save_bytes under a crop (host-side slice of the full-frame
+    quantize) must be byte-identical to encoding the device-sliced
+    render — truncating u8 quantize commutes with slicing."""
+    ed = PhotoEditor(random_linear_image(rng, 40, 60).transpose(2, 0, 1),
+                     mid_long_edge=32, use_pallas=False)
+    ed.set_tone(exposure=0.4)
+    ed.set_crop(6, 4, 50, 30)
+    got = ed.save_bytes("PNG")
+    want = image_io.encode_image(ed.apply(FULL), "PNG",
+                                 exif_bytes=ed.export_exif_bytes())
+    assert got == want
+
+
+def test_exact_path_single_mask_elision_matches(rng):
+    """develop_post_geo with masks=None (single-mask session) must match
+    the explicit all-ones mask stack to XLA re-fusion noise (the where
+    elision changes fusion decisions; same math, ulp-level deltas)."""
+    from rawphotoforge_tpu.core.params import EditParameters, pack_params
+    from rawphotoforge_tpu.ops import develop as dev
+
+    p = EditParameters()
+    p.set_tone(exposure=0.7, contrast=25, shadow=10)
+    p.set_whitebalance(20, -10)
+    p.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 40000, 65535])
+    params = pack_params([p])
+    planes = jnp.asarray(rng.random((3, 24, 40), dtype=np.float32))
+    ones = jnp.ones((1, 24, 40), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dev.develop_post_geo_jit(planes, params, None)),
+        np.asarray(dev.develop_post_geo_jit(planes, params, ones)),
+        atol=5e-5)
+
+
+def test_instant_preview_jpeg_honors_quality(rng):
+    ed = PhotoEditor.from_rgb_f32(
+        random_linear_image(rng, 30, 40), use_pallas=False)
+    ed.instant_srgb_u8 = (rng.random((30, 40, 3)) * 255).astype(np.uint8)
+    hi = ed.instant_preview_jpeg(quality=95)
+    lo = ed.instant_preview_jpeg(quality=30)
+    assert len(lo) < len(hi)  # a cache hit must not ignore quality
+    assert ed.instant_preview_jpeg(quality=30) == lo  # and still caches
+
+
+def test_instant_histogram_luma_matches_device_weights():
+    """Saturated red: BT.601 luma bin 76 on BOTH the instant and device
+    histograms — Rec.709 weights here made the luma row jump at the
+    era swap (bin ~54 vs ~76)."""
+    from rawphotoforge_tpu.engine.instant import instant_histogram
+    from rawphotoforge_tpu.ops.stats import histogram_rgbl
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255
+    inst = instant_histogram(img)
+    assert inst[3].argmax() == 76 and inst[3, 76] == 64
+    planes = jnp.asarray(
+        img.astype(np.float32).transpose(2, 0, 1) / 255.0)
+    dev_h = np.asarray(histogram_rgbl(planes))
+    assert dev_h[3].argmax() == 76
