@@ -75,6 +75,30 @@ def _add_edit_flags(p: argparse.ArgumentParser):
                    help="extra lensfun XML file/dir (repeatable)")
 
 
+def _set_edit_flags(target, args):
+    """Flag-to-edit mapping, written ONCE for both consumers:
+    ``PhotoEditor`` (develop/batch editor route) and ``EditParameters``
+    (the batch fused-RAW fast path) expose the same setter names, so one
+    function keeps the two routes in lockstep — a flag wired into only
+    one of two hand-maintained copies would make `develop` and `batch`
+    silently differ for identical flags."""
+    target.set_tone(args.exposure, args.contrast, args.shadow,
+                    args.highlight, args.black, args.white)
+    target.set_whitebalance(args.wb_temperature, args.wb_tint)
+    target.set_vignette(args.vignette)
+    target.set_lens_distortion(args.lens_distortion)
+    target.set_sharpness(args.sharpness)
+    for slot, spec in (
+        (BRIGHTNESS, args.brightness_curve),
+        (HUE, args.hue_curve),
+        (SATURATION, args.saturation_curve),
+        (LIGHTNESS, args.lightness_curve),
+    ):
+        if spec:
+            xs, ys = _parse_curve(spec)
+            target.set_curve(slot, xs, ys)
+
+
 def _apply_edit_flags(ed: PhotoEditor, args):
     if args.crop:
         from ..errors import PhotoEditorError
@@ -89,21 +113,7 @@ def _apply_edit_flags(ed: PhotoEditor, args):
     if args.preset:
         ed.load_preset(args.preset)
         return
-    ed.set_tone(args.exposure, args.contrast, args.shadow, args.highlight,
-                args.black, args.white)
-    ed.set_whitebalance(args.wb_temperature, args.wb_tint)
-    ed.set_vignette(args.vignette)
-    ed.set_lens_distortion(args.lens_distortion)
-    ed.set_sharpness(args.sharpness)
-    for slot, spec in (
-        (BRIGHTNESS, args.brightness_curve),
-        (HUE, args.hue_curve),
-        (SATURATION, args.saturation_curve),
-        (LIGHTNESS, args.lightness_curve),
-    ):
-        if spec:
-            xs, ys = _parse_curve(spec)
-            ed.set_curve(slot, xs, ys)
+    _set_edit_flags(ed, args)
 
 
 def cmd_info(args) -> int:
@@ -136,6 +146,8 @@ def cmd_info(args) -> int:
     _, h, w = planes.shape
     print(f"{args.image}: {w}x{h} ({w * h / 1e6:.1f} MPix)")
     for k, v in sorted(exif.items()):
+        if k.startswith("_"):
+            continue  # _exif_bytes: the raw APP1 blob, not a field
         print(f"  {k}: {v}")
     if getattr(args, "verify_decode", False):
         # Silent-wrong detector for vendor RAW decodes: develop the
@@ -202,7 +214,10 @@ def cmd_develop(args) -> int:
     # bulk fetch then reuses the finished buffer.
     from ..utils.profiling import fetch_sync
 
-    fetch_sync(ed.apply(FULL))
+    # cropped=False: save()/save_hdr_dng render the FULL frame and slice
+    # host-side, so syncing on the cropped render would compile a device
+    # slice program per distinct --crop rect that nothing else reuses.
+    fetch_sync(ed.apply(FULL, cropped=False))
     t_dev = time.perf_counter() - t1
     if hdr_out:
         ed.save_hdr_dng(args.output)
@@ -219,7 +234,10 @@ def cmd_develop(args) -> int:
     if args.save_preset:
         ed.save_preset(args.save_preset)
     if args.histogram:
-        hist = ed.histogram()
+        # FULL reuses the render this command just produced; the MID
+        # default would compile the FULL->MID resize plus a MID develop
+        # purely for a four-line summary.
+        hist = ed.histogram(FULL)
         for name, row in zip(("R", "G", "B", "Y"), hist):
             peak = int(np.argmax(row))
             print(f"  hist {name}: peak bin {peak}, mass {int(row.sum())}")
@@ -227,21 +245,10 @@ def cmd_develop(args) -> int:
 
 
 def _params_from_args(args):
-    from ..core.params import EditParameters, BRIGHTNESS as B, HUE as H, \
-        SATURATION as S, LIGHTNESS as L
+    from ..core.params import EditParameters
 
     p = EditParameters()
-    p.set_tone(args.exposure, args.contrast, args.shadow, args.highlight,
-               args.black, args.white)
-    p.set_whitebalance(args.wb_temperature, args.wb_tint)
-    p.set_vignette(args.vignette)
-    p.set_lens_distortion(args.lens_distortion)
-    p.set_sharpness(args.sharpness)
-    for slot, spec in ((B, args.brightness_curve), (H, args.hue_curve),
-                       (S, args.saturation_curve), (L, args.lightness_curve)):
-        if spec:
-            xs, ys = _parse_curve(spec)
-            p.set_curve(slot, xs, ys)
+    _set_edit_flags(p, args)
     return p
 
 
@@ -413,7 +420,10 @@ def _batch_raw_fast_path(paths, args) -> int:
                                    exif_bytes=exif_b)
         with open(out, "wb") as f:
             f.write(body)
-        total_pix += h * w
+        # Count the ENCODED frame (post-DefaultCrop), not the mosaic:
+        # the preview-fallback branch counts output pixels too, and the
+        # MPix/s summary must not claim cropped-away pixels.
+        total_pix += srgb.shape[1] * srgb.shape[2]
         print(f"  {p} -> {out}{preview_note}")
     dt = time.perf_counter() - t0
     print(f"batch (fused raw path): {len(paths)} images, "

@@ -25,6 +25,10 @@ from ..core.color import (
     LUMA_B, LUMA_G, LUMA_R, M1, M1_INV, M2, M2_INV, TWO_PI,
 )
 from ..core.params import BRIGHTNESS, HUE, LIGHTNESS, SATURATION
+# The device unsharp's tap builder is already pure numpy — import it
+# rather than mirror it, so a kernel change there can't silently drift
+# the era render from the device render it stands in for.
+from ..ops.sharpen import _gauss_taps as _gauss_taps_np
 from .instant import linear_to_srgb_np
 
 LUT_MAX = 65535.0
@@ -79,12 +83,6 @@ def warp_np(planes: np.ndarray, distortion: float) -> np.ndarray:
         bot = p[y1, x0] * (1.0 - tx) + p[y1, x1] * tx
         out[c] = np.where(oob, _f32(0.0), top * (1.0 - ty) + bot * ty)
     return out
-
-
-def _gauss_taps_np(sigma: float, radius: int) -> np.ndarray:
-    xs = np.arange(-radius, radius + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (xs / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
 
 
 def _blur_axis_np(x: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarray:

@@ -9,7 +9,10 @@ the first-preview critical path ahead of time, in a daemon thread:
 * the fused develop kernel (slider-only "staircase shortcut" variant — the
   state every session opens in) at the bucket-padded preview shapes;
 * the MID-level histogram (served with every edit tick);
-* the device-side preview quantizers (u8 HWC and YCbCr 4:2:0).
+* the device-side preview quantizer (u8 HWC — the /preview and /export
+  encode path);
+* the editor's lazy FULL->MID/LOW pyramid resizes (keyed on the source
+  extent, so only the per-open editor warm can cover them).
 
 Two warming moments:
 
@@ -87,7 +90,6 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
     import jax.numpy as jnp
 
     from ..core.params import EditParameters, pack_params
-    from ..io.jpegenc import _to_ycc420_jit
     from ..kernels import fused
     from ..ops.stats import histogram_rgbl, histogram_rgbl_rect
     from ..utils.transfer import _to_u8_hwc_jit
@@ -117,8 +119,12 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         # The crop-rect histogram variant (editor.histogram under a crop)
         # is one program per level shape too — warm it alongside.
         histogram_rgbl_rect(true_out, jnp.asarray([0, h, 0, w], jnp.int32))
+        # No _to_ycc420_jit here: the YCbCr quantizer serves only the CLI
+        # batch fast path at full-RAW shapes — /preview and /export go
+        # through _to_u8_hwc_jit. Warming it at preview shapes was one
+        # useless remote compile per shape, serialized on this thread
+        # AHEAD of warms the first slider drag actually needs.
         _to_u8_hwc_jit()(true_out)
-        _to_ycc420_jit()(true_out)
         # The jit compiles run synchronously at dispatch (that is the
         # expensive part being front-loaded); block_until_ready is a
         # no-op through the tunnel, so force execution with a tiny
@@ -133,13 +139,26 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
 
 
 def warm_editor_levels(editor, levels=("mid", "low")) -> int:
-    """Warm the preview programs for an open editor's actual shapes."""
+    """Warm the preview programs for an open editor's actual shapes.
+
+    Also dispatches the editor's lazy FULL->level resize
+    (``_original_at``) — that program is jit-keyed on the SOURCE extent,
+    so no dummy-buffer warm can cover it, and without it the user's
+    first ``/preview?level=low`` drag pays the cold remote compile this
+    module exists to prevent. Safe off-thread: lens correction ran
+    inside ``PhotoEditor.open`` before any warm is spawned, and a
+    concurrent request thread building the same level just writes an
+    equivalent buffer."""
     n = 0
     for level in levels:
         try:
             shape = editor.level_shape(level)
         except KeyError:
             continue
+        try:
+            editor._original_at(level)
+        except Exception:
+            continue  # best-effort, like warm_shape
         if warm_shape(shape):
             n += 1
     return n

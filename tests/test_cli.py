@@ -288,3 +288,104 @@ def test_batch_vignette_crop_parity(tmp_path):
     # JPEG quantization differs between the native and Pillow encoders;
     # the vignette CENTER mismatch this guards against is tens of levels.
     assert np.abs(a - b).mean() < 3.0, np.abs(a - b).mean()
+
+
+def test_info_hides_raw_exif_blob(tmp_path, capsys):
+    """`info` must not dump the _exif_bytes APP1 blob (kilobytes of
+    binary, possibly an embedded thumbnail) into the terminal."""
+    from PIL import Image
+
+    src = tmp_path / "t.jpg"
+    img = Image.new("RGB", (16, 12), (90, 120, 40))
+    ex = Image.Exif()
+    ex[271] = "TestMake"  # Make
+    img.save(src, exif=ex)
+    assert main(["info", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "_exif_bytes" not in out
+    assert "TestMake" in out
+
+
+def test_develop_crop_never_dispatches_cropped_renders(jpeg_path, tmp_path,
+                                                       monkeypatch):
+    """With --crop, every apply() in the develop command must request the
+    full (crop-independent) frame: a device-sliced render would compile
+    one remote program per distinct rect, purely for the timing sync /
+    histogram (the encode already slices host-side)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    calls = []
+    orig_apply = PhotoEditor.apply
+
+    def spy(self, level="full", cropped=True):
+        calls.append((level, cropped))
+        return orig_apply(self, level, cropped=cropped)
+
+    monkeypatch.setattr(PhotoEditor, "apply", spy)
+    rc = main(["develop", jpeg_path, str(tmp_path / "o.png"), "--jnp-path",
+               "--crop", "10,5,80,50", "--exposure", "0.3", "--histogram"])
+    assert rc == 0
+    assert calls, "apply never called"
+    assert all(c == ("full", False) for c in calls), calls
+
+
+def test_develop_and_batch_fast_path_share_flag_mapping(jpeg_path):
+    """_apply_edit_flags (editor route) and _params_from_args (fused batch
+    route) must produce identical packed edit state for the same flags —
+    they share _set_edit_flags, so a flag wired into one is wired into
+    both."""
+    import argparse
+
+    import jax
+
+    from rawphotoforge_tpu.app import cli
+    from rawphotoforge_tpu.core.params import pack_params
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    ap = argparse.ArgumentParser()
+    cli._add_edit_flags(ap)
+    args = ap.parse_args([
+        "--exposure", "0.7", "--contrast", "22", "--shadow", "-8",
+        "--wb-temperature", "15", "--vignette", "35", "--sharpness", "40",
+        "--brightness-curve", "0:0,20000:30000,65535:65535",
+        "--saturation-curve", "0:40000,65535:40000",
+    ])
+    ed = PhotoEditor(np.full((3, 24, 32), 0.5, np.float32),
+                     mid_long_edge=16, use_pallas=False)
+    cli._apply_edit_flags(ed, args)
+    a = pack_params([ed.masks[0].params])
+    b = pack_params([cli._params_from_args(args)])
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_batch_fast_path_reports_cropped_pixels(tmp_path, capsys):
+    """The fast path's MPix summary must count the ENCODED (DefaultCrop)
+    frame, not the full mosaic — and thus agree with the fallback route's
+    accounting."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    import re
+
+    from PIL import Image
+
+    # Full mosaic 0.2 MPix, DefaultCrop keeps 96x64 = 0.0 MPix — the two
+    # candidate counts round differently at the summary's .1f precision.
+    rgb = np.full((3, 320, 480), 0.4, np.float32)
+    raw = dataclasses.replace(synthetic_raw(rgb),
+                              default_crop=(16, 8, 96, 64))
+    ind = tmp_path / "r"
+    outd = tmp_path / "o"
+    ind.mkdir()
+    (ind / "a.dng").write_bytes(write_dng(raw))
+    assert main(["batch", str(ind), str(outd)]) == 0
+    out = capsys.readouterr().out
+    assert "fused raw path" in out
+    m = re.search(r"([\d.]+) MPix in", out)
+    assert m is not None, out
+    assert m.group(1) == "0.0", out  # mosaic count would print "0.2"
+    assert Image.open(outd / "a.jpg").size == (96, 64)

@@ -154,3 +154,17 @@ class TestWarmVariantMatchesEditor:
         assert after == before, (
             "editor cold-open render compiled a new program despite the "
             "prewarm")
+
+
+class TestWarmEditorLevels:
+    def test_warm_builds_the_lazy_pyramid_resizes(self):
+        """warm_editor_levels must dispatch the editor's lazy FULL->level
+        resize (jit-keyed on the SOURCE extent, uncoverable by dummy-shape
+        warms) — or the first /preview?level=low drag pays the cold
+        compile this module exists to prevent."""
+        ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
+        assert MID not in ed._originals and LOW not in ed._originals
+        prewarm._warmed.discard(ed.level_shape(MID))
+        prewarm._warmed.discard(ed.level_shape(LOW))
+        assert prewarm.warm_editor_levels(ed) == 2
+        assert MID in ed._originals and LOW in ed._originals
