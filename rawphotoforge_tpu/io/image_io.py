@@ -182,8 +182,11 @@ def decode_image_host(data: bytes, fmt: str,
 
         def upload_ppm(u16=u16):
             # Integer upload + on-device normalize: the host->device link
-            # carries 2 bytes/sample instead of 4 (same f32 math).
-            chw = jnp.asarray(np.ascontiguousarray(u16.transpose(2, 0, 1)))
+            # carries 2 bytes/sample instead of 4 (same f32 math), in
+            # parallel bands (utils/transfer.put_np).
+            from ..utils.transfer import put_np
+
+            chw = put_np(np.ascontiguousarray(u16.transpose(2, 0, 1)))
             return _normalize_upload(65535.0, False)(chw)
 
         return HostDecoded({}, pv, u16.shape[:2], upload_ppm,
@@ -263,7 +266,9 @@ def decode_image_host(data: bytes, fmt: str,
                 pv = instant._to_u8_hwc(lin)
 
     def upload_pil(arr=arr, scale=scale, linearize=linearize):
-        chw = jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+        from ..utils.transfer import put_np
+
+        chw = put_np(np.ascontiguousarray(arr.transpose(2, 0, 1)))
         if scale is not None:
             return _normalize_upload(scale, linearize)(chw)
         if linearize:

@@ -185,8 +185,10 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
             wb_gains=estimate_gray_world_gains(
                 raw.mosaic, raw.pattern, raw.black_level, raw.white_level),
         )
+    from ..utils.transfer import put_np
+
     mosaic01 = dm.normalize_mosaic(
-        jnp.asarray(raw.mosaic), raw.black_level, raw.white_level
+        put_np(raw.mosaic), raw.black_level, raw.white_level
     )
     if raw.xyz_to_cam is not None:
         cam2srgb = jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))

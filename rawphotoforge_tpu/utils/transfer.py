@@ -30,6 +30,52 @@ def _is_device_array(x) -> bool:
     return hasattr(x, "addressable_shards")
 
 
+# Upload bands: the host->device direction saturates with fewer streams
+# than the fetch direction (measured on the axon tunnel: x4-x8 bands
+# ~1.6x a single put, x16 regresses to single-stream rates).
+_MAX_UPLOAD_BANDS = 8
+
+
+def put_np(arr: np.ndarray, bands: int | None = None,
+           threads: int | None = None):
+    """Upload a host array to the default device via parallel bands.
+
+    The mirror of fetch_np for the host->device direction: the array is
+    viewed flat, split into contiguous ranges, each ``jax.device_put``
+    in its own thread, then reassembled on device (one small concat
+    program per band split — compiled once per shape, unlike the develop
+    programs this path feeds). Small arrays (and anything already on
+    device) fall back to a plain ``jnp.asarray``; the uploaded values
+    are bit-identical either way.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if _is_device_array(arr):
+        return arr
+    arr = np.ascontiguousarray(arr)
+    nbytes = arr.nbytes
+    if bands is None:
+        if nbytes < _MIN_PARALLEL_BYTES:
+            return jnp.asarray(arr)
+        bands = max(1, min(_MAX_UPLOAD_BANDS, nbytes // _BAND_BYTES))
+    bands = min(bands, max(1, arr.size))
+    if bands <= 1:
+        return jnp.asarray(arr)
+    threads = min(bands, _MAX_THREADS if threads is None else threads)
+
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    bounds = [n * i // bands for i in range(bands + 1)]
+
+    def one(i):
+        return jax.device_put(flat[bounds[i]:bounds[i + 1]])
+
+    with ThreadPoolExecutor(threads) as pool:
+        parts = list(pool.map(one, range(bands)))
+    return jnp.concatenate(parts).reshape(arr.shape)
+
+
 def fetch_np(arr, bands: int | None = None, threads: int | None = None
              ) -> np.ndarray:
     """Fetch a device array to the host as np.ndarray via parallel bands.

@@ -34,6 +34,33 @@ def test_fetch_np_numpy_passthrough():
     np.testing.assert_array_equal(transfer.fetch_np(host), host)
 
 
+@pytest.mark.parametrize("shape,dtype", [
+    ((3, 37, 53), np.float32),
+    ((257, 31), np.uint16),
+    ((1001,), np.uint8),
+])
+@pytest.mark.parametrize("bands", [2, 3, 8])
+def test_put_np_matches_asarray(shape, dtype, bands):
+    rng = np.random.default_rng(5)
+    host = (rng.random(shape) * 200).astype(dtype)
+    dev = transfer.put_np(host, bands=bands)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    assert dev.shape == host.shape and np.dtype(dev.dtype) == host.dtype
+
+
+def test_put_np_small_and_noncontiguous_fallbacks():
+    # Below the parallel threshold: plain asarray path.
+    host = np.arange(24, dtype=np.uint16).reshape(4, 6)
+    np.testing.assert_array_equal(np.asarray(transfer.put_np(host)), host)
+    # Non-contiguous input (a transpose view) uploads correctly.
+    view = np.arange(60, dtype=np.float32).reshape(5, 12).T
+    got = transfer.put_np(view, bands=3)
+    np.testing.assert_array_equal(np.asarray(got), view)
+    # Device arrays pass straight through.
+    dev = jnp.asarray(host)
+    assert transfer.put_np(dev) is dev
+
+
 def test_fetch_u8_hwc_device_matches_host():
     rng = np.random.default_rng(11)
     planes = rng.normal(0.5, 0.6, size=(3, 41, 29)).astype(np.float32)
