@@ -127,16 +127,32 @@ def main(argv=None) -> int:
         from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
         from rawphotoforge_tpu.io import image_io
 
-        def first_preview_s(planes_np):
+        def first_preview_s(u8_chw):
+            # The PRODUCTION open path (from_host bucket-stable): host
+            # edge-pad -> banded integer upload -> on-device normalize,
+            # then PhotoEditor(true_shape=...) — zero per-image-extent
+            # programs (engine/editor.py, io/image_io.upload_pil).
+            from rawphotoforge_tpu.engine.editor import pad_to_bucket_np
+            from rawphotoforge_tpu.io.image_io import _normalize_upload
+            from rawphotoforge_tpu.utils.transfer import put_np
+
+            h, w = u8_chw.shape[1:]
             t0 = time.perf_counter()
-            ed = PhotoEditor(jnp.asarray(planes_np))
+            planes = _normalize_upload(255.0, True)(
+                put_np(pad_to_bucket_np(u8_chw)))
+            ed = PhotoEditor(planes, true_shape=(h, w))
             jpeg = image_io.encode_image(ed.apply(MID), "JPEG", quality=90)
             assert jpeg[:2] == b"\xff\xd8"
             return time.perf_counter() - t0
 
         rng6 = np.random.default_rng(6)
-        jit_h = 4000 + 8 * (int(time.time()) % 97) + 1  # unseen extents
-        cold_img = rng6.random((3, jit_h, 6000), dtype=np.float32)
+        # Unseen extents; starts past 4096 so the cold/warm image's
+        # 128-bucket can never collide with the prewarmed 4000x6000 run
+        # (bucket-stable programs would otherwise let "prewarmed"
+        # free-ride the warm run's in-process cache).
+        jit_h = 4104 + 8 * (int(time.time()) % 97) + 1
+        cold_img = rng6.integers(0, 256, size=(3, jit_h, 6000),
+                                 dtype=np.uint8)
         real_cache = jax.config.jax_compilation_cache_dir
         with tempfile.TemporaryDirectory(prefix="rpf_coldcache_") as tmp:
             jax.config.update("jax_compilation_cache_dir", tmp)
@@ -145,9 +161,15 @@ def main(argv=None) -> int:
             finally:
                 jax.config.update("jax_compilation_cache_dir", real_cache)
         t_warm = first_preview_s(cold_img)
+        # The server-start warm (serve()'s warm_async list), not timed:
+        # standard-aspect preview buckets + the canonical-sensor
+        # bucket-stable open-path programs.
         for s in prewarm.preview_shapes(1280, 400):
-            prewarm.warm_shape(s)  # the server-start warm, not timed
-        t_pre = first_preview_s(rng6.random((3, 4000, 6000), dtype=np.float32))
+            prewarm.warm_shape(s)
+        for s in prewarm.CANONICAL_SENSOR_SHAPES:
+            prewarm.warm_full_shape(s, 1280, 400)
+        t_pre = first_preview_s(rng6.integers(0, 256, size=(3, 4000, 6000),
+                                              dtype=np.uint8))
         results["c6_first_preview_cold_s"] = t_cold
         results["c6_first_preview_warm_s"] = t_warm
         results["c6_first_preview_prewarmed_s"] = t_pre

@@ -1898,14 +1898,19 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
         app.start_open(initial_file[0], initial_file[1])
     if prewarm:
         # Compile-before-first-slider: warm the opened editor's actual
-        # preview shapes plus the standard-aspect buckets (any photo
-        # opened later with a common aspect then hits warm programs).
-        from ..engine.prewarm import preview_shapes, warm_async
+        # preview shapes, the standard-aspect buckets, and the
+        # bucket-stable open-path programs for the canonical sensor
+        # sizes (any photo opened later with a common aspect/sensor then
+        # hits warm programs for the WHOLE open->first-preview path).
+        from ..engine.prewarm import (CANONICAL_SENSOR_SHAPES,
+                                      preview_shapes, warm_async)
 
         s = app.settings
         warm_async(
             shapes=preview_shapes(s.ui_preview_size, s.drag_preview_size),
             editor=app.editor,
+            full_shapes=CANONICAL_SENSOR_SHAPES,
+            preview_edges=(s.ui_preview_size, s.drag_preview_size),
         )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd

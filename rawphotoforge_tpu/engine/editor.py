@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..core.params import EditParameters, pack_params
 from ..ops import develop as dev
-from ..ops.geometry import resize_bilinear, resize_long_edge_shape
+from ..ops.geometry import (resize_bilinear, resize_bilinear_extents,
+                            resize_long_edge_shape)
 from ..ops.sharpen import unsharp_mask
 from ..ops.stats import (histogram_rgbl, histogram_rgbl_rect,
                          clipping_stats, clipping_stats_rect)
@@ -77,6 +78,27 @@ def _pad_to_bucket(
         return arr
     pad = [(0, 0)] * len(lead) + [(0, ph), (0, pw)]
     return jnp.pad(arr, pad, mode=mode)
+
+
+def bucket_shape(h: int, w: int, bucket: int = SHAPE_BUCKET
+                 ) -> tuple[int, int]:
+    """The padded (h, w) that ``_pad_to_bucket`` would produce."""
+    return (h + (-h) % bucket, w + (-w) % bucket)
+
+
+def pad_to_bucket_np(arr: np.ndarray, bucket: int = SHAPE_BUCKET) -> np.ndarray:
+    """Host-side edge-pad of [..., H, W] up to bucket multiples — the
+    np twin of ``_pad_to_bucket`` used by the decode upload closures so
+    the transfer-and-normalize programs (and everything downstream) key
+    on BUCKET shapes, not per-image extents (zero per-extent remote
+    compiles on the open path)."""
+    *lead, h, w = arr.shape
+    ph = (-h) % bucket
+    pw = (-w) % bucket
+    if ph == 0 and pw == 0:
+        return arr
+    pad = [(0, 0)] * len(lead) + [(0, ph), (0, pw)]
+    return np.pad(arr, pad, mode="edge")
 
 
 from .._errbase import PhotoEditorError
@@ -147,10 +169,20 @@ class PhotoEditor:
         mid_long_edge: int = DEFAULT_MID_LONG_EDGE,
         low_long_edge: int = DEFAULT_LOW_LONG_EDGE,
         use_pallas: bool = True,
+        true_shape: Optional[tuple] = None,
     ):
         planes = jnp.asarray(planes, dtype=jnp.float32)
         if planes.ndim != 3 or planes.shape[0] != 3:
             raise ValueError(f"expected planar [3, H, W] image, got {planes.shape}")
+        if true_shape is not None:
+            # ``planes`` is ALREADY bucket-padded (host-side, the decode
+            # upload closures) and ``true_shape`` is the real extent —
+            # the bucket-stable open path: no per-extent pad program.
+            th, tw = int(true_shape[0]), int(true_shape[1])
+            if planes.shape[1:] != bucket_shape(th, tw):
+                raise ValueError(
+                    f"true_shape {true_shape} does not bucket-pad to the "
+                    f"given planes shape {planes.shape[1:]}")
         self.exif = dict(exif or {})
         # Raw EXIF blob for write-back into exports (the reference's
         # exiftool metadata write-back, python-legacy editor.py:345-350).
@@ -165,15 +197,20 @@ class PhotoEditor:
         # because the RAW sensor data could not be decoded (vendor codec).
         self.opened_from_preview = None  # None, or the decode-error string
 
-        _, h, w = planes.shape
-        full = jax.device_put(planes)
+        if true_shape is not None:
+            h, w = int(true_shape[0]), int(true_shape[1])
+            full_padded = jax.device_put(planes)
+        else:
+            _, h, w = planes.shape
+            full_padded = _pad_to_bucket(jax.device_put(planes))
         # Per level: bucket-padded device planes + the true extent. The
         # MID/LOW resizes are built LAZILY on first access (_original_at):
-        # each source extent is its own XLA program, and through the
-        # remote tunnel that compile must not block the open — the server
-        # warms it in a background thread while the instant host preview
-        # (engine.instant) carries the first frames.
-        self._originals: dict[str, jax.Array] = {FULL: _pad_to_bucket(full)}
+        # the resize program keys on BUCKET shapes (extent-traced), and
+        # through the remote tunnel its one-per-bucket compile must not
+        # block the open — prewarm covers the canonical sensor buckets and
+        # the server warms the rest in a background thread while the
+        # instant host preview (engine.instant) carries the first frames.
+        self._originals: dict[str, jax.Array] = {FULL: full_padded}
         self._extents: dict[str, tuple[int, int]] = {FULL: (h, w)}
         for level, edge in ((MID, mid_long_edge), (LOW, low_long_edge)):
             if max(h, w) > edge:
@@ -283,7 +320,18 @@ class PhotoEditor:
     @classmethod
     def from_host(cls, ho: "HostOpen", **kwargs) -> "PhotoEditor":
         """Device phase: run the upload/develop closure and build the
-        session. Safe to call off-thread (touches no shared state)."""
+        session. Safe to call off-thread (touches no shared state).
+
+        Prefers the decode's bucket-stable ``upload_padded`` closure
+        (host-side edge pad + true_shape) so the whole open path keys on
+        bucket shapes — no per-image-extent remote compiles."""
+        up = getattr(ho.decoded, "upload_padded", None)
+        if up is not None:
+            ed = cls(up(), exif=ho.decoded.exif,
+                     true_shape=ho.decoded.shape, **kwargs)
+            ed.opened_from_preview = ho.preview_reason
+            ed.instant_srgb_u8 = ho.decoded.instant
+            return ed
         ed = cls(ho.decoded.upload(), exif=ho.decoded.exif, **kwargs)
         ed.opened_from_preview = ho.preview_reason
         ed.instant_srgb_u8 = ho.decoded.instant
@@ -304,9 +352,12 @@ class PhotoEditor:
     def _original_at(self, level: str) -> jax.Array:
         """Bucket-padded original planes at a pyramid level, built lazily.
 
-        The MID/LOW resize is one XLA program per source extent; deferring
-        it keeps the remote compile off the open path (prewarm warms it in
-        the background; engine.instant covers the gap)."""
+        The MID/LOW resize is extent-traced (resize_bilinear_extents), so
+        its XLA program keys on the BUCKET shapes only: every image of the
+        same sensor class reuses one compiled program, and prewarm can
+        compile the canonical buckets before any file opens. Deferring
+        the dispatch keeps even that off the open path (engine.instant
+        covers the gap)."""
         cached = self._originals.get(level)
         if cached is not None:
             return cached
@@ -317,8 +368,11 @@ class PhotoEditor:
             # apply_lens_profile's id-dedup keeps correcting it once).
             out = self._originals[FULL]
         else:
-            full_true = self._originals[FULL][:, :h, :w]
-            out = _pad_to_bucket(resize_bilinear(full_true, dh, dw))
+            out = resize_bilinear_extents(
+                self._originals[FULL],
+                jnp.asarray([h, w, dh, dw], dtype=jnp.int32),
+                bucket_shape(dh, dw),
+            )
         self._originals[level] = out
         return out
 
@@ -328,9 +382,12 @@ class PhotoEditor:
 
     # -- mask management ----------------------------------------------------
     def _add_main_mask(self):
-        h, w = self.shape
-        ones = jnp.ones((h, w), dtype=jnp.float32)
-        self.masks.append(_Mask("main", ones, EditParameters()))
+        # The main mask is all-ones BY CONSTRUCTION and no full-res plane
+        # is ever read for it: _masks_at builds per-level ones directly,
+        # invert_mask and set_mask_range skip index 0, and single-mask
+        # renders elide the stack entirely. data_full=None avoids a
+        # per-image-extent device program on the open path.
+        self.masks.append(_Mask("main", None, EditParameters()))
 
     def _find(self, name: Optional[str]) -> _Mask:
         name = name or "main"

@@ -42,10 +42,24 @@ STANDARD_ASPECTS = (
     (3, 2), (2, 3), (4, 3), (3, 4), (16, 9), (9, 16), (1, 1),
 )
 
+# Canonical sensor dimensions (h, w) + portrait twins: the FULL shapes
+# whose bucket-stable open-path programs (upload-normalize + the
+# extent-traced FULL->MID/LOW resizes) are worth compiling before any
+# file opens. The 128-bucket collapses each onto one program shared by
+# every camera within 127 px of it, so this short list covers the common
+# 24MP 3:2 bodies, 4:3 phones/MFT, 26MP APS-C, and 45MP full frame.
+CANONICAL_SENSOR_SHAPES = (
+    (4000, 6000), (6000, 4000),   # 24MP 3:2 (most FF/APS-C)
+    (3000, 4000), (4000, 3000),   # 12MP 4:3 (phones, older MFT)
+    (4160, 6240), (6240, 4160),   # 26MP APS-C (Fuji X-Trans IV/V)
+    (5464, 8192), (8192, 5464),   # 45MP FF (R5/Z8-class)
+)
+
 # Shapes (true h, true w) whose programs this process already warmed (or
 # started warming) — consulted to skip duplicate work on repeated opens.
 _warmed: set[tuple[int, int]] = set()
 _warmed_lock = threading.Lock()
+_warmed_full: set[tuple] = set()
 
 
 def preview_shapes(
@@ -138,6 +152,51 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         return False
 
 
+def warm_full_shape(full_shape: tuple[int, int],
+                    mid_long_edge: int = 1280,
+                    low_long_edge: int = 400) -> bool:
+    """Compile the bucket-stable open-path programs for one FULL sensor
+    shape: the u8 upload-normalize (the JPEG decode path) and the
+    extent-traced FULL->MID/LOW pyramid resizes.
+
+    Every program here keys on BUCKET shapes (engine.editor's
+    128-multiple padding; extents are traced), so one warm covers every
+    image within the same bucket — with the canonical sensor list, a
+    typical camera file's first open finds the whole device open path
+    already compiled. Dummy buffers only; best-effort like warm_shape.
+    """
+    import jax.numpy as jnp
+
+    from ..io.image_io import _normalize_upload
+    from ..ops.geometry import (resize_bilinear_extents,
+                                resize_long_edge_shape)
+    from .editor import bucket_shape
+
+    h, w = int(full_shape[0]), int(full_shape[1])
+    key = (bucket_shape(h, w), mid_long_edge, low_long_edge)
+    with _warmed_lock:
+        if key in _warmed_full:
+            return True
+        _warmed_full.add(key)
+    try:
+        hp, wp = key[0]
+        dummy_u8 = jnp.zeros((3, hp, wp), jnp.uint8)
+        planes = _normalize_upload(255.0, True)(dummy_u8)
+        for edge in (mid_long_edge, low_long_edge):
+            dh, dw = resize_long_edge_shape(h, w, edge)
+            if (dh, dw) == (h, w):
+                continue
+            out = resize_bilinear_extents(
+                planes, jnp.asarray([h, w, dh, dw], jnp.int32),
+                bucket_shape(dh, dw))
+            float(out[0, 0, 0])  # force execution through the tunnel
+        return True
+    except Exception:
+        with _warmed_lock:
+            _warmed_full.discard(key)
+        return False
+
+
 def warm_editor_levels(editor, levels=("mid", "low")) -> int:
     """Warm the preview programs for an open editor's actual shapes.
 
@@ -165,8 +224,11 @@ def warm_editor_levels(editor, levels=("mid", "low")) -> int:
 
 
 def warm_async(shapes=None, editor=None, levels=("mid", "low"),
+               full_shapes=None, preview_edges=(1280, 400),
                on_done=None) -> threading.Thread:
-    """Spawn a daemon thread warming ``shapes`` and/or an editor's levels.
+    """Spawn a daemon thread warming ``shapes`` and/or an editor's levels
+    and/or the bucket-stable open-path programs for ``full_shapes``
+    (see warm_full_shape; ``preview_edges`` = (mid, low) long edges).
 
     The thread never raises; ``on_done(warmed_count)`` (optional) runs at
     the end (used by tests and the server log line).
@@ -179,6 +241,9 @@ def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                 n += warm_editor_levels(editor, levels)
             for s in shapes or ():
                 if warm_shape(s):
+                    n += 1
+            for s in full_shapes or ():
+                if warm_full_shape(s, preview_edges[0], preview_edges[1]):
                     n += 1
         except Exception:
             pass

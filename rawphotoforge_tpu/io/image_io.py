@@ -129,9 +129,11 @@ class HostDecoded:
     compiles). Lets the server answer ``/open`` from host data immediately
     and run ``upload()`` in a background thread (engine.instant design)."""
 
-    __slots__ = ("exif", "instant", "instant_linear", "shape", "upload")
+    __slots__ = ("exif", "instant", "instant_linear", "shape", "upload",
+                 "upload_padded")
 
-    def __init__(self, exif, instant, shape, upload, instant_linear=None):
+    def __init__(self, exif, instant, shape, upload, instant_linear=None,
+                 upload_padded=None):
         self.exif = exif          # parsed capture metadata (host-side)
         self.instant = instant    # sRGB u8 HWC instant preview, or None
         self.shape = shape        # final true (h, w) of the device planes
@@ -141,6 +143,12 @@ class HostDecoded:
         # decode had no cheap linear form (recoverable from ``instant``
         # via engine.instant.linear_from_srgb_u8).
         self.instant_linear = instant_linear
+        # Optional bucket-stable variant: () -> device planes f32
+        # [3, Hp, Wp] edge-padded HOST-SIDE to the compile-bucket shape of
+        # ``shape``, so the transfer/normalize programs key on bucket
+        # shapes and PhotoEditor (given true_shape=shape) runs ZERO
+        # per-image-extent device programs on the open path.
+        self.upload_padded = upload_padded
 
 
 def decode_image(data: bytes, fmt: str, instant_out: dict | None = None):
@@ -180,17 +188,22 @@ def decode_image_host(data: bytes, fmt: str,
             )
             pv = instant._to_u8_hwc(lin)
 
-        def upload_ppm(u16=u16):
+        def upload_ppm(u16=u16, pad=False):
             # Integer upload + on-device normalize: the host->device link
             # carries 2 bytes/sample instead of 4 (same f32 math), in
-            # parallel bands (utils/transfer.put_np).
+            # parallel bands (utils/transfer.put_np). pad=True edge-pads
+            # host-side so the programs key on bucket shapes.
+            from ..engine.editor import pad_to_bucket_np
             from ..utils.transfer import put_np
 
-            chw = put_np(np.ascontiguousarray(u16.transpose(2, 0, 1)))
-            return _normalize_upload(65535.0, False)(chw)
+            chw = np.ascontiguousarray(u16.transpose(2, 0, 1))
+            if pad:
+                chw = pad_to_bucket_np(chw)
+            return _normalize_upload(65535.0, False)(put_np(chw))
 
         return HostDecoded({}, pv, u16.shape[:2], upload_ppm,
-                           instant_linear=lin)
+                           instant_linear=lin,
+                           upload_padded=lambda: upload_ppm(pad=True))
 
     if fmt == "DNG":
         from .raw import decode_raw_host  # local import to avoid cycle
@@ -265,10 +278,15 @@ def decode_image_host(data: bytes, fmt: str,
                     planes_h, instant_long_edge)
                 pv = instant._to_u8_hwc(lin)
 
-    def upload_pil(arr=arr, scale=scale, linearize=linearize):
+    def upload_pil(arr=arr, scale=scale, linearize=linearize, pad=False):
         from ..utils.transfer import put_np
 
-        chw = put_np(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+        chw = np.ascontiguousarray(arr.transpose(2, 0, 1))
+        if pad:
+            from ..engine.editor import pad_to_bucket_np
+
+            chw = pad_to_bucket_np(chw)
+        chw = put_np(chw)
         if scale is not None:
             return _normalize_upload(scale, linearize)(chw)
         if linearize:
@@ -276,7 +294,8 @@ def decode_image_host(data: bytes, fmt: str,
         return chw
 
     return HostDecoded(exif, pv, arr.shape[:2], upload_pil,
-                       instant_linear=lin)
+                       instant_linear=lin,
+                       upload_padded=lambda: upload_pil(pad=True))
 
 
 def normalize_exif_blob(exif_bytes: bytes) -> bytes:

@@ -198,6 +198,59 @@ def resize_bilinear(planes, dh: int, dw: int):
     return cx0 * (1.0 - ty) + cx1 * ty
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def resize_bilinear_extents(planes, extents, out_shape: tuple):
+    """Bucket-stable bilinear resize: ``resize_bilinear`` semantics with
+    the true source/destination extents as TRACED scalars.
+
+    ``planes`` is a bucket-padded [C, Hp, Wp] stack whose top-left
+    ``extents[:2]`` = (src_h, src_w) region holds the real image;
+    ``extents[2:]`` = (dst_h, dst_w) is the true destination extent and
+    ``out_shape`` the static (padded) output grid. Because every extent is
+    a runtime value, ONE compiled program serves every image whose padded
+    shapes match — the per-image-extent remote compile that
+    ``resize_bilinear`` puts on the open path disappears (same reasoning
+    as DevelopParams.extent for the develop programs).
+
+    Sampling clamps to the true source extent, so pad values are never
+    read; output rows/cols beyond the destination extent replicate the
+    last true row/col — exactly the ``mode="edge"`` padding the eager
+    path applies, so downstream stencil stages see identical borders.
+    In-extent values match ``resize_bilinear`` up to one f32 ulp in the
+    scale factor (both compute the same half-texel lerp in f32).
+    """
+    c, hp, wp = planes.shape
+    dhp, dwp = out_shape
+    ef = extents.astype(jnp.float32)
+    h, w, dh, dw = ef[0], ef[1], ef[2], ef[3]
+    # Edge padding beyond the true destination extent: clamp the output
+    # index so pad rows/cols recompute (and so bit-match) the last true one.
+    di = jnp.minimum(jnp.arange(dhp, dtype=jnp.float32), dh - 1.0)
+    dj = jnp.minimum(jnp.arange(dwp, dtype=jnp.float32), dw - 1.0)
+    sy = (di + 0.5) * (h / dh) - 0.5
+    sx = (dj + 0.5) * (w / dw) - 0.5
+    y0f = jnp.maximum(jnp.floor(sy), 0.0)
+    x0f = jnp.maximum(jnp.floor(sx), 0.0)
+    hi1 = extents[0].astype(jnp.int32) - 1
+    wi1 = extents[1].astype(jnp.int32) - 1
+    y0 = jnp.minimum(y0f.astype(jnp.int32), hi1)
+    x0 = jnp.minimum(x0f.astype(jnp.int32), wi1)
+    y1 = jnp.minimum(y0 + 1, hi1)
+    x1 = jnp.minimum(x0 + 1, wi1)
+    ty = (sy - y0f)[None, :, None]
+    tx = (sx - x0f)[None, None, :]
+
+    rows0 = jnp.take(planes, y0, axis=1)
+    rows1 = jnp.take(planes, y1, axis=1)
+    c00 = jnp.take(rows0, x0, axis=2)
+    c10 = jnp.take(rows0, x1, axis=2)
+    c01 = jnp.take(rows1, x0, axis=2)
+    c11 = jnp.take(rows1, x1, axis=2)
+    cx0 = c00 * (1.0 - tx) + c10 * tx
+    cx1 = c01 * (1.0 - tx) + c11 * tx
+    return cx0 * (1.0 - ty) + cx1 * ty
+
+
 def orient_exif(planes, orientation: int):
     """Apply an EXIF orientation (1..8) to [C, H, W] planes.
 

@@ -133,6 +133,56 @@ def test_resize_matches_reference_semantics(rng):
     np.testing.assert_allclose(out.transpose(1, 2, 0), expected, atol=1e-6)
 
 
+def test_resize_bilinear_extents_matches_static(rng):
+    """The bucket-stable (extent-traced) resize must agree with the
+    static-shape resize on the true region, and edge-replicate beyond
+    the destination extent (the _pad_to_bucket mode='edge' contract)."""
+    from rawphotoforge_tpu.engine.editor import (bucket_shape,
+                                                 pad_to_bucket_np)
+    from rawphotoforge_tpu.ops.geometry import resize_bilinear_extents
+
+    for (h, w, dh, dw) in [(301, 467, 101, 157), (130, 257, 37, 73),
+                           (128, 128, 50, 50), (97, 129, 96, 128)]:
+        src = rng.random((3, h, w)).astype(np.float32)
+        padded = jnp.asarray(pad_to_bucket_np(src, bucket=128))
+        out_shape = bucket_shape(dh, dw, bucket=128)
+        got = np.asarray(resize_bilinear_extents(
+            padded, jnp.asarray([h, w, dh, dw], np.int32), out_shape))
+        want = np.asarray(resize_bilinear(jnp.asarray(src), dh, dw))
+        assert got.shape == (3,) + out_shape
+        np.testing.assert_allclose(got[:, :dh, :dw], want, atol=2e-6)
+        # Pad region replicates the last true row/col exactly.
+        np.testing.assert_array_equal(
+            got[:, dh:, :dw], np.broadcast_to(got[:, dh - 1:dh, :dw],
+                                              got[:, dh:, :dw].shape))
+        np.testing.assert_array_equal(
+            got[:, :, dw:], np.broadcast_to(got[:, :, dw - 1:dw],
+                                            got[:, :, dw:].shape))
+
+
+def test_bucket_stable_open_matches_legacy(rng):
+    """PhotoEditor(planes_padded, true_shape=...) — the from_host
+    bucket-stable path — must render the same previews as the legacy
+    unpadded construction."""
+    from rawphotoforge_tpu.engine.editor import (PhotoEditor,
+                                                 pad_to_bucket_np)
+
+    src = rng.random((3, 151, 210)).astype(np.float32)
+    legacy = PhotoEditor(jnp.asarray(src), mid_long_edge=100,
+                         low_long_edge=40)
+    fast = PhotoEditor(jnp.asarray(pad_to_bucket_np(src)),
+                       true_shape=(151, 210), mid_long_edge=100,
+                       low_long_edge=40)
+    assert fast.shape == legacy.shape == (151, 210)
+    for level in ("full", "mid", "low"):
+        a = np.asarray(legacy.apply(level))
+        b = np.asarray(fast.apply(level))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    with pytest.raises(ValueError):
+        PhotoEditor(jnp.asarray(src), true_shape=(151, 210))
+
+
 def test_exif_preserved_in_export(tmp_path):
     from PIL import Image as PILImage
     from PIL.ExifTags import Base

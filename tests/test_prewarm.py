@@ -156,6 +156,37 @@ class TestWarmVariantMatchesEditor:
             "prewarm")
 
 
+class TestWarmFullShape:
+    def test_warm_covers_the_bucket_stable_open_path(self):
+        """warm_full_shape compiles the SAME programs the from_host
+        bucket-stable open dispatches: after the warm, opening an image
+        in the warmed bucket adds no new extent-traced resize program."""
+        from rawphotoforge_tpu.ops.geometry import resize_bilinear_extents
+
+        shape = (275, 410)  # buckets to (384, 512)
+        prewarm._warmed_full.clear()
+        assert prewarm.warm_full_shape(shape, 100, 40)
+        # Same-bucket, different-extent image: the resize program must
+        # already be compiled (cache size stable across the dispatch).
+        before = resize_bilinear_extents._cache_size()
+        ed = PhotoEditor(
+            jnp.asarray(np.zeros((3, 384, 512), np.float32)),
+            true_shape=(300, 400), mid_long_edge=100, low_long_edge=40)
+        ed._original_at(MID)
+        ed._original_at(LOW)
+        assert resize_bilinear_extents._cache_size() == before, (
+            "open-path resize compiled a new program despite the "
+            "full-shape warm")
+        # Second warm of the same bucket is a dedup no-op.
+        assert prewarm.warm_full_shape((300, 401), 100, 40)
+
+    def test_warm_full_shape_small_image_alias(self):
+        # Image smaller than both preview edges: nothing to resize;
+        # still reports success.
+        prewarm._warmed_full.clear()
+        assert prewarm.warm_full_shape((50, 60), 100, 40)
+
+
 class TestWarmEditorLevels:
     def test_warm_builds_the_lazy_pyramid_resizes(self):
         """warm_editor_levels must dispatch the editor's lazy FULL->level
