@@ -1911,6 +1911,11 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
             editor=app.editor,
             full_shapes=CANONICAL_SENSOR_SHAPES,
             preview_edges=(s.ui_preview_size, s.drag_preview_size),
+            # One Malvar-develop compile per sensor bucket covers the
+            # bucket-stable DNG open (io.raw.develop_raw_image_padded);
+            # all four Bayer phases share it only per-pattern, so warm
+            # the overwhelmingly-common RGGB.
+            raw_patterns=("RGGB",),
         )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd

@@ -154,10 +154,14 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
 
 def warm_full_shape(full_shape: tuple[int, int],
                     mid_long_edge: int = 1280,
-                    low_long_edge: int = 400) -> bool:
+                    low_long_edge: int = 400,
+                    raw_patterns: tuple = ()) -> bool:
     """Compile the bucket-stable open-path programs for one FULL sensor
-    shape: the u8 upload-normalize (the JPEG decode path) and the
-    extent-traced FULL->MID/LOW pyramid resizes.
+    shape: the u8 upload-normalize (the JPEG decode path), the
+    extent-traced FULL->MID/LOW pyramid resizes, and — per
+    ``raw_patterns`` entry (e.g. "RGGB") — the bucket-stable RAW develop
+    chain (io.raw.develop_raw_image_padded's normalize + WB + Malvar
+    demosaic + camera matrix).
 
     Every program here keys on BUCKET shapes (engine.editor's
     128-multiple padding; extents are traced), so one warm covers every
@@ -173,7 +177,8 @@ def warm_full_shape(full_shape: tuple[int, int],
     from .editor import bucket_shape
 
     h, w = int(full_shape[0]), int(full_shape[1])
-    key = (bucket_shape(h, w), mid_long_edge, low_long_edge)
+    key = (bucket_shape(h, w), mid_long_edge, low_long_edge,
+           tuple(raw_patterns))
     with _warmed_lock:
         if key in _warmed_full:
             return True
@@ -190,6 +195,15 @@ def warm_full_shape(full_shape: tuple[int, int],
                 planes, jnp.asarray([h, w, dh, dw], jnp.int32),
                 bucket_shape(dh, dw))
             float(out[0, 0, 0])  # force execution through the tunnel
+        for pattern in raw_patterns:
+            from ..ops import demosaic as dm
+
+            mosaic01 = dm.normalize_mosaic(
+                jnp.zeros((hp, wp), jnp.uint16), 512.0, 16383.0)
+            out = dm.develop_raw(
+                mosaic01, jnp.asarray([2.0, 1.0, 1.5], jnp.float32),
+                jnp.eye(3, dtype=jnp.float32), pattern=pattern)
+            float(out[0, 0, 0])
         return True
     except Exception:
         with _warmed_lock:
@@ -225,7 +239,7 @@ def warm_editor_levels(editor, levels=("mid", "low")) -> int:
 
 def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                full_shapes=None, preview_edges=(1280, 400),
-               on_done=None) -> threading.Thread:
+               raw_patterns=(), on_done=None) -> threading.Thread:
     """Spawn a daemon thread warming ``shapes`` and/or an editor's levels
     and/or the bucket-stable open-path programs for ``full_shapes``
     (see warm_full_shape; ``preview_edges`` = (mid, low) long edges).
@@ -243,7 +257,8 @@ def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                 if warm_shape(s):
                     n += 1
             for s in full_shapes or ():
-                if warm_full_shape(s, preview_edges[0], preview_edges[1]):
+                if warm_full_shape(s, preview_edges[0], preview_edges[1],
+                                   raw_patterns=raw_patterns):
                     n += 1
         except Exception:
             pass

@@ -175,8 +175,9 @@ def estimate_gray_world_gains(mosaic: np.ndarray, pattern: str,
     return (float(gains[0]), 1.0, float(gains[2]))
 
 
-def develop_raw_image(raw: RawImage, method: str = "malvar"):
-    """RawImage -> (linear sRGB planes f32 [3, H, W], exif dict)."""
+def _with_effective_wb(raw: RawImage) -> RawImage:
+    """Substitute deterministic gray-world gains when the container had no
+    usable camera WB (wb_known=False, vendor maker-note gap)."""
     if not raw.wb_known and tuple(raw.wb_gains) == (1.0, 1.0, 1.0):
         import dataclasses
 
@@ -185,15 +186,81 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
             wb_gains=estimate_gray_world_gains(
                 raw.mosaic, raw.pattern, raw.black_level, raw.white_level),
         )
+    return raw
+
+
+def _cam2srgb_for(raw: RawImage) -> jnp.ndarray:
+    if raw.xyz_to_cam is not None:
+        return jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
+    return jnp.eye(3, dtype=jnp.float32)
+
+
+def bucket_stable_eligible(raw: RawImage) -> bool:
+    """Whether this RAW can take the bucket-stable develop
+    (develop_raw_image_padded): the common landscape camera file — Bayer
+    CFA or demosaiced LinearRaw, upright, no DNG crop/warp opcodes.
+
+    The reflect bucket pad preserves Bayer phase (period 2 divides the
+    128 bucket; mirror indices keep row parity) and reproduces exactly
+    the reflect values the Malvar/bilinear stencils generate internally
+    at a true edge, so the true region is BIT-IDENTICAL to the unpadded
+    develop (gated in tests/test_raw.py). Everything else (X-Trans 6x6
+    phase, DefaultCrop, WarpRectilinear, EXIF rotations) falls back to
+    the per-extent path."""
+    from ..engine.editor import SHAPE_BUCKET
+
+    if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern != "RGB":
+        return False
+    if raw.default_crop is not None or raw.warp_rectilinear is not None:
+        return False
+    if raw.orientation not in (0, 1):
+        return False
+    h, w = raw.mosaic.shape[:2]
+    if h < 2 or w < 2:
+        return False
+    # A 1-px pad would let the Malvar 5x5 window cross the padded edge
+    # at true-edge pixels (its internal reflect then disagrees with the
+    # unpadded path by one row) — bit-exactness requires pad != 1.
+    return (-h) % SHAPE_BUCKET != 1 and (-w) % SHAPE_BUCKET != 1
+
+
+def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
+    """Bucket-stable develop: reflect-pad the mosaic HOST-side to the
+    128-bucket shape, then run the normalize/WB/demosaic/matrix chain on
+    the padded grid — every device program keys on the BUCKET shape, so
+    all same-sensor-class RAWs share compiles (and prewarm can front-run
+    them). Returns padded planes [3, Hp, Wp]; the true region equals
+    develop_raw_image's output bit-for-bit (see bucket_stable_eligible).
+    Caller passes true_shape=raw.mosaic.shape[:2] to PhotoEditor."""
+    from ..engine.editor import SHAPE_BUCKET
+    from ..utils.transfer import put_np
+
+    assert bucket_stable_eligible(raw)
+    raw = _with_effective_wb(raw)
+    m = raw.mosaic
+    h, w = m.shape[:2]
+    ph, pw = (-h) % SHAPE_BUCKET, (-w) % SHAPE_BUCKET
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (m.ndim - 2)
+    m = np.pad(m, pad, mode="reflect")
+    mosaic01 = dm.normalize_mosaic(
+        put_np(m), raw.black_level, raw.white_level)
+    cam2srgb = _cam2srgb_for(raw)
+    wb = jnp.asarray(raw.wb_gains, dtype=jnp.float32)
+    if raw.pattern == "RGB":
+        return dm.develop_linear_raw(mosaic01, wb, cam2srgb)
+    return dm.develop_raw(mosaic01, wb, cam2srgb,
+                          pattern=raw.pattern, method=method)
+
+
+def develop_raw_image(raw: RawImage, method: str = "malvar"):
+    """RawImage -> (linear sRGB planes f32 [3, H, W], exif dict)."""
+    raw = _with_effective_wb(raw)
     from ..utils.transfer import put_np
 
     mosaic01 = dm.normalize_mosaic(
         put_np(raw.mosaic), raw.black_level, raw.white_level
     )
-    if raw.xyz_to_cam is not None:
-        cam2srgb = jnp.asarray(dm.cam_matrix_to_srgb(raw.xyz_to_cam))
-    else:
-        cam2srgb = jnp.eye(3, dtype=jnp.float32)
+    cam2srgb = _cam2srgb_for(raw)
     if raw.pattern == "RGB":
         # Demosaiced LinearRaw data (lossy DNG): WB + matrix only.
         planes = dm.develop_linear_raw(
@@ -265,8 +332,17 @@ def decode_raw_host(data: bytes, instant_long_edge: int | None = None):
     def upload(raw=raw):
         return develop_raw_image(raw)[0]
 
+    upload_padded = None
+    if bucket_stable_eligible(raw):
+        # The common upright Bayer/LinearRaw file: develop on the
+        # reflect-padded bucket grid so every device program is shared
+        # across same-sensor-class RAWs (true region bit-identical;
+        # PhotoEditor gets true_shape via HostDecoded.shape).
+        def upload_padded(raw=raw):
+            return develop_raw_image_padded(raw)
+
     return HostDecoded(dict(raw.exif), pv, (h, w), upload,
-                       instant_linear=lin)
+                       instant_linear=lin, upload_padded=upload_padded)
 
 
 def synthetic_raw(

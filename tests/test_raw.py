@@ -113,6 +113,86 @@ def test_develop_raw_roundtrip_synthetic(rng):
     assert d.max() < 0.02, d.max()
 
 
+@pytest.mark.parametrize("pattern", ["RGGB", "GBRG"])
+def test_bucket_stable_develop_bit_identical(rng, pattern):
+    """develop_raw_image_padded (the bucket-stable open) must reproduce
+    develop_raw_image BIT-for-bit in the true region: the host reflect
+    pad generates exactly the values the Malvar stencil's internal
+    reflect would."""
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 70, 106  # buckets to (128, 128)
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    xyz_to_cam = np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]]
+    )
+    raw = synthetic_raw(rgb, pattern=pattern, wb_gains=(1.8, 1.0, 1.45),
+                        xyz_to_cam=xyz_to_cam)
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    padded = develop_raw_image_padded(raw)
+    assert padded.shape == (3, 128, 128)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :h, :w],
+                                  np.asarray(legacy))
+
+
+def test_bucket_stable_develop_linear_raw(rng):
+    from rawphotoforge_tpu.io.dng import RawImage
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 40, 60
+    vals = (rng.random((h, w, 3)) * 60000).astype(np.uint16)
+    raw = RawImage(mosaic=vals, pattern="RGB", black_level=0.0,
+                   white_level=65535.0, wb_gains=(1.5, 1.0, 1.2),
+                   xyz_to_cam=None)
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    padded = develop_raw_image_padded(raw)
+    assert padded.shape == (3, 128, 128)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :h, :w],
+                                  np.asarray(legacy))
+
+
+def test_bucket_stable_eligibility_fallbacks(rng):
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import bucket_stable_eligible
+
+    rgb = random_linear_image(rng, 24, 36).transpose(2, 0, 1)
+    raw = synthetic_raw(rgb, pattern="RGGB")
+    assert bucket_stable_eligible(raw)
+    assert not bucket_stable_eligible(
+        dataclasses.replace(raw, orientation=6))
+    assert not bucket_stable_eligible(
+        dataclasses.replace(raw, default_crop=(2, 2, 20, 16)))
+    assert not bucket_stable_eligible(
+        dataclasses.replace(raw, pattern="XTRANS"))
+    # A 1-px pad would break Malvar bit-exactness at the true edge.
+    raw127 = synthetic_raw(
+        random_linear_image(rng, 127, 36).transpose(2, 0, 1))
+    assert not bucket_stable_eligible(raw127)
+
+
+def test_editor_dng_open_uses_bucket_stable_path(rng):
+    """from_bytes on an eligible DNG must take the padded upload and
+    render identically to the legacy device phase."""
+    from rawphotoforge_tpu.io.raw import decode_raw_host
+
+    rgb = random_linear_image(rng, 44, 66).transpose(2, 0, 1)
+    raw = synthetic_raw(rgb, pattern="RGGB", wb_gains=(2.0, 1.0, 1.5))
+    data = dng_mod.write_dng(raw)
+    hd = decode_raw_host(data)
+    assert hd.upload_padded is not None
+    ed = PhotoEditor.from_bytes(data, "DNG")
+    assert ed.shape == (44, 66)
+    assert ed._originals["full"].shape == (3, 128, 128)
+    legacy = PhotoEditor(hd.upload())
+    np.testing.assert_array_equal(np.asarray(ed.apply(FULL)),
+                                  np.asarray(legacy.apply(FULL)))
+
+
 def test_dng_write_read_roundtrip(rng):
     rgb = random_linear_image(rng, 32, 48).transpose(2, 0, 1)
     xyz_to_cam = np.array(
