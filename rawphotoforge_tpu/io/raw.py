@@ -195,61 +195,139 @@ def _cam2srgb_for(raw: RawImage) -> jnp.ndarray:
     return jnp.eye(3, dtype=jnp.float32)
 
 
+# Which mosaic sides take the reflect bucket pad, per EXIF orientation:
+# (pad_top, pad_left). Chosen so ops.geometry.orient_exif maps the pad to
+# the OUTPUT's bottom/right — the true region lands at the origin, where
+# PhotoEditor's true-extent convention needs it. Derived from
+# orient_exif's index maps (e.g. o=6: out[y, x] = in[h-1-x, y], so input
+# TOP rows become output right cols -> pad top).
+_PAD_SIDES = {
+    0: (False, False), 1: (False, False), 2: (False, True),
+    3: (True, True), 4: (True, False), 5: (False, False),
+    6: (True, False), 7: (True, True), 8: (False, True),
+}
+
+
+def _bucket_pads(raw: RawImage):
+    """Reflect-pad amounts (ph, pw) for the bucket-stable develop, or
+    None when the file must fall back to the per-extent path.
+
+    Base pads round (h, w) up to the 128-bucket; with a DefaultCrop the
+    pad additionally guarantees the post-develop bucket-size
+    dynamic_slice (bucket(ch), bucket(cw)) starting at the traced crop
+    origin stays inside the padded grid (dynamic_slice would otherwise
+    CLAMP the start and silently shift the crop)."""
+    from ..engine.editor import SHAPE_BUCKET, bucket_shape
+
+    h, w = raw.mosaic.shape[:2]
+    if h < 2 or w < 2:
+        return None
+    ph, pw = (-h) % SHAPE_BUCKET, (-w) % SHAPE_BUCKET
+    sides = _PAD_SIDES.get(raw.orientation)
+    if sides is None:
+        return None
+    if raw.orientation not in (0, 1):
+        if raw.default_crop is not None:
+            # Crop-under-rotation needs side-dependent slice gymnastics;
+            # rare enough to take the per-extent path.
+            return None
+        # A top/left pad shifts the CFA phase of the true region unless
+        # it is even (Bayer period 2); real sensor dims are even, so
+        # this almost never falls back.
+        if (sides[0] and ph % 2) or (sides[1] and pw % 2):
+            return None
+    if raw.default_crop is not None:
+        cx, cy, cw, ch = raw.default_crop
+        if not (0 <= cy and 0 <= cx and cy + ch <= h and cx + cw <= w
+                and ch >= 1 and cw >= 1):
+            return None  # malformed rect: legacy path validates/fails
+        bh, bw = bucket_shape(ch, cw)
+        ph = max(ph, cy + bh - h)
+        pw = max(pw, cx + bw - w)
+        # Keep the padded grid a bucket multiple.
+        ph += (-(h + ph)) % SHAPE_BUCKET
+        pw += (-(w + pw)) % SHAPE_BUCKET
+    # A 1-px pad would let the Malvar 5x5 window cross the padded edge
+    # at true-edge pixels (its internal reflect then disagrees with the
+    # unpadded path by one row) — bit-exactness requires pad != 1.
+    # Deeper pads than the image (np reflect cycles) are fine: only the
+    # first two pad rows/cols feed true-region stencils.
+    if ph == 1 or pw == 1:
+        return None
+    return ph, pw
+
+
 def bucket_stable_eligible(raw: RawImage) -> bool:
     """Whether this RAW can take the bucket-stable develop
-    (develop_raw_image_padded): the common landscape camera file — Bayer
-    CFA or demosaiced LinearRaw, upright, no DNG crop/warp opcodes.
+    (develop_raw_image_padded): the common camera file — Bayer CFA or
+    demosaiced LinearRaw, any EXIF orientation (crop and rotation not
+    combined), no warp opcode.
 
     The reflect bucket pad preserves Bayer phase (period 2 divides the
     128 bucket; mirror indices keep row parity) and reproduces exactly
     the reflect values the Malvar/bilinear stencils generate internally
     at a true edge, so the true region is BIT-IDENTICAL to the unpadded
-    develop (gated in tests/test_raw.py). Everything else (X-Trans 6x6
-    phase, DefaultCrop, WarpRectilinear, EXIF rotations) falls back to
-    the per-extent path."""
-    from ..engine.editor import SHAPE_BUCKET
-
+    develop (gated in tests/test_raw.py). X-Trans (6x6 phase),
+    WarpRectilinear, and crop-under-rotation fall back to the
+    per-extent path."""
     if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern != "RGB":
         return False
-    if raw.default_crop is not None or raw.warp_rectilinear is not None:
+    if raw.warp_rectilinear is not None:
         return False
-    if raw.orientation not in (0, 1):
-        return False
-    h, w = raw.mosaic.shape[:2]
-    if h < 2 or w < 2:
-        return False
-    # A 1-px pad would let the Malvar 5x5 window cross the padded edge
-    # at true-edge pixels (its internal reflect then disagrees with the
-    # unpadded path by one row) — bit-exactness requires pad != 1.
-    return (-h) % SHAPE_BUCKET != 1 and (-w) % SHAPE_BUCKET != 1
+    return _bucket_pads(raw) is not None
 
 
 def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
     """Bucket-stable develop: reflect-pad the mosaic HOST-side to the
     128-bucket shape, then run the normalize/WB/demosaic/matrix chain on
-    the padded grid — every device program keys on the BUCKET shape, so
+    the padded grid — every device program keys on BUCKET shapes, so
     all same-sensor-class RAWs share compiles (and prewarm can front-run
-    them). Returns padded planes [3, Hp, Wp]; the true region equals
+    them). A DefaultCrop becomes a traced-origin dynamic_slice of
+    bucket-quantized size (one program per crop bucket, not per rect).
+    Returns padded planes [3, Hp, Wp]; the true region equals
     develop_raw_image's output bit-for-bit (see bucket_stable_eligible).
-    Caller passes true_shape=raw.mosaic.shape[:2] to PhotoEditor."""
-    from ..engine.editor import SHAPE_BUCKET
+    Caller passes true_shape = HostDecoded.shape to PhotoEditor."""
+    from ..engine.editor import bucket_shape
     from ..utils.transfer import put_np
 
-    assert bucket_stable_eligible(raw)
+    pads = _bucket_pads(raw)
+    assert pads is not None and bucket_stable_eligible(raw)
     raw = _with_effective_wb(raw)
     m = raw.mosaic
-    h, w = m.shape[:2]
-    ph, pw = (-h) % SHAPE_BUCKET, (-w) % SHAPE_BUCKET
-    pad = [(0, ph), (0, pw)] + [(0, 0)] * (m.ndim - 2)
+    # Pad the sides that orient_exif maps to the output's bottom/right
+    # (true region at the origin after the final orientation).
+    pad_top, pad_left = _PAD_SIDES[raw.orientation]
+    pad = [(pads[0], 0) if pad_top else (0, pads[0]),
+           (pads[1], 0) if pad_left else (0, pads[1])]
+    pad += [(0, 0)] * (m.ndim - 2)
     m = np.pad(m, pad, mode="reflect")
     mosaic01 = dm.normalize_mosaic(
         put_np(m), raw.black_level, raw.white_level)
     cam2srgb = _cam2srgb_for(raw)
     wb = jnp.asarray(raw.wb_gains, dtype=jnp.float32)
     if raw.pattern == "RGB":
-        return dm.develop_linear_raw(mosaic01, wb, cam2srgb)
-    return dm.develop_raw(mosaic01, wb, cam2srgb,
-                          pattern=raw.pattern, method=method)
+        planes = dm.develop_linear_raw(mosaic01, wb, cam2srgb)
+    else:
+        planes = dm.develop_raw(mosaic01, wb, cam2srgb,
+                                pattern=raw.pattern, method=method)
+    if raw.default_crop is not None:
+        import jax.lax as lax
+
+        cx, cy, cw, ch = raw.default_crop
+        # Crop values inside the true region are demosaiced from real
+        # neighbors, so the slice is bit-identical to the legacy
+        # post-demosaic crop; rows/cols past the crop extent (the
+        # result's pad) carry adjacent real pixels — better stencil
+        # context than edge replication. _bucket_pads guaranteed the
+        # slice stays in bounds (no silent dynamic_slice clamping).
+        planes = lax.dynamic_slice(
+            planes,
+            (jnp.int32(0), jnp.int32(cy), jnp.int32(cx)),
+            (3,) + bucket_shape(ch, cw))
+    # Pure relocation of already-final values (one program per
+    # orientation x bucket); _PAD_SIDES put the pad where this lands it
+    # bottom/right, so the true region arrives at the origin.
+    return orient_exif(planes, raw.orientation)
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

@@ -155,6 +155,57 @@ def test_bucket_stable_develop_linear_raw(rng):
                                   np.asarray(legacy))
 
 
+def test_bucket_stable_develop_default_crop_bit_identical(rng):
+    """A DefaultCrop through the bucket-stable path (traced-origin
+    dynamic_slice of bucket size) must equal the legacy post-demosaic
+    crop bit-for-bit — including a rect touching the mosaic's bottom
+    edge, where the in-bounds pad guarantee matters."""
+    import dataclasses
+
+    from rawphotoforge_tpu.engine.editor import bucket_shape
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 90, 140
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    base = synthetic_raw(rgb, pattern="RGGB", wb_gains=(1.7, 1.0, 1.3))
+    for crop in [(6, 4, 120, 80),      # interior
+                 (10, 40, 128, 50),    # bottom-right corner touch
+                 (0, 0, 140, 90)]:     # full-frame rect
+        raw = dataclasses.replace(base, default_crop=crop)
+        assert bucket_stable_eligible(raw)
+        legacy, _ = develop_raw_image(raw)
+        padded = develop_raw_image_padded(raw)
+        cx, cy, cw, ch = crop
+        assert padded.shape == (3,) + bucket_shape(ch, cw)
+        np.testing.assert_array_equal(np.asarray(padded)[:, :ch, :cw],
+                                      np.asarray(legacy))
+
+
+@pytest.mark.parametrize("orientation", [2, 3, 4, 5, 6, 7, 8])
+def test_bucket_stable_develop_oriented_bit_identical(rng, orientation):
+    """Every EXIF orientation through the bucket-stable path (side-aware
+    reflect pad + post-develop orient_exif relocation) must equal the
+    legacy develop+orient bit-for-bit in the true region."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 70, 106
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    raw = dataclasses.replace(
+        synthetic_raw(rgb, pattern="RGGB", wb_gains=(1.8, 1.0, 1.45)),
+        orientation=orientation)
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    oh, ow = legacy.shape[1:]
+    padded = develop_raw_image_padded(raw)
+    assert padded.shape == (3, 128, 128)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :oh, :ow],
+                                  np.asarray(legacy))
+
+
 def test_bucket_stable_eligibility_fallbacks(rng):
     import dataclasses
 
@@ -163,10 +214,21 @@ def test_bucket_stable_eligibility_fallbacks(rng):
     rgb = random_linear_image(rng, 24, 36).transpose(2, 0, 1)
     raw = synthetic_raw(rgb, pattern="RGGB")
     assert bucket_stable_eligible(raw)
+    # Orientation is bucket-stable, but not combined with a crop, and a
+    # top/left pad must be even (Bayer phase) — 24 rows pads by 104
+    # (even, ok); the odd-height variant below falls back.
+    assert bucket_stable_eligible(dataclasses.replace(raw, orientation=6))
+    assert not bucket_stable_eligible(dataclasses.replace(
+        raw, orientation=6, default_crop=(2, 2, 20, 16)))
+    odd = synthetic_raw(random_linear_image(rng, 23, 36).transpose(2, 0, 1))
     assert not bucket_stable_eligible(
-        dataclasses.replace(raw, orientation=6))
-    assert not bucket_stable_eligible(
+        dataclasses.replace(odd, orientation=6))
+    # DefaultCrop IS bucket-stable (traced dynamic_slice); malformed
+    # rects fall back to the legacy path's validation.
+    assert bucket_stable_eligible(
         dataclasses.replace(raw, default_crop=(2, 2, 20, 16)))
+    assert not bucket_stable_eligible(
+        dataclasses.replace(raw, default_crop=(2, 2, 40, 16)))
     assert not bucket_stable_eligible(
         dataclasses.replace(raw, pattern="XTRANS"))
     # A 1-px pad would break Malvar bit-exactness at the true edge.
