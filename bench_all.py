@@ -127,23 +127,27 @@ def main(argv=None) -> int:
         from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
         from rawphotoforge_tpu.io import image_io
 
-        def first_preview_s(u8_chw):
-            # The PRODUCTION open path (from_host bucket-stable): host
-            # edge-pad -> banded integer upload -> on-device normalize,
-            # then PhotoEditor(true_shape=...) — zero per-image-extent
-            # programs (engine/editor.py, io/image_io.upload_pil).
-            from rawphotoforge_tpu.engine.editor import pad_to_bucket_np
-            from rawphotoforge_tpu.io.image_io import _normalize_upload
-            from rawphotoforge_tpu.utils.transfer import put_np
+        def first_preview_s(ppm_bytes):
+            # The PRODUCTION open path, driven through the real decode +
+            # device-phase entry points (no harness reimplementation
+            # that could drift): decode_image_host -> from_host takes
+            # the bucket-stable upload_padded closure (host edge-pad,
+            # banded u16 upload, on-device normalize, true_shape).
+            # PPM16 keeps host codec time negligible, so the number is
+            # open->first-MID-preview, not JPEG-decode time.
+            from rawphotoforge_tpu.engine.editor import HostOpen
 
-            h, w = u8_chw.shape[1:]
             t0 = time.perf_counter()
-            planes = _normalize_upload(255.0, True)(
-                put_np(pad_to_bucket_np(u8_chw)))
-            ed = PhotoEditor(planes, true_shape=(h, w))
+            hd = image_io.decode_image_host(ppm_bytes, "PPM16")
+            ed = PhotoEditor.from_host(HostOpen(hd, None))
             jpeg = image_io.encode_image(ed.apply(MID), "JPEG", quality=90)
             assert jpeg[:2] == b"\xff\xd8"
             return time.perf_counter() - t0
+
+        def ppm16_of(u16_hwc):
+            hh, ww = u16_hwc.shape[:2]
+            return (b"P6\n%d %d\n65535\n" % (ww, hh)
+                    + u16_hwc.astype(">u2").tobytes())
 
         rng6 = np.random.default_rng(6)
         # Unseen extents; starts past 4096 so the cold/warm image's
@@ -151,8 +155,8 @@ def main(argv=None) -> int:
         # (bucket-stable programs would otherwise let "prewarmed"
         # free-ride the warm run's in-process cache).
         jit_h = 4104 + 8 * (int(time.time()) % 97) + 1
-        cold_img = rng6.integers(0, 256, size=(3, jit_h, 6000),
-                                 dtype=np.uint8)
+        cold_img = ppm16_of(rng6.integers(0, 65536, size=(jit_h, 6000, 3),
+                                          dtype=np.uint16))
         real_cache = jax.config.jax_compilation_cache_dir
         with tempfile.TemporaryDirectory(prefix="rpf_coldcache_") as tmp:
             jax.config.update("jax_compilation_cache_dir", tmp)
@@ -163,13 +167,16 @@ def main(argv=None) -> int:
         t_warm = first_preview_s(cold_img)
         # The server-start warm (serve()'s warm_async list), not timed:
         # standard-aspect preview buckets + the canonical-sensor
-        # bucket-stable open-path programs.
-        for s in prewarm.preview_shapes(1280, 400):
-            prewarm.warm_shape(s)
-        for s in prewarm.CANONICAL_SENSOR_SHAPES:
-            prewarm.warm_full_shape(s, 1280, 400)
-        t_pre = first_preview_s(rng6.integers(0, 256, size=(3, 4000, 6000),
-                                              dtype=np.uint8))
+        # bucket-stable open-path programs. warm_* are best-effort by
+        # contract — surface failures here so a silently-broken warm
+        # can't masquerade as a prewarmed-regression.
+        ok = sum(prewarm.warm_shape(s)
+                 for s in prewarm.preview_shapes(1280, 400))
+        ok_full = sum(prewarm.warm_full_shape(s, 1280, 400)
+                      for s in prewarm.CANONICAL_SENSOR_SHAPES)
+        log(f"config 6: warmed {ok} preview shapes, {ok_full} full buckets")
+        t_pre = first_preview_s(ppm16_of(rng6.integers(
+            0, 65536, size=(4000, 6000, 3), dtype=np.uint16)))
         results["c6_first_preview_cold_s"] = t_cold
         results["c6_first_preview_warm_s"] = t_warm
         results["c6_first_preview_prewarmed_s"] = t_pre

@@ -1903,6 +1903,7 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
         # sizes (any photo opened later with a common aspect/sensor then
         # hits warm programs for the WHOLE open->first-preview path).
         from ..engine.prewarm import (CANONICAL_SENSOR_SHAPES,
+                                      XTRANS_SENSOR_SHAPES,
                                       preview_shapes, warm_async)
 
         s = app.settings
@@ -1916,6 +1917,9 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
             # all four Bayer phases share it only per-pattern, so warm
             # the overwhelmingly-common RGGB.
             raw_patterns=("RGGB",),
+            # X-Trans can't be bucket-stable (6x6 phase); warm the two
+            # Fuji sensor extents exactly, last (heaviest compiles).
+            raw_exact=tuple((s, "XTRANS") for s in XTRANS_SENSOR_SHAPES),
         )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))
     return httpd

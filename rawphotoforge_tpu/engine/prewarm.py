@@ -55,6 +55,11 @@ CANONICAL_SENSOR_SHAPES = (
     (5464, 8192), (8192, 5464),   # 45MP FF (R5/Z8-class)
 )
 
+# X-Trans mosaics are NOT bucket-stable (the 6x6 phase doesn't survive a
+# reflect pad), so their develop programs key on exact sensor extents —
+# which, for Fuji, is a two-entry list (sensors store landscape).
+XTRANS_SENSOR_SHAPES = ((4160, 6240), (5152, 7728))
+
 # Shapes (true h, true w) whose programs this process already warmed (or
 # started warming) — consulted to skip duplicate work on repeated opens.
 _warmed: set[tuple[int, int]] = set()
@@ -184,9 +189,20 @@ def warm_full_shape(full_shape: tuple[int, int],
             return True
         _warmed_full.add(key)
     try:
+        import numpy as _np
+
+        from ..ops.develop import replicate_true_edges_traced
+        from ..utils.transfer import put_np
+
         hp, wp = key[0]
-        dummy_u8 = jnp.zeros((3, hp, wp), jnp.uint8)
+        # Through put_np, like the real upload closures, so the banded
+        # concat/reshape transfer program is prewarmed too.
+        dummy_u8 = put_np(_np.zeros((3, hp, wp), _np.uint8))
         planes = _normalize_upload(255.0, True)(dummy_u8)
+        # The 16-bit linear open path (PPM16 / 16-bit TIFF) uses the
+        # u16 transfer + 65535-scale normalize — two more tiny programs.
+        _normalize_upload(65535.0, False)(
+            put_np(_np.zeros((3, hp, wp), _np.uint16)))
         for edge in (mid_long_edge, low_long_edge):
             dh, dw = resize_long_edge_shape(h, w, edge)
             if (dh, dw) == (h, w):
@@ -195,15 +211,59 @@ def warm_full_shape(full_shape: tuple[int, int],
                 planes, jnp.asarray([h, w, dh, dw], jnp.int32),
                 bucket_shape(dh, dw))
             float(out[0, 0, 0])  # force execution through the tunnel
-        for pattern in raw_patterns:
-            from ..ops import demosaic as dm
+        from ..engine.editor import SHAPE_BUCKET
+        from ..ops import demosaic as dm
 
-            mosaic01 = dm.normalize_mosaic(
-                jnp.zeros((hp, wp), jnp.uint16), 512.0, 16383.0)
-            out = dm.develop_raw(
-                mosaic01, jnp.asarray([2.0, 1.0, 1.5], jnp.float32),
-                jnp.eye(3, dtype=jnp.float32), pattern=pattern)
-            float(out[0, 0, 0])
+        for pattern in raw_patterns:
+            # Two grids per sensor bucket: the plain one and the
+            # crop-enlarged one (+1 bucket per axis) that DefaultCrop
+            # files develop on (io/raw._bucket_pads) — virtually every
+            # real camera DNG carries a DefaultCrop.
+            for gh, gw in ((hp, wp),
+                           (hp + SHAPE_BUCKET, wp + SHAPE_BUCKET)):
+                mosaic01 = dm.normalize_mosaic(
+                    put_np(_np.zeros((gh, gw), _np.uint16)),
+                    512.0, 16383.0)
+                out = dm.develop_raw(
+                    mosaic01, jnp.asarray([2.0, 1.0, 1.5], jnp.float32),
+                    jnp.eye(3, dtype=jnp.float32), pattern=pattern)
+                out = replicate_true_edges_traced(
+                    out, jnp.asarray([h, w], jnp.int32))
+                float(out[0, 0, 0])
+        return True
+    except Exception:
+        with _warmed_lock:
+            _warmed_full.discard(key)
+        return False
+
+
+def warm_raw_exact(shape: tuple[int, int], pattern: str = "XTRANS") -> bool:
+    """Compile the legacy (per-extent) RAW develop for one exact mosaic
+    shape — the path bucket-ineligible files take (X-Trans phase can't
+    survive a reflect pad). With XTRANS_SENSOR_SHAPES this covers a Fuji
+    file's first open: normalize + NC demosaic + matrix at the exact
+    extent, plus the editor's bucket pad of the result."""
+    import numpy as _np
+    import jax.numpy as jnp
+
+    from ..ops import demosaic as dm
+    from ..utils.transfer import put_np
+    from .editor import _pad_to_bucket
+
+    h, w = int(shape[0]), int(shape[1])
+    key = ("raw_exact", h, w, pattern)
+    with _warmed_lock:
+        if key in _warmed_full:
+            return True
+        _warmed_full.add(key)
+    try:
+        mosaic01 = dm.normalize_mosaic(
+            put_np(_np.zeros((h, w), _np.uint16)), 512.0, 16383.0)
+        planes = dm.develop_raw(
+            mosaic01, jnp.asarray([2.0, 1.0, 1.5], jnp.float32),
+            jnp.eye(3, dtype=jnp.float32), pattern=pattern)
+        padded = _pad_to_bucket(planes)
+        float(padded[0, 0, 0])
         return True
     except Exception:
         with _warmed_lock:
@@ -239,10 +299,14 @@ def warm_editor_levels(editor, levels=("mid", "low")) -> int:
 
 def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                full_shapes=None, preview_edges=(1280, 400),
-               raw_patterns=(), on_done=None) -> threading.Thread:
+               raw_patterns=(), raw_exact=(),
+               on_done=None) -> threading.Thread:
     """Spawn a daemon thread warming ``shapes`` and/or an editor's levels
     and/or the bucket-stable open-path programs for ``full_shapes``
-    (see warm_full_shape; ``preview_edges`` = (mid, low) long edges).
+    (see warm_full_shape; ``preview_edges`` = (mid, low) long edges)
+    and/or the exact-extent RAW develops for ``raw_exact`` ((shape,
+    pattern) pairs, see warm_raw_exact — ordered LAST: heaviest
+    compiles, least common files).
 
     The thread never raises; ``on_done(warmed_count)`` (optional) runs at
     the end (used by tests and the server log line).
@@ -259,6 +323,9 @@ def warm_async(shapes=None, editor=None, levels=("mid", "low"),
             for s in full_shapes or ():
                 if warm_full_shape(s, preview_edges[0], preview_edges[1],
                                    raw_patterns=raw_patterns):
+                    n += 1
+            for s, pat in raw_exact or ():
+                if warm_raw_exact(s, pat):
                     n += 1
         except Exception:
             pass

@@ -212,12 +212,15 @@ def _bucket_pads(raw: RawImage):
     """Reflect-pad amounts (ph, pw) for the bucket-stable develop, or
     None when the file must fall back to the per-extent path.
 
-    Base pads round (h, w) up to the 128-bucket; with a DefaultCrop the
-    pad additionally guarantees the post-develop bucket-size
-    dynamic_slice (bucket(ch), bucket(cw)) starting at the traced crop
-    origin stays inside the padded grid (dynamic_slice would otherwise
-    CLAMP the start and silently shift the crop)."""
-    from ..engine.editor import SHAPE_BUCKET, bucket_shape
+    Base pads round (h, w) up to the 128-bucket; a DefaultCrop adds one
+    fixed extra bucket on each axis, which (a) guarantees the
+    post-develop bucket-size dynamic_slice (bucket(ch), bucket(cw))
+    starting at the traced crop origin stays inside the padded grid
+    (cy <= h-ch and bucket(ch) < ch+128 give cy+bucket(ch) < h+128;
+    dynamic_slice would otherwise CLAMP the start and silently shift
+    the crop), and (b) makes the crop-file grid DETERMINISTIC per
+    sensor bucket so prewarm can compile it without knowing rects."""
+    from ..engine.editor import SHAPE_BUCKET
 
     h, w = raw.mosaic.shape[:2]
     if h < 2 or w < 2:
@@ -233,20 +236,17 @@ def _bucket_pads(raw: RawImage):
             return None
         # A top/left pad shifts the CFA phase of the true region unless
         # it is even (Bayer period 2); real sensor dims are even, so
-        # this almost never falls back.
-        if (sides[0] and ph % 2) or (sides[1] and pw % 2):
+        # this almost never falls back. LinearRaw has no CFA phase.
+        if raw.pattern in dm.BAYER_PATTERNS and (
+                (sides[0] and ph % 2) or (sides[1] and pw % 2)):
             return None
     if raw.default_crop is not None:
         cx, cy, cw, ch = raw.default_crop
         if not (0 <= cy and 0 <= cx and cy + ch <= h and cx + cw <= w
                 and ch >= 1 and cw >= 1):
             return None  # malformed rect: legacy path validates/fails
-        bh, bw = bucket_shape(ch, cw)
-        ph = max(ph, cy + bh - h)
-        pw = max(pw, cx + bw - w)
-        # Keep the padded grid a bucket multiple.
-        ph += (-(h + ph)) % SHAPE_BUCKET
-        pw += (-(w + pw)) % SHAPE_BUCKET
+        ph += SHAPE_BUCKET
+        pw += SHAPE_BUCKET
     # A 1-px pad would let the Malvar 5x5 window cross the padded edge
     # at true-edge pixels (its internal reflect then disagrees with the
     # unpadded path by one row) — bit-exactness requires pad != 1.
@@ -316,10 +316,9 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
         cx, cy, cw, ch = raw.default_crop
         # Crop values inside the true region are demosaiced from real
         # neighbors, so the slice is bit-identical to the legacy
-        # post-demosaic crop; rows/cols past the crop extent (the
-        # result's pad) carry adjacent real pixels — better stencil
-        # context than edge replication. _bucket_pads guaranteed the
-        # slice stays in bounds (no silent dynamic_slice clamping).
+        # post-demosaic crop. _bucket_pads guaranteed the slice stays
+        # in bounds (no silent dynamic_slice clamping); the pad content
+        # it drags along is normalized to edge replication below.
         planes = lax.dynamic_slice(
             planes,
             (jnp.int32(0), jnp.int32(cy), jnp.int32(cx)),
@@ -327,7 +326,19 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
     # Pure relocation of already-final values (one program per
     # orientation x bucket); _PAD_SIDES put the pad where this lands it
     # bottom/right, so the true region arrives at the origin.
-    return orient_exif(planes, raw.orientation)
+    planes = orient_exif(planes, raw.orientation)
+    # Normalize the pad content to the editor's mode='edge' contract:
+    # the reflect-demosaiced (or crop-sliced) pad would otherwise feed
+    # the sharpen/warp stencils values a legacy open never shows.
+    from ..ops.develop import replicate_true_edges_traced
+
+    th, tw = raw.mosaic.shape[:2]
+    if raw.default_crop is not None:
+        th, tw = raw.default_crop[3], raw.default_crop[2]
+    if raw.orientation in (5, 6, 7, 8):
+        th, tw = tw, th
+    return replicate_true_edges_traced(
+        planes, jnp.asarray([th, tw], dtype=jnp.int32))
 
 
 def develop_raw_image(raw: RawImage, method: str = "malvar"):

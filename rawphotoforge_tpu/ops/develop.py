@@ -168,6 +168,23 @@ def replicate_true_edges(planes: jax.Array, th: int, tw: int) -> jax.Array:
     return planes
 
 
+@jax.jit
+def replicate_true_edges_traced(planes: jax.Array, extent: jax.Array
+                                ) -> jax.Array:
+    """Extent-traced replicate_true_edges: gather-based edge replication
+    of the true [*, :th, :tw] region into the bucket pad, with (th, tw)
+    as a traced i32 [2] so ONE program serves every extent within a
+    bucket (the bucket-stable open path's contract — io/raw
+    develop_raw_image_padded normalizes its reflect/crop pad content to
+    the mode='edge' convention every stencil consumer assumes). True
+    region is untouched (indices below the extent map to themselves)."""
+    c, hp, wp = planes.shape
+    rows = jnp.minimum(jnp.arange(hp), extent[0] - 1)
+    cols = jnp.minimum(jnp.arange(wp), extent[1] - 1)
+    planes = jnp.take(planes, rows, axis=1)
+    return jnp.take(planes, cols, axis=2)
+
+
 develop_post_geo_jit = jax.jit(develop_post_geo)
 
 

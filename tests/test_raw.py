@@ -237,6 +237,48 @@ def test_bucket_stable_eligibility_fallbacks(rng):
     assert not bucket_stable_eligible(raw127)
 
 
+def test_bucket_stable_pad_is_edge_replicated(rng):
+    """The padded develop must hand the editor mode='edge' pad content
+    (replicate_true_edges_traced at the end) — the sharpen/warp stencils
+    read pad rows, and reflect-demosaiced (or crop-sliced) pad values
+    made sharpened borders diverge from a legacy open (found by review:
+    max dev 0.356 at sharpness 60)."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import develop_raw_image_padded
+
+    h, w = 70, 106
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    base = synthetic_raw(rgb, pattern="RGGB", wb_gains=(1.8, 1.0, 1.45))
+    for raw, (th, tw) in [
+        (base, (h, w)),
+        (dataclasses.replace(base, default_crop=(6, 4, 96, 60)), (60, 96)),
+        (dataclasses.replace(base, orientation=6), (w, h)),
+    ]:
+        padded = np.asarray(develop_raw_image_padded(raw))
+        np.testing.assert_array_equal(
+            padded[:, th:, :tw],
+            np.broadcast_to(padded[:, th - 1:th, :tw],
+                            padded[:, th:, :tw].shape))
+        np.testing.assert_array_equal(
+            padded[:, :, tw:],
+            np.broadcast_to(padded[:, :, tw - 1:tw],
+                            padded[:, :, tw:].shape))
+
+    # End-to-end: a sharpened FULL render from the bucket-stable open
+    # equals the legacy open's (the review's reproduction).
+    data = write_dng(base)
+    ed = PhotoEditor.from_bytes(data, "DNG")
+    from rawphotoforge_tpu.io.raw import read_raw
+
+    legacy = PhotoEditor(read_raw(data)[0])
+    ed.set_sharpness(60)
+    legacy.set_sharpness(60)
+    d = np.abs(np.asarray(ed.apply(FULL)) - np.asarray(legacy.apply(FULL)))
+    assert d.max() < 1e-5, d.max()
+
+
 def test_editor_dng_open_uses_bucket_stable_path(rng):
     """from_bytes on an eligible DNG must take the padded upload and
     render identically to the legacy device phase."""
