@@ -237,6 +237,48 @@ def test_bucket_stable_eligibility_fallbacks(rng):
     assert not bucket_stable_eligible(raw127)
 
 
+def test_bucket_stable_randomized_sweep(rng):
+    """Randomized invariant sweep: for random (pattern, shape,
+    orientation | crop) combinations, every ELIGIBLE file develops
+    bit-identically to the legacy chain; ineligible ones just fall
+    back (upload_padded is None)."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    patterns = ["RGGB", "BGGR", "GRBG", "GBRG"]
+    n_eligible = 0
+    for trial in range(12):
+        h = int(rng.integers(12, 70)) * 2  # even sensor dims
+        w = int(rng.integers(12, 70)) * 2
+        pattern = patterns[int(rng.integers(0, 4))]
+        rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+        raw = synthetic_raw(rgb, pattern=pattern,
+                            wb_gains=(1.0 + rng.random(), 1.0,
+                                      1.0 + rng.random()))
+        if trial % 3 == 1:
+            raw = dataclasses.replace(
+                raw, orientation=int(rng.integers(2, 9)))
+        elif trial % 3 == 2:
+            ch = int(rng.integers(4, h - 4))
+            cw = int(rng.integers(4, w - 4))
+            cy = int(rng.integers(0, h - ch + 1))
+            cx = int(rng.integers(0, w - cw + 1))
+            raw = dataclasses.replace(raw, default_crop=(cx, cy, cw, ch))
+        if not bucket_stable_eligible(raw):
+            continue
+        n_eligible += 1
+        legacy, _ = develop_raw_image(raw)
+        padded = np.asarray(develop_raw_image_padded(raw))
+        th, tw = legacy.shape[1:]
+        np.testing.assert_array_equal(
+            padded[:, :th, :tw], np.asarray(legacy),
+            err_msg=f"trial {trial}: {pattern} {h}x{w} "
+                    f"o={raw.orientation} crop={raw.default_crop}")
+    assert n_eligible >= 7  # the sweep actually exercised the path
+
+
 def test_bucket_stable_pad_is_edge_replicated(rng):
     """The padded develop must hand the editor mode='edge' pad content
     (replicate_true_edges_traced at the end) — the sharpen/warp stencils
