@@ -37,10 +37,18 @@ _f32 = np.float32
 
 
 def _mat3_np(m, a, b, c):
-    x = _f32(m[0][0]) * a + _f32(m[0][1]) * b + _f32(m[0][2]) * c
-    y = _f32(m[1][0]) * a + _f32(m[1][1]) * b + _f32(m[1][2]) * c
-    z = _f32(m[2][0]) * a + _f32(m[2][1]) * b + _f32(m[2][2]) * c
-    return x, y, z
+    """3x3 color-matrix apply via one BLAS sgemm over [3, N].
+
+    The naive broadcast form (9 muls + 6 adds as separate numpy ops)
+    spends ~50 ms per call at era resolution in temporary churn — the
+    profile's top cost. sgemm does it in one pass; accumulation-order
+    differences vs the elementwise formula are f32 ulp noise, inside
+    the anchor-vs-mirror gates (tests/test_hostdev.py)."""
+    flat = np.empty((3, a.size), dtype=np.float32)
+    flat[0], flat[1], flat[2] = a.ravel(), b.ravel(), c.ravel()
+    out = np.asarray(m, dtype=np.float32) @ flat
+    return (out[0].reshape(a.shape), out[1].reshape(a.shape),
+            out[2].reshape(a.shape))
 
 
 def _lut_fetch_np(lut_row: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -252,6 +252,44 @@ def test_open_endpoint_raw_dng(base_url):
     assert json.loads(body)["shape"] == [32, 48]
 
 
+def test_open_endpoint_oriented_cropped_dng(base_url):
+    """A portrait (orientation 6) DNG and a DefaultCrop DNG through the
+    async /open must land device sessions whose renders equal a direct
+    library open — the server path takes the bucket-stable develop for
+    both (io/raw.upload_padded)."""
+    import dataclasses
+
+    from rawphotoforge_tpu.engine.editor import FULL, PhotoEditor
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    img = np.random.default_rng(13).random((3, 34, 46)).astype(np.float32)
+    base = synthetic_raw(img)
+    for raw, shape in [
+        (dataclasses.replace(base, orientation=6), [46, 34]),
+        (dataclasses.replace(base, default_crop=(4, 2, 40, 30)), [30, 40]),
+    ]:
+        blob = write_dng(raw)
+        status, out = _post_raw(base_url + "/open?name=o.dng", blob)
+        assert status == 200 and out["ok"]
+        _wait_open_ready(base_url)
+        _, _, body = _get(base_url + "/info")
+        assert json.loads(body)["shape"] == shape
+        _, ctype, pv = _get(base_url + "/preview?level=full")
+        direct = PhotoEditor.from_bytes(blob, "DNG")
+        import io as _io
+
+        from PIL import Image as PILImage
+
+        got = np.asarray(PILImage.open(_io.BytesIO(pv)))
+        want = np.asarray(PILImage.open(_io.BytesIO(
+            __import__("rawphotoforge_tpu.io.image_io", fromlist=["x"])
+            .encode_image(direct.apply(FULL), "JPEG", quality=90))))
+        assert got.shape == want.shape
+        # Same JPEG pipeline on both sides: allow codec-level wiggle.
+        assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 2
+
+
 def test_info_reports_crop(base_url):
     _post(base_url + "/crop", {"x0": 4, "y0": 2, "x1": 30, "y1": 20})
     _, _, body = _get(base_url + "/info")
