@@ -201,6 +201,14 @@ def _linear_pass_np(r, g, b, params):
     return r, g, b
 
 
+def _geo_np(linear_planes: np.ndarray, main) -> np.ndarray:
+    """The era geometry stage shared by both develop paths: lens-
+    distortion warp + unsharp over [3, H, W] (no-ops at default sliders)."""
+    planes = np.asarray(linear_planes, dtype=np.float32)
+    planes = warp_np(planes, float(main.lens_distortion))
+    return unsharp_np(planes, float(main.sharpness) / 100.0 * 2.0)
+
+
 def develop_np(linear_planes: np.ndarray, params,
                masks: np.ndarray | None = None) -> np.ndarray:
     """Develop linear [3, H, W] f32 -> clipped sRGB f32.
@@ -215,9 +223,7 @@ def develop_np(linear_planes: np.ndarray, params,
     """
     plist = list(params) if isinstance(params, (list, tuple)) else [params]
     main = plist[0]
-    planes = np.asarray(linear_planes, dtype=np.float32)
-    planes = warp_np(planes, float(main.lens_distortion))
-    planes = unsharp_np(planes, float(main.sharpness) / 100.0 * 2.0)
+    planes = _geo_np(linear_planes, main)
 
     r, g, b = planes[0], planes[1], planes[2]
     r, g, b = _vignette_np(r, g, b, float(main.vignette))
@@ -266,11 +272,88 @@ def develop_np(linear_planes: np.ndarray, params,
     return np.clip(out, 0.0, 1.0)
 
 
+_MATS39 = None
+
+
+def _mats39() -> np.ndarray:
+    """f32[39] color-matrix block for the native fused develop:
+    M1, M2, M2_INV, M1_INV row-major + the Rec.709 luma weights."""
+    global _MATS39
+    if _MATS39 is None:
+        _MATS39 = np.concatenate([
+            np.asarray(M1, np.float32).ravel(),
+            np.asarray(M2, np.float32).ravel(),
+            np.asarray(M2_INV, np.float32).ravel(),
+            np.asarray(M1_INV, np.float32).ravel(),
+            np.asarray([LUMA_R, LUMA_G, LUMA_B], np.float32),
+        ])
+    return _MATS39
+
+
+def _pack_native(plist):
+    """(mrow, lut_idx, luts) for native.hostdev_develop.
+
+    Mirrors develop_np's activation conditions exactly: a mask's
+    brightness LUT row exists iff the curve is non-default OR the v1
+    channel selector is set; its OKLCH rows exist iff any of
+    hue/sat/light is non-default (the identity_oklch staircase shortcut
+    otherwise). Scalars carry the same f32 pre-scaling develop_np
+    applies (slider/100, exp2 of exposure, 1 + contrast)."""
+    m = len(plist)
+    mrow = np.zeros((m, 16), np.float32)
+    lut_idx = np.full((m, 4), -1, np.int32)
+    rows: list[np.ndarray] = []
+    for k, p in enumerate(plist):
+        mrow[k, 0:3] = p.gains()
+        mrow[k, 3] = _f32(np.exp2(float(p.exposure)))
+        mrow[k, 4] = _f32(p.contrast / 100.0)
+        mrow[k, 5] = _f32(p.shadow / 100.0)
+        mrow[k, 6] = _f32(p.highlight / 100.0)
+        mrow[k, 7] = _f32(p.black / 100.0)
+        mrow[k, 8] = _f32(p.white / 100.0)
+        mrow[k, 11] = _f32(1.0 + p.contrast / 100.0)
+        bright_active = (not p.curves[BRIGHTNESS].is_default(BRIGHTNESS)
+                         or p.brightness_channel != 3)
+        mrow[k, 9] = float(p.brightness_channel) if bright_active else -1.0
+        if bright_active:
+            lut_idx[k, 0] = len(rows)
+            rows.append(p.curves[BRIGHTNESS].lut(BRIGHTNESS))
+        if not all(p.curves[s].is_default(s)
+                   for s in (HUE, SATURATION, LIGHTNESS)):
+            for j, slot in enumerate((HUE, SATURATION, LIGHTNESS)):
+                lut_idx[k, 1 + j] = len(rows)
+                rows.append(p.curves[slot].lut(slot))
+    luts = (np.ascontiguousarray(np.stack(rows), dtype=np.int32)
+            if rows else np.zeros((0,), np.int32))
+    return mrow, lut_idx, luts
+
+
 def render_u8_hwc(linear_planes: np.ndarray, params,
-                  masks: np.ndarray | None = None) -> np.ndarray:
-    """develop_np -> truncating u8 HWC (the reference's `as u8` store,
-    image.rs:375-383) — the era preview the server encodes to JPEG."""
-    srgb = develop_np(linear_planes, params, masks)
+                  masks: np.ndarray | None = None,
+                  native: bool | None = None) -> np.ndarray:
+    """develop -> truncating u8 HWC (the reference's `as u8` store,
+    image.rs:375-383) — the era preview the server encodes to JPEG.
+
+    ``native=None`` (the default) takes the fused single-pass C++ path
+    when librpf_native is available (~5x faster at era resolution; u8
+    output differs from the numpy mirror only by boundary-straddle
+    flips of 1, gated in tests/test_hostdev.py) and falls back to the
+    numpy mirror otherwise; True forces native (raising if missing),
+    False forces the numpy mirror."""
+    plist = list(params) if isinstance(params, (list, tuple)) else [params]
+    if native is None or native:
+        from .. import native as _native
+
+        if _native.available():
+            planes = _geo_np(linear_planes, plist[0])
+            mrow, lut_idx, luts = _pack_native(plist)
+            return _native.hostdev_develop(
+                planes, masks if len(plist) > 1 else None, mrow, lut_idx,
+                luts, _mats39(),
+                _f32((-float(plist[0].vignette) / 100.0) * 2.0))
+        if native:
+            raise RuntimeError("native library unavailable")
+    srgb = develop_np(linear_planes, plist, masks)
     u8 = (srgb * _f32(255.0)).astype(np.uint8)
     return np.ascontiguousarray(u8.transpose(1, 2, 0))
 

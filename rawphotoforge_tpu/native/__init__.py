@@ -83,6 +83,11 @@ def _load():
         u16p, c, c, c, c, i32p, ctypes.c_float, ctypes.c_float, f32p,
     ]
     lib.rpf_cfa_block_means.restype = c
+    lib.rpf_hostdev_develop.argtypes = [
+        f32p, c, c, c, f32p, f32p, i32p, i32p, c, f32p,
+        ctypes.c_float, u8p,
+    ]
+    lib.rpf_hostdev_develop.restype = c
     _lib = lib
     return lib
 
@@ -247,6 +252,53 @@ def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_ycc420 failed (rc={rc})")
     return out[: out_len.value].tobytes()
+
+
+def hostdev_develop(planes, masks, mrow, lut_idx, luts, mats,
+                    vig_strength: float):
+    """Fused host develop: [3, H, W] linear f32 -> u8 HWC in one pass.
+
+    ``masks``: f32 [M, H, W] 0/1 (None for the single-mask session);
+    ``mrow``/``lut_idx``/``luts``/``mats``: the packed per-mask scalars,
+    LUT row table, concatenated i32 LUT rows, and color-matrix block
+    built by engine/hostdev._pack_native (which owns the semantics)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    planes = np.ascontiguousarray(planes, dtype=np.float32)
+    if planes.ndim != 3 or planes.shape[0] != 3:
+        raise ValueError(f"planes must be [3, H, W], got {planes.shape}")
+    _, h, w = planes.shape
+    mrow = np.ascontiguousarray(mrow, dtype=np.float32)
+    n_masks = mrow.shape[0]
+    if masks is None:
+        if n_masks != 1:
+            raise ValueError("masks required when more than one mask")
+        marr = np.zeros(1, dtype=np.float32)
+    else:
+        marr = np.ascontiguousarray(masks, dtype=np.float32)
+        if marr.shape != (n_masks, h, w):
+            raise ValueError(
+                f"masks must be ({n_masks}, {h}, {w}), got {marr.shape}")
+    lut_idx = np.ascontiguousarray(lut_idx, dtype=np.int32)
+    if lut_idx.shape != (n_masks, 4):
+        raise ValueError(f"lut_idx must be ({n_masks}, 4), got {lut_idx.shape}")
+    luts = np.ascontiguousarray(luts, dtype=np.int32)
+    n_rows = int(luts.size) // 65536
+    if luts.size != n_rows * 65536:
+        raise ValueError("luts must be a whole number of 65536-entry rows")
+    if luts.size == 0:
+        luts = np.zeros(1, dtype=np.int32)
+    mats = np.ascontiguousarray(mats, dtype=np.float32)
+    if mats.size != 39:
+        raise ValueError(f"mats must have 39 entries, got {mats.size}")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = lib.rpf_hostdev_develop(
+        planes, h, w, n_masks, marr, mrow.reshape(-1), lut_idx.reshape(-1),
+        luts.reshape(-1), n_rows, mats.reshape(-1), float(vig_strength), out)
+    if rc != 0:
+        raise ValueError(f"rpf_hostdev_develop failed (rc={rc})")
+    return out
 
 
 def cfa_block_means(t_u16, ph: int, pw: int, tile_flat, black: float,

@@ -834,4 +834,351 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
   return RPF_OK;
 }
 
+// ---------------------------------------------------------------------------
+// Fused host-side develop: the whole post-geometry pixel chain (vignette ->
+// per-mask WB/tone/brightness-LUT -> per-mask OKLCH hue/sat/light LUTs ->
+// sRGB -> truncating u8) in ONE pass over the image. This is the *instant
+// era* frame renderer (engine/hostdev.develop_np run ~5x faster): the numpy
+// mirror walks ~50 full-image temporaries through memory; this touches each
+// pixel once. Semantics mirror ops/develop.develop_post_geo
+// (wgpu_shader.wgsl:265-337) exactly — same formula order, the same exact
+// 65536-entry i32 LUT gathers, the same truncating u8 store
+// (image.rs:375-383). Transcendentals are the kernels/ktrig.py polynomial
+// family (Cephes atan2, Taylor sincos, bit-hack+Halley cbrt, and the
+// x^(1/2.4) = cbrt(sqrt(sqrt(x^5))) sRGB pow), all within ~1e-7 of libm —
+// far below one LUT step; the u8 output differs from the numpy mirror only
+// by boundary-straddle flips of 1 (gated in tests/test_hostdev.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+__attribute__((always_inline)) inline float rpf_clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// max(x, 0)^(1/3): exponent bit-hack seed + two Halley iterations
+// (kernels/ktrig.cbrt_fast; ~1 ulp over the OKLab LMS domain).
+__attribute__((always_inline)) inline float rpf_cbrt_fast(float x) {
+  x = std::fabs(x > 0.0f ? x : 0.0f);
+  int32_t i;
+  std::memcpy(&i, &x, 4);
+  i = i / 3 + 709921077;
+  float y;
+  std::memcpy(&y, &i, 4);
+  // Two Halley iterations, hand-unrolled: a `for` here is control flow
+  // the autovectorizer refuses to carry into the SIMD chunk loops.
+  float y3 = y * y * y;
+  y = y * (y3 + 2.0f * x) / (2.0f * y3 + x + 1e-30f);
+  y3 = y * y * y;
+  y = y * (y3 + 2.0f * x) / (2.0f * y3 + x + 1e-30f);
+  return y;
+}
+
+constexpr float RPF_TWO_PI = 6.28318530718f;
+constexpr float RPF_PI = 3.14159265359f;
+constexpr float RPF_HALF_PI = 1.5707963267948966f;
+constexpr float RPF_QUARTER_PI = 0.7853981633974483f;
+constexpr float RPF_TAN_PI_8 = 0.41421356237309503f;
+
+// atan2(y, x) / 2pi wrapped into [0, 1) (kernels/ktrig.atan2_turns:
+// Cephes atanf reduction + odd polynomial, error ~1e-7 rad — one hue-LUT
+// step is 9.6e-5 rad wide). Branch-free (ternaries become vector blends).
+__attribute__((always_inline)) inline float rpf_atan2_turns(float yv, float xv) {
+  float ax = std::fabs(xv), ay = std::fabs(yv);
+  float hi = ax > ay ? ax : ay;
+  float lo = ax > ay ? ay : ax;
+  float t = lo / (hi > 1e-30f ? hi : 1e-30f);
+  float tr = t > RPF_TAN_PI_8 ? (t - 1.0f) / (t + 1.0f) : t;
+  float s = tr * tr;
+  float p = ((8.05374449538e-2f * s - 1.38776856032e-1f) * s +
+             1.99777106478e-1f) * s - 3.33329491539e-1f;
+  float r = tr + tr * s * p;
+  r = t > RPF_TAN_PI_8 ? r + RPF_QUARTER_PI : r;
+  r = ay > ax ? RPF_HALF_PI - r : r;
+  r = xv < 0.0f ? RPF_PI - r : r;
+  r = yv < 0.0f ? -r : r;
+  float h = r * (1.0f / RPF_TWO_PI);
+  return h < 0.0f ? h + 1.0f : h;
+}
+
+// sin / cos of 2*pi*h for h in [0, 1] (kernels/ktrig.sincos_turns). Two
+// pure functions instead of one with out-pointers: address-taken locals
+// give the vectorizer "no vectype" and kill the whole SIMD loop; after
+// inlining, CSE merges the shared reduction anyway.
+__attribute__((always_inline)) inline float rpf_sin_turns(float h) {
+  float k = std::floor(2.0f * h + 0.5f);
+  float u = h - 0.5f * k;
+  float sign = 1.0f - 2.0f * (k - 2.0f * std::floor(0.5f * k));
+  float z = u * RPF_TWO_PI;
+  float z2 = z * z;
+  float sin_p = z * (1.0f + z2 * (-1.6666667163e-1f + z2 * (8.3333337680e-3f
+      + z2 * (-1.9841270114e-4f + z2 * (2.7557314297e-6f
+      + z2 * -2.5050759689e-8f)))));
+  return sign * sin_p;
+}
+
+__attribute__((always_inline)) inline float rpf_cos_turns(float h) {
+  float k = std::floor(2.0f * h + 0.5f);
+  float u = h - 0.5f * k;
+  float sign = 1.0f - 2.0f * (k - 2.0f * std::floor(0.5f * k));
+  float z = u * RPF_TWO_PI;
+  float z2 = z * z;
+  float cos_p = 1.0f + z2 * (-0.5f + z2 * (4.1666667908e-2f
+      + z2 * (-1.3888889225e-3f + z2 * (2.4801587642e-5f
+      + z2 * (-2.7557314297e-7f + z2 * 2.0875723372e-9f)))));
+  return sign * cos_p;
+}
+
+// sRGB OETF with x^(1/2.4) = x^(5/12) = cbrt(sqrt(sqrt(x^5)))
+// (kernels/ktrig.linear_to_srgb_fast — exact exponent algebra).
+__attribute__((always_inline)) inline float rpf_srgb_fast(float c) {
+  float x = c > 0.0f ? c : 0.0f;
+  float x5 = x * x;
+  x5 = x5 * x5 * x;
+  float hi = 1.055f * rpf_cbrt_fast(std::sqrt(std::sqrt(x5))) - 0.055f;
+  return c <= 0.0031308f ? c * 12.92f : hi;  // branch-free: blends
+}
+
+// Exact i32 LUT gather: truncating index like numpy's astype(int32),
+// table clamp to [0, 65535], then the slot's output scale.
+__attribute__((always_inline)) inline float rpf_lut01(const int32_t* lut, float v, float inv_scale) {
+  int idx = static_cast<int>(v * 65535.0f);
+  idx = idx < 0 ? 0 : (idx > 65535 ? 65535 : idx);  // NaN cast lands at 0
+  int32_t q = lut[idx];
+  q = q < 0 ? 0 : (q > 65535 ? 65535 : q);
+  return static_cast<float>(q) * inv_scale;
+}
+
+}  // namespace
+
+// planes: [3, h, w] f32 post-warp/unsharp linear RGB. masks: [n_masks, h, w]
+// f32 0/1 (row 0 never read; pass a dummy when n_masks == 1). mrow: per-mask
+// f32[16]: 0-2 WB gains, 3 exp2(exposure), 4 contrast/100 (gate), 5
+// shadow/100, 6 highlight/100, 7 black/100, 8 white/100, 9 brightness
+// channel (-1 = LUT inactive, else 0/1/2/3), 10 reserved, 11 precomputed
+// f32(1 + contrast/100), 12-15 reserved. lut_idx: i32[n_masks*4] rows into
+// ``luts`` for (brightness, hue, sat, light), -1 = absent; a mask's three
+// OKLCH rows are all present or all absent. mats: f32[39] = M1, M2, M2_INV,
+// M1_INV row-major + (LUMA_R, LUMA_G, LUMA_B). vig_strength: the
+// already-scaled f32((-vignette/100)*2), 0 = skip. out: u8 [h, w, 3].
+int rpf_hostdev_develop(const float* planes, int h, int w, int n_masks,
+                        const float* masks, const float* mrow,
+                        const int32_t* lut_idx, const int32_t* luts,
+                        int n_lut_rows, const float* mats,
+                        float vig_strength, uint8_t* out) {
+  if (!planes || !mrow || !lut_idx || !mats || !out || h <= 0 || w <= 0 ||
+      n_masks < 1 || (n_masks > 1 && !masks) || (n_lut_rows > 0 && !luts))
+    return RPF_ERR_ARGS;
+  for (int k = 0; k < n_masks * 4; ++k)
+    if (lut_idx[k] >= n_lut_rows || lut_idx[k] < -1) return RPF_ERR_ARGS;
+
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  const float* P0 = planes;
+  const float* P1 = planes + hw;
+  const float* P2 = planes + 2 * hw;
+  const float* m1 = mats;        // linear sRGB -> LMS
+  const float* m2 = mats + 9;    // cbrt(LMS) -> OKLab
+  const float* m2i = mats + 18;  // OKLab -> cbrt(LMS)
+  const float* m1i = mats + 27;  // LMS -> linear sRGB
+  const float lum_r = mats[36], lum_g = mats[37], lum_b = mats[38];
+
+  bool any_oklch = false;
+  for (int k = 0; k < n_masks; ++k) any_oklch |= (lut_idx[k * 4 + 1] >= 0);
+
+  const float hf = static_cast<float>(h), wf = static_cast<float>(w);
+
+  // Chunked structure: each stage is a short, branch-free loop over a
+  // stack-resident chunk so the autovectorizer turns it into SIMD; LUT
+  // gathers stay scalar loops over the same chunk. Per-mask uniform
+  // conditions (contrast on? which channels take the brightness curve?)
+  // hoist out of the lane loops as scalars feeding blends.
+  enum { CHUNK = 256 };
+
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const float cy = (static_cast<float>(y) / hf - 0.5f) * 1.5f;
+    for (int x0 = 0; x0 < w; x0 += CHUNK) {
+      const int n = (w - x0) < CHUNK ? (w - x0) : CHUNK;
+      const int64_t base = static_cast<int64_t>(y) * w + x0;
+      float R[CHUNK], G[CHUNK], B[CHUNK];
+
+      if (vig_strength != 0.0f) {  // ops/pointwise.vignette (wgsl:166-178)
+        const float cy2 = cy * cy;
+#pragma omp simd
+        for (int j = 0; j < n; ++j) {
+          float cx = (static_cast<float>(x0 + j) / wf - 0.5f) * 1.5f;
+          float dist = std::sqrt(cx * cx + cy2);
+          float t = rpf_clampf((dist - 0.25f) / 0.75f, 0.0f, 1.0f);
+          float gain = rpf_clampf(1.0f - vig_strength * (t * std::sqrt(t)),
+                                  0.0f, 4.0f);
+          R[j] = P0[base + j] * gain;
+          G[j] = P1[base + j] * gain;
+          B[j] = P2[base + j] * gain;
+        }
+      } else {
+#pragma omp simd
+        for (int j = 0; j < n; ++j) {
+          R[j] = P0[base + j];
+          G[j] = P1[base + j];
+          B[j] = P2[base + j];
+        }
+      }
+
+      // Per-mask linear pass over the RUNNING values: WB -> tone ->
+      // brightness LUT (develop_post_geo's first loop; unselected lanes
+      // keep the running value, selected ones take the mask's output).
+      for (int k = 0; k < n_masks; ++k) {
+        const float* m = mrow + k * 16;
+        const float* mk = k > 0 ? masks + k * hw + base : nullptr;
+        const float has_contrast = m[4] != 0.0f ? 1.0f : 0.0f;
+        const float cmul = m[11];
+        float RK[CHUNK], GK[CHUNK], BK[CHUNK];
+#pragma omp simd
+        for (int j = 0; j < n; ++j) {
+          float rk = R[j] * m[0], gk = G[j] * m[1], bk = B[j] * m[2];
+          rk *= m[3];
+          gk *= m[3];
+          bk *= m[3];
+          float yy = lum_r * rk + lum_g * gk + lum_b * bk;
+          float sg = 1.0f + m[5] * rpf_clampf(1.0f - yy, 0.0f, 1.0f);
+          float hg = 1.0f + m[6] * rpf_clampf(yy, 0.0f, 1.0f);
+          rk *= sg * hg;
+          gk *= sg * hg;
+          bk *= sg * hg;
+          float t = rpf_clampf(yy, 0.0f, 1.0f);
+          // black/white lifts apply unconditionally: when the slider is 0
+          // the lift is exactly +0.0f (identity up to -0.0, which the
+          // clamp below erases) — matching develop_np's skipped branch.
+          float lift = m[7] * ((1.0f - t) * (1.0f - t)) + m[8] * (t * t);
+          rk += lift;
+          gk += lift;
+          bk += lift;
+          // Contrast must stay gated: (r - .5)*1 + .5 is NOT the identity
+          // in f32 (absorbs tiny values), so blend on the hoisted flag.
+          float rc = (rk - 0.5f) * cmul + 0.5f;
+          float gc = (gk - 0.5f) * cmul + 0.5f;
+          float bc = (bk - 0.5f) * cmul + 0.5f;
+          rk = has_contrast != 0.0f ? rc : rk;
+          gk = has_contrast != 0.0f ? gc : gk;
+          bk = has_contrast != 0.0f ? bc : bk;
+          RK[j] = rpf_clampf(rk, 0.0f, 1.0f);
+          GK[j] = rpf_clampf(gk, 0.0f, 1.0f);
+          BK[j] = rpf_clampf(bk, 0.0f, 1.0f);
+        }
+        const int bi = lut_idx[k * 4 + 0];
+        if (bi >= 0) {
+          const int32_t* bl = luts + static_cast<int64_t>(bi) * 65536;
+          const int ch = static_cast<int>(m[9]);
+          const bool cr = ch == 0 || ch == 3;
+          const bool cg = ch == 1 || ch == 3;
+          const bool cb = ch == 2 || ch == 3;
+          for (int j = 0; j < n; ++j) {
+            if (cr) RK[j] = rpf_lut01(bl, RK[j], 1.0f / 65535.0f);
+            if (cg) GK[j] = rpf_lut01(bl, GK[j], 1.0f / 65535.0f);
+            if (cb) BK[j] = rpf_lut01(bl, BK[j], 1.0f / 65535.0f);
+          }
+        }
+        if (mk == nullptr) {
+#pragma omp simd
+          for (int j = 0; j < n; ++j) {
+            R[j] = RK[j];
+            G[j] = GK[j];
+            B[j] = BK[j];
+          }
+        } else {
+#pragma omp simd
+          for (int j = 0; j < n; ++j) {
+            R[j] = mk[j] == 1.0f ? RK[j] : R[j];
+            G[j] = mk[j] == 1.0f ? GK[j] : G[j];
+            B[j] = mk[j] == 1.0f ? BK[j] : B[j];
+          }
+        }
+      }
+
+      // Per-mask OKLCH pass (develop_post_geo's second loop); masks whose
+      // hue/sat/light curves are all default are skipped entirely — the
+      // identity_oklch staircase shortcut develop_np also takes.
+      if (any_oklch) {
+        float Lc[CHUNK], Cc[CHUNK], Hc[CHUNK];
+#pragma omp simd
+        for (int j = 0; j < n; ++j) {
+          float l_ = m1[0] * R[j] + m1[1] * G[j] + m1[2] * B[j];
+          float mm = m1[3] * R[j] + m1[4] * G[j] + m1[5] * B[j];
+          float s_ = m1[6] * R[j] + m1[7] * G[j] + m1[8] * B[j];
+          l_ = rpf_cbrt_fast(l_);
+          mm = rpf_cbrt_fast(mm);
+          s_ = rpf_cbrt_fast(s_);
+          float L = m2[0] * l_ + m2[1] * mm + m2[2] * s_;
+          float A = m2[3] * l_ + m2[4] * mm + m2[5] * s_;
+          float Bo = m2[6] * l_ + m2[7] * mm + m2[8] * s_;
+          Lc[j] = L;
+          Cc[j] = std::sqrt(A * A + Bo * Bo);
+          Hc[j] = rpf_atan2_turns(Bo, A);
+        }
+        for (int k = 0; k < n_masks; ++k) {
+          const int hi_ = lut_idx[k * 4 + 1];
+          if (hi_ < 0) continue;
+          const float* mk = k > 0 ? masks + k * hw + base : nullptr;
+          const int32_t* hl = luts + static_cast<int64_t>(hi_) * 65536;
+          const int32_t* sl =
+              luts + static_cast<int64_t>(lut_idx[k * 4 + 2]) * 65536;
+          const int32_t* ll =
+              luts + static_cast<int64_t>(lut_idx[k * 4 + 3]) * 65536;
+          for (int j = 0; j < n; ++j) {
+            if (mk != nullptr && mk[j] != 1.0f) continue;
+            int idx = static_cast<int>(Hc[j] * 65535.0f);
+            idx = idx < 0 ? 0 : (idx > 65535 ? 65535 : idx);
+            int32_t q = hl[idx];
+            q = q < 0 ? 0 : (q > 65535 ? 65535 : q);
+            Hc[j] = static_cast<float>(q) / 65535.0f;
+            q = sl[idx];
+            q = q < 0 ? 0 : (q > 65535 ? 65535 : q);
+            Cc[j] *= static_cast<float>(q) / 32767.5f;
+            q = ll[idx];
+            q = q < 0 ? 0 : (q > 65535 ? 65535 : q);
+            Lc[j] *= static_cast<float>(q) / 32767.5f;
+          }
+        }
+#pragma omp simd
+        for (int j = 0; j < n; ++j) {
+          float A = Cc[j] * rpf_cos_turns(Hc[j]);
+          float Bo = Cc[j] * rpf_sin_turns(Hc[j]);
+          float l_ = m2i[0] * Lc[j] + m2i[1] * A + m2i[2] * Bo;
+          float mm = m2i[3] * Lc[j] + m2i[4] * A + m2i[5] * Bo;
+          float s_ = m2i[6] * Lc[j] + m2i[7] * A + m2i[8] * Bo;
+          l_ = l_ * l_ * l_;
+          mm = mm * mm * mm;
+          s_ = s_ * s_ * s_;
+          R[j] = m1i[0] * l_ + m1i[1] * mm + m1i[2] * s_;
+          G[j] = m1i[3] * l_ + m1i[4] * mm + m1i[5] * s_;
+          B[j] = m1i[6] * l_ + m1i[7] * mm + m1i[8] * s_;
+        }
+      }
+
+      // sRGB encode + clip (NaN-safe clamp first) into planar chunks —
+      // this loop holds the expensive pow chain and MUST vectorize, so
+      // it stays free of the interleaved u8 store (whose stride-3 layout
+      // the vectorizer prices as unprofitable and would scalarize the
+      // whole loop, pow included).
+#pragma omp simd
+      for (int j = 0; j < n; ++j) {
+        float sr = rpf_srgb_fast(R[j]);
+        float sg = rpf_srgb_fast(G[j]);
+        float sb = rpf_srgb_fast(B[j]);
+        R[j] = (sr >= 0.0f) ? (sr < 1.0f ? sr : 1.0f) : 0.0f;
+        G[j] = (sg >= 0.0f) ? (sg < 1.0f ? sg : 1.0f) : 0.0f;
+        B[j] = (sb >= 0.0f) ? (sb < 1.0f ? sb : 1.0f) : 0.0f;
+      }
+      // Truncating u8 interleave (image.rs:375-383's `as u8` store).
+      uint8_t* px = out + base * 3;
+      for (int j = 0; j < n; ++j) {
+        px[j * 3 + 0] = static_cast<uint8_t>(R[j] * 255.0f);
+        px[j * 3 + 1] = static_cast<uint8_t>(G[j] * 255.0f);
+        px[j * 3 + 2] = static_cast<uint8_t>(B[j] * 255.0f);
+      }
+    }
+  }
+  return RPF_OK;
+}
+
 }  // extern "C"

@@ -190,3 +190,88 @@ def test_render_u8_hwc_truncates():
     assert out.shape == (4, 6, 3) and out.dtype == np.uint8
     # 0.5 linear -> sRGB ~0.7354 -> *255 = 187.52 -> truncating store 187.
     assert int(out[0, 0, 0]) == 187
+
+
+# --- the fused native develop (rpf_hostdev_develop) vs the numpy mirror ---
+
+from rawphotoforge_tpu import native as _native  # noqa: E402
+
+_NATIVE_MISSING = not _native.available()
+
+
+def _assert_u8_close(got: np.ndarray, want: np.ndarray, wrap_rate=1e-3):
+    """u8 comparison for the native-vs-numpy pair: the polynomial
+    transcendentals (ktrig family) sit ~1e-7 from numpy's libm, so almost
+    every pixel agrees exactly or by one truncation step; steep random
+    curves turn rare ulp-straddled LUT indices into one staircase step,
+    and a hue-wrap-straddled pixel (H ~ 1.0 with a wrap-discontinuous
+    hue curve) can land anywhere — both sides are valid reads of a
+    circular quantity, so bound the *rate*, not the max."""
+    d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert np.median(d) == 0
+    assert (d > 0).mean() < 0.05, f"flip rate {(d > 0).mean():.2e}"
+    assert (d > 16).mean() < wrap_rate, f"big-diff rate {(d > 16).mean():.2e}"
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+@pytest.mark.parametrize("seed", range(6))
+def test_render_u8_native_matches_numpy_fuzz(seed):
+    r = np.random.default_rng(7900 + seed)
+    img = (r.random((3, 40, 56), dtype=np.float32) ** 1.8).astype(np.float32)
+    n = int(r.integers(1, 4))
+    plist = [_random_params(r, allow_geometry=(k == 0)) for k in range(n)]
+    plist[0].set_sharpness(int(r.integers(0, 101)))
+    masks = None
+    if n > 1:
+        masks = np.zeros((n, 40, 56), dtype=np.float32)
+        masks[0] = 1.0
+        for k in range(1, n):
+            masks[k] = (r.random((40, 56)) > 0.5).astype(np.float32)
+    got = hostdev.render_u8_hwc(img, plist, masks, native=True)
+    want = hostdev.render_u8_hwc(img, plist, masks, native=False)
+    _assert_u8_close(got, want)
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+def test_render_u8_native_edge_params():
+    """The uniform-branch corners the SIMD kernel hoists as blends:
+    contrast -100 (multiplier exactly 0 — must still apply), black/white
+    at 0 (unconditional +0.0 lift must be identity), a default-curve
+    brightness LUT forced active by the v1 channel selector, and
+    vignette at both rails."""
+    r = np.random.default_rng(7950)
+    img = (r.random((3, 32, 40), dtype=np.float32) * 1.4).astype(np.float32)
+    img[:, 0, 0] = 0.0
+    img[:, 0, 1] = 1.0
+    for build in (
+        lambda p: p.set_tone(contrast=-100),
+        lambda p: p.set_tone(exposure=6.0, black=0, white=0),
+        lambda p: p.set_curve(BRIGHTNESS, [0, 65535], [0, 65535], channel=2),
+        lambda p: p.set_vignette(-100),
+        lambda p: p.set_vignette(100),
+    ):
+        p = EditParameters()
+        build(p)
+        got = hostdev.render_u8_hwc(img, p, native=True)
+        want = hostdev.render_u8_hwc(img, p, native=False)
+        d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert d.max() <= 1, f"max {d.max()} for {build}"
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+def test_render_u8_native_default_exact():
+    """Default params reduce both paths to the sRGB encode; away from
+    truncation boundaries they must agree exactly."""
+    img = np.full((3, 6, 8), 0.5, dtype=np.float32)
+    got = hostdev.render_u8_hwc(img, EditParameters(), native=True)
+    assert int(got[0, 0, 0]) == 187
+    want = hostdev.render_u8_hwc(img, EditParameters(), native=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_render_u8_native_false_forces_numpy():
+    """native=False must not touch the native library (the numpy mirror
+    stays the testable semantics oracle)."""
+    img = np.full((3, 4, 4), 0.25, dtype=np.float32)
+    out = hostdev.render_u8_hwc(img, EditParameters(), native=False)
+    assert out.shape == (4, 4, 3)
