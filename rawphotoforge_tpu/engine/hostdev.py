@@ -201,12 +201,30 @@ def _linear_pass_np(r, g, b, params):
     return r, g, b
 
 
-def _geo_np(linear_planes: np.ndarray, main) -> np.ndarray:
+def _geo_np(linear_planes: np.ndarray, main, native: bool = False) -> np.ndarray:
     """The era geometry stage shared by both develop paths: lens-
-    distortion warp + unsharp over [3, H, W] (no-ops at default sliders)."""
+    distortion warp + unsharp over [3, H, W] (no-ops at default sliders).
+
+    ``native=True`` routes through rpf_warp_f32/rpf_unsharp_f32 — pure
+    IEEE f32 arithmetic in the numpy mirror's exact operation order, so
+    the outputs are BIT-identical (asserted in tests/test_hostdev.py);
+    it exists purely so sharpness/distortion drags during the era stay
+    at fused-develop frame rates."""
     planes = np.asarray(linear_planes, dtype=np.float32)
-    planes = warp_np(planes, float(main.lens_distortion))
-    return unsharp_np(planes, float(main.sharpness) / 100.0 * 2.0)
+    distortion = float(main.lens_distortion)
+    amount = float(main.sharpness) / 100.0 * 2.0
+    if native:
+        from .. import native as _native
+
+        if distortion != 0.0:
+            planes = _native.warp_f32(
+                planes, _f32(-0.5 * (distortion / 100.0)))
+        if amount != 0.0:
+            planes = _native.unsharp_f32(planes, _gauss_taps_np(1.0, 2),
+                                         amount)
+        return planes
+    planes = warp_np(planes, distortion)
+    return unsharp_np(planes, amount)
 
 
 def develop_np(linear_planes: np.ndarray, params,
@@ -345,7 +363,7 @@ def render_u8_hwc(linear_planes: np.ndarray, params,
         from .. import native as _native
 
         if _native.available():
-            planes = _geo_np(linear_planes, plist[0])
+            planes = _geo_np(linear_planes, plist[0], native=True)
             mrow, lut_idx, luts = _pack_native(plist)
             return _native.hostdev_develop(
                 planes, masks if len(plist) > 1 else None, mrow, lut_idx,

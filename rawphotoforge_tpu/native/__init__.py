@@ -88,6 +88,12 @@ def _load():
         ctypes.c_float, u8p,
     ]
     lib.rpf_hostdev_develop.restype = c
+    lib.rpf_warp_f32.argtypes = [f32p, c, c, ctypes.c_float, f32p]
+    lib.rpf_warp_f32.restype = c
+    lib.rpf_unsharp_f32.argtypes = [
+        f32p, c, c, f32p, c, ctypes.c_float, f32p,
+    ]
+    lib.rpf_unsharp_f32.restype = c
     _lib = lib
     return lib
 
@@ -298,6 +304,43 @@ def hostdev_develop(planes, masks, mrow, lut_idx, luts, mats,
         luts.reshape(-1), n_rows, mats.reshape(-1), float(vig_strength), out)
     if rc != 0:
         raise ValueError(f"rpf_hostdev_develop failed (rc={rc})")
+    return out
+
+
+def warp_f32(planes, strength: float):
+    """Radial lens-distortion warp over [3, H, W] f32 — bit-identical to
+    engine/hostdev.warp_np (pure IEEE f32 arithmetic, same order).
+    ``strength`` is the already-scaled f32(-0.5 * distortion/100)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    p = np.ascontiguousarray(planes, dtype=np.float32)
+    if p.ndim != 3 or p.shape[0] != 3:
+        raise ValueError(f"planes must be [3, H, W], got {p.shape}")
+    out = np.empty_like(p)
+    rc = lib.rpf_warp_f32(p, p.shape[1], p.shape[2], float(strength), out)
+    if rc != 0:
+        raise ValueError(f"rpf_warp_f32 failed (rc={rc})")
+    return out
+
+
+def unsharp_f32(planes, taps, amount: float):
+    """Separable-Gaussian unsharp over [3, H, W] f32 — bit-identical to
+    engine/hostdev.unsharp_np for the same taps."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    p = np.ascontiguousarray(planes, dtype=np.float32)
+    if p.ndim != 3 or p.shape[0] != 3:
+        raise ValueError(f"planes must be [3, H, W], got {p.shape}")
+    t = np.ascontiguousarray(taps, dtype=np.float32)
+    if t.ndim != 1 or t.size % 2 == 0 or t.size > 129:
+        raise ValueError(f"taps must be odd-length 1-D (<=129), got {t.shape}")
+    out = np.empty_like(p)
+    rc = lib.rpf_unsharp_f32(p, p.shape[1], p.shape[2], t, t.size // 2,
+                             float(amount), out)
+    if rc != 0:
+        raise ValueError(f"rpf_unsharp_f32 failed (rc={rc})")
     return out
 
 

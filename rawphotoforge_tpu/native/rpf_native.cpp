@@ -951,6 +951,157 @@ __attribute__((always_inline)) inline float rpf_lut01(const int32_t* lut, float 
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Era geometry stage, native: radial lens-distortion warp and unsharp mask
+// over [3, H, W] f32. BIT-IDENTICAL mirrors of engine/hostdev.warp_np /
+// unsharp_np (which mirror ops/geometry + ops/sharpen,
+// wgpu_shader.wgsl:109-164): every operation is plain IEEE f32 arithmetic
+// in the same order — no transcendentals — so outputs equal the numpy
+// mirror exactly and the fused develop's input is unchanged by taking the
+// native path.
+// ---------------------------------------------------------------------------
+
+// Radial warp; OOB pixels go black. strength = f32(-0.5 * distortion/100).
+int rpf_warp_f32(const float* planes, int h, int w, float strength,
+                 float* out) {
+  if (!planes || !out || h <= 0 || w <= 0) return RPF_ERR_ARGS;
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  const float hf = static_cast<float>(h), wf = static_cast<float>(w);
+  const float aspect = wf / hf;
+
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const float v = static_cast<float>(y) / hf;
+    const float cv = v - 0.5f;
+    // Per-row staging so the coordinate math vectorizes; the bilinear
+    // gather stays a scalar loop over the row.
+    enum { WCHUNK = 256 };
+    for (int x0c = 0; x0c < w; x0c += WCHUNK) {
+      const int n = (w - x0c) < WCHUNK ? (w - x0c) : WCHUNK;
+      int xi0[WCHUNK], yi0[WCHUNK], xi1[WCHUNK], yi1[WCHUNK];
+      float txa[WCHUNK], tya[WCHUNK];
+      uint8_t oob[WCHUNK];
+#pragma omp simd
+      for (int j = 0; j < n; ++j) {
+        float u = static_cast<float>(x0c + j) / wf;
+        float cu = (u - 0.5f) * aspect;
+        float r2 = cu * cu + cv * cv;
+        float denom = 1.0f + strength * r2;
+        float fu = (cu / denom) / aspect + 0.5f;
+        float fv = cv / denom + 0.5f;
+        oob[j] = (fu < 0.0f) | (fu > 1.0f) | (fv < 0.0f) | (fv > 1.0f);
+        float px = fu * (wf - 1.0f);
+        float py = fv * (hf - 1.0f);
+        float x0f = std::floor(px);
+        float y0f = std::floor(py);
+        // Match warp_np exactly: clip the i32 cast of the floor (the
+        // cast of a huge/NaN float is UB in C, so clamp in float first
+        // — OOB lanes are overwritten with 0 anyway).
+        float x0cl = x0f < 0.0f ? 0.0f : x0f;
+        x0cl = x0cl > wf - 1.0f ? wf - 1.0f : x0cl;
+        float y0cl = y0f < 0.0f ? 0.0f : y0f;
+        y0cl = y0cl > hf - 1.0f ? hf - 1.0f : y0cl;
+        int xi = static_cast<int>(x0cl);
+        int yi = static_cast<int>(y0cl);
+        xi0[j] = xi;
+        yi0[j] = yi;
+        xi1[j] = xi + 1 < w - 1 ? xi + 1 : w - 1;
+        yi1[j] = yi + 1 < h - 1 ? yi + 1 : h - 1;
+        txa[j] = px - x0f;
+        tya[j] = py - y0f;
+      }
+      for (int c = 0; c < 3; ++c) {
+        const float* p = planes + c * hw;
+        float* o = out + c * hw + static_cast<int64_t>(y) * w + x0c;
+        for (int j = 0; j < n; ++j) {
+          float tx = txa[j], ty = tya[j];
+          float top = p[static_cast<int64_t>(yi0[j]) * w + xi0[j]]
+                          * (1.0f - tx)
+                      + p[static_cast<int64_t>(yi0[j]) * w + xi1[j]] * tx;
+          float bot = p[static_cast<int64_t>(yi1[j]) * w + xi0[j]]
+                          * (1.0f - tx)
+                      + p[static_cast<int64_t>(yi1[j]) * w + xi1[j]] * tx;
+          o[j] = oob[j] ? 0.0f : top * (1.0f - ty) + bot * ty;
+        }
+      }
+    }
+  }
+  return RPF_OK;
+}
+
+// Separable-Gaussian unsharp mask: out = max(x + amount*(x - blur(x)), 0)
+// over [3, H, W]; taps has 2*radius+1 entries. Padding mirrors numpy:
+// reflect when the axis is longer than radius, edge-clamp otherwise.
+static inline int rpf_reflect_idx(int i, int n, bool edge) {
+  if (edge) return i < 0 ? 0 : (i >= n ? n - 1 : i);
+  if (i < 0) return -i;
+  if (i >= n) return 2 * n - 2 - i;
+  return i;
+}
+
+int rpf_unsharp_f32(const float* planes, int h, int w, const float* taps,
+                    int radius, float amount, float* out) {
+  if (!planes || !out || !taps || h <= 0 || w <= 0 || radius < 0 ||
+      radius > 64)
+    return RPF_ERR_ARGS;
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  const int nt = 2 * radius + 1;
+  const bool edge_y = h <= radius, edge_x = w <= radius;
+  float* tmp = new (std::nothrow) float[hw];
+  if (!tmp) return RPF_ERR_ARGS;
+
+  for (int c = 0; c < 3; ++c) {
+    const float* src = planes + c * hw;
+    float* dst = out + c * hw;
+    // Vertical pass into tmp: accumulate taps in index order, exactly
+    // like _blur_axis_np's `out += wgt * xp[slice]` chain.
+#pragma omp parallel for schedule(static)
+    for (int y = 0; y < h; ++y) {
+      int idx[129];
+      for (int i = 0; i < nt; ++i)
+        idx[i] = rpf_reflect_idx(y + i - radius, h, edge_y);
+      float* trow = tmp + static_cast<int64_t>(y) * w;
+      const float* r0 = src + static_cast<int64_t>(idx[0]) * w;
+#pragma omp simd
+      for (int x = 0; x < w; ++x) trow[x] = taps[0] * r0[x];
+      for (int i = 1; i < nt; ++i) {
+        const float* ri = src + static_cast<int64_t>(idx[i]) * w;
+        const float wgt = taps[i];
+#pragma omp simd
+        for (int x = 0; x < w; ++x) trow[x] += wgt * ri[x];
+      }
+    }
+    // Horizontal pass + combine.
+#pragma omp parallel for schedule(static)
+    for (int y = 0; y < h; ++y) {
+      const float* trow = tmp + static_cast<int64_t>(y) * w;
+      const float* srow = src + static_cast<int64_t>(y) * w;
+      float* drow = dst + static_cast<int64_t>(y) * w;
+      const int lo = radius, hi = w - radius;
+      // Borders: reflected/clamped indices, scalar.
+      for (int x = 0; x < w; ++x) {
+        if (x >= lo && x < hi && !edge_x) continue;
+        float acc = 0.0f;
+        for (int i = 0; i < nt; ++i)
+          acc += taps[i] * trow[rpf_reflect_idx(x + i - radius, w, edge_x)];
+        float v = srow[x] + amount * (srow[x] - acc);
+        drow[x] = v > 0.0f ? v : 0.0f;
+      }
+      if (edge_x) continue;
+      // Interior: direct windows, vectorizes.
+#pragma omp simd
+      for (int x = lo; x < hi; ++x) {
+        float acc = taps[0] * trow[x - radius];
+        for (int i = 1; i < nt; ++i) acc += taps[i] * trow[x - radius + i];
+        float v = srow[x] + amount * (srow[x] - acc);
+        drow[x] = v > 0.0f ? v : 0.0f;
+      }
+    }
+  }
+  delete[] tmp;
+  return RPF_OK;
+}
+
 // planes: [3, h, w] f32 post-warp/unsharp linear RGB. masks: [n_masks, h, w]
 // f32 0/1 (row 0 never read; pass a dummy when n_masks == 1). mrow: per-mask
 // f32[16]: 0-2 WB gains, 3 exp2(exposure), 4 contrast/100 (gate), 5

@@ -269,6 +269,59 @@ def test_render_u8_native_default_exact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+@pytest.mark.parametrize("distortion", [-80, -15, 40, 100])
+def test_native_warp_bit_identical(distortion):
+    """rpf_warp_f32 is pure IEEE f32 arithmetic in warp_np's exact
+    operation order — outputs must be bit-equal, not just close."""
+    r = np.random.default_rng(7960)
+    img = r.random((3, 37, 53), dtype=np.float32)
+    got = _native.warp_f32(img, np.float32(-0.5 * (distortion / 100.0)))
+    want = hostdev.warp_np(img, float(distortion))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+@pytest.mark.parametrize("amount", [0.2, 1.1, 2.0])
+def test_native_unsharp_bit_identical(amount):
+    from rawphotoforge_tpu.ops.sharpen import _gauss_taps
+
+    r = np.random.default_rng(7970)
+    img = r.random((3, 29, 41), dtype=np.float32)
+    got = _native.unsharp_f32(img, _gauss_taps(1.0, 2), amount)
+    want = hostdev.unsharp_np(img, amount)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+def test_native_unsharp_tiny_image_edge_mode():
+    """Axes shorter than the tap radius switch numpy's pad to edge-clamp;
+    the native mirror must follow."""
+    from rawphotoforge_tpu.ops.sharpen import _gauss_taps
+
+    r = np.random.default_rng(7971)
+    img = r.random((3, 2, 2), dtype=np.float32)
+    got = _native.unsharp_f32(img, _gauss_taps(1.0, 2), 1.0)
+    want = hostdev.unsharp_np(img, 1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+def test_render_u8_native_geometry_sliders():
+    """The full native era frame with distortion + sharpness active:
+    geometry is bit-identical, so the u8 gate stays the pointwise one."""
+    r = np.random.default_rng(7980)
+    img = (r.random((3, 40, 56), dtype=np.float32) ** 1.8).astype(np.float32)
+    p = EditParameters()
+    p.set_tone(exposure=0.5, contrast=20)
+    p.set_lens_distortion(35)
+    p.set_sharpness(60)
+    got = hostdev.render_u8_hwc(img, p, native=True)
+    want = hostdev.render_u8_hwc(img, p, native=False)
+    d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert d.max() <= 1
+
+
 def test_render_u8_native_false_forces_numpy():
     """native=False must not touch the native library (the numpy mirror
     stays the testable semantics oracle)."""
