@@ -975,7 +975,11 @@ class EditorApp:
             py = min(ih - 1, max(0, int(float(y) * ih / fh)))
             px = min(iw - 1, max(0, int(float(x) * iw / fw)))
             plist, marr = self._era_plist_masks(op, (ih, iw))
-            base = hostdev.develop_np(op["linear"], plist, marr)
+            # The prompt samples the RENDERED image as u8 (v1 feeds the
+            # predictor its display buffer, raw_photo_forge.py:2409-2411)
+            # — so render straight to u8 on the fused native path instead
+            # of a full-precision numpy develop quantized afterwards.
+            base_u8 = hostdev.render_u8_hwc(op["linear"], plist, marr)
             if body.get("model"):
                 # The external segmenter is a HOST process — it only
                 # needs a render, and the era has one. Same operator-
@@ -989,22 +993,19 @@ class EditorApp:
                 if self.segmenter is None:
                     raise ValueError(
                         "no segmenter configured (launch with --segmenter)")
-                u8 = (base * 255.0).astype(np.uint8).transpose(1, 2, 0)
                 logits = np.asarray(
-                    self.segmenter.segment(np.ascontiguousarray(u8),
-                                           (px, py)), dtype=np.float32)
+                    self.segmenter.segment(base_u8, (px, py)),
+                    dtype=np.float32)
                 if logits.shape != (ih, iw):
                     logits = _instant.resize_bilinear_np(
                         logits[None], ih, iw)[0]
             elif body.get("smart"):
-                lin = _instant.linear_from_srgb_u8(
-                    (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
+                lin = _instant.linear_from_srgb_u8(base_u8)
                 logits = hostdev.smart_logits_np(
                     lin, (py, px), float(body.get("tolerance", 0.15)),
                     float(body.get("edge_weight", 12.0)))
             else:
-                lin = _instant.linear_from_srgb_u8(
-                    (base * 255.0).astype(np.uint8).transpose(1, 2, 0))
+                lin = _instant.linear_from_srgb_u8(base_u8)
                 logits = hostdev.similarity_logits_np(
                     lin, (py, px), float(body.get("tolerance", 0.1)),
                     float(body.get("sigma", 0.0)))
