@@ -383,13 +383,31 @@ def _oklab_np(linear_planes: np.ndarray):
     return _mat3_np(M2, cbrt(l_), cbrt(m_), cbrt(s_))
 
 
+def _mats18() -> np.ndarray:
+    """f32[18] = M1, M2 row-major — the OKLab block the native selection
+    mirrors take (same constants as _mats39's head)."""
+    return _mats39()[:18]
+
+
 def similarity_logits_np(linear_planes: np.ndarray,
                          point_yx: tuple[int, int],
                          color_tolerance: float,
-                         spatial_sigma: float = 0.0) -> np.ndarray:
+                         spatial_sigma: float = 0.0,
+                         native: bool | None = None) -> np.ndarray:
     """numpy mirror of ops.masking.similarity_mask: OKLab-distance logits
     around the prompted pixel's color, optional Gaussian spatial falloff
-    — the era's host-side point-prompted selection."""
+    — the era's host-side point-prompted selection. ``native=None`` takes
+    the C++ mirror when available (~7x; deviations are cbrt ulp noise
+    plus a separable-exp spatial term, gated in tests)."""
+    if native is None or native:
+        from .. import native as _native
+
+        if _native.available():
+            return _native.similarity_logits(
+                linear_planes, point_yx, color_tolerance, spatial_sigma,
+                _mats18())
+        if native:
+            raise RuntimeError("native library unavailable")
     L, A, B = _oklab_np(linear_planes)
     y, x = int(point_yx[0]), int(point_yx[1])
     dist = np.sqrt((L - L[y, x]) ** 2 + (A - A[y, x]) ** 2
@@ -460,9 +478,21 @@ def geodesic_distance_np(linear_planes: np.ndarray,
 def smart_logits_np(linear_planes: np.ndarray, point_yx: tuple[int, int],
                     tolerance: float = 0.15, edge_weight: float = 12.0,
                     spatial_cost: float = 0.002,
-                    sweeps: int = 4) -> np.ndarray:
+                    sweeps: int = 4,
+                    native: bool | None = None) -> np.ndarray:
     """numpy mirror of ops.masking.smart_select_mask — the era's
-    host-side edge-aware object selection."""
+    host-side edge-aware object selection. ``native=None`` takes the C++
+    sweeps when available (identical relaxation order; cbrt ulp noise
+    only, gated in tests)."""
+    if native is None or native:
+        from .. import native as _native
+
+        if _native.available():
+            return _native.geodesic_logits(
+                linear_planes, point_yx, tolerance, edge_weight,
+                spatial_cost, sweeps, _mats18())
+        if native:
+            raise RuntimeError("native library unavailable")
     d = geodesic_distance_np(linear_planes, point_yx, edge_weight,
                              spatial_cost, sweeps=sweeps)
     return np.clip(_f32(1.0) - d / _f32(max(tolerance, 1e-6)),

@@ -90,6 +90,15 @@ def _load():
     lib.rpf_hostdev_develop.restype = c
     lib.rpf_warp_f32.argtypes = [f32p, c, c, ctypes.c_float, f32p]
     lib.rpf_warp_f32.restype = c
+    cf = ctypes.c_float
+    lib.rpf_similarity_logits.argtypes = [
+        f32p, c, c, c, c, cf, cf, f32p, f32p,
+    ]
+    lib.rpf_similarity_logits.restype = c
+    lib.rpf_geodesic_logits.argtypes = [
+        f32p, c, c, c, c, cf, cf, c, cf, f32p, f32p,
+    ]
+    lib.rpf_geodesic_logits.restype = c
     lib.rpf_unsharp_f32.argtypes = [
         f32p, c, c, f32p, c, ctypes.c_float, f32p,
     ]
@@ -304,6 +313,58 @@ def hostdev_develop(planes, masks, mrow, lut_idx, luts, mats,
         luts.reshape(-1), n_rows, mats.reshape(-1), float(vig_strength), out)
     if rc != 0:
         raise ValueError(f"rpf_hostdev_develop failed (rc={rc})")
+    return out
+
+
+def _check_planes_point(planes, point_yx):
+    p = np.ascontiguousarray(planes, dtype=np.float32)
+    if p.ndim != 3 or p.shape[0] != 3:
+        raise ValueError(f"planes must be [3, H, W], got {p.shape}")
+    py, px = int(point_yx[0]), int(point_yx[1])
+    if not (0 <= py < p.shape[1] and 0 <= px < p.shape[2]):
+        raise ValueError(f"point {point_yx} outside {p.shape[1:]}")
+    return p, py, px
+
+
+def similarity_logits(planes, point_yx, tolerance: float, sigma: float,
+                      mats18):
+    """OKLab similarity logits (hostdev.similarity_logits_np mirror);
+    ``mats18`` = M1, M2 row-major f32[18] (engine/hostdev supplies it)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    p, py, px = _check_planes_point(planes, point_yx)
+    m = np.ascontiguousarray(mats18, dtype=np.float32)
+    if m.size != 18:
+        raise ValueError(f"mats18 must have 18 entries, got {m.size}")
+    out = np.empty(p.shape[1:], dtype=np.float32)
+    rc = lib.rpf_similarity_logits(p, p.shape[1], p.shape[2], py, px,
+                                   float(tolerance), float(sigma),
+                                   m.reshape(-1), out)
+    if rc != 0:
+        raise ValueError(f"rpf_similarity_logits failed (rc={rc})")
+    return out
+
+
+def geodesic_logits(planes, point_yx, tolerance: float, edge_weight: float,
+                    spatial_cost: float, sweeps: int, mats18):
+    """Geodesic smart-select logits (hostdev.smart_logits_np mirror)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    p, py, px = _check_planes_point(planes, point_yx)
+    m = np.ascontiguousarray(mats18, dtype=np.float32)
+    if m.size != 18:
+        raise ValueError(f"mats18 must have 18 entries, got {m.size}")
+    if not 0 <= int(sweeps) <= 64:
+        raise ValueError(f"sweeps must be in [0, 64], got {sweeps}")
+    out = np.empty(p.shape[1:], dtype=np.float32)
+    rc = lib.rpf_geodesic_logits(p, p.shape[1], p.shape[2], py, px,
+                                 float(edge_weight), float(spatial_cost),
+                                 int(sweeps), float(tolerance),
+                                 m.reshape(-1), out)
+    if rc != 0:
+        raise ValueError(f"rpf_geodesic_logits failed (rc={rc})")
     return out
 
 

@@ -952,6 +952,215 @@ __attribute__((always_inline)) inline float rpf_lut01(const int32_t* lut, float 
 }  // namespace
 
 // ---------------------------------------------------------------------------
+// Era mask selections, native: OKLab similarity logits and the geodesic
+// (Toivanen raster-sweep) smart-select distance — the per-click selection
+// mirrors of engine/hostdev.similarity_logits_np / smart_logits_np (which
+// mirror ops/masking). Same formula order; the only divergences from the
+// numpy mirrors are cbrt (~1 ulp) and, for similarity, a separable
+// exp(a)*exp(b) in place of exp(a+b) — both tolerance-gated in
+// tests/test_hostdev.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Linear RGB [3, hw] -> OKLab planes (L, A, B), using the mats block's
+// first 18 floats (M1 then M2, row-major — the core/color constants).
+void rpf_oklab_planes(const float* planes, int64_t hw, const float* m1,
+                      const float* m2, float* L, float* A, float* B) {
+  const float* P0 = planes;
+  const float* P1 = planes + hw;
+  const float* P2 = planes + 2 * hw;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < hw; ++i) {
+    float r = P0[i], g = P1[i], b = P2[i];
+    float l_ = rpf_cbrt_fast(m1[0] * r + m1[1] * g + m1[2] * b);
+    float mm = rpf_cbrt_fast(m1[3] * r + m1[4] * g + m1[5] * b);
+    float s_ = rpf_cbrt_fast(m1[6] * r + m1[7] * g + m1[8] * b);
+    L[i] = m2[0] * l_ + m2[1] * mm + m2[2] * s_;
+    A[i] = m2[3] * l_ + m2[4] * mm + m2[5] * s_;
+    B[i] = m2[6] * l_ + m2[7] * mm + m2[8] * s_;
+  }
+}
+
+}  // namespace
+
+// OKLab-distance logits around the prompted pixel, optional Gaussian
+// spatial falloff (hostdev.similarity_logits_np; ops/masking contract).
+// mats18 = M1, M2 row-major.
+int rpf_similarity_logits(const float* planes, int h, int w, int py, int px,
+                          float tol, float sigma, const float* mats18,
+                          float* out) {
+  if (!planes || !out || !mats18 || h <= 0 || w <= 0 || py < 0 || py >= h ||
+      px < 0 || px >= w)
+    return RPF_ERR_ARGS;
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  float* L = new (std::nothrow) float[hw * 3];
+  if (!L) return RPF_ERR_ARGS;
+  float* A = L + hw;
+  float* B = L + 2 * hw;
+  rpf_oklab_planes(planes, hw, mats18, mats18 + 9, L, A, B);
+  const int64_t seed = static_cast<int64_t>(py) * w + px;
+  const float L0 = L[seed], A0 = A[seed], B0 = B[seed];
+  const float tolc = tol > 1e-6f ? tol : 1e-6f;
+
+  // Separable spatial factors (exp(a + b) == exp(a) * exp(b) up to one
+  // ulp; the numpy mirror evaluates the sum — tolerance-gated).
+  float* ey = nullptr;
+  float* ex = nullptr;
+  if (sigma > 0.0f) {
+    ey = new (std::nothrow) float[h + w];
+    if (!ey) {
+      delete[] L;
+      return RPF_ERR_ARGS;
+    }
+    ex = ey + h;
+    float s = sigma > 1.0f ? sigma : 1.0f;
+    float inv2s2 = -0.5f / (s * s);
+    for (int y = 0; y < h; ++y) {
+      float d = static_cast<float>(y) - static_cast<float>(py);
+      ey[y] = std::exp(d * d * inv2s2);
+    }
+    for (int x = 0; x < w; ++x) {
+      float d = static_cast<float>(x) - static_cast<float>(px);
+      ex[x] = std::exp(d * d * inv2s2);
+    }
+  }
+
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const float eyv = ey ? ey[y] : 0.0f;
+    const int64_t row = static_cast<int64_t>(y) * w;
+#pragma omp simd
+    for (int x = 0; x < w; ++x) {
+      int64_t i = row + x;
+      float dl = L[i] - L0, da = A[i] - A0, db = B[i] - B0;
+      float dist = std::sqrt(dl * dl + da * da + db * db);
+      float lg = 1.0f - dist / tolc;
+      if (ey) {
+        float sp = eyv * ex[x];
+        lg = lg * sp - (1.0f - sp);
+      }
+      out[i] = rpf_clampf(lg, -1.0f, 1.0f);
+    }
+  }
+  delete[] ey;
+  delete[] L;
+  return RPF_OK;
+}
+
+// Edge-aware geodesic smart-select logits: Toivanen-style alternating
+// raster sweeps of the OKLab-gradient distance transform, then
+// clip(1 - d/tol, -1, 1) (hostdev.smart_logits_np / geodesic_distance_np:
+// per sweep, down -> up -> right -> left, each relaxation reading the
+// just-relaxed neighbor like the numpy in-place rows).
+int rpf_geodesic_logits(const float* planes, int h, int w, int py, int px,
+                        float edge_weight, float spatial_cost, int sweeps,
+                        float tol, const float* mats18, float* out) {
+  if (!planes || !out || !mats18 || h <= 0 || w <= 0 || py < 0 || py >= h ||
+      px < 0 || px >= w || sweeps < 0 || sweeps > 64)
+    return RPF_ERR_ARGS;
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  // Layout: L/A/B planes, then the vertical [h-1, w] and horizontal
+  // [h, w-1] step costs, then the distance field.
+  float* L = new (std::nothrow) float[hw * 3];
+  float* gv = new (std::nothrow) float[(h > 1 ? (h - 1) : 0) *
+                                       static_cast<int64_t>(w) + 1];
+  float* gh = new (std::nothrow) float[static_cast<int64_t>(h) *
+                                       (w > 1 ? (w - 1) : 0) + 1];
+  float* d = new (std::nothrow) float[hw];
+  if (!L || !gv || !gh || !d) {
+    delete[] L; delete[] gv; delete[] gh; delete[] d;
+    return RPF_ERR_ARGS;
+  }
+  float* A = L + hw;
+  float* B = L + 2 * hw;
+  rpf_oklab_planes(planes, hw, mats18, mats18 + 9, L, A, B);
+
+  // Step costs: |grad Lab| * edge_weight + spatial_cost along each axis.
+  const int gw = w - 1;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const int64_t row = static_cast<int64_t>(y) * w;
+    if (y < h - 1) {
+      float* gvr = gv + static_cast<int64_t>(y) * w;
+#pragma omp simd
+      for (int x = 0; x < w; ++x) {
+        int64_t i = row + x;
+        float dl = L[i + w] - L[i];
+        float da = A[i + w] - A[i];
+        float db = B[i + w] - B[i];
+        gvr[x] = std::sqrt(dl * dl + da * da + db * db) * edge_weight +
+                 spatial_cost;
+      }
+    }
+    if (gw > 0) {
+      float* ghr = gh + static_cast<int64_t>(y) * gw;
+#pragma omp simd
+      for (int x = 0; x < gw; ++x) {
+        int64_t i = row + x;
+        float dl = L[i + 1] - L[i];
+        float da = A[i + 1] - A[i];
+        float db = B[i + 1] - B[i];
+        ghr[x] = std::sqrt(dl * dl + da * da + db * db) * edge_weight +
+                 spatial_cost;
+      }
+    }
+  }
+
+  for (int64_t i = 0; i < hw; ++i) d[i] = 1e9f;
+  d[static_cast<int64_t>(py) * w + px] = 0.0f;
+
+  for (int s = 0; s < sweeps; ++s) {
+    // Down: d[y] = min(d[y], d[y-1] + gv[y-1]) — rows in order, each
+    // reading the just-relaxed previous row (the scan carry).
+    for (int y = 1; y < h; ++y) {
+      float* dr = d + static_cast<int64_t>(y) * w;
+      const float* dp = dr - w;
+      const float* c = gv + static_cast<int64_t>(y - 1) * w;
+#pragma omp simd
+      for (int x = 0; x < w; ++x) {
+        float v = dp[x] + c[x];
+        dr[x] = dr[x] < v ? dr[x] : v;
+      }
+    }
+    // Up: d[y] = min(d[y], d[y+1] + gv[y]).
+    for (int y = h - 2; y >= 0; --y) {
+      float* dr = d + static_cast<int64_t>(y) * w;
+      const float* dn = dr + w;
+      const float* c = gv + static_cast<int64_t>(y) * w;
+#pragma omp simd
+      for (int x = 0; x < w; ++x) {
+        float v = dn[x] + c[x];
+        dr[x] = dr[x] < v ? dr[x] : v;
+      }
+    }
+    // Right then left: sequential chains along x, rows independent.
+    if (gw > 0) {
+#pragma omp parallel for schedule(static)
+      for (int y = 0; y < h; ++y) {
+        float* dr = d + static_cast<int64_t>(y) * w;
+        const float* c = gh + static_cast<int64_t>(y) * gw;
+        for (int x = 1; x < w; ++x) {
+          float v = dr[x - 1] + c[x - 1];
+          if (v < dr[x]) dr[x] = v;
+        }
+        for (int x = w - 2; x >= 0; --x) {
+          float v = dr[x + 1] + c[x];
+          if (v < dr[x]) dr[x] = v;
+        }
+      }
+    }
+  }
+
+  const float tolc = tol > 1e-6f ? tol : 1e-6f;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < hw; ++i)
+    out[i] = rpf_clampf(1.0f - d[i] / tolc, -1.0f, 1.0f);
+  delete[] L; delete[] gv; delete[] gh; delete[] d;
+  return RPF_OK;
+}
+
+// ---------------------------------------------------------------------------
 // Era geometry stage, native: radial lens-distortion warp and unsharp mask
 // over [3, H, W] f32. BIT-IDENTICAL mirrors of engine/hostdev.warp_np /
 // unsharp_np (which mirror ops/geometry + ops/sharpen,
@@ -1057,7 +1266,8 @@ int rpf_unsharp_f32(const float* planes, int h, int w, const float* taps,
     // like _blur_axis_np's `out += wgt * xp[slice]` chain.
 #pragma omp parallel for schedule(static)
     for (int y = 0; y < h; ++y) {
-      int idx[129];
+      int idx[129] = {0};  // nt >= 1 always fills idx[0]; zero-init
+                           // quiets gcc's maybe-uninitialized.
       for (int i = 0; i < nt; ++i)
         idx[i] = rpf_reflect_idx(y + i - radius, h, edge_y);
       float* trow = tmp + static_cast<int64_t>(y) * w;

@@ -67,15 +67,20 @@ def test_develop_np_multimask_matches_anchor(seed):
     assert_fuzz_close(got.transpose(1, 2, 0), want.transpose(1, 2, 0))
 
 
-def test_similarity_logits_np_matches_device():
+@pytest.mark.parametrize("native", [False, True])
+def test_similarity_logits_np_matches_device(native):
+    from rawphotoforge_tpu import native as native_mod
     from rawphotoforge_tpu.ops.masking import similarity_mask
     import jax.numpy as jnp
 
+    if native and not native_mod.available():
+        pytest.skip("native library unavailable")
     r = np.random.default_rng(81)
     img = (0.1 + 0.8 * r.random((3, 30, 42), dtype=np.float32)).astype(
         np.float32)
     for sigma in (0.0, 6.0):
-        got = hostdev.similarity_logits_np(img, (11, 23), 0.15, sigma)
+        got = hostdev.similarity_logits_np(img, (11, 23), 0.15, sigma,
+                                           native=native)
         want = np.asarray(similarity_mask(
             jnp.asarray(img), jnp.asarray([11, 23], dtype=jnp.int32),
             jnp.float32(0.15), jnp.float32(sigma if sigma > 0 else 1.0),
@@ -83,24 +88,52 @@ def test_similarity_logits_np_matches_device():
         np.testing.assert_allclose(got, want, atol=3e-5)
 
 
-def test_smart_logits_np_matches_device():
+@pytest.mark.parametrize("native", [False, True])
+def test_smart_logits_np_matches_device(native):
     """The era's host geodesic flood vs ops.masking.smart_select_mask:
-    same Toivanen sweeps, same costs — bit-close."""
+    same Toivanen sweeps, same costs — bit-close (both the numpy mirror
+    and the native C++ sweeps)."""
+    from rawphotoforge_tpu import native as native_mod
     from rawphotoforge_tpu.ops.masking import smart_select_mask
     import jax.numpy as jnp
 
+    if native and not native_mod.available():
+        pytest.skip("native library unavailable")
     r = np.random.default_rng(87)
     # Two regions split by a hard edge + noise: connectivity matters.
     img = np.full((3, 28, 40), 0.2, dtype=np.float32)
     img[:, :, 20:] = 0.7
     img += (r.random((3, 28, 40), dtype=np.float32) - 0.5) * 0.01
     img = np.clip(img, 0.0, 1.0)
-    got = hostdev.smart_logits_np(img, (14, 8), 1.0, 12.0)
+    got = hostdev.smart_logits_np(img, (14, 8), 1.0, 12.0, native=native)
     want = np.asarray(smart_select_mask(jnp.asarray(img), (14, 8),
                                         tolerance=1.0, edge_weight=12.0))
     np.testing.assert_allclose(got, want, atol=1e-4)
     # And it actually respects the edge: left floods, right does not.
     assert (got[:, :20] >= 0).all() and (got[:, 20:] < 0).all()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_selection_native_matches_numpy_fuzz(seed):
+    """Native selection mirrors vs the numpy oracles on random images and
+    prompt points: cbrt ulp noise + the separable spatial exp only."""
+    from rawphotoforge_tpu import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native library unavailable")
+    r = np.random.default_rng(8100 + seed)
+    h, w = int(r.integers(8, 70)), int(r.integers(8, 70))
+    img = r.random((3, h, w), dtype=np.float32)
+    pt = (int(r.integers(0, h)), int(r.integers(0, w)))
+    tol = float(r.uniform(0.02, 1.0))
+    sig = float(r.choice([0.0, 2.0, 9.0]))
+    a = hostdev.similarity_logits_np(img, pt, tol, sig, native=True)
+    b = hostdev.similarity_logits_np(img, pt, tol, sig, native=False)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    ew = float(r.uniform(1.0, 20.0))
+    a = hostdev.smart_logits_np(img, pt, tol, ew, native=True)
+    b = hostdev.smart_logits_np(img, pt, tol, ew, native=False)
+    np.testing.assert_allclose(a, b, atol=2e-4)
 
 
 def test_develop_np_default_params_near_identity_encode():
