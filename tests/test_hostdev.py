@@ -355,6 +355,31 @@ def test_render_u8_native_geometry_sliders():
     assert d.max() <= 1
 
 
+@pytest.mark.skipif(_NATIVE_MISSING, reason="native library unavailable")
+def test_native_degenerate_shapes():
+    """1-pixel-thin planes through every native era routine: the chunk
+    and sweep loops must handle h==1 / w==1 without reading out of
+    bounds (numpy equivalence is the oracle as usual)."""
+    r = np.random.default_rng(8200)
+    p = EditParameters()
+    p.set_tone(exposure=0.4, contrast=15)
+    p.set_vignette(25)
+    p.set_curve(HUE, [0, 65535], [5000, 60000])
+    for shape in [(3, 1, 37), (3, 37, 1), (3, 1, 1), (3, 2, 300)]:
+        img = r.random(shape, dtype=np.float32)
+        got = hostdev.render_u8_hwc(img, p, native=True)
+        want = hostdev.render_u8_hwc(img, p, native=False)
+        d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert d.max() <= 1, f"shape {shape}: max {d.max()}"
+        pt = (0, 0)
+        a = hostdev.smart_logits_np(img, pt, 0.3, 8.0, native=True)
+        b = hostdev.smart_logits_np(img, pt, 0.3, 8.0, native=False)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+        a = hostdev.similarity_logits_np(img, pt, 0.2, 3.0, native=True)
+        b = hostdev.similarity_logits_np(img, pt, 0.2, 3.0, native=False)
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_render_u8_native_false_forces_numpy():
     """native=False must not touch the native library (the numpy mirror
     stays the testable semantics oracle)."""
