@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     _watchdog(7200)
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None,
-                    help="comma-separated config ids (6,1,1a,1b,2,3,4,7,5); "
+                    help="comma-separated config ids (6,1,1a,1b,1c,2,3,4,7,5); "
                          "results merge into the existing JSON")
     cli = ap.parse_args(argv)
     only = set(cli.only.split(",")) if cli.only else None
@@ -252,13 +252,41 @@ def main(argv=None) -> int:
         # default hue/sat/light curves only perturb sub-u8-quantization).
         dev_fast = functools.partial(fused.develop_post_geo_fused,
                                      main_mask_all_ones=True,
-                                     default_curves=True,
+                                     default_bright_curves=True,
+                                     default_oklch_curves=True,
                                      identity_oklch=True)
         dt = device_time(dev_fast, planes, params_s, None, chain=chain_first)
         results["c1_24mp_sliders_only_ms"] = dt * 1e3
         results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1a: 24MP slider-only edit (identity_oklch variant) "
             f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
+
+    if want("1c"):
+        # Tone-curve drag: brightness curve touched, hue/sat/light
+        # untouched — the editor's per-family shortcut flags keep this
+        # state on the identity_oklch variant (only the brightness PCHIP
+        # sweeps run; the OKLCH round trip stays skipped). Before the
+        # flag split this state paid the full general kernel.
+        planes, _ = planes_masks()
+        p_tc = EditParameters()
+        p_tc.set_tone(exposure=0.7, contrast=25, shadow=30,
+                      highlight=-20, black=5, white=-5)
+        p_tc.set_whitebalance(temperature=25, tint=-10)
+        p_tc.set_vignette(40)
+        p_tc.set_curve(BRIGHTNESS, [0, 16000, 40000, 65535],
+                       [1000, 20000, 46000, 65535])
+        params_tc = jax.device_put(pack_params([p_tc]))
+        dev_tc = functools.partial(fused.develop_post_geo_fused,
+                                   main_mask_all_ones=True,
+                                   default_bright_curves=False,
+                                   default_oklch_curves=True,
+                                   identity_oklch=True)
+        dt = device_time(dev_tc, planes, params_tc, None, chain=chain_first)
+        results["c1_24mp_tone_curve_ms"] = dt * 1e3
+        results["c1_24mp_tone_curve_mpix_s"] = h * w / 1e6 / dt
+        log(f"config 1c: 24MP tone-curve drag (identity_oklch + "
+            f"brightness sweeps) {dt * 1e3:.2f} ms "
+            f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
     if want("1b"):
         # The same edit with M=4 masks (the reference's typical

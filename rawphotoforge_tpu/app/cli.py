@@ -284,10 +284,13 @@ def _batch_raw_fast_path(paths, args) -> int:
 
     edit = _params_from_args(args)
     sharpen = jnp.float32(edit.sharpness / 100.0 * 2.0)
-    # No curve flags -> the staircase + identity_oklch kernel variants
-    # (the latter skips the OKLCH round trip; <= ~2e-3 deviation vs the
-    # general kernel, sub-u8-quantization — kernels/fused.py docstring).
-    dc = all(edit.curves[s].is_default(s) for s in range(4))
+    # Untouched curve families -> the staircase + identity_oklch kernel
+    # variants (the latter skips the OKLCH round trip; <= ~2e-3 deviation
+    # vs the general kernel, sub-u8-quantization — kernels/fused.py
+    # docstring). The flags are per family: a --curve-brightness flag
+    # alone still skips the OKLCH trip.
+    db = edit.curves[0].is_default(0)
+    doc = all(edit.curves[s].is_default(s) for s in (1, 2, 3))
 
     def edit_planes(planes, extent):
         """Sharpen + the fused edit kernel on already-linear planes."""
@@ -302,7 +305,8 @@ def _batch_raw_fast_path(paths, args) -> int:
         # [1, H, W] device allocation (~180 MB at 45MP).
         return fused.develop_post_geo_fused(
             planes, packed, None, main_mask_all_ones=True,
-            default_curves=dc, identity_oklch=dc,
+            default_bright_curves=db, default_oklch_curves=doc,
+            identity_oklch=doc,
         )
 
     t0 = time.perf_counter()
@@ -366,8 +370,9 @@ def _batch_raw_fast_path(paths, args) -> int:
                 packed = pack_params([edit], extent=(h, w), build_luts=False)
                 srgb = raw_develop_fused(
                     mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
-                    packed, sharpen, pattern=raw.pattern, default_curves=dc,
-                    identity_oklch=dc,
+                    packed, sharpen, pattern=raw.pattern,
+                    default_bright_curves=db, default_oklch_curves=doc,
+                    identity_oklch=doc,
                 )
             else:
                 # Non-CFA data (demosaiced LinearRaw), a WarpRectilinear

@@ -26,7 +26,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.params import EditParameters, pack_params
+from ..core.params import (
+    BRIGHTNESS, HUE, LIGHTNESS, SATURATION, EditParameters, pack_params,
+)
 from ..ops import develop as dev
 from ..ops.geometry import (resize_bilinear, resize_bilinear_extents,
                             resize_long_edge_shape)
@@ -756,15 +758,22 @@ class PhotoEditor:
             else:
                 from ..kernels import fused
 
-                # Slider-only edits (no curve touched on any mask) take
-                # the staircase-shortcut kernel variant, and additionally
-                # skip the OKLCH round trip the default hue/sat/light
-                # curves barely perturb (identity_oklch: <= ~2e-3
-                # deviation, sub-u8-quantization after encode; ~1.3x
-                # faster — the common interactive frame).
-                dc = all(
+                # Untouched curves take the staircase-shortcut kernel
+                # variants, per curve family: default brightness curves
+                # skip the three packed-PCHIP sweeps, default hue/sat/
+                # light curves additionally skip the whole OKLCH round
+                # trip they barely perturb (identity_oklch: <= ~2e-3
+                # deviation, sub-u8-quantization after encode). The flags
+                # are independent, so dragging the tone curve — the most
+                # common curve edit — still skips the OKLCH trip.
+                db = all(
+                    m.params.curves[BRIGHTNESS].is_default(BRIGHTNESS)
+                    for m in self.masks
+                )
+                doc = all(
                     m.params.curves[slot].is_default(slot)
-                    for m in self.masks for slot in range(4)
+                    for m in self.masks
+                    for slot in (HUE, SATURATION, LIGHTNESS)
                 )
                 out = fused.develop_post_geo_fused(
                     geo, params,
@@ -773,8 +782,9 @@ class PhotoEditor:
                     # all-ones main mask.
                     None if len(self.masks) == 1 else self._masks_at(level),
                     main_mask_all_ones=True,
-                    default_curves=dc,
-                    identity_oklch=dc,
+                    default_bright_curves=db,
+                    default_oklch_curves=doc,
+                    identity_oklch=doc,
                 )
             h, w = self._extents[level]
             out = out[:, :h, :w]

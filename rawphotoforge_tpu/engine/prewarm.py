@@ -65,6 +65,7 @@ XTRANS_SENSOR_SHAPES = ((4160, 6240), (5152, 7728))
 _warmed: set[tuple[int, int]] = set()
 _warmed_lock = threading.Lock()
 _warmed_full: set[tuple] = set()
+_warmed_curves: set[tuple[int, int]] = set()
 
 
 def preview_shapes(
@@ -124,14 +125,14 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         params = pack_params([EditParameters()], extent=(h, w),
                              build_luts=False)
         # EXACTLY the static-arg combination the editor dispatches on a
-        # fresh open (engine/editor.apply: default_curves=dc,
-        # identity_oklch=dc with dc=True) — any other (default_curves,
-        # identity_oklch) pair is a different XLA program and the warm
-        # would never be hit.
+        # fresh open (engine/editor.apply: default_bright_curves=db,
+        # default_oklch_curves=doc, identity_oklch=doc with db=doc=True)
+        # — any other flag combination is a different XLA program and the
+        # warm would never be hit.
         out = fused.develop_post_geo_fused(
             planes, params, None,
-            main_mask_all_ones=True, default_curves=True,
-            identity_oklch=True,
+            main_mask_all_ones=True, default_bright_curves=True,
+            default_oklch_curves=True, identity_oklch=True,
         )
         true_out = out[:, :h, :w]
         hist = histogram_rgbl(true_out)
@@ -154,6 +155,67 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
         # Best-effort by contract: cold compiles on demand still work.
         with _warmed_lock:
             _warmed.discard((h, w))
+        return False
+
+
+def warm_curve_programs(true_shape: tuple[int, int]) -> bool:
+    """Compile the first-curve-drag develop programs for one true shape.
+
+    The editor keys the fused kernel on per-family default flags
+    (engine/editor.apply): touching the brightness (tone) curve
+    dispatches (default_bright_curves=False, default_oklch_curves=True,
+    identity_oklch=True); touching a hue/sat/light curve dispatches the
+    general kernel. The packed segment count is static too — a modified
+    two-point curve packs s=2 and adding a third control point bumps it
+    to s=4 (pack_params pads to the next power of two) — so the likely
+    first-drag programs are (brightness, s=2), (brightness, s=4) and
+    (hue/sat/light, s=4). Compiling them in the post-open warm hides the
+    remote compile the user's first curve drag would otherwise pay.
+    (A hue-family endpoint drag at s=2 is left cold: rarer than the
+    add-a-point gesture, and every warm here serializes ahead of ones
+    later opens need.)
+    """
+    import jax.numpy as jnp
+
+    from ..core.params import BRIGHTNESS, HUE, EditParameters, pack_params
+    from ..kernels import fused
+    from .editor import _pad_to_bucket
+
+    h, w = int(true_shape[0]), int(true_shape[1])
+    with _warmed_lock:
+        if (h, w) in _warmed_curves:
+            return True
+        _warmed_curves.add((h, w))
+    try:
+        planes = _pad_to_bucket(jnp.zeros((3, h, w), jnp.float32))
+        out = None
+        for slot, pts in ((BRIGHTNESS, 2), (BRIGHTNESS, 3), (HUE, 3)):
+            p = EditParameters()
+            if pts == 2:
+                p.set_curve(slot, [0, 65535], [0, 60000])
+            else:
+                p.set_curve(slot, [0, 30000, 65535], [0, 30001, 65535])
+            params = pack_params([p], extent=(h, w), build_luts=False)
+            # Pass every flag EXPLICITLY, exactly like engine/editor.apply:
+            # jax.jit keys its in-process cache on the call's argument
+            # binding, so an omitted static kwarg and an explicitly-passed
+            # equal value are DIFFERENT cache entries and the warm would
+            # be dead (caught by tests/test_prewarm.py).
+            if slot == BRIGHTNESS:
+                out = fused.develop_post_geo_fused(
+                    planes, params, None, main_mask_all_ones=True,
+                    default_bright_curves=False,
+                    default_oklch_curves=True, identity_oklch=True)
+            else:
+                out = fused.develop_post_geo_fused(
+                    planes, params, None, main_mask_all_ones=True,
+                    default_bright_curves=True,
+                    default_oklch_curves=False, identity_oklch=False)
+        float(out[0, 0, 0])  # force execution through the tunnel
+        return True
+    except Exception:
+        with _warmed_lock:
+            _warmed_curves.discard((h, w))
         return False
 
 
@@ -293,6 +355,15 @@ def warm_editor_levels(editor, levels=("mid", "low")) -> int:
         except Exception:
             continue  # best-effort, like warm_shape
         if warm_shape(shape):
+            n += 1
+    # Curve-touch variants AFTER both levels' open-state programs: the
+    # first slider drag needs those; the first curve drag comes later.
+    for level in levels:
+        try:
+            shape = editor.level_shape(level)
+        except KeyError:
+            continue
+        if warm_curve_programs(shape):
             n += 1
     return n
 

@@ -41,9 +41,16 @@ LUT_MAX = 65535.0
 # Default tile: 16 sublanes x 512 lanes, f32. Counterintuitively small:
 # the kernel holds ~15 live full-tile temporaries (tone chain, OKLCH
 # round trip, curve accumulators), and at 256x512 those spill VMEM —
-# measured 7.7 ms for a 24MP frame at 256x512 vs 4.9 ms at 16x512.
+# measured 7.7 ms for a 24MP frame at 256x512 vs 4.9 ms at 16x512; a
+# full-path sweep (tools/kernel_sweep.py) confirmed 16x512 still wins
+# at 4.79 ms vs 4.90-5.87 ms for every other shape tried.
 TILE_H = 16
 TILE_W = 512
+# The identity_oklch variant drops most of those temporaries (no OKLCH
+# round trip), so wider tiles stop spilling and start amortizing grid
+# overhead: 2.49 ms/24MP at 16x1024 vs 3.03 ms at 16x512 (same-session
+# sweep). Callers that don't pick a tile get this shape on that variant.
+IDENTITY_TILE_W = 1024
 
 
 def _interpret() -> bool:
@@ -129,7 +136,7 @@ def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
 
 def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                knots_ref, dknots_ref, dcoeffs_ref, num_masks, num_seg,
-               default_curves, identity_oklch):
+               default_bright_curves, default_oklch_curves, identity_oklch):
     """The per-mask edit stack: (WB -> tone -> brightness curve) per mask,
     the per-mask OKLCH hue/sat/light pass, then the sRGB encode
     (wgpu_shader.wgsl:279-336). ONE home for the contract shared by the
@@ -144,7 +151,7 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
         rk, gk, bk = pointwise.white_balance(r, g, b, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
-        if default_curves:
+        if default_bright_curves:
             # Identity-LUT staircase without evaluating the (identity)
             # curve: floor(v*65535)/65535 — bit-identical, far fewer ops.
             rc = jnp.clip(jnp.floor(rk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
@@ -178,6 +185,8 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
     # sincos, 3 cubes) deviates <= ~2e-3 in sRGB out (mostly the ktrig
     # round-trip error the anchor keeps; documented 3e-3 bound, gated
     # in tests/test_pallas.py) and nearly halves the slider-only frame.
+    # The skip only needs the OKLCH curves default — the brightness curve
+    # runs BEFORE this pass, so a custom tone curve composes with it.
     if identity_oklch:
         return (jnp.clip(color.linear_to_srgb(r), 0.0, 1.0),
                 jnp.clip(color.linear_to_srgb(g), 0.0, 1.0),
@@ -186,7 +195,7 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                                          atan2_turns=ktrig.atan2_turns)
     for k in range(num_masks):
         sel = sel_for(k)
-        if default_curves:
+        if default_oklch_curves:
             # Identity hue staircase + constant 32767/32767.5 gains —
             # exactly what the default curves evaluate to.
             new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
@@ -231,7 +240,8 @@ def _develop_kernel(
     tile_h: int,
     tile_w: int,
     main_only: bool,
-    default_curves: bool,
+    default_bright_curves: bool,
+    default_oklch_curves: bool,
     identity_oklch: bool,
 ):
     if main_only:
@@ -266,7 +276,8 @@ def _develop_kernel(
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                          knots_ref, dknots_ref, dcoeffs_ref,
-                         num_masks, num_seg, default_curves, identity_oklch)
+                         num_masks, num_seg, default_bright_curves,
+                         default_oklch_curves, identity_oklch)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b
@@ -275,16 +286,18 @@ def _develop_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "main_mask_all_ones",
-                     "default_curves", "identity_oklch"),
+                     "default_bright_curves", "default_oklch_curves",
+                     "identity_oklch"),
 )
 def develop_post_geo_fused(
     planes: jax.Array,
     params: DevelopParams,
     masks: jax.Array | None,
-    tile_h: int = TILE_H,
-    tile_w: int = TILE_W,
+    tile_h: int | None = None,
+    tile_w: int | None = None,
     main_mask_all_ones: bool = False,
-    default_curves: bool = False,
+    default_bright_curves: bool = False,
+    default_oklch_curves: bool = False,
     identity_oklch: bool = False,
     row_offset: jax.Array | None = None,
 ) -> jax.Array:
@@ -306,20 +319,25 @@ def develop_post_geo_fused(
     ``jax.lax.axis_index(...) * local_rows`` when running per-shard under
     shard_map so the vignette's global coordinates stay correct.
 
-    ``default_curves``: caller-asserted invariant that EVERY mask's four
-    curves are the defaults (identity brightness/hue, constant-32767
-    sat/light) — the curve evaluations then reduce to the bare floor
-    staircase and a constant gain, bit-identical to evaluating the default
-    curves but skipping ~6 packed-PCHIP sweeps per pixel. This is the
-    common slider-only editing state.
+    ``default_bright_curves`` / ``default_oklch_curves``: caller-asserted
+    invariants that every mask's brightness curve, respectively every
+    mask's hue/sat/light curves, are the defaults (identity brightness/
+    hue, constant-32767 sat/light) — the corresponding curve evaluations
+    then reduce to the bare floor staircase / a constant gain,
+    bit-identical to evaluating the default curves but skipping the
+    packed-PCHIP sweeps. The flags are independent so the common "user is
+    dragging the tone curve" state still skips the three OKLCH sweeps
+    (and vice versa for hue/sat/light edits).
 
-    ``identity_oklch`` (requires ``default_curves``): additionally skip
-    the OKLCH round trip the default hue/sat/light curves barely perturb
-    (H quantized to 1/65536, C and L scaled by 1 - 1.5e-5) — NOT
+    ``identity_oklch`` (requires ``default_oklch_curves``): additionally
+    skip the OKLCH round trip the default hue/sat/light curves barely
+    perturb (H quantized to 1/65536, C and L scaled by 1 - 1.5e-5) — NOT
     bit-identical, deviates <= ~2e-3 in sRGB output (mostly the ktrig
     round-trip error the anchor keeps; documented 3e-3 bound, gated in
-    tests/test_pallas.py), and nearly halves the slider-only frame
-    time.
+    tests/test_pallas.py), and nearly halves the slider-only frame time.
+    A custom brightness curve composes fine with it (the brightness pass
+    runs before the OKLCH stage), so tone-curve drags stay on this fast
+    path.
     """
     _, h, w = planes.shape
     if masks is None:
@@ -339,14 +357,19 @@ def develop_post_geo_fused(
             raise ValueError(
                 f"masks rows ({m}) != packed mask count "
                 f"({params.gains.shape[0]})")
-    if identity_oklch and not default_curves:
+    if identity_oklch and not default_oklch_curves:
         # Skipping the OKLCH pass is only near-exact when the hue/sat/
         # light curves are the defaults; with real curves it would drop
         # the user's edit entirely.
-        raise ValueError("identity_oklch requires default_curves=True")
+        raise ValueError("identity_oklch requires default_oklch_curves=True")
     s = params.breaks.shape[-1]
     main_only = main_mask_all_ones and m == 1
 
+    # Variant-keyed default tile (see TILE_H/IDENTITY_TILE_W comments).
+    if tile_h is None:
+        tile_h = TILE_H
+    if tile_w is None:
+        tile_w = IDENTITY_TILE_W if identity_oklch else TILE_W
     tile_h = min(tile_h, max(8, h))
     tile_w = min(tile_w, max(128, w))
 
@@ -366,7 +389,8 @@ def develop_post_geo_fused(
         tile_h=tile_h,
         tile_w=tile_w,
         main_only=main_only,
-        default_curves=default_curves,
+        default_bright_curves=default_bright_curves,
+        default_oklch_curves=default_oklch_curves,
         identity_oklch=identity_oklch,
     )
 

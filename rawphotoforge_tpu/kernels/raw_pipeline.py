@@ -238,7 +238,8 @@ def _raw_kernel(
     pattern: str,
     num_masks: int,
     num_seg: int,
-    default_curves: bool,
+    default_bright_curves: bool,
+    default_oklch_curves: bool,
     identity_oklch: bool,
     full_h: int,
     full_w: int,
@@ -337,15 +338,17 @@ def _raw_kernel(
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                          knots_ref, dknots_ref, dcoeffs_ref,
-                         num_masks, num_seg, default_curves, identity_oklch)
+                         num_masks, num_seg, default_bright_curves,
+                         default_oklch_curves, identity_oklch)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pattern", "tile_h", "tile_w", "default_curves",
-                              "identity_oklch")
+    jax.jit, static_argnames=("pattern", "tile_h", "tile_w",
+                              "default_bright_curves",
+                              "default_oklch_curves", "identity_oklch")
 )
 def raw_develop_fused(
     mosaic01: jax.Array,
@@ -357,7 +360,8 @@ def raw_develop_fused(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     masks: jax.Array | None = None,
-    default_curves: bool = False,
+    default_bright_curves: bool = False,
+    default_oklch_curves: bool = False,
     identity_oklch: bool = False,
 ) -> jax.Array:
     """Whole-RAW-pipeline fused kernel.
@@ -372,8 +376,8 @@ def raw_develop_fused(
     h, w = mosaic01.shape
     m = params.gains.shape[0]
     s = params.breaks.shape[-1]
-    if identity_oklch and not default_curves:
-        raise ValueError("identity_oklch requires default_curves=True")
+    if identity_oklch and not default_oklch_curves:
+        raise ValueError("identity_oklch requires default_oklch_curves=True")
     xtrans = pattern == "XTRANS"
     if xtrans and (tile_h, tile_w) == (TILE_H, TILE_W):
         # The Bayer defaults violate the 6-periodicity constraints below;
@@ -433,7 +437,8 @@ def raw_develop_fused(
         pattern=pattern,
         num_masks=m,
         num_seg=s,
-        default_curves=default_curves,
+        default_bright_curves=default_bright_curves,
+        default_oklch_curves=default_oklch_curves,
         identity_oklch=identity_oklch,
         # True dims, not the tile-rounded working dims: positional effects
         # (vignette) must normalize by the real image extent.

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from rawphotoforge_tpu.core.params import BRIGHTNESS, SATURATION
+from rawphotoforge_tpu.core.params import BRIGHTNESS, HUE, SATURATION
 from rawphotoforge_tpu.engine.editor import PhotoEditor, MaskNotFound, FULL, MID, LOW
 from rawphotoforge_tpu.io import image_io
 
@@ -199,10 +199,21 @@ def test_pallas_editor_matches_jnp_editor(rng):
     b = np.asarray(ed_b.apply(FULL))
     assert np.abs(a - b).max() < 2e-3
     assert (np.abs(a - b) > 1e-3).mean() < 5e-3
-    # With any curve set, both paths evaluate the full OKLCH stack: the
-    # original strict gates apply (sparse curve-eval tolerance only).
+    # A touched BRIGHTNESS curve stays on the identity_oklch variant
+    # (per-family shortcut flags: the OKLCH curves are still default),
+    # so the haze profile persists — gate max + the loose rate, like the
+    # slider-only state above (CLAUDE.md kernel-flag notes).
     for ed in (ed_a, ed_b):
         ed.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 24000, 65535])
+    a = np.asarray(ed_a.apply(FULL))
+    b = np.asarray(ed_b.apply(FULL))
+    assert np.abs(a - b).max() < 5e-3
+    assert (np.abs(a - b) > 1e-3).mean() < 5e-3
+    # With an OKLCH-family curve set, both paths evaluate the full OKLCH
+    # stack: the original strict gates apply (sparse curve-eval
+    # tolerance only).
+    for ed in (ed_a, ed_b):
+        ed.set_curve(HUE, [0, 30000, 65535], [0, 29000, 65535])
     a = np.asarray(ed_a.apply(FULL))
     b = np.asarray(ed_b.apply(FULL))
     assert np.abs(a - b).max() < 5e-3

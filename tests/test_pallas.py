@@ -125,7 +125,7 @@ def test_ktrig_fast_powers_accuracy():
 
 
 def test_default_curves_variant_bit_identical(rng):
-    """The default_curves staircase-shortcut variant must be BIT-identical
+    """The default-curve staircase-shortcut variants must be BIT-identical
     to the general kernel path with default curves (it skips evaluation,
     not semantics)."""
     img = random_linear_image(rng, 48, 160)
@@ -139,7 +139,8 @@ def test_default_curves_variant_bit_identical(rng):
     general = np.asarray(fused.develop_post_geo_fused(
         planes, packed, masks, tile_h=16, tile_w=128))
     fast = np.asarray(fused.develop_post_geo_fused(
-        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True))
+        planes, packed, masks, tile_h=16, tile_w=128,
+        default_bright_curves=True, default_oklch_curves=True))
     np.testing.assert_array_equal(general, fast)
     # Multi-mask too (regional mask with default curves but tone edits).
     reg = EditParameters()
@@ -151,7 +152,29 @@ def test_default_curves_variant_bit_identical(rng):
         planes, packed2, jnp.asarray(m2), tile_h=16, tile_w=128))
     fast = np.asarray(fused.develop_post_geo_fused(
         planes, packed2, jnp.asarray(m2), tile_h=16, tile_w=128,
-        default_curves=True))
+        default_bright_curves=True, default_oklch_curves=True))
+    np.testing.assert_array_equal(general, fast)
+    # The flags are independent: a custom brightness curve with default
+    # hue/sat/light must be able to skip just the OKLCH sweeps (and vice
+    # versa) with BIT-identical output.
+    pb = EditParameters()
+    pb.set_tone(exposure=0.4)
+    pb.set_curve(BRIGHTNESS, [0, 20000, 65535], [3000, 26000, 65535])
+    packedb = pack_params([pb])
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, packedb, masks, tile_h=16, tile_w=128))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packedb, masks, tile_h=16, tile_w=128,
+        default_oklch_curves=True))
+    np.testing.assert_array_equal(general, fast)
+    ph = EditParameters()
+    ph.set_curve(HUE, [0, 30000, 65535], [5000, 32000, 64000])
+    packedh = pack_params([ph])
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, packedh, masks, tile_h=16, tile_w=128))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packedh, masks, tile_h=16, tile_w=128,
+        default_bright_curves=True))
     np.testing.assert_array_equal(general, fast)
 
 
@@ -187,21 +210,41 @@ def test_identity_oklch_variant_near_exact(rng):
     p.set_vignette(40)
     packed = pack_params([p])
     full = np.asarray(fused.develop_post_geo_fused(
-        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True))
+        planes, packed, masks, tile_h=16, tile_w=128,
+        default_bright_curves=True, default_oklch_curves=True))
     fast = np.asarray(fused.develop_post_geo_fused(
-        planes, packed, masks, tile_h=16, tile_w=128, default_curves=True,
+        planes, packed, masks, tile_h=16, tile_w=128,
+        default_bright_curves=True, default_oklch_curves=True,
         identity_oklch=True))
+    assert np.abs(full - fast).max() < 3e-3
+    # identity_oklch composes with a CUSTOM brightness curve (the curve
+    # runs before the OKLCH stage): same bound vs the general kernel.
+    pb = EditParameters()
+    pb.set_tone(exposure=0.8, contrast=20, shadow=15)
+    pb.set_whitebalance(temperature=30)
+    pb.set_curve(BRIGHTNESS, [0, 20000, 65535], [3000, 26000, 65535])
+    packedb = pack_params([pb])
+    full = np.asarray(fused.develop_post_geo_fused(
+        planes, packedb, masks, tile_h=16, tile_w=128))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, packedb, masks, tile_h=16, tile_w=128,
+        default_oklch_curves=True, identity_oklch=True))
     assert np.abs(full - fast).max() < 3e-3
 
 
-def test_identity_oklch_requires_default_curves(rng):
+def test_identity_oklch_requires_default_oklch_curves(rng):
     img = random_linear_image(rng, 32, 128)
     planes = jnp.asarray(img.transpose(2, 0, 1))
     packed = pack_params([EditParameters()])
-    with pytest.raises(ValueError, match="default_curves"):
+    with pytest.raises(ValueError, match="default_oklch_curves"):
         fused.develop_post_geo_fused(
             planes, packed, None, main_mask_all_ones=True,
             identity_oklch=True)
+    # default_bright_curves alone does NOT license the OKLCH skip.
+    with pytest.raises(ValueError, match="default_oklch_curves"):
+        fused.develop_post_geo_fused(
+            planes, packed, None, main_mask_all_ones=True,
+            default_bright_curves=True, identity_oklch=True)
 
 
 def test_raw_kernel_identity_oklch_near_exact(rng):
@@ -217,12 +260,13 @@ def test_raw_kernel_identity_oklch_near_exact(rng):
     packed = pack_params([p], extent=(64, 256))
     full = np.asarray(rp.raw_develop_fused(
         mosaic, wb, cam, packed, jnp.float32(0.5), tile_h=16, tile_w=128,
-        default_curves=True))
+        default_bright_curves=True, default_oklch_curves=True))
     fast = np.asarray(rp.raw_develop_fused(
         mosaic, wb, cam, packed, jnp.float32(0.5), tile_h=16, tile_w=128,
-        default_curves=True, identity_oklch=True))
+        default_bright_curves=True, default_oklch_curves=True,
+        identity_oklch=True))
     assert np.abs(full - fast).max() < 3e-3
-    with pytest.raises(ValueError, match="default_curves"):
+    with pytest.raises(ValueError, match="default_oklch_curves"):
         rp.raw_develop_fused(mosaic, wb, cam, packed, jnp.float32(0.5),
                              identity_oklch=True)
 

@@ -62,13 +62,15 @@ class TestWarmShape:
         ed = PhotoEditor(_img(), mid_long_edge=64, low_long_edge=32)
         for level in (MID, LOW):
             prewarm._warmed.discard(ed.level_shape(level))
+            prewarm._warmed_curves.discard(ed.level_shape(level))
         done = threading.Event()
         counts = []
         t = prewarm.warm_async(editor=ed, on_done=lambda n: (
             counts.append(n), done.set()))
         assert done.wait(timeout=120)
         t.join(timeout=10)
-        assert counts == [2]
+        # 2 level-shape open-state warms + 2 curve-variant warms.
+        assert counts == [4]
         for level in (MID, LOW):
             assert ed.level_shape(level) in prewarm._warmed
 
@@ -137,8 +139,9 @@ class TestServerPrewarmFlag:
 class TestWarmVariantMatchesEditor:
     def test_warm_compiles_the_editors_cold_open_program(self):
         """warm_shape must compile the exact static-arg combination the
-        editor dispatches on a fresh open (default_curves=True,
-        identity_oklch=True) — any other pair is a different XLA program
+        editor dispatches on a fresh open (default_bright_curves=True,
+        default_oklch_curves=True, identity_oklch=True) — any other
+        combination is a different XLA program
         and the warm would be dead weight (regression: the identity_oklch
         flag was added without updating the warm)."""
         from rawphotoforge_tpu.kernels import fused
@@ -154,6 +157,37 @@ class TestWarmVariantMatchesEditor:
         assert after == before, (
             "editor cold-open render compiled a new program despite the "
             "prewarm")
+
+    def test_warm_curve_programs_cover_first_curve_drags(self):
+        """warm_curve_programs must compile the exact programs the editor
+        dispatches on the first curve drags: a touched brightness curve
+        (default_oklch_curves=True + identity_oklch at s=2 and s=4) and a
+        touched hue-family curve (general kernel at s=4). If the editor's
+        flag derivation or pack_params' segment bucketing drifts, this
+        catches the dead warm."""
+        from rawphotoforge_tpu.core.params import BRIGHTNESS, HUE
+        from rawphotoforge_tpu.kernels import fused
+
+        shape = (44, 60)
+        prewarm._warmed_curves.discard(shape)
+        assert prewarm.warm_curve_programs(shape)
+        before = fused.develop_post_geo_fused._cache_size()
+        # Three-point brightness curve (s=4, identity_oklch variant).
+        ed = PhotoEditor(_img(*shape), mid_long_edge=64, low_long_edge=32)
+        ed.set_curve(BRIGHTNESS, [0, 30000, 65535], [0, 20000, 65535])
+        ed.apply(MID)
+        # Endpoint-dragged two-point brightness curve (s=2).
+        ed2 = PhotoEditor(_img(*shape), mid_long_edge=64, low_long_edge=32)
+        ed2.set_curve(BRIGHTNESS, [0, 65535], [0, 50000])
+        ed2.apply(MID)
+        # Three-point hue curve (general kernel, s=4).
+        ed3 = PhotoEditor(_img(*shape), mid_long_edge=64, low_long_edge=32)
+        ed3.set_curve(HUE, [0, 30000, 65535], [0, 29000, 65535])
+        ed3.apply(MID)
+        after = fused.develop_post_geo_fused._cache_size()
+        assert after == before, (
+            "a first-curve-drag render compiled a new program despite "
+            "warm_curve_programs")
 
 
 class TestWarmFullShape:
@@ -197,5 +231,8 @@ class TestWarmEditorLevels:
         assert MID not in ed._originals and LOW not in ed._originals
         prewarm._warmed.discard(ed.level_shape(MID))
         prewarm._warmed.discard(ed.level_shape(LOW))
-        assert prewarm.warm_editor_levels(ed) == 2
+        prewarm._warmed_curves.discard(ed.level_shape(MID))
+        prewarm._warmed_curves.discard(ed.level_shape(LOW))
+        # 2 open-state warms + 2 curve-variant warms.
+        assert prewarm.warm_editor_levels(ed) == 4
         assert MID in ed._originals and LOW in ed._originals

@@ -133,7 +133,8 @@ def test_raw_kernel_default_curves_variant_bit_identical(rng):
                                         jnp.float32(0.5)))
     b = np.asarray(rp.raw_develop_fused(mosaic, wb, cam, packed,
                                         jnp.float32(0.5),
-                                        default_curves=True))
+                                        default_bright_curves=True,
+                                        default_oklch_curves=True))
     np.testing.assert_array_equal(a, b)
 
 

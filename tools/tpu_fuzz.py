@@ -184,9 +184,11 @@ for seed in range(max(2, args.raw_seeds // 2)):
         p.curves[slot].raw_lut = None
     params = jax.device_put(pack_params([p]))
     full = np.asarray(fused.develop_post_geo_fused(
-        planes, params, None, main_mask_all_ones=True, default_curves=True))
+        planes, params, None, main_mask_all_ones=True,
+        default_bright_curves=True, default_oklch_curves=True))
     fast = np.asarray(fused.develop_post_geo_fused(
-        planes, params, None, main_mask_all_ones=True, default_curves=True,
+        planes, params, None, main_mask_all_ones=True,
+        default_bright_curves=True, default_oklch_curves=True,
         identity_oklch=True))
     mx = float(np.abs(full - fast).max())
     ok = mx < 3e-3
