@@ -289,8 +289,9 @@ def _batch_raw_fast_path(paths, args) -> int:
     # vs the general kernel, sub-u8-quantization — kernels/fused.py
     # docstring). The flags are per family: a --curve-brightness flag
     # alone still skips the OKLCH trip.
-    db = edit.curves[0].is_default(0)
-    doc = all(edit.curves[s].is_default(s) for s in (1, 2, 3))
+    db = edit.curves[BRIGHTNESS].is_default(BRIGHTNESS)
+    doc = all(edit.curves[s].is_default(s)
+              for s in (HUE, SATURATION, LIGHTNESS))
 
     def edit_planes(planes, extent):
         """Sharpen + the fused edit kernel on already-linear planes."""

@@ -49,7 +49,9 @@ TILE_W = 512
 # The identity_oklch variant drops most of those temporaries (no OKLCH
 # round trip), so wider tiles stop spilling and start amortizing grid
 # overhead: 2.49 ms/24MP at 16x1024 vs 3.03 ms at 16x512 (same-session
-# sweep). Callers that don't pick a tile get this shape on that variant.
+# sweep); with an M=4 mask stack streaming alongside it still wins
+# (3.95 vs 4.08 ms), so the wider default is safe for masked sessions
+# too. Callers that don't pick a tile get this shape on that variant.
 IDENTITY_TILE_W = 1024
 
 

@@ -1,16 +1,22 @@
 """One-off fused-kernel tuning sweep on the real TPU (not part of CI).
 
 Measures the production develop kernel at 24MP across tile shapes and
-fast-path variants with the chained-dispatch methodology (CLAUDE.md:
-never wall-clock one dispatch through the tunnel). Prints one line per
-configuration; used to (re)pick TILE_H/TILE_W and to attribute the
-full-stack frame time between curve evaluation and the OKLCH round trip.
+fast-path variants via utils/profiling.device_time (chained-dispatch
+difference quotient — CLAUDE.md: never wall-clock one dispatch through
+the tunnel). Prints one line per configuration; used to (re)pick
+TILE_H/TILE_W/IDENTITY_TILE_W and to attribute the full-stack frame time
+between curve evaluation and the OKLCH round trip.
+
+Result snapshot (2026-08, one v5e chip, 24MP): full path is fastest at
+16x512 (4.79 ms; every other shape 4.90-5.87); identity_oklch is fastest
+at 16x1024 (2.49 ms vs 3.03 at 16x512, still ahead at M=4: 3.95 vs
+4.08); curve evals cost ~1.1 ms of the full frame and the OKLCH round
+trip ~0.7 ms (full 4.79 / staircase-only 3.71 / +skip-OKLCH 3.03).
 """
 
 import functools
 import signal
 import sys
-import time
 
 
 def _watchdog(seconds: int) -> None:
@@ -28,12 +34,12 @@ def main() -> int:
     _watchdog(2400)
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from rawphotoforge_tpu.core.params import (
         BRIGHTNESS, HUE, SATURATION, LIGHTNESS, EditParameters, pack_params,
     )
     from rawphotoforge_tpu.kernels import fused
+    from rawphotoforge_tpu.utils.profiling import device_time
 
     print(f"backend={jax.default_backend()}", file=sys.stderr)
 
@@ -59,37 +65,19 @@ def main() -> int:
     h, w = 4000, 6000
     planes = jax.random.uniform(jax.random.PRNGKey(0), (3, h, w),
                                 dtype=jnp.float32)
+    chain_first = lambda i, out, a: (out,) + a[1:]  # noqa: E731
 
     def run(name, prm, th, tw, dc, io):
-        @functools.partial(jax.jit, static_argnames=("iters",))
-        def chained(x, prm, iters):
-            def body(_, x):
-                return fused.develop_post_geo_fused(
-                    x, prm, None, tile_h=th, tile_w=tw,
-                    main_mask_all_ones=True,
-                    default_bright_curves=dc, default_oklch_curves=dc,
-                    identity_oklch=io)
-            return jax.lax.fori_loop(0, iters, body, x)
-
-        def timed(fn):
-            t0 = time.perf_counter()
-            out = fn()
-            np.asarray(out[0, 0, 0:2])
-            return time.perf_counter() - t0
-
-        k = 41
+        fn = functools.partial(
+            fused.develop_post_geo_fused, tile_h=th, tile_w=tw,
+            main_mask_all_ones=True, default_bright_curves=dc,
+            default_oklch_curves=dc, identity_oklch=io)
         try:
-            timed(lambda: chained(planes, prm, 1))
-            timed(lambda: chained(planes, prm, k))
-            t1 = min(timed(lambda: chained(planes, prm, 1)) for _ in range(3))
-            tk = min(timed(lambda: chained(planes, prm, k)) for _ in range(3))
-            dt = (tk - t1) / (k - 1) * 1e3
-            print(f"{name:44s} {dt:7.3f} ms  {24.0/dt*1000:6.0f} MPix/s",
-                  flush=True)
-            return dt
+            dt = device_time(fn, planes, prm, None, chain=chain_first)
+            print(f"{name:44s} {dt * 1e3:7.3f} ms  "
+                  f"{24.0 / dt / 1e3:6.0f} MPix/s", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{name:44s} FAILED: {str(e)[:120]}", flush=True)
-            return None
 
     # Attribution at the current tile: full vs staircase-only vs +skip-OKLCH.
     run("full 16x512 (prod)", params, 16, 512, False, False)
@@ -102,11 +90,12 @@ def main() -> int:
         run(f"full {th}x{tw}", params, th, tw, False, False)
 
     # Tile sweep on the slider-only path (fewer temporaries; bigger tiles
-    # may win where the full path spills).
+    # win where the full path spills — hence IDENTITY_TILE_W).
     for th, tw in [(16, 1024), (32, 512), (32, 1024), (64, 1024)]:
         run(f"identity_oklch {th}x{tw}", params_default, th, tw, True, True)
     return 0
 
 
 if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
     sys.exit(main())

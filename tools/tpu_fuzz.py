@@ -202,6 +202,40 @@ for seed in range(max(2, args.raw_seeds // 2)):
 print("TPU IDENTITY-OKLCH RESULT:",
       "PASS" if io_fails == 0 else f"{io_fails} FAILURES")
 
+# --- part 5: tone-curve mixed state (custom brightness curve riding the
+# identity_oklch variant — the per-family flag split's new fast path) vs
+# the fully-general kernel. Same 3e-3 documented bound.
+tc_fails = 0
+tc_seeds = []
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 5000)
+    planes = jnp.asarray(r.random((3, h, w)).astype(np.float32))
+    p = _random_params(r, allow_geometry=False)
+    for slot in range(1, 4):
+        p.curves[slot].control_x = None  # OKLCH family default
+        p.curves[slot].control_y = None
+        p.curves[slot].raw_lut = None
+    xs = np.sort(r.choice(65533, size=2, replace=False) + 1)  # distinct interior knots
+    p.set_curve(0, [0, int(xs[0]), int(xs[1]), 65535],
+                sorted(int(v) for v in r.integers(0, 65536, size=4)))
+    params = jax.device_put(pack_params([p]))
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, params, None, main_mask_all_ones=True))
+    fast = np.asarray(fused.develop_post_geo_fused(
+        planes, params, None, main_mask_all_ones=True,
+        default_oklch_curves=True, identity_oklch=True))
+    mx = float(np.abs(general - fast).max())
+    ok = mx < 3e-3
+    if ok:
+        print(f"tone-curve seed {seed}: ok (max={mx:.2e})", flush=True)
+    else:
+        tc_fails += 1
+        print(f"tone-curve seed {seed}: FAIL max={mx:.2e}", flush=True)
+    tc_seeds.append({"seed": seed, "ok": ok, "max": mx})
+
+print("TPU TONE-CURVE-IDENTITY RESULT:",
+      "PASS" if tc_fails == 0 else f"{tc_fails} FAILURES")
+
 if args.out:
     try:
         head = subprocess.run(
@@ -239,8 +273,13 @@ if args.out:
             "worst_max_dev": max(s["max"] for s in io_seeds),
             "per_seed": io_seeds,
         },
+        "tone_curve_identity": {
+            "seeds": len(tc_seeds), "fails": tc_fails,
+            "worst_max_dev": max(s["max"] for s in tc_seeds),
+            "per_seed": tc_seeds,
+        },
         "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
-              and io_fails == 0,
+              and io_fails == 0 and tc_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:
@@ -248,4 +287,4 @@ if args.out:
     print(f"wrote {args.out}", flush=True)
 
 sys.exit(0 if fails == 0 and raw_fails == 0 and xt_fails == 0
-         and io_fails == 0 else 1)
+         and io_fails == 0 and tc_fails == 0 else 1)
