@@ -42,7 +42,13 @@ from .fused import _interpret, edit_stack, pack_curve_deltas, smem_spec
 
 HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
 # Swept on-chip at 45MP: larger tiles win here (halo/DMA overhead
-# amortizes; 64x1024 = 14.7 ms vs 21 ms at 16x512).
+# amortizes; 64x1024 = 14.7 ms vs 21 ms at 16x512). A later interleaved
+# A/B of 64x1024 vs 64x2048 under a heavily time-shared chip was
+# INCONCLUSIVE (identical programs drifted 10-19 ms rep to rep; 24MP
+# medians mildly favored 2048, 45MP medians favored 1024), so the
+# quieter-session 64x1024 stands; 128x2048 and 256x1024 exhaust VMEM
+# (remote compile HTTP 500). Small mosaics clamp the tile to the
+# (alignment-rounded) image extent below rather than padding out to it.
 TILE_H = 64
 TILE_W = 1024
 
@@ -383,6 +389,13 @@ def raw_develop_fused(
         # The Bayer defaults violate the 6-periodicity constraints below;
         # swap in the X-Trans tile geometry unless the caller chose one.
         tile_h, tile_w = XT_TILE_H, XT_TILE_W
+    if not xtrans:
+        # Clamp to the alignment-rounded image extent so a small mosaic
+        # (fixtures, previews) doesn't pad its working area out to the
+        # large default tile: width to the next multiple of 128 (DMA lane
+        # alignment), height to the next even row (CFA phase).
+        tile_w = min(tile_w, -(-max(w, 128) // 128) * 128)
+        tile_h = min(tile_h, max(2, h + (h % 2)))
     halo = XT_HALO if xtrans else HALO
     if tile_w % 128 != 0:
         # The double-buffered HBM DMA reads tw+128-wide windows at offset
