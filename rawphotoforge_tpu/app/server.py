@@ -1239,7 +1239,7 @@ class EditorApp:
         for i, cname in enumerate(CURVE_NAMES):
             pts = st.get(f"curve_{cname}")
             if pts:
-                scratch.set_curve(i, [p[0] for p in pts], [p[1] for p in pts])
+                scratch.set_curve(i, *cls._curve_xy(cname, pts))
         if "vignette" in st:
             scratch.set_vignette(int(st["vignette"]))
         if "lens_distortion" in st:
@@ -1249,6 +1249,25 @@ class EditorApp:
         if "mask_range" in st:
             float(st["mask_range"])
         return scratch
+
+    @staticmethod
+    def _curve_xy(cname: str, pts):
+        """Validate a curve payload's SHAPE before indexing into it.
+
+        The documented format is [[x, y], ...] (docs/API.md); anything
+        else — a {"x": ..., "y": ...} dict, a flat number list, bare
+        strings — must answer with a message naming the key and the
+        expected form, not whatever IndexError the first p[1] happens to
+        hit (a dict payload used to surface as 'string index out of
+        range'). Value-level checks (monotone x, 0..65535 range) stay in
+        EditParameters.set_curve."""
+        if not isinstance(pts, (list, tuple)) or not all(
+                isinstance(p, (list, tuple)) and len(p) == 2
+                and all(isinstance(v, (int, float)) for v in p)
+                for p in pts):
+            raise ValueError(
+                f"curve_{cname} must be [[x, y], ...] control points")
+        return [p[0] for p in pts], [p[1] for p in pts]
 
     def apply_state(self, st: dict, editor: PhotoEditor | None = None):
         """Apply slider/curve state to the target mask ('_target', default
@@ -1289,8 +1308,7 @@ class EditorApp:
         for i, cname in enumerate(CURVE_NAMES):
             pts = st.get(f"curve_{cname}")
             if pts:
-                xs = [p[0] for p in pts]
-                ys = [p[1] for p in pts]
+                xs, ys = self._curve_xy(cname, pts)
                 ed.set_curve(i, xs, ys, mask_name=mask_name)
 
     # -- async export (v1's worker-thread export with progress dialog,

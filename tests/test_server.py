@@ -635,6 +635,30 @@ def test_unknown_keys_rejected_with_400(base_url):
     assert status == 200
 
 
+def test_malformed_curve_payloads_get_descriptive_400(base_url):
+    """A known curve key with the WRONG value shape ({"x":..,"y":..}
+    dicts, flat lists, strings) must answer a 400 naming the key and the
+    [[x, y], ...] format — iterating a dict used to surface as
+    'string index out of range' — and leave the state untouched."""
+    before = json.loads(_get(base_url + "/params?mask=main")[2])
+    for bad in [
+        {"x": [0, 65535], "y": [0, 65535]},   # dict form
+        [0, 65535, 0, 65535],                 # flat list
+        "0:0,65535:65535",                    # CLI string form
+        [[0, 0], [65535]],                    # ragged pair
+        [[0, 0], [65535, "hi"]],              # non-numeric
+    ]:
+        try:
+            status, resp = _post(base_url + "/edit",
+                                 {"curve_brightness": bad})
+        except urllib.error.HTTPError as e:
+            status, resp = e.code, e.read()
+        assert status == 400, (bad, status)
+        assert b"curve_brightness" in resp and b"[[x, y]" in resp, resp
+    after = json.loads(_get(base_url + "/params?mask=main")[2])
+    assert after == before
+
+
 def test_endpoint_fuzz_malformed_bodies(base_url):
     """Every POST endpoint must answer 4xx (JSON error) to malformed
     bodies — never 500, never kill the server thread."""
