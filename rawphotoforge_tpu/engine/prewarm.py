@@ -58,6 +58,12 @@ CANONICAL_SENSOR_SHAPES = (
 # X-Trans mosaics are NOT bucket-stable (the 6x6 phase doesn't survive a
 # reflect pad), so their develop programs key on exact sensor extents —
 # which, for Fuji, is a two-entry list (sensors store landscape).
+# Don't re-attempt a phase-preserving bucket pad for bit-identity: the
+# composed demosaic's edge handling reflect-pads the mosaic*mask PRODUCT
+# (ops/demosaic.py conv1d), whose phase-broken pad values no
+# phase-continuous pad construction can reproduce for all three channel
+# masks at once — matching would mean changing the committed unpadded
+# edge numerics, not just the padding.
 XTRANS_SENSOR_SHAPES = ((4160, 6240), (5152, 7728))
 
 # Shapes (true h, true w) whose programs this process already warmed (or

@@ -31,6 +31,28 @@ rng0 = np.random.default_rng(12345)
 variants["cr2"] = build_cr2(
     rng0.integers(0, 16000, size=(48, 48), dtype=np.uint16))
 
+# The r3 vendor containers (uncompressed NEF/ARW shapes via TIFF-EP,
+# Panasonic RW2, Fujifilm RAF) get the same mutation budget as the DNG
+# family — their parsers walk offset tables and bit-unpack payloads, the
+# exact shape of code mutation fuzz catches.
+from rawphotoforge_tpu.io import vendor_raw as _vr
+from rawphotoforge_tpu.io.raw import synthetic_raw as _synth
+
+_img = rng0.random((3, 48, 48), dtype=np.float32) * 0.8
+
+
+def _vraw(pattern):
+    return _synth(_img, pattern=pattern, black_level=512,
+                  white_level=16383)
+
+
+variants["nef"] = _vr.write_tiff_ep(_vraw("RGGB"), bits=14,
+                                    make="NIKON CORPORATION")
+variants["arw"] = _vr.write_tiff_ep(_vraw("RGGB"), bits=16,
+                                    make="SONY")
+variants["rw2"] = _vr.write_rw2(_vraw("GBRG"))
+variants["raf"] = _vr.write_raf(_vraw("XTRANS"))
+
 for name, data in sorted(variants.items()):
     rng = np.random.default_rng(abs(hash("soak" + name)) % 2**32)
     for trial in range(1500):
