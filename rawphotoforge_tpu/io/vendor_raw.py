@@ -593,6 +593,27 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
     sub_ifd = build_ifd(sub_entries)
     sub_off = put(sub_ifd)
 
+    # Lens EXIF rides in a real NEF/ARW's Exif IFD; the lens-profile
+    # auto-resolution flow (io/lensdb.profile_for_exif) needs these to be
+    # testable on vendor fixtures, not just DNGs.
+    ex = raw.exif or {}
+
+    def _rat100(v):
+        return (int(round(float(v) * 100)), 100)
+
+    exif_entries = []
+    if ex.get("FNumber") is not None:
+        exif_entries.append((0x829D, 5, [_rat100(ex["FNumber"])]))
+    if ex.get("FocalLength") is not None:
+        exif_entries.append((0x920A, 5, [_rat100(ex["FocalLength"])]))
+    if ex.get("FocalLengthIn35mmFilm") is not None:
+        exif_entries.append((0xA405, 3,
+                             [int(ex["FocalLengthIn35mmFilm"])]))
+    if ex.get("LensModel"):
+        exif_entries.append(
+            (0xA434, 2, (str(ex["LensModel"]) + "\x00").encode()))
+    exif_off = put(build_ifd(exif_entries)) if exif_entries else 0
+
     ifd0_entries = [
         (254, 4, [1]),                      # reduced-resolution (preview)
         (271, 2, (make + "\x00").encode()),
@@ -600,6 +621,8 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
         (274, 3, [int(raw.orientation)]),
         (330, 4, [sub_off]),                # SubIFDs -> raw
     ]
+    if exif_off:
+        ifd0_entries.append((34665, 4, [exif_off]))  # ExifIFDPointer
     if preview_jpeg:
         ifd0_entries += [
             (513, 4, [pv_off]),             # JPEGInterchangeFormat

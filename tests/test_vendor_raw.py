@@ -68,6 +68,31 @@ def test_arw_sony_tags():
     assert got.wb_known
 
 
+def test_tiff_ep_lens_exif_resolves_bundled_profile():
+    """Lens EXIF (Exif IFD: LensModel/FocalLength/FNumber) survives the
+    TIFF-EP fixture round trip and feeds lens-profile auto-resolution —
+    real NEF/ARW files carry it there, and the --lens-correct flow was
+    previously only testable on DNG fixtures."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.lensdb import LensDatabase
+
+    raw = synthetic_raw(scene(), pattern="RGGB", black_level=512,
+                        white_level=16383)
+    raw = dataclasses.replace(raw, exif=dict(raw.exif or {}, **{
+        "Model": "NIKON Z 6",
+        "LensModel": "Nikon AF-S Nikkor 50mm f/1.8G",
+        "FocalLength": 50.0, "FNumber": 1.8}))
+    got = parse_raw(vr.write_tiff_ep(raw, bits=14,
+                                     make="NIKON CORPORATION"))
+    assert got.exif.get("LensModel") == "Nikon AF-S Nikkor 50mm f/1.8G"
+    assert float(got.exif.get("FocalLength")) == 50.0
+    assert float(got.exif.get("FNumber")) == 1.8
+    prof = LensDatabase.load().profile_from_exif(got.exif)
+    assert prof is not None
+    assert "50mm" in prof.name
+
+
 def test_pack_bits_msb_matches_dng_unpack():
     from rawphotoforge_tpu.io.dng import _unpack_bits
 
