@@ -712,8 +712,12 @@ class EditorApp:
         parse error, exactly like the old blocking open). When the decode
         yields an instant preview, the upload + compiles continue on a
         daemon thread and the response returns immediately; otherwise
-        falls back to the blocking open."""
-        fmt = image_io.format_for_path(name)
+        falls back to the blocking open. ``name`` may be empty/None (no
+        ?name= given): the format is then sniffed from the body's magic
+        (a DNG body without a filename used to be force-decoded as
+        JPEG)."""
+        fmt = (image_io.format_for_path(name) if name
+               else image_io.format_for_bytes(raw_body))
         kwargs = dict(mid_long_edge=self.settings.ui_preview_size,
                       low_long_edge=self.settings.drag_preview_size)
         ho = PhotoEditor.open_host(
@@ -1720,7 +1724,9 @@ def make_handler(app: EditorApp):
                 # embedded camera preview inside open_host, explicit in
                 # the response, never silently wrong).
                 q = urllib.parse.parse_qs(url.query)
-                name = q.get("name", ["file.jpg"])[0]
+                # No ?name= -> start_open sniffs the format from the
+                # body's magic instead of assuming a JPEG.
+                name = q.get("name", [""])[0]
                 with app.lock:
                     try:
                         self._send(200, json.dumps(

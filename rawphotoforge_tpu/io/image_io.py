@@ -55,6 +55,26 @@ def format_for_path(path: str) -> str:
     return SUPPORTED_EXTENSIONS[ext]
 
 
+def format_for_bytes(data: bytes) -> str:
+    """Best-effort format from container MAGIC, for uploads that carry no
+    filename (`POST /open` without ?name=). TIFF-structured and vendor
+    RAW containers route to the raw walker ("DNG" — the same route their
+    extensions take); 16-bit PPM by its P6 header; everything else falls
+    back to "JPEG", whose decode path (PIL) identifies common bitmaps by
+    magic itself. A plain (non-RAW) TIFF bitmap without a filename lands
+    on the raw walker and fails with a typed error naming the problem —
+    pass ?name= to route it to the bitmap decoder."""
+    head = data[:16]
+    if (head[:4] in (b"II*\x00", b"MM\x00*", b"IIU\x00")
+            or head[:8] == b"FUJIFILM"          # RAF
+            or head[4:8] == b"ftyp"             # Canon CR3 (ISO-BMFF)
+            or head[:4] == b"FOVb"):            # Sigma X3F
+        return "DNG"
+    if head[:2] == b"P6":
+        return "PPM16"
+    return "JPEG"
+
+
 def _parse_ppm16(data: bytes) -> np.ndarray:
     """16-bit big-endian P6 PPM -> u16 HWC samples (image.ts:146-195)."""
     # Header: magic, dims, maxval — tokens separated by ANY whitespace

@@ -252,6 +252,32 @@ def test_open_endpoint_raw_dng(base_url):
     assert json.loads(body)["shape"] == [32, 48]
 
 
+def test_open_without_name_sniffs_container_magic(base_url):
+    """POST /open with no ?name= must sniff the body's magic — a DNG
+    upload used to be force-decoded as JPEG and 400 with a PIL error
+    (found driving the HTTP API). PPM16 likewise; bitmaps still route
+    through the PIL path, which identifies by magic itself."""
+    from rawphotoforge_tpu.io.dng import write_dng
+    from rawphotoforge_tpu.io.image_io import encode_ppm16
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    img = np.random.default_rng(12).random((3, 32, 48)).astype(np.float32)
+    status, out = _post_raw(base_url + "/open",
+                            write_dng(synthetic_raw(img)))
+    assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [32, 48]
+    # 16-bit PPM without a name.
+    u16 = (np.random.default_rng(13).random((20, 30, 3))
+           * 65535).astype(np.uint16)
+    status, out = _post_raw(base_url + "/open", encode_ppm16(u16))
+    assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [20, 30]
+
+
 def test_open_endpoint_oriented_cropped_dng(base_url):
     """A portrait (orientation 6) DNG and a DefaultCrop DNG through the
     async /open must land device sessions whose renders equal a direct
