@@ -539,6 +539,7 @@ def cmd_serve(args) -> int:
         ([args.image] if args.image else [])
         + ["--port", str(args.port)]
         + (["--segmenter", args.segmenter] if args.segmenter else [])
+        + (["--no-host-drag"] if args.no_host_drag else [])
     )
 
 
@@ -591,6 +592,9 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port", type=int, default=8080)
     p_srv.add_argument("--segmenter", type=str, default=None,
                        help="external AI-mask command: cmd image.png x y out.npy")
+    p_srv.add_argument("--no-host-drag", action="store_true",
+                       help="device-render LOW drag previews (exact but "
+                            "tunnel-bound) instead of the host mirror")
     p_srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

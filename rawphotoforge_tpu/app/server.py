@@ -668,12 +668,16 @@ class EditorApp:
     def __init__(self, editor: PhotoEditor | None,
                  settings: Settings | None = None,
                  settings_path: str | None = None, segmenter=None,
-                 prewarm: bool = True):
+                 prewarm: bool = True, host_drag: bool = True):
         # None until the first open lands (instant server startup: serve()
         # begins listening during the initial file's device phase; the
         # era endpoints carry the UI until then).
         self.editor = editor
         self.prewarm = prewarm  # warm preview compiles on /open
+        # Host-rendered LOW drag previews (tunnel-latency-free slider
+        # drags; see preview_jpeg). (key, linear, masks) cache below.
+        self.host_drag = host_drag
+        self._hostdrag_cache = None
         self.lock = threading.Lock()
         self.settings = settings or Settings.load(settings_path)
         self.settings_path = settings_path
@@ -1404,18 +1408,78 @@ class EditorApp:
         p = self.editor.params(None if mask_name == "main" else mask_name)
         return p.to_json()
 
+    def _hostdrag_arrays(self):
+        """(linear, masks) numpy arrays at LOW for the host drag renderer.
+
+        Fetched from the device ONCE per (editor, mask stack): the LOW
+        pre-geometry original and the binarized mask rows, both sliced to
+        their true extents (the bucket-stable pyramid stores padded
+        buffers). The cache keys on the device mask-stack array identity,
+        which changes exactly when masks are added/removed/inverted/
+        re-thresholded (the editor rebuilds ``_mask_stack`` then); slider
+        and curve edits never re-fetch."""
+        ed = self.editor
+        multi = len(ed.masks) > 1
+        mask_dev = ed._masks_at(LOW) if multi else None
+        key = (id(ed), len(ed.masks),
+               id(mask_dev) if multi else None)
+        if self._hostdrag_cache and self._hostdrag_cache[0] == key:
+            return self._hostdrag_cache[1], self._hostdrag_cache[2]
+        th, tw = ed._extents[LOW]
+        linear = np.asarray(ed._original_at(LOW))[:, :th, :tw]
+        linear = np.ascontiguousarray(linear, dtype=np.float32)
+        masks = None
+        if multi:
+            masks = np.ascontiguousarray(
+                np.asarray(mask_dev)[:, :th, :tw], dtype=np.float32)
+        self._hostdrag_cache = (key, linear, masks)
+        return linear, masks
+
     def preview_jpeg(self, level: str, original: bool = False,
-                     rect=None) -> bytes:
+                     rect=None) -> tuple[bytes, bool]:
         """Encode a preview; ``rect`` = fractional (x0, y0, x1, y1) of the
         displayed image — the zoom/pan viewport. Slicing happens on the
         *cached* render, so pan/zoom never recomputes the develop stack
         (the tiled multi-zoom loop of BASELINE config 4).
+
+        Returns ``(jpeg, host_rendered)``. LOW (drag-tick) previews
+        render HOST-SIDE when ``host_drag`` is on: through the remote
+        tunnel a device render pays ~60 ms RTT for the dispatch plus the
+        JPEG fetch per tick, while the era's fused native develop
+        (engine/hostdev, the tested mirror of the device pipeline)
+        renders the ~0.1 MPix drag frame in milliseconds from a
+        once-fetched copy of the LOW original — drag latency stops being
+        a property of the link. Release/MID/FULL renders stay
+        device-exact. Any host-path failure falls back to the device
+        render.
 
         The device side always quantizes the FULL (true-extent) render;
         the crop rect and the viewport compose into one HOST slice after
         the fetch — device program shapes stay stable across crop rects
         and zoom views (one remote compile per level shape, ever)."""
         ed = self.editor
+        if (level == LOW and not original and self.host_drag):
+            try:
+                from ..engine import hostdev
+                from ..engine import instant as _instant
+
+                linear, masks = self._hostdrag_arrays()
+                u8 = hostdev.render_u8_hwc(
+                    linear, [m.params for m in ed.masks], masks)
+                fh, fw = u8.shape[:2]
+                cs = ed._crop_slice(level) or (0, fh, 0, fw)
+                if rect is not None:
+                    ch, cw = cs[1] - cs[0], cs[3] - cs[2]
+                    x0, y0, x1, y1 = rect
+                    r0 = cs[0] + max(int(y0 * ch), 0)
+                    c0 = cs[2] + max(int(x0 * cw), 0)
+                    r1 = max(r0 + 1, cs[0] + int(y1 * ch))
+                    c1 = max(c0 + 1, cs[2] + int(x1 * cw))
+                    cs = (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
+                out = np.ascontiguousarray(u8[cs[0]:cs[1], cs[2]:cs[3]])
+                return _instant.encode_instant_jpeg(out), True
+            except Exception:
+                pass  # device fallback below — never a broken drag loop
         img = (ed.original_srgb(level, cropped=False) if original
                else ed.apply(level, cropped=False))
         _, fh, fw = img.shape
@@ -1431,7 +1495,7 @@ class EditorApp:
             cs = (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
         host_crop = None if cs == (0, fh, 0, fw) else cs
         return image_io.encode_image(img, "JPEG", quality=90,
-                                     host_crop=host_crop)
+                                     host_crop=host_crop), False
 
 
 def make_handler(app: EditorApp):
@@ -1642,7 +1706,20 @@ def make_handler(app: EditorApp):
                             host_crop=app.editor._crop_slice(level),
                         )
                     else:
-                        body = app.preview_jpeg(level, original, rect=rect)
+                        body, host_rendered = app.preview_jpeg(
+                            level, original, rect=rect)
+                        if host_rendered:
+                            # Marked like the era's stand-ins: tests and
+                            # curious clients can tell a host drag frame
+                            # from a device render.
+                            self.send_response(200)
+                            self.send_header("Content-Type", "image/jpeg")
+                            self.send_header("X-RPF-HostDrag", "1")
+                            self.send_header("Content-Length",
+                                             str(len(body)))
+                            self.end_headers()
+                            self.wfile.write(body)
+                            return
                     self._send(200, body, "image/jpeg")
                 elif url.path == "/params":
                     name = q.get("mask", ["main"])[0]
@@ -1908,7 +1985,7 @@ def make_handler(app: EditorApp):
 def serve(editor: PhotoEditor | None, port: int = 8080,
           host: str = "127.0.0.1",
           settings: Settings | None = None, settings_path: str | None = None,
-          segmenter=None, prewarm: bool = True,
+          segmenter=None, prewarm: bool = True, host_drag: bool = True,
           initial_file: tuple[bytes, str] | None = None):
     """Build the HTTP app and server.
 
@@ -1918,7 +1995,8 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
     (remote compiles, minutes on a cold shape) proceeds in the
     background while the instant era serves live host renders."""
     app = EditorApp(editor, settings=settings, settings_path=settings_path,
-                    segmenter=segmenter, prewarm=prewarm)
+                    segmenter=segmenter, prewarm=prewarm,
+                    host_drag=host_drag)
     if initial_file is not None:
         app.start_open(initial_file[0], initial_file[1])
     if prewarm:
@@ -1959,6 +2037,9 @@ def main(argv=None) -> int:
     ap.add_argument("--segmenter", type=str, default=None,
                     help="external segmenter command: 'cmd args...' "
                          "(called as: cmd image.png x y out.npy)")
+    ap.add_argument("--no-host-drag", action="store_true",
+                    help="render LOW drag previews on the device instead "
+                         "of the host mirror (exact but tunnel-bound)")
     args = ap.parse_args(argv)
     settings = Settings.load()
     settings.select_device()  # adapter picker (settings_window.gd:46-49)
@@ -1978,11 +2059,13 @@ def main(argv=None) -> int:
             data = f.read()
         httpd = serve(None, port=args.port, settings=settings,
                       segmenter=segmenter,
+                      host_drag=not args.no_host_drag,
                       initial_file=(data, _os.path.basename(args.image)))
     else:
         rng = np.random.default_rng(0)
         ed = PhotoEditor.from_rgb_f32(rng.random((600, 900, 3)).astype(np.float32) ** 2)
-        httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter)
+        httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter,
+                  host_drag=not args.no_host_drag)
     print(f"serving on http://127.0.0.1:{args.port}/")
     httpd.serve_forever()
     return 0

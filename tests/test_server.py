@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from rawphotoforge_tpu.app.server import serve
-from rawphotoforge_tpu.engine.editor import PhotoEditor
+from rawphotoforge_tpu.engine.editor import LOW, PhotoEditor
 
 from conftest import random_linear_image
 
@@ -722,7 +722,7 @@ def test_export_job_retention_never_evicts_running(tmp_path):
     import jax.numpy as jnp
 
     from rawphotoforge_tpu.app.server import EditorApp
-    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.engine.editor import LOW, PhotoEditor
     from rawphotoforge_tpu.engine.session import Settings
 
     app = EditorApp(PhotoEditor(jnp.ones((3, 16, 16)) * 0.5),
@@ -747,3 +747,83 @@ def test_export_job_retention_never_evicts_running(tmp_path):
     newest = app.start_export("JPEG")
     assert newest in app.export_jobs
     assert len(app.export_jobs) <= 5
+
+
+class TestHostDragPreviews:
+    """LOW (drag-tick) previews render host-side via the era's hostdev
+    mirror — tunnel-latency-free drags (server.preview_jpeg)."""
+
+    def test_low_preview_is_host_rendered_and_marked(self, base_url):
+        import urllib.request
+
+        req = urllib.request.Request(base_url + "/preview?level=low")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            assert r.headers.get("X-RPF-HostDrag") == "1"
+            assert r.read()[:2] == b"\xff\xd8"
+        # MID/FULL renders stay device-exact (no host marker).
+        with urllib.request.urlopen(base_url + "/preview?level=mid",
+                                    timeout=60) as r:
+            assert r.headers.get("X-RPF-HostDrag") is None
+        # original=1 (compare-press) is exact too, even at low.
+        with urllib.request.urlopen(
+                base_url + "/preview?level=low&original=1", timeout=60) as r:
+            assert r.headers.get("X-RPF-HostDrag") is None
+
+    def test_host_drag_matches_device_render(self):
+        """The host drag frame must track the device LOW render within
+        the hostdev fidelity gates (same formula mirror the era uses) —
+        including a regional mask and a crop."""
+        import io as _io
+
+        from PIL import Image as PILImage
+
+        from rawphotoforge_tpu.app.server import EditorApp
+        from rawphotoforge_tpu.engine.session import Settings
+
+        rng = np.random.default_rng(7)
+        ed = PhotoEditor.from_rgb_f32(
+            random_linear_image(rng, 64, 96),
+            use_pallas=False, mid_long_edge=48, low_long_edge=32)
+        ed.set_tone(exposure=0.8, contrast=25)
+        ed.set_vignette(30)
+        m = np.zeros((64, 96), np.float32)
+        m[:, :48] = 1.0
+        ed.add_mask("left", m)
+        ed.set_tone(exposure=-0.5, mask_name="left")
+        ed.set_crop(4, 4, 90, 60)
+        app = EditorApp(ed, settings=Settings(), prewarm=False)
+        jpeg_host, used_host = app.preview_jpeg(LOW)
+        assert used_host
+        app2 = EditorApp(ed, settings=Settings(), prewarm=False,
+                         host_drag=False)
+        jpeg_dev, used_host2 = app2.preview_jpeg(LOW)
+        assert not used_host2
+        a = np.asarray(PILImage.open(_io.BytesIO(jpeg_host)),
+                       dtype=np.float32)
+        b = np.asarray(PILImage.open(_io.BytesIO(jpeg_dev)),
+                       dtype=np.float32)
+        assert a.shape == b.shape
+        # JPEG at q90 plus the hostdev mirror tolerance: gate the mean
+        # and a loose max (block artifacts differ pixelwise).
+        assert np.abs(a - b).mean() < 3.0
+        assert np.abs(a - b).max() < 40.0
+
+    def test_host_cache_tracks_mask_changes(self):
+        from rawphotoforge_tpu.app.server import EditorApp
+        from rawphotoforge_tpu.engine.session import Settings
+
+        rng = np.random.default_rng(8)
+        ed = PhotoEditor.from_rgb_f32(
+            random_linear_image(rng, 40, 60),
+            use_pallas=False, mid_long_edge=32, low_long_edge=20)
+        app = EditorApp(ed, settings=Settings(), prewarm=False)
+        before, used = app.preview_jpeg(LOW)
+        assert used
+        m = np.zeros((40, 60), np.float32)
+        m[:, :30] = 1.0
+        ed.add_mask("half", m)
+        ed.set_tone(exposure=-2.0, mask_name="half")
+        after, used = app.preview_jpeg(LOW)
+        assert used
+        assert after != before, "host drag cache served a stale mask stack"
