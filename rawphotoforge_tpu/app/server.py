@@ -364,12 +364,11 @@ async function push(level){{
   try{{
     await fetch('/edit',{{method:'POST',body:JSON.stringify(state)}});
     pvRefresh(level);
-    if(level!=='low'){{
-      // Skip the histogram during drag ticks: it renders at MID, which
-      // would defeat the drag->LOW fast path; refresh it on release.
-      const h=await (await fetch('/histogram')).json();
-      drawHist(h);
-    }}
+    // Drag ticks get a LIVE host-computed histogram (?drag=1) when the
+    // server's host-drag path is on (204 = keep the last one); release
+    // ticks fetch the exact MID device histogram.
+    const hr=await fetch('/histogram'+(level==='low'?'?drag=1':''));
+    if(hr.status===200) drawHist(await hr.json());
   }}finally{{
     // Never leave the render loop bricked by one rejected fetch.
     busy=false;
@@ -1435,6 +1434,31 @@ class EditorApp:
         self._hostdrag_cache = (key, linear, masks)
         return linear, masks
 
+    def drag_histogram(self):
+        """[4, 256] histogram of the host drag frame (the cropped LOW
+        host render) — a LIVE histogram during slider drags, which the
+        device path never offered (its histogram renders at MID, so the
+        page used to skip it on drag ticks). Returns None when the host
+        drag path is off or unavailable; release ticks fetch the exact
+        MID device histogram as before."""
+        if not self.host_drag or self.editor is None:
+            return None
+        try:
+            from ..engine import hostdev
+            from ..engine import instant as _instant
+
+            ed = self.editor
+            linear, masks = self._hostdrag_arrays()
+            u8 = hostdev.render_u8_hwc(
+                linear, [m.params for m in ed.masks], masks)
+            cs = ed._crop_slice(LOW)
+            if cs is not None:
+                u8 = u8[cs[0]:cs[1], cs[2]:cs[3]]
+            return _instant.instant_histogram(
+                np.ascontiguousarray(u8)).tolist()
+        except Exception:
+            return None
+
     def preview_jpeg(self, level: str, original: bool = False,
                      rect=None) -> tuple[bytes, bool]:
         """Encode a preview; ``rect`` = fractional (x0, y0, x1, y1) of the
@@ -1754,6 +1778,17 @@ def make_handler(app: EditorApp):
                 elif url.path in ("/export/status", "/export/result"):
                     self._export_get(url, q)
                 elif url.path == "/histogram":
+                    if q.get("drag", ["0"])[0] == "1":
+                        h = app.drag_histogram()
+                        if h is None:
+                            # Host drag off: the page keeps its last
+                            # histogram rather than paying a device MID
+                            # render per drag tick.
+                            self.send_response(204)
+                            self.end_headers()
+                            return
+                        self._send(200, json.dumps(h).encode())
+                        return
                     h = app.editor.histogram(MID).tolist()
                     self._send(200, json.dumps(h).encode())
                 elif url.path == "/exif":

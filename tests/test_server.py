@@ -827,3 +827,29 @@ class TestHostDragPreviews:
         after, used = app.preview_jpeg(LOW)
         assert used
         assert after != before, "host drag cache served a stale mask stack"
+
+    def test_drag_histogram_live_and_204_when_off(self, base_url):
+        """/histogram?drag=1 answers a live host-computed histogram when
+        host drag is on, and 204 (page keeps its last) when off."""
+        status, _, body = _get(base_url + "/histogram?drag=1")
+        h = json.loads(body)
+        assert status == 200 and len(h) == 4 and len(h[0]) == 256
+        # Off: a dedicated server instance with host_drag disabled.
+        from rawphotoforge_tpu.engine.session import Settings
+
+        rng = np.random.default_rng(21)
+        ed = PhotoEditor.from_rgb_f32(
+            random_linear_image(rng, 30, 40),
+            use_pallas=False, mid_long_edge=24, low_long_edge=12)
+        httpd = serve(ed, port=0, settings=Settings(), prewarm=False,
+                      host_drag=False)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/histogram?drag=1",
+                    timeout=60) as r:
+                assert r.status == 204
+        finally:
+            httpd.shutdown()
