@@ -731,6 +731,7 @@ class EditorApp:
             # behavior rather than an instant era with a blank frame.
             ed = PhotoEditor.from_host(ho, **kwargs)
             self.editor = ed
+            self._hostdrag_cache = None  # never serve the old session
             self.opening = None
             self.device_ready.set()
             if self.prewarm:
@@ -834,6 +835,7 @@ class EditorApp:
                     except Exception:  # noqa: BLE001
                         pass
                     self.editor = ed
+                    self._hostdrag_cache = None  # never serve the old session
                     self.opening = None
                     # Inside the lock: a new /open arriving after the
                     # swap clears the event for ITS era; setting it out
@@ -1407,32 +1409,50 @@ class EditorApp:
         p = self.editor.params(None if mask_name == "main" else mask_name)
         return p.to_json()
 
-    def _hostdrag_arrays(self):
-        """(linear, masks) numpy arrays at LOW for the host drag renderer.
+    def _hostdrag_frame(self) -> np.ndarray:
+        """Uncropped u8 HWC host render of the current edit state at LOW.
 
-        Fetched from the device ONCE per (editor, mask stack): the LOW
-        pre-geometry original and the binarized mask rows, both sliced to
-        their true extents (the bucket-stable pyramid stores padded
-        buffers). The cache keys on the device mask-stack array identity,
-        which changes exactly when masks are added/removed/inverted/
-        re-thresholded (the editor rebuilds ``_mask_stack`` then); slider
-        and curve edits never re-fetch."""
+        Two caches:
+        * source arrays — the LOW pre-geometry original and the binarized
+          mask rows, fetched from the device ONCE per (editor, mask
+          stack) and sliced to their true extents (the bucket-stable
+          pyramid stores padded buffers). Identity is compared with
+          ``is`` on STRONG references (an id()-based key could collide
+          when CPython reuses a freed object's address — a swapped-in
+          editor or a rebuilt mask stack would then serve stale pixels);
+          the cache is also cleared explicitly at every editor swap.
+          The mask-stack device array's identity changes exactly when
+          masks are added/removed/inverted/re-thresholded (the editor
+          rebuilds ``_mask_stack`` then); slider/curve edits never
+          re-fetch.
+        * the rendered frame — keyed on the editor's edit version, so
+          the preview and the drag histogram of one tick share ONE
+          hostdev develop instead of rendering twice."""
         ed = self.editor
         multi = len(ed.masks) > 1
         mask_dev = ed._masks_at(LOW) if multi else None
-        key = (id(ed), len(ed.masks),
-               id(mask_dev) if multi else None)
-        if self._hostdrag_cache and self._hostdrag_cache[0] == key:
-            return self._hostdrag_cache[1], self._hostdrag_cache[2]
-        th, tw = ed._extents[LOW]
-        linear = np.asarray(ed._original_at(LOW))[:, :th, :tw]
-        linear = np.ascontiguousarray(linear, dtype=np.float32)
-        masks = None
-        if multi:
-            masks = np.ascontiguousarray(
-                np.asarray(mask_dev)[:, :th, :tw], dtype=np.float32)
-        self._hostdrag_cache = (key, linear, masks)
-        return linear, masks
+        c = self._hostdrag_cache
+        if not (c and c["ed"] is ed and c["mask_dev"] is mask_dev):
+            th, tw = ed._extents[LOW]
+            linear = np.ascontiguousarray(
+                np.asarray(ed._original_at(LOW))[:, :th, :tw],
+                dtype=np.float32)
+            masks = None
+            if multi:
+                masks = np.ascontiguousarray(
+                    np.asarray(mask_dev)[:, :th, :tw], dtype=np.float32)
+            c = self._hostdrag_cache = {
+                "ed": ed, "mask_dev": mask_dev,
+                "linear": linear, "masks": masks,
+                "version": None, "u8": None,
+            }
+        if c["version"] != ed._version:
+            from ..engine import hostdev
+
+            c["u8"] = hostdev.render_u8_hwc(
+                c["linear"], [m.params for m in ed.masks], c["masks"])
+            c["version"] = ed._version
+        return c["u8"]
 
     def drag_histogram(self):
         """[4, 256] histogram of the host drag frame (the cropped LOW
@@ -1444,13 +1464,10 @@ class EditorApp:
         if not self.host_drag or self.editor is None:
             return None
         try:
-            from ..engine import hostdev
             from ..engine import instant as _instant
 
             ed = self.editor
-            linear, masks = self._hostdrag_arrays()
-            u8 = hostdev.render_u8_hwc(
-                linear, [m.params for m in ed.masks], masks)
+            u8 = self._hostdrag_frame()
             cs = ed._crop_slice(LOW)
             if cs is not None:
                 u8 = u8[cs[0]:cs[1], cs[2]:cs[3]]
@@ -1484,12 +1501,9 @@ class EditorApp:
         ed = self.editor
         if (level == LOW and not original and self.host_drag):
             try:
-                from ..engine import hostdev
                 from ..engine import instant as _instant
 
-                linear, masks = self._hostdrag_arrays()
-                u8 = hostdev.render_u8_hwc(
-                    linear, [m.params for m in ed.masks], masks)
+                u8 = self._hostdrag_frame()
                 fh, fw = u8.shape[:2]
                 cs = ed._crop_slice(level) or (0, fh, 0, fw)
                 if rect is not None:
@@ -1527,9 +1541,12 @@ def make_handler(app: EditorApp):
         def log_message(self, *a):  # quiet
             pass
 
-        def _send(self, code, body, ctype="application/json"):
+        def _send(self, code, body, ctype="application/json",
+                  extra_headers=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -1626,14 +1643,15 @@ def make_handler(app: EditorApp):
                                 jpeg = _instant.encode_instant_jpeg(
                                     np.ascontiguousarray(
                                         u8[r0:min(r1, ih), c0:min(c1, iw)]))
-                        self.send_response(200)
-                        self.send_header("Content-Type", "image/jpeg")
-                        self.send_header("X-RPF-Instant", "1")
-                        self.send_header("Content-Length", str(len(jpeg)))
-                        self.end_headers()
-                        self.wfile.write(jpeg)
+                        self._send(200, jpeg, "image/jpeg",
+                                   {"X-RPF-Instant": "1"})
                     elif url.path == "/histogram":
-                        _, hist, _ = app.era_render(op)
+                        # drag=1 (era drag ticks): the low render is
+                        # already cached from the preview fetch, so the
+                        # histogram is free — rendering the full era
+                        # frame here would cost ~30-180 ms per tick.
+                        low = q.get("drag", ["0"])[0] == "1"
+                        _, hist, _ = app.era_render(op, low=low)
                         self._send(200, json.dumps(hist).encode())
                     elif url.path == "/info":
                         h, w = op["shape"]
@@ -1736,13 +1754,8 @@ def make_handler(app: EditorApp):
                             # Marked like the era's stand-ins: tests and
                             # curious clients can tell a host drag frame
                             # from a device render.
-                            self.send_response(200)
-                            self.send_header("Content-Type", "image/jpeg")
-                            self.send_header("X-RPF-HostDrag", "1")
-                            self.send_header("Content-Length",
-                                             str(len(body)))
-                            self.end_headers()
-                            self.wfile.write(body)
+                            self._send(200, body, "image/jpeg",
+                                       {"X-RPF-HostDrag": "1"})
                             return
                     self._send(200, body, "image/jpeg")
                 elif url.path == "/params":

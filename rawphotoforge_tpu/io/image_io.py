@@ -71,7 +71,27 @@ def format_for_bytes(data: bytes) -> str:
             or head[:4] == b"FOVb"):            # Sigma X3F
         return "DNG"
     if head[:2] == b"P6":
-        return "PPM16"
+        # Route to the strict 16-bit parser only when the header's
+        # maxval token says 65535 — 8-bit P6 bodies keep going to the
+        # PIL path that decoded them before this sniff existed.
+        toks: list[bytes] = []
+        i, n, cur = 2, min(len(data), 256), b""
+        while i < n and len(toks) < 3:
+            ch = data[i:i + 1]
+            if ch == b"#":
+                while i < n and data[i:i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            elif ch.isspace():
+                if cur:
+                    toks.append(cur)
+                    cur = b""
+            else:
+                cur += ch
+            i += 1
+        if cur and len(toks) < 3:
+            toks.append(cur)
+        if len(toks) == 3 and toks[2] == b"65535":
+            return "PPM16"
     return "JPEG"
 
 

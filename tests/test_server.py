@@ -853,3 +853,23 @@ class TestHostDragPreviews:
                 assert r.status == 204
         finally:
             httpd.shutdown()
+
+
+def test_open_without_name_8bit_ppm_goes_to_pil(base_url):
+    """An 8-bit P6 PPM without a name must take the PIL route (which
+    decoded it before the magic sniff existed), not the strict 16-bit
+    parser (review finding: the P6 sniff regressed it to a 400)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(14)
+    u8 = (rng.random((18, 26, 3)) * 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    PILImage.fromarray(u8).save(buf, format="PPM")
+    assert buf.getvalue()[:2] == b"P6"
+    status, out = _post_raw(base_url + "/open", buf.getvalue())
+    assert status == 200 and out["ok"]
+    _wait_open_ready(base_url)
+    _, _, body = _get(base_url + "/info")
+    assert json.loads(body)["shape"] == [18, 26]
