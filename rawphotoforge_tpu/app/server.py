@@ -16,6 +16,7 @@ Run:  python -m rawphotoforge_tpu.app.server [--port 8080] [image]
 from __future__ import annotations
 
 import json
+import sys
 import threading
 import time
 import urllib.parse
@@ -677,6 +678,7 @@ class EditorApp:
         # drags; see preview_jpeg). (key, linear, masks) cache below.
         self.host_drag = host_drag
         self._hostdrag_cache = None
+        self._hostdrag_warned = False
         self.lock = threading.Lock()
         self.settings = settings or Settings.load(settings_path)
         self.settings_path = settings_path
@@ -1454,6 +1456,32 @@ class EditorApp:
             c["version"] = ed._version
         return c["u8"]
 
+    @staticmethod
+    def _compose_view_slice(cs, rect):
+        """Compose the fractional zoom viewport ``rect`` (of the DISPLAYED
+        cropped image) onto the crop slice ``cs`` — ONE home for the
+        clamp arithmetic both the host drag path and the device path
+        slice with (they must agree on the viewport to the pixel)."""
+        if rect is None:
+            return cs
+        ch, cw = cs[1] - cs[0], cs[3] - cs[2]
+        x0, y0, x1, y1 = rect
+        r0 = cs[0] + max(int(y0 * ch), 0)
+        c0 = cs[2] + max(int(x0 * cw), 0)
+        r1 = max(r0 + 1, cs[0] + int(y1 * ch))
+        c1 = max(c0 + 1, cs[2] + int(x1 * cw))
+        return (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
+
+    def _hostdrag_failed(self, e):
+        """Log the FIRST host-drag failure per session: the device
+        fallback keeps drags working, but a persistent host-path defect
+        silently reintroducing the tunnel-bound latency must be
+        observable somewhere."""
+        if not self._hostdrag_warned:
+            self._hostdrag_warned = True
+            print(f"host-drag render failed ({type(e).__name__}: {e}); "
+                  "falling back to device renders", file=sys.stderr)
+
     def drag_histogram(self):
         """[4, 256] histogram of the host drag frame (the cropped LOW
         host render) — a LIVE histogram during slider drags, which the
@@ -1473,7 +1501,8 @@ class EditorApp:
                 u8 = u8[cs[0]:cs[1], cs[2]:cs[3]]
             return _instant.instant_histogram(
                 np.ascontiguousarray(u8)).tolist()
-        except Exception:
+        except Exception as e:  # noqa: BLE001
+            self._hostdrag_failed(e)
             return None
 
     def preview_jpeg(self, level: str, original: bool = False,
@@ -1505,32 +1534,19 @@ class EditorApp:
 
                 u8 = self._hostdrag_frame()
                 fh, fw = u8.shape[:2]
-                cs = ed._crop_slice(level) or (0, fh, 0, fw)
-                if rect is not None:
-                    ch, cw = cs[1] - cs[0], cs[3] - cs[2]
-                    x0, y0, x1, y1 = rect
-                    r0 = cs[0] + max(int(y0 * ch), 0)
-                    c0 = cs[2] + max(int(x0 * cw), 0)
-                    r1 = max(r0 + 1, cs[0] + int(y1 * ch))
-                    c1 = max(c0 + 1, cs[2] + int(x1 * cw))
-                    cs = (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
+                cs = self._compose_view_slice(
+                    ed._crop_slice(level) or (0, fh, 0, fw), rect)
                 out = np.ascontiguousarray(u8[cs[0]:cs[1], cs[2]:cs[3]])
                 return _instant.encode_instant_jpeg(out), True
-            except Exception:
-                pass  # device fallback below — never a broken drag loop
+            except Exception as e:  # noqa: BLE001
+                # Device fallback below — never a broken drag loop, but
+                # never a silent one either.
+                self._hostdrag_failed(e)
         img = (ed.original_srgb(level, cropped=False) if original
                else ed.apply(level, cropped=False))
         _, fh, fw = img.shape
-        cs = ed._crop_slice(level) or (0, fh, 0, fw)
-        if rect is not None:
-            # Fractional viewport of the DISPLAYED (cropped) image.
-            ch, cw = cs[1] - cs[0], cs[3] - cs[2]
-            x0, y0, x1, y1 = rect
-            r0 = cs[0] + max(int(y0 * ch), 0)
-            c0 = cs[2] + max(int(x0 * cw), 0)
-            r1 = max(r0 + 1, cs[0] + int(y1 * ch))
-            c1 = max(c0 + 1, cs[2] + int(x1 * cw))
-            cs = (r0, min(r1, cs[1]), c0, min(c1, cs[3]))
+        cs = self._compose_view_slice(
+            ed._crop_slice(level) or (0, fh, 0, fw), rect)
         host_crop = None if cs == (0, fh, 0, fw) else cs
         return image_io.encode_image(img, "JPEG", quality=90,
                                      host_crop=host_crop), False

@@ -74,11 +74,18 @@ def format_for_bytes(data: bytes) -> str:
         # Route to the strict 16-bit parser only when the header's
         # maxval token says 65535 — 8-bit P6 bodies keep going to the
         # PIL path that decoded them before this sniff existed.
+        # Tokenizer matching _parse_ppm16's semantics exactly: '#'
+        # TERMINATES the current token (like any whitespace) and runs to
+        # end of line. 4096-byte window: enough for any realistic
+        # comment block before the maxval token.
         toks: list[bytes] = []
-        i, n, cur = 2, min(len(data), 256), b""
+        i, n, cur = 2, min(len(data), 4096), b""
         while i < n and len(toks) < 3:
             ch = data[i:i + 1]
             if ch == b"#":
+                if cur:
+                    toks.append(cur)
+                    cur = b""
                 while i < n and data[i:i + 1] not in (b"\n", b"\r"):
                     i += 1
             elif ch.isspace():

@@ -299,3 +299,33 @@ def test_ppm16_single_space_header(rng):
     # Comments between tokens still parse.
     commented = b"P6 #c\n4 #c\n3\n65535\n" + body
     np.testing.assert_array_equal(image_io.decode_ppm16(commented), want)
+
+
+def test_format_for_bytes_ppm_comment_tokens():
+    """The nameless-upload sniffer must tokenize P6 headers exactly like
+    _parse_ppm16: '#' terminates the current token and runs to end of
+    line (review finding: '20#c\\n65535' merged tokens and misrouted a
+    valid 16-bit PPM to the PIL path)."""
+    from rawphotoforge_tpu.io.image_io import (
+        _parse_ppm16, encode_ppm16, format_for_bytes,
+    )
+
+    base = encode_ppm16(np.zeros((4, 6, 3), np.float32))
+    assert format_for_bytes(base) == "PPM16"
+    # Comment immediately terminating the height token.
+    weird = b"P6\n6 4#c\n65535\n" + base.split(b"\n", 3)[3]
+    assert _parse_ppm16(weird).shape == (4, 6, 3)  # parser accepts it
+    assert format_for_bytes(weird) == "PPM16"      # sniffer must agree
+    # Long comment pushing maxval past byte 256.
+    longc = (b"P6\n# " + b"x" * 300 + b"\n6 4\n65535\n"
+             + base.split(b"\n", 3)[3])
+    assert _parse_ppm16(longc).shape == (4, 6, 3)
+    assert format_for_bytes(longc) == "PPM16"
+    # 8-bit P6 still routes to PIL.
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    buf = _io.BytesIO()
+    PILImage.fromarray(np.zeros((4, 6, 3), np.uint8)).save(buf, format="PPM")
+    assert format_for_bytes(buf.getvalue()) == "JPEG"
