@@ -424,9 +424,11 @@ def main(argv=None) -> int:
 
     if want("5"):
         # The full export path, nothing excluded: device develop (one-pass
-        # fused RAW kernel) -> device YCbCr 4:2:0 (1.5 B/px over the link)
-        # -> banded parallel fetch -> native baseline-JPEG encode
-        # (rpf_jpeg_encode_ycc420, q92) -> file write, host work pipelined
+        # fused RAW kernel) -> device JPEG fDCT + quantization + sparsity
+        # compaction (io/jpegenc._sparse_jit: only nonzero coefficients
+        # cross the link, ~2-3x less than dense YCbCr 4:2:0) -> banded
+        # parallel fetch -> native from-sparse entropy coder
+        # (rpf_jpeg_encode_sparse, q92) -> file write, host work pipelined
         # behind the device. Under the axon tunnel the fetch pays
         # remote-link bandwidth a locally-attached host would not.
         import os
@@ -448,13 +450,15 @@ def main(argv=None) -> int:
         ])
         params5 = edit_params(extent=(bh, bw))
 
-        to_ycc = jpegenc._to_ycc420_jit()
+        sparse_full, _, _ = jpegenc._sparse_jit()
+        qlum_h, qchr_h = jpegenc._quant_tables(92)
+        qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
 
         @jax.jit
         def export_chunk(ms):
             def one(m):
                 srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-                return to_ycc(srgb)
+                return sparse_full(srgb, qlum_d, qchr_d)
 
             # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic
             # input cannot be batch-blocked; sequential per-image is the
@@ -464,8 +468,9 @@ def main(argv=None) -> int:
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
         def encode_one(arg):
-            i, y_, cb_, cr_ = arg
-            data = rpf_native.jpeg_encode_ycc420(y_, cb_, cr_, quality=92)
+            i, counts_, bitmaps_, vals_, esc_ = arg
+            data = rpf_native.jpeg_encode_sparse(counts_, bitmaps_, vals_,
+                                                 esc_, bh, bw, quality=92)
             with open(os.path.join(outdir, f"img{i:04d}.jpg"), "wb") as f:
                 f.write(data)
 
@@ -481,10 +486,11 @@ def main(argv=None) -> int:
         n_chunks = n_images // chunk
         fetch_sync(export_chunk(mosaics))  # compile
         t_fetch = 0.0
+        fetched_bytes = 0
         t0 = time.perf_counter()
-        from rawphotoforge_tpu.utils.transfer import fetch_np
+        from rawphotoforge_tpu.utils.transfer import fetch_np, fetch_np_prefix
 
-        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(2) as cpool:
+        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(12) as cpool:
             pending = []
             dev_out = export_chunk(mosaics)  # device computes chunk 0
             for ci in range(n_chunks):
@@ -492,23 +498,35 @@ def main(argv=None) -> int:
                 # tried and is >2x SLOWER through the tunnel — the dispatch
                 # RPC and the bulk fetch contend on the same link, so keep
                 # the dispatch after the fetch (device compute is only
-                # ~33 ms/chunk, negligible next to the transfer).
+                # ~35 ms/chunk, negligible next to the transfer).
                 tf = time.perf_counter()
-                # Banded parallel fetch of the whole chunk: the remote link
-                # is single-stream window-bound but sustains ~3x more across
-                # ~8 MB concurrent bands (utils/transfer.py); chroma planes
-                # ride alongside the luma fetch.
-                dy, dcb, dcr = dev_out
-                fcb = cpool.submit(fetch_np, dcb)
-                fcr = cpool.submit(fetch_np, dcr)
-                host_y = fetch_np(dy)
-                host_cb, host_cr = fcb.result(), fcr.result()
+                counts_c, bitmaps_c, vals_c, esc_c, totals_c = dev_out
+                totals = np.asarray(totals_c)  # [chunk, 2]: the sync point
+                # Per-image streams fetch concurrently; the value/escape
+                # prefixes use fixed band boundaries (fetch_np_prefix) so
+                # no per-length slice programs are minted. Stream counts
+                # stay near the ~16-band tunnel sweet spot.
+                futs = [
+                    (cpool.submit(fetch_np, counts_c[j]),
+                     cpool.submit(fetch_np, bitmaps_c[j]),
+                     cpool.submit(fetch_np_prefix, vals_c[j],
+                                  int(totals[j, 0])),
+                     cpool.submit(fetch_np_prefix, esc_c[j],
+                                  int(totals[j, 1])))
+                    for j in range(chunk)
+                ]
+                hosts = []
+                for fc, fb, fv, fe in futs:
+                    hc, hb, hv, he = (fc.result(), fb.result(),
+                                      fv.result(), fe.result())
+                    fetched_bytes += (hc.nbytes + hb.nbytes + hv.nbytes
+                                      + he.nbytes + 8)
+                    hosts.append((hc, hb, hv, he))
                 t_fetch += time.perf_counter() - tf
                 if ci + 1 < n_chunks:
                     dev_out = export_chunk(mosaics)
                 pending.extend(
-                    pool.submit(encode_one, (ci * chunk + j, host_y[j],
-                                             host_cb[j], host_cr[j]))
+                    pool.submit(encode_one, (ci * chunk + j, *hosts[j]))
                     for j in range(chunk)
                 )
             for f in pending:
@@ -522,16 +540,19 @@ def main(argv=None) -> int:
         shutil.rmtree(outdir)
         total_mpix = n_images * bh * bw / 1e6
         ycc_gb = n_images * 1.5 * bh * bw / 1e9
+        sp_gb = fetched_bytes / 1e9
         results["c5_batch256_24mp_s"] = dt_total
         results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
         results["c5_fetch_s"] = t_fetch
+        results["c5_fetch_gb"] = sp_gb
+        results["c5_dense_equiv_gb"] = ycc_gb
         log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
             f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
             f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
-            f"{t_fetch:.0f} s of that is fetching {ycc_gb:.1f} GB of device-"
-            f"subsampled YCbCr 4:2:0 planes over the remote tunnel "
-            f"({ycc_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s link; a locally-"
-            f"attached host moves this at PCIe rates); native baseline-JPEG "
+            f"{t_fetch:.0f} s of that is fetching {sp_gb:.1f} GB of sparse "
+            f"quantized DCT coefficients over the remote tunnel "
+            f"({sp_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s link; dense YCbCr "
+            f"4:2:0 would be {ycc_gb:.1f} GB); native from-sparse entropy "
             f"encode overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")
 
     with open(RESULTS_PATH, "w") as f:

@@ -1386,6 +1386,19 @@ class EditorApp:
 
                 data = hdr_dng_encode(linear, raw_exif,
                                       on_stage=enter_stage, host_crop=crop)
+            elif job["fmt"] == "JPEG" and crop is None:
+                # Uncropped JPEG: the sparse-coefficient export path
+                # (io/jpegenc) runs the fDCT/quantization on device and
+                # fetches only nonzero coefficients — ~2-3x less tunnel
+                # traffic than the u8 RGB fetch encode_image pays.
+                # Cropped exports keep the full-frame-render + host-slice
+                # route (device shapes stay crop-independent); coefficient
+                # blocks can't be sliced to an arbitrary rect post-hoc.
+                from ..io import jpegenc
+
+                data = jpegenc.encode_jpeg(
+                    img, quality=quality, exif_bytes=exif,
+                    on_stage=enter_stage)
             else:
                 data = image_io.encode_image(
                     img, job["fmt"], quality=quality, exif_bytes=exif,

@@ -81,6 +81,290 @@ def available() -> bool:
     return native.available()
 
 
+# ---------------------------------------------------------------------------
+# Sparse-coefficient export: run the fDCT + quantization + zigzag ON DEVICE
+# and ship only the nonzero quantized coefficients (per-block 64-bit
+# presence bitmaps + a compacted value stream). Dense YCbCr 4:2:0 is 1.5
+# B/px over the device->host link; at quality ~92 a natural photo has
+# ~15-30% nonzero coefficients, so the sparse stream is ~2-3x smaller —
+# and the link, not compute, bounds batch export (BASELINE config 5).
+# The native entropy coder (rpf_jpeg_encode_sparse) turns the stream into
+# the same JFIF layout rpf_jpeg_encode_ycc420 writes.
+# ---------------------------------------------------------------------------
+
+# Annex K.1/K.2 base quantization tables in natural (row-major) order —
+# the same contract constants as native/rpf_native.cpp kQLum/kQChr.
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QCHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Zigzag position -> natural index (T.81 Figure 5 sequence).
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+
+def _dct8(dtype):
+    """D[u, x] = C(u)/2 * cos((2x+1) u pi / 16) — the direct T.81 fDCT
+    matrix (native block_coeffs uses the identical constants)."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return (0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)).astype(dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _quant_tables(quality: int):
+    """libjpeg-convention quality scaling of the Annex K tables, natural
+    order (mirror of native scale_qtbl — integer arithmetic)."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
+    def t(base):
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    return t(_QLUM), t(_QCHR)
+
+
+@functools.cache
+def _sparse_jit():
+    """(full, blockify, sparsify) jitted stages.
+
+    full(planes, qlum, qchr) -> (counts u8 [N], bitmaps u32 [N, 2],
+    values i8 [N*64] zero-padded, escapes i16 [N*64] zero-padded,
+    totals i32 [2] = (n_values, n_escapes)): N blocks in MCU scan order
+    (per MCU: Y tl/tr/bl/br, Cb, Cr), each as a nonzero-presence bitmap
+    over zigzag positions plus its nonzero values packed to the front;
+    the DC slot carries the delta against the previous same-component
+    block, `values` is the cross-block compaction as int8 with -128
+    escaping to the int16 side stream (native rpf_jpeg_encode_sparse
+    owns the wire contract). blockify (raw quantized blocks, no DC
+    delta) and sparsify (compaction only) are exposed for tests."""
+    import jax
+    import jax.numpy as jnp
+
+    D = jnp.asarray(_dct8(np.float32))
+    zig = jnp.asarray(_ZIGZAG)
+    wlo = jnp.asarray(np.array(
+        [(1 << i) if i < 32 else 0 for i in range(64)], dtype=np.uint32))
+    whi = jnp.asarray(np.array(
+        [(1 << (i - 32)) if i >= 32 else 0 for i in range(64)],
+        dtype=np.uint32))
+
+    def _blockify(planes, qlum, qchr):
+        rgb = jnp.clip(planes, 0.0, 1.0) * 255.0
+        r, g, b = rgb[0], rgb[1], rgb[2]
+        m = _YCC
+        y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+        cb = 128.0 + m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+        cr = 128.0 + m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
+        h, w = y.shape
+        cbp = jnp.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        crp = jnp.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        ph, pw = cbp.shape
+        cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+        # Round to the u8 grid the dense path ships (stay f32; the
+        # values are exactly representable), then level-shift.
+        def u8f(v):
+            return jnp.clip(jnp.round(v), 0.0, 255.0)
+
+        y, cb2, cr2 = u8f(y), u8f(cb2), u8f(cr2)
+        mh, mw = -(-h // 16), -(-w // 16)
+        # Edge padding == the native encoder's per-pixel clamp.
+        yp = jnp.pad(y, ((0, mh * 16 - h), (0, mw * 16 - w)),
+                     mode="edge") - 128.0
+        ch2, cw2 = cb2.shape
+        cbp2 = jnp.pad(cb2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
+                       mode="edge") - 128.0
+        crp2 = jnp.pad(cr2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
+                       mode="edge") - 128.0
+        yb = (yp.reshape(mh, 2, 8, mw, 2, 8)
+                .transpose(0, 3, 1, 4, 2, 5).reshape(mh * mw, 4, 8, 8))
+        cbb = (cbp2.reshape(mh, 8, mw, 8)
+                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
+        crb = (crp2.reshape(mh, 8, mw, 8)
+                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
+
+        def qz(bl, q):
+            n = bl.shape[0] * bl.shape[1]
+            x = bl.reshape(n, 8, 8)
+            # Rows then columns, like the native fdct8x8; precision
+            # 'highest' keeps the 8x8 matmuls in true f32 (the MXU's
+            # default bf16 inputs would flip quantized values).
+            t = jnp.einsum("nyx,ux->nyu", x, D, precision="highest")
+            o = jnp.einsum("nyu,vy->nvu", t, D, precision="highest")
+            rq = o.reshape(n, 64) / q.astype(jnp.float32)
+            # lround semantics: round half AWAY from zero (jnp.round is
+            # half-to-even and would disagree with the native coder).
+            qi = (jnp.sign(rq) * jnp.floor(jnp.abs(rq) + 0.5)
+                  ).astype(jnp.int32)
+            return qi[:, zig].reshape(bl.shape[0], bl.shape[1], 64)
+
+        blocks = jnp.concatenate(
+            [qz(yb, qlum), qz(cbb, qchr), qz(crb, qchr)], axis=1)
+        return blocks.reshape(mh * mw * 6, 64)
+
+    def _dc_delta(blocks):
+        """Rewrite each DC as the delta vs the previous same-component
+        block in MCU scan order (the prediction the entropy coder runs
+        anyway) — deltas are small on natural images, so most fit the
+        one-byte value stream."""
+        m = blocks.shape[0] // 6
+        b3 = blocks.reshape(m, 6, 64)
+        dc = b3[:, :, 0]
+
+        def delta(seq):
+            prev = jnp.concatenate(
+                [jnp.zeros((1,), seq.dtype), seq[:-1]])
+            return seq - prev
+
+        dy = delta(dc[:, :4].reshape(-1)).reshape(m, 4)
+        db = delta(dc[:, 4])[:, None]
+        dr = delta(dc[:, 5])[:, None]
+        b3 = b3.at[:, :, 0].set(jnp.concatenate([dy, db, dr], axis=1))
+        return b3.reshape(m * 6, 64)
+
+    def _compact(flat, mask, total, out_dtype):
+        """Stream compaction as a GATHER (TPU scatters serialize):
+        output k comes from the source index whose inclusive mask-cumsum
+        first reaches k+1."""
+        n = flat.shape[0]
+        incl = jnp.cumsum(mask.astype(jnp.int32))
+        k = jnp.arange(n, dtype=jnp.int32)
+        src = jnp.searchsorted(incl, k + 1, side="left").astype(jnp.int32)
+        return jnp.where(k < total, flat[jnp.clip(src, 0, n - 1)],
+                         0).astype(out_dtype)
+
+    def _sparsify(blocks):
+        nz = blocks != 0
+        counts = nz.sum(axis=1, dtype=jnp.int32)
+        nzu = nz.astype(jnp.uint32)
+        bitmaps = jnp.stack([(nzu * wlo).sum(axis=1, dtype=jnp.uint32),
+                             (nzu * whi).sum(axis=1, dtype=jnp.uint32)],
+                            axis=1)
+        # Front-pack each block's nonzeros (ascending zigzag) via a
+        # 64-lane key sort — no scatter.
+        idx = jnp.arange(64, dtype=jnp.int32)
+        key = jnp.where(nz, idx, idx + 64)
+        _, packed = jax.lax.sort_key_val(key, blocks, dimension=1)
+        # Cross-block compaction: output j belongs to the last block
+        # whose exclusive offset is <= j.
+        offs = jnp.cumsum(counts, dtype=jnp.int32) - counts
+        total = counts.sum(dtype=jnp.int32)
+        ncap = blocks.shape[0] * 64
+        j = jnp.arange(ncap, dtype=jnp.int32)
+        b = jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1
+        slot = j - offs[b]
+        flat = packed.reshape(-1)
+        vals16 = jnp.where(j < total,
+                           flat[jnp.clip(b * 64 + slot, 0, ncap - 1)],
+                           0).astype(jnp.int16)
+        # int8 wire stream with -128 escaping to the int16 side channel
+        # (~1 B per coefficient; escapes are rare on natural images).
+        esc = (vals16 > 127) | (vals16 < -127)
+        vals8 = jnp.where(esc, jnp.int16(-128), vals16).astype(jnp.int8)
+        n_esc = esc.sum(dtype=jnp.int32)
+        escapes = _compact(vals16, esc, n_esc, jnp.int16)
+        totals = jnp.stack([total, n_esc])
+        return counts.astype(jnp.uint8), bitmaps, vals8, escapes, totals
+
+    @jax.jit
+    def full(planes, qlum, qchr):
+        return _sparsify(_dc_delta(_blockify(planes, qlum, qchr)))
+
+    @jax.jit
+    def blockify(planes, qlum, qchr):
+        return _blockify(planes, qlum, qchr)
+
+    @jax.jit
+    def sparsify(blocks):
+        return _sparsify(blocks)
+
+    return full, blockify, sparsify
+
+
+def _blocks_np(planes: np.ndarray, quality: int) -> np.ndarray:
+    """Float64 oracle of the device DCT/quant stage: [N, 64] i32 blocks
+    in the same MCU scan order (tests compare the f32 device output
+    against this within +-1)."""
+    y, cb, cr = _to_ycc420_np(planes)
+    qlum, qchr = _quant_tables(quality)
+    d = _dct8(np.float64)
+    h, w = y.shape
+    mh, mw = -(-h // 16), -(-w // 16)
+
+    def blocks_of(plane, grid_h, grid_w, q):
+        p = plane.astype(np.float64)
+        p = np.pad(p, ((0, grid_h - p.shape[0]), (0, grid_w - p.shape[1])),
+                   mode="edge") - 128.0
+        nbh, nbw = grid_h // 8, grid_w // 8
+        bl = p.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3)
+        t = np.einsum("abyx,ux->abyu", bl, d)
+        o = np.einsum("abyu,vy->abvu", t, d)
+        rq = o.reshape(nbh, nbw, 64) / q.astype(np.float64)
+        qi = (np.sign(rq) * np.floor(np.abs(rq) + 0.5)).astype(np.int32)
+        return qi[:, :, _ZIGZAG]
+
+    yb = blocks_of(y, mh * 16, mw * 16, qlum)
+    # [2mh, 2mw, 64] -> per-MCU (tl, tr, bl, br)
+    yb = (yb.reshape(mh, 2, mw, 2, 64).transpose(0, 2, 1, 3, 4)
+            .reshape(mh * mw, 4, 64))
+    cbb = blocks_of(cb, mh * 8, mw * 8, qchr).reshape(mh * mw, 1, 64)
+    crb = blocks_of(cr, mh * 8, mw * 8, qchr).reshape(mh * mw, 1, 64)
+    return np.concatenate([yb, cbb, crb], axis=1).reshape(mh * mw * 6, 64)
+
+
+def _dc_delta_np(blocks: np.ndarray) -> np.ndarray:
+    """Exact integer mirror of the device DC-delta stage."""
+    blocks = np.asarray(blocks, dtype=np.int32).copy()
+    m = blocks.shape[0] // 6
+    b3 = blocks.reshape(m, 6, 64)
+    dc = b3[:, :, 0].copy()
+
+    def delta(seq):
+        out = seq.copy()
+        out[1:] -= seq[:-1]
+        return out
+
+    b3[:, :, 0] = np.concatenate(
+        [delta(dc[:, :4].reshape(-1)).reshape(m, 4),
+         delta(dc[:, 4])[:, None], delta(dc[:, 5])[:, None]], axis=1)
+    return b3.reshape(m * 6, 64)
+
+
+def _sparsify_np(blocks: np.ndarray):
+    """Exact integer mirror of the device sparsify stage (row-major
+    boolean indexing IS the block-then-ascending-zigzag order).
+    Returns (counts u8, bitmaps u32 [N,2], values i8, escapes i16,
+    n_values, n_escapes) with values/escapes already trimmed to their
+    true lengths."""
+    blocks = np.asarray(blocks, dtype=np.int32)
+    nz = blocks != 0
+    counts = nz.sum(axis=1)
+    w32 = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+    lo = (nz[:, :32] * w32).sum(axis=1).astype(np.uint32)
+    hi = (nz[:, 32:] * w32).sum(axis=1).astype(np.uint32)
+    vals16 = blocks[nz].astype(np.int16)
+    esc = (vals16 > 127) | (vals16 < -127)
+    vals8 = np.where(esc, -128, vals16).astype(np.int8)
+    return (counts.astype(np.uint8), np.stack([lo, hi], axis=1),
+            vals8, vals16[esc], int(counts.sum()), int(esc.sum()))
+
+
 def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
     """Insert an EXIF APP1 segment right after SOI (ITU-T.81 B.2.4.4 /
     JEITA CP-3451 layout: the EXIF APP1 precedes other marker segments)."""
@@ -101,35 +385,98 @@ def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
     return jpeg[:2] + seg + jpeg[2:]
 
 
-def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None) -> bytes:
+_sparse_fallback_warned = False
+
+
+def _encode_sparse_device(planes, quality: int, stage=None) -> bytes:
+    """Device-side fDCT/quantize/sparsify -> banded fetch of the nonzero
+    coefficient stream -> native entropy coder. The link carries the
+    per-block bitmaps/counts (~0.23 B/px) plus 2 B per nonzero
+    coefficient instead of 1.5 B/px of dense YCbCr."""
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..utils.transfer import fetch_np, fetch_np_prefix
+
+    stage = stage or (lambda _name: None)
+    full, _, _ = _sparse_jit()
+    qlum, qchr = _quant_tables(quality)
+    counts, bitmaps, vals, escapes, totals = full(
+        planes, jnp.asarray(qlum), jnp.asarray(qchr))
+    stage("fetch")
+    n, n_esc = (int(v) for v in np.asarray(totals))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        fc = pool.submit(fetch_np, counts)
+        fb = pool.submit(fetch_np, bitmaps)
+        fe = pool.submit(fetch_np_prefix, escapes, n_esc)
+        host_vals = fetch_np_prefix(vals, n)
+        host_counts, host_bitmaps = fc.result(), fb.result()
+        host_esc = fe.result()
+    _, h, w = planes.shape
+    stage("encode")
+    return native.jpeg_encode_sparse(
+        host_counts, host_bitmaps, host_vals, host_esc, h, w,
+        quality=quality)
+
+
+def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
+                sparse: bool | None = None, on_stage=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> baseline JFIF bytes.
 
-    Device inputs convert + subsample on device and fetch 1.5
-    bytes/pixel; np inputs use the same math on the host. Falls back to
-    the Pillow path when the native library is unavailable. An
-    ``exif_bytes`` payload (raw blob or io/image_io.build_exif_bytes
-    output) is spliced in as the APP1 segment.
+    Device inputs run the whole DCT/quantization on device and fetch
+    only nonzero coefficients (``sparse``; default on — pass False for
+    the dense YCbCr 4:2:0 fetch, 1.5 B/px); np inputs use the host math.
+    Falls back to the Pillow path when the native library is
+    unavailable. An ``exif_bytes`` payload (raw blob or
+    io/image_io.build_exif_bytes output) is spliced in as the APP1
+    segment.
     """
     from .. import native
     from ..utils.transfer import _is_device_array, fetch_np
 
+    stage = on_stage or (lambda _name: None)
     if not native.available():
         from .image_io import encode_image
 
         return encode_image(planes, "JPEG", quality=quality,
-                            exif_bytes=exif_bytes)
+                            exif_bytes=exif_bytes, on_stage=on_stage)
+    body = None
     if _is_device_array(planes):
-        y, cb, cr = _to_ycc420_jit()(planes)
-        from concurrent.futures import ThreadPoolExecutor
+        if sparse or sparse is None:
+            try:
+                body = _encode_sparse_device(planes, quality, stage)
+            except Exception:
+                if sparse:  # explicit request: surface the failure
+                    raise
+                # auto mode: dense fallback keeps exports working, but
+                # log the first failure — a silently-degraded export
+                # path would reintroduce the 1.5 B/px fetch unnoticed.
+                global _sparse_fallback_warned
+                if not _sparse_fallback_warned:
+                    _sparse_fallback_warned = True
+                    import sys
+                    import traceback
 
-        with ThreadPoolExecutor(2) as pool:
-            fcb = pool.submit(fetch_np, cb)
-            fcr = pool.submit(fetch_np, cr)
-            y = fetch_np(y)
-            cb, cr = fcb.result(), fcr.result()
+                    print("sparse JPEG export failed; using dense fetch:\n"
+                          + traceback.format_exc(limit=3), file=sys.stderr)
+        if body is None:
+            y, cb, cr = _to_ycc420_jit()(planes)
+            from concurrent.futures import ThreadPoolExecutor
+
+            stage("fetch")
+            with ThreadPoolExecutor(2) as pool:
+                fcb = pool.submit(fetch_np, cb)
+                fcr = pool.submit(fetch_np, cr)
+                y = fetch_np(y)
+                cb, cr = fcb.result(), fcr.result()
+            stage("encode")
+            body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
     else:
         y, cb, cr = _to_ycc420_np(planes)
-    body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
+        stage("encode")
+        body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
     if exif_bytes:
         body = _splice_app1(body, exif_bytes)
     return body

@@ -75,6 +75,13 @@ def _load():
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.rpf_ljpeg_pack_bits.argtypes = [i64p, u8p, c64, u8p]
     lib.rpf_ljpeg_pack_bits.restype = c64
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.rpf_jpeg_encode_sparse.argtypes = [
+        u8p, u32p, i8p, c64, i16p, c64, c, c, c, u8p, c64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.rpf_jpeg_encode_sparse.restype = c
     lib.rpf_jpeg_encode_ycc420.argtypes = [
         u8p, u8p, u8p, c, c, c, u8p, c64, ctypes.POINTER(ctypes.c_int64),
     ]
@@ -266,6 +273,44 @@ def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
             break
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_ycc420 failed (rc={rc})")
+    return out[: out_len.value].tobytes()
+
+
+def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
+                       quality: int = 92) -> bytes:
+    """Baseline JFIF 4:2:0 entropy-encode from device-sparsified
+    quantized DCT coefficients (io/jpegenc.encode_jpeg's sparse path:
+    per-block zigzag presence bitmaps + the nonzero values as int8 with
+    -128 escaping to the int16 ``escapes`` stream, DC slots carrying
+    same-component deltas, all in MCU scan order — the
+    fDCT/quantization already happened on the device)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    counts = np.ascontiguousarray(counts, dtype=np.uint8)
+    bitmaps = np.ascontiguousarray(bitmaps, dtype=np.uint32)
+    values = np.ascontiguousarray(values, dtype=np.int8)
+    escapes = np.ascontiguousarray(escapes, dtype=np.int16)
+    h, w = int(h), int(w)
+    nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
+    if counts.shape != (nblocks,) or bitmaps.shape != (nblocks, 2):
+        raise ValueError(
+            f"expected counts ({nblocks},) and bitmaps ({nblocks}, 2) for "
+            f"{h}x{w}, got {counts.shape}/{bitmaps.shape}")
+    out_len = _ct.c_int64(0)
+    rc = 3
+    for bpp in (2, 4, 10):
+        cap = h * w * bpp + (1 << 16)
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.rpf_jpeg_encode_sparse(
+            counts, bitmaps, values, values.size, escapes, escapes.size,
+            h, w, int(quality), out, cap, _ct.byref(out_len))
+        if rc != 3:
+            break
+    if rc != 0:
+        raise ValueError(f"rpf_jpeg_encode_sparse failed (rc={rc})")
     return out[: out_len.value].tobytes()
 
 

@@ -739,6 +739,59 @@ static void put_u16(BitWriter* bw, int v) {
   bw->put_byte(static_cast<uint8_t>(v & 0xFF));
 }
 
+// SOI through SOS for the one stream layout both encoders emit: JFIF,
+// two DQTs, SOF0 4:2:0, the four Annex K.3 DHTs, 3-component scan.
+static void write_headers(BitWriter* bw, int h, int w,
+                          const uint16_t qlum[64], const uint16_t qchr[64]) {
+  put_marker(bw, 0xD8);  // SOI
+  put_marker(bw, 0xE0);  // APP0 / JFIF
+  put_u16(bw, 16);
+  const uint8_t jfif[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+  for (uint8_t b : jfif) bw->put_byte(b);
+  for (int t = 0; t < 2; ++t) {  // DQT x2
+    put_marker(bw, 0xDB);
+    put_u16(bw, 67);
+    bw->put_byte(static_cast<uint8_t>(t));
+    const uint16_t* q = t == 0 ? qlum : qchr;
+    for (int i = 0; i < 64; ++i)
+      bw->put_byte(static_cast<uint8_t>(q[kZigzag[i]]));
+  }
+  put_marker(bw, 0xC0);  // SOF0
+  put_u16(bw, 17);
+  bw->put_byte(8);
+  put_u16(bw, h);
+  put_u16(bw, w);
+  bw->put_byte(3);
+  const uint8_t sof[9] = {1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1};
+  for (uint8_t b : sof) bw->put_byte(b);
+  struct {
+    uint8_t cls_id;
+    const uint8_t* bits;
+    const uint8_t* vals;
+    int n;
+  } dht[4] = {
+      {0x00, kDcLumBits, kDcVals, 12},
+      {0x10, kAcLumBits, kAcLumVals, 162},
+      {0x01, kDcChrBits, kDcVals, 12},
+      {0x11, kAcChrBits, kAcChrVals, 162},
+  };
+  for (const auto& d : dht) {
+    put_marker(bw, 0xC4);
+    put_u16(bw, 2 + 1 + 16 + d.n);
+    bw->put_byte(d.cls_id);
+    for (int i = 0; i < 16; ++i) bw->put_byte(d.bits[i]);
+    for (int i = 0; i < d.n; ++i) bw->put_byte(d.vals[i]);
+  }
+  put_marker(bw, 0xDA);  // SOS
+  put_u16(bw, 12);
+  bw->put_byte(3);
+  const uint8_t sos[6] = {1, 0x00, 2, 0x11, 3, 0x11};
+  for (uint8_t b : sos) bw->put_byte(b);
+  bw->put_byte(0);
+  bw->put_byte(63);
+  bw->put_byte(0);
+}
+
 }  // namespace jpg
 
 // y: [h, w] u8; cb, cr: [ceil(h/2), ceil(w/2)] u8 (JFIF 4:2:0 planes).
@@ -763,53 +816,7 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
   build_huff(kAcChrBits, kAcChrVals, 162, &acc_);
 
   BitWriter bw{out, out_cap, 0, 0, 0, false};
-  put_marker(&bw, 0xD8);  // SOI
-  put_marker(&bw, 0xE0);  // APP0 / JFIF
-  put_u16(&bw, 16);
-  const uint8_t jfif[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
-  for (uint8_t b : jfif) bw.put_byte(b);
-  for (int t = 0; t < 2; ++t) {  // DQT x2
-    put_marker(&bw, 0xDB);
-    put_u16(&bw, 67);
-    bw.put_byte(static_cast<uint8_t>(t));
-    const uint16_t* q = t == 0 ? qlum : qchr;
-    for (int i = 0; i < 64; ++i)
-      bw.put_byte(static_cast<uint8_t>(q[kZigzag[i]]));
-  }
-  put_marker(&bw, 0xC0);  // SOF0
-  put_u16(&bw, 17);
-  bw.put_byte(8);
-  put_u16(&bw, h);
-  put_u16(&bw, w);
-  bw.put_byte(3);
-  const uint8_t sof[9] = {1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1};
-  for (uint8_t b : sof) bw.put_byte(b);
-  struct {
-    uint8_t cls_id;
-    const uint8_t* bits;
-    const uint8_t* vals;
-    int n;
-  } dht[4] = {
-      {0x00, kDcLumBits, kDcVals, 12},
-      {0x10, kAcLumBits, kAcLumVals, 162},
-      {0x01, kDcChrBits, kDcVals, 12},
-      {0x11, kAcChrBits, kAcChrVals, 162},
-  };
-  for (const auto& d : dht) {
-    put_marker(&bw, 0xC4);
-    put_u16(&bw, 2 + 1 + 16 + d.n);
-    bw.put_byte(d.cls_id);
-    for (int i = 0; i < 16; ++i) bw.put_byte(d.bits[i]);
-    for (int i = 0; i < d.n; ++i) bw.put_byte(d.vals[i]);
-  }
-  put_marker(&bw, 0xDA);  // SOS
-  put_u16(&bw, 12);
-  bw.put_byte(3);
-  const uint8_t sos[6] = {1, 0x00, 2, 0x11, 3, 0x11};
-  for (uint8_t b : sos) bw.put_byte(b);
-  bw.put_byte(0);
-  bw.put_byte(63);
-  bw.put_byte(0);
+  write_headers(&bw, h, w, qlum, qchr);
 
   const int mcu_rows = (h + 15) / 16, mcu_cols = (w + 15) / 16;
   int pred_y = 0, pred_cb = 0, pred_cr = 0;
@@ -826,6 +833,86 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
       block_coeffs(cr, ch, cw, my * 8, mx * 8, qchr, zz);
       encode_block(&bw, zz, &pred_cr, dcc, acc_);
     }
+  }
+  bw.flush();
+  put_marker(&bw, 0xD9);  // EOI
+  if (bw.overflow) return 3;
+  *out_len = bw.pos;
+  return RPF_OK;
+}
+
+// Entropy-code a JFIF stream from device-sparsified quantized DCT
+// coefficients (io/jpegenc.py `_sparse_jit`): the device runs the fDCT +
+// quantization + zigzag, rewrites each DC as the delta against the
+// previous same-component block (MCU scan order — deltas are small on
+// natural images, so most fit one byte), and compacts every block to a
+// 64-bit nonzero-presence bitmap over zigzag positions plus its nonzero
+// values in ascending zigzag order. The value stream arrives as int8
+// with -128 as the escape marker: escaped values are taken, in stream
+// order, from the int16 `escapes` side channel. The tunnel therefore
+// carries ~1 byte per nonzero coefficient instead of dense YCbCr
+// planes. Blocks arrive in MCU scan order, 6 per MCU (Y tl, tr, bl, br,
+// Cb, Cr — the same walk rpf_jpeg_encode_ycc420 takes). counts[b] must
+// equal popcount(bitmap[b]) and every coefficient must fit its baseline
+// Huffman size category (<=11 bits DC diff, <=10 AC) — violations
+// return RPF_ERR_ARGS rather than emitting undefined symbols.
+int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
+                           const int8_t* values, int64_t nvalues,
+                           const int16_t* escapes, int64_t nescapes, int h,
+                           int w, int quality, uint8_t* out, int64_t out_cap,
+                           int64_t* out_len) {
+  using namespace jpg;
+  if (!counts || !bitmaps || !values || (!escapes && nescapes > 0) ||
+      !out || !out_len || h <= 0 || w <= 0 || h > 65535 || w > 65535)
+    return RPF_ERR_ARGS;
+
+  uint16_t qlum[64], qchr[64];
+  scale_qtbl(kQLum, quality, qlum);
+  scale_qtbl(kQChr, quality, qchr);
+  HuffTable dcl, dcc, acl, acc_;
+  build_huff(kDcLumBits, kDcVals, 12, &dcl);
+  build_huff(kDcChrBits, kDcVals, 12, &dcc);
+  build_huff(kAcLumBits, kAcLumVals, 162, &acl);
+  build_huff(kAcChrBits, kAcChrVals, 162, &acc_);
+
+  BitWriter bw{out, out_cap, 0, 0, 0, false};
+  write_headers(&bw, h, w, qlum, qchr);
+
+  const int64_t mcu_rows = (h + 15) / 16, mcu_cols = (w + 15) / 16;
+  const int64_t nblocks = mcu_rows * mcu_cols * 6;
+  int pred[3] = {0, 0, 0};
+  int64_t cur = 0, ecur = 0;
+  int16_t zz[64];
+  for (int64_t b = 0; b < nblocks && !bw.overflow; ++b) {
+    const uint64_t bm = static_cast<uint64_t>(bitmaps[2 * b]) |
+                        (static_cast<uint64_t>(bitmaps[2 * b + 1]) << 32);
+    const int n = counts[b];
+    if (n != __builtin_popcountll(bm) || cur + n > nvalues)
+      return RPF_ERR_ARGS;
+    std::memset(zz, 0, sizeof(zz));
+    for (uint64_t m = bm; m; m &= m - 1) {
+      const int8_t v8 = values[cur++];
+      int16_t v;
+      if (v8 == -128) {  // escape: the true value rides the i16 stream
+        if (ecur >= nescapes) return RPF_ERR_ARGS;
+        v = escapes[ecur++];
+      } else {
+        v = v8;
+      }
+      const int i = __builtin_ctzll(m);
+      // Baseline size categories: AC <= 10 bits; the DC slot holds a
+      // delta, bounded below after prediction. (Pixel-derived
+      // coefficients always fit; reject wire data that can't.)
+      if (i != 0 && bit_size(v) > 10) return RPF_ERR_ARGS;
+      zz[i] = v;
+    }
+    const int c6 = static_cast<int>(b % 6);
+    const int comp = c6 <= 3 ? 0 : c6 - 3;
+    // zz[0] is the device-computed delta; rebuild the absolute DC so
+    // encode_block's own prediction recomputes exactly this delta.
+    if (bit_size(zz[0]) > 11) return RPF_ERR_ARGS;
+    zz[0] = static_cast<int16_t>(pred[comp] + zz[0]);
+    encode_block(&bw, zz, &pred[comp], comp ? dcc : dcl, comp ? acc_ : acl);
   }
   bw.flush();
   put_marker(&bw, 0xD9);  // EOI

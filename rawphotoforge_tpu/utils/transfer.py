@@ -114,6 +114,40 @@ def fetch_np(arr, bands: int | None = None, threads: int | None = None
     return out.reshape(shape)
 
 
+def fetch_np_prefix(arr, n: int, band_bytes: int = _BAND_BYTES) -> np.ndarray:
+    """Fetch the first ``n`` elements of a device array (viewed flat).
+
+    Band boundaries are FIXED multiples of the band size, so the device
+    slice programs this mints are keyed on the band index alone and get
+    reused across calls with different ``n`` — a naive ``arr[:n]`` would
+    compile a fresh remote program for every distinct n (io/jpegenc's
+    sparse export fetches a different true length per image)."""
+    n = int(n)
+    dtype = np.dtype(arr.dtype)
+    if n <= 0:
+        return np.empty((0,), dtype=dtype)
+    if not _is_device_array(arr):
+        return np.asarray(arr).reshape(-1)[:n]
+    flat = arr.reshape(-1)
+    size = flat.shape[0]
+    n = min(n, size)
+    elems = max(1, band_bytes // dtype.itemsize)
+    nbands = -(-n // elems)
+    bounds = [min(i * elems, size) for i in range(nbands + 1)]
+    out = np.empty(bounds[-1], dtype=dtype)
+
+    def one(i):
+        a, b = bounds[i], bounds[i + 1]
+        out[a:b] = np.asarray(flat[a:b])
+
+    if nbands == 1:
+        one(0)
+    else:
+        with ThreadPoolExecutor(min(nbands, _MAX_THREADS)) as pool:
+            list(pool.map(one, range(nbands)))
+    return out[:n]
+
+
 @functools.cache
 def _to_u8_hwc_jit():
     import jax

@@ -80,7 +80,8 @@ def test_quality_scales_size_and_fidelity():
 def test_device_and_host_paths_agree():
     planes = _planes(40, 56)
     b_host = jpegenc.encode_jpeg(planes, quality=90)
-    b_dev = jpegenc.encode_jpeg(jnp.asarray(planes), quality=90)
+    b_dev = jpegenc.encode_jpeg(jnp.asarray(planes), quality=90,
+                                sparse=False)
     # Device rounding of the YCC planes can differ by the odd ulp; the
     # decoded images must agree essentially exactly.
     d_host = _decode(b_host).astype(np.int16)
@@ -94,6 +95,220 @@ def test_flat_color_is_near_exact():
     dec = _decode(data)
     src = np.full((32, 32, 3), round(0.42 * 255), dtype=np.uint8)
     assert np.abs(dec.astype(int) - src.astype(int)).max() <= 2
+
+
+# ---------------------------------------------------------------------------
+# Sparse-coefficient export path: device fDCT/quantize/sparsify + the
+# native from-sparse entropy coder (rpf_jpeg_encode_sparse).
+# ---------------------------------------------------------------------------
+
+
+def _synth_blocks(nblocks, seed=0):
+    """Synthetic quantized-coefficient blocks exercising every entropy
+    case: all-zero blocks (EOB-only), a lone high-zigzag coefficient
+    (ZRL chains), dense blocks, and magnitudes up to the baseline size
+    limits (|DC| <= 1016 keeps every DC diff within 11 bits)."""
+    rng = np.random.default_rng(seed)
+    blocks = np.zeros((nblocks, 64), dtype=np.int32)
+    for i in range(nblocks):
+        kind = i % 5
+        if kind == 0:
+            continue  # all-zero: DC diff 0 + EOB
+        if kind == 1:
+            blocks[i, 63] = int(rng.integers(1, 100))  # 62-zero run: 3 ZRLs
+            blocks[i, 0] = int(rng.integers(-1016, 1017))
+            continue
+        n = int(rng.integers(1, 64))
+        pos = rng.choice(64, size=n, replace=False)
+        blocks[i, pos] = rng.integers(-1023, 1024, size=n)
+        blocks[i, 0] = int(rng.integers(-1016, 1017))
+    return blocks
+
+
+def test_sparsify_device_equals_np_mirror():
+    blocks = _synth_blocks(60, seed=1)
+    _, _, sparsify = jpegenc._sparse_jit()
+    dc, db, dv, de, dt = map(np.asarray, sparsify(jnp.asarray(blocks)))
+    nc, nb, nv, ne, nt, net = jpegenc._sparsify_np(blocks)
+    assert [int(x) for x in dt] == [nt, net]
+    np.testing.assert_array_equal(dc, nc)
+    np.testing.assert_array_equal(db, nb)
+    np.testing.assert_array_equal(dv[:nt], nv)
+    np.testing.assert_array_equal(de[:net], ne)
+    assert not dv[nt:].any() and not de[net:].any()
+
+
+def test_full_device_equals_composed_np_mirror():
+    """full() == sparsify_np(dc_delta_np(blockify())) seeded from the
+    DEVICE blockify output — exact integer equality of the delta +
+    compaction stages end-to-end (no f32-vs-f64 DCT noise in the way)."""
+    planes = _planes(40, 56, kind="noise", seed=2)
+    full, blockify, _ = jpegenc._sparse_jit()
+    qlum, qchr = jpegenc._quant_tables(92)
+    ql, qc = jnp.asarray(qlum), jnp.asarray(qchr)
+    blocks = np.asarray(blockify(jnp.asarray(planes), ql, qc))
+    ref = jpegenc._sparsify_np(jpegenc._dc_delta_np(blocks))
+    dev = [np.asarray(x) for x in full(jnp.asarray(planes), ql, qc)]
+    np.testing.assert_array_equal(dev[0], ref[0])
+    np.testing.assert_array_equal(dev[1], ref[1])
+    np.testing.assert_array_equal(dev[2][: ref[4]], ref[2])
+    np.testing.assert_array_equal(dev[3][: ref[5]], ref[3])
+    assert [int(x) for x in dev[4]] == [ref[4], ref[5]]
+    # the delta stage leaves AC slots untouched and is the per-component
+    # MCU-order difference on the DC slot
+    deltas = jpegenc._dc_delta_np(blocks)
+    np.testing.assert_array_equal(deltas[:, 1:], blocks[:, 1:])
+    m = blocks.shape[0] // 6
+    ys = blocks.reshape(m, 6, 64)[:, :4, 0].reshape(-1)
+    dy = deltas.reshape(m, 6, 64)[:, :4, 0].reshape(-1)
+    assert dy[0] == ys[0]
+    np.testing.assert_array_equal(dy[1:], np.diff(ys))
+
+
+def test_device_blocks_track_f64_oracle():
+    planes = _planes(48, 64, kind="noise", seed=7)
+    _, blockify, _ = jpegenc._sparse_jit()
+    qlum, qchr = jpegenc._quant_tables(92)
+    dev = np.asarray(blockify(jnp.asarray(planes), jnp.asarray(qlum),
+                              jnp.asarray(qchr)))
+    ora = jpegenc._blocks_np(planes, 92)
+    diff = dev != ora
+    # f32-vs-f64 DCT: only quantization-boundary straddles may flip,
+    # and only ever by one step.
+    assert np.abs(dev - ora)[diff].max(initial=0) <= 1
+    assert diff.mean() < 0.005, diff.mean()
+
+
+def test_sparse_bitstream_identical_on_blockwise_constant_gray():
+    """Gray 16x16-constant tiles make every DCT exact (AC == 0, DC a
+    clean multiple), so the dense C encoder, the f64 numpy oracle, and
+    the f32 device path must all produce the SAME coefficients — and the
+    sparse entropy coder must then emit a byte-identical stream to the
+    dense one (same headers, same Huffman walk, same DC prediction)."""
+    rng = np.random.default_rng(5)
+    tiles = rng.choice(np.arange(0, 256, 16), size=(3, 4))
+    gray = np.kron(tiles, np.ones((16, 16))).astype(np.float32) / 255.0
+    planes = np.stack([gray, gray, gray])
+    y, cb, cr = jpegenc._to_ycc420_np(planes)
+    dense = native.jpeg_encode_ycc420(y, cb, cr, quality=92)
+
+    h, w = gray.shape
+    blocks = jpegenc._blocks_np(planes, 92)
+    counts, bitmaps, vals, esc, _, n_esc = jpegenc._sparsify_np(
+        jpegenc._dc_delta_np(blocks))
+    assert n_esc > 0  # 16-step tiles make some DC deltas escape the i8
+    from_oracle = native.jpeg_encode_sparse(counts, bitmaps, vals, esc,
+                                            h, w, quality=92)
+    assert from_oracle == dense
+
+    full, _, _ = jpegenc._sparse_jit()
+    qlum, qchr = jpegenc._quant_tables(92)
+    dc_, db_, dv_, de_, dt_ = full(jnp.asarray(planes), jnp.asarray(qlum),
+                                   jnp.asarray(qchr))
+    nv, ne = (int(x) for x in np.asarray(dt_))
+    from_device = native.jpeg_encode_sparse(
+        np.asarray(dc_), np.asarray(db_), np.asarray(dv_)[:nv],
+        np.asarray(de_)[:ne], h, w, quality=92)
+    assert from_device == dense
+
+
+def test_sparse_entropy_coder_vs_pil_luma_reconstruction():
+    """Feed crafted coefficient blocks straight to the entropy coder and
+    check PIL's decode against a float64 dequantize+IDCT oracle — an
+    independent end-to-end check of bitmap reconstruction, DC
+    prediction, ZRL/EOB runs, and byte stuffing. Chroma blocks are zero
+    (flat Cb=Cr=128) so subsampling upscale can't blur the comparison."""
+    mh, mw = 3, 4
+    h, w = mh * 16, mw * 16
+    nmcu = mh * mw
+    rng = np.random.default_rng(11)
+    blocks = np.zeros((nmcu * 6, 64), dtype=np.int32)
+    qlum, _ = jpegenc._quant_tables(92)
+    for mcu in range(nmcu):
+        for blk in range(4):  # luma only
+            i = mcu * 6 + blk
+            kind = i % 4
+            if kind == 0:
+                blocks[i, 0] = int(rng.integers(-300, 301))
+            elif kind == 1:
+                blocks[i, [0, 63]] = [int(rng.integers(-300, 301)), 7]
+            else:
+                n = int(rng.integers(1, 20))
+                pos = rng.choice(63, size=n, replace=False) + 1
+                # keep |dequantized AC| modest so pixels stay in range
+                blocks[i, pos] = rng.integers(-8, 9, size=n)
+                blocks[i, 0] = int(rng.integers(-300, 301))
+    counts, bitmaps, vals, esc, _, _ = jpegenc._sparsify_np(
+        jpegenc._dc_delta_np(blocks))
+    data = native.jpeg_encode_sparse(counts, bitmaps, vals, esc, h, w,
+                                     quality=92)
+    dec = _decode(data)
+    assert dec.shape == (h, w, 3)
+
+    # f64 oracle: inverse zigzag -> dequantize -> IDCT -> +128.
+    d = jpegenc._dct8(np.float64)
+    inv = np.argsort(jpegenc._ZIGZAG)
+    recon = np.zeros((h, w))
+    for mcu in range(nmcu):
+        my, mx = divmod(mcu, mw)
+        for blk in range(4):
+            dy, dx = divmod(blk, 2)
+            zz = blocks[mcu * 6 + blk].astype(np.float64)
+            coef = (zz[inv] * qlum).reshape(8, 8)
+            px = d.T @ coef @ d + 128.0
+            recon[my * 16 + dy * 8: my * 16 + dy * 8 + 8,
+                  mx * 16 + dx * 8: mx * 16 + dx * 8 + 8] = px
+    recon = np.clip(np.round(recon), 0, 255)
+    # Luma-only stream: decoded RGB is gray; compare the green channel.
+    assert np.abs(dec[:, :, 1].astype(np.float64) - recon).max() <= 2
+
+
+@pytest.mark.parametrize("h,w", [(64, 96), (33, 47), (17, 23), (8, 8)])
+def test_sparse_end_to_end_tracks_dense(h, w):
+    planes = _planes(h, w, kind="noise", seed=h * 100 + w)
+    src_u8 = (np.clip(planes, 0, 1) * 255.0).astype(np.uint8)
+    b_sparse = jpegenc.encode_jpeg(jnp.asarray(planes), quality=92,
+                                   sparse=True)
+    b_dense = jpegenc.encode_jpeg(planes, quality=92)
+    d_sparse = _decode(b_sparse)
+    assert d_sparse.shape == (h, w, 3)
+    # Same quality, same tables; only f32-vs-C-f32 DCT boundary flips
+    # separate the two streams.
+    sp = _psnr(d_sparse.transpose(2, 0, 1), src_u8)
+    dn = _psnr(_decode(b_dense).transpose(2, 0, 1), src_u8)
+    assert sp > dn - 1.0, (sp, dn)
+    assert b_sparse.startswith(b"\xff\xd8") and b_sparse.endswith(b"\xff\xd9")
+
+
+def test_sparse_rejects_malformed_wire_data():
+    blocks = _synth_blocks(12, seed=3)[:6]  # one 16x16 MCU -> 6 blocks
+    counts, bitmaps, vals, esc, nv, ne = jpegenc._sparsify_np(
+        jpegenc._dc_delta_np(blocks))
+    h = w = 16
+    assert ne > 0  # the synthetic blocks exercise the escape stream
+    # the valid wire data round-trips first (guards the fixtures)
+    ok = native.jpeg_encode_sparse(counts, bitmaps, vals, esc, h, w,
+                                   quality=92)
+    assert ok.startswith(b"\xff\xd8")
+    # counts/popcount mismatch
+    bad = counts.copy()
+    bad[0] += 1
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(bad, bitmaps, vals, esc, h, w, quality=92)
+    # an escaped AC value outside the 10-bit baseline size category
+    esc_bad = esc.copy()
+    esc_bad[-1] = 32000
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(counts, bitmaps, vals, esc_bad, h, w,
+                                  quality=92)
+    # a truncated escape stream
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(counts, bitmaps, vals, esc[:-1], h, w,
+                                  quality=92)
+    # wrong geometry
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(counts, bitmaps, vals, esc, 64, 64,
+                                  quality=92)
 
 
 def test_high_entropy_q100_grows_buffer():

@@ -81,3 +81,22 @@ def test_encode_image_device_equals_host_bytes():
         b_host = image_io.encode_image(planes, fmt, quality=92)
         b_dev = image_io.encode_image(jnp.asarray(planes), fmt, quality=92)
         assert b_host == b_dev, fmt
+
+
+def test_fetch_np_prefix_band_boundaries():
+    """Prefix fetch assembles fixed-boundary bands and trims to n."""
+    n_total = 5_000_000  # ~10 MB i16: spans two 8 MB-default bands at i16
+    host = np.arange(n_total, dtype=np.int16)
+    dev = jnp.asarray(host)
+    small_band = 1 << 20  # force multiple bands without a huge array
+    for n in (0, 1, 1000, small_band // 2 - 1, small_band // 2,
+              small_band, small_band + 7, n_total, n_total + 99):
+        got = transfer.fetch_np_prefix(dev, n, band_bytes=small_band)
+        np.testing.assert_array_equal(got, host[: min(n, n_total)])
+    # np input path
+    np.testing.assert_array_equal(
+        transfer.fetch_np_prefix(host, 17), host[:17])
+    # 2-D device input is viewed flat
+    dev2 = jnp.asarray(host[:64].reshape(8, 8))
+    np.testing.assert_array_equal(
+        transfer.fetch_np_prefix(dev2, 10), host[:10])
