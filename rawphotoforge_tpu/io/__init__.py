@@ -8,7 +8,8 @@ Public surface (each re-exported from its module):
 * cr2: read_cr2
 * raw: read_raw / parse_raw / is_raw_image / synthetic_raw
 * ljpeg: ITU-T.81 lossless-JPEG codec (decode / encode)
-* jpegenc: encode_jpeg — device-side YCbCr 4:2:0 + native baseline JPEG
+* jpegenc: encode_jpeg — device-side DCT/quantization + sparse-coefficient
+  fetch + native baseline-JPEG entropy coder (dense-YCbCr fallback)
 * lensdb: LensDatabase (lensfun-XML profiles, EXIF auto-resolution)
 """
 

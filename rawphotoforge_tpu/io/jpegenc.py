@@ -1,14 +1,19 @@
-"""JPEG export fast path: device-side YCbCr 4:2:0 + native encoder.
+"""JPEG export fast path: device-side DCT + sparse fetch + native encoder.
 
 The general export path (io/image_io.encode_image) fetches u8 RGB and
 encodes with Pillow — 3 bytes/pixel over the device->host link. This
-module moves the JFIF color conversion and chroma subsampling onto the
-device, so the link carries 1.5 bytes/pixel (Y full-res + Cb/Cr quarter
-res), then entropy-encodes in C++ (native/rpf_native.cpp
-rpf_jpeg_encode_ycc420). On the tunneled TPU backend that halves export
-fetch time; on any backend it removes Pillow from the batch-export hot
-loop. Reference counterpart: image.rs:482-511 (u8 quantize + `image`
-crate encode).
+module moves the whole lossy half of baseline JPEG onto the device:
+JFIF color conversion, 4:2:0 chroma subsampling, the 8x8 fDCT,
+libjpeg-convention quantization, zigzag, per-component DC-delta, and
+sparsity compaction — so the link carries only the NONZERO quantized
+coefficients (int8 values with an int16 escape side stream + per-block
+presence bitmaps, ~0.4-0.6 B/px on natural images vs 1.5 B/px dense
+YCbCr or 3 B/px u8 RGB). The native entropy coder
+(native/rpf_native.cpp rpf_jpeg_encode_sparse) reconstructs blocks from
+the bitmaps and emits the JFIF stream; rpf_jpeg_encode_ycc420 is the
+dense host/fallback path (same headers, same tables — byte-identical
+output when the coefficients agree). Reference counterpart:
+image.rs:482-511 (u8 quantize + `image` crate encode).
 
 Output is standard baseline JFIF (SOF0, 4:2:0, Annex K tables) —
 decodable everywhere; quality semantics follow the common libjpeg
@@ -437,6 +442,14 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
     from ..utils.transfer import _is_device_array, fetch_np
 
     stage = on_stage or (lambda _name: None)
+    if sparse and not (native.available() and _is_device_array(planes)):
+        # An explicit sparse request that can't be satisfied must fail
+        # loudly, not silently hand back dense-path bytes.
+        raise RuntimeError(
+            "sparse JPEG export requires a device array and the native "
+            "library; got "
+            + ("host array" if not _is_device_array(planes)
+               else "no native library"))
     if not native.available():
         from .image_io import encode_image
 

@@ -909,9 +909,14 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
     const int c6 = static_cast<int>(b % 6);
     const int comp = c6 <= 3 ? 0 : c6 - 3;
     // zz[0] is the device-computed delta; rebuild the absolute DC so
-    // encode_block's own prediction recomputes exactly this delta.
+    // encode_block's own prediction recomputes exactly this delta. Both
+    // the delta AND the accumulated absolute DC must fit the 11-bit DC
+    // category — validating only the delta would let hostile wire walk
+    // pred past int16 and emit a corrupt stream as RPF_OK.
     if (bit_size(zz[0]) > 11) return RPF_ERR_ARGS;
-    zz[0] = static_cast<int16_t>(pred[comp] + zz[0]);
+    const int dc_abs = pred[comp] + zz[0];
+    if (bit_size(dc_abs) > 11) return RPF_ERR_ARGS;
+    zz[0] = static_cast<int16_t>(dc_abs);
     encode_block(&bw, zz, &pred[comp], comp ? dcc : dcl, comp ? acc_ : acl);
   }
   bw.flush();

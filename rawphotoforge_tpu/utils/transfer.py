@@ -124,13 +124,13 @@ def fetch_np_prefix(arr, n: int, band_bytes: int = _BAND_BYTES) -> np.ndarray:
     sparse export fetches a different true length per image)."""
     n = int(n)
     dtype = np.dtype(arr.dtype)
+    n = min(n, int(np.prod(arr.shape, dtype=np.int64)))
     if n <= 0:
         return np.empty((0,), dtype=dtype)
     if not _is_device_array(arr):
         return np.asarray(arr).reshape(-1)[:n]
     flat = arr.reshape(-1)
     size = flat.shape[0]
-    n = min(n, size)
     elems = max(1, band_bytes // dtype.itemsize)
     nbands = -(-n // elems)
     bounds = [min(i * elems, size) for i in range(nbands + 1)]

@@ -309,6 +309,32 @@ def test_sparse_rejects_malformed_wire_data():
     with pytest.raises(ValueError):
         native.jpeg_encode_sparse(counts, bitmaps, vals, esc, 64, 64,
                                   quality=92)
+    # explicit sparse=True on a host array must refuse, not silently
+    # hand back dense-path bytes
+    with pytest.raises(RuntimeError):
+        jpegenc.encode_jpeg(np.zeros((3, 16, 16), np.float32), sparse=True)
+
+
+def test_sparse_rejects_dc_accumulation_overflow():
+    """Per-block deltas that each fit 11 bits can still walk the
+    accumulated DC out of its category; the coder must reject the wire
+    instead of wrapping int16 and emitting a corrupt stream as OK
+    (review finding)."""
+    mh = mw = 2  # 4 MCUs -> 16 luma blocks: enough to walk past 2047
+    nblocks = mh * mw * 6
+    counts = np.zeros(nblocks, dtype=np.uint8)
+    bitmaps = np.zeros((nblocks, 2), dtype=np.uint32)
+    vals8, esc = [], []
+    for b in range(nblocks):
+        if b % 6 < 4:  # every luma block: DC delta +2047 (escaped)
+            counts[b] = 1
+            bitmaps[b, 0] = 1
+            vals8.append(-128)
+            esc.append(2047)
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(
+            counts, bitmaps, np.array(vals8, np.int8),
+            np.array(esc, np.int16), mh * 16, mw * 16, quality=92)
 
 
 def test_high_entropy_q100_grows_buffer():

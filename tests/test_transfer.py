@@ -100,3 +100,7 @@ def test_fetch_np_prefix_band_boundaries():
     dev2 = jnp.asarray(host[:64].reshape(8, 8))
     np.testing.assert_array_equal(
         transfer.fetch_np_prefix(dev2, 10), host[:10])
+    # empty device array with n > 0 (review finding: n must clamp to
+    # size BEFORE the early-out, or the band math divides by zero)
+    empty = transfer.fetch_np_prefix(jnp.zeros((0,), jnp.int16), 5)
+    assert empty.shape == (0,) and empty.dtype == np.int16
