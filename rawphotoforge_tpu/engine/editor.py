@@ -746,54 +746,68 @@ class PhotoEditor:
         """
         cached = self._rendered.get(level)
         if cached is None or cached[0] != self._version:
-            params = self._packed_params(level)
-            geo = self._geo_at(level)
-            if self._use_exact_path():
-                # Single-mask sessions skip the mask stack here too (the
-                # all-ones main row is elided bit-identically; no
-                # [1, H, W] device ones array — same as the kernel path).
-                out = dev.develop_post_geo_jit(
-                    geo, params,
-                    None if len(self.masks) == 1 else self._masks_at(level))
-            else:
-                from ..kernels import fused
-
-                # Untouched curves take the staircase-shortcut kernel
-                # variants, per curve family: default brightness curves
-                # skip the three packed-PCHIP sweeps, default hue/sat/
-                # light curves additionally skip the whole OKLCH round
-                # trip they barely perturb (identity_oklch: <= ~2e-3
-                # deviation, sub-u8-quantization after encode). The flags
-                # are independent, so dragging the tone curve — the most
-                # common curve edit — still skips the OKLCH trip.
-                db = all(
-                    m.params.curves[BRIGHTNESS].is_default(BRIGHTNESS)
-                    for m in self.masks
-                )
-                doc = all(
-                    m.params.curves[slot].is_default(slot)
-                    for m in self.masks
-                    for slot in (HUE, SATURATION, LIGHTNESS)
-                )
-                out = fused.develop_post_geo_fused(
-                    geo, params,
-                    # Single-mask sessions skip the mask array entirely
-                    # (None — not even built); the kernel elides the
-                    # all-ones main mask.
-                    None if len(self.masks) == 1 else self._masks_at(level),
-                    main_mask_all_ones=True,
-                    default_bright_curves=db,
-                    default_oklch_curves=doc,
-                    identity_oklch=doc,
-                )
+            out = self._render_padded(level)
             h, w = self._extents[level]
-            out = out[:, :h, :w]
-            self._rendered[level] = (self._version, out)
+            self._rendered[level] = (self._version, out[:, :h, :w])
         out = self._rendered[level][1]
         cs = self._crop_slice(level) if cropped else None
         if cs is not None:
             out = out[:, cs[0]:cs[1], cs[2]:cs[3]]
         return out
+
+    def apply_padded(self, level: str = FULL):
+        """The BUCKET-PADDED render + true extent: ``(planes [3, Hb, Wb],
+        (h, w))`` — the pre-slice buffer ``apply`` caches the true-extent
+        slice of. Export paths that can consume padded frames
+        (io/jpegenc's sparse JPEG export walks the padded MCU grid and
+        emits only true blocks) stay bucket-stable end-to-end: no device
+        program keys on the per-image extent. Not cached — the develop
+        programs are already compiled and a FULL re-render is
+        milliseconds of device time per export."""
+        return self._render_padded(level), self._extents[level]
+
+    def _render_padded(self, level: str) -> jax.Array:
+        """Render the edit stack at ``level`` on the bucket-padded grid
+        (pad region = developed reflect/edge-padded content)."""
+        params = self._packed_params(level)
+        geo = self._geo_at(level)
+        if self._use_exact_path():
+            # Single-mask sessions skip the mask stack here too (the
+            # all-ones main row is elided bit-identically; no
+            # [1, H, W] device ones array — same as the kernel path).
+            return dev.develop_post_geo_jit(
+                geo, params,
+                None if len(self.masks) == 1 else self._masks_at(level))
+        from ..kernels import fused
+
+        # Untouched curves take the staircase-shortcut kernel
+        # variants, per curve family: default brightness curves
+        # skip the three packed-PCHIP sweeps, default hue/sat/
+        # light curves additionally skip the whole OKLCH round
+        # trip they barely perturb (identity_oklch: <= ~2e-3
+        # deviation, sub-u8-quantization after encode). The flags
+        # are independent, so dragging the tone curve — the most
+        # common curve edit — still skips the OKLCH trip.
+        db = all(
+            m.params.curves[BRIGHTNESS].is_default(BRIGHTNESS)
+            for m in self.masks
+        )
+        doc = all(
+            m.params.curves[slot].is_default(slot)
+            for m in self.masks
+            for slot in (HUE, SATURATION, LIGHTNESS)
+        )
+        return fused.develop_post_geo_fused(
+            geo, params,
+            # Single-mask sessions skip the mask array entirely
+            # (None — not even built); the kernel elides the
+            # all-ones main mask.
+            None if len(self.masks) == 1 else self._masks_at(level),
+            main_mask_all_ones=True,
+            default_bright_curves=db,
+            default_oklch_curves=doc,
+            identity_oklch=doc,
+        )
 
     def histogram(self, level: str = MID) -> np.ndarray:
         """[4, 256] R/G/B/gray histogram of the current render at ``level``

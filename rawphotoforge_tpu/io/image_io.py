@@ -480,6 +480,26 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
         hwc = hcrop(fetch_np(lin).transpose(1, 2, 0))
         stage("encode")
         return encode_ppm16(hwc)
+    if fmt == "JPEG" and host_crop is None:
+        from .. import native
+        from ..utils.transfer import _is_device_array
+
+        # native.available() guard: without it encode_jpeg's own
+        # no-native fallback is THIS function — infinite recursion.
+        if native.available() and _is_device_array(planes):
+            # Device-array JPEG: the sparse-coefficient fast path
+            # (io/jpegenc — device fDCT/quantization, only nonzero
+            # coefficients over the link, ~6x under the u8 RGB fetch
+            # below; every JPEG caller takes it once, instead of
+            # re-dispatching the routing at each call site). Cropped
+            # exports (host_crop) keep the u8 path — DCT blocks can't be
+            # sliced to an arbitrary rect post-hoc. Host np inputs keep
+            # the byte-deterministic Pillow encode.
+            from . import jpegenc
+
+            return jpegenc.encode_jpeg(planes, quality=quality,
+                                       exif_bytes=exif_bytes,
+                                       on_stage=on_stage)
     # Quantize on device + parallel banded fetch: the tunnel moves 1
     # byte/sample instead of 4 (utils/transfer.py).
     stage("fetch")

@@ -392,18 +392,45 @@ def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
 
 _sparse_fallback_warned = False
 
+# Export compile bucket — mirrors engine/editor.SHAPE_BUCKET (not imported:
+# io must not depend on engine). encode_jpeg pads device inputs up to
+# multiples of this so the expensive sparse program (DCT + sorts +
+# searchsorted compactions) is keyed on bucket shapes and compiles once
+# per bucket, not once per image extent; only a trivial edge-pad program
+# keys on the extent. Any multiple of 16 keeps the MCU grid exact.
+_EXPORT_BUCKET = 128
 
-def _encode_sparse_device(planes, quality: int, stage=None) -> bytes:
+
+def _encode_sparse_device(planes, quality: int, stage=None,
+                          true_shape=None) -> bytes:
     """Device-side fDCT/quantize/sparsify -> banded fetch of the nonzero
     coefficient stream -> native entropy coder. The link carries the
-    per-block bitmaps/counts (~0.23 B/px) plus 2 B per nonzero
-    coefficient instead of 1.5 B/px of dense YCbCr."""
+    per-block bitmaps/counts (~0.23 B/px) plus ~1 B per nonzero
+    coefficient instead of 1.5 B/px of dense YCbCr.
+
+    ``true_shape``: (h, w) of the real image when ``planes`` is a
+    bucket-padded render — the value stream is fetched only up to the
+    last true-image block (host-computed from the fetched counts), and
+    the native coder walks the padded grid while emitting only
+    true-image blocks."""
     import jax.numpy as jnp
 
     from .. import native
     from ..utils.transfer import fetch_np, fetch_np_prefix
 
     stage = stage or (lambda _name: None)
+    _, ph, pw = planes.shape
+    h, w = (ph, pw) if true_shape is None else (
+        int(true_shape[0]), int(true_shape[1]))
+    if true_shape is not None:
+        if ph % 16 or pw % 16:
+            raise ValueError(
+                f"padded planes must be MCU-aligned (multiples of 16), "
+                f"got {ph}x{pw}")
+        if h > ph or w > pw:
+            raise ValueError(
+                f"true_shape {h}x{w} exceeds planes {ph}x{pw}")
+    padded = (h, w) != (ph, pw)
     full, _, _ = _sparse_jit()
     qlum, qchr = _quant_tables(quality)
     counts, bitmaps, vals, escapes, totals = full(
@@ -412,22 +439,33 @@ def _encode_sparse_device(planes, quality: int, stage=None) -> bytes:
     n, n_esc = (int(v) for v in np.asarray(totals))
     from concurrent.futures import ThreadPoolExecutor
 
+    grid = None
     with ThreadPoolExecutor(3) as pool:
         fc = pool.submit(fetch_np, counts)
         fb = pool.submit(fetch_np, bitmaps)
         fe = pool.submit(fetch_np_prefix, escapes, n_esc)
+        if padded:
+            # The value prefix ends at the last true-image block; the
+            # trailing padding rows' values never cross the link.
+            grid = (ph // 16, pw // 16)
+            mcu_r, mcu_c = -(-h // 16), -(-w // 16)
+            host_counts = fc.result()
+            last = ((mcu_r - 1) * grid[1] + (mcu_c - 1)) * 6 + 5
+            n = int(host_counts[: last + 1].astype(np.int64).sum())
         host_vals = fetch_np_prefix(vals, n)
-        host_counts, host_bitmaps = fc.result(), fb.result()
+        if not padded:
+            host_counts = fc.result()
+        host_bitmaps = fb.result()
         host_esc = fe.result()
-    _, h, w = planes.shape
     stage("encode")
     return native.jpeg_encode_sparse(
         host_counts, host_bitmaps, host_vals, host_esc, h, w,
-        quality=quality)
+        quality=quality, grid=grid)
 
 
 def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
-                sparse: bool | None = None, on_stage=None) -> bytes:
+                sparse: bool | None = None, on_stage=None,
+                true_shape=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> baseline JFIF bytes.
 
     Device inputs run the whole DCT/quantization on device and fetch
@@ -437,6 +475,14 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
     unavailable. An ``exif_bytes`` payload (raw blob or
     io/image_io.build_exif_bytes output) is spliced in as the APP1
     segment.
+
+    BUCKET STABILITY: device inputs whose extent is not a multiple of
+    _EXPORT_BUCKET are edge-padded on device first, so the expensive
+    sparse program compiles once per bucket shape, never per image
+    extent (only a trivial pad program keys on the extent — remote
+    compiles are 10-400 s, CLAUDE.md). Callers that already hold a
+    bucket-padded render (engine/editor.apply_padded) pass it with
+    ``true_shape`` = the real extent and skip even that.
     """
     from .. import native
     from ..utils.transfer import _is_device_array, fetch_np
@@ -453,13 +499,27 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
     if not native.available():
         from .image_io import encode_image
 
+        if true_shape is not None:
+            h, w = int(true_shape[0]), int(true_shape[1])
+            planes = planes[:, :h, :w]
         return encode_image(planes, "JPEG", quality=quality,
                             exif_bytes=exif_bytes, on_stage=on_stage)
     body = None
     if _is_device_array(planes):
+        _, ph, pw = planes.shape
+        if true_shape is None and (ph % _EXPORT_BUCKET
+                                   or pw % _EXPORT_BUCKET):
+            import jax.numpy as jnp
+
+            planes = jnp.pad(
+                planes,
+                ((0, 0), (0, (-ph) % _EXPORT_BUCKET),
+                 (0, (-pw) % _EXPORT_BUCKET)), mode="edge")
+            true_shape = (ph, pw)
         if sparse or sparse is None:
             try:
-                body = _encode_sparse_device(planes, quality, stage)
+                body = _encode_sparse_device(planes, quality, stage,
+                                             true_shape=true_shape)
             except Exception:
                 if sparse:  # explicit request: surface the failure
                     raise
@@ -485,8 +545,18 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
                 y = fetch_np(y)
                 cb, cr = fcb.result(), fcr.result()
             stage("encode")
+            if true_shape is not None:
+                # Padded render: slice the fetched planes back to the
+                # true extent on the host (free next to the fetch).
+                h, w = int(true_shape[0]), int(true_shape[1])
+                y = y[:h, :w]
+                cb = cb[: (h + 1) // 2, : (w + 1) // 2]
+                cr = cr[: (h + 1) // 2, : (w + 1) // 2]
             body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)
     else:
+        if true_shape is not None:
+            h, w = int(true_shape[0]), int(true_shape[1])
+            planes = np.asarray(planes)[:, :h, :w]
         y, cb, cr = _to_ycc420_np(planes)
         stage("encode")
         body = native.jpeg_encode_ycc420(y, cb, cr, quality=quality)

@@ -79,7 +79,7 @@ def _load():
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lib.rpf_jpeg_encode_sparse.argtypes = [
-        u8p, u32p, i8p, c64, i16p, c64, c, c, c, u8p, c64,
+        u8p, u32p, i8p, c64, i16p, c64, c, c, c, c, c, u8p, c64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.rpf_jpeg_encode_sparse.restype = c
     lib.rpf_jpeg_encode_ycc420.argtypes = [
@@ -277,13 +277,18 @@ def jpeg_encode_ycc420(y, cb, cr, quality: int = 92) -> bytes:
 
 
 def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
-                       quality: int = 92) -> bytes:
+                       quality: int = 92, grid=None) -> bytes:
     """Baseline JFIF 4:2:0 entropy-encode from device-sparsified
     quantized DCT coefficients (io/jpegenc.encode_jpeg's sparse path:
     per-block zigzag presence bitmaps + the nonzero values as int8 with
     -128 escaping to the int16 ``escapes`` stream, DC slots carrying
     same-component deltas, all in MCU scan order — the
-    fDCT/quantization already happened on the device)."""
+    fDCT/quantization already happened on the device).
+
+    ``grid``: optional (mcu_rows, mcu_cols) of the BUCKET-PADDED grid
+    the coefficient arrays cover when it exceeds the true image's
+    ceil(h/16) x ceil(w/16) (bucket-stable exports); padding blocks are
+    walked for stream alignment but not emitted."""
     import ctypes as _ct
 
     lib = _load()
@@ -294,11 +299,13 @@ def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
     values = np.ascontiguousarray(values, dtype=np.int8)
     escapes = np.ascontiguousarray(escapes, dtype=np.int16)
     h, w = int(h), int(w)
-    nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
+    gr, gc = ((h + 15) // 16, (w + 15) // 16) if grid is None else (
+        int(grid[0]), int(grid[1]))
+    nblocks = gr * gc * 6
     if counts.shape != (nblocks,) or bitmaps.shape != (nblocks, 2):
         raise ValueError(
             f"expected counts ({nblocks},) and bitmaps ({nblocks}, 2) for "
-            f"{h}x{w}, got {counts.shape}/{bitmaps.shape}")
+            f"grid {gr}x{gc} MCUs, got {counts.shape}/{bitmaps.shape}")
     out_len = _ct.c_int64(0)
     rc = 3
     for bpp in (2, 4, 10):
@@ -306,7 +313,7 @@ def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
         out = np.empty(cap, dtype=np.uint8)
         rc = lib.rpf_jpeg_encode_sparse(
             counts, bitmaps, values, values.size, escapes, escapes.size,
-            h, w, int(quality), out, cap, _ct.byref(out_len))
+            h, w, gr, gc, int(quality), out, cap, _ct.byref(out_len))
         if rc != 3:
             break
     if rc != 0:

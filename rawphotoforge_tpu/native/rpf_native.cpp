@@ -851,19 +851,35 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
 // with -128 as the escape marker: escaped values are taken, in stream
 // order, from the int16 `escapes` side channel. The tunnel therefore
 // carries ~1 byte per nonzero coefficient instead of dense YCbCr
-// planes. Blocks arrive in MCU scan order, 6 per MCU (Y tl, tr, bl, br,
-// Cb, Cr — the same walk rpf_jpeg_encode_ycc420 takes). counts[b] must
-// equal popcount(bitmap[b]) and every coefficient must fit its baseline
-// Huffman size category (<=11 bits DC diff, <=10 AC) — violations
-// return RPF_ERR_ARGS rather than emitting undefined symbols.
+// planes.
+//
+// BUCKET-STABLE GRIDS: the device programs key on bucket-padded shapes
+// (engine/editor.py SHAPE_BUCKET), so the coefficient arrays may cover
+// a LARGER MCU grid (grid_mcu_rows x grid_mcu_cols) than the true image
+// (h x w). The walk visits every grid block of the first
+// ceil(h/16) MCU rows in device order — consuming its values and
+// replaying its DC delta to keep the prediction chain aligned — but
+// emits only blocks whose MCU column is inside the true image. With
+// edge-replicated padding the stream matches a direct encode of the
+// true image byte-for-byte (tested; the one caveat is even-extent
+// boundary chroma, where the direct path's final 2x2 average spans two
+// distinct pixel rows/cols while the padded image replicates one — a
+// sub-visible content difference confined to the boundary blocks). Blocks are 6 per MCU (Y tl, tr, bl, br, Cb, Cr — the
+// same walk rpf_jpeg_encode_ycc420 takes). counts[b] must equal
+// popcount(bitmap[b]) and every coefficient must fit its baseline
+// Huffman size category (<=11 bits DC, <=10 AC) — violations return
+// RPF_ERR_ARGS rather than emitting undefined symbols.
 int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
                            const int8_t* values, int64_t nvalues,
                            const int16_t* escapes, int64_t nescapes, int h,
-                           int w, int quality, uint8_t* out, int64_t out_cap,
+                           int w, int grid_mcu_rows, int grid_mcu_cols,
+                           int quality, uint8_t* out, int64_t out_cap,
                            int64_t* out_len) {
   using namespace jpg;
+  const int mcu_rows = (h + 15) / 16, mcu_cols = (w + 15) / 16;
   if (!counts || !bitmaps || !values || (!escapes && nescapes > 0) ||
-      !out || !out_len || h <= 0 || w <= 0 || h > 65535 || w > 65535)
+      !out || !out_len || h <= 0 || w <= 0 || h > 65535 || w > 65535 ||
+      grid_mcu_rows < mcu_rows || grid_mcu_cols < mcu_cols)
     return RPF_ERR_ARGS;
 
   uint16_t qlum[64], qchr[64];
@@ -878,12 +894,20 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
   BitWriter bw{out, out_cap, 0, 0, 0, false};
   write_headers(&bw, h, w, qlum, qchr);
 
-  const int64_t mcu_rows = (h + 15) / 16, mcu_cols = (w + 15) / 16;
-  const int64_t nblocks = mcu_rows * mcu_cols * 6;
-  int pred[3] = {0, 0, 0};
+  // chain[] accumulates absolute DCs over EVERY walked grid block (the
+  // device's delta chain runs over the whole grid); pred[] tracks only
+  // EMITTED blocks — encode_block recomputes the true image's own DC
+  // differences from the reconstructed absolutes.
+  int pred[3] = {0, 0, 0}, chain[3] = {0, 0, 0};
   int64_t cur = 0, ecur = 0;
   int16_t zz[64];
-  for (int64_t b = 0; b < nblocks && !bw.overflow; ++b) {
+  // The walk ends right AFTER the last true-image block: the device
+  // value stream is fetched only up to that prefix (io/jpegenc), so the
+  // final row's trailing padding columns — and all padding rows — must
+  // not be consumed.
+  const int64_t nwalk =
+      ((static_cast<int64_t>(mcu_rows - 1) * grid_mcu_cols) + mcu_cols) * 6;
+  for (int64_t b = 0; b < nwalk && !bw.overflow; ++b) {
     const uint64_t bm = static_cast<uint64_t>(bitmaps[2 * b]) |
                         (static_cast<uint64_t>(bitmaps[2 * b + 1]) << 32);
     const int n = counts[b];
@@ -901,7 +925,7 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
       }
       const int i = __builtin_ctzll(m);
       // Baseline size categories: AC <= 10 bits; the DC slot holds a
-      // delta, bounded below after prediction. (Pixel-derived
+      // delta, bounded below after accumulation. (Pixel-derived
       // coefficients always fit; reject wire data that can't.)
       if (i != 0 && bit_size(v) > 10) return RPF_ERR_ARGS;
       zz[i] = v;
@@ -909,14 +933,18 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
     const int c6 = static_cast<int>(b % 6);
     const int comp = c6 <= 3 ? 0 : c6 - 3;
     // zz[0] is the device-computed delta; rebuild the absolute DC so
-    // encode_block's own prediction recomputes exactly this delta. Both
-    // the delta AND the accumulated absolute DC must fit the 11-bit DC
-    // category — validating only the delta would let hostile wire walk
-    // pred past int16 and emit a corrupt stream as RPF_OK.
+    // encode_block's own prediction recomputes the emitted delta. The
+    // delta, the accumulated absolute, AND the emitted difference must
+    // all fit the 11-bit DC category — validating only the delta would
+    // let hostile wire walk the accumulator past int16 and emit a
+    // corrupt stream as RPF_OK.
     if (bit_size(zz[0]) > 11) return RPF_ERR_ARGS;
-    const int dc_abs = pred[comp] + zz[0];
-    if (bit_size(dc_abs) > 11) return RPF_ERR_ARGS;
-    zz[0] = static_cast<int16_t>(dc_abs);
+    chain[comp] += zz[0];
+    if (bit_size(chain[comp]) > 11) return RPF_ERR_ARGS;
+    const int64_t mcu = b / 6;
+    if (mcu % grid_mcu_cols >= mcu_cols) continue;  // padding column
+    if (bit_size(chain[comp] - pred[comp]) > 11) return RPF_ERR_ARGS;
+    zz[0] = static_cast<int16_t>(chain[comp]);
     encode_block(&bw, zz, &pred[comp], comp ? dcc : dcl, comp ? acc_ : acl);
   }
   bw.flush();

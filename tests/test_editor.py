@@ -672,3 +672,22 @@ def test_instant_histogram_luma_matches_device_weights():
         img.astype(np.float32).transpose(2, 0, 1) / 255.0)
     dev_h = np.asarray(histogram_rgbl(planes))
     assert dev_h[3].argmax() == 76
+
+
+def test_apply_padded_matches_apply(rng):
+    """apply_padded returns the bucket-padded render whose true region
+    is exactly apply(cropped=False) — the bucket-stable export seam
+    (io/jpegenc sparse JPEG)."""
+    ed = make_editor(rng, h=40, w=64)
+    ed.set_tone(exposure=0.6, contrast=20)
+    ed.set_vignette(30)
+    padded, (h, w) = ed.apply_padded(FULL)
+    assert (h, w) == (40, 64)
+    assert padded.shape[1] % 128 == 0 and padded.shape[2] % 128 == 0
+    np.testing.assert_array_equal(
+        np.asarray(padded[:, :h, :w]),
+        np.asarray(ed.apply(FULL, cropped=False)))
+    # crop rects do not leak into the padded render
+    ed.set_crop(4, 4, 32, 24)
+    padded2, _ = ed.apply_padded(FULL)
+    assert padded2.shape == padded.shape

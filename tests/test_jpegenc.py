@@ -315,6 +315,55 @@ def test_sparse_rejects_malformed_wire_data():
         jpegenc.encode_jpeg(np.zeros((3, 16, 16), np.float32), sparse=True)
 
 
+@pytest.mark.parametrize("h,w", [(40, 56), (33, 47), (17, 129)])
+def test_padded_grid_bitstream_identical_to_direct(h, w):
+    """Bucket-stable exports: edge-padding a device render to the 128
+    bucket and encoding with true_shape must produce the SAME JFIF bytes
+    as encoding the true-extent planes directly — the grid walk skips
+    padding blocks while replaying their DC deltas, and edge padding
+    reproduces exactly the per-pixel clamp the direct path applies in
+    boundary MCUs. The last row/column pair is made uniform first: with
+    even extents the direct path's final chroma sample averages two
+    DIFFERENT pixel rows while the padded image's replicas average one —
+    a sub-visible boundary-chroma content difference orthogonal to the
+    grid-walk logic this test gates."""
+    planes = _planes(h, w, kind="noise", seed=h + w).copy()
+    planes[:, -1, :] = planes[:, -2, :]
+    planes[:, :, -1] = planes[:, :, -2]
+    # the UNPADDED reference: grid == true grid (bypasses encode_jpeg's
+    # auto-bucketing, which would otherwise make this comparison
+    # tautological)
+    direct = jpegenc._encode_sparse_device(jnp.asarray(planes), 92)
+    pad = ((0, 0), (0, (-h) % 128), (0, (-w) % 128))
+    padded = np.pad(planes, pad, mode="edge")
+    via_padded = jpegenc.encode_jpeg(jnp.asarray(padded), quality=92,
+                                     sparse=True, true_shape=(h, w))
+    assert via_padded == direct
+    # and encode_jpeg's own internal bucketing (device input, no
+    # true_shape) pads on device and lands on the same bytes
+    auto = jpegenc.encode_jpeg(jnp.asarray(planes), quality=92)
+    assert auto == direct
+
+
+def test_encode_image_routes_device_jpeg_through_sparse():
+    """image_io.encode_image centralizes the JPEG fast-path routing
+    (review finding): a device array with no host_crop must produce the
+    sparse encoder's bytes, not the Pillow u8-RGB path's."""
+    from rawphotoforge_tpu.io import image_io
+
+    planes = _planes(48, 64, kind="noise", seed=4)
+    via_image_io = image_io.encode_image(jnp.asarray(planes), "JPEG",
+                                         quality=92)
+    via_jpegenc = jpegenc.encode_jpeg(jnp.asarray(planes), quality=92)
+    assert via_image_io == via_jpegenc
+    # host_crop callers keep the crop-stable dense route — output is a
+    # valid JPEG of the cropped extent
+    cropped = image_io.encode_image(jnp.asarray(planes), "JPEG",
+                                    quality=92, host_crop=(4, 36, 8, 56))
+    dec = _decode(cropped)
+    assert dec.shape == (32, 48, 3)
+
+
 def test_sparse_rejects_dc_accumulation_overflow():
     """Per-block deltas that each fit 11 bits can still walk the
     accumulated DC out of its category; the coder must reject the wire

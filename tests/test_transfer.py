@@ -77,10 +77,23 @@ def test_encode_image_device_equals_host_bytes():
 
     rng = np.random.default_rng(3)
     planes = rng.random((3, 33, 47)).astype(np.float32)
-    for fmt in ("PNG", "JPEG", "PPM16"):
+    for fmt in ("PNG", "PPM16"):
         b_host = image_io.encode_image(planes, fmt, quality=92)
         b_dev = image_io.encode_image(jnp.asarray(planes), fmt, quality=92)
         assert b_host == b_dev, fmt
+    # JPEG: the device path routes through the sparse-coefficient
+    # encoder (different DCT rounding than Pillow's) — decoded pixels,
+    # not bytes, must agree.
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    b_host = image_io.encode_image(planes, "JPEG", quality=92)
+    b_dev = image_io.encode_image(jnp.asarray(planes), "JPEG", quality=92)
+    d_host = np.array(PILImage.open(_io.BytesIO(b_host)).convert("RGB"))
+    d_dev = np.array(PILImage.open(_io.BytesIO(b_dev)).convert("RGB"))
+    assert d_dev.shape == (33, 47, 3)
+    assert np.abs(d_host.astype(int) - d_dev.astype(int)).mean() < 3.0
 
 
 def test_fetch_np_prefix_band_boundaries():
