@@ -948,10 +948,24 @@ class PhotoEditor:
         # Full-frame device quantize + host-side crop slice: the device
         # programs keep one stable shape per level across crop rects
         # (encode_image host_crop docstring).
+        host_crop = self._crop_slice(FULL)
+        if fmt == "JPEG" and host_crop is None:
+            # Uncropped JPEG hands the BUCKET-PADDED render + true extent
+            # straight to the sparse-coefficient export (the async
+            # /export worker takes the same route): zero extent-keyed
+            # device programs, and the render the editor already holds
+            # is reused instead of re-padded by encode_jpeg.
+            from ..io import jpegenc
+
+            img, true_shape = self.apply_padded(FULL)
+            return jpegenc.encode_jpeg(
+                img, quality=quality,
+                exif_bytes=self.export_exif_bytes(),
+                true_shape=true_shape)
         return image_io.encode_image(
             self.apply(FULL, cropped=False), fmt, quality=quality,
             exif_bytes=self.export_exif_bytes(),
-            host_crop=self._crop_slice(FULL),
+            host_crop=host_crop,
         )
 
     def hdr_dng_render(self):

@@ -305,6 +305,45 @@ def warm_full_shape(full_shape: tuple[int, int],
         return False
 
 
+def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
+    """Compile the sparse JPEG export program for one FULL bucket shape.
+
+    ``io/jpegenc._sparse_jit``'s full() (fDCT + quantization + 64-lane
+    sort + two searchsorted compactions) is the heaviest per-bucket
+    compile on the export path; without this warm, the first uncropped
+    JPEG export per bucket stalls its job on the whole remote compile —
+    and the stall shows as the 'fetch' stage (the totals sync point
+    blocks on compile+compute), reading like a wedged tunnel rather
+    than a compile. Dummy buffers only; best-effort like warm_shape.
+    """
+    import numpy as _np
+    import jax.numpy as jnp
+
+    from ..io import jpegenc
+    from .editor import bucket_shape
+
+    h, w = int(full_shape[0]), int(full_shape[1])
+    key = ("sparse_export", bucket_shape(h, w))
+    with _warmed_lock:
+        if key in _warmed_full:
+            return True
+        _warmed_full.add(key)
+    try:
+        hp, wp = key[1]
+        full, _, _ = jpegenc._sparse_jit()
+        qlum, qchr = jpegenc._quant_tables(92)  # program is quality-free:
+        # the tables ride as device arrays, so one warm covers every
+        # quality setting at this bucket.
+        out = full(jnp.zeros((3, hp, wp), jnp.float32),
+                   jnp.asarray(qlum), jnp.asarray(qchr))
+        int(_np.asarray(out[4])[0])  # force execution through the tunnel
+        return True
+    except Exception:
+        with _warmed_lock:
+            _warmed_full.discard(key)
+        return False
+
+
 def warm_raw_exact(shape: tuple[int, int], pattern: str = "XTRANS") -> bool:
     """Compile the legacy (per-extent) RAW develop for one exact mosaic
     shape — the path bucket-ineligible files take (X-Trans phase can't
@@ -400,6 +439,14 @@ def warm_async(shapes=None, editor=None, levels=("mid", "low"),
             for s in full_shapes or ():
                 if warm_full_shape(s, preview_edges[0], preview_edges[1],
                                    raw_patterns=raw_patterns):
+                    n += 1
+            # Export program warms come AFTER every open-path warm (a
+            # cold first preview hurts more than a cold first export)
+            # but BEFORE raw_exact: any open image can be exported.
+            if editor is not None and warm_sparse_export(editor.shape):
+                n += 1
+            for s in full_shapes or ():
+                if warm_sparse_export(s):
                     n += 1
             for s, pat in raw_exact or ():
                 if warm_raw_exact(s, pat):

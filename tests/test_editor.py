@@ -627,6 +627,34 @@ def test_cropped_save_bytes_match_device_sliced_encode(rng):
     assert got == want
 
 
+def test_uncropped_jpeg_save_bytes_takes_padded_sparse_route(rng):
+    """save_bytes('JPEG') with no crop must hand the editor's OWN
+    bucket-padded render + true extent to the sparse export (the async
+    /export worker's route) — byte-identical to calling encode_jpeg on
+    apply_padded directly, and decodable at the true extent. Re-padding
+    the true-extent render inside encode_jpeg would mint a per-extent
+    pad program (remote compiles, CLAUDE.md)."""
+    import io as _io
+
+    from PIL import Image
+
+    from rawphotoforge_tpu.io import jpegenc
+
+    ed = make_editor(rng, h=40, w=64)
+    ed.set_tone(exposure=0.5)
+    got = ed.save_bytes("JPEG", quality=90)
+    img, true_shape = ed.apply_padded(FULL)
+    want = jpegenc.encode_jpeg(img, quality=90,
+                               exif_bytes=ed.export_exif_bytes(),
+                               true_shape=true_shape)
+    assert got == want
+    assert Image.open(_io.BytesIO(got)).size == (64, 40)
+    # cropped JPEG keeps the full-frame-render + host-slice route
+    ed.set_crop(4, 4, 36, 24)  # (x0,y0)-(x1,y1) exclusive -> 32x20 px
+    cropped = ed.save_bytes("JPEG", quality=90)
+    assert Image.open(_io.BytesIO(cropped)).size == (32, 20)
+
+
 def test_exact_path_single_mask_elision_matches(rng):
     """develop_post_geo with masks=None (single-mask session) must match
     the explicit all-ones mask stack to XLA re-fusion noise (the where

@@ -69,8 +69,9 @@ class TestWarmShape:
             counts.append(n), done.set()))
         assert done.wait(timeout=120)
         t.join(timeout=10)
-        # 2 level-shape open-state warms + 2 curve-variant warms.
-        assert counts == [4]
+        # 2 level-shape open-state warms + 2 curve-variant warms + the
+        # editor's FULL-bucket sparse-export warm.
+        assert counts == [5]
         for level in (MID, LOW):
             assert ed.level_shape(level) in prewarm._warmed
 
@@ -219,6 +220,34 @@ class TestWarmFullShape:
         # still reports success.
         prewarm._warmed_full.clear()
         assert prewarm.warm_full_shape((50, 60), 100, 40)
+
+
+class TestWarmSparseExport:
+    def test_warm_compiles_the_export_bucket_program(self):
+        """warm_sparse_export runs _sparse_jit's full() at the BUCKET
+        shape, so the first uncropped JPEG export per bucket finds the
+        heavyweight sparse program compiled (the export-job stall the
+        r2 review flagged)."""
+        from rawphotoforge_tpu.engine.editor import bucket_shape
+
+        prewarm._warmed_full.discard(
+            ("sparse_export", bucket_shape(40, 64)))
+        assert prewarm.warm_sparse_export((40, 64))
+        assert ("sparse_export", bucket_shape(40, 64)) \
+            in prewarm._warmed_full
+        # same bucket -> cache hit, still reported as warmed
+        assert prewarm.warm_sparse_export((30, 50))
+
+    def test_warm_failure_unmarks(self, monkeypatch):
+        from rawphotoforge_tpu.io import jpegenc
+
+        def boom():
+            raise RuntimeError("no jit for you")
+
+        monkeypatch.setattr(jpegenc, "_sparse_jit", boom)
+        prewarm._warmed_full.discard(("sparse_export", (128, 128)))
+        assert prewarm.warm_sparse_export((10, 10)) is False
+        assert ("sparse_export", (128, 128)) not in prewarm._warmed_full
 
 
 class TestWarmEditorLevels:
