@@ -30,13 +30,19 @@ import time
 import numpy as np
 
 
-def _watchdog(seconds: int) -> None:
+def _watchdog(seconds: int):
     """Abort instead of hanging forever if the device backend stalls.
 
     The tunneled TPU backend can wedge (dispatches never complete, no
     exception raised); a benchmark that blocks indefinitely is worse
     than one that fails loudly. SIGALRM fires in the main thread even
-    while blocked in PJRT C++ calls."""
+    while blocked in PJRT C++ calls.
+
+    Returns a ``rearm(secs)`` callable so long multi-step phases (the
+    config-5 export loop) can convert the deadline from total-runtime to
+    time-since-last-progress: a degraded-but-progressing link shouldn't
+    abort, only a genuine wedge should. ``rearm`` is a no-op when the
+    watchdog is disabled (RPF_BENCH_TIMEOUT_S=0)."""
     import os
     import signal
 
@@ -45,15 +51,16 @@ def _watchdog(seconds: int) -> None:
     except ValueError:
         timeout = seconds  # junk override must not become a startup crash
     if timeout <= 0:
-        return
+        return lambda secs: None
 
     def on_alarm(signum, frame):
-        print(f"bench: device backend stalled for {timeout}s; aborting "
-              "(tunnel down?)", file=sys.stderr)
+        print("bench: device backend made no progress before the watchdog "
+              "deadline; aborting (tunnel down?)", file=sys.stderr)
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(timeout)
+    return signal.alarm
 
 
 def main() -> int:

@@ -43,8 +43,11 @@ def main(argv=None) -> int:
     from bench import _watchdog
 
     # Config 5 alone is a real 10-20 min export; leave generous headroom
-    # while still refusing to hang forever on a wedged tunnel.
-    _watchdog(7200)
+    # while still refusing to hang forever on a wedged tunnel. Its export
+    # loop re-arms this per chunk, so the deadline there is
+    # time-since-last-progress, not total runtime — a degraded tunnel
+    # (observed: 40x below nominal for two hours) still finishes.
+    rearm_watchdog = _watchdog(7200)
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated config ids (6,1,1a,1b,1c,2,3,4,7,5); "
@@ -443,11 +446,11 @@ def main(argv=None) -> int:
         chunk = 4
         yy, xx = jnp.mgrid[0:bh, 0:bw].astype(jnp.float32)
         base = 0.35 + 0.3 * jnp.sin(xx / 700.0) * jnp.cos(yy / 500.0)
-        mosaics = jnp.stack([
+        mosaics = [
             jnp.clip(base + 0.02 * jax.random.normal(
                 jax.random.PRNGKey(i), (bh, bw)), 0.0, 1.0)
             for i in range(chunk)
-        ])
+        ]
         params5 = edit_params(extent=(bh, bw))
 
         sparse_full, _, _ = jpegenc._sparse_jit()
@@ -455,15 +458,19 @@ def main(argv=None) -> int:
         qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
 
         @jax.jit
-        def export_chunk(ms):
-            def one(m):
-                srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-                return sparse_full(srgb, qlum_d, qchr_d)
+        def export_one(m):
+            srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
+            return sparse_full(srgb, qlum_d, qchr_d)
 
-            # lax.map, not vmap: the one-pass kernel's ANY-memory mosaic
-            # input cannot be batch-blocked; sequential per-image is the
-            # semantics of an export queue anyway.
-            return jax.lax.map(one, ms)
+        def export_chunk(ms):
+            # One image per dispatch. A lax.map over 4 images in ONE
+            # program hard-crashes the TPU worker at this size (the scan
+            # keeps every iteration's sparse outputs plus the ~GB of
+            # compaction intermediates live at once; chunk<=2 survives,
+            # chunk=4 kills the worker process). Per-image dispatch costs
+            # one ~60 ms RTT against a multi-second fetch, and the export
+            # is fetch-bound — batching the compute bought nothing.
+            return [export_one(m) for m in ms]
 
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
@@ -487,6 +494,7 @@ def main(argv=None) -> int:
         fetch_sync(export_chunk(mosaics))  # compile
         t_fetch = 0.0
         fetched_bytes = 0
+        last_bytes = 0
         t0 = time.perf_counter()
         from rawphotoforge_tpu.utils.transfer import fetch_np, fetch_np_prefix
 
@@ -494,25 +502,28 @@ def main(argv=None) -> int:
             pending = []
             dev_out = export_chunk(mosaics)  # device computes chunk 0
             for ci in range(n_chunks):
+                # Progress-based deadline: each completed chunk buys 15
+                # more minutes. Only a true wedge (zero progress) aborts.
+                rearm_watchdog(900)
                 # NOTE: dispatching the next chunk BEFORE this fetch was
                 # tried and is >2x SLOWER through the tunnel — the dispatch
                 # RPC and the bulk fetch contend on the same link, so keep
                 # the dispatch after the fetch (device compute is only
                 # ~35 ms/chunk, negligible next to the transfer).
                 tf = time.perf_counter()
-                counts_c, bitmaps_c, vals_c, esc_c, totals_c = dev_out
-                totals = np.asarray(totals_c)  # [chunk, 2]: the sync point
+                # [chunk][2] totals: the per-image sync points.
+                totals = [np.asarray(t) for *_s, t in dev_out]
                 # Per-image streams fetch concurrently; the value/escape
                 # prefixes use fixed band boundaries (fetch_np_prefix) so
                 # no per-length slice programs are minted. Stream counts
                 # stay near the ~16-band tunnel sweet spot.
                 futs = [
-                    (cpool.submit(fetch_np, counts_c[j]),
-                     cpool.submit(fetch_np, bitmaps_c[j]),
-                     cpool.submit(fetch_np_prefix, vals_c[j],
-                                  int(totals[j, 0])),
-                     cpool.submit(fetch_np_prefix, esc_c[j],
-                                  int(totals[j, 1])))
+                    (cpool.submit(fetch_np, dev_out[j][0]),
+                     cpool.submit(fetch_np, dev_out[j][1]),
+                     cpool.submit(fetch_np_prefix, dev_out[j][2],
+                                  int(totals[j][0])),
+                     cpool.submit(fetch_np_prefix, dev_out[j][3],
+                                  int(totals[j][1])))
                     for j in range(chunk)
                 ]
                 hosts = []
@@ -522,13 +533,22 @@ def main(argv=None) -> int:
                     fetched_bytes += (hc.nbytes + hb.nbytes + hv.nbytes
                                       + he.nbytes + 8)
                     hosts.append((hc, hb, hv, he))
-                t_fetch += time.perf_counter() - tf
+                dt_chunk = time.perf_counter() - tf
+                t_fetch += dt_chunk
+                if ci % 8 == 0 or dt_chunk > 30.0:
+                    mb = (fetched_bytes - last_bytes) / 1e6
+                    log(f"config 5: chunk {ci + 1}/{n_chunks} fetched "
+                        f"{mb:.0f} MB in {dt_chunk:.1f} s "
+                        f"({mb / max(dt_chunk, 1e-9):.1f} MB/s link), "
+                        f"{time.perf_counter() - t0:.0f} s elapsed")
+                last_bytes = fetched_bytes
                 if ci + 1 < n_chunks:
                     dev_out = export_chunk(mosaics)
                 pending.extend(
                     pool.submit(encode_one, (ci * chunk + j, *hosts[j]))
                     for j in range(chunk)
                 )
+            rearm_watchdog(900)  # headroom for the encode-queue drain
             for f in pending:
                 f.result()
         dt_total = time.perf_counter() - t0
