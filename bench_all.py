@@ -496,7 +496,8 @@ def main(argv=None) -> int:
         fetched_bytes = 0
         last_bytes = 0
         t0 = time.perf_counter()
-        from rawphotoforge_tpu.utils.transfer import fetch_np, fetch_np_prefix
+        from rawphotoforge_tpu.utils.transfer import (
+            fetch_np, fetch_np_prefix, prefix_fetch_elems)
 
         with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(12) as cpool:
             pending = []
@@ -527,11 +528,18 @@ def main(argv=None) -> int:
                     for j in range(chunk)
                 ]
                 hosts = []
-                for fc, fb, fv, fe in futs:
+                for j, (fc, fb, fv, fe) in enumerate(futs):
                     hc, hb, hv, he = (fc.result(), fb.result(),
                                       fv.result(), fe.result())
-                    fetched_bytes += (hc.nbytes + hb.nbytes + hv.nbytes
-                                      + he.nbytes + 8)
+                    # Count the band-rounded bytes the prefix fetches
+                    # actually moved, not the trimmed views — the logged
+                    # MB/s and c5_fetch_gb must reflect real link traffic.
+                    fetched_bytes += (
+                        hc.nbytes + hb.nbytes + 8
+                        + prefix_fetch_elems(int(totals[j][0]),
+                                             int(dev_out[j][2].size), 1)
+                        + 2 * prefix_fetch_elems(int(totals[j][1]),
+                                                 int(dev_out[j][3].size), 2))
                     hosts.append((hc, hb, hv, he))
                 dt_chunk = time.perf_counter() - tf
                 t_fetch += dt_chunk

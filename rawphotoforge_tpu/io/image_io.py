@@ -487,19 +487,25 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
         # native.available() guard: without it encode_jpeg's own
         # no-native fallback is THIS function — infinite recursion.
         if native.available() and _is_device_array(planes):
-            # Device-array JPEG: the sparse-coefficient fast path
-            # (io/jpegenc — device fDCT/quantization, only nonzero
-            # coefficients over the link, ~6x under the u8 RGB fetch
-            # below; every JPEG caller takes it once, instead of
-            # re-dispatching the routing at each call site). Cropped
-            # exports (host_crop) keep the u8 path — DCT blocks can't be
-            # sliced to an arbitrary rect post-hoc. Host np inputs keep
-            # the byte-deterministic Pillow encode.
             from . import jpegenc
 
-            return jpegenc.encode_jpeg(planes, quality=quality,
-                                       exif_bytes=exif_bytes,
-                                       on_stage=on_stage)
+            npix = int(planes.shape[-2]) * int(planes.shape[-1])
+            if npix >= jpegenc.SPARSE_MIN_PIXELS:
+                # Export-sized device-array JPEG: the sparse-coefficient
+                # fast path (io/jpegenc — device fDCT/quantization, only
+                # nonzero coefficients over the link, well under the u8
+                # RGB fetch below at 24-45MP). Gated on size: MID/LOW
+                # preview frames (<= ~1 MPix) keep the u8 path — routing
+                # them here would put a heavyweight never-prewarmed
+                # device program (per preview bucket) on the first
+                # preview, for a byte saving that is marginal at preview
+                # sizes. Cropped exports (host_crop) also keep the u8
+                # path — DCT blocks can't be sliced to an arbitrary rect
+                # post-hoc. Host np inputs keep the byte-deterministic
+                # Pillow encode.
+                return jpegenc.encode_jpeg(planes, quality=quality,
+                                           exif_bytes=exif_bytes,
+                                           on_stage=on_stage)
     # Quantize on device + parallel banded fetch: the tunnel moves 1
     # byte/sample instead of 4 (utils/transfer.py).
     stage("fetch")

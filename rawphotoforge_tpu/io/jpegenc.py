@@ -33,6 +33,37 @@ _YCC = np.array([
     [0.5, -0.418688, -0.081312],
 ], dtype=np.float32)
 
+# Below this pixel count encode_image keeps the u8-RGB fetch + Pillow
+# path for device arrays: preview frames (MID <= ~1 MPix) would pay a
+# never-prewarmed heavyweight device compile per preview bucket for a
+# marginal byte saving; exports (10-45MP cameras) are far above it.
+SPARSE_MIN_PIXELS = 4 << 20
+
+
+def _ycc420_f32(jnp, planes):
+    """Traced JFIF color convert + 4:2:0 subsample, f32 in [0, 255].
+
+    The SINGLE definition both the dense u8 path (_to_ycc420_jit) and
+    the sparse blockifier (_sparse_jit._blockify) trace through — the
+    sparse-vs-dense byte-identity contract requires the two paths'
+    YCC/subsample math to be bit-equal, so it must not be duplicated.
+    Callers apply their own rounding/cast (values after clip(round) are
+    exactly representable either way)."""
+    rgb = jnp.clip(planes, 0.0, 1.0) * 255.0
+    r, g, b = rgb[0], rgb[1], rgb[2]
+    m = _YCC
+    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+    cb = 128.0 + m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+    cr = 128.0 + m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
+    h, w = y.shape
+    # Pad to even dims (edge replicate) for the 2x2 chroma average.
+    cbp = jnp.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+    crp = jnp.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+    ph, pw = cbp.shape
+    cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    return y, cb2, cr2
+
 
 @functools.cache
 def _to_ycc420_jit():
@@ -41,19 +72,7 @@ def _to_ycc420_jit():
 
     @jax.jit
     def f(planes):
-        rgb = jnp.clip(planes, 0.0, 1.0) * 255.0
-        r, g, b = rgb[0], rgb[1], rgb[2]
-        m = _YCC
-        y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
-        cb = 128.0 + m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
-        cr = 128.0 + m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
-        h, w = y.shape
-        # Pad to even dims (edge replicate) for the 2x2 chroma average.
-        cbp = jnp.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-        crp = jnp.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-        ph, pw = cbp.shape
-        cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        y, cb2, cr2 = _ycc420_f32(jnp, planes)
 
         def u8(x):
             return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
@@ -169,18 +188,8 @@ def _sparse_jit():
         dtype=np.uint32))
 
     def _blockify(planes, qlum, qchr):
-        rgb = jnp.clip(planes, 0.0, 1.0) * 255.0
-        r, g, b = rgb[0], rgb[1], rgb[2]
-        m = _YCC
-        y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
-        cb = 128.0 + m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
-        cr = 128.0 + m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
-        h, w = y.shape
-        cbp = jnp.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-        crp = jnp.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-        ph, pw = cbp.shape
-        cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        h, w = planes.shape[-2:]
+        y, cb2, cr2 = _ycc420_f32(jnp, planes)
 
         # Round to the u8 grid the dense path ships (stay f32; the
         # values are exactly representable), then level-shift.

@@ -47,7 +47,19 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # A stale prebuilt .so missing a newer symbol (with no working
+        # toolchain to rebuild it) must degrade to available() == False —
+        # the callers' documented numpy/Pillow fallbacks — not leak an
+        # AttributeError out of every available() call.
+        return None
+    _lib = lib
+    return lib
 
+
+def _bind(lib) -> None:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -110,8 +122,6 @@ def _load():
         f32p, c, c, f32p, c, ctypes.c_float, f32p,
     ]
     lib.rpf_unsharp_f32.restype = c
-    _lib = lib
-    return lib
 
 
 def available() -> bool:

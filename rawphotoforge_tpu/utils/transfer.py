@@ -114,13 +114,60 @@ def fetch_np(arr, bands: int | None = None, threads: int | None = None
     return out.reshape(shape)
 
 
+# Leading prefix-band boundaries (bytes): a short geometric ladder below
+# the full band size, so a tiny prefix (the sparse export's escape stream
+# is often a few hundred entries on a 75 MB capacity buffer) moves ~64 KB
+# instead of a full 8 MB band. The ladder is FIXED, so the device slice
+# programs stay keyed on the boundary pair alone and are reused across
+# calls with different n — only ~5 extra cached programs per array shape.
+_PREFIX_LEAD_BYTES = (64 << 10, 256 << 10, 1 << 20, 2 << 20, 4 << 20)
+
+
+def _prefix_bounds(n: int, size: int, itemsize: int,
+                   band_bytes: int) -> list[int]:
+    """Fixed band-boundary schedule covering a prefix of ``n`` elements.
+
+    Boundaries are the geometric lead ladder followed by multiples of the
+    band size, truncated at the first boundary >= n (and capped at
+    ``size``) — worst-case over-fetch is 2x for small prefixes and one
+    band for large ones, while the boundary SET stays independent of n."""
+    elems = max(1, band_bytes // itemsize)
+    bounds = [0]
+    for b in _PREFIX_LEAD_BYTES:
+        e = max(1, b // itemsize)
+        if e >= elems:
+            break
+        if bounds[-1] >= n or bounds[-1] >= size:
+            break
+        if e > bounds[-1]:
+            bounds.append(min(e, size))
+    k = 1
+    while bounds[-1] < n and bounds[-1] < size:
+        if k * elems > bounds[-1]:
+            bounds.append(min(k * elems, size))
+        k += 1
+    return bounds
+
+
+def prefix_fetch_elems(n: int, size: int, itemsize: int,
+                       band_bytes: int = _BAND_BYTES) -> int:
+    """Elements a ``fetch_np_prefix(arr, n)`` call actually transfers.
+
+    The prefix fetch rounds up to its fixed band schedule; benchmarks
+    accounting link traffic must count this, not the trimmed ``n``."""
+    n = min(int(n), int(size))
+    if n <= 0:
+        return 0
+    return _prefix_bounds(n, int(size), itemsize, band_bytes)[-1]
+
+
 def fetch_np_prefix(arr, n: int, band_bytes: int = _BAND_BYTES) -> np.ndarray:
     """Fetch the first ``n`` elements of a device array (viewed flat).
 
-    Band boundaries are FIXED multiples of the band size, so the device
-    slice programs this mints are keyed on the band index alone and get
-    reused across calls with different ``n`` — a naive ``arr[:n]`` would
-    compile a fresh remote program for every distinct n (io/jpegenc's
+    Band boundaries come from a FIXED schedule (_prefix_bounds), so the
+    device slice programs this mints are keyed on the boundary pair alone
+    and get reused across calls with different ``n`` — a naive ``arr[:n]``
+    would compile a fresh remote program for every distinct n (io/jpegenc's
     sparse export fetches a different true length per image)."""
     n = int(n)
     dtype = np.dtype(arr.dtype)
@@ -131,9 +178,8 @@ def fetch_np_prefix(arr, n: int, band_bytes: int = _BAND_BYTES) -> np.ndarray:
         return np.asarray(arr).reshape(-1)[:n]
     flat = arr.reshape(-1)
     size = flat.shape[0]
-    elems = max(1, band_bytes // dtype.itemsize)
-    nbands = -(-n // elems)
-    bounds = [min(i * elems, size) for i in range(nbands + 1)]
+    bounds = _prefix_bounds(n, size, dtype.itemsize, band_bytes)
+    nbands = len(bounds) - 1
     out = np.empty(bounds[-1], dtype=dtype)
 
     def one(i):

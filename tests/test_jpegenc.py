@@ -345,17 +345,28 @@ def test_padded_grid_bitstream_identical_to_direct(h, w):
     assert auto == direct
 
 
-def test_encode_image_routes_device_jpeg_through_sparse():
+def test_encode_image_routes_device_jpeg_through_sparse(monkeypatch):
     """image_io.encode_image centralizes the JPEG fast-path routing
-    (review finding): a device array with no host_crop must produce the
-    sparse encoder's bytes, not the Pillow u8-RGB path's."""
+    (review finding): an EXPORT-SIZED device array with no host_crop must
+    produce the sparse encoder's bytes; preview-sized frames stay on the
+    u8-RGB path (routing them through sparse would put a never-prewarmed
+    device compile per preview bucket on the first preview)."""
     from rawphotoforge_tpu.io import image_io
 
     planes = _planes(48, 64, kind="noise", seed=4)
+    # Above the gate -> the sparse encoder's bytes.
+    monkeypatch.setattr(jpegenc, "SPARSE_MIN_PIXELS", 48 * 64)
     via_image_io = image_io.encode_image(jnp.asarray(planes), "JPEG",
                                          quality=92)
     via_jpegenc = jpegenc.encode_jpeg(jnp.asarray(planes), quality=92)
     assert via_image_io == via_jpegenc
+    # Below the gate (the default: previews are << SPARSE_MIN_PIXELS) ->
+    # the same bytes as the u8 path, which np inputs always take.
+    monkeypatch.setattr(jpegenc, "SPARSE_MIN_PIXELS", 48 * 64 + 1)
+    via_gated = image_io.encode_image(jnp.asarray(planes), "JPEG",
+                                      quality=92)
+    via_u8 = image_io.encode_image(planes, "JPEG", quality=92)
+    assert via_gated == via_u8
     # host_crop callers keep the crop-stable dense route — output is a
     # valid JPEG of the cropped extent
     cropped = image_io.encode_image(jnp.asarray(planes), "JPEG",

@@ -117,3 +117,34 @@ def test_fetch_np_prefix_band_boundaries():
     # size BEFORE the early-out, or the band math divides by zero)
     empty = transfer.fetch_np_prefix(jnp.zeros((0,), jnp.int16), 5)
     assert empty.shape == (0,) and empty.dtype == np.int16
+
+
+def test_fetch_np_prefix_geometric_lead_bands():
+    """Tiny prefixes must move ~KBs, not a full 8 MB band (review
+    finding: the escape stream is often a few hundred entries on a 75 MB
+    capacity buffer), and prefix_fetch_elems must report the actual
+    band-rounded transfer for bench accounting."""
+    size = 40 << 20  # 40M i16 elements = 80 MB capacity
+    itemsize = 2
+    band = transfer._BAND_BYTES
+    # 100 elements round to the 64 KB lead band, not 8 MB.
+    assert transfer.prefix_fetch_elems(100, size, itemsize) \
+        == (64 << 10) // itemsize
+    # Just past a ladder step takes the next step.
+    assert transfer.prefix_fetch_elems((64 << 10) // itemsize + 1,
+                                       size, itemsize) \
+        == (256 << 10) // itemsize
+    # Large prefixes round to full-band multiples, as before.
+    n_big = (band // itemsize) * 2 + 5
+    assert transfer.prefix_fetch_elems(n_big, size, itemsize) \
+        == (band // itemsize) * 3
+    # Never exceeds the array, and degenerate inputs stay degenerate.
+    assert transfer.prefix_fetch_elems(10**9, size, itemsize) == size
+    assert transfer.prefix_fetch_elems(0, size, itemsize) == 0
+    assert transfer.prefix_fetch_elems(5, 3, itemsize) == 3
+    # The schedule is n-independent: every boundary set for smaller n is
+    # a prefix of the set for larger n (fixed device slice programs).
+    full = transfer._prefix_bounds(size, size, itemsize, band)
+    for n in (1, 1000, 10**6, 10**7, size):
+        b = transfer._prefix_bounds(n, size, itemsize, band)
+        assert b == full[: len(b)]
