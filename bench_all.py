@@ -453,7 +453,7 @@ def main(argv=None) -> int:
         ]
         params5 = edit_params(extent=(bh, bw))
 
-        sparse_full, _, _ = jpegenc._sparse_jit()
+        sparse_full, _, _, _ = jpegenc._sparse_jit()
         qlum_h, qchr_h = jpegenc._quant_tables(92)
         qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
 

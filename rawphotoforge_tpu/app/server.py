@@ -1374,17 +1374,11 @@ class EditorApp:
                     # every /edit and /preview for tens of seconds.
                     linear, crop, raw_exif = self.editor.hdr_dng_render()
                 else:
-                    # Full-frame render + host-side crop slice: device
-                    # program shapes stay crop-independent (editor
-                    # save_bytes takes the same route). Uncropped JPEG
-                    # snapshots the PADDED render + true extent instead,
-                    # so the sparse route below is bucket-stable
-                    # end-to-end (no extent-keyed device program at all).
-                    crop = self.editor._crop_slice(FULL)
-                    if job["fmt"] == "JPEG" and crop is None:
-                        img, true_shape = self.editor.apply_padded(FULL)
-                    else:
-                        img = self.editor.apply(FULL, cropped=False)
+                    # The routing decision (sparse uncropped-JPEG vs
+                    # dense + host crop slice) lives in ONE place:
+                    # editor.export_render — the sync save_bytes path
+                    # takes the identical route.
+                    snap = self.editor.export_render(job["fmt"])
                     exif = self.editor.export_exif_bytes()
                     quality = self.settings.jpeg_quality
             if job["fmt"] == "DNG":
@@ -1392,25 +1386,10 @@ class EditorApp:
 
                 data = hdr_dng_encode(linear, raw_exif,
                                       on_stage=enter_stage, host_crop=crop)
-            elif job["fmt"] == "JPEG" and crop is None:
-                # Uncropped JPEG: the sparse-coefficient export path
-                # (io/jpegenc) runs the fDCT/quantization on device over
-                # the BUCKET-PADDED render and fetches only nonzero
-                # coefficients — ~3x less tunnel traffic than the u8 RGB
-                # fetch encode_image pays, with zero extent-keyed device
-                # programs. Cropped exports keep the full-frame-render +
-                # host-slice route (coefficient blocks can't be sliced
-                # to an arbitrary rect post-hoc).
-                from ..io import jpegenc
-
-                data = jpegenc.encode_jpeg(
-                    img, quality=quality, exif_bytes=exif,
-                    on_stage=enter_stage, true_shape=true_shape)
             else:
-                data = image_io.encode_image(
-                    img, job["fmt"], quality=quality, exif_bytes=exif,
-                    on_stage=enter_stage, host_crop=crop,
-                )
+                data = self.editor.export_encode(
+                    snap, job["fmt"], quality=quality, exif_bytes=exif,
+                    on_stage=enter_stage)
             enter_stage("done")
             job["data"] = data
             job["state"] = "done"

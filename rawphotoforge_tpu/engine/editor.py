@@ -944,29 +944,50 @@ class PhotoEditor:
         reference's exiftool write-back, python-legacy editor.py:345-350)."""
         return self._exif_bytes or image_io.build_exif_bytes(self.exif)
 
-    def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
-        # Full-frame device quantize + host-side crop slice: the device
-        # programs keep one stable shape per level across crop rects
-        # (encode_image host_crop docstring).
+    def export_render(self, fmt: str):
+        """The device-render half of a (non-DNG) export: snapshot +
+        routing decision, consumed by ``export_encode``.
+
+        Uncropped JPEG snapshots the BUCKET-PADDED render + true extent
+        for the sparse-coefficient export (io/jpegenc): zero extent-keyed
+        device programs, and the render the editor already holds is
+        reused instead of re-padded by encode_jpeg. Everything else takes
+        the full-frame render + host-side crop slice, so device program
+        shapes stay crop-independent (encode_image host_crop docstring) —
+        coefficient blocks can't be sliced to an arbitrary rect post-hoc,
+        so cropped JPEG also goes dense.
+
+        Renders are functional device arrays — later edits never mutate
+        the snapshot — so ``export_encode`` may run without the session
+        lock (the server's async /export worker renders locked and
+        encodes unlocked; save_bytes does both back to back)."""
         host_crop = self._crop_slice(FULL)
         if fmt == "JPEG" and host_crop is None:
-            # Uncropped JPEG hands the BUCKET-PADDED render + true extent
-            # straight to the sparse-coefficient export (the async
-            # /export worker takes the same route): zero extent-keyed
-            # device programs, and the render the editor already holds
-            # is reused instead of re-padded by encode_jpeg.
+            img, true_shape = self.apply_padded(FULL)
+            return ("sparse", img, true_shape, None)
+        return ("dense", self.apply(FULL, cropped=False), None, host_crop)
+
+    def export_encode(self, snapshot, fmt: str, quality: int = 95,
+                      exif_bytes: bytes | None = None,
+                      on_stage=None) -> bytes:
+        """Encode an ``export_render`` snapshot (tunnel fetch + host
+        entropy code) — safe to run unlocked; see export_render."""
+        kind, img, true_shape, host_crop = snapshot
+        if kind == "sparse":
             from ..io import jpegenc
 
-            img, true_shape = self.apply_padded(FULL)
             return jpegenc.encode_jpeg(
-                img, quality=quality,
-                exif_bytes=self.export_exif_bytes(),
-                true_shape=true_shape)
+                img, quality=quality, exif_bytes=exif_bytes,
+                on_stage=on_stage, true_shape=true_shape)
         return image_io.encode_image(
-            self.apply(FULL, cropped=False), fmt, quality=quality,
-            exif_bytes=self.export_exif_bytes(),
-            host_crop=host_crop,
+            img, fmt, quality=quality, exif_bytes=exif_bytes,
+            on_stage=on_stage, host_crop=host_crop,
         )
+
+    def save_bytes(self, fmt: str, quality: int = 95) -> bytes:
+        return self.export_encode(
+            self.export_render(fmt), fmt, quality=quality,
+            exif_bytes=self.export_exif_bytes())
 
     def hdr_dng_render(self):
         """Device-side half of the HDR DNG export: the FULL scene-linear

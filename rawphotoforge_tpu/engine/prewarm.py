@@ -330,12 +330,21 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
         _warmed_full.add(key)
     try:
         hp, wp = key[1]
-        full, _, _ = jpegenc._sparse_jit()
+        full, _, _, full_extent = jpegenc._sparse_jit()
         qlum, qchr = jpegenc._quant_tables(92)  # program is quality-free:
         # the tables ride as device arrays, so one warm covers every
         # quality setting at this bucket.
-        out = full(jnp.zeros((3, hp, wp), jnp.float32),
-                   jnp.asarray(qlum), jnp.asarray(qchr))
+        # Mirror _encode_sparse_device's program choice: a true extent
+        # inside the bucket takes the extent-aware (clamp-fill) program —
+        # the editor's apply_padded exports always do unless the image is
+        # exactly bucket-sized. Extents are traced, so warming with THIS
+        # image's extent covers every extent in the bucket.
+        if (h, w) == (hp, wp):
+            out = full(jnp.zeros((3, hp, wp), jnp.float32),
+                       jnp.asarray(qlum), jnp.asarray(qchr))
+        else:
+            out = full_extent(jnp.zeros((3, hp, wp), jnp.float32),
+                              jnp.asarray(qlum), jnp.asarray(qchr), h, w)
         int(_np.asarray(out[4])[0])  # force execution through the tunnel
         return True
     except Exception:

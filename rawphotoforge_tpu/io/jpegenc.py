@@ -164,7 +164,7 @@ def _quant_tables(quality: int):
 
 @functools.cache
 def _sparse_jit():
-    """(full, blockify, sparsify) jitted stages.
+    """(full, blockify, sparsify, full_extent) jitted stages.
 
     full(planes, qlum, qchr) -> (counts u8 [N], bitmaps u32 [N, 2],
     values i8 [N*64] zero-padded, escapes i16 [N*64] zero-padded,
@@ -175,7 +175,18 @@ def _sparse_jit():
     block, `values` is the cross-block compaction as int8 with -128
     escaping to the int16 side stream (native rpf_jpeg_encode_sparse
     owns the wire contract). blockify (raw quantized blocks, no DC
-    delta) and sparsify (compaction only) are exposed for tests."""
+    delta) and sparsify (compaction only) are exposed for tests.
+
+    full_extent(planes, qlum, qchr, th, tw) is ``full`` for BUCKET-PADDED
+    renders whose true extent (th, tw) is a TRACED scalar pair (one
+    compile per bucket, never per extent): the pad region is overwritten
+    with clamp-gather edge replication — at luma level BEFORE the 4:2:0
+    subsample and again at chroma level after it — which reproduces
+    exactly the per-component MCU edge pad the direct path applies, so
+    boundary blocks of a padded render encode byte-identically to a
+    direct encode of the true extent no matter what the caller's pad
+    rows contain (the editor's bucket renders carry developed
+    reflect-pad content there, not edge replicas)."""
     import jax
     import jax.numpy as jnp
 
@@ -187,9 +198,31 @@ def _sparse_jit():
         [(1 << (i - 32)) if i >= 32 else 0 for i in range(64)],
         dtype=np.uint32))
 
-    def _blockify(planes, qlum, qchr):
+    def _clamp_fill(img, th, tw):
+        """Overwrite rows/cols at or beyond (th, tw) with edge replicas
+        of the last true row/col (gathers; th/tw may be traced)."""
+        rows = jnp.minimum(jnp.arange(img.shape[-2]), th - 1)
+        cols = jnp.minimum(jnp.arange(img.shape[-1]), tw - 1)
+        return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
+
+    def _blockify(planes, qlum, qchr, true_hw=None):
         h, w = planes.shape[-2:]
+        if true_hw is not None:
+            # Luma-level fill BEFORE the chroma subsample: an odd true
+            # extent's last chroma sample must average the last true
+            # row/col with its own replica, as the direct path's
+            # even-dim edge pad does.
+            planes = _clamp_fill(planes, true_hw[0], true_hw[1])
         y, cb2, cr2 = _ycc420_f32(jnp, planes)
+        if true_hw is not None:
+            # Chroma-level fill: the direct path MCU-pads chroma AFTER
+            # subsampling (replicating the last true chroma sample —
+            # which for even extents averages TWO true rows), so the
+            # replica must be taken on the subsampled grid.
+            th, tw = true_hw
+            ch, cw = (th + 1) // 2, (tw + 1) // 2
+            cb2 = _clamp_fill(cb2, ch, cw)
+            cr2 = _clamp_fill(cr2, ch, cw)
 
         # Round to the u8 grid the dense path ships (stay f32; the
         # values are exactly representable), then level-shift.
@@ -301,6 +334,14 @@ def _sparse_jit():
         return _sparsify(_dc_delta(_blockify(planes, qlum, qchr)))
 
     @jax.jit
+    def full_extent(planes, qlum, qchr, th, tw):
+        # th/tw are traced 0-d ints: every extent inside a bucket shares
+        # one compiled program (extent-keyed programs cost 10-400 s
+        # remote compiles each, CLAUDE.md).
+        return _sparsify(_dc_delta(_blockify(planes, qlum, qchr,
+                                             (th, tw))))
+
+    @jax.jit
     def blockify(planes, qlum, qchr):
         return _blockify(planes, qlum, qchr)
 
@@ -308,7 +349,7 @@ def _sparse_jit():
     def sparsify(blocks):
         return _sparsify(blocks)
 
-    return full, blockify, sparsify
+    return full, blockify, sparsify, full_extent
 
 
 def _blocks_np(planes: np.ndarray, quality: int) -> np.ndarray:
@@ -440,10 +481,19 @@ def _encode_sparse_device(planes, quality: int, stage=None,
             raise ValueError(
                 f"true_shape {h}x{w} exceeds planes {ph}x{pw}")
     padded = (h, w) != (ph, pw)
-    full, _, _ = _sparse_jit()
+    full, _, _, full_extent = _sparse_jit()
     qlum, qchr = _quant_tables(quality)
-    counts, bitmaps, vals, escapes, totals = full(
-        planes, jnp.asarray(qlum), jnp.asarray(qchr))
+    if padded:
+        # The extent-aware program edge-fills the pad region (luma- and
+        # chroma-level clamp gathers) so boundary blocks match a direct
+        # encode of the true extent byte-for-byte, whatever the caller's
+        # pad rows contain — and right-edge pad blocks compact to almost
+        # nothing, trimming the value prefix that crosses the link.
+        counts, bitmaps, vals, escapes, totals = full_extent(
+            planes, jnp.asarray(qlum), jnp.asarray(qchr), h, w)
+    else:
+        counts, bitmaps, vals, escapes, totals = full(
+            planes, jnp.asarray(qlum), jnp.asarray(qchr))
     stage("fetch")
     n, n_esc = (int(v) for v in np.asarray(totals))
     from concurrent.futures import ThreadPoolExecutor

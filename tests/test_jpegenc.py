@@ -127,7 +127,7 @@ def _synth_blocks(nblocks, seed=0):
 
 def test_sparsify_device_equals_np_mirror():
     blocks = _synth_blocks(60, seed=1)
-    _, _, sparsify = jpegenc._sparse_jit()
+    _, _, sparsify, _ = jpegenc._sparse_jit()
     dc, db, dv, de, dt = map(np.asarray, sparsify(jnp.asarray(blocks)))
     nc, nb, nv, ne, nt, net = jpegenc._sparsify_np(blocks)
     assert [int(x) for x in dt] == [nt, net]
@@ -143,7 +143,7 @@ def test_full_device_equals_composed_np_mirror():
     DEVICE blockify output — exact integer equality of the delta +
     compaction stages end-to-end (no f32-vs-f64 DCT noise in the way)."""
     planes = _planes(40, 56, kind="noise", seed=2)
-    full, blockify, _ = jpegenc._sparse_jit()
+    full, blockify, _, _ = jpegenc._sparse_jit()
     qlum, qchr = jpegenc._quant_tables(92)
     ql, qc = jnp.asarray(qlum), jnp.asarray(qchr)
     blocks = np.asarray(blockify(jnp.asarray(planes), ql, qc))
@@ -167,7 +167,7 @@ def test_full_device_equals_composed_np_mirror():
 
 def test_device_blocks_track_f64_oracle():
     planes = _planes(48, 64, kind="noise", seed=7)
-    _, blockify, _ = jpegenc._sparse_jit()
+    _, blockify, _, _ = jpegenc._sparse_jit()
     qlum, qchr = jpegenc._quant_tables(92)
     dev = np.asarray(blockify(jnp.asarray(planes), jnp.asarray(qlum),
                               jnp.asarray(qchr)))
@@ -201,7 +201,7 @@ def test_sparse_bitstream_identical_on_blockwise_constant_gray():
                                             h, w, quality=92)
     assert from_oracle == dense
 
-    full, _, _ = jpegenc._sparse_jit()
+    full, _, _, _ = jpegenc._sparse_jit()
     qlum, qchr = jpegenc._quant_tables(92)
     dc_, db_, dv_, de_, dt_ = full(jnp.asarray(planes), jnp.asarray(qlum),
                                    jnp.asarray(qchr))
@@ -317,25 +317,24 @@ def test_sparse_rejects_malformed_wire_data():
 
 @pytest.mark.parametrize("h,w", [(40, 56), (33, 47), (17, 129)])
 def test_padded_grid_bitstream_identical_to_direct(h, w):
-    """Bucket-stable exports: edge-padding a device render to the 128
-    bucket and encoding with true_shape must produce the SAME JFIF bytes
-    as encoding the true-extent planes directly — the grid walk skips
-    padding blocks while replaying their DC deltas, and edge padding
-    reproduces exactly the per-pixel clamp the direct path applies in
-    boundary MCUs. The last row/column pair is made uniform first: with
-    even extents the direct path's final chroma sample averages two
-    DIFFERENT pixel rows while the padded image's replicas average one —
-    a sub-visible boundary-chroma content difference orthogonal to the
-    grid-walk logic this test gates."""
+    """Bucket-stable exports: padding a device render to the 128 bucket
+    and encoding with true_shape must produce the SAME JFIF bytes as
+    encoding the true-extent planes directly — WHATEVER the pad region
+    contains (the editor's bucket renders carry developed reflect-pad
+    content there, review finding). The extent-aware program overwrites
+    the pad with per-component clamp-gather edge replicas, reproducing
+    the direct path's luma-then-chroma MCU pad exactly, and the grid
+    walk skips padding blocks while replaying their DC deltas."""
     planes = _planes(h, w, kind="noise", seed=h + w).copy()
-    planes[:, -1, :] = planes[:, -2, :]
-    planes[:, :, -1] = planes[:, :, -2]
     # the UNPADDED reference: grid == true grid (bypasses encode_jpeg's
     # auto-bucketing, which would otherwise make this comparison
     # tautological)
     direct = jpegenc._encode_sparse_device(jnp.asarray(planes), 92)
-    pad = ((0, 0), (0, (-h) % 128), (0, (-w) % 128))
-    padded = np.pad(planes, pad, mode="edge")
+    # Adversarial pad content: noise, nothing like edge replicas.
+    rng = np.random.default_rng(h * w)
+    padded = rng.random(
+        (3, h + (-h) % 128, w + (-w) % 128)).astype(np.float32)
+    padded[:, :h, :w] = planes
     via_padded = jpegenc.encode_jpeg(jnp.asarray(padded), quality=92,
                                      sparse=True, true_shape=(h, w))
     assert via_padded == direct
