@@ -285,16 +285,16 @@ def _sparse_jit():
         b3 = b3.at[:, :, 0].set(jnp.concatenate([dy, db, dr], axis=1))
         return b3.reshape(m * 6, 64)
 
-    def _compact(flat, mask, total, out_dtype):
-        """Stream compaction as a GATHER (TPU scatters serialize):
-        output k comes from the source index whose inclusive mask-cumsum
-        first reaches k+1."""
-        n = flat.shape[0]
-        incl = jnp.cumsum(mask.astype(jnp.int32))
-        k = jnp.arange(n, dtype=jnp.int32)
-        src = jnp.searchsorted(incl, k + 1, side="left").astype(jnp.int32)
-        return jnp.where(k < total, flat[jnp.clip(src, 0, n - 1)],
-                         0).astype(out_dtype)
+    def _compact(flat, drop, dtype):
+        """Stream compaction as ONE stable 1-bit key sort: kept elements
+        (drop == 0) sink to the front preserving order, dropped ones to
+        the back. 35x faster than the searchsorted + gather formulation
+        on TPU (measured 0.19 s vs 6.6 s at 36M lanes): lax.sort is
+        HBM-bandwidth-shaped, while a 36M-wide random gather serializes.
+        Scatters are even worse (CLAUDE.md) — never reach for them."""
+        _, out = jax.lax.sort_key_val(drop.astype(jnp.int32), flat,
+                                      dimension=0, is_stable=True)
+        return out.astype(dtype)
 
     def _sparsify(blocks):
         nz = blocks != 0
@@ -303,29 +303,21 @@ def _sparse_jit():
         bitmaps = jnp.stack([(nzu * wlo).sum(axis=1, dtype=jnp.uint32),
                              (nzu * whi).sum(axis=1, dtype=jnp.uint32)],
                             axis=1)
-        # Front-pack each block's nonzeros (ascending zigzag) via a
-        # 64-lane key sort — no scatter.
-        idx = jnp.arange(64, dtype=jnp.int32)
-        key = jnp.where(nz, idx, idx + 64)
-        _, packed = jax.lax.sort_key_val(key, blocks, dimension=1)
-        # Cross-block compaction: output j belongs to the last block
-        # whose exclusive offset is <= j.
-        offs = jnp.cumsum(counts, dtype=jnp.int32) - counts
+        # The flat zigzag stream compacted in (block, zigzag) order IS
+        # the wire order: per-block front-packing and the cross-block
+        # concatenation collapse into one stable compaction.
         total = counts.sum(dtype=jnp.int32)
         ncap = blocks.shape[0] * 64
         j = jnp.arange(ncap, dtype=jnp.int32)
-        b = jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1
-        slot = j - offs[b]
-        flat = packed.reshape(-1)
-        vals16 = jnp.where(j < total,
-                           flat[jnp.clip(b * 64 + slot, 0, ncap - 1)],
-                           0).astype(jnp.int16)
+        vals32 = _compact(blocks.reshape(-1), ~nz.reshape(-1), jnp.int32)
+        vals16 = jnp.where(j < total, vals32, 0).astype(jnp.int16)
         # int8 wire stream with -128 escaping to the int16 side channel
         # (~1 B per coefficient; escapes are rare on natural images).
         esc = (vals16 > 127) | (vals16 < -127)
         vals8 = jnp.where(esc, jnp.int16(-128), vals16).astype(jnp.int8)
         n_esc = esc.sum(dtype=jnp.int32)
-        escapes = _compact(vals16, esc, n_esc, jnp.int16)
+        escapes = jnp.where(j < n_esc,
+                            _compact(vals16, ~esc, jnp.int16), 0)
         totals = jnp.stack([total, n_esc])
         return counts.astype(jnp.uint8), bitmaps, vals8, escapes, totals
 
