@@ -519,10 +519,12 @@ def main(argv=None) -> int:
                 # no per-length slice programs are minted. Stream counts
                 # stay near the ~16-band tunnel sweet spot.
                 futs = [
+                    # totals[0] counts coefficients; the packed-nibble
+                    # value wire is 2 per byte.
                     (cpool.submit(fetch_np, dev_out[j][0]),
                      cpool.submit(fetch_np, dev_out[j][1]),
                      cpool.submit(fetch_np_prefix, dev_out[j][2],
-                                  int(totals[j][0])),
+                                  (int(totals[j][0]) + 1) // 2),
                      cpool.submit(fetch_np_prefix, dev_out[j][3],
                                   int(totals[j][1])))
                     for j in range(chunk)
@@ -536,7 +538,7 @@ def main(argv=None) -> int:
                     # MB/s and c5_fetch_gb must reflect real link traffic.
                     fetched_bytes += (
                         hc.nbytes + hb.nbytes + 8
-                        + prefix_fetch_elems(int(totals[j][0]),
+                        + prefix_fetch_elems((int(totals[j][0]) + 1) // 2,
                                              int(dev_out[j][2].size), 1)
                         + 2 * prefix_fetch_elems(int(totals[j][1]),
                                                  int(dev_out[j][3].size), 2))

@@ -6,9 +6,9 @@ module moves the whole lossy half of baseline JPEG onto the device:
 JFIF color conversion, 4:2:0 chroma subsampling, the 8x8 fDCT,
 libjpeg-convention quantization, zigzag, per-component DC-delta, and
 sparsity compaction — so the link carries only the NONZERO quantized
-coefficients (int8 values with an int16 escape side stream + per-block
-presence bitmaps, ~0.4-0.6 B/px on natural images vs 1.5 B/px dense
-YCbCr or 3 B/px u8 RGB). The native entropy coder
+coefficients (packed 4-bit two's-complement nibbles with an int16
+escape side stream + per-block presence bitmaps, ~0.2-0.4 B/px on
+natural images vs 1.5 B/px dense YCbCr or 3 B/px u8 RGB). The native entropy coder
 (native/rpf_native.cpp rpf_jpeg_encode_sparse) reconstructs blocks from
 the bitmaps and emits the JFIF stream; rpf_jpeg_encode_ycc420 is the
 dense host/fallback path (same headers, same tables — byte-identical
@@ -110,7 +110,8 @@ def available() -> bool:
 # and ship only the nonzero quantized coefficients (per-block 64-bit
 # presence bitmaps + a compacted value stream). Dense YCbCr 4:2:0 is 1.5
 # B/px over the device->host link; at quality ~92 a natural photo has
-# ~15-30% nonzero coefficients, so the sparse stream is ~2-3x smaller —
+# ~15-30% nonzero coefficients and >=96% of them fit a 4-bit nibble, so
+# the sparse stream is ~4-6x smaller —
 # and the link, not compute, bounds batch export (BASELINE config 5).
 # The native entropy coder (rpf_jpeg_encode_sparse) turns the stream into
 # the same JFIF layout rpf_jpeg_encode_ycc420 writes.
@@ -167,15 +168,18 @@ def _sparse_jit():
     """(full, blockify, sparsify, full_extent) jitted stages.
 
     full(planes, qlum, qchr) -> (counts u8 [N], bitmaps u32 [N, 2],
-    values i8 [N*64] zero-padded, escapes i16 [N*64] zero-padded,
-    totals i32 [2] = (n_values, n_escapes)): N blocks in MCU scan order
-    (per MCU: Y tl/tr/bl/br, Cb, Cr), each as a nonzero-presence bitmap
-    over zigzag positions plus its nonzero values packed to the front;
-    the DC slot carries the delta against the previous same-component
-    block, `values` is the cross-block compaction as int8 with -128
-    escaping to the int16 side stream (native rpf_jpeg_encode_sparse
-    owns the wire contract). blockify (raw quantized blocks, no DC
-    delta) and sparsify (compaction only) are exposed for tests.
+    values u8 [N*32] packed nibbles zero-padded, escapes i16 [N*64]
+    zero-padded, totals i32 [2] = (n_values, n_escapes) where n_values
+    COUNTS COEFFICIENTS (the packed byte prefix is (n_values+1)//2)):
+    N blocks in MCU scan order (per MCU: Y tl/tr/bl/br, Cb, Cr), each
+    as a nonzero-presence bitmap over zigzag positions plus its nonzero
+    values packed to the front; the DC slot carries the delta against
+    the previous same-component block, `values` is the cross-block
+    compaction as 4-bit two's-complement nibbles (low nibble first)
+    with 0x8 escaping to the int16 side stream (native
+    rpf_jpeg_encode_sparse owns the wire contract). blockify (raw
+    quantized blocks, no DC delta) and sparsify (compaction only) are
+    exposed for tests.
 
     full_extent(planes, qlum, qchr, th, tw) is ``full`` for BUCKET-PADDED
     renders whose true extent (th, tw) is a TRACED scalar pair (one
@@ -311,15 +315,21 @@ def _sparse_jit():
         j = jnp.arange(ncap, dtype=jnp.int32)
         vals32 = _compact(blocks.reshape(-1), ~nz.reshape(-1), jnp.int32)
         vals16 = jnp.where(j < total, vals32, 0).astype(jnp.int16)
-        # int8 wire stream with -128 escaping to the int16 side channel
-        # (~1 B per coefficient; escapes are rare on natural images).
-        esc = (vals16 > 127) | (vals16 < -127)
-        vals8 = jnp.where(esc, jnp.int16(-128), vals16).astype(jnp.int8)
+        # 4-bit wire stream: two's-complement nibbles cover [-7, 7]
+        # (>=96% of quantized coefficients on natural images at q92),
+        # the 0x8 code (-8) escapes to the int16 side channel — ~0.5 B
+        # per coefficient where the previous int8 format paid 1 B.
+        # Lanes >= total are zeroed above, so the final half-used byte
+        # and the padded tail are deterministic zeros.
+        esc = (vals16 > 7) | (vals16 < -7)
+        nib = jnp.where(esc, jnp.int16(8), vals16 & jnp.int16(15))
+        nib2 = nib.astype(jnp.uint8).reshape(ncap // 2, 2)
+        packed = (nib2[:, 0] | (nib2[:, 1] << 4)).astype(jnp.uint8)
         n_esc = esc.sum(dtype=jnp.int32)
         escapes = jnp.where(j < n_esc,
                             _compact(vals16, ~esc, jnp.int16), 0)
         totals = jnp.stack([total, n_esc])
-        return counts.astype(jnp.uint8), bitmaps, vals8, escapes, totals
+        return counts.astype(jnp.uint8), bitmaps, packed, escapes, totals
 
     @jax.jit
     def full(planes, qlum, qchr):
@@ -396,9 +406,10 @@ def _dc_delta_np(blocks: np.ndarray) -> np.ndarray:
 def _sparsify_np(blocks: np.ndarray):
     """Exact integer mirror of the device sparsify stage (row-major
     boolean indexing IS the block-then-ascending-zigzag order).
-    Returns (counts u8, bitmaps u32 [N,2], values i8, escapes i16,
-    n_values, n_escapes) with values/escapes already trimmed to their
-    true lengths."""
+    Returns (counts u8, bitmaps u32 [N,2], packed-nibble values u8,
+    escapes i16, n_values, n_escapes) with values/escapes already
+    trimmed to their true lengths (values to (n_values+1)//2 bytes, the
+    odd-tail high nibble zero like the device's zeroed padding lanes)."""
     blocks = np.asarray(blocks, dtype=np.int32)
     nz = blocks != 0
     counts = nz.sum(axis=1)
@@ -406,10 +417,13 @@ def _sparsify_np(blocks: np.ndarray):
     lo = (nz[:, :32] * w32).sum(axis=1).astype(np.uint32)
     hi = (nz[:, 32:] * w32).sum(axis=1).astype(np.uint32)
     vals16 = blocks[nz].astype(np.int16)
-    esc = (vals16 > 127) | (vals16 < -127)
-    vals8 = np.where(esc, -128, vals16).astype(np.int8)
+    esc = (vals16 > 7) | (vals16 < -7)
+    nib = np.where(esc, 8, vals16 & 15).astype(np.uint8)
+    if nib.size % 2:
+        nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
     return (counts.astype(np.uint8), np.stack([lo, hi], axis=1),
-            vals8, vals16[esc], int(counts.sum()), int(esc.sum()))
+            packed, vals16[esc], int(counts.sum()), int(esc.sum()))
 
 
 def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
@@ -447,8 +461,8 @@ def _encode_sparse_device(planes, quality: int, stage=None,
                           true_shape=None) -> bytes:
     """Device-side fDCT/quantize/sparsify -> banded fetch of the nonzero
     coefficient stream -> native entropy coder. The link carries the
-    per-block bitmaps/counts (~0.23 B/px) plus ~1 B per nonzero
-    coefficient instead of 1.5 B/px of dense YCbCr.
+    per-block bitmaps/counts (~0.23 B/px) plus ~0.5 B per nonzero
+    coefficient (packed nibbles) instead of 1.5 B/px of dense YCbCr.
 
     ``true_shape``: (h, w) of the real image when ``planes`` is a
     bucket-padded render — the value stream is fetched only up to the
@@ -503,7 +517,8 @@ def _encode_sparse_device(planes, quality: int, stage=None,
             host_counts = fc.result()
             last = ((mcu_r - 1) * grid[1] + (mcu_c - 1)) * 6 + 5
             n = int(host_counts[: last + 1].astype(np.int64).sum())
-        host_vals = fetch_np_prefix(vals, n)
+        # n counts coefficients; the packed-nibble wire is 2 per byte.
+        host_vals = fetch_np_prefix(vals, (n + 1) // 2)
         if not padded:
             host_counts = fc.result()
         host_bitmaps = fb.result()

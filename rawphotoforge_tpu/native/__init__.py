@@ -91,7 +91,7 @@ def _bind(lib) -> None:
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lib.rpf_jpeg_encode_sparse.argtypes = [
-        u8p, u32p, i8p, c64, i16p, c64, c, c, c, c, c, u8p, c64,
+        u8p, u32p, u8p, c64, i16p, c64, c, c, c, c, c, u8p, c64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.rpf_jpeg_encode_sparse.restype = c
     lib.rpf_jpeg_encode_ycc420.argtypes = [
@@ -290,10 +290,11 @@ def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
                        quality: int = 92, grid=None) -> bytes:
     """Baseline JFIF 4:2:0 entropy-encode from device-sparsified
     quantized DCT coefficients (io/jpegenc.encode_jpeg's sparse path:
-    per-block zigzag presence bitmaps + the nonzero values as int8 with
-    -128 escaping to the int16 ``escapes`` stream, DC slots carrying
-    same-component deltas, all in MCU scan order — the
-    fDCT/quantization already happened on the device).
+    per-block zigzag presence bitmaps + the nonzero values as packed
+    4-bit two's-complement nibbles, low nibble first, with 0x8 escaping
+    to the int16 ``escapes`` stream, DC slots carrying same-component
+    deltas, all in MCU scan order — the fDCT/quantization already
+    happened on the device).
 
     ``grid``: optional (mcu_rows, mcu_cols) of the BUCKET-PADDED grid
     the coefficient arrays cover when it exceeds the true image's
@@ -306,7 +307,7 @@ def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
         raise RuntimeError("native library unavailable")
     counts = np.ascontiguousarray(counts, dtype=np.uint8)
     bitmaps = np.ascontiguousarray(bitmaps, dtype=np.uint32)
-    values = np.ascontiguousarray(values, dtype=np.int8)
+    values = np.ascontiguousarray(values, dtype=np.uint8)
     escapes = np.ascontiguousarray(escapes, dtype=np.int16)
     h, w = int(h), int(w)
     gr, gc = ((h + 15) // 16, (w + 15) // 16) if grid is None else (

@@ -847,11 +847,12 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
 // previous same-component block (MCU scan order — deltas are small on
 // natural images, so most fit one byte), and compacts every block to a
 // 64-bit nonzero-presence bitmap over zigzag positions plus its nonzero
-// values in ascending zigzag order. The value stream arrives as int8
-// with -128 as the escape marker: escaped values are taken, in stream
-// order, from the int16 `escapes` side channel. The tunnel therefore
-// carries ~1 byte per nonzero coefficient instead of dense YCbCr
-// planes.
+// values in ascending zigzag order. The value stream arrives as packed
+// 4-bit two's-complement nibbles (low nibble first; `nvalues` is the
+// BYTE length of the packed stream) with 0x8 (-8) as the escape marker:
+// escaped values are taken, in stream order, from the int16 `escapes`
+// side channel. The tunnel therefore carries ~0.5 bytes per nonzero
+// coefficient instead of dense YCbCr planes.
 //
 // BUCKET-STABLE GRIDS: the device programs key on bucket-padded shapes
 // (engine/editor.py SHAPE_BUCKET), so the coefficient arrays may cover
@@ -870,7 +871,7 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
 // Huffman size category (<=11 bits DC, <=10 AC) — violations return
 // RPF_ERR_ARGS rather than emitting undefined symbols.
 int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
-                           const int8_t* values, int64_t nvalues,
+                           const uint8_t* values, int64_t nvalues,
                            const int16_t* escapes, int64_t nescapes, int h,
                            int w, int grid_mcu_rows, int grid_mcu_cols,
                            int quality, uint8_t* out, int64_t out_cap,
@@ -911,17 +912,19 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
     const uint64_t bm = static_cast<uint64_t>(bitmaps[2 * b]) |
                         (static_cast<uint64_t>(bitmaps[2 * b + 1]) << 32);
     const int n = counts[b];
-    if (n != __builtin_popcountll(bm) || cur + n > nvalues)
+    if (n != __builtin_popcountll(bm) || cur + n > 2 * nvalues)
       return RPF_ERR_ARGS;
     std::memset(zz, 0, sizeof(zz));
     for (uint64_t m = bm; m; m &= m - 1) {
-      const int8_t v8 = values[cur++];
+      const int64_t vi = cur++;
+      // Packed low-nibble-first: sign-extend 4-bit two's complement.
+      const int nib = (values[vi >> 1] >> ((vi & 1) * 4)) & 0xF;
       int16_t v;
-      if (v8 == -128) {  // escape: the true value rides the i16 stream
+      if (nib == 8) {  // escape: the true value rides the i16 stream
         if (ecur >= nescapes) return RPF_ERR_ARGS;
         v = escapes[ecur++];
       } else {
-        v = v8;
+        v = static_cast<int16_t>(nib > 8 ? nib - 16 : nib);
       }
       const int i = __builtin_ctzll(m);
       // Baseline size categories: AC <= 10 bits; the DC slot holds a

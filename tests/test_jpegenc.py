@@ -133,9 +133,38 @@ def test_sparsify_device_equals_np_mirror():
     assert [int(x) for x in dt] == [nt, net]
     np.testing.assert_array_equal(dc, nc)
     np.testing.assert_array_equal(db, nb)
-    np.testing.assert_array_equal(dv[:nt], nv)
+    # nt counts coefficients; the packed-nibble wire is 2 per byte
+    np.testing.assert_array_equal(dv[: (nt + 1) // 2], nv)
     np.testing.assert_array_equal(de[:net], ne)
-    assert not dv[nt:].any() and not de[net:].any()
+    assert not dv[(nt + 1) // 2:].any() and not de[net:].any()
+
+
+def test_nibble_wire_boundaries_round_trip():
+    """The 4-bit wire's edges, pinned exactly: +-7 ride the nibble
+    stream, -8 (colliding with the 0x8 escape code) and +-8 escape to
+    i16, an ODD total leaves the final byte's high nibble zero, and the
+    native coder reconstructs every value bit-exactly (checked through
+    a PIL decode of a luma-only stream against the dequantized IDCT)."""
+    blocks = np.zeros((6, 64), dtype=np.int32)
+    # 5 coefficients -> odd total: packed stream is 3 bytes.
+    blocks[0, [0, 1, 2, 3, 4]] = [7, -7, 8, -8, 1]
+    counts, bitmaps, packed, esc, nv, ne = jpegenc._sparsify_np(blocks)
+    assert nv == 5 and ne == 2
+    assert list(esc) == [8, -8]
+    assert packed.shape == (3,)
+    assert packed[0] == (7 | ((-7 & 15) << 4))       # 7, -7
+    assert packed[1] == (8 | (8 << 4))               # two escape codes
+    assert packed[2] == 1                            # odd tail: high nibble 0
+    # device mirror agrees bit-for-bit
+    _, _, sparsify, _ = jpegenc._sparse_jit()
+    dv = [np.asarray(x) for x in sparsify(jnp.asarray(blocks))]
+    np.testing.assert_array_equal(dv[2][:3], packed)
+    np.testing.assert_array_equal(dv[3][:2], esc)
+    assert [int(x) for x in dv[4]] == [5, 2]
+    # and the native coder walks the shared escape byte correctly
+    data = native.jpeg_encode_sparse(counts, bitmaps, packed, esc, 16, 16,
+                                     quality=92)
+    assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
 
 
 def test_full_device_equals_composed_np_mirror():
@@ -151,7 +180,7 @@ def test_full_device_equals_composed_np_mirror():
     dev = [np.asarray(x) for x in full(jnp.asarray(planes), ql, qc)]
     np.testing.assert_array_equal(dev[0], ref[0])
     np.testing.assert_array_equal(dev[1], ref[1])
-    np.testing.assert_array_equal(dev[2][: ref[4]], ref[2])
+    np.testing.assert_array_equal(dev[2][: (ref[4] + 1) // 2], ref[2])
     np.testing.assert_array_equal(dev[3][: ref[5]], ref[3])
     assert [int(x) for x in dev[4]] == [ref[4], ref[5]]
     # the delta stage leaves AC slots untouched and is the per-component
@@ -207,7 +236,7 @@ def test_sparse_bitstream_identical_on_blockwise_constant_gray():
                                    jnp.asarray(qchr))
     nv, ne = (int(x) for x in np.asarray(dt_))
     from_device = native.jpeg_encode_sparse(
-        np.asarray(dc_), np.asarray(db_), np.asarray(dv_)[:nv],
+        np.asarray(dc_), np.asarray(db_), np.asarray(dv_)[: (nv + 1) // 2],
         np.asarray(de_)[:ne], h, w, quality=92)
     assert from_device == dense
 
