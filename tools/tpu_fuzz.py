@@ -236,6 +236,56 @@ for seed in range(max(2, args.raw_seeds // 2)):
 print("TPU TONE-CURVE-IDENTITY RESULT:",
       "PASS" if tc_fails == 0 else f"{tc_fails} FAILURES")
 
+# --- part 6: the sparse JPEG export wire, on hardware. The device stream
+# (fDCT + quant + DC-delta + stable-sort nibble compaction) must equal the
+# exact integer numpy mirror seeded from the DEVICE blockify output, and
+# the native entropy coder must produce the same bytes from either side.
+# One shape -> one remote compile; the f32-vs-f64 DCT stage is covered by
+# the CPU suite (test_device_blocks_track_f64_oracle).
+from rawphotoforge_tpu.io import jpegenc
+from rawphotoforge_tpu import native as rpf_native
+
+sw_fails = 0
+sw_seeds = []
+sw_h, sw_w = 512, 768
+sp_full, sp_blockify, _, _ = jpegenc._sparse_jit()
+ql_h, qc_h = jpegenc._quant_tables(92)
+ql_d, qc_d = jnp.asarray(ql_h), jnp.asarray(qc_h)
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 6000)
+    base = r.random((3, 1, 1)).astype(np.float32)
+    planes = np.clip(base + 0.15 * r.standard_normal(
+        (3, sw_h, sw_w)).astype(np.float32), 0.0, 1.0)
+    pd = jnp.asarray(planes)
+    blocks = np.asarray(sp_blockify(pd, ql_d, qc_d))
+    ref = jpegenc._sparsify_np(jpegenc._dc_delta_np(blocks))
+    dev_out = [np.asarray(x) for x in sp_full(pd, ql_d, qc_d)]
+    nv, ne = int(dev_out[4][0]), int(dev_out[4][1])
+    stream_ok = (
+        nv == ref[4] and ne == ref[5]
+        and np.array_equal(dev_out[0], ref[0])
+        and np.array_equal(dev_out[1], ref[1])
+        and np.array_equal(dev_out[2][: (nv + 1) // 2], ref[2])
+        and np.array_equal(dev_out[3][:ne], ref[3]))
+    from_device = rpf_native.jpeg_encode_sparse(
+        dev_out[0], dev_out[1], dev_out[2][: (nv + 1) // 2],
+        dev_out[3][:ne], sw_h, sw_w, quality=92)
+    from_mirror = rpf_native.jpeg_encode_sparse(
+        ref[0], ref[1], ref[2], ref[3], sw_h, sw_w, quality=92)
+    ok = stream_ok and from_device == from_mirror
+    density = nv / (dev_out[0].size * 64)
+    if ok:
+        print(f"sparse seed {seed}: ok (density={density:.2f}, "
+              f"escapes={ne})", flush=True)
+    else:
+        sw_fails += 1
+        print(f"sparse seed {seed}: FAIL stream_ok={stream_ok}", flush=True)
+    sw_seeds.append({"seed": seed, "ok": ok, "n_values": nv,
+                     "n_escapes": ne, "density": density})
+
+print("TPU SPARSE-WIRE RESULT:",
+      "PASS" if sw_fails == 0 else f"{sw_fails} FAILURES")
+
 if args.out:
     try:
         head = subprocess.run(
@@ -278,8 +328,12 @@ if args.out:
             "worst_max_dev": max(s["max"] for s in tc_seeds),
             "per_seed": tc_seeds,
         },
+        "sparse_wire": {
+            "seeds": len(sw_seeds), "fails": sw_fails,
+            "per_seed": sw_seeds,
+        },
         "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
-              and io_fails == 0 and tc_fails == 0,
+              and io_fails == 0 and tc_fails == 0 and sw_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:
@@ -287,4 +341,4 @@ if args.out:
     print(f"wrote {args.out}", flush=True)
 
 sys.exit(0 if fails == 0 and raw_fails == 0 and xt_fails == 0
-         and io_fails == 0 and tc_fails == 0 else 1)
+         and io_fails == 0 and tc_fails == 0 and sw_fails == 0 else 1)
