@@ -520,9 +520,10 @@ def main(argv=None) -> int:
                 # stay near the ~16-band tunnel sweet spot.
                 futs = [
                     # totals[0] counts coefficients; the packed-nibble
-                    # value wire is 2 per byte.
-                    (cpool.submit(fetch_np, dev_out[j][0]),
-                     cpool.submit(fetch_np, dev_out[j][1]),
+                    # value wire is 2 per byte. The counts stream is NOT
+                    # fetched: the host popcounts the bitmaps
+                    # (io/jpegenc._popcount_rows).
+                    (cpool.submit(fetch_np, dev_out[j][1]),
                      cpool.submit(fetch_np_prefix, dev_out[j][2],
                                   (int(totals[j][0]) + 1) // 2),
                      cpool.submit(fetch_np_prefix, dev_out[j][3],
@@ -530,14 +531,14 @@ def main(argv=None) -> int:
                     for j in range(chunk)
                 ]
                 hosts = []
-                for j, (fc, fb, fv, fe) in enumerate(futs):
-                    hc, hb, hv, he = (fc.result(), fb.result(),
-                                      fv.result(), fe.result())
+                for j, (fb, fv, fe) in enumerate(futs):
+                    hb, hv, he = fb.result(), fv.result(), fe.result()
+                    hc = jpegenc._popcount_rows(hb)
                     # Count the band-rounded bytes the prefix fetches
                     # actually moved, not the trimmed views — the logged
                     # MB/s and c5_fetch_gb must reflect real link traffic.
                     fetched_bytes += (
-                        hc.nbytes + hb.nbytes + 8
+                        hb.nbytes + 8
                         + prefix_fetch_elems((int(totals[j][0]) + 1) // 2,
                                              int(dev_out[j][2].size), 1)
                         + 2 * prefix_fetch_elems(int(totals[j][1]),

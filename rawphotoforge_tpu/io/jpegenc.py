@@ -426,6 +426,19 @@ def _sparsify_np(blocks: np.ndarray):
             packed, vals16[esc], int(counts.sum()), int(esc.sum()))
 
 
+# byte -> set-bit count, for deriving per-block counts from bitmaps on
+# the host (the counts stream itself never crosses the link).
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount_rows(bitmaps: np.ndarray) -> np.ndarray:
+    """Per-row popcount of [N, 2] u32 presence bitmaps -> u8 [N]."""
+    b = np.ascontiguousarray(bitmaps, dtype=np.uint32)
+    return _POP8[b.view(np.uint8).reshape(b.shape[0], 8)].sum(
+        axis=1, dtype=np.uint8)
+
+
 def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
     """Insert an EXIF APP1 segment right after SOI (ITU-T.81 B.2.4.4 /
     JEITA CP-3451 layout: the EXIF APP1 precedes other marker segments)."""
@@ -501,27 +514,35 @@ def _encode_sparse_device(planes, quality: int, stage=None,
         counts, bitmaps, vals, escapes, totals = full(
             planes, jnp.asarray(qlum), jnp.asarray(qchr))
     stage("fetch")
+    del counts  # derivable: the per-block count is popcount(bitmap)
     n, n_esc = (int(v) for v in np.asarray(totals))
     from concurrent.futures import ThreadPoolExecutor
 
     grid = None
     with ThreadPoolExecutor(3) as pool:
-        fc = pool.submit(fetch_np, counts)
         fb = pool.submit(fetch_np, bitmaps)
         fe = pool.submit(fetch_np_prefix, escapes, n_esc)
+        fv = None
+        if not padded:
+            # n counts coefficients; the packed-nibble wire is 2/byte.
+            fv = pool.submit(fetch_np_prefix, vals, (n + 1) // 2)
+        host_bitmaps = fb.result()
+        # The counts stream never crosses the link: host-side popcount
+        # of the bitmaps reproduces it (1 B/block saved + one fewer
+        # fetch stream; the native coder's counts==popcount check
+        # becomes self-consistent, but the coder still validates value
+        # lengths and Huffman size categories against the streams).
+        host_counts = _popcount_rows(host_bitmaps)
         if padded:
             # The value prefix ends at the last true-image block; the
             # trailing padding rows' values never cross the link.
             grid = (ph // 16, pw // 16)
             mcu_r, mcu_c = -(-h // 16), -(-w // 16)
-            host_counts = fc.result()
             last = ((mcu_r - 1) * grid[1] + (mcu_c - 1)) * 6 + 5
             n = int(host_counts[: last + 1].astype(np.int64).sum())
-        # n counts coefficients; the packed-nibble wire is 2 per byte.
-        host_vals = fetch_np_prefix(vals, (n + 1) // 2)
-        if not padded:
-            host_counts = fc.result()
-        host_bitmaps = fb.result()
+            host_vals = fetch_np_prefix(vals, (n + 1) // 2)
+        else:
+            host_vals = fv.result()
         host_esc = fe.result()
     stage("encode")
     return native.jpeg_encode_sparse(

@@ -862,10 +862,15 @@ int rpf_jpeg_encode_ycc420(const uint8_t* y, const uint8_t* cb,
 // replaying its DC delta to keep the prediction chain aligned — but
 // emits only blocks whose MCU column is inside the true image. With
 // edge-replicated padding the stream matches a direct encode of the
-// true image byte-for-byte (tested; the one caveat is even-extent
-// boundary chroma, where the direct path's final 2x2 average spans two
-// distinct pixel rows/cols while the padded image replicates one — a
-// sub-visible content difference confined to the boundary blocks). Blocks are 6 per MCU (Y tl, tr, bl, br, Cb, Cr — the
+// true image byte-for-byte at the tested extents; two caveats make the
+// identity per-program rather than universal: (1) even-extent boundary
+// chroma, where the direct path's final 2x2 average spans two distinct
+// pixel rows/cols while the padded image replicates one, and (2) the
+// padded and direct device programs compile separately, so f32
+// reassociation can flip a quantization-boundary-straddling
+// coefficient by one step (measured 9 of ~550K ACs at 144x272 on CPU;
+// decoded pixel diff <= 1 — the same straddle noise that separates the
+// device fDCT from the f64 oracle). Blocks are 6 per MCU (Y tl, tr, bl, br, Cb, Cr — the
 // same walk rpf_jpeg_encode_ycc420 takes). counts[b] must equal
 // popcount(bitmap[b]) and every coefficient must fit its baseline
 // Huffman size category (<=11 bits DC, <=10 AC) — violations return

@@ -353,7 +353,14 @@ def test_padded_grid_bitstream_identical_to_direct(h, w):
     content there, review finding). The extent-aware program overwrites
     the pad with per-component clamp-gather edge replicas, reproducing
     the direct path's luma-then-chroma MCU pad exactly, and the grid
-    walk skips padding blocks while replaying their DC deltas."""
+    walk skips padding blocks while replaying their DC deltas.
+
+    Byte-identity is asserted at these extents; it is per-program, not
+    universal — the padded and direct programs compile separately, so
+    f32 reassociation can flip a quantization-straddling coefficient by
+    one step at other extents (rpf_native.cpp sparse-coder comment;
+    decoded pixel diff <= 1). If an XLA upgrade flips one here, compare
+    decoded pixels within 1 instead of loosening the wire tests."""
     planes = _planes(h, w, kind="noise", seed=h + w).copy()
     # the UNPADDED reference: grid == true grid (bypasses encode_jpeg's
     # auto-bucketing, which would otherwise make this comparison
