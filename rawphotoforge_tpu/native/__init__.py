@@ -89,7 +89,6 @@ def _bind(lib) -> None:
     lib.rpf_ljpeg_pack_bits.restype = c64
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lib.rpf_jpeg_encode_sparse.argtypes = [
         u8p, u32p, u8p, c64, i16p, c64, c, c, c, c, c, u8p, c64,
         ctypes.POINTER(ctypes.c_int64)]

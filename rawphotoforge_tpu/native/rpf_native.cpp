@@ -955,6 +955,15 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
     zz[0] = static_cast<int16_t>(chain[comp]);
     encode_block(&bw, zz, &pred[comp], comp ? dcc : dcl, comp ? acc_ : acl);
   }
+  // The walk must consume the value stream exactly (callers pass the
+  // trimmed (n+1)/2-byte prefix). Since counts are host-derived from
+  // the bitmaps, this is the remaining cross-stream integrity check: a
+  // corrupted bitmap fetch shifts the total coefficient count and lands
+  // here instead of emitting a structurally-valid-but-wrong stream.
+  // (Skipped when the walk stopped early on output overflow — that
+  // path must keep returning 3 so the caller's grow-and-retry works.)
+  if (!bw.overflow && cur != 2 * nvalues && cur + 1 != 2 * nvalues)
+    return RPF_ERR_ARGS;
   bw.flush();
   put_marker(&bw, 0xD9);  // EOI
   if (bw.overflow) return 3;

@@ -161,10 +161,21 @@ def test_nibble_wire_boundaries_round_trip():
     np.testing.assert_array_equal(dv[2][:3], packed)
     np.testing.assert_array_equal(dv[3][:2], esc)
     assert [int(x) for x in dv[4]] == [5, 2]
-    # and the native coder walks the shared escape byte correctly
+    # and the native coder reconstructs the boundary values bit-exactly:
+    # decode the stream with PIL and compare the luma block against the
+    # f64 dequantize+IDCT oracle (a sign-extension bug at +-7/+-8 would
+    # shift these pixels far beyond the +-2 bound).
     data = native.jpeg_encode_sparse(counts, bitmaps, packed, esc, 16, 16,
                                      quality=92)
     assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
+    dec = _decode(data)
+    qlum, _ = jpegenc._quant_tables(92)
+    d = jpegenc._dct8(np.float64)
+    inv = np.argsort(jpegenc._ZIGZAG)
+    zz = blocks[0].astype(np.float64)
+    px = np.clip(np.round(d.T @ (zz[inv] * qlum).reshape(8, 8) @ d + 128.0),
+                 0, 255)
+    assert np.abs(dec[:8, :8, 1].astype(np.float64) - px).max() <= 2
 
 
 def test_full_device_equals_composed_np_mirror():
@@ -337,6 +348,25 @@ def test_sparse_rejects_malformed_wire_data():
     # wrong geometry
     with pytest.raises(ValueError):
         native.jpeg_encode_sparse(counts, bitmaps, vals, esc, 64, 64,
+                                  quality=92)
+    # a corrupted bitmap fetch with host-derived counts (production no
+    # longer fetches counts): clearing set bits keeps counts==popcount
+    # self-consistent, but the walk then under-consumes the value
+    # stream and the end-of-walk exhaustion check must fire. Two bits
+    # cleared so the check catches it at either total parity.
+    bm_bad = bitmaps.copy()
+    cnt_bad = counts.copy()
+    cleared = 0
+    for b in range(bm_bad.shape[0]):
+        for word in (0, 1):
+            if cleared < 2 and bm_bad[b, word]:
+                bit = bm_bad[b, word] & (~bm_bad[b, word] + 1)  # lowest set
+                bm_bad[b, word] ^= bit
+                cnt_bad[b] -= 1
+                cleared += 1
+    assert cleared == 2
+    with pytest.raises(ValueError):
+        native.jpeg_encode_sparse(cnt_bad, bm_bad, vals, esc, h, w,
                                   quality=92)
     # explicit sparse=True on a host array must refuse, not silently
     # hand back dense-path bytes
