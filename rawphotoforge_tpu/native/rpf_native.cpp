@@ -609,7 +609,7 @@ static void build_huff(const uint8_t bits[16], const uint8_t* vals,
 struct BitWriter {
   uint8_t* out;
   int64_t cap, pos;
-  uint32_t acc;
+  uint64_t acc;  // holds < 32 pending bits between put() calls
   int nacc;
   bool overflow;
 
@@ -617,27 +617,48 @@ struct BitWriter {
     if (pos >= cap) { overflow = true; return; }
     out[pos++] = b;
   }
-  void put(uint32_t value, int nbits) {
+  // Entropy-coding hot path: callers combine a Huffman code and its
+  // magnitude bits into ONE put of <= 27 bits (16 + 11). With the
+  // nacc < 32 entry invariant the 64-bit accumulator never overflows,
+  // and whole 32-bit gulps drain at once — a SWAR test finds the rare
+  // 0xFF needing stuffing, so the common case is one bounds check and
+  // a byteswapped 4-byte store per ~1.5 coefficients instead of
+  // per-byte shift/compare/bounds work.
+  inline void put(uint32_t value, int nbits) {
     acc = (acc << nbits) | (value & ((1u << nbits) - 1));
     nacc += nbits;
+    if (nacc >= 32) {
+      const uint32_t w = static_cast<uint32_t>(acc >> (nacc - 32));
+      nacc -= 32;
+      const uint32_t t = ~w;  // a 0xFF byte in w is a 0x00 byte in t
+      if (((t - 0x01010101u) & ~t & 0x80808080u) == 0 && pos + 4 <= cap) {
+        const uint32_t be = __builtin_bswap32(w);
+        std::memcpy(out + pos, &be, 4);
+        pos += 4;
+      } else {
+        for (int s = 24; s >= 0; s -= 8) {
+          const uint8_t b = static_cast<uint8_t>(w >> s);
+          put_byte(b);
+          if (b == 0xFF) put_byte(0x00);  // byte stuffing
+        }
+      }
+    }
+  }
+  void flush() {  // pad with 1s to a byte boundary, drain whole bytes
+    if (nacc & 7) put((1u << (8 - (nacc & 7))) - 1, 8 - (nacc & 7));
     while (nacc >= 8) {
       const uint8_t b = static_cast<uint8_t>(acc >> (nacc - 8));
       put_byte(b);
-      if (b == 0xFF) put_byte(0x00);  // byte stuffing
+      if (b == 0xFF) put_byte(0x00);
       nacc -= 8;
     }
-  }
-  void flush() {  // pad with 1s to a byte boundary
-    if (nacc > 0) put((1u << (8 - nacc)) - 1, 8 - nacc);
   }
 };
 
 // Size category (number of magnitude bits) of a coefficient.
 static inline int bit_size(int v) {
-  int a = v < 0 ? -v : v;
-  int n = 0;
-  while (a) { a >>= 1; ++n; }
-  return n;
+  const unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
+  return a ? 32 - __builtin_clz(a) : 0;
 }
 
 // Separable float fDCT with orthonormal scaling folded into quantization
@@ -702,8 +723,12 @@ static void encode_block(BitWriter* bw, const int16_t zz[64], int* dc_pred,
   const int diff = zz[0] - *dc_pred;
   *dc_pred = zz[0];
   const int s = bit_size(diff);
-  bw->put(dc.code[s], dc.len[s]);
-  if (s) bw->put(static_cast<uint32_t>(diff < 0 ? diff + (1 << s) - 1 : diff), s);
+  // Code + magnitude as ONE put (<= 16 + 11 bits): halves the put()
+  // calls on the entropy-coding hot path.
+  const uint32_t dmag =
+      static_cast<uint32_t>(diff < 0 ? diff + (1 << s) - 1 : diff)
+      & ((1u << s) - 1);
+  bw->put((static_cast<uint32_t>(dc.code[s]) << s) | dmag, dc.len[s] + s);
   int run = 0;
   for (int i = 1; i < 64; ++i) {
     if (zz[i] == 0) { ++run; continue; }
@@ -713,8 +738,11 @@ static void encode_block(BitWriter* bw, const int16_t zz[64], int* dc_pred,
     }
     const int sz = bit_size(zz[i]);
     const int sym = (run << 4) | sz;
-    bw->put(ac.code[sym], ac.len[sym]);
-    bw->put(static_cast<uint32_t>(zz[i] < 0 ? zz[i] + (1 << sz) - 1 : zz[i]), sz);
+    const uint32_t mag =
+        static_cast<uint32_t>(zz[i] < 0 ? zz[i] + (1 << sz) - 1 : zz[i])
+        & ((1u << sz) - 1);
+    bw->put((static_cast<uint32_t>(ac.code[sym]) << sz) | mag,
+            ac.len[sym] + sz);
     run = 0;
   }
   if (run > 0) bw->put(ac.code[0x00], ac.len[0x00]);  // EOB
