@@ -453,24 +453,25 @@ def main(argv=None) -> int:
         ]
         params5 = edit_params(extent=(bh, bw))
 
-        sparse_full, _, _, _ = jpegenc._sparse_jit()
+        stages5 = jpegenc._sparse_jit()
+        sparse_banded = stages5.full_banded
         qlum_h, qchr_h = jpegenc._quant_tables(92)
         qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
+        nblocks = (bh // 16) * (bw // 16) * 6
+        bmb, vb, eb = jpegenc._band_layout(nblocks)
 
         @jax.jit
         def export_one(m):
+            # One image per dispatch — a lax.map over several images in
+            # ONE program hard-crashes the TPU worker at this size (every
+            # iteration's sparse outputs + the ~GB of compaction
+            # intermediates stay live at once).
+            # Banded outputs: the three sparse streams arrive pre-split
+            # at fixed boundaries as SEPARATE device buffers, so fetching
+            # them is whole-buffer d2h transfers with no slice program —
+            # which makes compute/fetch overlap safe (see the loop).
             srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-            return sparse_full(srgb, qlum_d, qchr_d)
-
-        def export_chunk(ms):
-            # One image per dispatch. A lax.map over 4 images in ONE
-            # program hard-crashes the TPU worker at this size (the scan
-            # keeps every iteration's sparse outputs plus the ~GB of
-            # compaction intermediates live at once; chunk<=2 survives,
-            # chunk=4 kills the worker process). Per-image dispatch costs
-            # one ~60 ms RTT against a multi-second fetch, and the export
-            # is fetch-bound — batching the compute bought nothing.
-            return [export_one(m) for m in ms]
+            return sparse_banded(srgb, qlum_d, qchr_d)
 
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
@@ -490,75 +491,75 @@ def main(argv=None) -> int:
         results["c5_device_develop_mpix_s"] = bh * bw / 1e6 / dt_dev
 
         n_images = 256
-        n_chunks = n_images // chunk
-        fetch_sync(export_chunk(mosaics))  # compile
+        # Overlap device compute with the link (default on): the sparse
+        # program runs ~0.6 s/image, the fetch ~0.7 s/image — dispatching
+        # image i+1 BEFORE fetching image i hides one behind the other.
+        # This was 2x SLOWER with slice-at-fetch-time bands (the per-band
+        # slice programs queued behind the next image's compute on the
+        # device); pre-split band buffers transfer without any device
+        # program, so the orders can be A/B'd with RPF_C5_OVERLAP=0.
+        overlap = os.environ.get("RPF_C5_OVERLAP", "1") != "0"
+        fetch_sync(export_one(mosaics[0]))  # compile
         t_fetch = 0.0
         fetched_bytes = 0
         last_bytes = 0
+        last_t = 0.0
         t0 = time.perf_counter()
         from rawphotoforge_tpu.utils.transfer import (
-            fetch_np, fetch_np_prefix, prefix_fetch_elems)
+            banded_fetch_elems, fetch_banded, start_banded)
 
-        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(12) as cpool:
+        def fetch_image(dev_i, n, n_esc, cpool):
+            nbv = (n + 1) // 2
+            bm_bands, val_bands, esc_bands, _t = dev_i
+            fb = cpool.submit(fetch_banded, bm_bands, bmb, nblocks * 2)
+            fv = cpool.submit(fetch_banded, val_bands, vb, nbv)
+            he = fetch_banded(esc_bands, eb, n_esc)
+            hb = fb.result().reshape(nblocks, 2)
+            hv = fv.result()
+            hc = jpegenc._popcount_rows(hb)
+            # Band-rounded bytes actually moved, not the trimmed views —
+            # the logged MB/s and c5_fetch_gb must reflect link traffic.
+            moved = (8 + 4 * banded_fetch_elems(nblocks * 2, bmb)
+                     + banded_fetch_elems(nbv, vb)
+                     + 2 * banded_fetch_elems(n_esc, eb))
+            return (hc, hb, hv, he), moved
+
+        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(4) as cpool:
             pending = []
-            dev_out = export_chunk(mosaics)  # device computes chunk 0
-            for ci in range(n_chunks):
-                # Progress-based deadline: each completed chunk buys 15
+            dev_i = export_one(mosaics[0])
+            for i in range(n_images):
+                # Progress-based deadline: each completed image buys 10
                 # more minutes. Only a true wedge (zero progress) aborts.
-                rearm_watchdog(900)
-                # NOTE: dispatching the next chunk BEFORE this fetch was
-                # tried and is >2x SLOWER through the tunnel — the dispatch
-                # RPC and the bulk fetch contend on the same link, so keep
-                # the dispatch after the fetch (device compute is only
-                # ~35 ms/chunk, negligible next to the transfer).
+                rearm_watchdog(600)
                 tf = time.perf_counter()
-                # [chunk][2] totals: the per-image sync points.
-                totals = [np.asarray(t) for *_s, t in dev_out]
-                # Per-image streams fetch concurrently; the value/escape
-                # prefixes use fixed band boundaries (fetch_np_prefix) so
-                # no per-length slice programs are minted. Stream counts
-                # stay near the ~16-band tunnel sweet spot.
-                futs = [
-                    # totals[0] counts coefficients; the packed-nibble
-                    # value wire is 2 per byte. The counts stream is NOT
-                    # fetched: the host popcounts the bitmaps
-                    # (io/jpegenc._popcount_rows).
-                    (cpool.submit(fetch_np, dev_out[j][1]),
-                     cpool.submit(fetch_np_prefix, dev_out[j][2],
-                                  (int(totals[j][0]) + 1) // 2),
-                     cpool.submit(fetch_np_prefix, dev_out[j][3],
-                                  int(totals[j][1])))
-                    for j in range(chunk)
-                ]
-                hosts = []
-                for j, (fb, fv, fe) in enumerate(futs):
-                    hb, hv, he = fb.result(), fv.result(), fe.result()
-                    hc = jpegenc._popcount_rows(hb)
-                    # Count the band-rounded bytes the prefix fetches
-                    # actually moved, not the trimmed views — the logged
-                    # MB/s and c5_fetch_gb must reflect real link traffic.
-                    fetched_bytes += (
-                        hb.nbytes + 8
-                        + prefix_fetch_elems((int(totals[j][0]) + 1) // 2,
-                                             int(dev_out[j][2].size), 1)
-                        + 2 * prefix_fetch_elems(int(totals[j][1]),
-                                                 int(dev_out[j][3].size), 2))
-                    hosts.append((hc, hb, hv, he))
-                dt_chunk = time.perf_counter() - tf
-                t_fetch += dt_chunk
-                if ci % 8 == 0 or dt_chunk > 30.0:
+                tv = np.asarray(dev_i[3])  # totals: the program-i sync
+                n, n_esc = int(tv[0]), int(tv[1])
+                dev_next = None
+                if overlap:
+                    # Start the d2h transfers, THEN hand the device the
+                    # next image's compute: the transfers ride the link
+                    # while the device works.
+                    start_banded(dev_i[0], bmb, nblocks * 2)
+                    start_banded(dev_i[1], vb, (n + 1) // 2)
+                    start_banded(dev_i[2], eb, n_esc)
+                    if i + 1 < n_images:
+                        dev_next = export_one(mosaics[(i + 1) % chunk])
+                host, moved = fetch_image(dev_i, n, n_esc, cpool)
+                fetched_bytes += moved
+                if not overlap and i + 1 < n_images:
+                    dev_next = export_one(mosaics[(i + 1) % chunk])
+                t_fetch += time.perf_counter() - tf
+                dev_i = dev_next
+                if i % 32 == 0 or (time.perf_counter() - tf) > 30.0:
                     mb = (fetched_bytes - last_bytes) / 1e6
-                    log(f"config 5: chunk {ci + 1}/{n_chunks} fetched "
-                        f"{mb:.0f} MB in {dt_chunk:.1f} s "
-                        f"({mb / max(dt_chunk, 1e-9):.1f} MB/s link), "
+                    dt_w = time.perf_counter() - t0 - last_t
+                    log(f"config 5: image {i + 1}/{n_images} fetched "
+                        f"{mb:.0f} MB in {dt_w:.1f} s "
+                        f"({mb / max(dt_w, 1e-9):.1f} MB/s link), "
                         f"{time.perf_counter() - t0:.0f} s elapsed")
-                last_bytes = fetched_bytes
-                if ci + 1 < n_chunks:
-                    dev_out = export_chunk(mosaics)
-                pending.extend(
-                    pool.submit(encode_one, (ci * chunk + j, *hosts[j]))
-                    for j in range(chunk)
-                )
+                    last_bytes = fetched_bytes
+                    last_t = time.perf_counter() - t0
+                pending.append(pool.submit(encode_one, (i, *host)))
             rearm_watchdog(900)  # headroom for the encode-queue drain
             for f in pending:
                 f.result()

@@ -330,7 +330,7 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
         _warmed_full.add(key)
     try:
         hp, wp = key[1]
-        full, _, _, full_extent = jpegenc._sparse_jit()
+        stages = jpegenc._sparse_jit()
         qlum, qchr = jpegenc._quant_tables(92)  # program is quality-free:
         # the tables ride as device arrays, so one warm covers every
         # quality setting at this bucket.
@@ -338,14 +338,16 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
         # inside the bucket takes the extent-aware (clamp-fill) program —
         # the editor's apply_padded exports always do unless the image is
         # exactly bucket-sized. Extents are traced, so warming with THIS
-        # image's extent covers every extent in the bucket.
+        # image's extent covers every extent in the bucket. The export
+        # path consumes the BANDED variants (pre-split output buffers).
         if (h, w) == (hp, wp):
-            out = full(jnp.zeros((3, hp, wp), jnp.float32),
-                       jnp.asarray(qlum), jnp.asarray(qchr))
+            out = stages.full_banded(jnp.zeros((3, hp, wp), jnp.float32),
+                                     jnp.asarray(qlum), jnp.asarray(qchr))
         else:
-            out = full_extent(jnp.zeros((3, hp, wp), jnp.float32),
-                              jnp.asarray(qlum), jnp.asarray(qchr), h, w)
-        int(_np.asarray(out[4])[0])  # force execution through the tunnel
+            out = stages.full_extent_banded(
+                jnp.zeros((3, hp, wp), jnp.float32),
+                jnp.asarray(qlum), jnp.asarray(qchr), h, w)
+        int(_np.asarray(out[3])[0])  # force execution through the tunnel
         return True
     except Exception:
         with _warmed_lock:

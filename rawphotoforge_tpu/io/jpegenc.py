@@ -163,6 +163,38 @@ def _quant_tables(quality: int):
     return t(_QLUM), t(_QCHR)
 
 
+def _band_layout(nblocks: int):
+    """Fixed pre-split band boundaries for the three sparse streams.
+
+    (bitmap_bounds u32-elements, value_bounds u8-elements, escape_bounds
+    i16-elements) — shared by the trace-time output split in
+    ``full_banded`` and the fetch-time reassembly in
+    ``_encode_sparse_device``/bench accounting. Escapes use coarser bands:
+    the stream is usually tiny (the lead ladder covers it) and its 72 MB
+    capacity at 24MP would otherwise mint ~20 output buffers."""
+    from ..utils.transfer import banded_bounds
+
+    ncap = nblocks * 64
+    return (banded_bounds(nblocks * 2, 4),
+            banded_bounds(ncap // 2, 1),
+            banded_bounds(ncap, 2, band_bytes=8 << 20))
+
+
+class _SparseJit(tuple):
+    """4-tuple of the classic stages + banded attributes (callers that
+    unpack positionally keep working; banded consumers use attributes)."""
+
+    def __new__(cls, full, blockify, sparsify, full_extent,
+                full_banded, full_extent_banded):
+        self = super().__new__(cls, (full, blockify, sparsify, full_extent))
+        return self
+
+    def __init__(self, full, blockify, sparsify, full_extent,
+                 full_banded, full_extent_banded):
+        self.full_banded = full_banded
+        self.full_extent_banded = full_extent_banded
+
+
 @functools.cache
 def _sparse_jit():
     """(full, blockify, sparsify, full_extent) jitted stages.
@@ -295,8 +327,12 @@ def _sparse_jit():
         the back. 35x faster than the searchsorted + gather formulation
         on TPU (measured 0.19 s vs 6.6 s at 36M lanes): lax.sort is
         HBM-bandwidth-shaped, while a 36M-wide random gather serializes.
-        Scatters are even worse (CLAUDE.md) — never reach for them."""
-        _, out = jax.lax.sort_key_val(drop.astype(jnp.int32), flat,
+        Scatters are even worse (CLAUDE.md) — never reach for them.
+        Being bandwidth-shaped also means WIDTH matters: the key is i8
+        and callers pass i16 payloads (quantized coefficients are
+        bounded by +-4080 incl. DC deltas), halving the bytes the sort
+        moves vs the original i32/i32 formulation."""
+        _, out = jax.lax.sort_key_val(drop.astype(jnp.int8), flat,
                                       dimension=0, is_stable=True)
         return out.astype(dtype)
 
@@ -313,8 +349,9 @@ def _sparse_jit():
         total = counts.sum(dtype=jnp.int32)
         ncap = blocks.shape[0] * 64
         j = jnp.arange(ncap, dtype=jnp.int32)
-        vals32 = _compact(blocks.reshape(-1), ~nz.reshape(-1), jnp.int32)
-        vals16 = jnp.where(j < total, vals32, 0).astype(jnp.int16)
+        vals = _compact(blocks.reshape(-1).astype(jnp.int16),
+                        ~nz.reshape(-1), jnp.int16)
+        vals16 = jnp.where(j < total, vals, 0)
         # 4-bit wire stream: two's-complement nibbles cover [-7, 7]
         # (>=96% of quantized coefficients on natural images at q92),
         # the 0x8 code (-8) escapes to the int16 side channel — ~0.5 B
@@ -351,7 +388,34 @@ def _sparse_jit():
     def sparsify(blocks):
         return _sparsify(blocks)
 
-    return full, blockify, sparsify, full_extent
+    def _split_banded(out):
+        """Split the stream outputs at the fixed band boundaries INSIDE
+        the compiled program: each band becomes its own device buffer,
+        so the consumer's prefix fetch is whole-buffer transfers with no
+        slice program queueing behind the next image's compute. The
+        counts stream is dropped entirely (the host popcounts the
+        bitmaps)."""
+        counts, bitmaps, packed, escapes, totals = out
+        bmb, vb, eb = _band_layout(counts.shape[0])
+
+        def sp(flat, bounds):
+            return tuple(flat[a:b] for a, b in zip(bounds, bounds[1:]))
+
+        return (sp(bitmaps.reshape(-1), bmb), sp(packed, vb),
+                sp(escapes, eb), totals)
+
+    @jax.jit
+    def full_banded(planes, qlum, qchr):
+        return _split_banded(
+            _sparsify(_dc_delta(_blockify(planes, qlum, qchr))))
+
+    @jax.jit
+    def full_extent_banded(planes, qlum, qchr, th, tw):
+        return _split_banded(
+            _sparsify(_dc_delta(_blockify(planes, qlum, qchr, (th, tw)))))
+
+    return _SparseJit(full, blockify, sparsify, full_extent,
+                      full_banded, full_extent_banded)
 
 
 def _blocks_np(planes: np.ndarray, quality: int) -> np.ndarray:
@@ -485,7 +549,7 @@ def _encode_sparse_device(planes, quality: int, stage=None,
     import jax.numpy as jnp
 
     from .. import native
-    from ..utils.transfer import fetch_np, fetch_np_prefix
+    from ..utils.transfer import fetch_banded
 
     stage = stage or (lambda _name: None)
     _, ph, pw = planes.shape
@@ -500,7 +564,7 @@ def _encode_sparse_device(planes, quality: int, stage=None,
             raise ValueError(
                 f"true_shape {h}x{w} exceeds planes {ph}x{pw}")
     padded = (h, w) != (ph, pw)
-    full, _, _, full_extent = _sparse_jit()
+    stages = _sparse_jit()
     qlum, qchr = _quant_tables(quality)
     if padded:
         # The extent-aware program edge-fills the pad region (luma- and
@@ -508,25 +572,31 @@ def _encode_sparse_device(planes, quality: int, stage=None,
         # encode of the true extent byte-for-byte, whatever the caller's
         # pad rows contain — and right-edge pad blocks compact to almost
         # nothing, trimming the value prefix that crosses the link.
-        counts, bitmaps, vals, escapes, totals = full_extent(
+        bm_bands, val_bands, esc_bands, totals = stages.full_extent_banded(
             planes, jnp.asarray(qlum), jnp.asarray(qchr), h, w)
     else:
-        counts, bitmaps, vals, escapes, totals = full(
+        bm_bands, val_bands, esc_bands, totals = stages.full_banded(
             planes, jnp.asarray(qlum), jnp.asarray(qchr))
     stage("fetch")
-    del counts  # derivable: the per-block count is popcount(bitmap)
+    # The streams arrive pre-split at fixed band boundaries (separate
+    # device buffers, sliced inside the compiled program): each fetch
+    # below is a whole-buffer transfer — no slice program runs on the
+    # device, so a pipelining caller may already have the NEXT image's
+    # compute dispatched without the transfers queueing behind it.
+    nblocks = -(-ph // 16) * (-(-pw // 16)) * 6
+    bmb, vb, eb = _band_layout(nblocks)
     n, n_esc = (int(v) for v in np.asarray(totals))
     from concurrent.futures import ThreadPoolExecutor
 
     grid = None
     with ThreadPoolExecutor(3) as pool:
-        fb = pool.submit(fetch_np, bitmaps)
-        fe = pool.submit(fetch_np_prefix, escapes, n_esc)
+        fb = pool.submit(fetch_banded, bm_bands, bmb, nblocks * 2)
+        fe = pool.submit(fetch_banded, esc_bands, eb, n_esc)
         fv = None
         if not padded:
             # n counts coefficients; the packed-nibble wire is 2/byte.
-            fv = pool.submit(fetch_np_prefix, vals, (n + 1) // 2)
-        host_bitmaps = fb.result()
+            fv = pool.submit(fetch_banded, val_bands, vb, (n + 1) // 2)
+        host_bitmaps = fb.result().reshape(nblocks, 2)
         # The counts stream never crosses the link: host-side popcount
         # of the bitmaps reproduces it (1 B/block saved + one fewer
         # fetch stream; the native coder's counts==popcount check
@@ -540,7 +610,7 @@ def _encode_sparse_device(planes, quality: int, stage=None,
             mcu_r, mcu_c = -(-h // 16), -(-w // 16)
             last = ((mcu_r - 1) * grid[1] + (mcu_c - 1)) * 6 + 5
             n = int(host_counts[: last + 1].astype(np.int64).sum())
-            host_vals = fetch_np_prefix(vals, (n + 1) // 2)
+            host_vals = fetch_banded(val_bands, vb, (n + 1) // 2)
         else:
             host_vals = fv.result()
         host_esc = fe.result()

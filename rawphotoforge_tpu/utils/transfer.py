@@ -194,6 +194,89 @@ def fetch_np_prefix(arr, n: int, band_bytes: int = _BAND_BYTES) -> np.ndarray:
     return out[:n]
 
 
+# Pre-split band size: finer than the slice-at-fetch-time 8 MB bands
+# because pre-split bands are FREE to mint (the split happens inside the
+# one compiled producer program, not as per-fetch slice programs), so the
+# only cost of finer granularity is per-transfer RTT — which the parallel
+# streams hide — while the over-fetch of a prefix drops to half a band.
+_PRESPLIT_BAND_BYTES = 4 << 20
+
+
+def banded_bounds(size: int, itemsize: int,
+                  band_bytes: int = _PRESPLIT_BAND_BYTES) -> list[int]:
+    """Element boundaries pre-splitting a ``size``-element buffer.
+
+    The geometric lead ladder followed by fixed-size bands, covering the
+    WHOLE buffer — the schedule a producing jitted program uses to return
+    its output as separate per-band buffers (`tuple(flat[a:b] ...)`
+    inside jit), so a later prefix fetch is whole-buffer d2h transfers
+    with no device slice program. Boundaries depend only on (size,
+    itemsize, band_bytes): trace-time and fetch-time callers agree."""
+    if size <= 0:
+        return [0]
+    return _prefix_bounds(size, size, itemsize, band_bytes)
+
+
+def banded_fetch_elems(n: int, bounds: list[int]) -> int:
+    """Elements a ``fetch_banded(bands, bounds, n)`` call transfers."""
+    if n <= 0:
+        return 0
+    for b in bounds[1:]:
+        if b >= n:
+            return b
+    return bounds[-1]
+
+
+def fetch_banded(bands, bounds: list[int], n: int,
+                 threads: int | None = None) -> np.ndarray:
+    """Fetch the first ``n`` elements from pre-split band buffers.
+
+    ``bands`` are SEPARATE device buffers produced by one jitted program
+    split at ``bounds`` (see banded_bounds). Fetching a band is a plain
+    whole-buffer device->host transfer — no slice program executes on the
+    device — so transfers proceed while the device runs the NEXT
+    dispatched program instead of queueing behind it (the contention that
+    made dispatch-before-fetch 2x slower with slice-at-fetch-time bands).
+    Transfers are started asynchronously for every needed band before any
+    is awaited."""
+    n = int(n)
+    if len(bands) != len(bounds) - 1:
+        raise ValueError(
+            f"got {len(bands)} bands for {len(bounds) - 1} bound pairs")
+    if n <= 0 or not bands:
+        dtype = np.dtype(bands[0].dtype) if bands else np.uint8
+        return np.empty((0,), dtype=dtype)
+    n = min(n, bounds[-1])
+    k = next(i for i, b in enumerate(bounds[1:]) if b >= n) + 1
+    needed = bands[:k]
+    for b in needed:
+        start = getattr(b, "copy_to_host_async", None)
+        if start is not None:
+            start()
+    if len(needed) == 1:
+        return np.asarray(needed[0])[:n]
+    threads = min(len(needed), _MAX_THREADS if threads is None else threads)
+    with ThreadPoolExecutor(threads) as pool:
+        parts = list(pool.map(np.asarray, needed))
+    return np.concatenate(parts)[:n]
+
+
+def start_banded(bands, bounds: list[int], n: int) -> None:
+    """Kick off the async d2h transfers fetch_banded(n) will await.
+
+    Callers pipelining exports call this right after the producing
+    program's totals arrive, then dispatch the next image's compute, then
+    fetch_banded — the transfers ride the link while the device works."""
+    n = min(int(n), bounds[-1])
+    if n <= 0:
+        return
+    k = next(i for i, b in enumerate(bounds[1:]) if b >= n) + 1
+    for b in bands[:k]:
+        start = getattr(b, "copy_to_host_async", None)
+        if start is not None:
+            start()
+
+
 @functools.cache
 def _to_u8_hwc_jit():
     import jax

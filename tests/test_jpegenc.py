@@ -473,3 +473,49 @@ def test_high_entropy_q100_grows_buffer():
     assert len(data) > 512 * 512 * 1.5  # genuinely high-entropy stream
     dec = PILImage.open(io.BytesIO(data))
     assert dec.size == (512, 512)
+
+
+def test_banded_outputs_reassemble_to_full():
+    """full_banded/full_extent_banded split the streams at the fixed
+    _band_layout boundaries inside the program; reassembling the band
+    buffers must reproduce full/full_extent bit-for-bit (the export path
+    fetches these bands with no device-side slice program)."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.utils.transfer import fetch_banded
+
+    rng = np.random.default_rng(21)
+    h, w = 48, 64
+    planes = rng.random((3, h, w)).astype(np.float32)
+    stages = jpegenc._sparse_jit()
+    qlum, qchr = jpegenc._quant_tables(92)
+    ql, qc = jnp.asarray(qlum), jnp.asarray(qchr)
+    nblocks = (h // 16) * (w // 16) * 6
+    bmb, vb, eb = jpegenc._band_layout(nblocks)
+
+    for banded_fn, ref_fn, extra in (
+        (stages.full_banded, stages[0], ()),
+        (stages.full_extent_banded, stages[3], (37, 50)),
+    ):
+        dev = jnp.asarray(planes)
+        bm_bands, val_bands, esc_bands, totals = banded_fn(
+            dev, ql, qc, *extra)
+        counts, bitmaps, vals, escapes, ref_totals = ref_fn(
+            dev, ql, qc, *extra)
+        np.testing.assert_array_equal(np.asarray(totals),
+                                      np.asarray(ref_totals))
+        got_bm = fetch_banded(bm_bands, bmb, nblocks * 2)
+        np.testing.assert_array_equal(got_bm.reshape(nblocks, 2),
+                                      np.asarray(bitmaps))
+        # bands cover the FULL capacity; prefix fetches trim anywhere
+        n, n_esc = (int(v) for v in np.asarray(totals))
+        np.testing.assert_array_equal(
+            fetch_banded(val_bands, vb, (n + 1) // 2),
+            np.asarray(vals)[: (n + 1) // 2])
+        np.testing.assert_array_equal(
+            fetch_banded(esc_bands, eb, n_esc),
+            np.asarray(escapes)[:n_esc])
+        # host popcount of the fetched bitmaps == the counts stream
+        np.testing.assert_array_equal(
+            jpegenc._popcount_rows(got_bm.reshape(nblocks, 2)),
+            np.asarray(counts))

@@ -148,3 +148,38 @@ def test_fetch_np_prefix_geometric_lead_bands():
     for n in (1, 1000, 10**6, 10**7, size):
         b = transfer._prefix_bounds(n, size, itemsize, band)
         assert b == full[: len(b)]
+
+
+def test_banded_bounds_and_fetch_banded():
+    """Pre-split band buffers reassemble exactly; prefix fetch trims to
+    n and transfers only the bands the prefix touches."""
+    size = 3_000_000  # 6 MB i16: lead ladder + one 4 MB band region
+    host = np.arange(size, dtype=np.int16)
+    bounds = transfer.banded_bounds(size, 2)
+    assert bounds[0] == 0 and bounds[-1] == size
+    assert bounds == sorted(set(bounds))
+    dev = jnp.asarray(host)
+    bands = tuple(dev[a:b] for a, b in zip(bounds, bounds[1:]))
+    for n in (0, 1, 1000, bounds[1], bounds[1] + 1, size - 1, size,
+              size + 99):
+        got = transfer.fetch_banded(bands, bounds, n)
+        np.testing.assert_array_equal(got, host[: min(n, size)])
+        assert got.dtype == np.int16
+    # start_banded is a fire-and-forget hint; it must accept any n.
+    transfer.start_banded(bands, bounds, 17)
+    transfer.start_banded(bands, bounds, 0)
+    transfer.start_banded(bands, bounds, size + 5)
+    # accounting mirrors what fetch_banded moves
+    assert transfer.banded_fetch_elems(0, bounds) == 0
+    assert transfer.banded_fetch_elems(1, bounds) == bounds[1]
+    assert transfer.banded_fetch_elems(size, bounds) == size
+    assert transfer.banded_fetch_elems(size + 9, bounds) == size
+    # band/bounds mismatch is a hard error, not a silent misread
+    with pytest.raises(ValueError):
+        transfer.fetch_banded(bands[:-1], bounds, 10)
+
+
+def test_banded_bounds_degenerate():
+    assert transfer.banded_bounds(0, 2) == [0]
+    b = transfer.banded_bounds(5, 4)
+    assert b[0] == 0 and b[-1] == 5
