@@ -163,6 +163,128 @@ def _quant_tables(quality: int):
     return t(_QLUM), t(_QCHR)
 
 
+@functools.cache
+def _block_stages():
+    """Shared device-side block stages for BOTH coefficient wires.
+
+    The nibble wire (_sparse_jit) and the prepacked entropy wire
+    (io/jpegbits) consume the identical coefficient model — one
+    blockify + DC-delta + compaction implementation keeps them
+    byte-coherent by construction."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    D = jnp.asarray(_dct8(np.float32))
+    zig = jnp.asarray(_ZIGZAG)
+
+    def clamp_fill(img, th, tw):
+        """Overwrite rows/cols at or beyond (th, tw) with edge replicas
+        of the last true row/col (gathers; th/tw may be traced)."""
+        rows = jnp.minimum(jnp.arange(img.shape[-2]), th - 1)
+        cols = jnp.minimum(jnp.arange(img.shape[-1]), tw - 1)
+        return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
+
+    def blockify(planes, qlum, qchr, true_hw=None):
+        h, w = planes.shape[-2:]
+        if true_hw is not None:
+            # Luma-level fill BEFORE the chroma subsample: an odd true
+            # extent's last chroma sample must average the last true
+            # row/col with its own replica, as the direct path's
+            # even-dim edge pad does.
+            planes = clamp_fill(planes, true_hw[0], true_hw[1])
+        y, cb2, cr2 = _ycc420_f32(jnp, planes)
+        if true_hw is not None:
+            # Chroma-level fill: the direct path MCU-pads chroma AFTER
+            # subsampling (replicating the last true chroma sample —
+            # which for even extents averages TWO true rows), so the
+            # replica must be taken on the subsampled grid.
+            th, tw = true_hw
+            ch, cw = (th + 1) // 2, (tw + 1) // 2
+            cb2 = clamp_fill(cb2, ch, cw)
+            cr2 = clamp_fill(cr2, ch, cw)
+
+        # Round to the u8 grid the dense path ships (stay f32; the
+        # values are exactly representable), then level-shift.
+        def u8f(v):
+            return jnp.clip(jnp.round(v), 0.0, 255.0)
+
+        y, cb2, cr2 = u8f(y), u8f(cb2), u8f(cr2)
+        mh, mw = -(-h // 16), -(-w // 16)
+        # Edge padding == the native encoder's per-pixel clamp.
+        yp = jnp.pad(y, ((0, mh * 16 - h), (0, mw * 16 - w)),
+                     mode="edge") - 128.0
+        ch2, cw2 = cb2.shape
+        cbp2 = jnp.pad(cb2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
+                       mode="edge") - 128.0
+        crp2 = jnp.pad(cr2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
+                       mode="edge") - 128.0
+        yb = (yp.reshape(mh, 2, 8, mw, 2, 8)
+                .transpose(0, 3, 1, 4, 2, 5).reshape(mh * mw, 4, 8, 8))
+        cbb = (cbp2.reshape(mh, 8, mw, 8)
+                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
+        crb = (crp2.reshape(mh, 8, mw, 8)
+                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
+
+        def qz(bl, q):
+            n = bl.shape[0] * bl.shape[1]
+            x = bl.reshape(n, 8, 8)
+            # Rows then columns, like the native fdct8x8; precision
+            # 'highest' keeps the 8x8 matmuls in true f32 (the MXU's
+            # default bf16 inputs would flip quantized values).
+            t = jnp.einsum("nyx,ux->nyu", x, D, precision="highest")
+            o = jnp.einsum("nyu,vy->nvu", t, D, precision="highest")
+            rq = o.reshape(n, 64) / q.astype(jnp.float32)
+            # lround semantics: round half AWAY from zero (jnp.round is
+            # half-to-even and would disagree with the native coder).
+            qi = (jnp.sign(rq) * jnp.floor(jnp.abs(rq) + 0.5)
+                  ).astype(jnp.int32)
+            return qi[:, zig].reshape(bl.shape[0], bl.shape[1], 64)
+
+        blocks = jnp.concatenate(
+            [qz(yb, qlum), qz(cbb, qchr), qz(crb, qchr)], axis=1)
+        return blocks.reshape(mh * mw * 6, 64)
+
+    def dc_delta(blocks):
+        """Rewrite each DC as the delta vs the previous same-component
+        block in MCU scan order (the prediction the entropy coder runs
+        anyway) — deltas are small on natural images, so most fit the
+        one-byte value stream."""
+        m = blocks.shape[0] // 6
+        b3 = blocks.reshape(m, 6, 64)
+        dc = b3[:, :, 0]
+
+        def delta(seq):
+            prev = jnp.concatenate(
+                [jnp.zeros((1,), seq.dtype), seq[:-1]])
+            return seq - prev
+
+        dy = delta(dc[:, :4].reshape(-1)).reshape(m, 4)
+        db = delta(dc[:, 4])[:, None]
+        dr = delta(dc[:, 5])[:, None]
+        b3 = b3.at[:, :, 0].set(jnp.concatenate([dy, db, dr], axis=1))
+        return b3.reshape(m * 6, 64)
+
+    def compact(flat, drop, dtype):
+        """Stream compaction as ONE stable 1-bit key sort: kept elements
+        (drop == 0) sink to the front preserving order, dropped ones to
+        the back. 35x faster than the searchsorted + gather formulation
+        on TPU (measured 0.19 s vs 6.6 s at 36M lanes): lax.sort is
+        HBM-bandwidth-shaped, while a 36M-wide random gather serializes.
+        Scatters are even worse (CLAUDE.md) — never reach for them.
+        Being bandwidth-shaped also means WIDTH matters: the key is i8
+        and callers pass narrow payloads (i16 coefficients, u32 words),
+        minimizing the bytes the sort moves vs the original i32/i32
+        formulation."""
+        _, out = jax.lax.sort_key_val(drop.astype(jnp.int8), flat,
+                                      dimension=0, is_stable=True)
+        return out.astype(dtype)
+
+    return types.SimpleNamespace(blockify=blockify, dc_delta=dc_delta,
+                                 compact=compact, clamp_fill=clamp_fill)
+
+
 def _band_layout(nblocks: int):
     """Fixed pre-split band boundaries for the three sparse streams.
 
@@ -226,115 +348,13 @@ def _sparse_jit():
     import jax
     import jax.numpy as jnp
 
-    D = jnp.asarray(_dct8(np.float32))
-    zig = jnp.asarray(_ZIGZAG)
+    st = _block_stages()
+    _blockify, _dc_delta, _compact = st.blockify, st.dc_delta, st.compact
     wlo = jnp.asarray(np.array(
         [(1 << i) if i < 32 else 0 for i in range(64)], dtype=np.uint32))
     whi = jnp.asarray(np.array(
         [(1 << (i - 32)) if i >= 32 else 0 for i in range(64)],
         dtype=np.uint32))
-
-    def _clamp_fill(img, th, tw):
-        """Overwrite rows/cols at or beyond (th, tw) with edge replicas
-        of the last true row/col (gathers; th/tw may be traced)."""
-        rows = jnp.minimum(jnp.arange(img.shape[-2]), th - 1)
-        cols = jnp.minimum(jnp.arange(img.shape[-1]), tw - 1)
-        return jnp.take(jnp.take(img, rows, axis=-2), cols, axis=-1)
-
-    def _blockify(planes, qlum, qchr, true_hw=None):
-        h, w = planes.shape[-2:]
-        if true_hw is not None:
-            # Luma-level fill BEFORE the chroma subsample: an odd true
-            # extent's last chroma sample must average the last true
-            # row/col with its own replica, as the direct path's
-            # even-dim edge pad does.
-            planes = _clamp_fill(planes, true_hw[0], true_hw[1])
-        y, cb2, cr2 = _ycc420_f32(jnp, planes)
-        if true_hw is not None:
-            # Chroma-level fill: the direct path MCU-pads chroma AFTER
-            # subsampling (replicating the last true chroma sample —
-            # which for even extents averages TWO true rows), so the
-            # replica must be taken on the subsampled grid.
-            th, tw = true_hw
-            ch, cw = (th + 1) // 2, (tw + 1) // 2
-            cb2 = _clamp_fill(cb2, ch, cw)
-            cr2 = _clamp_fill(cr2, ch, cw)
-
-        # Round to the u8 grid the dense path ships (stay f32; the
-        # values are exactly representable), then level-shift.
-        def u8f(v):
-            return jnp.clip(jnp.round(v), 0.0, 255.0)
-
-        y, cb2, cr2 = u8f(y), u8f(cb2), u8f(cr2)
-        mh, mw = -(-h // 16), -(-w // 16)
-        # Edge padding == the native encoder's per-pixel clamp.
-        yp = jnp.pad(y, ((0, mh * 16 - h), (0, mw * 16 - w)),
-                     mode="edge") - 128.0
-        ch2, cw2 = cb2.shape
-        cbp2 = jnp.pad(cb2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
-                       mode="edge") - 128.0
-        crp2 = jnp.pad(cr2, ((0, mh * 8 - ch2), (0, mw * 8 - cw2)),
-                       mode="edge") - 128.0
-        yb = (yp.reshape(mh, 2, 8, mw, 2, 8)
-                .transpose(0, 3, 1, 4, 2, 5).reshape(mh * mw, 4, 8, 8))
-        cbb = (cbp2.reshape(mh, 8, mw, 8)
-                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
-        crb = (crp2.reshape(mh, 8, mw, 8)
-                   .transpose(0, 2, 1, 3).reshape(mh * mw, 1, 8, 8))
-
-        def qz(bl, q):
-            n = bl.shape[0] * bl.shape[1]
-            x = bl.reshape(n, 8, 8)
-            # Rows then columns, like the native fdct8x8; precision
-            # 'highest' keeps the 8x8 matmuls in true f32 (the MXU's
-            # default bf16 inputs would flip quantized values).
-            t = jnp.einsum("nyx,ux->nyu", x, D, precision="highest")
-            o = jnp.einsum("nyu,vy->nvu", t, D, precision="highest")
-            rq = o.reshape(n, 64) / q.astype(jnp.float32)
-            # lround semantics: round half AWAY from zero (jnp.round is
-            # half-to-even and would disagree with the native coder).
-            qi = (jnp.sign(rq) * jnp.floor(jnp.abs(rq) + 0.5)
-                  ).astype(jnp.int32)
-            return qi[:, zig].reshape(bl.shape[0], bl.shape[1], 64)
-
-        blocks = jnp.concatenate(
-            [qz(yb, qlum), qz(cbb, qchr), qz(crb, qchr)], axis=1)
-        return blocks.reshape(mh * mw * 6, 64)
-
-    def _dc_delta(blocks):
-        """Rewrite each DC as the delta vs the previous same-component
-        block in MCU scan order (the prediction the entropy coder runs
-        anyway) — deltas are small on natural images, so most fit the
-        one-byte value stream."""
-        m = blocks.shape[0] // 6
-        b3 = blocks.reshape(m, 6, 64)
-        dc = b3[:, :, 0]
-
-        def delta(seq):
-            prev = jnp.concatenate(
-                [jnp.zeros((1,), seq.dtype), seq[:-1]])
-            return seq - prev
-
-        dy = delta(dc[:, :4].reshape(-1)).reshape(m, 4)
-        db = delta(dc[:, 4])[:, None]
-        dr = delta(dc[:, 5])[:, None]
-        b3 = b3.at[:, :, 0].set(jnp.concatenate([dy, db, dr], axis=1))
-        return b3.reshape(m * 6, 64)
-
-    def _compact(flat, drop, dtype):
-        """Stream compaction as ONE stable 1-bit key sort: kept elements
-        (drop == 0) sink to the front preserving order, dropped ones to
-        the back. 35x faster than the searchsorted + gather formulation
-        on TPU (measured 0.19 s vs 6.6 s at 36M lanes): lax.sort is
-        HBM-bandwidth-shaped, while a 36M-wide random gather serializes.
-        Scatters are even worse (CLAUDE.md) — never reach for them.
-        Being bandwidth-shaped also means WIDTH matters: the key is i8
-        and callers pass i16 payloads (quantized coefficients are
-        bounded by +-4080 incl. DC deltas), halving the bytes the sort
-        moves vs the original i32/i32 formulation."""
-        _, out = jax.lax.sort_key_val(drop.astype(jnp.int8), flat,
-                                      dimension=0, is_stable=True)
-        return out.astype(dtype)
 
     def _sparsify(blocks):
         nz = blocks != 0

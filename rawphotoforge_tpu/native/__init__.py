@@ -93,6 +93,10 @@ def _bind(lib) -> None:
         u8p, u32p, u8p, c64, i16p, c64, c, c, c, c, c, u8p, c64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.rpf_jpeg_encode_sparse.restype = c
+    lib.rpf_jpeg_encode_prepacked.argtypes = [
+        u16p, c64, u32p, c64, c, c, c, u8p, c64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.rpf_jpeg_encode_prepacked.restype = c
     lib.rpf_jpeg_encode_ycc420.argtypes = [
         u8p, u8p, u8p, c, c, c, u8p, c64, ctypes.POINTER(ctypes.c_int64),
     ]
@@ -328,6 +332,47 @@ def jpeg_encode_sparse(counts, bitmaps, values, escapes, h: int, w: int,
             break
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_sparse failed (rc={rc})")
+    return out[: out_len.value].tobytes()
+
+
+def jpeg_encode_prepacked(bit_lens, words, h: int, w: int,
+                          quality: int = 92, grid=None) -> bytes:
+    """Assemble a JFIF stream from device-prepacked entropy bits
+    (io/jpegbits.encode_prepacked_device: the TPU already Huffman-coded
+    each block into an MSB-first bit string, word-aligned per block; the
+    host shifts the strings onto the running bit position and stuffs
+    0x00 after 0xFF).
+
+    ``bit_lens``: u16 [nblocks] per-block bit counts over the (possibly
+    bucket-padded) MCU grid, 0 for padding blocks; ``words``: u32 the
+    concatenated per-block word streams in scan order. ``grid``:
+    optional (mcu_rows, mcu_cols) when the arrays cover a bucket grid
+    larger than ceil(h/16) x ceil(w/16)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    bit_lens = np.ascontiguousarray(bit_lens, dtype=np.uint16)
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    h, w = int(h), int(w)
+    gr, gc = ((h + 15) // 16, (w + 15) // 16) if grid is None else (
+        int(grid[0]), int(grid[1]))
+    nblocks = gr * gc * 6
+    if bit_lens.shape != (nblocks,):
+        raise ValueError(
+            f"expected bit_lens ({nblocks},) for grid {gr}x{gc} MCUs, "
+            f"got {bit_lens.shape}")
+    out_len = _ct.c_int64(0)
+    # Exact-ish capacity: headers (<1 KiB) + the scan bits with worst-
+    # case 0xFF stuffing (2x) + EOI; one attempt always suffices.
+    cap = int(bit_lens.astype(np.int64).sum()) // 8 * 2 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.rpf_jpeg_encode_prepacked(
+        bit_lens, bit_lens.size, words, words.size, h, w, int(quality),
+        out, cap, _ct.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"rpf_jpeg_encode_prepacked failed (rc={rc})")
     return out[: out_len.value].tobytes()
 
 

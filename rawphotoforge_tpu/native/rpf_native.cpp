@@ -999,6 +999,67 @@ int rpf_jpeg_encode_sparse(const uint8_t* counts, const uint32_t* bitmaps,
   return RPF_OK;
 }
 
+// Assemble a JFIF stream from device-PREPACKED entropy bits
+// (io/jpegbits.py `_prepacked_jit`): the device already Huffman-coded
+// every block — DC size category + magnitude, run/size AC symbols,
+// ZRLs, EOB, against the same Annex K.3 tables write_headers declares —
+// into per-block MSB-first bit strings, each zero-padded to a whole
+// number of u32 words and concatenated in MCU scan order (bucket-
+// padding blocks carry lens[b] == 0 and occupy no words). The host's
+// only job is the part a data-parallel device can't do: shifting each
+// block's bits onto the running (non-32-aligned) bit position and
+// stuffing 0x00 after 0xFF scan bytes. lens[b] <= 1664 (the 52-word
+// worst case io/jpegbits.BLOCK_WORDS bounds); the word stream must be
+// consumed exactly — a mismatch means a corrupted fetch, returned as
+// RPF_ERR_ARGS rather than an undecodable stream.
+int rpf_jpeg_encode_prepacked(const uint16_t* lens, int64_t nblocks,
+                              const uint32_t* words, int64_t nwords,
+                              int h, int w, int quality, uint8_t* out,
+                              int64_t out_cap, int64_t* out_len) {
+  using namespace jpg;
+  if (!lens || (!words && nwords > 0) || !out || !out_len || h <= 0 ||
+      w <= 0 || h > 65535 || w > 65535 ||
+      nblocks < static_cast<int64_t>((h + 15) / 16) * ((w + 15) / 16) * 6)
+    return RPF_ERR_ARGS;
+
+  uint16_t qlum[64], qchr[64];
+  scale_qtbl(kQLum, quality, qlum);
+  scale_qtbl(kQChr, quality, qchr);
+  BitWriter bw{out, out_cap, 0, 0, 0, false};
+  write_headers(&bw, h, w, qlum, qchr);
+
+  int64_t cur = 0;
+  for (int64_t b = 0; b < nblocks && !bw.overflow; ++b) {
+    const int nb = lens[b];
+    if (nb == 0) continue;  // bucket-padding block: not emitted
+    if (nb > 1664) return RPF_ERR_ARGS;
+    const int k = (nb + 31) / 32;
+    if (cur + k > nwords) return RPF_ERR_ARGS;
+    for (int j = 0; j < k - 1; ++j) {
+      // BitWriter::put masks with (1u << nbits) - 1, UB at 32 — feed
+      // whole words as two 16-bit halves.
+      const uint32_t v = words[cur + j];
+      bw.put(v >> 16, 16);
+      bw.put(v & 0xFFFFu, 16);
+    }
+    const int rem = nb - 32 * (k - 1);
+    const uint32_t last = words[cur + k - 1] >> (32 - rem);
+    if (rem > 16) {
+      bw.put(last >> 16, rem - 16);
+      bw.put(last & 0xFFFFu, 16);
+    } else {
+      bw.put(last, rem);
+    }
+    cur += k;
+  }
+  if (!bw.overflow && cur != nwords) return RPF_ERR_ARGS;
+  bw.flush();
+  put_marker(&bw, 0xD9);  // EOI
+  if (bw.overflow) return 3;
+  *out_len = bw.pos;
+  return RPF_OK;
+}
+
 // ---------------------------------------------------------------------------
 // Fused host-side develop: the whole post-geometry pixel chain (vignette ->
 // per-mask WB/tone/brightness-LUT -> per-mask OKLCH hue/sat/light LUTs ->

@@ -1,0 +1,174 @@
+"""Device-side JPEG entropy coding (io/jpegbits.py + rpf_jpeg_encode_prepacked).
+
+Correctness oracle: the prepacked wire shares every stage upstream of
+entropy coding with the nibble wire (io/jpegenc._block_stages), so for
+identical pixels the two wires must produce BYTE-IDENTICAL files. The
+per-block bit strings are additionally checked against a serial
+numpy/python oracle (jpegbits.prepacked_np) that mirrors the native
+coder's encode_block logic lane by lane.
+"""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image as PILImage
+
+from rawphotoforge_tpu import native
+from rawphotoforge_tpu.io import jpegbits, jpegenc
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable")
+
+
+def _rand_blocks(rng, n, max_nnz=30, amp=1024):
+    """Random sparse zigzag blocks with DC deltas in the 11-bit category
+    and ACs in the 10-bit category (the baseline wire domain)."""
+    blocks = np.zeros((n, 64), np.int32)
+    nnz = rng.integers(0, max_nnz + 1, n)
+    for b in range(n):
+        idx = rng.choice(63, nnz[b], replace=False) + 1
+        blocks[b, idx] = rng.integers(-amp, amp, nnz[b])
+    blocks[:, 0] = rng.integers(-2000, 2001, n)
+    return blocks
+
+
+def _dev_stream(words, nwords):
+    return np.concatenate(
+        [np.asarray(words)[b, : int(nwords[b])]
+         for b in range(words.shape[0])] or
+        [np.zeros(0, np.uint32)])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_prepack_matches_np_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 6 * 8
+    blocks = _rand_blocks(rng, n)
+    mask = np.ones(n, bool)
+    st = jpegbits._prepacked_jit()
+    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+        jnp.asarray(blocks), jnp.asarray(mask)))
+    lens_o, words_o = jpegbits.prepacked_np(blocks, mask)
+    np.testing.assert_array_equal(lens_d, lens_o)
+    np.testing.assert_array_equal(_dev_stream(words_d, nwords_d), words_o)
+
+
+def test_prepack_edge_blocks():
+    """All-zero, fully dense max-magnitude, long zero runs (ZRL chains),
+    and last-lane-nonzero (no EOB) blocks — one MCU of each family."""
+    blocks = np.zeros((6 * 4, 64), np.int32)
+    # MCU 1: fully dense at the 10-bit AC / 11-bit DC category ceiling.
+    blocks[6:12, 1:] = 1023
+    blocks[6:12, 0] = 2047
+    blocks[7, 1:] = -1024
+    # MCU 2: isolated nonzeros after runs of 16/32/47 zeros (1/2 ZRLs +
+    # remainder), and lane 63 nonzero so no EOB is emitted.
+    blocks[12, 17] = 3
+    blocks[13, 34] = -5
+    blocks[14, 48] = 7
+    blocks[15, 63] = 1
+    # MCU 3: negative DC deltas only.
+    blocks[18:24, 0] = -2047
+    mask = np.ones(blocks.shape[0], bool)
+    st = jpegbits._prepacked_jit()
+    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+        jnp.asarray(blocks), jnp.asarray(mask)))
+    lens_o, words_o = jpegbits.prepacked_np(blocks, mask)
+    np.testing.assert_array_equal(lens_d, lens_o)
+    np.testing.assert_array_equal(_dev_stream(words_d, nwords_d), words_o)
+    # The dense-max block is the wire's worst case and must fit the
+    # fixed per-block capacity.
+    assert lens_d.max() <= 32 * jpegbits.BLOCK_WORDS
+
+
+def test_prepack_mask_zeroes_padding_blocks():
+    rng = np.random.default_rng(3)
+    n = 6 * 6
+    blocks = _rand_blocks(rng, n)
+    mask = np.ones(n, bool)
+    mask[6:12] = False  # one padding MCU mid-stream
+    st = jpegbits._prepacked_jit()
+    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+        jnp.asarray(blocks), jnp.asarray(mask)))
+    assert (lens_d[6:12] == 0).all()
+    assert (nwords_d[6:12] == 0).all()
+    lens_o, words_o = jpegbits.prepacked_np(blocks, mask)
+    np.testing.assert_array_equal(lens_d, lens_o)
+    np.testing.assert_array_equal(_dev_stream(words_d, nwords_d), words_o)
+
+
+def test_masked_dc_delta_skips_padding_blocks():
+    """DC prediction chains over TRUE blocks only (padding blocks are
+    never emitted, so the emitted deltas must bridge across them)."""
+    rng = np.random.default_rng(4)
+    m = 5
+    blocks = np.zeros((m * 6, 64), np.int32)
+    dc = rng.integers(-900, 900, (m, 6))
+    blocks[:, 0] = dc.reshape(-1)
+    mask = np.ones((m, 6), bool)
+    mask[2, :] = False  # padding MCU in the middle
+    st = jpegbits._prepacked_jit()
+    out = np.asarray(st.dc_delta_masked(
+        jnp.asarray(blocks), jnp.asarray(mask.reshape(-1))))
+    got = out[:, 0].reshape(m, 6)
+    # Python reference: per component (Y lanes 0-3 chained, Cb, Cr).
+    for comp_lanes in ([0, 1, 2, 3], [4], [5]):
+        prev = 0
+        for mi in range(m):
+            for li in comp_lanes:
+                if mask[mi, li]:
+                    assert got[mi, li] == dc[mi, li] - prev, (mi, li)
+                    prev = dc[mi, li]
+
+
+@pytest.mark.parametrize("h,w", [(64, 80), (48, 56), (33, 47)])
+def test_wire_bytes_identical_to_nibble_wire(h, w):
+    rng = np.random.default_rng(10)
+    planes = jnp.asarray(rng.random((3, h, w), np.float32))
+    a = jpegenc._encode_sparse_device(planes, 90)
+    b = jpegbits.encode_prepacked_device(planes, 90)
+    assert a == b
+
+
+@pytest.mark.parametrize("h,w,ph,pw", [(100, 72, 128, 128),
+                                       (144, 272, 256, 384)])
+def test_padded_wire_bytes_identical(h, w, ph, pw):
+    rng = np.random.default_rng(11)
+    full = jnp.asarray(rng.random((3, ph, pw), np.float32))
+    a = jpegenc._encode_sparse_device(full, 90, true_shape=(h, w))
+    b = jpegbits.encode_prepacked_device(full, 90, true_shape=(h, w))
+    assert a == b
+
+
+def test_stream_decodes_via_pillow():
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    planes = np.stack([yy / h, xx / w, (yy + xx) / (h + w)])
+    data = jpegbits.encode_prepacked_device(jnp.asarray(planes), 92)
+    dec = np.array(PILImage.open(io.BytesIO(data)).convert("RGB"))
+    assert dec.shape == (h, w, 3)
+    src = (np.clip(planes, 0, 1) * 255).astype(np.float64)
+    mse = np.mean((dec.transpose(2, 0, 1) - src) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 30.0
+
+
+def test_native_rejects_malformed_wire():
+    rng = np.random.default_rng(13)
+    blocks = _rand_blocks(rng, 6)
+    lens, words = jpegbits.prepacked_np(blocks, np.ones(6, bool))
+    ok = native.jpeg_encode_prepacked(lens, words, 16, 16, quality=90)
+    assert ok[:2] == b"\xff\xd8"
+    # Truncated word stream: the walk runs past the buffer.
+    with pytest.raises(ValueError):
+        native.jpeg_encode_prepacked(lens, words[:-1], 16, 16, quality=90)
+    # Extra trailing words: stream not consumed exactly.
+    with pytest.raises(ValueError):
+        native.jpeg_encode_prepacked(
+            lens, np.concatenate([words, words[:1]]), 16, 16, quality=90)
+    # Oversized per-block length.
+    bad = lens.copy()
+    bad[0] = 2000
+    with pytest.raises(ValueError):
+        native.jpeg_encode_prepacked(bad, words, 16, 16, quality=90)
