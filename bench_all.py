@@ -427,20 +427,21 @@ def main(argv=None) -> int:
 
     if want("5"):
         # The full export path, nothing excluded: device develop (one-pass
-        # fused RAW kernel) -> device JPEG fDCT + quantization + sparsity
-        # compaction (io/jpegenc._sparse_jit: only nonzero coefficients
-        # cross the link, ~2-3x less than dense YCbCr 4:2:0) -> banded
-        # parallel fetch -> native from-sparse entropy coder
-        # (rpf_jpeg_encode_sparse, q92) -> file write, host work pipelined
-        # behind the device. Under the axon tunnel the fetch pays
-        # remote-link bandwidth a locally-attached host would not.
+        # fused RAW kernel) -> device JPEG fDCT + quantization + Huffman
+        # bit assembly (io/jpegbits._prepacked_jit: the TPU emits each
+        # block's final entropy-coded bit string; the link carries roughly
+        # the finished scan size) -> banded parallel fetch -> native
+        # concatenator (rpf_jpeg_encode_prepacked, q92: shift + 0xFF
+        # stuffing only) -> file write, host work pipelined behind the
+        # device. Under the axon tunnel the fetch pays remote-link
+        # bandwidth a locally-attached host would not.
         import os
         import shutil
         import tempfile
         from concurrent.futures import ThreadPoolExecutor
 
         from rawphotoforge_tpu import native as rpf_native
-        from rawphotoforge_tpu.io import jpegenc
+        from rawphotoforge_tpu.io import jpegbits, jpegenc
 
         bh, bw = 4000, 6000  # 24MP per image
         chunk = 4
@@ -453,12 +454,11 @@ def main(argv=None) -> int:
         ]
         params5 = edit_params(extent=(bh, bw))
 
-        stages5 = jpegenc._sparse_jit()
-        sparse_banded = stages5.full_banded
+        stages5 = jpegbits._prepacked_jit()
         qlum_h, qchr_h = jpegenc._quant_tables(92)
         qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
         nblocks = (bh // 16) * (bw // 16) * 6
-        bmb, vb, eb = jpegenc._band_layout(nblocks)
+        wbnd = jpegbits._word_band_layout(nblocks)
 
         @jax.jit
         def export_one(m):
@@ -466,19 +466,19 @@ def main(argv=None) -> int:
             # ONE program hard-crashes the TPU worker at this size (every
             # iteration's sparse outputs + the ~GB of compaction
             # intermediates stay live at once).
-            # Banded outputs: the three sparse streams arrive pre-split
-            # at fixed boundaries as SEPARATE device buffers, so fetching
-            # them is whole-buffer d2h transfers with no slice program —
-            # which makes compute/fetch overlap safe (see the loop).
+            # Banded outputs: the word stream arrives pre-split at fixed
+            # boundaries as SEPARATE device buffers, so fetching it is
+            # whole-buffer d2h transfers with no slice program — which
+            # makes compute/fetch overlap safe (see the loop).
             srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-            return sparse_banded(srgb, qlum_d, qchr_d)
+            return stages5.full(srgb, qlum_d, qchr_d)
 
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
         def encode_one(arg):
-            i, counts_, bitmaps_, vals_, esc_ = arg
-            data = rpf_native.jpeg_encode_sparse(counts_, bitmaps_, vals_,
-                                                 esc_, bh, bw, quality=92)
+            i, lens_, words_ = arg
+            data = rpf_native.jpeg_encode_prepacked(lens_, words_, bh, bw,
+                                                    quality=92)
             with open(os.path.join(outdir, f"img{i:04d}.jpg"), "wb") as f:
                 f.write(data)
 
@@ -490,7 +490,9 @@ def main(argv=None) -> int:
         )
         results["c5_device_develop_mpix_s"] = bh * bw / 1e6 / dt_dev
 
-        n_images = 256
+        # RPF_C5_IMAGES shrinks the batch for smoke runs; the committed
+        # artifact always comes from the full 256.
+        n_images = int(os.environ.get("RPF_C5_IMAGES", "256"))
         # Overlap device compute with the link (default on): the sparse
         # program runs ~0.6 s/image, the fetch ~0.7 s/image — dispatching
         # image i+1 BEFORE fetching image i hides one behind the other.
@@ -508,21 +510,16 @@ def main(argv=None) -> int:
         from rawphotoforge_tpu.utils.transfer import (
             banded_fetch_elems, fetch_banded, start_banded)
 
-        def fetch_image(dev_i, n, n_esc, cpool):
-            nbv = (n + 1) // 2
-            bm_bands, val_bands, esc_bands, _t = dev_i
-            fb = cpool.submit(fetch_banded, bm_bands, bmb, nblocks * 2)
-            fv = cpool.submit(fetch_banded, val_bands, vb, nbv)
-            he = fetch_banded(esc_bands, eb, n_esc)
-            hb = fb.result().reshape(nblocks, 2)
-            hv = fv.result()
-            hc = jpegenc._popcount_rows(hb)
+        def fetch_image(dev_i, n_words, cpool):
+            lens_d, word_bands, _t = dev_i
+            fw = cpool.submit(fetch_banded, word_bands, wbnd, n_words)
+            hl = np.asarray(lens_d)
+            hw = fw.result()
             # Band-rounded bytes actually moved, not the trimmed views —
             # the logged MB/s and c5_fetch_gb must reflect link traffic.
-            moved = (8 + 4 * banded_fetch_elems(nblocks * 2, bmb)
-                     + banded_fetch_elems(nbv, vb)
-                     + 2 * banded_fetch_elems(n_esc, eb))
-            return (hc, hb, hv, he), moved
+            moved = (8 + 2 * nblocks
+                     + 4 * banded_fetch_elems(n_words, wbnd))
+            return (hl, hw), moved
 
         with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(4) as cpool:
             pending = []
@@ -532,19 +529,17 @@ def main(argv=None) -> int:
                 # more minutes. Only a true wedge (zero progress) aborts.
                 rearm_watchdog(600)
                 tf = time.perf_counter()
-                tv = np.asarray(dev_i[3])  # totals: the program-i sync
-                n, n_esc = int(tv[0]), int(tv[1])
+                tv = np.asarray(dev_i[2])  # totals: the program-i sync
+                n_words = int(tv[0])
                 dev_next = None
                 if overlap:
                     # Start the d2h transfers, THEN hand the device the
                     # next image's compute: the transfers ride the link
                     # while the device works.
-                    start_banded(dev_i[0], bmb, nblocks * 2)
-                    start_banded(dev_i[1], vb, (n + 1) // 2)
-                    start_banded(dev_i[2], eb, n_esc)
+                    start_banded(dev_i[1], wbnd, n_words)
                     if i + 1 < n_images:
                         dev_next = export_one(mosaics[(i + 1) % chunk])
-                host, moved = fetch_image(dev_i, n, n_esc, cpool)
+                host, moved = fetch_image(dev_i, n_words, cpool)
                 fetched_bytes += moved
                 if not overlap and i + 1 < n_images:
                     dev_next = export_one(mosaics[(i + 1) % chunk])
@@ -578,14 +573,15 @@ def main(argv=None) -> int:
         results["c5_fetch_s"] = t_fetch
         results["c5_fetch_gb"] = sp_gb
         results["c5_dense_equiv_gb"] = ycc_gb
+        results["c5_jpeg_gb"] = total_bytes / 1e9
         log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
             f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
             f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
-            f"{t_fetch:.0f} s of that is fetching {sp_gb:.1f} GB of sparse "
-            f"quantized DCT coefficients over the remote tunnel "
+            f"{t_fetch:.0f} s of that is fetching {sp_gb:.1f} GB of "
+            f"device-prepacked Huffman bit streams over the remote tunnel "
             f"({sp_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s link; dense YCbCr "
-            f"4:2:0 would be {ycc_gb:.1f} GB); native from-sparse entropy "
-            f"encode overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")
+            f"4:2:0 would be {ycc_gb:.1f} GB); native bit concatenation "
+            f"overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")
 
     with open(RESULTS_PATH, "w") as f:
         json.dump({k: round(v, 3) for k, v in results.items()}, f, indent=1)

@@ -308,18 +308,21 @@ def warm_full_shape(full_shape: tuple[int, int],
 def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
     """Compile the sparse JPEG export program for one FULL bucket shape.
 
-    ``io/jpegenc._sparse_jit``'s full() (fDCT + quantization + 64-lane
-    sort + two searchsorted compactions) is the heaviest per-bucket
-    compile on the export path; without this warm, the first uncropped
-    JPEG export per bucket stalls its job on the whole remote compile —
-    and the stall shows as the 'fetch' stage (the totals sync point
-    blocks on compile+compute), reading like a wedged tunnel rather
-    than a compile. Dummy buffers only; best-effort like warm_shape.
+    The production wire is the PREPACKED one (io/jpegbits: fDCT +
+    quantization + on-device Huffman bit assembly + the 1-bit-sort
+    compaction) — the heaviest per-bucket compile on the export path;
+    without this warm, the first uncropped JPEG export per bucket
+    stalls its job on the whole remote compile — and the stall shows as
+    the 'fetch' stage (the totals sync point blocks on compile+compute),
+    reading like a wedged tunnel rather than a compile. Dummy buffers
+    only; best-effort like warm_shape. If the prepack warm fails, the
+    nibble wire (encode_jpeg's fallback) is warmed instead so the
+    degraded path is at least compile-free too.
     """
     import numpy as _np
     import jax.numpy as jnp
 
-    from ..io import jpegenc
+    from ..io import jpegbits, jpegenc
     from .editor import bucket_shape
 
     h, w = int(full_shape[0]), int(full_shape[1])
@@ -328,18 +331,30 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
         if key in _warmed_full:
             return True
         _warmed_full.add(key)
+    hp, wp = key[1]
+    qlum, qchr = jpegenc._quant_tables(92)  # programs are quality-free:
+    # the tables ride as device arrays, so one warm covers every
+    # quality setting at this bucket.
+    # Mirror the encoders' program choice: a true extent inside the
+    # bucket takes the extent-aware (clamp-fill) program — the editor's
+    # apply_padded exports always do unless the image is exactly
+    # bucket-sized. Extents are traced, so warming with THIS image's
+    # extent covers every extent in the bucket.
     try:
-        hp, wp = key[1]
+        stages = jpegbits._prepacked_jit()
+        if (h, w) == (hp, wp):
+            out = stages.full(jnp.zeros((3, hp, wp), jnp.float32),
+                              jnp.asarray(qlum), jnp.asarray(qchr))
+        else:
+            out = stages.full_extent(
+                jnp.zeros((3, hp, wp), jnp.float32),
+                jnp.asarray(qlum), jnp.asarray(qchr), h, w)
+        int(_np.asarray(out[2])[0])  # force execution through the tunnel
+        return True
+    except Exception:
+        pass
+    try:
         stages = jpegenc._sparse_jit()
-        qlum, qchr = jpegenc._quant_tables(92)  # program is quality-free:
-        # the tables ride as device arrays, so one warm covers every
-        # quality setting at this bucket.
-        # Mirror _encode_sparse_device's program choice: a true extent
-        # inside the bucket takes the extent-aware (clamp-fill) program —
-        # the editor's apply_padded exports always do unless the image is
-        # exactly bucket-sized. Extents are traced, so warming with THIS
-        # image's extent covers every extent in the bucket. The export
-        # path consumes the BANDED variants (pre-split output buffers).
         if (h, w) == (hp, wp):
             out = stages.full_banded(jnp.zeros((3, hp, wp), jnp.float32),
                                      jnp.asarray(qlum), jnp.asarray(qchr))

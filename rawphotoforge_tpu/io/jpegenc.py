@@ -543,7 +543,7 @@ def _splice_app1(jpeg: bytes, exif_bytes: bytes) -> bytes:
     return jpeg[:2] + seg + jpeg[2:]
 
 
-_sparse_fallback_warned = False
+_sparse_fallback_warned: set = set()
 
 # Export compile bucket — mirrors engine/editor.SHAPE_BUCKET (not imported:
 # io must not depend on engine). encode_jpeg pads device inputs up to
@@ -645,9 +645,11 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
                 true_shape=None) -> bytes:
     """sRGB-encoded f32 [3,H,W] in [0,1] -> baseline JFIF bytes.
 
-    Device inputs run the whole DCT/quantization on device and fetch
-    only nonzero coefficients (``sparse``; default on — pass False for
-    the dense YCbCr 4:2:0 fetch, 1.5 B/px); np inputs use the host math.
+    Device inputs run the whole DCT/quantization AND entropy coding on
+    device and fetch prepacked Huffman bit streams (io/jpegbits; the
+    nibble-coefficient wire is the fallback — ``sparse``; default on,
+    pass False for the dense YCbCr 4:2:0 fetch, 1.5 B/px); np inputs
+    use the host math.
     Falls back to the Pillow path when the native library is
     unavailable. An ``exif_bytes`` payload (raw blob or
     io/image_io.build_exif_bytes output) is spliced in as the APP1
@@ -694,23 +696,37 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
                  (0, (-pw) % _EXPORT_BUCKET)), mode="edge")
             true_shape = (ph, pw)
         if sparse or sparse is None:
-            try:
-                body = _encode_sparse_device(planes, quality, stage,
-                                             true_shape=true_shape)
-            except Exception:
-                if sparse:  # explicit request: surface the failure
-                    raise
-                # auto mode: dense fallback keeps exports working, but
-                # log the first failure — a silently-degraded export
-                # path would reintroduce the 1.5 B/px fetch unnoticed.
-                global _sparse_fallback_warned
-                if not _sparse_fallback_warned:
-                    _sparse_fallback_warned = True
-                    import sys
-                    import traceback
+            # Wire order: prepacked first (the TPU emits final Huffman
+            # bits; measured 1.6-1.7x faster per 24MP image than the
+            # nibble wire on both dense-noisy and natural-smooth content
+            # — tools/wire_ab.py), nibble as the tested fallback. Both
+            # produce byte-identical files, so degrading is invisible in
+            # the output, which is why the first fallback is logged.
+            from . import jpegbits
 
-                    print("sparse JPEG export failed; using dense fetch:\n"
-                          + traceback.format_exc(limit=3), file=sys.stderr)
+            for enc, label in ((jpegbits.encode_prepacked_device,
+                                "prepacked"),
+                               (_encode_sparse_device, "nibble")):
+                try:
+                    body = enc(planes, quality, stage,
+                               true_shape=true_shape)
+                    break
+                except Exception:
+                    if sparse and label == "nibble":
+                        # explicit request: surface the failure
+                        raise
+                    # log the first degradation per wire — a silently-
+                    # degraded export path would reintroduce slower
+                    # fetches unnoticed.
+                    global _sparse_fallback_warned
+                    if label not in _sparse_fallback_warned:
+                        _sparse_fallback_warned.add(label)
+                        import sys
+                        import traceback
+
+                        print(f"{label} JPEG export wire failed; falling "
+                              "back:\n" + traceback.format_exc(limit=3),
+                              file=sys.stderr)
         if body is None:
             y, cb, cr = _to_ycc420_jit()(planes)
             from concurrent.futures import ThreadPoolExecutor

@@ -154,6 +154,34 @@ def test_stream_decodes_via_pillow():
     assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 30.0
 
 
+def test_encode_jpeg_routes_through_prepacked_wire(monkeypatch):
+    """encode_jpeg's device sparse path uses the prepacked wire first
+    and falls back to the nibble wire when it fails — byte-identically."""
+    rng = np.random.default_rng(14)
+    planes = jnp.asarray(rng.random((3, 64, 80), np.float32))
+    calls = []
+    real = jpegbits.encode_prepacked_device
+
+    def spy(*a, **k):
+        calls.append("prepacked")
+        return real(*a, **k)
+
+    monkeypatch.setattr(jpegbits, "encode_prepacked_device", spy)
+    via_auto = jpegenc.encode_jpeg(planes, quality=90)
+    assert calls == ["prepacked"]
+    assert via_auto.startswith(b"\xff\xd8")
+
+    def boom(*a, **k):
+        raise RuntimeError("no prepack")
+
+    monkeypatch.setattr(jpegbits, "encode_prepacked_device", boom)
+    monkeypatch.setattr(jpegenc, "_sparse_fallback_warned",
+                        {"prepacked", "nibble"})
+    assert jpegenc.encode_jpeg(planes, quality=90) == via_auto
+    # Explicit sparse=True survives a prepack failure via the nibble wire.
+    assert jpegenc.encode_jpeg(planes, quality=90, sparse=True) == via_auto
+
+
 def test_native_rejects_malformed_wire():
     rng = np.random.default_rng(13)
     blocks = _rand_blocks(rng, 6)

@@ -239,15 +239,29 @@ class TestWarmSparseExport:
         assert prewarm.warm_sparse_export((30, 50))
 
     def test_warm_failure_unmarks(self, monkeypatch):
-        from rawphotoforge_tpu.io import jpegenc
+        from rawphotoforge_tpu.io import jpegbits, jpegenc
 
         def boom():
             raise RuntimeError("no jit for you")
 
+        # BOTH wires must fail for the warm to report failure: the
+        # prepacked (production) wire is tried first, the nibble wire
+        # is the fallback warm.
+        monkeypatch.setattr(jpegbits, "_prepacked_jit", boom)
         monkeypatch.setattr(jpegenc, "_sparse_jit", boom)
         prewarm._warmed_full.discard(("sparse_export", (128, 128)))
         assert prewarm.warm_sparse_export((10, 10)) is False
         assert ("sparse_export", (128, 128)) not in prewarm._warmed_full
+
+    def test_warm_falls_back_to_nibble_wire(self, monkeypatch):
+        from rawphotoforge_tpu.io import jpegbits
+
+        def boom():
+            raise RuntimeError("no prepack")
+
+        monkeypatch.setattr(jpegbits, "_prepacked_jit", boom)
+        prewarm._warmed_full.discard(("sparse_export", (128, 128)))
+        assert prewarm.warm_sparse_export((10, 10))
 
 
 class TestWarmEditorLevels:

@@ -286,6 +286,62 @@ for seed in range(max(2, args.raw_seeds // 2)):
 print("TPU SPARSE-WIRE RESULT:",
       "PASS" if sw_fails == 0 else f"{sw_fails} FAILURES")
 
+# --- part 7: the PREPACKED entropy wire, on hardware. The device-emitted
+# Huffman bit streams (select-sum table lookups, 64-bit shifts as u32
+# pairs, the 65-lane word accumulation) must equal the serial numpy
+# oracle seeded from the DEVICE blockify output, and the finished file
+# must be byte-identical to the nibble wire's — including a bucket-padded
+# encode, which certifies the masked DC-delta chain (associative scan
+# over true blocks) on the Mosaic/XLA:TPU compile, not just CPU.
+from rawphotoforge_tpu.io import jpegbits
+from rawphotoforge_tpu.utils.transfer import fetch_banded
+
+pp_fails = 0
+pp_seeds = []
+st_pp = jpegbits._prepacked_jit()
+pp_bounds = jpegbits._word_band_layout((sw_h // 16) * (sw_w // 16) * 6)
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 7000)
+    base = r.random((3, 1, 1)).astype(np.float32)
+    planes = np.clip(base + 0.15 * r.standard_normal(
+        (3, sw_h, sw_w)).astype(np.float32), 0.0, 1.0)
+    pd = jnp.asarray(planes)
+    blocks = np.asarray(sp_blockify(pd, ql_d, qc_d))
+    ref_lens, ref_words = jpegbits.prepacked_np(
+        jpegenc._dc_delta_np(blocks))
+    lens_d, word_bands, totals = st_pp.full(pd, ql_d, qc_d)
+    n_words = int(np.asarray(totals)[0])
+    hl = np.asarray(lens_d)
+    hw = fetch_banded(word_bands, pp_bounds, n_words)
+    stream_ok = (np.array_equal(hl, ref_lens)
+                 and n_words == ref_words.size
+                 and np.array_equal(hw[:n_words], ref_words))
+    from_device = rpf_native.jpeg_encode_prepacked(
+        hl, hw[:n_words], sw_h, sw_w, quality=92)
+    from_nibble = jpegenc._encode_sparse_device(pd, 92)
+    # Bucket-padded twin: true extent strictly inside the grid exercises
+    # the masked DC chain and the true-block walk end to end.
+    th, tw = sw_h - 37, sw_w - 11
+    padded_pp = jpegbits.encode_prepacked_device(pd, 92,
+                                                 true_shape=(th, tw))
+    padded_nb = jpegenc._encode_sparse_device(pd, 92, true_shape=(th, tw))
+    ok = (stream_ok and from_device == from_nibble
+          and padded_pp == padded_nb)
+    bits = int(hl.astype(np.int64).sum())
+    if ok:
+        print(f"prepacked seed {seed}: ok (bits={bits}, "
+              f"words={n_words})", flush=True)
+    else:
+        pp_fails += 1
+        print(f"prepacked seed {seed}: FAIL stream_ok={stream_ok} "
+              f"full_eq={from_device == from_nibble} "
+              f"padded_eq={padded_pp == padded_nb}", flush=True)
+    pp_seeds.append({"seed": seed, "ok": ok, "total_bits": bits,
+                     "n_words": n_words})
+
+print("TPU PREPACKED-WIRE RESULT:",
+      "PASS" if pp_fails == 0 else f"{pp_fails} FAILURES")
+
 if args.out:
     try:
         head = subprocess.run(
@@ -332,8 +388,13 @@ if args.out:
             "seeds": len(sw_seeds), "fails": sw_fails,
             "per_seed": sw_seeds,
         },
+        "prepacked_wire": {
+            "seeds": len(pp_seeds), "fails": pp_fails,
+            "per_seed": pp_seeds,
+        },
         "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
-              and io_fails == 0 and tc_fails == 0 and sw_fails == 0,
+              and io_fails == 0 and tc_fails == 0 and sw_fails == 0
+              and pp_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:
@@ -341,4 +402,5 @@ if args.out:
     print(f"wrote {args.out}", flush=True)
 
 sys.exit(0 if fails == 0 and raw_fails == 0 and xt_fails == 0
-         and io_fails == 0 and tc_fails == 0 and sw_fails == 0 else 1)
+         and io_fails == 0 and tc_fails == 0 and sw_fails == 0
+         and pp_fails == 0 else 1)
