@@ -568,13 +568,18 @@ def main(argv=None) -> int:
         total_mpix = n_images * bh * bw / 1e6
         ycc_gb = n_images * 1.5 * bh * bw / 1e9
         sp_gb = fetched_bytes / 1e9
-        results["c5_batch256_24mp_s"] = dt_total
-        results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
-        results["c5_fetch_s"] = t_fetch
-        results["c5_fetch_gb"] = sp_gb
-        results["c5_dense_equiv_gb"] = ycc_gb
-        results["c5_jpeg_gb"] = total_bytes / 1e9
-        log(f"config 5: 256x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
+        if n_images == 256:
+            results["c5_batch256_24mp_s"] = dt_total
+            results["c5_batch256_24mp_mpix_s"] = total_mpix / dt_total
+            results["c5_fetch_s"] = t_fetch
+            results["c5_fetch_gb"] = sp_gb
+            results["c5_dense_equiv_gb"] = ycc_gb
+            results["c5_jpeg_gb"] = total_bytes / 1e9
+        else:
+            log(f"config 5: RPF_C5_IMAGES={n_images} smoke run — "
+                "c5_batch256_* keys NOT written (they name the full "
+                "256-image batch)")
+        log(f"config 5: {n_images}x 24MP RAW->JPEG export end-to-end {dt_total:.1f} s "
             f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
             f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
             f"{t_fetch:.0f} s of that is fetching {sp_gb:.1f} GB of "

@@ -352,7 +352,18 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
         int(_np.asarray(out[2])[0])  # force execution through the tunnel
         return True
     except Exception:
-        pass
+        # A transiently-failed prepack warm must stay retryable: the
+        # production wire is tried FIRST by encode_jpeg, so marking the
+        # bucket warmed off the nibble fallback alone would leave every
+        # later warm a no-op while the first real export still pays the
+        # prepack compile inline. The fallback warm tracks its own key.
+        with _warmed_lock:
+            _warmed_full.discard(key)
+    nkey = ("sparse_export_nibble", key[1])
+    with _warmed_lock:
+        if nkey in _warmed_full:
+            return False  # fallback warm done; prepack warm still failing
+        _warmed_full.add(nkey)
     try:
         stages = jpegenc._sparse_jit()
         if (h, w) == (hp, wp):
@@ -363,11 +374,10 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
                 jnp.zeros((3, hp, wp), jnp.float32),
                 jnp.asarray(qlum), jnp.asarray(qchr), h, w)
         int(_np.asarray(out[3])[0])  # force execution through the tunnel
-        return True
     except Exception:
         with _warmed_lock:
-            _warmed_full.discard(key)
-        return False
+            _warmed_full.discard(nkey)
+    return False
 
 
 def warm_raw_exact(shape: tuple[int, int], pattern: str = "XTRANS") -> bool:

@@ -12,7 +12,7 @@ the same stable 1-bit sort the nibble wire uses, and fetched as
   bit_lens u16 [nblocks]  (0 for bucket-padding blocks)
   words    u32 [total_words]  (per-block streams, MSB-first, word-aligned
                                per block, zero-padded last word)
-  totals   i32 [2] = (total_words, total_bits)
+  totals   i32 [3] = (total_words, total_bits, n_out_of_domain)
 The host coder (native rpf_jpeg_encode_prepacked) only concatenates the
 per-block bit strings — shifting by the running bit position and byte-
 stuffing 0xFF — so the link carries roughly the finished JFIF scan size
@@ -145,6 +145,9 @@ def prepacked_np(blocks: np.ndarray, true_mask: np.ndarray | None = None):
         zz = blocks[b]
         d = int(zz[0])
         s = _bit_size_np(d)
+        if s > 11 or not dc_len[s]:
+            raise ValueError(
+                f"DC delta {d} outside the baseline Huffman domain")
         put((int(dc_code[s]) << s) | ((d if d >= 0 else d - 1)
                                       & ((1 << s) - 1)), int(dc_len[s]) + s)
         run = 0
@@ -158,6 +161,9 @@ def prepacked_np(blocks: np.ndarray, true_mask: np.ndarray | None = None):
                 run -= 16
             s = _bit_size_np(v)
             sym = (run << 4) | s
+            if s > 10 or not ac_len[sym]:
+                raise ValueError(
+                    f"AC value {v} outside the baseline Huffman domain")
             put((int(ac_code[sym]) << s) | ((v if v >= 0 else v - 1)
                                             & ((1 << s) - 1)),
                 int(ac_len[sym]) + s)
@@ -185,8 +191,9 @@ def _prepacked_jit():
 
     full(planes, qlum, qchr) / full_extent(planes, qlum, qchr, th, tw)
     -> (bit_lens u16 [N], word_bands tuple of u32 buffers, totals i32
-    [2] = (total_words, total_bits)). ``prepack`` (blocks + mask ->
-    uncompacted [N, 52] words + lens) is exposed for tests."""
+    [3] = (total_words, total_bits, n_out_of_domain)). ``prepack``
+    (blocks + mask -> uncompacted [N, 52] words + lens + bad count) is
+    exposed for tests."""
     import jax
     import jax.numpy as jnp
 
@@ -361,6 +368,18 @@ def _prepacked_jit():
         bits = lane_off[:, -1] + lane_len[:, -1]
         nwords = (bits + 31) >> 5
 
+        # Out-of-domain detector: a defined Huffman entry always packs
+        # to (code << 5) | len with len >= 1, so packed == 0 on a coded
+        # lane means the (run, size) symbol has NO table entry (e.g. an
+        # AC size category > 10) and the emitted stream would be
+        # silently undecodable. Count such lanes on TRUE blocks; the
+        # host raises instead of shipping a corrupt file.
+        bad = jnp.where(
+            true_mask,
+            (dc_packed == u32(0)).astype(i32)
+            + (nz_ac & (ac_packed == u32(0))).astype(i32).sum(axis=1),
+            0).sum(dtype=i32)
+
         # --- word assembly: 65-step accumulation over lanes -----------
         wpos = (jnp.arange(BLOCK_WORDS, dtype=i32) * 32)[None, :]
 
@@ -379,9 +398,9 @@ def _prepacked_jit():
 
         out = jax.lax.fori_loop(
             0, 65, body, jnp.zeros((nblk, BLOCK_WORDS), u32))
-        return bits.astype(jnp.uint16), out, nwords
+        return bits.astype(jnp.uint16), out, nwords, bad
 
-    def _finish(bit_lens, words, nwords):
+    def _finish(bit_lens, words, nwords, bad):
         """Compact the per-block word grids to the dense wire stream and
         pre-split it at the fixed band boundaries."""
         nblk = words.shape[0]
@@ -396,7 +415,7 @@ def _prepacked_jit():
         flat = jnp.where(j < total_words, flat, u32(0))
         bounds = _word_band_layout(nblk)
         bands = tuple(flat[a:b] for a, b in zip(bounds, bounds[1:]))
-        totals = jnp.stack([total_words, total_bits])
+        totals = jnp.stack([total_words, total_bits, bad])
         return bit_lens, bands, totals
 
     def _true_mask(nblk, grid_c, mcu_r, mcu_c):
@@ -421,9 +440,9 @@ def _prepacked_jit():
 
             held = jax.lax.associative_scan(
                 comb, (jnp.where(keep, seq, 0), keep))
-            prev = (jnp.concatenate([jnp.zeros((1,), seq.dtype),
-                                     held[0][:-1]]),)
-            return seq - prev[0]
+            prev = jnp.concatenate([jnp.zeros((1,), seq.dtype),
+                                    held[0][:-1]])
+            return seq - prev
 
         dy = delta(dc[:, :4].reshape(-1), tm[:, :4].reshape(-1)
                    ).reshape(m, 4)
@@ -432,15 +451,13 @@ def _prepacked_jit():
         b3 = b3.at[:, :, 0].set(jnp.concatenate([dy, db, dr], axis=1))
         return b3.reshape(m * 6, 64)
 
-    import jax as _jax
-
-    @_jax.jit
+    @jax.jit
     def full(planes, qlum, qchr):
         blocks = st.dc_delta(st.blockify(planes, qlum, qchr))
         mask = jnp.ones((blocks.shape[0],), bool)
         return _finish(*prepack(blocks, mask))
 
-    @_jax.jit
+    @jax.jit
     def full_extent(planes, qlum, qchr, th, tw):
         # th/tw are traced 0-d ints: one compile per bucket shape.
         blocks = st.blockify(planes, qlum, qchr, (th, tw))
@@ -450,7 +467,7 @@ def _prepacked_jit():
         blocks = _dc_delta_masked(blocks, mask)
         return _finish(*prepack(blocks, mask))
 
-    @_jax.jit
+    @jax.jit
     def prepack_blocks(blocks, true_mask):
         return prepack(blocks, true_mask)
 
@@ -458,7 +475,7 @@ def _prepacked_jit():
 
     return types.SimpleNamespace(full=full, full_extent=full_extent,
                                  prepack=prepack_blocks,
-                                 dc_delta_masked=_jax.jit(_dc_delta_masked))
+                                 dc_delta_masked=jax.jit(_dc_delta_masked))
 
 
 def encode_prepacked_device(planes, quality: int, stage=None,
@@ -501,7 +518,16 @@ def encode_prepacked_device(planes, quality: int, stage=None,
     stage("fetch")
     nblocks = -(-ph // 16) * (-(-pw // 16)) * 6
     bounds = _word_band_layout(nblocks)
-    n_words = int(np.asarray(totals)[0])
+    tv = np.asarray(totals)
+    if int(tv[2]):
+        # Lanes whose (run, size) symbol has no Annex-K.3 entry would
+        # emit a zero-length Huffman prefix — a silently undecodable
+        # stream. Fail loudly; encode_jpeg degrades to the nibble wire
+        # (whose coder validates size categories itself).
+        raise ValueError(
+            f"{int(tv[2])} coefficients outside the baseline Huffman "
+            "domain (AC size > 10 or DC delta size > 11)")
+    n_words = int(tv[0])
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(2) as pool:

@@ -22,14 +22,15 @@ pytestmark = pytest.mark.skipif(
     not native.available(), reason="native library unavailable")
 
 
-def _rand_blocks(rng, n, max_nnz=30, amp=1024):
+def _rand_blocks(rng, n, max_nnz=30, amp=1023):
     """Random sparse zigzag blocks with DC deltas in the 11-bit category
-    and ACs in the 10-bit category (the baseline wire domain)."""
+    and ACs in the 10-bit category (the baseline wire domain: |AC| <=
+    1023, |DC delta| <= 2047 — larger sizes have no Annex-K.3 symbol)."""
     blocks = np.zeros((n, 64), np.int32)
     nnz = rng.integers(0, max_nnz + 1, n)
     for b in range(n):
         idx = rng.choice(63, nnz[b], replace=False) + 1
-        blocks[b, idx] = rng.integers(-amp, amp, nnz[b])
+        blocks[b, idx] = rng.integers(-amp, amp + 1, nnz[b])
     blocks[:, 0] = rng.integers(-2000, 2001, n)
     return blocks
 
@@ -48,21 +49,23 @@ def test_prepack_matches_np_oracle(seed):
     blocks = _rand_blocks(rng, n)
     mask = np.ones(n, bool)
     st = jpegbits._prepacked_jit()
-    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+    lens_d, words_d, nwords_d, bad_d = (np.asarray(a) for a in st.prepack(
         jnp.asarray(blocks), jnp.asarray(mask)))
     lens_o, words_o = jpegbits.prepacked_np(blocks, mask)
     np.testing.assert_array_equal(lens_d, lens_o)
     np.testing.assert_array_equal(_dev_stream(words_d, nwords_d), words_o)
+    assert int(bad_d) == 0
 
 
 def test_prepack_edge_blocks():
     """All-zero, fully dense max-magnitude, long zero runs (ZRL chains),
     and last-lane-nonzero (no EOB) blocks — one MCU of each family."""
     blocks = np.zeros((6 * 4, 64), np.int32)
-    # MCU 1: fully dense at the 10-bit AC / 11-bit DC category ceiling.
+    # MCU 1: fully dense at the 10-bit AC / 11-bit DC category ceiling
+    # (|AC| <= 1023; 1024 would be size 11, which has no AC symbol).
     blocks[6:12, 1:] = 1023
     blocks[6:12, 0] = 2047
-    blocks[7, 1:] = -1024
+    blocks[7, 1:] = -1023
     # MCU 2: isolated nonzeros after runs of 16/32/47 zeros (1/2 ZRLs +
     # remainder), and lane 63 nonzero so no EOB is emitted.
     blocks[12, 17] = 3
@@ -73,14 +76,37 @@ def test_prepack_edge_blocks():
     blocks[18:24, 0] = -2047
     mask = np.ones(blocks.shape[0], bool)
     st = jpegbits._prepacked_jit()
-    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+    lens_d, words_d, nwords_d, bad_d = (np.asarray(a) for a in st.prepack(
         jnp.asarray(blocks), jnp.asarray(mask)))
     lens_o, words_o = jpegbits.prepacked_np(blocks, mask)
     np.testing.assert_array_equal(lens_d, lens_o)
     np.testing.assert_array_equal(_dev_stream(words_d, nwords_d), words_o)
+    assert int(bad_d) == 0
     # The dense-max block is the wire's worst case and must fit the
     # fixed per-block capacity.
     assert lens_d.max() <= 32 * jpegbits.BLOCK_WORDS
+
+
+def test_prepack_flags_out_of_domain_coefficients():
+    """|AC| >= 1024 has no Annex-K.3 symbol: the oracle raises, the
+    device flags it in the bad counter, and the host encoder refuses
+    (a zero-length Huffman prefix would corrupt the stream silently)."""
+    blocks = np.zeros((6, 64), np.int32)
+    blocks[2, 5] = 1024
+    mask = np.ones(6, bool)
+    with pytest.raises(ValueError, match="Huffman domain"):
+        jpegbits.prepacked_np(blocks, mask)
+    st = jpegbits._prepacked_jit()
+    bad = np.asarray(st.prepack(jnp.asarray(blocks), jnp.asarray(mask))[3])
+    assert int(bad) == 1
+    # DC delta beyond size 11 flags too.
+    blocks2 = np.zeros((6, 64), np.int32)
+    blocks2[0, 0] = 2048
+    with pytest.raises(ValueError, match="Huffman domain"):
+        jpegbits.prepacked_np(blocks2, mask)
+    bad2 = np.asarray(
+        st.prepack(jnp.asarray(blocks2), jnp.asarray(mask))[3])
+    assert int(bad2) == 1
 
 
 def test_prepack_mask_zeroes_padding_blocks():
@@ -90,7 +116,7 @@ def test_prepack_mask_zeroes_padding_blocks():
     mask = np.ones(n, bool)
     mask[6:12] = False  # one padding MCU mid-stream
     st = jpegbits._prepacked_jit()
-    lens_d, words_d, nwords_d = (np.asarray(a) for a in st.prepack(
+    lens_d, words_d, nwords_d, _bad = (np.asarray(a) for a in st.prepack(
         jnp.asarray(blocks), jnp.asarray(mask)))
     assert (lens_d[6:12] == 0).all()
     assert (nwords_d[6:12] == 0).all()

@@ -250,18 +250,39 @@ class TestWarmSparseExport:
         monkeypatch.setattr(jpegbits, "_prepacked_jit", boom)
         monkeypatch.setattr(jpegenc, "_sparse_jit", boom)
         prewarm._warmed_full.discard(("sparse_export", (128, 128)))
+        prewarm._warmed_full.discard(("sparse_export_nibble", (128, 128)))
         assert prewarm.warm_sparse_export((10, 10)) is False
         assert ("sparse_export", (128, 128)) not in prewarm._warmed_full
+        assert ("sparse_export_nibble", (128, 128)) \
+            not in prewarm._warmed_full
 
-    def test_warm_falls_back_to_nibble_wire(self, monkeypatch):
+    def test_warm_falls_back_to_nibble_wire_but_stays_retryable(
+            self, monkeypatch):
+        """A failed prepack warm still warms the nibble fallback, but
+        reports False and leaves the bucket unmarked so the production
+        (prepacked) program is retried on the next call — otherwise the
+        first real export would pay the prepack compile inline."""
         from rawphotoforge_tpu.io import jpegbits
 
+        calls = []
+
         def boom():
+            calls.append(1)
             raise RuntimeError("no prepack")
 
         monkeypatch.setattr(jpegbits, "_prepacked_jit", boom)
         prewarm._warmed_full.discard(("sparse_export", (128, 128)))
+        prewarm._warmed_full.discard(("sparse_export_nibble", (128, 128)))
+        assert prewarm.warm_sparse_export((10, 10)) is False
+        assert ("sparse_export", (128, 128)) not in prewarm._warmed_full
+        assert ("sparse_export_nibble", (128, 128)) in prewarm._warmed_full
+        # Second call retries the prepacked warm (not dedup-skipped).
+        assert prewarm.warm_sparse_export((10, 10)) is False
+        assert len(calls) == 2
+        # Once the prepack warm recovers, the bucket warms fully.
+        monkeypatch.undo()
         assert prewarm.warm_sparse_export((10, 10))
+        assert ("sparse_export", (128, 128)) in prewarm._warmed_full
 
 
 class TestWarmEditorLevels:
