@@ -400,9 +400,9 @@ def _prepacked_jit():
             0, 65, body, jnp.zeros((nblk, BLOCK_WORDS), u32))
         return bits.astype(jnp.uint16), out, nwords, bad
 
-    def _finish(bit_lens, words, nwords, bad):
-        """Compact the per-block word grids to the dense wire stream and
-        pre-split it at the fixed band boundaries."""
+    def _flat(bit_lens, words, nwords, bad):
+        """Compact the per-block word grids to the dense wire stream:
+        (bit_lens u16 [N], flat u32 [N*52] zero-tailed, totals i32 [3])."""
         nblk = words.shape[0]
         wi = jnp.arange(BLOCK_WORDS, dtype=i32)[None, :]
         drop = (wi >= nwords[:, None]).reshape(-1)
@@ -413,10 +413,22 @@ def _prepacked_jit():
         # prefix; deterministic zeros keep fetches reproducible.
         j = jnp.arange(nblk * BLOCK_WORDS, dtype=i32)
         flat = jnp.where(j < total_words, flat, u32(0))
-        bounds = _word_band_layout(nblk)
-        bands = tuple(flat[a:b] for a, b in zip(bounds, bounds[1:]))
         totals = jnp.stack([total_words, total_bits, bad])
+        return bit_lens, flat, totals
+
+    def _finish(bit_lens, words, nwords, bad):
+        """_flat + pre-split at the fixed band boundaries."""
+        bit_lens, flat, totals = _flat(bit_lens, words, nwords, bad)
+        bounds = _word_band_layout(bit_lens.shape[0])
+        bands = tuple(flat[a:b] for a, b in zip(bounds, bounds[1:]))
         return bit_lens, bands, totals
+
+    def wire(planes, qlum, qchr):
+        """Un-jitted single-image wire (flat words, no banding) — for
+        composition under vmap/sharding (parallel/mesh batch export)."""
+        blocks = st.dc_delta(st.blockify(planes, qlum, qchr))
+        mask = jnp.ones((blocks.shape[0],), bool)
+        return _flat(*prepack(blocks, mask))
 
     def _true_mask(nblk, grid_c, mcu_r, mcu_c):
         mcu = jnp.arange(nblk, dtype=i32) // 6
@@ -474,7 +486,7 @@ def _prepacked_jit():
     import types
 
     return types.SimpleNamespace(full=full, full_extent=full_extent,
-                                 prepack=prepack_blocks,
+                                 prepack=prepack_blocks, wire=wire,
                                  dc_delta_masked=jax.jit(_dc_delta_masked))
 
 

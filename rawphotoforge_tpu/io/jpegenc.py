@@ -176,8 +176,13 @@ def _block_stages():
     import jax
     import jax.numpy as jnp
 
-    D = jnp.asarray(_dct8(np.float32))
-    zig = jnp.asarray(_ZIGZAG)
+    # Plain numpy constants: the namespace is functools.cached, and its
+    # FIRST build may happen inside an outer jit trace (the sharded
+    # batch-export step traces through st.wire) — a jnp.asarray created
+    # there would be a tracer cached beyond its trace (leak). XLA bakes
+    # these as program literals either way.
+    D = _dct8(np.float32)
+    zig = np.asarray(_ZIGZAG)
 
     def clamp_fill(img, th, tw):
         """Overwrite rows/cols at or beyond (th, tw) with edge replicas
@@ -350,11 +355,12 @@ def _sparse_jit():
 
     st = _block_stages()
     _blockify, _dc_delta, _compact = st.blockify, st.dc_delta, st.compact
-    wlo = jnp.asarray(np.array(
-        [(1 << i) if i < 32 else 0 for i in range(64)], dtype=np.uint32))
-    whi = jnp.asarray(np.array(
+    # numpy, not jnp: same trace-safety rule as _block_stages' constants.
+    wlo = np.array(
+        [(1 << i) if i < 32 else 0 for i in range(64)], dtype=np.uint32)
+    whi = np.array(
         [(1 << (i - 32)) if i >= 32 else 0 for i in range(64)],
-        dtype=np.uint32))
+        dtype=np.uint32)
 
     def _sparsify(blocks):
         nz = blocks != 0

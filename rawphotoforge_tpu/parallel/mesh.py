@@ -188,3 +188,33 @@ def export_batch_step(
     """Batch export step: sharded develop + per-image u8 quantization."""
     srgb = batch_develop_sharded(imgs, params, masks, mesh)
     return dev.encode_u8(srgb)
+
+
+def export_batch_jpeg_step(
+    imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh,
+    qlum: jax.Array, qchr: jax.Array,
+):
+    """Batch export step, FULL wire: sharded develop + per-image JPEG
+    entropy coding on device (io/jpegbits prepacked Huffman streams).
+
+    Each batch shard develops and entropy-codes its own images with zero
+    collectives (the per-image wire — fDCT, quantization, Huffman bit
+    assembly, sort compaction — is independent per image, so the XLA
+    partitioner keeps every stage local to the shard that owns the
+    image). Returns (bit_lens u16 [B, N], words u32 [B, N*52] zero-
+    tailed, totals i32 [B, 3]) batch-sharded; hosts fetch each image's
+    words[:totals[0]] and finish with native.jpeg_encode_prepacked.
+    Streams are bit-identical to the single-device wire per image."""
+    from ..io import jpegbits
+
+    srgb = batch_develop_sharded(imgs, params, masks, mesh)
+    st = jpegbits._prepacked_jit()
+    out_shardings = (
+        NamedSharding(mesh, P("batch")),
+        NamedSharding(mesh, P("batch")),
+        NamedSharding(mesh, P("batch")),
+    )
+    lens, words, totals = jax.vmap(lambda p: st.wire(p, qlum, qchr))(srgb)
+    return tuple(
+        jax.lax.with_sharding_constraint(a, s)
+        for a, s in zip((lens, words, totals), out_shardings))

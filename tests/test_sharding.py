@@ -95,6 +95,43 @@ def test_export_batch_step(rng, the_mesh):
     assert u8.shape == (8, 3, 32, 128)
 
 
+def test_export_batch_jpeg_step_matches_single_wire(rng, the_mesh):
+    """The batch-sharded FULL export wire (develop + per-image device
+    Huffman entropy coding) emits bit-identical streams to the
+    single-device wire, and the native coder produces the same file."""
+    from rawphotoforge_tpu import native
+    from rawphotoforge_tpu.io import jpegbits, jpegenc
+
+    imgs = np.stack([random_linear_image(rng, 32, 128) for _ in range(8)])
+    imgs = jnp.asarray(imgs.transpose(0, 3, 1, 2))
+    packed = _params()
+    masks = jnp.ones((1, 32, 128), dtype=jnp.float32)
+    qlum, qchr = (jnp.asarray(t) for t in jpegenc._quant_tables(90))
+    lens, words, totals = jax.jit(
+        pmesh.export_batch_jpeg_step, static_argnums=3
+    )(imgs, packed, masks, the_mesh, qlum, qchr)
+    nblocks = (32 // 16) * (128 // 16) * 6
+    assert lens.shape == (8, nblocks)
+    assert words.shape == (8, nblocks * jpegbits.BLOCK_WORDS)
+    srgb = dev.develop_batch(imgs, packed, masks)
+    st = jpegbits._prepacked_jit()
+    for i in range(8):
+        s_lens, s_bands, s_totals = st.full(srgb[i], qlum, qchr)
+        assert int(totals[i, 2]) == 0
+        np.testing.assert_array_equal(np.asarray(lens[i]),
+                                      np.asarray(s_lens))
+        nw = int(s_totals[0])
+        assert int(totals[i, 0]) == nw
+        single_words = np.concatenate([np.asarray(b) for b in s_bands])
+        np.testing.assert_array_equal(np.asarray(words[i])[:nw],
+                                      single_words[:nw])
+        if native.available():
+            a = native.jpeg_encode_prepacked(
+                np.asarray(lens[i]), np.asarray(words[i])[:nw], 32, 128,
+                quality=90)
+            assert a[:2] == b"\xff\xd8" and a[-2:] == b"\xff\xd9"
+
+
 def test_demosaic_sharded_matches_single(rng, the_mesh):
     """Halo-exchange demosaic over the 'sp' axis == single-device demosaic
     (both interior and the shard-boundary rows)."""
