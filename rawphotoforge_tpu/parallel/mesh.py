@@ -190,31 +190,53 @@ def export_batch_step(
     return dev.encode_u8(srgb)
 
 
+def entropy_batch_sharded(
+    srgb: jax.Array, mesh: Mesh, qlum: jax.Array, qchr: jax.Array,
+):
+    """Per-image device JPEG entropy coding over a batch-sharded render
+    stack: srgb [B, 3, H, W] -> (bit_lens u16 [B, N], words u32
+    [B, N*52] zero-tailed, totals i32 [B, 3]), all sharded on 'batch'.
+
+    Zero collectives: the per-image wire (u8-grid round, fDCT,
+    quantization, Huffman bit assembly, sort compaction) is independent
+    per image, so the XLA partitioner keeps every stage local to the
+    shard that owns the image. After the u8-grid round the math is all
+    INTEGER, so for identical input pixels the streams are bit-identical
+    to the single-device wire regardless of sharding or compilation —
+    the dryrun certifies exactly that.
+
+    Consumption protocol per image i (mirror encode_prepacked_device):
+    REQUIRE totals[i, 2] == 0 first (nonzero = coefficients outside the
+    baseline Huffman domain; the stream would be silently undecodable),
+    then feed lens[i] and words[i, :totals[i, 0]] to
+    native.jpeg_encode_prepacked. NOTE words rows are full capacity
+    (N*52 u32 ≈ 117 MB/24MP vs a few MB of true words): the shape is
+    for mesh-local consumption (each shard's rows live on the device
+    that computed them); a tunnel-remote single chip should use the
+    banded single-image wire (io/jpegbits.encode_prepacked_device)
+    whose pre-split band buffers avoid both the capacity fetch and
+    slice-at-fetch-time device programs."""
+    from ..io import jpegbits
+
+    srgb = jax.lax.with_sharding_constraint(
+        srgb, NamedSharding(mesh, P("batch", None, None, None)))
+    st = jpegbits._prepacked_jit()
+    lens, words, totals = jax.vmap(lambda p: st.wire(p, qlum, qchr))(srgb)
+    out = NamedSharding(mesh, P("batch"))
+    return tuple(jax.lax.with_sharding_constraint(a, out)
+                 for a in (lens, words, totals))
+
+
 def export_batch_jpeg_step(
     imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh,
     qlum: jax.Array, qchr: jax.Array,
 ):
     """Batch export step, FULL wire: sharded develop + per-image JPEG
-    entropy coding on device (io/jpegbits prepacked Huffman streams).
-
-    Each batch shard develops and entropy-codes its own images with zero
-    collectives (the per-image wire — fDCT, quantization, Huffman bit
-    assembly, sort compaction — is independent per image, so the XLA
-    partitioner keeps every stage local to the shard that owns the
-    image). Returns (bit_lens u16 [B, N], words u32 [B, N*52] zero-
-    tailed, totals i32 [B, 3]) batch-sharded; hosts fetch each image's
-    words[:totals[0]] and finish with native.jpeg_encode_prepacked.
-    Streams are bit-identical to the single-device wire per image."""
-    from ..io import jpegbits
-
+    entropy coding on device (entropy_batch_sharded — see its docstring
+    for the consumption protocol and the bit-exactness guarantee, which
+    holds for identical DEVELOPED pixels: the sharded develop itself
+    carries the usual differently-compiled-f32 ulp caveat, and an ulp
+    flipping a quantization tie changes the stream, the same way
+    export_batch_step's u8 output budgets a one-code delta)."""
     srgb = batch_develop_sharded(imgs, params, masks, mesh)
-    st = jpegbits._prepacked_jit()
-    out_shardings = (
-        NamedSharding(mesh, P("batch")),
-        NamedSharding(mesh, P("batch")),
-        NamedSharding(mesh, P("batch")),
-    )
-    lens, words, totals = jax.vmap(lambda p: st.wire(p, qlum, qchr))(srgb)
-    return tuple(
-        jax.lax.with_sharding_constraint(a, s)
-        for a, s in zip((lens, words, totals), out_shardings))
+    return entropy_batch_sharded(srgb, mesh, qlum, qchr)
