@@ -208,6 +208,30 @@ def test_encode_jpeg_routes_through_prepacked_wire(monkeypatch):
     assert jpegenc.encode_jpeg(planes, quality=90, sparse=True) == via_auto
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_native_prepacked_survives_random_wires(seed):
+    """Randomized robustness fuzz of the native bit-walk: arbitrary
+    (lens, words) buffers must either raise ValueError (stream/length
+    mismatch) or produce a SOI..EOI-framed byte string — never crash,
+    never read past the buffers. Valid-looking random wires decode as
+    garbage scans, which is fine: the coder validates structure, not
+    semantics (semantic validity is the device stage's bad-counter)."""
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(200):
+        nblocks = 6 * int(rng.integers(1, 5))
+        lens = rng.integers(0, 1700, nblocks).astype(np.uint16)
+        nwords = int(rng.integers(0, 80))
+        words = rng.integers(0, 2**32, nwords, dtype=np.uint64).astype(
+            np.uint32)
+        gr = nblocks // 6
+        try:
+            out = native.jpeg_encode_prepacked(
+                lens, words, 16, gr * 16, quality=90)
+        except ValueError:
+            continue
+        assert out[:2] == b"\xff\xd8" and out[-2:] == b"\xff\xd9"
+
+
 def test_native_rejects_malformed_wire():
     rng = np.random.default_rng(13)
     blocks = _rand_blocks(rng, 6)
