@@ -428,13 +428,13 @@ def main(argv=None) -> int:
     if want("5"):
         # The full export path, nothing excluded: device develop (one-pass
         # fused RAW kernel) -> device JPEG fDCT + quantization + Huffman
-        # bit assembly (io/jpegbits._prepacked_jit: the TPU emits each
-        # block's final entropy-coded bit string; the link carries roughly
-        # the finished scan size) -> banded parallel fetch -> native
-        # concatenator (rpf_jpeg_encode_prepacked, q92: shift + 0xFF
-        # stuffing only) -> file write, host work pipelined behind the
-        # device. Under the axon tunnel the fetch pays remote-link
-        # bandwidth a locally-attached host would not.
+        # coding + global bit-pack (io/jpegbits `packed`: the TPU emits
+        # the FINISHED contiguous scan; the link carries exactly the
+        # entropy-coded bytes) -> banded parallel fetch -> native
+        # header-writer/0xFF-stuffer (rpf_jpeg_encode_packed, q92) ->
+        # file write, host work pipelined behind the device. Under the
+        # axon tunnel the fetch pays remote-link bandwidth a
+        # locally-attached host would not.
         import os
         import shutil
         import tempfile
@@ -458,7 +458,8 @@ def main(argv=None) -> int:
         qlum_h, qchr_h = jpegenc._quant_tables(92)
         qlum_d, qchr_d = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
         nblocks = (bh // 16) * (bw // 16) * 6
-        wbnd = jpegbits._word_band_layout(nblocks)
+        caps5 = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+        pbnd = jpegbits._packed_band_layout(nblocks)
 
         @jax.jit
         def export_one(m):
@@ -471,14 +472,14 @@ def main(argv=None) -> int:
             # whole-buffer d2h transfers with no slice program — which
             # makes compute/fetch overlap safe (see the loop).
             srgb = rp.raw_develop_fused(m, wb, cam, params5, jnp.float32(0.8))
-            return stages5.full(srgb, qlum_d, qchr_d)
+            return stages5.full_packed(srgb, qlum_d, qchr_d, *caps5)
 
         outdir = tempfile.mkdtemp(prefix="rpf_export_")
 
         def encode_one(arg):
-            i, lens_, words_ = arg
-            data = rpf_native.jpeg_encode_prepacked(lens_, words_, bh, bw,
-                                                    quality=92)
+            i, words_, bits_ = arg
+            data = rpf_native.jpeg_encode_packed(words_, bits_, bh, bw,
+                                                 quality=92)
             with open(os.path.join(outdir, f"img{i:04d}.jpg"), "wb") as f:
                 f.write(data)
 
@@ -510,18 +511,15 @@ def main(argv=None) -> int:
         from rawphotoforge_tpu.utils.transfer import (
             banded_fetch_elems, fetch_banded, start_banded)
 
-        def fetch_image(dev_i, n_words, cpool):
-            lens_d, word_bands, _t = dev_i
-            fw = cpool.submit(fetch_banded, word_bands, wbnd, n_words)
-            hl = np.asarray(lens_d)
-            hw = fw.result()
+        def fetch_image(dev_i, n_words, n_bits):
+            word_bands, _t = dev_i
+            hw = fetch_banded(word_bands, pbnd, n_words)
             # Band-rounded bytes actually moved, not the trimmed views —
             # the logged MB/s and c5_fetch_gb must reflect link traffic.
-            moved = (8 + 2 * nblocks
-                     + 4 * banded_fetch_elems(n_words, wbnd))
-            return (hl, hw), moved
+            moved = 20 + 4 * banded_fetch_elems(n_words, pbnd)
+            return (hw, n_bits), moved
 
-        with ThreadPoolExecutor(8) as pool, ThreadPoolExecutor(4) as cpool:
+        with ThreadPoolExecutor(8) as pool:
             pending = []
             dev_i = export_one(mosaics[0])
             for i in range(n_images):
@@ -529,17 +527,21 @@ def main(argv=None) -> int:
                 # more minutes. Only a true wedge (zero progress) aborts.
                 rearm_watchdog(600)
                 tf = time.perf_counter()
-                tv = np.asarray(dev_i[2])  # totals: the program-i sync
-                n_words = int(tv[0])
+                tv = np.asarray(dev_i[1])  # totals: the program-i sync
+                n_words, n_bits = int(tv[0]), int(tv[1])
+                if (int(tv[2]) or int(tv[3]) > nblocks * caps5[0]
+                        or int(tv[4]) != n_words):
+                    raise RuntimeError(
+                        f"packed wire rejected image {i}: totals={tv}")
                 dev_next = None
                 if overlap:
                     # Start the d2h transfers, THEN hand the device the
                     # next image's compute: the transfers ride the link
                     # while the device works.
-                    start_banded(dev_i[1], wbnd, n_words)
+                    start_banded(dev_i[0], pbnd, n_words)
                     if i + 1 < n_images:
                         dev_next = export_one(mosaics[(i + 1) % chunk])
-                host, moved = fetch_image(dev_i, n_words, cpool)
+                host, moved = fetch_image(dev_i, n_words, n_bits)
                 fetched_bytes += moved
                 if not overlap and i + 1 < n_images:
                     dev_next = export_one(mosaics[(i + 1) % chunk])
@@ -583,7 +585,7 @@ def main(argv=None) -> int:
             f"= {total_mpix / dt_total:.0f} MPix/s sustained; device develop "
             f"alone {results['c5_device_develop_mpix_s']:.0f} MPix/s; "
             f"{t_fetch:.0f} s of that is fetching {sp_gb:.1f} GB of "
-            f"device-prepacked Huffman bit streams over the remote tunnel "
+            f"device-packed finished JPEG scans over the remote tunnel "
             f"({sp_gb * 1e3 / max(t_fetch, 1e-9):.0f} MB/s link; dense YCbCr "
             f"4:2:0 would be {ycc_gb:.1f} GB); native bit concatenation "
             f"overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")

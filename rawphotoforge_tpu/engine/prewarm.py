@@ -308,16 +308,19 @@ def warm_full_shape(full_shape: tuple[int, int],
 def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
     """Compile the sparse JPEG export program for one FULL bucket shape.
 
-    The production wire is the PREPACKED one (io/jpegbits: fDCT +
-    quantization + on-device Huffman bit assembly + the 1-bit-sort
-    compaction) — the heaviest per-bucket compile on the export path;
-    without this warm, the first uncropped JPEG export per bucket
-    stalls its job on the whole remote compile — and the stall shows as
-    the 'fetch' stage (the totals sync point blocks on compile+compute),
-    reading like a wedged tunnel rather than a compile. Dummy buffers
-    only; best-effort like warm_shape. If the prepack warm fails, the
-    nibble wire (encode_jpeg's fallback) is warmed instead so the
-    degraded path is at least compile-free too.
+    The production wire is the PACKED one (io/jpegbits: fDCT +
+    quantization + on-device Huffman bit assembly + the global bit-pack
+    with two 1-bit-sort compactions) — the heaviest per-bucket compile
+    on the export path; without this warm, the first uncropped JPEG
+    export per bucket stalls its job on the whole remote compile — and
+    the stall shows as the 'fetch' stage (the totals sync point blocks
+    on compile+compute), reading like a wedged tunnel rather than a
+    compile. Dummy buffers only; best-effort like warm_shape. If the
+    packed warm fails, the nibble wire (encode_jpeg's last fallback) is
+    warmed instead so the degraded path is at least compile-free too
+    (the mid-chain prepacked wire shares its lane stages with packed
+    and only triggers on capacity overflow — rare enough to compile on
+    demand).
     """
     import numpy as _np
     import jax.numpy as jnp
@@ -342,21 +345,23 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
     # extent covers every extent in the bucket.
     try:
         stages = jpegbits._prepacked_jit()
+        caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
         if (h, w) == (hp, wp):
-            out = stages.full(jnp.zeros((3, hp, wp), jnp.float32),
-                              jnp.asarray(qlum), jnp.asarray(qchr))
+            out = stages.full_packed(jnp.zeros((3, hp, wp), jnp.float32),
+                                     jnp.asarray(qlum), jnp.asarray(qchr),
+                                     *caps)
         else:
-            out = stages.full_extent(
+            out = stages.full_packed_extent(
                 jnp.zeros((3, hp, wp), jnp.float32),
-                jnp.asarray(qlum), jnp.asarray(qchr), h, w)
-        int(_np.asarray(out[2])[0])  # force execution through the tunnel
+                jnp.asarray(qlum), jnp.asarray(qchr), h, w, *caps)
+        int(_np.asarray(out[1])[0])  # force execution through the tunnel
         return True
     except Exception:
-        # A transiently-failed prepack warm must stay retryable: the
+        # A transiently-failed packed warm must stay retryable: the
         # production wire is tried FIRST by encode_jpeg, so marking the
         # bucket warmed off the nibble fallback alone would leave every
         # later warm a no-op while the first real export still pays the
-        # prepack compile inline. The fallback warm tracks its own key.
+        # packed compile inline. The fallback warm tracks its own key.
         with _warmed_lock:
             _warmed_full.discard(key)
     nkey = ("sparse_export_nibble", key[1])

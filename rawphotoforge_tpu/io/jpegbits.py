@@ -3,20 +3,44 @@
 The nibble wire (io/jpegenc._sparse_jit + native rpf_jpeg_encode_sparse)
 ships quantized coefficients and entropy-codes on the host — ~4 bits per
 nonzero coefficient plus an 8 B/block presence bitmap across the
-device->host link. This module moves the LAST stage onto the device too:
-each 8x8 block's complete baseline-JPEG bit string (DC size category +
-magnitude, run/size AC symbols, ZRLs, EOB — Annex K.3 typical tables,
-the same tables native/rpf_native.cpp emits in its DHT segments) is
-assembled into per-block bit-packed u32 words on the TPU, compacted with
-the same stable 1-bit sort the nibble wire uses, and fetched as
+device->host link. This module moves the LAST stage onto the device too,
+in two wire formats:
+
+PREPACKED (`prepack` / rpf_jpeg_encode_prepacked): each 8x8 block's
+complete baseline-JPEG bit string (DC size category + magnitude,
+run/size AC symbols, ZRLs, EOB — Annex K.3 typical tables, the same
+tables native/rpf_native.cpp emits in its DHT segments) is assembled
+into per-block bit-packed u32 words on the TPU, compacted with the same
+stable 1-bit sort the nibble wire uses, and fetched as
   bit_lens u16 [nblocks]  (0 for bucket-padding blocks)
   words    u32 [total_words]  (per-block streams, MSB-first, word-aligned
                                per block, zero-padded last word)
   totals   i32 [3] = (total_words, total_bits, n_out_of_domain)
-The host coder (native rpf_jpeg_encode_prepacked) only concatenates the
-per-block bit strings — shifting by the running bit position and byte-
-stuffing 0xFF — so the link carries roughly the finished JFIF scan size
-(+2 B/block of lengths) instead of coefficients + bitmaps.
+The host coder only concatenates the per-block bit strings — shifting by
+the running bit position and byte-stuffing 0xFF — so the link carries
+roughly the finished JFIF scan size (+2 B/block of lengths + ~2 B/block
+of word-alignment padding) instead of coefficients + bitmaps.
+
+PACKED (`packed` / rpf_jpeg_encode_packed, the production default): the
+device additionally concatenates the blocks itself. Each block's string
+is assembled PRE-ROTATED to its global bit phase (its cumulative bit
+offset mod 32 — free in the same 65-lane pass: the phase adds to every
+lane offset), giving one u32 entry per global scan word the block
+touches; the stable-sort compaction leaves those entries ORDERED by
+global word with equal-word runs consecutive, 4 bounded prefix-doubling
+passes OR-merge each run into its head entry (a run is at most 10
+entries: two boundary straddles plus floor(32/4) whole blocks inside one
+word — the shortest block is 4 bits), and a second 1-bit-sort compaction
+emits the finished scan. The wire is
+  words  u32 [ceil(total_bits/32)]  (the ENTIRE entropy-coded scan)
+  totals i32 [5] = (total_words, total_bits, n_out_of_domain,
+                    n_entries, n_kept)
+— no per-block lengths, no alignment padding: the link carries exactly
+the finished scan bytes, and the host coder only writes headers and
+0xFF-stuffs. Fixed aggregate capacities (PACKED_ENT_WORDS /
+PACKED_OUT_WORDS per block) keep the intermediate arrays statically
+shaped; denser content overflows loudly via totals and encode_jpeg
+degrades to the prepacked wire, which has per-block capacity only.
 
 Everything upstream (color convert, 4:2:0, fDCT, quantization, zigzag,
 DC deltas) is shared with the nibble wire via jpegenc._block_stages, so
@@ -84,6 +108,24 @@ AC_CHR_VALS = (
 # (ZRL replaces 16 zero-lanes with 11 bits — always shorter), bounding a
 # block at dc(<=11+11) + 63 ac(<=16+10) = 1660 bits -> 52 words.
 BLOCK_WORDS = 52
+# The PACKED wire rotates each block's string to its global bit phase
+# (offset mod 32) before word assembly, so a block can straddle one more
+# word than its unrotated worst case.
+BLOCK_WORDS_ROT = 53
+# Packed-wire capacities, in u32 words per block. The entry stream (one
+# entry per word a rotated block touches) and the final packed scan are
+# fixed-size device arrays; real content sits far below both (the c5
+# noise corpus averages ~174 bits/block = ~6.9 entries and ~5.4 scan
+# words), and overflow is detected host-side via totals and degrades
+# loudly to the prepacked wire. 18 entries/block covers ~540 avg
+# bits/block; 12 scan words/block covers ~384 avg bits/block.
+PACKED_ENT_WORDS = 18
+PACKED_OUT_WORDS = 12
+# Pre-split band size for the packed scan stream: finer than the 4 MB
+# default because the stream is ~the finished JPEG scan (a 24MP image is
+# ~3-17 MB) and the fetch rounds up to a whole band — 2 MB halves the
+# average over-fetch while the parallel streams still amortize RTT.
+_PACKED_BAND_BYTES = 2 << 20
 
 
 def build_canonical(bits, vals):
@@ -117,6 +159,58 @@ def _bit_size_np(v: int) -> int:
     return int(abs(int(v))).bit_length()
 
 
+def _block_bits_np(zz, chroma: bool) -> tuple[int, int]:
+    """One block's complete baseline bit string as (big int, nbits) —
+    the shared serial emission both numpy oracles chop differently."""
+    tables = _tables()
+    dc_code, dc_len = tables[1] if chroma else tables[0]
+    ac_code, ac_len = tables[3] if chroma else tables[2]
+    acc = 0
+    nbits = 0
+
+    def put(v, nb):
+        nonlocal acc, nbits
+        acc = (acc << nb) | (int(v) & ((1 << nb) - 1))
+        nbits += nb
+
+    d = int(zz[0])
+    s = _bit_size_np(d)
+    if s > 11 or not dc_len[s]:
+        raise ValueError(
+            f"DC delta {d} outside the baseline Huffman domain")
+    put((int(dc_code[s]) << s) | ((d if d >= 0 else d - 1)
+                                  & ((1 << s) - 1)), int(dc_len[s]) + s)
+    run = 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            put(ac_code[0xF0], int(ac_len[0xF0]))
+            run -= 16
+        s = _bit_size_np(v)
+        sym = (run << 4) | s
+        if s > 10 or not ac_len[sym]:
+            raise ValueError(
+                f"AC value {v} outside the baseline Huffman domain")
+        put((int(ac_code[sym]) << s) | ((v if v >= 0 else v - 1)
+                                        & ((1 << s) - 1)),
+            int(ac_len[sym]) + s)
+        run = 0
+    if run > 0:
+        put(ac_code[0x00], int(ac_len[0x00]))
+    return acc, nbits
+
+
+def _chop_words_np(acc: int, nbits: int) -> list[int]:
+    """MSB-first u32 words of a bit string, zero-padded last word."""
+    nwords = (nbits + 31) // 32
+    acc <<= nwords * 32 - nbits
+    return [(acc >> (32 * (nwords - 1 - wi))) & 0xFFFFFFFF
+            for wi in range(nwords)]
+
+
 def prepacked_np(blocks: np.ndarray, true_mask: np.ndarray | None = None):
     """Serial numpy/python oracle for the device prepack.
 
@@ -125,57 +219,32 @@ def prepacked_np(blocks: np.ndarray, true_mask: np.ndarray | None = None):
     Returns (bit_lens u16 [N], words u32 [total_words])."""
     blocks = np.asarray(blocks)
     n = blocks.shape[0]
-    tables = _tables()
     lens = np.zeros(n, np.uint16)
     words: list[int] = []
     for b in range(n):
         if true_mask is not None and not true_mask[b]:
             continue
-        chroma = (b % 6) >= 4
-        dc_code, dc_len = tables[1] if chroma else tables[0]
-        ac_code, ac_len = tables[3] if chroma else tables[2]
-        acc = 0
-        nbits = 0
-
-        def put(v, nb):
-            nonlocal acc, nbits
-            acc = (acc << nb) | (int(v) & ((1 << nb) - 1))
-            nbits += nb
-
-        zz = blocks[b]
-        d = int(zz[0])
-        s = _bit_size_np(d)
-        if s > 11 or not dc_len[s]:
-            raise ValueError(
-                f"DC delta {d} outside the baseline Huffman domain")
-        put((int(dc_code[s]) << s) | ((d if d >= 0 else d - 1)
-                                      & ((1 << s) - 1)), int(dc_len[s]) + s)
-        run = 0
-        for i in range(1, 64):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                put(ac_code[0xF0], int(ac_len[0xF0]))
-                run -= 16
-            s = _bit_size_np(v)
-            sym = (run << 4) | s
-            if s > 10 or not ac_len[sym]:
-                raise ValueError(
-                    f"AC value {v} outside the baseline Huffman domain")
-            put((int(ac_code[sym]) << s) | ((v if v >= 0 else v - 1)
-                                            & ((1 << s) - 1)),
-                int(ac_len[sym]) + s)
-            run = 0
-        if run > 0:
-            put(ac_code[0x00], int(ac_len[0x00]))
+        acc, nbits = _block_bits_np(blocks[b], (b % 6) >= 4)
         lens[b] = nbits
-        nwords = (nbits + 31) // 32
-        acc <<= nwords * 32 - nbits  # zero-pad the final word
-        for wi in range(nwords):
-            words.append((acc >> (32 * (nwords - 1 - wi))) & 0xFFFFFFFF)
+        words.extend(_chop_words_np(acc, nbits))
     return lens, np.asarray(words, dtype=np.uint32)
+
+
+def packed_np(blocks: np.ndarray, true_mask: np.ndarray | None = None):
+    """Serial oracle for the PACKED wire: the whole scan as one
+    contiguous bit stream (no per-block word alignment).
+
+    Returns (words u32 [ceil(total_bits/32)], total_bits)."""
+    blocks = np.asarray(blocks)
+    acc = 0
+    nbits = 0
+    for b in range(blocks.shape[0]):
+        if true_mask is not None and not true_mask[b]:
+            continue
+        a, nb = _block_bits_np(blocks[b], (b % 6) >= 4)
+        acc = (acc << nb) | a
+        nbits += nb
+    return np.asarray(_chop_words_np(acc, nbits), dtype=np.uint32), nbits
 
 
 def _word_band_layout(nblocks: int):
@@ -183,6 +252,15 @@ def _word_band_layout(nblocks: int):
     from ..utils.transfer import banded_bounds
 
     return banded_bounds(nblocks * BLOCK_WORDS, 4)
+
+
+def _packed_band_layout(nblocks: int, cap_out: int | None = None):
+    """Pre-split band boundaries for the packed scan stream."""
+    from ..utils.transfer import banded_bounds
+
+    return banded_bounds(nblocks * (PACKED_OUT_WORDS if cap_out is None
+                                    else cap_out), 4,
+                         band_bytes=_PACKED_BAND_BYTES)
 
 
 @functools.cache
@@ -280,9 +358,11 @@ def _prepacked_jit():
     def chroma_select(is_chr, lum_val, chr_val):
         return jnp.where(is_chr, chr_val, lum_val)
 
-    def prepack(blocks, true_mask):
+    def _lanes(blocks, true_mask):
         """[N, 64] i32 zigzag blocks (DC = masked delta) + bool [N] ->
-        (bit_lens u16 [N], words u32 [N, 52], nwords i32 [N])."""
+        per-lane (hi, lo, len) 64-bit code strings for DC + 63 AC + EOB,
+        lane lengths zeroed on padding blocks, plus the out-of-domain
+        lane count over TRUE blocks."""
         nblk = blocks.shape[0]
         is_chr = ((jnp.arange(nblk, dtype=i32) % 6) >= 4)
         nz = blocks != 0
@@ -364,9 +444,6 @@ def _prepacked_jit():
         lane_len = jnp.concatenate(
             [dc_len[:, None], ac_len, eob_len[:, None]], axis=1)
         lane_len = lane_len * true_mask[:, None].astype(i32)
-        lane_off = jnp.cumsum(lane_len, axis=1) - lane_len
-        bits = lane_off[:, -1] + lane_len[:, -1]
-        nwords = (bits + 31) >> 5
 
         # Out-of-domain detector: a defined Huffman entry always packs
         # to (code << 5) | len with len >= 1, so packed == 0 on a coded
@@ -379,9 +456,15 @@ def _prepacked_jit():
             (dc_packed == u32(0)).astype(i32)
             + (nz_ac & (ac_packed == u32(0))).astype(i32).sum(axis=1),
             0).sum(dtype=i32)
+        return lane_hi, lane_lo, lane_len, bad
 
-        # --- word assembly: 65-step accumulation over lanes -----------
-        wpos = (jnp.arange(BLOCK_WORDS, dtype=i32) * 32)[None, :]
+    def _assemble(lane_hi, lane_lo, lane_len, lane_off, n_words):
+        """65-step word accumulation over lanes: each step one fused
+        elementwise pass over the [N, n_words] word grid. Lane offsets
+        are arbitrary (the packed wire adds each block's global bit
+        phase), words beyond a block's own bits stay zero."""
+        nblk = lane_hi.shape[0]
+        wpos = (jnp.arange(n_words, dtype=i32) * 32)[None, :]
 
         def body(t, out):
             hi = jax.lax.dynamic_slice_in_dim(lane_hi, t, 1, axis=1)
@@ -396,9 +479,88 @@ def _prepacked_jit():
             return out | jnp.where(valid,
                                    jnp.where(r >= 0, pos, neg), u32(0))
 
-        out = jax.lax.fori_loop(
-            0, 65, body, jnp.zeros((nblk, BLOCK_WORDS), u32))
+        return jax.lax.fori_loop(
+            0, 65, body, jnp.zeros((nblk, n_words), u32))
+
+    def prepack(blocks, true_mask):
+        """[N, 64] i32 zigzag blocks (DC = masked delta) + bool [N] ->
+        (bit_lens u16 [N], words u32 [N, 52], nwords i32 [N], bad)."""
+        lane_hi, lane_lo, lane_len, bad = _lanes(blocks, true_mask)
+        lane_off = jnp.cumsum(lane_len, axis=1) - lane_len
+        bits = lane_off[:, -1] + lane_len[:, -1]
+        nwords = (bits + 31) >> 5
+        out = _assemble(lane_hi, lane_lo, lane_len, lane_off, BLOCK_WORDS)
         return bits.astype(jnp.uint16), out, nwords, bad
+
+    def packed(blocks, true_mask, cap_ent, cap_out):
+        """The PACKED wire: one contiguous scan bit stream on device.
+
+        Each block's bit string is assembled PRE-ROTATED to its global
+        bit phase (offset mod 32 — free in the lane pass: the phase
+        just adds to every lane offset, widening the grid to 53 words).
+        A rotated block then contributes one u32 "entry" per global
+        word it touches; adjacent blocks share at most their boundary
+        word, and since compaction is a STABLE sort the entries arrive
+        ordered by global word with equal-word runs CONSECUTIVE. Runs
+        are OR-merged by 4 bounded prefix-doubling passes (a run is at
+        most 2 boundary entries + floor(32/4) whole blocks inside one
+        word = 10 entries: the shortest block is DC0+EOB = 4 bits on
+        chroma), the first entry of each run keeps the merged word, and
+        a second 1-bit-sort compaction yields the finished scan —
+        exactly ceil(total_bits/32) words, which the host only has to
+        0xFF-stuff (native rpf_jpeg_encode_packed).
+
+        Returns (flat u32 [N*cap_out] zero-tailed, totals i32 [5] =
+        (total_words, total_bits, n_out_of_domain, n_entries, n_kept)).
+        Capacity overflow (n_entries > N*cap_ent or total_words >
+        N*cap_out) silently truncates ON DEVICE — the HOST must check
+        totals and degrade to the prepacked wire."""
+        nblk = blocks.shape[0]
+        lane_hi, lane_lo, lane_len, bad = _lanes(blocks, true_mask)
+        lane_off0 = jnp.cumsum(lane_len, axis=1) - lane_len
+        bits = lane_off0[:, -1] + lane_len[:, -1]  # 0 on padding blocks
+        goff = jnp.cumsum(bits) - bits  # exclusive global bit offset
+        r = goff & 31
+        grid = _assemble(lane_hi, lane_lo, lane_len,
+                         lane_off0 + r[:, None], BLOCK_WORDS_ROT)
+        nrot = jnp.where(bits > 0, (bits + r + 31) >> 5, 0)
+        j = jnp.arange(BLOCK_WORDS_ROT, dtype=i32)[None, :]
+        dropm = j >= nrot[:, None]
+        # flag: this entry STARTS a new global word (j > 0 always does;
+        # a block's first word is shared with its predecessor's last
+        # exactly when the block starts mid-word, r > 0).
+        flag = (j > 0) | (r[:, None] == 0)
+        n_ent = nrot.sum(dtype=i32)
+        _, val_c, flag_c = jax.lax.sort(
+            (dropm.reshape(-1).astype(jnp.int8), grid.reshape(-1),
+             flag.reshape(-1).astype(jnp.int8)),
+            dimension=0, is_stable=True, num_keys=1)
+        cap_e = nblk * cap_ent
+        v = val_c[:cap_e]
+        f = flag_c[:cap_e] != 0
+
+        def nxt(a, d, fill):
+            return jnp.concatenate(
+                [a[d:], jnp.full((d,), fill, a.dtype)])
+
+        # Segmented OR toward the run head. Entries past n_ent carry
+        # garbage flags but ZERO values (the assembly grid is zero
+        # beyond each block's words), so absorbing them is harmless.
+        w = v
+        c = ~nxt(f, 1, True)  # next entry continues this word's run
+        for d in (1, 2, 4, 8):
+            w = w | jnp.where(c, nxt(w, d, u32(0)), u32(0))
+            c = c & nxt(c, d, False)
+        idx = jnp.arange(cap_e, dtype=i32)
+        keep = f & (idx < n_ent)
+        kept = keep.sum(dtype=i32)
+        flat = st.compact(w, ~keep, u32)[: nblk * cap_out]
+        total_bits = bits.sum(dtype=i32)
+        total_words = (total_bits + 31) >> 5
+        jpos = jnp.arange(nblk * cap_out, dtype=i32)
+        flat = jnp.where(jpos < total_words, flat, u32(0))
+        totals = jnp.stack([total_words, total_bits, bad, n_ent, kept])
+        return flat, totals
 
     def _flat(bit_lens, words, nwords, bad):
         """Compact the per-block word grids to the dense wire stream:
@@ -483,10 +645,46 @@ def _prepacked_jit():
     def prepack_blocks(blocks, true_mask):
         return prepack(blocks, true_mask)
 
+    def _finish_packed(flat, totals, cap_out):
+        bounds = _packed_band_layout(flat.shape[0] // cap_out, cap_out)
+        return tuple(flat[a:b] for a, b in zip(bounds, bounds[1:])), totals
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def full_packed(planes, qlum, qchr, cap_ent, cap_out):
+        blocks = st.dc_delta(st.blockify(planes, qlum, qchr))
+        mask = jnp.ones((blocks.shape[0],), bool)
+        return _finish_packed(*packed(blocks, mask, cap_ent, cap_out),
+                              cap_out)
+
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def full_packed_extent(planes, qlum, qchr, th, tw, cap_ent, cap_out):
+        blocks = st.blockify(planes, qlum, qchr, (th, tw))
+        grid_c = planes.shape[-1] // 16
+        mask = _true_mask(blocks.shape[0], grid_c,
+                          -(-th // 16), -(-tw // 16))
+        blocks = _dc_delta_masked(blocks, mask)
+        return _finish_packed(*packed(blocks, mask, cap_ent, cap_out),
+                              cap_out)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def packed_blocks(blocks, true_mask, cap_ent, cap_out):
+        return packed(blocks, true_mask, cap_ent, cap_out)
+
+    def wire_packed(planes, qlum, qchr, cap_ent, cap_out):
+        """Un-jitted single-image packed wire (flat words + totals) —
+        for composition under vmap/sharding."""
+        blocks = st.dc_delta(st.blockify(planes, qlum, qchr))
+        mask = jnp.ones((blocks.shape[0],), bool)
+        return packed(blocks, mask, cap_ent, cap_out)
+
     import types
 
     return types.SimpleNamespace(full=full, full_extent=full_extent,
                                  prepack=prepack_blocks, wire=wire,
+                                 full_packed=full_packed,
+                                 full_packed_extent=full_packed_extent,
+                                 packed=packed_blocks,
+                                 wire_packed=wire_packed,
                                  dc_delta_masked=jax.jit(_dc_delta_masked))
 
 
@@ -549,3 +747,76 @@ def encode_prepacked_device(planes, quality: int, stage=None,
     stage("encode")
     return native.jpeg_encode_prepacked(
         host_lens, host_words, h, w, quality=quality, grid=grid)
+
+
+def encode_packed_device(planes, quality: int, stage=None,
+                         true_shape=None) -> bytes:
+    """PACKED wire: the device emits the finished contiguous scan.
+
+    The link carries exactly ceil(total_bits/32) u32 words — no per-
+    block length array, no per-block word alignment — and the native
+    coder (rpf_jpeg_encode_packed) only writes headers and 0xFF-stuffs.
+    Same bucket rules as the other device wires (``true_shape`` marks a
+    bucket-padded render). Raises on capacity overflow (dense content
+    beyond PACKED_*_WORDS per block) or out-of-domain coefficients —
+    encode_jpeg degrades to the prepacked wire, which has no aggregate
+    capacity limits."""
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..utils.transfer import fetch_banded
+    from .jpegenc import _quant_tables
+
+    stage = stage or (lambda _name: None)
+    _, ph, pw = planes.shape
+    h, w = (ph, pw) if true_shape is None else (
+        int(true_shape[0]), int(true_shape[1]))
+    if true_shape is not None:
+        if ph % 16 or pw % 16:
+            raise ValueError(
+                f"padded planes must be MCU-aligned (multiples of 16), "
+                f"got {ph}x{pw}")
+        if h > ph or w > pw:
+            raise ValueError(
+                f"true_shape {h}x{w} exceeds planes {ph}x{pw}")
+    padded = (h, w) != (ph, pw)
+    stages = _prepacked_jit()
+    qlum, qchr = _quant_tables(quality)
+    cap_ent, cap_out = PACKED_ENT_WORDS, PACKED_OUT_WORDS
+    if padded:
+        word_bands, totals = stages.full_packed_extent(
+            planes, jnp.asarray(qlum), jnp.asarray(qchr), h, w,
+            cap_ent, cap_out)
+    else:
+        word_bands, totals = stages.full_packed(
+            planes, jnp.asarray(qlum), jnp.asarray(qchr),
+            cap_ent, cap_out)
+    stage("fetch")
+    nblocks = -(-ph // 16) * (-(-pw // 16)) * 6
+    bounds = _packed_band_layout(nblocks, cap_out)
+    tv = np.asarray(totals)
+    total_words, total_bits, bad, n_ent, kept = (int(x) for x in tv)
+    if bad:
+        raise ValueError(
+            f"{bad} coefficients outside the baseline Huffman domain "
+            "(AC size > 10 or DC delta size > 11)")
+    if n_ent > nblocks * cap_ent:
+        raise ValueError(
+            f"packed entry stream overflow ({n_ent} > "
+            f"{nblocks * cap_ent}): content too dense for the packed "
+            "wire capacities")
+    if total_words > nblocks * cap_out:
+        raise ValueError(
+            f"packed scan overflow ({total_words} words > "
+            f"{nblocks * cap_out})")
+    if kept != total_words or total_bits < 0:
+        # A device-side invariant break (kept-run count must equal the
+        # word count of a contiguous stream) would otherwise ship a
+        # silently corrupt file.
+        raise ValueError(
+            f"packed stream inconsistent (kept={kept}, "
+            f"total_words={total_words}, total_bits={total_bits})")
+    host_words = fetch_banded(word_bands, bounds, total_words)
+    stage("encode")
+    return native.jpeg_encode_packed(
+        host_words, total_bits, h, w, quality=quality)

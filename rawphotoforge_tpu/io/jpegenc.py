@@ -702,15 +702,20 @@ def encode_jpeg(planes, quality: int = 92, exif_bytes: bytes | None = None,
                  (0, (-pw) % _EXPORT_BUCKET)), mode="edge")
             true_shape = (ph, pw)
         if sparse or sparse is None:
-            # Wire order: prepacked first (the TPU emits final Huffman
-            # bits; measured 1.6-1.7x faster per 24MP image than the
-            # nibble wire on both dense-noisy and natural-smooth content
-            # — tools/wire_ab.py), nibble as the tested fallback. Both
-            # produce byte-identical files, so degrading is invisible in
-            # the output, which is why the first fallback is logged.
+            # Wire order: packed first (the TPU emits the FINISHED
+            # contiguous scan — the link carries exactly the entropy-
+            # coded bytes, no per-block lengths or word alignment),
+            # prepacked second (per-block bit strings; no aggregate
+            # capacity limit, so it absorbs packed-capacity overflows
+            # on pathologically dense content), nibble last. All three
+            # produce byte-identical files, so degrading is invisible
+            # in the output, which is why the first fallback per wire
+            # is logged.
             from . import jpegbits
 
-            for enc, label in ((jpegbits.encode_prepacked_device,
+            for enc, label in ((jpegbits.encode_packed_device,
+                                "packed"),
+                               (jpegbits.encode_prepacked_device,
                                 "prepacked"),
                                (_encode_sparse_device, "nibble")):
                 try:

@@ -97,6 +97,10 @@ def _bind(lib) -> None:
         u16p, c64, u32p, c64, c, c, c, u8p, c64,
         ctypes.POINTER(ctypes.c_int64)]
     lib.rpf_jpeg_encode_prepacked.restype = c
+    lib.rpf_jpeg_encode_packed.argtypes = [
+        u32p, c64, c64, c, c, c, u8p, c64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.rpf_jpeg_encode_packed.restype = c
     lib.rpf_jpeg_encode_ycc420.argtypes = [
         u8p, u8p, u8p, c, c, c, u8p, c64, ctypes.POINTER(ctypes.c_int64),
     ]
@@ -373,6 +377,37 @@ def jpeg_encode_prepacked(bit_lens, words, h: int, w: int,
         out, cap, _ct.byref(out_len))
     if rc != 0:
         raise ValueError(f"rpf_jpeg_encode_prepacked failed (rc={rc})")
+    return out[: out_len.value].tobytes()
+
+
+def jpeg_encode_packed(words, total_bits: int, h: int, w: int,
+                       quality: int = 92) -> bytes:
+    """Assemble a JFIF stream from the device-packed contiguous scan
+    (io/jpegbits.encode_packed_device: ``words`` u32 MSB-first holds the
+    ENTIRE entropy-coded scan, ``total_bits`` its exact bit length; the
+    native side writes headers, 0xFF-stuffs, pads the last byte with 1s
+    and appends EOI)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    total_bits = int(total_bits)
+    if words.ndim != 1 or total_bits < 0 or \
+            words.size != (total_bits + 31) // 32:
+        raise ValueError(
+            f"packed scan mismatch: {words.size} words for "
+            f"{total_bits} bits")
+    out_len = _ct.c_int64(0)
+    # Headers (<1 KiB) + scan with worst-case 0xFF stuffing (2x) + EOI.
+    cap = total_bits // 8 * 2 + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.rpf_jpeg_encode_packed(
+        words, words.size, total_bits, int(h), int(w), int(quality),
+        out, cap, _ct.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"rpf_jpeg_encode_packed failed (rc={rc})")
     return out[: out_len.value].tobytes()
 
 

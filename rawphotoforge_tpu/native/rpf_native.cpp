@@ -1060,6 +1060,55 @@ int rpf_jpeg_encode_prepacked(const uint16_t* lens, int64_t nblocks,
   return RPF_OK;
 }
 
+// Assemble a JFIF stream from the device-PACKED scan (io/jpegbits.py
+// `packed`): the device already concatenated every block's Huffman bit
+// string into ONE contiguous MSB-first stream (each block pre-rotated
+// to its global bit phase, boundary words OR-merged), so the words ARE
+// the finished scan. The host's whole job is headers, draining the
+// words through the stuffing BitWriter (0x00 after 0xFF), padding the
+// final partial byte with 1 bits, and EOI — byte-identical to the
+// prepacked/sparse coders for the same pixels by construction.
+int rpf_jpeg_encode_packed(const uint32_t* words, int64_t nwords,
+                           int64_t total_bits, int h, int w, int quality,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* out_len) {
+  using namespace jpg;
+  if ((!words && nwords > 0) || !out || !out_len || h <= 0 || w <= 0 ||
+      h > 65535 || w > 65535 || total_bits < 0 ||
+      nwords != (total_bits + 31) / 32)
+    return RPF_ERR_ARGS;
+
+  uint16_t qlum[64], qchr[64];
+  scale_qtbl(kQLum, quality, qlum);
+  scale_qtbl(kQChr, quality, qchr);
+  BitWriter bw{out, out_cap, 0, 0, 0, false};
+  write_headers(&bw, h, w, qlum, qchr);
+
+  const int64_t full = total_bits / 32;
+  for (int64_t j = 0; j < full && !bw.overflow; ++j) {
+    // BitWriter::put masks with (1u << nbits) - 1, UB at 32 — feed
+    // whole words as two 16-bit halves.
+    const uint32_t v = words[j];
+    bw.put(v >> 16, 16);
+    bw.put(v & 0xFFFFu, 16);
+  }
+  const int rem = static_cast<int>(total_bits - 32 * full);
+  if (rem > 0) {
+    const uint32_t last = words[full] >> (32 - rem);
+    if (rem > 16) {
+      bw.put(last >> 16, rem - 16);
+      bw.put(last & 0xFFFFu, 16);
+    } else {
+      bw.put(last, rem);
+    }
+  }
+  bw.flush();
+  put_marker(&bw, 0xD9);  // EOI
+  if (bw.overflow) return 3;
+  *out_len = bw.pos;
+  return RPF_OK;
+}
+
 // ---------------------------------------------------------------------------
 // Fused host-side develop: the whole post-geometry pixel chain (vignette ->
 // per-mask WB/tone/brightness-LUT -> per-mask OKLCH hue/sat/light LUTs ->

@@ -180,31 +180,34 @@ def test_stream_decodes_via_pillow():
     assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 30.0
 
 
-def test_encode_jpeg_routes_through_prepacked_wire(monkeypatch):
-    """encode_jpeg's device sparse path uses the prepacked wire first
-    and falls back to the nibble wire when it fails — byte-identically."""
+def test_encode_jpeg_routes_through_packed_wire(monkeypatch):
+    """encode_jpeg's device sparse path uses the packed wire first and
+    degrades packed -> prepacked -> nibble — byte-identically."""
     rng = np.random.default_rng(14)
     planes = jnp.asarray(rng.random((3, 64, 80), np.float32))
     calls = []
-    real = jpegbits.encode_prepacked_device
+    real = jpegbits.encode_packed_device
 
     def spy(*a, **k):
-        calls.append("prepacked")
+        calls.append("packed")
         return real(*a, **k)
 
-    monkeypatch.setattr(jpegbits, "encode_prepacked_device", spy)
+    monkeypatch.setattr(jpegbits, "encode_packed_device", spy)
     via_auto = jpegenc.encode_jpeg(planes, quality=90)
-    assert calls == ["prepacked"]
+    assert calls == ["packed"]
     assert via_auto.startswith(b"\xff\xd8")
 
     def boom(*a, **k):
-        raise RuntimeError("no prepack")
+        raise RuntimeError("no pack")
 
-    monkeypatch.setattr(jpegbits, "encode_prepacked_device", boom)
+    monkeypatch.setattr(jpegbits, "encode_packed_device", boom)
     monkeypatch.setattr(jpegenc, "_sparse_fallback_warned",
-                        {"prepacked", "nibble"})
+                        {"packed", "prepacked", "nibble"})
     assert jpegenc.encode_jpeg(planes, quality=90) == via_auto
-    # Explicit sparse=True survives a prepack failure via the nibble wire.
+    # Both device fallbacks gone: the nibble wire still matches.
+    monkeypatch.setattr(jpegbits, "encode_prepacked_device", boom)
+    assert jpegenc.encode_jpeg(planes, quality=90) == via_auto
+    # Explicit sparse=True survives via the nibble wire.
     assert jpegenc.encode_jpeg(planes, quality=90, sparse=True) == via_auto
 
 
@@ -250,3 +253,154 @@ def test_native_rejects_malformed_wire():
     bad[0] = 2000
     with pytest.raises(ValueError):
         native.jpeg_encode_prepacked(bad, words, 16, 16, quality=90)
+
+
+# ---------------------------------------------------------------------------
+# PACKED wire: the device emits the finished contiguous scan bit stream.
+# ---------------------------------------------------------------------------
+
+
+def _packed_dev(blocks, mask, cap_ent=None, cap_out=None):
+    st = jpegbits._prepacked_jit()
+    cap_ent = cap_ent if cap_ent is not None else jpegbits.BLOCK_WORDS_ROT
+    cap_out = cap_out if cap_out is not None else jpegbits.BLOCK_WORDS_ROT
+    flat, totals = st.packed(jnp.asarray(blocks), jnp.asarray(mask),
+                             cap_ent, cap_out)
+    return np.asarray(flat), [int(x) for x in np.asarray(totals)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_packed_matches_np_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 6 * 8
+    blocks = _rand_blocks(rng, n)
+    mask = np.ones(n, bool)
+    flat, (tw, tb, bad, nent, kept) = _packed_dev(blocks, mask)
+    words_o, bits_o = jpegbits.packed_np(blocks, mask)
+    assert (tb, bad) == (bits_o, 0)
+    assert tw == (bits_o + 31) // 32 == kept
+    np.testing.assert_array_equal(flat[:tw], words_o)
+    assert not flat[tw:].any()  # deterministic zero tail
+
+
+def test_packed_minimal_blocks_share_words():
+    """All-minimal blocks (DC delta 0, no AC) pack an MCU into exactly
+    32 bits — six entries OR-merge into each output word, the longest
+    run the production structure produces. A leading nonzero DC delta
+    then knocks every subsequent block off word phase, exercising the
+    rotation + boundary-merge path for all 6 in-MCU phases."""
+    for lead_dc in (0, 3, -100, 2047):
+        blocks = np.zeros((6 * 9, 64), np.int32)
+        blocks[0, 0] = lead_dc
+        mask = np.ones(blocks.shape[0], bool)
+        flat, (tw, tb, bad, nent, kept) = _packed_dev(blocks, mask)
+        words_o, bits_o = jpegbits.packed_np(blocks, mask)
+        assert (tb, kept, bad) == (bits_o, tw, 0)
+        np.testing.assert_array_equal(flat[:tw], words_o)
+
+
+def test_packed_edge_blocks():
+    """Dense max-magnitude, ZRL chains, no-EOB and negative-DC block
+    families — the same corpus the prepack edge test uses — through the
+    global bit-pack."""
+    blocks = np.zeros((6 * 4, 64), np.int32)
+    blocks[6:12, 1:] = 1023
+    blocks[6:12, 0] = 2047
+    blocks[7, 1:] = -1023
+    blocks[12, 17] = 3
+    blocks[13, 34] = -5
+    blocks[14, 48] = 7
+    blocks[15, 63] = 1
+    blocks[18:24, 0] = -2047
+    mask = np.ones(blocks.shape[0], bool)
+    flat, (tw, tb, bad, nent, kept) = _packed_dev(blocks, mask)
+    words_o, bits_o = jpegbits.packed_np(blocks, mask)
+    assert (tb, kept, bad) == (bits_o, tw, 0)
+    np.testing.assert_array_equal(flat[:tw], words_o)
+
+
+def test_packed_mask_skips_padding_blocks():
+    """Bucket-padding blocks contribute no bits; the packed stream over
+    a padded grid equals the oracle over the true blocks alone."""
+    rng = np.random.default_rng(21)
+    blocks = _rand_blocks(rng, 6 * 6)
+    mask = np.ones(blocks.shape[0], bool)
+    mask[6 * 4:] = False  # last two MCUs are padding
+    flat, (tw, tb, bad, nent, kept) = _packed_dev(blocks, mask)
+    words_o, bits_o = jpegbits.packed_np(blocks, mask)
+    assert (tb, kept) == (bits_o, tw)
+    np.testing.assert_array_equal(flat[:tw], words_o)
+
+
+@pytest.mark.parametrize("h,w", [(64, 80), (48, 56), (33, 47)])
+def test_packed_wire_bytes_identical(h, w):
+    rng = np.random.default_rng(30)
+    planes = jnp.asarray(rng.random((3, h, w), np.float32))
+    a = jpegenc._encode_sparse_device(planes, 90)
+    b = jpegbits.encode_prepacked_device(planes, 90)
+    c = jpegbits.encode_packed_device(planes, 90)
+    assert a == b == c
+
+
+@pytest.mark.parametrize("h,w,ph,pw", [(100, 72, 128, 128),
+                                       (144, 272, 256, 384)])
+def test_packed_padded_wire_bytes_identical(h, w, ph, pw):
+    rng = np.random.default_rng(31)
+    full = jnp.asarray(rng.random((3, ph, pw), np.float32))
+    a = jpegbits.encode_prepacked_device(full, 90, true_shape=(h, w))
+    c = jpegbits.encode_packed_device(full, 90, true_shape=(h, w))
+    assert a == c
+
+
+def test_packed_capacity_overflow_degrades(monkeypatch):
+    """Content denser than the packed capacities raises in
+    encode_packed_device (totals-driven, detected BEFORE any stream
+    fetch) and encode_jpeg degrades to the prepacked wire with
+    byte-identical output."""
+    rng = np.random.default_rng(32)
+    planes = jnp.asarray(rng.random((3, 64, 80), np.float32))
+    ref = jpegbits.encode_prepacked_device(planes, 90)
+    monkeypatch.setattr(jpegbits, "PACKED_ENT_WORDS", 2)
+    monkeypatch.setattr(jpegbits, "PACKED_OUT_WORDS", 2)
+    with pytest.raises(ValueError, match="overflow"):
+        jpegbits.encode_packed_device(planes, 90)
+    monkeypatch.setattr(jpegenc, "_sparse_fallback_warned",
+                        {"packed", "prepacked", "nibble"})
+    assert jpegenc.encode_jpeg(planes, quality=90) == ref
+
+
+def test_native_packed_roundtrip_and_validation():
+    rng = np.random.default_rng(33)
+    blocks = _rand_blocks(rng, 6)
+    words, bits = jpegbits.packed_np(blocks, np.ones(6, bool))
+    out = native.jpeg_encode_packed(words, bits, 16, 16, quality=90)
+    ref_lens, ref_words = jpegbits.prepacked_np(blocks, np.ones(6, bool))
+    ref = native.jpeg_encode_prepacked(ref_lens, ref_words, 16, 16,
+                                       quality=90)
+    assert out == ref
+    # Word-count / bit-count mismatch must be rejected, not walked.
+    with pytest.raises(ValueError):
+        native.jpeg_encode_packed(words[:-1], bits, 16, 16, quality=90)
+    with pytest.raises(ValueError):
+        native.jpeg_encode_packed(words, bits + 64, 16, 16, quality=90)
+    with pytest.raises(ValueError):
+        native.jpeg_encode_packed(words, -1, 16, 16, quality=90)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_native_packed_survives_random_wires(seed):
+    """Arbitrary (words, total_bits) buffers either raise ValueError or
+    produce a SOI..EOI-framed byte string — never crash."""
+    rng = np.random.default_rng(200 + seed)
+    for _ in range(200):
+        nbits = int(rng.integers(0, 2000))
+        nwords = (nbits + 31) // 32 if rng.random() < 0.8 else int(
+            rng.integers(0, 70))
+        words = rng.integers(0, 2**32, nwords, dtype=np.uint64).astype(
+            np.uint32)
+        try:
+            out = native.jpeg_encode_packed(words, nbits, 16, 16,
+                                            quality=90)
+        except ValueError:
+            continue
+        assert out[:2] == b"\xff\xd8" and out[-2:] == b"\xff\xd9"

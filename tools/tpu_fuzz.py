@@ -342,6 +342,52 @@ for seed in range(max(2, args.raw_seeds // 2)):
 print("TPU PREPACKED-WIRE RESULT:",
       "PASS" if pp_fails == 0 else f"{pp_fails} FAILURES")
 
+# --- part 8: the PACKED wire, on hardware. The device-emitted contiguous
+# scan (per-block global-phase rotation in the lane pass, run-merge via
+# bounded prefix-doubling OR, two stable-sort compactions) must equal
+# the serial numpy oracle word for word, and the finished file must be
+# byte-identical to the nibble wire's — full grid and bucket-padded.
+pk_fails = 0
+pk_seeds = []
+pk_caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+pk_bounds = jpegbits._packed_band_layout((sw_h // 16) * (sw_w // 16) * 6)
+for seed in range(max(2, args.raw_seeds // 2)):
+    r = np.random.default_rng(seed + 8000)
+    base = r.random((3, 1, 1)).astype(np.float32)
+    planes = np.clip(base + 0.15 * r.standard_normal(
+        (3, sw_h, sw_w)).astype(np.float32), 0.0, 1.0)
+    pd = jnp.asarray(planes)
+    blocks = np.asarray(sp_blockify(pd, ql_d, qc_d))
+    ref_words, ref_bits = jpegbits.packed_np(jpegenc._dc_delta_np(blocks))
+    word_bands, totals = st_pp.full_packed(pd, ql_d, qc_d, *pk_caps)
+    tv = np.asarray(totals)
+    n_words, n_bits, bad, n_ent, kept = (int(x) for x in tv)
+    hw = fetch_banded(word_bands, pk_bounds, n_words)
+    stream_ok = (bad == 0 and n_bits == ref_bits
+                 and n_words == ref_words.size == kept
+                 and np.array_equal(hw[:n_words], ref_words))
+    from_device = rpf_native.jpeg_encode_packed(
+        hw[:n_words], n_bits, sw_h, sw_w, quality=92)
+    from_nibble = jpegenc._encode_sparse_device(pd, 92)
+    th, tw = sw_h - 37, sw_w - 11
+    padded_pk = jpegbits.encode_packed_device(pd, 92, true_shape=(th, tw))
+    padded_nb = jpegenc._encode_sparse_device(pd, 92, true_shape=(th, tw))
+    ok = (stream_ok and from_device == from_nibble
+          and padded_pk == padded_nb)
+    if ok:
+        print(f"packed seed {seed}: ok (bits={n_bits}, words={n_words}, "
+              f"entries={n_ent})", flush=True)
+    else:
+        pk_fails += 1
+        print(f"packed seed {seed}: FAIL stream_ok={stream_ok} "
+              f"full_eq={from_device == from_nibble} "
+              f"padded_eq={padded_pk == padded_nb}", flush=True)
+    pk_seeds.append({"seed": seed, "ok": ok, "total_bits": n_bits,
+                     "n_words": n_words, "n_entries": n_ent})
+
+print("TPU PACKED-WIRE RESULT:",
+      "PASS" if pk_fails == 0 else f"{pk_fails} FAILURES")
+
 if args.out:
     try:
         head = subprocess.run(
@@ -392,9 +438,13 @@ if args.out:
             "seeds": len(pp_seeds), "fails": pp_fails,
             "per_seed": pp_seeds,
         },
+        "packed_wire": {
+            "seeds": len(pk_seeds), "fails": pk_fails,
+            "per_seed": pk_seeds,
+        },
         "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
               and io_fails == 0 and tc_fails == 0 and sw_fails == 0
-              and pp_fails == 0,
+              and pp_fails == 0 and pk_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:

@@ -1,11 +1,13 @@
-"""A/B the two sparse JPEG export wires on the real TPU at 24MP.
+"""A/B the three sparse JPEG export wires on the real TPU at 24MP.
 
-Compares the nibble wire (io/jpegenc._sparse_jit + rpf_jpeg_encode_sparse)
-against the prepacked entropy wire (io/jpegbits + rpf_jpeg_encode_prepacked)
-on c5-like noisy content and on smooth natural-gradient content: fetched
-bytes per image, per-image wall time (totals sync -> fetch -> host encode),
-and byte identity of the outputs. Run on a QUIET chip; results append to
-stdout as one JSON line per (content, wire).
+Compares the nibble wire (io/jpegenc._sparse_jit + rpf_jpeg_encode_sparse),
+the prepacked entropy wire (io/jpegbits + rpf_jpeg_encode_prepacked), and
+the PACKED wire (io/jpegbits.packed + rpf_jpeg_encode_packed: the device
+emits the finished contiguous scan) on c5-like noisy content and on
+smooth natural-gradient content: fetched bytes per image, per-image wall
+time (totals sync -> fetch -> host encode), and byte identity of the
+outputs. Run on a QUIET chip; results append to stdout as one JSON line
+per (content, wire).
 
 Usage: timeout 1800 python tools/wire_ab.py [n_reps]
 """
@@ -52,6 +54,8 @@ def main():
     nblocks = (bh // 16) * (bw // 16) * 6
     bmb, vb, eb = jpegenc._band_layout(nblocks)
     wbnd = jpegbits._word_band_layout(nblocks)
+    pbnd = jpegbits._packed_band_layout(nblocks)
+    caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
     st_n = jpegenc._sparse_jit()
     st_p = jpegbits._prepacked_jit()
     qlum, qchr = (jnp.asarray(t) for t in jpegenc._quant_tables(92))
@@ -64,12 +68,21 @@ def main():
         # force materialization before timing (tunnel: fetch one element)
         float(srgb[0, 0, 0])
 
-        out_n = out_p = None
-        for wire in ("nibble", "prepacked"):
+        out_n = out_p = out_k = None
+        for wire in ("nibble", "prepacked", "packed"):
             times, moved_l = [], []
             for r in range(reps + 1):  # rep 0 = compile warm, dropped
                 t0 = time.perf_counter()
-                if wire == "nibble":
+                if wire == "packed":
+                    word_bands, totals = st_p.full_packed(
+                        srgb, qlum, qchr, *caps)
+                    tv = np.asarray(totals)
+                    n_words, n_bits = int(tv[0]), int(tv[1])
+                    hw = fetch_banded(word_bands, pbnd, n_words)
+                    moved = 20 + 4 * banded_fetch_elems(n_words, pbnd)
+                    out_k = native.jpeg_encode_packed(
+                        hw, n_bits, bh, bw, quality=92)
+                elif wire == "nibble":
                     bm_b, val_b, esc_b, totals = st_n.full_banded(
                         srgb, qlum, qchr)
                     n, n_esc = (int(v) for v in np.asarray(totals))
@@ -99,9 +112,10 @@ def main():
             rec = {"content": name, "wire": wire,
                    "s_per_image": round(float(np.median(times)), 3),
                    "fetched_mb": round(moved_l[0] / 1e6, 2),
-                   "jpeg_mb": round(len(out_n or out_p) / 1e6, 2)}
+                   "jpeg_mb": round(len(out_n or out_p or out_k) / 1e6, 2)}
             print(json.dumps(rec), flush=True)
-        assert out_n == out_p, f"wire outputs differ on {name} content"
+        assert out_n == out_p == out_k, \
+            f"wire outputs differ on {name} content"
         print(f"# {name}: wires byte-identical "
               f"({len(out_n)} bytes)", flush=True)
 
