@@ -240,3 +240,47 @@ def export_batch_jpeg_step(
     export_batch_step's u8 output budgets a one-code delta)."""
     srgb = batch_develop_sharded(imgs, params, masks, mesh)
     return entropy_batch_sharded(srgb, mesh, qlum, qchr)
+
+
+def entropy_batch_packed_sharded(
+    srgb: jax.Array, mesh: Mesh, qlum: jax.Array, qchr: jax.Array,
+):
+    """PACKED wire over a batch-sharded render stack: each shard emits
+    its images' FINISHED contiguous entropy-coded scans. srgb
+    [B, 3, H, W] -> (words u32 [B, N*PACKED_OUT_WORDS] zero-tailed,
+    totals i32 [B, 5]), both sharded on 'batch', zero collectives (the
+    per-image wire is independent, exactly like entropy_batch_sharded).
+
+    Consumption protocol per image i (mirror encode_packed_device):
+    REQUIRE totals[i, 2] == 0 (out-of-domain coefficients),
+    totals[i, 3] <= N*PACKED_ENT_WORDS and totals[i, 4] == totals[i, 0]
+    <= N*PACKED_OUT_WORDS (aggregate-capacity overflow / invariant
+    break — degrade that image to the prepacked wire, which has
+    per-block capacity only), then feed words[i, :totals[i, 0]] and
+    totals[i, 1] bits to native.jpeg_encode_packed. The same integer
+    bit-exactness guarantee applies: identical developed pixels give
+    byte-identical files to the single-device packed wire."""
+    from ..io import jpegbits
+
+    srgb = jax.lax.with_sharding_constraint(
+        srgb, NamedSharding(mesh, P("batch", None, None, None)))
+    st = jpegbits._prepacked_jit()
+    caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+    words, totals = jax.vmap(
+        lambda p: st.wire_packed(p, qlum, qchr, *caps))(srgb)
+    out = NamedSharding(mesh, P("batch"))
+    return tuple(jax.lax.with_sharding_constraint(a, out)
+                 for a in (words, totals))
+
+
+def export_batch_jpeg_packed_step(
+    imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh,
+    qlum: jax.Array, qchr: jax.Array,
+):
+    """Batch export step over the PACKED wire: sharded develop + the
+    finished contiguous scan per image (entropy_batch_packed_sharded —
+    see its docstring for the consumption protocol). The production
+    batch shape: each shard's output is ~its images' finished JPEG
+    scans, so gathering results off the mesh moves the minimum bytes."""
+    srgb = batch_develop_sharded(imgs, params, masks, mesh)
+    return entropy_batch_packed_sharded(srgb, mesh, qlum, qchr)

@@ -137,6 +137,83 @@ def test_entropy_batch_sharded_bit_exact(rng, the_mesh):
             assert a[:2] == b"\xff\xd8" and a[-2:] == b"\xff\xd9"
 
 
+def test_entropy_batch_packed_sharded_bit_exact(rng, the_mesh):
+    """The batch-sharded PACKED wire emits the finished contiguous scan
+    per image, bit-identical to the single-device packed wire and the
+    serial numpy oracle, and the native coder's file from the sharded
+    stream is byte-identical to the prepacked wire's file."""
+    from rawphotoforge_tpu import native
+    from rawphotoforge_tpu.io import jpegbits, jpegenc
+
+    imgs = np.stack([random_linear_image(rng, 32, 128) * (0.5 + 0.06 * i)
+                     for i in range(8)])
+    imgs = jnp.asarray(imgs.transpose(0, 3, 1, 2))
+    packed = _params()
+    masks = jnp.ones((1, 32, 128), dtype=jnp.float32)
+    qlum, qchr = (jnp.asarray(t) for t in jpegenc._quant_tables(90))
+    srgb = dev.develop_batch(imgs, packed, masks)
+    words, totals = jax.jit(
+        pmesh.entropy_batch_packed_sharded, static_argnums=1
+    )(srgb, the_mesh, qlum, qchr)
+    nblocks = (32 // 16) * (128 // 16) * 6
+    assert words.shape == (8, nblocks * jpegbits.PACKED_OUT_WORDS)
+    assert totals.shape == (8, 5)
+    st = jpegbits._prepacked_jit()
+    caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+    for i in range(8):
+        nw, nbits, bad, n_ent, kept = (int(x) for x in totals[i])
+        assert bad == 0
+        assert n_ent <= nblocks * caps[0]
+        assert kept == nw <= nblocks * caps[1]
+        s_bands, s_totals = st.full_packed(srgb[i], qlum, qchr, *caps)
+        sv = np.asarray(s_totals)
+        assert (nw, nbits) == (int(sv[0]), int(sv[1]))
+        single_words = np.concatenate([np.asarray(b) for b in s_bands])
+        np.testing.assert_array_equal(np.asarray(words[i])[:nw],
+                                      single_words[:nw])
+        blocks = np.asarray(
+            jpegenc._sparse_jit()[1](srgb[i], qlum, qchr))
+        ref_words, ref_bits = jpegbits.packed_np(
+            jpegenc._dc_delta_np(blocks))
+        assert ref_bits == nbits
+        np.testing.assert_array_equal(np.asarray(words[i])[:nw], ref_words)
+        if native.available():
+            a = native.jpeg_encode_packed(
+                np.asarray(words[i])[:nw], nbits, 32, 128, quality=90)
+            assert a[:2] == b"\xff\xd8" and a[-2:] == b"\xff\xd9"
+            s_lens, s_wb, s_t = st.full(srgb[i], qlum, qchr)
+            b = native.jpeg_encode_prepacked(
+                np.asarray(s_lens),
+                np.concatenate([np.asarray(x) for x in s_wb])[
+                    : int(np.asarray(s_t)[0])], 32, 128, quality=90)
+            assert a == b
+
+
+def test_export_batch_jpeg_packed_step_runs(rng, the_mesh):
+    """The composed packed step (sharded develop feeding the sharded
+    packed wire) executes and emits structurally-sane streams."""
+    from rawphotoforge_tpu.io import jpegbits, jpegenc
+
+    imgs = np.stack([random_linear_image(rng, 32, 128) for _ in range(8)])
+    imgs = jnp.asarray(imgs.transpose(0, 3, 1, 2))
+    packed = _params()
+    masks = jnp.ones((1, 32, 128), dtype=jnp.float32)
+    qlum, qchr = (jnp.asarray(t) for t in jpegenc._quant_tables(90))
+    words, totals = jax.jit(
+        pmesh.export_batch_jpeg_packed_step, static_argnums=3
+    )(imgs, packed, masks, the_mesh, qlum, qchr)
+    nblocks = (32 // 16) * (128 // 16) * 6
+    for i in range(8):
+        nw, nbits, bad, n_ent, kept = (int(x) for x in totals[i])
+        assert bad == 0
+        assert 0 < nw == kept <= words.shape[1]
+        assert nw == (nbits + 31) // 32
+        assert n_ent <= nblocks * jpegbits.PACKED_ENT_WORDS
+        # Trailing capacity is zeroed, so a fetch of nw words is the
+        # whole stream.
+        assert not np.asarray(words[i])[nw:].any()
+
+
 def test_export_batch_jpeg_step_runs(rng, the_mesh):
     """The composed step (sharded develop feeding the sharded wire)
     executes and emits structurally-sane streams; its pixel agreement
