@@ -22,11 +22,13 @@ covers the DNG subset the framework owns natively:
 * lossy-JPEG DNG (Compression=34892) over PhotometricInterpretation=
   LinearRaw RGB — the demosaiced format Adobe's lossy DNGs use; decoded
   via Pillow and developed without the demosaic stage
-* DNG opcode lists: OpcodeList2 GainMap (shading correction, applied at
-  the normalized linear-reference stage) and OpcodeList3 WarpRectilinear
-  (distortion, applied post-demosaic by develop) — the corrections phone
-  DNGs/ProRAW carry; read_dng(apply_opcodes=False) is the lossless
-  transcode mode that re-serializes them instead
+* DNG opcode lists: OpcodeList1 FixBadPixelsConstant/List (defective-
+  pixel interpolation on the stored mosaic), OpcodeList2 GainMap +
+  FixVignetteRadial + MapPolynomial (shading/tone corrections at the
+  normalized linear-reference stage), and OpcodeList3 WarpRectilinear +
+  FixVignetteRadial (applied post-demosaic by develop) — the
+  corrections phone DNGs/ProRAW carry; read_dng(apply_opcodes=False) is
+  the lossless transcode mode that re-serializes them instead
 * embedded JPEG preview extraction (``extract_preview``) from preview
   IFDs / EXIF thumbnails, Pillow-validated
 
@@ -78,6 +80,7 @@ T_FOCAL_LENGTH_35MM = 41989     # FocalLengthIn35mmFilm (crop factor route)
 T_LENS_MODEL = 42036
 T_DNG_VERSION = 50706
 T_LINEARIZATION_TABLE = 50712
+T_OPCODE_LIST_1 = 51008         # applied to the stored image (DNG 1.3)
 T_OPCODE_LIST_2 = 51009         # applied after linearization (DNG 1.3)
 T_OPCODE_LIST_3 = 51022         # applied after demosaicking (DNG 1.3)
 T_BLACK_LEVEL = 50714
@@ -131,7 +134,11 @@ class RawImage:
     # DNG OpcodeList3 WarpRectilinear (opcode 1): (coefs f32 [P, 6],
     # center f32 [2] relative) — applied post-demosaic by develop.
     warp_rectilinear: Optional[tuple] = None
-    # Raw (unapplied) OpcodeList2/3 blobs, kept ONLY by
+    # DNG OpcodeList3 FixVignetteRadial (opcode 3): (k f32 [5],
+    # center f32 [2] relative) — applied post-demosaic by develop
+    # (after the warp, the order real files list them).
+    vignette_radial: Optional[tuple] = None
+    # Raw (unapplied) OpcodeList1/2/3 blobs, kept ONLY by
     # read_dng(apply_opcodes=False) so write_dng can re-serialize them —
     # the lossless-transcode path (cli convert).
     opcode_lists: Optional[tuple] = None
@@ -429,14 +436,16 @@ def _parse_warp_rectilinear(opcodes: bytes):
     return None
 
 
-def _opcodes_contain(opcodes: bytes, want_id: int) -> bool:
-    """Scan an opcode list's headers for a given opcode id (cheap)."""
+def _opcodes_contain(opcodes: bytes, want_ids) -> bool:
+    """Scan an opcode list's headers for any of the given ids (cheap)."""
+    if isinstance(want_ids, int):
+        want_ids = (want_ids,)
     try:
         (count,) = struct.unpack_from(">I", opcodes, 0)
         pos = 4
         for _ in range(count):
             op_id, _v, _f, nbytes = struct.unpack_from(">IIII", opcodes, pos)
-            if op_id == want_id:
+            if op_id in want_ids:
                 return True
             pos += 16 + nbytes
     except struct.error:
@@ -444,87 +453,285 @@ def _opcodes_contain(opcodes: bytes, want_id: int) -> bool:
     return False
 
 
-def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
-    """Apply OpcodeList2 GainMap opcodes (DNG 1.3 §opcodes, id 9) —
-    the per-plane shading/vignette correction phone DNGs rely on.
-    ``mosaic`` must already hold linear reference values (normalized
-    floats — the stage OpcodeList2 is defined at).
+def _iter_opcodes(opcodes: bytes):
+    """Yield (op_id, body) for each opcode in a big-endian opcode list
+    (u32 count, then per opcode u32 id/dng_version/flags/nbytes +
+    params). struct.error propagates to the caller's DngError wrap."""
+    (count,) = struct.unpack_from(">I", opcodes, 0)
+    pos = 4
+    for _ in range(count):
+        op_id, _ver, _flags, nbytes = struct.unpack_from(
+            ">IIII", opcodes, pos)
+        pos += 16
+        yield op_id, opcodes[pos : pos + nbytes]
+        pos += nbytes
 
-    Opcode lists are big-endian: u32 count, then per opcode
-    (u32 id, u32 dng_version, u32 flags, u32 nbytes, params).
-    GainMap params: area (top,left,bottom,right u32), plane,planes,
-    row_pitch,col_pitch (u32), points_v,points_h (u32),
+
+def _vignette_radial_gain(h: int, w: int, k, center) -> np.ndarray:
+    """FixVignetteRadial gain surface (DNG 1.3 opcode 3, dng_sdk
+    dng_vignette_radial_params): gain = 1 + k0 r^2 + k1 r^4 + k2 r^6
+    + k3 r^8 + k4 r^10, where r is the distance from the optical center
+    (given in relative [0,1] image coordinates, like WarpRectilinear's)
+    normalized so the corner FARTHEST from the center has r = 1."""
+    cy = float(center[1]) * (h - 1)
+    cx = float(center[0]) * (w - 1)
+    yy = (np.arange(h, dtype=np.float64) - cy)[:, None]
+    xx = (np.arange(w, dtype=np.float64) - cx)[None, :]
+    m2 = max(cy, h - 1 - cy) ** 2 + max(cx, w - 1 - cx) ** 2
+    r2 = (yy * yy + xx * xx) / max(m2, 1e-12)
+    g = np.ones_like(r2)
+    p = np.ones_like(r2)
+    for ki in k:
+        p = p * r2
+        g = g + float(ki) * p
+    return g.astype(np.float32)
+
+
+def _parse_vignette_radial(opcodes: bytes):
+    """Extract FixVignetteRadial (opcode 3) from an opcode list, or
+    None. Params: 5 f64 k0..k4, then 2 f64 relative optical center."""
+    for op_id, body in _iter_opcodes(opcodes):
+        if op_id != 3:
+            continue
+        vals = struct.unpack_from(">7d", body, 0)
+        return (np.asarray(vals[:5], dtype=np.float32),
+                np.asarray(vals[5:7], dtype=np.float32))
+    return None
+
+
+def _area_lattice(body, h, w, offset=0):
+    """Decode the 8-u32 DNG AreaSpec (top,left,bottom,right, plane,
+    planes, row_pitch, col_pitch) into (rows, cols, plane, planes) index
+    vectors clipped to an h x w image, or None for an empty area."""
+    (top, left, bottom, right, plane, planes, row_pitch,
+     col_pitch) = struct.unpack_from(">8I", body, offset)
+    bottom = min(bottom, h)
+    right = min(right, w)
+    if top >= bottom or left >= right:
+        return None
+    rows = np.arange(top, bottom, max(row_pitch, 1))
+    cols = np.arange(left, right, max(col_pitch, 1))
+    return rows, cols, plane, planes
+
+
+# Opcode ids OpcodeList2 application understands (DNG 1.3 §opcodes).
+_LIST2_IDS = (3, 8, 9)  # FixVignetteRadial, MapPolynomial, GainMap
+
+
+def _apply_one_gain_map(out: np.ndarray, body: bytes) -> None:
+    """Apply ONE GainMap opcode (id 9) body to ``out`` in place.
+
+    GainMap params: AreaSpec (top,left,bottom,right, plane,planes,
+    row_pitch,col_pitch u32), points_v,points_h (u32),
     spacing_v,spacing_h, origin_v,origin_h (f64), map_planes (u32),
     then f32 gains [points_v][points_h][map_planes]. Gains sample
     bilinearly in normalized image coordinates and multiply the pixels
-    of the opcode's pitched area. Unknown opcodes are skipped (the
-    optional-flag pragmatics real decoders use).
+    of the opcode's pitched area."""
+    h, w = out.shape[:2]
+    area = _area_lattice(body, h, w)
+    pts_v, pts_h = struct.unpack_from(">2I", body, 32)
+    spacing_v, spacing_h, origin_v, origin_h = struct.unpack_from(
+        ">4d", body, 40)
+    (map_planes,) = struct.unpack_from(">I", body, 72)
+    n = pts_v * pts_h * map_planes
+    gains = np.frombuffer(body, ">f4", count=n, offset=76).reshape(
+        pts_v, pts_h, map_planes).astype(np.float32)
+    if area is None or pts_v < 1 or pts_h < 1:
+        return
+    rows, cols, plane, planes = area
+    # Normalized image coordinates -> fractional map indices.
+    mv = ((rows / max(h - 1, 1)) - origin_v) / max(spacing_v, 1e-12)
+    mh = ((cols / max(w - 1, 1)) - origin_h) / max(spacing_h, 1e-12)
+    mv = np.clip(mv, 0.0, pts_v - 1.0)
+    mh = np.clip(mh, 0.0, pts_h - 1.0)
+    v0 = np.minimum(mv.astype(np.int32), pts_v - 2 if pts_v > 1 else 0)
+    h0 = np.minimum(mh.astype(np.int32), pts_h - 2 if pts_h > 1 else 0)
+    fv = (mv - v0)[:, None] if pts_v > 1 else np.zeros((len(rows), 1))
+    fh = (mh - h0)[None, :] if pts_h > 1 else np.zeros((1, len(cols)))
+    v1 = np.minimum(v0 + 1, pts_v - 1)
+    h1 = np.minimum(h0 + 1, pts_h - 1)
+
+    def interp(g):
+        return ((1 - fv) * (1 - fh) * g[np.ix_(v0, h0)]
+                + (1 - fv) * fh * g[np.ix_(v0, h1)]
+                + fv * (1 - fh) * g[np.ix_(v1, h0)]
+                + fv * fh * g[np.ix_(v1, h1)]).astype(np.float32)
+
+    sub = out[np.ix_(rows, cols)]
+    if sub.ndim == 3:
+        # LinearRaw: honor the Plane/Planes selectors — each
+        # opcode touches channels [plane, plane+planes), sampling
+        # map plane min(j, map_planes-1) for channel offset j.
+        nch = sub.shape[2]
+        p0 = min(plane, nch)
+        pn = min(planes if planes > 0 else nch, nch - p0)
+        for j in range(pn):
+            gm = interp(gains[..., min(j, map_planes - 1)])
+            sub[..., p0 + j] *= gm
+        out[np.ix_(rows, cols)] = sub
+    else:
+        # CFA: the pitched (top, left, row/col pitch) lattice IS
+        # the plane selection; one map plane applies to it.
+        out[np.ix_(rows, cols)] = sub * interp(gains[..., 0])
+
+
+def _apply_one_map_polynomial(out: np.ndarray, body: bytes) -> None:
+    """Apply ONE MapPolynomial opcode (id 8) body to ``out`` in place.
+
+    Params: AreaSpec (8 u32), u32 degree, then degree+1 f64
+    coefficients. Output = sum coef_i * value^i over the pitched area
+    and plane selection, clipped to [0, 1] (the linear-reference range
+    OpcodeList2 is defined over — dng_sdk clamps the same way)."""
+    h, w = out.shape[:2]
+    area = _area_lattice(body, h, w)
+    (degree,) = struct.unpack_from(">I", body, 32)
+    if degree > 32:
+        raise ValueError(f"MapPolynomial degree {degree}")
+    coefs = struct.unpack_from(f">{degree + 1}d", body, 36)
+    if area is None:
+        return
+    rows, cols, plane, planes = area
+    sub = out[np.ix_(rows, cols)].astype(np.float64)
+
+    def poly(v):
+        acc = np.full_like(v, coefs[degree])
+        for c in coefs[degree - 1 :: -1] if degree else []:
+            acc = acc * v + c
+        return np.clip(acc, 0.0, 1.0).astype(np.float32)
+
+    if sub.ndim == 3:
+        nch = sub.shape[2]
+        p0 = min(plane, nch)
+        pn = min(planes if planes > 0 else nch, nch - p0)
+        res = out[np.ix_(rows, cols)]
+        for j in range(pn):
+            res[..., p0 + j] = poly(sub[..., p0 + j])
+        out[np.ix_(rows, cols)] = res
+    else:
+        out[np.ix_(rows, cols)] = poly(sub)
+
+
+def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
+    """Apply OpcodeList2 opcodes in listed order — GainMap (id 9, the
+    per-plane shading correction phone DNGs rely on), FixVignetteRadial
+    (id 3, radial polynomial shading gain), and MapPolynomial (id 8,
+    per-value tone mapping some HDR DNGs carry). ``mosaic`` must
+    already hold linear reference values (normalized floats — the stage
+    OpcodeList2 is defined at).
+
+    Opcode lists are big-endian: u32 count, then per opcode
+    (u32 id, u32 dng_version, u32 flags, u32 nbytes, params). Unknown
+    opcodes are skipped (the optional-flag pragmatics real decoders
+    use).
     """
     out = mosaic.astype(np.float32, copy=True)
     h, w = out.shape[:2]
-    pos = 0
     try:
-        (count,) = struct.unpack_from(">I", opcodes, pos)
-        pos += 4
-        for _ in range(count):
-            op_id, _ver, _flags, nbytes = struct.unpack_from(
-                ">IIII", opcodes, pos)
-            pos += 16
-            body = opcodes[pos : pos + nbytes]
-            pos += nbytes
-            if op_id != 9:  # not a GainMap
-                continue
-            (top, left, bottom, right, plane, planes, row_pitch,
-             col_pitch, pts_v, pts_h) = struct.unpack_from(">10I", body, 0)
-            spacing_v, spacing_h, origin_v, origin_h = struct.unpack_from(
-                ">4d", body, 40)
-            (map_planes,) = struct.unpack_from(">I", body, 72)
-            n = pts_v * pts_h * map_planes
-            gains = np.frombuffer(body, ">f4", count=n, offset=76).reshape(
-                pts_v, pts_h, map_planes).astype(np.float32)
-            bottom = min(bottom, h)
-            right = min(right, w)
-            if top >= bottom or left >= right or pts_v < 1 or pts_h < 1:
-                continue
-            rows = np.arange(top, bottom, max(row_pitch, 1))
-            cols = np.arange(left, right, max(col_pitch, 1))
-            # Normalized image coordinates -> fractional map indices.
-            mv = ((rows / max(h - 1, 1)) - origin_v) / max(spacing_v, 1e-12)
-            mh = ((cols / max(w - 1, 1)) - origin_h) / max(spacing_h, 1e-12)
-            mv = np.clip(mv, 0.0, pts_v - 1.0)
-            mh = np.clip(mh, 0.0, pts_h - 1.0)
-            v0 = np.minimum(mv.astype(np.int32), pts_v - 2 if pts_v > 1 else 0)
-            h0 = np.minimum(mh.astype(np.int32), pts_h - 2 if pts_h > 1 else 0)
-            fv = (mv - v0)[:, None] if pts_v > 1 else np.zeros((len(rows), 1))
-            fh = (mh - h0)[None, :] if pts_h > 1 else np.zeros((1, len(cols)))
-            v1 = np.minimum(v0 + 1, pts_v - 1)
-            h1 = np.minimum(h0 + 1, pts_h - 1)
-
-            def interp(g):
-                return ((1 - fv) * (1 - fh) * g[np.ix_(v0, h0)]
-                        + (1 - fv) * fh * g[np.ix_(v0, h1)]
-                        + fv * (1 - fh) * g[np.ix_(v1, h0)]
-                        + fv * fh * g[np.ix_(v1, h1)]).astype(np.float32)
-
-            sub = out[np.ix_(rows, cols)]
-            if sub.ndim == 3:
-                # LinearRaw: honor the Plane/Planes selectors — each
-                # opcode touches channels [plane, plane+planes), sampling
-                # map plane min(j, map_planes-1) for channel offset j.
-                nch = sub.shape[2]
-                p0 = min(plane, nch)
-                pn = min(planes if planes > 0 else nch, nch - p0)
-                for j in range(pn):
-                    gm = interp(gains[..., min(j, map_planes - 1)])
-                    sub[..., p0 + j] *= gm
-                out[np.ix_(rows, cols)] = sub
-            else:
-                # CFA: the pitched (top, left, row/col pitch) lattice IS
-                # the plane selection; one map plane applies to it.
-                out[np.ix_(rows, cols)] = sub * interp(gains[..., 0])
+        for op_id, body in _iter_opcodes(opcodes):
+            if op_id == 9:
+                _apply_one_gain_map(out, body)
+            elif op_id == 3:
+                vals = struct.unpack_from(">7d", body, 0)
+                g = _vignette_radial_gain(h, w, vals[:5], vals[5:7])
+                out *= g if out.ndim == 2 else g[:, :, None]
+            elif op_id == 8:
+                _apply_one_map_polynomial(out, body)
     except (struct.error, ValueError, IndexError) as e:
         raise DngError(f"malformed OpcodeList2: {e}") from e
     return out
+
+
+def _shifted(a: np.ndarray, dy: int, dx: int):
+    """(values, valid) of ``a`` shifted by (dy, dx) with zero fill —
+    out-of-bounds positions are invalid (no wraparound)."""
+    h, w = a.shape
+    out = np.zeros_like(a)
+    valid = np.zeros((h, w), bool)
+    ys, yd = (slice(dy, h), slice(0, h - dy)) if dy >= 0 else (
+        slice(0, h + dy), slice(-dy, h))
+    xs, xd = (slice(dx, w), slice(0, w - dx)) if dx >= 0 else (
+        slice(0, w + dx), slice(-dx, w))
+    out[yd, xd] = a[ys, xs]
+    valid[yd, xd] = True
+    return out, valid
+
+
+def _interpolate_bad_pixels(mosaic: np.ndarray, bad: np.ndarray,
+                            period: tuple[int, int]) -> np.ndarray:
+    """Replace ``bad`` pixels with the mean of their nearest GOOD
+    same-CFA-channel neighbors (the straight/diagonal lattice at the
+    CFA period — same-period offsets always hit the same channel in any
+    repeating CFA). Larger bad clusters (FixBadPixelsList rects) fill
+    iteratively from their rims; pixels no pass can reach (pathological
+    all-bad inputs) are left stored."""
+    py, px = max(int(period[0]), 1), max(int(period[1]), 1)
+    m = mosaic.astype(np.float32, copy=True)
+    bad = bad.copy()
+    offs = [(-py, 0), (py, 0), (0, -px), (0, px),
+            (-py, -px), (-py, px), (py, -px), (py, px)]
+    for _ in range(64):
+        if not bad.any():
+            break
+        acc = np.zeros_like(m)
+        cnt = np.zeros(m.shape, np.int32)
+        for dy, dx in offs:
+            v, ok = _shifted(m, dy, dx)
+            okg, _ = _shifted((~bad).astype(np.uint8), dy, dx)
+            use = ok & (okg != 0)
+            acc += np.where(use, v, 0.0)
+            cnt += use
+        fix = bad & (cnt > 0)
+        if not fix.any():
+            break  # unreachable cluster: give up rather than loop
+        m[fix] = acc[fix] / cnt[fix]
+        bad &= ~fix
+    if mosaic.dtype.kind in "ui":
+        info = np.iinfo(mosaic.dtype)
+        return np.clip(np.rint(m), info.min, info.max).astype(mosaic.dtype)
+    return m.astype(mosaic.dtype)
+
+
+def _apply_opcode_list1(mosaic: np.ndarray, opcodes: bytes,
+                        period: tuple[int, int]) -> np.ndarray:
+    """Apply OpcodeList1 bad-pixel opcodes to the STORED mosaic (the
+    stage OpcodeList1 is defined at — before LinearizationTable and the
+    ActiveArea crop, full-sensor coordinates).
+
+    FixBadPixelsConstant (id 4: u32 constant, u32 bayerPhase): every
+    pixel equal to the constant is defective and is interpolated from
+    same-channel neighbors (integer mosaics only — the constant marker
+    is an integer-data device convention).
+    FixBadPixelsList (id 5: u32 bayerPhase, u32 point count, u32 rect
+    count, then (row, col) u32 points and (top, left, bottom, right)
+    u32 rects): listed pixels/areas are defective.
+    The bayerPhase parameter is redundant with the file's CFAPattern
+    (which this reader already phase-corrects); interpolation uses the
+    CFA-period lattice, which is phase-safe for any repeating CFA.
+    Other list-1 opcodes are skipped (optional-flag pragmatics)."""
+    h, w = mosaic.shape[:2]
+    bad = np.zeros((h, w), bool)
+    try:
+        for op_id, body in _iter_opcodes(opcodes):
+            if op_id == 4 and mosaic.dtype.kind in "ui":
+                constant, _phase = struct.unpack_from(">2I", body, 0)
+                bad |= mosaic == constant
+            elif op_id == 5:
+                _phase, npts, nrects = struct.unpack_from(">3I", body, 0)
+                pts = np.frombuffer(body, ">u4", count=2 * npts,
+                                    offset=12).reshape(npts, 2)
+                inb = (pts[:, 0] < h) & (pts[:, 1] < w)
+                bad[pts[inb, 0], pts[inb, 1]] = True
+                roff = 12 + 8 * npts
+                rects = np.frombuffer(body, ">u4", count=4 * nrects,
+                                      offset=roff).reshape(nrects, 4)
+                for top, left, bottom, right in rects:
+                    bad[min(top, h) : min(bottom, h),
+                        min(left, w) : min(right, w)] = True
+    except (struct.error, ValueError, IndexError) as e:
+        raise DngError(f"malformed OpcodeList1: {e}") from e
+    if not bad.any():
+        return mosaic
+    return _interpolate_bad_pixels(mosaic, bad, period)
 
 
 T_JPEG_INTERCHANGE = 513        # EXIF thumbnail offset (IFD1)
@@ -1044,6 +1251,21 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             raise DngError(f"unsupported bit depth {bits}")
         mosaic = mosaic.reshape(height, width)
 
+    # OpcodeList1 (DNG 1.3): defined on the STORED image, before
+    # LinearizationTable and the ActiveArea crop — full-sensor
+    # coordinates. Bad-pixel fixes (FixBadPixelsConstant/List) are the
+    # list-1 opcodes cameras actually emit; others are skipped.
+    oplist1 = tag(cfa_ifd, T_OPCODE_LIST_1)
+    oplist1 = bytes(oplist1) if isinstance(oplist1, (bytes, bytearray)) \
+        else None
+    if apply_opcodes and oplist1 is not None \
+            and _opcodes_contain(oplist1, (4, 5)):
+        rep1 = tag(cfa_ifd, T_CFA_REPEAT_DIM) or [2, 2]
+        rep1 = [int(v) for v in (rep1 if isinstance(rep1, list)
+                                 else [rep1, rep1])]
+        mosaic = _apply_opcode_list1(mosaic, oplist1,
+                                     (rep1[0] or 2, rep1[1] or 2))
+
     # Sensor linearization (DNG spec 1.4 LinearizationTable, tag 50712):
     # raw values index the table before black/white scaling — some cameras
     # store companded data.
@@ -1166,31 +1388,39 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         np.asarray(cm, dtype=np.float64).reshape(3, 3) if cm is not None else None
     )
 
-    # OpcodeList2 GainMap (DNG 1.3, opcode 9): per-area shading correction
-    # defined at the linear-reference-value stage, so normalize first and
-    # hand develop a float mosaic with black=0/white=1 (phone DNGs —
-    # ProRAW, Pixel — rely on this for lens shading).
+    # OpcodeList2 (DNG 1.3): GainMap (id 9), FixVignetteRadial (id 3),
+    # MapPolynomial (id 8) — all defined at the linear-reference-value
+    # stage, so normalize first and hand develop a float mosaic with
+    # black=0/white=1 (phone DNGs — ProRAW, Pixel — rely on this for
+    # lens shading).
     oplist2 = tag(cfa_ifd, T_OPCODE_LIST_2)
     oplist3 = tag(cfa_ifd, T_OPCODE_LIST_3)
     oplist2 = bytes(oplist2) if isinstance(oplist2, (bytes, bytearray)) else None
     oplist3 = bytes(oplist3) if isinstance(oplist3, (bytes, bytearray)) else None
     warp = None
+    vignette = None
     opcode_lists = None
     if not apply_opcodes:
         # Lossless-transcode mode: keep the stored pixel values and the
         # opcode blobs verbatim for re-serialization.
-        if oplist2 is not None or oplist3 is not None:
-            opcode_lists = (oplist2, oplist3)
+        if oplist1 is not None or oplist2 is not None or oplist3 is not None:
+            opcode_lists = (oplist1, oplist2, oplist3)
     else:
-        if oplist2 is not None and _opcodes_contain(oplist2, 9):
+        if oplist2 is not None and _opcodes_contain(oplist2, _LIST2_IDS):
             span = max(float(white) - float(black), 1e-9)
             norm = (mosaic.astype(np.float32) - float(black)) / span
             mosaic = _apply_gain_maps(norm, oplist2)
             black, white = 0.0, 1.0
-        # OpcodeList3 WarpRectilinear (post-demosaic geometric correction,
-        # phone DNGs): parsed here, applied by the develop path.
+        # OpcodeList3 (post-demosaic corrections, phone DNGs): parsed
+        # here, applied by the develop path — WarpRectilinear (id 1)
+        # then FixVignetteRadial (id 3), the order real files list them.
         if oplist3 is not None and _opcodes_contain(oplist3, 1):
             warp = _parse_warp_rectilinear(oplist3)
+        if oplist3 is not None and _opcodes_contain(oplist3, 3):
+            try:
+                vignette = _parse_vignette_radial(oplist3)
+            except (struct.error, ValueError) as e:
+                raise DngError(f"malformed OpcodeList3: {e}") from e
 
     try:
         orientation = int(any_ifd(T_ORIENTATION, 1) or 1)
@@ -1222,6 +1452,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         exif=exif,
         default_crop=default_crop,
         warp_rectilinear=warp,
+        vignette_radial=vignette,
         opcode_lists=opcode_lists,
         wb_known=wb_known,
     )
@@ -1234,6 +1465,7 @@ def write_dng(
     predictor: int = 1,
     active_area: Optional[tuple] = None,
     linearization_table: Optional[np.ndarray] = None,
+    opcode_list_1: Optional[bytes] = None,
     opcode_list_2: Optional[bytes] = None,
     opcode_list_3: Optional[bytes] = None,
     preview_jpeg: Optional[bytes] = None,
@@ -1474,10 +1706,18 @@ def write_dng(
     if linearization_table is not None:
         add(T_LINEARIZATION_TABLE, 3,
             [int(v) for v in np.asarray(linearization_table)])
-    if opcode_list_2 is None and raw.opcode_lists is not None:
-        opcode_list_2 = raw.opcode_lists[0]
-    if opcode_list_3 is None and raw.opcode_lists is not None:
-        opcode_list_3 = raw.opcode_lists[1]
+    if raw.opcode_lists is not None:
+        # read_dng(apply_opcodes=False) re-serialization (3-tuple of
+        # list-1/2/3 blobs; explicit kwargs win).
+        if opcode_list_1 is None:
+            opcode_list_1 = raw.opcode_lists[0]
+        if opcode_list_2 is None:
+            opcode_list_2 = raw.opcode_lists[1]
+        if opcode_list_3 is None:
+            opcode_list_3 = raw.opcode_lists[2]
+    if opcode_list_1 is not None:
+        entries.append([T_OPCODE_LIST_1, 7, len(opcode_list_1),
+                        bytes(opcode_list_1)])
     if opcode_list_2 is not None:
         entries.append([T_OPCODE_LIST_2, 7, len(opcode_list_2),
                         bytes(opcode_list_2)])

@@ -261,7 +261,7 @@ def bucket_stable_eligible(raw: RawImage) -> bool:
     """Whether this RAW can take the bucket-stable develop
     (develop_raw_image_padded): the common camera file — Bayer CFA or
     demosaiced LinearRaw, any EXIF orientation (crop and rotation not
-    combined), no warp opcode.
+    combined), no post-demosaic opcode (warp / radial vignette).
 
     The reflect bucket pad preserves Bayer phase (period 2 divides the
     128 bucket; mirror indices keep row parity) and reproduces exactly
@@ -272,7 +272,7 @@ def bucket_stable_eligible(raw: RawImage) -> bool:
     per-extent path."""
     if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern != "RGB":
         return False
-    if raw.warp_rectilinear is not None:
+    if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
         return False
     return _bucket_pads(raw) is not None
 
@@ -373,6 +373,16 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
         planes = warp_rectilinear(
             planes, jnp.asarray(coefs), jnp.asarray(center)
         )
+    if raw.vignette_radial is not None:
+        # DNG OpcodeList3 FixVignetteRadial: post-demosaic radial
+        # shading gain (applied after the warp, the order real files
+        # list them; dng.py:_vignette_radial_gain documents the model).
+        from .dng import _vignette_radial_gain
+
+        k, center = raw.vignette_radial
+        g = _vignette_radial_gain(
+            planes.shape[1], planes.shape[2], k, center)
+        planes = planes * jnp.asarray(g)[None, :, :]
     if raw.default_crop is not None:
         # DNG DefaultCrop: recommended final crop, applied post-demosaic
         # (so the demosaic keeps its border context), pre-orientation.
