@@ -2083,8 +2083,12 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
             # all four Bayer phases share it only per-pattern, so warm
             # the overwhelmingly-common RGGB.
             raw_patterns=("RGGB",),
-            # X-Trans can't be bucket-stable (6x6 phase); warm the two
-            # Fuji sensor extents exactly, last (heaviest compiles).
+            # Upright X-Trans is bucket-stable since the masked-NC
+            # demosaic (true extent traced): warm the Fuji sensor
+            # BUCKETS' whole open path. Rotated X-Trans still takes the
+            # per-extent path — warm those exact extents last (heaviest
+            # compiles, least common files).
+            xtrans_full_shapes=XTRANS_SENSOR_SHAPES,
             raw_exact=tuple((s, "XTRANS") for s in XTRANS_SENSOR_SHAPES),
         )
     httpd = ThreadingHTTPServer((host, port), make_handler(app))

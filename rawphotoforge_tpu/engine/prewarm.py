@@ -292,9 +292,16 @@ def warm_full_shape(full_shape: tuple[int, int],
                 mosaic01 = dm.normalize_mosaic(
                     put_np(_np.zeros((gh, gw), _np.uint16)),
                     512.0, 16383.0)
+                # X-Trans buckets develop through the masked-NC
+                # demosaic with the TRUE extent traced (the program
+                # develop_raw_image_padded dispatches); Bayer keys on
+                # the grid alone.
+                ts = (jnp.asarray([h, w], jnp.int32)
+                      if pattern == "XTRANS" else None)
                 out = dm.develop_raw(
                     mosaic01, jnp.asarray([2.0, 1.0, 1.5], jnp.float32),
-                    jnp.eye(3, dtype=jnp.float32), pattern=pattern)
+                    jnp.eye(3, dtype=jnp.float32), pattern=pattern,
+                    true_shape=ts)
                 out = replicate_true_edges_traced(
                     out, jnp.asarray([h, w], jnp.int32))
                 float(out[0, 0, 0])
@@ -387,10 +394,13 @@ def warm_sparse_export(full_shape: tuple[int, int]) -> bool:
 
 def warm_raw_exact(shape: tuple[int, int], pattern: str = "XTRANS") -> bool:
     """Compile the legacy (per-extent) RAW develop for one exact mosaic
-    shape — the path bucket-ineligible files take (X-Trans phase can't
-    survive a reflect pad). With XTRANS_SENSOR_SHAPES this covers a Fuji
-    file's first open: normalize + NC demosaic + matrix at the exact
-    extent, plus the editor's bucket pad of the result."""
+    shape — the path bucket-INELIGIBLE files take (since the masked-NC
+    demosaic made upright X-Trans bucket-stable, that's rotated X-Trans
+    — a top/left pad would shift the absolute 6x6 phase — plus files
+    carrying post-demosaic opcodes). With XTRANS_SENSOR_SHAPES this
+    covers a rotated Fuji file's first open: normalize + NC demosaic +
+    matrix at the exact extent, plus the editor's bucket pad of the
+    result."""
     import numpy as _np
     import jax.numpy as jnp
 
@@ -456,11 +466,12 @@ def warm_editor_levels(editor, levels=("mid", "low")) -> int:
 
 def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                full_shapes=None, preview_edges=(1280, 400),
-               raw_patterns=(), raw_exact=(),
+               raw_patterns=(), xtrans_full_shapes=(), raw_exact=(),
                on_done=None) -> threading.Thread:
     """Spawn a daemon thread warming ``shapes`` and/or an editor's levels
     and/or the bucket-stable open-path programs for ``full_shapes``
-    (see warm_full_shape; ``preview_edges`` = (mid, low) long edges)
+    (see warm_full_shape; ``preview_edges`` = (mid, low) long edges),
+    ``xtrans_full_shapes`` (same, with the X-Trans masked-NC develop),
     and/or the exact-extent RAW develops for ``raw_exact`` ((shape,
     pattern) pairs, see warm_raw_exact — ordered LAST: heaviest
     compiles, least common files).
@@ -481,12 +492,17 @@ def warm_async(shapes=None, editor=None, levels=("mid", "low"),
                 if warm_full_shape(s, preview_edges[0], preview_edges[1],
                                    raw_patterns=raw_patterns):
                     n += 1
+            for s in xtrans_full_shapes or ():
+                if warm_full_shape(s, preview_edges[0], preview_edges[1],
+                                   raw_patterns=("XTRANS",)):
+                    n += 1
             # Export program warms come AFTER every open-path warm (a
             # cold first preview hurts more than a cold first export)
             # but BEFORE raw_exact: any open image can be exported.
             if editor is not None and warm_sparse_export(editor.shape):
                 n += 1
-            for s in full_shapes or ():
+            for s in list(full_shapes or ()) + list(xtrans_full_shapes
+                                                    or ()):
                 if warm_sparse_export(s):
                     n += 1
             for s, pat in raw_exact or ():

@@ -259,18 +259,30 @@ def _bucket_pads(raw: RawImage):
 
 def bucket_stable_eligible(raw: RawImage) -> bool:
     """Whether this RAW can take the bucket-stable develop
-    (develop_raw_image_padded): the common camera file — Bayer CFA or
-    demosaiced LinearRaw, any EXIF orientation (crop and rotation not
-    combined), no post-demosaic opcode (warp / radial vignette).
+    (develop_raw_image_padded): the common camera file — Bayer CFA,
+    X-Trans, or demosaiced LinearRaw (crop and rotation not combined),
+    no post-demosaic opcode (warp / radial vignette).
 
-    The reflect bucket pad preserves Bayer phase (period 2 divides the
-    128 bucket; mirror indices keep row parity) and reproduces exactly
-    the reflect values the Malvar/bilinear stencils generate internally
-    at a true edge, so the true region is BIT-IDENTICAL to the unpadded
-    develop (gated in tests/test_raw.py). X-Trans (6x6 phase),
-    WarpRectilinear, and crop-under-rotation fall back to the
-    per-extent path."""
-    if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern != "RGB":
+    Bayer/LinearRaw: the reflect bucket pad preserves Bayer phase
+    (period 2 divides the 128 bucket; mirror indices keep row parity)
+    and reproduces exactly the reflect values the Malvar/bilinear
+    stencils generate internally at a true edge, so the true region is
+    BIT-IDENTICAL to the unpadded develop (gated in tests/test_raw.py);
+    any EXIF orientation works (side-aware pads stay phase-safe).
+
+    X-Trans: the masked-NC demosaic takes the true extent as traced
+    scalars (ops/demosaic.demosaic_cfa true_shape) and treats pad sites
+    as absent samples, so the true region is bit-identical by the
+    zero-contribution argument — no 6x6 phase constraint on the pad.
+    Restricted to orientations whose pads land bottom/right (0/1/5):
+    a top/left pad would shift the global CFA phase of the true region
+    (the channel map keys on absolute coordinates). Other orientations
+    fall back to the per-extent path."""
+    if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern not in (
+            "RGB", "XTRANS"):
+        return False
+    if raw.pattern == "XTRANS" and _PAD_SIDES.get(
+            raw.orientation) != (False, False):
         return False
     if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
         return False
@@ -307,6 +319,16 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
     wb = jnp.asarray(raw.wb_gains, dtype=jnp.float32)
     if raw.pattern == "RGB":
         planes = dm.develop_linear_raw(mosaic01, wb, cam2srgb)
+    elif raw.pattern == "XTRANS":
+        # Masked-NC demosaic with the TRUE extent traced: pad samples
+        # are treated as absent, so the true region is bit-identical to
+        # the unpadded develop with no 6x6 phase constraint on the pad
+        # (bucket_stable_eligible restricted pads to bottom/right, so
+        # the true region keeps its absolute CFA phase).
+        th0, tw0 = raw.mosaic.shape[:2]
+        planes = dm.develop_raw(
+            mosaic01, wb, cam2srgb, pattern=raw.pattern, method=method,
+            true_shape=jnp.asarray([th0, tw0], dtype=jnp.int32))
     else:
         planes = dm.develop_raw(mosaic01, wb, cam2srgb,
                                 pattern=raw.pattern, method=method)

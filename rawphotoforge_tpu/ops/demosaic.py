@@ -200,7 +200,8 @@ _NC_KERNEL_1D = np.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0], dtype=np.float32)
 
 
 def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
-                 method: str = "residual") -> jax.Array:
+                 method: str = "residual",
+                 true_shape: Optional[jax.Array] = None) -> jax.Array:
     """Demosaic an arbitrary periodic CFA (X-Trans and friends).
 
     ``method="nc"``: plain normalized convolution — each channel's sparse
@@ -214,6 +215,17 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     chroma residuals (R-G, B-G) from their sample sites and add green
     back. Residuals are nearly flat across luminance edges, so the false
     color of plain NC largely cancels (gated by the gray-edge test).
+
+    Boundary policy: the sample-validity mask IS the boundary handling —
+    convolutions zero-pad and the NC normalizer shrinks to the in-window
+    sample mass, so windows never read beyond the valid region.
+    ``true_shape`` (traced i32 [2] = (th, tw)) marks a bucket-padded
+    grid: samples at/beyond the true extent are treated as absent, which
+    makes the true region of a padded develop BIT-identical to the
+    exact-shape develop (zero contributions are exact no-ops in f32) —
+    the X-Trans bucket-stable open path (io/raw.develop_raw_image_padded)
+    relies on this. Pad output pixels carry finite garbage the caller
+    discards.
 
     Measured sites keep their exact sample either way. Bayer input should
     use demosaic_malvar instead.
@@ -231,13 +243,21 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     # formulation as the in-kernel _blur5, kernels/raw_pipeline.py).
     def conv1d(x, axis):
         xp = jnp.pad(x, [(pad, pad) if a == axis else (0, 0)
-                         for a in range(2)], mode="reflect")
+                         for a in range(2)])  # zero fill: mask-consistent
         if axis == 0:
             return sum(t * xp[i : i + h, :] for i, t in enumerate(taps))
         return sum(t * xp[:, i : i + w] for i, t in enumerate(taps))
 
+    def shifted(x, d, axis):
+        """out[i] = x[i + d] along ``axis``, zero-filled out of range."""
+        z = [(0, 0), (0, 0)]
+        z[axis] = (max(-d, 0), max(d, 0))
+        xp = jnp.pad(x, z)
+        n = h if axis == 0 else w
+        return jax.lax.slice_in_dim(xp, max(d, 0), max(d, 0) + n, axis=axis)
+
     def spread(x):
-        # Separable triangle filter, reflect-padded.
+        # Separable triangle filter, zero-padded (mask-consistent).
         return conv1d(conv1d(x, 0), 1)
 
     def nc(values, mask):
@@ -250,7 +270,17 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
         est = conv1d(values * mask, axis) / jnp.maximum(den, 1e-8)
         return est, den
 
-    masks = [(chan == c).astype(jnp.float32) for c in range(3)]
+    if true_shape is None:
+        valid = jnp.ones((h, w), jnp.float32)
+        masks = [(chan == c).astype(jnp.float32) for c in range(3)]
+        mz = mosaic
+    else:
+        vy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < true_shape[0]
+        vx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < true_shape[1]
+        valid = (vy & vx).astype(jnp.float32)
+        masks = [((chan == c).astype(jnp.float32)) * valid
+                 for c in range(3)]
+        mz = mosaic * valid  # exact at true sites (x * 1.0 == x)
 
     if method == "nc":
         planes = [
@@ -269,10 +299,19 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     g_v, den_v = nc1d(mosaic, masks[1], axis=0)
     g_h = jnp.where(den_h > 0.5, g_h, g2d)
     g_v = jnp.where(den_v > 0.5, g_v, g2d)
-    grad_x = jnp.abs(jnp.pad(mosaic[:, 2:] - mosaic[:, :-2],
-                             ((0, 0), (1, 1)), mode="edge"))
-    grad_y = jnp.abs(jnp.pad(mosaic[2:, :] - mosaic[:-2, :],
-                             ((1, 1), (0, 0)), mode="edge"))
+
+    # Central differences gated on BOTH taps being valid samples (grad 0
+    # where a neighbor is out of range) — the same zero-contribution
+    # discipline as the masked NC, so padded and exact grids agree at
+    # every true pixel.
+    def grad(axis):
+        va = shifted(valid, 1, axis)
+        vb = shifted(valid, -1, axis)
+        return jnp.abs(shifted(mz, 1, axis) - shifted(mz, -1, axis)) \
+            * va * vb
+
+    grad_x = grad(1)
+    grad_y = grad(0)
     g_est = jnp.where(spread(grad_x) > spread(grad_y), g_v, g_h)
     g = jnp.where(masks[1] > 0, mosaic, g_est)
 
@@ -346,6 +385,7 @@ def develop_raw(
     cam2srgb: jax.Array,
     pattern: str = "RGGB",
     method: str = "malvar",
+    true_shape: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Normalized CFA mosaic [H, W] in [0,1] -> linear sRGB planes [3, H, W].
 
@@ -365,7 +405,8 @@ def develop_raw(
         # (beats Malvar's gray-edge fringing; Malvar stays the default
         # because the one-pass RAW kernel implements it in-kernel).
         cfa_method = method if method in ("residual", "nc") else "residual"
-        rgb = demosaic_cfa(m, NAMED_CFA[pattern], method=cfa_method)
+        rgb = demosaic_cfa(m, NAMED_CFA[pattern], method=cfa_method,
+                           true_shape=true_shape)
     rgb = camera_to_srgb(rgb, cam2srgb)
     return jnp.clip(rgb, 0.0, 1.0)
 

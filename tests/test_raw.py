@@ -182,6 +182,92 @@ def test_bucket_stable_develop_default_crop_bit_identical(rng):
                                       np.asarray(legacy))
 
 
+def test_demosaic_cfa_true_shape_bit_identical(rng):
+    """demosaic_cfa(true_shape=...) on a garbage-padded grid equals the
+    exact-shape demosaic BIT-for-bit in the true region (the masked-NC
+    zero-contribution argument the X-Trans bucket-stable open relies
+    on) — for both methods."""
+    import jax.numpy as jnp
+
+    from rawphotoforge_tpu.ops.demosaic import XTRANS, demosaic_cfa
+
+    h, w = 53, 77          # deliberately not multiples of 6
+    hp, wp = 128, 128
+    mosaic = rng.random((h, w), dtype=np.float32)
+    grid = rng.random((hp, wp), dtype=np.float32) * 7.0  # garbage pad
+    grid[:h, :w] = mosaic
+    ts = jnp.asarray([h, w], dtype=jnp.int32)
+    for method in ("residual", "nc"):
+        exact = np.asarray(demosaic_cfa(jnp.asarray(mosaic), XTRANS,
+                                        method=method))
+        padded = np.asarray(demosaic_cfa(jnp.asarray(grid), XTRANS,
+                                         method=method, true_shape=ts))
+        np.testing.assert_array_equal(padded[:, :h, :w], exact)
+
+
+def test_bucket_stable_develop_xtrans_bit_identical(rng):
+    """X-Trans through the bucket-stable open (masked-NC demosaic with
+    the true extent traced) must equal the per-extent develop
+    bit-for-bit in the true region."""
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 70, 106  # not multiples of 6; buckets to (128, 128)
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    xyz_to_cam = np.array(
+        [[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15], [-0.05, 0.15, 0.65]]
+    )
+    raw = synthetic_raw(rgb, pattern="XTRANS", wb_gains=(1.8, 1.0, 1.45),
+                        xyz_to_cam=xyz_to_cam)
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    padded = develop_raw_image_padded(raw)
+    assert padded.shape == (3, 128, 128)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :h, :w],
+                                  np.asarray(legacy))
+
+
+def test_bucket_stable_develop_xtrans_crop_bit_identical(rng):
+    import dataclasses
+
+    from rawphotoforge_tpu.engine.editor import bucket_shape
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    h, w = 90, 140
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    base = synthetic_raw(rgb, pattern="XTRANS", wb_gains=(1.7, 1.0, 1.3))
+    raw = dataclasses.replace(base, default_crop=(6, 4, 120, 80))
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    padded = develop_raw_image_padded(raw)
+    assert padded.shape == (3,) + bucket_shape(80, 120)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :80, :120],
+                                  np.asarray(legacy))
+
+
+def test_bucket_stable_xtrans_orientation_gate(rng):
+    """X-Trans is bucket-stable only for orientations whose pads land
+    bottom/right (a top/left pad would shift the absolute CFA phase):
+    5 is eligible and bit-identical, 6 falls back."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image_padded)
+
+    rgb = random_linear_image(rng, 70, 106).transpose(2, 0, 1)
+    base = synthetic_raw(rgb, pattern="XTRANS", wb_gains=(1.8, 1.0, 1.45))
+    assert not bucket_stable_eligible(
+        dataclasses.replace(base, orientation=6))
+    raw = dataclasses.replace(base, orientation=5)
+    assert bucket_stable_eligible(raw)
+    legacy, _ = develop_raw_image(raw)
+    oh, ow = legacy.shape[1:]
+    padded = develop_raw_image_padded(raw)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :oh, :ow],
+                                  np.asarray(legacy))
+
+
 @pytest.mark.parametrize("orientation", [2, 3, 4, 5, 6, 7, 8])
 def test_bucket_stable_develop_oriented_bit_identical(rng, orientation):
     """Every EXIF orientation through the bucket-stable path (side-aware
@@ -229,8 +315,13 @@ def test_bucket_stable_eligibility_fallbacks(rng):
         dataclasses.replace(raw, default_crop=(2, 2, 20, 16)))
     assert not bucket_stable_eligible(
         dataclasses.replace(raw, default_crop=(2, 2, 40, 16)))
-    assert not bucket_stable_eligible(
+    # X-Trans is bucket-stable since the masked-NC demosaic (true
+    # extent traced) — but only for bottom/right pads: a top/left pad
+    # would shift the absolute 6x6 CFA phase.
+    assert bucket_stable_eligible(
         dataclasses.replace(raw, pattern="XTRANS"))
+    assert not bucket_stable_eligible(
+        dataclasses.replace(raw, pattern="XTRANS", orientation=6))
     # A 1-px pad would break Malvar bit-exactness at the true edge.
     raw127 = synthetic_raw(
         random_linear_image(rng, 127, 36).transpose(2, 0, 1))

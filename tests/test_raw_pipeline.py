@@ -142,8 +142,10 @@ class TestXTransFused:
     """One-pass X-Trans kernel vs the composed path (demosaic_cfa residual
     -> sharpen -> fused develop). Interiors match bit-comparably; the
     outer 12 px use a phase-preserving periodic border (the jnp path
-    reflect-pads intermediates instead) so borders are compared only on
-    smooth content, where any sane boundary policy must agree."""
+    uses masked-NC zero boundaries — the validity-mask semantics the
+    bucket-stable open needs) so borders are compared only on smooth
+    content, where any sane boundary policy must agree to a few
+    percent."""
 
     def _compare(self, h, w, sharpen, seed=0):
         mosaic, wb, cam, params = _inputs(h=h, w=w, seed=seed)
@@ -176,8 +178,11 @@ class TestXTransFused:
         )
 
     def test_smooth_borders_match(self):
-        """On smooth content the phase-preserving border must track the
-        jnp path's reflected border closely, everywhere incl. corners."""
+        """On smooth content the kernel's phase-preserving border must
+        track the jnp path's masked-NC border closely, everywhere incl.
+        corners (measured 0.021 max on this gradient — two legitimate
+        boundary policies, not an interior defect: the 14-px-trimmed
+        interior tests gate at 1e-2)."""
         h, w = 96, 768
         yy, xx = jnp.mgrid[0:h, 0:w]
         mosaic = 0.2 + 0.5 * (yy.astype(jnp.float32) / h) * (
@@ -193,7 +198,7 @@ class TestXTransFused:
         multi = np.asarray(fused.develop_post_geo_fused(
             rgb, params, jnp.ones((1, h, w), dtype=jnp.float32),
             main_mask_all_ones=True))
-        assert np.abs(one - multi).max() < 2e-2
+        assert np.abs(one - multi).max() < 3e-2
 
     def test_bad_tile_geometry_rejected(self):
         mosaic, wb, cam, params = _inputs(h=48, w=384)
