@@ -184,6 +184,32 @@ def main(argv=None) -> int:
         results["c6_first_preview_warm_s"] = t_warm
         results["c6_first_preview_prewarmed_s"] = t_pre
 
+        # X-Trans first preview through the REAL RAW open path — the
+        # bucket-stable masked-NC develop (r3): warm the Fuji sensor
+        # bucket the way server start does, then open a full-size
+        # X-Trans DNG end-to-end (decode -> upload_padded -> develop ->
+        # MID preview JPEG).
+        from rawphotoforge_tpu.engine.editor import HostOpen
+        from rawphotoforge_tpu.io.dng import RawImage, write_dng
+
+        ok_xt = prewarm.warm_full_shape((4160, 6240), 1280, 400,
+                                        raw_patterns=("XTRANS",))
+        log(f"config 6: X-Trans bucket warm {'ok' if ok_xt else 'FAILED'}")
+        xt_blob = write_dng(RawImage(
+            mosaic=rng6.integers(512, 16383, size=(4160, 6240),
+                                 dtype=np.uint16),
+            pattern="XTRANS", black_level=512.0, white_level=16383.0,
+            wb_gains=(1.8, 1.0, 1.4), xyz_to_cam=None,
+            exif={"Make": "Synthetic", "Model": "rpf-bench"}))
+        t0 = time.perf_counter()
+        hd6 = image_io.decode_image_host(xt_blob, "DNG")
+        assert hd6.upload_padded is not None, "X-Trans not bucket-stable?"
+        ed6 = PhotoEditor.from_host(HostOpen(hd6, None))
+        jpeg6 = image_io.encode_image(ed6.apply(MID), "JPEG", quality=90)
+        assert jpeg6[:2] == b"\xff\xd8"
+        results["c6_xtrans_first_preview_prewarmed_s"] = (
+            time.perf_counter() - t0)
+
         # Instant host preview: 24MP DNG container bytes -> the marked
         # stand-in JPEG the async /open serves immediately — pure numpy
         # superpixel develop, ZERO device work (engine/instant.py).
@@ -225,8 +251,10 @@ def main(argv=None) -> int:
 
         log(f"config 6: open->first MID preview: cold {t_cold:.1f} s "
             f"(fresh {jit_h}x6000 aspect), warm {t_warm:.2f} s, "
-            f"prewarmed standard 24MP {t_pre:.2f} s; instant host "
-            f"stand-in {t_instant * 1e3:.0f} ms (24MP DNG)")
+            f"prewarmed standard 24MP {t_pre:.2f} s, prewarmed 26MP "
+            f"X-Trans DNG "
+            f"{results['c6_xtrans_first_preview_prewarmed_s']:.2f} s; "
+            f"instant host stand-in {t_instant * 1e3:.0f} ms (24MP DNG)")
 
     if want("1"):
         # masks=None: the editor's single-mask dispatch (mask elision) —

@@ -338,12 +338,12 @@ def test_bucket_stable_randomized_sweep(rng):
     from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
                                           develop_raw_image_padded)
 
-    patterns = ["RGGB", "BGGR", "GRBG", "GBRG"]
+    patterns = ["RGGB", "BGGR", "GRBG", "GBRG", "XTRANS"]
     n_eligible = 0
-    for trial in range(12):
+    for trial in range(15):
         h = int(rng.integers(12, 70)) * 2  # even sensor dims
         w = int(rng.integers(12, 70)) * 2
-        pattern = patterns[int(rng.integers(0, 4))]
+        pattern = patterns[int(rng.integers(0, len(patterns)))]
         rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
         raw = synthetic_raw(rgb, pattern=pattern,
                             wb_gains=(1.0 + rng.random(), 1.0,
