@@ -135,9 +135,11 @@ class RawImage:
     # center f32 [2] relative) — applied post-demosaic by develop.
     warp_rectilinear: Optional[tuple] = None
     # DNG OpcodeList3 FixVignetteRadial (opcode 3): (k f32 [5],
-    # center f32 [2] relative) — applied post-demosaic by develop
-    # (after the warp, the order real files list them).
+    # center f32 [2] relative) — applied post-demosaic by develop, in
+    # the file's listed order relative to WarpRectilinear
+    # (vignette_first True = the vignette opcode precedes the warp).
     vignette_radial: Optional[tuple] = None
+    vignette_first: bool = False
     # Raw (unapplied) OpcodeList1/2/3 blobs, kept ONLY by
     # read_dng(apply_opcodes=False) so write_dng can re-serialize them —
     # the lossless-transcode path (cli convert).
@@ -410,29 +412,27 @@ def _decode_ljpeg_chunks(
     )
 
 
-def _parse_warp_rectilinear(opcodes: bytes):
-    """Extract WarpRectilinear (opcode 1) from an opcode list, or None.
+def _parse_warp_body(body: bytes):
+    """Decode one WarpRectilinear (opcode 1) body.
 
     Params: u32 plane count (1 shared or 3 per-plane), per plane 6 f64
     (kr0..kr3, kt0, kt1), then 2 f64 relative optical center."""
-    (count,) = struct.unpack_from(">I", opcodes, 0)
-    pos = 4
-    for _ in range(count):
-        op_id, _ver, _flags, nbytes = struct.unpack_from(">IIII", opcodes, pos)
-        pos += 16
-        body = opcodes[pos : pos + nbytes]
-        pos += nbytes
-        if op_id != 1:
-            continue
-        (nplanes,) = struct.unpack_from(">I", body, 0)
-        if nplanes not in (1, 3):
-            raise DngError(
-                f"WarpRectilinear with {nplanes} coefficient sets")
-        coefs = np.frombuffer(
-            body, ">f8", count=nplanes * 6, offset=4
-        ).reshape(nplanes, 6).astype(np.float32)
-        ccx, ccy = struct.unpack_from(">2d", body, 4 + nplanes * 48)
-        return coefs, np.asarray([ccx, ccy], dtype=np.float32)
+    (nplanes,) = struct.unpack_from(">I", body, 0)
+    if nplanes not in (1, 3):
+        raise DngError(
+            f"WarpRectilinear with {nplanes} coefficient sets")
+    coefs = np.frombuffer(
+        body, ">f8", count=nplanes * 6, offset=4
+    ).reshape(nplanes, 6).astype(np.float32)
+    ccx, ccy = struct.unpack_from(">2d", body, 4 + nplanes * 48)
+    return coefs, np.asarray([ccx, ccy], dtype=np.float32)
+
+
+def _parse_warp_rectilinear(opcodes: bytes):
+    """Extract WarpRectilinear (opcode 1) from an opcode list, or None."""
+    for op_id, body in _iter_opcodes(opcodes):
+        if op_id == 1:
+            return _parse_warp_body(body)
     return None
 
 
@@ -1254,13 +1254,27 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     # OpcodeList1 (DNG 1.3): defined on the STORED image, before
     # LinearizationTable and the ActiveArea crop — full-sensor
     # coordinates. Bad-pixel fixes (FixBadPixelsConstant/List) are the
-    # list-1 opcodes cameras actually emit; others are skipped.
+    # list-1 opcodes cameras actually emit; others are skipped. They
+    # describe defective CFA sites, so they only apply to 2-D mosaics
+    # (a LinearRaw DNG carrying one is ignored rather than crashed on).
     oplist1 = tag(cfa_ifd, T_OPCODE_LIST_1)
     oplist1 = bytes(oplist1) if isinstance(oplist1, (bytes, bytearray)) \
         else None
-    if apply_opcodes and oplist1 is not None \
+    if apply_opcodes and oplist1 is not None and mosaic.ndim == 2 \
             and _opcodes_contain(oplist1, (4, 5)):
-        rep1 = tag(cfa_ifd, T_CFA_REPEAT_DIM) or [2, 2]
+        # CFARepeatPatternDim falls back through the whole IFD chain,
+        # exactly like the CFA-pattern parse below (real TIFF-EP files
+        # store it outside the CFA sub-IFD).
+        rep1 = tag(cfa_ifd, T_CFA_REPEAT_DIM)
+        if rep1 is None:
+            for e in ifds:
+                if T_CFA_REPEAT_DIM in e:
+                    try:
+                        rep1 = _value(data, e[T_CFA_REPEAT_DIM], bo)
+                    except struct.error:
+                        pass
+                    break
+        rep1 = rep1 if rep1 is not None else [2, 2]
         rep1 = [int(v) for v in (rep1 if isinstance(rep1, list)
                                  else [rep1, rep1])]
         mosaic = _apply_opcode_list1(mosaic, oplist1,
@@ -1399,6 +1413,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     oplist3 = bytes(oplist3) if isinstance(oplist3, (bytes, bytearray)) else None
     warp = None
     vignette = None
+    vignette_first = False
     opcode_lists = None
     if not apply_opcodes:
         # Lossless-transcode mode: keep the stored pixel values and the
@@ -1412,13 +1427,22 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             mosaic = _apply_gain_maps(norm, oplist2)
             black, white = 0.0, 1.0
         # OpcodeList3 (post-demosaic corrections, phone DNGs): parsed
-        # here, applied by the develop path — WarpRectilinear (id 1)
-        # then FixVignetteRadial (id 3), the order real files list them.
-        if oplist3 is not None and _opcodes_contain(oplist3, 1):
-            warp = _parse_warp_rectilinear(oplist3)
-        if oplist3 is not None and _opcodes_contain(oplist3, 3):
+        # here, applied by the develop path IN LISTED ORDER — opcode
+        # lists apply sequentially, and for FixVignetteRadial before
+        # vs after WarpRectilinear the order is observable (the gain
+        # samples a different radius at warped corners).
+        if oplist3 is not None and _opcodes_contain(oplist3, (1, 3)):
             try:
-                vignette = _parse_vignette_radial(oplist3)
+                for op_id, body in _iter_opcodes(oplist3):
+                    if op_id == 1 and warp is None:
+                        warp = _parse_warp_body(body)
+                    elif op_id == 3 and vignette is None:
+                        vals = struct.unpack_from(">7d", body, 0)
+                        vignette = (
+                            np.asarray(vals[:5], dtype=np.float32),
+                            np.asarray(vals[5:7], dtype=np.float32))
+                        if warp is None:
+                            vignette_first = True
             except (struct.error, ValueError) as e:
                 raise DngError(f"malformed OpcodeList3: {e}") from e
 
@@ -1453,6 +1477,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         default_crop=default_crop,
         warp_rectilinear=warp,
         vignette_radial=vignette,
+        vignette_first=vignette_first,
         opcode_lists=opcode_lists,
         wb_known=wb_known,
     )

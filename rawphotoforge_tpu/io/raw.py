@@ -385,26 +385,35 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
             pattern=raw.pattern,
             method=method,
         )
-    if raw.warp_rectilinear is not None:
+    def _apply_warp(p):
         # DNG OpcodeList3 WarpRectilinear: post-demosaic geometric
         # correction (the distortion correction phone DNGs rely on),
         # applied before DefaultCrop per the opcode-stage ordering.
         from ..ops.lenscorr import warp_rectilinear
 
         coefs, center = raw.warp_rectilinear
-        planes = warp_rectilinear(
-            planes, jnp.asarray(coefs), jnp.asarray(center)
-        )
-    if raw.vignette_radial is not None:
+        return warp_rectilinear(p, jnp.asarray(coefs), jnp.asarray(center))
+
+    def _apply_vignette(p):
         # DNG OpcodeList3 FixVignetteRadial: post-demosaic radial
-        # shading gain (applied after the warp, the order real files
-        # list them; dng.py:_vignette_radial_gain documents the model).
+        # shading gain (dng.py:_vignette_radial_gain documents the
+        # model).
         from .dng import _vignette_radial_gain
 
         k, center = raw.vignette_radial
-        g = _vignette_radial_gain(
-            planes.shape[1], planes.shape[2], k, center)
-        planes = planes * jnp.asarray(g)[None, :, :]
+        g = _vignette_radial_gain(p.shape[1], p.shape[2], k, center)
+        return p * jnp.asarray(g)[None, :, :]
+
+    # List-3 opcodes apply sequentially IN THE FILE'S LISTED ORDER —
+    # for vignette-before-warp files the gain must be evaluated on
+    # pre-warp coordinates (raw.vignette_first).
+    steps = [_apply_warp, _apply_vignette]
+    if raw.vignette_first:
+        steps.reverse()
+    for step in steps:
+        if (raw.warp_rectilinear if step is _apply_warp
+                else raw.vignette_radial) is not None:
+            planes = step(planes)
     if raw.default_crop is not None:
         # DNG DefaultCrop: recommended final crop, applied post-demosaic
         # (so the demosaic keeps its border context), pre-orientation.

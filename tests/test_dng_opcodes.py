@@ -266,6 +266,93 @@ def test_list2_vignette_end_to_end_normalizes():
                                rtol=1e-5)
 
 
+def test_list1_ignored_on_linear_raw():
+    """Bad-pixel opcodes describe defective CFA sites; a LinearRaw
+    (H, W, 3) DNG carrying one must open with the opcode IGNORED, not
+    crash or be rejected (review finding: the 2-D interpolator ran
+    unconditionally)."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(600, 15000, size=(12, 16, 3), dtype=np.uint16)
+    raw = dng.RawImage(
+        mosaic=vals, pattern="RGB", black_level=512.0,
+        white_level=16383.0, wb_gains=(1.5, 1.0, 1.2), xyz_to_cam=None,
+    )
+    op1 = _opcode_list([(4, _bad_const_opcode(600)),
+                        (5, _bad_list_opcode([(2, 3)], []))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_1=op1))
+    np.testing.assert_array_equal(back.mosaic, vals)
+
+
+def test_list1_xtrans_uses_cfa_period():
+    """On an X-Trans DNG the bad-pixel interpolation lattice is the 6x6
+    CFA period, not the Bayer 2x2 (a distance-2 neighbor is usually a
+    different channel on X-Trans)."""
+    rng = np.random.default_rng(8)
+    mosaic = rng.integers(600, 15000, size=(24, 24), dtype=np.uint16)
+    mosaic[12, 12] = 16383
+    from rawphotoforge_tpu.io.raw import synthetic_raw
+
+    base = synthetic_raw(rng.random((3, 24, 24)).astype(np.float32),
+                         pattern="XTRANS")
+    import dataclasses
+
+    raw = dataclasses.replace(base, mosaic=mosaic)
+    op1 = _opcode_list([(5, _bad_list_opcode([(12, 12)], []))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_1=op1))
+    offs = [(-6, 0), (6, 0), (0, -6), (0, 6),
+            (-6, -6), (-6, 6), (6, -6), (6, 6)]
+    want = np.mean([float(mosaic[12 + dy, 12 + dx]) for dy, dx in offs])
+    assert abs(float(back.mosaic[12, 12]) - want) <= 0.5 + 1e-6
+
+
+def test_list3_order_is_respected():
+    """OpcodeList3 opcodes apply in the file's LISTED order: a
+    vignette-before-warp file evaluates the radial gain on pre-warp
+    coordinates (review finding: the order was hardcoded)."""
+    from rawphotoforge_tpu.io.raw import develop_raw_image
+    from test_warp_rect import _warp_opcode
+
+    rng = np.random.default_rng(9)
+    h, w = 48, 64
+    mosaic = rng.integers(600, 15000, size=(h, w), dtype=np.uint16)
+    raw = dng.RawImage(
+        mosaic=mosaic, pattern="RGGB", black_level=512.0,
+        white_level=16383.0, wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+    )
+    k = [0.6, 0.0, 0.0, 0.0, 0.0]
+    warp_body = _warp_opcode([[0.85, 0.1, 0, 0, 0, 0]], (0.5, 0.5))
+    # _warp_opcode returns a full opcode LIST; unwrap its single body.
+    (_id, _v, _f, nb) = struct.unpack_from(">IIII", warp_body, 4)
+    warp_body = warp_body[20 : 20 + nb]
+    vig_body = _vignette_opcode(k, 0.5, 0.5)
+    wv = dng.read_dng(dng.write_dng(raw, opcode_list_3=_opcode_list(
+        [(1, warp_body), (3, vig_body)])))
+    vw = dng.read_dng(dng.write_dng(raw, opcode_list_3=_opcode_list(
+        [(3, vig_body), (1, warp_body)])))
+    assert not wv.vignette_first and vw.vignette_first
+    a, _ = develop_raw_image(wv)
+    b, _ = develop_raw_image(vw)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).max() > 1e-3  # the order is observable
+    # Manual compositions of the same primitives match each ordering.
+    base, _ = develop_raw_image(dng.read_dng(dng.write_dng(raw)))
+    from rawphotoforge_tpu.io.dng import (_parse_warp_body,
+                                          _vignette_radial_gain)
+    from rawphotoforge_tpu.ops.lenscorr import warp_rectilinear
+    import jax.numpy as jnp
+
+    coefs, center = _parse_warp_body(warp_body)
+    g = _vignette_radial_gain(h, w, k, (0.5, 0.5))
+    want_wv = np.asarray(warp_rectilinear(
+        jnp.asarray(base), jnp.asarray(coefs),
+        jnp.asarray(center))) * g[None]
+    want_vw = np.asarray(warp_rectilinear(
+        jnp.asarray(np.asarray(base) * g[None]), jnp.asarray(coefs),
+        jnp.asarray(center)))
+    np.testing.assert_allclose(a, want_wv, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b, want_vw, rtol=1e-5, atol=1e-6)
+
+
 def test_transcode_preserves_list1():
     """read_dng(apply_opcodes=False) + write_dng re-serializes
     OpcodeList1 so the transcoded file still fixes its bad pixels."""
