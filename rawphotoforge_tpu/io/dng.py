@@ -24,7 +24,8 @@ covers the DNG subset the framework owns natively:
   via Pillow and developed without the demosaic stage
 * DNG opcode lists: OpcodeList1 FixBadPixelsConstant/List (defective-
   pixel interpolation on the stored mosaic), OpcodeList2 GainMap +
-  FixVignetteRadial + MapPolynomial (shading/tone corrections at the
+  FixVignetteRadial + MapPolynomial + MapTable + DeltaPerRow/Column +
+  ScalePerRow/Column (shading/tone/flat-field corrections at the
   normalized linear-reference stage), and OpcodeList3 WarpRectilinear +
   FixVignetteRadial (applied post-demosaic by develop) — the
   corrections phone DNGs/ProRAW carry; read_dng(apply_opcodes=False) is
@@ -515,7 +516,9 @@ def _area_lattice(body, h, w, offset=0):
 
 
 # Opcode ids OpcodeList2 application understands (DNG 1.3 §opcodes).
-_LIST2_IDS = (3, 8, 9)  # FixVignetteRadial, MapPolynomial, GainMap
+# FixVignetteRadial, MapTable, MapPolynomial, GainMap, DeltaPerRow,
+# DeltaPerColumn, ScalePerRow, ScalePerColumn
+_LIST2_IDS = (3, 7, 8, 9, 10, 11, 12, 13)
 
 
 def _apply_one_gain_map(out: np.ndarray, body: bytes) -> None:
@@ -611,11 +614,96 @@ def _apply_one_map_polynomial(out: np.ndarray, body: bytes) -> None:
         out[np.ix_(rows, cols)] = poly(sub)
 
 
+def _apply_one_map_table(out: np.ndarray, body: bytes) -> None:
+    """Apply ONE MapTable opcode (id 7) body to ``out`` in place.
+
+    Params: AreaSpec (8 u32), u32 tableSize (1..65536), then tableSize
+    big-endian u16 entries. The table is defined over the 16-bit
+    linear-reference domain: each value indexes round(v * 65535), the
+    table is conceptually extended to 65536 entries by replicating its
+    last entry (dng_sdk dng_opcode_MapTable's fill), and the looked-up
+    entry maps back as table[i] / 65535."""
+    h, w = out.shape[:2]
+    area = _area_lattice(body, h, w)
+    (count,) = struct.unpack_from(">I", body, 32)
+    if not 1 <= count <= 65536:
+        raise ValueError(f"MapTable size {count}")
+    if len(body) < 36 + 2 * count:
+        raise ValueError("MapTable body truncated")
+    table = (np.frombuffer(body, ">u2", count=count, offset=36)
+             .astype(np.float32) / 65535.0)
+    if area is None:
+        return
+    rows, cols, plane, planes = area
+
+    def lut(v):
+        idx = np.clip(np.rint(v * 65535.0), 0, count - 1).astype(np.int32)
+        return table[idx]
+
+    sub = out[np.ix_(rows, cols)]
+    if sub.ndim == 3:
+        nch = sub.shape[2]
+        p0 = min(plane, nch)
+        pn = min(planes if planes > 0 else nch, nch - p0)
+        for j in range(pn):
+            sub[..., p0 + j] = lut(sub[..., p0 + j])
+        out[np.ix_(rows, cols)] = sub
+    else:
+        out[np.ix_(rows, cols)] = lut(sub)
+
+
+def _apply_one_per_row_col(out: np.ndarray, body: bytes,
+                           op_id: int) -> None:
+    """Apply ONE DeltaPerRow/DeltaPerColumn/ScalePerRow/ScalePerColumn
+    opcode (ids 10/11/12/13) body to ``out`` in place.
+
+    Params: AreaSpec (8 u32), u32 count, then count f32 values — one
+    per pitched row (PerRow) or pitched column (PerColumn) of the area.
+    Delta adds, Scale multiplies; results are clipped to [0, 1] (the
+    linear-reference range OpcodeList2 is defined over, matching the
+    MapPolynomial convention above). A table shorter than the area's
+    row/column lattice is malformed (dng_sdk rejects it too)."""
+    h, w = out.shape[:2]
+    area = _area_lattice(body, h, w)
+    (count,) = struct.unpack_from(">I", body, 32)
+    if len(body) < 36 + 4 * count:
+        raise ValueError("per-row/column opcode body truncated")
+    vals = np.frombuffer(body, ">f4", count=count,
+                         offset=36).astype(np.float32)
+    if area is None:
+        return
+    rows, cols, plane, planes = area
+    per_row = op_id in (10, 12)
+    n = len(rows) if per_row else len(cols)
+    if count < n:
+        raise ValueError(
+            f"opcode {op_id} carries {count} values for {n} "
+            f"{'rows' if per_row else 'columns'}")
+    vec = vals[:n][:, None] if per_row else vals[:n][None, :]
+
+    def apply(v):
+        r = v + vec if op_id in (10, 11) else v * vec
+        return np.clip(r, 0.0, 1.0).astype(np.float32)
+
+    sub = out[np.ix_(rows, cols)]
+    if sub.ndim == 3:
+        nch = sub.shape[2]
+        p0 = min(plane, nch)
+        pn = min(planes if planes > 0 else nch, nch - p0)
+        for j in range(pn):
+            sub[..., p0 + j] = apply(sub[..., p0 + j])
+        out[np.ix_(rows, cols)] = sub
+    else:
+        out[np.ix_(rows, cols)] = apply(sub)
+
+
 def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
     """Apply OpcodeList2 opcodes in listed order — GainMap (id 9, the
     per-plane shading correction phone DNGs rely on), FixVignetteRadial
-    (id 3, radial polynomial shading gain), and MapPolynomial (id 8,
-    per-value tone mapping some HDR DNGs carry). ``mosaic`` must
+    (id 3, radial polynomial shading gain), MapPolynomial (id 8,
+    per-value tone mapping some HDR DNGs carry), MapTable (id 7), and
+    the per-row/column flat-field corrections DeltaPerRow/DeltaPerColumn/
+    ScalePerRow/ScalePerColumn (ids 10-13). ``mosaic`` must
     already hold linear reference values (normalized floats — the stage
     OpcodeList2 is defined at).
 
@@ -636,6 +724,10 @@ def _apply_gain_maps(mosaic: np.ndarray, opcodes: bytes) -> np.ndarray:
                 out *= g if out.ndim == 2 else g[:, :, None]
             elif op_id == 8:
                 _apply_one_map_polynomial(out, body)
+            elif op_id == 7:
+                _apply_one_map_table(out, body)
+            elif op_id in (10, 11, 12, 13):
+                _apply_one_per_row_col(out, body, op_id)
     except (struct.error, ValueError, IndexError) as e:
         raise DngError(f"malformed OpcodeList2: {e}") from e
     return out

@@ -372,3 +372,147 @@ def test_transcode_preserves_list1():
     b = dng.read_dng(out)
     np.testing.assert_array_equal(a.mosaic, b.mosaic)
     assert a.mosaic[4, 4] != 16383  # the fix actually ran
+
+
+# ---- MapTable (id 7) and per-row/column corrections (ids 10-13) ----
+
+
+def _map_table_opcode(top, left, bottom, right, plane, planes,
+                      row_pitch, col_pitch, table):
+    body = struct.pack(">8I", top, left, bottom, right, plane, planes,
+                       row_pitch, col_pitch)
+    body += struct.pack(">I", len(table))
+    body += struct.pack(f">{len(table)}H", *table)
+    return body
+
+
+def _per_rowcol_opcode(top, left, bottom, right, plane, planes,
+                       row_pitch, col_pitch, vals):
+    body = struct.pack(">8I", top, left, bottom, right, plane, planes,
+                       row_pitch, col_pitch)
+    body += struct.pack(">I", len(vals))
+    body += struct.pack(f">{len(vals)}f", *vals)
+    return body
+
+
+def test_map_table_matches_scalar_oracle():
+    """Short tables replicate their last entry across the rest of the
+    16-bit domain (dng_sdk's fill): values indexing past count-1 read
+    table[count-1]."""
+    rng = np.random.default_rng(10)
+    h, w = 10, 14
+    norm = rng.random((h, w)).astype(np.float32)
+    count = 300  # most of [0,1] lands beyond the table
+    table = np.sort(rng.integers(0, 65536, size=count)).astype(np.uint16)
+    op = _opcode_list([(7, _map_table_opcode(0, 0, h, w, 0, 1, 1, 1,
+                                             table))])
+    got = dng._apply_gain_maps(norm, op)
+    want = np.empty_like(norm)
+    for y in range(h):
+        for x in range(w):
+            idx = int(round(norm[y, x] * 65535.0))
+            idx = min(max(idx, 0), count - 1)
+            want[y, x] = table[idx] / 65535.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_map_table_plane_selection_and_identity():
+    """A full 65536-entry identity table is a no-op; plane selection
+    touches only the requested channel."""
+    rng = np.random.default_rng(11)
+    norm = rng.random((6, 8, 3)).astype(np.float32)
+    ident = np.arange(65536, dtype=np.uint16)
+    inv = ident[::-1].copy()  # v -> 1 - v (up to quantization)
+    op = _opcode_list([(7, _map_table_opcode(0, 0, 6, 8, 1, 1, 1, 1,
+                                             inv))])
+    got = dng._apply_gain_maps(norm, op)
+    np.testing.assert_array_equal(got[..., 0], norm[..., 0])
+    np.testing.assert_array_equal(got[..., 2], norm[..., 2])
+    np.testing.assert_allclose(got[..., 1], 1.0 - norm[..., 1],
+                               atol=2.0 / 65535.0)
+    op_id = _opcode_list([(7, _map_table_opcode(0, 0, 6, 8, 0, 0, 1, 1,
+                                                ident))])
+    got2 = dng._apply_gain_maps(norm, op_id)
+    np.testing.assert_allclose(got2, norm, atol=1.0 / 65535.0)
+
+
+def test_delta_per_row_pitched_lattice():
+    """DeltaPerRow adds one value per PITCHED row of the area and clips
+    to [0, 1]; untouched rows keep their values."""
+    norm = np.full((8, 6), 0.4, dtype=np.float32)
+    deltas = [0.1, -0.5, 0.7]  # rows 1, 3, 5 (top=1, pitch=2)
+    op = _opcode_list([(10, _per_rowcol_opcode(1, 0, 6, 6, 0, 1, 2, 1,
+                                               deltas))])
+    got = dng._apply_gain_maps(norm, op)
+    np.testing.assert_allclose(got[1, :], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(got[3, :], 0.0)      # clipped up from -0.1
+    np.testing.assert_allclose(got[5, :], 1.0)      # clipped down from 1.1
+    for r in (0, 2, 4, 6, 7):
+        np.testing.assert_array_equal(got[r, :], norm[r, :])
+
+
+def test_scale_per_column_matches_oracle_rgb():
+    rng = np.random.default_rng(12)
+    h, w = 7, 5
+    norm = rng.random((h, w, 3)).astype(np.float32)
+    scales = rng.uniform(0.5, 1.8, size=w).astype(np.float32)
+    op = _opcode_list([(13, _per_rowcol_opcode(0, 0, h, w, 0, 0, 1, 1,
+                                               scales))])
+    got = dng._apply_gain_maps(norm, op)
+    want = np.clip(norm * scales[None, :, None], 0.0, 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_delta_per_column_then_scale_per_row_in_order():
+    """Listed order matters through the [0,1] clip."""
+    norm = np.full((3, 3), 0.8, dtype=np.float32)
+    add = _per_rowcol_opcode(0, 0, 3, 3, 0, 1, 1, 1, [0.5, 0.5, 0.5])
+    scale = _per_rowcol_opcode(0, 0, 3, 3, 0, 1, 1, 1, [0.5, 0.5, 0.5])
+    a = dng._apply_gain_maps(norm, _opcode_list([(11, add), (12, scale)]))
+    b = dng._apply_gain_maps(norm, _opcode_list([(12, scale), (11, add)]))
+    np.testing.assert_allclose(a, 0.5)   # clip(1.3)=1.0 then *0.5
+    np.testing.assert_allclose(b, 0.9)   # 0.4 then +0.5
+    assert abs(float(a[0, 0]) - float(b[0, 0])) > 0.3
+
+
+def test_per_row_short_table_is_typed():
+    norm = np.full((8, 8), 0.5, dtype=np.float32)
+    op = _opcode_list([(12, _per_rowcol_opcode(0, 0, 8, 8, 0, 1, 1, 1,
+                                               [1.0, 1.0]))])
+    with pytest.raises(dng.DngError):
+        dng._apply_gain_maps(norm, op)
+
+
+def test_map_table_truncated_is_typed():
+    norm = np.full((4, 4), 0.5, dtype=np.float32)
+    body = _map_table_opcode(0, 0, 4, 4, 0, 1, 1, 1,
+                             np.arange(16, dtype=np.uint16))
+    for cut in (body[:34], body[:40]):
+        with pytest.raises(dng.DngError):
+            dng._apply_gain_maps(norm, _opcode_list([(7, cut)]))
+    with pytest.raises(dng.DngError):
+        dng._apply_gain_maps(norm, _opcode_list(
+            [(7, body[:32] + struct.pack(">I", 0))]))  # size 0
+
+
+def test_list2_map_table_end_to_end_normalizes():
+    """A list-2 MapTable alone triggers the normalize-and-apply read
+    path (the _LIST2_IDS gate covers id 7)."""
+    rng = np.random.default_rng(13)
+    h, w = 12, 12
+    mosaic = rng.integers(600, 15000, size=(h, w), dtype=np.uint16)
+    raw = dng.RawImage(
+        mosaic=mosaic, pattern="RGGB", black_level=512.0,
+        white_level=16383.0, wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+    )
+    # Square-root response table.
+    tab = (np.sqrt(np.arange(65536) / 65535.0) * 65535.0).astype(np.uint16)
+    op2 = _opcode_list([(7, _map_table_opcode(0, 0, h, w, 0, 1, 1, 1,
+                                              tab))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_2=op2))
+    assert back.black_level == 0.0 and back.white_level == 1.0
+    norm = (mosaic.astype(np.float32) - 512.0) / (16383.0 - 512.0)
+    idx = np.clip(np.rint(norm * 65535.0), 0, 65535).astype(np.int32)
+    want = tab[idx] / 65535.0
+    np.testing.assert_allclose(back.mosaic, want.astype(np.float32),
+                               rtol=1e-5)
