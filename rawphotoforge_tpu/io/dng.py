@@ -27,7 +27,8 @@ covers the DNG subset the framework owns natively:
   FixVignetteRadial + MapPolynomial + MapTable + DeltaPerRow/Column +
   ScalePerRow/Column (shading/tone/flat-field corrections at the
   normalized linear-reference stage), and OpcodeList3 WarpRectilinear +
-  FixVignetteRadial (applied post-demosaic by develop) — the
+  FixVignetteRadial (applied post-demosaic by develop) + TrimBounds
+  (composed into the final crop) — the
   corrections phone DNGs/ProRAW carry; read_dng(apply_opcodes=False) is
   the lossless transcode mode that re-serializes them instead
 * embedded JPEG preview extraction (``extract_preview``) from preview
@@ -1506,6 +1507,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     warp = None
     vignette = None
     vignette_first = False
+    trim = None
     opcode_lists = None
     if not apply_opcodes:
         # Lossless-transcode mode: keep the stored pixel values and the
@@ -1523,7 +1525,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         # lists apply sequentially, and for FixVignetteRadial before
         # vs after WarpRectilinear the order is observable (the gain
         # samples a different radius at warped corners).
-        if oplist3 is not None and _opcodes_contain(oplist3, (1, 3)):
+        if oplist3 is not None and _opcodes_contain(oplist3, (1, 3, 6)):
             try:
                 for op_id, body in _iter_opcodes(oplist3):
                     if op_id == 1 and warp is None:
@@ -1535,6 +1537,14 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
                             np.asarray(vals[5:7], dtype=np.float32))
                         if warp is None:
                             vignette_first = True
+                    elif op_id == 6 and trim is None:
+                        # TrimBounds (id 6): u32 top,left,bottom,right.
+                        # Realized as a crop on the developed image
+                        # (intersected with DefaultCrop below) — i.e.
+                        # evaluated after any warp regardless of list
+                        # position; real files carrying TrimBounds
+                        # alongside a warp are not known to exist.
+                        trim = struct.unpack_from(">4I", body, 0)
             except (struct.error, ValueError) as e:
                 raise DngError(f"malformed OpcodeList3: {e}") from e
 
@@ -1554,6 +1564,24 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         if 0 <= cx and 0 <= cy and cx + cw <= width and cy + ch <= height \
                 and cw > 0 and ch > 0:
             default_crop = (cx, cy, cw, ch)
+
+    if trim is not None:
+        # TrimBounds composes with DefaultCrop as a rectangle
+        # intersection in decoded-mosaic coordinates (DefaultCropOrigin
+        # is defined relative to the active area, not to opcode trims).
+        t, l, b, r = (int(v) for v in trim)
+        b, r = min(b, height), min(r, width)
+        if t >= b or l >= r:
+            raise DngError(f"TrimBounds {trim} leaves an empty image")
+        x0, y0, x1, y1 = l, t, r, b
+        if default_crop is not None:
+            cx, cy, cw, ch = default_crop
+            ix0, iy0 = max(x0, cx), max(y0, cy)
+            ix1, iy1 = min(x1, cx + cw), min(y1, cy + ch)
+            if ix0 < ix1 and iy0 < iy1:
+                x0, y0, x1, y1 = ix0, iy0, ix1, iy1
+        if (x0, y0, x1, y1) != (0, 0, width, height):
+            default_crop = (x0, y0, x1 - x0, y1 - y0)
 
     exif = _format_exif(any_ifd)
 

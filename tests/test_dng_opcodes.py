@@ -516,3 +516,75 @@ def test_list2_map_table_end_to_end_normalizes():
     want = tab[idx] / 65535.0
     np.testing.assert_allclose(back.mosaic, want.astype(np.float32),
                                rtol=1e-5)
+
+
+# ---- TrimBounds (id 6, OpcodeList3) ----
+
+
+def _trim_opcode(top, left, bottom, right):
+    return struct.pack(">4I", top, left, bottom, right)
+
+
+def _trim_raw(h=16, w=20, seed=20):
+    rng = np.random.default_rng(seed)
+    mosaic = rng.integers(600, 15000, size=(h, w), dtype=np.uint16)
+    return dng.RawImage(
+        mosaic=mosaic, pattern="RGGB", black_level=512.0,
+        white_level=16383.0, wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None)
+
+
+def test_trim_bounds_alone_becomes_crop():
+    raw = _trim_raw()
+    op3 = _opcode_list([(6, _trim_opcode(2, 4, 14, 18))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_3=op3))
+    assert back.default_crop == (4, 2, 14, 12)  # (x, y, w, h)
+
+
+def test_trim_bounds_intersects_default_crop():
+    raw = _trim_raw()
+    raw = dng.RawImage(**{**raw.__dict__, "default_crop": (2, 0, 16, 10)})
+    op3 = _opcode_list([(6, _trim_opcode(4, 6, 16, 20))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_3=op3))
+    # trim rect x:[6,20) y:[4,16) ∩ crop x:[2,18) y:[0,10)
+    assert back.default_crop == (6, 4, 12, 6)
+
+
+def test_trim_bounds_full_frame_is_noop():
+    raw = _trim_raw()
+    op3 = _opcode_list([(6, _trim_opcode(0, 0, 16, 20))])
+    back = dng.read_dng(dng.write_dng(raw, opcode_list_3=op3))
+    assert back.default_crop is None
+
+
+def test_trim_bounds_empty_is_typed():
+    raw = _trim_raw()
+    op3 = _opcode_list([(6, _trim_opcode(10, 0, 10, 20))])
+    data = dng.write_dng(raw, opcode_list_3=op3)
+    with pytest.raises(dng.DngError):
+        dng.read_dng(data)
+
+
+def test_trim_bounds_transcode_preserved():
+    """apply_opcodes=False keeps TrimBounds in the raw blob (no crop
+    folded in) and re-serializes it."""
+    raw = _trim_raw()
+    op3 = _opcode_list([(6, _trim_opcode(2, 4, 14, 18))])
+    mid = dng.read_dng(dng.write_dng(raw, opcode_list_3=op3),
+                       apply_opcodes=False)
+    assert mid.default_crop is None
+    back = dng.read_dng(dng.write_dng(mid))
+    assert back.default_crop == (4, 2, 14, 12)
+
+
+def test_trim_bounds_develop_matches_sliced_full():
+    """Developing the trimmed DNG equals slicing the untrimmed develop
+    (crop applies post-demosaic, so interior stencils see full
+    context)."""
+    from rawphotoforge_tpu.io import raw as rawmod
+    raw = _trim_raw(24, 28, seed=21)
+    op3 = _opcode_list([(6, _trim_opcode(4, 6, 20, 26))])
+    trimmed = dng.read_dng(dng.write_dng(raw, opcode_list_3=op3))
+    full = dng.read_dng(dng.write_dng(raw))
+    a = np.asarray(rawmod.develop_raw_image(trimmed)[0])
+    b = np.asarray(rawmod.develop_raw_image(full)[0])[:, 4:20, 6:26]
+    np.testing.assert_array_equal(a, b)
