@@ -45,6 +45,44 @@ def _variants():
             compression=8,
         ),
     }
+    # An opcode-dense fixture: every handled OpcodeList1/2/3 id rides in
+    # one file, so the mutation sweep exercises all the opcode parsers
+    # (FixBadPixels, GainMap, FixVignetteRadial, MapPolynomial, MapTable,
+    # Delta/ScalePerRow/Column, WarpRectilinear, TrimBounds).
+    import struct as _struct
+
+    def _ops(items):
+        blob = _struct.pack(">I", len(items))
+        for oid, body in items:
+            blob += _struct.pack(">IIII", oid, 0x01030000, 1, len(body)) + body
+        return blob
+
+    _area = _struct.pack(">8I", 0, 0, 24, 32, 0, 1, 1, 1)
+    op1 = _ops([(4, _struct.pack(">2I", 16000, 0)),
+                (5, _struct.pack(">3I", 0, 1, 1)
+                 + _struct.pack(">2I", 3, 5) + _struct.pack(">4I", 8, 8, 10, 10))])
+    op2 = _ops([
+        (9, _area + _struct.pack(">2I", 2, 2)
+         + _struct.pack(">4d", 1.0, 1.0, 0.0, 0.0) + _struct.pack(">I", 1)
+         + _struct.pack(">4f", 1.0, 1.1, 1.2, 1.3)),
+        (3, _struct.pack(">7d", 0.2, 0.0, 0.0, 0.0, 0.0, 0.5, 0.5)),
+        (8, _area + _struct.pack(">I", 1) + _struct.pack(">2d", 0.0, 1.0)),
+        (7, _area + _struct.pack(">I", 16)
+         + np.linspace(0, 65535, 16).astype(">u2").tobytes()),
+        (10, _area + _struct.pack(">I", 24)
+         + np.full(24, 0.01, ">f4").tobytes()),
+        (13, _area + _struct.pack(">I", 32)
+         + np.full(32, 0.98, ">f4").tobytes()),
+    ])
+    op3 = _ops([
+        (1, _struct.pack(">I", 1)
+         + _struct.pack(">6d", 0.9, 0.05, 0.0, 0.0, 0.0, 0.0)
+         + _struct.pack(">2d", 0.5, 0.5)),
+        (6, _struct.pack(">4I", 2, 2, 22, 30)),
+    ])
+    out["opcodes"] = dng.write_dng(raw, opcode_list_1=op1,
+                                   opcode_list_2=op2, opcode_list_3=op3)
+
     # A lossy LinearRaw fixture via the test builder.
     from PIL import Image as PILImage
 
