@@ -65,6 +65,8 @@ def _add_edit_flags(p: argparse.ArgumentParser):
                    help="JSON preset file (overrides other edit flags)")
     p.add_argument("--save-preset", type=str, default=None)
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--bit-depth", type=int, default=8, choices=(8, 16),
+                   help="16 -> 48-bit PNG (output must be .png or .ppm)")
     p.add_argument("--jnp-path", action="store_true",
                    help="use the exact-LUT jnp path instead of the fused kernel")
     p.add_argument("--histogram", action="store_true",
@@ -185,6 +187,12 @@ def cmd_develop(args) -> int:
     # A .dng output exports scene-linear HDR (float LinearRaw DNG);
     # everything else validates as a display format before rendering.
     hdr_out = args.output.lower().endswith(".dng")
+    if args.bit_depth == 16 and not args.output.lower().endswith(
+            (".png", ".ppm")):
+        # Reject up front instead of after minutes of develop + fetch
+        # (the .dng HDR export is already scene-linear float).
+        raise image_io.ImageIOError(
+            "--bit-depth 16 needs a .png or .ppm output")
     if not hdr_out:
         fmt = image_io.format_for_path(args.output)
         if fmt == "DNG":
@@ -222,7 +230,8 @@ def cmd_develop(args) -> int:
     if hdr_out:
         ed.save_hdr_dng(args.output)
     else:
-        ed.save(args.output, quality=args.quality)
+        ed.save(args.output, quality=args.quality,
+                bit_depth=args.bit_depth)
     t_total = time.perf_counter() - t0
     h, w = ed.shape
     mpix = h * w / 1e6

@@ -60,6 +60,7 @@ a{{color:#8cf}}
       accept=".jpg,.jpeg,.png,.webp,.tif,.tiff,.ppm,.dng,.cr2,.nef,.arw,.rw2,.raf,.cr3,.x3f,.orf,.pef,.srw">
     <a id=dl href="#" onclick="asyncExport('jpeg','export.jpg');return false">{export_jpeg}</a>
     <a href="#" onclick="asyncExport('png','export.png');return false">PNG</a>
+    <a href="#" onclick="asyncExport('png16','export.png');return false">PNG-16</a>
     <a href="#" onclick="asyncExport('dng','export_hdr.dng');return false">HDR</a>
     <span id=exp_status></span> <span id=open_status></span>
   </div>
@@ -1325,7 +1326,7 @@ class EditorApp:
     # -- async export (v1's worker-thread export with progress dialog,
     # raw_photo_forge.py:2180-2257; a 45MP FULL render + tunnel fetch
     # takes tens of seconds and must not block the edit loop) ------------
-    _EXPORT_FMTS = ("JPEG", "PNG", "WEBP", "TIFF", "DNG")
+    _EXPORT_FMTS = ("JPEG", "PNG", "PNG16", "WEBP", "TIFF", "DNG")
 
     def start_export(self, fmt: str) -> str:
         fmt = {"JPG": "JPEG"}.get(fmt.upper(), fmt.upper())

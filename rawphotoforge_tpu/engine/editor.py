@@ -926,14 +926,27 @@ class PhotoEditor:
 
         return fetch_np(self.apply(level)).transpose(1, 2, 0)
 
-    def save(self, path: str, quality: int = 95) -> None:
+    def save(self, path: str, quality: int = 95,
+             bit_depth: int = 8) -> None:
         """Full-resolution render + encode (web/main.ts:910-954 policy:
         always re-render FULL before export). Original EXIF is written back
         into the export (python-legacy editor.py:345-350).
 
+        ``bit_depth=16`` selects the 48-bit PNG encoder for .png outputs
+        (PPM is inherently 16-bit; other display formats have no 16-bit
+        container here and raise).
+
         The bytes are produced BEFORE the destination opens, so a render
         or encode failure never truncates an existing file."""
         fmt = image_io.format_for_path(path)
+        if bit_depth == 16:
+            if fmt == "PNG":
+                fmt = "PNG16"
+            elif fmt != "PPM16":
+                raise image_io.ImageIOError(
+                    f"16-bit export supports .png/.ppm, not {fmt}")
+        elif bit_depth != 8:
+            raise image_io.ImageIOError(f"bit depth {bit_depth}")
         data = self.save_bytes(fmt, quality=quality)
         with open(path, "wb") as f:
             f.write(data)

@@ -156,6 +156,51 @@ def encode_ppm16(hwc: np.ndarray) -> bytes:
     return b"P6\n%d %d\n65535\n" % (w, h) + u16.tobytes()
 
 
+def encode_png16(u16_hwc: np.ndarray,
+                 exif_bytes: bytes | None = None) -> bytes:
+    """u16 HWC RGB -> 48-bit (16-bit/channel) PNG bytes.
+
+    From-scratch encoder: Pillow cannot WRITE 48-bit RGB PNGs (it only
+    models 8-bit RGB rasters), and the depth is the point — the sRGB-
+    encoded render carries more than 8 bits of tonal precision, and an
+    8-bit export posterizes any later shadow push. Exceeds the
+    reference (v1 saves 8-bit JPEG/PNG only, editor.py:307-345).
+    Layout per the PNG spec: IHDR depth 16 / color type 2, one zlib
+    IDAT of filter-0 rows with big-endian samples, optional eXIf chunk
+    (the TIFF-structured payload, APP1 prefix stripped)."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(u16_hwc)
+    if a.ndim != 3 or a.shape[2] != 3 or a.dtype != np.uint16:
+        raise ImageIOError(
+            f"encode_png16 needs u16 HWC RGB, got {a.dtype} {a.shape}")
+    h, w = a.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    # Filter byte 0 before each row (no prediction: the zlib stage
+    # already rides the smoothness, and filter-0 keeps the encoder and
+    # the test oracle trivially byte-auditable).
+    rows = a.astype(">u2").tobytes()
+    stride = w * 6
+    raw = b"".join(b"\x00" + rows[i * stride:(i + 1) * stride]
+                   for i in range(h))
+    out = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if exif_bytes:
+        blob = normalize_exif_blob(exif_bytes)
+        if blob.startswith(b"Exif\x00\x00"):
+            blob = blob[6:]
+        if blob:
+            out.append(chunk(b"eXIf", blob))
+    out.append(chunk(b"IDAT", zlib.compress(raw, 6)))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
+
+
 @_functools.cache
 def _normalize_upload(scale: float, linearize: bool):
     """Jitted integer->f32 normalize (+ optional sRGB EOTF) on device."""
@@ -466,6 +511,22 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
             "cannot encode a developed image as DNG; use io.dng.write_dng "
             "for CFA mosaics"
         )
+    if fmt == "PNG16":
+        # 48-bit PNG: quantize to u16 ON DEVICE (2 bytes/sample over
+        # the link, same shape-stable program story as the u8 path) and
+        # entropy-code host-side with the from-scratch encoder.
+        from ..ops.develop import encode_u16
+        from ..utils.transfer import _is_device_array
+
+        stage("fetch")
+        if _is_device_array(planes):
+            u16 = fetch_np(encode_u16(planes))
+        else:
+            u16 = (np.clip(np.asarray(planes), 0.0, 1.0)
+                   * 65535.0).astype(np.uint16)
+        hwc = hcrop(np.ascontiguousarray(u16.transpose(1, 2, 0)))
+        stage("encode")
+        return encode_png16(hwc, exif_bytes=exif_bytes)
     if fmt == "PPM16":
         # PPM16 is a LINEAR container here (the decode path takes its
         # samples as linear light, matching the reference TS loader's

@@ -329,3 +329,103 @@ def test_format_for_bytes_ppm_comment_tokens():
     buf = _io.BytesIO()
     PILImage.fromarray(np.zeros((4, 6, 3), np.uint8)).save(buf, format="PPM")
     assert format_for_bytes(buf.getvalue()) == "JPEG"
+
+
+# ---- 48-bit PNG export (encode_png16 / fmt="PNG16") ----
+
+
+def _png16_decode_oracle(data: bytes) -> np.ndarray:
+    """Independent minimal PNG reader for the filter-0 48-bit layout:
+    walks chunks, validates CRCs, inflates IDAT, checks every row's
+    filter byte, returns u16 HWC."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        assert crc == zlib.crc32(tag + payload), tag
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    w, h, depth, ctype, comp, filt, ilace = ihdr
+    assert (depth, ctype, comp, filt, ilace) == (16, 2, 0, 0, 0)
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 6
+    assert len(raw) == h * stride
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0  # filter 0
+        rows.append(np.frombuffer(row, ">u2", offset=1))
+    return np.stack(rows).reshape(h, w, 3).astype(np.uint16)
+
+
+def test_png16_roundtrips_16bit_values(rng):
+    from rawphotoforge_tpu.io.image_io import encode_png16
+
+    u16 = rng.integers(0, 65536, size=(20, 14, 3)).astype(np.uint16)
+    back = _png16_decode_oracle(encode_png16(u16))
+    np.testing.assert_array_equal(back, u16)
+
+
+def test_png16_opens_in_pillow_as_8bit_view(rng):
+    """Pillow (an independent PNG implementation) must accept the file;
+    its 8-bit view equals the u16 high byte."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    from rawphotoforge_tpu.io.image_io import encode_png16
+
+    u16 = rng.integers(0, 65536, size=(9, 11, 3)).astype(np.uint16)
+    img = PILImage.open(_io.BytesIO(encode_png16(u16)))
+    assert img.size == (11, 9)
+    arr = np.asarray(img.convert("RGB"))
+    np.testing.assert_array_equal(arr, (u16 >> 8).astype(np.uint8))
+
+
+def test_png16_preserves_more_than_8_bits(rng):
+    """The point of the format: two renders 1/65535 apart survive."""
+    from rawphotoforge_tpu.io import image_io
+
+    planes = np.full((3, 6, 8), 0.25, np.float32)
+    a = image_io.encode_image(planes, "PNG16")
+    b = image_io.encode_image(planes + 1.0 / 65535.0, "PNG16")
+    da = _png16_decode_oracle(a).astype(np.int32)
+    db = _png16_decode_oracle(b).astype(np.int32)
+    assert (db - da == 1).all()
+
+
+def test_png16_editor_save_and_bit_depth_gate(tmp_path, rng):
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.io import image_io
+
+    hwc = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    src = tmp_path / "t.png"
+    PILImage.fromarray(hwc).save(src)
+    ed = PhotoEditor.open(str(src))
+    out = tmp_path / "o.png"
+    ed.save(str(out), bit_depth=16)
+    u16 = _png16_decode_oracle(out.read_bytes())
+    assert u16.shape == (24, 32, 3)
+    # The 8-bit save is the u16 high byte of the same render.
+    out8 = tmp_path / "o8.png"
+    ed.save(str(out8))
+    arr8 = np.asarray(PILImage.open(out8))
+    assert (np.abs(arr8.astype(np.int32)
+                   - (u16 >> 8).astype(np.int32)) <= 1).all()
+    with pytest.raises(image_io.ImageIOError):
+        ed.save(str(tmp_path / "o.jpg"), bit_depth=16)
