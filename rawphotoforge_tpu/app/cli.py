@@ -450,6 +450,13 @@ def _batch_raw_fast_path(paths, args) -> int:
 def cmd_batch(args) -> int:
     from ..io.raw import is_raw_image
 
+    if args.bit_depth != 8:
+        # Batch outputs are JPEG; silently ignoring the flag would
+        # contradict the strict-surface posture everywhere else.
+        print("batch exports JPEG; --bit-depth 16 is develop-only "
+              "(use develop with a .png output)", file=sys.stderr)
+        return 1
+
     paths = sorted(
         p for p in glob.glob(os.path.join(args.input_dir, "*"))
         if os.path.splitext(p)[1].lower() in image_io.SUPPORTED_EXTENSIONS
