@@ -156,6 +156,108 @@ def encode_ppm16(hwc: np.ndarray) -> bytes:
     return b"P6\n%d %d\n65535\n" % (w, h) + u16.tobytes()
 
 
+def _png_unfilter_py(rows: np.ndarray, filters: np.ndarray,
+                     bpp: int) -> np.ndarray:
+    """Numpy mirror of native.png_unfilter (PNG spec 4.5.4): the tested
+    oracle and the fallback when the native library is unavailable.
+    Filters 0/2 vectorize; 1 (Sub) is a per-lane cumulative sum; 3/4
+    (Average/Paeth) are inherently sequential in x — Python loops,
+    correct but slow (the native path carries real decodes)."""
+    h, stride = rows.shape
+    out = rows.astype(np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        row = out[y]
+        up = out[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:
+            lanes = row[: stride - stride % bpp].reshape(-1, bpp)
+            np.cumsum(lanes, axis=0, out=lanes)
+        elif f == 2:
+            row += up
+        elif f == 3:
+            for x in range(stride):
+                a = row[x - bpp] & 0xFF if x >= bpp else 0
+                row[x] += (a + (up[x] & 0xFF)) >> 1
+                row[x] &= 0xFF
+        elif f == 4:
+            for x in range(stride):
+                a = row[x - bpp] & 0xFF if x >= bpp else 0
+                b = up[x] & 0xFF
+                c = up[x - bpp] & 0xFF if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ImageIOError(f"PNG filter type {f}")
+        out[y] = row & 0xFF
+    return out.astype(np.uint8)
+
+
+def _parse_png48(data: bytes) -> np.ndarray | None:
+    """Decode a 16-bit-per-channel RGB (48-bit) PNG -> u16 HWC.
+
+    Returns None for anything that is not a non-interlaced RGB
+    depth-16 PNG (those take the Pillow path); raises ImageIOError on a
+    malformed file that claims to be one. Exists because Pillow READS
+    48-bit RGB PNGs by truncating to 8 bits — the reference's image
+    crate decodes them at full depth (image.rs:386-480), and this
+    framework's own PNG16 exports must round-trip losslessly."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n" or len(data) < 33:
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+        ">IIBBBBB", data[16:29])
+    if (depth, ctype) != (16, 2):
+        return None  # not 48-bit RGB: Pillow handles it at full depth
+    if ilace != 0:
+        return None  # Adam7: rare; Pillow opens it (8-bit)
+    try:
+        if comp != 0 or filt != 0:
+            raise ValueError(f"compression/filter method {comp}/{filt}")
+        if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
+            raise ValueError(f"dimensions {w}x{h}")
+        if w * h > (1 << 28):
+            raise ValueError(f"unreasonable pixel count {w * h}")
+        idat = []
+        pos = 8
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            if pos + 12 + ln > len(data):
+                raise ValueError(f"truncated {tag!r} chunk")
+            if tag == b"IDAT":
+                idat.append(data[pos + 8 : pos + 8 + ln])
+            pos += 12 + ln
+            if tag == b"IEND":
+                break
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * 6
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"IDAT inflates to {len(raw)} bytes, want {h * (1 + stride)}")
+        grid = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+        filters = np.ascontiguousarray(grid[:, 0])
+        rows = np.ascontiguousarray(grid[:, 1:])
+        from .. import native
+
+        if native.available():
+            rows = native.png_unfilter(rows, filters, 6)
+        else:
+            rows = _png_unfilter_py(rows, filters, 6)
+        return (np.frombuffer(rows.tobytes(), ">u2")
+                .reshape(h, w, 3).astype(np.uint16))
+    except (ValueError, zlib.error, struct.error) as e:
+        raise ImageIOError(f"malformed 48-bit PNG: {e}") from e
+
+
 def encode_png16(u16_hwc: np.ndarray,
                  exif_bytes: bytes | None = None) -> bytes:
     """u16 HWC RGB -> 48-bit (16-bit/channel) PNG bytes.
@@ -313,13 +415,33 @@ def decode_image_host(data: bytes, fmt: str,
             # Raw blob for metadata write-back into exports (exiftool-style,
             # python-legacy editor.py:345-350); editors pop this key.
             exif["_exif_bytes"] = raw_exif
-        img = ImageOps.exif_transpose(img)
+        png48 = _parse_png48(data) if fmt == "PNG" else None
+        if png48 is not None:
+            # 48-bit RGB PNG: Pillow's raster is truncated to 8 bits,
+            # so pixels come from the full-depth parser; PIL still
+            # supplies the metadata above. Orientation (PNG eXIf) is
+            # applied to the u16 array directly.
+            try:
+                o = int(img.getexif().get(0x0112, 1) or 1)
+            except Exception:  # noqa: BLE001 — orientation is best-effort
+                o = 1
+            if 2 <= o <= 8:
+                from ..engine.instant import _orient_np
+
+                png48 = np.ascontiguousarray(
+                    _orient_np(png48.transpose(2, 0, 1), o)
+                    .transpose(1, 2, 0))
+            arr, scale = png48, 65535.0
+        else:
+            img = ImageOps.exif_transpose(img)
 
         # Upload the decoder's native integer width and normalize on
         # device: a 24MP JPEG moves 72 MB over the host->device link
         # instead of 288 MB (the /scale division is the identical f32 op
         # on either side).
-        if img.mode in ("I;16", "I;16B", "I;16L"):
+        if png48 is not None:
+            pass
+        elif img.mode in ("I;16", "I;16B", "I;16L"):
             arr, scale = np.asarray(img, dtype=np.uint16), 65535.0
         elif img.mode == "I":
             # 32-bit integer mode: values may exceed 65535, so a u16 cast

@@ -129,6 +129,8 @@ def _bind(lib) -> None:
         f32p, c, c, f32p, c, ctypes.c_float, f32p,
     ]
     lib.rpf_unsharp_f32.restype = c
+    lib.rpf_png_unfilter.argtypes = [u8p, u8p, c64, c64, c]
+    lib.rpf_png_unfilter.restype = c
 
 
 def available() -> bool:
@@ -456,6 +458,23 @@ def hostdev_develop(planes, masks, mrow, lut_idx, luts, mats,
     if rc != 0:
         raise ValueError(f"rpf_hostdev_develop failed (rc={rc})")
     return out
+
+
+def png_unfilter(rows: "np.ndarray", filters: "np.ndarray",
+                 bpp: int) -> "np.ndarray":
+    """Undo PNG row filters IN PLACE on ``rows`` [h, stride] u8 (filter
+    bytes already split off into ``filters`` [h] u8); returns ``rows``.
+    Raises on unknown filter types (malformed file)."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    filters = np.ascontiguousarray(filters, dtype=np.uint8)
+    h, stride = rows.shape
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rc = lib.rpf_png_unfilter(rows, filters, h, stride, int(bpp))
+    if rc != 0:
+        raise ValueError(f"png_unfilter failed (code {rc})")
+    return rows
 
 
 def _check_planes_point(planes, point_yx):

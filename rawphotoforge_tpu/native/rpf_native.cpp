@@ -1817,4 +1817,55 @@ int rpf_hostdev_develop(const float* planes, int h, int w, int n_masks,
   return RPF_OK;
 }
 
+// PNG row reconstruction (PNG spec 4.5.4 / RFC 2083 §6.6): undo the
+// per-row byte filters in place. `data` holds h rows of `stride`
+// filtered bytes (filter-type bytes already stripped into `filters`),
+// `bpp` is bytes per pixel. Rows are inherently sequential (Up/Average/
+// Paeth read the reconstructed previous row, Sub/Average/Paeth the
+// reconstructed left pixel) — this loop is why the decode needs a
+// native hot path; the numpy mirror in io/image_io.py is the tested
+// oracle. Returns RPF_OK or RPF_ERR on an unknown filter type.
+int rpf_png_unfilter(uint8_t* data, const uint8_t* filters, int64_t h,
+                     int64_t stride, int32_t bpp) {
+  if (h <= 0 || stride <= 0 || bpp <= 0 || bpp > stride) return RPF_ERR_ARGS;
+  for (int64_t y = 0; y < h; ++y) {
+    uint8_t* row = data + y * stride;
+    const uint8_t* up = y > 0 ? data + (y - 1) * stride : nullptr;
+    switch (filters[y]) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (int64_t x = bpp; x < stride; ++x) row[x] += row[x - bpp];
+        break;
+      case 2:  // Up
+        if (up)
+          for (int64_t x = 0; x < stride; ++x) row[x] += up[x];
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; ++x) {
+          unsigned a = x >= bpp ? row[x - bpp] : 0u;
+          unsigned b = up ? up[x] : 0u;
+          row[x] = static_cast<uint8_t>(row[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          int b = up ? up[x] : 0;
+          int c = (up && x >= bpp) ? up[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          row[x] = static_cast<uint8_t>(row[x] + pred);
+        }
+        break;
+      default:
+        return RPF_ERR_ARGS;
+    }
+  }
+  return RPF_OK;
+}
+
 }  // extern "C"
