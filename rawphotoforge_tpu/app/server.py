@@ -1594,8 +1594,9 @@ def make_handler(app: EditorApp):
                     {"error": "export not finished",
                      "stage": job["stage"]}).encode())
             else:
-                ctype = ("image/x-adobe-dng" if job["fmt"] == "DNG"
-                         else f"image/{job['fmt'].lower()}")
+                ctype = {"DNG": "image/x-adobe-dng",
+                         "PNG16": "image/png"}.get(
+                    job["fmt"], f"image/{job['fmt'].lower()}")
                 self._send(200, job["data"], ctype)
 
         def _do_get(self, url, q):
