@@ -39,15 +39,45 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main(argv=None) -> int:
-    from bench import _watchdog
+def _watchdog(seconds: int, on_timeout):
+    """Abort with PARTIAL results instead of hanging on a wedged tunnel.
 
+    Returns a ``rearm(secs)`` callable so long multi-step phases (the
+    config-5 export loop) can convert the deadline from total-runtime to
+    time-since-last-progress.  On alarm, ``on_timeout()`` runs first
+    (it flushes whatever was measured to bench_results.json — round 3
+    lost its perf evidence to a silent rc=124), then the process exits 2.
+    No-op when RPF_BENCH_TIMEOUT_S=0.
+    """
+    import os
+    import signal
+
+    try:
+        timeout = int(float(os.environ.get("RPF_BENCH_TIMEOUT_S", seconds)))
+    except ValueError:
+        timeout = seconds
+    if timeout <= 0:
+        return lambda secs: None
+
+    def on_alarm(signum, frame):
+        log("bench_all: watchdog expired (tunnel wedged?) — writing "
+            "partial results and aborting")
+        try:
+            on_timeout()
+        finally:
+            os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout)
+    return signal.alarm
+
+
+def main(argv=None) -> int:
     # Config 5 alone is a real 10-20 min export; leave generous headroom
     # while still refusing to hang forever on a wedged tunnel. Its export
     # loop re-arms this per chunk, so the deadline there is
     # time-since-last-progress, not total runtime — a degraded tunnel
     # (observed: 40x below nominal for two hours) still finishes.
-    rearm_watchdog = _watchdog(7200)
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated config ids (6,1,1a,1b,1c,2,3,4,7,5); "
@@ -77,7 +107,32 @@ def main(argv=None) -> int:
                 results.update(json.load(f))
         except (OSError, ValueError):
             pass
+
+    def flush_results(partial: bool = False):
+        """Write bench_results.json NOW — called after every config so a
+        later wedge can never erase earlier measurements."""
+        rec = {k: (round(v, 3) if isinstance(v, float) else v)
+               for k, v in results.items()}
+        if partial:
+            rec["bench_incomplete"] = True
+        elif "bench_incomplete" in rec:
+            del rec["bench_incomplete"]
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+
+    rearm_watchdog = _watchdog(7200, lambda: flush_results(partial=True))
     log(f"bench_all: backend={jax.default_backend()} devices={jax.devices()}")
+
+    # Tunnel probe BEFORE any compile: one tiny dispatch + fetch in a
+    # worker thread with a hard join budget (a wedged tunnel blocks in
+    # PJRT C++ where SIGALRM's Python handler can't run).
+    from bench import _Wedged, _run_phase
+    try:
+        _run_phase("probe", lambda: float((jnp.asarray([1.0]) + 1.0)[0]), 90)
+    except _Wedged as e:
+        log(f"bench_all: {e} — aborting before any compile")
+        flush_results(partial=True)
+        return 2
 
     def main_edit() -> EditParameters:
         p = EditParameters()
@@ -256,6 +311,8 @@ def main(argv=None) -> int:
             f"{results['c6_xtrans_first_preview_prewarmed_s']:.2f} s; "
             f"instant host stand-in {t_instant * 1e3:.0f} ms (24MP DNG)")
 
+        flush_results()
+
     if want("1"):
         # masks=None: the editor's single-mask dispatch (mask elision) —
         # the kernel never reads a mask plane for the main-mask-only
@@ -267,6 +324,8 @@ def main(argv=None) -> int:
         results["c1_24mp_edit_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1: 24MP full edit stack {dt * 1e3:.2f} ms "
             f"= {h * w / 1e6 / dt:.0f} MPix/s")
+
+        flush_results()
 
     if want("1a"):
         # Slider-only edit (no curves touched): the staircase-shortcut
@@ -291,6 +350,8 @@ def main(argv=None) -> int:
         results["c1_24mp_sliders_only_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1a: 24MP slider-only edit (identity_oklch variant) "
             f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
+
+        flush_results()
 
     if want("1c"):
         # Tone-curve drag: brightness curve touched, hue/sat/light
@@ -319,6 +380,8 @@ def main(argv=None) -> int:
             f"brightness sweeps) {dt * 1e3:.2f} ms "
             f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
+        flush_results()
+
     if want("1b"):
         # The same edit with M=4 masks (the reference's typical
         # regional-edit workload; per-mask loop cost, wgsl:281-331).
@@ -341,6 +404,8 @@ def main(argv=None) -> int:
         log(f"config 1b: 24MP edit with 4 masks {dt * 1e3:.2f} ms "
             f"= {h * w / 1e6 / dt:.0f} MPix/s")
 
+        flush_results()
+
     if want("2"):
         mosaic = jax.random.uniform(key, (h, w), dtype=jnp.float32)
 
@@ -359,6 +424,8 @@ def main(argv=None) -> int:
         results["c2_24mp_raw_mpix_s"] = h * w / 1e6 / dt
         log(f"config 2: 24MP Bayer malvar demosaic + WB + matrix "
             f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
+
+        flush_results()
 
     if want("3") or want("4"):
         h3, w3 = 5504, 8256
@@ -396,6 +463,8 @@ def main(argv=None) -> int:
         log(f"config 3: 45MP demosaic+sharpen+edit + preview histogram "
             f"{dt * 1e3:.2f} ms = {h3 * w3 / 1e6 / dt:.0f} MPix/s")
 
+        flush_results()
+
     if want("4"):
         # Device time of one preview re-render at each pyramid level for a
         # 45MP session (MID 1280, LOW 400 long edge): the drag->LOW /
@@ -416,6 +485,8 @@ def main(argv=None) -> int:
         log(f"config 4: slider-to-preview device time: LOW {t_low * 1e3:.2f} ms, "
             f"MID {t_mid * 1e3:.2f} ms, FULL(45MP w/ demosaic) "
             f"{results['c3_45mp_full_ms']:.1f} ms — north star < 50 ms")
+
+        flush_results()
 
     if want("7"):
         # 24MP X-Trans develop (VERDICT r2 #7): the 6x6 CFA goes through
@@ -453,6 +524,8 @@ def main(argv=None) -> int:
         log(f"config 7: 24MP X-Trans one-pass fused kernel (full stack) "
             f"{dt * 1e3:.2f} ms = {h * w / 1e6 / dt:.0f} MPix/s")
 
+        flush_results()
+
     if want("5"):
         # The full export path, nothing excluded: device develop (one-pass
         # fused RAW kernel) -> device JPEG fDCT + quantization + Huffman
@@ -471,7 +544,11 @@ def main(argv=None) -> int:
         from rawphotoforge_tpu import native as rpf_native
         from rawphotoforge_tpu.io import jpegbits, jpegenc
 
-        bh, bw = 4000, 6000  # 24MP per image
+        # 24MP per image; RPF_C5_SHAPE=HxW shrinks it for smoke runs of
+        # the loop structure (e.g. the mesh branch on the virtual CPU
+        # mesh) — the committed artifact always uses the full shape.
+        bh, bw = (int(x) for x in os.environ.get(
+            "RPF_C5_SHAPE", "4000x6000").split("x"))
         chunk = 4
         yy, xx = jnp.mgrid[0:bh, 0:bw].astype(jnp.float32)
         base = 0.35 + 0.3 * jnp.sin(xx / 700.0) * jnp.cos(yy / 500.0)
@@ -529,65 +606,124 @@ def main(argv=None) -> int:
         # slice programs queued behind the next image's compute on the
         # device); pre-split band buffers transfer without any device
         # program, so the orders can be A/B'd with RPF_C5_OVERLAP=0.
-        overlap = os.environ.get("RPF_C5_OVERLAP", "1") != "0"
-        fetch_sync(export_one(mosaics[0]))  # compile
-        t_fetch = 0.0
-        fetched_bytes = 0
-        last_bytes = 0
-        last_t = 0.0
-        t0 = time.perf_counter()
-        from rawphotoforge_tpu.utils.transfer import (
-            banded_fetch_elems, fetch_banded, start_banded)
+        ndev5 = len(jax.devices())
+        if ndev5 > 1:
+            # Multi-device host: bench config 5 takes the MESH path
+            # (VERDICT r3 #2) — the per-shard fused-RAW + packed-wire
+            # step, one image per device per dispatch. Word rows are
+            # fetched at packed capacity (local-host assumption; the
+            # tunnel-remote single chip path is the banded loop below).
+            from rawphotoforge_tpu.parallel import mesh as pmesh
 
-        def fetch_image(dev_i, n_words, n_bits):
-            word_bands, _t = dev_i
-            hw = fetch_banded(word_bands, pbnd, n_words)
-            # Band-rounded bytes actually moved, not the trimmed views —
-            # the logged MB/s and c5_fetch_gb must reflect link traffic.
-            moved = 20 + 4 * banded_fetch_elems(n_words, pbnd)
-            return (hw, n_bits), moved
+            msh5 = pmesh.make_mesh(ndev5)
+            step5 = jax.jit(pmesh.export_batch_raw_fused_packed_step,
+                            static_argnums=(5, 8, 9, 10))
+            caps5p = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+            sharpen5 = jnp.float32(0.8)
 
-        with ThreadPoolExecutor(8) as pool:
-            pending = []
-            dev_i = export_one(mosaics[0])
-            for i in range(n_images):
-                # Progress-based deadline: each completed image buys 10
-                # more minutes. Only a true wedge (zero progress) aborts.
-                rearm_watchdog(600)
-                tf = time.perf_counter()
-                tv = np.asarray(dev_i[1])  # totals: the program-i sync
-                n_words, n_bits = int(tv[0]), int(tv[1])
-                if (int(tv[2]) or int(tv[3]) > nblocks * caps5[0]
-                        or int(tv[4]) != n_words):
-                    raise RuntimeError(
-                        f"packed wire rejected image {i}: totals={tv}")
-                dev_next = None
-                if overlap:
-                    # Start the d2h transfers, THEN hand the device the
-                    # next image's compute: the transfers ride the link
-                    # while the device works.
-                    start_banded(dev_i[0], pbnd, n_words)
-                    if i + 1 < n_images:
+            def stack_for(i0):
+                return jnp.stack(
+                    [mosaics[j % chunk] for j in range(i0, i0 + ndev5)])
+
+            def dispatch5(i0):
+                return step5(stack_for(i0), wb, cam, params5, sharpen5,
+                             msh5, qlum_d, qchr_d, "RGGB", *caps5p)
+
+            fetch_sync(dispatch5(0))  # compile
+            t_fetch = 0.0
+            fetched_bytes = 0
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(8) as pool:
+                pending = []
+                dev_cur = dispatch5(0)
+                i0 = 0
+                while i0 < n_images:
+                    rearm_watchdog(600)
+                    tf = time.perf_counter()
+                    tv = np.asarray(dev_cur[1])
+                    nxt = (dispatch5(i0 + ndev5)
+                           if i0 + ndev5 < n_images else None)
+                    hw = np.asarray(dev_cur[0])
+                    t_fetch += time.perf_counter() - tf
+                    fetched_bytes += hw.nbytes + tv.nbytes
+                    for k in range(min(ndev5, n_images - i0)):
+                        nw, nbits = int(tv[k, 0]), int(tv[k, 1])
+                        if (int(tv[k, 2]) or int(tv[k, 3]) > nblocks * caps5p[0]
+                                or int(tv[k, 4]) != nw):
+                            raise RuntimeError(
+                                f"packed wire rejected image {i0 + k}: "
+                                f"totals={tv[k]}")
+                        pending.append(pool.submit(
+                            encode_one, (i0 + k, hw[k, :nw], nbits)))
+                    if (i0 // ndev5) % 8 == 0:
+                        log(f"config 5 (mesh x{ndev5}): image "
+                            f"{i0 + 1}/{n_images}, "
+                            f"{time.perf_counter() - t0:.0f} s elapsed")
+                    i0 += ndev5
+                    dev_cur = nxt
+                rearm_watchdog(900)
+                for f in pending:
+                    f.result()
+        else:
+            overlap = os.environ.get("RPF_C5_OVERLAP", "1") != "0"
+            fetch_sync(export_one(mosaics[0]))  # compile
+            t_fetch = 0.0
+            fetched_bytes = 0
+            last_bytes = 0
+            last_t = 0.0
+            t0 = time.perf_counter()
+            from rawphotoforge_tpu.utils.transfer import (
+                banded_fetch_elems, fetch_banded, start_banded)
+
+            def fetch_image(dev_i, n_words, n_bits):
+                word_bands, _t = dev_i
+                hw = fetch_banded(word_bands, pbnd, n_words)
+                # Band-rounded bytes actually moved, not the trimmed views —
+                # the logged MB/s and c5_fetch_gb must reflect link traffic.
+                moved = 20 + 4 * banded_fetch_elems(n_words, pbnd)
+                return (hw, n_bits), moved
+
+            with ThreadPoolExecutor(8) as pool:
+                pending = []
+                dev_i = export_one(mosaics[0])
+                for i in range(n_images):
+                    # Progress-based deadline: each completed image buys 10
+                    # more minutes. Only a true wedge (zero progress) aborts.
+                    rearm_watchdog(600)
+                    tf = time.perf_counter()
+                    tv = np.asarray(dev_i[1])  # totals: the program-i sync
+                    n_words, n_bits = int(tv[0]), int(tv[1])
+                    if (int(tv[2]) or int(tv[3]) > nblocks * caps5[0]
+                            or int(tv[4]) != n_words):
+                        raise RuntimeError(
+                            f"packed wire rejected image {i}: totals={tv}")
+                    dev_next = None
+                    if overlap:
+                        # Start the d2h transfers, THEN hand the device the
+                        # next image's compute: the transfers ride the link
+                        # while the device works.
+                        start_banded(dev_i[0], pbnd, n_words)
+                        if i + 1 < n_images:
+                            dev_next = export_one(mosaics[(i + 1) % chunk])
+                    host, moved = fetch_image(dev_i, n_words, n_bits)
+                    fetched_bytes += moved
+                    if not overlap and i + 1 < n_images:
                         dev_next = export_one(mosaics[(i + 1) % chunk])
-                host, moved = fetch_image(dev_i, n_words, n_bits)
-                fetched_bytes += moved
-                if not overlap and i + 1 < n_images:
-                    dev_next = export_one(mosaics[(i + 1) % chunk])
-                t_fetch += time.perf_counter() - tf
-                dev_i = dev_next
-                if i % 32 == 0 or (time.perf_counter() - tf) > 30.0:
-                    mb = (fetched_bytes - last_bytes) / 1e6
-                    dt_w = time.perf_counter() - t0 - last_t
-                    log(f"config 5: image {i + 1}/{n_images} fetched "
-                        f"{mb:.0f} MB in {dt_w:.1f} s "
-                        f"({mb / max(dt_w, 1e-9):.1f} MB/s link), "
-                        f"{time.perf_counter() - t0:.0f} s elapsed")
-                    last_bytes = fetched_bytes
-                    last_t = time.perf_counter() - t0
-                pending.append(pool.submit(encode_one, (i, *host)))
-            rearm_watchdog(900)  # headroom for the encode-queue drain
-            for f in pending:
-                f.result()
+                    t_fetch += time.perf_counter() - tf
+                    dev_i = dev_next
+                    if i % 32 == 0 or (time.perf_counter() - tf) > 30.0:
+                        mb = (fetched_bytes - last_bytes) / 1e6
+                        dt_w = time.perf_counter() - t0 - last_t
+                        log(f"config 5: image {i + 1}/{n_images} fetched "
+                            f"{mb:.0f} MB in {dt_w:.1f} s "
+                            f"({mb / max(dt_w, 1e-9):.1f} MB/s link), "
+                            f"{time.perf_counter() - t0:.0f} s elapsed")
+                        last_bytes = fetched_bytes
+                        last_t = time.perf_counter() - t0
+                    pending.append(pool.submit(encode_one, (i, *host)))
+                rearm_watchdog(900)  # headroom for the encode-queue drain
+                for f in pending:
+                    f.result()
         dt_total = time.perf_counter() - t0
         files = os.listdir(outdir)
         total_bytes = sum(
@@ -618,8 +754,7 @@ def main(argv=None) -> int:
             f"4:2:0 would be {ycc_gb:.1f} GB); native bit concatenation "
             f"overlaps; {total_bytes / 1e9:.2f} GB of JPEGs written")
 
-    with open(RESULTS_PATH, "w") as f:
-        json.dump({k: round(v, 3) for k, v in results.items()}, f, indent=1)
+    flush_results()
     log("bench_all: wrote bench_results.json")
     return 0
 

@@ -447,6 +447,109 @@ def _batch_raw_fast_path(paths, args) -> int:
     return 0
 
 
+def _batch_mesh_path(paths, args) -> int:
+    """Mesh-sharded batch export (SURVEY §2.6: "batch export shards the
+    image batch across the mesh" — the 256-image export config).
+
+    Shards the image batch over ALL visible devices and runs the editor's
+    render->encode tail per shard (parallel.mesh.export_batch_editor_
+    packed_step: develop_post_geo + the PACKED JPEG wire). Per-image open
+    (decode + demosaic + geometry + sharpen) runs on the default device;
+    the develop + entropy coding — where the steady per-frame FLOPs are —
+    runs data-parallel with zero collectives. Images are grouped by
+    (bucket shape, true extent); each group is processed in chunks of
+    n_devices (the last chunk padded by repetition, pad outputs
+    discarded).
+
+    Output files are byte-identical to the single-device editor loop
+    (``--no-mesh --jnp-path``): develop_post_geo is the same anchor
+    program, and everything after the u8-grid round is integer math —
+    gated by tests/test_cli_mesh.py on the 8-virtual-device mesh. Any
+    per-image wire rejection (capacity overflow on pathologically dense
+    content) degrades that image to the editor's own save_bytes fallback
+    chain, never silently.
+
+    NOTE: rows are fetched at full packed capacity (~2.7x the true scan
+    bytes); this path is for locally-attached multi-device hosts — a
+    single tunnel-remote chip stays on the banded single-image wire."""
+    import jax
+
+    from .. import native
+    from ..io import jpegbits, jpegenc
+    from ..parallel import mesh as pmesh
+
+    ndev = len(jax.devices())
+    msh = pmesh.make_mesh(ndev)
+    step = jax.jit(pmesh.export_batch_editor_packed_step,
+                   static_argnums=(2, 5, 6, 7))
+    caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+    qlum_h, qchr_h = jpegenc._quant_tables(args.quality)
+    import jax.numpy as jnp
+
+    qlum, qchr = jnp.asarray(qlum_h), jnp.asarray(qchr_h)
+
+    t0 = time.perf_counter()
+    total_pix = 0
+    taken: set = set()
+    groups: dict = {}  # (bucket_shape, extent) -> list[(path, editor, geo)]
+
+    def flush(key, items):
+        nonlocal total_pix
+        (_, bh, bw), (th, tw) = key
+        n_real = len(items)
+        geos = [it[2] for it in items]
+        while len(geos) % ndev:
+            geos.append(geos[-1])  # pad the chunk; outputs discarded
+        stack = jnp.stack(geos)
+        params = items[0][1]._packed_params(FULL)
+        words, totals = step(stack, params, msh, qlum, qchr,
+                             (th, tw), *caps)
+        hw = np.asarray(words)
+        tv = np.asarray(totals)
+        nblocks = (bh // 16) * (bw // 16) * 6
+        for i, (p, ed, _g) in enumerate(items[:n_real]):
+            nw, nbits, bad, n_ent, kept = (int(x) for x in tv[i])
+            if (bad or n_ent > nblocks * caps[0] or kept != nw
+                    or nw > nblocks * caps[1]):
+                # Dense-content capacity overflow: this image takes the
+                # editor's own fallback chain (prepacked -> nibble ->
+                # dense), same bytes by the cross-wire identity tests.
+                body = ed.save_bytes("JPEG", quality=args.quality)
+            else:
+                body = native.jpeg_encode_packed(
+                    hw[i, :nw], nbits, th, tw, quality=args.quality)
+                exif_b = ed.export_exif_bytes()
+                if exif_b:
+                    body = jpegenc._splice_app1(body, exif_b)
+            out = _batch_out_name(p, args.output_dir, taken)
+            with open(out, "wb") as f:
+                f.write(body)
+            total_pix += th * tw
+            print(f"  {p} -> {out}")
+
+    for p in paths:
+        # use_pallas=False: the mesh step runs the exact-LUT anchor
+        # program (develop_post_geo), so the packed params MUST carry
+        # the built LUTs — and the per-image fallback then renders on
+        # the same path, keeping every output in one batch consistent.
+        ed = PhotoEditor.open(p, use_pallas=False,
+                              lens_correct=args.lens_correct,
+                              lens_db_paths=args.lens_db)
+        _apply_edit_flags(ed, args)
+        geo = ed._geo_at(FULL)
+        key = (tuple(geo.shape), ed._extents[FULL])
+        groups.setdefault(key, []).append((p, ed, geo))
+        if len(groups[key]) == ndev:
+            flush(key, groups.pop(key))
+    for key, items in groups.items():
+        flush(key, items)
+    dt = time.perf_counter() - t0
+    print(f"batch (mesh x{ndev}): {len(paths)} images, "
+          f"{total_pix / 1e6:.1f} MPix in {dt:.1f} s "
+          f"({total_pix / 1e6 / dt:.0f} MPix/s end-to-end)")
+    return 0
+
+
 def cmd_batch(args) -> int:
     from ..io.raw import is_raw_image
 
@@ -466,6 +569,20 @@ def cmd_batch(args) -> int:
         print(f"no images found in {args.input_dir}", file=sys.stderr)
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
+
+    # Multi-device host: shard the batch across the mesh (SURVEY §2.6).
+    # Presets are excluded (they can add masks/crops the shared-params
+    # step doesn't model); --crop is excluded like the fast path; the
+    # packed assembly needs the native library. Single-device fallback
+    # below otherwise.
+    if not getattr(args, "no_mesh", False) and not args.preset \
+            and not args.crop:
+        import jax
+
+        from .. import native as _native
+
+        if len(jax.devices()) > 1 and _native.available():
+            return _batch_mesh_path(paths, args)
 
     # The one-pass fused RAW kernel has no lens-distortion (geometry)
     # stage and no profile-correction stage; with --lens-distortion or
@@ -583,6 +700,9 @@ def main(argv=None) -> int:
     p_batch = sub.add_parser("batch", help="develop a directory of images")
     p_batch.add_argument("input_dir")
     p_batch.add_argument("output_dir")
+    p_batch.add_argument("--no-mesh", action="store_true",
+                         help="force the single-device loop even when "
+                              "multiple devices are visible")
     _add_edit_flags(p_batch)
     p_batch.set_defaults(fn=cmd_batch)
 

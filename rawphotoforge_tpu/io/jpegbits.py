@@ -677,6 +677,20 @@ def _prepacked_jit():
         mask = jnp.ones((blocks.shape[0],), bool)
         return packed(blocks, mask, cap_ent, cap_out)
 
+    def wire_packed_extent(planes, qlum, qchr, th, tw, cap_ent, cap_out):
+        """Un-jitted packed wire on a BUCKET-PADDED render with a static
+        true extent ``th x tw`` — full_packed_extent without the band
+        split, for composition under vmap/sharding (the mesh batch
+        export). Pad blocks carry bits==0 and occupy no words; DC deltas
+        chain over true blocks only (_dc_delta_masked), so the stream is
+        byte-identical to a single-image encode of the same pixels."""
+        blocks = st.blockify(planes, qlum, qchr, (th, tw))
+        grid_c = planes.shape[-1] // 16
+        mask = _true_mask(blocks.shape[0], grid_c,
+                          -(-th // 16), -(-tw // 16))
+        blocks = _dc_delta_masked(blocks, mask)
+        return packed(blocks, mask, cap_ent, cap_out)
+
     import types
 
     return types.SimpleNamespace(full=full, full_extent=full_extent,
@@ -685,6 +699,7 @@ def _prepacked_jit():
                                  full_packed_extent=full_packed_extent,
                                  packed=packed_blocks,
                                  wire_packed=wire_packed,
+                                 wire_packed_extent=wire_packed_extent,
                                  dc_delta_masked=jax.jit(_dc_delta_masked))
 
 

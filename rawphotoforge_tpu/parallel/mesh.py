@@ -273,6 +273,105 @@ def entropy_batch_packed_sharded(
                  for a in (words, totals))
 
 
+def export_batch_raw_fused_packed_step(
+    mosaics: jax.Array, wb: jax.Array, cam: jax.Array,
+    params: DevelopParams, sharpen: jax.Array, mesh: Mesh,
+    qlum: jax.Array, qchr: jax.Array, pattern: str,
+    cap_ent: int, cap_out: int,
+):
+    """Bench-config-5's RAW->finished-JPEG-scan pipeline, batch-sharded
+    with PER-CHIP speed-of-light intact: shard_map over 'batch' hands
+    each device ONE unbatched image, so the one-pass fused Pallas RAW
+    kernel (kernels/raw_pipeline.raw_develop_fused — mosaic read once,
+    sRGB written once) runs exactly as it does single-device, followed by
+    the PACKED entropy wire. No vmap over the Pallas kernel, zero
+    collectives.
+
+    mosaics [N, H, W] with N == mesh batch size (ONE image per device
+    per dispatch — a lax.map over multiple 24MP images in one program
+    keeps every iteration's compaction intermediates live at once and
+    hard-crashes the TPU worker, CLAUDE.md); H, W multiples of 16.
+    wb [3], cam [3,3], params, sharpen replicated. Returns (words u32
+    [N, nblocks*cap_out] zero-tailed, totals i32 [N, 5]) sharded on
+    'batch'; consumption protocol = entropy_batch_packed_sharded's.
+    Byte-exactness: identical developed pixels give byte-identical scans
+    to the single-device packed wire (integer math after the u8 round)."""
+    from ..io import jpegbits
+    from ..kernels.raw_pipeline import raw_develop_fused
+
+    if int(mosaics.shape[0]) != int(mesh.shape["batch"]):
+        raise ValueError(
+            f"one image per device: got {mosaics.shape[0]} images for a "
+            f"{mesh.shape['batch']}-way batch axis")
+    st = jpegbits._prepacked_jit()
+
+    def local_fn(local, wb_, cam_, sharpen_, params_, qlum_, qchr_):
+        srgb = raw_develop_fused(local[0], wb_, cam_, params_, sharpen_,
+                                 pattern=pattern)
+        words, totals = st.wire_packed(srgb, qlum_, qchr_,
+                                       cap_ent, cap_out)
+        return words[None], totals[None]
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("batch", None, None), P(), P(), P(), P(), P(), P()),
+        out_specs=(P("batch"), P("batch")),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )(mosaics, wb, cam, sharpen, params, qlum, qchr)
+
+
+def export_batch_editor_packed_step(
+    geos: jax.Array, params: DevelopParams, mesh: Mesh,
+    qlum: jax.Array, qchr: jax.Array, true_shape: tuple[int, int],
+    cap_ent: int, cap_out: int,
+):
+    """The editor's render->encode tail, batch-sharded: the PRODUCT entry
+    for multi-device batch export (``cli batch`` / the server's batch
+    export route through ``app.cli._batch_mesh_path``).
+
+    ``geos`` [N, 3, Hb, Wb] are post-geometry BUCKET-PADDED planes — the
+    exact tensors ``engine.editor._geo_at(FULL)`` holds (demosaic + crop +
+    orientation + lens distortion + sharpen already applied), sharded over
+    'batch'. ``params`` is one replicated extent-traced DevelopParams (the
+    whole batch shares one edit, the CLI contract); ``true_shape`` is the
+    static true extent shared by the group (callers group images by
+    (bucket shape, extent)).
+
+    Per image this computes ``develop_post_geo`` (the jnp anchor — the
+    same program ``editor._render_padded`` runs on the exact path) and the
+    PACKED JPEG wire on the padded MCU grid (true blocks only), so for
+    identical input planes the emitted scan is BYTE-IDENTICAL to a
+    single-device ``editor.save_bytes("JPEG")`` of the same session —
+    everything after the u8-grid round is integer math. Zero collectives:
+    each device develops and entropy-codes only its own images.
+
+    Returns (words u32 [N, nblocks*cap_out] zero-tailed, totals i32
+    [N, 5]), sharded on 'batch'. Consumption protocol per image i =
+    entropy_batch_packed_sharded's: require totals[i,2]==0,
+    totals[i,3] <= nblocks*cap_ent, totals[i,4]==totals[i,0] <=
+    nblocks*cap_out, then native.jpeg_encode_packed(words[i,:totals[i,0]],
+    totals[i,1], h, w)."""
+    from ..io import jpegbits
+
+    geos = jax.lax.with_sharding_constraint(
+        geos, NamedSharding(mesh, P("batch", None, None, None)))
+    repl = NamedSharding(mesh, P())
+    params = jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, repl), params)
+    st = jpegbits._prepacked_jit()
+    th, tw = int(true_shape[0]), int(true_shape[1])
+
+    def one(g):
+        srgb = dev.develop_post_geo(g, params, None)
+        return st.wire_packed_extent(srgb, qlum, qchr, th, tw,
+                                     cap_ent, cap_out)
+
+    words, totals = jax.vmap(one)(geos)
+    out = NamedSharding(mesh, P("batch"))
+    return tuple(jax.lax.with_sharding_constraint(a, out)
+                 for a in (words, totals))
+
+
 def export_batch_jpeg_packed_step(
     imgs: jax.Array, params: DevelopParams, masks: jax.Array, mesh: Mesh,
     qlum: jax.Array, qchr: jax.Array,

@@ -90,7 +90,7 @@ def test_batch_raw_fast_path(tmp_path, rng, capsys):
     for name in ("a.dng", "b.dng"):
         (ind / name).write_bytes(write_dng(synthetic_raw(rgb, wb_gains=(1.8, 1.0, 1.4))))
 
-    rc = main(["batch", str(ind), str(outd), "--exposure", "0.4", "--sharpness", "30"])
+    rc = main(["batch", str(ind), str(outd), "--no-mesh", "--exposure", "0.4", "--sharpness", "30"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "fused raw path" in out
@@ -111,7 +111,7 @@ def test_batch_lens_distortion_skips_raw_fast_path(tmp_path, rng, capsys):
     rgb = np.stack([0.2 + 0.4 * xx / 64, 0.3 + 0.3 * yy / 48, 0.4 - 0.1 * xx / 64])
     (ind / "a.dng").write_bytes(write_dng(synthetic_raw(rgb)))
 
-    rc = main(["batch", str(ind), str(outd), "--lens-distortion", "40"])
+    rc = main(["batch", str(ind), str(outd), "--no-mesh", "--lens-distortion", "40"])
     assert rc == 0
     assert "fused raw path" not in capsys.readouterr().out
 
@@ -166,7 +166,7 @@ def test_batch_fast_path_preview_fallback(tmp_path, capsys):
     (ind / "vendor.nef").write_bytes(
         _tiff_with_previews(_jpeg(48, 64, seed=3), _jpeg(8, 10, seed=4)))
 
-    rc = main(["batch", str(ind), str(outd), "--exposure", "0.4"])
+    rc = main(["batch", str(ind), str(outd), "--no-mesh", "--exposure", "0.4"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "embedded preview" in out
@@ -196,7 +196,7 @@ def test_batch_fast_path_applies_warp_opcode(tmp_path):
         d.mkdir()
         (d / name).write_bytes(write_dng(base, opcode_list_3=op))
         outd = tmp_path / (name.split(".")[0] + "_out")
-        assert main(["batch", str(d), str(outd)]) == 0
+        assert main(["batch", str(d), str(outd), "--no-mesh"]) == 0
     a = np.array(PILImage.open(tmp_path / "plain_out" / "plain.jpg"),
                  dtype=np.int32)
     b = np.array(PILImage.open(tmp_path / "warped_out" / "warped.jpg"),
@@ -278,7 +278,7 @@ def test_batch_vignette_crop_parity(tmp_path):
     outd = tmp_path / "o"
     ind.mkdir()
     (ind / "a.dng").write_bytes(write_dng(raw))
-    assert main(["batch", str(ind), str(outd), "--vignette", "70"]) == 0
+    assert main(["batch", str(ind), str(outd), "--no-mesh", "--vignette", "70"]) == 0
     dev_out = tmp_path / "dev.jpg"
     assert main(["develop", str(ind / "a.dng"), str(dev_out),
                  "--vignette", "70"]) == 0

@@ -533,3 +533,41 @@ def test_demosaic_sharded_odd_height_single_shard(rng):
     mesh2 = pmesh.make_mesh(n_batch=4, n_spatial=2)
     with pytest.raises(ValueError):
         spatial.demosaic_sharded(jnp.zeros((34, 48)), mesh2, "RGGB")
+
+
+def test_export_batch_raw_fused_packed_matches_single(rng, the_mesh):
+    """The c5 mesh step (per-shard fused RAW kernel + packed wire under
+    shard_map, one image per device) emits scans byte-identical to the
+    single-device packed wire of the same per-image pipeline."""
+    from rawphotoforge_tpu.io import jpegbits, jpegenc
+    from rawphotoforge_tpu.kernels.raw_pipeline import raw_develop_fused
+    from rawphotoforge_tpu.ops import demosaic as dm
+
+    n = the_mesh.shape["batch"]
+    mosaics = jnp.asarray(rng.random((n, 32, 128), dtype=np.float32))
+    wb = jnp.asarray([1.8, 1.0, 1.4])
+    cam = jnp.asarray(dm.cam_matrix_to_srgb(
+        np.array([[0.8, -0.1, -0.05], [-0.3, 1.1, 0.15],
+                  [-0.05, 0.15, 0.65]])))
+    packed = _params()
+    sharpen = jnp.float32(0.5)
+    qlum, qchr = (jnp.asarray(t) for t in jpegenc._quant_tables(92))
+    caps = (jpegbits.PACKED_ENT_WORDS, jpegbits.PACKED_OUT_WORDS)
+
+    words, totals = jax.jit(
+        pmesh.export_batch_raw_fused_packed_step,
+        static_argnums=(5, 8, 9, 10),
+    )(mosaics, wb, cam, packed, sharpen, the_mesh, qlum, qchr,
+      "RGGB", *caps)
+    st = jpegbits._prepacked_jit()
+    for i in range(n):
+        nw, nbits, bad, n_ent, kept = (int(x) for x in totals[i])
+        assert bad == 0 and kept == nw > 0
+        srgb = raw_develop_fused(mosaics[i], wb, cam, packed, sharpen)
+        s_bands, s_tot = st.full_packed(srgb, qlum, qchr, *caps)
+        sv = np.asarray(s_tot)
+        assert (nw, nbits) == (int(sv[0]), int(sv[1]))
+        np.testing.assert_array_equal(
+            np.asarray(words[i])[:nw],
+            np.concatenate([np.asarray(b) for b in s_bands])[:nw])
+        assert not np.asarray(words[i])[nw:].any()
