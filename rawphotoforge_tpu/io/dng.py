@@ -638,7 +638,13 @@ def _apply_one_map_table(out: np.ndarray, body: bytes) -> None:
     rows, cols, plane, planes = area
 
     def lut(v):
-        idx = np.clip(np.rint(v * 65535.0), 0, count - 1).astype(np.int32)
+        # fp32 HDR deflate mosaics can carry isolated NaNs; rint/clip
+        # pass NaN through and the int32 cast would yield a platform-
+        # dependent garbage index (IndexError aborting the whole decode
+        # on some platforms, silent nonsense on others). Map NaN to
+        # index 0 deterministically instead.
+        idx = np.clip(np.rint(np.nan_to_num(v) * 65535.0),
+                      0, count - 1).astype(np.int32)
         return table[idx]
 
     sub = out[np.ix_(rows, cols)]
@@ -1578,8 +1584,15 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
             cx, cy, cw, ch = default_crop
             ix0, iy0 = max(x0, cx), max(y0, cy)
             ix1, iy1 = min(x1, cx + cw), min(y1, cy + ch)
-            if ix0 < ix1 and iy0 < iy1:
-                x0, y0, x1, y1 = ix0, iy0, ix1, iy1
+            if ix0 >= ix1 or iy0 >= iy1:
+                # Symmetric with the empty-trim DngError above: two
+                # disjoint "the visible image is here" claims cannot be
+                # reconciled — silently preferring one would render a
+                # region the other metadata source says is invalid.
+                raise DngError(
+                    f"TrimBounds {trim} and DefaultCrop {default_crop} "
+                    "do not intersect")
+            x0, y0, x1, y1 = ix0, iy0, ix1, iy1
         if (x0, y0, x1, y1) != (0, 0, width, height):
             default_crop = (x0, y0, x1 - x0, y1 - y0)
 

@@ -197,15 +197,25 @@ def _png_unfilter_py(rows: np.ndarray, filters: np.ndarray,
     return out.astype(np.uint8)
 
 
-def _parse_png48(data: bytes) -> np.ndarray | None:
-    """Decode a 16-bit-per-channel RGB (48-bit) PNG -> u16 HWC.
+# Adam7 interlace pass origins/strides (PNG spec 8.2): (x0, y0, dx, dy).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    Returns None for anything that is not a non-interlaced RGB
-    depth-16 PNG (those take the Pillow path); raises ImageIOError on a
-    malformed file that claims to be one. Exists because Pillow READS
-    48-bit RGB PNGs by truncating to 8 bits — the reference's image
-    crate decodes them at full depth (image.rs:386-480), and this
-    framework's own PNG16 exports must round-trip losslessly."""
+
+def _parse_png48(data: bytes) -> np.ndarray | None:
+    """Decode a 16-bit-per-channel PNG at full depth -> u16 HWC RGB.
+
+    Handles depth-16 color types 2 (RGB) and 6 (RGBA — alpha dropped,
+    matching the 8-bit path's ``convert("RGB")``), 4 (gray+alpha) and,
+    interlaced only, 0 (gray; Pillow already decodes the non-interlaced
+    case at full depth as I;16B), each non-interlaced or Adam7. Returns
+    None for anything else (those take the Pillow path at full depth);
+    raises ImageIOError on a malformed file that claims to be one —
+    including any chunk whose stored CRC mismatches: a bit-rotted file
+    must fail loudly, never decode silently wrong. Exists because Pillow
+    READS 16-bit RGB/RGBA/LA PNGs by truncating to 8 bits — the
+    reference's image crate decodes them at full depth (image.rs:386-480),
+    and this framework's own PNG16 exports must round-trip losslessly."""
     import struct
     import zlib
 
@@ -215,13 +225,31 @@ def _parse_png48(data: bytes) -> np.ndarray | None:
         return None
     w, h, depth, ctype, comp, filt, ilace = struct.unpack(
         ">IIBBBBB", data[16:29])
-    if (depth, ctype) != (16, 2):
-        return None  # not 48-bit RGB: Pillow handles it at full depth
-    if ilace != 0:
-        return None  # Adam7: rare; Pillow opens it (8-bit)
+    if depth != 16 or ctype not in (0, 2, 4, 6):
+        return None  # Pillow handles these at full depth (or 8-bit native)
+    if ctype == 0 and ilace == 0:
+        return None  # Pillow: full-depth I;16B
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    bpp = channels * 2
+    from .. import native
+
+    def unfilter(buf: bytes, ph: int, pw: int) -> np.ndarray:
+        stride = pw * bpp
+        grid = np.frombuffer(buf, np.uint8).reshape(ph, 1 + stride)
+        filters = np.ascontiguousarray(grid[:, 0])
+        rows = np.ascontiguousarray(grid[:, 1:])
+        if native.available():
+            rows = native.png_unfilter(rows, filters, bpp)
+        else:
+            rows = _png_unfilter_py(rows, filters, bpp)
+        return (np.frombuffer(rows.tobytes(), ">u2")
+                .reshape(ph, pw, channels).astype(np.uint16))
+
     try:
         if comp != 0 or filt != 0:
             raise ValueError(f"compression/filter method {comp}/{filt}")
+        if ilace not in (0, 1):
+            raise ValueError(f"interlace method {ilace}")
         if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
             raise ValueError(f"dimensions {w}x{h}")
         if w * h > (1 << 28):
@@ -233,29 +261,49 @@ def _parse_png48(data: bytes) -> np.ndarray | None:
             tag = data[pos + 4 : pos + 8]
             if pos + 12 + ln > len(data):
                 raise ValueError(f"truncated {tag!r} chunk")
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+            if zlib.crc32(data[pos + 4 : pos + 8 + ln]) != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
             if tag == b"IDAT":
                 idat.append(data[pos + 8 : pos + 8 + ln])
             pos += 12 + ln
             if tag == b"IEND":
                 break
         raw = zlib.decompress(b"".join(idat))
-        stride = w * 6
-        if len(raw) != h * (1 + stride):
-            raise ValueError(
-                f"IDAT inflates to {len(raw)} bytes, want {h * (1 + stride)}")
-        grid = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
-        filters = np.ascontiguousarray(grid[:, 0])
-        rows = np.ascontiguousarray(grid[:, 1:])
-        from .. import native
-
-        if native.available():
-            rows = native.png_unfilter(rows, filters, 6)
+        if ilace == 0:
+            if len(raw) != h * (1 + w * bpp):
+                raise ValueError(
+                    f"IDAT inflates to {len(raw)} bytes, "
+                    f"want {h * (1 + w * bpp)}")
+            out = unfilter(raw, h, w)
         else:
-            rows = _png_unfilter_py(rows, filters, 6)
-        return (np.frombuffer(rows.tobytes(), ">u2")
-                .reshape(h, w, 3).astype(np.uint16))
+            # Adam7: seven independently-filtered sub-images, scattered
+            # back onto the full grid by each pass's origin/stride.
+            out = np.zeros((h, w, channels), np.uint16)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw == 0 or ph == 0:
+                    continue
+                n = ph * (1 + pw * bpp)
+                if off + n > len(raw):
+                    raise ValueError("truncated interlaced image data")
+                out[y0::dy, x0::dx] = unfilter(raw[off:off + n], ph, pw)
+                off += n
+            if off != len(raw):
+                raise ValueError(
+                    f"{len(raw) - off} trailing bytes after the last "
+                    "interlace pass")
+        if ctype == 6:
+            out = out[:, :, :3]
+        elif ctype == 4:
+            out = np.repeat(out[:, :, :1], 3, axis=2)
+        elif ctype == 0:
+            out = np.repeat(out, 3, axis=2)
+        return np.ascontiguousarray(out)
     except (ValueError, zlib.error, struct.error) as e:
-        raise ImageIOError(f"malformed 48-bit PNG: {e}") from e
+        raise ImageIOError(f"malformed 16-bit PNG: {e}") from e
 
 
 def encode_png16(u16_hwc: np.ndarray,
@@ -634,19 +682,14 @@ def encode_image(planes, fmt: str, quality: int = 95, exif_bytes=None,
             "for CFA mosaics"
         )
     if fmt == "PNG16":
-        # 48-bit PNG: quantize to u16 ON DEVICE (2 bytes/sample over
-        # the link, same shape-stable program story as the u8 path) and
-        # entropy-code host-side with the from-scratch encoder.
-        from ..ops.develop import encode_u16
-        from ..utils.transfer import _is_device_array
+        # 48-bit PNG: quantize + transpose to u16 HWC ON DEVICE in one
+        # cached jitted program (2 bytes/sample over the link, same
+        # shape-stable program story as the u8 path) and entropy-code
+        # host-side with the from-scratch encoder.
+        from ..utils.transfer import fetch_u16_hwc
 
         stage("fetch")
-        if _is_device_array(planes):
-            u16 = fetch_np(encode_u16(planes))
-        else:
-            u16 = (np.clip(np.asarray(planes), 0.0, 1.0)
-                   * 65535.0).astype(np.uint16)
-        hwc = hcrop(np.ascontiguousarray(u16.transpose(1, 2, 0)))
+        hwc = hcrop(np.ascontiguousarray(fetch_u16_hwc(planes)))
         stage("encode")
         return encode_png16(hwc, exif_bytes=exif_bytes)
     if fmt == "PPM16":

@@ -302,3 +302,28 @@ def fetch_u8_hwc(planes) -> np.ndarray:
         return fetch_np(_to_u8_hwc_jit()(planes))
     hwc = np.asarray(planes).transpose(1, 2, 0)
     return (np.clip(hwc, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+@functools.cache
+def _to_u16_hwc_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(planes):
+        u16 = (jnp.clip(planes, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+        return u16.transpose(1, 2, 0)
+
+    return f
+
+
+def fetch_u16_hwc(planes) -> np.ndarray:
+    """sRGB f32 planes [3,H,W] in [0,1] -> u16 HWC on the host — the
+    16-bit mirror of fetch_u8_hwc (one cached jitted quantize+transpose
+    program, 2 bytes/sample over the link; the previous eager encode_u16
+    + host transpose paid separate small remote dispatches per PNG16
+    export, ADVICE r3)."""
+    if _is_device_array(planes):
+        return fetch_np(_to_u16_hwc_jit()(planes))
+    hwc = np.asarray(planes).transpose(1, 2, 0)
+    return (np.clip(hwc, 0.0, 1.0) * 65535.0).astype(np.uint16)

@@ -564,6 +564,34 @@ def test_trim_bounds_empty_is_typed():
         dng.read_dng(data)
 
 
+def test_trim_bounds_disjoint_from_default_crop_is_typed():
+    """A trim rect that does not intersect DefaultCrop is two disjoint
+    claims about where the visible image is — loud DngError, symmetric
+    with the empty-trim handling (ADVICE r3: the old code silently
+    discarded DefaultCrop and let the trim rect win)."""
+    raw = _trim_raw()
+    raw = dng.RawImage(**{**raw.__dict__, "default_crop": (0, 0, 4, 4)})
+    op3 = _opcode_list([(6, _trim_opcode(10, 10, 16, 20))])
+    data = dng.write_dng(raw, opcode_list_3=op3)
+    with pytest.raises(dng.DngError, match="intersect"):
+        dng.read_dng(data)
+
+
+def test_map_table_nan_pixels_do_not_abort():
+    """Isolated NaN samples (possible in fp32 HDR deflate mosaics) must
+    not abort the decode via a garbage table index (ADVICE r3): NaN maps
+    deterministically to index 0."""
+    norm = np.full((6, 8), 0.5, np.float32)
+    norm[2, 3] = np.nan
+    count = 256
+    table = np.arange(0, 65536, 256).astype(np.uint16)
+    op = _opcode_list([(7, _map_table_opcode(0, 0, 6, 8, 0, 1, 1, 1,
+                                             table))])
+    got = dng._apply_gain_maps(norm, op)
+    assert np.isfinite(got).all()
+    assert got[2, 3] == table[0] / 65535.0
+
+
 def test_trim_bounds_transcode_preserved():
     """apply_opcodes=False keeps TrimBounds in the raw blob (no crop
     folded in) and re-serializes it."""

@@ -550,3 +550,99 @@ def test_png48_malformed_raises_typed():
     buf = _io.BytesIO()
     PILImage.fromarray(np.zeros((4, 5, 3), np.uint8)).save(buf, format="PNG")
     assert image_io._parse_png48(buf.getvalue()) is None
+
+
+def _png16_wrap_any(w, h, raw: bytes, ctype: int, ilace: int = 0) -> bytes:
+    """Wrap pre-filtered image data in a PNG of any depth-16 color type."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, ilace))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png48_bad_crc_raises_typed(rng):
+    """A bit-rotted chunk must fail loudly (ADVICE r3): flip one byte
+    inside the IDAT payload without fixing its CRC."""
+    from rawphotoforge_tpu.io import image_io
+
+    u16 = rng.integers(0, 65536, size=(6, 5, 3)).astype(np.uint16)
+    data = bytearray(image_io.encode_png16(u16))
+    # Find the IDAT payload and corrupt one byte.
+    idx = data.index(b"IDAT") + 10
+    data[idx] ^= 0xFF
+    with pytest.raises(image_io.ImageIOError, match="CRC"):
+        image_io._parse_png48(bytes(data))
+
+
+def test_png16_rgba_and_gray_alpha_decode_full_depth(rng):
+    """Depth-16 RGBA (color type 6) and gray+alpha (4) decode at full
+    depth — Pillow alone truncates both to 8 bits (ADVICE r3)."""
+    from rawphotoforge_tpu.io.image_io import _parse_png48
+
+    h, w = 7, 5
+    rgba = rng.integers(0, 65536, size=(h, w, 4)).astype(np.uint16)
+    rows = np.frombuffer(rgba.astype(">u2").tobytes(),
+                         np.uint8).reshape(h, w * 8)
+    raw = _png_forward_filter(rows, [0, 1, 2, 3, 4, 2, 1], bpp=8)
+    got = _parse_png48(_png16_wrap_any(w, h, raw, ctype=6))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+
+    la = rng.integers(0, 65536, size=(h, w, 2)).astype(np.uint16)
+    rows = np.frombuffer(la.astype(">u2").tobytes(),
+                         np.uint8).reshape(h, w * 4)
+    raw = _png_forward_filter(rows, [0, 1, 2, 3, 4, 2, 1], bpp=4)
+    got = _parse_png48(_png16_wrap_any(w, h, raw, ctype=4))
+    np.testing.assert_array_equal(
+        got, np.repeat(la[:, :, :1], 3, axis=2))
+
+
+def _adam7_forward(img: np.ndarray, bpp: int) -> bytes:
+    """Forward Adam7 interlace + per-pass filter-0 serialization: the
+    layout the decoder's de-interlacer must invert (PNG spec 8.2)."""
+    from rawphotoforge_tpu.io.image_io import _ADAM7
+
+    h, w = img.shape[:2]
+    out = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph = sub.shape[0]
+        rows = np.frombuffer(sub.astype(">u2").tobytes(),
+                             np.uint8).reshape(ph, -1)
+        out += b"".join(b"\x00" + rows[y].tobytes() for y in range(ph))
+    return out
+
+
+def test_png48_adam7_interlaced_decodes_full_depth(rng):
+    """Adam7-interlaced depth-16 RGB/RGBA/gray decode at full depth
+    (previously fell back to Pillow's 8-bit raster, ADVICE r3).
+    Dimensions chosen so some passes are empty (w<5 columns) and partial."""
+    from rawphotoforge_tpu.io.image_io import _parse_png48
+
+    for ctype, ch in ((2, 3), (6, 4), (0, 1)):
+        for h, w in ((9, 11), (3, 2), (1, 1), (8, 8)):
+            img = rng.integers(0, 65536, size=(h, w, ch)).astype(np.uint16)
+            raw = _adam7_forward(img, bpp=2 * ch)
+            got = _parse_png48(_png16_wrap_any(w, h, raw, ctype, ilace=1))
+            want = (img[:, :, :3] if ch >= 3
+                    else np.repeat(img[:, :, :1], 3, axis=2))
+            np.testing.assert_array_equal(got, want, err_msg=f"{ctype}")
+
+
+def test_png48_adam7_truncated_raises(rng):
+    from rawphotoforge_tpu.io import image_io
+
+    img = rng.integers(0, 65536, size=(8, 8, 3)).astype(np.uint16)
+    raw = _adam7_forward(img, bpp=6)
+    with pytest.raises(image_io.ImageIOError):
+        image_io._parse_png48(
+            _png16_wrap_any(8, 8, raw[:-5], ctype=2, ilace=1))
