@@ -11,9 +11,9 @@ The un-TPU-ish part of the reference is its 4 x 65536-entry i32 LUTs per
 mask, gathered per pixel (wgpu_shader.wgsl:184-194). Per-pixel dynamic
 gathers serialize on the VPU, so this kernel replaces each LUT with the
 *curve that generated it*: the PCHIP segments are packed as per-segment
-monomial coefficient deltas (core/curve.pchip_coeffs) and evaluated
-branchlessly — one compare + five scalar-FMA sweeps per segment, telescoped
-over the sorted knots. Indexing still quantizes to floor(v * 65535) and
+monomial coefficients (core/curve.pchip_coeffs) and evaluated
+branchlessly — one compare + five lane-wise selects per segment over the
+sorted knots. Indexing still quantizes to floor(v * 65535) and
 results still truncate to integers, so the kernel reproduces the reference's
 LUT staircase semantics, not just the smooth curve (tests gate it against
 ops/develop's exact-LUT path).
@@ -59,24 +59,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def pack_curve_deltas(params: DevelopParams, m: int, s: int):
-    """Host-side (traced, tiny) packing of curve data into SMEM-friendly
-    telescoped-delta form — ONE home for the convention both kernels
-    (this one and kernels/raw_pipeline) depend on.
+def pack_curve_tables(params: DevelopParams, m: int, s: int):
+    """Host-side (traced, tiny) packing of curve data into SMEM tables —
+    ONE home for the convention both kernels (this one and
+    kernels/raw_pipeline) depend on.
 
-    Returns (knots, dknots, dcoeffs): knots [m*4, s] sorted positions,
-    dknots the first differences, and dcoeffs [m*4, s*4] the
-    first-difference of each monomial coefficient across segments. The
-    first "delta" is the base segment-0 coefficient itself (the
-    telescoped sum starts from it), so the diff prepends ZEROS, not the
-    first row."""
+    Returns (knots, coeffs): knots [m*4, s] sorted positions (padded
+    with 2*65536) and coeffs [m*4, s*4] the RAW per-segment monomial
+    coefficients. _eval_curve SELECTS the active segment's row with
+    lane-wise where() — the previous telescoped-delta formulation
+    (accumulating f32 first-differences of the coefficients) suffered
+    catastrophic cancellation when a narrow steep segment preceded a
+    wide one (coefficient deltas ~1e9 recovering values ~1e2: up to 168
+    LUT units of hue error, the seed-12 TPUFUZZ outliers the round-4
+    staircase gate proved inexplicable by index flips); selection is
+    exact."""
     knots = params.breaks.reshape(m * 4, s)
-    dknots = jnp.diff(knots, axis=1, prepend=knots[:, :1])
-    coeffs = params.coeffs.reshape(m * 4, s, 4)
-    dcoeffs = jnp.diff(
-        coeffs, axis=1, prepend=jnp.zeros_like(coeffs[:, :1, :])
-    ).reshape(m * 4, s * 4)
-    return knots, dknots, dcoeffs
+    coeffs = params.coeffs.reshape(m * 4, s, 4).reshape(m * 4, s * 4)
+    return knots, coeffs
 
 
 def smem_spec(shape):
@@ -98,46 +98,58 @@ def _channel_select(ch, rk, gk, bk, rc, gc, bc):
             bc * wb + bk * (1.0 - wb))
 
 
-def _eval_curve(u, knots_ref, dknots_ref, dcoeffs_ref, row, num_seg):
-    """Telescoped packed-PCHIP evaluation at LUT-domain positions ``u``.
+def _eval_curve(u, knots_ref, coeffs_ref, row, num_seg):
+    """Selected packed-PCHIP evaluation at LUT-domain positions ``u``.
 
     The refs are per-curve SMEM tables indexed by (row, j):
-    knots_ref[row, j] the sorted knot positions (padded with 2*65536),
-    dknots_ref[row, j] = knots[j] - knots[j-1], and dcoeffs_ref[row, j*4+c]
-    the first-difference of monomial coefficient c across segments. Per
-    segment one broadcast compare and five scalar FMAs — no gathers; the
+    knots_ref[row, j] the sorted knot positions (padded with 2*65536)
+    and coeffs_ref[row, j*4+c] the raw monomial coefficient c of segment
+    j. Per segment one broadcast compare and five lane-wise selects —
+    no gathers, no accumulation (the telescoped-delta form this replaces
+    lost up to 168 LUT units to f32 cancellation across
+    narrow-then-wide segments; selection reproduces each segment's
+    coefficients EXACTLY, so the only remaining deviation from the LUT
+    is the Hermite-vs-monomial evaluation round-off, ~1 LUT step). The
     loop unrolls at trace time (num_seg is static).
     """
     u = jnp.maximum(u, knots_ref[row, 0])
-    a = jnp.full_like(u, dcoeffs_ref[row, 0])
-    b = jnp.full_like(u, dcoeffs_ref[row, 1])
-    c = jnp.full_like(u, dcoeffs_ref[row, 2])
-    d = jnp.full_like(u, dcoeffs_ref[row, 3])
+    a = jnp.full_like(u, coeffs_ref[row, 0])
+    b = jnp.full_like(u, coeffs_ref[row, 1])
+    c = jnp.full_like(u, coeffs_ref[row, 2])
+    d = jnp.full_like(u, coeffs_ref[row, 3])
     x0 = jnp.full_like(u, knots_ref[row, 0])
     for j in range(1, num_seg):
-        w = (u >= knots_ref[row, j]).astype(jnp.float32)
-        a = a + dcoeffs_ref[row, j * 4 + 0] * w
-        b = b + dcoeffs_ref[row, j * 4 + 1] * w
-        c = c + dcoeffs_ref[row, j * 4 + 2] * w
-        d = d + dcoeffs_ref[row, j * 4 + 3] * w
-        x0 = x0 + dknots_ref[row, j] * w
+        w = u >= knots_ref[row, j]
+        a = jnp.where(w, coeffs_ref[row, j * 4 + 0], a)
+        b = jnp.where(w, coeffs_ref[row, j * 4 + 1], b)
+        c = jnp.where(w, coeffs_ref[row, j * 4 + 2], c)
+        d = jnp.where(w, coeffs_ref[row, j * 4 + 3], d)
+        x0 = jnp.where(w, knots_ref[row, j], x0)
     dt = u - x0
     return a + dt * (b + dt * (c + dt * d))
 
 
-def _quantized_curve(v, knots, dknots, dcoeffs, row, num_seg, denom):
+def _quantized_curve(v, knots, coeffs, row, num_seg, denom):
     """LUT-semantics curve application: index floor(v*65535), evaluate, then
     truncate+clamp the result like the i32 table (wgpu_shader.wgsl:184-194,
     293-305) and rescale by ``denom`` (65535 for value curves, 32767.5 for
-    the sat/light gain decode, wgsl:329-330)."""
-    u = jnp.floor(v * LUT_MAX)
-    y = _eval_curve(u, knots, dknots, dcoeffs, row, num_seg)
+    the sat/light gain decode, wgsl:329-330).
+
+    The INDEX clamp is load-bearing: tone can drive a channel negative,
+    and WGSL's ``u32(v * 65535)`` conversion saturates to 0 (the anchor's
+    jnp.take likewise clips), so a negative input must read the curve AT
+    its first knot — evaluating the first PCHIP segment's polynomial at
+    dt < 0 instead extrapolates below the curve (up to slope * |v|, the
+    seed-12-class TPUFUZZ outliers the round-4 staircase gate caught as
+    inexplicable by any index flip)."""
+    u = jnp.clip(jnp.floor(v * LUT_MAX), 0.0, LUT_MAX)
+    y = _eval_curve(u, knots, coeffs, row, num_seg)
     y = jnp.clip(jnp.floor(y), 0.0, 65535.0)
     return y / denom
 
 
 def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
-               knots_ref, dknots_ref, dcoeffs_ref, num_masks, num_seg,
+               knots_ref, coeffs_ref, num_masks, num_seg,
                default_bright_curves, default_oklch_curves, identity_oklch):
     """The per-mask edit stack: (WB -> tone -> brightness curve) per mask,
     the per-mask OKLCH hue/sat/light pass, then the sRGB encode
@@ -161,11 +173,11 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
             bc = jnp.clip(jnp.floor(bk * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
         else:
             row = k * 4 + 0  # brightness slot
-            rc = _quantized_curve(rk, knots_ref, dknots_ref, dcoeffs_ref,
+            rc = _quantized_curve(rk, knots_ref, coeffs_ref,
                                   row, num_seg, LUT_MAX)
-            gc = _quantized_curve(gk, knots_ref, dknots_ref, dcoeffs_ref,
+            gc = _quantized_curve(gk, knots_ref, coeffs_ref,
                                   row, num_seg, LUT_MAX)
-            bc = _quantized_curve(bk, knots_ref, dknots_ref, dcoeffs_ref,
+            bc = _quantized_curve(bk, knots_ref, coeffs_ref,
                                   row, num_seg, LUT_MAX)
         rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
         if sel is None:
@@ -206,11 +218,11 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
             sat_g = jnp.float32(32767.0) / jnp.float32(32767.5)
             light_g = sat_g
         else:
-            new_h = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+            new_h = _quantized_curve(H, knots_ref, coeffs_ref,
                                      k * 4 + 1, num_seg, LUT_MAX)
-            sat_g = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+            sat_g = _quantized_curve(H, knots_ref, coeffs_ref,
                                      k * 4 + 2, num_seg, 32767.5)
-            light_g = _quantized_curve(H, knots_ref, dknots_ref, dcoeffs_ref,
+            light_g = _quantized_curve(H, knots_ref, coeffs_ref,
                                        k * 4 + 3, num_seg, 32767.5)
         if sel is None:
             H, C, L = new_h, C * sat_g, L * light_g
@@ -231,8 +243,7 @@ def _develop_kernel(
     tone_ref,     # SMEM (M, 6) f32
     chan_ref,     # SMEM (M, 1) f32: brightness-curve channel selector
     knots_ref,    # SMEM (M*4, S) f32
-    dknots_ref,   # SMEM (M*4, S) f32
-    dcoeffs_ref,  # SMEM (M*4, S*4) f32
+    coeffs_ref,   # SMEM (M*4, S*4) f32 raw per-segment monomials
     img_ref,      # VMEM (3, TH, TW) f32
     *rest_refs,   # [masks_ref VMEM (M, TH, TW) f32 unless main_only] out_ref
     num_masks: int,
@@ -277,7 +288,7 @@ def _develop_kernel(
         return None if (k == 0 and main_only) else masks_ref[k] == 1.0
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
-                         knots_ref, dknots_ref, dcoeffs_ref,
+                         knots_ref, coeffs_ref,
                          num_masks, num_seg, default_bright_curves,
                          default_oklch_curves, identity_oklch)
     out_ref[0] = r
@@ -375,7 +386,7 @@ def develop_post_geo_fused(
     tile_h = min(tile_h, max(8, h))
     tile_w = min(tile_w, max(128, w))
 
-    knots, dknots, dcoeffs = pack_curve_deltas(params, m, s)
+    knots, coeffs = pack_curve_tables(params, m, s)
     off = (jnp.zeros(1, jnp.float32) if row_offset is None
            else jnp.asarray(row_offset, jnp.float32).reshape(1))
     vig = jnp.concatenate(
@@ -404,12 +415,11 @@ def develop_post_geo_fused(
         smem_spec((m, 6)),
         smem_spec((m, 1)),
         smem_spec((m * 4, s)),
-        smem_spec((m * 4, s)),
         smem_spec((m * 4, s * 4)),
         pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [vig, params.gains, params.tone, chan, knots, dknots, dcoeffs,
+    inputs = [vig, params.gains, params.tone, chan, knots, coeffs,
               planes]
     if not main_only:
         in_specs.append(

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.params import DevelopParams
 from ..ops import pointwise
 from ..ops.demosaic import BAYER_PATTERNS
-from .fused import _interpret, edit_stack, pack_curve_deltas, smem_spec
+from .fused import _interpret, edit_stack, pack_curve_tables, smem_spec
 
 HALO = 4          # 2 for the demosaic stencil + 2 for the sharpen radius
 # Swept on-chip at 45MP: larger tiles win here (halo/DMA overhead
@@ -236,8 +236,7 @@ def _raw_kernel(
     tone_ref,     # SMEM (M, 6)
     chan_ref,     # SMEM (M, 1) brightness-curve channel selector
     knots_ref,    # SMEM (M*4, S)
-    dknots_ref,   # SMEM (M*4, S)
-    dcoeffs_ref,  # SMEM (M*4, S*4)
+    coeffs_ref,   # SMEM (M*4, S*4) raw per-segment monomials
     mosaic_ref,   # ANY (Hp, Wp) padded mosaic, windows DMA'd manually
     *rest,        # [masks_ref VMEM (M-1, TH, TW) if num_masks > 1],
                   # out_ref VMEM (3, TH, TW), scratch, sem
@@ -343,7 +342,7 @@ def _raw_kernel(
         return None if k == 0 else masks_ref[k - 1] == 1.0
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
-                         knots_ref, dknots_ref, dcoeffs_ref,
+                         knots_ref, coeffs_ref,
                          num_masks, num_seg, default_bright_curves,
                          default_oklch_curves, identity_oklch)
     out_ref[0] = r
@@ -437,7 +436,7 @@ def raw_develop_fused(
     # (the kernel reads tw+128-wide aligned windows).
     padded = jnp.pad(padded, ((0, ph), (0, pw + 128 - 2 * halo)), mode="edge")
 
-    knots, dknots, dcoeffs = pack_curve_deltas(params, m, s)
+    knots, coeffs = pack_curve_tables(params, m, s)
 
     scal = jnp.stack([
         params.vignette.astype(jnp.float32).reshape(()),
@@ -469,12 +468,11 @@ def raw_develop_fused(
         smem_spec((m, 6)),
         smem_spec((m, 1)),
         smem_spec((m * 4, s)),
-        smem_spec((m * 4, s)),
         smem_spec((m * 4, s * 4)),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [scal, jnp.asarray(cam2srgb, dtype=jnp.float32), params.gains,
-              params.tone, chan, knots, dknots, dcoeffs, padded]
+              params.tone, chan, knots, coeffs, padded]
     if m > 1:
         if masks is None:
             raise ValueError(f"params pack {m} masks; pass masks [M, H, W]")

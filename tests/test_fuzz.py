@@ -28,6 +28,71 @@ def assert_fuzz_close(ours, ref, step=0.06):
     assert diff.max() < step, f"max {diff.max():.2e}"
 
 
+def staircase_candidate_outputs(planes, packed, masks, **dev_kwargs):
+    """Anchor outputs with each curve family's LUT shifted one index
+    either way: the complete set of values an ulp-induced single index
+    flip (in any family, in any mask) can legally produce at a pixel.
+    Shifting the LUT itself (LUT'[i] = LUT[i±1]) turns a fetch at the
+    computed index into a fetch at the adjacent index with zero changes
+    to the production code, and the shifted value then propagates through
+    the REST of the anchor pipeline — exactly what a mid-pipeline flip
+    does. Returns [9, 3, H, W] (base first)."""
+    import dataclasses
+
+    outs = [np.asarray(dev.develop_post_geo_jit(planes, packed, masks,
+                                                **dev_kwargs))]
+    luts = np.asarray(packed.luts)
+    for fam in range(4):
+        for d in (-1, 1):
+            sh = luts.copy()
+            if d == 1:
+                sh[:, fam, :-1] = luts[:, fam, 1:]
+            else:
+                sh[:, fam, 1:] = luts[:, fam, :-1]
+            p2 = dataclasses.replace(packed, luts=jnp.asarray(sh))
+            outs.append(np.asarray(
+                dev.develop_post_geo_jit(planes, p2, masks, **dev_kwargs)))
+    return np.stack(outs)
+
+
+def assert_staircase_explained(kern, planes, packed, masks,
+                               thresh=1e-3, fit_tol=2e-3,
+                               max_flip_frac=0.05):
+    """Staircase-aware kernel gate (VERDICT r3 weak #4): the old flat
+    ``max < 0.06`` tolerated any localized defect below 0.06. Here every
+    pixel-channel deviating more than ``thresh`` from the anchor must be
+    EXPLAINED: it must lie within the envelope of the anchor evaluated
+    with each curve family's LUT shifted one index either way (an
+    ulp-induced adjacent-index flip, or the kernel's continuous packed-
+    PCHIP evaluation landing between two staircase steps — both bounded
+    by the adjacent steps). ``fit_tol`` covers the kernel's ordinary
+    f32 reassociation on top. The flipped fraction is bounded too.
+
+    Returns (flip_frac, unexplained_count) for artifact logging."""
+    cands = staircase_candidate_outputs(planes, packed, masks)
+    kern = np.asarray(kern, dtype=np.float64)
+    base = cands[0].astype(np.float64)
+    diff = np.abs(kern - base)
+    outliers = diff > thresh
+    frac = float(outliers.mean())
+    assert frac < max_flip_frac, \
+        f"{frac:.3%} of pixel-channels deviate >{thresh} (bound {max_flip_frac:.1%})"
+    lo = cands.min(axis=0) - fit_tol
+    hi = cands.max(axis=0) + fit_tol
+    bad = outliers & ((kern < lo) | (kern > hi))
+    if bad.any():
+        idx = np.argwhere(bad)[:5]
+        detail = "; ".join(
+            f"[{','.join(map(str, i))}] kern={kern[tuple(i)]:.5f} "
+            f"env=[{lo[tuple(i)]:.5f},{hi[tuple(i)]:.5f}] "
+            f"anchor={base[tuple(i)]:.5f}" for i in idx)
+        raise AssertionError(
+            f"{int(bad.sum())} pixel-channels deviate >{thresh} yet lie "
+            f"OUTSIDE the adjacent-staircase envelope (unexplained by an "
+            f"index flip): {detail}")
+    return frac, 0
+
+
 def _random_params(r: np.random.Generator, allow_geometry=True) -> EditParameters:
     p = EditParameters()
     p.set_tone(
@@ -101,6 +166,9 @@ def test_fuzz_kernel_vs_anchor(seed):
                                      tile_h=16, tile_w=128)
     )
     assert_fuzz_close(kern.transpose(1, 2, 0), anchor.transpose(1, 2, 0))
+    # Every outlier must be an explained adjacent-index staircase flip,
+    # not merely "small enough" (VERDICT r3 weak #4).
+    assert_staircase_explained(kern, planes, packed, jnp.asarray(masks))
 
 
 def test_editor_cache_coherence_random_sequences(rng):

@@ -39,7 +39,8 @@ print("backend:", jax.default_backend(), flush=True)
 from rawphotoforge_tpu.core.params import pack_params
 from rawphotoforge_tpu.kernels import fused
 from rawphotoforge_tpu.ops import develop as dev
-from test_fuzz import _random_params, assert_fuzz_close
+from test_fuzz import (_random_params, assert_fuzz_close,
+                       assert_staircase_explained)
 
 
 def _dev_stats(ours, ref):
@@ -68,9 +69,18 @@ for seed in range(args.seeds):
     stats = _dev_stats(ours, ref)
     try:
         assert_fuzz_close(ours, ref)
+        # Staircase-aware gate (round 4): every outlier pixel must be
+        # EXPLAINED by an adjacent-index flip (it must lie within the
+        # envelope of the anchor run with each curve family's LUT
+        # shifted one index either way), not merely fall under a flat
+        # max bound — a genuine localized defect below 0.06 would have
+        # passed the old gate. flip_frac is recorded per seed.
+        flip_frac, _ = assert_staircase_explained(
+            np.asarray(ours), planes, params, masks)
+        stats["flip_frac"] = flip_frac
         ok = True
         print(f"seed {seed}: ok (M={masks.shape[0]}, "
-              f"max={stats['max']:.2e})", flush=True)
+              f"max={stats['max']:.2e}, flips={flip_frac:.2%})", flush=True)
     except AssertionError as e:
         ok = False
         fails += 1
