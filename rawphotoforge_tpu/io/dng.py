@@ -1458,11 +1458,26 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         else:
             raise DngError(f"unsupported CFA repeat dim {ph}x{pw}")
 
+    # Vendor MakerNote (PEF 'AOC', ORF 'OLYMPUS'): documented black/WB
+    # fields, used only when the standard DNG + Sony tags are absent
+    # (vendor_raw.parse_makernote_wb — formulas from dcraw/exiftool,
+    # real files gated by preview_correlation).
+    mn_info: dict = {}
+    for e in ifds:
+        if 0x927C in e:
+            from .vendor_raw import parse_makernote_wb
+
+            mn_info = parse_makernote_wb(
+                str(any_ifd(T_MAKE) or ""), data, e[0x927C], bo)
+            break
+
     black = any_ifd(T_BLACK_LEVEL)
     if black is None:
         # Sony ARW keeps its black level in the vendor tag 0x7310 of the
         # raw IFD (exiftool Sony BlackLevel, 4 per-CFA-site shorts).
-        black = any_ifd(T_SONY_BLACK_LEVEL, 0)
+        black = any_ifd(T_SONY_BLACK_LEVEL)
+    if black is None:
+        black = mn_info.get("black", 0)
     if isinstance(black, list):
         black = float(np.mean(black))
     # Floating-point DNG data is already scene-linear; the spec default
@@ -1486,6 +1501,8 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         # Sony WB_RGGBLevels (0x7313): multiplier levels in CFA order.
         r, g1, _g2, b = (float(v) for v in sony_wb[:4])
         wb = (r / g1, 1.0, b / g1)
+    elif mn_info.get("wb") is not None:
+        wb = tuple(mn_info["wb"])
     else:
         wb = (1.0, 1.0, 1.0)
         if pattern != "RGB" and any_ifd(T_DNG_VERSION) is None:

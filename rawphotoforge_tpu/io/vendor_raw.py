@@ -488,6 +488,107 @@ def write_raf(raw: RawImage, jpeg_preview: Optional[bytes] = None) -> bytes:
 # TIFF-EP fixture writer (uncompressed NEF/ARW-shaped files)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Vendor MakerNote black/WB extraction (PEF, ORF)
+# ---------------------------------------------------------------------------
+
+T_MAKERNOTE = 0x927C
+
+
+def parse_makernote_wb(make: str, data: bytes, entry, bo: str) -> dict:
+    """Extract documented black/WB fields from a vendor MakerNote.
+
+    Only formats whose layout is publicly documented (exiftool/dcraw are
+    the sources) are parsed; anything else returns {} and the caller
+    falls back to gray-world gains with ``wb_known=False``. Every real
+    vendor file's decode remains gated by ``preview_correlation``
+    (``info --verify-decode``) — a wrong parse here cannot pass silently.
+
+    * Pentax PEF (dcraw parse_makernote, exiftool Pentax.pm): MakerNote
+      is ``AOC\\x00`` + byte-order mark + a plain TIFF IFD whose value
+      offsets are FILE-ABSOLUTE in PEF. Tag 0x0200 BlackPoint (4 shorts,
+      CFA-site order -> mean), 0x0201 WhitePoint = the as-shot WB levels
+      (4 shorts, R G G B order: gains r=v0/v1, b=v3/v1).
+    * Olympus ORF (dcraw parse_makernote 0x2040/0x0100, exiftool
+      Olympus.pm): ``OLYMPUS\\x00`` + self-relative TIFF structure; the
+      ImageProcessing sub-IFD (tag 0x2040) carries 0x0100 WB_RBLevels
+      (R and B levels x256, green = 256) and 0x0600 BlackLevel2
+      (4 shorts -> mean). Legacy ``OLYMP\\x00`` notes carry a plain IFD
+      with file-absolute offsets (no sub-IFD parsing attempted).
+
+    Returns a dict with optional keys ``wb`` ((r, 1, b) gains) and
+    ``black`` (float)."""
+    typ, n, off = entry
+    if typ not in (1, 7) or n < 8 or off + n > len(data):
+        return {}
+    blob = data[off : off + n]
+    try:
+        if blob[:4] == b"AOC\x00" or blob[:8] == b"PENTAX \x00":
+            # Pentax: optional II/MM right after the signature overrides
+            # the container byte order (exiftool: PEF notes usually match
+            # the file's).
+            base = 4 if blob[:4] == b"AOC\x00" else 8
+            mbo = bo
+            if blob[base:base + 2] in (b"II", b"MM"):
+                mbo = "<" if blob[base:base + 2] == b"II" else ">"
+                base += 2
+            entries, _ = _read_ifd(data, off + base, mbo)
+            out = {}
+            bp = entries.get(0x0200)
+            if bp is not None:
+                v = _value(data, bp, mbo)
+                if isinstance(v, list) and len(v) >= 4:
+                    out["black"] = float(np.mean(v[:4]))
+            wp = entries.get(0x0201)
+            if wp is not None:
+                v = _value(data, wp, mbo)
+                if isinstance(v, list) and len(v) >= 4 \
+                        and all(x > 0 for x in v[:4]):
+                    r, g1, _g2, b = (float(x) for x in v[:4])
+                    out["wb"] = (r / g1, 1.0, b / g1)
+            return out
+        if blob[:8] == b"OLYMPUS\x00":
+            # New-style Olympus: offsets relative to the MakerNote start.
+            mbo = "<" if blob[8:10] == b"II" else ">"
+            # IFD begins right after the 12-byte header; entry value
+            # offsets are relative to ``off`` (the note's file offset).
+            entries, _ = _read_ifd(blob, 12, mbo)
+            ip = entries.get(0x2040)
+            if ip is None:
+                return {}
+            if ip[0] in (4, 13):
+                # LONG/IFD pointer: the value is a note-relative offset.
+                # Type 13 (IFD) is absent from the shared _TYPE_SIZES
+                # table, so read the u32 directly at the entry's value
+                # slot instead of going through _value.
+                (ip_off,) = struct.unpack_from(mbo + "I", blob, ip[2])
+            else:
+                # UNDEFINED: the sub-IFD is stored inline as the tag's
+                # payload; _read_ifd already resolved its start.
+                ip_off = ip[2]
+            if isinstance(ip_off, int) and 0 < ip_off < n:
+                sub, _ = _read_ifd(blob, ip_off, mbo)
+                out = {}
+                wbl = sub.get(0x0100)
+                if wbl is not None:
+                    v = _value(blob, wbl, mbo)
+                    v = v if isinstance(v, list) else [v]
+                    if len(v) >= 2 and all(x > 0 for x in v[:2]):
+                        out["wb"] = (float(v[0]) / 256.0, 1.0,
+                                     float(v[1]) / 256.0)
+                bl2 = sub.get(0x0600)
+                if bl2 is not None:
+                    v = _value(blob, bl2, mbo)
+                    if isinstance(v, list) and len(v) >= 4:
+                        out["black"] = float(np.mean(v[:4]))
+                return out
+            return {}
+    except (struct.error, ValueError, IndexError, KeyError, TypeError,
+            ZeroDivisionError):
+        return {}
+    return {}
+
+
 def pack_bits_msb(values: np.ndarray, bits: int) -> bytes:
     """Pack u16 samples at ``bits`` per sample, MSB-first (the TIFF fill
     order io/dng._unpack_bits inverts; dcraw packed_load_raw layout for
@@ -501,15 +602,22 @@ def pack_bits_msb(values: np.ndarray, bits: int) -> bytes:
 def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
                   compression: int = 1,
                   sony_tags: bool = False,
-                  preview_jpeg: Optional[bytes] = None) -> bytes:
-    """Serialize an uncompressed TIFF-EP RAW the way NEF/ARW structure
+                  preview_jpeg: Optional[bytes] = None,
+                  magic: int = 42,
+                  makernote: Optional[bytes] = None) -> bytes:
+    """Serialize a TIFF-EP RAW the way NEF/ARW/ORF/PEF/SRW/3FR structure
     theirs: IFD0 (Make/Model, optional preview strip) + a SubIFD
     carrying the CFA sensor plane (Photometric 32803, TIFF-EP
     CFARepeatPatternDim/CFAPattern, 12/14-bit MSB-first packing or plain
     16-bit). ``sony_tags`` adds the ARW vendor black/white/WB tags;
-    ``compression`` other than 1 produces the entropy-coded shape used
-    to test the typed-rejection path. Fixture writer for the test suite
-    and the decode-verification harness."""
+    ``compression=7`` writes a REAL lossless-JPEG (SOF3) strip — the
+    Sony-lossless-class layout the generic walker decodes via io/ljpeg —
+    any other non-1 value produces the opaque entropy-coded stand-in
+    used to test the typed-rejection path. ``magic`` stamps the vendor
+    TIFF magic (0x4F52/0x5352 for the two ORF flavors); ``makernote``
+    embeds a MakerNote blob in the Exif IFD (parse_makernote_wb
+    fixtures). Fixture writer for the test suite and the
+    decode-verification harness."""
     if raw.mosaic.ndim != 2 or raw.mosaic.dtype != np.uint16:
         raise DngError("write_tiff_ep needs a u16 [H, W] mosaic")
     if raw.pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
@@ -526,12 +634,21 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
             if int(raw.mosaic.max()) >= 1 << bits:
                 raise DngError(f"mosaic exceeds {bits}-bit range")
             payload = pack_bits_msb(raw.mosaic, bits)
+    elif compression == 7:
+        from . import ljpeg
+
+        if int(raw.mosaic.max()) >= 1 << bits:
+            raise DngError(f"mosaic exceeds {bits}-bit range")
+        ncomp = 2 if w % 2 == 0 else 1
+        payload = ljpeg.encode(
+            raw.mosaic.reshape(h, w // ncomp, ncomp),
+            precision=bits, huffman="optimal")
     else:
         payload = b"\x00" * 64  # opaque entropy-coded stand-in
 
     cfa_codes = bytes({"R": 0, "G": 1, "B": 2}[c] for c in raw.pattern)
 
-    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    out = bytearray(b"II" + struct.pack("<H", magic) + b"\x00\x00\x00\x00")
 
     def put(blob: bytes) -> int:
         off = len(out)
@@ -544,6 +661,13 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
         entries = sorted(entries)
         ifd = bytearray(struct.pack("<H", len(entries)))
         for tag, typ, val in entries:
+            if isinstance(val, tuple) and val and val[0] == "ptr":
+                # Pre-placed payload: (\"ptr\", absolute_offset, count) —
+                # MakerNote blobs whose INTERNAL offsets depend on where
+                # they land (Pentax file-absolute convention).
+                _, off, n = val
+                ifd += struct.pack("<HHII", tag, typ, n, off)
+                continue
             if typ in (2, 7):
                 blob = bytes(val)
                 n = len(blob)
@@ -563,6 +687,15 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
         ifd += struct.pack("<I", next_ifd)
         return bytes(ifd)
 
+    mn_off = mn_len = 0
+    if makernote is not None:
+        # Placed FIRST (offset 8, right after the header) so a callable
+        # builder can bake file-absolute internal offsets (the Pentax
+        # MakerNote convention) deterministically.
+        mn_blob = (makernote(len(out)) if callable(makernote)
+                   else bytes(makernote))
+        mn_len = len(mn_blob)
+        mn_off = put(mn_blob)
     payload_off = put(payload)
     pv_off = put(preview_jpeg) if preview_jpeg else 0
 
@@ -612,6 +745,8 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
     if ex.get("LensModel"):
         exif_entries.append(
             (0xA434, 2, (str(ex["LensModel"]) + "\x00").encode()))
+    if mn_off:
+        exif_entries.append((0x927C, 7, ("ptr", mn_off, mn_len)))
     exif_off = put(build_ifd(exif_entries)) if exif_entries else 0
 
     ifd0_entries = [
