@@ -260,8 +260,10 @@ def _bucket_pads(raw: RawImage):
 def bucket_stable_eligible(raw: RawImage) -> bool:
     """Whether this RAW can take the bucket-stable develop
     (develop_raw_image_padded): the common camera file — Bayer CFA,
-    X-Trans, or demosaiced LinearRaw (crop and rotation not combined),
-    no post-demosaic opcode (warp / radial vignette).
+    X-Trans, or demosaiced LinearRaw (crop and rotation not combined);
+    post-demosaic opcodes (warp / radial vignette, the phone/ProRAW
+    class) are bucket-stable too for bottom/right-pad orientations
+    (true-extent-traced coordinates, r4).
 
     Bayer/LinearRaw: the reflect bucket pad preserves Bayer phase
     (period 2 divides the 128 bucket; mirror indices keep row parity)
@@ -270,22 +272,24 @@ def bucket_stable_eligible(raw: RawImage) -> bool:
     BIT-IDENTICAL to the unpadded develop (gated in tests/test_raw.py);
     any EXIF orientation works (side-aware pads stay phase-safe).
 
-    X-Trans: the masked-NC demosaic takes the true extent as traced
-    scalars (ops/demosaic.demosaic_cfa true_shape) and treats pad sites
-    as absent samples, so the true region is bit-identical by the
-    zero-contribution argument — no 6x6 phase constraint on the pad.
-    Restricted to orientations whose pads land bottom/right (0/1/5):
-    a top/left pad would shift the global CFA phase of the true region
-    (the channel map keys on absolute coordinates). Other orientations
-    fall back to the per-extent path."""
+    X-Trans: the masked-NC demosaic takes the true extent AND origin as
+    traced scalars (ops/demosaic.demosaic_cfa true_shape/true_origin)
+    and treats pad sites as absent samples, so the true region is
+    bit-identical by the zero-contribution argument — no 6x6 phase
+    constraint on the pad, any orientation (top/left pads use the
+    traced-origin channel map to keep every true site's absolute CFA
+    phase, r4)."""
     if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern not in (
             "RGB", "XTRANS"):
         return False
-    if raw.pattern == "XTRANS" and _PAD_SIDES.get(
-            raw.orientation) != (False, False):
-        return False
     if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
-        return False
+        # Opcode-carrying files (phone/ProRAW class) develop on the
+        # bucket grid with the true extent traced (develop_raw_image_
+        # padded's opcode block); restricted to orientations whose pads
+        # land bottom/right PRE-orientation so the true region sits at
+        # the origin when the extent-normalized coordinates are built.
+        if _PAD_SIDES.get(raw.orientation) != (False, False):
+            return False
     return _bucket_pads(raw) is not None
 
 
@@ -320,18 +324,53 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
     if raw.pattern == "RGB":
         planes = dm.develop_linear_raw(mosaic01, wb, cam2srgb)
     elif raw.pattern == "XTRANS":
-        # Masked-NC demosaic with the TRUE extent traced: pad samples
-        # are treated as absent, so the true region is bit-identical to
-        # the unpadded develop with no 6x6 phase constraint on the pad
-        # (bucket_stable_eligible restricted pads to bottom/right, so
-        # the true region keeps its absolute CFA phase).
+        # Masked-NC demosaic with the TRUE extent AND origin traced: pad
+        # samples are treated as absent, so the true region is
+        # bit-identical to the unpadded develop with no 6x6 phase
+        # constraint on the pad. Rotated orientations pad top/left; the
+        # traced origin keeps every true site's absolute CFA phase
+        # (ops/demosaic._cfa_channel_map_traced) with one device program
+        # per bucket (r4 — previously restricted to orientations 0/1/5).
         th0, tw0 = raw.mosaic.shape[:2]
+        origin = jnp.asarray([pads[0] if pad_top else 0,
+                              pads[1] if pad_left else 0], dtype=jnp.int32)
         planes = dm.develop_raw(
             mosaic01, wb, cam2srgb, pattern=raw.pattern, method=method,
-            true_shape=jnp.asarray([th0, tw0], dtype=jnp.int32))
+            true_shape=jnp.asarray([th0, tw0], dtype=jnp.int32),
+            true_origin=origin)
     else:
         planes = dm.develop_raw(mosaic01, wb, cam2srgb,
                                 pattern=raw.pattern, method=method)
+    if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
+        # OpcodeList3 warp/vignette on the BUCKET grid with the true
+        # extent traced (coordinates normalize by it; bilinear_sample
+        # clamps to it) — phone/ProRAW-class files stay bucket-stable
+        # instead of paying per-extent remote compiles (VERDICT r3 #4).
+        # bucket_stable_eligible restricted opcode files to bottom/right
+        # pads, so the true region sits at the origin here.
+        from ..ops.lenscorr import vignette_radial_gain, warp_rectilinear
+
+        th0, tw0 = raw.mosaic.shape[:2]
+        ext = jnp.asarray([th0, tw0], dtype=jnp.float32)
+
+        def _warp(p):
+            coefs, center = raw.warp_rectilinear
+            return warp_rectilinear(p, jnp.asarray(coefs),
+                                    jnp.asarray(center), extent=ext)
+
+        def _vig(p):
+            k, center = raw.vignette_radial
+            g = vignette_radial_gain(p.shape[1], p.shape[2], k, center,
+                                     extent=ext)
+            return p * g[None, :, :]
+
+        steps = [(_warp, raw.warp_rectilinear),
+                 (_vig, raw.vignette_radial)]
+        if raw.vignette_first:
+            steps.reverse()
+        for fn, present in steps:
+            if present is not None:
+                planes = fn(planes)
     if raw.default_crop is not None:
         import jax.lax as lax
 
@@ -396,13 +435,15 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
 
     def _apply_vignette(p):
         # DNG OpcodeList3 FixVignetteRadial: post-demosaic radial
-        # shading gain (dng.py:_vignette_radial_gain documents the
-        # model).
-        from .dng import _vignette_radial_gain
+        # shading gain. The device f32 evaluation (ops/lenscorr
+        # .vignette_radial_gain) is shared with the bucket-stable padded
+        # develop so the two paths stay elementwise-identical; the
+        # list-2 normalized-mosaic stage keeps the host f64 version.
+        from ..ops.lenscorr import vignette_radial_gain
 
         k, center = raw.vignette_radial
-        g = _vignette_radial_gain(p.shape[1], p.shape[2], k, center)
-        return p * jnp.asarray(g)[None, :, :]
+        g = vignette_radial_gain(p.shape[1], p.shape[2], k, center)
+        return p * g[None, :, :]
 
     # List-3 opcodes apply sequentially IN THE FILE'S LISTED ORDER —
     # for vignette-before-warp files the gain must be evaluated on

@@ -194,6 +194,24 @@ def _cfa_channel_map(h: int, w: int, cfa: np.ndarray) -> jax.Array:
     return flat[ys * pw + xs]
 
 
+def _cfa_channel_map_traced(h: int, w: int, cfa: np.ndarray,
+                            origin: jax.Array) -> jax.Array:
+    """Channel map with a TRACED (oy, ox) origin of the true region:
+    site (y, x) gets cfa[(y - oy) % ph, (x - ox) % pw], so a
+    bucket-padded grid whose pads land top/left (rotated-orientation
+    opens) keeps every true site's ABSOLUTE CFA phase. Pad amounts vary
+    per image extent; tracing the origin keeps one device program per
+    bucket (jnp's % is non-negative for a positive divisor, so negative
+    iota-minus-origin values wrap correctly)."""
+    ph, pw = cfa.shape
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+          - origin[0].astype(jnp.int32)) % ph
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+          - origin[1].astype(jnp.int32)) % pw
+    flat = jnp.asarray(np.asarray(cfa).reshape(-1), dtype=jnp.int32)
+    return flat[ys * pw + xs]
+
+
 # Triangle-weighted 7x7 window: every pixel of the X-Trans tile has a
 # same-color sample within this support, so the normalizer never hits 0.
 _NC_KERNEL_1D = np.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0], dtype=np.float32)
@@ -201,7 +219,8 @@ _NC_KERNEL_1D = np.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0], dtype=np.float32)
 
 def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
                  method: str = "residual",
-                 true_shape: Optional[jax.Array] = None) -> jax.Array:
+                 true_shape: Optional[jax.Array] = None,
+                 true_origin: Optional[jax.Array] = None) -> jax.Array:
     """Demosaic an arbitrary periodic CFA (X-Trans and friends).
 
     ``method="nc"``: plain normalized convolution — each channel's sparse
@@ -232,7 +251,10 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
     """
     h, w = mosaic.shape
     cfa = np.asarray(cfa, dtype=np.int32)
-    chan = _cfa_channel_map(h, w, cfa)
+    if true_origin is None:
+        chan = _cfa_channel_map(h, w, cfa)
+    else:
+        chan = _cfa_channel_map_traced(h, w, cfa, true_origin)
     taps = [float(t) for t in _NC_KERNEL_1D]
     pad = len(taps) // 2
 
@@ -275,8 +297,14 @@ def demosaic_cfa(mosaic: jax.Array, cfa: np.ndarray,
         masks = [(chan == c).astype(jnp.float32) for c in range(3)]
         mz = mosaic
     else:
-        vy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < true_shape[0]
-        vx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < true_shape[1]
+        oy = (jnp.int32(0) if true_origin is None
+              else true_origin[0].astype(jnp.int32))
+        ox = (jnp.int32(0) if true_origin is None
+              else true_origin[1].astype(jnp.int32))
+        iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        vy = (iy >= oy) & (iy < oy + true_shape[0])
+        vx = (ix >= ox) & (ix < ox + true_shape[1])
         valid = (vy & vx).astype(jnp.float32)
         masks = [((chan == c).astype(jnp.float32)) * valid
                  for c in range(3)]
@@ -330,16 +358,21 @@ def normalize_mosaic(raw_values, black_level, white_level):
     return jnp.clip(v, 0.0, 1.0)
 
 
-def apply_wb_mosaic(mosaic, pattern: str, gains):
+def apply_wb_mosaic(mosaic, pattern: str, gains, true_origin=None):
     """Per-CFA-site white-balance gains applied *before* demosaic (camera
     WB as rawpy's use_camera_wb does). ``gains`` is (r, g, b); ``pattern``
-    is a Bayer name or any NAMED_CFA key (e.g. "XTRANS")."""
+    is a Bayer name or any NAMED_CFA key (e.g. "XTRANS").
+    ``true_origin``: traced (oy, ox) of the true region on a padded grid
+    whose pads land top/left — per-site gains follow the absolute phase."""
     h, w = mosaic.shape
     if pattern in BAYER_PATTERNS:
         is_r, is_g, _ = _phase_masks(h, w, pattern)
         gain = jnp.where(is_r, gains[0], jnp.where(is_g, gains[1], gains[2]))
         return mosaic * gain
-    chan = _cfa_channel_map(h, w, NAMED_CFA[pattern])
+    if true_origin is None:
+        chan = _cfa_channel_map(h, w, NAMED_CFA[pattern])
+    else:
+        chan = _cfa_channel_map_traced(h, w, NAMED_CFA[pattern], true_origin)
     return mosaic * jnp.asarray(gains, dtype=jnp.float32)[chan]
 
 
@@ -386,16 +419,19 @@ def develop_raw(
     pattern: str = "RGGB",
     method: str = "malvar",
     true_shape: Optional[jax.Array] = None,
+    true_origin: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Normalized CFA mosaic [H, W] in [0,1] -> linear sRGB planes [3, H, W].
 
     Chain (rawpy postprocess semantics, editor.py:169-181: camera WB,
     linear gamma, no auto-bright): WB on mosaic -> demosaic -> camera
-    matrix -> clip to [0, 1].
+    matrix -> clip to [0, 1]. ``true_shape``/``true_origin``: traced
+    extent/origin of the true region on a bucket-padded grid (demosaic_cfa
+    docstring; origin-aware maps serve rotated-orientation X-Trans opens).
     """
     if method not in ("malvar", "bilinear", "residual", "nc"):
         raise ValueError(f"unknown demosaic method {method!r}")
-    m = apply_wb_mosaic(mosaic01, pattern, wb_gains)
+    m = apply_wb_mosaic(mosaic01, pattern, wb_gains, true_origin=true_origin)
     if pattern in BAYER_PATTERNS and method in ("malvar", "bilinear"):
         demosaic = demosaic_malvar if method == "malvar" else demosaic_bilinear
         rgb = demosaic(m, pattern)
@@ -406,7 +442,7 @@ def develop_raw(
         # because the one-pass RAW kernel implements it in-kernel).
         cfa_method = method if method in ("residual", "nc") else "residual"
         rgb = demosaic_cfa(m, NAMED_CFA[pattern], method=cfa_method,
-                           true_shape=true_shape)
+                           true_shape=true_shape, true_origin=true_origin)
     rgb = camera_to_srgb(rgb, cam2srgb)
     return jnp.clip(rgb, 0.0, 1.0)
 

@@ -246,10 +246,11 @@ def test_bucket_stable_develop_xtrans_crop_bit_identical(rng):
                                   np.asarray(legacy))
 
 
-def test_bucket_stable_xtrans_orientation_gate(rng):
-    """X-Trans is bucket-stable only for orientations whose pads land
-    bottom/right (a top/left pad would shift the absolute CFA phase):
-    5 is eligible and bit-identical, 6 falls back."""
+@pytest.mark.parametrize("orientation", [5, 6, 3, 8])
+def test_bucket_stable_xtrans_every_orientation(rng, orientation):
+    """X-Trans is bucket-stable for EVERY orientation (r4): top/left
+    pads use the traced-origin channel map so every true site keeps its
+    absolute 6x6 CFA phase — bit-identical to the legacy develop."""
     import dataclasses
 
     from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
@@ -257,9 +258,7 @@ def test_bucket_stable_xtrans_orientation_gate(rng):
 
     rgb = random_linear_image(rng, 70, 106).transpose(2, 0, 1)
     base = synthetic_raw(rgb, pattern="XTRANS", wb_gains=(1.8, 1.0, 1.45))
-    assert not bucket_stable_eligible(
-        dataclasses.replace(base, orientation=6))
-    raw = dataclasses.replace(base, orientation=5)
+    raw = dataclasses.replace(base, orientation=orientation)
     assert bucket_stable_eligible(raw)
     legacy, _ = develop_raw_image(raw)
     oh, ow = legacy.shape[1:]
@@ -315,12 +314,11 @@ def test_bucket_stable_eligibility_fallbacks(rng):
         dataclasses.replace(raw, default_crop=(2, 2, 20, 16)))
     assert not bucket_stable_eligible(
         dataclasses.replace(raw, default_crop=(2, 2, 40, 16)))
-    # X-Trans is bucket-stable since the masked-NC demosaic (true
-    # extent traced) — but only for bottom/right pads: a top/left pad
-    # would shift the absolute 6x6 CFA phase.
+    # X-Trans is bucket-stable for every orientation since the
+    # traced-origin masked-NC demosaic (r4).
     assert bucket_stable_eligible(
         dataclasses.replace(raw, pattern="XTRANS"))
-    assert not bucket_stable_eligible(
+    assert bucket_stable_eligible(
         dataclasses.replace(raw, pattern="XTRANS", orientation=6))
     # A 1-px pad would break Malvar bit-exactness at the true edge.
     raw127 = synthetic_raw(
@@ -1014,3 +1012,60 @@ def test_focal_35mm_produced_and_round_tripped(rng):
         buf, "JPEG", exif=ex.tobytes())
     d = parse_exif(PILImage.open(io.BytesIO(buf.getvalue())))
     assert d.get("FocalLengthIn35mmFilm") == "52"
+
+
+def test_bucket_stable_develop_opcode_files_bit_identical(rng):
+    """Opcode-carrying DNGs (WarpRectilinear / FixVignetteRadial — the
+    phone/ProRAW class) develop bucket-stable (VERDICT r3 #4): eligible
+    for the padded path, true region identical to the unpadded develop,
+    both opcode orders."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          develop_raw_image,
+                                          develop_raw_image_padded,
+                                          synthetic_raw)
+
+    h, w = 70, 106
+    rgb = random_linear_image(rng, h, w).transpose(2, 0, 1)
+    base = synthetic_raw(rgb, pattern="RGGB", wb_gains=(1.8, 1.0, 1.45))
+    warp = (np.asarray([[0.9, 0.05, 0.0, 0.0, 0.0, 0.0]], np.float32),
+            np.asarray([0.5, 0.5], np.float32))
+    vig = (np.asarray([0.3, -0.1, 0.0, 0.0, 0.0], np.float32),
+           np.asarray([0.45, 0.55], np.float32))
+    for kwargs in (
+        {"warp_rectilinear": warp},
+        {"vignette_radial": vig},
+        {"warp_rectilinear": warp, "vignette_radial": vig},
+        {"warp_rectilinear": warp, "vignette_radial": vig,
+         "vignette_first": True},
+        {"vignette_radial": vig, "default_crop": (8, 4, 64, 48)},
+        {"warp_rectilinear": warp, "orientation": 5},
+    ):
+        raw = dataclasses.replace(base, **kwargs)
+        assert bucket_stable_eligible(raw), kwargs
+        legacy, _ = develop_raw_image(raw)
+        padded = develop_raw_image_padded(raw)
+        lh, lw = legacy.shape[1:]
+        np.testing.assert_array_equal(
+            np.asarray(padded)[:, :lh, :lw], np.asarray(legacy),
+            err_msg=str(kwargs))
+
+
+def test_bucket_stable_opcode_rotated_falls_back(rng):
+    """Opcode files with top/left-pad orientations keep the per-extent
+    fallback (the traced-extent coordinates assume origin-anchored
+    true regions)."""
+    import dataclasses
+
+    from rawphotoforge_tpu.io.raw import (bucket_stable_eligible,
+                                          synthetic_raw)
+
+    rgb = random_linear_image(rng, 70, 106).transpose(2, 0, 1)
+    warp = (np.asarray([[0.9, 0.05, 0.0, 0.0, 0.0, 0.0]], np.float32),
+            np.asarray([0.5, 0.5], np.float32))
+    base = synthetic_raw(rgb, pattern="RGGB")
+    for orient, ok in ((1, True), (5, True), (6, False), (3, False)):
+        raw = dataclasses.replace(base, warp_rectilinear=warp,
+                                  orientation=orient)
+        assert bucket_stable_eligible(raw) == ok, orient
