@@ -80,7 +80,7 @@ def main(argv=None) -> int:
     # (observed: 40x below nominal for two hours) still finishes.
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None,
-                    help="comma-separated config ids (6,1,1a,1b,1c,2,3,4,7,5); "
+                    help="comma-separated config ids (6,1,1a,1b,1c,2,3,4,4e,7,5); "
                          "results merge into the existing JSON")
     cli = ap.parse_args(argv)
     only = set(cli.only.split(",")) if cli.only else None
@@ -486,6 +486,124 @@ def main(argv=None) -> int:
             f"MID {t_mid * 1e3:.2f} ms, FULL(45MP w/ demosaic) "
             f"{results['c3_45mp_full_ms']:.1f} ms — north star < 50 ms")
 
+
+        flush_results()
+
+    if want("4e") or want("4"):
+        # END-TO-END slider-to-preview through the LIVE server (the
+        # north star's actual definition — the device-only rows above
+        # are a component, not the product number). A 45MP RAW session
+        # on the canonical prewarmed sensor bucket; per-slider sweeps
+        # at each pyramid level exercising the dirty-stage caches:
+        #   drag tick  = POST /edit + GET /preview?level=low
+        #                (host-drag path, tunnel-independent)
+        #   release    = POST /edit + GET /preview?level=mid (device)
+        #   idle FULL  = GET /preview?level=full after an edit
+        import json as _json
+        import tempfile as _tmpf
+        import threading
+        import urllib.request
+
+        from rawphotoforge_tpu.app.server import serve
+        from rawphotoforge_tpu.engine.session import Settings
+        from rawphotoforge_tpu.io.dng import RawImage, write_dng
+
+        rng4 = np.random.default_rng(4)
+        # 45MP FF, canonical prewarmed bucket; RPF_C4_SHAPE=HxW shrinks
+        # it (and skips prewarm) for smoke runs of the loop structure.
+        import os as _os0
+
+        sh, sw = (int(x) for x in _os0.environ.get(
+            "RPF_C4_SHAPE", "5464x8192").split("x"))
+        c4_prewarm = _os0.environ.get("RPF_C4_PREWARM", "1") != "0"
+        blob4 = write_dng(RawImage(
+            mosaic=rng4.integers(512, 16000, size=(sh, sw),
+                                 dtype=np.uint16),
+            pattern="RGGB", black_level=512.0, white_level=16383.0,
+            wb_gains=(2.0, 1.0, 1.5), xyz_to_cam=None,
+            exif={"Make": "Synthetic", "Model": "rpf-bench-c4"}))
+        with _tmpf.TemporaryDirectory(prefix="rpf_c4_") as td4:
+            httpd = serve(None, port=0, settings=Settings(),
+                          settings_path=td4 + "/settings.json",
+                          prewarm=c4_prewarm,
+                          initial_file=(blob4, "bench.dng"))
+            srv_t = threading.Thread(target=httpd.serve_forever,
+                                     daemon=True)
+            srv_t.start()
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+            def get4(path):
+                with urllib.request.urlopen(base + path, timeout=600) as r:
+                    return r.read(), dict(r.headers)
+
+            def post4(path, obj):
+                req = urllib.request.Request(
+                    base + path, data=_json.dumps(obj).encode(),
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return r.read()
+
+            # Wait out the instant era: the device phase swaps in the
+            # background (prewarmed programs; rearm per poll so only a
+            # true wedge aborts).
+            t0 = time.perf_counter()
+            while True:
+                rearm_watchdog(600)
+                st4 = _json.loads(get4("/open/status")[0])
+                if st4.get("ready"):
+                    if st4.get("error"):
+                        raise RuntimeError(f"c4 open failed: {st4}")
+                    break
+                time.sleep(1.0)
+            t_swap = time.perf_counter() - t0
+            log(f"config 4: {sh}x{sw} session device-ready in {t_swap:.1f} s "
+                f"(prewarmed)")
+
+            import os as _os
+
+            sweeps = int(_os.environ.get("RPF_C4_SWEEPS", "4"))
+            sliders = [("exposure", (-2.0, 2.0)), ("contrast", (-80, 80)),
+                       ("shadow", (-80, 80)), ("vignette", (-90, 90)),
+                       ("wb_temperature", (-80, 80))]
+            drag_ms, mid_ms, full_ms = [], [], []
+            state = {}
+            for name, (lo4, hi4) in sliders:
+                rearm_watchdog(600)
+                for i in range(sweeps):
+                    v = lo4 + (hi4 - lo4) * i / max(sweeps - 1, 1)
+                    state[name] = (round(v, 2)
+                                   if isinstance(lo4, float) else int(v))
+                    t1 = time.perf_counter()
+                    post4("/edit", state)
+                    _, hdrs = get4("/preview?level=low")
+                    drag_ms.append((time.perf_counter() - t1) * 1e3)
+                # Release: MID device render of the final drag state.
+                t1 = time.perf_counter()
+                post4("/edit", state)
+                get4("/preview?level=mid")
+                mid_ms.append((time.perf_counter() - t1) * 1e3)
+                # Idle: FULL render (45MP device + fetch at FULL... the
+                # preview endpoint serves the FULL-level JPEG).
+                t1 = time.perf_counter()
+                get4("/preview?level=full")
+                full_ms.append((time.perf_counter() - t1) * 1e3)
+            httpd.shutdown()
+
+            def pct(xs, p):
+                return float(np.percentile(np.asarray(xs), p))
+
+            results["c4_e2e_drag_low_p50_ms"] = pct(drag_ms, 50)
+            results["c4_e2e_drag_low_p95_ms"] = pct(drag_ms, 95)
+            results["c4_e2e_release_mid_p50_ms"] = pct(mid_ms, 50)
+            results["c4_e2e_release_mid_p95_ms"] = pct(mid_ms, 95)
+            results["c4_e2e_full_p50_ms"] = pct(full_ms, 50)
+            results["c4_e2e_full_p95_ms"] = pct(full_ms, 95)
+            log(f"config 4 END-TO-END ({sh * sw / 1e6:.0f}MP live server, {len(drag_ms)} "
+                f"drag ticks): drag LOW p50 {pct(drag_ms, 50):.1f} ms / "
+                f"p95 {pct(drag_ms, 95):.1f} ms; release MID p50 "
+                f"{pct(mid_ms, 50):.0f} ms; FULL p50 "
+                f"{pct(full_ms, 50):.0f} ms — north star < 50 ms p50 "
+                f"slider-to-preview")
         flush_results()
 
     if want("7"):

@@ -123,9 +123,16 @@ PACKED_ENT_WORDS = 18
 PACKED_OUT_WORDS = 12
 # Pre-split band size for the packed scan stream: finer than the 4 MB
 # default because the stream is ~the finished JPEG scan (a 24MP image is
-# ~3-17 MB) and the fetch rounds up to a whole band — 2 MB halves the
-# average over-fetch while the parallel streams still amortize RTT.
-_PACKED_BAND_BYTES = 2 << 20
+# ~3-17 MB) and the fetch rounds up to a whole band. r4: 512 KB — the
+# round-3 c5 run fetched 3.758 GB for 3.253 GB of JPEG bytes (~2 MB of
+# band rounding per image at the old 2 MB bands); 512 KB cuts the
+# structural over-fetch ~4x while fetch_banded still launches every
+# needed band's d2h transfer concurrently (the per-band RTT amortizes
+# across the parallel streams, tools/wire_ab.py A/B). Env override for
+# on-hardware A/B; the producing program's output split keys on it, so
+# changing it recompiles the packed programs once per bucket.
+_PACKED_BAND_BYTES = int(__import__("os").environ.get(
+    "RPF_PACKED_BAND_BYTES", 512 << 10))
 
 
 def build_canonical(bits, vals):
