@@ -55,15 +55,10 @@ CANONICAL_SENSOR_SHAPES = (
     (5464, 8192), (8192, 5464),   # 45MP FF (R5/Z8-class)
 )
 
-# X-Trans mosaics are NOT bucket-stable (the 6x6 phase doesn't survive a
-# reflect pad), so their develop programs key on exact sensor extents —
-# which, for Fuji, is a two-entry list (sensors store landscape).
-# Don't re-attempt a phase-preserving bucket pad for bit-identity: the
-# composed demosaic's edge handling reflect-pads the mosaic*mask PRODUCT
-# (ops/demosaic.py conv1d), whose phase-broken pad values no
-# phase-continuous pad construction can reproduce for all three channel
-# masks at once — matching would mean changing the committed unpadded
-# edge numerics, not just the padding.
+# Fuji X-Trans sensor extents (landscape storage). X-Trans opens ARE
+# bucket-stable since the masked-NC demosaic (true extent + origin
+# traced, ops/demosaic.demosaic_cfa) — these exact extents feed
+# xtrans_full_shapes so prewarm covers the canonical Fuji BUCKETS.
 XTRANS_SENSOR_SHAPES = ((4160, 6240), (5152, 7728))
 
 # Shapes (true h, true w) whose programs this process already warmed (or
