@@ -382,7 +382,7 @@ def test_batch_fast_path_reports_cropped_pixels(tmp_path, capsys):
     outd = tmp_path / "o"
     ind.mkdir()
     (ind / "a.dng").write_bytes(write_dng(raw))
-    assert main(["batch", str(ind), str(outd)]) == 0
+    assert main(["batch", str(ind), str(outd), "--no-mesh"]) == 0
     out = capsys.readouterr().out
     assert "fused raw path" in out
     m = re.search(r"([\d.]+) MPix in", out)

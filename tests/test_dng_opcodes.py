@@ -237,7 +237,10 @@ def test_end_to_end_list3_vignette_develops():
     from rawphotoforge_tpu.io.raw import bucket_stable_eligible, \
         develop_raw_image
 
-    assert not bucket_stable_eligible(with_op)
+    # Opcode files are bucket-stable since r4 (true-extent-traced
+    # coordinates); padded-vs-unpadded identity is gated in tests/
+    # test_raw.py::test_bucket_stable_develop_opcode_files_bit_identical.
+    assert bucket_stable_eligible(with_op)
     a, _ = develop_raw_image(with_op)
     b, _ = develop_raw_image(without)
     g = _vignette_gain_oracle(h, w, k, 0.5, 0.5).astype(np.float32)
