@@ -109,6 +109,31 @@ def _run_phase(name: str, fn, budget_s: float):
     return box.get("result")
 
 
+def _subprocess_probe(timeout_s: float) -> bool:
+    """One tiny device round-trip in an EXPENDABLE subprocess.
+
+    The first contact with a possibly-wedged tunnel must not happen on
+    any thread of this process: a wedged dispatch blocks forever inside
+    PJRT C++ where SIGALRM's Python-level handler never runs and a
+    daemon thread can't be reaped (libc terminate at exit). A subprocess
+    under a hard timeout is killable no matter what."""
+    if os.environ.get("RPF_BENCH_FAKE_WEDGE") == "probe":
+        return False  # test hook: simulate a wedged tunnel
+    import subprocess
+
+    plat = os.environ.get("RPF_BENCH_PLATFORM")
+    pre = (f"import jax; jax.config.update('jax_platforms', {plat!r}); "
+           if plat else "import jax; ")
+    code = (pre + "import jax.numpy as jnp; "
+            "print(float((jnp.asarray([1.0]) + 1.0)[0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"2.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _total_backstop(seconds: int):
     """Last-resort SIGALRM for a wedge in the main thread itself."""
     import signal
@@ -158,12 +183,22 @@ def main() -> int:
               f"devices={jax.devices()}", file=sys.stderr)
 
         # --- probe: one tiny dispatch + fetch BEFORE any compile -------
-        def probe():
-            if os.environ.get("RPF_BENCH_FAKE_WEDGE") == "probe":
-                time.sleep(1e9)  # test hook: simulate a wedged tunnel
-            return float((jnp.asarray([1.0]) + 1.0)[0])
-
-        _run_phase("probe", probe, _PROBE_BUDGET_S)
+        # Two-stage by necessity (both measured on the axon tunnel):
+        #   1. SUBPROCESS probe under a hard timeout — a wedged tunnel
+        #      blocks the calling thread forever inside PJRT where
+        #      neither SIGALRM nor a thread join can interrupt it, so
+        #      the expendable process is the only safe first contact.
+        #   2. The same tiny cycle on THIS process's MAIN thread — a
+        #      worker thread's device work hangs until the main thread
+        #      has completed one full dispatch+fetch, so this both
+        #      validates our own tunnel session and unlocks the
+        #      watchdogged worker-thread phases below.
+        if not _subprocess_probe(_PROBE_BUDGET_S):
+            raise _Wedged(
+                f"phase 'probe' made no progress in {_PROBE_BUDGET_S:.0f}s "
+                f"(tunnel wedged?)")
+        float((jnp.asarray([1.0]) + 1.0)[0])
+        print("bench: phase probe done", file=sys.stderr)
 
         # --- workload ---------------------------------------------------
         p = EditParameters()

@@ -123,16 +123,19 @@ def main(argv=None) -> int:
     rearm_watchdog = _watchdog(7200, lambda: flush_results(partial=True))
     log(f"bench_all: backend={jax.default_backend()} devices={jax.devices()}")
 
-    # Tunnel probe BEFORE any compile: one tiny dispatch + fetch in a
-    # worker thread with a hard join budget (a wedged tunnel blocks in
-    # PJRT C++ where SIGALRM's Python handler can't run).
-    from bench import _Wedged, _run_phase
-    try:
-        _run_phase("probe", lambda: float((jnp.asarray([1.0]) + 1.0)[0]), 90)
-    except _Wedged as e:
-        log(f"bench_all: {e} — aborting before any compile")
+    # Tunnel probe BEFORE any compile: one tiny round-trip in an
+    # EXPENDABLE subprocess under a hard timeout (a wedged tunnel blocks
+    # any thread of this process forever inside PJRT — bench.py's
+    # _subprocess_probe note), then the same cycle on this process's
+    # main thread to validate our own session.
+    from bench import _subprocess_probe
+    if not _subprocess_probe(90):
+        log("bench_all: tunnel probe made no progress in 90s (wedged?) — "
+            "aborting before any compile")
         flush_results(partial=True)
         return 2
+    float((jnp.asarray([1.0]) + 1.0)[0])
+    log("bench_all: probe ok")
 
     def main_edit() -> EditParameters:
         p = EditParameters()
