@@ -561,6 +561,15 @@ def main(argv=None) -> int:
             t_swap = time.perf_counter() - t0
             log(f"config 4: {sh}x{sw} session device-ready in {t_swap:.1f} s "
                 f"(prewarmed)")
+            # One untimed warm-up render per level: the session's FIRST
+            # MID/FULL render can pay a one-time remote compile (observed
+            # 129 s once), which is a cold-open cost config 6 already
+            # measures — here it would poison a 5-sample p95 of the
+            # steady interactive loop.
+            post4("/edit", {"exposure": 0.1})
+            get4("/preview?level=low")
+            get4("/preview?level=mid")
+            get4("/preview?level=full")
 
             import os as _os
 
@@ -877,7 +886,16 @@ def main(argv=None) -> int:
 
     flush_results()
     log("bench_all: wrote bench_results.json")
-    return 0
+    # Exit WITHOUT interpreter teardown: the c4e server's background
+    # prewarm threads may still be inside PJRT device work, and tearing
+    # the runtime down under them aborts libc (observed "FATAL:
+    # exception not rethrown" AFTER the artifact was written). All
+    # outputs are flushed above; nothing below needs cleanup.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    import os as _os_exit
+
+    _os_exit._exit(0)
 
 
 if __name__ == "__main__":
