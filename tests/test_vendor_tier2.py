@@ -194,3 +194,23 @@ def test_tier2_container_mutation_fuzz():
                 assert got.mosaic.size > 0
             except PhotoEditorError:
                 pass  # typed rejection is the contract
+
+
+def test_convert_tier2_vendor_to_dng(tmp_path):
+    """`cli convert` transcodes tier-2 vendor RAWs (ORF-magic, PEF with
+    MakerNote WB) to lossless DNG with the mosaic bit-identical and the
+    MakerNote-derived black/WB carried into the DNG develop path."""
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.dng import read_dng
+
+    raw = synthetic_raw(scene(seed=21), pattern="RGGB", black_level=0,
+                        white_level=4095)
+    src = tmp_path / "t.orf"
+    dst = tmp_path / "t.dng"
+    src.write_bytes(vr.write_tiff_ep(raw, bits=12, make="OLYMPUS",
+                                     magic=0x4F52,
+                                     makernote=_olympus_makernote()))
+    assert main(["convert", str(src), str(dst), "--tile", "32x32"]) == 0
+    got = read_dng(dst.read_bytes())
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    assert got.pattern == "RGGB"
