@@ -673,6 +673,9 @@ def cmd_serve(args) -> int:
         + ["--port", str(args.port)]
         + (["--segmenter", args.segmenter] if args.segmenter else [])
         + (["--no-host-drag"] if args.no_host_drag else [])
+        + (["--lens-correct"] if getattr(args, "lens_correct_srv", False)
+           else [])
+        + sum((["--lens-db", d] for d in (args.lens_db_srv or [])), [])
     )
 
 
@@ -731,6 +734,13 @@ def main(argv=None) -> int:
     p_srv.add_argument("--no-host-drag", action="store_true",
                        help="device-render LOW drag previews (exact but "
                             "tunnel-bound) instead of the host mirror")
+    p_srv.add_argument("--lens-correct", dest="lens_correct_srv",
+                       action="store_true",
+                       help="auto-apply a lens profile matched from each "
+                            "opened file's EXIF")
+    p_srv.add_argument("--lens-db", dest="lens_db_srv", action="append",
+                       default=None,
+                       help="extra lensfun XML file/dir (repeatable)")
     p_srv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

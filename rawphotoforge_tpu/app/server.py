@@ -669,7 +669,13 @@ class EditorApp:
     def __init__(self, editor: PhotoEditor | None,
                  settings: Settings | None = None,
                  settings_path: str | None = None, segmenter=None,
-                 prewarm: bool = True, host_drag: bool = True):
+                 prewarm: bool = True, host_drag: bool = True,
+                 lens_correct: bool = False, lens_db_paths=None):
+        # serve --lens-correct: auto-resolve each opened file's EXIF
+        # against the lens DB and apply the profile at the device phase
+        # (the v1 lensfun flow PhotoEditor.open implements for the CLI).
+        self.lens_correct = bool(lens_correct)
+        self.lens_db_paths = lens_db_paths
         # None until the first open lands (instant server startup: serve()
         # begins listening during the initial file's device phase; the
         # era endpoints carry the UI until then).
@@ -711,6 +717,28 @@ class EditorApp:
         self.device_ready = threading.Event()
         self.device_ready.set()
 
+    def _auto_lens(self, ed: PhotoEditor) -> None:
+        """Resolve + apply a lens profile from the session's EXIF when
+        the server runs with --lens-correct. Best-effort by contract: an
+        unreadable DB or unmatched lens must never fail an open (the CLI
+        flow has the same posture — no match is a silent no-op, recorded
+        as applied_lens_profile=None in /info)."""
+        if not self.lens_correct:
+            return
+        try:
+            from ..io.lensdb import LensDatabase
+
+            prof = LensDatabase.load(
+                self.lens_db_paths).profile_from_exif(ed.exif)
+            if prof is not None:
+                ed.apply_lens_profile(prof)
+                # The record is the caller's job (PhotoEditor.open does
+                # the same): apply_lens_profile is also the manual-apply
+                # API and must not claim auto-resolution.
+                ed.applied_lens_profile = prof.name
+        except Exception as e:  # noqa: BLE001 — best-effort correction
+            print(f"lens-correct skipped: {e}", file=sys.stderr)
+
     def start_open(self, raw_body: bytes, name: str) -> dict:
         """Host-decode an uploaded file and kick off the device phase.
 
@@ -733,6 +761,7 @@ class EditorApp:
             # No host pixels to show (exotic mode): keep today's blocking
             # behavior rather than an instant era with a blank frame.
             ed = PhotoEditor.from_host(ho, **kwargs)
+            self._auto_lens(ed)
             self.editor = ed
             self._hostdrag_cache = None  # never serve the old session
             self.opening = None
@@ -787,6 +816,9 @@ class EditorApp:
         nobody else can see yet, then swap it in under the lock."""
         try:
             ed = PhotoEditor.from_host(ho, **kwargs)
+            # Before the warm renders so their compiles cover the
+            # corrected base the session will actually serve.
+            self._auto_lens(ed)
             ed.apply(MID)      # compiles land here, off the request path
             ed.histogram(MID)
         except Exception as e:  # noqa: BLE001 — surfaced via /open/status
@@ -1784,7 +1816,9 @@ def make_handler(app: EditorApp):
                     crop = app.editor.crop_rect
                     self._send(200, json.dumps(
                         {"shape": [h, w], "preview_shape": [ph, pw],
-                         "crop": list(crop) if crop else None}
+                         "crop": list(crop) if crop else None,
+                         "lens_profile":
+                             app.editor.applied_lens_profile}
                     ).encode())
                 elif url.path == "/export":
                     # ?fmt=jpeg|png|webp|tiff (save_png/save_jpeg parity,
@@ -2051,7 +2085,8 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
           host: str = "127.0.0.1",
           settings: Settings | None = None, settings_path: str | None = None,
           segmenter=None, prewarm: bool = True, host_drag: bool = True,
-          initial_file: tuple[bytes, str] | None = None):
+          initial_file: tuple[bytes, str] | None = None,
+          lens_correct: bool = False, lens_db_paths=None):
     """Build the HTTP app and server.
 
     ``editor=None`` with ``initial_file=(bytes, name)`` is the instant
@@ -2061,7 +2096,8 @@ def serve(editor: PhotoEditor | None, port: int = 8080,
     background while the instant era serves live host renders."""
     app = EditorApp(editor, settings=settings, settings_path=settings_path,
                     segmenter=segmenter, prewarm=prewarm,
-                    host_drag=host_drag)
+                    host_drag=host_drag, lens_correct=lens_correct,
+                    lens_db_paths=lens_db_paths)
     if initial_file is not None:
         app.start_open(initial_file[0], initial_file[1])
     if prewarm:
@@ -2109,6 +2145,11 @@ def main(argv=None) -> int:
     ap.add_argument("--no-host-drag", action="store_true",
                     help="render LOW drag previews on the device instead "
                          "of the host mirror (exact but tunnel-bound)")
+    ap.add_argument("--lens-correct", action="store_true",
+                    help="auto-apply a lens profile matched from each "
+                         "opened file's EXIF (CLI --lens-correct parity)")
+    ap.add_argument("--lens-db", action="append", default=None,
+                    help="extra lensfun XML file/dir (repeatable)")
     args = ap.parse_args(argv)
     settings = Settings.load()
     settings.select_device()  # adapter picker (settings_window.gd:46-49)
@@ -2129,12 +2170,15 @@ def main(argv=None) -> int:
         httpd = serve(None, port=args.port, settings=settings,
                       segmenter=segmenter,
                       host_drag=not args.no_host_drag,
+                      lens_correct=args.lens_correct,
+                      lens_db_paths=args.lens_db,
                       initial_file=(data, _os.path.basename(args.image)))
     else:
         rng = np.random.default_rng(0)
         ed = PhotoEditor.from_rgb_f32(rng.random((600, 900, 3)).astype(np.float32) ** 2)
         httpd = serve(ed, port=args.port, settings=settings, segmenter=segmenter,
-                  host_drag=not args.no_host_drag)
+                  host_drag=not args.no_host_drag,
+                  lens_correct=args.lens_correct, lens_db_paths=args.lens_db)
     print(f"serving on http://127.0.0.1:{args.port}/")
     httpd.serve_forever()
     return 0

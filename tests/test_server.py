@@ -873,3 +873,52 @@ def test_open_without_name_8bit_ppm_goes_to_pil(base_url):
     _wait_open_ready(base_url)
     _, _, body = _get(base_url + "/info")
     assert json.loads(body)["shape"] == [18, 26]
+
+
+def test_serve_lens_correct_auto_applies(tmp_path):
+    """`serve --lens-correct`: each /open resolves the file's EXIF lens
+    against the DB and applies the profile at the device phase; /info
+    reports the applied profile, and the render equals
+    PhotoEditor.open(lens_correct=True) of the same file."""
+    from rawphotoforge_tpu.engine.session import Settings
+    from rawphotoforge_tpu.engine.editor import MID, PhotoEditor
+    from rawphotoforge_tpu.app.server import serve
+    from test_lensdb import _XML, _jpeg_with_lens_exif
+
+    (tmp_path / "db").mkdir()
+    (tmp_path / "db" / "t.xml").write_text(_XML)
+    path = _jpeg_with_lens_exif(tmp_path)
+
+    httpd = serve(None, port=0, settings=Settings(),
+                  settings_path=str(tmp_path / "s.json"), prewarm=False,
+                  lens_correct=True, lens_db_paths=[str(tmp_path / "db")],
+                  initial_file=(open(path, "rb").read(), "t.jpg"))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _wait_open_ready(base)
+        _, _, body = _get(base + "/info")
+        assert json.loads(body)["lens_profile"] == \
+            "TestCo Prime 50mm f/1.8"
+        _, _, jpeg = _get(base + "/preview?level=mid")
+        ref = PhotoEditor.open(path, lens_correct=True,
+                               lens_db_paths=[str(tmp_path / "db")],
+                               use_pallas=False)
+        from rawphotoforge_tpu.io import image_io
+
+        # Decoded-pixel comparison with a small tolerance: the server
+        # session renders on the kernel path, the reference editor here
+        # on the anchor path (agree to curve-evaluation tolerance).
+        import io as _io
+
+        from PIL import Image as _PIL
+
+        a = np.asarray(_PIL.open(_io.BytesIO(jpeg)), dtype=np.int32)
+        b = np.asarray(_PIL.open(_io.BytesIO(image_io.encode_image(
+            ref.apply(MID), "JPEG", quality=90))), dtype=np.int32)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
+    finally:
+        httpd.shutdown()
