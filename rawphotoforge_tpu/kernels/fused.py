@@ -285,7 +285,7 @@ def _develop_kernel(
     # when the caller asserts main_only, the mask read and selects are
     # elided entirely.
     def sel_for(k):
-        return None if (k == 0 and main_only) else masks_ref[k] == 1.0
+        return None if (k == 0 and main_only) else masks_ref[k] != 0
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                          knots_ref, coeffs_ref,

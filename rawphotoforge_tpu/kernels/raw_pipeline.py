@@ -339,7 +339,7 @@ def _raw_kernel(
     # stack itself is kernels/fused.edit_stack — one home for the
     # per-mask linear + OKLCH contract both production kernels share.
     def sel_for(k):
-        return None if k == 0 else masks_ref[k - 1] == 1.0
+        return None if k == 0 else masks_ref[k - 1] != 0
 
     r, g, b = edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                          knots_ref, coeffs_ref,

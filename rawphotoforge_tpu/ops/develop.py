@@ -82,7 +82,7 @@ def develop_post_geo(
 
     # Per-mask linear-RGB pass: WB -> tone -> brightness LUT (wgsl:279-308).
     for k in range(num_masks):
-        sel = None if masks is None else masks[k] == 1.0
+        sel = None if masks is None else masks[k] != 0
         rk, gk, bk = pointwise.white_balance(r, g, b, params.gains[k])
         rk, gk, bk = pointwise.tone(rk, gk, bk, params.tone[k])
         lut = params.luts[k, BRIGHTNESS]
@@ -105,7 +105,7 @@ def develop_post_geo(
     # Per-mask OKLCH pass: hue remap + sat/light gains by hue (wgsl:310-331).
     L, C, H = color.linear_srgb_to_oklch(r, g, b)
     for k in range(num_masks):
-        sel = None if masks is None else masks[k] == 1.0
+        sel = None if masks is None else masks[k] != 0
         h_idx = _lut_index(H)
         new_hue = _fetch(params.luts[k, HUE], h_idx).astype(jnp.float32) / LUT_MAX
         sat_gain = _fetch(params.luts[k, SATURATION], h_idx).astype(jnp.float32) / 32767.5
