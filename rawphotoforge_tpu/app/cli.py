@@ -442,8 +442,8 @@ def _batch_raw_fast_path(paths, args) -> int:
         print(f"  {p} -> {out}{preview_note}")
     dt = time.perf_counter() - t0
     print(f"batch (fused raw path): {len(paths)} images, "
-          f"{total_pix / 1e6:.1f} MPix in {dt:.1f} s "
-          f"({total_pix / 1e6 / dt:.0f} MPix/s end-to-end)")
+          f"{total_pix / 1e6:.4g} MPix in {dt:.1f} s "
+          f"({total_pix / 1e6 / dt:.4g} MPix/s end-to-end)")
     return 0
 
 
@@ -545,8 +545,8 @@ def _batch_mesh_path(paths, args) -> int:
         flush(key, items)
     dt = time.perf_counter() - t0
     print(f"batch (mesh x{ndev}): {len(paths)} images, "
-          f"{total_pix / 1e6:.1f} MPix in {dt:.1f} s "
-          f"({total_pix / 1e6 / dt:.0f} MPix/s end-to-end)")
+          f"{total_pix / 1e6:.4g} MPix in {dt:.1f} s "
+          f"({total_pix / 1e6 / dt:.4g} MPix/s end-to-end)")
     return 0
 
 
@@ -607,8 +607,8 @@ def cmd_batch(args) -> int:
         total_pix += h * w
         print(f"  {p} -> {out}")
     dt = time.perf_counter() - t0
-    print(f"batch: {len(paths)} images, {total_pix / 1e6:.1f} MPix in {dt:.1f} s "
-          f"({total_pix / 1e6 / dt:.0f} MPix/s end-to-end)")
+    print(f"batch: {len(paths)} images, {total_pix / 1e6:.4g} MPix in {dt:.1f} s "
+          f"({total_pix / 1e6 / dt:.4g} MPix/s end-to-end)")
     return 0
 
 
