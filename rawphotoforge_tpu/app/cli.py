@@ -71,8 +71,11 @@ def _add_edit_flags(p: argparse.ArgumentParser):
                    help="use the exact-LUT jnp path instead of the fused kernel")
     p.add_argument("--histogram", action="store_true",
                    help="print the 4x256 histogram summary")
-    p.add_argument("--lens-correct", action="store_true",
-                   help="auto-apply a lens profile matched from EXIF")
+    p.add_argument("--lens-correct", nargs="?", const="auto", default=None,
+                   choices=["auto", "calibrated-only"],
+                   help="auto-apply a lens profile matched from EXIF; "
+                        "'calibrated-only' skips the bundled approximate "
+                        "profiles (only real lensfun DBs via --lens-db)")
     p.add_argument("--lens-db", type=str, action="append", default=None,
                    help="extra lensfun XML file/dir (repeatable)")
 
@@ -151,6 +154,17 @@ def cmd_info(args) -> int:
         if k.startswith("_"):
             continue  # _exif_bytes: the raw APP1 blob, not a field
         print(f"  {k}: {v}")
+    if exif.get("LensModel") or exif.get("Model"):
+        # What --lens-correct WOULD apply, with provenance: approximate
+        # bundled profiles must be distinguishable from calibrated DBs.
+        from ..io.lensdb import LensDatabase
+
+        prof = LensDatabase.load(
+            getattr(args, "lens_db", None)).profile_from_exif(exif)
+        if prof is not None:
+            prov = (" (APPROXIMATE bundled profile, not calibrated data)"
+                    if prof.approximate else " (calibrated)")
+            print(f"  lens profile match: {prof.name}{prov}")
     if getattr(args, "verify_decode", False):
         # Silent-wrong detector for vendor RAW decodes: develop the
         # sensor data and correlate against the file's own embedded
@@ -213,7 +227,7 @@ def cmd_develop(args) -> int:
               f"({ed.opened_from_preview}); editing the embedded "
               f"camera-rendered JPEG preview instead")
     if args.lens_correct:
-        print(f"lens profile: {ed.applied_lens_profile or 'no match'}")
+        print(f"lens profile: {_lens_note(ed)}")
     _apply_edit_flags(ed, args)
     t1 = time.perf_counter()
     # fetch_sync, NOT block_until_ready: the latter is a no-op through
@@ -251,6 +265,19 @@ def cmd_develop(args) -> int:
             peak = int(np.argmax(row))
             print(f"  hist {name}: peak bin {peak}, mass {int(row.sum())}")
     return 0
+
+
+def _lens_note(ed) -> str:
+    """Human-readable applied-lens-profile line with provenance: a user
+    must always be able to tell a bundled-approximate correction from a
+    calibrated lensfun profile (data/lenses.xml provenance stamp)."""
+    if not ed.applied_lens_profile:
+        return "no match"
+    if ed.applied_lens_approximate:
+        return (f"{ed.applied_lens_profile} (APPROXIMATE bundled "
+                "profile, not calibrated data; use --lens-db with a real "
+                "lensfun DB or --lens-correct calibrated-only)")
+    return ed.applied_lens_profile
 
 
 def _params_from_args(args):
@@ -525,7 +552,9 @@ def _batch_mesh_path(paths, args) -> int:
             with open(out, "wb") as f:
                 f.write(body)
             total_pix += th * tw
-            print(f"  {p} -> {out}")
+            note = (f"  [lens: {_lens_note(ed)}]"
+                    if args.lens_correct else "")
+            print(f"  {p} -> {out}{note}")
 
     for p in paths:
         # use_pallas=False: the mesh step runs the exact-LUT anchor
@@ -605,7 +634,8 @@ def cmd_batch(args) -> int:
         ed.save(out, quality=args.quality)
         h, w = ed.shape
         total_pix += h * w
-        print(f"  {p} -> {out}")
+        note = f"  [lens: {_lens_note(ed)}]" if args.lens_correct else ""
+        print(f"  {p} -> {out}{note}")
     dt = time.perf_counter() - t0
     print(f"batch: {len(paths)} images, {total_pix / 1e6:.4g} MPix in {dt:.1f} s "
           f"({total_pix / 1e6 / dt:.4g} MPix/s end-to-end)")
@@ -673,8 +703,8 @@ def cmd_serve(args) -> int:
         + ["--port", str(args.port)]
         + (["--segmenter", args.segmenter] if args.segmenter else [])
         + (["--no-host-drag"] if args.no_host_drag else [])
-        + (["--lens-correct"] if getattr(args, "lens_correct_srv", False)
-           else [])
+        + (["--lens-correct", args.lens_correct_srv]
+           if getattr(args, "lens_correct_srv", None) else [])
         + sum((["--lens-db", d] for d in (args.lens_db_srv or [])), [])
     )
 
@@ -692,6 +722,9 @@ def main(argv=None) -> int:
                              "the embedded camera preview (silent-wrong "
                              "detector for vendor RAWs; exit 1 below the "
                              "0.9 gate)")
+    p_info.add_argument("--lens-db", type=str, action="append", default=None,
+                        help="extra lensfun XML file/dir for the lens "
+                             "profile match line (repeatable)")
     p_info.set_defaults(fn=cmd_info)
 
     p_dev = sub.add_parser("develop", help="develop one image")
@@ -735,9 +768,11 @@ def main(argv=None) -> int:
                        help="device-render LOW drag previews (exact but "
                             "tunnel-bound) instead of the host mirror")
     p_srv.add_argument("--lens-correct", dest="lens_correct_srv",
-                       action="store_true",
+                       nargs="?", const="auto", default=None,
+                       choices=["auto", "calibrated-only"],
                        help="auto-apply a lens profile matched from each "
-                            "opened file's EXIF")
+                            "opened file's EXIF ('calibrated-only' skips "
+                            "bundled approximate profiles)")
     p_srv.add_argument("--lens-db", dest="lens_db_srv", action="append",
                        default=None,
                        help="extra lensfun XML file/dir (repeatable)")

@@ -459,11 +459,26 @@ function fillExif(e){{
     name.style.cssText='color:#999;padding:2px 8px 2px 0;border-bottom:1px solid #333';
     val.style.cssText='padding:2px 0;border-bottom:1px solid #333';
   }}
+  markLens(imgInfo);
+}}
+function markLens(i){{
+  // Lens-correction provenance row: a bundled approximate profile must
+  // be visibly distinguishable from calibrated lensfun data.
+  if(!i||!i.lens_profile)return;
+  const t=document.getElementById('exif');
+  let tr=document.getElementById('lensrow');
+  if(!tr){{tr=t.insertRow(0);tr.id='lensrow';tr.insertCell();tr.insertCell();}}
+  tr.cells[0].textContent='Lens correction';
+  tr.cells[1].textContent=i.lens_profile+(i.lens_profile_approximate?
+    ' — APPROXIMATE bundled profile (not calibrated data)':'');
+  tr.cells[0].style.cssText='color:#999;padding:2px 8px 2px 0;border-bottom:1px solid #333';
+  tr.cells[1].style.cssText='padding:2px 0;border-bottom:1px solid #333'+
+    (i.lens_profile_approximate?';color:#cfa342':'');
 }}
 fetch('/exif').then(r=>r.json()).then(fillExif);
 // ---- masks + compare-to-original ----
 let maskAddMode=false, imgInfo=null, maskCounter=0;
-fetch('/info').then(r=>r.json()).then(i=>imgInfo=i);
+fetch('/info').then(r=>r.json()).then(i=>{{imgInfo=i;markLens(i);}});
 function toggleMaskAdd(){{
   maskAddMode=!maskAddMode;
   document.getElementById('maskadd').style.background=maskAddMode?'#675527':'#333';
@@ -653,6 +668,7 @@ async function pollReady(){{
       wasOpening=false;
       st.textContent=s.error?('open failed: '+s.error):'';
       imgInfo=await (await fetch('/info')).json();
+      markLens(imgInfo);
       push('mid');  // real render with the full current client state
     }}
   }}catch(e){{setTimeout(pollReady,4000);}}
@@ -670,11 +686,13 @@ class EditorApp:
                  settings: Settings | None = None,
                  settings_path: str | None = None, segmenter=None,
                  prewarm: bool = True, host_drag: bool = True,
-                 lens_correct: bool = False, lens_db_paths=None):
+                 lens_correct=False, lens_db_paths=None):
         # serve --lens-correct: auto-resolve each opened file's EXIF
         # against the lens DB and apply the profile at the device phase
         # (the v1 lensfun flow PhotoEditor.open implements for the CLI).
-        self.lens_correct = bool(lens_correct)
+        # Truthy values: True/"auto" or "calibrated-only" (skip
+        # approximate-provenance profiles).
+        self.lens_correct = lens_correct
         self.lens_db_paths = lens_db_paths
         # None until the first open lands (instant server startup: serve()
         # begins listening during the initial file's device phase; the
@@ -729,13 +747,17 @@ class EditorApp:
             from ..io.lensdb import LensDatabase
 
             prof = LensDatabase.load(
-                self.lens_db_paths).profile_from_exif(ed.exif)
+                self.lens_db_paths).profile_from_exif(
+                    ed.exif,
+                    calibrated_only=(self.lens_correct
+                                     == "calibrated-only"))
             if prof is not None:
                 ed.apply_lens_profile(prof)
                 # The record is the caller's job (PhotoEditor.open does
                 # the same): apply_lens_profile is also the manual-apply
                 # API and must not claim auto-resolution.
                 ed.applied_lens_profile = prof.name
+                ed.applied_lens_approximate = bool(prof.approximate)
         except Exception as e:  # noqa: BLE001 — best-effort correction
             print(f"lens-correct skipped: {e}", file=sys.stderr)
 
@@ -1818,7 +1840,9 @@ def make_handler(app: EditorApp):
                         {"shape": [h, w], "preview_shape": [ph, pw],
                          "crop": list(crop) if crop else None,
                          "lens_profile":
-                             app.editor.applied_lens_profile}
+                             app.editor.applied_lens_profile,
+                         "lens_profile_approximate":
+                             app.editor.applied_lens_approximate}
                     ).encode())
                 elif url.path == "/export":
                     # ?fmt=jpeg|png|webp|tiff (save_png/save_jpeg parity,
@@ -2145,9 +2169,12 @@ def main(argv=None) -> int:
     ap.add_argument("--no-host-drag", action="store_true",
                     help="render LOW drag previews on the device instead "
                          "of the host mirror (exact but tunnel-bound)")
-    ap.add_argument("--lens-correct", action="store_true",
+    ap.add_argument("--lens-correct", nargs="?", const="auto", default=None,
+                    choices=["auto", "calibrated-only"],
                     help="auto-apply a lens profile matched from each "
-                         "opened file's EXIF (CLI --lens-correct parity)")
+                         "opened file's EXIF (CLI --lens-correct parity); "
+                         "'calibrated-only' skips bundled approximate "
+                         "profiles")
     ap.add_argument("--lens-db", action="append", default=None,
                     help="extra lensfun XML file/dir (repeatable)")
     args = ap.parse_args(argv)

@@ -193,8 +193,11 @@ class PhotoEditor:
         # Non-destructive crop rect (x0, y0, x1, y1) in FULL pixel coords,
         # exclusive ends; None = no crop (v1 capability, editor.py:358-366).
         self.crop_rect = None
-        # Name of the auto-applied lens profile (open(lens_correct=True)).
+        # Name of the auto-applied lens profile (open(lens_correct=True))
+        # and whether it came from an approximate-provenance database
+        # (the bundled starter set) rather than calibrated lensfun data.
         self.applied_lens_profile = None
+        self.applied_lens_approximate = False
         # Set by open() when the session edits an embedded JPEG preview
         # because the RAW sensor data could not be decoded (vendor codec).
         self.opened_from_preview = None  # None, or the decode-error string
@@ -253,14 +256,17 @@ class PhotoEditor:
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def open(cls, path: str, lens_correct: bool = False,
+    def open(cls, path: str, lens_correct=False,
              lens_db_paths=None, preview_fallback: bool = True,
              **kwargs) -> "PhotoEditor":
-        """Open a file; with ``lens_correct=True``, resolve the EXIF
+        """Open a file; with ``lens_correct`` truthy, resolve the EXIF
         camera/lens against the lens database (bundled profiles plus any
         lensfun XML dirs in ``lens_db_paths``) and auto-apply the matched
         profile — the v1 lensfun flow (editor.py:425-711). The applied
-        profile name is recorded in ``applied_lens_profile``.
+        profile name is recorded in ``applied_lens_profile`` and its
+        provenance in ``applied_lens_approximate``. Pass
+        ``lens_correct="calibrated-only"`` to skip approximate-provenance
+        profiles (the bundled starter set) entirely.
 
         ``preview_fallback``: when a RAW file's sensor data uses an
         unsupported vendor codec, open the embedded camera-rendered JPEG
@@ -275,10 +281,13 @@ class PhotoEditor:
         if lens_correct:
             from ..io.lensdb import LensDatabase
 
-            prof = LensDatabase.load(lens_db_paths).profile_from_exif(ed.exif)
+            prof = LensDatabase.load(lens_db_paths).profile_from_exif(
+                ed.exif,
+                calibrated_only=(lens_correct == "calibrated-only"))
             if prof is not None:
                 ed.apply_lens_profile(prof)
                 ed.applied_lens_profile = prof.name
+                ed.applied_lens_approximate = bool(prof.approximate)
         return ed
 
     @classmethod
@@ -957,8 +966,23 @@ class PhotoEditor:
     def export_exif_bytes(self):
         """The EXIF payload exports carry: the original blob for container
         opens, or one synthesized from the parsed RAW metadata (the
-        reference's exiftool write-back, python-legacy editor.py:345-350)."""
-        return self._exif_bytes or image_io.build_exif_bytes(self.exif)
+        reference's exiftool write-back, python-legacy editor.py:345-350).
+
+        When an approximate-provenance lens profile was auto-applied, the
+        synthesized payload records it in the Software tag so the export
+        itself says the correction is a bundled approximation, not
+        calibrated data. (Container opens keep their original APP1 blob
+        byte-for-byte — metadata fidelity wins there; the provenance is
+        still surfaced in CLI output and the server UI.)"""
+        if self._exif_bytes is not None:
+            return self._exif_bytes
+        exif = self.exif
+        if self.applied_lens_approximate and self.applied_lens_profile:
+            exif = dict(exif)
+            exif["Software"] = (
+                "rawphotoforge-tpu (lens correction: APPROXIMATE bundled "
+                f"profile '{self.applied_lens_profile}')")
+        return image_io.build_exif_bytes(exif)
 
     def export_render(self, fmt: str):
         """The device-render half of a (non-DNG) export: snapshot +

@@ -608,7 +608,9 @@ def build_exif_bytes(exif: dict | None) -> bytes | None:
 
     ex = PILImage.Exif()
     wrote = False
-    for tag, key in ((271, "Make"), (272, "Model")):
+    # Software (305): processing provenance — carries the
+    # approximate-lens-profile note the editor injects on export.
+    for tag, key in ((271, "Make"), (272, "Model"), (305, "Software")):
         v = exif.get(key)
         if v:
             ex[tag] = str(v)

@@ -53,6 +53,10 @@ class LensEntry:
     distortion: list = dataclasses.field(default_factory=list)
     tca: list = dataclasses.field(default_factory=list)
     vignetting: list = dataclasses.field(default_factory=list)
+    # True when the source database declares provenance="approximate" on
+    # its root element (the bundled starter set does); propagated to
+    # LensProfile.approximate so every surface can mark the correction.
+    approximate: bool = False
 
 
 def _norm(s: str) -> str:
@@ -232,12 +236,17 @@ class LensDatabase:
     @staticmethod
     def _parse_root(root) -> list[LensEntry]:
         out = []
+        # Database-level provenance marker: real lensfun files carry no
+        # such attribute (-> calibrated); the bundled starter set is
+        # explicitly stamped approximate.
+        approx = (root.get("provenance", "") or "").strip() == "approximate"
         for lens in root.iter("lens"):
             entry = LensEntry(
                 maker=(lens.findtext("maker") or "").strip(),
                 model=(lens.findtext("model") or "").strip(),
                 mount=(lens.findtext("mount") or "").strip(),
                 crop_factor=float(lens.findtext("cropfactor") or 1.0),
+                approximate=approx,
             )
             calib = lens.find("calibration")
             if calib is None:
@@ -284,9 +293,13 @@ class LensDatabase:
         return out
 
     # -- lookup --------------------------------------------------------------
-    def find_lens(self, lens_model: str, maker: Optional[str] = None
-                  ) -> Optional[LensEntry]:
-        """Fuzzy-resolve a lens entry from an EXIF LensModel string."""
+    def find_lens(self, lens_model: str, maker: Optional[str] = None,
+                  calibrated_only: bool = False) -> Optional[LensEntry]:
+        """Fuzzy-resolve a lens entry from an EXIF LensModel string.
+        ``calibrated_only`` skips approximate-provenance entries (the
+        --lens-correct=calibrated-only policy)."""
+        lenses = ([e for e in self.lenses if not e.approximate]
+                  if calibrated_only else self.lenses)
         want = _norm(lens_model)
         if not want:
             return None
@@ -329,7 +342,7 @@ class LensDatabase:
                     best, best_score = e, score
             return best if best_score >= 0.5 else None
 
-        found = search([e for e in self.lenses if maker_ok(e)])
+        found = search([e for e in lenses if maker_ok(e)])
         if found is None and maker_n:
             # Retry maker-unqualified (editor.py:531-549 retries
             # find_lenses with maker=None): the caller often passes the
@@ -339,7 +352,7 @@ class LensDatabase:
             # name their maker ('Sigma 35mm ...'), while a weak token
             # match across makers ('50mm f/1.8' ~ another brand's
             # fifty) would warp the wrong profile into the pixels.
-            found = search(self.lenses, fuzzy=False)
+            found = search(lenses, fuzzy=False)
         return found
 
     def profile_for(
@@ -349,6 +362,7 @@ class LensDatabase:
         aperture: Optional[float] = None,
         maker: Optional[str] = None,
         cam_crop_factor: Optional[float] = None,
+        calibrated_only: bool = False,
     ) -> Optional[LensProfile]:
         """Resolve EXIF fields to an applicable LensProfile (or None).
 
@@ -359,7 +373,8 @@ class LensDatabase:
         (LensProfile.radius_scale): the correction polynomials are then
         evaluated in the calibration camera's frame, like lensfun does
         when pairing a lens profile with a different-crop body."""
-        entry = self.find_lens(lens_model, maker)
+        entry = self.find_lens(lens_model, maker,
+                               calibrated_only=calibrated_only)
         if entry is None:
             return None
         dist = _interp_focal(entry.distortion, focal)
@@ -377,9 +392,12 @@ class LensDatabase:
             distortion=dist.data if dist else None,
             tca=tca.data if tca else None,
             radius_scale=radius_scale,
+            approximate=entry.approximate,
         )
 
-    def profile_from_exif(self, exif: dict) -> Optional[LensProfile]:
+    def profile_from_exif(self, exif: dict,
+                          calibrated_only: bool = False
+                          ) -> Optional[LensProfile]:
         """Resolve from the session's EXIF dict (LensModel falling back to
         the body Model for fixed-lens cameras, editor.py:425-711 order).
         The camera crop factor comes from FocalLengthIn35mmFilm /
@@ -397,4 +415,5 @@ class LensDatabase:
             lens, focal=focal, aperture=aperture,
             maker=exif.get("LensMake") or exif.get("Make"),
             cam_crop_factor=crop,
+            calibrated_only=calibrated_only,
         )

@@ -53,6 +53,12 @@ class LensProfile:
     # calib_crop / camera_crop (a smaller sensor sees the central part of
     # the image circle). 1.0 = same crop as calibration.
     radius_scale: float = 1.0
+    # Provenance: True when the coefficients come from a database marked
+    # provenance="approximate" (the bundled starter set, data/lenses.xml)
+    # rather than calibrated lensfun data. Surfaced end-to-end (CLI
+    # output, server /info + UI, export metadata) so a user can always
+    # tell a guessed profile from a measured one.
+    approximate: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))

@@ -449,3 +449,95 @@ def test_maker_retry_skips_weak_fuzzy_match():
     assert db.find_lens("50mm f/1.8 STM", maker="Canon") is None
     # Exact third-party match still resolves despite the body maker.
     assert db.find_lens("Nikon Nikkor 50mm f/1.8", maker="Canon") is not None
+
+
+# ---- provenance (VERDICT r4 #3: approximate vs calibrated profiles) ----
+
+
+def test_bundled_profiles_marked_approximate():
+    """Every bundled entry carries approximate=True (data/lenses.xml
+    declares provenance="approximate") and the flag propagates to the
+    resolved LensProfile."""
+    db = LensDatabase.load()
+    assert db.lenses and all(e.approximate for e in db.lenses)
+    p = db.profile_from_exif({
+        "LensModel": "Canon EF 50mm f/1.8 II", "Make": "Canon",
+        "FocalLength": "50", "FNumber": "1.8",
+    })
+    assert p is not None and p.approximate is True
+
+
+def test_user_db_defaults_to_calibrated(db):
+    """XML without the provenance attribute (any real lensfun file) parses
+    as calibrated: approximate=False end-to-end."""
+    assert all(not e.approximate for e in db.lenses)
+    p = db.profile_for("TestCo Prime 50mm f/1.8", focal=50, aperture=1.8)
+    assert p is not None and p.approximate is False
+
+
+def test_calibrated_only_skips_approximate(tmp_path):
+    """profile_from_exif(calibrated_only=True) never resolves an
+    approximate-provenance entry — but still resolves the same lens from
+    a user-pointed calibrated DB."""
+    exif = {"LensModel": "Canon EF 50mm f/1.8 II", "Make": "Canon",
+            "FocalLength": "50", "FNumber": "1.8"}
+    bundled = LensDatabase.load()
+    assert bundled.profile_from_exif(exif) is not None
+    assert bundled.profile_from_exif(exif, calibrated_only=True) is None
+
+    (tmp_path / "cal.xml").write_text("""<lensdatabase>
+      <lens><maker>Canon</maker><model>Canon EF 50mm f/1.8 II</model>
+        <cropfactor>1.0</cropfactor>
+        <calibration>
+          <distortion model="poly3" focal="50" k1="-0.004"/>
+        </calibration></lens></lensdatabase>""")
+    both = LensDatabase.load([str(tmp_path)])
+    p = both.profile_from_exif(exif, calibrated_only=True)
+    assert p is not None and p.approximate is False
+    # The calibrated entry's coefficients, not the bundled ones.
+    assert p.distortion == (-0.004,)
+
+
+def test_editor_calibrated_only_policy(tmp_path):
+    """open(lens_correct="calibrated-only") leaves a bundled-only match
+    unapplied; "auto" applies it and records the provenance flag."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    path = _jpeg_with_lens_exif(tmp_path,
+                                lens_model="Canon EF 50mm f/1.8 II")
+    ed = PhotoEditor.open(path, lens_correct="auto", use_pallas=False,
+                          mid_long_edge=48, low_long_edge=24)
+    assert ed.applied_lens_profile == "Canon EF 50mm f/1.8 II"
+    assert ed.applied_lens_approximate is True
+
+    ed2 = PhotoEditor.open(path, lens_correct="calibrated-only",
+                           use_pallas=False,
+                           mid_long_edge=48, low_long_edge=24)
+    assert ed2.applied_lens_profile is None
+    assert ed2.applied_lens_approximate is False
+
+
+def test_export_exif_software_note():
+    """Exports that synthesized their EXIF from parsed RAW metadata carry
+    the approximate-correction note in the Software tag (305)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    rng = np.random.default_rng(0)
+    ed = PhotoEditor.from_rgb_f32(
+        rng.random((32, 48, 3)).astype(np.float32),
+        mid_long_edge=48, low_long_edge=24, use_pallas=False)
+    ed.exif = {"Make": "TestCo", "Model": "TestCo Cam"}
+    ed._exif_bytes = None  # RAW-style open: EXIF dict, no original blob
+    ed.applied_lens_profile = "Canon EF 50mm f/1.8 II"
+    ed.applied_lens_approximate = True
+    blob = ed.export_exif_bytes()
+    assert blob is not None
+    ex = PILImage.Exif()
+    ex.load(blob)
+    assert "APPROXIMATE bundled profile" in ex[305]
+    assert "Canon EF 50mm f/1.8 II" in ex[305]
+
+    # Container opens (original blob present) pass the blob through
+    # byte-identically — fidelity wins there.
+    ed._exif_bytes = b"Exif\x00\x00original-blob"
+    assert ed.export_exif_bytes() == b"Exif\x00\x00original-blob"
