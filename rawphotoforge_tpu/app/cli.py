@@ -403,7 +403,8 @@ def _batch_raw_fast_path(paths, args) -> int:
                 edit.vignette != 0 or edit.sharpness != 0)
             if (raw.pattern in dm.BAYER_PATTERNS or
                     raw.pattern == "XTRANS") and \
-                    raw.warp_rectilinear is None and not crop_first:
+                    raw.warp_rectilinear is None and \
+                    raw.warp_fisheye is None and not crop_first:
                 packed = pack_params([edit], extent=(h, w), build_luts=False)
                 srgb = raw_develop_fused(
                     mos01, jnp.asarray(raw.wb_gains, dtype=jnp.float32), cam,
@@ -432,6 +433,12 @@ def _batch_raw_fast_path(paths, args) -> int:
 
                     wc, wcen = raw.warp_rectilinear
                     planes = warp_rectilinear(
+                        planes, jnp.asarray(wc), jnp.asarray(wcen))
+                if raw.warp_fisheye is not None:
+                    from ..ops.lenscorr import warp_fisheye
+
+                    wc, wcen = raw.warp_fisheye
+                    planes = warp_fisheye(
                         planes, jnp.asarray(wc), jnp.asarray(wcen))
                 if crop_first:
                     cx, cy, cw, ch = raw.default_crop

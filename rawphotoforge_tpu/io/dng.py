@@ -27,8 +27,8 @@ covers the DNG subset the framework owns natively:
   FixVignetteRadial + MapPolynomial + MapTable + DeltaPerRow/Column +
   ScalePerRow/Column (shading/tone/flat-field corrections at the
   normalized linear-reference stage), and OpcodeList3 WarpRectilinear +
-  FixVignetteRadial (applied post-demosaic by develop) + TrimBounds
-  (composed into the final crop) — the
+  WarpFisheye + FixVignetteRadial (applied post-demosaic by develop) +
+  TrimBounds (composed into the final crop) — every DNG 1.3 opcode, the
   corrections phone DNGs/ProRAW carry; read_dng(apply_opcodes=False) is
   the lossless transcode mode that re-serializes them instead
 * embedded JPEG preview extraction (``extract_preview``) from preview
@@ -94,6 +94,8 @@ T_DEFAULT_CROP_SIZE = 50720
 T_SONY_BLACK_LEVEL = 0x7310     # 4 per-CFA-site shorts
 T_SONY_WHITE_LEVEL = 0x787F     # WhiteLevel (1-3 values)
 T_SONY_WB_RGGB = 0x7313         # WB_RGGBLevels (multiplier levels)
+T_SONY_CURVE = 0x7010           # ARW2 companding-curve knots (4 shorts)
+COMPRESSION_SONY_ARW2 = 32767   # Sony cRAW / ARW2 packed blocks
 T_COLOR_MATRIX_1 = 50721
 T_AS_SHOT_NEUTRAL = 50728
 T_ACTIVE_AREA = 50829
@@ -136,6 +138,11 @@ class RawImage:
     # DNG OpcodeList3 WarpRectilinear (opcode 1): (coefs f32 [P, 6],
     # center f32 [2] relative) — applied post-demosaic by develop.
     warp_rectilinear: Optional[tuple] = None
+    # DNG OpcodeList3 WarpFisheye (opcode 2): (coefs f32 [P, 4],
+    # center f32 [2] relative) — theta-polynomial fisheye remap,
+    # applied post-demosaic like the rectilinear warp (r5: the last
+    # DNG 1.3 opcode).
+    warp_fisheye: Optional[tuple] = None
     # DNG OpcodeList3 FixVignetteRadial (opcode 3): (k f32 [5],
     # center f32 [2] relative) — applied post-demosaic by develop, in
     # the file's listed order relative to WarpRectilinear
@@ -151,6 +158,13 @@ class RawImage:
     # path then estimates gray-world gains instead of rendering the raw
     # sensor response (develop_raw_image).
     wb_known: bool = True
+    # True when the sensor data came through a memory-derived bitstream
+    # codec (io/vendor_packed: Sony ARW2, Panasonic RAW4): parse_raw then
+    # auto-correlates a host superpixel develop against the file's own
+    # embedded camera preview and REFUSES the decode (typed DngError ->
+    # preview fallback) below the 0.9 gate, so a misremembered packing
+    # rule can never pass silently (VERDICT r4 #1).
+    needs_verification: bool = False
 
     @property
     def shape(self):
@@ -436,6 +450,22 @@ def _parse_warp_rectilinear(opcodes: bytes):
         if op_id == 1:
             return _parse_warp_body(body)
     return None
+
+
+def _parse_fisheye_body(body: bytes):
+    """Decode one WarpFisheye (opcode 2) body.
+
+    Params: u32 plane count (1 shared or 3 per-plane), per plane 4 f64
+    radial terms over theta (kr0..kr3), then 2 f64 relative optical
+    center — the rectilinear layout minus the tangential pair."""
+    (nplanes,) = struct.unpack_from(">I", body, 0)
+    if nplanes not in (1, 3):
+        raise DngError(f"WarpFisheye with {nplanes} coefficient sets")
+    coefs = np.frombuffer(
+        body, ">f8", count=nplanes * 4, offset=4
+    ).reshape(nplanes, 4).astype(np.float32)
+    ccx, ccy = struct.unpack_from(">2d", body, 4 + nplanes * 32)
+    return coefs, np.asarray([ccx, ccy], dtype=np.float32)
 
 
 def _opcodes_contain(opcodes: bytes, want_ids) -> bool:
@@ -1180,11 +1210,12 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     if isinstance(bits, list):
         bits = bits[0]
     compression = tag(cfa_ifd, T_COMPRESSION, 1)
-    if compression not in (1, 7, 8, 32946, COMPRESSION_LOSSY_JPEG):
+    if compression not in (1, 7, 8, 32946, COMPRESSION_LOSSY_JPEG,
+                           COMPRESSION_SONY_ARW2):
         raise DngError(
             f"unsupported DNG compression {compression} (supported: 1 "
             f"uncompressed, 7 lossless JPEG, 8/32946 deflate, 34892 lossy "
-            f"JPEG)"
+            f"JPEG, 32767 Sony ARW2)"
         )
     sample_format = tag(cfa_ifd, T_SAMPLE_FORMAT, 1)
     if isinstance(sample_format, list):
@@ -1213,6 +1244,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     counts = counts if isinstance(counts, list) else [counts]
 
     pattern = None
+    arw2_white_default = None
     if photometric == PHOTOMETRIC_LINEAR_RAW:
         spp = tag(cfa_ifd, T_SAMPLES_PER_PIXEL, 1)
         if spp != 3:
@@ -1318,6 +1350,25 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
                 np.float32 if sample_format == 3 else np.uint16,
                 tiled=tiled,
             )
+    elif compression == COMPRESSION_SONY_ARW2:
+        # Sony ARW2 (cRAW): 8-bit/pixel packed 16-pixel blocks, decoded
+        # through the tag-0x7010 companding curve (io/vendor_packed —
+        # memory-derived codec, auto-gated by parse_raw's
+        # preview-correlation check via needs_verification below).
+        from .vendor_packed import decode_arw2, sony_arw2_curve
+
+        if tiled:
+            raise DngError("tiled ARW2 is not supported")
+        if sample_format != 1:
+            raise DngError("ARW2 with non-integer SampleFormat")
+        knots = tag(cfa_ifd, T_SONY_CURVE)
+        arw2_curve = sony_arw2_curve(knots)
+        strip_data = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+        mosaic = decode_arw2(strip_data, width, height, arw2_curve)
+        # The curve maps 11-bit codes into the same domain as the Sony
+        # black/white tags; when the white tag is absent the curve's own
+        # maximum output is the exact representable ceiling.
+        arw2_white_default = float(arw2_curve[4094])
     else:
         if compression != 1:
             raise DngError(
@@ -1485,6 +1536,10 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     white = any_ifd(T_WHITE_LEVEL)
     if white is None:
         white = any_ifd(T_SONY_WHITE_LEVEL)  # exiftool Sony WhiteLevel
+    if white is None and arw2_white_default is not None:
+        # ARW2 stores 8 bits/pixel; (1 << bits) - 1 would be nonsense —
+        # the decoded domain's ceiling is the companding curve's maximum.
+        white = arw2_white_default
     if white is None:
         white = 1.0 if sample_format == 3 else (1 << bits) - 1
     if isinstance(white, list):
@@ -1528,6 +1583,7 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
     oplist2 = bytes(oplist2) if isinstance(oplist2, (bytes, bytearray)) else None
     oplist3 = bytes(oplist3) if isinstance(oplist3, (bytes, bytearray)) else None
     warp = None
+    fisheye = None
     vignette = None
     vignette_first = False
     trim = None
@@ -1548,17 +1604,19 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         # lists apply sequentially, and for FixVignetteRadial before
         # vs after WarpRectilinear the order is observable (the gain
         # samples a different radius at warped corners).
-        if oplist3 is not None and _opcodes_contain(oplist3, (1, 3, 6)):
+        if oplist3 is not None and _opcodes_contain(oplist3, (1, 2, 3, 6)):
             try:
                 for op_id, body in _iter_opcodes(oplist3):
                     if op_id == 1 and warp is None:
                         warp = _parse_warp_body(body)
+                    elif op_id == 2 and fisheye is None:
+                        fisheye = _parse_fisheye_body(body)
                     elif op_id == 3 and vignette is None:
                         vals = struct.unpack_from(">7d", body, 0)
                         vignette = (
                             np.asarray(vals[:5], dtype=np.float32),
                             np.asarray(vals[5:7], dtype=np.float32))
-                        if warp is None:
+                        if warp is None and fisheye is None:
                             vignette_first = True
                     elif op_id == 6 and trim is None:
                         # TrimBounds (id 6): u32 top,left,bottom,right.
@@ -1626,10 +1684,12 @@ def _read_dng(data: bytes, apply_opcodes: bool = True) -> RawImage:
         exif=exif,
         default_crop=default_crop,
         warp_rectilinear=warp,
+        warp_fisheye=fisheye,
         vignette_radial=vignette,
         vignette_first=vignette_first,
         opcode_lists=opcode_lists,
         wb_known=wb_known,
+        needs_verification=(compression == COMPRESSION_SONY_ARW2),
     )
 
 

@@ -54,12 +54,54 @@ def parse_raw(data: bytes, apply_opcodes: bool = True) -> RawImage:
     from .vendor_raw import is_raf, is_rw2, read_raf, read_rw2
 
     if is_cr2(data):
-        return read_cr2(data)
-    if is_rw2(data):
-        return read_rw2(data)
-    if is_raf(data):
-        return read_raf(data)
-    return read_dng(data, apply_opcodes=apply_opcodes)
+        raw = read_cr2(data)
+    elif is_rw2(data):
+        raw = read_rw2(data)
+    elif is_raf(data):
+        raw = read_raf(data)
+    else:
+        raw = read_dng(data, apply_opcodes=apply_opcodes)
+    if raw.needs_verification:
+        _verify_memory_derived_decode(data, raw)
+    return raw
+
+
+def _verify_memory_derived_decode(data: bytes, raw) -> None:
+    """Automatic silent-wrong gate for memory-derived bitstream codecs
+    (io/vendor_packed: Sony ARW2, Panasonic RAW4 — VERDICT r4 #1).
+
+    A host superpixel develop of the decoded mosaic (engine.instant, no
+    device dispatch, ~0.1 s at 24 MPix) is Pearson-correlated against
+    the file's own embedded camera preview over the 8 dihedral
+    placements. Below the 0.9 gate the decode is REFUSED with a typed
+    DngError — callers' preview fallback then opens the file loudly
+    (``opened_from_preview`` carries this message) instead of showing
+    silently-wrong pixels. Files without a decodable embedded preview
+    pass through unverified (fixtures; every real camera writes one);
+    ``info --verify-decode`` remains the explicit device-path check."""
+    from ..engine import instant
+    from .dng import DngError
+    from .vendor_raw import CORRELATION_GATE, dihedral_luma_correlation
+
+    pv = decode_embedded_preview_host(data, instant_long_edge=128)
+    if pv is None:
+        return
+    pv_lin = pv.instant_linear
+    if pv_lin is None and pv.instant is not None:
+        # sRGB u8 previews (the JPEG case) recover their linear planes
+        # losslessly (HostDecoded contract).
+        pv_lin = instant.linear_from_srgb_u8(pv.instant)
+    if pv_lin is None:
+        return
+    dev = instant.quick_linear_from_raw(raw, 128)
+    if dev is None:
+        return
+    corr = dihedral_luma_correlation(dev, pv_lin)
+    if corr < CORRELATION_GATE:
+        raise DngError(
+            f"memory-derived packed decode failed the embedded-preview "
+            f"correlation gate ({corr:.3f} < {CORRELATION_GATE}); "
+            f"refusing possibly-wrong sensor data")
 
 
 def decode_embedded_preview(data: bytes):
@@ -282,7 +324,8 @@ def bucket_stable_eligible(raw: RawImage) -> bool:
     if raw.pattern not in dm.BAYER_PATTERNS and raw.pattern not in (
             "RGB", "XTRANS"):
         return False
-    if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
+    if (raw.warp_rectilinear is not None or raw.warp_fisheye is not None
+            or raw.vignette_radial is not None):
         # Opcode-carrying files (phone/ProRAW class) develop on the
         # bucket grid with the true extent traced (develop_raw_image_
         # padded's opcode block); restricted to orientations whose pads
@@ -341,22 +384,30 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
     else:
         planes = dm.develop_raw(mosaic01, wb, cam2srgb,
                                 pattern=raw.pattern, method=method)
-    if raw.warp_rectilinear is not None or raw.vignette_radial is not None:
+    if (raw.warp_rectilinear is not None or raw.warp_fisheye is not None
+            or raw.vignette_radial is not None):
         # OpcodeList3 warp/vignette on the BUCKET grid with the true
         # extent traced (coordinates normalize by it; bilinear_sample
         # clamps to it) — phone/ProRAW-class files stay bucket-stable
         # instead of paying per-extent remote compiles (VERDICT r3 #4).
         # bucket_stable_eligible restricted opcode files to bottom/right
         # pads, so the true region sits at the origin here.
-        from ..ops.lenscorr import vignette_radial_gain, warp_rectilinear
+        from ..ops.lenscorr import (vignette_radial_gain, warp_fisheye,
+                                    warp_rectilinear)
 
         th0, tw0 = raw.mosaic.shape[:2]
         ext = jnp.asarray([th0, tw0], dtype=jnp.float32)
 
         def _warp(p):
-            coefs, center = raw.warp_rectilinear
-            return warp_rectilinear(p, jnp.asarray(coefs),
-                                    jnp.asarray(center), extent=ext)
+            if raw.warp_rectilinear is not None:
+                coefs, center = raw.warp_rectilinear
+                p = warp_rectilinear(p, jnp.asarray(coefs),
+                                     jnp.asarray(center), extent=ext)
+            if raw.warp_fisheye is not None:
+                coefs, center = raw.warp_fisheye
+                p = warp_fisheye(p, jnp.asarray(coefs),
+                                 jnp.asarray(center), extent=ext)
+            return p
 
         def _vig(p):
             k, center = raw.vignette_radial
@@ -364,8 +415,9 @@ def develop_raw_image_padded(raw: RawImage, method: str = "malvar"):
                                      extent=ext)
             return p * g[None, :, :]
 
-        steps = [(_warp, raw.warp_rectilinear),
-                 (_vig, raw.vignette_radial)]
+        warp_present = (raw.warp_rectilinear is not None
+                        or raw.warp_fisheye is not None) or None
+        steps = [(_warp, warp_present), (_vig, raw.vignette_radial)]
         if raw.vignette_first:
             steps.reverse()
         for fn, present in steps:
@@ -425,13 +477,20 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
             method=method,
         )
     def _apply_warp(p):
-        # DNG OpcodeList3 WarpRectilinear: post-demosaic geometric
-        # correction (the distortion correction phone DNGs rely on),
-        # applied before DefaultCrop per the opcode-stage ordering.
-        from ..ops.lenscorr import warp_rectilinear
+        # DNG OpcodeList3 WarpRectilinear/WarpFisheye: post-demosaic
+        # geometric correction (the distortion correction phone DNGs
+        # rely on), applied before DefaultCrop per the opcode-stage
+        # ordering. Files carry one warp kind; if both appear they apply
+        # in opcode-id order.
+        from ..ops.lenscorr import warp_fisheye, warp_rectilinear
 
-        coefs, center = raw.warp_rectilinear
-        return warp_rectilinear(p, jnp.asarray(coefs), jnp.asarray(center))
+        if raw.warp_rectilinear is not None:
+            coefs, center = raw.warp_rectilinear
+            p = warp_rectilinear(p, jnp.asarray(coefs), jnp.asarray(center))
+        if raw.warp_fisheye is not None:
+            coefs, center = raw.warp_fisheye
+            p = warp_fisheye(p, jnp.asarray(coefs), jnp.asarray(center))
+        return p
 
     def _apply_vignette(p):
         # DNG OpcodeList3 FixVignetteRadial: post-demosaic radial
@@ -452,8 +511,11 @@ def develop_raw_image(raw: RawImage, method: str = "malvar"):
     if raw.vignette_first:
         steps.reverse()
     for step in steps:
-        if (raw.warp_rectilinear if step is _apply_warp
-                else raw.vignette_radial) is not None:
+        present = ((raw.warp_rectilinear is not None
+                    or raw.warp_fisheye is not None)
+                   if step is _apply_warp
+                   else raw.vignette_radial is not None)
+        if present:
             planes = step(planes)
     if raw.default_crop is not None:
         # DNG DefaultCrop: recommended final crop, applied post-demosaic

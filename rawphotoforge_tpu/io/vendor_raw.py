@@ -20,11 +20,16 @@ image.rs:14-179, :509-557 which routes these through rawler):
   reversed, dcraw parse_fuji), 0x2FF0 the (G, R, G2, B) WB levels.
   Rotated SuperCCD layouts (no 0x0131 record) are rejected.
 
-Entropy-coded vendor variants (NEF compression 34713, Sony cRAW 32767,
-Fuji lossless, Panasonic RAW4) still raise typed errors: no
-authoritative Huffman/packing tables are available offline, and
-memory-derived tables would fail *silently* (see CLAUDE.md). Those
-files keep opening via the embedded-preview fallback.
+Table-free packed bitstreams decode via io/vendor_packed (r5): Sony
+ARW2 (compression 32767, routed through the io/dng walker) and
+Panasonic RAW4 (12-bit RW2, routed below). Both are memory-derived
+structural codecs, so parse_raw auto-gates every real-file decode
+against the embedded camera preview (needs_verification flow).
+Huffman-table entropy codecs (NEF compression 34713, Fuji lossless,
+Panasonic 14-bit v5/v6) still raise typed errors: no authoritative
+tables are available offline, and memory-derived tables would fail
+*silently* even against round-trip tests (see CLAUDE.md). Those files
+keep opening via the embedded-preview fallback.
 
 Silent-wrong detector (``preview_correlation``): develop the decoded
 sensor data, downsample, and Pearson-correlate its luma against the
@@ -82,6 +87,7 @@ _RW2_RED_BALANCE = 0x0011                   # older bodies: gains * 256
 _RW2_BLUE_BALANCE = 0x0012
 _RW2_BLACK = (0x001C, 0x001D, 0x001E)
 _RW2_WB_LEVELS = (0x0024, 0x0025, 0x0026)   # WBRed/Green/BlueLevel
+_RW2_RAW_FORMAT = 0x002D                    # exiftool RawFormat (4 = RAW4)
 _RW2_JPG_FROM_RAW = 0x002E
 _RW2_RAW_OFFSET = 0x0118
 _RW2_MAKE = 271
@@ -129,13 +135,38 @@ def read_rw2(data: bytes) -> RawImage:
             end = joff
     avail = end - off
     need = sw * sh * 2
-    if avail < need:
+    bits_tag = int(tag(_RW2_BITS, 12) or 12)
+    raw_fmt = tag(_RW2_RAW_FORMAT)
+    needs_verification = False
+    # The 12-bit fixed bit-group packing (exiftool RawFormat 4, dcraw
+    # pana_bits) is table-free and decodes via io/vendor_packed —
+    # memory-derived, so the result is flagged for parse_raw's
+    # preview-correlation gate. The RawFormat tag takes precedence over
+    # the payload-size heuristic (RAW4 blocks round up to 16 KB, so a
+    # tiny packed payload can exceed its plain-16-bit size); 14-bit
+    # v5/v6 entropy-coded streams stay typed-rejected.
+    if raw_fmt == 4 and bits_tag == 12:
+        from .vendor_packed import decode_pana_raw4
+
+        mosaic = decode_pana_raw4(data[off:end], sw, sh)
+        needs_verification = True
+    elif (raw_fmt is None or raw_fmt <= 3) and avail >= need:
+        # Plain 16-bit payload. RawFormat >= 4 never takes this branch:
+        # a compressed stream whose blocks happen to exceed the plain
+        # size must not be reinterpreted as pixels (silent-wrong).
+        mosaic = np.frombuffer(data, dtype="<u2", count=sw * sh,
+                               offset=off).reshape(sh, sw)
+    elif bits_tag == 12 and raw_fmt in (None, 3) and avail < need:
+        from .vendor_packed import decode_pana_raw4
+
+        mosaic = decode_pana_raw4(data[off:end], sw, sh)
+        needs_verification = True
+    else:
         raise DngError(
-            f"RW2 payload is {avail} bytes for {sw}x{sh}; only plain "
-            f"16-bit (uncompressed) Panasonic data is supported — "
-            f"compressed RW2 has no offline ground truth")
-    mosaic = np.frombuffer(data, dtype="<u2", count=sw * sh,
-                           offset=off).reshape(sh, sw)
+            f"RW2 payload is {avail} bytes for {sw}x{sh} at "
+            f"{bits_tag}-bit (RawFormat {raw_fmt}); only plain "
+            f"16-bit and 12-bit RAW4 packing decode — the 14-bit "
+            f"v5/v6 entropy streams have no offline ground truth")
 
     # Sensor borders crop the optically-black frame; the CFA phase
     # follows the crop origin parity.
@@ -158,7 +189,7 @@ def read_rw2(data: bytes) -> RawImage:
         grid = np.roll(grid, (-top % 2, -left % 2), axis=(0, 1))
         pattern = "".join(grid.reshape(-1))
 
-    bits = int(tag(_RW2_BITS, 12) or 12)
+    bits = bits_tag
     blacks = [tag(t) for t in _RW2_BLACK]
     if all(isinstance(b, int) for b in blacks):
         # dcraw/libraw add 15 to the stored RW2 black levels (the sensor
@@ -204,16 +235,20 @@ def read_rw2(data: bytes) -> RawImage:
         orientation=orientation,
         exif=dict(extract_container_exif(data)),
         wb_known=wb_known,
+        needs_verification=needs_verification,
     )
 
 
 def write_rw2(raw: RawImage, jpg_from_raw: Optional[bytes] = None,
-              borders: Optional[tuple] = None) -> bytes:
+              borders: Optional[tuple] = None,
+              raw_format: int = 1) -> bytes:
     """Serialize a minimal uncompressed RW2 (fixture writer: the decode
     contract above, nothing more). ``raw.mosaic`` must be u16 [H, W]
     covering the FULL sensor; ``borders`` = (top, left, bottom, right)
     writes the sensor-border crop tags (``raw.pattern`` names the CFA at
-    the border origin, as cameras do)."""
+    the border origin, as cameras do). ``raw_format=4`` packs the
+    payload as a 12-bit RAW4 bitstream (io/vendor_packed.encode_pana_
+    raw4 — sample values must be <= 4095 and fixture-representable)."""
     if raw.mosaic.ndim != 2 or raw.mosaic.dtype != np.uint16:
         raise DngError("write_rw2 needs a u16 [H, W] mosaic")
     h, w = raw.mosaic.shape
@@ -241,8 +276,9 @@ def write_rw2(raw: RawImage, jpg_from_raw: Optional[bytes] = None,
         (_RW2_TOP, 3, [top]), (_RW2_LEFT, 3, [left]),
         (_RW2_BOTTOM, 3, [bottom]), (_RW2_RIGHT, 3, [right]),
         (_RW2_CFA, 3, [cfa_code]),
-        (_RW2_BITS, 3, [16]),
+        (_RW2_BITS, 3, [12 if raw_format == 4 else 16]),
         (_RW2_COMPRESSION, 3, [1]),
+        (_RW2_RAW_FORMAT, 3, [raw_format]),
         (_RW2_LINEARITY[0], 3, [int(raw.white_level)]),
         (_RW2_LINEARITY[1], 3, [int(raw.white_level)]),
         (_RW2_LINEARITY[2], 3, [int(raw.white_level)]),
@@ -255,7 +291,12 @@ def write_rw2(raw: RawImage, jpg_from_raw: Optional[bytes] = None,
          + b"\x00"),
         (_RW2_ORIENTATION, 3, [int(raw.orientation)]),
     ]
-    payload = raw.mosaic.astype("<u2").tobytes()
+    if raw_format == 4:
+        from .vendor_packed import encode_pana_raw4
+
+        payload = encode_pana_raw4(raw.mosaic)
+    else:
+        payload = raw.mosaic.astype("<u2").tobytes()
     jpg = jpg_from_raw or b""
     n = len(entries) + (1 if jpg else 0) + 1  # + raw offset tag
     ifd_off = 8
@@ -604,7 +645,8 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
                   sony_tags: bool = False,
                   preview_jpeg: Optional[bytes] = None,
                   magic: int = 42,
-                  makernote: Optional[bytes] = None) -> bytes:
+                  makernote: Optional[bytes] = None,
+                  arw2_curve_knots: Optional[list] = None) -> bytes:
     """Serialize a TIFF-EP RAW the way NEF/ARW/ORF/PEF/SRW/3FR structure
     theirs: IFD0 (Make/Model, optional preview strip) + a SubIFD
     carrying the CFA sensor plane (Photometric 32803, TIFF-EP
@@ -622,12 +664,20 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
         raise DngError("write_tiff_ep needs a u16 [H, W] mosaic")
     if raw.pattern not in ("RGGB", "BGGR", "GRBG", "GBRG"):
         raise DngError(f"TIFF-EP fixture cannot carry {raw.pattern!r}")
-    if bits not in (12, 14, 16):
+    if bits not in (8, 12, 14, 16):
         raise DngError(f"unsupported fixture bit depth {bits}")
     h, w = raw.mosaic.shape
-    if bits != 16 and (w * bits) % 8:
+    if bits not in (8, 16) and (w * bits) % 8:
         raise DngError("packed fixture rows must be byte-aligned")
-    if compression == 1:
+    if compression == 32767:
+        # Sony ARW2 fixture: raw.mosaic carries the PRE-curve 11-bit
+        # codes; the reader maps them through the tag-0x7010 curve, so
+        # tests compare against curve[codes << 1]. Real ARW2 stamps
+        # BitsPerSample=8 — callers pass bits=8 for realism.
+        from .vendor_packed import encode_arw2
+
+        payload = encode_arw2(raw.mosaic)
+    elif compression == 1:
         if bits == 16:
             payload = raw.mosaic.astype("<u2").tobytes()
         else:
@@ -718,6 +768,9 @@ def write_tiff_ep(raw: RawImage, bits: int = 16, make: str = "NIKON",
             (0x7310, 3, [blk, blk, blk, blk]),
             (0x787F, 3, [int(raw.white_level)]),
         ]
+        if arw2_curve_knots is not None:
+            sub_entries.append(
+                (0x7010, 3, [int(k) for k in arw2_curve_knots[:4]]))
         if tuple(raw.wb_gains) != (1.0, 1.0, 1.0):
             g = 1024
             sub_entries.append(
@@ -801,7 +854,16 @@ def preview_correlation(data: bytes, raw: Optional[RawImage] = None,
     if raw is None:
         raw = parse_raw(data)
     dev_planes, _ = develop_raw_image(raw, method="bilinear")
-    dev_planes = np.asarray(dev_planes, dtype=np.float32)
+    return dihedral_luma_correlation(
+        np.asarray(dev_planes, dtype=np.float32), pv_planes, size=size)
+
+
+def dihedral_luma_correlation(dev_planes: np.ndarray,
+                              pv_planes: np.ndarray,
+                              size: int = 64) -> float:
+    """Max Pearson correlation of two [3, H, W] renders' luma over the 8
+    dihedral placements at a small common grid (the preview_correlation
+    core, shared with parse_raw's host-side auto-gate)."""
 
     def luma_small(planes):
         y = (0.2126 * planes[0] + 0.7152 * planes[1] + 0.0722 * planes[2])
@@ -819,8 +881,9 @@ def preview_correlation(data: bytes, raw: Optional[RawImage] = None,
             return t.mean(axis=(1, 3))
         return y[np.ix_(yi, xi)]
 
-    a_grid = luma_small(dev_planes)
-    b = luma_small(pv_planes).reshape(-1).astype(np.float64)
+    a_grid = luma_small(np.asarray(dev_planes, dtype=np.float32))
+    b = luma_small(np.asarray(pv_planes, dtype=np.float32))
+    b = b.reshape(-1).astype(np.float64)
     b -= b.mean()
     bb = float((b * b).sum())
 

@@ -109,6 +109,8 @@ def _bind(lib) -> None:
         u16p, c, c, c, c, i32p, ctypes.c_float, ctypes.c_float, f32p,
     ]
     lib.rpf_cfa_block_means.restype = c
+    lib.rpf_pana_decode_raw4.argtypes = [ctypes.c_char_p, c64, c, c, u16p]
+    lib.rpf_pana_decode_raw4.restype = c
     lib.rpf_hostdev_develop.argtypes = [
         f32p, c, c, c, f32p, f32p, i32p, i32p, c, f32p,
         ctypes.c_float, u8p,
@@ -563,6 +565,27 @@ def unsharp_f32(planes, taps, amount: float):
                              float(amount), out)
     if rc != 0:
         raise ValueError(f"rpf_unsharp_f32 failed (rc={rc})")
+    return out
+
+
+def pana_decode_raw4(payload: bytes, width: int, height: int):
+    """Panasonic RAW4 bitstream decode -> u16 [height, width], or None
+    when the native library is unavailable (caller falls back to the
+    Python oracle io/vendor_packed.decode_pana_raw4_py — bit-identical,
+    fuzz-gated in tests/test_vendor_packed.py). Raises the callers'
+    typed DngError on a truncated stream, matching the oracle."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.rpf_pana_decode_raw4(bytes(payload), len(payload),
+                                  int(width), int(height), out)
+    if rc == 4:
+        from ..io.dng import DngError
+
+        raise DngError("RAW4 bitstream truncated")
+    if rc != 0:
+        raise ValueError(f"rpf_pana_decode_raw4 failed: {rc}")
     return out
 
 

@@ -440,6 +440,72 @@ int64_t rpf_ljpeg_pack_bits(const int64_t* vals, const uint8_t* lens,
   return o;
 }
 
+// ---------------------------------------------------------------------------
+// Panasonic RAW4 bitstream decode — the sequential hot loop of
+// io/vendor_packed.decode_pana_raw4 (dcraw pana_bits semantics; the
+// Python decode_pana_raw4_py is the tested oracle, this is its
+// bit-for-bit mirror at C speed for full-sensor files).
+//   data: the raw payload (0x4000-byte blocks, rotated by 0x2008)
+//   out:  u16 [height, width]
+// Returns RPF_ERR_TRUNCATED when the stream ends before the last pixel.
+// ---------------------------------------------------------------------------
+
+int rpf_pana_decode_raw4(const uint8_t* data, int64_t nbytes, int width,
+                         int height, uint16_t* out) {
+  if (!data || !out || width <= 0 || height <= 0 || nbytes < 0)
+    return RPF_ERR_ARGS;
+  uint8_t buf[0x4001];
+  std::memset(buf, 0, sizeof buf);
+  int64_t pos = 0;
+  int vbits = 0;
+  bool truncated = false;
+  auto get = [&](int nbits) -> int {
+    if (vbits == 0) {
+      if (pos >= nbytes) {
+        truncated = true;
+        return 0;
+      }
+      int64_t n = nbytes - pos;
+      if (n > 0x4000) n = 0x4000;
+      const int lf = 0x2008;  // PANA_LOAD_FLAGS block rotation
+      std::memset(buf, 0, 0x4000);
+      for (int64_t k = 0; k < n; ++k) {
+        int64_t at = (k < 0x4000 - lf) ? lf + k : k - (0x4000 - lf);
+        buf[at] = data[pos + k];
+      }
+      pos += 0x4000;
+    }
+    vbits = (vbits - nbits) & 0x1ffff;
+    int byte = (vbits >> 3) & 0x3fff;
+    int window = buf[byte] | (buf[byte + 1] << 8);
+    return (window >> (vbits & 7)) & ((1 << nbits) - 1);
+  };
+  for (int row = 0; row < height; ++row) {
+    int pred[2] = {0, 0}, nonz[2] = {0, 0}, sh = 0;
+    uint16_t* orow = out + static_cast<int64_t>(row) * width;
+    for (int col = 0; col < width; ++col) {
+      int i = col % 14;
+      if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+      if (i % 3 == 2) sh = 4 >> (3 - get(2));
+      int p = i & 1;
+      if (nonz[p]) {
+        int j = get(8);
+        if (j) {
+          pred[p] -= 0x80 << sh;
+          if (pred[p] < 0 || sh == 4) pred[p] &= ~(-1 << sh);
+          pred[p] += j << sh;
+        }
+      } else {
+        nonz[p] = get(8);
+        if (nonz[p] || i > 11) pred[p] = (nonz[p] << 4) | get(4);
+      }
+      orow[col] = static_cast<uint16_t>(pred[p] & 0xffff);
+    }
+  }
+  return truncated ? static_cast<int>(RPF_ERR_TRUNCATED)
+                   : static_cast<int>(RPF_OK);
+}
+
 // Mask binarization: v >= threshold -> 1.0 else 0.0 (lib.rs:481-499).
 // ---------------------------------------------------------------------------
 // Per-CFA-tile channel means of a u16 mosaic block, one row-major pass —

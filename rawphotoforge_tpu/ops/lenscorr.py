@@ -173,22 +173,12 @@ def correct_distortion(
     return jnp.stack([_remap_radial(planes[i], scale, geom) for i in range(3)])
 
 
-@jax.jit
-def warp_rectilinear(planes: jax.Array, coefs: jax.Array,
-                     center: jax.Array, extent=None) -> jax.Array:
-    """DNG WarpRectilinear (OpcodeList3 opcode 1) — the geometric
-    distortion correction phone DNGs carry.
-
-    ``coefs`` f32 [P, 6] with P in {1, 3} (shared or per-RGB-plane):
-    kr0..kr3 radial, kt0/kt1 tangential. ``center`` f32 [2] = optical
-    center in relative (x, y) image coordinates. Model (DNG 1.3 spec /
-    dng_sdk dng_lens_correction convention): coordinates about the
-    center, normalized by the maximum center-to-corner distance;
-      f(r) = kr0 + kr1 r^2 + kr2 r^4 + kr3 r^6
-      x_src = f x + kt0 (2 x y) + kt1 (r^2 + 2 x^2)
-      y_src = f y + kt1 (2 x y) + kt0 (r^2 + 2 y^2)
-    """
-    _, h, w = planes.shape
+def _warp_grid(h: int, w: int, center, extent=None):
+    """Shared DNG-warp coordinate setup: normalized center-relative
+    grids (dx, dy), r^2, and the (cx, cy, mmax, hf, wf) frame — the
+    coordinate model WarpRectilinear and WarpFisheye both use (dng_sdk
+    dng_lens_correction: normalize by the max center-to-corner
+    distance)."""
     if extent is None:
         hf, wf = jnp.float32(h), jnp.float32(w)
     else:
@@ -205,6 +195,26 @@ def warp_rectilinear(planes: jax.Array, coefs: jax.Array,
     dx = (xs - cx) / mmax
     dy = (ys - cy) / mmax
     r2 = dx * dx + dy * dy
+    return dx, dy, r2, cx, cy, mmax, hf, wf
+
+
+@jax.jit
+def warp_rectilinear(planes: jax.Array, coefs: jax.Array,
+                     center: jax.Array, extent=None) -> jax.Array:
+    """DNG WarpRectilinear (OpcodeList3 opcode 1) — the geometric
+    distortion correction phone DNGs carry.
+
+    ``coefs`` f32 [P, 6] with P in {1, 3} (shared or per-RGB-plane):
+    kr0..kr3 radial, kt0/kt1 tangential. ``center`` f32 [2] = optical
+    center in relative (x, y) image coordinates. Model (DNG 1.3 spec /
+    dng_sdk dng_lens_correction convention): coordinates about the
+    center, normalized by the maximum center-to-corner distance;
+      f(r) = kr0 + kr1 r^2 + kr2 r^4 + kr3 r^6
+      x_src = f x + kt0 (2 x y) + kt1 (r^2 + 2 x^2)
+      y_src = f y + kt1 (2 x y) + kt0 (r^2 + 2 y^2)
+    """
+    _, h, w = planes.shape
+    dx, dy, r2, cx, cy, mmax, hf, wf = _warp_grid(h, w, center, extent)
 
     n_coef = coefs.shape[0]
     out = []
@@ -215,6 +225,39 @@ def warp_rectilinear(planes: jax.Array, coefs: jax.Array,
         sy_n = fr * dy + k[5] * (2.0 * dx * dy) + k[4] * (r2 + 2.0 * dy * dy)
         sx = sx_n * mmax + cx
         sy = sy_n * mmax + cy
+        out.append(bilinear_sample(planes[p], sx, sy, hf, wf))
+    return jnp.stack(out)
+
+
+@jax.jit
+def warp_fisheye(planes: jax.Array, coefs: jax.Array,
+                 center: jax.Array, extent=None) -> jax.Array:
+    """DNG WarpFisheye (OpcodeList3 opcode 2) — fisheye-to-rectilinear
+    remapping, closing the last DNG 1.3 opcode (VERDICT r4 #5).
+
+    ``coefs`` f32 [P, 4] with P in {1, 3}: kr0..kr3 radial terms over
+    theta. Same coordinate frame as WarpRectilinear; per the DNG 1.3
+    spec / dng_sdk dng_warp_params_fisheye::EvaluateRatio, with r the
+    normalized center distance and t = atan(r):
+      r_src = t (kr0 + kr1 t^2 + kr2 t^4 + kr3 t^6)
+      (x_src, y_src) = (dx, dy) * r_src / r     (ratio -> kr0 as r -> 0,
+                                                 since t/r -> 1)
+    No tangential terms — the opcode body carries 4 coefficients."""
+    _, h, w = planes.shape
+    dx, dy, r2, cx, cy, mmax, hf, wf = _warp_grid(h, w, center, extent)
+    r = jnp.sqrt(r2)
+    t = jnp.arctan(r)
+    t2 = t * t
+
+    n_coef = coefs.shape[0]
+    out = []
+    for p in range(3):
+        k = coefs[min(p, n_coef - 1)]
+        poly = k[0] + t2 * (k[1] + t2 * (k[2] + t2 * k[3]))
+        # ratio = t*poly/r with the exact r->0 limit poly (t/r -> 1).
+        ratio = jnp.where(r > 1e-12, t * poly / jnp.maximum(r, 1e-12), poly)
+        sx = dx * ratio * mmax + cx
+        sy = dy * ratio * mmax + cy
         out.append(bilinear_sample(planes[p], sx, sy, hf, wf))
     return jnp.stack(out)
 
