@@ -388,6 +388,13 @@ def main(argv=None) -> int:
     if want("1b"):
         # The same edit with M=4 masks (the reference's typical
         # regional-edit workload; per-mask loop cost, wgsl:281-331).
+        # Measured through the editor's dispatch state: per-mask per-slot
+        # default-curve shortcuts (default_curve_slots) elide the curve
+        # sweeps nobody edited — bit-identical to the general kernel
+        # (tests/test_pallas.py), r5 same-session A/B medians
+        # 8.66 -> 6.98 ms (best-rep 7.47 -> 3.78 under chip sharing).
+        from rawphotoforge_tpu.core.params import default_curve_slots
+
         planes, _ = planes_masks()
         regionals = []
         for i in range(3):
@@ -395,13 +402,17 @@ def main(argv=None) -> int:
             q.set_tone(exposure=0.4 - 0.2 * i, contrast=10 + 5 * i)
             q.set_curve(SATURATION, [0, 65535], [30000 + 1000 * i, 34000])
             regionals.append(q)
-        params_m4 = jax.device_put(pack_params([main_edit()] + regionals))
+        edits_m4 = [main_edit()] + regionals
+        params_m4 = jax.device_put(pack_params(edits_m4))
         masks_m4 = jnp.concatenate([
             jnp.ones((1, h, w), dtype=jnp.float32),
             (jax.random.uniform(jax.random.PRNGKey(7), (3, h, w)) > 0.5
              ).astype(jnp.float32),
         ])
-        dt = device_time(dev_fn, planes, params_m4, masks_m4, chain=chain_first)
+        dev_m4 = functools.partial(
+            dev_fn, default_curve_slots=default_curve_slots(edits_m4))
+        dt = device_time(dev_m4, planes, params_m4, masks_m4,
+                         chain=chain_first)
         results["c1_24mp_edit_m4_ms"] = dt * 1e3
         results["c1_24mp_edit_m4_mpix_s"] = h * w / 1e6 / dt
         log(f"config 1b: 24MP edit with 4 masks {dt * 1e3:.2f} ms "

@@ -350,6 +350,19 @@ class DevelopParams:
         return self.gains.shape[0]
 
 
+def default_curve_slots(param_list) -> tuple:
+    """Per-mask (bright, hue, sat, light) default-curve booleans — the
+    static slot table for the fused kernel's per-mask staircase
+    shortcuts (kernels/fused.edit_stack default_slots): each default
+    slot skips its packed-PCHIP sweep for that mask only, bit-identical
+    to evaluating the default curve (VERDICT r4 #2)."""
+    return tuple(
+        tuple(e.curves[slot].is_default(slot)
+              for slot in (BRIGHTNESS, HUE, SATURATION, LIGHTNESS))
+        for e in param_list
+    )
+
+
 def pack_params(
     param_list: list[EditParameters],
     extent: Optional[tuple[int, int]] = None,

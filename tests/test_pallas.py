@@ -307,3 +307,80 @@ def test_fused_rejects_mismatched_mask_count():
     with pytest.raises(ValueError, match="packed mask count"):
         fused.develop_post_geo_fused(
             planes, params2, jnp.ones((3, 16, 128), jnp.float32))
+
+
+def test_default_curve_slots_bit_identical(rng):
+    """Per-mask per-slot staircase shortcuts (VERDICT r4 #2): a regional
+    stack where each mask edited a different single curve family renders
+    BIT-identically to the general kernel — the elided sweeps are
+    replaced by exactly what the default curves evaluate to."""
+    from rawphotoforge_tpu.core.params import default_curve_slots
+
+    main = EditParameters()
+    main.set_tone(exposure=0.4, contrast=15)
+    main.set_curve(BRIGHTNESS, [0, 30000, 65535], [2000, 35000, 65535])
+    m1 = EditParameters()
+    m1.set_tone(exposure=-0.3)
+    m1.set_curve(SATURATION, [0, 65535], [30000, 36000])
+    m2 = EditParameters()
+    m2.set_curve(HUE, [0, 20000, 65535], [3000, 24000, 65535])
+    params = [main, m1, m2]
+    slots = default_curve_slots(params)
+    # main: custom bright only; m1: custom sat only; m2: custom hue only.
+    assert slots == ((False, True, True, True),
+                     (True, True, False, True),
+                     (True, False, True, True))
+
+    h, w = 48, 160
+    img = random_linear_image(rng, h, w)
+    planes = jnp.asarray(img.transpose(2, 0, 1))
+    masks = np.ones((3, h, w), dtype=np.float32)
+    masks[1] = (np.arange(w) % 2 == 0)[None, :]
+    masks[2] = (np.arange(h) % 3 == 0)[:, None]
+    masks = jnp.asarray(masks)
+    packed = pack_params(params)
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128))
+    elided = np.asarray(fused.develop_post_geo_fused(
+        planes, packed, masks, tile_h=16, tile_w=128,
+        default_curve_slots=slots))
+    np.testing.assert_array_equal(elided, general)
+    # And it still matches the exact-LUT anchor within kernel tolerance.
+    anchor = np.asarray(dev.develop_post_geo_jit(planes, packed, masks))
+    assert_close(elided.transpose(1, 2, 0), anchor.transpose(1, 2, 0))
+
+
+def test_default_curve_slots_validated():
+    p = pack_params([EditParameters(), EditParameters()])
+    planes = jnp.zeros((3, 16, 128), jnp.float32)
+    masks = jnp.ones((2, 16, 128), jnp.float32)
+    with pytest.raises(ValueError, match="default_curve_slots"):
+        fused.develop_post_geo_fused(
+            planes, p, masks, default_curve_slots=((True, True, True, True),))
+
+
+def test_editor_multi_mask_uses_slot_shortcuts(rng):
+    """The editor derives per-mask slot flags and its multi-mask render
+    stays equal to the anchor path."""
+    from rawphotoforge_tpu.engine.editor import FULL, PhotoEditor
+
+    img = random_linear_image(rng, 48, 64)
+    ed = PhotoEditor.from_rgb_f32(img, mid_long_edge=64, low_long_edge=32)
+    ed.add_mask("stripe",
+                np.tile((np.arange(64) % 2 == 0).astype(np.float32),
+                        (48, 1)))
+    ed.set_curve(SATURATION, [0, 65535], [30000, 36000],
+                 mask_name="stripe")
+    ed.set_tone(exposure=0.5)
+    out = np.asarray(ed.apply(FULL))
+
+    ed2 = PhotoEditor.from_rgb_f32(img, mid_long_edge=64, low_long_edge=32,
+                                   use_pallas=False)
+    ed2.add_mask("stripe",
+                 np.tile((np.arange(64) % 2 == 0).astype(np.float32),
+                         (48, 1)))
+    ed2.set_curve(SATURATION, [0, 65535], [30000, 36000],
+                  mask_name="stripe")
+    ed2.set_tone(exposure=0.5)
+    anchor = np.asarray(ed2.apply(FULL))
+    assert_close(out.transpose(1, 2, 0), anchor.transpose(1, 2, 0))
