@@ -479,8 +479,23 @@ fetch('/exif').then(r=>r.json()).then(fillExif);
 // ---- masks + compare-to-original ----
 let maskAddMode=false, imgInfo=null, maskCounter=0;
 fetch('/info').then(r=>r.json()).then(i=>{{imgInfo=i;markLens(i);}});
+let maskPts=[], maskLabs=[], ptMarkers=[];
+function clearPtMarkers(){{
+  for(const m of ptMarkers)m.remove();
+  ptMarkers=[];maskPts=[];maskLabs=[];
+}}
+function addPtMarker(px,py,label){{
+  const d=document.createElement('div');
+  d.style.cssText='position:absolute;width:10px;height:10px;border-radius:50%;'+
+    'border:2px solid #fff;pointer-events:none;transform:translate(-50%,-50%);'+
+    'background:'+(label?'#2e7dd1':'#d13b2e');
+  d.style.left=px+'px';d.style.top=py+'px';
+  document.getElementById('pwrap').appendChild(d);
+  ptMarkers.push(d);
+}}
 function toggleMaskAdd(){{
   maskAddMode=!maskAddMode;
+  if(!maskAddMode)clearPtMarkers();
   document.getElementById('maskadd').style.background=maskAddMode?'#675527':'#333';
 }}
 async function loadMasks(keep){{
@@ -605,11 +620,28 @@ pv.onmousedown=async e=>{{
     const fy=vy0+(e.clientY-r.top)/r.height*(vy1-vy0);
     const x=Math.round(cur[0]+fx*(cur[2]-cur[0]));
     const y=Math.round(cur[1]+fy*(cur[3]-cur[1]));
+    if(e.shiftKey){{
+      // shift-click accumulates a labeled point: include, or EXCLUDE
+      // with ctrl/cmd held (v1 predictor labels; carve-out rule).
+      const lab=(e.ctrlKey||e.metaKey)?0:1;
+      maskPts.push([x,y]);maskLabs.push(lab);
+      addPtMarker(e.clientX-r.left,e.clientY-r.top,lab);
+      return;
+    }}
     const name='mask'+(++maskCounter);
     const smart=document.getElementById('smartsel').checked;
-    await fetch('/mask/add',{{method:'POST',body:JSON.stringify(
-      smart?{{name:name,point:[x,y],smart:true,tolerance:0.15}}
-           :{{name:name,point:[x,y],tolerance:0.12}})}});
+    let payload;
+    if(maskPts.length){{
+      // Plain click submits the accumulated labeled set + this point.
+      const pts=maskPts.concat([[x,y]]), labs=maskLabs.concat([1]);
+      payload=smart?{{name:name,points:pts,labels:labs,smart:true,tolerance:0.15}}
+                   :{{name:name,points:pts,labels:labs,tolerance:0.12}};
+    }} else {{
+      payload=smart?{{name:name,point:[x,y],smart:true,tolerance:0.15}}
+                   :{{name:name,point:[x,y],tolerance:0.12}};
+    }}
+    clearPtMarkers();
+    await fetch('/mask/add',{{method:'POST',body:JSON.stringify(payload)}});
     await loadMasks(name);
     switchMask();
     toggleMaskAdd();
@@ -923,19 +955,26 @@ class EditorApp:
         elif kind == "preset":  # full fidelity: masks + crop
             ed.load_preset_json(json.dumps(body))
         elif kind == "mask_add":
+            pt = tuple(body["point"]) if "point" in body else None
+            pts = ([tuple(q) for q in body["points"]]
+                   if "points" in body else None)
+            labs = body.get("labels")
             if body.get("model"):
                 ed.add_model_mask(
-                    body["name"], tuple(body["point"]), self.segmenter)
+                    body["name"], pt, self.segmenter,
+                    points_xy=pts, labels=labs)
             elif body.get("smart"):
                 ed.add_smart_mask(
-                    body["name"], tuple(body["point"]),
+                    body["name"], pt,
                     float(body.get("tolerance", 0.15)),
-                    float(body.get("edge_weight", 12.0)))
-            elif "point" in body:
+                    float(body.get("edge_weight", 12.0)),
+                    points_xy=pts, labels=labs)
+            elif pt is not None or pts is not None:
                 ed.add_similarity_mask(
-                    body["name"], tuple(body["point"]),
+                    body["name"], pt,
                     float(body.get("tolerance", 0.1)),
-                    float(body.get("sigma", 0.0)))
+                    float(body.get("sigma", 0.0)),
+                    points_xy=pts, labels=labs)
             else:
                 ed.add_mask(body["name"],
                             np.asarray(body["data"], dtype=np.float32))
@@ -1025,7 +1064,8 @@ class EditorApp:
 
         self.check_keys(
             body,
-            frozenset({"name", "point", "data", "model", "smart",
+            frozenset({"name", "point", "points", "labels", "data",
+                       "model", "smart",
                        "tolerance", "edge_weight", "sigma"}),
             "/mask/add")
         op = self.opening
@@ -1036,10 +1076,21 @@ class EditorApp:
             raise ValueError(f"mask name {name!r} already exists")
         ih, iw = op["linear"].shape[1], op["linear"].shape[2]
         fh, fw = op["shape"]
-        if "point" in body:
-            x, y = body["point"]
-            py = min(ih - 1, max(0, int(float(y) * ih / fh)))
-            px = min(iw - 1, max(0, int(float(x) * iw / fw)))
+        if "point" in body or "points" in body:
+            raw_pts = ([body["point"]] if "point" in body
+                       else list(body["points"]))
+            labs = [1 if int(v) else 0 for v in
+                    (body.get("labels") or [1] * len(raw_pts))]
+            if len(labs) != len(raw_pts) or not raw_pts:
+                raise ValueError(
+                    f"{len(labs)} labels for {len(raw_pts)} points")
+            # Era-resolution (y, x) coordinates, clamped like the
+            # single-point path.
+            pts_yx = [
+                (min(ih - 1, max(0, int(float(y) * ih / fh))),
+                 min(iw - 1, max(0, int(float(x) * iw / fw))))
+                for x, y in raw_pts]
+            py, px = pts_yx[0]
             plist, marr = self._era_plist_masks(op, (ih, iw))
             # The prompt samples the RENDERED image as u8 (v1 feeds the
             # predictor its display buffer, raw_photo_forge.py:2409-2411)
@@ -1059,22 +1110,43 @@ class EditorApp:
                 if self.segmenter is None:
                     raise ValueError(
                         "no segmenter configured (launch with --segmenter)")
-                logits = np.asarray(
-                    self.segmenter.segment(base_u8, (px, py)),
-                    dtype=np.float32)
+                if len(pts_yx) == 1 and labs[0]:
+                    seg_logits = self.segmenter.segment(base_u8, (px, py))
+                else:
+                    seg_logits = self.segmenter.segment(
+                        base_u8, [(x, y) for y, x in pts_yx],
+                        labels=labs)
+                logits = np.asarray(seg_logits, dtype=np.float32)
                 if logits.shape != (ih, iw):
                     logits = _instant.resize_bilinear_np(
                         logits[None], ih, iw)[0]
             elif body.get("smart"):
                 lin = _instant.linear_from_srgb_u8(base_u8)
-                logits = hostdev.smart_logits_np(
-                    lin, (py, px), float(body.get("tolerance", 0.15)),
-                    float(body.get("edge_weight", 12.0)))
+                inc = [p for p, l in zip(pts_yx, labs) if l]
+                exc = [p for p, l in zip(pts_yx, labs) if not l]
+                if not inc:
+                    raise ValueError(
+                        "smart selection needs at least one include point")
+                if len(inc) == 1 and not exc:
+                    logits = hostdev.smart_logits_np(
+                        lin, inc[0], float(body.get("tolerance", 0.15)),
+                        float(body.get("edge_weight", 12.0)))
+                else:
+                    logits = hostdev.smart_logits_points_np(
+                        lin, inc, exc,
+                        float(body.get("tolerance", 0.15)),
+                        float(body.get("edge_weight", 12.0)))
             else:
                 lin = _instant.linear_from_srgb_u8(base_u8)
-                logits = hostdev.similarity_logits_np(
-                    lin, (py, px), float(body.get("tolerance", 0.1)),
-                    float(body.get("sigma", 0.0)))
+                if len(pts_yx) == 1 and labs[0]:
+                    logits = hostdev.similarity_logits_np(
+                        lin, (py, px), float(body.get("tolerance", 0.1)),
+                        float(body.get("sigma", 0.0)))
+                else:
+                    logits = hostdev.similarity_logits_points_np(
+                        lin, pts_yx, labs,
+                        float(body.get("tolerance", 0.1)),
+                        float(body.get("sigma", 0.0)))
         else:
             arr = np.asarray(body["data"], dtype=np.float32)
             if arr.shape != (fh, fw):
@@ -2035,11 +2107,20 @@ def make_handler(app: EditorApp):
                     elif url.path == "/mask/add":
                         app.check_keys(
                             body,
-                            frozenset({"name", "point", "data", "model",
+                            frozenset({"name", "point", "points", "labels",
+                                       "data", "model",
                                        "smart", "tolerance", "edge_weight",
                                        "sigma"}),
                             "/mask/add")
-                        if "point" in body:
+                        if "point" in body or "points" in body:
+                            # Labeled multi-point prompts (shift-click
+                            # include / ctrl+shift exclude in the UI;
+                            # v1 predictor interface).
+                            pt = (tuple(body["point"])
+                                  if "point" in body else None)
+                            pts = ([tuple(p) for p in body["points"]]
+                                   if "points" in body else None)
+                            labs = body.get("labels")
                             seg = None
                             if body.get("model"):
                                 # Only the server-configured segmenter
@@ -2066,23 +2147,26 @@ def make_handler(app: EditorApp):
                                     )
                             if seg is not None:
                                 app.editor.add_model_mask(
-                                    body["name"], tuple(body["point"]), seg
+                                    body["name"], pt, seg,
+                                    points_xy=pts, labels=labs,
                                 )
                             elif body.get("smart"):
                                 # Model-free object selection: edge-aware
                                 # geodesic flood fill.
                                 app.editor.add_smart_mask(
-                                    body["name"], tuple(body["point"]),
+                                    body["name"], pt,
                                     body.get("tolerance", 0.15),
                                     body.get("edge_weight", 12.0),
+                                    points_xy=pts, labels=labs,
                                 )
                             else:
                                 # Graceful degradation: model-free OKLab
                                 # similarity selection.
                                 app.editor.add_similarity_mask(
-                                    body["name"], tuple(body["point"]),
+                                    body["name"], pt,
                                     body.get("tolerance", 0.1),
                                     body.get("sigma", 0.0),
+                                    points_xy=pts, labels=labs,
                                 )
                         else:
                             app.editor.add_mask(

@@ -106,6 +106,30 @@ def pad_to_bucket_np(arr: np.ndarray, bucket: int = SHAPE_BUCKET) -> np.ndarray:
 from .._errbase import PhotoEditorError
 
 
+def _normalize_points(point_xy, points_xy, labels):
+    """Normalize the point-prompt surface shared by the three selection
+    APIs: a single ``point_xy`` OR labeled ``points_xy``/``labels``
+    (v1 predictor interface, python-legacy editor.py:1147-1152).
+    Returns ([(x, y), ...], [1/0, ...]); labels default to all-include."""
+    if points_xy is not None:
+        pts = [(int(p[0]), int(p[1])) for p in points_xy]
+        if not pts:
+            raise ValueError("points_xy is empty")
+        if labels is None:
+            labs = [1] * len(pts)
+        else:
+            labs = [1 if int(v) else 0 for v in labels]
+            if len(labs) != len(pts):
+                raise ValueError(
+                    f"{len(labs)} labels for {len(pts)} points")
+        if point_xy is not None:
+            raise ValueError("pass point_xy OR points_xy, not both")
+        return pts, labs
+    if point_xy is None:
+        raise ValueError("a point prompt is required")
+    return [(int(point_xy[0]), int(point_xy[1]))], [1]
+
+
 class MaskNotFound(PhotoEditorError, KeyError):
     """Mirrors PhotoEditorError::MaskNotFound (errors.rs)."""
 
@@ -453,8 +477,9 @@ class PhotoEditor:
         return [m.name for m in self.masks]
 
     def add_similarity_mask(
-        self, name: str, point_xy: tuple[int, int],
+        self, name: str, point_xy=None,
         color_tolerance: float = 0.1, spatial_sigma: float = 0.0,
+        points_xy=None, labels=None,
     ) -> None:
         """Point-prompted selection (the AI-mask workflow shape of
         python-legacy raw_photo_forge.py:2375-2479, model-free): sample the
@@ -466,24 +491,43 @@ class PhotoEditor:
         predictor which re-applies edits before predicting,
         raw_photo_forge.py:2409-2411): after a strong WB/tone shift the
         prompt selects the color the user sees, not the undeveloped
-        base."""
-        from ..core.color import srgb_to_linear
-        from ..ops.masking import similarity_mask
+        base.
 
-        x, y = point_xy
-        logits = similarity_mask(
-            srgb_to_linear(self.apply(FULL, cropped=False)),
-            jnp.asarray([y, x], dtype=jnp.int32),
-            jnp.float32(color_tolerance),
-            jnp.float32(spatial_sigma if spatial_sigma > 0 else 1.0),
-            spatial_falloff=spatial_sigma > 0,
-        )
+        Labeled multi-point prompts (the v1 predictor interface,
+        editor.py:1147-1152): pass ``points_xy`` = [(x, y), ...] with
+        ``labels`` = [1/0, ...] — include points union by max, a pixel
+        matching an exclude point at least as strongly is carved out
+        (ops/masking.combine_labeled_logits)."""
+        from ..core.color import srgb_to_linear
+        from ..ops.masking import similarity_mask, similarity_mask_points
+
+        pts, labs = _normalize_points(point_xy, points_xy, labels)
+        base = srgb_to_linear(self.apply(FULL, cropped=False))
+        if len(pts) == 1 and labs[0]:
+            x, y = pts[0]
+            logits = similarity_mask(
+                base,
+                jnp.asarray([y, x], dtype=jnp.int32),
+                jnp.float32(color_tolerance),
+                jnp.float32(spatial_sigma if spatial_sigma > 0 else 1.0),
+                spatial_falloff=spatial_sigma > 0,
+            )
+        else:
+            logits = similarity_mask_points(
+                base,
+                jnp.asarray([[y, x] for x, y in pts], dtype=jnp.int32),
+                jnp.asarray(labs, dtype=jnp.int32),
+                jnp.float32(color_tolerance),
+                jnp.float32(spatial_sigma if spatial_sigma > 0 else 1.0),
+                spatial_falloff=spatial_sigma > 0,
+            )
         h, w = self.shape
         self.add_mask(name, np.asarray(logits)[:h, :w])
 
     def add_smart_mask(
-        self, name: str, point_xy: tuple[int, int],
+        self, name: str, point_xy=None,
         tolerance: float = 0.15, edge_weight: float = 12.0,
+        points_xy=None, labels=None,
     ) -> None:
         """Point-prompted *object* selection, model-free: edge-aware
         geodesic flood fill (ops/masking.smart_select_mask) run at MID
@@ -492,43 +536,69 @@ class PhotoEditor:
         add_similarity_mask the selection respects connectivity and stops
         at contrast boundaries. Like add_similarity_mask / add_model_mask,
         the flood runs over the *rendered* image (v1 re-applies edits
-        before predicting, raw_photo_forge.py:2409-2411)."""
+        before predicting, raw_photo_forge.py:2409-2411).
+
+        Labeled multi-point prompts: ``points_xy``/``labels`` grow the
+        flood from every include seed at once; exclude seeds run a
+        competing flood that carves out pixels geodesically at least as
+        close to them (ops/masking.smart_select_points)."""
         from ..core.color import srgb_to_linear
         from ..ops.geometry import resize_bilinear
-        from ..ops.masking import smart_select_mask
+        from ..ops.masking import smart_select_mask, smart_select_points
 
+        pts, labs = _normalize_points(point_xy, points_xy, labels)
         level = MID  # always present (falls back to FULL for small images)
         mh, mw = self._extents[level]
         h, w = self.shape
-        x, y = point_xy  # full-res prompt coordinates
-        py = min(mh - 1, max(0, int(y * mh / h)))
-        px = min(mw - 1, max(0, int(x * mw / w)))
+
+        def to_level(x, y):  # full-res prompt -> level coordinates (y, x)
+            return (min(mh - 1, max(0, int(y * mh / h))),
+                    min(mw - 1, max(0, int(x * mw / w))))
+
         base = srgb_to_linear(self.apply(level, cropped=False))
-        logits = smart_select_mask(
-            base, (py, px), tolerance=tolerance, edge_weight=edge_weight
-        )
+        inc = [to_level(x, y) for (x, y), l in zip(pts, labs) if l]
+        exc = [to_level(x, y) for (x, y), l in zip(pts, labs) if not l]
+        if not inc:
+            raise ValueError("smart selection needs at least one include "
+                             "point")
+        if len(inc) == 1 and not exc:
+            logits = smart_select_mask(
+                base, inc[0], tolerance=tolerance, edge_weight=edge_weight)
+        else:
+            logits = smart_select_points(
+                base, inc, exc or None, tolerance=tolerance,
+                edge_weight=edge_weight)
         if (mh, mw) != (h, w):
             logits = resize_bilinear(logits[None], h, w)[0]
         self.add_mask(name, np.asarray(logits))
 
-    def add_model_mask(self, name: str, point_xy: tuple[int, int],
-                       segmenter) -> None:
+    def add_model_mask(self, name: str, point_xy=None,
+                       segmenter=None, points_xy=None, labels=None) -> None:
         """Point-prompted AI mask via an external segmenter adapter — the
         v1 SAM2 workflow (editor.py:1120-1159): the model sees the
         *currently rendered* image (raw_photo_forge.py:2409-2411 re-applies
         edits before predicting), its logits are resampled to full
         resolution and thresholded by mask_range like any ingested mask.
         ``segmenter`` is an adapter or a spec for engine.segmenter
-        .make_segmenter (callable / subprocess cmd / torchscript)."""
+        .make_segmenter (callable / subprocess cmd / torchscript).
+
+        Labeled multi-point prompts pass through to the adapter
+        (``points_xy``/``labels`` — v1's predictor takes labeled point
+        arrays, editor.py:1147-1152; see the adapter protocol notes in
+        engine/segmenter.py)."""
         from .segmenter import make_segmenter, segment_to_mask
 
         seg = make_segmenter(segmenter) if not hasattr(
             segmenter, "segment") else segmenter
         from ..utils.transfer import fetch_u8_hwc
 
+        pts, labs = _normalize_points(point_xy, points_xy, labels)
         srgb = self.apply(FULL, cropped=False)
         rgb_u8 = fetch_u8_hwc(srgb)
-        logits = segment_to_mask(seg, rgb_u8, point_xy)
+        if len(pts) == 1 and labs[0]:
+            logits = segment_to_mask(seg, rgb_u8, pts[0])
+        else:
+            logits = segment_to_mask(seg, rgb_u8, pts, labels=labs)
         self.add_mask(name, logits)
 
     # -- lens profile correction (load-time, python-legacy editor.py:425-711)

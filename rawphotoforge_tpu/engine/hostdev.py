@@ -426,6 +426,61 @@ def similarity_logits_np(linear_planes: np.ndarray,
     return np.clip(logits, -1.0, 1.0).astype(np.float32)
 
 
+def combine_labeled_logits_np(stack: np.ndarray,
+                              labels: np.ndarray) -> np.ndarray:
+    """numpy mirror of ops.masking.combine_labeled_logits (include max;
+    exclude-dominant pixels carved to min(s_inc, -s_exc))."""
+    lab = np.asarray(labels).reshape(-1, 1, 1) > 0
+    neg = np.float32(-2.0)
+    s_inc = np.max(np.where(lab, stack, neg), axis=0)
+    s_exc = np.max(np.where(lab, neg, stack), axis=0)
+    return np.where(s_exc >= s_inc, np.minimum(s_inc, -s_exc),
+                    s_inc).astype(np.float32)
+
+
+def similarity_logits_points_np(linear_planes: np.ndarray,
+                                points_yx, labels,
+                                color_tolerance: float,
+                                spatial_sigma: float = 0.0,
+                                native: bool | None = None) -> np.ndarray:
+    """Labeled multi-point era selection: per-point similarity_logits_np
+    combined under the include/exclude rule (the era half of
+    ops.masking.similarity_mask_points)."""
+    stack = np.stack([
+        similarity_logits_np(linear_planes, p, color_tolerance,
+                             spatial_sigma, native=native)
+        for p in points_yx
+    ])
+    return combine_labeled_logits_np(stack, np.asarray(labels))
+
+
+def smart_logits_points_np(linear_planes: np.ndarray,
+                           include_yx, exclude_yx=None,
+                           tolerance: float = 0.15,
+                           edge_weight: float = 12.0,
+                           spatial_cost: float = 0.002,
+                           sweeps: int = 4,
+                           native: bool | None = None) -> np.ndarray:
+    """Labeled multi-point era object selection. Multi-seed geodesic
+    distance = elementwise min over per-seed runs for the true distance;
+    the sweep approximation composes the same way here (each seed's run
+    uses the identical relaxation schedule), so the era stand-in stays
+    within the usual approximation of the device's one multi-seed run."""
+    def flood(pts):
+        # max over per-seed clipped logits == logits of the min distance
+        # (the clip is monotone in d), so seed-set composition is exact.
+        ds = [smart_logits_np(linear_planes, p, tolerance, edge_weight,
+                              spatial_cost, sweeps, native=native)
+              for p in pts]
+        return np.max(np.stack(ds), axis=0).astype(np.float32)
+
+    li = flood(include_yx)
+    if not exclude_yx:
+        return li
+    le = flood(exclude_yx)
+    return np.where(le >= li, np.minimum(li, -le), li).astype(np.float32)
+
+
 def _sweep_down_np(d: np.ndarray, step_cost: np.ndarray) -> np.ndarray:
     """In-place top->bottom relaxation: d[y] = min(d[y], d[y-1] + cost[y])
     — the numpy mirror of ops.masking._sweep_down (the in-place update

@@ -18,6 +18,15 @@ back into the mask pipeline at full resolution:
 * ``TorchScriptSegmenter`` — loads a TorchScript module once and calls
   ``module(image_f32_chw_01, point_xy_tensor) -> logits``.
 
+Labeled multi-point prompts (r5; v1's predictor interface is labeled
+point arrays, editor.py:1147-1152 ``point_coords``/``point_labels``):
+``segment(rgb_u8, points, labels)`` with points = [(x, y), ...] and
+labels = [1/0, ...] (1 include, 0 exclude). Adapter encodings:
+callable -> ``fn(rgb_u8, points, labels)``; subprocess ->
+``cmd <image.png> --points "x1,y1,l1;x2,y2,l2" <out.npy>``;
+torchscript -> ``module(image, points_f32 [N, 2], labels_f32 [N])``.
+Single-include-point calls keep the exact legacy encodings above.
+
 Whatever the source resolution of the logits, ``segment_to_mask``
 bilinearly resamples them to the image size; thresholding stays in
 PhotoEditor.add_mask (mask_range semantics, lib.rs:481-499). As in v1,
@@ -45,8 +54,14 @@ class CallableSegmenter:
         self.fn = fn
         self.name = name
 
-    def segment(self, rgb_u8: np.ndarray, point_xy) -> np.ndarray:
-        out = np.asarray(self.fn(rgb_u8, tuple(point_xy)), dtype=np.float32)
+    def segment(self, rgb_u8: np.ndarray, point_xy,
+                labels=None) -> np.ndarray:
+        if labels is None:
+            out = self.fn(rgb_u8, tuple(point_xy))
+        else:
+            out = self.fn(rgb_u8, [tuple(p) for p in point_xy],
+                          list(labels))
+        out = np.asarray(out, dtype=np.float32)
         if out.ndim != 2:
             raise SegmenterError(
                 f"segmenter {self.name!r} returned shape {out.shape}, "
@@ -65,17 +80,24 @@ class SubprocessSegmenter:
         self.timeout = timeout
         self.name = os.path.basename(self.cmd[0])
 
-    def segment(self, rgb_u8: np.ndarray, point_xy) -> np.ndarray:
+    def segment(self, rgb_u8: np.ndarray, point_xy,
+                labels=None) -> np.ndarray:
         from PIL import Image as PILImage
 
         with tempfile.TemporaryDirectory(prefix="rpf_seg_") as d:
             img_path = os.path.join(d, "image.png")
             out_path = os.path.join(d, "logits.npy")
             PILImage.fromarray(rgb_u8).save(img_path)
-            x, y = point_xy
+            if labels is None:
+                x, y = point_xy
+                argv = [img_path, str(int(x)), str(int(y)), out_path]
+            else:
+                spec = ";".join(f"{int(x)},{int(y)},{int(l)}"
+                                for (x, y), l in zip(point_xy, labels))
+                argv = [img_path, "--points", spec, out_path]
             try:
                 proc = subprocess.run(
-                    self.cmd + [img_path, str(int(x)), str(int(y)), out_path],
+                    self.cmd + argv,
                     capture_output=True, timeout=self.timeout,
                 )
             except (OSError, subprocess.TimeoutExpired) as e:
@@ -112,12 +134,17 @@ class TorchScriptSegmenter:
             raise SegmenterError(f"cannot load TorchScript {path!r}: {e}") from e
         self.name = os.path.basename(path)
 
-    def segment(self, rgb_u8: np.ndarray, point_xy) -> np.ndarray:
+    def segment(self, rgb_u8: np.ndarray, point_xy,
+                labels=None) -> np.ndarray:
         torch = self._torch
         img = torch.from_numpy(
             rgb_u8.astype(np.float32).transpose(2, 0, 1) / 255.0
         )
-        pt = torch.tensor([float(point_xy[0]), float(point_xy[1])])
+        if labels is None:
+            pt = torch.tensor([float(point_xy[0]), float(point_xy[1])])
+        else:
+            pt = torch.tensor([[float(x), float(y)] for x, y in point_xy])
+            lab = torch.tensor([float(v) for v in labels])
         # torch.jit.Error (script-level `raise` inside forward) is NOT a
         # RuntimeError subclass — its MRO is (Error, Exception); catching
         # only RuntimeError lets the most common TorchScript failure class
@@ -125,7 +152,8 @@ class TorchScriptSegmenter:
         jit_error = getattr(getattr(torch, "jit", None), "Error", RuntimeError)
         try:
             with torch.no_grad():
-                out = self.module(img, pt)
+                out = (self.module(img, pt) if labels is None
+                       else self.module(img, pt, lab))
         except (RuntimeError, jit_error) as e:
             raise SegmenterError(
                 f"segmenter {self.name!r} failed: {e}") from e
@@ -167,10 +195,19 @@ def make_segmenter(spec):
     raise SegmenterError(f"cannot build a segmenter from {type(spec).__name__}")
 
 
-def segment_to_mask(segmenter, rgb_u8: np.ndarray, point_xy) -> np.ndarray:
-    """Run the adapter and resample its logits to the image resolution."""
+def segment_to_mask(segmenter, rgb_u8: np.ndarray, point_xy,
+                    labels=None) -> np.ndarray:
+    """Run the adapter and resample its logits to the image resolution.
+    ``labels`` switches to the labeled multi-point protocol (module
+    docstring) with ``point_xy`` a list of (x, y) points."""
     h, w = rgb_u8.shape[:2]
-    logits = segmenter.segment(rgb_u8, point_xy)
+    if labels is None:
+        # Two-arg call keeps user-supplied legacy adapter objects
+        # (duck-typed ``segment(rgb, point)``) working for single-point
+        # prompts.
+        logits = segmenter.segment(rgb_u8, point_xy)
+    else:
+        logits = segmenter.segment(rgb_u8, point_xy, labels=labels)
     if logits.shape != (h, w):
         import jax.numpy as jnp
 

@@ -80,6 +80,46 @@ def _oklab(planes):
     return color.linear_srgb_to_oklab(planes[0], planes[1], planes[2])
 
 
+def combine_labeled_logits(stack: jax.Array, labels: jax.Array) -> jax.Array:
+    """Combine per-point selection logits under include/exclude labels —
+    the v1 predictor interface is labeled points (python-legacy
+    editor.py:1147-1152: label 1 include, 0 exclude).
+
+    ``stack`` f32 [N, H, W] per-point logits, ``labels`` [N] (1/0).
+    Include logits reduce by max (any include point selects); a pixel
+    that matches an exclude point at least as strongly as any include is
+    CARVED OUT to min(s_inc, -s_exc) — the exclude point's own pixel
+    lands at -1 regardless of the include side. With no exclude points
+    this is exactly the include max."""
+    lab = labels.reshape(-1, 1, 1) > 0
+    neg = jnp.float32(-2.0)  # below any clipped logit
+    s_inc = jnp.max(jnp.where(lab, stack, neg), axis=0)
+    s_exc = jnp.max(jnp.where(lab, neg, stack), axis=0)
+    return jnp.where(s_exc >= s_inc, jnp.minimum(s_inc, -s_exc), s_inc)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_falloff",))
+def similarity_mask_points(
+    planes: jax.Array,
+    points_yx: jax.Array,
+    labels: jax.Array,
+    color_tolerance: jax.Array,
+    spatial_sigma: jax.Array,
+    spatial_falloff: bool = True,
+) -> jax.Array:
+    """Multi-point labeled similarity selection: per-point
+    similarity_mask logits combined under combine_labeled_logits.
+    ``points_yx`` i32 [N, 2]; single-include-point calls are identical
+    to similarity_mask."""
+    n = points_yx.shape[0]
+    stack = jnp.stack([
+        similarity_mask(planes, points_yx[i], color_tolerance,
+                        spatial_sigma, spatial_falloff=spatial_falloff)
+        for i in range(n)
+    ])
+    return combine_labeled_logits(stack, labels)
+
+
 def _sweep_down(d: jax.Array, step_cost: jax.Array) -> jax.Array:
     """One top->bottom relaxation: d[y] = min(d[y], d[y-1] + cost[y]).
 
@@ -134,7 +174,11 @@ def geodesic_distance(
     cost_right, cost_left = grad_cost(1)
 
     big = jnp.float32(1e9)
-    seed = jnp.zeros((h, w), jnp.bool_).at[point_yx[0], point_yx[1]].set(True)
+    # point_yx may be one [2] seed or an [N, 2] seed set (multi-seed
+    # distance IS the elementwise min over per-seed distances, so this
+    # generalization is exact).
+    seed = jnp.zeros((h, w), jnp.bool_).at[
+        point_yx[..., 0], point_yx[..., 1]].set(True)
     d = jnp.where(seed, 0.0, big)
 
     # Hoist the loop-invariant flips/transposes: XLA does not reliably
@@ -177,6 +221,35 @@ def smart_select_mask(
         sweeps=sweeps,
     )
     return jnp.clip(1.0 - d / jnp.float32(max(tolerance, 1e-6)), -1.0, 1.0)
+
+
+def smart_select_points(
+    planes: jax.Array,
+    include_yx,
+    exclude_yx=None,
+    tolerance: float = 0.15,
+    edge_weight: float = 12.0,
+    spatial_cost: float = 0.002,
+    sweeps: int = 4,
+) -> jax.Array:
+    """Labeled multi-point object selection (the v1 predictor interface,
+    editor.py:1147-1152): the geodesic flood grows from EVERY include
+    seed at once (multi-seed distance = min over seeds, one sweep run);
+    exclude seeds run their own flood, and pixels geodesically at least
+    as close to an exclude seed are carved out (competing-seeds rule,
+    same combination as combine_labeled_logits). A single include point
+    reproduces smart_select_mask exactly."""
+    inc = jnp.asarray(include_yx, dtype=jnp.int32).reshape(-1, 2)
+    li = smart_select_mask(planes, inc, tolerance=tolerance,
+                           edge_weight=edge_weight,
+                           spatial_cost=spatial_cost, sweeps=sweeps)
+    if exclude_yx is None or len(exclude_yx) == 0:
+        return li
+    exc = jnp.asarray(exclude_yx, dtype=jnp.int32).reshape(-1, 2)
+    le = smart_select_mask(planes, exc, tolerance=tolerance,
+                           edge_weight=edge_weight,
+                           spatial_cost=spatial_cost, sweeps=sweeps)
+    return jnp.where(le >= li, jnp.minimum(li, -le), li)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

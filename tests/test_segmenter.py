@@ -227,3 +227,91 @@ def test_torchscript_script_raise_is_typed(tmp_path):
     seg = make_segmenter({"type": "torchscript", "path": path})
     with pytest.raises(SegmenterError):
         seg.segment(np.zeros((8, 8, 3), dtype=np.uint8), (-1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Labeled multi-point adapter protocol (r5, VERDICT r4 #6).
+# ---------------------------------------------------------------------------
+
+
+def test_callable_adapter_labeled_points(rng):
+    """fn(rgb, points, labels): union of include discs minus exclude
+    discs — the shape a SAM-style predictor wrapper takes."""
+    from rawphotoforge_tpu.engine.segmenter import CallableSegmenter
+
+    def fn(img, points, labels):
+        h, w = img.shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        out = np.full((h, w), -1.0, np.float32)
+        for (x, y), lab in zip(points, labels):
+            d = (xx - x) ** 2 + (yy - y) ** 2 <= 16
+            out = np.where(d, 1.0 if lab else -1.0, out)
+        return out
+
+    seg = CallableSegmenter(fn)
+    img = (random_linear_image(rng, 24, 32) * 255).astype(np.uint8)
+    logits = segment_to_mask(seg, img, [(8, 8), (8, 8)], labels=[1, 0])
+    assert logits[8, 8] == -1.0  # exclude wins at the shared point
+    logits2 = segment_to_mask(seg, img, [(8, 8), (24, 12)], labels=[1, 1])
+    assert logits2[8, 8] == 1.0 and logits2[12, 24] == 1.0
+
+
+def test_subprocess_adapter_labeled_points(tmp_path, rng):
+    """Multi-point argv encoding: cmd img --points "x,y,l;..." out."""
+    script = tmp_path / "stubseg.py"
+    script.write_text(textwrap.dedent("""\
+        import sys
+        import numpy as np
+        from PIL import Image
+        img = np.asarray(Image.open(sys.argv[1]))
+        assert sys.argv[2] == "--points", sys.argv
+        h, w = img.shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        out = np.full((h, w), -1.0, np.float32)
+        for tok in sys.argv[3].split(";"):
+            x, y, lab = (int(v) for v in tok.split(","))
+            d = (xx - x) ** 2 + (yy - y) ** 2 <= 25
+            out = np.where(d, 1.0 if lab else -1.0, out)
+        np.save(sys.argv[4], out)
+    """))
+    seg = SubprocessSegmenter([sys.executable, str(script)])
+    img = (random_linear_image(rng, 32, 48) * 255).astype(np.uint8)
+    logits = segment_to_mask(seg, img, [(24, 16), (40, 8)], labels=[1, 0])
+    assert logits[16, 24] == 1.0 and logits[8, 40] == -1.0
+
+
+def test_legacy_duck_typed_adapter_still_works(rng):
+    """User-supplied adapter objects with the old 2-arg segment() keep
+    working for single-point prompts."""
+
+    class Legacy:
+        def segment(self, rgb_u8, point_xy):
+            h, w = rgb_u8.shape[:2]
+            out = np.full((h, w), -1.0, np.float32)
+            out[point_xy[1], point_xy[0]] = 1.0
+            return out
+
+    img = (random_linear_image(rng, 16, 20) * 255).astype(np.uint8)
+    logits = segment_to_mask(Legacy(), img, (5, 7))
+    assert logits[7, 5] == 1.0
+
+
+def test_editor_model_mask_labeled_points(rng):
+    """add_model_mask passes labeled points through to the adapter."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    seen = {}
+
+    def fn(img, points, labels):
+        seen["points"], seen["labels"] = points, labels
+        h, w = img.shape[:2]
+        return np.full((h, w), 1.0, np.float32)
+
+    img = random_linear_image(rng, 24, 32)
+    ed = PhotoEditor.from_rgb_f32(img, mid_long_edge=32, low_long_edge=16,
+                                  use_pallas=False)
+    ed.add_model_mask("m", segmenter=fn,
+                      points_xy=[(3, 4), (10, 12)], labels=[1, 0])
+    assert seen["points"] == [(3, 4), (10, 12)]
+    assert seen["labels"] == [1, 0]
+    assert "m" in ed.mask_names()

@@ -922,3 +922,23 @@ def test_serve_lens_correct_auto_applies(tmp_path):
         assert np.abs(a - b).max() <= 3, np.abs(a - b).max()
     finally:
         httpd.shutdown()
+
+
+def test_mask_add_labeled_points(base_url):
+    """POST /mask/add with points+labels (shift-click include /
+    ctrl+shift exclude UI flow) creates the mask through the labeled
+    similarity path; bad label counts answer 400."""
+    status, _ = _post(
+        base_url + "/mask/add",
+        {"name": "pts", "points": [[4, 4], [14, 10]], "labels": [1, 0],
+         "tolerance": 0.3})
+    assert status == 200
+    _, _, body = _get(base_url + "/masks")
+    assert "pts" in json.loads(body)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base_url + "/mask/add",
+              {"name": "bad", "points": [[4, 4], [14, 10]], "labels": [1]})
+    assert ei.value.code == 400
+    _post(base_url + "/mask/remove", {"name": "pts"})

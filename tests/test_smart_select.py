@@ -116,3 +116,146 @@ def test_corner_seeds(point):
     ))
     assert d[point] == 0.0
     assert np.isfinite(d).all() and (d >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Labeled multi-point prompts (r5, VERDICT r4 #6 — v1 predictor labels).
+# ---------------------------------------------------------------------------
+
+
+def test_combine_labeled_logits_rules():
+    from rawphotoforge_tpu.ops.masking import combine_labeled_logits
+
+    stack = jnp.asarray([
+        [[0.8, -0.5], [0.1, 0.9]],    # include A
+        [[-0.2, 0.7], [-0.9, -0.1]],  # include B
+        [[0.9, -1.0], [0.05, -1.0]],  # exclude
+    ])
+    labels = jnp.asarray([1, 1, 0])
+    out = np.asarray(combine_labeled_logits(stack, labels))
+    # (0,0): inc max 0.8, exc 0.9 >= -> carved to min(0.8, -0.9) = -0.9
+    np.testing.assert_allclose(out[0, 0], -0.9, atol=1e-6)
+    # (0,1): inc max 0.7, exc -1.0 < -> keeps 0.7
+    np.testing.assert_allclose(out[0, 1], 0.7, atol=1e-6)
+    # (1,0): inc 0.1, exc 0.05 < 0.1 -> keeps 0.1
+    np.testing.assert_allclose(out[1, 0], 0.1, atol=1e-6)
+    # no excludes: plain include max
+    out2 = np.asarray(combine_labeled_logits(stack[:2],
+                                             jnp.asarray([1, 1])))
+    np.testing.assert_allclose(out2, np.maximum(stack[0], stack[1]),
+                               atol=1e-6)
+
+
+def test_similarity_points_exclude_carves_color():
+    """Include on color A with a tolerance wide enough to also grab
+    color B; an exclude point on B carves the B region out (the VERDICT
+    done-criterion shape)."""
+    from rawphotoforge_tpu.ops.masking import (similarity_mask,
+                                               similarity_mask_points)
+
+    h, w = 20, 30
+    planes = np.zeros((3, h, w), dtype=np.float32)
+    planes[:, :, : w // 2] = 0.55            # region A (gray)
+    planes[0, :, w // 2:] = 0.62             # region B (slightly warm)
+    planes[1, :, w // 2:] = 0.55
+    planes[2, :, w // 2:] = 0.50
+    p = jnp.asarray(planes)
+
+    inc_only = np.asarray(similarity_mask(
+        p, jnp.asarray([10, 5]), jnp.float32(0.5), jnp.float32(1.0),
+        spatial_falloff=False))
+    assert (inc_only >= 0).all()  # wide tolerance selects BOTH regions
+
+    both = np.asarray(similarity_mask_points(
+        p, jnp.asarray([[10, 5], [10, w - 5]], dtype=jnp.int32),
+        jnp.asarray([1, 0], dtype=jnp.int32),
+        jnp.float32(0.5), jnp.float32(1.0), spatial_falloff=False))
+    assert (both[:, : w // 2] >= 0).all()    # A stays selected
+    assert (both[:, w // 2:] < 0).all()      # B carved out
+
+
+def test_smart_points_exclude_splits_region():
+    """One flat region, include on the left + exclude on the right: the
+    competing floods split it at the geodesic midline."""
+    from rawphotoforge_tpu.ops.masking import (smart_select_mask,
+                                               smart_select_points)
+
+    h, w = 16, 40
+    planes = np.full((3, h, w), 0.5, dtype=np.float32)
+    p = jnp.asarray(planes)
+    full = np.asarray(smart_select_mask(p, (8, 4), tolerance=1.0))
+    assert (full >= 0).all()  # one flat region floods entirely
+
+    split = np.asarray(smart_select_points(
+        p, [(8, 4)], [(8, w - 5)], tolerance=1.0))
+    assert (split[:, :10] >= 0).all()        # near the include seed
+    assert (split[:, -10:] < 0).all()        # near the exclude seed
+
+
+def test_smart_points_multi_include_is_union():
+    """Two include seeds across a hard edge flood both regions (multi-
+    seed distance = min over seeds)."""
+    from rawphotoforge_tpu.ops.masking import (smart_select_mask,
+                                               smart_select_points)
+
+    planes = _two_regions(18, 24)
+    p = jnp.asarray(planes)
+    left_only = np.asarray(smart_select_mask(p, (9, 4), tolerance=0.15))
+    assert (left_only[:, 16:] < 0).all()     # the bar stops one seed
+    both = np.asarray(smart_select_points(
+        p, [(9, 4), (9, 20)], None, tolerance=0.15))
+    assert (both[:, :10] >= 0).all() and (both[:, 16:] >= 0).all()
+
+
+def test_editor_points_labels_end_to_end():
+    """PhotoEditor.add_similarity_mask with an exclude point: the
+    binarized mask covers A and not B (VERDICT r4 #6 done criterion)."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    h, w = 24, 32
+    rgb = np.zeros((h, w, 3), dtype=np.float32)
+    rgb[:, : w // 2] = 0.5
+    rgb[:, w // 2:] = [0.6, 0.5, 0.42]
+    ed = PhotoEditor.from_rgb_f32(rgb, mid_long_edge=32, low_long_edge=16,
+                                  use_pallas=False)
+    ed.add_similarity_mask("sel", points_xy=[(4, 10), (w - 4, 10)],
+                           labels=[1, 0], color_tolerance=0.5)
+    m = np.asarray(ed._find("sel").data_full)
+    assert (m[:, : w // 2 - 2] == 1.0).all()
+    assert (m[:, w // 2 + 2:] == 0.0).all()
+
+
+def test_hostdev_multi_mirrors_device():
+    """The era numpy mirrors agree with the device ops on labeled
+    multi-point prompts."""
+    from rawphotoforge_tpu.engine import hostdev
+    from rawphotoforge_tpu.ops.masking import (similarity_mask_points,
+                                               smart_select_points)
+
+    rng = np.random.default_rng(3)
+    planes = (rng.random((3, 16, 22)).astype(np.float32) * 0.6 + 0.2)
+    pts = [(4, 5), (12, 18)]
+    labs = [1, 0]
+    dev = np.asarray(similarity_mask_points(
+        jnp.asarray(planes), jnp.asarray(pts, dtype=jnp.int32),
+        jnp.asarray(labs, dtype=jnp.int32),
+        jnp.float32(0.3), jnp.float32(1.0), spatial_falloff=False))
+    host = hostdev.similarity_logits_points_np(planes, pts, labs, 0.3, 0.0)
+    np.testing.assert_allclose(host, dev, atol=2e-5)
+
+    dev_s = np.asarray(smart_select_points(
+        jnp.asarray(planes), [pts[0]], [pts[1]], tolerance=0.4))
+    host_s = hostdev.smart_logits_points_np(planes, [pts[0]], [pts[1]],
+                                            tolerance=0.4)
+    np.testing.assert_allclose(host_s, dev_s, atol=2e-4)
+
+
+def test_server_mask_add_points_route():
+    from rawphotoforge_tpu.app.server import EditorApp
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+
+    planes = _two_regions(30, 40)
+    app = EditorApp(PhotoEditor(jnp.asarray(planes)))
+    app.editor.add_smart_mask("s", points_xy=[(10, 5), (30, 5)],
+                              labels=[1, 0])
+    assert "s" in app.editor.mask_names()
