@@ -589,6 +589,7 @@ def main(argv=None) -> int:
                        ("shadow", (-80, 80)), ("vignette", (-90, 90)),
                        ("wb_temperature", (-80, 80))]
             drag_ms, mid_ms, full_ms = [], [], []
+            drag_parts = []  # (render_us, encode_us, lock_wait_us)
             state = {}
             for name, (lo4, hi4) in sliders:
                 rearm_watchdog(600)
@@ -600,6 +601,10 @@ def main(argv=None) -> int:
                     post4("/edit", state)
                     _, hdrs = get4("/preview?level=low")
                     drag_ms.append((time.perf_counter() - t1) * 1e3)
+                    tus = hdrs.get("X-RPF-Drag-Us")
+                    if tus:
+                        drag_parts.append(
+                            tuple(int(v) for v in tus.split(",")))
                 # Release: MID device render of the final drag state.
                 t1 = time.perf_counter()
                 post4("/edit", state)
@@ -617,6 +622,25 @@ def main(argv=None) -> int:
 
             results["c4_e2e_drag_low_p50_ms"] = pct(drag_ms, 50)
             results["c4_e2e_drag_low_p95_ms"] = pct(drag_ms, 95)
+            if drag_parts:
+                # The p95 drag-tail breakdown (VERDICT r4 #7): which
+                # component owns the tail — hostdev render, JPEG encode,
+                # handler lock wait, or the residual (HTTP + POST /edit).
+                parts = np.asarray(drag_parts, dtype=np.float64) / 1e3
+                for label, col in (("render", 0), ("encode", 1),
+                                   ("lockwait", 2)):
+                    results[f"c4_drag_{label}_p50_ms"] = pct(parts[:, col], 50)
+                    results[f"c4_drag_{label}_p95_ms"] = pct(parts[:, col], 95)
+                accounted = parts.sum(axis=1)
+                resid = np.asarray(drag_ms)[: len(accounted)] - accounted
+                results["c4_drag_residual_p95_ms"] = pct(resid, 95)
+                log("config 4 drag breakdown (p50/p95 ms): "
+                    + ", ".join(
+                        f"{lbl} {pct(parts[:, c], 50):.1f}/"
+                        f"{pct(parts[:, c], 95):.1f}"
+                        for lbl, c in (("render", 0), ("encode", 1),
+                                       ("lockwait", 2)))
+                    + f", residual p95 {pct(resid, 95):.1f}")
             results["c4_e2e_release_mid_p50_ms"] = pct(mid_ms, 50)
             results["c4_e2e_release_mid_p95_ms"] = pct(mid_ms, 95)
             results["c4_e2e_full_p50_ms"] = pct(full_ms, 50)

@@ -760,6 +760,11 @@ class TestHostDragPreviews:
         with urllib.request.urlopen(req, timeout=60) as r:
             assert r.status == 200
             assert r.headers.get("X-RPF-HostDrag") == "1"
+            # Drag-tail breakdown header (VERDICT r4 #7): render_us,
+            # encode_us, lock_wait_us — all non-negative integers.
+            parts = [int(v) for v in
+                     r.headers.get("X-RPF-Drag-Us").split(",")]
+            assert len(parts) == 3 and all(p >= 0 for p in parts)
             assert r.read()[:2] == b"\xff\xd8"
         # MID/FULL renders stay device-exact (no host marker).
         with urllib.request.urlopen(base_url + "/preview?level=mid",
