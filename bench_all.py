@@ -404,10 +404,13 @@ def main(argv=None) -> int:
             regionals.append(q)
         edits_m4 = [main_edit()] + regionals
         params_m4 = jax.device_put(pack_params(edits_m4))
+        # u8 mask rows, like the editor's _mask_stack (r4: the kernel's
+        # selects are dtype-agnostic; f32 rows would bench 4x the mask
+        # HBM traffic the product actually streams).
         masks_m4 = jnp.concatenate([
-            jnp.ones((1, h, w), dtype=jnp.float32),
+            jnp.ones((1, h, w), dtype=jnp.uint8),
             (jax.random.uniform(jax.random.PRNGKey(7), (3, h, w)) > 0.5
-             ).astype(jnp.float32),
+             ).astype(jnp.uint8),
         ])
         dev_m4 = functools.partial(
             dev_fn, default_curve_slots=default_curve_slots(edits_m4))

@@ -90,6 +90,53 @@ for seed in range(args.seeds):
 
 print("TPU FUZZ RESULT:", "PASS" if fails == 0 else f"{fails} FAILURES")
 
+# --- part 1b: per-mask per-slot default-curve elision (r5) -----------------
+# The slot shortcuts must be BIT-identical to the general kernel on the
+# Mosaic-compiled artifact, per mask stack with mixed edited/default
+# curve families.
+from rawphotoforge_tpu.core.params import default_curve_slots
+from test_fuzz import _random_params as _rp
+
+se_fails = 0
+se_seeds = []
+for seed in range(8):
+    r = np.random.default_rng(seed + 9000)
+    m = 2 + seed % 3
+    edits = []
+    for k in range(m):
+        e = _rp(r, allow_geometry=False)
+        # Reset a random subset of curve families to default so the slot
+        # table actually elides something different per mask.
+        from rawphotoforge_tpu.core.params import CurveState
+        for slot in range(4):
+            if r.random() < 0.6:
+                e.curves[slot] = CurveState()
+        edits.append(e)
+    slots = default_curve_slots(edits)
+    planes = jnp.asarray(r.random((3, h, w)).astype(np.float32))
+    masks = jnp.asarray(np.stack(
+        [np.ones((h, w), np.float32)]
+        + [(r.random((h, w)) > 0.5).astype(np.float32)
+           for _ in range(m - 1)]))
+    params = jax.device_put(pack_params(edits))
+    general = np.asarray(fused.develop_post_geo_fused(
+        planes, params, masks, main_mask_all_ones=True))
+    elided = np.asarray(fused.develop_post_geo_fused(
+        planes, params, masks, main_mask_all_ones=True,
+        default_curve_slots=slots))
+    n_diff = int((general != elided).sum())
+    ok = n_diff == 0
+    se_fails += 0 if ok else 1
+    n_elided = sum(sum(sl) for sl in slots)
+    print(f"slots seed {seed}: {'ok' if ok else 'FAIL'} (M={m}, "
+          f"{n_elided}/{4 * m} slots default, diff_px={n_diff})",
+          flush=True)
+    se_seeds.append({"seed": seed, "masks": m, "ok": ok,
+                     "slots": [list(map(bool, sl)) for sl in slots],
+                     "diff_px": n_diff})
+print("TPU SLOT-ELISION RESULT:",
+      "PASS" if se_fails == 0 else f"{se_fails} FAILURES")
+
 # --- part 2: the one-pass RAW kernel vs the composed path, on hardware ---
 from rawphotoforge_tpu.kernels import raw_pipeline
 from rawphotoforge_tpu.ops import demosaic as dm
@@ -452,9 +499,13 @@ if args.out:
             "seeds": len(pk_seeds), "fails": pk_fails,
             "per_seed": pk_seeds,
         },
+        "slot_elision": {
+            "seeds": len(se_seeds), "fails": se_fails,
+            "per_seed": se_seeds,
+        },
         "ok": fails == 0 and raw_fails == 0 and xt_fails == 0
               and io_fails == 0 and tc_fails == 0 and sw_fails == 0
-              and pp_fails == 0 and pk_fails == 0,
+              and pp_fails == 0 and pk_fails == 0 and se_fails == 0,
     }
     with open(os.path.join(_REPO, args.out) if not os.path.isabs(args.out)
               else args.out, "w") as f:
@@ -463,4 +514,4 @@ if args.out:
 
 sys.exit(0 if fails == 0 and raw_fails == 0 and xt_fails == 0
          and io_fails == 0 and tc_fails == 0 and sw_fails == 0
-         and pp_fails == 0 else 1)
+         and pp_fails == 0 and se_fails == 0 else 1)
