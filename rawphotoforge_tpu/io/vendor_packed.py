@@ -103,6 +103,15 @@ def decode_arw2(payload: bytes, width: int, height: int,
     if curve is None:
         curve = sony_arw2_curve(None)
     curve = np.asarray(curve, dtype=np.uint16)
+    from .. import native
+
+    fn = getattr(native, "arw2_decode", None)
+    if fn is not None and native.available():
+        # C hot loop (~10x the numpy path at 24 MPix; bit-identical
+        # mirror, fuzz-gated against this decoder in tests).
+        out_native = fn(payload[:need], width, height, curve)
+        if out_native is not None:
+            return out_native
     stream = np.frombuffer(payload, dtype=np.uint8, count=need)
     out = np.empty((height, width), dtype=np.uint16)
     nspan = width // ARW2_SPAN

@@ -111,6 +111,8 @@ def _bind(lib) -> None:
     lib.rpf_cfa_block_means.restype = c
     lib.rpf_pana_decode_raw4.argtypes = [ctypes.c_char_p, c64, c, c, u16p]
     lib.rpf_pana_decode_raw4.restype = c
+    lib.rpf_arw2_decode.argtypes = [ctypes.c_char_p, c64, c, c, u16p, u16p]
+    lib.rpf_arw2_decode.restype = c
     lib.rpf_hostdev_develop.argtypes = [
         f32p, c, c, c, f32p, f32p, i32p, i32p, c, f32p,
         ctypes.c_float, u8p,
@@ -565,6 +567,25 @@ def unsharp_f32(planes, taps, amount: float):
                              float(amount), out)
     if rc != 0:
         raise ValueError(f"rpf_unsharp_f32 failed (rc={rc})")
+    return out
+
+
+def arw2_decode(payload: bytes, width: int, height: int, curve):
+    """Sony ARW2 block decode -> u16 [height, width] (curve-mapped), or
+    None when the native library is unavailable (caller falls back to
+    the vectorized numpy decoder — the tested oracle this mirrors
+    bit-for-bit, gated in tests/test_vendor_packed.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(curve, dtype=np.uint16)
+    if c.shape != (4096,):
+        raise ValueError(f"curve must be u16[4096], got {c.shape}")
+    out = np.empty((height, width), dtype=np.uint16)
+    rc = lib.rpf_arw2_decode(bytes(payload), len(payload),
+                             int(width), int(height), c, out)
+    if rc != 0:
+        raise ValueError(f"rpf_arw2_decode failed: {rc}")
     return out
 
 

@@ -17,6 +17,7 @@
 #include <new>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -438,6 +439,68 @@ int64_t rpf_ljpeg_pack_bits(const int64_t* vals, const uint8_t* lens,
     out[o++] = static_cast<uint8_t>(((acc << pad) | ((1u << pad) - 1)) & 0xFF);
   }
   return o;
+}
+
+// ---------------------------------------------------------------------------
+// Sony ARW2 block decode — the hot loop of io/vendor_packed.decode_arw2
+// (the vectorized numpy decoder is the tested oracle; this mirrors it
+// bit-for-bit at C speed, rows are independent -> OpenMP).
+//   payload: >= width*height bytes (width % 32 == 0)
+//   curve:   u16[4096] companding curve (sony_arw2_curve)
+//   out:     u16 [height, width]
+// ---------------------------------------------------------------------------
+
+int rpf_arw2_decode(const uint8_t* payload, int64_t nbytes, int width,
+                    int height, const uint16_t* curve, uint16_t* out) {
+  if (!payload || !curve || !out || width <= 0 || height <= 0 ||
+      width % 32 != 0 || nbytes < static_cast<int64_t>(width) * height)
+    return RPF_ERR_ARGS;
+#pragma omp parallel for schedule(static)
+  for (int row = 0; row < height; ++row) {
+    // Row copy with 2 zero slack bytes: delta slot 14 (the degenerate
+    // imax == imin case) reads past the last block; the oracle pads
+    // each ROW with zeros, so the mirror must too (not read the next
+    // row's bytes).
+    // std::copy, not memcpy: GCC's -Wstringop-overflow misfires on the
+    // OpenMP-outlined memcpy bound here (width is arg-checked > 0).
+    std::vector<uint8_t> rb(static_cast<size_t>(width) + 2, 0);
+    const uint8_t* src = payload + static_cast<int64_t>(row) * width;
+    std::copy(src, src + width, rb.begin());
+    uint16_t* orow = out + static_cast<int64_t>(row) * width;
+    int col = 0;
+    int dp = 0;
+    while (col < width - 30) {
+      uint32_t word = static_cast<uint32_t>(rb[dp]) |
+                      (static_cast<uint32_t>(rb[dp + 1]) << 8) |
+                      (static_cast<uint32_t>(rb[dp + 2]) << 16) |
+                      (static_cast<uint32_t>(rb[dp + 3]) << 24);
+      int vmax = word & 0x7ff;
+      int vmin = (word >> 11) & 0x7ff;
+      int imax = (word >> 22) & 0xf;
+      int imin = (word >> 26) & 0xf;
+      int sh = 0;
+      while (sh < 4 && (0x80 << sh) <= vmax - vmin) ++sh;
+      int bit = 30;
+      for (int i = 0; i < 16; ++i, col += 2) {
+        int pix;
+        if (i == imax) {
+          pix = vmax;
+        } else if (i == imin) {
+          pix = vmin;
+        } else {
+          int byte = dp + (bit >> 3);
+          int w16 = rb[byte] | (rb[byte + 1] << 8);
+          pix = (((w16 >> (bit & 7)) & 0x7f) << sh) + vmin;
+          if (pix > 0x7ff) pix = 0x7ff;
+          bit += 7;
+        }
+        orow[col] = curve[pix << 1];
+      }
+      col -= (col & 1) ? 1 : 31;
+      dp += 16;
+    }
+  }
+  return RPF_OK;
 }
 
 // ---------------------------------------------------------------------------

@@ -328,3 +328,18 @@ def test_gate_skipped_without_preview():
     raw_in = _scene_raw(rng)
     out = parse_raw(write_rw2(raw_in, raw_format=4))
     np.testing.assert_array_equal(out.mosaic, raw_in.mosaic)
+
+
+def test_arw2_native_matches_oracles():
+    from rawphotoforge_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    h, w = 10, 160
+    payload = rng.integers(0, 256, h * w, dtype=np.uint8).tobytes()
+    curve = sony_arw2_curve(
+        [int(k) << 2 for k in sorted(rng.integers(0, 4096, 4))])
+    a = native.arw2_decode(payload, w, h, curve)
+    np.testing.assert_array_equal(a, decode_arw2_py(payload, w, h, curve))
+    np.testing.assert_array_equal(a, decode_arw2(payload, w, h, curve))
