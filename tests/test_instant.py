@@ -1230,3 +1230,59 @@ def test_server_concurrent_soak_across_era_transitions(
     assert req("/edit", {"exposure": 0.5}) == 200
     assert req("/preview?level=mid") == 200
     httpd.shutdown()
+
+
+def test_server_era_labeled_points_mask(gated_server):
+    """Labeled multi-point selection during the era (r5): a wide-
+    tolerance include grabs two similar bands, the exclude point carves
+    the second out — asserted on the era render AND after the swap
+    replays the same request on the device session."""
+    base, gate = gated_server
+    img = np.zeros((40, 80, 3), np.uint8)
+    img[:, :40] = (200, 60, 60)     # band A (red)
+    img[:, 40:] = (210, 120, 60)    # band B (orange: similar to A)
+    buf = _io.BytesIO()
+    from PIL import Image as PILImage
+    PILImage.fromarray(img).save(buf, "PNG")
+    req = urllib.request.Request(
+        base + "/open?name=bands.png", data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+    # Include on A with a tolerance wide enough to also take B; exclude
+    # on B carves it back out.
+    assert post("/mask/add", {"name": "sel",
+                              "points": [[10, 20], [60, 20]],
+                              "labels": [1, 0],
+                              "tolerance": 0.8})["instant"]
+    _, _, before = _get(base + "/preview?level=mid")
+    assert post("/edit", {"_target": "sel", "exposure": -6.0})["instant"]
+    _, _, after = _get(base + "/preview?level=mid")
+    a = np.asarray(PILImage.open(_io.BytesIO(before)).convert("RGB"),
+                   dtype=np.float32)
+    b = np.asarray(PILImage.open(_io.BytesIO(after)).convert("RGB"),
+                   dtype=np.float32)
+    w2 = a.shape[1] // 2
+    assert a[:, :w2].mean() - b[:, :w2].mean() > 30   # A darkened
+    assert abs(a[:, w2:].mean() - b[:, w2:].mean()) < 8  # B carved out
+
+    # Swap: the labeled request replays on the real session with the
+    # same carve-out.
+    gate.set()
+    for _ in range(200):
+        st = json.loads(_get(base + "/open/status")[2])
+        if st["ready"]:
+            break
+        time.sleep(0.05)
+    assert st["ready"] and not st["error"]
+    _, headers, dev = _get(base + "/preview?level=mid")
+    assert headers.get("X-RPF-Instant") is None
+    d = np.asarray(PILImage.open(_io.BytesIO(dev)).convert("RGB"),
+                   dtype=np.float32)
+    assert d[:, :w2].mean() < d[:, w2:].mean() - 30
