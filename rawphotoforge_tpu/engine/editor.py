@@ -888,7 +888,13 @@ class PhotoEditor:
             # Per-mask per-slot shortcuts: a regional stack pays
             # packed-PCHIP sweeps only for curves actually edited
             # (bit-identical to the general kernel, VERDICT r4 #2).
-            default_curve_slots=slots,
+            # MULTI-mask only: the slot table is part of the jit key,
+            # and single-mask sessions must keep dispatching the exact
+            # variants engine/prewarm.warm_curve_programs front-ran —
+            # a slot-keyed single-mask program would put a remote
+            # compile back on the first curve drag (and the global
+            # flags already capture the M=1 fast paths).
+            default_curve_slots=slots if len(self.masks) > 1 else None,
         )
 
     def histogram(self, level: str = MID) -> np.ndarray:

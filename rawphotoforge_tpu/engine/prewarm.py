@@ -134,6 +134,7 @@ def warm_shape(true_shape: tuple[int, int]) -> bool:
             planes, params, None,
             main_mask_all_ones=True, default_bright_curves=True,
             default_oklch_curves=True, identity_oklch=True,
+            default_curve_slots=None,
         )
         true_out = out[:, :h, :w]
         hist = histogram_rgbl(true_out)
@@ -206,12 +207,14 @@ def warm_curve_programs(true_shape: tuple[int, int]) -> bool:
                 out = fused.develop_post_geo_fused(
                     planes, params, None, main_mask_all_ones=True,
                     default_bright_curves=False,
-                    default_oklch_curves=True, identity_oklch=True)
+                    default_oklch_curves=True, identity_oklch=True,
+                    default_curve_slots=None)
             else:
                 out = fused.develop_post_geo_fused(
                     planes, params, None, main_mask_all_ones=True,
                     default_bright_curves=True,
-                    default_oklch_curves=False, identity_oklch=False)
+                    default_oklch_curves=False, identity_oklch=False,
+                    default_curve_slots=None)
         float(out[0, 0, 0])  # force execution through the tunnel
         return True
     except Exception:
