@@ -123,15 +123,21 @@ def decode_arw2(payload: bytes, width: int, height: int,
     # buffer, not isolated blocks.
     bitpos = 30 + 7 * np.arange(15, dtype=np.int64)          # [15]
 
+    # Block base byte offsets within a row ([nspan, 2] -> flat), delta
+    # byte/shift tables, and the scatter column map — loop-invariant.
+    base = (ARW2_SPAN * np.arange(nspan, dtype=np.int64)[:, None]
+            + 16 * np.arange(2, dtype=np.int64)[None, :]).reshape(-1)
+    dbyte = base[:, None] + (bitpos[None, :] >> 3)
+    dshift = (bitpos[None, :] & 7).astype(np.int64)
+    cols = (ARW2_SPAN * np.arange(nspan, dtype=np.int64)[:, None, None]
+            + np.arange(2, dtype=np.int64)[None, :, None]
+            + 2 * idx16[None, None, :])                      # [nspan,2,16]
     for r0 in range(0, height, row_chunk):
         r1 = min(r0 + row_chunk, height)
         rows = stream[r0 * width : r1 * width].reshape(r1 - r0, width)
         rows = np.concatenate(
             [rows, np.zeros((r1 - r0, 2), np.uint8)], axis=1)
         nrows = r1 - r0
-        # Block base byte offsets within a row: [nspan, 2] -> flat.
-        base = (ARW2_SPAN * np.arange(nspan, dtype=np.int64)[:, None]
-                + 16 * np.arange(2, dtype=np.int64)[None, :]).reshape(-1)
         b = rows  # [nrows, width+2] u8
         # Header u32 (little-endian) per block: [nrows, nblk]
         hdr = (b[:, base].astype(np.uint32)
@@ -144,8 +150,6 @@ def decode_arw2(payload: bytes, width: int, height: int,
         imin = ((hdr >> 26) & 0xF).astype(np.int64)
         sh = _arw2_shift(vmax - vmin)                        # [nrows, nblk]
         # 7-bit deltas: absolute byte positions [nblk, 15].
-        dbyte = base[:, None] + (bitpos[None, :] >> 3)
-        dshift = (bitpos[None, :] & 7).astype(np.int64)
         dlo = b[:, dbyte].astype(np.int64)                   # [nrows,nblk,15]
         dhi = b[:, dbyte + 1].astype(np.int64)
         deltas = ((dlo | (dhi << 8)) >> dshift[None]) & 0x7F
@@ -164,9 +168,6 @@ def decode_arw2(payload: bytes, width: int, height: int,
                        vmax[..., None], pix)
         # Scatter to columns: block (span s, phase p) slot i -> col
         # 32 s + p + 2 i.
-        cols = (ARW2_SPAN * np.arange(nspan, dtype=np.int64)[:, None, None]
-                + np.arange(2, dtype=np.int64)[None, :, None]
-                + 2 * idx16[None, None, :])                  # [nspan,2,16]
         flat = np.empty((nrows, width), dtype=np.int64)
         flat[:, cols.reshape(-1)] = pix.reshape(nrows, -1)
         out[r0:r1] = curve[flat << 1]
