@@ -343,3 +343,43 @@ def test_arw2_native_matches_oracles():
     a = native.arw2_decode(payload, w, h, curve)
     np.testing.assert_array_equal(a, decode_arw2_py(payload, w, h, curve))
     np.testing.assert_array_equal(a, decode_arw2(payload, w, h, curve))
+
+
+def test_convert_packed_vendor_to_dng(tmp_path):
+    """`cli convert` transcodes ARW2 and RAW4 sources to lossless DNG:
+    the DECODED sensor values (the curve-mapped / unpacked domain — the
+    packed streams are lossy codecs, so this is the archival form) carry
+    over bit-identically with black/white/WB preserved."""
+    from rawphotoforge_tpu.app.cli import main
+    from rawphotoforge_tpu.io.dng import read_dng
+
+    rng = np.random.default_rng(17)
+    codes = (300 + rng.integers(0, 100, (24, 96))).astype(np.uint16)
+    knots = [800 << 2, 1600 << 2, 2400 << 2, 3200 << 2]
+    curve = sony_arw2_curve(knots)
+    arw = RawImage(mosaic=codes, pattern="RGGB", black_level=512,
+                   white_level=int(curve[4094]), wb_gains=(2.0, 1.0, 1.5),
+                   xyz_to_cam=None, exif={"Model": "ILCE-FIXTURE"})
+    src = tmp_path / "t.arw"
+    dst = tmp_path / "t.dng"
+    src.write_bytes(write_tiff_ep(arw, bits=8, make="SONY",
+                                  compression=32767, sony_tags=True,
+                                  arw2_curve_knots=knots))
+    assert main(["convert", str(src), str(dst)]) == 0
+    got = read_dng(dst.read_bytes())
+    np.testing.assert_array_equal(got.mosaic,
+                                  curve[codes.astype(np.int64) << 1])
+    assert got.black_level == 512.0
+    assert abs(got.wb_gains[0] - 2.0) < 1e-3
+
+    m = _smooth12(rng, 28, 56, base=500, step=30)
+    rw2 = RawImage(mosaic=m, pattern="GBRG", black_level=157,
+                   white_level=4095, wb_gains=(1.8, 1.0, 1.4),
+                   xyz_to_cam=None, exif={"Model": "DMC-FIXTURE"})
+    src2 = tmp_path / "t.rw2"
+    dst2 = tmp_path / "t2.dng"
+    src2.write_bytes(write_rw2(rw2, raw_format=4))
+    assert main(["convert", str(src2), str(dst2)]) == 0
+    got2 = read_dng(dst2.read_bytes())
+    np.testing.assert_array_equal(got2.mosaic, m)
+    assert got2.pattern == "GBRG"
