@@ -83,16 +83,28 @@ def _verify_memory_derived_decode(data: bytes, raw) -> None:
     from .dng import DngError
     from .vendor_raw import CORRELATION_GATE, dihedral_luma_correlation
 
-    pv = decode_embedded_preview_host(data, instant_long_edge=128)
-    if pv is None:
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    from .dng import extract_preview
+
+    jpeg = extract_preview(data)
+    if jpeg is None:
         return
-    pv_lin = pv.instant_linear
-    if pv_lin is None and pv.instant is not None:
-        # sRGB u8 previews (the JPEG case) recover their linear planes
-        # losslessly (HostDecoded contract).
-        pv_lin = instant.linear_from_srgb_u8(pv.instant)
-    if pv_lin is None:
+    try:
+        img = PILImage.open(_io.BytesIO(jpeg))
+        # JPEG draft mode: decode at the nearest 1/2^k scale >= 256 px —
+        # the correlation pools to a 64-grid anyway, and full-resolution
+        # camera previews would otherwise dominate the gate's cost on
+        # every ARW2/RAW4 open.
+        img.draft("RGB", (256, 256))
+        pv_u8 = np.asarray(img.convert("RGB"))
+    except Exception:  # noqa: BLE001 — a corrupt preview can't verify
         return
+    if pv_u8.ndim != 3 or min(pv_u8.shape[:2]) < 8:
+        return
+    pv_lin = instant.linear_from_srgb_u8(np.ascontiguousarray(pv_u8))
     dev = instant.quick_linear_from_raw(raw, 128)
     if dev is None:
         return
