@@ -53,6 +53,22 @@ variants["arw"] = _vr.write_tiff_ep(_vraw("RGGB"), bits=16,
 variants["rw2"] = _vr.write_rw2(_vraw("GBRG"))
 variants["raf"] = _vr.write_raf(_vraw("XTRANS"))
 
+# r5 packed bitstream codecs: the ARW2 block decoder and the RAW4 bit
+# reader consume attacker-shaped bytes directly — prime mutation
+# targets.
+_codes = (300 + rng0.integers(0, 100, (24, 64))).astype(np.uint16)
+_arw2 = dng.RawImage(mosaic=_codes, pattern="RGGB", black_level=512,
+                     white_level=16300, wb_gains=(2.0, 1.0, 1.5),
+                     xyz_to_cam=None, exif={})
+variants["arw2"] = _vr.write_tiff_ep(
+    _arw2, bits=8, make="SONY", compression=32767, sony_tags=True,
+    arw2_curve_knots=[4000, 8000, 12000, 16000])
+_m12 = (500 + np.cumsum(rng0.integers(-30, 31, (14, 28)), axis=1)
+        ).clip(16, 4095).astype(np.uint16)
+variants["raw4"] = _vr.write_rw2(dng.RawImage(
+    mosaic=_m12, pattern="RGGB", black_level=157, white_level=4095,
+    wb_gains=(1.0, 1.0, 1.0), xyz_to_cam=None, exif={}), raw_format=4)
+
 for name, data in sorted(variants.items()):
     rng = np.random.default_rng(abs(hash("soak" + name)) % 2**32)
     for trial in range(1500):
