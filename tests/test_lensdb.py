@@ -541,3 +541,25 @@ def test_export_exif_software_note():
     # byte-identically — fidelity wins there.
     ed._exif_bytes = b"Exif\x00\x00original-blob"
     assert ed.export_exif_bytes() == b"Exif\x00\x00original-blob"
+
+
+def test_cli_lens_correct_calibrated_only(tmp_path, capsys):
+    """`develop --lens-correct calibrated-only` plumbs the policy through
+    argparse -> PhotoEditor.open; the bundled-approximate match is
+    skipped and the output says so."""
+    from rawphotoforge_tpu.app.cli import main
+
+    path = _jpeg_with_lens_exif(tmp_path,
+                                lens_model="Canon EF 50mm f/1.8 II")
+    out = str(tmp_path / "o.jpg")
+    assert main(["develop", path, out, "--jnp-path",
+                 "--lens-correct", "calibrated-only"]) == 0
+    text = capsys.readouterr().out
+    assert "lens profile: no match" in text
+
+    out2 = str(tmp_path / "o2.jpg")
+    assert main(["develop", path, out2, "--jnp-path",
+                 "--lens-correct"]) == 0
+    text2 = capsys.readouterr().out
+    assert "Canon EF 50mm f/1.8 II" in text2
+    assert "APPROXIMATE bundled" in text2
