@@ -151,7 +151,7 @@ def _quantized_curve(v, knots, coeffs, row, num_seg, denom):
 def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                knots_ref, coeffs_ref, num_masks, num_seg,
                default_bright_curves, default_oklch_curves, identity_oklch,
-               default_slots=None):
+               default_slots=None, skip_scratch=None):
     """The per-mask edit stack: (WB -> tone -> brightness curve) per mask,
     the per-mask OKLCH hue/sat/light pass, then the sRGB encode
     (wgpu_shader.wgsl:279-336). ONE home for the contract shared by the
@@ -168,15 +168,24 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
     saturation curve pays exactly one packed-PCHIP sweep instead of
     4 x M (VERDICT r4 #2: M=4 cost 2x the single-mask frame because
     every mask swept every curve). The global flags remain the all-mask
-    shorthand (and what identity_oklch keys off)."""
+    shorthand (and what identity_oklch keys off).
+
+    ``skip_scratch``: optional triple of [TH, TW] VMEM scratch refs enabling
+    TILE-LEVEL mask skipping: a regional mask's whole per-mask chain
+    runs under ``pl.when(any(sel))``, so tiles outside the mask pay one
+    any-reduction + three scratch copies instead of the full chain —
+    the TPU analog of the reference kernel's per-pixel
+    ``if mask != 1.0 continue`` (wgsl:281), where SIMT divergence gives
+    the same skip for free. Bit-identical to the unconditional path
+    (an all-false sel leaves the state unchanged either way)."""
 
     def _slot_default(k, slot):
         return default_slots is not None and default_slots[k][slot]
 
-    for k in range(num_masks):
-        sel = sel_for(k)
+    def _bright_chain(k, r_, g_, b_):
+        """Mask k's WB -> tone -> brightness-curve values."""
         gains = (gains_ref[k, 0], gains_ref[k, 1], gains_ref[k, 2])
-        rk, gk, bk = pointwise.white_balance(r, g, b, gains)
+        rk, gk, bk = pointwise.white_balance(r_, g_, b_, gains)
         tv = tuple(tone_ref[k, i] for i in range(6))
         rk, gk, bk = pointwise.tone(rk, gk, bk, tv)
         if default_bright_curves or _slot_default(k, 0):
@@ -193,10 +202,30 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                                   row, num_seg, LUT_MAX)
             bc = _quantized_curve(bk, knots_ref, coeffs_ref,
                                   row, num_seg, LUT_MAX)
-        rk, gk, bk = _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
+        return _channel_select(chan_ref[k, 0], rk, gk, bk, rc, gc, bc)
+
+    for k in range(num_masks):
+        sel = sel_for(k)
         if sel is None:
-            r, g, b = rk, gk, bk
+            r, g, b = _bright_chain(k, r, g, b)
+        elif skip_scratch is not None:
+            # Tile-level mask skip (the TPU analog of the reference's
+            # per-pixel `if mask != 1.0 continue`, wgsl:281): tiles this
+            # mask doesn't touch skip the whole chain. Bit-identical —
+            # an all-false sel leaves (r, g, b) unchanged on both paths.
+            s0, s1, s2 = skip_scratch
+            s0[...], s1[...], s2[...] = r, g, b
+
+            @pl.when(jnp.any(sel))
+            def _apply(k=k, sel=sel, r=r, g=g, b=b):
+                rk, gk, bk = _bright_chain(k, r, g, b)
+                s0[...] = jnp.where(sel, rk, r)
+                s1[...] = jnp.where(sel, gk, g)
+                s2[...] = jnp.where(sel, bk, b)
+
+            r, g, b = s0[...], s1[...], s2[...]
         else:
+            rk, gk, bk = _bright_chain(k, r, g, b)
             r = jnp.where(sel, rk, r)
             g = jnp.where(sel, gk, g)
             b = jnp.where(sel, bk, b)
@@ -221,31 +250,49 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                 jnp.clip(color.linear_to_srgb(b), 0.0, 1.0))
     L, C, H = color.linear_srgb_to_oklch(r, g, b,
                                          atan2_turns=ktrig.atan2_turns)
-    for k in range(num_masks):
-        sel = sel_for(k)
+
+    def _oklch_vals(k, H_):
         # Per-slot shortcut: the staircase hue / constant 32767/32767.5
         # gain is exactly what a default curve evaluates to (f32 division,
         # not a pre-rounded f64 constant, to stay bit-identical to the
         # general path's floor(32767)/32767.5), so each slot elides
         # independently per mask.
         if default_oklch_curves or _slot_default(k, 1):
-            new_h = jnp.clip(jnp.floor(H * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
+            new_h = jnp.clip(jnp.floor(H_ * LUT_MAX), 0.0, LUT_MAX) / LUT_MAX
         else:
-            new_h = _quantized_curve(H, knots_ref, coeffs_ref,
+            new_h = _quantized_curve(H_, knots_ref, coeffs_ref,
                                      k * 4 + 1, num_seg, LUT_MAX)
         if default_oklch_curves or _slot_default(k, 2):
             sat_g = jnp.float32(32767.0) / jnp.float32(32767.5)
         else:
-            sat_g = _quantized_curve(H, knots_ref, coeffs_ref,
+            sat_g = _quantized_curve(H_, knots_ref, coeffs_ref,
                                      k * 4 + 2, num_seg, 32767.5)
         if default_oklch_curves or _slot_default(k, 3):
             light_g = jnp.float32(32767.0) / jnp.float32(32767.5)
         else:
-            light_g = _quantized_curve(H, knots_ref, coeffs_ref,
+            light_g = _quantized_curve(H_, knots_ref, coeffs_ref,
                                        k * 4 + 3, num_seg, 32767.5)
+        return new_h, sat_g, light_g
+
+    for k in range(num_masks):
+        sel = sel_for(k)
         if sel is None:
+            new_h, sat_g, light_g = _oklch_vals(k, H)
             H, C, L = new_h, C * sat_g, L * light_g
+        elif skip_scratch is not None:
+            s0, s1, s2 = skip_scratch
+            s0[...], s1[...], s2[...] = H, C, L
+
+            @pl.when(jnp.any(sel))
+            def _apply(k=k, sel=sel, H=H, C=C, L=L):
+                new_h, sat_g, light_g = _oklch_vals(k, H)
+                s0[...] = jnp.where(sel, new_h, H)
+                s1[...] = jnp.where(sel, C * sat_g, C)
+                s2[...] = jnp.where(sel, L * light_g, L)
+
+            H, C, L = s0[...], s1[...], s2[...]
         else:
+            new_h, sat_g, light_g = _oklch_vals(k, H)
             H = jnp.where(sel, new_h, H)
             C = jnp.where(sel, C * sat_g, C)
             L = jnp.where(sel, L * light_g, L)
@@ -276,10 +323,15 @@ def _develop_kernel(
     default_oklch_curves: bool,
     identity_oklch: bool,
     default_slots=None,
+    tile_skip: bool = False,
 ):
+    skip_scratch = None
     if main_only:
         (out_ref,) = rest_refs
         masks_ref = None
+    elif tile_skip:
+        masks_ref, out_ref = rest_refs[0], rest_refs[1]
+        skip_scratch = rest_refs[2:5]
     else:
         masks_ref, out_ref = rest_refs
     ti = pl.program_id(0)
@@ -311,7 +363,8 @@ def _develop_kernel(
                          knots_ref, coeffs_ref,
                          num_masks, num_seg, default_bright_curves,
                          default_oklch_curves, identity_oklch,
-                         default_slots=default_slots)
+                         default_slots=default_slots,
+                         skip_scratch=skip_scratch)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b
@@ -321,7 +374,8 @@ def _develop_kernel(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "main_mask_all_ones",
                      "default_bright_curves", "default_oklch_curves",
-                     "identity_oklch", "default_curve_slots"),
+                     "identity_oklch", "default_curve_slots",
+                     "tile_skip_masks"),
 )
 def develop_post_geo_fused(
     planes: jax.Array,
@@ -335,6 +389,7 @@ def develop_post_geo_fused(
     identity_oklch: bool = False,
     row_offset: jax.Array | None = None,
     default_curve_slots: tuple | None = None,
+    tile_skip_masks: bool = False,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
@@ -380,6 +435,13 @@ def develop_post_geo_fused(
     mask stack only pays packed-PCHIP sweeps for the curves a user
     actually edited (VERDICT r4 #2). Orthogonal to the global flags
     (which remain the all-masks shorthand).
+
+    ``tile_skip_masks``: run each regional mask's chain under
+    ``pl.when(any(sel))`` with three [TH, TW] VMEM scratch refs, so tiles a
+    mask doesn't touch skip its whole per-mask cost — bit-identical to
+    the unconditional kernel (edit_stack skip_scratch docstring).
+    Localized masks (smart selections) pay roughly coverage-proportional
+    per-mask cost instead of full-frame.
     """
     _, h, w = planes.shape
     if masks is None:
@@ -443,6 +505,7 @@ def develop_post_geo_fused(
         default_oklch_curves=default_oklch_curves,
         identity_oklch=identity_oklch,
         default_slots=default_curve_slots,
+        tile_skip=tile_skip_masks and not main_only,
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
@@ -465,6 +528,10 @@ def develop_post_geo_fused(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(masks)
+    scratch_shapes = []
+    if tile_skip_masks and not main_only:
+        scratch_shapes = [pltpu.VMEM((tile_h, tile_w), jnp.float32)
+                          for _ in range(3)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -472,5 +539,6 @@ def develop_post_geo_fused(
         out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(*inputs)
