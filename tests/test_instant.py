@@ -1286,3 +1286,40 @@ def test_server_era_labeled_points_mask(gated_server):
     d = np.asarray(PILImage.open(_io.BytesIO(dev)).convert("RGB"),
                    dtype=np.float32)
     assert d[:, :w2].mean() < d[:, w2:].mean() - 30
+
+
+def test_server_era_smart_points_mask(gated_server):
+    """Era smart selection with an exclude seed: competing geodesic
+    floods split a flat region at the midline (hostdev
+    smart_logits_points_np path through /mask/add)."""
+    base, gate = gated_server
+    img = np.full((40, 80, 3), 128, np.uint8)  # one flat region
+    buf = _io.BytesIO()
+    from PIL import Image as PILImage
+    PILImage.fromarray(img).save(buf, "PNG")
+    req = urllib.request.Request(
+        base + "/open?name=flat.png", data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert json.loads(r.read())["instant"]
+
+    def post(path, body):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(body).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+    assert post("/mask/add", {"name": "half", "smart": True,
+                              "points": [[8, 20], [72, 20]],
+                              "labels": [1, 0],
+                              "tolerance": 5.0})["instant"]
+    _, _, before = _get(base + "/preview?level=mid")
+    assert post("/edit", {"_target": "half", "exposure": -6.0})["instant"]
+    _, _, after = _get(base + "/preview?level=mid")
+    a = np.asarray(PILImage.open(_io.BytesIO(before)).convert("RGB"),
+                   dtype=np.float32)
+    b = np.asarray(PILImage.open(_io.BytesIO(after)).convert("RGB"),
+                   dtype=np.float32)
+    w = a.shape[1]
+    assert a[:, : w // 4].mean() - b[:, : w // 4].mean() > 30  # include side
+    assert abs(a[:, -w // 4:].mean() - b[:, -w // 4:].mean()) < 8  # exclude
+    gate.set()
