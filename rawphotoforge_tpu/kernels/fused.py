@@ -151,7 +151,7 @@ def _quantized_curve(v, knots, coeffs, row, num_seg, denom):
 def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
                knots_ref, coeffs_ref, num_masks, num_seg,
                default_bright_curves, default_oklch_curves, identity_oklch,
-               default_slots=None, skip_scratch=None):
+               default_slots=None):
     """The per-mask edit stack: (WB -> tone -> brightness curve) per mask,
     the per-mask OKLCH hue/sat/light pass, then the sRGB encode
     (wgpu_shader.wgsl:279-336). ONE home for the contract shared by the
@@ -170,14 +170,15 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
     every mask swept every curve). The global flags remain the all-mask
     shorthand (and what identity_oklch keys off).
 
-    ``skip_scratch``: optional triple of [TH, TW] VMEM scratch refs enabling
-    TILE-LEVEL mask skipping: a regional mask's whole per-mask chain
-    runs under ``pl.when(any(sel))``, so tiles outside the mask pay one
-    any-reduction + three scratch copies instead of the full chain —
-    the TPU analog of the reference kernel's per-pixel
-    ``if mask != 1.0 continue`` (wgsl:281), where SIMT divergence gives
-    the same skip for free. Bit-identical to the unconditional path
-    (an all-false sel leaves the state unchanged either way)."""
+    NOTE (r5, measured): a tile-level mask-skip variant (each regional
+    mask's chain under ``pl.when(sum(sel) > 0)`` with VMEM scratch — the
+    TPU analog of the reference's per-pixel ``if mask != 1.0 continue``,
+    wgsl:281) was built, proven bit-identical, and measured SLOWER on
+    hardware: 8.59 vs 6.53 ms at 24 MPix/M=4 with ~12%-coverage masks
+    (9.91 vs 6.37 ms scattered). The predicate reduction + scratch round
+    trips + lost fusion across the branch cost more than the skipped
+    arithmetic saves on the VPU — SIMT divergence has no profitable tile
+    analog here, so the kernel stays unconditional."""
 
     def _slot_default(k, slot):
         return default_slots is not None and default_slots[k][slot]
@@ -208,22 +209,6 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
         sel = sel_for(k)
         if sel is None:
             r, g, b = _bright_chain(k, r, g, b)
-        elif skip_scratch is not None:
-            # Tile-level mask skip (the TPU analog of the reference's
-            # per-pixel `if mask != 1.0 continue`, wgsl:281): tiles this
-            # mask doesn't touch skip the whole chain. Bit-identical —
-            # an all-false sel leaves (r, g, b) unchanged on both paths.
-            s0, s1, s2 = skip_scratch
-            s0[...], s1[...], s2[...] = r, g, b
-
-            @pl.when(jnp.any(sel))
-            def _apply(k=k, sel=sel, r=r, g=g, b=b):
-                rk, gk, bk = _bright_chain(k, r, g, b)
-                s0[...] = jnp.where(sel, rk, r)
-                s1[...] = jnp.where(sel, gk, g)
-                s2[...] = jnp.where(sel, bk, b)
-
-            r, g, b = s0[...], s1[...], s2[...]
         else:
             rk, gk, bk = _bright_chain(k, r, g, b)
             r = jnp.where(sel, rk, r)
@@ -279,18 +264,6 @@ def edit_stack(r, g, b, sel_for, gains_ref, tone_ref, chan_ref,
         if sel is None:
             new_h, sat_g, light_g = _oklch_vals(k, H)
             H, C, L = new_h, C * sat_g, L * light_g
-        elif skip_scratch is not None:
-            s0, s1, s2 = skip_scratch
-            s0[...], s1[...], s2[...] = H, C, L
-
-            @pl.when(jnp.any(sel))
-            def _apply(k=k, sel=sel, H=H, C=C, L=L):
-                new_h, sat_g, light_g = _oklch_vals(k, H)
-                s0[...] = jnp.where(sel, new_h, H)
-                s1[...] = jnp.where(sel, C * sat_g, C)
-                s2[...] = jnp.where(sel, L * light_g, L)
-
-            H, C, L = s0[...], s1[...], s2[...]
         else:
             new_h, sat_g, light_g = _oklch_vals(k, H)
             H = jnp.where(sel, new_h, H)
@@ -323,15 +296,10 @@ def _develop_kernel(
     default_oklch_curves: bool,
     identity_oklch: bool,
     default_slots=None,
-    tile_skip: bool = False,
 ):
-    skip_scratch = None
     if main_only:
         (out_ref,) = rest_refs
         masks_ref = None
-    elif tile_skip:
-        masks_ref, out_ref = rest_refs[0], rest_refs[1]
-        skip_scratch = rest_refs[2:5]
     else:
         masks_ref, out_ref = rest_refs
     ti = pl.program_id(0)
@@ -363,8 +331,7 @@ def _develop_kernel(
                          knots_ref, coeffs_ref,
                          num_masks, num_seg, default_bright_curves,
                          default_oklch_curves, identity_oklch,
-                         default_slots=default_slots,
-                         skip_scratch=skip_scratch)
+                         default_slots=default_slots)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b
@@ -374,8 +341,7 @@ def _develop_kernel(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "main_mask_all_ones",
                      "default_bright_curves", "default_oklch_curves",
-                     "identity_oklch", "default_curve_slots",
-                     "tile_skip_masks"),
+                     "identity_oklch", "default_curve_slots"),
 )
 def develop_post_geo_fused(
     planes: jax.Array,
@@ -389,7 +355,6 @@ def develop_post_geo_fused(
     identity_oklch: bool = False,
     row_offset: jax.Array | None = None,
     default_curve_slots: tuple | None = None,
-    tile_skip_masks: bool = False,
 ) -> jax.Array:
     """Fused-kernel version of ops.develop.develop_post_geo.
 
@@ -435,13 +400,6 @@ def develop_post_geo_fused(
     mask stack only pays packed-PCHIP sweeps for the curves a user
     actually edited (VERDICT r4 #2). Orthogonal to the global flags
     (which remain the all-masks shorthand).
-
-    ``tile_skip_masks``: run each regional mask's chain under
-    ``pl.when(any(sel))`` with three [TH, TW] VMEM scratch refs, so tiles a
-    mask doesn't touch skip its whole per-mask cost — bit-identical to
-    the unconditional kernel (edit_stack skip_scratch docstring).
-    Localized masks (smart selections) pay roughly coverage-proportional
-    per-mask cost instead of full-frame.
     """
     _, h, w = planes.shape
     if masks is None:
@@ -505,7 +463,6 @@ def develop_post_geo_fused(
         default_oklch_curves=default_oklch_curves,
         identity_oklch=identity_oklch,
         default_slots=default_curve_slots,
-        tile_skip=tile_skip_masks and not main_only,
     )
 
     grid = (pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
@@ -528,10 +485,6 @@ def develop_post_geo_fused(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(masks)
-    scratch_shapes = []
-    if tile_skip_masks and not main_only:
-        scratch_shapes = [pltpu.VMEM((tile_h, tile_w), jnp.float32)
-                          for _ in range(3)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -539,6 +492,5 @@ def develop_post_geo_fused(
         out_specs=pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
-        scratch_shapes=scratch_shapes,
         interpret=_interpret(),
     )(*inputs)

@@ -384,34 +384,3 @@ def test_editor_multi_mask_uses_slot_shortcuts(rng):
     ed2.set_tone(exposure=0.5)
     anchor = np.asarray(ed2.apply(FULL))
     assert_close(out.transpose(1, 2, 0), anchor.transpose(1, 2, 0))
-
-
-def test_tile_skip_masks_bit_identical(rng):
-    """tile_skip_masks (pl.when tile-level mask skipping) renders
-    bit-identically to the unconditional kernel on localized, empty, and
-    full-coverage mask rows, with and without slot elision."""
-    from rawphotoforge_tpu.core.params import default_curve_slots
-
-    h, w = 48, 256
-    img = random_linear_image(rng, h, w)
-    planes = jnp.asarray(img.transpose(2, 0, 1))
-    edits = [EditParameters() for _ in range(4)]
-    edits[0].set_tone(exposure=0.4, contrast=15)
-    edits[1].set_curve(SATURATION, [0, 65535], [30000, 36000])
-    edits[2].set_tone(exposure=-0.5)
-    edits[3].set_curve(BRIGHTNESS, [0, 30000, 65535], [2000, 32000, 65535])
-    params = pack_params(edits)
-    masks = np.zeros((4, h, w), np.float32)
-    masks[0] = 1.0
-    masks[1, :, :64] = 1.0        # localized
-    # masks[2] left empty          # fully skippable
-    masks[3, 24:, :] = 1.0        # half coverage
-    masks = jnp.asarray(masks)
-    for slots in (None, default_curve_slots(edits)):
-        a = np.asarray(fused.develop_post_geo_fused(
-            planes, params, masks, tile_h=16, tile_w=128,
-            default_curve_slots=slots))
-        b = np.asarray(fused.develop_post_geo_fused(
-            planes, params, masks, tile_h=16, tile_w=128,
-            default_curve_slots=slots, tile_skip_masks=True))
-        np.testing.assert_array_equal(a, b)
