@@ -214,3 +214,29 @@ def test_convert_tier2_vendor_to_dng(tmp_path):
     got = read_dng(dst.read_bytes())
     np.testing.assert_array_equal(got.mosaic, raw.mosaic)
     assert got.pattern == "RGGB"
+
+
+@pytest.mark.parametrize("ext,make", [
+    (".kdc", "KODAK"), (".dcr", "KODAK"), (".erf", "EPSON"),
+    (".mef", "Mamiya"), (".mos", "Leaf"), (".iiq", "Phase One"),
+    (".nrw", "NIKON"), (".rwl", "LEICA"), (".sr2", "SONY"),
+])
+def test_registry_extensions_route_through_walker(tmp_path, ext, make):
+    """Every TIFF-structured extension in the registry opens end-to-end:
+    uncompressed TIFF-EP sensor data under any of these names decodes
+    through the generic walker (the r3 NEF/ARW plumbing is
+    vendor-agnostic), and PhotoEditor.open develops it."""
+    from rawphotoforge_tpu.engine.editor import PhotoEditor
+    from rawphotoforge_tpu.io.raw import is_raw_image, parse_raw
+
+    raw = synthetic_raw(scene(seed=7), pattern="RGGB", black_level=64,
+                        white_level=4095)
+    p = tmp_path / ("t" + ext)
+    p.write_bytes(vr.write_tiff_ep(raw, bits=12, make=make))
+    assert is_raw_image(str(p))
+    got = parse_raw(p.read_bytes())
+    np.testing.assert_array_equal(got.mosaic, raw.mosaic)
+    ed = PhotoEditor.open(str(p), use_pallas=False,
+                          mid_long_edge=48, low_long_edge=24)
+    assert ed.opened_from_preview is None
+    assert ed.shape == raw.mosaic.shape
